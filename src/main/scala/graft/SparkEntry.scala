@@ -1,13 +1,469 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver contract — one `queries` entry per implemented operator from
+ * SURVEY.md §2, each paired (where SQL-expressible) with DuckDB oracle SQL
+ * over the same parquet tables.
+ *
+ * Conventions shared by every query/oracle pair:
+ *  - every computed column is aliased identically on both sides (the
+ *    driver's compare sorts columns by name before hashing);
+ *  - order-dependent double aggregates (sum/avg/stddev over doubles) are
+ *    rounded to 4 decimals on BOTH sides, since Spark and DuckDB may sum
+ *    partitions in different orders (min/max/count need no rounding —
+ *    they are exact);
+ *  - no query relies on row order (the driver sorts before hashing);
+ *    explicitly ordered queries (top-k) use unique tie-breakers.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** One registered query: name, Spark impl, optional DuckDB oracle SQL. */
+  private final case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def pq(dir: String, table: String) = s"$dir/$table.parquet"
+
+  /** Round an order-dependent double aggregate for oracle stability. */
+  private def r4(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c), 4)))
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference README's own example — `aggregate_pq(file, ['f0'],
+    * ['f2'])` (`/root/reference/README.md:83-97`) — on lineitem. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    AggregateEngine.aggregatePq(spark,
+      "/root/testdata/sf0.001/lineitem.parquet",
+      groupbyCols = Seq("l_returnflag"),
+      measureCols = Seq(Seq("l_quantity", "sum", "sum_qty")))
+
+  // =========================================================================
+  // Parity queries: the reference's own surface, via AggregateEngine
+  // =========================================================================
+
+  private def ae(
+      dims: Seq[String],
+      measures: Seq[Seq[String]],
+      filters: Seq[Filter] = Nil,
+      table: String = "lineitem",
+      aggregate: Boolean = true)(s: SparkSession, dir: String): DataFrame =
+    AggregateEngine.aggregatePq(s, pq(dir, table), dims, measures,
+      dataFilter = filters, aggregate = aggregate)
+
+  private val parity: Seq[Q] = Seq(
+    Q("q_agg_sum",
+      (s, d) => r4(ae(Seq("l_returnflag", "l_linestatus"),
+        Seq(Seq("l_quantity", "sum", "sum_qty")))(s, d), "sum_qty"),
+      Some("""SELECT l_returnflag, l_linestatus,
+              ROUND(SUM(l_quantity), 4) AS sum_qty
+              FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
+
+    Q("q_agg_mean",
+      (s, d) => r4(ae(Seq("l_returnflag"),
+        Seq(Seq("l_extendedprice", "mean", "avg_price")))(s, d), "avg_price"),
+      Some("""SELECT l_returnflag, ROUND(AVG(l_extendedprice), 4) AS avg_price
+              FROM lineitem GROUP BY l_returnflag""")),
+
+    Q("q_agg_std",
+      (s, d) => r4(ae(Seq("l_linestatus"),
+        Seq(Seq("l_quantity", "std", "std_qty")))(s, d), "std_qty"),
+      Some("""SELECT l_linestatus, ROUND(STDDEV(l_quantity), 4) AS std_qty
+              FROM lineitem GROUP BY l_linestatus""")),
+
+    Q("q_agg_count",
+      ae(Seq("l_returnflag", "l_linestatus"),
+        Seq(Seq("l_orderkey", "count", "n"))),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(l_orderkey) AS n
+              FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
+
+    Q("q_agg_count_na",
+      ae(Seq("l_returnflag"), Seq(Seq("l_quantity", "count_na", "n_null"))),
+      Some("""SELECT l_returnflag,
+              COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS n_null
+              FROM lineitem GROUP BY l_returnflag""")),
+
+    Q("q_agg_count_distinct",
+      ae(Seq("l_returnflag"),
+        Seq(Seq("l_partkey", "count_distinct", "n_parts"))),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+              FROM lineitem GROUP BY l_returnflag""")),
+
+    Q("q_agg_min_max",
+      ae(Seq("l_returnflag"), Seq(
+        Seq("l_extendedprice", "min", "min_price"),
+        Seq("l_extendedprice", "max", "max_price"),
+        Seq("l_partkey", "min", "min_part"))),
+      Some("""SELECT l_returnflag, MIN(l_extendedprice) AS min_price,
+              MAX(l_extendedprice) AS max_price, MIN(l_partkey) AS min_part
+              FROM lineitem GROUP BY l_returnflag""")),
+
+    Q("q_agg_one",
+      ae(Seq("l_returnflag", "l_linestatus"),
+        Seq(Seq("l_linenumber", "one", "any_ln"))),
+      Some("""SELECT l_returnflag, l_linestatus, MIN(l_linenumber) AS any_ln
+              FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
+
+    Q("q_agg_global",
+      (s, d) => r4(ae(Nil, Seq(
+        Seq("l_quantity", "sum", "sum_qty"),
+        Seq("l_orderkey", "count", "n"),
+        Seq("l_discount", "min", "min_disc"),
+        Seq("l_tax", "max", "max_tax")))(s, d), "sum_qty"),
+      Some("""SELECT ROUND(SUM(l_quantity), 4) AS sum_qty,
+              COUNT(l_orderkey) AS n, MIN(l_discount) AS min_disc,
+              MAX(l_tax) AS max_tax FROM lineitem""")),
+
+    Q("q_agg_multi_same_col",
+      (s, d) => r4(ae(Seq("l_linestatus"), Seq(
+        Seq("l_quantity", "sum", "qty_sum"),
+        Seq("l_quantity", "mean", "qty_mean"),
+        Seq("l_quantity", "min", "qty_min")))(s, d), "qty_sum", "qty_mean"),
+      Some("""SELECT l_linestatus, ROUND(SUM(l_quantity), 4) AS qty_sum,
+              ROUND(AVG(l_quantity), 4) AS qty_mean, MIN(l_quantity) AS qty_min
+              FROM lineitem GROUP BY l_linestatus""")),
+
+    Q("q_noagg",
+      ae(Seq("l_returnflag"), Seq(Seq("l_orderkey"), Seq("l_quantity")),
+        filters = Seq(Filter("l_orderkey", "<=", 100L)), aggregate = false),
+      Some("""SELECT l_orderkey, l_quantity, l_returnflag
+              FROM lineitem WHERE l_orderkey <= 100""")),
+
+    // ---- filter operators (P2-P8) ----------------------------------------
+    Q("q_filter_in",
+      (s, d) => r4(ae(Seq("l_linestatus"),
+        Seq(Seq("l_quantity", "sum", "sum_qty")),
+        filters = Seq(Filter("l_returnflag", "in", Seq("A", "R"))))(s, d),
+        "sum_qty"),
+      Some("""SELECT l_linestatus, ROUND(SUM(l_quantity), 4) AS sum_qty
+              FROM lineitem WHERE l_returnflag IN ('A', 'R')
+              GROUP BY l_linestatus""")),
+
+    Q("q_filter_nin",
+      ae(Seq("l_returnflag"), Seq(Seq("l_orderkey", "count", "n")),
+        filters = Seq(Filter("l_linestatus", "not in", Seq("F")))),
+      Some("""SELECT l_returnflag, COUNT(l_orderkey) AS n
+              FROM lineitem WHERE l_linestatus NOT IN ('F')
+              GROUP BY l_returnflag""")),
+
+    Q("q_filter_range",
+      ae(Seq("l_returnflag"), Seq(Seq("l_orderkey", "count", "n")),
+        filters = Seq(
+          Filter("l_quantity", ">", 10.0),
+          Filter("l_quantity", "<=", 40.0),
+          Filter("l_partkey", ">=", 100L),
+          Filter("l_partkey", "<", 1500L))),
+      Some("""SELECT l_returnflag, COUNT(l_orderkey) AS n FROM lineitem
+              WHERE l_quantity > 10 AND l_quantity <= 40
+                AND l_partkey >= 100 AND l_partkey < 1500
+              GROUP BY l_returnflag""")),
+
+    Q("q_filter_eq_ne",
+      ae(Seq("l_linenumber"), Seq(Seq("l_orderkey", "count", "n")),
+        filters = Seq(
+          Filter("l_returnflag", "==", "N"),
+          Filter("l_linestatus", "!=", "F"))),
+      Some("""SELECT l_linenumber, COUNT(l_orderkey) AS n FROM lineitem
+              WHERE l_returnflag = 'N' AND l_linestatus <> 'F'
+              GROUP BY l_linenumber""")),
+
+    Q("q_filter_in_scalar_degrade",
+      ae(Seq("l_returnflag"), Seq(Seq("l_orderkey", "count", "n")),
+        filters = Seq(Filter("l_linenumber", "in", 5))),
+      Some("""SELECT l_returnflag, COUNT(l_orderkey) AS n FROM lineitem
+              WHERE l_linenumber = 5 GROUP BY l_returnflag""")),
+
+    // ---- schema-drift contract (M1-M4) -----------------------------------
+    Q("q_missing_file",
+      (s, d) => AggregateEngine.aggregatePq(s, s"$d/does_not_exist.parquet",
+        Seq("g_dim"), Seq(Seq("m_val", "sum", "m_sum"))),
+      Some("""SELECT CAST(NULL AS BIGINT) AS g_dim,
+              CAST(NULL AS DOUBLE) AS m_sum WHERE 1 = 0""")),
+
+    Q("q_missing_cols_all",
+      ae(Seq("ghost_a"), Seq(Seq("ghost_b"))),
+      Some("""SELECT CAST(NULL AS BIGINT) AS ghost_a,
+              CAST(NULL AS DOUBLE) AS ghost_b WHERE 1 = 0""")),
+
+    Q("q_missing_cols_some",
+      (s, d) => r4(ae(Seq("l_returnflag", "l_ghostdim"), Seq(
+        Seq("l_quantity", "sum", "sum_qty"),
+        Seq("l_ghostmeasure", "sum", "ghost_m")))(s, d), "sum_qty"),
+      Some("""SELECT l_returnflag, CAST(-1 AS BIGINT) AS l_ghostdim,
+              ROUND(SUM(l_quantity), 4) AS sum_qty,
+              CAST(0.0 AS DOUBLE) AS ghost_m
+              FROM lineitem GROUP BY l_returnflag""")),
+
+    Q("q_filter_missing_col",
+      (s, d) => r4(ae(Seq("l_returnflag"),
+        Seq(Seq("l_quantity", "sum", "sum_qty")),
+        filters = Seq(Filter("l_ghost", ">", 5L)))(s, d), "sum_qty"),
+      Some("""SELECT l_returnflag, ROUND(SUM(l_quantity), 4) AS sum_qty
+              FROM lineitem WHERE 1 = 0 GROUP BY l_returnflag""")))
+
+  // =========================================================================
+  // Extensions: joins / windows / sorts / set ops / scalar functions —
+  // absent from the reference (SURVEY.md §2.4-2.8), first-class here.
+  // =========================================================================
+
+  private val extensions: Seq[Q] = Seq(
+    // Star-schema join: fact lineitem ⋈ broadcast dims. At 100 TB the dims
+    // stay broadcast-able (region/nation/customer are small); the single
+    // shuffle is the lineitem↔orders equi-join.
+    Q("q_join_star",
+      (s, d) => {
+        val li = s.read.parquet(pq(d, "lineitem"))
+        val o = s.read.parquet(pq(d, "orders"))
+        val c = s.read.parquet(pq(d, "customer"))
+        val n = s.read.parquet(pq(d, "nation"))
+        val r = s.read.parquet(pq(d, "region"))
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT r_name,
+              ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+              COUNT(*) AS n_rows
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name""")),
+
+    Q("q_join_left",
+      (s, d) => {
+        val o = s.read.parquet(pq(d, "orders"))
+        val c = s.read.parquet(pq(d, "customer"))
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            round(sum(col("o_totalprice")), 4).as("total"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(o_orderkey) AS n_orders,
+              ROUND(SUM(o_totalprice), 4) AS total
+              FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_mktsegment""")),
+
+    Q("q_join_semi",
+      (s, d) => {
+        val o = s.read.parquet(pq(d, "orders"))
+        val li = s.read.parquet(pq(d, "lineitem"))
+          .where(col("l_quantity") > 45).select(col("l_orderkey"))
+        o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n FROM orders
+              WHERE o_orderkey IN
+                (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+              GROUP BY o_orderstatus""")),
+
+    Q("q_join_anti",
+      (s, d) => {
+        val o = s.read.parquet(pq(d, "orders"))
+        val li = s.read.parquet(pq(d, "lineitem"))
+          .where(col("l_quantity") > 45).select(col("l_orderkey"))
+        o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n FROM orders
+              WHERE o_orderkey NOT IN
+                (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+              GROUP BY o_orderstatus""")),
+
+    // ---- window functions ------------------------------------------------
+    Q("q_window_rank",
+      (s, d) => {
+        val o = s.read.parquet(pq(d, "orders"))
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        o.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_totalprice"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders) t WHERE rn <= 3""")),
+
+    Q("q_window_running_sum",
+      (s, d) => {
+        val o = s.read.parquet(pq(d, "orders"))
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o.select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 4).as("running_total"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+              ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                AS running_total
+              FROM orders""")),
+
+    Q("q_window_lag_lead",
+      (s, d) => {
+        val o = s.read.parquet(pq(d, "orders"))
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        o.select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+              LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderkey) AS prev_price,
+              LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderkey) AS next_price
+              FROM orders""")),
+
+    // ---- sorts / limits / top-k ------------------------------------------
+    Q("q_sort_limit",
+      (s, d) => s.read.parquet(pq(d, "orders"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    Q("q_topk_agg",
+      (s, d) => s.read.parquet(pq(d, "lineitem"))
+        .groupBy(col("l_partkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_partkey"))
+        .limit(10),
+      Some("""SELECT l_partkey,
+              ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+              FROM lineitem GROUP BY l_partkey
+              ORDER BY revenue DESC, l_partkey LIMIT 10""")),
+
+    // ---- set operations --------------------------------------------------
+    Q("q_union",
+      (s, d) => {
+        val c = s.read.parquet(pq(d, "customer"))
+          .select(col("c_nationkey").as("nk"))
+        val su = s.read.parquet(pq(d, "supplier"))
+          .select(col("s_nationkey").as("nk"))
+        c.union(su).distinct()
+      },
+      Some("""SELECT c_nationkey AS nk FROM customer
+              UNION SELECT s_nationkey AS nk FROM supplier""")),
+
+    Q("q_intersect",
+      (s, d) => {
+        val c = s.read.parquet(pq(d, "customer"))
+          .select(col("c_nationkey").as("nk"))
+        val su = s.read.parquet(pq(d, "supplier"))
+          .select(col("s_nationkey").as("nk"))
+        c.intersect(su)
+      },
+      Some("""SELECT c_nationkey AS nk FROM customer
+              INTERSECT SELECT s_nationkey AS nk FROM supplier""")),
+
+    Q("q_except",
+      (s, d) => {
+        val c = s.read.parquet(pq(d, "customer"))
+          .select(col("c_nationkey").as("nk"))
+        val su = s.read.parquet(pq(d, "supplier"))
+          .select(col("s_nationkey").as("nk"))
+        c.except(su)
+      },
+      Some("""SELECT c_nationkey AS nk FROM customer
+              EXCEPT SELECT s_nationkey AS nk FROM supplier""")),
+
+    Q("q_distinct",
+      (s, d) => s.read.parquet(pq(d, "lineitem"))
+        .select(col("l_returnflag"), col("l_linestatus")).distinct(),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""")),
+
+    // ---- grouping sets ---------------------------------------------------
+    Q("q_rollup",
+      (s, d) => s.read.parquet(pq(d, "lineitem"))
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+          count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, l_linestatus,
+              ROUND(SUM(l_quantity), 4) AS sum_qty, COUNT(*) AS n
+              FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    Q("q_cube",
+      (s, d) => s.read.parquet(pq(d, "lineitem"))
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+              FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""")),
+
+    // ---- scalar functions ------------------------------------------------
+    Q("q_scalar_string",
+      (s, d) => s.read.parquet(pq(d, "part"))
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_name"), 1, 5).as("name_pfx"),
+          length(col("p_type")).as("type_len"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type")),
+      Some("""SELECT p_partkey, UPPER(p_brand) AS brand_u,
+              SUBSTRING(p_name, 1, 5) AS name_pfx,
+              CAST(LENGTH(p_type) AS INT) AS type_len,
+              p_brand || '#' || p_type AS brand_type FROM part""")),
+
+    Q("q_scalar_date",
+      (s, d) => s.read.parquet(pq(d, "orders"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 4).as("total")),
+      Some("""SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+              EXTRACT(MONTH FROM o_orderdate) AS mo, COUNT(*) AS n,
+              ROUND(SUM(o_totalprice), 4) AS total
+              FROM orders GROUP BY 1, 2""")),
+
+    Q("q_scalar_math",
+      (s, d) => s.read.parquet(pq(d, "lineitem"))
+        .where(col("l_orderkey") <= 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_quantity") - lit(25.0)).as("qty_dev"),
+          floor(col("l_extendedprice")).as("price_floor"),
+          ceil(col("l_discount") * lit(100.0)).as("disc_pct"),
+          sqrt(col("l_quantity")).as("qty_sqrt")),
+      Some("""SELECT l_orderkey, l_linenumber,
+              ABS(l_quantity - 25.0) AS qty_dev,
+              CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+              CAST(CEIL(l_discount * 100.0) AS BIGINT) AS disc_pct,
+              SQRT(l_quantity) AS qty_sqrt
+              FROM lineitem WHERE l_orderkey <= 500""")),
+
+    Q("q_case_when",
+      (s, d) => s.read.parquet(pq(d, "lineitem"))
+        .select(when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 30, "mid")
+          .otherwise("high").as("qty_band"))
+        .groupBy(col("qty_band")).agg(count(lit(1)).as("n")),
+      Some("""SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS qty_band,
+              COUNT(*) AS n FROM lineitem GROUP BY 1""")))
+
+  private val registry: Seq[Q] = parity ++ extensions
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(o =>
+      q.name -> o.stripMargin.replaceAll("\\s+", " ").trim)).toMap
 }

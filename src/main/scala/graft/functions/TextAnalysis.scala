@@ -1,0 +1,162 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis primitives for large-scale training-data pipelines:
+ * tokenization, token counting, language ID, quality scoring and document
+ * fingerprinting. Everything here is a pure `Column` expression built from
+ * `org.apache.spark.sql.functions` — codegen'd, whole-stage-compatible, no
+ * UDFs — so a 100 TB corpus pass stays a single narrow map stage with no
+ * shuffle and no Python/serialization boundary.
+ *
+ * Extension beyond the reference surface (SURVEY.md §2.8: parquery has no
+ * scalar-function surface at all).
+ */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text; empty text → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Number of whitespace-delimited tokens. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /**
+   * BPE-ish subword count estimate without a vocab file: word-piece regex
+   * splits on case/digit boundaries, then adds a length penalty (long words
+   * fragment into more pieces). A deterministic, shuffle-free proxy for
+   * tokenizer-based counts.
+   */
+  def subwordCountEstimate(text: Column): Column = {
+    val pieces = size(filter(
+      split(text, "[^\\p{L}\\p{N}]+|(?<=\\p{Ll})(?=\\p{Lu})|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})"),
+      p => length(p) > 0))
+    // ~1 extra piece per 6 chars of word beyond the first 6
+    val lenPenalty = aggregate(tokens(text), lit(0),
+      (acc, t) => acc + floor((length(t) - 1) / 6).cast("int"))
+    (pieces + lenPenalty).as("subword_count")
+  }
+
+  // --- language ID -------------------------------------------------------
+
+  /** Tiny built-in stopword profiles (top function words per language). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "a", "in", "is", "it", "that",
+      "was", "for", "on", "with", "as", "at", "by", "this", "are", "be"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu",
+      "den", "von", "mit", "auf", "für", "im", "nicht", "sich", "auch"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "un", "une",
+      "du", "dans", "que", "qui", "pour", "pas", "sur", "au", "avec"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "es", "un", "una",
+      "del", "en", "que", "no", "por", "con", "para", "se", "su"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "他",
+      "们", "中", "为", "上", "个", "国", "就", "以", "说"))
+
+  /** Fraction of tokens (with repeats) that are stopwords of `lang`. */
+  def stopwordRatio(text: Column, lang: String = "en"): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t =>
+        array_contains(typedlit(stopwords(lang)), t))).cast("double") /
+        size(toks))
+  }
+
+  /**
+   * N-gram/stopword-heuristic language ID: the language whose stopword
+   * profile overlaps the document's token set most, `und` (unknown) when
+   * nothing matches. One narrow projection — no shuffle, no model file.
+   */
+  def langId(text: Column): Column = {
+    val toks = array_distinct(tokens(lower(text)))
+    val scored = stopwords.toSeq.map { case (lang, words) =>
+      struct(size(array_intersect(toks, typedlit(words))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  // --- quality scoring ---------------------------------------------------
+
+  /** Fraction of characters that are letters. */
+  def alphaRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^\\p{L}]", "")).cast("double") /
+        length(text))
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") /
+        length(text))
+
+  /** Mean token length (0 for empty docs). */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") /
+        size(toks))
+  }
+
+  /**
+   * Composite quality score in [0,1]: length sweet-spot, alphabetic
+   * content, low punctuation noise, plausible word lengths, some stopword
+   * mass. The shape follows published heuristic-filter recipes (e.g.
+   * C4/Gopher-style rules); weights are illustrative, each term is a
+   * codegen'd expression.
+   */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthTerm = least(nTok / lit(50.0), lit(1.0))
+    val alphaTerm = alphaRatio(text)
+    val punctTerm = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    val mtl = meanTokenLength(text)
+    val wordLenTerm = when(mtl.between(2.0, 12.0), 1.0).otherwise(0.2)
+    val stopTerm = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    round(lengthTerm * 0.25 + alphaTerm * 0.25 + punctTerm * 0.2 +
+      wordLenTerm * 0.15 + stopTerm * 0.15, 4)
+  }
+
+  // --- fingerprinting ----------------------------------------------------
+
+  /** Canonical-text hash: lowercase, collapse whitespace, xxhash64. */
+  def fingerprint(text: Column): Column =
+    xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /**
+   * Winnowing-style rolling-hash fingerprint: min xxhash64 over `k`-word
+   * shingles — stable under small edits (cf. Schleimer et al., SIGMOD'03
+   * winnowing; public algorithm). Used as a cheap near-dup pre-key.
+   */
+  def rollingFingerprint(text: Column, k: Int = 3): Column =
+    array_min(transform(Shingles.wordShingles(text, k), s => xxhash64(s)))
+}
+
+/** Word-shingle helper shared by TextAnalysis and Dedup. */
+object Shingles {
+
+  /**
+   * `k`-word shingles ("n-grams of words") of the document, distinct.
+   * Documents shorter than `k` words yield one shingle with all words.
+   * Pure higher-order-function expression — no explode, no shuffle: the
+   * shingle array lives only inside the projection.
+   */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+  }
+
+  /** Character `k`-gram shingles of normalized text, distinct. */
+  def charShingles(text: Column, k: Int): Column = {
+    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
+    array_distinct(transform(
+      sequence(lit(0), greatest(length(norm) - k, lit(0))),
+      i => norm.substr(i + lit(1), lit(k))))
+  }
+}

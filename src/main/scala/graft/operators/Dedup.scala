@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Shingles, TextAnalysis}
+
+/**
+ * Deduplication operators for large-scale training-data pipelines: exact,
+ * MinHash+LSH, SimHash, n-gram Jaccard verification, and embedding-cosine
+ * near-dup. Extension beyond the reference surface (parquery has no
+ * dedup; SURVEY.md §2).
+ *
+ * Scale design (the point of every choice here):
+ *  - signatures/fingerprints are computed in one narrow projection per
+ *    document (higher-order functions, no explode of shingles, no UDFs);
+ *  - candidate generation shuffles only (bucketKey, docId) pairs — never
+ *    document text — so the shuffle volume is O(docs × bands), not O(text);
+ *  - pair verification joins back to signatures by id, and only for
+ *    bucket-cohabiting pairs: O(candidate pairs), not O(n²);
+ *  - all-pairs comparison appears nowhere; a 100 TB corpus never
+ *    materializes a cross join.
+ */
+object Dedup {
+
+  // ---- exact ------------------------------------------------------------
+
+  /**
+   * Exact dedup: keep one row per key (the row with the smallest
+   * `tieBreaker`, so the survivor is deterministic — unlike
+   * `dropDuplicates`, which keeps an arbitrary first row).
+   * One hash-partition shuffle on the key.
+   */
+  def exact(df: DataFrame, keyCols: Seq[String],
+            tieBreaker: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tieBreaker))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /**
+   * Exact-dup group summary over a text column: canonical hash → group
+   * size + surviving id. `md5` (not xxhash64) so the result is
+   * SQL-oracle-comparable across engines.
+   */
+  def exactSummary(df: DataFrame, textCol: String,
+                   idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+
+  // ---- MinHash + LSH ------------------------------------------------------
+
+  /**
+   * MinHash signature column: for each of `numHashes` seeded hash
+   * functions, the min over the document's `shingleWords`-word shingles.
+   * `xxhash64(shingle, seed)` is the seeded family. Computed entirely
+   * inside one projection (array ops, codegen'd).
+   */
+  def minhashSignature(text: Column, numHashes: Int = 64,
+                       shingleWords: Int = 3): Column = {
+    val shingles = Shingles.wordShingles(text, shingleWords)
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(shingles, s => xxhash64(s, seed))))
+  }
+
+  /**
+   * LSH banding: split the signature into `bands` equal bands and emit
+   * (bandIndex, bandHash) rows per doc. Docs sharing any band land in the
+   * same bucket. Probability theory (Broder '97 / LSH banding): with
+   * r = numHashes/bands rows per band, P(bucket-share) = 1-(1-j^r)^bands
+   * for Jaccard j — the standard S-curve.
+   */
+  def minhashBands(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 64, bands: Int = 16,
+                   shingleWords: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    df.select(col(idCol),
+        minhashSignature(col(textCol), numHashes, shingleWords).as("sig"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+  }
+
+  /**
+   * Candidate near-dup pairs via MinHash LSH: self-join within
+   * (band, band_hash) buckets, `id_a < id_b`, distinct. The join keys are
+   * (band, band_hash) — small fixed-width rows — so the shuffle is
+   * O(docs × bands) regardless of text size. Skew guard: buckets larger
+   * than `maxBucket` (degenerate — e.g. empty docs) are dropped, the
+   * standard LSH skew hygiene at corpus scale.
+   */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, bands: Int = 16,
+                        shingleWords: Int = 3,
+                        maxBucket: Int = 1000): DataFrame = {
+    val banded = minhashBands(df, idCol, textCol, numHashes, bands,
+      shingleWords)
+    val sized = banded.withColumn("bucket_n",
+      count(lit(1)).over(Window.partitionBy(col("band"), col("band_hash"))))
+      .where(col("bucket_n") <= maxBucket)
+    val a = sized.select(col("band"), col("band_hash"),
+      col(idCol).as("id_a"))
+    val b = sized.select(col("band"), col("band_hash"),
+      col(idCol).as("id_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /**
+   * Exact n-gram Jaccard for candidate pairs: joins shingle sets back by
+   * id (two broadcast-or-shuffle hash joins on ids) and computes
+   * |A∩B| / |A∪B| with array ops. Runs only on LSH survivors.
+   */
+  def ngramJaccardPairs(df: DataFrame, candidates: DataFrame,
+                        idCol: String, textCol: String,
+                        shingleWords: Int = 3,
+                        minJaccard: Double = 0.8): DataFrame = {
+    val sh = df.select(col(idCol),
+      Shingles.wordShingles(col(textCol), shingleWords).as("sh"))
+    candidates
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Full MinHash pipeline: LSH candidates → exact Jaccard verification. */
+  def minhashDuplicates(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, bands: Int = 16,
+                        shingleWords: Int = 3,
+                        minJaccard: Double = 0.8): DataFrame =
+    ngramJaccardPairs(df,
+      minhashCandidates(df, idCol, textCol, numHashes, bands, shingleWords),
+      idCol, textCol, shingleWords, minJaccard)
+
+  // ---- SimHash ------------------------------------------------------------
+
+  /**
+   * 64-bit SimHash (Charikar '02): per token, xxhash64 → 64 bits; each bit
+   * votes ±1; the sign vector packs back into one long. Two near-identical
+   * docs differ in few bits. One projection, no shuffle.
+   */
+  def simhash(text: Column): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    val bitIdx = sequence(lit(0), lit(63))
+    // votes(i) = sum over tokens of (bit i set ? +1 : -1)
+    val votes = aggregate(toks,
+      transform(bitIdx, _ => lit(0)),
+      (acc, t) => zip_with(acc,
+        transform(bitIdx, i =>
+          when(call_function("shiftright", xxhash64(t), i)
+            .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)),
+        (a, b) => a + b))
+    // pack sign bits; use positive powers via shiftleft on long
+    aggregate(zip_with(votes, bitIdx, (v, i) =>
+        when(v > 0, call_function("shiftleft", lit(1L), i))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * SimHash near-dup pairs with pigeonhole blocking: split the 64-bit
+   * fingerprint into 4 16-bit chunks; any pair within Hamming distance
+   * ≤ 3 must agree on at least one chunk, so the self-join runs per
+   * (chunkIndex, chunkValue) bucket — never all-pairs — then filters by
+   * true Hamming distance.
+   */
+  def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val withSim = df.select(col(idCol), simhash(col(textCol)).as("simhash"))
+    val chunked = withSim.select(col(idCol), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)), c =>
+        call_function("shiftright", col("simhash"), c * lit(16))
+          .bitwiseAND(lit(0xFFFFL)))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val a = chunked.select(col("chunk"), col("chunk_val"),
+      col(idCol).as("id_a"), col("simhash").as("sim_a"))
+    val b = chunked.select(col("chunk"), col("chunk_val"),
+      col(idCol).as("id_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .where(col("id_a") < col("id_b"))
+      .where(hamming(col("sim_a"), col("sim_b")) <= maxHamming)
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sim_a"), col("sim_b")).as("hamming"))
+      .distinct()
+  }
+
+  // ---- embedding near-dup -------------------------------------------------
+
+  /**
+   * Embedding-cosine near-duplicates: random-hyperplane LSH (sign bits of
+   * `planes` pseudo-random projections) buckets similar vectors together;
+   * exact cosine runs only within buckets. Hyperplanes are deterministic
+   * functions of (planeIdx, dimIdx) via xxhash64 — no model state, any
+   * executor regenerates them, nothing is broadcast.
+   */
+  def embeddingDuplicates(df: DataFrame, idCol: String, vecCol: String,
+                          planes: Int = 12,
+                          minCosine: Double = 0.95): DataFrame = {
+    val keyed = df.select(col(idCol),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), planes))
+    val a = keyed.select(col("bucket"), col(idCol).as("id_a"),
+      col("v").as("v_a"))
+    val b = keyed.select(col("bucket"), col(idCol).as("id_b"),
+      col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .where(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+      .distinct()
+  }
+}

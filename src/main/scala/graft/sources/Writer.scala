@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Parquet sink — the reference's `df_to_parquet` (`parquery/write.py:57-203`).
+ *
+ * The reference writes one file with ZSTD compression, deleting any
+ * pre-existing target first (`write.py:52-53`), optionally slicing a
+ * pandas frame into 100k-row chunks through a single `ParquetWriter` so one
+ * file holds many row groups (`write.py:141-203`). In Spark the chunked
+ * path is unnecessary: each task writes its partition independently, which
+ * is both the parallel version of chunking and what a 1000-executor write
+ * needs. Row-group sizing within a task's file is controlled by
+ * `parquet.block.size`; file granularity by `maxRecordsPerFile`.
+ */
+object Writer {
+
+  /**
+   * @param maxRecordsPerFile analog of the reference's `chunksize`
+   *   (`write.py:61`, default 100k rows) but at file granularity; 0 = off.
+   * @param singleFile true → coalesce to one output file (the reference's
+   *   one-file-per-shard layout). Leave false at scale: a single writer
+   *   task is a bottleneck; shard layout should come from partitioning.
+   */
+  def dfToParquet(df: DataFrame, path: String,
+                  overwrite: Boolean = true,
+                  maxRecordsPerFile: Long = 0L,
+                  singleFile: Boolean = false,
+                  partitionBy: Seq[String] = Nil): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    var w = out.write
+      .mode(if (overwrite) "overwrite" else "errorifexists")
+      .option("compression", "zstd")
+    if (maxRecordsPerFile > 0)
+      w = w.option("maxRecordsPerFile", maxRecordsPerFile)
+    if (partitionBy.nonEmpty)
+      w = w.partitionBy(partitionBy: _*)
+    w.parquet(path)
+  }
+}

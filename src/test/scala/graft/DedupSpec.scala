@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+      "near the warm fire and the birds sing in the tall green trees"
+  // doc 2 = near-dup of 1 (one word changed); 3 = exact dup of 1; 4/5 distinct
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base.replace("lazy", "sleepy")),
+    (3L, base),
+    (4L, "completely different content about spark query engines and " +
+      "distributed columnar execution with catalyst optimizer rules"),
+    (5L, "yet another unrelated document mentioning parquet files arrow " +
+      "memory and zstd compression for analytics workloads")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps deterministic survivor per key") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 4L, 5L)) // 3 deduped into 1 (min id)
+  }
+
+  test("exactSummary counts copies per text hash") {
+    val m = Dedup.exactSummary(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(2) -> r.getLong(1)).toMap
+    assert(m(1L) == 2L) // docs 1+3
+    assert(m(2L) == 1L)
+  }
+
+  test("minhash LSH finds near-dup and exact-dup pairs, not distinct docs") {
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 3L))) // exact dup always collides
+    assert(cand.contains((1L, 2L)) || cand.contains((2L, 3L))) // near dup
+    assert(!cand.contains((4L, 5L)))
+  }
+
+  test("ngram jaccard verification scores exact dup 1.0, filters unrelated") {
+    val dups = Dedup.minhashDuplicates(docs, "doc_id", "text",
+      minJaccard = 0.5)
+    val m = dups.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((1L, 3L)) == 1.0)
+    assert(m.keys.forall { case (a, b) => Set(1L, 2L, 3L)(a) && Set(1L, 2L, 3L)(b) })
+  }
+
+  test("simhash: exact dups same hash, near-dups low hamming") {
+    val hs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(3L))
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(2L)) <= 6)
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(4L)) > 6)
+  }
+
+  test("simhashDuplicates blocks then verifies hamming") {
+    val pairs = Dedup.simhashDuplicates(docs, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("embedding near-dup via hyperplane LSH + cosine") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Seq(0.99f, 0.01f, 0.5f, 0.2f)), // near-dup of 1
+      (3L, Seq(-1.0f, 0.3f, -0.5f, 0.8f)),
+      (4L, Seq(0.0f, 1.0f, -0.2f, -0.9f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDuplicates(vecs, "vec_id", "embedding",
+      planes = 6, minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("cosine function exact on known vectors") {
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 1.0), Seq(1.0, 1.0))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val got = df.as[Double].collect()
+    assert(math.abs(got(0)) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.functions.Naming
+import graft.sources.Writer
+
+class NamingWriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("natural/original name round-trip (tool.py:49-120)") {
+    val df = Seq((1L, 2L, 3.0)).toDF("a-31", "g", "m-1")
+    val nat = Naming.dfToNaturalName(df)
+    assert(nat.columns.toSeq == Seq("a_n_31", "g", "m_n_1"))
+    val orig = Naming.dfToOriginalName(nat)
+    assert(orig.columns.toSeq == Seq("a-31", "g", "m-1"))
+  }
+
+  test("mangled columns stay queryable through the engine") {
+    val p = tmpDir() + "/nat.parquet"
+    Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("a-31", "m1")
+      .transform(Naming.dfToNaturalName)
+      .write.parquet(p)
+    val got = AggregateEngine.aggregatePq(spark, p, Seq("a_n_31"),
+      Seq(Seq("m1", "sum", "s")))
+    val back = Naming.dfToOriginalName(got)
+    assert(back.columns.toSeq == Seq("a-31", "s"))
+    assert(back.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap ==
+      Map(1L -> 30.0, 2L -> 5.0))
+  }
+
+  test("writer produces zstd parquet readable back (write.py:120-138)") {
+    val p = tmpDir() + "/w.parquet"
+    val df = (1 to 100).map(i => (i.toLong, i * 1.5)).toDF("k", "v")
+    Writer.dfToParquet(df, p)
+    val back = spark.read.parquet(p)
+    assert(back.count() == 100)
+    // zstd codec actually applied
+    val file = new java.io.File(p).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    assert(file.getName.contains("zstd"))
+  }
+
+  test("writer overwrite replaces prior data (write.py:52-53 delete-first)") {
+    val p = tmpDir() + "/ow.parquet"
+    Writer.dfToParquet(Seq((1L, "old")).toDF("k", "v"), p)
+    Writer.dfToParquet(Seq((2L, "new")).toDF("k", "v"), p)
+    val back = spark.read.parquet(p).collect()
+    assert(back.length == 1 && back(0).getString(1) == "new")
+  }
+}

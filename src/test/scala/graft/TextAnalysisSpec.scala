@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.Similarity
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount: whitespace runs, trims, empty text") {
+    val got = Seq("a b  c", "  x ", "", "one").toDF("t")
+      .select(TextAnalysis.tokenCount(col("t"))).as[Int].collect().toSeq
+    assert(got == Seq(3, 1, 0, 1))
+  }
+
+  test("langId picks the dominant stopword profile") {
+    val got = Seq(
+      "the cat sat on the mat and it was happy with this",
+      "der Hund ist nicht auf der Straße und das ist gut",
+      "le chat est dans la maison avec les enfants pour une journée",
+      "el perro es un animal que vive en la casa con su familia",
+      "zzz qqq xxx www").toDF("t")
+      .select(TextAnalysis.langId(col("t"))).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("qualityScore in [0,1]; garbage scores below clean prose") {
+    val rows = Seq(
+      ("clean", "the quick brown fox jumps over the lazy dog and then " +
+        "it runs into the forest to find some food for the winter"),
+      ("garbage", "@@@@ #### !!!! %%%% ^^^^ &&&& **** (((( ))))")).toDF("k", "t")
+      .select(col("k"), TextAnalysis.qualityScore(col("t")).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(rows("clean") > rows("garbage") + 0.3)
+  }
+
+  test("fingerprint invariant to case and whitespace runs") {
+    val fps = Seq("Hello  World", "hello world", "different thing").toDF("t")
+      .select(TextAnalysis.fingerprint(col("t"))).as[Long].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("rollingFingerprint stable under a late-document edit") {
+    val s = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val fps = Seq(s, s + " omega", "unrelated words entirely here now").toDF("t")
+      .select(TextAnalysis.rollingFingerprint(col("t"))).as[Long].collect()
+    assert(fps(0) == fps(1)) // min-shingle-hash usually survives suffix edit
+    assert(fps(0) != fps(2))
+  }
+
+  test("subwordCountEstimate >= word count, grows with long words") {
+    val got = Seq("short words here", "antidisestablishmentarianism").toDF("t")
+      .select(TextAnalysis.subwordCountEstimate(col("t"))).as[Int].collect()
+    assert(got(0) == 3)
+    assert(got(1) >= 4) // 28-char word fragments
+  }
+
+  test("stopwordRatio exact arithmetic") {
+    val got = Seq("the dog and the cat").toDF("t")
+      .select(TextAnalysis.stopwordRatio(col("t"))).as[Double].collect()(0)
+    assert(math.abs(got - 3.0 / 5.0) < 1e-12) // the, and, the
+  }
+
+  test("brute-force topK returns self first for an exact query vector") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      Seq(1.0f, 0.0f, 0.0f), 2).collect()
+    assert(top(0).getLong(0) == 1L && top(0).getDouble(1) == 1.0)
+    assert(top(1).getLong(0) == 2L)
+  }
+
+  test("lshTopK finds the planted neighbor (recall sanity)") {
+    val corpus = (0 until 50).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, Seq.tabulate(8)(j => math.sin(7 * 8 + j).toFloat)))
+      .toDF("query_id", "qv") // identical to corpus vec 7
+    val got = Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+      "query_id", "qv", k = 3, planes = 4).collect()
+    assert(got.nonEmpty)
+    assert(got(0).getLong(1) == 7L) // rank 1 = exact match
+  }
+}
