@@ -455,7 +455,182 @@ object SparkEntry {
                 WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS qty_band,
               COUNT(*) AS n FROM lineitem GROUP BY 1""")))
 
-  private val registry: Seq[Q] = parity ++ extensions
+  // =========================================================================
+  // Training-data pipeline operators: dedup / text analysis / similarity /
+  // events / multimodal / transport. LSH- and hash-family-specific outputs
+  // have no SQL-expressible oracle → rows-only check (driver contract).
+  // =========================================================================
+
+  private def events(s: SparkSession, d: String): DataFrame = {
+    // driver testdata stores ts as timestamp[ns]; Spark reads nanos only
+    // via this legacy conf (as long), then converts to micros
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(pq(d, "events"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private val pipelines: Seq[Q] = Seq(
+    // ---- deduplication ---------------------------------------------------
+    Q("q_dedup_exact",
+      (s, d) => graft.operators.Dedup.exactSummary(
+        s.read.parquet(pq(d, "documents")), "text", "doc_id"),
+      Some("""SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
+              MIN(doc_id) AS keep_id FROM documents GROUP BY md5(text)""")),
+
+    Q("q_dedup_exact_keep",
+      (s, d) => graft.operators.Dedup.exact(
+        s.read.parquet(pq(d, "documents")).select(col("doc_id"), col("text")),
+        Seq("text"), "doc_id").select(col("doc_id")),
+      Some("""SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text""")),
+
+    Q("q_dedup_minhash",
+      (s, d) => graft.operators.Dedup.minhashDuplicates(
+        s.read.parquet(pq(d, "documents")), "doc_id", "text",
+        minJaccard = 0.5),
+      None), // xxhash64-family-specific: rows-only check
+
+    Q("q_dedup_simhash",
+      (s, d) => graft.operators.Dedup.simhashDuplicates(
+        s.read.parquet(pq(d, "documents")), "doc_id", "text",
+        maxHamming = 8),
+      None),
+
+    // threshold 0.3 (not the production 0.95): driver embeddings are
+    // random, so a realistic near-dup cutoff matches nothing — this
+    // exercises the bucket-join + cosine-verify path with live rows
+    Q("q_dedup_embedding",
+      (s, d) => graft.operators.Dedup.embeddingDuplicates(
+        s.read.parquet(pq(d, "embeddings")), "vec_id", "embedding",
+        planes = 6, minCosine = 0.3),
+      None),
+
+    // ---- text analysis ---------------------------------------------------
+    Q("q_text_stats",
+      (s, d) => s.read.parquet(pq(d, "documents"))
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tok"),
+          length(col("text")).cast("long").as("n_char")),
+      Some("""SELECT doc_id,
+              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)
+                AS n_tok,
+              LENGTH(text) AS n_char FROM documents""")),
+
+    Q("q_text_quality",
+      (s, d) => s.read.parquet(pq(d, "documents"))
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.qualityScore(col("text")).as("quality"),
+          graft.functions.TextAnalysis.langId(col("text")).as("lang_pred")),
+      None), // composite heuristic: rows-only check
+
+    Q("q_text_fingerprint",
+      (s, d) => s.read.parquet(pq(d, "documents"))
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.fingerprint(col("text")).as("fp"),
+          graft.functions.TextAnalysis.rollingFingerprint(col("text"))
+            .as("rolling_fp")),
+      None), // xxhash64 not available in the oracle engine
+
+    // ---- similarity search ----------------------------------------------
+    Q("q_ann_brute",
+      (s, d) => {
+        val emb = s.read.parquet(pq(d, "embeddings"))
+        val qv = emb.where(col("vec_id") === 0)
+          .select(col("embedding")).first().getSeq[Float](0)
+        graft.operators.Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding", qv, 10)
+      },
+      Some("""SELECT vec_id,
+              ROUND(CAST(list_cosine_similarity(embedding,
+                (SELECT embedding FROM embeddings WHERE vec_id = 0))
+                AS DOUBLE), 4) AS cosine
+              FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10""")),
+
+    Q("q_ann_topk_per_query",
+      (s, d) => {
+        val emb = s.read.parquet(pq(d, "embeddings"))
+        val queries = emb.where(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("qv"))
+        graft.operators.Similarity.topKPerQuery(emb, queries,
+          "vec_id", "embedding", "query_id", "qv", 5)
+      },
+      Some("""SELECT query_id, vec_id, cosine, rank FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                  ROUND(CAST(list_cosine_similarity(e.embedding, q.embedding)
+                    AS DOUBLE), 4) AS cosine,
+                  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                    ORDER BY ROUND(CAST(list_cosine_similarity(e.embedding,
+                      q.embedding) AS DOUBLE), 4) DESC, e.vec_id) AS rank
+                FROM embeddings e, embeddings q WHERE q.vec_id < 3) t
+              WHERE rank <= 5""")),
+
+    Q("q_ann_lsh",
+      (s, d) => {
+        val emb = s.read.parquet(pq(d, "embeddings"))
+        val queries = emb.where(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        graft.operators.Similarity.lshTopK(emb, queries,
+          "vec_id", "embedding", "query_id", "qv", k = 5, planes = 6)
+      },
+      None), // LSH-bucketed (approximate by design): rows-only check
+
+    // ---- events / time-series -------------------------------------------
+    Q("q_events_hourly",
+      (s, d) => graft.streaming.EventsPipeline.hourlyRollup(events(s, d))
+        .select(date_format(col("hour_start"), "yyyy-MM-dd HH:00:00")
+          .as("hour_str"), col("event_type"), col("n_events"),
+          col("sum_value"))
+        .withColumn("sum_value", round(col("sum_value"), 4)),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00')
+                AS hour_str, event_type, COUNT(*) AS n_events,
+              ROUND(SUM(value), 4) AS sum_value
+              FROM events GROUP BY 1, 2""")),
+
+    Q("q_events_type_stats",
+      (s, d) => events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("n_users"),
+          round(avg(col("value")), 4).as("avg_value")),
+      Some("""SELECT event_type, COUNT(*) AS n,
+              COUNT(DISTINCT user_id) AS n_users,
+              ROUND(AVG(value), 4) AS avg_value
+              FROM events GROUP BY event_type""")),
+
+    Q("q_approx_count_distinct",
+      (s, d) => s.read.parquet(pq(d, "lineitem"))
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")),
+      None), // HLL sketch — algorithm-specific values: rows-only check
+
+    // ---- multimodal plumbing (codec stubbed; see Multimodal scaladoc) ----
+    Q("q_multimodal_features",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        val feats = Multimodal.featurize(Multimodal.syntheticMedia(s, 300))
+        feats.toDF().groupBy(col("kind"))
+          .agg(count(lit(1)).as("n"),
+            min(size(col("features"))).as("feat_dim"),
+            round(avg(element_at(col("features"), 1)), 4).as("avg_f0"))
+      },
+      None), // synthetic in-memory source — no parquet table for the oracle
+
+    // ---- transport round-trip (S7/S8) ------------------------------------
+    Q("q_transport_roundtrip",
+      (s, d) => {
+        val agg = AggregateEngine.aggregatePq(s, pq(d, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"),
+          Seq(Seq("l_extendedprice", "sum", "price_sum"),
+            Seq("l_orderkey", "count", "n")))
+          .withColumn("price_sum", round(col("price_sum"), 4))
+        graft.sources.Transport.deserializeArrowBytes(s,
+          graft.sources.Transport.serializeArrowBytes(agg))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+              ROUND(SUM(l_extendedprice), 4) AS price_sum,
+              COUNT(l_orderkey) AS n
+              FROM lineitem GROUP BY l_returnflag, l_linestatus""")))
+
+  private val registry: Seq[Q] = parity ++ extensions ++ pipelines
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

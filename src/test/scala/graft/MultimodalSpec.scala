@@ -1,0 +1,54 @@
+package graft
+
+import graft.multimodal.{MediaMeta, MediaRow, Multimodal}
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = Multimodal.syntheticMedia(spark, 150)
+
+  test("featurize: deterministic features, right dim, batch loop covers all rows") {
+    val a = Multimodal.featurize(media, dim = 16, batchSize = 7).collect()
+    val b = Multimodal.featurize(media, dim = 16, batchSize = 64).collect()
+    assert(a.length == 150)
+    assert(a.forall(_.features.length == 16))
+    val am = a.map(r => r.media_id -> r.features.toSeq).toMap
+    val bm = b.map(r => r.media_id -> r.features.toSeq).toMap
+    assert(am == bm) // batch size must not change results
+  }
+
+  test("distinct payloads produce distinct features") {
+    val feats = Multimodal.featurize(media, dim = 16).collect()
+      .map(_.features.toSeq).distinct
+    assert(feats.length == 150)
+  }
+
+  test("resize updates typed metadata, keeps ids") {
+    val out = Multimodal.resize(media, 224, 224).collect()
+    assert(out.forall(r => r.meta.width == 224 && r.meta.height == 224))
+    assert(out.map(_.media_id).sorted.toSeq == (0L until 150L))
+  }
+
+  test("sampleFrames: video rows only, every Nth frame") {
+    val frames = Multimodal.sampleFrames(media, everyN = 10).collect()
+    val videoIds = media.collect().filter(_.kind == "video").map(_.media_id)
+    assert(frames.map(_._1).distinct.sorted.toSeq == videoIds.sorted.toSeq)
+    // 30 frames, every 10th → frames 0,10,20
+    assert(frames.count(_._1 == videoIds.head) == 3)
+  }
+
+  test("binary columns survive a shuffle (repartition) intact") {
+    import org.apache.spark.sql.functions._
+    val shuffled = media.repartition(8, col("kind"))
+    val back = Multimodal.featurize(shuffled).collect()
+      .map(r => r.media_id -> r.features.toSeq).toMap
+    val ref = Multimodal.featurize(media).collect()
+      .map(r => r.media_id -> r.features.toSeq).toMap
+    assert(back == ref)
+  }
+
+  test("sizeStats aggregates payload sizes") {
+    val r = Multimodal.sizeStats(media.toDF()).collect()(0)
+    assert(r.getLong(0) == 150L)
+    assert(r.getInt(1) == 128 && r.getInt(2) == 128)
+  }
+}
