@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.plans.NativeFunctions
+
 /**
  * Approximate-nearest-neighbor search over an embedding column
  * (`Array[Float]`). Extension beyond the reference surface.
@@ -39,6 +41,19 @@ object Similarity {
   }
 
   /**
+   * Cosine picker: the fused native Catalyst expression
+   * ([[graft.plans.CosineSimilarityExpr]], one loop, zero allocation)
+   * when `useNative`, else the HOF composition. Both walk the vectors
+   * left-to-right, so they produce bit-identical doubles.
+   */
+  private[graft] def cosineFn(df: DataFrame,
+                              useNative: Boolean): (Column, Column) => Column =
+    if (useNative) {
+      NativeFunctions.register(df.sparkSession)
+      NativeFunctions.cosineNative
+    } else cosine
+
+  /**
    * Deterministic pseudo-random hyperplane component for (plane, dim):
    * uniform in [-1, 1), derived from xxhash64 — regenerable on any
    * executor, nothing to broadcast or train.
@@ -64,12 +79,15 @@ object Similarity {
    * sort materialization).
    */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
-                     query: Seq[Float], k: Int): DataFrame =
+                     query: Seq[Float], k: Int,
+                     useNative: Boolean = true): DataFrame = {
+    val cos = cosineFn(corpus, useNative)
     corpus.select(col(idCol),
-        round(cosine(col(vecCol).cast("array<double>"),
+        round(cos(col(vecCol).cast("array<double>"),
           typedlit(query.map(_.toDouble))), 4).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
+  }
 
   /**
    * Exact cosine top-k per query row: broadcast the (small) query set
@@ -78,12 +96,14 @@ object Similarity {
    */
   def topKPerQuery(corpus: DataFrame, queries: DataFrame,
                    corpusId: String, corpusVec: String,
-                   queryId: String, queryVec: String, k: Int): DataFrame = {
+                   queryId: String, queryVec: String, k: Int,
+                   useNative: Boolean = true): DataFrame = {
+    val cos = cosineFn(corpus, useNative)
     val joined = corpus.select(col(corpusId),
         col(corpusVec).cast("array<double>").as("cv"))
       .crossJoin(broadcast(queries.select(col(queryId),
         col(queryVec).cast("array<double>").as("qv"))))
-      .withColumn("cosine", round(cosine(col("cv"), col("qv")), 4))
+      .withColumn("cosine", round(cos(col("cv"), col("qv")), 4))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cosine").desc, col(corpusId))
     joined.withColumn("rank", row_number().over(w))
@@ -101,7 +121,9 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               corpusId: String, corpusVec: String,
               queryId: String, queryVec: String,
-              k: Int, planes: Int = 8): DataFrame = {
+              k: Int, planes: Int = 8,
+              useNative: Boolean = true): DataFrame = {
+    val cos = cosineFn(corpus, useNative)
     val c = corpus.select(col(corpusId),
         col(corpusVec).cast("array<double>").as("cv"))
       .withColumn("bucket", hyperplaneBucket(col("cv"), planes))
@@ -109,7 +131,7 @@ object Similarity {
         col(queryVec).cast("array<double>").as("qv"))
       .withColumn("bucket", hyperplaneBucket(col("qv"), planes))
     val joined = c.join(broadcast(q), Seq("bucket"))
-      .withColumn("cosine", round(cosine(col("cv"), col("qv")), 4))
+      .withColumn("cosine", round(cos(col("cv"), col("qv")), 4))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cosine").desc, col(corpusId))
     joined.withColumn("rank", row_number().over(w))
