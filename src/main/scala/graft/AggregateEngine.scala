@@ -58,6 +58,9 @@ object AggregateEngine {
    * @param handleMissingFile true (default) → missing path yields an empty
    *                    result; false → throw (`parquery/aggregate.py:154-159`)
    */
+  /** Valid values for the API-parity `engine` parameter (§2.11/E1). */
+  private val validEngines = Set("auto", "duckdb", "pyarrow", "spark")
+
   def aggregatePq(
       spark: SparkSession,
       fileName: String,
@@ -67,7 +70,38 @@ object AggregateEngine {
       aggregate: Boolean = true,
       standardMissingId: Long = -1L,
       handleMissingFile: Boolean = true,
-      countNaDuckdbCompat: Boolean = false): DataFrame = {
+      countNaDuckdbCompat: Boolean = false,
+      engine: String = "auto"): DataFrame =
+    aggregatePqShards(spark, Seq(fileName), groupbyCols, measureCols,
+      dataFilter, aggregate, standardMissingId, handleMissingFile,
+      countNaDuckdbCompat, engine)
+
+  /**
+   * Multi-shard aggregation: the reference's callers loop over "hundreds
+   * of files" one `aggregate_pq` call each and re-combine results through
+   * the transport layer (`README.md:4,10`, SURVEY.md §3.3). Here the
+   * shard list becomes ONE distributed scan — each file split is a task,
+   * partial aggregation happens per split, and the single shuffle
+   * replaces all the per-shard result plumbing. Missing shards are
+   * skipped (the M1 rule per shard) when `handleMissingFile`.
+   */
+  def aggregatePqShards(
+      spark: SparkSession,
+      fileNames: Seq[String],
+      groupbyCols: Seq[String],
+      measureCols: Seq[Seq[String]],
+      dataFilter: Seq[Filter] = Nil,
+      aggregate: Boolean = true,
+      standardMissingId: Long = -1L,
+      handleMissingFile: Boolean = true,
+      countNaDuckdbCompat: Boolean = false,
+      engine: String = "auto"): DataFrame = {
+
+    // E1 API parity (`parquery/aggregate.py:31-69`): validate the engine
+    // string exactly; execution is always Spark (single-engine build).
+    if (!validEngines.contains(engine))
+      throw new IllegalArgumentException(
+        s"Unknown engine '$engine'; valid: ${validEngines.toSeq.sorted.mkString(", ")}")
 
     val measures = Measure.normalize(measureCols)
     val resultCols: Seq[String] =
@@ -76,17 +110,18 @@ object AggregateEngine {
       // (aggregate_duckdb.py:339)
       else (groupbyCols ++ measures.map(_.input)).distinct.sorted
 
-    // ---- M1: missing file ------------------------------------------------
-    if (!pathExists(spark, fileName)) {
-      if (!handleMissingFile)
-        throw new java.io.FileNotFoundException(fileName)
+    // ---- M1: missing file(s) ---------------------------------------------
+    val present = fileNames.filter(pathExists(spark, _))
+    if (present.size < fileNames.size && !handleMissingFile)
+      throw new java.io.FileNotFoundException(
+        fileNames.filterNot(pathExists(spark, _)).mkString(", "))
+    if (present.isEmpty)
       return defaultEmpty(spark, groupbyCols, measures, aggregate, resultCols)
-    }
 
     // ---- footer schema probe (parquery/tool.py:123-142) ------------------
     // Unreadable schema → treated as "no columns exist" → empty result.
     val fileSchema: StructType =
-      Try(spark.read.parquet(fileName).schema).getOrElse(new StructType())
+      Try(spark.read.parquet(present: _*).schema).getOrElse(new StructType())
     val existing = fileSchema.fieldNames.toSet
 
     // ---- M2: every requested data column missing -------------------------
@@ -107,7 +142,7 @@ object AggregateEngine {
     val needed = (existingDims ++ existingMeasures.map(_.input) ++
       (if (filterColMissing) Nil else dataFilter.map(_.column))).distinct
 
-    val base = spark.read.parquet(fileName).select(needed.map(col): _*)
+    val base = spark.read.parquet(present: _*).select(needed.map(col): _*)
     val filtered =
       if (filterColMissing) base.where(lit(false))
       else Filters.compileAll(dataFilter).map(base.where).getOrElse(base)

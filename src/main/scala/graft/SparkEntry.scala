@@ -596,6 +596,36 @@ object SparkEntry {
               ROUND(AVG(value), 4) AS avg_value
               FROM events GROUP BY event_type""")),
 
+    Q("q_sessionize",
+      (s, d) => graft.streaming.EventsPipeline
+        .sessionizeBatch(events(s, d), gapMinutes = 30)
+        .select(col("user_id"), col("session_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("start_str"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss")
+            .as("end_str"),
+          col("n_events"), col("sum_value")),
+      Some("""SELECT user_id, session_id,
+                strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_str,
+                strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS end_str,
+                COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+              FROM (
+                SELECT user_id, ts, value,
+                  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS session_id
+                FROM (
+                  SELECT user_id, event_id, ts, value,
+                    CASE WHEN prev_ts IS NULL
+                      OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                       - CAST(FLOOR(epoch(prev_ts)) AS BIGINT) > 1800
+                      THEN 1 ELSE 0 END AS brk
+                  FROM (SELECT user_id, event_id, ts, value,
+                    LAG(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS prev_ts FROM events) a
+                ) b
+              ) c GROUP BY user_id, session_id""")),
+
     Q("q_approx_count_distinct",
       (s, d) => s.read.parquet(pq(d, "lineitem"))
         .groupBy(col("l_returnflag"))

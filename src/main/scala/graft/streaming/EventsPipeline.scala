@@ -1,9 +1,22 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
+
+/** Streaming-session input row (user_id, event time, value). */
+final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
+                              value: Double)
+
+/** Mutable-state buffer for one user's open session (epoch millis). */
+final case class OpenSession(start: Long, end: Long, n: Long, sum: Double)
+
+/** One closed session. */
+final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+                             session_end: java.sql.Timestamp,
+                             n_events: Long, sum_value: Double)
 
 /**
  * Structured Streaming over the `events` table shape
@@ -54,6 +67,85 @@ object EventsPipeline {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("v"))
       .select(col("win.start").as("win_start"), col("user_id"),
         col("n"), col("v"))
+
+  /**
+   * Batch sessionization via window functions: a session breaks when the
+   * gap to the previous event of the same user exceeds `gapMinutes`.
+   * Session ids are running sums of break flags — one shuffle on
+   * user_id, SQL-expressible (oracle-checkable), and the exact batch
+   * equivalent of [[sessionizeStream]].
+   */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__brk",
+        when(col("__prev").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("__prev")) > gapSec,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  /**
+   * Streaming sessionization with explicit state:
+   * `flatMapGroupsWithState` + event-time timeout. Per user the open
+   * session lives in the state store; intra-batch gaps close sessions
+   * immediately, and the watermark passing (last event + gap) closes the
+   * final one via timeout. State per key is one `OpenSession` (4 fields)
+   * — bounded regardless of stream length, evicted on timeout.
+   */
+  def sessionizeStream(events: DataFrame,
+                       gapMinutes: Int = 30): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def close(uid: Long, s: OpenSession): UserSession =
+      UserSession(uid, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.end), s.n, s.sum)
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .select(col("user_id"), col("ts"), col("value")).as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[SessionEvent],
+         state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(close(uid, s))
+          } else {
+            val evs = batch.toSeq.sortBy(_.ts.getTime)
+            if (evs.isEmpty) Iterator.empty
+            else {
+              var open = state.getOption.orNull
+              val closed = Seq.newBuilder[UserSession]
+              evs.foreach { e =>
+                val t = e.ts.getTime
+                if (open == null) open = OpenSession(t, t, 1L, e.value)
+                else if (t - open.end > gapMs) {
+                  closed += close(uid, open)
+                  open = OpenSession(t, t, 1L, e.value)
+                } else open = OpenSession(open.start, math.max(open.end, t),
+                  open.n + 1, open.sum + e.value)
+              }
+              state.update(open)
+              state.setTimeoutTimestamp(open.end + gapMs)
+              closed.result().iterator
+            }
+          }
+      }
+  }
 
   /**
    * File-source streaming wiring: watch `inputDir` for new parquet files

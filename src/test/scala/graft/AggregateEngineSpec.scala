@@ -183,6 +183,42 @@ class AggregateEngineSpec extends SparkSpec {
     got.foreach(r => assert(r.getLong(r.fieldIndex("ghost")) == -999L))
   }
 
+  test("multi-shard aggregation ≡ single concatenated table") {
+    val dir = tmpDir()
+    val (s1, s2) = data.splitAt(1000)
+    s1.toDF().write.parquet(s"$dir/shard1.parquet")
+    s2.toDF().write.parquet(s"$dir/shard2.parquet")
+    val got = AggregateEngine.aggregatePqShards(spark,
+      Seq(s"$dir/shard1.parquet", s"$dir/shard2.parquet",
+        s"$dir/shard_missing.parquet"), // skipped per M1
+      Seq("f0"), Seq(Seq("f5", "sum", "s")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == data.groupBy(_.f0).view.mapValues(_.map(_.f5).sum).toMap)
+  }
+
+  test("glob path aggregates all matching shards") {
+    val dir = tmpDir()
+    val (s1, s2) = data.splitAt(1000)
+    s1.toDF().write.parquet(s"$dir/part_a.parquet")
+    s2.toDF().write.parquet(s"$dir/part_b.parquet")
+    val got = AggregateEngine.aggregatePq(spark, s"$dir/part_*.parquet",
+      Nil, Seq(Seq("f5", "sum", "s"))).collect()(0).getLong(0)
+    assert(got == data.map(_.f5).sum)
+  }
+
+  test("engine parameter: API-parity validation (E1)") {
+    for (e <- Seq("auto", "duckdb", "pyarrow", "spark")) {
+      val got = AggregateEngine.aggregatePq(spark, path, Nil,
+        Seq(Seq("f5", "count", "n")), engine = e).collect()(0).getLong(0)
+      assert(got == data.size)
+    }
+    val err = intercept[IllegalArgumentException] {
+      AggregateEngine.aggregatePq(spark, path, Nil, Seq(Seq("f5")),
+        engine = "polars")
+    }
+    assert(err.getMessage.contains("auto"))
+  }
+
   test("count_na duckdb-compat flag reproduces the reference bug") {
     val got = AggregateEngine.aggregatePq(spark, path, Seq("f0"),
       Seq(Seq("f4", "count_na", "n")), countNaDuckdbCompat = true)

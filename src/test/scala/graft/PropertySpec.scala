@@ -1,0 +1,74 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/**
+ * ScalaCheck property tests for the query-spec algebra — an upgrade the
+ * reference's test suite lacks (SURVEY.md §5: "No property-based
+ * testing"). Engine-level invariants are checked on one shared dataset
+ * to keep Spark job counts bounded.
+ */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def checkProp(p: Prop, minSuccessful: Int = 20): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minSuccessful), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val opNames = Gen.oneOf("sum", "mean", "avg", "std", "stddev",
+    "count", "count_na", "count_distinct", "sorted_count_distinct",
+    "min", "max", "one")
+  private val colName = Gen.identifier.suchThat(_.nonEmpty).map(_.take(10))
+
+  test("measure normalization is total and idempotent on valid specs") {
+    checkProp(Prop.forAll(colName, opNames, colName) { (in, op, out) =>
+      val one = Measure.normalize(Seq(Seq(in)))
+      val two = Measure.normalize(Seq(Seq(in, op)))
+      val three = Measure.normalize(Seq(Seq(in, op, out)))
+      one == Seq(Measure(in, AggOp.Sum, in)) &&
+        two.head.input == in && two.head.output == in &&
+        three.head.output == out &&
+        // re-normalizing the canonical triple is the identity
+        Measure.normalize(Seq(Seq(three.head.input, three.head.op.name,
+          three.head.output))) == three
+    })
+  }
+
+  test("op parse/name round-trips for every op") {
+    assert(AggOp.all.forall(op => AggOp.parse(op.name) == op))
+    assert(FilterOp.all.forall(op => FilterOp.parse(op.name) == op))
+  }
+
+  private lazy val nums = (-50L to 50L).map(i => (i, i * 2)).toDF("k", "v")
+  private lazy val tmpP = { val p = tmpDir() + "/p.parquet"
+    nums.write.parquet(p); p }
+
+  private def cnt(f: Filter): Long =
+    AggregateEngine.aggregatePq(spark, tmpP, Nil,
+      Seq(Seq("v", "count", "n")), Seq(f)).collect()(0).getLong(0)
+
+  test("filter complement: count(P) + count(!P) = total, for each op pair") {
+    val total = 101L
+    checkProp(Prop.forAll(Gen.choose(-60L, 60L)) { x =>
+      cnt(Filter("k", ">", x)) + cnt(Filter("k", "<=", x)) == total &&
+      cnt(Filter("k", "==", x)) + cnt(Filter("k", "!=", x)) == total &&
+      cnt(Filter("k", ">=", x)) + cnt(Filter("k", "<", x)) == total
+    }, minSuccessful = 6) // each case = 6 Spark jobs
+  }
+
+  test("in-filter equals union of point filters") {
+    checkProp(Prop.forAll(Gen.listOfN(3, Gen.choose(-55L, 55L))) { xs =>
+      cnt(Filter("k", "in", xs.distinct)) ==
+        xs.distinct.map(x => cnt(Filter("k", "==", x))).sum
+    }, minSuccessful = 4)
+  }
+
+  test("sum is partition-invariant (pre-aggregation soundness, A13)") {
+    checkProp(Prop.forAll(Gen.choose(1, 8)) { parts =>
+      nums.repartition(parts).groupBy().sum("v").collect()(0).getLong(0) ==
+        (-50L to 50L).map(_ * 2).sum
+    }, minSuccessful = 4)
+  }
+}

@@ -58,4 +58,50 @@ class StreamingSpec extends SparkSpec {
     // each event lands in two 10-min windows sliding by 5
     assert(got.map(_.getLong(2)).sum == batch1.size * 2)
   }
+
+  test("sessionizeBatch splits on >gap, aggregates per session") {
+    // user 1: events at 10:00, 10:10 (one session), 11:00 (new session)
+    val evs = Seq(ev(1, 0, 1, "a", 1.0), ev(2, 10, 1, "a", 2.0),
+      ev(3, 60, 1, "a", 4.0), ev(4, 5, 2, "b", 8.0))
+    val got = EventsPipeline.sessionizeBatch(evs.toDF(), gapMinutes = 30)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(got.size == 3)
+    assert(got((1L, 1L)) == (2L, 3.0)) // first session: 2 events, 1+2
+    assert(got((1L, 2L)) == (1L, 4.0))
+    assert(got((2L, 1L)) == (1L, 8.0))
+  }
+
+  test("sessionizeStream: stateful sessions close on gap and watermark") {
+    val inDir = tmpDir()
+    val ckDir = tmpDir()
+    // batch 1: user 1 session of two events (10:00, 10:10)
+    Seq(ev(1, 0, 1, "a", 1.0), ev(2, 10, 1, "a", 2.0))
+      .toDF().coalesce(1).write.mode("append").parquet(inDir)
+    val stream = spark.readStream.schema(EventsPipeline.eventsSchema)
+      .parquet(inDir)
+    val q = EventsPipeline.sessionizeStream(stream, gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckDir)
+      .format("memory").queryName("sessions_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sessions_test").count() == 0) // still open
+      // batch 2: event at 11:30 → new session; watermark still behind
+      Seq(ev(3, 90, 1, "a", 4.0)).toDF().coalesce(1)
+        .write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      // batch 3: event at 13:00 advances watermark past 11:30+30min →
+      // closes BOTH earlier sessions (10:00-10:10 and 11:30)
+      Seq(ev(4, 180, 2, "b", 8.0)).toDF().coalesce(1)
+        .write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      val rows = spark.table("sessions_test").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSet
+      assert(rows.contains((1L, 2L, 3.0))) // session 1: 2 events, sum 3
+      assert(rows.contains((1L, 1L, 4.0))) // session 2: 1 event, sum 4
+    } finally q.stop()
+  }
 }
