@@ -644,6 +644,22 @@ object SparkEntry {
       },
       None), // synthetic in-memory source — no parquet table for the oracle
 
+    // salting must be semantically invisible: oracle is the plain GROUP BY
+    Q("q_skew_salted",
+      (s, d) => graft.operators.Skew.saltedAggregate(
+        s.read.parquet(pq(d, "lineitem")), Seq("l_returnflag"), Seq(
+          Seq("l_quantity", "sum", "qty_sum"),
+          Seq("l_quantity", "count", "qty_n"),
+          Seq("l_quantity", "mean", "qty_avg"),
+          Seq("l_quantity", "min", "qty_min"),
+          Seq("l_quantity", "max", "qty_max")), buckets = 8)
+        .withColumn("qty_sum", round(col("qty_sum"), 4))
+        .withColumn("qty_avg", round(col("qty_avg"), 4)),
+      Some("""SELECT l_returnflag, ROUND(SUM(l_quantity), 4) AS qty_sum,
+              COUNT(l_quantity) AS qty_n, ROUND(AVG(l_quantity), 4) AS qty_avg,
+              MIN(l_quantity) AS qty_min, MAX(l_quantity) AS qty_max
+              FROM lineitem GROUP BY l_returnflag""")),
+
     // ---- transport round-trip (S7/S8) ------------------------------------
     Q("q_transport_roundtrip",
       (s, d) => {

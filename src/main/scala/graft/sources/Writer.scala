@@ -38,4 +38,25 @@ object Writer {
       w = w.partitionBy(partitionBy: _*)
     w.parquet(path)
   }
+
+  /**
+   * Bucketed parquet table for shuffle-free co-located joins: both sides
+   * bucketed by the join key with the same bucket count join without an
+   * exchange (SortMergeJoin reads buckets pairwise). This is THE layout
+   * lever for repeated large-fact joins at 100 TB — pay the shuffle once
+   * at write time, never at query time. Requires a table (bucket metadata
+   * lives in the catalog), hence `saveAsTable` rather than a bare path.
+   */
+  def dfToBucketedTable(df: DataFrame, table: String,
+                        bucketCols: Seq[String], numBuckets: Int,
+                        overwrite: Boolean = true): Unit = {
+    require(bucketCols.nonEmpty)
+    df.write
+      .mode(if (overwrite) "overwrite" else "errorifexists")
+      .option("compression", "zstd")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
 }
