@@ -119,9 +119,11 @@ object AggregateEngine {
       return defaultEmpty(spark, groupbyCols, measures, aggregate, resultCols)
 
     // ---- footer schema probe (parquery/tool.py:123-142) ------------------
-    // Unreadable schema → treated as "no columns exist" → empty result.
+    // One read builds both the probe schema and the scan below (footer is
+    // touched once). Unreadable schema → "no columns exist" → empty.
+    val loaded: Option[DataFrame] = Try(spark.read.parquet(present: _*)).toOption
     val fileSchema: StructType =
-      Try(spark.read.parquet(present: _*).schema).getOrElse(new StructType())
+      loaded.map(_.schema).getOrElse(new StructType())
     val existing = fileSchema.fieldNames.toSet
 
     // ---- M2: every requested data column missing -------------------------
@@ -142,7 +144,7 @@ object AggregateEngine {
     val needed = (existingDims ++ existingMeasures.map(_.input) ++
       (if (filterColMissing) Nil else dataFilter.map(_.column))).distinct
 
-    val base = spark.read.parquet(present: _*).select(needed.map(col): _*)
+    val base = loaded.get.select(needed.map(col): _*)
     val filtered =
       if (filterColMissing) base.where(lit(false))
       else Filters.compileAll(dataFilter).map(base.where).getOrElse(base)

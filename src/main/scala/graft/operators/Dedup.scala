@@ -84,11 +84,17 @@ object Dedup {
    */
   def minhashBands(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, bands: Int = 16,
-                   shingleWords: Int = 3): DataFrame = {
+                   shingleWords: Int = 3,
+                   useNative: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    df.select(col(idCol),
-        minhashSignature(col(textCol), numHashes, shingleWords).as("sig"))
+    val sig =
+      if (useNative) {
+        graft.plans.NativeFunctions.register(df.sparkSession)
+        graft.plans.NativeFunctions.minhashNative(col(textCol), numHashes,
+          shingleWords)
+      } else minhashSignature(col(textCol), numHashes, shingleWords)
+    df.select(col(idCol), sig.as("sig"))
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + lit(1), lit(rows))))))
@@ -96,30 +102,46 @@ object Dedup {
   }
 
   /**
-   * Candidate near-dup pairs via MinHash LSH: self-join within
-   * (band, band_hash) buckets, `id_a < id_b`, distinct. The join keys are
-   * (band, band_hash) — small fixed-width rows — so the shuffle is
-   * O(docs × bands) regardless of text size. Skew guard: buckets larger
-   * than `maxBucket` (degenerate — e.g. empty docs) are dropped, the
-   * standard LSH skew hygiene at corpus scale.
+   * All `id_a < id_b` pairs of ids sharing a bucket key: one shuffle on
+   * the bucket key, `collect_list` per bucket, pairs expanded with
+   * higher-order functions. Versus a bucket self-join this evaluates the
+   * (expensive) id/bucket-producing subplan ONCE — Spark does not share
+   * subplans between the two sides of a self-join — and shuffles each
+   * bucket's ids once. Buckets larger than `maxBucket` are dropped
+   * (degenerate keys — e.g. empty docs — would expand quadratically);
+   * the cap also bounds per-group memory: ≤ maxBucket ids per group.
+   */
+  private[operators] def pairsWithinBuckets(
+      buckets: DataFrame, keyCols: Seq[String], idCol: String,
+      maxBucket: Int): DataFrame = {
+    val ids = col("__ids")
+    buckets.groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .where(size(ids).between(2, maxBucket))
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(ids) - 2),
+        i => transform(slice(ids, i + lit(2), size(ids)),
+          j => struct(element_at(ids, i + lit(1)).as("id_a"),
+            j.as("id_b")))))).as("__pair"))
+      .select(col("__pair.id_a"), col("__pair.id_b"))
+      .distinct()
+  }
+
+  /**
+   * Candidate near-dup pairs via MinHash LSH: pairs emerge per
+   * (band, band_hash) bucket via [[pairsWithinBuckets]]. The shuffle
+   * carries (bucketKey, id) only — O(docs × bands) fixed-width rows, never
+   * text — and the signature subplan runs once.
    */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 16,
                         shingleWords: Int = 3,
-                        maxBucket: Int = 1000): DataFrame = {
-    val banded = minhashBands(df, idCol, textCol, numHashes, bands,
-      shingleWords)
-    val sized = banded.withColumn("bucket_n",
-      count(lit(1)).over(Window.partitionBy(col("band"), col("band_hash"))))
-      .where(col("bucket_n") <= maxBucket)
-    val a = sized.select(col("band"), col("band_hash"),
-      col(idCol).as("id_a"))
-    val b = sized.select(col("band"), col("band_hash"),
-      col(idCol).as("id_b"))
-    a.join(b, Seq("band", "band_hash"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-  }
+                        maxBucket: Int = 1000,
+                        useNative: Boolean = true): DataFrame =
+    pairsWithinBuckets(
+      minhashBands(df, idCol, textCol, numHashes, bands, shingleWords,
+        useNative),
+      Seq("band", "band_hash"), idCol, maxBucket)
 
   /**
    * Exact n-gram Jaccard for candidate pairs: joins shingle sets back by
@@ -129,9 +151,14 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, candidates: DataFrame,
                         idCol: String, textCol: String,
                         shingleWords: Int = 3,
-                        minJaccard: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol),
-      Shingles.wordShingles(col(textCol), shingleWords).as("sh"))
+                        minJaccard: Double = 0.8,
+                        useNative: Boolean = true): DataFrame = {
+    val shExpr =
+      if (useNative) {
+        graft.plans.NativeFunctions.register(df.sparkSession)
+        graft.plans.NativeFunctions.shinglesNative(col(textCol), shingleWords)
+      } else Shingles.wordShingles(col(textCol), shingleWords)
+    val sh = df.select(col(idCol), shExpr.as("sh"))
     candidates
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -146,10 +173,12 @@ object Dedup {
   def minhashDuplicates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 16,
                         shingleWords: Int = 3,
-                        minJaccard: Double = 0.8): DataFrame =
+                        minJaccard: Double = 0.8,
+                        useNative: Boolean = true): DataFrame =
     ngramJaccardPairs(df,
-      minhashCandidates(df, idCol, textCol, numHashes, bands, shingleWords),
-      idCol, textCol, shingleWords, minJaccard)
+      minhashCandidates(df, idCol, textCol, numHashes, bands, shingleWords,
+        useNative = useNative),
+      idCol, textCol, shingleWords, minJaccard, useNative)
 
   // ---- SimHash ------------------------------------------------------------
 
@@ -188,27 +217,41 @@ object Dedup {
    */
   def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3,
-                        maxBucket: Int = 1000): DataFrame = {
-    val withSim = df.select(col(idCol), simhash(col(textCol)).as("simhash"))
-    val chunked = withSim.select(col(idCol), col("simhash"),
+                        maxBucket: Int = 1000,
+                        useNative: Boolean = true): DataFrame = {
+    val simExpr =
+      if (useNative) {
+        graft.plans.NativeFunctions.register(df.sparkSession)
+        graft.plans.NativeFunctions.simhashNative(col(textCol))
+      } else simhash(col(textCol))
+    val withSim = df.select(col(idCol).as("id"), simExpr.as("simhash"))
+    val chunked = withSim.select(col("id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(3)), c =>
         call_function("shiftright", col("simhash"), c * lit(16))
           .bitwiseAND(lit(0xFFFFL)))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
-      // skew guard, as in minhashCandidates: a degenerate chunk value
-      // shared by a huge cohort would otherwise self-join quadratically
-      .withColumn("bucket_n", count(lit(1))
-        .over(Window.partitionBy(col("chunk"), col("chunk_val"))))
-      .where(col("bucket_n") <= maxBucket)
-    val a = chunked.select(col("chunk"), col("chunk_val"),
-      col(idCol).as("id_a"), col("simhash").as("sim_a"))
-    val b = chunked.select(col("chunk"), col("chunk_val"),
-      col(idCol).as("id_b"), col("simhash").as("sim_b"))
-    a.join(b, Seq("chunk", "chunk_val"))
-      .where(col("id_a") < col("id_b"))
-      .where(hamming(col("sim_a"), col("sim_b")) <= maxHamming)
-      .select(col("id_a"), col("id_b"),
-        hamming(col("sim_a"), col("sim_b")).as("hamming"))
+    // collect (id, simhash) per chunk bucket and verify Hamming INSIDE
+    // the pair expansion: only ≤maxHamming pairs ever leave the bucket.
+    // Bucket cap = skew guard (a degenerate chunk value shared by a huge
+    // cohort would expand quadratically). Simhash fits the pair struct —
+    // 16 bytes — so carrying it through collect_list is free, unlike
+    // vectors (embeddingDuplicates keeps the join-based shape for that).
+    val xs = col("__xs")
+    chunked.groupBy(col("chunk"), col("chunk_val"))
+      .agg(sort_array(collect_list(struct(col("id"), col("simhash"))))
+        .as("__xs"))
+      .where(size(xs).between(2, maxBucket))
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(xs) - 2),
+        i => filter(
+          transform(slice(xs, i + lit(2), size(xs)), x =>
+            struct(
+              element_at(xs, i + lit(1)).getField("id").as("id_a"),
+              x.getField("id").as("id_b"),
+              hamming(element_at(xs, i + lit(1)).getField("simhash"),
+                x.getField("simhash")).as("hamming"))),
+          p => p.getField("hamming") <= maxHamming)))).as("__p"))
+      .select(col("__p.id_a"), col("__p.id_b"), col("__p.hamming"))
       .distinct()
   }
 

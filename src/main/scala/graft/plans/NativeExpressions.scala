@@ -97,6 +97,175 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 }
 
 /**
+ * Native MinHash signature: whitespace-tokenize, `shingleWords`-word
+ * shingles, `numHashes` minima — all in ONE JVM pass per row.
+ *
+ * The `Column`-composition version ([[graft.operators.Dedup
+ * .minhashSignature]], kept as the portable reference) evaluates
+ * interpreted higher-order lambdas: per shingle it allocates a 64-long
+ * hash array plus a zip_with result (~30M short-lived arrays on a 5k-doc
+ * corpus — measured ~20s at sf0.1). Here each row is one tight loop with
+ * two xxhash64 evaluations per shingle, the per-seed family derived as
+ * `g_j = h1 + j*h2` (Kirsch-Mitzenmacher '06, public result) — standard
+ * MinHash practice and statistically equivalent to independent hashes.
+ *
+ * Hash VALUES differ from the HOF version (different family); LSH
+ * behavior (collision probabilities, band S-curve) is the same.
+ * `CodegenFallback` is fine: cost is the per-row loop itself, not
+ * expression-tree dispatch.
+ */
+case class MinHashSignatureExpr(child: Expression, numHashes: Int,
+                                shingleWords: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.trim
+      .split("\\s+").filter(_.nonEmpty)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val nShingles = math.max(toks.length - shingleWords + 1, 1)
+    var i = 0
+    while (i < nShingles) {
+      val sb = new java.lang.StringBuilder()
+      var w = i
+      val end = math.min(i + shingleWords, toks.length)
+      while (w < end) {
+        if (w > i) sb.append(' ')
+        sb.append(toks(w))
+        w += 1
+      }
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      val h1 = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      val h2 = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 77L)
+      var j = 0
+      while (j < numHashes) {
+        val g = h1 + j * h2
+        if (g < mins(j)) mins(j) = g
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : MinHashSignatureExpr = copy(child = c)
+}
+
+/**
+ * Native 64-bit SimHash (Charikar '02): one xxhash64 per token, 64 bit
+ * votes, packed sign vector — one JVM loop per row (vs 64 interpreted
+ * lambda evaluations per token in the HOF form,
+ * [[graft.operators.Dedup.simhash]]).
+ */
+case class SimHashExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.toLowerCase.trim.split("\\s+")
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(toks(i))
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHashExpr =
+    copy(child = c)
+}
+
+/**
+ * Native distinct word-shingles: tokenize + `k`-word shingles in one JVM
+ * pass (vs the interpreted `transform(sequence…concat_ws(slice))` chain
+ * in [[graft.functions.Shingles.wordShingles]], kept as the portable
+ * form). Same output values — tokenization and joining match exactly —
+ * so Jaccard results are identical either way.
+ */
+case class WordShinglesExpr(child: Expression, shingleWords: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.trim.split("\\s+").filter(_.nonEmpty)
+    val n = math.max(toks.length - shingleWords + 1, 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder()
+      var w = i
+      val end = math.min(i + shingleWords, toks.length)
+      while (w < end) {
+        if (w > i) sb.append(' ')
+        sb.append(toks(w))
+        w += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) {
+      out(j) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : WordShinglesExpr = copy(child = c)
+}
+
+/**
  * Registration + Column-API access for the native expressions. Catalyst
  * `Column`s are built through the session function registry
  * (`call_function`), the public path for custom expressions in Spark 4.
@@ -104,16 +273,48 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 object NativeFunctions {
 
   val cosineName = "graft_cosine"
+  val minhashName = "graft_minhash"
+  val simhashName = "graft_simhash"
+  val shinglesName = "graft_shingles"
+
+  private def intLit(e: Expression): Int =
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"expected integer literal, got $other")
+    }
 
   /** Idempotently register graft native functions on this session. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      cosineName,
-      exprs => CosineSimilarityExpr(exprs.head, exprs(1)),
-      "built-in")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(cosineName,
+      exprs => CosineSimilarityExpr(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(minhashName,
+      exprs => MinHashSignatureExpr(exprs.head,
+        intLit(exprs(1)), intLit(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction(simhashName,
+      exprs => SimHashExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(shinglesName,
+      exprs => WordShinglesExpr(exprs.head, intLit(exprs(1))), "built-in")
+  }
 
   /** Native fused cosine; [[register]] must have run on the session.
     * Inputs must be array<double> — cast array<float> explicitly. */
   def cosineNative(a: Column, b: Column): Column =
     call_function(cosineName, a.cast("array<double>"), b.cast("array<double>"))
+
+  /** Native fused MinHash signature (array<bigint> of length numHashes). */
+  def minhashNative(text: Column, numHashes: Int, shingleWords: Int): Column =
+    call_function(minhashName, text,
+      org.apache.spark.sql.functions.lit(numHashes),
+      org.apache.spark.sql.functions.lit(shingleWords))
+
+  /** Native fused 64-bit SimHash. */
+  def simhashNative(text: Column): Column = call_function(simhashName, text)
+
+  /** Native distinct word-shingles (array<string>). */
+  def shinglesNative(text: Column, shingleWords: Int): Column =
+    call_function(shinglesName, text,
+      org.apache.spark.sql.functions.lit(shingleWords))
 }
