@@ -45,6 +45,19 @@ class TransportSpec extends SparkSpec {
     assert(back.collect().toSet == df.collect().toSet)
   }
 
+  test("date and timestamp columns round-trip") {
+    val df = Seq(
+      (java.sql.Date.valueOf("2024-03-01"),
+        java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789")),
+      (java.sql.Date.valueOf("1999-12-31"),
+        java.sql.Timestamp.valueOf("1999-12-31 23:59:59.999999")))
+      .toDF("d", "ts")
+    val back = Transport.deserializeArrowBytes(spark,
+      Transport.serializeArrowBytes(df))
+    assert(back.schema == df.schema)
+    assert(back.collect().toSet == df.collect().toSet)
+  }
+
   test("empty result round-trips") {
     val df = Seq((1L, "a")).toDF("k", "v").where("k > 5")
     val back = Transport.deserializeArrowBytes(spark,
