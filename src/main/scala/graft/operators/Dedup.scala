@@ -269,9 +269,10 @@ object Dedup {
                           minCosine: Double = 0.95,
                           useNative: Boolean = true): DataFrame = {
     val cos = Similarity.cosineFn(df, useNative)
+    val bucket = Similarity.bucketFn(df, useNative)
     val keyed = df.select(col(idCol),
       col(vecCol).cast("array<double>").as("v"))
-      .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), planes))
+      .withColumn("bucket", bucket(col("v"), planes))
     val a = keyed.select(col("bucket"), col(idCol).as("id_a"),
       col("v").as("v_a"))
     val b = keyed.select(col("bucket"), col(idCol).as("id_b"),

@@ -62,6 +62,15 @@ object Similarity {
     (pmod(xxhash64(plane, dim), lit(2000001L)).cast("double") /
       lit(1000000.0)) - lit(1.0)
 
+  /** Bucket picker: native fused loop when `useNative` (bit-exact with
+    * the HOF form — see [[graft.plans.HyperplaneBucketExpr]]). */
+  private[graft] def bucketFn(df: DataFrame,
+                              useNative: Boolean): (Column, Int) => Column =
+    if (useNative) {
+      NativeFunctions.register(df.sparkSession)
+      NativeFunctions.hyperplaneBucketNative
+    } else hyperplaneBucket
+
   /** Sign-bit bucket of `v` under `planes` random hyperplanes. */
   def hyperplaneBucket(v: Column, planes: Int): Column =
     aggregate(
@@ -124,12 +133,13 @@ object Similarity {
               k: Int, planes: Int = 8,
               useNative: Boolean = true): DataFrame = {
     val cos = cosineFn(corpus, useNative)
+    val bucket = bucketFn(corpus, useNative)
     val c = corpus.select(col(corpusId),
         col(corpusVec).cast("array<double>").as("cv"))
-      .withColumn("bucket", hyperplaneBucket(col("cv"), planes))
+      .withColumn("bucket", bucket(col("cv"), planes))
     val q = queries.select(col(queryId),
         col(queryVec).cast("array<double>").as("qv"))
-      .withColumn("bucket", hyperplaneBucket(col("qv"), planes))
+      .withColumn("bucket", bucket(col("qv"), planes))
     val joined = c.join(broadcast(q), Seq("bucket"))
       .withColumn("cosine", round(cos(col("cv"), col("qv")), 4))
     val w = Window.partitionBy(col(queryId))

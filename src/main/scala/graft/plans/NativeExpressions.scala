@@ -266,6 +266,56 @@ case class WordShinglesExpr(child: Expression, shingleWords: Int)
 }
 
 /**
+ * Native random-hyperplane LSH bucket: sign bits of `planes`
+ * pseudo-random projections in one fused loop. Replicates the HOF form
+ * ([[graft.operators.Similarity.hyperplaneBucket]]) BIT-EXACTLY — the
+ * plane components derive from the same `xxhash64(plane, dim)` chain
+ * (Catalyst hashes each int argument via `XXH64.hashInt`, seed-chained)
+ * and the same `pmod/1e6 - 1` arithmetic — so native and HOF paths
+ * produce identical buckets (asserted in NativeExprSpec).
+ */
+case class HyperplaneBucketExpr(child: Expression, planes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "graft_hyperplane_bucket"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    var out = 0L
+    var p = 0
+    while (p < planes) {
+      val hp = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(p, 42L)
+      var dot = 0.0
+      var j = 0
+      while (j < dim) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(j, hp)
+        val comp = java.lang.Math.floorMod(h, 2000001L).toDouble /
+          1000000.0 - 1.0
+        dot += arr.getDouble(j) * comp
+        j += 1
+      }
+      if (dot > 0.0) out |= (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : HyperplaneBucketExpr = copy(child = c)
+}
+
+/**
  * Registration + Column-API access for the native expressions. Catalyst
  * `Column`s are built through the session function registry
  * (`call_function`), the public path for custom expressions in Spark 4.
@@ -276,6 +326,7 @@ object NativeFunctions {
   val minhashName = "graft_minhash"
   val simhashName = "graft_simhash"
   val shinglesName = "graft_shingles"
+  val hyperplaneName = "graft_hyperplane_bucket"
 
   private def intLit(e: Expression): Int =
     e.eval(null) match {
@@ -297,6 +348,8 @@ object NativeFunctions {
       exprs => SimHashExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(shinglesName,
       exprs => WordShinglesExpr(exprs.head, intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(hyperplaneName,
+      exprs => HyperplaneBucketExpr(exprs.head, intLit(exprs(1))), "built-in")
   }
 
   /** Native fused cosine; [[register]] must have run on the session.
@@ -317,4 +370,9 @@ object NativeFunctions {
   def shinglesNative(text: Column, shingleWords: Int): Column =
     call_function(shinglesName, text,
       org.apache.spark.sql.functions.lit(shingleWords))
+
+  /** Native hyperplane-LSH bucket (bit-exact with the HOF form). */
+  def hyperplaneBucketNative(v: Column, planes: Int): Column =
+    call_function(hyperplaneName, v.cast("array<double>"),
+      org.apache.spark.sql.functions.lit(planes))
 }

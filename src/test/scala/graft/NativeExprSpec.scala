@@ -60,6 +60,42 @@ class NativeExprSpec extends SparkSpec {
     assert(math.abs(got - 1.0) < 1e-12)
   }
 
+  test("native hyperplane bucket ≡ HOF bucket bit-for-bit") {
+    NativeFunctions.register(spark)
+    val diffs = vecs.select(
+        NativeFunctions.hyperplaneBucketNative(col("v"), 12).as("nat"),
+        Similarity.hyperplaneBucket(col("v").cast("array<double>"), 12)
+          .as("hof"))
+      .where(col("nat") =!= col("hof")).count()
+    assert(diffs == 0)
+  }
+
+  test("native minhash/simhash/shingles produce sane shapes") {
+    NativeFunctions.register(spark)
+    val df = Seq("the quick brown fox jumps over the lazy dog", "", "one two")
+      .toDF("t")
+      .select(
+        NativeFunctions.minhashNative(col("t"), 16, 3).as("mh"),
+        NativeFunctions.simhashNative(col("t")).as("sh"),
+        NativeFunctions.shinglesNative(col("t"), 3).as("sg"))
+    val rows = df.collect()
+    assert(rows.forall(_.getSeq[Long](0).length == 16))
+    // 9 tokens, 3-word shingles → 7 distinct shingles
+    assert(rows(0).getSeq[String](2).length == 7)
+    assert(rows(0).getSeq[String](2).head == "the quick brown")
+  }
+
+  test("native shingles match HOF shingles value-for-value") {
+    NativeFunctions.register(spark)
+    val docs = Seq("alpha beta gamma delta epsilon", "x", "  padded   text  ")
+      .toDF("t")
+    val both = docs.select(
+      NativeFunctions.shinglesNative(col("t"), 3).as("nat"),
+      graft.functions.Shingles.wordShingles(col("t"), 3).as("hof")).collect()
+    both.foreach(r =>
+      assert(r.getSeq[String](0).sorted == r.getSeq[String](1).sorted))
+  }
+
   test("bruteForceTopK native and HOF paths agree") {
     val emb = (0 until 100).map(i =>
       (i.toLong, Seq.tabulate(16)(j => math.cos(i * 16 + j).toFloat)))
