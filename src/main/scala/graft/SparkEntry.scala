@@ -626,6 +626,21 @@ object SparkEntry {
                 ) b
               ) c GROUP BY user_id, session_id""")),
 
+    // exact interpolated percentiles: Spark `percentile` ≡ DuckDB
+    // quantile_cont (both linear interpolation over the sorted set)
+    Q("q_percentile",
+      (s, d) => s.read.parquet(pq(d, "lineitem"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99")),
+      Some("""SELECT l_returnflag,
+              ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+              ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+              ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+              FROM lineitem GROUP BY l_returnflag""")),
+
     Q("q_approx_count_distinct",
       (s, d) => s.read.parquet(pq(d, "lineitem"))
         .groupBy(col("l_returnflag"))

@@ -69,6 +69,21 @@ object EventsPipeline {
         col("n"), col("v"))
 
   /**
+   * Streaming exact deduplication: drop events whose `idCols` were
+   * already seen, keeping state only within the watermark horizon.
+   * Without the watermark the seen-keys state grows unboundedly; with it,
+   * Spark evicts keys older than `watermarkDelay` — the streaming
+   * equivalent of [[graft.operators.Dedup.exact]] for at-least-once
+   * sources (the reference's concurrent-writer world republished shards;
+   * this is how a stream consumer would see them exactly once).
+   */
+  def streamingDedup(events: DataFrame, idCols: Seq[String],
+                     tsCol: String = "ts",
+                     watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates(idCols :+ tsCol)
+
+  /**
    * Batch sessionization via window functions: a session breaks when the
    * gap to the previous event of the same user exceeds `gapMinutes`.
    * Session ids are running sums of break flags — one shuffle on

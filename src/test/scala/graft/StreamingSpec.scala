@@ -73,6 +73,31 @@ class StreamingSpec extends SparkSpec {
     assert(got((2L, 1L)) == (1L, 8.0))
   }
 
+  test("streamingDedup drops republished events across batches") {
+    val inDir = tmpDir()
+    val ckDir = tmpDir()
+    Seq(ev(1, 0, 1, "a", 1.0), ev(2, 5, 2, "a", 2.0))
+      .toDF().coalesce(1).write.mode("append").parquet(inDir)
+    val stream = spark.readStream.schema(EventsPipeline.eventsSchema)
+      .parquet(inDir)
+    val q = EventsPipeline.streamingDedup(stream, Seq("event_id"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckDir)
+      .format("memory").queryName("dedup_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").count() == 2)
+      // batch 2 republishes event 1 (same id+ts) plus one new event
+      Seq(ev(1, 0, 1, "a", 1.0), ev(3, 10, 1, "b", 3.0))
+        .toDF().coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L)) // republished event 1 dropped
+    } finally q.stop()
+  }
+
   test("sessionizeStream: stateful sessions close on gap and watermark") {
     val inDir = tmpDir()
     val ckDir = tmpDir()
