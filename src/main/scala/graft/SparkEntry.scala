@@ -564,6 +564,17 @@ object SparkEntry {
                 FROM embeddings e, embeddings q WHERE q.vec_id < 3) t
               WHERE rank <= 5""")),
 
+    Q("q_ann_ivf",
+      (s, d) => {
+        val emb = s.read.parquet(pq(d, "embeddings"))
+        val queries = emb.where(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        graft.operators.Similarity.ivfTopK(emb, queries,
+          "vec_id", "embedding", "query_id", "qv",
+          k = 5, nlist = 16, nprobe = 4)
+      },
+      None), // IVF cell structure is index-specific: rows-only check
+
     Q("q_ann_lsh",
       (s, d) => {
         val emb = s.read.parquet(pq(d, "embeddings"))

@@ -127,6 +127,86 @@ object Similarity {
    * recall, more work. Exactness is traded away by design; pair with
    * [[bruteForceTopK]] to measure recall.
    */
+  /**
+   * IVF (inverted-file) ANN: data-dependent coarse quantization, the
+   * complement of data-independent hyperplane LSH.
+   *
+   * Index build = one k-means-style pass: `nlist` centroids seeded by a
+   * deterministic hash-sample of the corpus, refined with `iters`
+   * Lloyd iterations (each a groupBy-average over cell assignments);
+   * centroids live on the driver (nlist × dim doubles — KBs) and ship to
+   * executors as a broadcast literal. Search assigns each query to its
+   * `nprobe` nearest cells and scores only those cells' vectors — the
+   * corpus is scanned once per (re)build, queries touch ~nprobe/nlist of
+   * it. At 100 TB: the assignment pass is a narrow map, the cell join is
+   * a hash join on cellId, and nothing driver-side grows with corpus
+   * size.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              corpusId: String, corpusVec: String,
+              queryId: String, queryVec: String,
+              k: Int, nlist: Int = 16, nprobe: Int = 4,
+              iters: Int = 2, useNative: Boolean = true): DataFrame = {
+    val cos = cosineFn(corpus, useNative)
+    val c = corpus.select(col(corpusId),
+      col(corpusVec).cast("array<double>").as("cv"))
+
+    // deterministic seed sample: smallest xxhash64(id) per corpus order
+    var centroids: Array[Seq[Double]] = c
+      .withColumn("__h", xxhash64(col(corpusId)))
+      .orderBy(col("__h")).limit(nlist)
+      .select(col("cv")).collect().map(_.getSeq[Double](0))
+
+    def nearestCell(v: Column): Column = {
+      // argmin over centroids of (1 - cosine) via a greatest-of-structs
+      // trick: pack (similarity, cellId), take the max
+      val scored = centroids.toSeq.zipWithIndex.map { case (ct, i) =>
+        struct(cos(v, typedlit(ct)).as("sim"), lit(i).as("cell"))
+      }
+      greatest(scored: _*).getField("cell")
+    }
+
+    // Lloyd refinement: average the members of each cell
+    (1 to iters).foreach { _ =>
+      val updated = c.withColumn("__cell", nearestCell(col("cv")))
+        .groupBy(col("__cell"))
+        .agg(collect_list(col("cv")).as("vs"))
+        .select(col("__cell"),
+          expr("transform(sequence(0, size(vs[0])-1), " +
+            "j -> aggregate(vs, 0D, (acc, v) -> acc + v[j]) / size(vs))")
+            .as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      centroids = centroids.indices
+        .map(i => updated.getOrElse(i, centroids(i))).toArray
+    }
+
+    val assigned = c.withColumn("cell", nearestCell(col("cv")))
+    val q = queries.select(col(queryId),
+        col(queryVec).cast("array<double>").as("qv"))
+      .withColumn("cell", explode(nearestCells(cos, centroids, nprobe)))
+
+    val joined = assigned.join(broadcast(q), Seq("cell"))
+      .withColumn("cosine", round(cos(col("cv"), col("qv")), 4))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(corpusId))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
+  }
+
+  /** The query's `nprobe` nearest cells as an array column. */
+  private def nearestCells(cos: (Column, Column) => Column,
+                           centroids: Array[Seq[Double]],
+                           nprobe: Int): Column = {
+    val scored = array(centroids.toSeq.zipWithIndex.map { case (ct, i) =>
+      struct(cos(col("qv"), typedlit(ct)).as("sim"), lit(i).as("cell"))
+    }: _*)
+    slice(transform(array_sort(scored,
+      (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
+        .when(a.getField("sim") < b.getField("sim"), 1).otherwise(0)),
+      s => s.getField("cell")), 1, nprobe)
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               corpusId: String, corpusVec: String,
               queryId: String, queryVec: String,

@@ -183,6 +183,22 @@ class AggregateEngineSpec extends SparkSpec {
     got.foreach(r => assert(r.getLong(r.fieldIndex("ghost")) == -999L))
   }
 
+  test("filters reach the parquet scan as PushedFilters (regression guard)") {
+    val plan = run(Seq("f0"), Seq(Seq("f5", "sum", "s")),
+      Seq(Filter("f5", ">", 3L), Filter("f2", "==", 1L)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:"), plan.take(800))
+    assert(plan.contains("GreaterThan(f5,3)"), plan.take(800))
+    assert(plan.contains("EqualTo(f2,1)"), plan.take(800))
+  }
+
+  test("scan reads only requested columns (pruning regression guard)") {
+    val plan = run(Seq("f0"), Seq(Seq("f5", "sum", "s")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<f0:string,f5:bigint>"),
+      plan.take(800))
+  }
+
   test("multi-shard aggregation ≡ single concatenated table") {
     val dir = tmpDir()
     val (s1, s2) = data.splitAt(1000)

@@ -75,6 +75,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top(1).getLong(0) == 2L)
   }
 
+  test("ivfTopK finds the planted neighbor; probes fraction of cells") {
+    val corpus = (0 until 200).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq(
+      (100L, Seq.tabulate(8)(j => math.sin(42 * 8 + j).toFloat)))
+      .toDF("query_id", "qv") // identical to corpus vec 42
+    val got = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+      "query_id", "qv", k = 3, nlist = 8, nprobe = 3).collect()
+    assert(got.nonEmpty)
+    assert(got(0).getLong(1) == 42L && got(0).getDouble(2) == 1.0)
+  }
+
   test("lshTopK finds the planted neighbor (recall sanity)") {
     val corpus = (0 until 50).map(i =>
       (i.toLong, Seq.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
