@@ -177,6 +177,21 @@ object SparkEntry {
       Some("""SELECT l_returnflag, COUNT(l_orderkey) AS n FROM lineitem
               WHERE l_linenumber = 5 GROUP BY l_returnflag""")),
 
+    Q("q_filter_timestamp",
+      (s, d) => r4(ae(Seq("l_returnflag"),
+        Seq(Seq("l_quantity", "sum", "sum_qty"),
+          Seq("l_orderkey", "count", "n")),
+        filters = Seq(Filter("l_shipdate", ">=",
+          java.sql.Timestamp.valueOf("1995-06-01 00:00:00")),
+          Filter("l_shipdate", "<",
+            java.sql.Timestamp.valueOf("1996-06-01 00:00:00"))))(s, d),
+        "sum_qty"),
+      Some("""SELECT l_returnflag, ROUND(SUM(l_quantity), 4) AS sum_qty,
+              COUNT(l_orderkey) AS n FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1996-06-01 00:00:00'
+              GROUP BY l_returnflag""")),
+
     // ---- schema-drift contract (M1-M4) -----------------------------------
     Q("q_missing_file",
       (s, d) => AggregateEngine.aggregatePq(s, s"$d/does_not_exist.parquet",
@@ -502,6 +517,17 @@ object SparkEntry {
       (s, d) => graft.operators.Dedup.embeddingDuplicates(
         s.read.parquet(pq(d, "embeddings")), "vec_id", "embedding",
         planes = 6, minCosine = 0.3),
+      None),
+
+    // corpus rebalancing: per-language stratified subsample (seeded,
+    // deterministic given partitioning). A core training-data op; sample
+    // membership is engine-specific → rows-only check.
+    Q("q_sample_stratified",
+      (s, d) => s.read.parquet(pq(d, "documents"))
+        .stat.sampleBy("lang",
+          Map("en" -> 0.5, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.25,
+            "zh" -> 1.0), seed = 42L)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled")),
       None),
 
     // ---- text analysis ---------------------------------------------------

@@ -207,6 +207,21 @@ object Similarity {
       s => s.getField("cell")), 1, nprobe)
   }
 
+  /**
+   * Recall@k of an approximate ANN result against the exact baseline:
+   * |approx ∩ exact| / |exact| per query, averaged. The tuning loop for
+   * `planes`/`nlist`/`nprobe` — measure recall on a query sample, then
+   * dial cost. Both inputs are (queryId, corpusId, ...) top-k frames.
+   */
+  def recallAtK(approx: DataFrame, exact: DataFrame,
+                queryId: String, corpusId: String): Double = {
+    val a = approx.select(col(queryId), col(corpusId))
+    val e = exact.select(col(queryId), col(corpusId))
+    val hits = a.join(e, Seq(queryId, corpusId), "left_semi").count().toDouble
+    val total = e.count().toDouble
+    if (total == 0) 0.0 else hits / total
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               corpusId: String, corpusVec: String,
               queryId: String, queryVec: String,

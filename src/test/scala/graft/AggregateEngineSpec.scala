@@ -222,6 +222,19 @@ class AggregateEngineSpec extends SparkSpec {
     assert(got == data.map(_.f5).sum)
   }
 
+  test("timestamp filter values work end-to-end") {
+    val p2 = tmpDir() + "/ts.parquet"
+    val rows = (0 until 100).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 12:00:00"))
+    }
+    rows.toDF("k", "ts").write.parquet(p2)
+    val cut = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val got = AggregateEngine.aggregatePq(spark, p2, Nil,
+      Seq(Seq("k", "count", "n")),
+      Seq(Filter("ts", ">=", cut))).collect()(0).getLong(0)
+    assert(got == rows.count(!_._2.before(cut)))
+  }
+
   test("engine parameter: API-parity validation (E1)") {
     for (e <- Seq("auto", "duckdb", "pyarrow", "spark")) {
       val got = AggregateEngine.aggregatePq(spark, path, Nil,

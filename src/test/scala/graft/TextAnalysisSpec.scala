@@ -88,6 +88,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(0).getLong(1) == 42L && got(0).getDouble(2) == 1.0)
   }
 
+  test("recallAtK: exact-vs-exact is 1.0; approx recall in [0,1]") {
+    val corpus = (0 until 100).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = (0 until 5).map(i =>
+      (1000L + i, Seq.tabulate(8)(j => math.sin(i * 17 * 8 + j).toFloat)))
+      .toDF("query_id", "qv")
+    val exact = Similarity.topKPerQuery(corpus, queries,
+      "vec_id", "embedding", "query_id", "qv", 5)
+    assert(Similarity.recallAtK(exact, exact, "query_id", "vec_id") == 1.0)
+    val ivf = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+      "query_id", "qv", k = 5, nlist = 4, nprobe = 2)
+    val r = Similarity.recallAtK(ivf, exact, "query_id", "vec_id")
+    assert(r >= 0.0 && r <= 1.0)
+    assert(r > 0.2) // nprobe/nlist = half the cells → decent recall
+  }
+
   test("lshTopK finds the planted neighbor (recall sanity)") {
     val corpus = (0 until 50).map(i =>
       (i.toLong, Seq.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
