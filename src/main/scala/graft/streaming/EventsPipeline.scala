@@ -84,6 +84,30 @@ object EventsPipeline {
       .dropDuplicates(idCols :+ tsCol)
 
   /**
+   * Streaming near-duplicate filter: admit only documents whose MinHash
+   * signature has not been seen inside the watermark horizon. Composes
+   * the native signature expression with Spark's streaming dedup state:
+   * exact dups and heavy near-dups (identical signatures) are dropped
+   * in-flight; state is one (signatureHash) key per admitted doc,
+   * evicted by the watermark. A full banded-LSH streaming dedup would
+   * key state per band — same shape, `bands`× the state.
+   */
+  def streamingNearDupFilter(docs: DataFrame, textCol: String,
+                             tsCol: String = "ts",
+                             watermarkDelay: String = "1 hour",
+                             numHashes: Int = 64,
+                             shingleWords: Int = 3): DataFrame = {
+    graft.plans.NativeFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("__sig_hash", xxhash64(
+        graft.plans.NativeFunctions.minhashNative(col(textCol), numHashes,
+          shingleWords)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates(Seq("__sig_hash"))
+      .drop("__sig_hash")
+  }
+
+  /**
    * Batch sessionization via window functions: a session breaks when the
    * gap to the previous event of the same user exceeds `gapMinutes`.
    * Session ids are running sums of break flags — one shuffle on

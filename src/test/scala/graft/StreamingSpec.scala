@@ -98,6 +98,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingNearDupFilter drops exact re-posts of a document") {
+    val inDir = tmpDir()
+    val ckDir = tmpDir()
+    val docBase = "the quick brown fox jumps over the lazy dog near the river"
+    def doc(id: Long, min: Int, text: String) =
+      (id, Timestamp.valueOf(f"2024-01-01 10:${min}%02d:00"), text)
+    Seq(doc(1, 0, docBase), doc(2, 1, "totally different content here now"))
+      .toDF("doc_id", "ts", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(inDir)
+    val q = EventsPipeline.streamingNearDupFilter(stream, "text")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckDir)
+      .format("memory").queryName("neardup_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("neardup_test").count() == 2)
+      // batch 2: doc 1 re-posted verbatim + one genuinely new doc
+      Seq(doc(3, 5, docBase), doc(4, 6, "fresh unseen text with new words"))
+        .toDF("doc_id", "ts", "text").coalesce(1)
+        .write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      val ids = spark.table("neardup_test").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 4L)) // re-post (id 3) dropped
+    } finally q.stop()
+  }
+
   test("sessionizeStream: stateful sessions close on gap and watermark") {
     val inDir = tmpDir()
     val ckDir = tmpDir()
