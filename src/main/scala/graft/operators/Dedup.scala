@@ -210,25 +210,41 @@ object Dedup {
 
   /**
    * SimHash near-dup pairs with pigeonhole blocking: split the 64-bit
-   * fingerprint into 4 16-bit chunks; any pair within Hamming distance
-   * ≤ 3 must agree on at least one chunk, so the self-join runs per
-   * (chunkIndex, chunkValue) bucket — never all-pairs — then filters by
-   * true Hamming distance.
+   * fingerprint into `maxHamming + 1` near-equal-width chunks; a pair
+   * within Hamming distance ≤ maxHamming has at most maxHamming differing
+   * bits, so at least one of the maxHamming+1 chunks is difference-free —
+   * the pair MUST agree on that chunk (full recall by pigeonhole). The
+   * expansion runs per (chunkIndex, chunkValue) bucket — never all-pairs —
+   * then filters by true Hamming distance. Cost dial: larger maxHamming →
+   * more, narrower chunks → more bucket collisions → more candidate work.
    */
   def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3,
                         maxBucket: Int = 1000,
                         useNative: Boolean = true): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
     val simExpr =
       if (useNative) {
         graft.plans.NativeFunctions.register(df.sparkSession)
         graft.plans.NativeFunctions.simhashNative(col(textCol))
       } else simhash(col(textCol))
+    // chunk layout: 64 bits over maxHamming+1 chunks, first `64 % chunks`
+    // chunks one bit wider — every chunk non-empty, so no degenerate
+    // all-docs bucket from a zero-width chunk
+    val nChunks = maxHamming + 1
+    val base = 64 / nChunks
+    val rem = 64 % nChunks
+    val bounds = (0 until nChunks).scanLeft((0, 0)) { case ((s, w), c) =>
+      (s + w, if (c < rem) base + 1 else base)
+    }.tail
     val withSim = df.select(col(idCol).as("id"), simExpr.as("simhash"))
     val chunked = withSim.select(col("id"), col("simhash"),
-      posexplode(transform(sequence(lit(0), lit(3)), c =>
-        call_function("shiftright", col("simhash"), c * lit(16))
-          .bitwiseAND(lit(0xFFFFL)))))
+      posexplode(array(bounds.map { case (start, width) =>
+        val mask = if (width == 64) -1L else (1L << width) - 1L
+        call_function("shiftright", col("simhash"), lit(start))
+          .bitwiseAND(lit(mask))
+      }: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
     // collect (id, simhash) per chunk bucket and verify Hamming INSIDE
     // the pair expansion: only ≤maxHamming pairs ever leave the bucket.
@@ -263,25 +279,31 @@ object Dedup {
    * exact cosine runs only within buckets. Hyperplanes are deterministic
    * functions of (planeIdx, dimIdx) via xxhash64 — no model state, any
    * executor regenerates them, nothing is broadcast.
+   *
+   * Same candidate shape as MinHash/SimHash: [[pairsWithinBuckets]] over
+   * (bucket, id) — the bucket expression (the expensive projection loop)
+   * evaluates ONCE, not once per self-join side, and `maxBucket` caps a
+   * degenerate bucket (e.g. all-zero vectors all land in bucket 0) that
+   * would otherwise expand quadratically. Vectors are joined back by id
+   * only for surviving candidate pairs, like [[ngramJaccardPairs]].
    */
   def embeddingDuplicates(df: DataFrame, idCol: String, vecCol: String,
                           planes: Int = 12,
                           minCosine: Double = 0.95,
+                          maxBucket: Int = 1000,
                           useNative: Boolean = true): DataFrame = {
     val cos = Similarity.cosineFn(df, useNative)
     val bucket = Similarity.bucketFn(df, useNative)
-    val keyed = df.select(col(idCol),
+    val vecs = df.select(col(idCol),
       col(vecCol).cast("array<double>").as("v"))
+    val keyed = vecs
       .withColumn("bucket", bucket(col("v"), planes))
-    val a = keyed.select(col("bucket"), col(idCol).as("id_a"),
-      col("v").as("v_a"))
-    val b = keyed.select(col("bucket"), col(idCol).as("id_b"),
-      col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
-      .where(col("id_a") < col("id_b"))
+      .select(col("bucket"), col(idCol))
+    pairsWithinBuckets(keyed, Seq("bucket"), idCol, maxBucket)
+      .join(vecs.select(col(idCol).as("id_a"), col("v").as("v_a")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("cosine", cos(col("v_a"), col("v_b")))
       .where(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
-      .distinct()
   }
 }

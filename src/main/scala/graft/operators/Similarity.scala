@@ -147,6 +147,7 @@ object Similarity {
               queryId: String, queryVec: String,
               k: Int, nlist: Int = 16, nprobe: Int = 4,
               iters: Int = 2, useNative: Boolean = true): DataFrame = {
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
     val cos = cosineFn(corpus, useNative)
     val c = corpus.select(col(corpusId),
       col(corpusVec).cast("array<double>").as("cv"))
@@ -157,24 +158,41 @@ object Similarity {
       .orderBy(col("__h")).limit(nlist)
       .select(col("cv")).collect().map(_.getSeq[Double](0))
 
-    def nearestCell(v: Column): Column = {
-      // argmin over centroids of (1 - cosine) via a greatest-of-structs
-      // trick: pack (similarity, cellId), take the max
-      val scored = centroids.toSeq.zipWithIndex.map { case (ct, i) =>
-        struct(cos(v, typedlit(ct)).as("sim"), lit(i).as("cell"))
-      }
-      greatest(scored: _*).getField("cell")
+    if (centroids.isEmpty) {
+      // empty corpus: nothing to index; empty result, search schema
+      return c.crossJoin(queries.select(col(queryId)))
+        .select(col(queryId), col(corpusId),
+          lit(0.0).as("cosine"), lit(0).as("rank"))
+        .limit(0)
     }
 
-    // Lloyd refinement: average the members of each cell
+    def nearestCell(v: Column): Column =
+      // argmin over centroids of (1 - cosine) via a greatest-of-structs
+      // trick: pack (similarity, cellId), take the max. `greatest`
+      // requires >= 2 args, so a single-cell index short-circuits.
+      if (centroids.length == 1) lit(0)
+      else {
+        val scored = centroids.toSeq.zipWithIndex.map { case (ct, i) =>
+          struct(cos(v, typedlit(ct)).as("sim"), lit(i).as("cell"))
+        }
+        greatest(scored: _*).getField("cell")
+      }
+
+    // Lloyd refinement: per-(cell, dim) mean via posexplode — a cell
+    // holds ~corpus/nlist vectors, so collecting them into one
+    // aggregation buffer (collect_list of whole vectors) OOMs at scale;
+    // exploding to (cell, pos, value) keeps every buffer O(1) with
+    // map-side partial avg, and the regrouped buffer is just dim structs.
     (1 to iters).foreach { _ =>
       val updated = c.withColumn("__cell", nearestCell(col("cv")))
+        .select(col("__cell"), posexplode(col("cv")))
+        .groupBy(col("__cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
         .groupBy(col("__cell"))
-        .agg(collect_list(col("cv")).as("vs"))
-        .select(col("__cell"),
-          expr("transform(sequence(0, size(vs[0])-1), " +
-            "j -> aggregate(vs, 0D, (acc, v) -> acc + v[j]) / size(vs))")
-            .as("centroid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("__cell"), expr("transform(pm, s -> s.m)")
+          .as("centroid"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
       centroids = centroids.indices
         .map(i => updated.getOrElse(i, centroids(i))).toArray

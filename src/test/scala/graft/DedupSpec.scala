@@ -79,6 +79,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("embedding dedup drops degenerate over-cap buckets (all-zero vecs)") {
+    // 30 zero vectors share one hyperplane bucket; cosine(0,0) = 0 passes
+    // minCosine = 0.0, so without the cap this emits 435 pairs. The cap
+    // drops the whole bucket before quadratic expansion.
+    val zeros = (1L to 30L).map(i => (i, Seq.fill(4)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDuplicates(zeros, "vec_id", "embedding",
+      planes = 6, minCosine = 0.0, maxBucket = 10)
+    assert(pairs.count() == 0)
+  }
+
+  test("simhash chunk blocking guarantees recall up to maxHamming") {
+    // doc 2 sits within hamming 6 of docs 1/3 (asserted above); with
+    // chunks derived as maxHamming+1 the pigeonhole guarantee makes the
+    // pair a GUARANTEED candidate, even when its differing bits straddle
+    // every one of the old fixed 16-bit chunks
+    val pairs = Dedup.simhashDuplicates(docs, "doc_id", "text",
+      maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)))
+  }
+
   test("cosine function exact on known vectors") {
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)),
       (Seq(1.0, 1.0), Seq(1.0, 1.0))).toDF("a", "b")
