@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
+import org.apache.arrow.vector.complex.ListVector
 import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
 import org.apache.arrow.vector.types.{FloatingPointPrecision, TimeUnit => ArrowTimeUnit}
@@ -98,15 +99,28 @@ object Transport {
     case BinaryType  => ArrowType.Binary.INSTANCE
     case DateType    => new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY)
     case TimestampType => new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, "UTC")
+    case d: DecimalType => new ArrowType.Decimal(d.precision, d.scale, 128)
     case other => throw new UnsupportedOperationException(
       s"Transport: unsupported type $other")
   }
 
+  /** A list field carries its element as a child field named "item" —
+    * the reference's transport is table-generic (`transport.py:12-39`),
+    * so embeddings (`array<float>`) and other nested results must ship. */
+  private def toArrowField(name: String, dt: DataType,
+                           nullable: Boolean): Field = dt match {
+    case ArrayType(et, containsNull) =>
+      new Field(name, new FieldType(nullable, ArrowType.List.INSTANCE, null),
+        java.util.Collections.singletonList(
+          toArrowField("item", et, containsNull)))
+    case other =>
+      new Field(name, new FieldType(nullable, toArrowType(other), null),
+        java.util.Collections.emptyList[Field]())
+  }
+
   private def toArrowSchema(s: StructType): ArrowSchema =
-    new ArrowSchema(s.fields.map { f =>
-      new Field(f.name, new FieldType(f.nullable, toArrowType(f.dataType),
-        null), java.util.Collections.emptyList[Field]())
-    }.toList.asJava)
+    new ArrowSchema(s.fields.map(f =>
+      toArrowField(f.name, f.dataType, f.nullable)).toList.asJava)
 
   private def fromArrowType(t: ArrowType): DataType = t match {
     case i: ArrowType.Int if i.getBitWidth == 64 => LongType
@@ -122,17 +136,58 @@ object Transport {
     case _: ArrowType.Binary => BinaryType
     case _: ArrowType.Date   => DateType
     case _: ArrowType.Timestamp => TimestampType
+    case d: ArrowType.Decimal => DecimalType(d.getPrecision, d.getScale)
     case other => throw new UnsupportedOperationException(
       s"Transport: unsupported arrow type $other")
   }
 
+  private def fromArrowField(f: Field): DataType = f.getType match {
+    case _: ArrowType.List =>
+      val child = f.getChildren.get(0)
+      ArrayType(fromArrowField(child), child.isNullable)
+    case t => fromArrowType(t)
+  }
+
   private def fromArrowSchema(s: ArrowSchema): StructType =
     StructType(s.getFields.asScala.map { f =>
-      StructField(f.getName, fromArrowType(f.getType), f.isNullable)
+      StructField(f.getName, fromArrowField(f), f.isNullable)
     }.toArray)
+
+  /** List columns go through the union-list writer (rows never started
+    * stay null). Element coverage matches what results actually carry:
+    * numeric vectors (embeddings) — extend the match for more. */
+  private def fillListVector(x: ListVector, et: DataType,
+                             rows: Array[Row], colIdx: Int): Unit = {
+    val w = x.getWriter
+    var i = 0
+    while (i < rows.length) {
+      if (!rows(i).isNullAt(colIdx)) {
+        w.setPosition(i)
+        w.startList()
+        rows(i).getSeq[Any](colIdx).foreach { e =>
+          et match {
+            case DoubleType  => w.float8().writeFloat8(e.asInstanceOf[Double])
+            case FloatType   => w.float4().writeFloat4(e.asInstanceOf[Float])
+            case LongType    => w.bigInt().writeBigInt(e.asInstanceOf[Long])
+            case IntegerType => w.integer().writeInt(e.asInstanceOf[Int])
+            case other => throw new UnsupportedOperationException(
+              s"Transport: unsupported list element type $other")
+          }
+        }
+        w.endList()
+      }
+      i += 1
+    }
+    x.setValueCount(rows.length)
+  }
 
   private def fillVector(v: FieldVector, dt: DataType,
                          rows: Array[Row], colIdx: Int): Unit = {
+    dt match {
+      case ArrayType(et, _) =>
+        return fillListVector(v.asInstanceOf[ListVector], et, rows, colIdx)
+      case _ => ()
+    }
     var i = 0
     while (i < rows.length) {
       val row = rows(i)
@@ -157,6 +212,8 @@ object Transport {
         case (x: TimeStampMicroTZVector, _) =>
           val ts = row.getAs[java.sql.Timestamp](colIdx)
           x.setSafe(i, ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L)
+        case (x: DecimalVector, d: DecimalType) =>
+          x.setSafe(i, row.getDecimal(colIdx).setScale(d.scale))
         case (other, t) => throw new UnsupportedOperationException(
           s"Transport: cannot fill ${other.getClass} for $t")
       }
@@ -184,6 +241,8 @@ object Transport {
         val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
         ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
         ts
+      case x: DecimalVector => x.getObject(i)
+      case x: ListVector    => x.getObject(i).asScala.toSeq
       case other => throw new UnsupportedOperationException(
         s"Transport: cannot read ${other.getClass}")
     }

@@ -58,6 +58,31 @@ class TransportSpec extends SparkSpec {
     assert(back.collect().toSet == df.collect().toSet)
   }
 
+  test("embedding (array<float>) result round-trips — generic-table parity") {
+    // the reference transport ships ANY pa.Table (transport.py:12-39);
+    // list columns (the embeddings shape) must survive the IPC edge
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").limit(8)
+    val back = Transport.deserializeArrowBytes(spark,
+      Transport.serializeArrowBytes(df))
+    assert(back.schema == df.schema)
+    val exp = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val got = back.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got == exp)
+  }
+
+  test("array<double>, null arrays, and decimal columns round-trip") {
+    val df = Seq(
+      (1L, Option(Seq(1.0, -2.5, 0.125)), BigDecimal("12.34")),
+      (2L, Option.empty[Seq[Double]], BigDecimal("-0.07")))
+      .toDF("k", "v", "d")
+    val back = Transport.deserializeArrowBytes(spark,
+      Transport.serializeArrowBytes(df))
+    assert(back.schema == df.schema)
+    assert(back.collect().toSet == df.collect().toSet)
+  }
+
   test("empty result round-trips") {
     val df = Seq((1L, "a")).toDF("k", "v").where("k > 5")
     val back = Transport.deserializeArrowBytes(spark,
