@@ -88,9 +88,12 @@ object EventsPipeline {
    * signature has not been seen inside the watermark horizon. Composes
    * the native signature expression with Spark's streaming dedup state:
    * exact dups and heavy near-dups (identical signatures) are dropped
-   * in-flight; state is one (signatureHash) key per admitted doc,
-   * evicted by the watermark. A full banded-LSH streaming dedup would
-   * key state per band — same shape, `bands`× the state.
+   * in-flight. State is one (signatureHash) key per admitted doc;
+   * `dropDuplicatesWithinWatermark` is what makes the watermark actually
+   * evict it — plain `dropDuplicates` only evicts when the event-time
+   * column is part of the dedup key, so keying on the signature alone
+   * would grow state unboundedly. For docs that share only SOME bands,
+   * see [[streamingBandedNearDupFilter]].
    */
   def streamingNearDupFilter(docs: DataFrame, textCol: String,
                              tsCol: String = "ts",
@@ -103,8 +106,62 @@ object EventsPipeline {
         graft.plans.NativeFunctions.minhashNative(col(textCol), numHashes,
           shingleWords)))
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicates(Seq("__sig_hash"))
+      .dropDuplicatesWithinWatermark(Seq("__sig_hash"))
       .drop("__sig_hash")
+  }
+
+  /**
+   * Streaming banded-LSH near-duplicate filter: the streaming analog of
+   * [[graft.operators.Dedup.minhashCandidates]]. Each document explodes
+   * into `bands` (bandIdx, bandHash) keys; per-band state
+   * (`dropDuplicatesWithinWatermark`) keeps the first document that
+   * claimed each band key within the watermark horizon; a document is
+   * admitted only if it survives on ALL its bands — i.e. no band
+   * collided with an earlier document. Near-dups sharing some-but-not-
+   * all bands (which [[streamingNearDupFilter]] would stream through)
+   * are dropped.
+   *
+   * State: `bands` keys per admitted doc (8 B hash + eviction timestamp
+   * each), evicted once the watermark passes — bands× the signature
+   * filter's state, same eviction bound. The re-group that counts
+   * surviving bands is a watermarked tumbling-window aggregation
+   * (`windowSize`; any size works — a doc's bands share one timestamp,
+   * so they always land in the same window), so output emits when the
+   * watermark passes the window, like any append-mode windowed agg.
+   *
+   * Conservative edge: two colliding docs in one microbatch may split
+   * band survivorship so neither is admitted (both dropped, none
+   * duplicated) — acceptable for a dedup filter, where false drops of
+   * near-identical content are cheap and false admits are the failure.
+   */
+  def streamingBandedNearDupFilter(docs: DataFrame, idCol: String,
+                                   textCol: String,
+                                   tsCol: String = "ts",
+                                   watermarkDelay: String = "1 hour",
+                                   numHashes: Int = 64, bands: Int = 16,
+                                   shingleWords: Int = 3,
+                                   windowSize: String = "5 minutes")
+      : DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.plans.NativeFunctions.register(docs.sparkSession)
+    val rows = numHashes / bands
+    val payload = docs.columns.toSeq.map(col)
+    docs
+      .withColumn("__doc", struct(payload: _*))
+      .withColumn("__sig", graft.plans.NativeFunctions.minhashNative(
+        col(textCol), numHashes, shingleWords))
+      .withColumn("__band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("__band_hash",
+        xxhash64(slice(col("__sig"), col("__band") * rows + lit(1),
+          lit(rows))))
+      .select(col(idCol).as("__id"), col(tsCol).as("__ts"),
+        col("__doc"), col("__band"), col("__band_hash"))
+      .withWatermark("__ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("__band", "__band_hash"))
+      .groupBy(window(col("__ts"), windowSize), col("__id"))
+      .agg(count(lit(1)).as("__n"), first(col("__doc")).as("__doc"))
+      .where(col("__n") === bands)
+      .select(col("__doc.*"))
   }
 
   /**

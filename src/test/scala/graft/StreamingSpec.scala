@@ -134,6 +134,92 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  private val docSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType)))
+
+  test("streamingBandedNearDupFilter drops partial-band near-dups") {
+    val inDir = tmpDir()
+    val ckDir = tmpDir()
+    // same corpus as DedupSpec: base vs one-word-edit share >=1 band
+    // (deterministic — xxhash64 family), distinct docs share none
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "cat sleeps near the warm fire and the birds sing in the tall " +
+      "green trees"
+    def doc(id: Long, hhmm: String, text: String) =
+      (id, Timestamp.valueOf(s"2024-01-01 $hhmm:00"), text)
+    Seq(doc(1, "10:00", base),
+      doc(2, "10:01", "completely different content about spark query " +
+        "engines and distributed columnar execution with catalyst " +
+        "optimizer rules"))
+      .toDF("doc_id", "ts", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val stream = spark.readStream.schema(docSchema).parquet(inDir)
+    val q = EventsPipeline.streamingBandedNearDupFilter(stream,
+      "doc_id", "text", watermarkDelay = "10 minutes")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckDir)
+      .format("memory").queryName("banded_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2: an EDITED near-dup of doc 1 (shares some but not all
+      // bands — the case the signature-equality filter streams through),
+      // one genuinely new doc, and a far-future doc to advance the
+      // watermark past every earlier window
+      Seq(doc(3, "10:06", base.replace("lazy", "sleepy")),
+        doc(4, "10:07", "yet another unrelated document mentioning " +
+          "parquet files arrow memory and zstd compression for " +
+          "analytics workloads"),
+        doc(99, "13:00", "watermark flusher sentinel completely distinct"))
+        .toDF("doc_id", "ts", "text").coalesce(1)
+        .write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      val ids = spark.table("banded_test").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 4L)) // near-dup 3 dropped; 99 unflushed
+    } finally q.stop()
+  }
+
+  test("batch and stream sessionization agree on closed sessions") {
+    // same events through sessionizeBatch and sessionizeStream must
+    // yield identical session tuples — guards both against drift
+    val evs = Seq(ev(1, 0, 1, "a", 1.0), ev(2, 10, 1, "a", 2.0),
+      ev(3, 60, 1, "a", 4.0), ev(4, 5, 2, "b", 8.0),
+      ev(5, 45, 2, "b", 1.5))
+    val flush = Seq(ev(99, 600, 999, "z", 0.0)) // closes all via watermark
+    val inDir = tmpDir()
+    val ckDir = tmpDir()
+    evs.toDF().coalesce(1).write.mode("append").parquet(inDir)
+    val stream = spark.readStream.schema(EventsPipeline.eventsSchema)
+      .parquet(inDir)
+    val q = EventsPipeline.sessionizeStream(stream, gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckDir)
+      .format("memory").queryName("sess_equiv")
+      .start()
+    try {
+      q.processAllAvailable()
+      flush.toDF().coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      def tuple(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))
+      val streamGot = spark.table("sess_equiv").collect().map(tuple).toSet
+      val batchGot = EventsPipeline
+        .sessionizeBatch((evs ++ flush).toDF(), gapMinutes = 30)
+        .where(col("user_id") =!= 999L) // flusher session still open
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("sum_value"))
+        .collect().map(tuple).toSet
+      assert(streamGot == batchGot && streamGot.size == 4)
+    } finally q.stop()
+  }
+
   test("sessionizeStream: stateful sessions close on gap and watermark") {
     val inDir = tmpDir()
     val ckDir = tmpDir()
