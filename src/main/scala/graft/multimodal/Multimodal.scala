@@ -24,9 +24,14 @@ final case class MediaFeatures(media_id: Long, kind: String,
  * The Spark-side plumbing is real and tested: binary columns partition,
  * shuffle and spill like any other; the per-partition batch loop is the
  * idiomatic Scala analog of Python's `mapInPandas` (iterator in, iterator
- * out — no per-row task overhead, bounded memory per batch). The actual
- * codec call is STUBBED — image/audio libraries are not in this
- * container — behind [[Codec.decodeStub]], a deterministic fake keyed on
+ * out — no per-row task overhead, bounded memory per batch).
+ *
+ * Codec status: IMAGE decode and resize are REAL — JDK `javax.imageio`
+ * (PNG/JPEG/BMP/GIF, no external dependency) decodes actual pixels in
+ * [[Codec.decodeImage]] / re-encodes in [[Codec.resizeImage]], and
+ * [[syntheticMedia]] generates real PNG payloads for image rows. AUDIO
+ * and VIDEO decode remain STUBBED behind [[Codec.decodeStub]] (no
+ * ffmpeg/codec libs in this container) — a deterministic fake keyed on
  * the payload so tests are reproducible. Swap `decodeStub` for a real
  * JNI/javacv codec without touching any of the distributed plumbing.
  *
@@ -38,12 +43,70 @@ final case class MediaFeatures(media_id: Long, kind: String,
  */
 object Multimodal {
 
-  /** STUB codec boundary — the only non-real piece, clearly marked. */
+  /** Codec boundary: real for images (JDK ImageIO), stubbed for
+    * audio/video — each entry point marked. */
   object Codec {
+
     /**
-     * STUB: stands in for a real image/audio decode (e.g. libjpeg /
-     * ffmpeg via JNI). Deterministic function of the payload bytes so
-     * results are stable across runs and executors.
+     * REAL image decode: `javax.imageio` → pixels → a `dim`-length
+     * feature vector of per-vertical-strip mean luminance (Rec. 601
+     * weights), normalized to [0, 1]. Deterministic in the pixel data —
+     * independent of how the payload was encoded.
+     *
+     * @return (decodedWidth, decodedHeight, features)
+     */
+    def decodeImage(bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val feats = Array.tabulate(dim) { j =>
+        val x0 = j * w / dim
+        val x1 = math.max(x0 + 1, (j + 1) * w / dim)
+        var sum = 0.0
+        var n = 0
+        var x = x0
+        while (x < x1) {
+          var y = 0
+          while (y < h) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xFF) * 0.299 +
+              ((rgb >> 8) & 0xFF) * 0.587 + (rgb & 0xFF) * 0.114
+            n += 1
+            y += 1
+          }
+          x += 1
+        }
+        (sum / n / 255.0).toFloat
+      }
+      (w, h, feats)
+    }
+
+    /** REAL image resize: decode, bilinear-draw into the target raster,
+      * re-encode as PNG. */
+    def resizeImage(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val src = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(src != null, "payload is not a decodable image")
+      val dst = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, w, h, null)
+      } finally g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", out)
+      out.toByteArray
+    }
+
+    /**
+     * STUB: stands in for a real audio/video decode (e.g. ffmpeg via
+     * JNI). Deterministic function of the payload bytes so results are
+     * stable across runs and executors.
      */
     def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
       var h = 1125899906842597L // FNV-ish rolling hash of the payload
@@ -69,23 +132,29 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // batch boundary = where a real codec would amortize setup
         batch.iterator.map { r =>
-          MediaFeatures(r.media_id, r.kind, r.meta.width, r.meta.height,
-            Codec.decodeStub(r.bytes, dim))
+          if (r.kind == "image") {
+            // REAL decode: width/height come from the decoded pixels,
+            // not the metadata — featurize proves the payload is an image
+            val (w, h, feats) = Codec.decodeImage(r.bytes, dim)
+            MediaFeatures(r.media_id, r.kind, w, h, feats)
+          } else
+            MediaFeatures(r.media_id, r.kind, r.meta.width, r.meta.height,
+              Codec.decodeStub(r.bytes, dim))
         }
       }
     }
   }
 
   /**
-   * "Resize": metadata transform + stubbed payload rewrite. The plumbing
-   * (projection over binary + struct columns) is the real part.
+   * Resize: REAL re-encode for images (decode → bilinear scale → PNG);
+   * metadata-only transform for audio/video (payload rewrite stubbed).
    */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { r =>
-      // STUB: a real implementation re-encodes bytes; we keep the payload
-      // and update typed metadata, which is the schema contract.
-      r.copy(meta = r.meta.copy(width = w, height = h))
+      val bytes =
+        if (r.kind == "image") Codec.resizeImage(r.bytes, w, h) else r.bytes
+      r.copy(bytes = bytes, meta = r.meta.copy(width = w, height = h))
     }
   }
 
@@ -104,21 +173,47 @@ object Multimodal {
   }
 
   /**
-   * Deterministic synthetic media table for tests/demos (no codec libs in
-   * the container): payload bytes derived from the id.
+   * Deterministic synthetic media table for tests/demos. Image rows carry
+   * REAL PNG payloads (deterministic per-pixel pattern, encoded with
+   * `javax.imageio`); audio/video rows carry fake bytes (their decode is
+   * the stubbed boundary).
    */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n.toLong).as[Long].map { id =>
       val kind = Seq("image", "audio", "video")(
         (id % 3).toInt)
-      val bytes = Array.tabulate(128)(j => ((id * 131 + j * 17) % 251).toByte)
+      val w = 64 + (id % 4).toInt * 32
+      val h = 64 + (id % 3).toInt * 32
+      val bytes =
+        if (kind == "image") syntheticPng(id, w, h)
+        else Array.tabulate(128)(j => ((id * 131 + j * 17) % 251).toByte)
       MediaRow(id, kind, bytes,
-        MediaMeta(width = 64 + (id % 4).toInt * 32,
-          height = 64 + (id % 3).toInt * 32,
+        MediaMeta(width = w, height = h,
           sampleRate = if (kind == "audio") 16000 else 0,
           nFrames = if (kind == "video") 30 else 1))
     }
+  }
+
+  /** A real PNG with an id-keyed pixel pattern (gradient + id stripes). */
+  private def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < w) {
+      var y = 0
+      while (y < h) {
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((id * 17 + x * 3 + y) % 256).toInt
+        val b = ((id + x + y * 11) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        y += 1
+      }
+      x += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** Column-level helper: payload size histogram — plumbing sanity. */

@@ -28,6 +28,28 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.media_id).sorted.toSeq == (0L until 150L))
   }
 
+  test("image rows decode to real pixel dimensions (ImageIO, not stub)") {
+    val metaById = media.collect().map(r => r.media_id -> r).toMap
+    val imgFeats = Multimodal.featurize(media, dim = 8).collect()
+      .filter(f => metaById(f.media_id).kind == "image")
+    assert(imgFeats.nonEmpty)
+    imgFeats.foreach { f =>
+      val m = metaById(f.media_id).meta
+      // width/height come from DECODED pixels — proves a real PNG decode
+      assert(f.width == m.width && f.height == m.height)
+      // normalized mean luminance of real pixels
+      assert(f.features.forall(v => v >= 0f && v <= 1f))
+    }
+  }
+
+  test("resize re-encodes image payloads to the new dimensions") {
+    val img = Multimodal.resize(media, 48, 40).collect()
+      .find(_.kind == "image").get
+    val decoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(img.bytes))
+    assert(decoded.getWidth == 48 && decoded.getHeight == 40)
+  }
+
   test("sampleFrames: video rows only, every Nth frame") {
     val frames = Multimodal.sampleFrames(media, everyN = 10).collect()
     val videoIds = media.collect().filter(_.kind == "video").map(_.media_id)
@@ -49,6 +71,7 @@ class MultimodalSpec extends SparkSpec {
   test("sizeStats aggregates payload sizes") {
     val r = Multimodal.sizeStats(media.toDF()).collect()(0)
     assert(r.getLong(0) == 150L)
-    assert(r.getInt(1) == 128 && r.getInt(2) == 128)
+    // audio/video stub payloads are 128 B; real PNGs are larger
+    assert(r.getInt(1) == 128 && r.getInt(2) > 128)
   }
 }
