@@ -84,6 +84,22 @@ object AggregateEngine {
    * partial aggregation happens per split, and the single shuffle
    * replaces all the per-shard result plumbing. Missing shards are
    * skipped (the M1 rule per shard) when `handleMissingFile`.
+   *
+   * Cross-shard schema drift (shards written under different schema
+   * versions): the scan merges all shard footers (`mergeSchema`), so a
+   * requested column present in ANY shard is seen — the probe never
+   * depends on which file Spark happens to read first. Cells for a
+   * column absent from a PARTICULAR shard are null there, with SQL
+   * semantics downstream: sum/mean/min/max/count skip them, `count_na`
+   * counts them. This is a documented divergence from the reference's
+   * per-file loop, which patches each file's result with defaults
+   * (missing dim → standardMissingId, missing measure → 0.0,
+   * `parquery/tool.py:240-301`): per-file default patching cannot
+   * compose through a single distributed aggregation (a shard-level
+   * `mean`/`std` of patched zeros is not recoverable after the
+   * combine), and null-skipping is the semantic a SQL engine user
+   * expects of ragged shards. Columns missing from EVERY shard still
+   * get the reference's M3 defaults via the patch below.
    */
   def aggregatePqShards(
       spark: SparkSession,
@@ -119,9 +135,12 @@ object AggregateEngine {
       return defaultEmpty(spark, groupbyCols, measures, aggregate, resultCols)
 
     // ---- footer schema probe (parquery/tool.py:123-142) ------------------
-    // One read builds both the probe schema and the scan below (footer is
-    // touched once). Unreadable schema → "no columns exist" → empty.
-    val loaded: Option[DataFrame] = Try(spark.read.parquet(present: _*)).toOption
+    // One read builds both the probe schema and the scan below. mergeSchema
+    // unions every shard's footer (see scaladoc on cross-shard drift).
+    // Unreadable schema → "no columns exist" → empty.
+    val loaded: Option[DataFrame] =
+      Try(spark.read.option("mergeSchema", value = true)
+        .parquet(present: _*)).toOption
     val fileSchema: StructType =
       loaded.map(_.schema).getOrElse(new StructType())
     val existing = fileSchema.fieldNames.toSet

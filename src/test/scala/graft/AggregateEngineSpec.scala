@@ -212,6 +212,27 @@ class AggregateEngineSpec extends SparkSpec {
     assert(got == data.groupBy(_.f0).view.mapValues(_.map(_.f5).sum).toMap)
   }
 
+  test("shards with drifted schemas: merged probe, null-skip semantics") {
+    // shard 1 predates column f5 (schema drift, RELEASE_NOTES.md:102);
+    // mergeSchema must still surface f5 even if Spark reads shard 1's
+    // footer first, and shard-1 rows contribute null → skipped by
+    // sum/count (documented cross-shard divergence from per-file M3)
+    val dir = tmpDir()
+    Seq(("a", 1L), ("b", 2L)).toDF("f0", "f2")
+      .write.parquet(s"$dir/old.parquet")
+    Seq(("a", 1L, 10L), ("a", 2L, 20L)).toDF("f0", "f2", "f5")
+      .write.parquet(s"$dir/new.parquet")
+    val got = AggregateEngine.aggregatePqShards(spark,
+      Seq(s"$dir/old.parquet", s"$dir/new.parquet"), Seq("f0"),
+      Seq(Seq("f5", "sum", "s"), Seq("f5", "count", "n")))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+      .toMap
+    // "a": nulls skipped (10+20, count 2); "b": only null cells →
+    // SQL null sum, zero count
+    assert(got == Map("a" -> (Some(30L), 2L), "b" -> (None, 0L)))
+  }
+
   test("glob path aggregates all matching shards") {
     val dir = tmpDir()
     val (s1, s2) = data.splitAt(1000)
