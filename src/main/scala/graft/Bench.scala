@@ -13,6 +13,17 @@ import org.apache.spark.sql.SparkSession
  * the baseline comparison is about. Standard JMH discipline.
  */
 object Bench {
+
+  /**
+   * Execute a query and materialize EVERY output column. `count()` is not
+   * enough: Catalyst prunes unused projections under it, so a
+   * projection-only query (scalar/text/window expressions) would time
+   * little more than the scan. The `noop` sink consumes all columns
+   * without writing anything.
+   */
+  private def run(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -20,11 +31,11 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     // warm-up: codegen-compile + JIT every plan shape once
     queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try run(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -519,6 +519,56 @@ object SparkEntry {
         planes = 6, minCosine = 0.3),
       None),
 
+    // ---- planted-duplicate oracles --------------------------------------
+    // The natural-corpus dedup queries above are hash-family-specific
+    // (rows-only). These variants plant exact copies at doc_id+100000 and
+    // assert the pipelines find EVERY planted pair at jaccard 1.0 /
+    // hamming 0 / cosine 1.0 — an expected set that IS SQL-expressible,
+    // so the LSH candidate generation + verification paths get a real
+    // DuckDB oracle. (A copy's signature is identical, so bucket
+    // collision is guaranteed, not probabilistic; the id_b-id_a filter
+    // projects out incidental natural near-dup pairs.)
+    Q("q_dedup_minhash_planted",
+      (s, d) => {
+        val docs = s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"), col("text"))
+        val planted = docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        graft.operators.Dedup.minhashDuplicates(docs.unionByName(planted),
+          "doc_id", "text", minJaccard = 0.99)
+          .where(col("id_b") - col("id_a") === 100000L && col("id_a") < 50)
+      },
+      Some("""SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+              CAST(1.0 AS DOUBLE) AS jaccard
+              FROM documents WHERE doc_id < 50""")),
+
+    Q("q_dedup_simhash_planted",
+      (s, d) => {
+        val docs = s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"), col("text"))
+        val planted = docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        graft.operators.Dedup.simhashDuplicates(docs.unionByName(planted),
+          "doc_id", "text", maxHamming = 3)
+          .where(col("id_b") - col("id_a") === 100000L && col("id_a") < 50)
+      },
+      Some("""SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
+              FROM documents WHERE doc_id < 50""")),
+
+    Q("q_dedup_embedding_planted",
+      (s, d) => {
+        val emb = s.read.parquet(pq(d, "embeddings"))
+          .select(col("vec_id"), col("embedding"))
+        val planted = emb.where(col("vec_id") < 50)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        graft.operators.Dedup.embeddingDuplicates(emb.unionByName(planted),
+          "vec_id", "embedding", planes = 6, minCosine = 0.999)
+          .where(col("id_b") - col("id_a") === 100000L && col("id_a") < 50)
+      },
+      Some("""SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
+              CAST(1.0 AS DOUBLE) AS cosine
+              FROM embeddings WHERE vec_id < 50""")),
+
     // corpus rebalancing: per-language stratified subsample (seeded,
     // deterministic given partitioning). A core training-data op; sample
     // membership is engine-specific → rows-only check.
@@ -648,9 +698,10 @@ object SparkEntry {
                 COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
               FROM (
                 SELECT user_id, ts, value,
-                  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  CAST(SUM(brk) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS session_id
+                    AS BIGINT) AS session_id
                 FROM (
                   SELECT user_id, event_id, ts, value,
                     CASE WHEN prev_ts IS NULL
@@ -683,6 +734,19 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")),
       None), // HLL sketch — algorithm-specific values: rows-only check
+
+    // the scale path beside q_percentile: exact `percentile` shuffles
+    // every group's full value set to one reducer buffer — fine at
+    // thousands of values per group, not at 10^9; approx_percentile
+    // keeps a bounded sketch per group and partial-aggregates map-side,
+    // so memory is O(sketch) however large the group
+    Q("q_approx_percentile",
+      (s, d) => s.read.parquet(pq(d, "lineitem"))
+        .groupBy(col("l_returnflag"))
+        .agg(expr(
+          "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+          .as("approx_pcts")),
+      None), // sketch-specific values: rows-only check
 
     // ---- multimodal plumbing (codec stubbed; see Multimodal scaladoc) ----
     Q("q_multimodal_features",
@@ -726,7 +790,24 @@ object SparkEntry {
       Some("""SELECT l_returnflag, l_linestatus,
               ROUND(SUM(l_extendedprice), 4) AS price_sum,
               COUNT(l_orderkey) AS n
-              FROM lineitem GROUP BY l_returnflag, l_linestatus""")))
+              FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
+
+    // array columns through the IPC edge (reference transport is
+    // generic-table; the digest projection after the round-trip keeps
+    // the oracle comparison on scalar columns)
+    Q("q_transport_embeddings",
+      (s, d) => {
+        val emb = s.read.parquet(pq(d, "embeddings"))
+          .where(col("vec_id") < 20)
+          .select(col("vec_id"), col("embedding"))
+        val back = graft.sources.Transport.deserializeArrowBytes(s,
+          graft.sources.Transport.serializeArrowBytes(emb))
+        back.select(col("vec_id"), size(col("embedding")).as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("e0"))
+      },
+      Some("""SELECT vec_id, len(embedding) AS dim,
+              ROUND(CAST(embedding[1] AS DOUBLE), 4) AS e0
+              FROM embeddings WHERE vec_id < 20""")))
 
   private val registry: Seq[Q] = parity ++ extensions ++ pipelines
 
