@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Column profiling for corpus QA — the "what is in this 100 TB table"
+ * first step of a training-data pipeline (row counts, null rates,
+ * cardinalities, value ranges per column).
+ *
+ * Scale design: ONE distributed pass computes every column's statistics
+ * in a single global aggregate (partial-aggregated map-side like any
+ * Spark agg), then a driver-free `stack` unpivots the 1-row result into
+ * one row per column. The naive per-column loop would scan the table
+ * once per column.
+ */
+object Profile {
+
+  /**
+   * Numeric-column profile: one output row per column with
+   * (n_rows, n_nonnull, n_distinct, min, max, avg). `n_distinct` is
+   * exact; swap to `approx_count_distinct` at extreme cardinalities.
+   */
+  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileNumeric needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__${c}_nn"),
+        count_distinct(col(c)).as(s"__${c}_nd"),
+        min(col(c)).cast("double").as(s"__${c}_min"),
+        max(col(c)).cast("double").as(s"__${c}_max"),
+        avg(col(c)).cast("double").as(s"__${c}_avg"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', __n, `__${c}_nn`, `__${c}_nd`, " +
+        s"round(`__${c}_min`, 4), round(`__${c}_max`, 4), " +
+        s"round(`__${c}_avg`, 4)"
+    }.mkString(", ")
+    one.select(expr(
+      s"stack(${cols.length}, $stackArgs) AS " +
+        "(column, n_rows, n_nonnull, n_distinct, min_v, max_v, avg_v)"))
+  }
+}

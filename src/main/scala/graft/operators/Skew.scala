@@ -76,4 +76,42 @@ object Skew {
     }
     phase1.groupBy(dims.map(col): _*).agg(p2Exprs.head, p2Exprs.tail: _*)
   }
+
+  /** Join types for which salting is semantics-preserving: the replicated
+    * (right) side never produces output rows of its own. */
+  private val saltableJoins =
+    Set("inner", "left", "leftouter", "left_outer", "leftsemi", "left_semi",
+      "leftanti", "left_anti")
+
+  /**
+   * Skew-resilient equi-join: the big (possibly hot-keyed) side gets a
+   * uniform random salt in [0, buckets); the small side is replicated
+   * once per salt value; the join runs on (keys, salt). A hot key's rows
+   * spread over `buckets` reducers instead of one straggler task.
+   *
+   * Use when the small side is too large to broadcast but small enough
+   * to replicate `buckets`× through the shuffle (cost: |small| × buckets
+   * shuffle rows). If it fits in executor memory, prefer `broadcast()` —
+   * zero shuffle beats salted shuffle. AQE's skew-join split covers many
+   * cases at runtime; this is the explicit form for when the skew is
+   * known and you want the plan deterministic.
+   *
+   * Only join types where the replicated side emits no rows of its own
+   * are allowed (inner/left/semi/anti) — a right or full join through
+   * replication would duplicate unmatched small-side rows.
+   */
+  def saltedJoin(big: DataFrame, small: DataFrame, keyCols: Seq[String],
+                 buckets: Int = 16,
+                 joinType: String = "inner"): DataFrame = {
+    require(keyCols.nonEmpty, "saltedJoin needs join keys")
+    require(buckets >= 1, "buckets must be >= 1")
+    require(saltableJoins.contains(joinType.toLowerCase),
+      s"join type '$joinType' not preserved under salting " +
+        "(allowed: inner, left, left_semi, left_anti)")
+    val b = big.withColumn("__salt",
+      pmod((rand(42) * buckets).cast("int"), lit(buckets)))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    b.join(s, (keyCols :+ "__salt").toSeq, joinType).drop("__salt")
+  }
 }

@@ -40,6 +40,35 @@ object Writer {
   }
 
   /**
+   * Dynamic partition overwrite: rewrite ONLY the partitions present in
+   * `df`, leaving sibling partitions untouched — the Spark-native form
+   * of the reference's republish-a-shard model (a writer replaces one
+   * shard file; readers see old-or-new, never a mix —
+   * `parquery/README.md` concurrent-writer notes, SURVEY.md §2.1/S4).
+   * Static overwrite (the default) would delete EVERY partition under
+   * `path` first; dynamic scopes the delete to partitions being written,
+   * which is what an incremental 100 TB pipeline needs.
+   */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty,
+      "overwritePartitions needs partition columns")
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = conf.getOption(key)
+    conf.set(key, "dynamic")
+    try
+      df.write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy(partitionBy: _*)
+        .parquet(path)
+    finally prev match {
+      case Some(v) => conf.set(key, v)
+      case None    => conf.unset(key)
+    }
+  }
+
+  /**
    * Bucketed parquet table for shuffle-free co-located joins: both sides
    * bucketed by the join key with the same bucket count join without an
    * exchange (SortMergeJoin reads buckets pairwise). This is THE layout

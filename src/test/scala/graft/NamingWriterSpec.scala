@@ -39,6 +39,20 @@ class NamingWriterSpec extends SparkSpec {
     assert(file.getName.contains("zstd"))
   }
 
+  test("overwritePartitions rewrites only the partitions being written") {
+    val p = tmpDir() + "/dyn.parquet"
+    Seq(("a", 1L), ("a", 2L), ("b", 10L))
+      .toDF("part", "v")
+      .write.partitionBy("part").parquet(p)
+    // republish partition "a" only — "b" must survive (static overwrite
+    // would delete it)
+    graft.sources.Writer.overwritePartitions(
+      Seq(("a", 99L)).toDF("part", "v"), p, Seq("part"))
+    val got = spark.read.parquet(p).collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[Long]("v"))).toSet
+    assert(got == Set(("a", 99L), ("b", 10L)))
+  }
+
   test("writer overwrite replaces prior data (write.py:52-53 delete-first)") {
     val p = tmpDir() + "/ow.parquet"
     Writer.dfToParquet(Seq((1L, "old")).toDF("k", "v"), p)

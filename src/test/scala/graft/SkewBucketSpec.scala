@@ -49,6 +49,25 @@ class SkewBucketSpec extends SparkSpec {
     assert(e.getMessage.contains("count_distinct"))
   }
 
+  test("saltedJoin matches plain join for inner/left/semi/anti") {
+    val dim = (0 to 10).map(k => (if (k == 0) "hot" else s"cold$k",
+      k * 1.5)).toDF("k", "w")
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val got = Skew.saltedJoin(skewed, dim, Seq("k"), buckets = 8,
+        joinType = jt)
+      val exp = skewed.join(dim, Seq("k"), jt)
+      assert(got.collect().toSet == exp.collect().toSet, jt)
+    }
+  }
+
+  test("saltedJoin rejects join types broken by replication") {
+    val dim = Seq(("hot", 1.0)).toDF("k", "w")
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(skewed, dim, Seq("k"), joinType = "full")
+    }
+    assert(e.getMessage.contains("not preserved"))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS g_fact")
     spark.sql("DROP TABLE IF EXISTS g_dim")
