@@ -528,7 +528,56 @@ object SparkEntry {
         .groupBy(col("qty_band")).agg(count(lit(1)).as("n")),
       Some("""SELECT CASE WHEN l_quantity < 10 THEN 'low'
                 WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS qty_band,
-              COUNT(*) AS n FROM lineitem GROUP BY 1""")))
+              COUNT(*) AS n FROM lineitem GROUP BY 1""")),
+
+    // JSON scalar functions (§2.8) over the events.props JSON column;
+    // oracle SUM(BIGINT) CAST to BIGINT (DuckDB surfaces it as hugeint)
+    Q("q_scalar_json",
+      (s, d) => events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum")),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+                AS k_mod, COUNT(*) AS n,
+              CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum
+              FROM events GROUP BY 1""")),
+
+    // pivot (wide aggregation); coalesce because Spark yields null for an
+    // empty (group, pivot-value) cell where SQL FILTER counts give 0
+    Q("q_pivot",
+      (s, d) => {
+        val p = events(s, d)
+          .groupBy((col("user_id") % 10).as("user_mod"))
+          .pivot("event_type", Seq("click", "view", "purchase"))
+          .agg(count(lit(1)))
+        p.select(col("user_mod"),
+          coalesce(col("click"), lit(0L)).as("click"),
+          coalesce(col("view"), lit(0L)).as("view"),
+          coalesce(col("purchase"), lit(0L)).as("purchase"))
+      },
+      Some("""SELECT user_id % 10 AS user_mod,
+              COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+              COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+              COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase
+              FROM events GROUP BY 1""")),
+
+    // array scalar functions (§2.8) over the embeddings vector column:
+    // fold in declared order on both engines (element order preserved)
+    Q("q_scalar_array",
+      (s, d) => s.read.parquet(pq(d, "embeddings"))
+        .where(col("vec_id") < 100)
+        .select(col("vec_id"),
+          size(col("embedding")).cast("bigint").as("dim"),
+          round(aggregate(col("embedding").cast("array<double>"),
+            lit(0.0), (acc, x) => acc + x), 4).as("vec_sum"),
+          round(array_max(col("embedding")).cast("double"), 4)
+            .as("vec_max")),
+      Some("""SELECT vec_id, len(embedding) AS dim,
+              ROUND(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE))), 4) AS vec_sum,
+              ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS vec_max
+              FROM embeddings WHERE vec_id < 100""")))
 
   // =========================================================================
   // Training-data pipeline operators: dedup / text analysis / similarity /
