@@ -76,6 +76,26 @@ class TemporalJoinSpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("asofJoin plans one key shuffle + window — no join operator") {
+    val plan = TemporalJoin.asofJoin(trades, quotes, Seq("sym"),
+      "tts", "qts", Seq("bid")).queryExecution.executedPlan.toString
+    // the union-and-scan shape: any *Join exec would mean the operator
+    // regressed to the pairing formulation
+    assert(!plan.contains("HashJoin") && !plan.contains("SortMergeJoin") &&
+      !plan.contains("NestedLoop"), plan.take(1200))
+    assert(plan.contains("Window"), plan.take(1200))
+  }
+
+  test("rangeJoin plans an equi-join on bins — never a cartesian") {
+    val points = Seq((10L, ts("2024-01-01 00:00:00"))).toDF("pid", "pts")
+    val ranges = Seq((100L, ts("2024-01-01 00:00:00"),
+      ts("2024-01-03 00:00:00"))).toDF("rid", "rs", "re")
+    val plan = TemporalJoin.rangeJoin(points, ranges, "pts", "rs", "re",
+      binSeconds = 86400).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
   test("rangeJoin: inclusive bounds, multi-bin ranges, invalid dropped") {
     val points = Seq(
       (10L, ts("2024-01-01 00:00:00")),
