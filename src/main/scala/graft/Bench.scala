@@ -35,13 +35,16 @@ object Bench {
     }
     // repeat-min: two timed runs, keep the faster — one GC pause or an
     // external iowait burst otherwise lands on whichever query it hits
-    // (round-1 recorded 90s for a query that takes 2s on an idle host)
+    // (round-1 recorded 90s for a query that takes 2s on an idle host).
+    // Per-query progress goes to stderr (stdout carries only the JSON).
     val results = queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
+      System.err.println(f"[bench] $name: ${times.min}%.2fs " +
+        f"(runs: ${times.map(t => f"$t%.2f").mkString(", ")})")
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

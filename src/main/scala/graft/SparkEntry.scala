@@ -664,6 +664,59 @@ object SparkEntry {
       Some("""SELECT doc_id AS id_a, doc_id + 100000 AS id_b, 0 AS hamming
               FROM documents WHERE doc_id < 50""")),
 
+    // cluster formation over planted triangles: copies at +100k/+200k
+    // give each source doc a 3-member dup family whose pair graph is a
+    // triangle; connected components must label all three with the
+    // source id. The pmod filter keeps exactly the family pairs (a
+    // natural pair's id distance is never a multiple of 100000).
+    Q("q_dedup_clusters",
+      (s, d) => {
+        val docs = s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"), col("text"))
+        val fam = docs.where(col("doc_id") < 30)
+        val planted = fam
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+          .unionByName(fam
+            .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+        val pairs = graft.operators.Dedup.minhashDuplicates(
+          docs.unionByName(planted), "doc_id", "text", minJaccard = 0.99)
+          .where(pmod(col("id_b") - col("id_a"), lit(100000L)) === 0 &&
+            pmod(col("id_a"), lit(100000L)) < 30)
+        graft.operators.Dedup
+          .duplicateClusters(pairs.select(col("id_a"), col("id_b")))
+          .select(col("id").as("doc_id"), col("cluster"))
+      },
+      Some("""SELECT doc_id + off AS doc_id, doc_id AS cluster
+              FROM documents
+              CROSS JOIN (VALUES (0), (100000), (200000)) t(off)
+              WHERE doc_id < 30""")),
+
+    // corpus-level term weighting: top-3 TF-IDF terms per document —
+    // deterministic across engines (rank on the raw double score with a
+    // term tiebreak; round only in the final projection)
+    Q("q_tfidf",
+      (s, d) => graft.functions.TextAnalysis.tfidfTopTerms(
+        s.read.parquet(pq(d, "documents")).where(col("doc_id") < 100),
+        "doc_id", "text", k = 3),
+      Some("""WITH base AS (SELECT doc_id, text FROM documents
+                WHERE doc_id < 100),
+              toks AS (SELECT doc_id,
+                  unnest(string_split_regex(lower(trim(text)), '\s+'))
+                    AS term
+                FROM base WHERE length(trim(text)) > 0),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                FROM toks GROUP BY 1, 2),
+              dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              n AS (SELECT COUNT(*) AS n FROM base),
+              scored AS (SELECT tf.doc_id, tf.term,
+                  tf.tf * LN((n.n + 1.0) / (dfreq.df + 1.0)) AS raw
+                FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+              SELECT doc_id, term, ROUND(raw, 4) AS score FROM (
+                SELECT doc_id, term, raw, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY raw DESC, term) AS rn
+                FROM scored)
+              WHERE rn <= 3""")),
+
     Q("q_dedup_embedding_planted",
       (s, d) => {
         val emb = s.read.parquet(pq(d, "embeddings"))
@@ -700,19 +753,33 @@ object SparkEntry {
                 AS n_tok,
               LENGTH(text) AS n_char FROM documents""")),
 
+    // CPU-bound featurization over a FEW parquet files: Spark assigns one
+    // task per file split, so a small-file corpus serializes onto one
+    // core while 31 idle. repartition to the cluster's parallelism first
+    // — the narrow shuffle is pennies next to the per-row expression
+    // work. (At 100 TB the corpus has thousands of splits and this
+    // repartition becomes unnecessary, not wrong.)
     Q("q_text_quality",
       (s, d) => s.read.parquet(pq(d, "documents"))
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           graft.functions.TextAnalysis.qualityScore(col("text")).as("quality"),
           graft.functions.TextAnalysis.langId(col("text")).as("lang_pred")),
       None), // composite heuristic: rows-only check
 
     Q("q_text_fingerprint",
-      (s, d) => s.read.parquet(pq(d, "documents"))
-        .select(col("doc_id"),
-          graft.functions.TextAnalysis.fingerprint(col("text")).as("fp"),
-          graft.functions.TextAnalysis.rollingFingerprint(col("text"))
-            .as("rolling_fp")),
+      (s, d) => {
+        // native shingles: the HOF form re-evaluates its captured
+        // tokenization per shingle (interpreted lambdas are not CSE'd)
+        graft.plans.NativeFunctions.register(s)
+        s.read.parquet(pq(d, "documents"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            graft.functions.TextAnalysis.fingerprint(col("text")).as("fp"),
+            array_min(transform(
+              graft.plans.NativeFunctions.shinglesNative(col("text"), 3),
+              sh => xxhash64(sh))).as("rolling_fp"))
+      },
       None), // xxhash64 not available in the oracle engine
 
     // ---- similarity search ----------------------------------------------
@@ -828,10 +895,14 @@ object SparkEntry {
     Q("q_percentile",
       (s, d) => s.read.parquet(pq(d, "lineitem"))
         .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99")),
+        // array form: ONE per-group value buffer + sort serves all three
+        // percentiles (three scalar calls would keep three copies)
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
+          .as("pcts"))
+        .select(col("l_returnflag"),
+          round(element_at(col("pcts"), 1), 4).as("p50"),
+          round(element_at(col("pcts"), 2), 4).as("p90"),
+          round(element_at(col("pcts"), 3), 4).as("p99")),
       Some("""SELECT l_returnflag,
               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
               ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,

@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -121,6 +122,43 @@ object TextAnalysis {
       wordLenTerm * 0.15 + stopTerm * 0.15, 4)
   }
 
+  // --- term weighting ----------------------------------------------------
+
+  /**
+   * Top-k TF-IDF terms per document (smoothed idf:
+   * `ln((N + 1) / (df + 1))`). The corpus-level signal the pure per-row
+   * functions above can't give: which terms CHARACTERIZE a document
+   * against the whole corpus.
+   *
+   * Scale shape: one explode to (doc, term); term frequencies via
+   * `groupBy(doc, term)` (map-side combined); document frequencies via a
+   * second `groupBy(term)` over the already-tiny tf frame; the corpus
+   * row count rides along as a broadcast 1-row frame (no driver
+   * `.collect()`); idf joins back by term (hash join, vocabulary-sized);
+   * top-k per doc is a window over (doc) — rank by the RAW score with a
+   * term tiebreak, so the result is deterministic and engine-portable.
+   */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val tf = docs
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("__score",
+        col("tf") * log((col("__n") + 1.0) / (col("df") + 1.0)))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__score").desc, col("term"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col(idCol), col("term"),
+        round(col("__score"), 4).as("score"))
+  }
+
   // --- fingerprinting ----------------------------------------------------
 
   /** Canonical-text hash: lowercase, collapse whitespace, xxhash64. */
@@ -131,6 +169,13 @@ object TextAnalysis {
    * Winnowing-style rolling-hash fingerprint: min xxhash64 over `k`-word
    * shingles — stable under small edits (cf. Schleimer et al., SIGMOD'03
    * winnowing; public algorithm). Used as a cheap near-dup pre-key.
+   *
+   * PERF: this HOF form re-tokenizes the document once per shingle
+   * (interpreted lambdas re-evaluate captured expressions, no CSE) —
+   * fine as a portable reference path, but on a large corpus feed it a
+   * native shingle array instead:
+   * `array_min(transform(NativeFunctions.shinglesNative(text, k),
+   * xxhash64))` — one tokenization pass per row.
    */
   def rollingFingerprint(text: Column, k: Int = 3): Column =
     array_min(transform(Shingles.wordShingles(text, k), s => xxhash64(s)))
