@@ -271,6 +271,62 @@ object Dedup {
       .distinct()
   }
 
+  // ---- cluster formation --------------------------------------------------
+
+  /**
+   * Connected components over candidate-duplicate pairs: every id in the
+   * pair graph gets the smallest id reachable from it as `cluster` —
+   * turning pairwise near-dup hits into the dup GROUPS a pipeline needs
+   * for survivor selection (keep `id === cluster`, drop the rest).
+   *
+   * Algorithm: iterative min-label propagation. Each round every node
+   * takes the min of its own label and its neighbors' labels; a round is
+   * one hash join (edges ⋈ labels) + one `groupBy(node).min` — all
+   * distributed, nothing driver-side but the convergence flag. Rounds
+   * needed = graph diameter, and near-dup components are shallow (dup
+   * families, not long chains); `maxIters` caps pathological graphs.
+   * Lineage is truncated per round with `localCheckpoint` so plans don't
+   * grow with iterations (use reliable checkpointing on a cluster).
+   *
+   * Input: two id columns (`id_a`, `id_b`), as produced by
+   * [[minhashDuplicates]] / [[simhashDuplicates]] /
+   * [[embeddingDuplicates]]. Ids absent from any pair are absent from
+   * the output (singletons are their own trivial cluster).
+   */
+  def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
+                        idB: String = "id_b",
+                        maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"),
+          col("cluster").as("__nc")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("__nc")).as("__nmin"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("__nmin"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint(true)
+      converged = updated
+        .join(labels.select(col("id"), col("cluster").as("__old")), "id")
+        .where(col("cluster") =!= col("__old"))
+        .isEmpty
+      labels = updated
+      it += 1
+    }
+    labels
+  }
+
   // ---- embedding near-dup -------------------------------------------------
 
   /**

@@ -101,6 +101,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)))
   }
 
+  test("duplicateClusters: min-label connected components") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("duplicateClusters converges on a long chain (multi-iteration)") {
+    // path graph 1-2-3-...-9: min label must travel the full diameter
+    val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 9L).map(_ -> 1L).toMap)
+  }
+
   test("cosine function exact on known vectors") {
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)),
       (Seq(1.0, 1.0), Seq(1.0, 1.0))).toDF("a", "b")
