@@ -336,20 +336,26 @@ object NativeFunctions {
         s"expected integer literal, got $other")
     }
 
+  /** (name, builder) pairs — the single source both [[register]] and
+    * [[GraftExtensions]] install from. */
+  private[plans] val builders
+      : Seq[(String, Seq[Expression] => Expression)] = Seq(
+    cosineName -> ((exprs: Seq[Expression]) =>
+      CosineSimilarityExpr(exprs.head, exprs(1))),
+    minhashName -> ((exprs: Seq[Expression]) =>
+      MinHashSignatureExpr(exprs.head, intLit(exprs(1)), intLit(exprs(2)))),
+    simhashName -> ((exprs: Seq[Expression]) => SimHashExpr(exprs.head)),
+    shinglesName -> ((exprs: Seq[Expression]) =>
+      WordShinglesExpr(exprs.head, intLit(exprs(1)))),
+    hyperplaneName -> ((exprs: Seq[Expression]) =>
+      HyperplaneBucketExpr(exprs.head, intLit(exprs(1)))))
+
   /** Idempotently register graft native functions on this session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(cosineName,
-      exprs => CosineSimilarityExpr(exprs.head, exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction(minhashName,
-      exprs => MinHashSignatureExpr(exprs.head,
-        intLit(exprs(1)), intLit(exprs(2))), "built-in")
-    reg.createOrReplaceTempFunction(simhashName,
-      exprs => SimHashExpr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(shinglesName,
-      exprs => WordShinglesExpr(exprs.head, intLit(exprs(1))), "built-in")
-    reg.createOrReplaceTempFunction(hyperplaneName,
-      exprs => HyperplaneBucketExpr(exprs.head, intLit(exprs(1))), "built-in")
+    builders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 
   /** Native fused cosine; [[register]] must have run on the session.

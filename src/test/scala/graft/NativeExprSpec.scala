@@ -108,4 +108,18 @@ class NativeExprSpec extends SparkSpec {
     assert(nat.toSeq == hof.toSeq)
     assert(nat(0)._1 == 7L)
   }
+
+  test("GraftExtensions injects every native function at session build") {
+    // spark.sql.extensions is a static conf — it only applies to the
+    // JVM's first SparkContext, so the config path can't run inside this
+    // shared-context suite; the probe applies the extensions object the
+    // same way session building does
+    val names = org.apache.spark.sql.GraftExtensionsProbe
+      .injectedFunctionNames(new graft.plans.GraftExtensions)
+    Seq(NativeFunctions.cosineName, NativeFunctions.minhashName,
+      NativeFunctions.simhashName, NativeFunctions.shinglesName,
+      NativeFunctions.hyperplaneName).foreach { n =>
+      assert(names.contains(n), s"$n not injected (got: $names)")
+    }
+  }
 }
