@@ -64,6 +64,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(got - 3.0 / 5.0) < 1e-12) // the, and, the
   }
 
+  test("tfidfTopTerms: corpus-distinctive terms rank first") {
+    val docs = Seq(
+      (1L, "spark spark spark common word"),
+      (2L, "duck duck common word"),
+      (3L, "common word only here")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "common"/"word" appear everywhere (low idf); the doc-specific
+    // terms must win
+    assert(got == Map(1L -> "spark", 2L -> "duck", 3L -> "here") ||
+      got(1L) == "spark" && got(2L) == "duck")
+    // hand-check doc 1's score: tf=3, df=1, n=3 → 3·ln(4/2)
+    val s = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 1)
+      .where(col("doc_id") === 1L).collect()(0).getDouble(2)
+    assert(math.abs(s - math.rint(3 * math.log(2.0) * 10000) / 10000) < 1e-9)
+  }
+
   test("brute-force topK returns self first for an exact query vector") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
