@@ -890,6 +890,40 @@ object SparkEntry {
                 ) b
               ) c GROUP BY user_id, session_id""")),
 
+    // Spark's NATIVE session_window operator — same gap semantics as the
+    // hand-rolled q_sessionize (split at gap >= 30min; the oracle's
+    // break uses >= on full-precision timestamps, exactly
+    // session_window's merge rule)
+    Q("q_session_window",
+      (s, d) => graft.streaming.EventsPipeline
+        .sessionizeNative(events(s, d), gapMinutes = 30)
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("start_str"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss")
+            .as("end_str"),
+          col("n_events"), col("sum_value")),
+      Some("""SELECT user_id,
+                strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_str,
+                strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS end_str,
+                COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+              FROM (
+                SELECT user_id, ts, value,
+                  CAST(SUM(brk) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS sid
+                FROM (
+                  SELECT user_id, event_id, ts, value,
+                    CASE WHEN prev_ts IS NULL
+                      OR ts >= prev_ts + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+                  FROM (SELECT user_id, event_id, ts, value,
+                    LAG(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS prev_ts FROM events) a
+                ) b
+              ) c GROUP BY user_id, sid""")),
+
     // exact interpolated percentiles: Spark `percentile` ≡ DuckDB
     // quantile_cont (both linear interpolation over the sorted set)
     Q("q_percentile",

@@ -165,6 +165,53 @@ object EventsPipeline {
   }
 
   /**
+   * Gap-based sessions via Spark's NATIVE `session_window` — the
+   * built-in operator equivalent of [[sessionizeBatch]] (window
+   * functions) and [[sessionizeStream]] (explicit state). Same semantics
+   * on the same events; one `groupBy` whose window merges rows within
+   * `gapMinutes` of each other. The Spark-first choice when you don't
+   * need the custom per-event state logic: the planner handles merging,
+   * state format, and watermark eviction. Note: `session_window`'s end
+   * is `last event + gap`; the reported `session_end` here is the max
+   * event time, matching the other two implementations.
+   */
+  def sessionizeNative(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("__w"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .drop("__w")
+
+  /**
+   * Watermarked stream-stream join: clicks enriched with the view that
+   * preceded them by at most `withinMinutes` for the same user — the
+   * canonical Structured Streaming interval join. Both sides keep state
+   * bounded by watermark + the join's time-range condition (Spark derives
+   * each side's state horizon from the inequality), so neither buffer
+   * grows with stream length.
+   */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame,
+                    withinMinutes: Int = 10,
+                    watermarkDelay: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val v = views.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("v_user_id"),
+        col("event_id").as("view_id"), col("ts").as("view_ts"))
+    c.join(v,
+      c("user_id") === v("v_user_id") &&
+        v("view_ts") <= c("click_ts") &&
+        v("view_ts") >= c("click_ts") - expr(
+          s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
+  /**
    * Batch sessionization via window functions: a session breaks when the
    * gap to the previous event of the same user exceeds `gapMinutes`.
    * Session ids are running sums of break flags — one shuffle on

@@ -220,6 +220,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeNative (session_window) ≡ sessionizeBatch") {
+    val evs = Seq(ev(1, 0, 1, "a", 1.0), ev(2, 10, 1, "a", 2.0),
+      ev(3, 60, 1, "a", 4.0), ev(4, 5, 2, "b", 8.0),
+      ev(5, 45, 2, "b", 1.5)).toDF()
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "session_start", "session_end", "n_events",
+        "sum_value").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).toSet
+    assert(tuples(EventsPipeline.sessionizeNative(evs, 30)) ==
+      tuples(EventsPipeline.sessionizeBatch(evs, 30)))
+  }
+
+  test("stream-stream interval join: click joins only its recent view") {
+    val inDir = tmpDir()
+    val ckDir = tmpDir()
+    Seq(ev(1, 0, 1, "view", 1.0), // view 10:00
+      ev(2, 5, 1, "click", 2.0), // click 10:05 → joins view 1
+      ev(3, 20, 1, "click", 3.0), // click 10:20 → view is 20 min old: no
+      ev(4, 1, 2, "view", 4.0)) // user 2 never clicks
+      .toDF().coalesce(1).write.mode("append").parquet(inDir)
+    val stream = spark.readStream.schema(EventsPipeline.eventsSchema)
+      .parquet(inDir)
+    val q = EventsPipeline.clickViewJoin(
+      stream.where(col("event_type") === "click"),
+      stream.where(col("event_type") === "view"),
+      withinMinutes = 10)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckDir)
+      .format("memory").queryName("ssjoin_test")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(got == Set((1L, 2L, 1L))) // (user, click_id, view_id)
+    } finally q.stop()
+  }
+
   test("sessionizeStream: stateful sessions close on gap and watermark") {
     val inDir = tmpDir()
     val ckDir = tmpDir()
