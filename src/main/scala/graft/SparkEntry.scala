@@ -759,13 +759,68 @@ object SparkEntry {
     // — the narrow shuffle is pennies next to the per-row expression
     // work. (At 100 TB the corpus has thousands of splits and this
     // repartition becomes unnecessary, not wrong.)
+    // full SQL replication of the composite quality score + stopword
+    // language ID (same term order and double arithmetic; corpus is
+    // ASCII so \p{L} / [[:punct:]] agree across engines; zh profile
+    // omitted from the oracle — its hits are always 0 on ASCII text)
     Q("q_text_quality",
       (s, d) => s.read.parquet(pq(d, "documents"))
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           graft.functions.TextAnalysis.qualityScore(col("text")).as("quality"),
           graft.functions.TextAnalysis.langId(col("text")).as("lang_pred")),
-      None), // composite heuristic: rows-only check
+      Some("""WITH t AS (
+                SELECT doc_id, text,
+                  string_split_regex(lower(trim(text)), '\s+') AS ltoks,
+                  string_split_regex(trim(text), '\s+') AS toks
+                FROM documents
+              ), f AS (
+                SELECT doc_id,
+                  CAST(len(toks) AS DOUBLE) AS ntok,
+                  CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g'))
+                    AS DOUBLE) / length(text) AS alpha_r,
+                  CAST(length(regexp_replace(text, '[^[:punct:]]', '',
+                    'g')) AS DOUBLE) / length(text) AS punct_r,
+                  CAST(list_sum(list_transform(toks, x -> length(x)))
+                    AS DOUBLE) / len(toks) AS mtl,
+                  CAST(len(list_filter(ltoks, x -> list_contains(
+                    ['the','of','and','to','a','in','is','it','that',
+                     'was','for','on','with','as','at','by','this','are',
+                     'be'], x))) AS DOUBLE) / len(ltoks) AS stop_r,
+                  len(list_intersect(list_distinct(ltoks),
+                    ['the','of','and','to','a','in','is','it','that',
+                     'was','for','on','with','as','at','by','this','are',
+                     'be'])) AS h_en,
+                  len(list_intersect(list_distinct(ltoks),
+                    ['der','die','das','und','ist','ein','eine','zu',
+                     'den','von','mit','auf','für','im','nicht','sich',
+                     'auch'])) AS h_de,
+                  len(list_intersect(list_distinct(ltoks),
+                    ['le','la','les','de','des','et','est','un','une',
+                     'du','dans','que','qui','pour','pas','sur','au',
+                     'avec'])) AS h_fr,
+                  len(list_intersect(list_distinct(ltoks),
+                    ['el','la','los','las','de','y','es','un','una',
+                     'del','en','que','no','por','con','para','se',
+                     'su'])) AS h_es
+                FROM t
+              )
+              SELECT doc_id,
+                ROUND(least(ntok / 50.0, CAST(1.0 AS DOUBLE)) * 0.25
+                  + alpha_r * 0.25
+                  + greatest(CAST(0.0 AS DOUBLE),
+                      1.0 - punct_r * 5.0) * 0.2
+                  + (CASE WHEN mtl BETWEEN 2.0 AND 12.0
+                      THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.2 AS DOUBLE) END) * 0.15
+                  + least(stop_r * 5.0, CAST(1.0 AS DOUBLE)) * 0.15, 4)
+                  AS quality,
+                CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                  ELSE (SELECT l FROM (VALUES ('en', h_en), ('de', h_de),
+                    ('fr', h_fr), ('es', h_es)) v(l, h)
+                    ORDER BY h DESC, l DESC LIMIT 1)
+                END AS lang_pred
+              FROM f""")),
 
     Q("q_text_fingerprint",
       (s, d) => {
