@@ -40,6 +40,30 @@ object Writer {
   }
 
   /**
+   * Small-file compaction: rewrite a parquet dataset into files of
+   * roughly `targetFileBytes`. Streaming sinks and per-shard publishers
+   * (the reference's model — one file per `df_to_parquet` call) accrete
+   * thousands of small files; at 100 TB that means task-per-tiny-file
+   * scheduling overhead, footer-read storms, and poor scan locality.
+   * Output file count = max(1, ceil(inputBytes / targetFileBytes)),
+   * sized from the FileSystem's own usage numbers (compressed bytes, the
+   * quantity that matters for scan cost). Writes to `outDir` — compact
+   * into a fresh location and swap atomically at the catalog/manifest
+   * layer; an in-place rewrite that crashes mid-way loses data.
+   */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+              outDir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) /
+      targetFileBytes).toInt
+    dfToParquet(spark.read.parquet(inDir).repartition(nFiles), outDir)
+  }
+
+  /**
    * Dynamic partition overwrite: rewrite ONLY the partitions present in
    * `df`, leaving sibling partitions untouched — the Spark-native form
    * of the reference's republish-a-shard model (a writer replaces one

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.functions.Naming
 import graft.sources.Writer
 
@@ -51,6 +53,35 @@ class NamingWriterSpec extends SparkSpec {
     val got = spark.read.parquet(p).collect()
       .map(r => (r.getAs[String]("part"), r.getAs[Long]("v"))).toSet
     assert(got == Set(("a", 99L), ("b", 10L)))
+  }
+
+  test("compact merges a many-small-files dataset, preserving rows") {
+    val in = tmpDir() + "/frag.parquet"
+    val rows = (1 to 2000).map(i => (i.toLong, s"v$i"))
+    // 40 shards of 50 rows — the accreted-small-files shape
+    rows.grouped(50).foreach(g =>
+      g.toDF("k", "v").coalesce(1).write.mode("append").parquet(in))
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(in) >= 40)
+    val out = tmpDir() + "/compact.parquet"
+    graft.sources.Writer.compact(spark, in, out) // 128 MB target → 1 file
+    assert(parquetFiles(out) == 1)
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == rows.toSet)
+  }
+
+  test("partition-by layout prunes at the scan (PartitionFilters)") {
+    val p = tmpDir() + "/part.parquet"
+    (1 to 300).map(i => (s"g${i % 3}", i.toLong)).toDF("part", "v")
+      .write.partitionBy("part").parquet(p)
+    val q = spark.read.parquet(p).where(col("part") === "g1")
+    val scan = q.queryExecution.executedPlan.toString
+    // the filter must land in PartitionFilters (directory pruning — the
+    // 100 TB lever), not survive as a post-scan Filter over all files
+    assert(scan.contains("PartitionFilters: [isnotnull(part"), scan.take(900))
+    assert(q.count() == 100)
   }
 
   test("writer overwrite replaces prior data (write.py:52-53 delete-first)") {
