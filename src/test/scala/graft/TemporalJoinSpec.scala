@@ -76,6 +76,26 @@ class TemporalJoinSpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("null timestamps: asof rows match nothing, range points drop") {
+    // dirty-data contract: a null event time cannot assert an order —
+    // it must not match, and must not poison other rows
+    val t = Seq((1L, Option(ts("2024-01-01 10:00:05")), 100.0),
+      (1L, Option.empty[Timestamp], 101.0))
+      .toDF("sym", "tts", "px")
+    val gotAsof = asofTuples(TemporalJoin.asofJoin(t, quotes,
+      Seq("sym"), "tts", "qts", Seq("bid")))
+    assert(gotAsof == Set((1L, 100.0, Some(99.5)), (1L, 101.0, None)))
+
+    val points = Seq((10L, Option(ts("2024-01-02 00:00:00"))),
+      (11L, Option.empty[Timestamp])).toDF("pid", "pts")
+    val ranges = Seq((100L, ts("2024-01-01 00:00:00"),
+      ts("2024-01-03 00:00:00"))).toDF("rid", "rs", "re")
+    val gotRange = TemporalJoin.rangeJoin(points, ranges, "pts",
+      "rs", "re", binSeconds = 86400)
+      .select("pid").collect().map(_.getLong(0)).toSeq
+    assert(gotRange == Seq(10L))
+  }
+
   test("asofJoin plans one key shuffle + window — no join operator") {
     val plan = TemporalJoin.asofJoin(trades, quotes, Seq("sym"),
       "tts", "qts", Seq("bid")).queryExecution.executedPlan.toString
