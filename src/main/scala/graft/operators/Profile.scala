@@ -19,13 +19,20 @@ object Profile {
   /**
    * Numeric-column profile: one output row per column with
    * (n_rows, n_nonnull, n_distinct, min, max, avg). `n_distinct` is
-   * exact; swap to `approx_count_distinct` at extreme cardinalities.
+   * exact by default; `exactDistinct = false` switches to the HLL sketch
+   * (`approx_count_distinct`) — the scale path when columns hold
+   * billions of distinct values: exact distinct forces an Expand (input
+   * replicated once per distinct aggregate) plus per-value state, while
+   * the sketch is a few KB per column and stays one pass.
    */
-  def profileNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profileNumeric(df: DataFrame, cols: Seq[String],
+                     exactDistinct: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profileNumeric needs at least one column")
+    val distinctOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (exactDistinct) count_distinct(_) else approx_count_distinct(_)
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"__${c}_nn"),
-        count_distinct(col(c)).as(s"__${c}_nd"),
+        distinctOf(col(c)).as(s"__${c}_nd"),
         min(col(c)).cast("double").as(s"__${c}_min"),
         max(col(c)).cast("double").as(s"__${c}_max"),
         avg(col(c)).cast("double").as(s"__${c}_avg"))

@@ -291,6 +291,41 @@ object EventsPipeline {
   }
 
   /**
+   * Incrementally-maintained rollup snapshot over parquet: the streaming
+   * hourly rollup runs in UPDATE mode, and each micro-batch's changed
+   * (hour, event_type) rows REPLACE their partition via dynamic
+   * partition overwrite — a materialized view over plain parquet that
+   * readers query with partition pruning. Correctness hinges on the
+   * partition key equaling the aggregation key ((hourKey, event_type) —
+   * an updated row is a COMPLETE partition), so a replace never drops
+   * sibling rows. Replaying a batch after a crash rewrites the same
+   * partitions with the same content: foreachBatch + idempotent
+   * overwrite gives effectively-exactly-once publishing.
+   *
+   * This is the Spark-native form of the reference's production loop
+   * (writers republish per-shard aggregate files, readers pick up
+   * whole-file swaps — README.md:4,10).
+   */
+  def publishHourlySnapshots(events: DataFrame, outDir: String,
+                             checkpointDir: String,
+                             trigger: Trigger =
+                               Trigger.ProcessingTime("10 seconds"))
+      : StreamingQuery =
+    hourlyRollup(events).writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.Writer.overwritePartitions(
+            batch.withColumn("hour_key",
+              date_format(col("hour_start"), "yyyyMMddHH")),
+            outDir, Seq("hour_key", "event_type"))
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /**
    * File-source streaming wiring: watch `inputDir` for new parquet files
    * (the reference's "concurrent writer publishes shards" scenario),
    * maintain the hourly rollup incrementally, write append-mode parquet.

@@ -17,6 +17,15 @@ class ProfileSpec extends SparkSpec {
     assert(got("b") == (4L, 3L, 3L, 2.0, 10.0, 5.3333))
   }
 
+  test("approx distinct path: sketch estimate close, same shape") {
+    val df = (1 to 5000).map(i => (i.toLong % 997, i * 1.5)).toDF("x", "y")
+    val got = Profile.profileNumeric(df, Seq("x"), exactDistinct = false)
+      .collect()(0)
+    assert(got.getString(0) == "x" && got.getLong(1) == 5000L)
+    val nd = got.getLong(3).toDouble
+    assert(math.abs(nd - 997.0) / 997.0 < 0.1) // HLL default ~2% rsd
+  }
+
   test("profileNumeric runs as one aggregation pass (no per-column scans)") {
     val df = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("x", "y")
     val plan = Profile.profileNumeric(df, Seq("x", "y"))

@@ -220,6 +220,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("publishHourlySnapshots: updated partitions replaced, others intact") {
+    val inDir = tmpDir()
+    val ckDir = tmpDir()
+    val outDir = tmpDir() + "/rollup.parquet"
+    Seq(ev(1, 0, 1, "click", 1.0), ev(2, 10, 2, "click", 2.0),
+      ev(3, 20, 1, "view", 3.0))
+      .toDF().coalesce(1).write.mode("append").parquet(inDir)
+    val stream = spark.readStream.schema(EventsPipeline.eventsSchema)
+      .parquet(inDir)
+    val q = EventsPipeline.publishHourlySnapshots(stream, outDir, ckDir,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try q.awaitTermination(60000) finally q.stop()
+    def snap() = spark.read.parquet(outDir)
+      .select("event_type", "n_events", "sum_value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(snap() == Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+    // batch 2: one more click in hour 10 and a click two hours later —
+    // the hour-10 click partition must be REPLACED (n 2→3), hour-10 view
+    // left intact, and the new hour published
+    Seq(ev(4, 30, 3, "click", 4.0), ev(5, 125, 1, "click", 8.0))
+      .toDF().coalesce(1).write.mode("append").parquet(inDir)
+    val q2 = EventsPipeline.publishHourlySnapshots(stream, outDir, ckDir,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try q2.awaitTermination(60000) finally q2.stop()
+    assert(snap() == Set(("click", 3L, 7.0), ("view", 1L, 3.0),
+      ("click", 1L, 8.0)))
+  }
+
   test("sessionizeNative (session_window) ≡ sessionizeBatch") {
     val evs = Seq(ev(1, 0, 1, "a", 1.0), ev(2, 10, 1, "a", 2.0),
       ev(3, 60, 1, "a", 4.0), ev(4, 5, 2, "b", 8.0),
