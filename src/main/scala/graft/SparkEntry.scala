@@ -236,17 +236,26 @@ object SparkEntry {
         val c = s.read.parquet(pq(d, "customer"))
         val n = s.read.parquet(pq(d, "nation"))
         val r = s.read.parquet(pq(d, "region"))
+        // revenue summed as DECIMAL: a double sum of 10^5+ terms at 1e9+
+        // magnitude depends on partial-sum order (Spark partials vs the
+        // oracle's sequential scan diverged in the 4th decimal at
+        // sf0.1). The per-row product is computed in double identically
+        // by both engines, then cast to decimal — exact, order-free
+        // addition — and only the final value returns to double.
         li.join(o, li("l_orderkey") === o("o_orderkey"))
           .join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy(col("r_name"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .agg(round(sum((col("l_extendedprice") *
+              (lit(1.0) - col("l_discount"))).cast("decimal(20,6)"))
+              .cast("double"), 4)
             .as("revenue"),
             count(lit(1)).as("n_rows"))
       },
       Some("""SELECT r_name,
-              ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+              ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                AS DECIMAL(20,6))) AS DOUBLE), 4) AS revenue,
               COUNT(*) AS n_rows
               FROM lineitem
               JOIN orders ON l_orderkey = o_orderkey
