@@ -846,6 +846,147 @@ object SparkEntry {
       },
       None), // xxhash64 not available in the oracle engine
 
+    // Gopher-style repetition signals; bigram histogram computed
+    // distributed (explode + groupBy), not per-row O(n^2) HOFs
+    Q("q_text_repetition",
+      (s, d) => graft.functions.TextAnalysis.repetitionStats(
+        s.read.parquet(pq(d, "documents")), "doc_id", "text"),
+      Some("""WITH t AS (SELECT doc_id,
+                string_split_regex(trim(text), '\s+') AS toks FROM documents),
+              b AS (SELECT doc_id, len(toks) AS n,
+                len(list_distinct(toks)) AS nd,
+                list_transform(generate_series(1, len(toks)-1),
+                  i -> toks[i] || ' ' || toks[i+1]) AS bgs FROM t),
+              e AS (SELECT doc_id, unnest(bgs) AS bg FROM b),
+              c AS (SELECT doc_id, bg, count(*) AS c FROM e
+                GROUP BY doc_id, bg),
+              m AS (SELECT doc_id, max(c) AS mx,
+                CAST(sum(c) AS BIGINT) AS tot FROM c GROUP BY doc_id)
+              SELECT b.doc_id AS doc_id,
+                ROUND(CAST(1.0 AS DOUBLE) - CAST(nd AS DOUBLE)/n, 4)
+                  AS dup_word_frac,
+                COALESCE(ROUND(CAST(mx AS DOUBLE)/tot, 4),
+                  CAST(0.0 AS DOUBLE)) AS top_bigram_frac
+              FROM b LEFT JOIN m ON b.doc_id = m.doc_id""")),
+
+    // PII scrub: corpus has no PII, so inject a deterministic email/
+    // phone/IP per doc in the query body, then redact — the expected
+    // output is fully SQL-expressible
+    Q("q_text_redact",
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        val injected = concat(substring(col("text"), 1, 40),
+          lit(" mail user"), col("doc_id").cast("string"),
+          lit("@example.com call 1-555-123-4567 ip 10.0.0."),
+          (col("doc_id") % 256).cast("string"))
+        s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"), injected.as("__t"))
+          .select(col("doc_id"),
+            TextAnalysis.redactPii(col("__t")).as("redacted"),
+            TextAnalysis.piiCount(col("__t")).cast("long").as("pii_n"))
+      },
+      Some("""WITH p AS (SELECT doc_id, substr(text, 1, 40) || ' mail user' ||
+                CAST(doc_id AS VARCHAR) ||
+                '@example.com call 1-555-123-4567 ip 10.0.0.' ||
+                CAST(doc_id % 256 AS VARCHAR) AS t FROM documents)
+              SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g'),
+                  '(?:\+?[0-9]{1,2}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}',
+                  '<PHONE>', 'g'),
+                  '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')
+                  AS redacted,
+                CAST(len(regexp_extract_all(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                + len(regexp_extract_all(t,
+                  '(?:\+?[0-9]{1,2}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}'))
+                + len(regexp_extract_all(t,
+                  '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS pii_n
+              FROM p""")),
+
+    // benchmark decontamination: distinct 5-gram overlap of each doc
+    // against the held-out set (source = src0); finds the planted
+    // near-dups whose source differs
+    Q("q_contamination",
+      (s, d) => {
+        val docs = s.read.parquet(pq(d, "documents"))
+        graft.operators.Dedup.contaminationScore(
+          docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"),
+          "doc_id", "text", shingleWords = 5)
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+                string_split_regex(trim(text), '\s+') AS toks FROM documents),
+              s AS (SELECT doc_id, source,
+                unnest(list_distinct(list_transform(
+                  generate_series(0, greatest(len(toks)-5, 0)),
+                  i -> array_to_string(toks[i+1:i+5], ' ')))) AS sh FROM t),
+              bench AS (SELECT DISTINCT sh FROM s WHERE source = 'src0'),
+              d AS (SELECT doc_id, s.sh,
+                CASE WHEN bench.sh IS NULL THEN 0 ELSE 1 END AS hit
+                FROM s LEFT JOIN bench ON s.sh = bench.sh
+                WHERE s.source <> 'src0')
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+                CAST(sum(hit) AS BIGINT) AS n_contaminated,
+                ROUND(CAST(sum(hit) AS DOUBLE)/count(*), 4) AS contamination
+              FROM d GROUP BY doc_id""")),
+
+    // CCNet-style cross-document line dedup; the corpus has no newlines,
+    // so the query body synthesizes 10-word lines first (deterministic,
+    // mirrored in the oracle), then drops every line's repeat occurrences
+    // corpus-wide and reassembles docs
+    Q("q_line_dedup",
+      (s, d) => {
+        val toks = graft.functions.TextAnalysis.tokens(col("text"))
+        val lined = s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"), array_join(transform(
+            sequence(lit(0), greatest(
+              floor((size(toks) - 1) / lit(10.0)), lit(0)).cast("int")),
+            i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10)))), "\n")
+            .as("text_ln"))
+        graft.operators.Dedup.lineDedup(lined, "doc_id", "text_ln", "\n")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                string_split_regex(trim(text), '\s+') AS toks FROM documents),
+              l AS (SELECT doc_id, list_transform(generate_series(0,
+                  CAST(greatest(floor((len(toks)-1)/10.0), 0) AS BIGINT)),
+                i -> array_to_string(toks[i*10+1:i*10+10], ' ')) AS lns
+                FROM t),
+              e AS (SELECT doc_id, unnest(lns) AS line,
+                unnest(generate_series(1, len(lns))) AS pos FROM l),
+              f AS (SELECT * FROM e WHERE length(trim(line)) > 0),
+              k AS (SELECT doc_id, line, pos, row_number() OVER
+                (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM f)
+              SELECT doc_id,
+                string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+                CAST(count(*) AS BIGINT) AS n_lines_kept
+              FROM k WHERE rn = 1 GROUP BY doc_id""")),
+
+    // deterministic hash sampling: membership is a pure function of
+    // (key, salt, fraction) — same sample every run, every partitioning,
+    // every engine (unlike df.sample, whose RNG is partition-dependent)
+    Q("q_sample_hash",
+      (s, d) => graft.operators.Sampling.hashSample(
+        s.read.parquet(pq(d, "documents")).select(col("doc_id"), col("lang")),
+        "doc_id", 0.15, salt = "graft"),
+      Some("""SELECT doc_id, lang FROM documents
+              WHERE substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4)
+                < '2666'""")),
+
+    // deterministic train/val/test split assignment by hashed key
+    Q("q_split_assign",
+      (s, d) => graft.operators.Sampling.splitAssign(
+        s.read.parquet(pq(d, "documents")).select(col("doc_id")),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        salt = "split"),
+      Some("""SELECT doc_id, CASE
+                WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4)
+                  < 'cccc' THEN 'train'
+                WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4)
+                  < 'e666' THEN 'val'
+                ELSE 'test' END AS split FROM documents""")),
+
     // ---- similarity search ----------------------------------------------
     Q("q_ann_brute",
       (s, d) => {

@@ -122,6 +122,80 @@ object TextAnalysis {
       wordLenTerm * 0.15 + stopTerm * 0.15, 4)
   }
 
+  // --- repetition (Gopher-style quality signals) --------------------------
+
+  /**
+   * Per-document repetition statistics in the style of the Gopher/
+   * MassiveText heuristic filters (Rae et al. 2021, public): the fraction
+   * of tokens that are repeats (`dup_word_frac`) and the fraction of all
+   * word bigrams taken by the single most frequent bigram
+   * (`top_bigram_frac`). High values flag boilerplate / template /
+   * keyword-stuffed pages that perplexity filters miss.
+   *
+   * Scale shape: the bigram histogram is computed DISTRIBUTED — explode
+   * to (doc, bigram), `groupBy(doc, bigram)` with map-side partial
+   * aggregation, then one `groupBy(doc)` for max/total — rather than a
+   * per-row HOF frequency count, which is O(tokens²) per document and
+   * blows up on long documents. Two key shuffles, both on (doc[, bigram]),
+   * never on text. Docs with fewer than 2 tokens get `top_bigram_frac` 0.
+   */
+  def repetitionStats(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = docs.select(col(idCol), toks.as("__toks"))
+      .withColumn("__n_tok", size(col("__toks")))
+      .withColumn("dup_word_frac",
+        when(col("__n_tok") === 0, lit(0.0)).otherwise(
+          round(lit(1.0) -
+            size(array_distinct(col("__toks"))).cast("double") /
+              col("__n_tok"), 4)))
+    // bigrams of adjacent tokens (zip tokens with their successor inside
+    // the projection — one pass, no self-join); docs with <2 tokens emit none
+    val bg = base.select(col(idCol),
+      explode(zip_with(
+        slice(col("__toks"), lit(1), greatest(col("__n_tok") - 1, lit(0))),
+        slice(col("__toks"), lit(2), greatest(col("__n_tok") - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b))).as("__bg"))
+    val hist = bg.groupBy(col(idCol), col("__bg"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(max(col("__c")).as("__mx"), sum(col("__c")).as("__tot"))
+    base.select(col(idCol), col("dup_word_frac"))
+      .join(hist, Seq(idCol), "left")
+      .select(col(idCol), col("dup_word_frac"),
+        coalesce(round(col("__mx").cast("double") / col("__tot"), 4),
+          lit(0.0)).as("top_bigram_frac"))
+  }
+
+  // --- PII redaction ------------------------------------------------------
+
+  /** Email-address regex (pragmatic, not RFC-complete). */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** North-American-style phone numbers with separators (optional
+    * country-code prefix as a non-capturing group — RE2/Java-portable). */
+  val phoneRe =
+    "(?:\\+?[0-9]{1,2}[-. ])?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+  /** IPv4 addresses. */
+  val ipRe = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /**
+   * Replace emails, phone numbers and IPv4 addresses with typed
+   * placeholder tags. A standard pre-training scrub pass; pure
+   * codegen'd `regexp_replace` chain — one narrow map, no shuffle.
+   */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipRe, "<IP>")
+
+  /** Count of PII matches (emails + phones + IPs) in the text. */
+  def piiCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailRe), lit(0))) +
+      size(regexp_extract_all(text, lit(phoneRe), lit(0))) +
+      size(regexp_extract_all(text, lit(ipRe), lit(0)))
+
   // --- term weighting ----------------------------------------------------
 
   /**

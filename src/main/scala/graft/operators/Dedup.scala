@@ -362,4 +362,75 @@ object Dedup {
       .where(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
+
+  // ---- benchmark contamination --------------------------------------------
+
+  /**
+   * Benchmark-contamination score: for each document, the fraction of its
+   * distinct `k`-word shingles that also occur anywhere in `benchmark`
+   * (the held-out eval corpus). Standard pre-training decontamination
+   * check (cf. the n-gram-overlap procedure described in public LM
+   * reports, e.g. GPT-3 appendix C / PaLM; public methodology).
+   *
+   * Scale shape: both corpora reduce to distinct (shingle) / (doc,
+   * shingle) rows — shuffles carry shingle strings, never full documents;
+   * membership is a broadcast-or-hash LEFT join on the shingle (Catalyst
+   * broadcasts when the benchmark side is small, the common case); the
+   * per-doc fraction is one `groupBy(doc)` with map-side partials. No
+   * driver-side set, no cross join. At 100 TB, swap the shingle string
+   * for `xxhash64(shingle)` to shrink shuffle width (same joins).
+   */
+  def contaminationScore(docs: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleWords: Int = 5): DataFrame = {
+    val docSh = docs.select(col(idCol),
+      explode(Shingles.wordShingles(col(textCol), shingleWords)).as("__sh"))
+    val benchSh = benchmark
+      .select(explode(Shingles.wordShingles(col(textCol), shingleWords))
+        .as("__sh"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    docSh.join(benchSh, Seq("__sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_contaminated"))
+      .select(col(idCol), col("n_shingles"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 4)
+          .as("contamination"))
+  }
+
+  // ---- line-level dedup ---------------------------------------------------
+
+  /**
+   * Cross-document line-level deduplication (CCNet-style, Wenzek et al.
+   * 2019, public): every line keeps only its FIRST occurrence across the
+   * whole corpus (survivor = smallest (`idCol`, position)); documents are
+   * reassembled from their surviving lines in original order. Kills
+   * boilerplate (headers, nav bars, cookie banners) that document-level
+   * dedup can't touch. Documents whose every line is a repeat disappear.
+   *
+   * Scale shape: explode to (line, doc, pos) — the only shuffles are a
+   * hash partition on the line key for the first-occurrence window and a
+   * hash partition on doc for reassembly; line text rides the shuffle
+   * once (at 100 TB, window over `xxhash64(line)` instead to shuffle
+   * 8-byte keys). No driver state, no collect.
+   */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__line")))
+      .where(length(trim(col("__line"))) > 0)
+    val w = Window.partitionBy(col("__line"))
+      .orderBy(col(idCol), col("__pos"))
+    lines.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__line"))))
+        .as("__kept"))
+      .select(col(idCol),
+        array_join(transform(col("__kept"), k => k.getField("__line")),
+          sep).as("text_dedup"),
+        size(col("__kept")).cast("long").as("n_lines_kept"))
+  }
 }

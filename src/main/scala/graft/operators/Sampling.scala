@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic, engine-portable sampling for training-data pipelines.
+ * Extension beyond the reference surface (SURVEY.md §2 — parquery has no
+ * sampling operator).
+ *
+ * Why not `df.sample(fraction)`: Spark's sampler draws per-partition from
+ * a seeded RNG, so membership depends on partitioning — re-running after
+ * a repartition (or in another engine) yields a different sample. Pipelines
+ * need the SAME sample on every run and every engine so downstream shards,
+ * eval splits and dedup decisions are reproducible. Hashing a stable key
+ * gives that: membership is a pure function of (key, salt, fraction).
+ *
+ * Scale shape: one codegen'd projection + filter per row — no shuffle, no
+ * RNG state, pushdown-friendly (the md5 filter doesn't reach parquet, but
+ * partition pruning on other predicates is unaffected).
+ */
+object Sampling {
+
+  /**
+   * Keep rows whose `md5(salt || key)` 4-hex-digit prefix falls below
+   * `fraction` of the 16^4 space. Deterministic across runs, partitionings
+   * and engines (the same predicate is expressible in any SQL dialect with
+   * `md5`; hex-string comparison orders like the number it encodes).
+   * Resolution is 1/65536 ≈ 0.0015 of a fraction step.
+   */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+                 salt: String = ""): DataFrame = {
+    df.where(hashSamplePredicate(col(keyCol), fraction, salt))
+  }
+
+  /** The membership predicate itself, for composition into other plans. */
+  def hashSamplePredicate(key: Column, fraction: Double,
+                          salt: String = ""): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction must be in [0,1], got $fraction")
+    substring(md5(concat(lit(salt), key.cast("string"))), 1, 4) <
+      lit(hexThreshold(fraction))
+  }
+
+  /** 4-hex-digit lower-case threshold: floor(fraction * 16^4). */
+  def hexThreshold(fraction: Double): String =
+    f"${math.min((fraction * 65536).toLong, 65535L)}%04x"
+
+  /**
+   * Deterministic train/val/test-style split assignment: hash the key into
+   * [0,1) and bucket by cumulative fractions. Returns the input plus a
+   * `split` column. `fractions` must sum to ~1 (last split absorbs
+   * rounding).
+   */
+  def splitAssign(df: DataFrame, keyCol: String,
+                  fractions: Seq[(String, Double)],
+                  salt: String = ""): DataFrame = {
+    require(fractions.nonEmpty, "need at least one split")
+    val total = fractions.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-6,
+      s"split fractions must sum to 1, got $total")
+    val hexPrefix =
+      substring(md5(concat(lit(salt), col(keyCol).cast("string"))), 1, 4)
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    // last bucket is the otherwise-branch: absorbs the 65535/65536 edge
+    val assigned = fractions.init.zip(cum.init).foldRight(
+      lit(fractions.last._1)) { case (((name, _), upper), acc) =>
+      when(hexPrefix < lit(hexThreshold(upper)), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assigned)
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Sampling}
+import graft.functions.TextAnalysis
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = spark.range(0, 2000).toDF("id")
+
+  test("hashSample is deterministic and partitioning-independent") {
+    val a = Sampling.hashSample(ids, "id", 0.2).select("id")
+      .as[Long].collect().toSet
+    val b = Sampling.hashSample(ids.repartition(7), "id", 0.2).select("id")
+      .as[Long].collect().toSet
+    assert(a == b)
+    // roughly the asked-for fraction (md5 prefix is uniform)
+    assert(a.size > 300 && a.size < 500, s"got ${a.size} of 2000 at 0.2")
+  }
+
+  test("hashSample honors salt and edge fractions") {
+    val s1 = Sampling.hashSample(ids, "id", 0.2, salt = "a")
+      .select("id").as[Long].collect().toSet
+    val s2 = Sampling.hashSample(ids, "id", 0.2, salt = "b")
+      .select("id").as[Long].collect().toSet
+    assert(s1 != s2) // different salt, different (overlapping) sample
+    assert(Sampling.hashSample(ids, "id", 0.0).isEmpty)
+    assert(Sampling.hashSample(ids, "id", 1.0).count() == 2000L)
+  }
+
+  test("hashSample nests: a sub-fraction sample is a subset") {
+    val small = Sampling.hashSample(ids, "id", 0.1).select("id")
+      .as[Long].collect().toSet
+    val big = Sampling.hashSample(ids, "id", 0.3).select("id")
+      .as[Long].collect().toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("splitAssign covers every row exactly once, deterministically") {
+    val out = Sampling.splitAssign(ids, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(out.count() == 2000L)
+    val counts = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 1500L && counts("train") < 1700L)
+    // stable across recomputation
+    val again = Sampling.splitAssign(ids.repartition(5), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts == again)
+  }
+
+  test("splitAssign rejects fractions that do not sum to 1") {
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(ids, "id", Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+}
+
+class RepetitionRedactSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionStats: hand-computed fractions") {
+    val docs = Seq(
+      (1L, "a a b"),          // 3 tok, 2 distinct; bigrams: "a a","a b"
+      (2L, "x y z w"),        // all distinct; 3 bigrams each unique
+      (3L, "go go go go")     // 4 tok 1 distinct; bigram "go go" x3
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(m(1L) == (0.3333, 0.5))
+    assert(m(2L) == (0.0, 0.3333))
+    assert(m(3L) == (0.75, 1.0))
+  }
+
+  test("repetitionStats: single-token doc gets zero bigram fraction") {
+    val m = TextAnalysis.repetitionStats(
+      Seq((1L, "solo")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(m(1L) == (0.0, 0.0))
+  }
+
+  test("redactPii replaces email, phone and ip; piiCount counts them") {
+    val df = Seq(
+      "write to jo.doe+x@sub.example.org or call 1-555-867-5309 " +
+        "from 192.168.0.17 today",
+      "no pii here at all"
+    ).toDF("t").select(
+      TextAnalysis.redactPii(col("t")).as("r"),
+      TextAnalysis.piiCount(col("t")).as("n"))
+    val rows = df.as[(String, Int)].collect()
+    assert(rows(0)._1 ==
+      "write to <EMAIL> or call <PHONE> from <IP> today")
+    assert(rows(0)._2 == 3)
+    assert(rows(1)._1 == "no pii here at all" && rows(1)._2 == 0)
+  }
+}
+
+class ContaminationLineDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contaminationScore flags overlap with the benchmark set") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val docs = Seq(
+      // shares the 5-gram window "alpha beta gamma delta epsilon" etc.
+      (1L, "alpha beta gamma delta epsilon zeta unrelated tail words"),
+      (2L, "fully disjoint content with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val m = graft.operators.Dedup
+      .contaminationScore(docs, bench, "doc_id", "text", 5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1: 9 tokens -> 5 shingles; "alpha..epsilon" and "beta..zeta"
+    // also occur in the benchmark doc
+    assert(m(1L)._1 == 5L && m(1L)._2 == 2L)
+    assert(m(2L)._2 == 0L)
+  }
+
+  test("lineDedup keeps first occurrence corpus-wide and reassembles") {
+    val docs = Seq(
+      (1L, "header\nunique one\nfooter"),
+      (2L, "header\nunique two\nfooter"),
+      (3L, "header\nfooter") // nothing unique -> disappears
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(out(1L) == ("header\nunique one\nfooter", 3L))
+    assert(out(2L) == ("unique two", 1L))
+    assert(!out.contains(3L))
+  }
+
+  test("lineDedup drops blank lines and preserves in-doc order") {
+    val docs = Seq((1L, "b\n\na\nb")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text").collect()
+    assert(out.length == 1)
+    // duplicate "b" within the same doc also deduped (first kept)
+    assert(out(0).getString(1) == "b\na")
+  }
+}
