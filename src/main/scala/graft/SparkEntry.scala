@@ -974,6 +974,57 @@ object SparkEntry {
               WHERE substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4)
                 < '2666'""")),
 
+    // deterministic per-group sample: k docs per language, chosen by
+    // stable hash order (one shuffle on the group key)
+    Q("q_sample_per_group",
+      (s, d) => graft.operators.Sampling.hashSamplePerGroup(
+        s.read.parquet(pq(d, "documents")).select(col("doc_id"), col("lang")),
+        "doc_id", Seq("lang"), k = 3, salt = "g"),
+      Some("""SELECT doc_id, lang FROM (
+                SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+                  ORDER BY md5('g' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                FROM documents) WHERE rn <= 3""")),
+
+    // per-row weighted keep (longer docs kept proportionally more often);
+    // deterministic, engine-portable via printf-rendered threshold
+    Q("q_sample_weighted",
+      (s, d) => graft.operators.Sampling.hashSampleWeighted(
+        s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"), col("n_chars"),
+            (col("n_chars") / lit(500.0)).as("w")),
+        "doc_id", "w", salt = "w").drop("w"),
+      Some("""SELECT doc_id, n_chars FROM documents
+              WHERE substr(md5('w' || CAST(doc_id AS VARCHAR)), 1, 4) <
+                printf('%04x', CAST(least(floor(least(greatest(
+                  CAST(n_chars AS DOUBLE)/500, 0.0), 1.0)*65536), 65535)
+                  AS INT))""")),
+
+    // incremental ingestion dedup: a synthesized batch (every 5th doc an
+    // exact repeat of history, every 7th collapsed to one shared body,
+    // rest genuinely new) anti-joined against the already-seen corpus —
+    // history is touched only as a hash projection
+    Q("q_dedup_incremental",
+      (s, d) => {
+        val seen = s.read.parquet(pq(d, "documents"))
+        val batch = seen.select((col("doc_id") + 10000).as("doc_id"),
+          when(col("doc_id") % 7 === 3, lit("shared new document body"))
+            .when(col("doc_id") % 5 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" v2"))).as("text"))
+        graft.operators.Dedup.incrementalExact(batch, seen,
+          "doc_id", "text")
+      },
+      Some("""WITH batch AS (SELECT doc_id + 10000 AS doc_id,
+                CASE WHEN doc_id % 7 = 3 THEN 'shared new document body'
+                     WHEN doc_id % 5 = 0 THEN text
+                     ELSE text || ' v2' END AS text FROM documents),
+              seen AS (SELECT DISTINCT md5(text) AS h FROM documents),
+              b AS (SELECT doc_id, text, md5(text) AS h FROM batch),
+              a AS (SELECT b.doc_id, b.text, b.h FROM b
+                LEFT JOIN seen ON b.h = seen.h WHERE seen.h IS NULL),
+              k AS (SELECT doc_id, text, row_number() OVER
+                (PARTITION BY h ORDER BY doc_id) AS rn FROM a)
+              SELECT doc_id, text FROM k WHERE rn = 1""")),
+
     // deterministic train/val/test split assignment by hashed key
     Q("q_split_assign",
       (s, d) => graft.operators.Sampling.splitAssign(

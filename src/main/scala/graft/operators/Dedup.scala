@@ -363,6 +363,31 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
+  // ---- incremental dedup --------------------------------------------------
+
+  /**
+   * Incremental exact dedup: from a batch of new documents, keep only
+   * those whose canonical text hash is (a) absent from the already-
+   * ingested corpus and (b) unique within the batch (smallest id
+   * survives). The shape every append-only ingestion pipeline needs —
+   * dedup against 100 TB of history WITHOUT re-reading it: `seen` is the
+   * (hash)-projected history (or a pre-materialized hash index), the
+   * anti-join shuffles only (hash, id) pairs, and Catalyst broadcasts
+   * whichever side is small.
+   *
+   * `md5` (not xxhash64) so results stay SQL-oracle-comparable.
+   */
+  def incrementalExact(newDocs: DataFrame, seen: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val hash = (t: Column) => md5(t.cast("binary"))
+    val seenHashes = seen.select(hash(col(textCol)).as("__h")).distinct()
+    val batch = newDocs.select(col(idCol), col(textCol),
+      hash(col(textCol)).as("__h"))
+    exact(batch.join(seenHashes, Seq("__h"), "left_anti"),
+      Seq("__h"), idCol)
+      .drop("__h")
+  }
+
   // ---- benchmark contamination --------------------------------------------
 
   /**

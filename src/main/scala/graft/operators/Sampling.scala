@@ -47,6 +47,43 @@ object Sampling {
     f"${math.min((fraction * 65536).toLong, 65535L)}%04x"
 
   /**
+   * Deterministic per-group sample: keep at most `k` rows per group, the
+   * rows whose `md5(salt || key)` sorts lowest (a uniform random-but-
+   * stable order). The window shuffles once on the group key — the same
+   * shape as any per-group top-k; no RNG, no reservoir state.
+   */
+  def hashSamplePerGroup(df: DataFrame, keyCol: String,
+                         groupCols: Seq[String], k: Int,
+                         salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(concat(lit(salt), col(keyCol).cast("string"))),
+        col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k).drop("__rn")
+  }
+
+  /**
+   * Per-row weighted keep: row survives iff its hash lands below its own
+   * `weightCol` (clamped to [0,1]) — e.g. quality scores as sampling
+   * weights, so high-quality documents are kept proportionally more
+   * often. Deterministic like [[hashSample]]; the per-row threshold is
+   * rendered to a 4-hex-digit string (`format_string("%04x", ...)`), so
+   * the same predicate runs in any SQL engine with `md5` + `printf`.
+   */
+  def hashSampleWeighted(df: DataFrame, keyCol: String, weightCol: String,
+                         salt: String = ""): DataFrame = {
+    val clamped = greatest(lit(0.0), least(lit(1.0),
+      col(weightCol).cast("double")))
+    val threshold = format_string("%04x",
+      least(floor(clamped * 65536), lit(65535.0)).cast("int"))
+    df.where(
+      substring(md5(concat(lit(salt), col(keyCol).cast("string"))), 1, 4) <
+        threshold)
+  }
+
+  /**
    * Deterministic train/val/test-style split assignment: hash the key into
    * [0,1) and bucket by cumulative fractions. Returns the input plus a
    * `split` column. `fractions` must sum to ~1 (last split absorbs

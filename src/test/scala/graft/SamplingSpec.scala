@@ -58,6 +58,29 @@ class SamplingSpec extends SparkSpec {
       Sampling.splitAssign(ids, "id", Seq("a" -> 0.5, "b" -> 0.2))
     }
   }
+
+  test("hashSamplePerGroup keeps at most k per group, deterministically") {
+    val df = spark.range(0, 300)
+      .selectExpr("id", "CAST(id % 3 AS STRING) AS g")
+    val out = Sampling.hashSamplePerGroup(df, "id", Seq("g"), 5)
+    val counts = out.groupBy("g").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts.values.forall(_ == 5L))
+    val again = Sampling.hashSamplePerGroup(df.repartition(11), "id",
+      Seq("g"), 5).select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+  }
+
+  test("hashSampleWeighted keeps weight-0 never, weight-1 always") {
+    val df = spark.range(0, 600).selectExpr("id",
+      "CASE WHEN id < 200 THEN 0.0 WHEN id < 400 THEN 1.0 ELSE 0.5 END AS w")
+    val kept = Sampling.hashSampleWeighted(df, "id", "w")
+      .select("id").as[Long].collect()
+    assert(!kept.exists(_ < 200))                  // weight 0: none
+    assert(kept.count(i => i >= 200 && i < 400) == 200) // weight 1: all
+    val half = kept.count(_ >= 400)
+    assert(half > 60 && half < 140, s"got $half of 200 at weight 0.5")
+  }
 }
 
 class RepetitionRedactSpec extends SparkSpec {
@@ -143,5 +166,18 @@ class ContaminationLineDedupSpec extends SparkSpec {
     assert(out.length == 1)
     // duplicate "b" within the same doc also deduped (first kept)
     assert(out(0).getString(1) == "b\na")
+  }
+
+  test("incrementalExact drops seen texts and in-batch repeats") {
+    val seen = Seq((1L, "old doc"), (2L, "another old")).toDF("id", "text")
+    val batch = Seq(
+      (10L, "old doc"),      // exact repeat of history -> dropped
+      (11L, "fresh one"),    // new -> kept
+      (12L, "fresh two"),    // new -> kept
+      (13L, "fresh one")     // in-batch repeat of 11 -> dropped
+    ).toDF("id", "text")
+    val out = Dedup.incrementalExact(batch, seen, "id", "text")
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(11L, 12L))
   }
 }
