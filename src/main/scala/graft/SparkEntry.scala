@@ -850,7 +850,9 @@ object SparkEntry {
     // distributed (explode + groupBy), not per-row O(n^2) HOFs
     Q("q_text_repetition",
       (s, d) => graft.functions.TextAnalysis.repetitionStats(
-        s.read.parquet(pq(d, "documents")), "doc_id", "text"),
+        s.read.parquet(pq(d, "documents"))
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text"),
       Some("""WITH t AS (SELECT doc_id,
                 string_split_regex(trim(text), '\s+') AS toks FROM documents),
               b AS (SELECT doc_id, len(toks) AS n,
@@ -910,7 +912,10 @@ object SparkEntry {
     // near-dups whose source differs
     Q("q_contamination",
       (s, d) => {
+        // repartition: the CPU-bound shingle pass would otherwise run in
+        // as few tasks as the corpus has file splits (one, at test SF)
         val docs = s.read.parquet(pq(d, "documents"))
+          .repartition(s.sparkContext.defaultParallelism)
         graft.operators.Dedup.contaminationScore(
           docs.where(col("source") =!= "src0"),
           docs.where(col("source") === "src0"),
@@ -1024,6 +1029,91 @@ object SparkEntry {
               k AS (SELECT doc_id, text, row_number() OVER
                 (PARTITION BY h ORDER BY doc_id) AS rn FROM a)
               SELECT doc_id, text FROM k WHERE rn = 1""")),
+
+    // END-TO-END pipeline composition: quality-score + language-gate ->
+    // exact dedup -> deterministic split assignment, in ONE declarative
+    // plan (Catalyst fuses the scalar stages into the scan projection;
+    // the only shuffles are the dedup window and nothing else — split
+    // assignment is a pure predicate). The oracle replays every stage in
+    // SQL, so the COMPOSITION is hash-verified, not just the parts.
+    Q("q_pipeline_e2e",
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        val scored = s.read.parquet(pq(d, "documents"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("text"),
+            TextAnalysis.qualityScore(col("text")).as("quality"),
+            TextAnalysis.langId(col("text")).as("lang_pred"))
+          .where(col("quality") >= 0.5 && col("lang_pred") === "en")
+        val deduped = graft.operators.Dedup.exact(
+          scored, Seq("text"), "doc_id")
+        graft.operators.Sampling.splitAssign(deduped, "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.1), salt = "e2e")
+          .select(col("doc_id"), col("quality"), col("split"))
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, text,
+                  string_split_regex(lower(trim(text)), '\s+') AS ltoks,
+                  string_split_regex(trim(text), '\s+') AS toks
+                FROM documents
+              ), f AS (
+                SELECT doc_id, text,
+                  CAST(len(toks) AS DOUBLE) AS ntok,
+                  CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g'))
+                    AS DOUBLE) / length(text) AS alpha_r,
+                  CAST(length(regexp_replace(text, '[^[:punct:]]', '',
+                    'g')) AS DOUBLE) / length(text) AS punct_r,
+                  CAST(list_sum(list_transform(toks, x -> length(x)))
+                    AS DOUBLE) / len(toks) AS mtl,
+                  CAST(len(list_filter(ltoks, x -> list_contains(
+                    ['the','of','and','to','a','in','is','it','that',
+                     'was','for','on','with','as','at','by','this','are',
+                     'be'], x))) AS DOUBLE) / len(ltoks) AS stop_r,
+                  len(list_intersect(list_distinct(ltoks),
+                    ['the','of','and','to','a','in','is','it','that',
+                     'was','for','on','with','as','at','by','this','are',
+                     'be'])) AS h_en,
+                  len(list_intersect(list_distinct(ltoks),
+                    ['der','die','das','und','ist','ein','eine','zu',
+                     'den','von','mit','auf','für','im','nicht','sich',
+                     'auch'])) AS h_de,
+                  len(list_intersect(list_distinct(ltoks),
+                    ['le','la','les','de','des','et','est','un','une',
+                     'du','dans','que','qui','pour','pas','sur','au',
+                     'avec'])) AS h_fr,
+                  len(list_intersect(list_distinct(ltoks),
+                    ['el','la','los','las','de','y','es','un','una',
+                     'del','en','que','no','por','con','para','se',
+                     'su'])) AS h_es
+                FROM t
+              ), q AS (
+                SELECT doc_id, text,
+                  ROUND(least(ntok / 50.0, CAST(1.0 AS DOUBLE)) * 0.25
+                    + alpha_r * 0.25
+                    + greatest(CAST(0.0 AS DOUBLE),
+                        1.0 - punct_r * 5.0) * 0.2
+                    + (CASE WHEN mtl BETWEEN 2.0 AND 12.0
+                        THEN CAST(1.0 AS DOUBLE)
+                        ELSE CAST(0.2 AS DOUBLE) END) * 0.15
+                    + least(stop_r * 5.0, CAST(1.0 AS DOUBLE)) * 0.15, 4)
+                    AS quality,
+                  CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                    ELSE (SELECT l FROM (VALUES ('en', h_en), ('de', h_de),
+                      ('fr', h_fr), ('es', h_es)) v(l, h)
+                      ORDER BY h DESC, l DESC LIMIT 1)
+                  END AS lang_pred
+                FROM f
+              ), flt AS (
+                SELECT doc_id, text, quality FROM q
+                WHERE quality >= 0.5 AND lang_pred = 'en'
+              ), ddp AS (
+                SELECT doc_id, quality, row_number() OVER
+                  (PARTITION BY text ORDER BY doc_id) AS rn FROM flt
+              )
+              SELECT doc_id, quality,
+                CASE WHEN substr(md5('e2e' || CAST(doc_id AS VARCHAR)),
+                  1, 4) < 'e666' THEN 'train' ELSE 'val' END AS split
+              FROM ddp WHERE rn = 1""")),
 
     // deterministic train/val/test split assignment by hashed key
     Q("q_split_assign",

@@ -53,6 +53,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("text quality/redact/sample ops run stateless in a stream") {
+    // the per-row text operators (quality score, langId, PII redaction,
+    // hash-sample predicate) are pure projections/filters — they must
+    // compose into a streaming pipeline unchanged, with no state store
+    val inDir = tmpDir()
+    val ckDir = tmpDir()
+    import graft.functions.TextAnalysis
+    import graft.operators.Sampling
+    Seq((1L, "the quick brown fox and the lazy dog mail me at a@b.co"),
+      (2L, "der hund und die katze und der vogel im haus"),
+      (3L, "the cat is on the mat and it is warm there"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(inDir)
+      .select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("clean"),
+        TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .where(Sampling.hashSamplePredicate(col("doc_id"), 1.0))
+    val q = stream.writeStream.outputMode("append")
+      .option("checkpointLocation", ckDir)
+      .format("memory").queryName("textpipe_test").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("textpipe_test").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+      assert(rows.size == 3)
+      assert(rows(1L)._1.endsWith("mail me at <EMAIL>"))
+      assert(rows(1L)._2 == "en" && rows(2L)._2 == "de")
+    } finally q.stop()
+  }
+
   test("sliding windows emit overlapping buckets") {
     val got = EventsPipeline.slidingUserActivity(batch1.toDF()).collect()
     // each event lands in two 10-min windows sliding by 5
