@@ -1115,6 +1115,17 @@ object SparkEntry {
                   1, 4) < 'e666' THEN 'train' ELSE 'val' END AS split
               FROM ddp WHERE rn = 1""")),
 
+    // stable contiguous 0..N-1 ids in key order WITHOUT a single-task
+    // global window: range partition + parallel per-partition windows +
+    // broadcast cumulative offsets (driver traffic = numPartitions rows)
+    Q("q_assign_ids",
+      (s, d) => graft.operators.Ids.stableOrdinals(
+        s.read.parquet(pq(d, "documents")).select(col("doc_id")),
+        "doc_id", "ordinal"),
+      Some("""SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+                AS ordinal FROM documents""")),
+
     // deterministic train/val/test split assignment by hashed key
     Q("q_split_assign",
       (s, d) => graft.operators.Sampling.splitAssign(

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import scala.util.Try
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Dedup
+
+/**
+ * Continuous corpus ingestion with exact dedup against everything already
+ * ingested: each micro-batch is [[Dedup.incrementalExact]]'d against the
+ * corpus-so-far and only genuinely new documents are appended.
+ *
+ * Shape: `foreachBatch` — the batch-side anti-join reuses the exact same
+ * operator the batch pipeline uses (one code path to trust), and history
+ * enters the join as a DISTINCT hash projection, so a growing 100 TB
+ * corpus costs one column scan of its hash column per batch — at scale,
+ * point the `seen` projection at a compacted hash index instead of the
+ * full corpus (same operator, narrower input; see SCALE.md).
+ *
+ * Exactly-once: foreachBatch can replay a batch after a failure; the
+ * anti-join against the corpus makes the re-append a no-op for rows that
+ * already landed (their hashes are now "seen") — idempotent by
+ * construction, no transactional sink needed for this dedup semantics.
+ */
+object IngestPipeline {
+
+  /**
+   * Start the ingestion query. `stream` must carry `idCol` + `textCol`.
+   * New unique documents are appended to `corpusDir` as parquet.
+   */
+  def dedupIngest(stream: DataFrame, idCol: String, textCol: String,
+                  corpusDir: String, checkpointDir: String,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val seen = readCorpus(spark, corpusDir, idCol, textCol)
+        Dedup.incrementalExact(batch, seen, idCol, textCol)
+          .write.mode("append").parquet(corpusDir)
+      }
+      .start()
+
+  /** Corpus-so-far, or a typed empty frame before the first append. */
+  private def readCorpus(spark: SparkSession, dir: String,
+                         idCol: String, textCol: String): DataFrame =
+    Try(spark.read.parquet(dir)).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol,
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(textCol,
+            org.apache.spark.sql.types.StringType)))))
+}

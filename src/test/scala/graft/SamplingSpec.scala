@@ -168,6 +168,18 @@ class ContaminationLineDedupSpec extends SparkSpec {
     assert(out(0).getString(1) == "b\na")
   }
 
+  test("stableOrdinals: contiguous 0..N-1 in key order, any partitioning") {
+    import graft.operators.Ids
+    val df = spark.range(0, 1000).selectExpr("id * 7 % 1000 AS k")
+      .repartition(13) // scrambled input partitioning
+    val out = Ids.stableOrdinals(df, "k", "ordinal", numPartitions = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 1000)
+    assert(out.values.toSeq.sorted == (0L until 1000L))
+    // ordinal order == key order
+    assert(out.toSeq.sortBy(_._1).map(_._2) == (0L until 1000L))
+  }
+
   test("incrementalExact drops seen texts and in-batch repeats") {
     val seen = Seq((1L, "old doc"), (2L, "another old")).toDF("id", "text")
     val batch = Seq(

@@ -86,6 +86,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupIngest: only new documents reach the corpus across batches") {
+    import graft.streaming.IngestPipeline
+    val inDir = tmpDir()
+    val ckDir = tmpDir()
+    val corpus = tmpDir() + "/corpus"
+    Seq((1L, "doc one"), (2L, "doc two"), (3L, "doc one"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(inDir)
+    val q1 = IngestPipeline.dedupIngest(stream, "doc_id", "text",
+      corpus, ckDir)
+    q1.awaitTermination()
+    val after1 = spark.read.parquet(corpus)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after1 == Map(1L -> "doc one", 2L -> "doc two")) // 3 in-batch dup
+    // second wave: one repeat of history, one new
+    Seq((4L, "doc two"), (5L, "doc three"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val q2 = IngestPipeline.dedupIngest(spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(inDir),
+      "doc_id", "text", corpus, ckDir)
+    q2.awaitTermination()
+    val after2 = spark.read.parquet(corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(after2 == Set(1L, 2L, 5L)) // 4 was already seen as text
+  }
+
   test("sliding windows emit overlapping buckets") {
     val got = EventsPipeline.slidingUserActivity(batch1.toDF()).collect()
     // each event lands in two 10-min windows sliding by 5
