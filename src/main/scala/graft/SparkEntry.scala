@@ -1126,6 +1126,36 @@ object SparkEntry {
               CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
                 AS ordinal FROM documents""")),
 
+    // sequence packing: assign docs (in id order) to fixed-budget
+    // training sequences via DISTRIBUTED prefix sum — range partition +
+    // parallel per-partition cumsums + broadcast offsets; never the
+    // single-task global window the naive OVER (ORDER BY) plans
+    Q("q_pack_sequences",
+      (s, d) => graft.operators.Pack.packSequences(
+        s.read.parquet(pq(d, "documents")).select(col("doc_id"),
+          col("n_chars")),
+        "doc_id", "n_chars", maxTokens = 2000L)
+        .select(col("doc_id"), col("seq_id"), col("seq_offset")),
+      Some("""WITH c AS (SELECT doc_id, n_chars,
+                CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS ex FROM documents)
+              SELECT doc_id, CAST(floor(ex / 2000.0) AS BIGINT) AS seq_id,
+                ex - CAST(floor(ex / 2000.0) AS BIGINT) * 2000
+                  AS seq_offset FROM c""")),
+
+    // token-budget selection: best-first prefix under a global budget
+    Q("q_token_budget",
+      (s, d) => graft.operators.Pack.takeTokenBudget(
+        s.read.parquet(pq(d, "documents")).select(col("doc_id"),
+          col("n_chars")),
+        "doc_id", "n_chars", budget = 50000L),
+      Some("""WITH c AS (SELECT doc_id, n_chars,
+                CAST(SUM(n_chars) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum FROM documents)
+              SELECT doc_id, n_chars FROM c WHERE cum <= 50000""")),
+
     // deterministic train/val/test split assignment by hashed key
     Q("q_split_assign",
       (s, d) => graft.operators.Sampling.splitAssign(

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed prefix sums and the training-example construction operators
+ * built on them: sequence packing (assign documents to fixed-token-budget
+ * training sequences) and token-budget selection (take documents in
+ * priority order until a global budget is exhausted).
+ *
+ * A global running sum is the textbook "inherently sequential" trap: the
+ * naive `sum().over(Window.orderBy(k))` plans ONE task that sorts and
+ * scans everything. The scalable shape (same as [[Ids.stableOrdinals]]):
+ * range-partition on the order key, cumsum per partition IN PARALLEL,
+ * then add each partition's cumulative offset — offsets are one
+ * `groupBy(pid).sum()` of numPartitions rows, broadcast back. Total cost:
+ * one range shuffle + parallel windows, at any corpus size.
+ */
+object Pack {
+
+  /**
+   * Add `outCol` = running sum of `valueCol` in `orderCol` order,
+   * INCLUSIVE of the current row. `orderCol` should be unique (ties are
+   * ordered arbitrarily-but-deterministically within a partitioning).
+   */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
+                outCol: String = "cumsum",
+                numPartitions: Int = 0): DataFrame = {
+    val parts = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    val ranged = df.repartitionByRange(parts, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).as("__psum"))
+      .select(col("__pid"),
+        coalesce(sum(col("__psum")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("__offset"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    ranged.withColumn("__local", sum(col(valueCol)).over(w))
+      .join(broadcast(offsets), "__pid")
+      .withColumn(outCol, col("__local") + col("__offset"))
+      .drop("__pid", "__local", "__offset")
+  }
+
+  /**
+   * Sequence packing: assign each document (in `orderCol` order) to a
+   * training sequence (`seq_id`) of at most ~`maxTokens` tokens, plus its
+   * token offset within that sequence (`seq_offset`). The assignment is
+   * the streaming-pointer rule `seq_id = floor(exclusive_cumsum /
+   * maxTokens)` — documents are never reordered or split, and a document
+   * straddling a boundary belongs to the sequence its first token falls
+   * in (document-preserving approximate packing; exact bin-packing is
+   * NP-hard and order-destroying).
+   */
+  def packSequences(df: DataFrame, orderCol: String, tokenCol: String,
+                    maxTokens: Long,
+                    numPartitions: Int = 0): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    val withSum = prefixSum(df, orderCol, tokenCol, "__cum", numPartitions)
+    val exclusive = col("__cum") - col(tokenCol)
+    withSum
+      .withColumn("seq_id", floor(exclusive / lit(maxTokens.toDouble))
+        .cast("long"))
+      .withColumn("seq_offset",
+        (exclusive - col("seq_id") * maxTokens).cast("long"))
+      .drop("__cum")
+  }
+
+  /**
+   * Token-budget selection: keep documents in `orderCol` order (e.g.
+   * quality-descending rank) while the running token total stays within
+   * `budget` — the "take the best N tokens" pipeline step. A document
+   * that would cross the budget is excluded (conservative; the budget is
+   * never exceeded).
+   */
+  def takeTokenBudget(df: DataFrame, orderCol: String, tokenCol: String,
+                      budget: Long,
+                      numPartitions: Int = 0): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    prefixSum(df, orderCol, tokenCol, "__cum", numPartitions)
+      .where(col("__cum") <= budget)
+      .drop("__cum")
+  }
+}

@@ -180,6 +180,43 @@ class ContaminationLineDedupSpec extends SparkSpec {
     assert(out.toSeq.sortBy(_._1).map(_._2) == (0L until 1000L))
   }
 
+  test("prefixSum matches a sequential scan, any partitioning") {
+    import graft.operators.Pack
+    val df = spark.range(0, 500).selectExpr("id AS k", "id % 13 + 1 AS v")
+      .repartition(9)
+    val got = Pack.prefixSum(df, "k", "v", "cum", numPartitions = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    var run = 0L
+    (0L until 500L).foreach { k =>
+      run += k % 13 + 1
+      assert(got(k) == run, s"at k=$k")
+    }
+  }
+
+  test("packSequences: offsets stay under budget, ids monotone in order") {
+    import graft.operators.Pack
+    val df = spark.range(0, 100).selectExpr("id AS k", "30 AS tok")
+    val out = Pack.packSequences(df, "k", "tok", maxTokens = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // 30-token docs in 100-token bins: doc i starts at 30i
+    out.foreach { case (k, seqId, off) =>
+      assert(seqId == 30 * k / 100, s"doc $k")
+      assert(off == 30 * k - seqId * 100 && off >= 0 && off < 100)
+    }
+  }
+
+  test("takeTokenBudget never exceeds the budget and is prefix-closed") {
+    import graft.operators.Pack
+    val df = spark.range(0, 200).selectExpr("id AS k", "id % 7 + 1 AS v")
+    val kept = Pack.takeTokenBudget(df, "k", "v", budget = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept.values.sum <= 100L)
+    // prefix property: every key below the max kept key is kept
+    val mx = kept.keys.max
+    assert((0L to mx).forall(kept.contains))
+  }
+
   test("incrementalExact drops seen texts and in-batch repeats") {
     val seen = Seq((1L, "old doc"), (2L, "another old")).toDF("id", "text")
     val batch = Seq(
