@@ -846,6 +846,28 @@ object SparkEntry {
       },
       None), // xxhash64 not available in the oracle engine
 
+    // unicode canonicalization (native codegen'd expression over JDK
+    // Normalizer): composed and decomposed forms of the same glyph must
+    // agree before any hash-based dedup; corpus is ASCII so the query
+    // injects a decomposed "cafe" + COMBINING ACUTE per row — the
+    // oracle's nfc_normalize must produce the identical composed string
+    Q("q_text_normalize",
+      (s, d) => {
+        graft.plans.NativeFunctions.register(s)
+        s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"),
+            graft.plans.NativeFunctions.unicodeNormalize(
+              concat(substring(col("text"), 1, 20), lit(" cafe\u0301")),
+              "NFC").as("norm"))
+          .withColumn("norm_len", length(col("norm")).cast("long"))
+      },
+      Some("""SELECT doc_id,
+              nfc_normalize(substr(text, 1, 20) || ' cafe' || chr(769))
+                AS norm,
+              CAST(length(nfc_normalize(substr(text, 1, 20) || ' cafe' ||
+                chr(769))) AS BIGINT) AS norm_len
+              FROM documents""")),
+
     // Gopher-style repetition signals; bigram histogram computed
     // distributed (explode + groupBy), not per-row O(n^2) HOFs
     Q("q_text_repetition",

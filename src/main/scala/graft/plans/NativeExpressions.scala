@@ -97,6 +97,46 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 }
 
 /**
+ * Unicode normalization (NFC/NFD/NFKC/NFKD) — text canonicalization for
+ * dedup and fingerprinting: composed vs decomposed forms of the same
+ * glyph ("é" as U+00E9 vs "e"+U+0301) must hash identically or every
+ * downstream exact/near-dup key silently misses cross-encoding
+ * duplicates. Spark has no builtin; a Scala UDF would break codegen and
+ * add ser/de per row. This is a thin codegen'd wrapper over the JDK's
+ * `java.text.Normalizer` (ICU-correct, no dependency).
+ */
+case class UnicodeNormalizeExpr(child: Expression, form: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private val normForm = java.text.Normalizer.Form.valueOf(form)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def prettyName: String = "graft_unicode_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(input.toString, normForm))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.text.Normalizer.normalize($c.toString(), " +
+        s"java.text.Normalizer.Form.${normForm.name()}))")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): UnicodeNormalizeExpr = copy(child = newChild)
+}
+
+/**
  * Native MinHash signature: whitespace-tokenize, `shingleWords`-word
  * shingles, `numHashes` minima — all in ONE JVM pass per row.
  *
@@ -327,6 +367,7 @@ object NativeFunctions {
   val simhashName = "graft_simhash"
   val shinglesName = "graft_shingles"
   val hyperplaneName = "graft_hyperplane_bucket"
+  val unicodeNormalizeName = "graft_unicode_normalize"
 
   private def intLit(e: Expression): Int =
     e.eval(null) match {
@@ -334,6 +375,14 @@ object NativeFunctions {
       case l: Long => l.toInt
       case other => throw new IllegalArgumentException(
         s"expected integer literal, got $other")
+    }
+
+  private def strLit(e: Expression): String =
+    e.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"expected string literal, got $other")
     }
 
   /** (name, builder) pairs — the single source both [[register]] and
@@ -348,7 +397,9 @@ object NativeFunctions {
     shinglesName -> ((exprs: Seq[Expression]) =>
       WordShinglesExpr(exprs.head, intLit(exprs(1)))),
     hyperplaneName -> ((exprs: Seq[Expression]) =>
-      HyperplaneBucketExpr(exprs.head, intLit(exprs(1)))))
+      HyperplaneBucketExpr(exprs.head, intLit(exprs(1)))),
+    unicodeNormalizeName -> ((exprs: Seq[Expression]) =>
+      UnicodeNormalizeExpr(exprs.head, strLit(exprs(1)))))
 
   /** Idempotently register graft native functions on this session. */
   def register(spark: SparkSession): Unit = {
@@ -381,4 +432,9 @@ object NativeFunctions {
   def hyperplaneBucketNative(v: Column, planes: Int): Column =
     call_function(hyperplaneName, v.cast("array<double>"),
       org.apache.spark.sql.functions.lit(planes))
+
+  /** Unicode normalization; `form` one of NFC/NFD/NFKC/NFKD. */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    call_function(unicodeNormalizeName, text,
+      org.apache.spark.sql.functions.lit(form))
 }

@@ -52,6 +52,31 @@ class NativeExprSpec extends SparkSpec {
     assert(df.agg(min(col("c"))).collect()(0).getDouble(0) > 0.999999)
   }
 
+  test("unicode normalize: decomposed -> composed, codegen'd, null-safe") {
+    NativeFunctions.register(spark)
+    val decomposed = "cafe\u0301 cre\u0300me" // e + combining acute/grave
+    val composed = java.text.Normalizer.normalize(
+      decomposed, java.text.Normalizer.Form.NFC) // single-char accents
+    assert(composed.length == decomposed.length - 2)
+    val df = spark.range(3).withColumn("t",
+      when(col("id") === 2, lit(null).cast("string"))
+        .otherwise(lit(decomposed)))
+      .select(col("id"),
+        NativeFunctions.unicodeNormalize(col("t"), "NFC").as("nfc"),
+        NativeFunctions.unicodeNormalize(col("t"), "NFD").as("nfd"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getString(1) == composed)            // NFC composes
+    assert(rows(0).getString(2) == decomposed)          // NFD keeps apart
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))  // null passthrough
+    // participates in whole-stage codegen (spark.range source)
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+    // idempotent
+    val twice = spark.sql(
+      s"SELECT graft_unicode_normalize(graft_unicode_normalize(" +
+        s"'$decomposed', 'NFC'), 'NFC') AS x").collect()(0).getString(0)
+    assert(twice == composed)
+  }
+
   test("float arrays work via explicit cast (SQL registry path)") {
     NativeFunctions.register(spark)
     val got = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
@@ -118,7 +143,8 @@ class NativeExprSpec extends SparkSpec {
       .injectedFunctionNames(new graft.plans.GraftExtensions)
     Seq(NativeFunctions.cosineName, NativeFunctions.minhashName,
       NativeFunctions.simhashName, NativeFunctions.shinglesName,
-      NativeFunctions.hyperplaneName).foreach { n =>
+      NativeFunctions.hyperplaneName,
+      NativeFunctions.unicodeNormalizeName).foreach { n =>
       assert(names.contains(n), s"$n not injected (got: $names)")
     }
   }
