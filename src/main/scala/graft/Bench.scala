@@ -38,11 +38,19 @@ object Bench {
     // (round-1 recorded 90s for a query that takes 2s on an idle host).
     // Per-query progress goes to stderr (stdout carries only the JSON).
     val results = queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
+      var times = Vector(once(), once())
+      // external interference (host iowait bursts measured at 15-50s on
+      // otherwise sub-second queries) can span both runs; keep sampling
+      // until the two FASTEST runs agree within 1.5x (min is then
+      // corroborated, not a fluke of which run dodged the burst), cap 4
+      def corroborated = { val s = times.sorted; s(1) <= 1.5 * s(0) }
+      while (!corroborated && times.length < 4)
+        times :+= once()
       System.err.println(f"[bench] $name: ${times.min}%.2fs " +
         f"(runs: ${times.map(t => f"$t%.2f").mkString(", ")})")
       name -> times.min
