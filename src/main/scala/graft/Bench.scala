@@ -1,18 +1,42 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.AtomicBoolean
 
 /**
  * Bench harness: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
  * prints ONE JSON line {"metric":"total","value":sec,...,"queries":{...}}.
  *
- * A warm-up pass runs every query once untimed first: the first execution
- * of each plan shape pays Janino whole-stage-codegen compilation and JVM
- * JIT warm-up (measured: 15-30s on the first few queries vs 0.3-2s steady
- * state), which is JVM startup cost, not engine throughput — the quantity
- * the baseline comparison is about. Standard JMH discipline.
+ * Robustness contract (learned from round 2, where sustained host
+ * interference made sub-second queries take 20-80s and the harness was
+ * killed by the driver's timeout before printing anything): the JSON
+ * line is ALWAYS emitted —
+ *   - a hard wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default
+ *     900s) is enforced by a watchdog thread that prints whatever has
+ *     been measured and halts, even if a query is mid-flight;
+ *   - a JVM shutdown hook prints on SIGTERM (external timeouts);
+ *   - every pass checks remaining budget between queries and degrades:
+ *     warm-up times (codegen-inflated, but real data) stand in for
+ *     queries whose steady-state runs never got a slot.
+ *
+ * Measurement discipline on a healthy host is unchanged from round 1/2:
+ * a warm-up pass absorbs Janino whole-stage-codegen compilation + JIT
+ * (15-30s first-touch vs 0.3-2s steady state — JVM startup cost, not
+ * engine throughput), then per-query repeat-min with corroboration (the
+ * two fastest steady-state runs must agree within 1.5x, else resample,
+ * cap 4) so one GC pause or iowait burst can't masquerade as a slow
+ * query.
  */
 object Bench {
+
+  private val t0 = System.nanoTime()
+  private def elapsed: Double = (System.nanoTime() - t0) / 1e9
+
+  // warm-up (first-touch) time per query: fallback when budget runs out
+  private val fallback = scala.collection.concurrent.TrieMap.empty[String, Double]
+  // steady-state timed runs per query
+  private val samples = scala.collection.concurrent.TrieMap.empty[String, Vector[Double]]
+  private val printed = new AtomicBoolean(false)
+  @volatile private var sfDir: String = "?"
 
   /**
    * Execute a query and materialize EVERY output column. `count()` is not
@@ -24,41 +48,85 @@ object Bench {
   private def run(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Print the single JSON result line exactly once. */
+  private def emit(complete: Boolean): Unit =
+    if (printed.compareAndSet(false, true)) {
+      val names = (fallback.keySet ++ samples.keySet).toSeq.sorted
+      val best = names.map { n =>
+        val timed = samples.getOrElse(n, Vector.empty)
+        val v = if (timed.nonEmpty) timed.min else fallback(n)
+        n -> v
+      }
+      val qs = best.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = best.map(_._2).sum
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","complete":$complete,"elapsed_s":$elapsed}""")
+      System.out.flush()
+    }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toDouble
+    // stop measuring this long before the budget so emit always lands
+    val deadline = budget - 15.0
+
+    // Backstop 1: external SIGTERM (driver timeout) → print what we have.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emit(complete = false)))
+    // Backstop 2: hard watchdog — a wedged query can't block the emit.
+    val watchdog = new Thread(() => {
+      try Thread.sleep(((budget - 5.0) * 1000).toLong.max(0))
+      catch { case _: InterruptedException => return }
+      System.err.println(f"[bench] watchdog fired at $elapsed%.1fs — emitting partial results")
+      emit(complete = false)
+      Runtime.getRuntime.halt(0) // hooks already done their job; don't wait on Spark threads
+    })
+    watchdog.setDaemon(true)
+    watchdog.start()
+
     val spark = GraftSession.local("graft-bench", cpus)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-    // warm-up: codegen-compile + JIT every plan shape once
-    queries.foreach { case (_, fn) =>
+
+    def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val s = System.nanoTime()
       try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+      (System.nanoTime() - s) / 1e9
     }
-    // repeat-min: two timed runs, keep the faster — one GC pause or an
-    // external iowait burst otherwise lands on whichever query it hits
-    // (round-1 recorded 90s for a query that takes 2s on an idle host).
-    // Per-query progress goes to stderr (stdout carries only the JSON).
-    val results = queries.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+
+    // Pass 0 — warm-up, timed as the fallback value (codegen-inflated,
+    // but a real measurement if the budget dies before steady state).
+    queries.foreach { case (name, fn) =>
+      if (elapsed < deadline) fallback(name) = once(name, fn)
+    }
+    // Passes 1+2 — two steady-state runs per query.
+    (1 to 2).foreach { _ =>
+      queries.foreach { case (name, fn) =>
+        if (elapsed < deadline)
+          samples(name) = samples.getOrElse(name, Vector.empty) :+ once(name, fn)
       }
-      var times = Vector(once(), once())
-      // external interference (host iowait bursts measured at 15-50s on
-      // otherwise sub-second queries) can span both runs; keep sampling
-      // until the two FASTEST runs agree within 1.5x (min is then
-      // corroborated, not a fluke of which run dodged the burst), cap 4
-      def corroborated = { val s = times.sorted; s(1) <= 1.5 * s(0) }
-      while (!corroborated && times.length < 4)
-        times :+= once()
-      System.err.println(f"[bench] $name: ${times.min}%.2fs " +
-        f"(runs: ${times.map(t => f"$t%.2f").mkString(", ")})")
-      name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Corroboration — resample queries whose two fastest steady-state
+    // runs disagree by >1.5x (an interference burst landed on one run),
+    // until corroborated or 4 steady-state samples.
+    def uncorroborated(name: String): Boolean = {
+      val s = samples.getOrElse(name, Vector.empty).sorted
+      s.length >= 2 && s(1) > 1.5 * s(0) && s.length < 4
+    }
+    (1 to 2).foreach { _ =>
+      queries.foreach { case (name, fn) =>
+        if (elapsed < deadline && uncorroborated(name))
+          samples(name) = samples(name) :+ once(name, fn)
+      }
+    }
+    queries.foreach { case (name, _) =>
+      val t = samples.getOrElse(name, Vector.empty)
+      val shown = if (t.nonEmpty) t.min else fallback.getOrElse(name, Double.NaN)
+      System.err.println(f"[bench] $name: $shown%.2fs " +
+        f"(warmup: ${fallback.getOrElse(name, Double.NaN)}%.2f; runs: ${t.map(x => f"$x%.2f").mkString(", ")})")
+    }
+    val complete = queries.forall { case (n, _) => samples.get(n).exists(_.length >= 2) }
+    emit(complete)
+    watchdog.interrupt()
     spark.stop()
   }
 }

@@ -1368,7 +1368,13 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(expr(
           "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
-          .as("approx_pcts")),
+          .as("pcts"))
+        // scalar columns, not the raw array: the driver's rows-only check
+        // still sorts the result, and array cells break that sort
+        .select(col("l_returnflag"),
+          round(element_at(col("pcts"), 1), 4).as("p50"),
+          round(element_at(col("pcts"), 2), 4).as("p90"),
+          round(element_at(col("pcts"), 3), 4).as("p99")),
       None), // sketch-specific values: rows-only check
 
     // ---- multimodal plumbing (codec stubbed; see Multimodal scaladoc) ----
