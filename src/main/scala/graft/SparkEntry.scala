@@ -1482,7 +1482,215 @@ object SparkEntry {
               ROUND(CAST(embedding[1] AS DOUBLE), 4) AS e0
               FROM embeddings WHERE vec_id < 20""")))
 
-  private val registry: Seq[Q] = parity ++ extensions ++ pipelines
+  // =========================================================================
+  // Round-3 extensions: substring-span dedup, C4 quality filter, fuzzy
+  // join, embedding transforms, event analytics, unpivot
+  // =========================================================================
+
+  private val round3: Seq[Q] = Seq(
+    // substring-level duplicate spans (Lee et al. 2022 style). The corpus
+    // has no natural 10-gram repeats, so the query body plants them:
+    // every doc gets the first 12 words of donor doc (doc_id % 10)
+    // appended — the 3 windows inside that suffix duplicate corpus-wide
+    Q("q_dup_spans",
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        val docs = s.read.parquet(pq(d, "documents"))
+          .repartition(s.sparkContext.defaultParallelism)
+        val donors = docs.where(col("doc_id") < 10)
+          .select(col("doc_id").as("__don_id"),
+            concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 12))
+              .as("__don_txt"))
+        val aug = docs.select(col("doc_id"), col("text"))
+          .join(broadcast(donors), col("doc_id") % 10 === col("__don_id"))
+          .select(col("doc_id"),
+            concat(col("text"), lit(" "), col("__don_txt")).as("text"))
+        graft.operators.Dedup.duplicateSpans(aug, "doc_id", "text",
+          spanWords = 10)
+      },
+      Some("""WITH don AS (SELECT doc_id AS don_id, array_to_string(
+                  list_slice(string_split_regex(trim(text), '\s+'), 1, 12),
+                  ' ') AS don_txt
+                FROM documents WHERE doc_id < 10),
+              aug AS (SELECT d.doc_id, d.text || ' ' ||
+                  don.don_txt AS text
+                FROM documents d JOIN don ON d.doc_id % 10 = don.don_id),
+              t AS (SELECT doc_id,
+                string_split_regex(trim(text), '\s+') AS toks FROM aug),
+              e AS (SELECT doc_id, unnest(list_transform(
+                  generate_series(0, greatest(len(toks) - 10, 0)),
+                  i -> array_to_string(list_slice(toks, i+1, i+10), ' ')))
+                  AS win FROM t),
+              c AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY win) AS occ
+                FROM e)
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                CAST(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup_spans,
+                ROUND(CAST(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 4) AS dup_span_frac
+              FROM c GROUP BY doc_id""")),
+
+    Q("q_quality_c4",
+      (s, d) => graft.functions.TextAnalysis.c4Signals(
+        s.read.parquet(pq(d, "documents")), "doc_id", "text")
+        .withColumn("n_words", col("n_words").cast("long")),
+      Some("""WITH t AS (SELECT doc_id, text,
+                string_split_regex(trim(text), '\s+') AS toks FROM documents),
+              s AS (SELECT doc_id, len(toks) AS n_words,
+                ROUND(list_aggregate(list_transform(toks, w -> length(w)),
+                  'sum') / CAST(len(toks) AS DOUBLE), 4) AS mean_word_len,
+                CASE WHEN regexp_matches(text, '[.!?]\s*$') THEN 1 ELSE 0
+                  END AS ends_punct,
+                CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS has_brace,
+                CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1
+                  ELSE 0 END AS has_lorem FROM t)
+              SELECT doc_id, n_words, mean_word_len, ends_punct, has_brace,
+                has_lorem,
+                CASE WHEN n_words BETWEEN 50 AND 100000
+                  AND mean_word_len BETWEEN 3.0 AND 10.0
+                  AND has_brace = 0 AND has_lorem = 0
+                  THEN 1 ELSE 0 END AS keep
+              FROM s""")),
+
+    // blocked fuzzy join: part names vs a typo'd copy (last char dropped)
+    Q("q_fuzzy_join",
+      (s, d) => {
+        val names = s.read.parquet(pq(d, "part"))
+          .groupBy(col("p_name")).agg(min(col("p_partkey")).as("id"))
+        val typos = names.select((col("id") + 1000000L).as("id"),
+          expr("substring(p_name, 1, length(p_name) - 1)").as("p_name"))
+        graft.operators.FuzzyJoin.levenshteinJoin(
+          names, "id", "p_name", typos, "id", "p_name",
+          maxDist = 2, prefixLen = 2, bandWidth = 8)
+      },
+      Some("""WITH nm AS (SELECT p_name, MIN(p_partkey) AS id FROM part
+                GROUP BY p_name),
+              ty AS (SELECT id + 1000000 AS id_r,
+                substr(p_name, 1, length(p_name) - 1) AS text_r FROM nm),
+              l AS (SELECT id AS id_l, p_name AS text_l FROM nm)
+              SELECT id_l, id_r, text_l, text_r,
+                CAST(levenshtein(text_l, text_r) AS INTEGER) AS dist
+              FROM l JOIN ty ON substr(text_l, 1, 2) = substr(text_r, 1, 2)
+                AND abs(floor(length(text_l) / 8) -
+                  floor(length(text_r) / 8)) <= 1
+                AND levenshtein(text_l, text_r) <= 2""")),
+
+    // embedding transforms: scalar digests keep the oracle comparison off
+    // array cells (norm fold is a deterministic left-fold in BOTH engines)
+    Q("q_emb_normalize",
+      (s, d) => {
+        import graft.operators.Embeddings
+        Embeddings.l2Normalize(s.read.parquet(pq(d, "embeddings")), "embedding")
+          .select(col("vec_id"),
+            size(col("embedding")).as("dim"),
+            round(Embeddings.l2Norm(col("embedding")), 4).as("norm"),
+            round(element_at(col("unit_vec"), 1), 4).as("u0"))
+      },
+      Some("""SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+              ROUND(sqrt(list_aggregate(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4)
+                AS norm,
+              ROUND(CAST(embedding[1] AS DOUBLE) /
+                sqrt(list_aggregate(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4)
+                AS u0
+              FROM embeddings""")),
+
+    Q("q_emb_quantize",
+      (s, d) => graft.operators.Embeddings.quantizeInt8(
+        s.read.parquet(pq(d, "embeddings")), "embedding")
+        .select(col("vec_id"),
+          round(col("q_scale"), 6).as("q_scale"),
+          aggregate(col("q_vec"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_max(col("q_vec")).as("q_max")),
+      Some("""WITH s AS (SELECT vec_id, embedding,
+                list_aggregate(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS scale
+                FROM embeddings),
+              q AS (SELECT vec_id, scale, list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER))
+                AS qv FROM s)
+              SELECT vec_id, ROUND(scale, 6) AS q_scale,
+                CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+                CAST(list_aggregate(qv, 'max') AS INTEGER) AS q_max
+              FROM q""")),
+
+    // ---- event analytics -------------------------------------------------
+    Q("q_funnel",
+      (s, d) => graft.operators.Analytics.funnel(events(s, d),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase")),
+      Some("""WITH t1 AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+                FROM events WHERE event_type = 'view' GROUP BY user_id),
+              t2 AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+                FROM events e JOIN t1 ON e.user_id = t1.user_id
+                WHERE e.event_type = 'click'
+                  AND CAST(e.ts AS TIMESTAMP) > t1.t1 GROUP BY e.user_id),
+              t3 AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+                FROM events e JOIN t2 ON e.user_id = t2.user_id
+                WHERE e.event_type = 'purchase'
+                  AND CAST(e.ts AS TIMESTAMP) > t2.t2 GROUP BY e.user_id)
+              SELECT 'view' AS step, 1 AS step_idx, COUNT(*) AS n_users
+                FROM t1
+              UNION ALL SELECT 'click', 2, COUNT(*) FROM t2
+              UNION ALL SELECT 'purchase', 3, COUNT(*) FROM t3""")),
+
+    Q("q_cohort",
+      (s, d) => graft.operators.Analytics.cohortRetention(events(s, d),
+        "user_id", "ts"),
+      Some("""WITH f AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort
+                FROM events GROUP BY user_id),
+              a AS (SELECT e.user_id, f.cohort,
+                CAST(floor(date_diff('day', f.cohort, CAST(e.ts AS DATE))
+                  / 7.0) AS BIGINT) AS age_weeks
+                FROM events e JOIN f ON e.user_id = f.user_id)
+              SELECT strftime(cohort, '%Y-%m-%d') AS cohort_date, age_weeks,
+                COUNT(DISTINCT user_id) AS n_users
+              FROM a GROUP BY 1, 2""")),
+
+    Q("q_histogram",
+      (s, d) => graft.operators.Analytics.histogram(
+        s.read.parquet(pq(d, "lineitem")), "l_extendedprice", 5000.0),
+      Some("""SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) *
+                CAST(5000.0 AS DOUBLE) AS bin_lo, COUNT(*) AS n
+              FROM lineitem WHERE l_extendedprice IS NOT NULL
+              GROUP BY 1""")),
+
+    Q("q_zscore_outlier",
+      (s, d) => graft.operators.Analytics.zscoreOutliers(events(s, d),
+        "event_type", "value", zThreshold = 3.0),
+      Some("""WITH m AS (SELECT event_type, AVG(value) AS mu,
+                STDDEV_SAMP(value) AS sd FROM events GROUP BY event_type)
+              SELECT e.event_type, COUNT(*) AS n,
+                CAST(SUM(CASE WHEN sd > 0 AND abs(value - mu) / sd > 3.0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+              FROM events e JOIN m ON e.event_type = m.event_type
+              GROUP BY e.event_type""")),
+
+    // wide-to-long reshape (Spark Dataset.unpivot; SURVEY §2.6 family)
+    Q("q_unpivot",
+      (s, d) => s.read.parquet(pq(d, "lineitem"))
+        .where(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .withColumn("val", round(col("val"), 4)),
+      Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                ROUND(CAST(l_quantity AS DOUBLE), 4) AS val
+              FROM lineitem WHERE l_orderkey < 100
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                ROUND(CAST(l_extendedprice AS DOUBLE), 4)
+              FROM lineitem WHERE l_orderkey < 100
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'l_discount',
+                ROUND(CAST(l_discount AS DOUBLE), 4)
+              FROM lineitem WHERE l_orderkey < 100""")))
+
+  private val registry: Seq[Q] = parity ++ extensions ++ pipelines ++ round3
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

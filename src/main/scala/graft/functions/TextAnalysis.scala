@@ -122,6 +122,36 @@ object TextAnalysis {
       wordLenTerm * 0.15 + stopTerm * 0.15, 4)
   }
 
+  // --- C4-style heuristic filter ------------------------------------------
+
+  /**
+   * C4-style heuristic filter signals (Raffel et al. 2020, "Exploring
+   * the Limits of Transfer Learning" §2.2 — public recipe): word count,
+   * mean word length, terminal punctuation, code/boilerplate markers
+   * (curly brace, "lorem ipsum"), plus the combined keep decision
+   * (word count in [minWords, maxWords], mean word length in [3, 10],
+   * no code/boilerplate markers). C4's line-level rules apply at
+   * document granularity here; `Dedup.lineDedup` covers the line tier.
+   *
+   * One narrow codegen'd projection — the decision for 100 TB of text
+   * is a single scan with zero shuffles; flags are kept alongside
+   * `keep` so downstream audits can see WHY a document was dropped.
+   */
+  def c4Signals(docs: DataFrame, idCol: String, textCol: String,
+                minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+        tokenCount(t).as("n_words"),
+        round(meanTokenLength(t), 4).as("mean_word_len"),
+        t.rlike("[.!?]\\s*$").cast("int").as("ends_punct"),
+        t.contains("{").cast("int").as("has_brace"),
+        lower(t).contains("lorem ipsum").cast("int").as("has_lorem"))
+      .withColumn("keep",
+        (col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("has_brace") === 0 && col("has_lorem") === 0).cast("int"))
+  }
+
   // --- repetition (Gopher-style quality signals) --------------------------
 
   /**

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-analytics operators over the `events` stream table: funnel
+ * conversion, cohort retention, fixed-width histograms and z-score
+ * outlier detection. All are classic OLAP compositions — each is one
+ * or two key-partitioned aggregations, no windows over the full
+ * stream, no driver-side state — so they hold their shape when the
+ * events table is 100 TB (shuffles are on user_id / event_type / bin,
+ * all partial-aggregated map-side).
+ *
+ * Extension beyond the reference surface (SURVEY.md §2.13 context: the
+ * reference has no event/temporal operators at all).
+ */
+object Analytics {
+
+  /**
+   * Strict-order funnel: for each user, step i counts only if it has
+   * an event strictly after the user's (conditional) step i-1 time —
+   * the textbook "first touch then next step" funnel, not a mere
+   * per-step existence check. k steps = k passes over the events
+   * (each a filtered agg on user_id, partial-aggregated map-side);
+   * the per-user step-time frame stays one row per user.
+   *
+   * Output: (step, step_idx, n_users) — users whose funnel reached
+   * that step.
+   */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    // t0: first occurrence of step 0 per user
+    var cur = events.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t0"))
+    var acc = cur.agg(count(lit(1)).as("n_users"))
+      .select(lit(steps.head).as("step"), lit(1).as("step_idx"),
+        col("n_users"))
+    steps.zipWithIndex.drop(1).foreach { case (step, i) =>
+      val prev = s"__t${i - 1}"
+      val nxt = s"__t$i"
+      // earliest `step` event strictly after the user's previous step
+      // time: join the (small, one-row-per-user) frontier to the
+      // filtered events, then min per user
+      cur = events.where(col(typeCol) === step)
+        .join(cur, userCol)
+        .where(col(tsCol) > col(prev))
+        .groupBy(col(userCol))
+        .agg(min(col(tsCol)).as(nxt))
+      acc = acc.unionByName(
+        cur.agg(count(lit(1)).as("n_users"))
+          .select(lit(step).as("step"), lit(i + 1).as("step_idx"),
+            col("n_users")))
+    }
+    acc
+  }
+
+  /**
+   * Cohort retention: users are cohorted by the calendar date of their
+   * first event; each (cohort, weeks-since-cohort) cell counts the
+   * distinct users from that cohort active that week. Two shuffles —
+   * one on user (first-event date), one on (cohort, age) — both
+   * decomposable.
+   */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val firstSeen = events.groupBy(col(userCol))
+      .agg(to_date(min(col(tsCol))).as("__cohort"))
+    events.select(col(userCol), to_date(col(tsCol)).as("__day"))
+      .join(firstSeen, userCol)
+      .select(col(userCol), col("__cohort"),
+        floor(datediff(col("__day"), col("__cohort")) / 7).as("age_weeks"))
+      .groupBy(col("__cohort"), col("age_weeks"))
+      .agg(count_distinct(col(userCol)).as("n_users"))
+      .select(date_format(col("__cohort"), "yyyy-MM-dd").as("cohort_date"),
+        col("age_weeks"), col("n_users"))
+  }
+
+  /**
+   * Fixed-width histogram of a numeric column: bin i covers
+   * [i*width, (i+1)*width). Fixed widths (vs equi-depth) keep this a
+   * single map-side-combinable aggregation — no global sort, no
+   * percentile pass; null values are dropped.
+   */
+  def histogram(df: DataFrame, valueCol: String, width: Double): DataFrame = {
+    require(width > 0, "bin width must be positive")
+    df.where(col(valueCol).isNotNull)
+      .select(floor(col(valueCol) / width).cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select((col("bin") * width).as("bin_lo"), col("n"))
+  }
+
+  /**
+   * Per-group z-score outlier counts: events whose value sits more
+   * than `zThreshold` sample standard deviations from their group's
+   * mean. Group moments come from ONE aggregation (sum / sum-of-
+   * squares decomposition is unnecessary — avg/stddev_samp partial-
+   * aggregate natively); the flagging pass joins the tiny moments
+   * frame back (broadcast at any realistic group count).
+   */
+  def zscoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     zThreshold: Double = 3.0): DataFrame = {
+    val moments = df.groupBy(col(groupCol)).agg(
+      avg(col(valueCol)).as("__mu"),
+      stddev_samp(col(valueCol)).as("__sd"))
+    df.join(broadcast(moments), groupCol)
+      .select(col(groupCol),
+        when(col("__sd") > 0,
+          abs(col(valueCol) - col("__mu")) / col("__sd"))
+          .otherwise(lit(0.0)).as("__z"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__z") > zThreshold, 1L).otherwise(0L)).as("n_outliers"))
+  }
+}

@@ -466,4 +466,53 @@ object Dedup {
           sep).as("text_dedup"),
         size(col("__kept")).cast("long").as("n_lines_kept"))
   }
+
+  // ---- duplicate-span detection (substring-level dedup) -------------------
+
+  /**
+   * Duplicate-span statistics in the style of Lee et al. 2022
+   * ("Deduplicating Training Data Makes Language Models Better" —
+   * public): every `spanWords`-word sliding window of every document is
+   * matched against the WHOLE corpus; a window occurring 2+ times
+   * anywhere (within the same document or across documents) is a
+   * duplicated span. Output per document: total windows, duplicated
+   * windows, duplicated fraction — the signal substring-level dedup
+   * cuts on, which document-level dedup cannot see (a copied paragraph
+   * inside an otherwise unique page).
+   *
+   * Scale shape: explode to (doc, window), key the window by
+   * `xxhash64` so the corpus-wide occurrence count — ONE analytic
+   * count over the hash partition — shuffles 8-byte keys, not window
+   * text; the per-doc rollup is a second key shuffle with map-side
+   * partials. (A 64-bit collision would merge two spans' counts; at
+   * 10^12 windows the expected collisions are ~0.03 — acceptable for a
+   * filtering statistic, use a 128-bit hash pair if not.) The paper's
+   * suffix array is for finding exact span BOUNDARIES to cut; the
+   * corpus-scale statistic here is the standard bucket-count
+   * decomposition. Tokens are materialized as their own column before
+   * window expansion — interpreted HOF lambdas re-evaluate captured
+   * expressions per element, so capturing the raw `split` would
+   * re-tokenize once per window.
+   */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     spanWords: Int = 10): DataFrame = {
+    require(spanWords >= 1, "spanWords must be >= 1")
+    val wins = df
+      .select(col(idCol),
+        graft.functions.TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__nwin",
+        greatest(size(col("__toks")) - (spanWords - 1), lit(1)))
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), col("__nwin") - 1),
+        i => concat_ws(" ", slice(col("__toks"), i + 1, lit(spanWords)))))
+        .as("__win"))
+    val occ = Window.partitionBy(xxhash64(col("__win")))
+    wins.withColumn("__occ", count(lit(1)).over(occ))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__occ") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col(idCol), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 4)
+          .as("dup_span_frac"))
+  }
 }

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.{Analytics, Dedup, Embeddings, FuzzyJoin}
+
+/** Round-3 operators: span dedup, C4 filter, fuzzy join, embedding
+  * transforms, event analytics. */
+class Round3OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- duplicateSpans -----------------------------------------------------
+
+  test("duplicateSpans flags the shared paragraph, not unique text") {
+    val para = (1 to 12).map(i => s"w$i").mkString(" ") // 12 shared words
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta eta theta iota kappa $para"),
+      (2L, s"one two three four five six seven eight nine ten eleven $para"),
+      (3L, "totally unrelated words that appear nowhere else in this corpus " +
+        "spanning enough tokens to form several windows of ten")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text", spanWords = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // docs 1+2 share the 12-word suffix => its 3 windows duplicate
+    assert(out(1L)._2 == 3L && out(2L)._2 == 3L)
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0.0)
+    // doc 1: 21 tokens + 12 shared = 33? no: 10 + 12 = 22 tokens -> 13 windows
+    assert(out(1L)._1 == 13L)
+  }
+
+  test("duplicateSpans: doc shorter than the span is one window") {
+    val docs = Seq((1L, "just four small words"), (2L, "just four small words"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text", spanWords = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (1L, 1L)) // one whole-doc window, duplicated across docs
+  }
+
+  // ---- c4Signals ----------------------------------------------------------
+
+  test("c4Signals: word-count band, brace and lorem flags gate keep") {
+    val good = (1 to 60).map(i => s"word$i").mkString(" ") + "."
+    val docs = Seq(
+      (1L, good),
+      (2L, good + " function() { return 0; }"),   // brace -> drop
+      (3L, good.replace("word1", "Lorem Ipsum")), // boilerplate -> drop
+      (4L, "too short to keep.")                  // < 50 words -> drop
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Signals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("keep") == 1)
+    assert(out(1L).getAs[Int]("ends_punct") == 1)
+    assert(out(2L).getAs[Int]("has_brace") == 1 && out(2L).getAs[Int]("keep") == 0)
+    assert(out(3L).getAs[Int]("has_lorem") == 1 && out(3L).getAs[Int]("keep") == 0)
+    assert(out(4L).getAs[Int]("keep") == 0)
+  }
+
+  // ---- FuzzyJoin ----------------------------------------------------------
+
+  test("levenshteinJoin matches within maxDist through the block") {
+    val left = Seq((1L, "spark engine"), (2L, "quantum leap"), (3L, "zz top"))
+      .toDF("id", "name")
+    val right = Seq((10L, "spark enginf"),  // dist 1, same prefix/band
+      (20L, "quantum jump"),                // dist 3 -> excluded
+      (30L, "zz tip")).toDF("id", "name")   // dist 1
+    val out = FuzzyJoin.levenshteinJoin(left, "id", "name",
+      right, "id", "name", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    assert(out == Set((1L, 10L, 1), (3L, 30L, 1)))
+  }
+
+  test("levenshteinJoin catches pairs straddling a length band boundary") {
+    // len 8 (band 1) vs len 7 (band 0): neighbor-band probe must find it
+    val left = Seq((1L, "abcdefgh")).toDF("id", "name")
+    val right = Seq((2L, "abcdefg")).toDF("id", "name")
+    val out = FuzzyJoin.levenshteinJoin(left, "id", "name",
+      right, "id", "name", maxDist = 1)
+    assert(out.count() == 1)
+  }
+
+  // ---- Embeddings ---------------------------------------------------------
+
+  test("l2Normalize produces unit vectors; zero vector passes through") {
+    val df = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("id", "vec")
+    val out = Embeddings.l2Normalize(df, "vec", "u")
+      .select(col("id"), col("u")).as[(Long, Array[Double])]
+      .collect().toMap
+    assert(math.abs(out(1L)(0) - 0.6) < 1e-12)
+    assert(math.abs(out(1L)(1) - 0.8) < 1e-12)
+    assert(out(2L).toSeq == Seq(0.0, 0.0))
+  }
+
+  test("quantizeInt8: max |x| maps to ±127, roundtrip error < scale/2 + eps") {
+    val vec = Array(0.5f, -1.0f, 0.25f, 0.0f)
+    val df = Seq((1L, vec)).toDF("id", "vec")
+    val row = Embeddings.quantizeInt8(df, "vec").collect().head
+    val scale = row.getAs[Double]("q_scale")
+    val q = row.getAs[scala.collection.Seq[Int]]("q_vec")
+    assert(q.min == -127 && math.abs(scale - 1.0 / 127) < 1e-12)
+    vec.zip(q).foreach { case (x, qi) =>
+      assert(math.abs(qi * scale - x) <= scale / 2 + 1e-12)
+    }
+  }
+
+  // ---- Analytics ----------------------------------------------------------
+
+  private def ev(rows: (Long, String, Int)*) =
+    rows.map { case (u, t, sec) =>
+      (u, t, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d"), 1.0)
+    }.toDF("user_id", "event_type", "ts", "value")
+
+  test("funnel enforces strict event ordering per user") {
+    val events = ev(
+      (1L, "view", 1), (1L, "click", 2), (1L, "purchase", 3), // full funnel
+      (2L, "view", 5), (2L, "click", 4),   // click BEFORE view: stops at view
+      (3L, "click", 1), (3L, "purchase", 2)) // never viewed: not counted
+    val out = Analytics.funnel(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out == Map("view" -> 2L, "click" -> 1L, "purchase" -> 1L))
+  }
+
+  test("cohortRetention buckets activity by weeks since first event") {
+    val events = Seq(
+      (1L, "view", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (1L, "view", java.sql.Timestamp.valueOf("2024-01-09 10:00:00"), 1.0),
+      (2L, "view", java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 1.0))
+      .toDF("user_id", "event_type", "ts", "value")
+    val out = Analytics.cohortRetention(events, "user_id", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out(("2024-01-01", 0L)) == 1L) // user 1 week 0
+    assert(out(("2024-01-01", 1L)) == 1L) // user 1 active 8 days later
+    assert(out(("2024-01-02", 0L)) == 1L) // user 2's own cohort
+  }
+
+  test("histogram bins cover values, counts sum to non-null rows") {
+    val df = Seq(0.5, 1.5, 2.5, 9.9, 10.0).toDF("v")
+    val out = Analytics.histogram(df, "v", 5.0)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(out == Map(0.0 -> 3L, 5.0 -> 1L, 10.0 -> 1L))
+  }
+
+  test("zscoreOutliers flags the single extreme value") {
+    val vals = Seq.fill(30)(10.0) ++ Seq(10.5, 9.5, 1000.0)
+    val df = vals.map(("a", _)).toDF("g", "v")
+    val out = Analytics.zscoreOutliers(df, "g", "v").collect().head
+    assert(out.getLong(1) == 33L && out.getLong(2) == 1L)
+  }
+}
