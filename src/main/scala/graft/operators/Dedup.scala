@@ -101,6 +101,30 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
   }
 
+  /** Monotone suffix for `observe` metric names: names must be unique
+    * within a query plan, and one query may bucket twice (e.g. a minhash
+    * + embedding union). The metrics themselves are read per-action via
+    * `QueryExecution.observedMetrics` / a `QueryExecutionListener`. */
+  private val obsId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** observe() metrics attached to every bucketed pair expansion:
+    * bucket count, over-cap (dropped) bucket count, and the largest
+    * bucket — so cap-induced recall loss is VISIBLE after any action
+    * instead of silently truncating (`observedMetrics` on the query
+    * execution, keyed by a name starting with `prefix`). Caveat: if the
+    * FINAL result is empty, AQE's empty-relation propagation replaces
+    * the executed subtree (CollectMetrics included) with an empty leaf
+    * and the metric is unreachable — metrics are reliable whenever any
+    * pair survives, which is every case where the drop count changes an
+    * actual result. */
+  private def observeBuckets(grouped: DataFrame, sizeCol: Column,
+                             maxBucket: Int, prefix: String): DataFrame =
+    grouped.observe(s"${prefix}_${obsId.incrementAndGet()}",
+      count(lit(1)).as("n_buckets"),
+      sum(when(sizeCol > maxBucket, 1L).otherwise(0L))
+        .as("n_dropped_buckets"),
+      max(sizeCol).as("max_bucket"))
+
   /**
    * All `id_a < id_b` pairs of ids sharing a bucket key: one shuffle on
    * the bucket key, `collect_list` per bucket, pairs expanded with
@@ -110,13 +134,17 @@ object Dedup {
    * bucket's ids once. Buckets larger than `maxBucket` are dropped
    * (degenerate keys — e.g. empty docs — would expand quadratically);
    * the cap also bounds per-group memory: ≤ maxBucket ids per group.
+   * Dropped buckets are counted in an `observe` metric
+   * (`graft_buckets_*`) — truncation is never silent.
    */
   private[operators] def pairsWithinBuckets(
       buckets: DataFrame, keyCols: Seq[String], idCol: String,
       maxBucket: Int): DataFrame = {
     val ids = col("__ids")
-    buckets.groupBy(keyCols.map(col): _*)
-      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+    observeBuckets(
+      buckets.groupBy(keyCols.map(col): _*)
+        .agg(sort_array(collect_list(col(idCol))).as("__ids")),
+      size(ids), maxBucket, "graft_buckets")
       .where(size(ids).between(2, maxBucket))
       .select(explode(flatten(transform(
         sequence(lit(0), size(ids) - 2),
@@ -209,53 +237,106 @@ object Dedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /**
-   * SimHash near-dup pairs with pigeonhole blocking: split the 64-bit
-   * fingerprint into `maxHamming + 1` near-equal-width chunks; a pair
-   * within Hamming distance ≤ maxHamming has at most maxHamming differing
-   * bits, so at least one of the maxHamming+1 chunks is difference-free —
-   * the pair MUST agree on that chunk (full recall by pigeonhole). The
-   * expansion runs per (chunkIndex, chunkValue) bucket — never all-pairs —
-   * then filters by true Hamming distance. Cost dial: larger maxHamming →
-   * more, narrower chunks → more bucket collisions → more candidate work.
+   * SimHash near-dup pairs with Manku-style multi-chunk blocking (Manku,
+   * Jain & Das Sarma 2007, "Detecting Near-Duplicates for Web Crawling" —
+   * public): split the 64-bit fingerprint into `chunks` (= m) near-equal
+   * chunks and build one candidate-key FAMILY per combination of
+   * m − maxHamming chunks, keyed on the CONCATENATION of those chunks'
+   * bits. A pair within Hamming distance ≤ maxHamming differs in at most
+   * maxHamming chunks, so some m − maxHamming chunks are difference-free
+   * and the pair collides in that family — full recall by pigeonhole,
+   * C(m, maxHamming) families.
+   *
+   * Why not one chunk per key (the m = maxHamming + 1 degenerate case):
+   * at maxHamming = 8 that yields 9 families of 7-8-bit keys — ≤256
+   * distinct buckets per family, so bucket population grows LINEARLY with
+   * corpus size, pair expansion quadratically in it, and the `maxBucket`
+   * cap then drops whole buckets (recall collapse at ~10^5 docs). Wider
+   * concatenated keys keep bucket size O(1) in corpus size; the price is
+   * more families (each doc emits C(m, maxHamming) key rows). The `chunks`
+   * dial makes the trade explicit:
+   *   - m = maxHamming + 2 (default): C(m, 2) families of 2-chunk keys —
+   *     e.g. k=3 → 10 families × ~26-bit keys, k=8 → 45 × ~13-bit keys;
+   *   - larger m → wider keys but combinatorially more families
+   *     (guarded at 1024).
+   * Over-cap buckets are still dropped, but counted in the
+   * `graft_buckets` observe metric — never silently.
    */
   def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
                         maxHamming: Int = 3,
                         maxBucket: Int = 1000,
+                        chunks: Int = 0,
                         useNative: Boolean = true): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64,
-      s"maxHamming must be in [0, 64), got $maxHamming")
     val simExpr =
       if (useNative) {
         graft.plans.NativeFunctions.register(df.sparkSession)
         graft.plans.NativeFunctions.simhashNative(col(textCol))
       } else simhash(col(textCol))
-    // chunk layout: 64 bits over maxHamming+1 chunks, first `64 % chunks`
-    // chunks one bit wider — every chunk non-empty, so no degenerate
-    // all-docs bucket from a zero-width chunk
-    val nChunks = maxHamming + 1
+    simhashPairsFromFingerprints(
+      df.select(col(idCol).as("id"), simExpr.as("simhash")),
+      "id", "simhash", maxHamming, maxBucket, chunks)
+  }
+
+  /**
+   * [[simhashDuplicates]] over PRECOMPUTED fingerprints — the blocking /
+   * verification stage on its own, so callers can reuse stored
+   * fingerprints (the 100 TB shape: fingerprint once, re-block on
+   * parameter changes) and tests can plant exact bit-flips.
+   */
+  def simhashPairsFromFingerprints(fps: DataFrame, idCol: String,
+                                   simhashCol: String,
+                                   maxHamming: Int = 3,
+                                   maxBucket: Int = 1000,
+                                   chunks: Int = 0): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 63,
+      s"maxHamming must be in [0, 63), got $maxHamming")
+    val nChunks = if (chunks > 0) chunks else maxHamming + 2
+    require(nChunks > maxHamming && nChunks <= 64,
+      s"chunks must be in (maxHamming, 64], got $nChunks")
+    // C(m, m-k) family count, guarded before materializing combinations
+    val nFamilies = (1 to (nChunks - maxHamming).min(maxHamming))
+      .foldLeft(BigInt(1))((acc, i) => acc * (nChunks - i + 1) / i)
+    require(nFamilies <= 1024,
+      s"C($nChunks, ${nChunks - maxHamming}) = $nFamilies key families — " +
+        "lower `chunks` (families shrink toward maxHamming+1 chunks)")
+    // chunk layout: 64 bits over m chunks, first `64 % m` chunks one bit
+    // wider — every chunk non-empty
     val base = 64 / nChunks
     val rem = 64 % nChunks
     val bounds = (0 until nChunks).scanLeft((0, 0)) { case ((s, w), c) =>
       (s + w, if (c < rem) base + 1 else base)
     }.tail
-    val withSim = df.select(col(idCol).as("id"), simExpr.as("simhash"))
-    val chunked = withSim.select(col("id"), col("simhash"),
-      posexplode(array(bounds.map { case (start, width) =>
-        val mask = if (width == 64) -1L else (1L << width) - 1L
-        call_function("shiftright", col("simhash"), lit(start))
-          .bitwiseAND(lit(mask))
-      }: _*)))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
-    // collect (id, simhash) per chunk bucket and verify Hamming INSIDE
+    val withSim = fps.select(col(idCol).as("id"),
+      col(simhashCol).as("simhash"))
+    def chunkVal(c: Int): Column = {
+      val (start, width) = bounds(c)
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      call_function("shiftright", col("simhash"), lit(start))
+        .bitwiseAND(lit(mask))
+    }
+    // one key per family: the selected chunks' bits packed into a long
+    // (total selected width ≤ 64 — a subset of a 64-bit split)
+    val familyKeys = (0 until nChunks).combinations(nChunks - maxHamming)
+      .map(fam => fam.foldLeft(lit(0L)) { (acc, c) =>
+        call_function("shiftleft", acc, lit(bounds(c)._2))
+          .bitwiseOR(chunkVal(c))
+      }).toSeq
+    val keyed = withSim.select(col("id"), col("simhash"),
+      posexplode(array(familyKeys: _*)))
+      .withColumnRenamed("pos", "family").withColumnRenamed("col", "fam_key")
+    // collect (id, simhash) per family bucket and verify Hamming INSIDE
     // the pair expansion: only ≤maxHamming pairs ever leave the bucket.
-    // Bucket cap = skew guard (a degenerate chunk value shared by a huge
-    // cohort would expand quadratically). Simhash fits the pair struct —
-    // 16 bytes — so carrying it through collect_list is free, unlike
-    // vectors (embeddingDuplicates keeps the join-based shape for that).
+    // Bucket cap = skew guard (a degenerate key shared by a huge cohort —
+    // e.g. empty docs, all fingerprint 0 — would expand quadratically).
+    // Simhash fits the pair struct — 16 bytes — so carrying it through
+    // collect_list is free, unlike vectors (embeddingDuplicates keeps the
+    // join-based shape for that).
     val xs = col("__xs")
-    chunked.groupBy(col("chunk"), col("chunk_val"))
-      .agg(sort_array(collect_list(struct(col("id"), col("simhash"))))
-        .as("__xs"))
+    observeBuckets(
+      keyed.groupBy(col("family"), col("fam_key"))
+        .agg(sort_array(collect_list(struct(col("id"), col("simhash"))))
+          .as("__xs")),
+      size(xs), maxBucket, "graft_buckets")
       .where(size(xs).between(2, maxBucket))
       .select(explode(flatten(transform(
         sequence(lit(0), size(xs) - 2),
@@ -504,9 +585,15 @@ object Dedup {
         greatest(size(col("__toks")) - (spanWords - 1), lit(1)))
       .select(col(idCol), explode(transform(
         sequence(lit(0), col("__nwin") - 1),
-        i => concat_ws(" ", slice(col("__toks"), i + 1, lit(spanWords)))))
-        .as("__win"))
-    val occ = Window.partitionBy(xxhash64(col("__win")))
+        i => xxhash64(
+          concat_ws(" ", slice(col("__toks"), i + 1, lit(spanWords))))))
+        .as("__h"))
+    // the hash is MATERIALIZED as a column before the window — were the
+    // window partitioned by xxhash64(__win) directly, WindowExec would
+    // need __win to evaluate its partition expression and the shuffle
+    // would carry every 10-word window string (~10× the corpus text);
+    // this way the exchange rows are two longs (id, hash)
+    val occ = Window.partitionBy(col("__h"))
     wins.withColumn("__occ", count(lit(1)).over(occ))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_spans"),

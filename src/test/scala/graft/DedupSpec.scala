@@ -101,6 +101,54 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)))
   }
 
+  test("simhash Manku blocking finds EVERY planted ≤8-bit-flip pair") {
+    // fingerprint-level planting: 20 random fingerprints, each with a
+    // partner at exactly (i % 9) ∈ [0, 8] flipped bits at random
+    // positions — recall must be guaranteed by the pigeonhole over
+    // concatenated chunk keys, whatever chunks the flips straddle
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 20).flatMap { i =>
+      val fp = rnd.nextLong()
+      val flips = rnd.shuffle((0 until 64).toList).take(i % 9)
+      Seq((i.toLong, fp),
+        (i + 1000L, flips.foldLeft(fp)((a, p) => a ^ (1L << p))))
+    }.toDF("id", "fp")
+    val pairs = Dedup.simhashPairsFromFingerprints(rows, "id", "fp",
+      maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 20).foreach { i =>
+      assert(pairs.contains((i.toLong, i + 1000L)),
+        s"planted pair ($i, ${i + 1000}) with ${i % 9} flips not found")
+    }
+  }
+
+  test("simhash blocking excludes pairs beyond maxHamming") {
+    val fp = 0x0123456789ABCDEFL
+    val flipped9 = (0 until 9).foldLeft(fp)((a, p) => a ^ (1L << (p * 7)))
+    assert(java.lang.Long.bitCount(fp ^ flipped9) == 9)
+    val df = Seq((1L, fp), (2L, flipped9)).toDF("id", "fp")
+    assert(Dedup.simhashPairsFromFingerprints(df, "id", "fp",
+      maxHamming = 8).count() == 0)
+  }
+
+  test("over-cap buckets are dropped but SURFACED via observe metric") {
+    // 50 identical fingerprints (over the cap of 10 in every family) plus
+    // one well-behaved pair: the big cohort's pairs must be dropped, the
+    // small pair found, and the drop visible in the observe metric
+    val df = ((1L to 50L).map((_, 42L)) ++ Seq((100L, -7L), (101L, -7L)))
+      .toDF("id", "fp")
+    val q = Dedup.simhashPairsFromFingerprints(df, "id", "fp",
+      maxHamming = 3, maxBucket = 10)
+    val pairs = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100L, 101L)))
+    val metrics = q.queryExecution.observedMetrics
+    val dropped = metrics.collect {
+      case (k, r) if k.startsWith("graft_buckets") =>
+        r.getAs[Long]("n_dropped_buckets")
+    }
+    assert(dropped.exists(_ > 0), s"no dropped-bucket metric in $metrics")
+  }
+
   test("duplicateClusters: min-label connected components") {
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
     val got = Dedup.duplicateClusters(pairs).collect()
