@@ -1377,17 +1377,26 @@ object SparkEntry {
           round(element_at(col("pcts"), 3), 4).as("p99")),
       None), // sketch-specific values: rows-only check
 
-    // ---- multimodal plumbing (codec stubbed; see Multimodal scaladoc) ----
+    // ---- multimodal plumbing (image + audio decode REAL; video codec
+    // stubbed — see Multimodal scaladoc). The decoded shape facts per
+    // media_id ARE SQL-expressible: synthetic payload dims/rates are
+    // deterministic functions of the id, and the Spark side reports
+    // what ImageIO / javax.sound DECODED, so the oracle verifies a real
+    // decode round-trip (video rows excluded: their decode is the stub)
     Q("q_multimodal_features",
       (s, d) => {
         import graft.multimodal.Multimodal
         val feats = Multimodal.featurize(Multimodal.syntheticMedia(s, 300))
-        feats.toDF().groupBy(col("kind"))
-          .agg(count(lit(1)).as("n"),
-            min(size(col("features"))).as("feat_dim"),
-            round(avg(element_at(col("features"), 1)), 4).as("avg_f0"))
+        feats.toDF().where(col("kind") =!= "video")
+          .select(col("media_id"), col("kind"), col("width"), col("height"))
       },
-      None), // synthetic in-memory source — no parquet table for the oracle
+      Some("""SELECT i AS media_id,
+              CASE WHEN i % 3 = 0 THEN 'image' ELSE 'audio' END AS kind,
+              CASE WHEN i % 3 = 0 THEN CAST(64 + (i % 4) * 32 AS INTEGER)
+                ELSE 16000 END AS width,
+              CASE WHEN i % 3 = 0 THEN CAST(64 + (i % 3) * 32 AS INTEGER)
+                ELSE 1600 END AS height
+              FROM generate_series(0, 299) t(i) WHERE i % 3 < 2""")),
 
     // salting must be semantically invisible: oracle is the plain join
     Q("q_skew_salted_join",
@@ -1534,11 +1543,19 @@ object SparkEntry {
       (s, d) => graft.functions.TextAnalysis.c4Signals(
         s.read.parquet(pq(d, "documents")), "doc_id", "text")
         .withColumn("n_words", col("n_words").cast("long")),
+      // empty/whitespace docs: Spark's tokens() yields an EMPTY array
+      // (n_words 0, mean_word_len 0.0) where a bare string_split_regex
+      // would yield [''] (n_words 1) — the CASEs keep the engines aligned
       Some("""WITH t AS (SELECT doc_id, text,
-                string_split_regex(trim(text), '\s+') AS toks FROM documents),
+                CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\s+') END AS toks
+                FROM documents),
               s AS (SELECT doc_id, len(toks) AS n_words,
-                ROUND(list_aggregate(list_transform(toks, w -> length(w)),
-                  'sum') / CAST(len(toks) AS DOUBLE), 4) AS mean_word_len,
+                CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE ROUND(list_aggregate(list_transform(toks,
+                    w -> length(w)),
+                  'sum') / CAST(len(toks) AS DOUBLE), 4) END
+                  AS mean_word_len,
                 CASE WHEN regexp_matches(text, '[.!?]\s*$') THEN 1 ELSE 0
                   END AS ends_punct,
                 CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS has_brace,
@@ -1586,15 +1603,18 @@ object SparkEntry {
             round(Embeddings.l2Norm(col("embedding")), 4).as("norm"),
             round(element_at(col("unit_vec"), 1), 4).as("u0"))
       },
-      Some("""SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
-              ROUND(sqrt(list_aggregate(list_transform(embedding,
-                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4)
-                AS norm,
-              ROUND(CAST(embedding[1] AS DOUBLE) /
-                sqrt(list_aggregate(list_transform(embedding,
-                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4)
+      // CASE nsq = 0 mirrors l2Normalize's zero-vector pass-through —
+      // without it a zero vector yields NULL/NaN here vs 0.0 in Spark
+      Some("""WITH s AS (SELECT vec_id, embedding,
+                list_aggregate(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS nsq
+                FROM embeddings)
+              SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+              ROUND(sqrt(nsq), 4) AS norm,
+              ROUND(CASE WHEN nsq = 0 THEN CAST(embedding[1] AS DOUBLE)
+                ELSE CAST(embedding[1] AS DOUBLE) / sqrt(nsq) END, 4)
                 AS u0
-              FROM embeddings""")),
+              FROM s""")),
 
     Q("q_emb_quantize",
       (s, d) => graft.operators.Embeddings.quantizeInt8(
@@ -1608,8 +1628,9 @@ object SparkEntry {
                   x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS scale
                 FROM embeddings),
               q AS (SELECT vec_id, scale, list_transform(embedding,
-                x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER))
-                AS qv FROM s)
+                x -> CASE WHEN scale = 0 THEN 0
+                  ELSE CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER)
+                  END) AS qv FROM s)
               SELECT vec_id, ROUND(scale, 6) AS q_scale,
                 CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
                 CAST(list_aggregate(qv, 'max') AS INTEGER) AS q_max

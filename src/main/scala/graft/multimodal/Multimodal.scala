@@ -11,7 +11,9 @@ final case class MediaMeta(width: Int, height: Int, sampleRate: Int,
 final case class MediaRow(media_id: Long, kind: String,
                           bytes: Array[Byte], meta: MediaMeta)
 
-/** Decoded/featurized output row. */
+/** Decoded/featurized output row. The two shape fields are per-kind:
+  * image → (decoded pixel width, height); audio → (decoded sample rate,
+  * decoded sample count); video → metadata passthrough (codec stubbed). */
 final case class MediaFeatures(media_id: Long, kind: String,
                                width: Int, height: Int,
                                features: Array[Float])
@@ -28,12 +30,15 @@ final case class MediaFeatures(media_id: Long, kind: String,
  *
  * Codec status: IMAGE decode and resize are REAL — JDK `javax.imageio`
  * (PNG/JPEG/BMP/GIF, no external dependency) decodes actual pixels in
- * [[Codec.decodeImage]] / re-encodes in [[Codec.resizeImage]], and
- * [[syntheticMedia]] generates real PNG payloads for image rows. AUDIO
- * and VIDEO decode remain STUBBED behind [[Codec.decodeStub]] (no
- * ffmpeg/codec libs in this container) — a deterministic fake keyed on
- * the payload so tests are reproducible. Swap `decodeStub` for a real
- * JNI/javacv codec without touching any of the distributed plumbing.
+ * [[Codec.decodeImage]] / re-encodes in [[Codec.resizeImage]] — and
+ * AUDIO decode is REAL — JDK `javax.sound.sampled` (WAV/PCM, no
+ * external dependency) decodes actual samples in [[Codec.decodeAudio]];
+ * [[syntheticMedia]] generates real PNG and real WAV payloads for those
+ * rows. Only VIDEO decode remains STUBBED behind [[Codec.decodeStub]]
+ * (the JDK ships no video codec and this container has no ffmpeg) — a
+ * deterministic fake keyed on the payload so tests are reproducible.
+ * Swap `decodeStub` for a real JNI/javacv codec without touching any of
+ * the distributed plumbing.
  *
  * Scale notes: payloads never pass through a shuffle here — featurize is
  * a narrow mapPartitions; downstream joins should carry `media_id` and
@@ -104,9 +109,45 @@ object Multimodal {
     }
 
     /**
-     * STUB: stands in for a real audio/video decode (e.g. ffmpeg via
-     * JNI). Deterministic function of the payload bytes so results are
-     * stable across runs and executors.
+     * REAL audio decode: JDK `javax.sound.sampled` (WAV container, PCM
+     * 16-bit) → samples in [-1, 1] → a `dim`-length feature vector of
+     * per-segment RMS energy. Deterministic in the sample data.
+     *
+     * @return (sampleRate, nSamples, features)
+     */
+    def decodeAudio(bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian, s"expected 16-bit mono little-endian PCM, got $fmt")
+        val raw = in.readAllBytes()
+        val n = raw.length / 2
+        require(n > 0, "empty audio payload")
+        val samples = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = ((raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8))
+            .toShort / 32768.0
+          i += 1
+        }
+        val feats = Array.tabulate(dim) { j =>
+          val s0 = j * n / dim
+          val s1 = math.max(s0 + 1, (j + 1) * n / dim)
+          var acc = 0.0
+          var k = s0
+          while (k < s1) { acc += samples(k) * samples(k); k += 1 }
+          math.sqrt(acc / (s1 - s0)).toFloat
+        }
+        (fmt.getSampleRate.toInt, n, feats)
+      } finally in.close()
+    }
+
+    /**
+     * STUB: stands in for a real VIDEO decode (e.g. ffmpeg via JNI —
+     * the JDK has no video codec). Deterministic function of the
+     * payload bytes so results are stable across runs and executors.
      */
     def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
       var h = 1125899906842597L // FNV-ish rolling hash of the payload
@@ -132,14 +173,21 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // batch boundary = where a real codec would amortize setup
         batch.iterator.map { r =>
-          if (r.kind == "image") {
-            // REAL decode: width/height come from the decoded pixels,
-            // not the metadata — featurize proves the payload is an image
-            val (w, h, feats) = Codec.decodeImage(r.bytes, dim)
-            MediaFeatures(r.media_id, r.kind, w, h, feats)
-          } else
-            MediaFeatures(r.media_id, r.kind, r.meta.width, r.meta.height,
-              Codec.decodeStub(r.bytes, dim))
+          r.kind match {
+            case "image" =>
+              // REAL decode: width/height come from the decoded pixels,
+              // not the metadata — proves the payload is an image
+              val (w, h, feats) = Codec.decodeImage(r.bytes, dim)
+              MediaFeatures(r.media_id, r.kind, w, h, feats)
+            case "audio" =>
+              // REAL decode: sample rate / count come from the decoded
+              // WAV, not the metadata
+              val (sr, n, feats) = Codec.decodeAudio(r.bytes, dim)
+              MediaFeatures(r.media_id, r.kind, sr, n, feats)
+            case _ =>
+              MediaFeatures(r.media_id, r.kind, r.meta.width, r.meta.height,
+                Codec.decodeStub(r.bytes, dim))
+          }
         }
       }
     }
@@ -175,8 +223,9 @@ object Multimodal {
   /**
    * Deterministic synthetic media table for tests/demos. Image rows carry
    * REAL PNG payloads (deterministic per-pixel pattern, encoded with
-   * `javax.imageio`); audio/video rows carry fake bytes (their decode is
-   * the stubbed boundary).
+   * `javax.imageio`); audio rows carry REAL WAV payloads (id-keyed sine,
+   * encoded with `javax.sound.sampled`); only video rows carry fake
+   * bytes (their decode is the stubbed boundary).
    */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
@@ -185,14 +234,46 @@ object Multimodal {
         (id % 3).toInt)
       val w = 64 + (id % 4).toInt * 32
       val h = 64 + (id % 3).toInt * 32
-      val bytes =
-        if (kind == "image") syntheticPng(id, w, h)
-        else Array.tabulate(128)(j => ((id * 131 + j * 17) % 251).toByte)
+      val bytes = kind match {
+        case "image" => syntheticPng(id, w, h)
+        case "audio" => syntheticWav(id)
+        case _ =>
+          Array.tabulate(128)(j => ((id * 131 + j * 17) % 251).toByte)
+      }
       MediaRow(id, kind, bytes,
         MediaMeta(width = w, height = h,
           sampleRate = if (kind == "audio") 16000 else 0,
           nFrames = if (kind == "video") 30 else 1))
     }
+  }
+
+  /** A real 100 ms WAV (PCM 16-bit mono, 16 kHz): an id-keyed sine —
+    * frequency, amplitude AND a small DC offset vary per id, so decoded
+    * RMS features are distinct across rows (frequency alone isn't
+    * enough: whole-period-aligned frequencies yield identical segment
+    * RMS at equal amplitude). */
+  private def syntheticWav(id: Long, sampleRate: Int = 16000): Array[Byte] = {
+    val freq = 200.0 + (id % 20).toDouble * 50.0
+    val amp = 0.2 + (id % 16).toDouble * 0.04
+    val dc = (id % 97).toDouble / 1000.0
+    val n = sampleRate / 10
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = ((dc + math.sin(2 * math.Pi * freq * i / sampleRate) * amp)
+        * 32767).toInt
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
   }
 
   /** A real PNG with an id-keyed pixel pattern (gradient + id stripes). */
