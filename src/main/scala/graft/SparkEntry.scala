@@ -1236,15 +1236,28 @@ object SparkEntry {
       },
       None), // IVF cell structure is index-specific: rows-only check
 
+    // LSH buckets are approximate by design, but planted IDENTICAL
+    // vectors make a slice of the output exact: a copy shares its
+    // source's bucket (same sign bits) with cosine 1.0, so behind the
+    // self-match (rank 1, smaller id) it lands at rank 2 — an expected
+    // set that IS SQL-expressible, giving the bucket-join + rank path a
+    // real oracle. (A natural vector would have to round to cosine
+    // 1.0000 to break the rank — random embeddings sit far below.)
     Q("q_ann_lsh",
       (s, d) => {
         val emb = s.read.parquet(pq(d, "embeddings"))
+          .select(col("vec_id"), col("embedding"))
+        val planted = emb.where(col("vec_id") < 3)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
         val queries = emb.where(col("vec_id") < 3)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-        graft.operators.Similarity.lshTopK(emb, queries,
+        graft.operators.Similarity.lshTopK(emb.unionByName(planted), queries,
           "vec_id", "embedding", "query_id", "qv", k = 5, planes = 6)
+          .where(col("vec_id") === col("query_id") + 100000L)
       },
-      None), // LSH-bucketed (approximate by design): rows-only check
+      Some("""SELECT vec_id AS query_id, vec_id + 100000 AS vec_id,
+              CAST(1.0 AS DOUBLE) AS cosine, 2 AS "rank"
+              FROM embeddings WHERE vec_id < 3""")),
 
     // ---- events / time-series -------------------------------------------
     Q("q_events_hourly",
