@@ -25,6 +25,17 @@ object Analytics {
    * (each a filtered agg on user_id, partial-aggregated map-side);
    * the per-user step-time frame stays one row per user.
    *
+   * Scale trade, explicitly: k passes is the right shape for short
+   * funnels (k ≤ ~5, the product norm) — each pass is a narrow
+   * filtered scan + key-partitioned agg, and the frontier joined back
+   * is one row per surviving user. For LONG step lists the k scans
+   * dominate; the single-pass alternative is one `groupBy(user)` with
+   * a capped `sort_array(collect_list(ts, type))` per user and a
+   * per-user fold through the step sequence — one shuffle, but a
+   * per-user event buffer (cap it: funnels over power users' full
+   * history are where that buffer blows up). Switch shapes at the
+   * point the buffer bound is credible, not before.
+   *
    * Output: (step, step_idx, n_users) — users whose funnel reached
    * that step.
    */

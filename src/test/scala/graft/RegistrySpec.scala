@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Registry invariants the docs cite — README/SURVEY counts reference
+ * THESE tested constants, so the numbers can't silently drift (it
+ * happened three rounds running when they were prose).
+ */
+class RegistrySpec extends AnyFunSuite {
+
+  test("registry counts match the documented surface") {
+    assert(SparkEntry.queries.size == 100)
+    assert(SparkEntry.oracleSql.size == 92)
+  }
+
+  test("every oracle belongs to a registered query") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracles without queries: $unknown")
+  }
+
+  test("the rows-only set is the declared hash-family/sketch list") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set(
+      "q_ann_ivf", "q_approx_count_distinct", "q_approx_percentile",
+      "q_dedup_embedding", "q_dedup_minhash", "q_dedup_simhash",
+      "q_sample_stratified", "q_text_fingerprint"))
+  }
+}
