@@ -106,11 +106,14 @@ object Bench {
     Runtime.getRuntime.addShutdownHook(new Thread(() => emit(complete = false)))
     // Backstop 2: hard watchdog — a wedged query can't block the emit.
     val watchdog = new Thread(() => {
-      try Thread.sleep(((budget - 5.0) * 1000).toLong.max(0))
-      catch { case _: InterruptedException => return }
-      System.err.println(f"[bench] watchdog fired at $elapsed%.1fs — emitting partial results")
-      emit(complete = false)
-      Runtime.getRuntime.halt(0) // hooks already done their job; don't wait on Spark threads
+      val interrupted =
+        try { Thread.sleep(((budget - 5.0) * 1000).toLong.max(0)); false }
+        catch { case _: InterruptedException => true } // main emitted; stand down
+      if (!interrupted) {
+        System.err.println(f"[bench] watchdog fired at $elapsed%.1fs — emitting partial results")
+        emit(complete = false)
+        Runtime.getRuntime.halt(0) // hooks already done their job; don't wait on Spark threads
+      }
     })
     watchdog.setDaemon(true)
     watchdog.start()

@@ -622,10 +622,15 @@ object SparkEntry {
         minJaccard = 0.5),
       None), // xxhash64-family-specific: rows-only check
 
+    // repartition first: the fingerprint+key-explode chain is narrow, so
+    // its parallelism is the input's (one parquet file here = 1-2 tasks);
+    // at cluster scale the source arrives partitioned and this is a no-op
+    // in spirit (same pattern as q_dup_spans)
     Q("q_dedup_simhash",
       (s, d) => graft.operators.Dedup.simhashDuplicates(
-        s.read.parquet(pq(d, "documents")), "doc_id", "text",
-        maxHamming = 8),
+        s.read.parquet(pq(d, "documents"))
+          .repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", maxHamming = 8),
       None),
 
     // threshold 0.3 (not the production 0.95): driver embeddings are
