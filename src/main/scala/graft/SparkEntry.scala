@@ -745,16 +745,23 @@ object SparkEntry {
               CAST(1.0 AS DOUBLE) AS cosine
               FROM embeddings WHERE vec_id < 50""")),
 
-    // corpus rebalancing: per-language stratified subsample (seeded,
-    // deterministic given partitioning). A core training-data op; sample
-    // membership is engine-specific → rows-only check.
+    // corpus rebalancing: per-language stratified subsample. Hash-based
+    // membership is a pure function of (doc_id, salt, stratum fraction)
+    // — reproducible across engines, so the sample is oracle-exact
+    // (unlike df.stat.sampleBy's partition-seeded RNG, exercised in
+    // SamplingSpec instead).
     Q("q_sample_stratified",
-      (s, d) => s.read.parquet(pq(d, "documents"))
-        .stat.sampleBy("lang",
-          Map("en" -> 0.5, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.25,
-            "zh" -> 1.0), seed = 42L)
+      (s, d) => graft.operators.Sampling.stratifiedHashSample(
+        s.read.parquet(pq(d, "documents")), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.25,
+          "zh" -> 1.0), salt = "strat")
         .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled")),
-      None),
+      Some("""SELECT lang, COUNT(*) AS n_sampled FROM documents
+              WHERE substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 4) <
+                CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '8000'
+                  WHEN 'fr' THEN '4000' WHEN 'es' THEN '4000'
+                  WHEN 'zh' THEN 'ffff' ELSE '0000' END
+              GROUP BY lang""")),
 
     // ---- text analysis ---------------------------------------------------
     Q("q_text_stats",
@@ -1230,16 +1237,26 @@ object SparkEntry {
                 FROM embeddings e, embeddings q WHERE q.vec_id < 3) t
               WHERE rank <= 5""")),
 
+    // same planted-exactness move as q_ann_lsh below: an identical copy
+    // is assigned to its source's IVF cell (same argmax centroid), scores
+    // cosine 1.0, and ranks 2 behind the self-match — cell structure
+    // stays index-specific, the planted slice is an exact expected set
     Q("q_ann_ivf",
       (s, d) => {
         val emb = s.read.parquet(pq(d, "embeddings"))
+          .select(col("vec_id"), col("embedding"))
+        val planted = emb.where(col("vec_id") < 3)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
         val queries = emb.where(col("vec_id") < 3)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-        graft.operators.Similarity.ivfTopK(emb, queries,
+        graft.operators.Similarity.ivfTopK(emb.unionByName(planted), queries,
           "vec_id", "embedding", "query_id", "qv",
           k = 5, nlist = 16, nprobe = 4)
+          .where(col("vec_id") === col("query_id") + 100000L)
       },
-      None), // IVF cell structure is index-specific: rows-only check
+      Some("""SELECT vec_id AS query_id, vec_id + 100000 AS vec_id,
+              CAST(1.0 AS DOUBLE) AS cosine, 2 AS "rank"
+              FROM embeddings WHERE vec_id < 3""")),
 
     // LSH buckets are approximate by design, but planted IDENTICAL
     // vectors make a slice of the output exact: a copy shares its

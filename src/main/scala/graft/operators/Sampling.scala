@@ -106,4 +106,34 @@ object Sampling {
     }
     df.withColumn("split", assigned)
   }
+
+  /**
+   * Deterministic stratified sample: per-stratum keep fractions (corpus
+   * rebalancing — downsample dominant languages, keep rare ones whole),
+   * with membership a pure function of (key, salt, stratum fraction) —
+   * the same md5-prefix predicate as [[hashSample]], thresholded per
+   * stratum through one CASE. Unlike `df.stat.sampleBy` (per-partition
+   * seeded RNG: membership changes under repartitioning and differs
+   * across engines), this sample is reproducible anywhere `md5` exists,
+   * so it is oracle-comparable and replay-stable. Strata absent from
+   * `fractions` fall back to `defaultFraction` (0 = drop). Zero
+   * shuffles — one codegen'd filter.
+   */
+  def stratifiedHashSample(df: DataFrame, keyCol: String,
+                           stratumCol: String,
+                           fractions: Map[String, Double],
+                           salt: String = "",
+                           defaultFraction: Double = 0.0): DataFrame = {
+    require(fractions.nonEmpty, "need at least one stratum fraction")
+    (fractions.values.toSeq :+ defaultFraction).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fraction must be in [0,1], got $f"))
+    val threshold = fractions.toSeq.sortBy(_._1)
+      .foldLeft(lit(hexThreshold(defaultFraction))) {
+        case (acc, (stratum, f)) =>
+          when(col(stratumCol) === stratum, lit(hexThreshold(f)))
+            .otherwise(acc)
+      }
+    df.where(substring(
+      md5(concat(lit(salt), col(keyCol).cast("string"))), 1, 4) < threshold)
+  }
 }

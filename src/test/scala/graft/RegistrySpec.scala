@@ -11,7 +11,7 @@ class RegistrySpec extends AnyFunSuite {
 
   test("registry counts match the documented surface") {
     assert(SparkEntry.queries.size == 100)
-    assert(SparkEntry.oracleSql.size == 92)
+    assert(SparkEntry.oracleSql.size == 94)
   }
 
   test("every oracle belongs to a registered query") {
@@ -22,8 +22,8 @@ class RegistrySpec extends AnyFunSuite {
   test("the rows-only set is the declared hash-family/sketch list") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set(
-      "q_ann_ivf", "q_approx_count_distinct", "q_approx_percentile",
+      "q_approx_count_distinct", "q_approx_percentile",
       "q_dedup_embedding", "q_dedup_minhash", "q_dedup_simhash",
-      "q_sample_stratified", "q_text_fingerprint"))
+      "q_text_fingerprint"))
   }
 }

@@ -217,6 +217,28 @@ class ContaminationLineDedupSpec extends SparkSpec {
     assert((0L to mx).forall(kept.contains))
   }
 
+  test("stratifiedHashSample: per-stratum fractions, partition-invariant") {
+    import graft.operators.Sampling
+    val df = spark.range(0, 2000)
+      .selectExpr("id AS k", "CASE WHEN id % 2 = 0 THEN 'big' ELSE 'rare' END AS s")
+    val fr = Map("big" -> 0.25, "rare" -> 1.0)
+    val out = Sampling.stratifiedHashSample(df, "k", "s", fr, salt = "t")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val bySt = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySt("rare") >= 990) // fraction 1.0 keeps ~everything (ffff edge)
+    assert(math.abs(bySt("big") - 250) < 60) // ~0.25 of 1000
+    // unseen stratum defaults to fraction 0
+    val none = Sampling.stratifiedHashSample(
+      df.withColumn("s", lit("other")), "k", "s", fr, salt = "t")
+    assert(none.isEmpty)
+    // membership is a pure function of the key: repartitioning the input
+    // must not change the sample (the sampleBy contrast: its partition-
+    // seeded RNG does)
+    val rep = Sampling.stratifiedHashSample(df.repartition(13), "k", "s",
+      fr, salt = "t").collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(rep.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("incrementalExact drops seen texts and in-batch repeats") {
     val seen = Seq((1L, "old doc"), (2L, "another old")).toDF("id", "text")
     val batch = Seq(
