@@ -126,6 +126,21 @@ object Dedup {
       max(sizeCol).as("max_bucket"))
 
   /**
+   * Bucket metrics `(n_buckets, n_dropped_buckets, max_bucket)` observed
+   * during the last action on `df` (a frame built by one of the
+   * bucketed-dedup operators), keyed by observation name. Non-empty
+   * after any action whose result had at least one surviving row — the
+   * library-user surface for "did the cap silently cost me recall?".
+   */
+  def bucketMetrics(df: DataFrame): Map[String, (Long, Long, Long)] =
+    df.queryExecution.observedMetrics.collect {
+      case (k, r) if k.startsWith("graft_buckets") =>
+        k -> ((r.getAs[Long]("n_buckets"),
+          r.getAs[Long]("n_dropped_buckets"),
+          r.getAs[Long]("max_bucket")))
+    }.toMap
+
+  /**
    * All `id_a < id_b` pairs of ids sharing a bucket key: one shuffle on
    * the bucket key, `collect_list` per bucket, pairs expanded with
    * higher-order functions. Versus a bucket self-join this evaluates the
@@ -392,17 +407,18 @@ object Dedup {
           col("cluster").as("__nc")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("__nc")).as("__nmin"))
+      // carry the previous label through the (checkpointed) update so
+      // the convergence check is a scan of the materialized frame — not
+      // a further join against the old labels (one fewer shuffle per
+      // round)
       val updated = labels
         .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster").as("__old"),
           least(col("cluster"), coalesce(col("__nmin"), col("cluster")))
             .as("cluster"))
         .localCheckpoint(true)
-      converged = updated
-        .join(labels.select(col("id"), col("cluster").as("__old")), "id")
-        .where(col("cluster") =!= col("__old"))
-        .isEmpty
-      labels = updated
+      converged = updated.where(col("cluster") =!= col("__old")).isEmpty
+      labels = updated.select(col("id"), col("cluster"))
       it += 1
     }
     labels

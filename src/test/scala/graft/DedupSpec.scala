@@ -141,12 +141,10 @@ class DedupSpec extends SparkSpec {
       maxHamming = 3, maxBucket = 10)
     val pairs = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((100L, 101L)))
-    val metrics = q.queryExecution.observedMetrics
-    val dropped = metrics.collect {
-      case (k, r) if k.startsWith("graft_buckets") =>
-        r.getAs[Long]("n_dropped_buckets")
-    }
-    assert(dropped.exists(_ > 0), s"no dropped-bucket metric in $metrics")
+    val metrics = Dedup.bucketMetrics(q)
+    assert(metrics.values.exists(_._2 > 0),
+      s"no dropped-bucket metric in $metrics")
+    assert(metrics.values.exists(_._3 == 50)) // the over-cap cohort's size
   }
 
   test("duplicateClusters: min-label connected components") {
