@@ -132,13 +132,16 @@ object Dedup {
    * after any action whose result had at least one surviving row — the
    * library-user surface for "did the cap silently cost me recall?".
    */
-  def bucketMetrics(df: DataFrame): Map[String, (Long, Long, Long)] =
+  def bucketMetrics(df: DataFrame): Map[String, (Long, Long, Long)] = {
+    // max_bucket is an Int (size() is IntegerType); count/sum are Longs
+    def l(r: org.apache.spark.sql.Row, f: String): Long =
+      r.getAs[Number](f).longValue
     df.queryExecution.observedMetrics.collect {
       case (k, r) if k.startsWith("graft_buckets") =>
-        k -> ((r.getAs[Long]("n_buckets"),
-          r.getAs[Long]("n_dropped_buckets"),
-          r.getAs[Long]("max_bucket")))
+        k -> ((l(r, "n_buckets"), l(r, "n_dropped_buckets"),
+          l(r, "max_bucket")))
     }.toMap
+  }
 
   /**
    * All `id_a < id_b` pairs of ids sharing a bucket key: one shuffle on
