@@ -745,6 +745,25 @@ object SparkEntry {
               CAST(1.0 AS DOUBLE) AS cosine
               FROM embeddings WHERE vec_id < 50""")),
 
+    // near-dup ingestion against the existing corpus via its banded
+    // index: planted copies (batch = docs 0-49 re-ingested under new
+    // ids) MUST match their source at jaccard 1.0; the id-distance
+    // filter projects out incidental natural near-dup matches, exactly
+    // like q_dedup_minhash_planted
+    Q("q_dedup_incremental_minhash",
+      (s, d) => {
+        val docs = s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"), col("text"))
+        val batch = docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        graft.operators.Dedup.incrementalMinhash(batch, docs,
+          "doc_id", "text", minJaccard = 0.99)
+          .where(col("new_id") - col("seen_id") === 100000L)
+      },
+      Some("""SELECT doc_id + 100000 AS new_id, doc_id AS seen_id,
+              CAST(1.0 AS DOUBLE) AS jaccard
+              FROM documents WHERE doc_id < 50""")),
+
     // corpus rebalancing: per-language stratified subsample. Hash-based
     // membership is a pure function of (doc_id, salt, stratum fraction)
     // — reproducible across engines, so the sample is oracle-exact

@@ -488,6 +488,70 @@ object Dedup {
       .drop("__h")
   }
 
+  /**
+   * Near-duplicate matches of an incoming batch AGAINST an existing
+   * corpus — the near-dup analog of [[incrementalExact]], and the shape
+   * append-only ingestion needs at 100 TB: history participates only
+   * through its banded MinHash signatures (in production read from a
+   * pre-materialized index table — (id, band, band_hash) rows appended
+   * once per ingested batch — so 100 TB of text is never re-read, let
+   * alone re-fingerprinted; computing them here from `seen` is the same
+   * plan with the scan inlined) and through the text of the few docs
+   * that actually collide.
+   *
+   * Shape: batch bands ⋈ history bands on (band, band_hash) → candidate
+   * (new, seen) id pairs; exact Jaccard verification joins shingles
+   * computed ONLY for candidate ids on either side (semi-join first, so
+   * history tokenization touches candidates, not the corpus). Degenerate
+   * bucket keys — a band hash shared by more than `maxBucket` history
+   * docs, e.g. the empty-document signature — are excluded before the
+   * join (quadratic-guard, same role as [[pairsWithinBuckets]]'s cap).
+   *
+   * Returns (new_id, seen_id, jaccard) matches at `minJaccard`+; feed
+   * the new-id set to an anti-join to admit only novel documents.
+   */
+  def incrementalMinhash(newDocs: DataFrame, seen: DataFrame,
+                         idCol: String, textCol: String,
+                         numHashes: Int = 64, bands: Int = 16,
+                         shingleWords: Int = 3,
+                         minJaccard: Double = 0.8,
+                         maxBucket: Int = 1000,
+                         useNative: Boolean = true): DataFrame = {
+    val nb = minhashBands(newDocs, idCol, textCol, numHashes, bands,
+      shingleWords, useNative)
+      .withColumnRenamed(idCol, "new_id")
+    val sb = minhashBands(seen, idCol, textCol, numHashes, bands,
+      shingleWords, useNative)
+      .withColumnRenamed(idCol, "seen_id")
+    val hotKeys = sb.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxBucket)
+      .select(col("band"), col("band_hash"))
+    val cand = nb.join(hotKeys, Seq("band", "band_hash"), "left_anti")
+      .join(sb, Seq("band", "band_hash"))
+      .select(col("new_id"), col("seen_id"))
+      .distinct()
+    val shingles: Column => Column =
+      if (useNative) {
+        graft.plans.NativeFunctions.register(newDocs.sparkSession)
+        t => graft.plans.NativeFunctions.shinglesNative(t, shingleWords)
+      } else t => Shingles.wordShingles(t, shingleWords)
+    // tokenize only colliding docs on each side
+    val newSh = newDocs
+      .join(cand.select(col("new_id").as(idCol)).distinct(), idCol)
+      .select(col(idCol).as("new_id"), shingles(col(textCol)).as("__sh_n"))
+    val seenSh = seen
+      .join(cand.select(col("seen_id").as(idCol)).distinct(), idCol)
+      .select(col(idCol).as("seen_id"), shingles(col(textCol)).as("__sh_s"))
+    cand.join(newSh, "new_id").join(seenSh, "seen_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("__sh_n"), col("__sh_s"))).cast("double") /
+          size(array_union(col("__sh_n"), col("__sh_s"))))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("new_id"), col("seen_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
   // ---- benchmark contamination --------------------------------------------
 
   /**

@@ -147,6 +147,22 @@ class DedupSpec extends SparkSpec {
     assert(metrics.values.exists(_._3 == 50)) // the over-cap cohort's size
   }
 
+  test("incrementalMinhash: batch near-dups vs corpus, novel docs clear") {
+    val seen = docs // 1..5 from the fixture
+    val batch = Seq(
+      (10L, base),                          // exact copy of doc 1 → match
+      (11L, base.replace("dog", "wolf")),   // near-dup of doc 1 → match
+      (12L, "entirely novel text about streaming watermarks and " +
+        "stateful aggregation semantics in structured streaming")
+    ).toDF("doc_id", "text")
+    val m = Dedup.incrementalMinhash(batch, seen, "doc_id", "text",
+      minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m.contains((10L, 1L)) && m.contains((10L, 3L))) // both copies
+    assert(m.exists(_._1 == 11L))
+    assert(!m.exists(_._1 == 12L))
+  }
+
   test("duplicateClusters: min-label connected components") {
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
     val got = Dedup.duplicateClusters(pairs).collect()
