@@ -1431,26 +1431,28 @@ object SparkEntry {
           round(element_at(col("pcts"), 3), 4).as("p99")),
       None), // sketch-specific values: rows-only check
 
-    // ---- multimodal plumbing (image + audio decode REAL; video codec
-    // stubbed — see Multimodal scaladoc). The decoded shape facts per
-    // media_id ARE SQL-expressible: synthetic payload dims/rates are
-    // deterministic functions of the id, and the Spark side reports
-    // what ImageIO / javax.sound DECODED, so the oracle verifies a real
-    // decode round-trip (video rows excluded: their decode is the stub)
+    // ---- multimodal plumbing (image/audio/video decode all REAL — JDK
+    // ImageIO / javax.sound / MJPEG frame-split; see Multimodal
+    // scaladoc). The decoded shape facts per media_id ARE
+    // SQL-expressible: synthetic payload dims/rates are deterministic
+    // functions of the id, and the Spark side reports what the codecs
+    // DECODED, so the oracle verifies a real decode round-trip for all
+    // three modalities
     Q("q_multimodal_features",
       (s, d) => {
         import graft.multimodal.Multimodal
         val feats = Multimodal.featurize(Multimodal.syntheticMedia(s, 300))
-        feats.toDF().where(col("kind") =!= "video")
+        feats.toDF()
           .select(col("media_id"), col("kind"), col("width"), col("height"))
       },
       Some("""SELECT i AS media_id,
-              CASE WHEN i % 3 = 0 THEN 'image' ELSE 'audio' END AS kind,
-              CASE WHEN i % 3 = 0 THEN CAST(64 + (i % 4) * 32 AS INTEGER)
-                ELSE 16000 END AS width,
-              CASE WHEN i % 3 = 0 THEN CAST(64 + (i % 3) * 32 AS INTEGER)
-                ELSE 1600 END AS height
-              FROM generate_series(0, 299) t(i) WHERE i % 3 < 2""")),
+              CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+              CASE WHEN i % 3 = 1 THEN 16000
+                ELSE CAST(64 + (i % 4) * 32 AS INTEGER) END AS width,
+              CASE WHEN i % 3 = 1 THEN 1600
+                ELSE CAST(64 + (i % 3) * 32 AS INTEGER) END AS height
+              FROM generate_series(0, 299) t(i)""")),
 
     // salting must be semantically invisible: oracle is the plain join
     Q("q_skew_salted_join",

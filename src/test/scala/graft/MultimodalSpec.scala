@@ -68,12 +68,29 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded.getWidth == 48 && decoded.getHeight == 40)
   }
 
-  test("sampleFrames: video rows only, every Nth frame") {
-    val frames = Multimodal.sampleFrames(media, everyN = 10).collect()
+  test("sampleFrames: video rows only, every Nth REAL frame") {
+    val frames = Multimodal.sampleFrames(media, everyN = 2).collect()
     val videoIds = media.collect().filter(_.kind == "video").map(_.media_id)
     assert(frames.map(_._1).distinct.sorted.toSeq == videoIds.sorted.toSeq)
-    // 30 frames, every 10th → frames 0,10,20
-    assert(frames.count(_._1 == videoIds.head) == 3)
+    // 6 MJPEG frames, every 2nd → frames 0, 2, 4
+    assert(frames.filter(_._1 == videoIds.head).map(_._2).sorted.toSeq ==
+      Seq(0, 2, 4))
+    // decoded luminance features, not hash noise: bounded in [0, 1] and
+    // varying across frames of the same video (the pattern shifts)
+    frames.foreach(f => assert(f._3.forall(v => v >= 0f && v <= 1f)))
+    val perFrame = frames.filter(_._1 == videoIds.head).map(_._3.toSeq)
+    assert(perFrame.distinct.length == perFrame.length)
+  }
+
+  test("video rows decode real MJPEG frame dimensions") {
+    val metaById = media.collect().map(r => r.media_id -> r).toMap
+    val vids = Multimodal.featurize(media, dim = 8).collect()
+      .filter(_.kind == "video")
+    assert(vids.nonEmpty)
+    vids.foreach { f =>
+      val m = metaById(f.media_id).meta
+      assert(f.width == m.width && f.height == m.height)
+    }
   }
 
   test("binary columns survive a shuffle (repartition) intact") {
@@ -89,7 +106,7 @@ class MultimodalSpec extends SparkSpec {
   test("sizeStats aggregates payload sizes") {
     val r = Multimodal.sizeStats(media.toDF()).collect()(0)
     assert(r.getLong(0) == 150L)
-    // audio/video stub payloads are 128 B; real PNGs are larger
-    assert(r.getInt(1) == 128 && r.getInt(2) > 128)
+    // every payload is a real container now (PNG / WAV / MJPEG)
+    assert(r.getInt(1) > 500 && r.getInt(2) > r.getInt(1))
   }
 }
