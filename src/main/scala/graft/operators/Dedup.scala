@@ -378,14 +378,21 @@ object Dedup {
    * turning pairwise near-dup hits into the dup GROUPS a pipeline needs
    * for survivor selection (keep `id === cluster`, drop the rest).
    *
-   * Algorithm: iterative min-label propagation. Each round every node
-   * takes the min of its own label and its neighbors' labels; a round is
-   * one hash join (edges ⋈ labels) + one `groupBy(node).min` — all
-   * distributed, nothing driver-side but the convergence flag. Rounds
-   * needed = graph diameter, and near-dup components are shallow (dup
-   * families, not long chains); `maxIters` caps pathological graphs.
-   * Lineage is truncated per round with `localCheckpoint` so plans don't
-   * grow with iterations (use reliable checkpointing on a cluster).
+   * Algorithm: iterative min-label propagation WITH pointer jumping.
+   * Each round every node (1) takes the min of its own label and its
+   * neighbors' labels — one hash join (edges ⋈ labels) + one
+   * `groupBy(node).min` — then (2) jumps: replaces its label by its
+   * label's label (one self-join of the label frame; labels only
+   * decrease and always name a node of the same component, so the jump
+   * is sound). Propagation alone needs rounds = component DIAMETER — a
+   * 10^6-long chain of near-dup hops would need 10^6 rounds; the jump
+   * halves every path per round (pointer doubling), making convergence
+   * O(log diameter) — 20 rounds cover any component a real corpus can
+   * produce. All distributed, nothing driver-side but the convergence
+   * flag; a no-change round implies the propagation step itself is at
+   * fixpoint, which is exactly component-min labeling. Lineage is
+   * truncated per round with `localCheckpoint` so plans don't grow with
+   * iterations (use reliable checkpointing on a cluster).
    *
    * Input: two id columns (`id_a`, `id_b`), as produced by
    * [[minhashDuplicates]] / [[simhashDuplicates]] /
@@ -410,18 +417,31 @@ object Dedup {
           col("cluster").as("__nc")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("__nc")).as("__nmin"))
-      // carry the previous label through the (checkpointed) update so
-      // the convergence check is a scan of the materialized frame — not
-      // a further join against the old labels (one fewer shuffle per
-      // round)
-      val updated = labels
+      val propagated = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("cluster").as("__old"),
           least(col("cluster"), coalesce(col("__nmin"), col("cluster")))
-            .as("cluster"))
-        .localCheckpoint(true)
-      converged = updated.where(col("cluster") =!= col("__old")).isEmpty
-      labels = updated.select(col("id"), col("cluster"))
+            .as("__p"))
+      // Adaptive pointer jump (label := label(label)): dup families are
+      // shallow, so the first two propagation-only rounds finish the
+      // common case with no extra work; a component still unconverged
+      // by round 3 is deep, and from there the jump halves every label
+      // path per round — O(log diameter) total instead of O(diameter).
+      // Every label value is some node's id, so the jump is a self-join
+      // of the label frame (checkpointed first: Spark evaluates both
+      // sides of a self-join, no subplan sharing); coalesce guards the
+      // root. __old rides along so the convergence check is a scan.
+      val updated =
+        if (it < 2) propagated.localCheckpoint(true)
+        else {
+          val p = propagated.localCheckpoint(true)
+          p.join(p.select(col("id").as("__p"), col("__p").as("__pp")),
+              Seq("__p"), "left")
+            .select(col("id"), col("__old"),
+              coalesce(col("__pp"), col("__p")).as("__p"))
+        }
+      converged = updated.where(col("__p") =!= col("__old")).isEmpty
+      labels = updated.select(col("id"), col("__p").as("cluster"))
       it += 1
     }
     labels

@@ -178,6 +178,16 @@ class DedupSpec extends SparkSpec {
     assert(got == (1L to 9L).map(_ -> 1L).toMap)
   }
 
+  test("duplicateClusters: pointer jumping beats the diameter (300-chain)") {
+    // a 300-node path has diameter 299 — plain min-label propagation
+    // could never converge inside maxIters=20; pointer doubling must
+    // (log2(300) ≈ 8.2 halving rounds)
+    val pairs = (1L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs, maxIters = 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 300L).map(_ -> 1L).toMap)
+  }
+
   test("cosine function exact on known vectors") {
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)),
       (Seq(1.0, 1.0), Seq(1.0, 1.0))).toDF("a", "b")
