@@ -745,6 +745,42 @@ object SparkEntry {
               CAST(1.0 AS DOUBLE) AS cosine
               FROM embeddings WHERE vec_id < 50""")),
 
+    // source-mixture rebalance: target 50/30/20 blend of three sources
+    // by n_chars mass. The oracle replays the fraction plan in SQL —
+    // same double arithmetic in the same order (T = min mass/share,
+    // f = share*T/mass), same md5-prefix membership — so kept sets
+    // match exactly. The per-source mass collect is source-vocabulary-
+    // sized driver data, like the IVF centroid table.
+    Q("q_mixture_rebalance",
+      (s, d) => {
+        val docs = s.read.parquet(pq(d, "documents"))
+          .where(col("source").isin("src0", "src1", "src2"))
+        graft.operators.Mixture.rebalance(docs, "doc_id", "source",
+          "n_chars", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("chars_kept"))
+      },
+      Some("""WITH m AS (SELECT source, SUM(n_chars) AS mass
+                FROM documents WHERE source IN ('src0','src1','src2')
+                GROUP BY source),
+              w AS (SELECT * FROM (VALUES ('src0', CAST(0.5 AS DOUBLE)),
+                ('src1', CAST(0.3 AS DOUBLE)), ('src2', CAST(0.2 AS DOUBLE)))
+                t(source, share)),
+              f AS (SELECT m.source,
+                LEAST(1.0, w.share * (SELECT MIN(m2.mass / w2.share)
+                  FROM m m2 JOIN w w2 USING (source)) / m.mass) AS frac
+                FROM m JOIN w USING (source)),
+              thr AS (SELECT source, printf('%04x',
+                CAST(LEAST(floor(frac * 65536), 65535) AS INTEGER)) AS th
+                FROM f)
+              SELECT d.source, COUNT(*) AS n_kept,
+                CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+              FROM documents d JOIN thr ON d.source = thr.source
+              WHERE substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+                < thr.th
+              GROUP BY d.source""")),
+
     // near-dup ingestion against the existing corpus via its banded
     // index: planted copies (batch = docs 0-49 re-ingested under new
     // ids) MUST match their source at jaccard 1.0; the id-distance

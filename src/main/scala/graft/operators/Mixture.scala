@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Source-mixture rebalancing for training-data blends: given a target
+ * share per source (e.g. 50% web / 30% code / 20% books, by weight
+ * column — tokens, chars, docs), compute the per-source keep fractions
+ * that hit the target EXACTLY while retaining as much data as possible,
+ * then apply them with the deterministic sampler.
+ *
+ * The math (standard corpus-mixing): with current per-source masses
+ * t_s and target shares w_s (Σw = 1), the largest total T whose blend
+ * is achievable without oversampling satisfies w_s·T ≤ t_s for every s,
+ * so T = min_s t_s/w_s (the scarcest source binds) and f_s = w_s·T/t_s.
+ * Exactly one source keeps fraction 1.0; everything else downsamples.
+ *
+ * Scale shape: the only driver-side data is one row per SOURCE (a
+ * groupBy-sum over the corpus — bounded by the source vocabulary, not
+ * the data); membership is then [[Sampling.stratifiedHashSample]]'s
+ * pure-function-of-(key, salt, fraction) predicate — zero further
+ * shuffles, reproducible across engines and repartitionings.
+ *
+ * Fractions apply at document granularity: the realized token blend
+ * approaches the target as doc-length variance within a source
+ * averages out (the standard approximation; length-stratify the key if
+ * a source's lengths are wildly skewed).
+ *
+ * Extension beyond the reference surface (parquery has no sampling or
+ * mixing operators).
+ */
+object Mixture {
+
+  /**
+   * Per-source keep fractions hitting `targetShares` with maximum
+   * retained mass. `masses` maps source → current total (tokens/chars/
+   * docs). Sources absent from `targetShares` get fraction 0 (dropped
+   * from the blend).
+   */
+  def planFractions(masses: Map[String, Long],
+                    targetShares: Map[String, Double]): Map[String, Double] = {
+    require(targetShares.nonEmpty, "need at least one target share")
+    val total = targetShares.values.sum
+    require(math.abs(total - 1.0) < 1e-6,
+      s"target shares must sum to 1, got $total")
+    targetShares.foreach { case (s, w) =>
+      require(w > 0, s"share for $s must be > 0")
+      require(masses.getOrElse(s, 0L) > 0L,
+        s"target source '$s' has no mass in the corpus")
+    }
+    val bindingT = targetShares.map { case (s, w) => masses(s) / w }.min
+    targetShares.map { case (s, w) =>
+      s -> math.min(1.0, w * bindingT / masses(s))
+    }
+  }
+
+  /**
+   * Rebalance `df` to `targetShares` of `weightCol` mass per
+   * `sourceCol`: one aggregation for the per-source masses (source-
+   * vocabulary-sized collect), then a deterministic stratified filter.
+   */
+  def rebalance(df: DataFrame, keyCol: String, sourceCol: String,
+                weightCol: String, targetShares: Map[String, Double],
+                salt: String = "mix"): DataFrame = {
+    val masses = df.groupBy(col(sourceCol))
+      .agg(sum(col(weightCol)).as("__m"))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Number](1).longValue).toMap
+    Sampling.stratifiedHashSample(df, keyCol, sourceCol,
+      planFractions(masses, targetShares), salt)
+  }
+}

@@ -239,6 +239,43 @@ class ContaminationLineDedupSpec extends SparkSpec {
     assert(rep.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("mixture planFractions: binding source keeps 1.0, blend is exact") {
+    import graft.operators.Mixture
+    // masses 1000/4000/5000 with targets 0.5/0.3/0.2: source a is the
+    // scarcest relative to its share (1000/0.5 = 2000 binds)
+    val f = Mixture.planFractions(
+      Map("a" -> 1000L, "b" -> 4000L, "c" -> 5000L),
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+    assert(f("a") == 1.0)
+    assert(math.abs(f("b") - 0.3 * 2000 / 4000) < 1e-12)
+    assert(math.abs(f("c") - 0.2 * 2000 / 5000) < 1e-12)
+    // retained masses hit the target shares exactly
+    val kept = Map("a" -> 1000 * f("a"), "b" -> 4000 * f("b"),
+      "c" -> 5000 * f("c"))
+    val tot = kept.values.sum
+    assert(math.abs(kept("a") / tot - 0.5) < 1e-12)
+    assert(math.abs(kept("b") / tot - 0.3) < 1e-12)
+    // a target source with no corpus mass must be rejected loudly
+    intercept[IllegalArgumentException] {
+      Mixture.planFractions(Map("a" -> 1000L), Map("a" -> 0.5, "z" -> 0.5))
+    }
+  }
+
+  test("mixture rebalance approaches the target blend on real rows") {
+    import graft.operators.Mixture
+    val df = spark.range(0, 3000)
+      .selectExpr("id AS k", "CASE WHEN id % 6 < 3 THEN 'big' ELSE 'small' END AS src",
+        "CASE WHEN id % 6 < 3 THEN 200 ELSE 50 END AS wt")
+    val out = Mixture.rebalance(df, "k", "src", "wt",
+      Map("big" -> 0.5, "small" -> 0.5))
+      .groupBy("src").sum("wt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // small (mass 75k) binds; big (300k) downsamples to ~75k
+    val tot = out.values.sum.toDouble
+    assert(math.abs(out("big") / tot - 0.5) < 0.05)
+    assert(out("small") == 75000L) // binding source kept whole
+  }
+
   test("incrementalExact drops seen texts and in-batch repeats") {
     val seen = Seq((1L, "old doc"), (2L, "another old")).toDF("id", "text")
     val batch = Seq(
