@@ -1768,6 +1768,40 @@ object SparkEntry {
               FROM lineitem WHERE l_extendedprice IS NOT NULL
               GROUP BY 1""")),
 
+    // snapshot drift: price distribution of even- vs odd-orderkey halves
+    // (a deterministic split standing in for two ingestion rounds);
+    // per-bin probabilities + total-variation distance
+    Q("q_drift",
+      (s, d) => {
+        val li = s.read.parquet(pq(d, "lineitem"))
+        graft.operators.Analytics.distributionDrift(
+          li.where(col("l_orderkey") % 2 === 0),
+          li.where(col("l_orderkey") % 2 === 1),
+          "l_extendedprice", 10000.0)
+      },
+      Some("""WITH b AS (SELECT CAST(floor(l_extendedprice / 10000.0)
+                  AS BIGINT) AS bin, COUNT(*) AS nb
+                FROM lineitem WHERE l_orderkey % 2 = 0
+                  AND l_extendedprice IS NOT NULL GROUP BY 1),
+              a AS (SELECT CAST(floor(l_extendedprice / 10000.0)
+                  AS BIGINT) AS bin, COUNT(*) AS na
+                FROM lineitem WHERE l_orderkey % 2 = 1
+                  AND l_extendedprice IS NOT NULL GROUP BY 1),
+              j AS (SELECT COALESCE(b.bin, a.bin) AS bin,
+                  COALESCE(nb, 0) AS nb, COALESCE(na, 0) AS na
+                FROM b FULL OUTER JOIN a ON b.bin = a.bin),
+              t AS (SELECT CAST(SUM(nb) AS BIGINT) AS tb,
+                  CAST(SUM(na) AS BIGINT) AS ta FROM j),
+              p AS (SELECT bin * CAST(10000.0 AS DOUBLE) AS bin_lo,
+                  CAST(nb AS DOUBLE) / tb AS pb,
+                  CAST(na AS DOUBLE) / ta AS pa
+                FROM j CROSS JOIN t),
+              tv AS (SELECT CAST(SUM(CAST(abs(round(pb, 6) - round(pa, 6))
+                  AS DECIMAL(18,6))) / 2 AS DOUBLE) AS tvd FROM p)
+              SELECT bin_lo, round(pb, 6) AS p_before,
+                round(pa, 6) AS p_after, round(tvd, 6) AS tv_distance
+              FROM p CROSS JOIN tv""")),
+
     Q("q_zscore_outlier",
       (s, d) => graft.operators.Analytics.zscoreOutliers(events(s, d),
         "event_type", "value", zThreshold = 3.0),

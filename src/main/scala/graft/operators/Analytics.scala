@@ -104,6 +104,50 @@ object Analytics {
   }
 
   /**
+   * Distribution drift between two corpus snapshots over a numeric
+   * column: per-bin probabilities of each side (fixed-width bins, full
+   * outer join so one-sided bins count) plus the scalar total-variation
+   * distance TV = Σ|p−q|/2 ∈ [0, 1] repeated on every row — the
+   * standard "did the new crawl shift the data?" QA gate between
+   * ingestion rounds.
+   *
+   * Scale shape: each side reduces to its bin histogram (one
+   * partial-aggregated groupBy per side over a single projected
+   * column); the join and the TV sum run on bin-vocabulary-sized
+   * frames. Counts become probabilities against window-free broadcast
+   * totals (a 1-row cross join, like tfidf's corpus count). Nothing is
+   * driver-side.
+   */
+  def distributionDrift(before: DataFrame, after: DataFrame,
+                        valueCol: String, width: Double): DataFrame = {
+    val hb = histogram(before, valueCol, width)
+      .select(col("bin_lo"), col("n").as("__nb"))
+    val ha = histogram(after, valueCol, width)
+      .select(col("bin_lo"), col("n").as("__na"))
+    val joined = hb.join(ha, Seq("bin_lo"), "full_outer")
+      .select(col("bin_lo"),
+        coalesce(col("__nb"), lit(0L)).as("__nb"),
+        coalesce(col("__na"), lit(0L)).as("__na"))
+    val totals = joined.agg(sum(col("__nb")).as("__tb"),
+      sum(col("__na")).as("__ta"))
+    val withP = joined.crossJoin(broadcast(totals))
+      .select(col("bin_lo"),
+        (col("__nb").cast("double") / col("__tb")).as("p_before"),
+        (col("__na").cast("double") / col("__ta")).as("p_after"))
+    // TV accumulates in exact DECIMAL over 6-dp-rounded terms: a double
+    // sum's value depends on partial order (the round-1 q_join_star
+    // lesson), decimal addition doesn't
+    val tv = withP.agg(
+      (sum(abs(round(col("p_before"), 6) - round(col("p_after"), 6))
+        .cast("decimal(18,6)")) / 2).cast("double").as("__tv"))
+    withP.crossJoin(broadcast(tv))
+      .select(col("bin_lo"),
+        round(col("p_before"), 6).as("p_before"),
+        round(col("p_after"), 6).as("p_after"),
+        round(col("__tv"), 6).as("tv_distance"))
+  }
+
+  /**
    * Per-group z-score outlier counts: events whose value sits more
    * than `zThreshold` sample standard deviations from their group's
    * mean. Group moments come from ONE aggregation (sum / sum-of-

@@ -143,6 +143,22 @@ class Round3OpsSpec extends SparkSpec {
     assert(out == Map(0.0 -> 3L, 5.0 -> 1L, 10.0 -> 1L))
   }
 
+  test("distributionDrift: identical halves → 0, disjoint halves → 1") {
+    val same = (1 to 100).map(_.toDouble).toDF("v")
+    val zero = Analytics.distributionDrift(same, same, "v", 10.0)
+      .select("tv_distance").distinct().collect()
+    assert(zero.map(_.getDouble(0)).toSeq == Seq(0.0))
+    val lo = (1 to 100).map(_.toDouble).toDF("v")
+    val hi = (1001 to 1100).map(_.toDouble).toDF("v")
+    val one = Analytics.distributionDrift(lo, hi, "v", 10.0)
+    assert(one.select("tv_distance").distinct()
+      .collect().map(_.getDouble(0)).toSeq == Seq(1.0))
+    // one-sided bins appear with probability 0 on the absent side
+    val rows = one.collect()
+    assert(rows.exists(r => r.getDouble(1) > 0 && r.getDouble(2) == 0.0))
+    assert(rows.exists(r => r.getDouble(1) == 0.0 && r.getDouble(2) > 0))
+  }
+
   test("zscoreOutliers flags the single extreme value") {
     val vals = Seq.fill(30)(10.0) ++ Seq(10.5, 9.5, 1000.0)
     val df = vals.map(("a", _)).toDF("g", "v")
