@@ -50,8 +50,8 @@ final case class MediaFeatures(media_id: Long, kind: String,
  */
 object Multimodal {
 
-  /** Codec boundary: real for images (JDK ImageIO), stubbed for
-    * audio/video — each entry point marked. */
+  /** Codec entry points — all real, JDK-only: ImageIO (images, MJPEG
+    * frames), javax.sound.sampled (WAV audio). */
   object Codec {
 
     /**
