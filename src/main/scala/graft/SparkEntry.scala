@@ -824,9 +824,12 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.functions.TextAnalysis.tokenCount(col("text")).as("n_tok"),
           length(col("text")).cast("long").as("n_char")),
+      // CASE mirrors Spark tokens(): empty/whitespace-only text is 0
+      // tokens, where a bare split yields [''] (len 1)
       Some("""SELECT doc_id,
-              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)
-                AS n_tok,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                  AS INT) END AS n_tok,
               LENGTH(text) AS n_char FROM documents""")),
 
     // CPU-bound featurization over a FEW parquet files: Spark assigns one
@@ -845,24 +848,33 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.functions.TextAnalysis.qualityScore(col("text")).as("quality"),
           graft.functions.TextAnalysis.langId(col("text")).as("lang_pred")),
+      // empty/whitespace-doc guards mirror the Spark terms exactly:
+      // tokens() → 0 tokens (not ['']), zero-length text → 0.0 ratios
       Some("""WITH t AS (
                 SELECT doc_id, text,
-                  string_split_regex(lower(trim(text)), '\s+') AS ltoks,
-                  string_split_regex(trim(text), '\s+') AS toks
+                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE string_split_regex(lower(trim(text)), '\s+') END
+                    AS ltoks,
+                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(text), '\s+') END AS toks
                 FROM documents
               ), f AS (
                 SELECT doc_id,
                   CAST(len(toks) AS DOUBLE) AS ntok,
-                  CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g'))
-                    AS DOUBLE) / length(text) AS alpha_r,
-                  CAST(length(regexp_replace(text, '[^[:punct:]]', '',
-                    'g')) AS DOUBLE) / length(text) AS punct_r,
-                  CAST(list_sum(list_transform(toks, x -> length(x)))
-                    AS DOUBLE) / len(toks) AS mtl,
-                  CAST(len(list_filter(ltoks, x -> list_contains(
+                  CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(length(regexp_replace(text, '[^\p{L}]', '',
+                      'g')) AS DOUBLE) / length(text) END AS alpha_r,
+                  CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(length(regexp_replace(text, '[^[:punct:]]',
+                      '', 'g')) AS DOUBLE) / length(text) END AS punct_r,
+                  CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(list_sum(list_transform(toks,
+                      x -> length(x))) AS DOUBLE) / len(toks) END AS mtl,
+                  CASE WHEN len(ltoks) = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(len(list_filter(ltoks, x -> list_contains(
                     ['the','of','and','to','a','in','is','it','that',
                      'was','for','on','with','as','at','by','this','are',
-                     'be'], x))) AS DOUBLE) / len(ltoks) AS stop_r,
+                     'be'], x))) AS DOUBLE) / len(ltoks) END AS stop_r,
                   len(list_intersect(list_distinct(ltoks),
                     ['the','of','and','to','a','in','is','it','that',
                      'was','for','on','with','as','at','by','this','are',
