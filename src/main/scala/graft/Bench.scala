@@ -73,14 +73,17 @@ object Bench {
     if (printed.compareAndSet(false, true)) {
       val names = if (allNames.nonEmpty) allNames
         else (warmups.keySet ++ samples.keySet).toSeq.sorted
+      // only >=2-run queries count as measured: a single steady run cut
+      // off by the deadline could be one interference burst — emitting
+      // it would defeat the corroboration discipline
       val qs = names.map { n =>
-        samples.get(n).filter(_.nonEmpty) match {
+        samples.get(n).filter(_.length >= 2) match {
           case Some(t) => "\"" + n + "\":" + t.min
-          case None    => "\"" + n + "\":null" // unvisited: no fake number
+          case None    => "\"" + n + "\":null" // unvisited/uncorroborated
         }
       }.mkString("{", ",", "}")
-      val measured = names.flatMap(n => samples.get(n).filter(_.nonEmpty)
-        .map(_.min))
+      val measured = names.flatMap(n => samples.get(n)
+        .filter(_.length >= 2).map(_.min))
       val total = measured.sum
       val valueStr = if (complete) total.toString else "null"
       val noise = (statAtStart, cpuStat()) match {

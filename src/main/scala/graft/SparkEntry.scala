@@ -771,9 +771,10 @@ object SparkEntry {
                 LEAST(1.0, w.share * (SELECT MIN(m2.mass / w2.share)
                   FROM m m2 JOIN w w2 USING (source)) / m.mass) AS frac
                 FROM m JOIN w USING (source)),
-              thr AS (SELECT source, printf('%04x',
-                CAST(LEAST(floor(frac * 65536), 65535) AS INTEGER)) AS th
-                FROM f)
+              thr AS (SELECT source, CASE WHEN frac >= 1.0 THEN 'g'
+                ELSE printf('%04x',
+                CAST(LEAST(floor(frac * 65536), 65535) AS INTEGER)) END
+                AS th FROM f)
               SELECT d.source, COUNT(*) AS n_kept,
                 CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
               FROM documents d JOIN thr ON d.source = thr.source
@@ -811,11 +812,13 @@ object SparkEntry {
         Map("en" -> 0.5, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.25,
           "zh" -> 1.0), salt = "strat")
         .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled")),
+      // 'g' sorts after every hex prefix: fraction 1.0 keeps ALL zh
+      // docs (a 'ffff' cap would drop keys hashing to exactly ffff)
       Some("""SELECT lang, COUNT(*) AS n_sampled FROM documents
               WHERE substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 4) <
                 CASE lang WHEN 'en' THEN '8000' WHEN 'de' THEN '8000'
                   WHEN 'fr' THEN '4000' WHEN 'es' THEN '4000'
-                  WHEN 'zh' THEN 'ffff' ELSE '0000' END
+                  WHEN 'zh' THEN 'g' ELSE '0000' END
               GROUP BY lang""")),
 
     // ---- text analysis ---------------------------------------------------

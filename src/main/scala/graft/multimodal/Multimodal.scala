@@ -220,10 +220,15 @@ object Multimodal {
               // WAV, not the metadata
               val (sr, n, feats) = Codec.decodeAudio(r.bytes, dim)
               MediaFeatures(r.media_id, r.kind, sr, n, feats)
-            case _ =>
+            case "video" =>
               // REAL decode: frame dims come from the decoded JPEGs
               val (w, h, _, feats) = Codec.decodeVideo(r.bytes, dim)
               MediaFeatures(r.media_id, r.kind, w, h, feats)
+            case other =>
+              // fail fast with the offending kind — a silent fallback
+              // would hand an image payload to the wrong codec
+              throw new IllegalArgumentException(
+                s"unknown media kind '$other' for media_id ${r.media_id}")
           }
         }
       }

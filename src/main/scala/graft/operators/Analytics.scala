@@ -124,10 +124,15 @@ object Analytics {
       .select(col("bin_lo"), col("n").as("__nb"))
     val ha = histogram(after, valueCol, width)
       .select(col("bin_lo"), col("n").as("__na"))
+    // materialized once: this bin-vocabulary-sized frame feeds the
+    // probabilities, the totals AND the TV aggregate — without the
+    // checkpoint the two input histograms would appear four times in
+    // one plan and re-execute wherever exchange reuse misses
     val joined = hb.join(ha, Seq("bin_lo"), "full_outer")
       .select(col("bin_lo"),
         coalesce(col("__nb"), lit(0L)).as("__nb"),
         coalesce(col("__na"), lit(0L)).as("__na"))
+      .localCheckpoint(true)
     val totals = joined.agg(sum(col("__nb")).as("__tb"),
       sum(col("__na")).as("__ta"))
     val withP = joined.crossJoin(broadcast(totals))

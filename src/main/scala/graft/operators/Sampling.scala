@@ -42,9 +42,13 @@ object Sampling {
       lit(hexThreshold(fraction))
   }
 
-  /** 4-hex-digit lower-case threshold: floor(fraction * 16^4). */
+  /** 4-hex-digit lower-case threshold: floor(fraction * 16^4). Fraction
+    * 1.0 returns "g" — lexically after every hex prefix — so keep-all
+    * really keeps ALL (a "ffff" cap would silently drop the ~1/65536 of
+    * keys whose prefix is exactly ffff). */
   def hexThreshold(fraction: Double): String =
-    f"${math.min((fraction * 65536).toLong, 65535L)}%04x"
+    if (fraction >= 1.0) "g"
+    else f"${math.min((fraction * 65536).toLong, 65535L)}%04x"
 
   /**
    * Deterministic per-group sample: keep at most `k` rows per group, the

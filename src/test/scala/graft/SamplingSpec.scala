@@ -225,7 +225,7 @@ class ContaminationLineDedupSpec extends SparkSpec {
     val out = Sampling.stratifiedHashSample(df, "k", "s", fr, salt = "t")
       .collect().map(r => r.getLong(0) -> r.getString(1))
     val bySt = out.groupBy(_._2).view.mapValues(_.length).toMap
-    assert(bySt("rare") >= 990) // fraction 1.0 keeps ~everything (ffff edge)
+    assert(bySt("rare") == 1000) // fraction 1.0 keeps EVERYTHING
     assert(math.abs(bySt("big") - 250) < 60) // ~0.25 of 1000
     // unseen stratum defaults to fraction 0
     val none = Sampling.stratifiedHashSample(
