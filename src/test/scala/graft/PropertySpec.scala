@@ -71,4 +71,29 @@ class PropertySpec extends SparkSpec {
         (-50L to 50L).map(_ * 2).sum
     }, minSuccessful = 4)
   }
+
+  test("simhash Manku blocking: full recall at every maxHamming (property)") {
+    import spark.implicits._
+    // arbitrary fingerprints, arbitrary flip positions, arbitrary k:
+    // every planted pair within Hamming k MUST be found — the pigeonhole
+    // guarantee over concatenated chunk keys is not probabilistic
+    val gen = for {
+      k <- Gen.choose(0, 10)
+      seeds <- Gen.listOfN(6, Gen.long)
+      flips <- Gen.listOfN(6, Gen.listOfN(64, Gen.choose(0, 63))
+        .map(_.distinct))
+    } yield (k, seeds.zip(flips.map(_.take(k))))
+    checkProp(Prop.forAll(gen) { case (k, rows) =>
+      // flip positions are DISTINCT, so each partner differs from its
+      // base in exactly |flips| ≤ k bits — recall must be total
+      val df = rows.zipWithIndex.flatMap { case ((fp, fl), i) =>
+        Seq((i.toLong, fp),
+          (i + 1000L, fl.foldLeft(fp)((a, p) => a ^ (1L << p))))
+      }.toDF("id", "fp")
+      val found = graft.operators.Dedup
+        .simhashPairsFromFingerprints(df, "id", "fp", maxHamming = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      rows.indices.forall(i => found.contains((i.toLong, i + 1000L)))
+    }, minSuccessful = 8) // each case = 1 Spark job over 12 rows
+  }
 }
