@@ -543,8 +543,12 @@ object Dedup {
     val sb = minhashBands(seen, idCol, textCol, numHashes, bands,
       shingleWords, useNative)
       .withColumnRenamed(idCol, "seen_id")
-    val hotKeys = sb.groupBy(col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("__n"))
+    // excluded hot keys surface in the same graft_buckets observe
+    // metric as the batch operators — never a silent recall cut
+    val hotKeys = observeBuckets(
+      sb.groupBy(col("band"), col("band_hash"))
+        .agg(count(lit(1)).as("__n")),
+      col("__n"), maxBucket, "graft_buckets")
       .where(col("__n") > maxBucket)
       .select(col("band"), col("band_hash"))
     val cand = nb.join(hotKeys, Seq("band", "band_hash"), "left_anti")
