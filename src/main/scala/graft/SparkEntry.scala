@@ -745,6 +745,30 @@ object SparkEntry {
               CAST(1.0 AS DOUBLE) AS cosine
               FROM embeddings WHERE vec_id < 50""")),
 
+    // join-free Bloom membership pre-filter: re-ingested copies MUST be
+    // flagged (Bloom admits no false negatives), so the flagged planted
+    // slice is an exact expected set; novel probes (+200000, text
+    // prefixed per-doc) exercise the false-positive path but are
+    // excluded from the output so the sketch's FP noise can't touch
+    // the oracle
+    Q("q_dedup_bloom",
+      (s, d) => {
+        val docs = s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"), col("text"))
+        val copies = docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        val novel = docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(lit("novel "), col("doc_id").cast("string"),
+              lit(" "), col("text")).as("text"))
+        graft.operators.Dedup.bloomSeenFlags(
+          copies.unionByName(novel), docs, "doc_id", "text")
+          .where(col("maybe_seen") && col("doc_id") < 200000L)
+          .select(col("doc_id"))
+      },
+      Some("""SELECT doc_id + 100000 AS doc_id FROM documents
+              WHERE doc_id < 50""")),
+
     // source-mixture rebalance: target 50/30/20 blend of three sources
     // by n_chars mass. The oracle replays the fraction plan in SQL —
     // same double arithmetic in the same order (T = min mass/share,

@@ -576,6 +576,40 @@ object Dedup {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /**
+   * Join-free approximate membership pre-filter for ingestion at
+   * extreme history scale: build a Bloom filter over the history's
+   * canonical text hashes — one aggregation producing a binary sketch
+   * bounded by `numBits` (KBs-MBs), NOT by history size — then flag
+   * each batch doc by probing the sketch as a literal. NO false
+   * negatives: every true duplicate is flagged; false positives at the
+   * sketch's rate flag some novel docs. The intended composition:
+   * admit unflagged docs join-free (the overwhelming majority in
+   * steady-state ingestion), route flagged docs through the exact
+   * [[incrementalExact]] anti-join. Uses Catalyst's own
+   * BloomFilterAggregate / BloomFilterMightContain (the AQE
+   * runtime-join-filter machinery) via the graft function registry;
+   * persist the sketch and rebuild per compaction, not per batch.
+   *
+   * The driver holds only the sketch (`numBits / 8` bytes) — the same
+   * bounded-collect class as IVF centroids.
+   */
+  def bloomSeenFlags(newDocs: DataFrame, seen: DataFrame,
+                     idCol: String, textCol: String,
+                     expectedItems: Long = 1000000L,
+                     numBits: Long = 1L << 23): DataFrame = {
+    import graft.plans.NativeFunctions
+    NativeFunctions.register(newDocs.sparkSession)
+    val h = (t: Column) => xxhash64(t)
+    val sketch = seen
+      .agg(NativeFunctions.bloomAggNative(h(col(textCol)),
+        expectedItems, numBits).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    newDocs.select(col(idCol), col(textCol),
+      NativeFunctions.bloomMightContain(lit(sketch), h(col(textCol)))
+        .as("maybe_seen"))
+  }
+
   // ---- benchmark contamination --------------------------------------------
 
   /**

@@ -368,6 +368,8 @@ object NativeFunctions {
   val shinglesName = "graft_shingles"
   val hyperplaneName = "graft_hyperplane_bucket"
   val unicodeNormalizeName = "graft_unicode_normalize"
+  val bloomAggName = "graft_bloom_agg"
+  val bloomContainsName = "graft_bloom_might_contain"
 
   private def intLit(e: Expression): Int =
     e.eval(null) match {
@@ -399,7 +401,17 @@ object NativeFunctions {
     hyperplaneName -> ((exprs: Seq[Expression]) =>
       HyperplaneBucketExpr(exprs.head, intLit(exprs(1)))),
     unicodeNormalizeName -> ((exprs: Seq[Expression]) =>
-      UnicodeNormalizeExpr(exprs.head, strLit(exprs(1)))))
+      UnicodeNormalizeExpr(exprs.head, strLit(exprs(1)))),
+    // Catalyst's OWN Bloom expressions (the machinery behind AQE runtime
+    // join filters), surfaced through the registry — Spark ships them
+    // unregistered. Long-hash in, compact binary sketch out.
+    bloomAggName -> ((exprs: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs.head, exprs(1), exprs(2))
+        .toAggregateExpression()),
+    bloomContainsName -> ((exprs: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs.head, exprs(1))))
 
   /** Idempotently register graft native functions on this session. */
   def register(spark: SparkSession): Unit = {
@@ -437,4 +449,15 @@ object NativeFunctions {
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
     call_function(unicodeNormalizeName, text,
       org.apache.spark.sql.functions.lit(form))
+
+  /** Bloom-filter aggregate over a long-hash column → binary sketch. */
+  def bloomAggNative(hash: Column, expectedItems: Long,
+                     numBits: Long): Column =
+    call_function(bloomAggName, hash,
+      org.apache.spark.sql.functions.lit(expectedItems),
+      org.apache.spark.sql.functions.lit(numBits))
+
+  /** Membership probe against a (constant) Bloom sketch. */
+  def bloomMightContain(bloom: Column, hash: Column): Column =
+    call_function(bloomContainsName, bloom, hash)
 }

@@ -163,6 +163,22 @@ class DedupSpec extends SparkSpec {
     assert(!m.exists(_._1 == 12L))
   }
 
+  test("bloomSeenFlags: no false negatives, bounded false positives") {
+    val seen = (1L to 500L).map(i => (i, s"history document number $i"))
+      .toDF("doc_id", "text")
+    val batch = ((1L to 50L).map(i => (i + 1000L, s"history document number $i"))
+      ++ (1L to 200L).map(i => (i + 5000L, s"genuinely novel text $i")))
+      .toDF("doc_id", "text")
+    val flags = Dedup.bloomSeenFlags(batch, seen, "doc_id", "text",
+      expectedItems = 500L, numBits = 1L << 16)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // every true duplicate MUST be flagged — Bloom has no false negatives
+    (1L to 50L).foreach(i => assert(flags(i + 1000L), s"dup $i unflagged"))
+    // novel docs false-positive at the sketch rate, not wholesale
+    val fp = (1L to 200L).count(i => flags(i + 5000L))
+    assert(fp < 20, s"false-positive count $fp out of 200")
+  }
+
   test("duplicateClusters: min-label connected components") {
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
     val got = Dedup.duplicateClusters(pairs).collect()

@@ -10,8 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("registry counts match the documented surface") {
-    assert(SparkEntry.queries.size == 103)
-    assert(SparkEntry.oracleSql.size == 97)
+    assert(SparkEntry.queries.size == 104)
+    assert(SparkEntry.oracleSql.size == 98)
   }
 
   test("every oracle belongs to a registered query") {
