@@ -705,6 +705,33 @@ object SparkEntry {
               CROSS JOIN (VALUES (0), (100000), (200000)) t(off)
               WHERE doc_id < 30""")),
 
+    // the full near-dup pipeline closed end-to-end: planted 3-member
+    // families → LSH candidate pairs → connected components → SURVIVOR
+    // SELECTION. Survivors within the planted universe must be exactly
+    // the source docs (min id per family); every copy must be dropped.
+    // Same planted/filter discipline as q_dedup_clusters.
+    Q("q_dedup_survivors",
+      (s, d) => {
+        val docs = s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"), col("text"))
+        val fam = docs.where(col("doc_id") < 30)
+        val all = docs
+          .unionByName(fam.select((col("doc_id") + 100000L).as("doc_id"),
+            col("text")))
+          .unionByName(fam.select((col("doc_id") + 200000L).as("doc_id"),
+            col("text")))
+        val pairs = graft.operators.Dedup.minhashDuplicates(
+          all, "doc_id", "text", minJaccard = 0.99)
+          .where(pmod(col("id_b") - col("id_a"), lit(100000L)) === 0 &&
+            pmod(col("id_a"), lit(100000L)) < 30)
+        val labels = graft.operators.Dedup
+          .duplicateClusters(pairs.select(col("id_a"), col("id_b")))
+        graft.operators.Dedup.selectSurvivors(all, labels, "doc_id")
+          .where(pmod(col("doc_id"), lit(100000L)) < 30)
+          .select(col("doc_id"))
+      },
+      Some("""SELECT doc_id FROM documents WHERE doc_id < 30""")),
+
     // corpus-level term weighting: top-3 TF-IDF terms per document —
     // deterministic across engines (rank on the raw double score with a
     // term tiebreak; round only in the final projection)

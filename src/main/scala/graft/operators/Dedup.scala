@@ -447,6 +447,21 @@ object Dedup {
     labels
   }
 
+  /**
+   * Survivor selection — the step that turns [[duplicateClusters]]
+   * labels back into a deduplicated corpus: drop every document whose
+   * cluster label is not itself (the component min survives; documents
+   * in no cluster were never candidates and pass through untouched).
+   * One broadcast-or-hash anti-join on the id — the loser set is
+   * cluster-membership-sized, usually tiny next to the corpus.
+   */
+  def selectSurvivors(docs: DataFrame, labels: DataFrame,
+                      idCol: String): DataFrame = {
+    val losers = labels.where(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---- embedding near-dup -------------------------------------------------
 
   /**

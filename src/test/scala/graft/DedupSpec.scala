@@ -163,6 +163,15 @@ class DedupSpec extends SparkSpec {
     assert(!m.exists(_._1 == 12L))
   }
 
+  test("selectSurvivors keeps cluster minima and untouched docs") {
+    val corpus = Seq((1L, "a"), (2L, "a"), (3L, "a"), (7L, "unique"))
+      .toDF("doc_id", "text")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "cluster")
+    val kept = Dedup.selectSurvivors(corpus, labels, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 7L))
+  }
+
   test("bloomSeenFlags: no false negatives, bounded false positives") {
     val seen = (1L to 500L).map(i => (i, s"history document number $i"))
       .toDF("doc_id", "text")

@@ -10,8 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("registry counts match the documented surface") {
-    assert(SparkEntry.queries.size == 104)
-    assert(SparkEntry.oracleSql.size == 98)
+    assert(SparkEntry.queries.size == 105)
+    assert(SparkEntry.oracleSql.size == 99)
   }
 
   test("every oracle belongs to a registered query") {
