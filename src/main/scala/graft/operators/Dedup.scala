@@ -603,26 +603,70 @@ object Dedup {
    * steady-state ingestion), route flagged docs through the exact
    * [[incrementalExact]] anti-join. Uses Catalyst's own
    * BloomFilterAggregate / BloomFilterMightContain (the AQE
-   * runtime-join-filter machinery) via the graft function registry;
-   * persist the sketch and rebuild per compaction, not per batch.
+   * runtime-join-filter machinery) via the graft function registry.
    *
-   * The driver holds only the sketch (`numBits / 8` bytes) — the same
-   * bounded-collect class as IVF centroids.
+   * This convenience form rebuilds the sketch from `seen` on every
+   * call; per-batch ingestion should build ONCE with
+   * [[buildSeenSketch]], persist the bytes, and probe each batch with
+   * [[bloomFlagsFromSketch]]. The driver holds only the sketch
+   * (`numBits / 8` bytes) — the same bounded-collect class as IVF
+   * centroids.
    */
   def bloomSeenFlags(newDocs: DataFrame, seen: DataFrame,
                      idCol: String, textCol: String,
                      expectedItems: Long = 1000000L,
-                     numBits: Long = 1L << 23): DataFrame = {
+                     numBits: Long = 1L << 23): DataFrame =
+    bloomFlagsFromSketch(newDocs, idCol, textCol,
+      buildSeenSketch(seen, textCol, expectedItems, numBits))
+
+  /**
+   * The sketch-build half of [[bloomSeenFlags]] on its own: aggregate
+   * the history ONCE, persist the returned bytes, and probe each batch
+   * with [[bloomFlagsFromSketch]] — per-batch ingestion must not rescan
+   * history. `None` for an empty history (nothing can be a duplicate).
+   * BloomFilterAggregate clamps sizing at
+   * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` / `maxNumBits`
+   * (defaults 4e6 / 2^26): exceeding them would SILENTLY degrade the FP
+   * rate, so oversized requests are rejected here instead.
+   */
+  def buildSeenSketch(seen: DataFrame, textCol: String,
+                      expectedItems: Long = 1000000L,
+                      numBits: Long = 1L << 23): Option[Array[Byte]] = {
+    import graft.plans.NativeFunctions
+    val conf = seen.sparkSession.conf
+    def cap(key: String, dflt: Long): Long =
+      conf.getOption(key).map(_.toLong).getOrElse(dflt)
+    val maxItems =
+      cap("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L)
+    val maxBits =
+      cap("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 1L << 26)
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"sketch size ($expectedItems items / $numBits bits) exceeds " +
+        s"BloomFilterAggregate's clamp ($maxItems / $maxBits) — raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits " +
+        "or the clamp silently inflates the false-positive rate")
+    NativeFunctions.register(seen.sparkSession)
+    Option(seen
+      .agg(NativeFunctions.bloomAggNative(xxhash64(col(textCol)),
+        expectedItems, numBits).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)) // null ⟺ empty history
+  }
+
+  /** Probe half of [[bloomSeenFlags]]: flag batch docs against a
+    * prebuilt sketch. An absent sketch (empty history) flags nothing —
+    * the flag is always a real boolean, never null, so both the
+    * `maybe_seen` route and its negation partition the batch. */
+  def bloomFlagsFromSketch(newDocs: DataFrame, idCol: String,
+                           textCol: String,
+                           sketch: Option[Array[Byte]]): DataFrame = {
     import graft.plans.NativeFunctions
     NativeFunctions.register(newDocs.sparkSession)
-    val h = (t: Column) => xxhash64(t)
-    val sketch = seen
-      .agg(NativeFunctions.bloomAggNative(h(col(textCol)),
-        expectedItems, numBits).as("bf"))
-      .collect()(0).getAs[Array[Byte]](0)
-    newDocs.select(col(idCol), col(textCol),
-      NativeFunctions.bloomMightContain(lit(sketch), h(col(textCol)))
-        .as("maybe_seen"))
+    val flag = sketch match {
+      case Some(bytes) =>
+        NativeFunctions.bloomMightContain(lit(bytes), xxhash64(col(textCol)))
+      case None => lit(false)
+    }
+    newDocs.select(col(idCol), col(textCol), flag.as("maybe_seen"))
   }
 
   // ---- benchmark contamination --------------------------------------------

@@ -188,6 +188,25 @@ class DedupSpec extends SparkSpec {
     assert(fp < 20, s"false-positive count $fp out of 200")
   }
 
+  test("bloomSeenFlags: empty history flags nothing (no NULL flags)") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = Seq((1L, "anything at all")).toDF("doc_id", "text")
+    val rows = Dedup.bloomSeenFlags(batch, empty, "doc_id", "text")
+      .collect()
+    // the flag must be a REAL false — a null would fail both the
+    // flagged route and its negation and silently lose the batch
+    assert(rows.length == 1 && !rows.head.isNullAt(2) &&
+      !rows.head.getBoolean(2))
+  }
+
+  test("buildSeenSketch rejects sizes beyond the aggregate's clamp") {
+    val seen = Seq((1L, "doc")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.buildSeenSketch(seen, "text",
+        expectedItems = 1L << 40, numBits = 1L << 40)
+    }
+  }
+
   test("duplicateClusters: min-label connected components") {
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
     val got = Dedup.duplicateClusters(pairs).collect()
