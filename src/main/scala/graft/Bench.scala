@@ -54,7 +54,10 @@ object Bench {
       val src = scala.io.Source.fromFile("/proc/stat")
       try {
         val p = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-        Some((p.sum, p(4), if (p.length > 7) p(7) else 0L))
+        // first 8 fields only (user..steal): guest/guest_nice are
+        // already counted inside user/nice — summing them would
+        // double-count and understate the noise fractions on virt hosts
+        Some((p.take(8).sum, p(4), if (p.length > 7) p(7) else 0L))
       } finally src.close()
     } catch { case _: Throwable => None }
 
@@ -89,7 +92,12 @@ object Bench {
       val noise = (statAtStart, cpuStat()) match {
         case (Some((tA, ioA, stA)), Some((tB, ioB, stB))) if tB > tA =>
           val d = (tB - tA).toDouble
-          f""","host_iowait_frac":${(ioB - ioA) / d}%.4f,"host_steal_frac":${(stB - stA) / d}%.4f"""
+          // Locale.ROOT: a decimal-comma default locale would corrupt
+          // the one JSON line this harness exists to guarantee
+          def r(x: Double): String =
+            String.format(java.util.Locale.ROOT, "%.4f",
+              Double.box(x))
+          s""","host_iowait_frac":${r((ioB - ioA) / d)},"host_steal_frac":${r((stB - stA) / d)}"""
         case _ => ""
       }
       println(s"""{"metric":"total","value":$valueStr,"unit":"sec","queries":$qs,"sf":"$sfDir","complete":$complete,"partial_total":$total,"n_measured":${measured.size},"n_queries":${names.size},"elapsed_s":$elapsed$noise}""")

@@ -149,10 +149,13 @@ object Multimodal {
     /**
      * REAL video decode for MJPEG payloads (Motion JPEG: concatenated
      * baseline JPEG frames — an actual interchange format, not an
-     * invented container): frames are split on JPEG SOI/EOI markers
-     * (FFD8…FFD9; baseline entropy data escapes literal FF bytes, so
-     * EOI only terminates frames) and each frame decodes through the
-     * same `javax.imageio` path as still images.
+     * invented container). Frames are split by WALKING the JPEG
+     * structure, not by scanning for naked FFD8/FFD9 byte pairs:
+     * marker-segment payloads (APPn/EXIF/COM/DQT/DHT) are NOT
+     * FF-escaped and may contain embedded thumbnails with their own
+     * SOI/EOI, so each segment's 2-byte length is honored and skipped;
+     * only inside entropy-coded scan data (after SOS), where literal FF
+     * is escaped as FF00/RSTn, does EOI terminate the frame.
      *
      * Inter-frame-compressed codecs (H.264/VP9/AV1) still need an
      * external library — that remains the documented boundary; swap
@@ -162,16 +165,47 @@ object Multimodal {
      * @return per-frame payloads, in order
      */
     def splitMjpegFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+      def u8(i: Int): Int = bytes(i) & 0xFF
       val frames = Seq.newBuilder[Array[Byte]]
-      var start = -1
       var i = 0
       while (i < bytes.length - 1) {
-        val m = ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
-        if (m == 0xFFD8 && start < 0) { start = i; i += 2 }
-        else if (m == 0xFFD9 && start >= 0) {
-          frames += java.util.Arrays.copyOfRange(bytes, start, i + 2)
-          start = -1
+        if (u8(i) == 0xFF && u8(i + 1) == 0xD8) { // SOI: walk one frame
+          val start = i
           i += 2
+          var inScan = false
+          var done = false
+          while (!done && i < bytes.length - 1) {
+            if (!inScan) {
+              // marker sequence: FF <code> [len payload]
+              if (u8(i) != 0xFF) { done = true } // corrupt: abandon frame
+              else u8(i + 1) match {
+                case 0xD9 => // EOI with no scan (degenerate but legal)
+                  frames += java.util.Arrays.copyOfRange(bytes, start, i + 2)
+                  i += 2; done = true
+                case c if c >= 0xD0 && c <= 0xD7 => i += 2 // RSTn: bare
+                case 0x01 | 0xFF => i += 2 // TEM / fill byte
+                case 0xDA => // SOS: skip header, enter entropy data
+                  val len = (u8(i + 2) << 8) | u8(i + 3)
+                  i += 2 + len
+                  inScan = true
+                case _ => // APPn/COM/DQT/DHT/SOFn...: length-prefixed,
+                  // payload may contain ANYTHING (EXIF thumbnails!)
+                  val len = (u8(i + 2) << 8) | u8(i + 3)
+                  i += 2 + len
+              }
+            } else {
+              // entropy-coded data: FF is escaped (FF00) or RSTn; any
+              // other FF <code> ends the scan — EOI ends the frame
+              if (u8(i) == 0xFF && u8(i + 1) == 0xD9) {
+                frames += java.util.Arrays.copyOfRange(bytes, start, i + 2)
+                i += 2; done = true
+              } else if (u8(i) == 0xFF && u8(i + 1) != 0x00 &&
+                  !(u8(i + 1) >= 0xD0 && u8(i + 1) <= 0xD7)) {
+                inScan = false // another marker (e.g. next SOS/DNL)
+              } else i += 1
+            }
+          }
+          if (!done) i = bytes.length // truncated trailing frame: drop
         } else i += 1
       }
       frames.result()

@@ -431,6 +431,10 @@ object Dedup {
       // of the label frame (checkpointed first: Spark evaluates both
       // sides of a self-join, no subplan sharing); coalesce guards the
       // root. __old rides along so the convergence check is a scan.
+      // the jump result is checkpointed too: the convergence isEmpty
+      // below and the next round's propagation both consume it, and an
+      // unmaterialized self-join would execute twice per round on
+      // exactly the deep graphs the jump exists for
       val updated =
         if (it < 2) propagated.localCheckpoint(true)
         else {
@@ -439,6 +443,7 @@ object Dedup {
               Seq("__p"), "left")
             .select(col("id"), col("__old"),
               coalesce(col("__pp"), col("__p")).as("__p"))
+            .localCheckpoint(true)
         }
       converged = updated.where(col("__p") =!= col("__old")).isEmpty
       labels = updated.select(col("id"), col("__p").as("cluster"))

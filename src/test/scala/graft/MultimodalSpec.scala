@@ -82,6 +82,29 @@ class MultimodalSpec extends SparkSpec {
     assert(perFrame.distinct.length == perFrame.length)
   }
 
+  test("splitMjpegFrames honors segment lengths (EXIF-style payloads)") {
+    // a frame whose COM segment payload contains naked SOI/EOI byte
+    // pairs — a byte-scan splitter would cut the frame inside the
+    // segment; the structural walker must not
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val jpeg = out.toByteArray
+    val payload = Array(0xFF, 0xD8, 0xFF, 0xD9, 0x00, 0x41).map(_.toByte)
+    val com = Array(0xFF, 0xFE).map(_.toByte) ++
+      Array(((payload.length + 2) >> 8).toByte,
+        ((payload.length + 2) & 0xFF).toByte) ++ payload
+    val tricky = jpeg.take(2) ++ com ++ jpeg.drop(2)
+    val frames = Multimodal.Codec.splitMjpegFrames(tricky ++ tricky)
+    assert(frames.length == 2, s"got ${frames.length} frames")
+    frames.foreach { f =>
+      val decoded = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f))
+      assert(decoded != null && decoded.getWidth == 16)
+    }
+  }
+
   test("video rows decode real MJPEG frame dimensions") {
     val metaById = media.collect().map(r => r.media_id -> r).toMap
     val vids = Multimodal.featurize(media, dim = 8).collect()

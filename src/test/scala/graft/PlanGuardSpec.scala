@@ -39,7 +39,7 @@ class PlanGuardSpec extends SparkSpec {
         }
         if (cartesian.nonEmpty)
           failures += s"$name: CartesianProduct in physical plan"
-        val globalWins = qe.optimizedPlan.collect {
+        val globalWins = qe.optimizedPlan.collectWithSubqueries {
           case w: LogicalWindow if w.partitionSpec.isEmpty => w
         }
         if (globalWins.nonEmpty && !globalWindowAllowed(name))

@@ -217,6 +217,21 @@ class ContaminationLineDedupSpec extends SparkSpec {
     assert((0L to mx).forall(kept.contains))
   }
 
+  test("sampleBy (engine RNG) hits per-stratum fractions approximately") {
+    // df.stat.sampleBy is the partition-seeded-RNG contrast to
+    // stratifiedHashSample (membership changes under repartitioning):
+    // kept here so the engine path stays exercised after the registry
+    // query moved to the deterministic sampler
+    val df = spark.range(0, 4000)
+      .selectExpr("id AS k",
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS s")
+    val n = df.stat.sampleBy("s", Map("a" -> 0.5, "b" -> 0.1), 42L)
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(n("a") - 1000L) < 200)
+    assert(math.abs(n("b") - 200L) < 120)
+  }
+
   test("stratifiedHashSample: per-stratum fractions, partition-invariant") {
     import graft.operators.Sampling
     val df = spark.range(0, 2000)
