@@ -822,7 +822,7 @@ object SparkEntry {
                 LEAST(1.0, w.share * (SELECT MIN(m2.mass / w2.share)
                   FROM m m2 JOIN w w2 USING (source)) / m.mass) AS frac
                 FROM m JOIN w USING (source)),
-              thr AS (SELECT source, CASE WHEN frac >= 1.0 THEN 'g'
+              thr AS (SELECT source, CASE WHEN frac >= 1.0 - 1e-12 THEN 'g'
                 ELSE printf('%04x',
                 CAST(LEAST(floor(frac * 65536), 65535) AS INTEGER)) END
                 AS th FROM f)
@@ -851,6 +851,67 @@ object SparkEntry {
       Some("""SELECT doc_id + 100000 AS new_id, doc_id AS seen_id,
               CAST(1.0 AS DOUBLE) AS jaccard
               FROM documents WHERE doc_id < 50""")),
+
+    // full ingestion-admission pipeline, end-to-end (the ingestion
+    // analog of q_pipeline_e2e): bloom gate → exact anti-join → banded
+    // near-dup gate. history = docs 0-399; batch = exact re-ingests of
+    // 0-49 (bloom-flagged, exact-rejected), one-token edits of 50-79
+    // (the edit changes the exact hash so bloom passes them — ONLY the
+    // minhash gate can reject them, at jaccard S/(S+1) ≈ 0.98), and
+    // novel docs 400-449 (admitted except those with a natural
+    // ≥0.95-jaccard twin in history). The admitted set is exact SQL:
+    // bloom has no false negatives (FPs drain through the exact join),
+    // and every LSH candidate is verified with exact jaccard — the
+    // oracle replays the same true-jaccard predicate over 3-word
+    // shingles (natural jaccard at this SF tops out at 0.989, well
+    // clear of both sides of the 0.95 gate).
+    Q("q_ingest_admission",
+      (s, d) => {
+        val docs = s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"), col("text"))
+        val history = docs.where(col("doc_id") < 400)
+        val batch = docs.where(col("doc_id") < 50)
+            .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+          .unionAll(docs.where(col("doc_id").between(50, 79))
+            .select((col("doc_id") + 100000L).as("doc_id"),
+              concat(col("text"), lit(" graftmarker")).as("text")))
+          .unionAll(docs.where(col("doc_id").between(400, 449))
+            .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        // sketch sized to the history (the production practice): the
+        // probe embeds the sketch bytes in the plan, so an oversized
+        // default would ship 1 MB of literal for a 400-doc history
+        graft.operators.Dedup.ingestAdmission(batch, history,
+          "doc_id", "text", expectedItems = 10000L, numBits = 1L << 17,
+          minJaccard = 0.95)
+          .select(col("doc_id"))
+      },
+      Some("""WITH h AS (SELECT doc_id, text FROM documents
+                WHERE doc_id < 400),
+              b AS (SELECT doc_id + 100000 AS doc_id, text
+                  FROM documents WHERE doc_id < 50
+                UNION ALL
+                SELECT doc_id + 100000, text || ' graftmarker'
+                  FROM documents WHERE doc_id BETWEEN 50 AND 79
+                UNION ALL
+                SELECT doc_id + 100000, text
+                  FROM documents WHERE doc_id BETWEEN 400 AND 449),
+              hs AS (SELECT doc_id, list_distinct(list_transform(
+                  generate_series(0, greatest(len(toks) - 3, 0)),
+                  i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+                FROM (SELECT doc_id,
+                  string_split_regex(trim(text), '\s+') AS toks FROM h)),
+              bs AS (SELECT doc_id, list_distinct(list_transform(
+                  generate_series(0, greatest(len(toks) - 3, 0)),
+                  i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+                FROM (SELECT doc_id,
+                  string_split_regex(trim(text), '\s+') AS toks FROM b)),
+              near AS (SELECT DISTINCT bs.doc_id FROM bs JOIN hs ON
+                CAST(len(list_intersect(bs.sh, hs.sh)) AS DOUBLE) /
+                  (len(bs.sh) + len(hs.sh) -
+                    len(list_intersect(bs.sh, hs.sh))) >= 0.95)
+              SELECT b.doc_id FROM b
+              WHERE NOT EXISTS (SELECT 1 FROM h WHERE h.text = b.text)
+                AND b.doc_id NOT IN (SELECT doc_id FROM near)""")),
 
     // corpus rebalancing: per-language stratified subsample. Hash-based
     // membership is a pure function of (doc_id, salt, stratum fraction)
@@ -964,20 +1025,36 @@ object SparkEntry {
                 END AS lang_pred
               FROM f""")),
 
+    // planted oracle (the q_dedup_minhash_planted pattern): winnowing
+    // fingerprint sets and canonical-text hashes are computed for the
+    // WHOLE corpus plus exact copies of docs 0-49 under shifted ids; a
+    // copy's fingerprint SET and canonical hash must be IDENTICAL to its
+    // source's, so the agreement relation is exactly the 50 planted
+    // pairs — SQL-expressible even though the xxhash64 values are not
     Q("q_text_fingerprint",
       (s, d) => {
-        // native shingles: the HOF form re-evaluates its captured
-        // tokenization per shingle (interpreted lambdas are not CSE'd)
-        graft.plans.NativeFunctions.register(s)
-        s.read.parquet(pq(d, "documents"))
+        val docs = s.read.parquet(pq(d, "documents"))
           .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"),
-            graft.functions.TextAnalysis.fingerprint(col("text")).as("fp"),
-            array_min(transform(
-              graft.plans.NativeFunctions.shinglesNative(col("text"), 3),
-              sh => xxhash64(sh))).as("rolling_fp"))
+          .select(col("doc_id"), col("text"))
+        val all = docs.unionAll(
+          docs.where(col("doc_id") < 50)
+            .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        val sets = graft.functions.TextAnalysis
+          .winnowingFingerprints(all, "doc_id", "text")
+          .join(all.select(col("doc_id"),
+            graft.functions.TextAnalysis.fingerprint(col("text")).as("fp")),
+            "doc_id")
+        val orig = sets.where(col("doc_id") < 50)
+        val copies = sets.where(col("doc_id") >= 100000L)
+          .select((col("doc_id") - 100000L).as("doc_id"),
+            col("fingerprints").as("fps_copy"), col("fp").as("fp_copy"))
+        orig.join(copies, "doc_id")
+          .where(col("fingerprints") === col("fps_copy") &&
+            col("fp") === col("fp_copy"))
+          .select(col("doc_id"), (col("doc_id") + 100000L).as("copy_id"))
       },
-      None), // xxhash64 not available in the oracle engine
+      Some("""SELECT i AS doc_id, i + 100000 AS copy_id
+              FROM generate_series(0, 49) t(i)""")),
 
     // unicode canonicalization (native codegen'd expression over JDK
     // Normalizer): composed and decomposed forms of the same glyph must
@@ -1599,6 +1676,18 @@ object SparkEntry {
                 ROUND(CAST(MAX(l_discount) AS DOUBLE), 4),
                 ROUND(CAST(AVG(l_discount) AS DOUBLE), 4)
               FROM lineitem""")),
+
+    // the 100 TB profile path: HLL-sketch n_distinct (a few KB per
+    // column, still one pass) replaces the exact-distinct Expand that
+    // makes q_profile the slowest bench query. rows-only: no oracle
+    // engine reproduces Spark's HLL++ estimates (same sketch class as
+    // q_approx_count_distinct); the exact twin above is the oracle
+    Q("q_profile_approx",
+      (s, d) => graft.operators.Profile.profileNumeric(
+        s.read.parquet(pq(d, "lineitem")),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        exactDistinct = false),
+      None),
 
     // salting must be semantically invisible: oracle is the plain GROUP BY
     Q("q_skew_salted",

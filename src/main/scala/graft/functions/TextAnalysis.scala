@@ -283,6 +283,36 @@ object TextAnalysis {
    */
   def rollingFingerprint(text: Column, k: Int = 3): Column =
     array_min(transform(Shingles.wordShingles(text, k), s => xxhash64(s)))
+
+  /**
+   * Winnowing fingerprint SET (Schleimer–Wilkerson–Aiken, SIGMOD'03 —
+   * public algorithm): hash every POSITIONAL `k`-word shingle, then keep
+   * the minimum of each sliding window of `window` consecutive shingle
+   * hashes, distinct. The winnowing guarantee: any shared word run of
+   * `window + k - 1`+ words contributes at least one shared fingerprint,
+   * and exact copies produce IDENTICAL fingerprint sets — the document
+   * sketch plagiarism-style span matching uses at corpus scale.
+   *
+   * Each stage is materialized as its own projection so the interpreted
+   * HOF lambdas capture bound attributes, not expressions (a lambda
+   * capturing the tokenization would re-tokenize once per window). Zero
+   * shuffle: the fingerprint set lives inside the row's projection.
+   */
+  def winnowingFingerprints(df: org.apache.spark.sql.DataFrame,
+                            idCol: String, textCol: String,
+                            k: Int = 3, window: Int = 4)
+      : org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && window >= 1, "k and window must be >= 1")
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), transform(
+          sequence(lit(0), greatest(size(col("__t")) - k, lit(0))),
+          i => xxhash64(concat_ws(" ", slice(col("__t"), i + lit(1), lit(k)))))
+        .as("__h"))
+      .select(col(idCol), array_distinct(transform(
+          sequence(lit(0), greatest(size(col("__h")) - window, lit(0))),
+          j => array_min(slice(col("__h"), j + lit(1), lit(window)))))
+        .as("fingerprints"))
+  }
 }
 
 /** Word-shingle helper shared by TextAnalysis and Dedup. */

@@ -183,7 +183,12 @@ object Multimodal {
                   frames += java.util.Arrays.copyOfRange(bytes, start, i + 2)
                   i += 2; done = true
                 case c if c >= 0xD0 && c <= 0xD7 => i += 2 // RSTn: bare
-                case 0x01 | 0xFF => i += 2 // TEM / fill byte
+                case 0x01 => i += 2 // TEM: bare marker
+                // fill byte: a padding FF BEFORE the real marker — advance
+                // one byte so the scanner re-examines from the next FF
+                // (advancing 2 would land ON the marker code byte and fail
+                // the u8(i) == 0xFF check, abandoning the frame)
+                case 0xFF => i += 1
                 case 0xDA => // SOS: skip header, enter entropy data
                   val len = (u8(i + 2) << 8) | u8(i + 3)
                   i += 2 + len

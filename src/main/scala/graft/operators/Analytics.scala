@@ -109,7 +109,8 @@ object Analytics {
    * outer join so one-sided bins count) plus the scalar total-variation
    * distance TV = Σ|p−q|/2 ∈ [0, 1] repeated on every row — the
    * standard "did the new crawl shift the data?" QA gate between
-   * ingestion rounds.
+   * ingestion rounds. A fully one-sided comparison (one snapshot empty)
+   * reports TV = 1.0 by convention, never a null-skewed partial sum.
    *
    * Scale shape: each side reduces to its bin histogram (one
    * partial-aggregated groupBy per side over a single projected
@@ -135,16 +136,27 @@ object Analytics {
       .localCheckpoint(true)
     val totals = joined.agg(sum(col("__nb")).as("__tb"),
       sum(col("__na")).as("__ta"))
+    // an EMPTY side would make its total 0 and Spark's x/0 null — the
+    // null probabilities would silently vanish from the TV sum and emit
+    // a misleadingly small tv_distance; instead the empty side's
+    // probability coalesces to 0 and a fully one-sided comparison
+    // reports the convention TV = 1.0 (maximal drift)
     val withP = joined.crossJoin(broadcast(totals))
       .select(col("bin_lo"),
-        (col("__nb").cast("double") / col("__tb")).as("p_before"),
-        (col("__na").cast("double") / col("__ta")).as("p_after"))
+        when(col("__tb") > 0, col("__nb").cast("double") / col("__tb"))
+          .otherwise(lit(0.0)).as("p_before"),
+        when(col("__ta") > 0, col("__na").cast("double") / col("__ta"))
+          .otherwise(lit(0.0)).as("p_after"),
+        (col("__tb") > 0 && col("__ta") > 0).as("__both"))
     // TV accumulates in exact DECIMAL over 6-dp-rounded terms: a double
     // sum's value depends on partial order (the round-1 q_join_star
     // lesson), decimal addition doesn't
     val tv = withP.agg(
-      (sum(abs(round(col("p_before"), 6) - round(col("p_after"), 6))
-        .cast("decimal(18,6)")) / 2).cast("double").as("__tv"))
+        (sum(abs(round(col("p_before"), 6) - round(col("p_after"), 6))
+          .cast("decimal(18,6)")) / 2).cast("double").as("__tv"),
+        min(col("__both")).as("__both"))
+      .select(when(col("__both"), col("__tv")).otherwise(lit(1.0))
+        .as("__tv"))
     withP.crossJoin(broadcast(tv))
       .select(col("bin_lo"),
         round(col("p_before"), 6).as("p_before"),

@@ -674,6 +674,65 @@ object Dedup {
     newDocs.select(col(idCol), col(textCol), flag.as("maybe_seen"))
   }
 
+  /**
+   * Full ingestion-admission pipeline — the composition the pieces above
+   * exist for, end-to-end: which documents of an incoming batch enter
+   * the corpus?
+   *
+   *   1. within-batch exact dedup (smallest id survives), so the history
+   *      gates see one representative per batch text;
+   *   2. Bloom gate ([[buildSeenSketch]] / [[bloomFlagsFromSketch]]):
+   *      unflagged docs are admitted past the exact stage JOIN-FREE —
+   *      the steady-state majority; the sketch has no false negatives,
+   *      so no true duplicate can slip past;
+   *   3. exact anti-join ([[incrementalExact]]) for the flagged docs
+   *      only — resolves Bloom false positives exactly;
+   *   4. near-dup gate ([[incrementalMinhash]]): surviving candidates
+   *      probe the history's banded MinHash index; any match at
+   *      `minJaccard`+ rejects the candidate.
+   *
+   * Returns the admitted (idCol, textCol) rows. Scale shape: history
+   * participates through one sketch aggregation (KB-MB driver bytes,
+   * the documented bounded-collect class), one hash-projected anti-join
+   * over the flagged minority, and its banded signature index — 100 TB
+   * of history text is never re-read wholesale, only the few docs that
+   * band-collide are re-tokenized. Within-batch NEAR-dup survivors are
+   * the batch pipeline's job ([[minhashDuplicates]] → [[duplicateClusters]]
+   * → [[selectSurvivors]]); this operator gates the batch against history.
+   */
+  def ingestAdmission(newDocs: DataFrame, seen: DataFrame,
+                      idCol: String, textCol: String,
+                      expectedItems: Long = 1000000L,
+                      numBits: Long = 1L << 23,
+                      numHashes: Int = 64, bands: Int = 16,
+                      shingleWords: Int = 3,
+                      minJaccard: Double = 0.8,
+                      maxBucket: Int = 1000): DataFrame = {
+    val batch = exact(
+      newDocs.select(col(idCol), col(textCol),
+        md5(col(textCol).cast("binary")).as("__h")),
+      Seq("__h"), idCol).drop("__h")
+    val sketch = buildSeenSketch(seen, textCol, expectedItems, numBits)
+    // checkpointed: the probe plan embeds the sketch as a numBits/8-byte
+    // literal, and `flagged` fans out to two consumers — without the
+    // truncation every downstream stage's task binary would carry the
+    // sketch bytes and re-run the probe (batch-sized frame, cheap to pin)
+    val flagged = bloomFlagsFromSketch(batch, idCol, textCol, sketch)
+      .localCheckpoint(true)
+    val clean = flagged.where(!col("maybe_seen")).drop("maybe_seen")
+    val suspects = flagged.where(col("maybe_seen")).drop("maybe_seen")
+    val exactNovel = incrementalExact(suspects, seen, idCol, textCol)
+    // checkpointed: four consumers (band projection, both candidate-id
+    // semi-joins, the final anti-join) would each re-execute the
+    // window + anti-join lineage above — again batch-sized
+    val candidates = clean.unionByName(exactNovel).localCheckpoint(true)
+    val nearMatches = incrementalMinhash(candidates, seen, idCol, textCol,
+      numHashes, bands, shingleWords, minJaccard, maxBucket)
+    candidates.join(
+      nearMatches.select(col("new_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   // ---- benchmark contamination --------------------------------------------
 
   /**
@@ -683,13 +742,18 @@ object Dedup {
    * check (cf. the n-gram-overlap procedure described in public LM
    * reports, e.g. GPT-3 appendix C / PaLM; public methodology).
    *
-   * Scale shape: both corpora reduce to distinct (shingle) / (doc,
-   * shingle) rows — shuffles carry shingle strings, never full documents;
-   * membership is a broadcast-or-hash LEFT join on the shingle (Catalyst
+   * Scale shape: both corpora reduce to (doc, `xxhash64(shingle)`) /
+   * distinct (`xxhash64(shingle)`) rows — the hash is MATERIALIZED in a
+   * map-side projection immediately after the explode, so every exchange
+   * (the membership join and the per-doc rollup) carries 8-byte keys,
+   * never shingle text (~5x the corpus) and never full documents;
+   * membership is a broadcast-or-hash LEFT join on the hash (Catalyst
    * broadcasts when the benchmark side is small, the common case); the
    * per-doc fraction is one `groupBy(doc)` with map-side partials. No
-   * driver-side set, no cross join. At 100 TB, swap the shingle string
-   * for `xxhash64(shingle)` to shrink shuffle width (same joins).
+   * driver-side set, no cross join. (A 64-bit collision would count a
+   * clean shingle as contaminated; at 10^12 shingles expected collisions
+   * are ~0.03 — acceptable for a filtering statistic, same argument as
+   * [[duplicateSpans]].)
    */
   def contaminationScore(docs: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String,
@@ -704,9 +768,11 @@ object Dedup {
         t => graft.plans.NativeFunctions.shinglesNative(t, shingleWords)
       } else t => Shingles.wordShingles(t, shingleWords)
     val docSh = docs.select(col(idCol),
-      explode(shingles(col(textCol))).as("__sh"))
+        explode(shingles(col(textCol))).as("__shs"))
+      .select(col(idCol), xxhash64(col("__shs")).as("__sh"))
     val benchSh = benchmark
-      .select(explode(shingles(col(textCol))).as("__sh"))
+      .select(explode(shingles(col(textCol))).as("__shs"))
+      .select(xxhash64(col("__shs")).as("__sh"))
       .distinct()
       .withColumn("__hit", lit(1))
     docSh.join(benchSh, Seq("__sh"), "left")

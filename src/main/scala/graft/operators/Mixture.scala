@@ -51,7 +51,12 @@ object Mixture {
     }
     val bindingT = targetShares.map { case (s, w) => masses(s) / w }.min
     targetShares.map { case (s, w) =>
-      s -> math.min(1.0, w * bindingT / masses(s))
+      // snap to exactly 1.0 within an ulp-scale tolerance: the binding
+      // source's w*(t/w)/t can land an ulp BELOW 1.0 in doubles, which
+      // would turn its "keep all" threshold into 'ffff' and silently drop
+      // the ~1/65536 of keys whose md5 prefix is exactly ffff
+      val f = w * bindingT / masses(s)
+      s -> (if (f >= 1.0 - 1e-12) 1.0 else f)
     }
   }
 

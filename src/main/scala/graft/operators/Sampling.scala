@@ -120,8 +120,11 @@ object Sampling {
    * seeded RNG: membership changes under repartitioning and differs
    * across engines), this sample is reproducible anywhere `md5` exists,
    * so it is oracle-comparable and replay-stable. Strata absent from
-   * `fractions` fall back to `defaultFraction` (0 = drop). Zero
-   * shuffles — one codegen'd filter.
+   * `fractions` fall back to `defaultFraction` (0 = drop). A null key
+   * hashes a fixed sentinel instead of propagating null (md5(null) is
+   * null and `< threshold` would silently drop the row even in a
+   * fraction-1.0 "keep ALL" stratum). Zero shuffles — one codegen'd
+   * filter.
    */
   def stratifiedHashSample(df: DataFrame, keyCol: String,
                            stratumCol: String,
@@ -138,6 +141,8 @@ object Sampling {
             .otherwise(acc)
       }
     df.where(substring(
-      md5(concat(lit(salt), col(keyCol).cast("string"))), 1, 4) < threshold)
+      md5(concat(lit(salt),
+        coalesce(col(keyCol).cast("string"), lit("__graft_null__")))),
+      1, 4) < threshold)
   }
 }

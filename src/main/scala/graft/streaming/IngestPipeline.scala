@@ -46,6 +46,43 @@ object IngestPipeline {
       }
       .start()
 
+  /**
+   * Near-dup-aware ingestion: each micro-batch runs the FULL admission
+   * pipeline ([[Dedup.ingestAdmission]]: Bloom gate → exact anti-join →
+   * banded MinHash near-dup gate) against the corpus-so-far, so
+   * documents that are merely near-copies of already-ingested text are
+   * rejected too — the streaming parity of the batch
+   * `q_ingest_admission` composition, on the same operators.
+   *
+   * Exactly-once: a replayed batch's rows are exact duplicates of their
+   * own earlier append, so the Bloom gate flags them and the exact
+   * anti-join drops them — idempotent like [[dedupIngest]]. An empty
+   * corpus needs no special case: the sketch is absent (nothing
+   * flagged), the band index is empty (no candidates), and the
+   * within-batch exact stage still dedups the first wave. The sketch
+   * and band index are rebuilt from the corpus per batch here for
+   * self-containment; production ingestion persists both beside the
+   * corpus and feeds [[Dedup.bloomFlagsFromSketch]] /
+   * [[Dedup.incrementalMinhash]] from them (same operators, no
+   * per-batch history re-scan).
+   */
+  def nearDupIngest(stream: DataFrame, idCol: String, textCol: String,
+                    corpusDir: String, checkpointDir: String,
+                    minJaccard: Double = 0.8,
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val seen = readCorpus(spark, corpusDir, idCol, textCol)
+        Dedup.ingestAdmission(batch, seen, idCol, textCol,
+            minJaccard = minJaccard)
+          .write.mode("append").parquet(corpusDir)
+      }
+      .start()
+
   /** Corpus-so-far, or a typed empty frame before the first append. */
   private def readCorpus(spark: SparkSession, dir: String,
                          idCol: String, textCol: String): DataFrame =

@@ -232,6 +232,21 @@ class DedupSpec extends SparkSpec {
     assert(got == (1L to 300L).map(_ -> 1L).toMap)
   }
 
+  test("duplicateClusters: O(log diameter) convergence bound (2^10 chain)") {
+    // locks the pointer-jumping guarantee a bench can't see: a path of
+    // 2^10 nodes (diameter 1023) must fully label to the min within
+    // 2 (propagation-only warm rounds) + ceil(log2(diameter)) + 4 slack
+    // = 16 rounds. maxIters IS the bound: if the jump regressed to plain
+    // propagation, 16 rounds reach only ~16 hops from node 1 and every
+    // farther node keeps a wrong label, failing the assertion.
+    val n = 1 << 10
+    val rounds = 2 + (math.log(n - 1) / math.log(2)).ceil.toInt + 4
+    val pairs = (1L until n.toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs, maxIters = rounds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to n.toLong).map(_ -> 1L).toMap)
+  }
+
   test("cosine function exact on known vectors") {
     val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)),
       (Seq(1.0, 1.0), Seq(1.0, 1.0))).toDF("a", "b")

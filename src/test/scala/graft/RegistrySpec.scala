@@ -10,8 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("registry counts match the documented surface") {
-    assert(SparkEntry.queries.size == 105)
-    assert(SparkEntry.oracleSql.size == 99)
+    assert(SparkEntry.queries.size == 107)
+    assert(SparkEntry.oracleSql.size == 101)
   }
 
   test("every oracle belongs to a registered query") {
@@ -24,6 +24,6 @@ class RegistrySpec extends AnyFunSuite {
     assert(rowsOnly == Set(
       "q_approx_count_distinct", "q_approx_percentile",
       "q_dedup_embedding", "q_dedup_minhash", "q_dedup_simhash",
-      "q_text_fingerprint"))
+      "q_profile_approx"))
   }
 }

@@ -115,6 +115,39 @@ class StreamingSpec extends SparkSpec {
     assert(after2 == Set(1L, 2L, 5L)) // 4 was already seen as text
   }
 
+  test("nearDupIngest rejects near-copies of history across batches") {
+    import graft.streaming.IngestPipeline
+    val inDir = tmpDir()
+    val ckDir = tmpDir()
+    val corpus = tmpDir() + "/corpus"
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val textB = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    val textC = "red orange yellow green blue indigo violet cyan " +
+      "magenta teal maroon olive navy coral amber jade ruby pearl"
+    Seq((1L, textA), (2L, textB)).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val q1 = IngestPipeline.nearDupIngest(spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(inDir),
+      "doc_id", "text", corpus, ckDir)
+    q1.awaitTermination()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L)) // empty history: both admitted
+    // second wave: 3 = exact repeat (bloom-flagged, exact-rejected);
+    // 4 = one appended word, shingle jaccard 18/19 ≈ 0.947 — NOT an
+    // exact match, only the minhash gate can reject it; 5 = novel
+    Seq((3L, textA), (4L, textA + " extra"), (5L, textC))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val q2 = IngestPipeline.nearDupIngest(spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(inDir),
+      "doc_id", "text", corpus, ckDir)
+    q2.awaitTermination()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L, 5L))
+  }
+
   test("sliding windows emit overlapping buckets") {
     val got = EventsPipeline.slidingUserActivity(batch1.toDF()).collect()
     // each event lands in two 10-min windows sliding by 5
