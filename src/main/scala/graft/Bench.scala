@@ -110,7 +110,10 @@ object Bench {
         val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
         java.nio.file.Files.write(java.nio.file.Paths.get(out),
           (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      } catch { case _: Throwable => () }
+      } catch {
+        case t: Throwable => // visible but non-fatal: stdout already has it
+          System.err.println(s"[bench] WARN could not write bench file: $t")
+      }
     }
 
   def main(args: Array[String]): Unit = {

@@ -911,6 +911,8 @@ object SparkEntry {
                     len(list_intersect(bs.sh, hs.sh))) >= 0.95)
               SELECT b.doc_id FROM b
               WHERE NOT EXISTS (SELECT 1 FROM h WHERE h.text = b.text)
+                AND NOT EXISTS (SELECT 1 FROM b b2
+                  WHERE b2.text = b.text AND b2.doc_id < b.doc_id)
                 AND b.doc_id NOT IN (SELECT doc_id FROM near)""")),
 
     // corpus rebalancing: per-language stratified subsample. Hash-based
@@ -1030,7 +1032,12 @@ object SparkEntry {
     // WHOLE corpus plus exact copies of docs 0-49 under shifted ids; a
     // copy's fingerprint SET and canonical hash must be IDENTICAL to its
     // source's, so the agreement relation is exactly the 50 planted
-    // pairs — SQL-expressible even though the xxhash64 values are not
+    // pairs — SQL-expressible even though the xxhash64 values are not.
+    // Falsifiable, not tautological: each pair must ALSO be non-empty
+    // and DIFFER from ring-neighbor doc (i+1)%50's set — a degenerate
+    // implementation emitting a constant or empty set for every doc
+    // agrees with its neighbor too and produces 0 rows, failing the
+    // oracle
     Q("q_text_fingerprint",
       (s, d) => {
         val docs = s.read.parquet(pq(d, "documents"))
@@ -1040,17 +1047,21 @@ object SparkEntry {
           docs.where(col("doc_id") < 50)
             .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
         val sets = graft.functions.TextAnalysis
-          .winnowingFingerprints(all, "doc_id", "text")
-          .join(all.select(col("doc_id"),
-            graft.functions.TextAnalysis.fingerprint(col("text")).as("fp")),
-            "doc_id")
+          .winnowingFingerprints(all, "text")
+          .select(col("doc_id"), col("fingerprints"),
+            graft.functions.TextAnalysis.fingerprint(col("text")).as("fp"))
         val orig = sets.where(col("doc_id") < 50)
         val copies = sets.where(col("doc_id") >= 100000L)
           .select((col("doc_id") - 100000L).as("doc_id"),
             col("fingerprints").as("fps_copy"), col("fp").as("fp_copy"))
-        orig.join(copies, "doc_id")
+        val neighbor = orig.select(
+          ((col("doc_id") + 1) % 50).as("doc_id"),
+          col("fingerprints").as("fps_nb"))
+        orig.join(copies, "doc_id").join(neighbor, "doc_id")
           .where(col("fingerprints") === col("fps_copy") &&
-            col("fp") === col("fp_copy"))
+            col("fp") === col("fp_copy") &&
+            col("fingerprints") =!= col("fps_nb") &&
+            size(col("fingerprints")) > 0)
           .select(col("doc_id"), (col("doc_id") + 100000L).as("copy_id"))
       },
       Some("""SELECT i AS doc_id, i + 100000 AS copy_id
@@ -1230,11 +1241,14 @@ object SparkEntry {
           .select(col("doc_id"), col("n_chars"),
             (col("n_chars") / lit(500.0)).as("w")),
         "doc_id", "w", salt = "w").drop("w"),
+      // weight >= 1.0 → 'g' (keep ALL), mirroring hashSampleWeighted's
+      // sentinel — a 'ffff' cap would drop prefix-ffff keys on both sides
       Some("""SELECT doc_id, n_chars FROM documents
               WHERE substr(md5('w' || CAST(doc_id AS VARCHAR)), 1, 4) <
-                printf('%04x', CAST(least(floor(least(greatest(
+                CASE WHEN CAST(n_chars AS DOUBLE)/500 >= 1.0 THEN 'g'
+                ELSE printf('%04x', CAST(least(floor(least(greatest(
                   CAST(n_chars AS DOUBLE)/500, 0.0), 1.0)*65536), 65535)
-                  AS INT))""")),
+                  AS INT)) END""")),
 
     // incremental ingestion dedup: a synthesized batch (every 5th doc an
     // exact repeat of history, every 7th collapsed to one shared body,

@@ -296,22 +296,26 @@ object TextAnalysis {
    * Each stage is materialized as its own projection so the interpreted
    * HOF lambdas capture bound attributes, not expressions (a lambda
    * capturing the tokenization would re-tokenize once per window). Zero
-   * shuffle: the fingerprint set lives inside the row's projection.
+   * shuffle: the fingerprint set lives inside the row's projection, and
+   * every input column passes through (returns the input plus a
+   * `fingerprints` column) — no join-back needed to keep the rest of
+   * the row.
    */
   def winnowingFingerprints(df: org.apache.spark.sql.DataFrame,
-                            idCol: String, textCol: String,
+                            textCol: String,
                             k: Int = 3, window: Int = 4)
       : org.apache.spark.sql.DataFrame = {
     require(k >= 1 && window >= 1, "k and window must be >= 1")
-    df.select(col(idCol), tokens(col(textCol)).as("__t"))
-      .select(col(idCol), transform(
-          sequence(lit(0), greatest(size(col("__t")) - k, lit(0))),
-          i => xxhash64(concat_ws(" ", slice(col("__t"), i + lit(1), lit(k)))))
-        .as("__h"))
-      .select(col(idCol), array_distinct(transform(
-          sequence(lit(0), greatest(size(col("__h")) - window, lit(0))),
-          j => array_min(slice(col("__h"), j + lit(1), lit(window)))))
-        .as("fingerprints"))
+    val orig = df.columns.map(col).toSeq
+    df.select(orig :+ tokens(col(textCol)).as("__wf_t"): _*)
+      .select(orig :+ transform(
+          sequence(lit(0), greatest(size(col("__wf_t")) - k, lit(0))),
+          i => xxhash64(concat_ws(" ", slice(col("__wf_t"), i + lit(1), lit(k)))))
+        .as("__wf_h"): _*)
+      .select(orig :+ array_distinct(transform(
+          sequence(lit(0), greatest(size(col("__wf_h")) - window, lit(0))),
+          j => array_min(slice(col("__wf_h"), j + lit(1), lit(window)))))
+        .as("fingerprints"): _*)
   }
 }
 

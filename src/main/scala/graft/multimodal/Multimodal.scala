@@ -189,6 +189,12 @@ object Multimodal {
                 // (advancing 2 would land ON the marker code byte and fail
                 // the u8(i) == 0xFF check, abandoning the frame)
                 case 0xFF => i += 1
+                // every remaining marker is length-prefixed; a payload
+                // truncated inside the 2-byte length field drops the
+                // frame (the contract for any truncation) instead of
+                // reading past the array
+                case _ if i + 3 >= bytes.length =>
+                  i = bytes.length; done = true
                 case 0xDA => // SOS: skip header, enter entropy data
                   val len = (u8(i + 2) << 8) | u8(i + 3)
                   i += 2 + len

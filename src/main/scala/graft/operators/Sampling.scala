@@ -75,13 +75,17 @@ object Sampling {
    * often. Deterministic like [[hashSample]]; the per-row threshold is
    * rendered to a 4-hex-digit string (`format_string("%04x", ...)`), so
    * the same predicate runs in any SQL engine with `md5` + `printf`.
+   * Weight 1.0 renders the `"g"` sentinel like [[hexThreshold]] — a
+   * "ffff" cap would silently drop the ~1/65536 of keys whose md5
+   * prefix is exactly ffff despite an explicit keep-all weight.
    */
   def hashSampleWeighted(df: DataFrame, keyCol: String, weightCol: String,
                          salt: String = ""): DataFrame = {
     val clamped = greatest(lit(0.0), least(lit(1.0),
       col(weightCol).cast("double")))
-    val threshold = format_string("%04x",
-      least(floor(clamped * 65536), lit(65535.0)).cast("int"))
+    val threshold = when(clamped >= 1.0, lit("g"))
+      .otherwise(format_string("%04x",
+        least(floor(clamped * 65536), lit(65535.0)).cast("int")))
     df.where(
       substring(md5(concat(lit(salt), col(keyCol).cast("string"))), 1, 4) <
         threshold)
@@ -123,8 +127,11 @@ object Sampling {
    * `fractions` fall back to `defaultFraction` (0 = drop). A null key
    * hashes a fixed sentinel instead of propagating null (md5(null) is
    * null and `< threshold` would silently drop the row even in a
-   * fraction-1.0 "keep ALL" stratum). Zero shuffles — one codegen'd
-   * filter.
+   * fraction-1.0 "keep ALL" stratum); note this makes all null-key rows
+   * ONE equivalence class — in a fractional stratum they are kept or
+   * dropped together, like any other repeated key value. Use a non-null
+   * unique key for per-row sampling semantics. Zero shuffles — one
+   * codegen'd filter.
    */
   def stratifiedHashSample(df: DataFrame, keyCol: String,
                            stratumCol: String,

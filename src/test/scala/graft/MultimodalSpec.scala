@@ -105,6 +105,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("splitMjpegFrames drops a frame truncated inside a marker header") {
+    // payload ends exactly FF D8 FF DB: reading the 2-byte segment
+    // length would index past the array — the walker must drop the
+    // frame (its truncation contract), not throw
+    val truncated = Array(0xFF, 0xD8, 0xFF, 0xDB).map(_.toByte)
+    assert(Multimodal.Codec.splitMjpegFrames(truncated).isEmpty)
+    // a complete frame before the truncated tail still comes back
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val frames =
+      Multimodal.Codec.splitMjpegFrames(out.toByteArray ++ truncated)
+    assert(frames.length == 1)
+  }
+
   test("video rows decode real MJPEG frame dimensions") {
     val metaById = media.collect().map(r => r.media_id -> r).toMap
     val vids = Multimodal.featurize(media, dim = 8).collect()

@@ -81,6 +81,14 @@ class SamplingSpec extends SparkSpec {
     val half = kept.count(_ >= 400)
     assert(half > 60 && half < 140, s"got $half of 200 at weight 0.5")
   }
+
+  test("hashSampleWeighted weight 1.0 keeps the md5-prefix-ffff key too") {
+    // md5("40691") starts with ffff — a 'ffff'-capped threshold silently
+    // dropped this key despite an explicit keep-all weight; the 'g'
+    // sentinel (like hexThreshold) must keep it
+    val df = Seq((40691L, 1.0)).toDF("id", "w")
+    assert(Sampling.hashSampleWeighted(df, "id", "w").count() == 1)
+  }
 }
 
 class RepetitionRedactSpec extends SparkSpec {
