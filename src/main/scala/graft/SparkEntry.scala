@@ -915,6 +915,45 @@ object SparkEntry {
                   WHERE b2.text = b.text AND b2.doc_id < b.doc_id)
                 AND b.doc_id NOT IN (SELECT doc_id FROM near)""")),
 
+    // dedup-aware eval split: members of one duplicate family must land
+    // in the SAME split, or val/test leaks (near-)copies of training
+    // text. Families here are planted exact copies, so the cluster
+    // label (min id per text) and the split hash are both
+    // SQL-expressible; at scale the same operator takes
+    // duplicateClusters labels for NEAR-dup families
+    Q("q_split_leakage_safe",
+      (s, d) => {
+        val docs = s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"), col("text"))
+        val all = docs.unionAll(docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        val labels = all
+          .select(col("doc_id").as("id"),
+            md5(col("text").cast("binary")).as("__h"))
+          .join(graft.operators.Dedup.exactSummary(all, "text", "doc_id")
+            .select(col("text_hash").as("__h"), col("keep_id").as("cluster")),
+            "__h")
+          .select(col("id"), col("cluster"))
+        graft.operators.Sampling.leakageSafeSplitAssign(all, labels,
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          salt = "lk")
+          .select(col("doc_id"), col("split"))
+      },
+      // cccc/e666 = hexThreshold(0.8)/(0.9): floor(f*65536) in hex
+      Some("""WITH a AS (SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id + 100000, text FROM documents
+                WHERE doc_id < 50),
+              c AS (SELECT doc_id,
+                (SELECT MIN(a2.doc_id) FROM a a2 WHERE a2.text = a.text)
+                  AS cluster FROM a)
+              SELECT doc_id,
+                CASE WHEN substr(md5('lk' || CAST(cluster AS VARCHAR)),
+                    1, 4) < 'cccc' THEN 'train'
+                  WHEN substr(md5('lk' || CAST(cluster AS VARCHAR)),
+                    1, 4) < 'e666' THEN 'val'
+                  ELSE 'test' END AS split
+              FROM c""")),
+
     // corpus rebalancing: per-language stratified subsample. Hash-based
     // membership is a pure function of (doc_id, salt, stratum fraction)
     // — reproducible across engines, so the sample is oracle-exact

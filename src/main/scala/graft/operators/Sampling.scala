@@ -116,6 +116,35 @@ object Sampling {
   }
 
   /**
+   * Leakage-free train/val/test assignment: members of the same
+   * duplicate cluster MUST land in the same split, or eval splits leak
+   * (near-)copies of training text — the standard decontamination
+   * requirement for held-out sets. Splits are assigned by hashing the
+   * CLUSTER label instead of the document id; documents in no cluster
+   * (never candidates) hash their own id, which is identical to
+   * [[splitAssign]] for them.
+   *
+   * `labels` is any (id, cluster) frame — `Dedup.duplicateClusters`
+   * output for near-dup families, or an exact-dup labeling
+   * (min-id-per-text-hash) for exact families.
+   *
+   * Scale shape: one broadcast-or-hash LEFT join (the label frame is
+   * cluster-membership-sized, usually tiny next to the corpus) feeding
+   * the same zero-shuffle codegen'd hash-bucket projection as
+   * [[splitAssign]].
+   */
+  def leakageSafeSplitAssign(df: DataFrame, labels: DataFrame,
+                             idCol: String,
+                             fractions: Seq[(String, Double)],
+                             salt: String = ""): DataFrame = {
+    val keyed = df.join(
+      labels.select(col("id").as(idCol), col("cluster")), Seq(idCol), "left")
+      .withColumn("__skey", coalesce(col("cluster"), col(idCol)))
+    splitAssign(keyed, "__skey", fractions, salt)
+      .drop("cluster", "__skey")
+  }
+
+  /**
    * Deterministic stratified sample: per-stratum keep fractions (corpus
    * rebalancing — downsample dominant languages, keep rare ones whole),
    * with membership a pure function of (key, salt, stratum fraction) —

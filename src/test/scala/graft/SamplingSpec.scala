@@ -82,6 +82,21 @@ class SamplingSpec extends SparkSpec {
     assert(half > 60 && half < 140, s"got $half of 200 at weight 0.5")
   }
 
+  test("leakageSafeSplitAssign: cluster members share a split; " +
+      "unlabeled docs match plain splitAssign") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "y"), (10L, "z"))
+      .toDF("doc_id", "text")
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster")
+    val got = Sampling.leakageSafeSplitAssign(docs, labels, "doc_id",
+        Seq("a" -> 0.5, "b" -> 0.5), "s").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) == got(2L)) // the dup family cannot straddle splits
+    val plain = Sampling.splitAssign(docs, "doc_id",
+        Seq("a" -> 0.5, "b" -> 0.5), "s").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(3L) == plain(3L) && got(10L) == plain(10L))
+  }
+
   test("hashSampleWeighted weight 1.0 keeps the md5-prefix-ffff key too") {
     // md5("40691") starts with ffff — a 'ffff'-capped threshold silently
     // dropped this key despite an explicit keep-all weight; the 'g'
