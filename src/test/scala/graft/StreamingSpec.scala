@@ -148,6 +148,34 @@ class StreamingSpec extends SparkSpec {
       .collect().toSet == Set(1L, 2L, 5L))
   }
 
+  test("streamingDrift logs per-batch TV against a fixed reference") {
+    import graft.streaming.DriftMonitor
+    val inDir = tmpDir()
+    val ckDir = tmpDir()
+    val outDir = tmpDir() + "/drift"
+    val ref = (0 until 100).map(i => i % 10).toDF("v") // uniform bins 0-9
+    (0 until 100).map(i => i % 10).toDF("v").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val q1 = DriftMonitor.streamingDrift(spark.readStream
+      .schema("v INT").parquet(inDir), ref, "v", 1.0, outDir, ckDir)
+    q1.awaitTermination()
+    // batch 1 matches the reference exactly: TV must be exactly 0
+    val t1 = spark.read.parquet(outDir)
+      .select("tv_distance").distinct().as[Double].collect().toSeq
+    assert(t1 == Seq(0.0))
+    // batch 2 is fully disjoint (bins 20-29): one-sided bins on both
+    // ends, TV must be exactly 1 and the log keeps both trajectories
+    (0 until 100).map(i => 20 + i % 10).toDF("v").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val q2 = DriftMonitor.streamingDrift(spark.readStream
+      .schema("v INT").parquet(inDir), ref, "v", 1.0, outDir, ckDir)
+    q2.awaitTermination()
+    val log = spark.read.parquet(outDir)
+    assert(log.select("tv_distance").distinct().as[Double]
+      .collect().toSet == Set(0.0, 1.0))
+    assert(log.where(col("tv_distance") === 1.0).count() == 20) // 10+10 bins
+  }
+
   test("sliding windows emit overlapping buckets") {
     val got = EventsPipeline.slidingUserActivity(batch1.toDF()).collect()
     // each event lands in two 10-min windows sliding by 5
