@@ -409,6 +409,10 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
+    // empty graph: return before the loop — besides being pointless, an
+    // empty frame would let AQE's empty-relation propagation collapse
+    // the observe() below and its metric would never arrive
+    if (labels.isEmpty) return labels.select(col("id"), col("cluster"))
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
@@ -430,22 +434,31 @@ object Dedup {
       // Every label value is some node's id, so the jump is a self-join
       // of the label frame (checkpointed first: Spark evaluates both
       // sides of a self-join, no subplan sharing); coalesce guards the
-      // root. __old rides along so the convergence check is a scan.
-      // the jump result is checkpointed too: the convergence isEmpty
-      // below and the next round's propagation both consume it, and an
+      // root. The jump result is checkpointed too: the convergence
+      // metric and the next round's propagation both consume it, and an
       // unmaterialized self-join would execute twice per round on
-      // exactly the deep graphs the jump exists for
+      // exactly the deep graphs the jump exists for.
+      // Convergence rides the checkpoint materialization as an
+      // observe() metric — a separate isEmpty would re-scan the whole
+      // label frame once per round just to count changes.
+      val obs = new org.apache.spark.sql.Observation(
+        s"graft_cc_${obsId.incrementAndGet()}")
+      def withChangeCount(df: DataFrame): DataFrame =
+        df.observe(obs,
+          sum(when(col("__p") =!= col("__old"), 1L).otherwise(0L))
+            .as("changed"))
+          .localCheckpoint(true)
       val updated =
-        if (it < 2) propagated.localCheckpoint(true)
+        if (it < 2) withChangeCount(propagated)
         else {
           val p = propagated.localCheckpoint(true)
-          p.join(p.select(col("id").as("__p"), col("__p").as("__pp")),
-              Seq("__p"), "left")
-            .select(col("id"), col("__old"),
-              coalesce(col("__pp"), col("__p")).as("__p"))
-            .localCheckpoint(true)
+          withChangeCount(
+            p.join(p.select(col("id").as("__p"), col("__p").as("__pp")),
+                Seq("__p"), "left")
+              .select(col("id"), col("__old"),
+                coalesce(col("__pp"), col("__p")).as("__p")))
         }
-      converged = updated.where(col("__p") =!= col("__old")).isEmpty
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = updated.select(col("id"), col("__p").as("cluster"))
       it += 1
     }
