@@ -293,29 +293,41 @@ object TextAnalysis {
    * and exact copies produce IDENTICAL fingerprint sets — the document
    * sketch plagiarism-style span matching uses at corpus scale.
    *
-   * Each stage is materialized as its own projection so the interpreted
-   * HOF lambdas capture bound attributes, not expressions (a lambda
-   * capturing the tokenization would re-tokenize once per window). Zero
-   * shuffle: the fingerprint set lives inside the row's projection, and
-   * every input column passes through (returns the input plus a
-   * `fingerprints` column) — no join-back needed to keep the rest of
-   * the row.
+   * Zero shuffle: the fingerprint set lives inside the row's
+   * projection, and every input column passes through (returns the
+   * input plus a `fingerprints` column) — no join-back needed to keep
+   * the rest of the row.
+   *
+   * The default path is the fused native expression
+   * ([[graft.plans.WinnowingExpr]], one JVM loop per row);
+   * `useNative = false` keeps the portable HOF form, each stage
+   * materialized as its own projection so the interpreted lambdas
+   * capture bound attributes, not expressions (a lambda capturing the
+   * tokenization would re-tokenize once per window). Both paths are
+   * BIT-EXACT equal (asserted in NativeExprSpec).
    */
   def winnowingFingerprints(df: org.apache.spark.sql.DataFrame,
                             textCol: String,
-                            k: Int = 3, window: Int = 4)
+                            k: Int = 3, window: Int = 4,
+                            useNative: Boolean = true)
       : org.apache.spark.sql.DataFrame = {
     require(k >= 1 && window >= 1, "k and window must be >= 1")
     val orig = df.columns.map(col).toSeq
-    df.select(orig :+ tokens(col(textCol)).as("__wf_t"): _*)
-      .select(orig :+ transform(
-          sequence(lit(0), greatest(size(col("__wf_t")) - k, lit(0))),
-          i => xxhash64(concat_ws(" ", slice(col("__wf_t"), i + lit(1), lit(k)))))
-        .as("__wf_h"): _*)
-      .select(orig :+ array_distinct(transform(
-          sequence(lit(0), greatest(size(col("__wf_h")) - window, lit(0))),
-          j => array_min(slice(col("__wf_h"), j + lit(1), lit(window)))))
-        .as("fingerprints"): _*)
+    if (useNative) {
+      graft.plans.NativeFunctions.register(df.sparkSession)
+      df.select(orig :+ graft.plans.NativeFunctions
+        .winnowNative(col(textCol), k, window).as("fingerprints"): _*)
+    } else {
+      df.select(orig :+ tokens(col(textCol)).as("__wf_t"): _*)
+        .select(orig :+ transform(
+            sequence(lit(0), greatest(size(col("__wf_t")) - k, lit(0))),
+            i => xxhash64(concat_ws(" ", slice(col("__wf_t"), i + lit(1), lit(k)))))
+          .as("__wf_h"): _*)
+        .select(orig :+ array_distinct(transform(
+            sequence(lit(0), greatest(size(col("__wf_h")) - window, lit(0))),
+            j => array_min(slice(col("__wf_h"), j + lit(1), lit(window)))))
+          .as("fingerprints"): _*)
+    }
   }
 }
 

@@ -306,6 +306,80 @@ case class WordShinglesExpr(child: Expression, shingleWords: Int)
 }
 
 /**
+ * Native winnowing fingerprint set (Schleimer–Wilkerson–Aiken,
+ * SIGMOD'03): positional `shingleWords`-word shingle hashes, min of
+ * each sliding window of `window` hashes, distinct in first-occurrence
+ * order — one JVM pass per row. BIT-EXACT with the staged HOF form in
+ * [[graft.functions.TextAnalysis.winnowingFingerprints]]: tokenization
+ * matches `tokens()` (trim + whitespace split, empty → no tokens), the
+ * shingle string is the space-joined window exactly as
+ * `concat_ws(" ", slice(...))` builds it, and the hash is Spark's own
+ * `xxhash64` (seed 42) over the string's UTF-8 bytes — asserted in
+ * NativeExprSpec. The HOF form re-evaluates interpreted lambdas per
+ * window; this loop is the corpus-scale path.
+ */
+case class WinnowingExpr(child: Expression, shingleWords: Int, window: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires string input")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def prettyName: String = "graft_winnow"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.trim.split("\\s+").filter(_.nonEmpty)
+    val nSh = math.max(toks.length - shingleWords + 1, 1)
+    val hashes = new Array[Long](nSh)
+    var i = 0
+    while (i < nSh) {
+      val sb = new java.lang.StringBuilder()
+      var w = i
+      val end = math.min(i + shingleWords, toks.length)
+      while (w < end) {
+        if (w > i) sb.append(' ')
+        sb.append(toks(w))
+        w += 1
+      }
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      hashes(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      i += 1
+    }
+    val nWin = math.max(nSh - window + 1, 1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j < nWin) {
+      var m = Long.MaxValue
+      var x = j
+      val end = math.min(j + window, nSh)
+      while (x < end) {
+        if (hashes(x) < m) m = hashes(x)
+        x += 1
+      }
+      seen.add(m)
+      j += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) {
+      out(o) = it.next().longValue()
+      o += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : WinnowingExpr = copy(child = c)
+}
+
+/**
  * Native random-hyperplane LSH bucket: sign bits of `planes`
  * pseudo-random projections in one fused loop. Replicates the HOF form
  * ([[graft.operators.Similarity.hyperplaneBucket]]) BIT-EXACTLY — the
@@ -367,6 +441,7 @@ object NativeFunctions {
   val simhashName = "graft_simhash"
   val shinglesName = "graft_shingles"
   val hyperplaneName = "graft_hyperplane_bucket"
+  val winnowName = "graft_winnow"
   val unicodeNormalizeName = "graft_unicode_normalize"
   val bloomAggName = "graft_bloom_agg"
   val bloomContainsName = "graft_bloom_might_contain"
@@ -400,6 +475,8 @@ object NativeFunctions {
       WordShinglesExpr(exprs.head, intLit(exprs(1)))),
     hyperplaneName -> ((exprs: Seq[Expression]) =>
       HyperplaneBucketExpr(exprs.head, intLit(exprs(1)))),
+    winnowName -> ((exprs: Seq[Expression]) =>
+      WinnowingExpr(exprs.head, intLit(exprs(1)), intLit(exprs(2)))),
     unicodeNormalizeName -> ((exprs: Seq[Expression]) =>
       UnicodeNormalizeExpr(exprs.head, strLit(exprs(1)))),
     // Catalyst's OWN Bloom expressions (the machinery behind AQE runtime
@@ -444,6 +521,12 @@ object NativeFunctions {
   def hyperplaneBucketNative(v: Column, planes: Int): Column =
     call_function(hyperplaneName, v.cast("array<double>"),
       org.apache.spark.sql.functions.lit(planes))
+
+  /** Native winnowing fingerprint set (bit-exact with the HOF form). */
+  def winnowNative(text: Column, shingleWords: Int, window: Int): Column =
+    call_function(winnowName, text,
+      org.apache.spark.sql.functions.lit(shingleWords),
+      org.apache.spark.sql.functions.lit(window))
 
   /** Unicode normalization; `form` one of NFC/NFD/NFKC/NFKD. */
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =

@@ -121,6 +121,22 @@ class NativeExprSpec extends SparkSpec {
       assert(r.getSeq[String](0).sorted == r.getSeq[String](1).sorted))
   }
 
+  test("native winnowing ≡ HOF winnowing bit-for-bit") {
+    NativeFunctions.register(spark)
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "x", "  padded   text  ", "a b c d e f g h i j k l m n o p")
+      .toDF("text")
+    val nat = graft.functions.TextAnalysis
+      .winnowingFingerprints(docs, "text", useNative = true)
+      .select("fingerprints").collect().map(_.getSeq[Long](0))
+    val hof = graft.functions.TextAnalysis
+      .winnowingFingerprints(docs, "text", useNative = false)
+      .select("fingerprints").collect().map(_.getSeq[Long](0))
+    nat.zip(hof).foreach { case (n, h) => assert(n == h) } // order too
+    assert(nat.forall(_.nonEmpty))
+  }
+
   test("bruteForceTopK native and HOF paths agree") {
     val emb = (0 until 100).map(i =>
       (i.toLong, Seq.tabulate(16)(j => math.cos(i * 16 + j).toFloat)))
@@ -143,7 +159,7 @@ class NativeExprSpec extends SparkSpec {
       .injectedFunctionNames(new graft.plans.GraftExtensions)
     Seq(NativeFunctions.cosineName, NativeFunctions.minhashName,
       NativeFunctions.simhashName, NativeFunctions.shinglesName,
-      NativeFunctions.hyperplaneName,
+      NativeFunctions.hyperplaneName, NativeFunctions.winnowName,
       NativeFunctions.unicodeNormalizeName).foreach { n =>
       assert(names.contains(n), s"$n not injected (got: $names)")
     }
