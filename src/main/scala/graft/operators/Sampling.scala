@@ -137,11 +137,14 @@ object Sampling {
                              idCol: String,
                              fractions: Seq[(String, Double)],
                              salt: String = ""): DataFrame = {
+    // internal name for the joined label: a caller's own `cluster`
+    // column must neither collide (ambiguous reference) nor be dropped
     val keyed = df.join(
-      labels.select(col("id").as(idCol), col("cluster")), Seq(idCol), "left")
-      .withColumn("__skey", coalesce(col("cluster"), col(idCol)))
+      labels.select(col("id").as(idCol),
+        col("cluster").as("__lk_cluster")), Seq(idCol), "left")
+      .withColumn("__skey", coalesce(col("__lk_cluster"), col(idCol)))
     splitAssign(keyed, "__skey", fractions, salt)
-      .drop("cluster", "__skey")
+      .drop("__lk_cluster", "__skey")
   }
 
   /**

@@ -9,6 +9,58 @@ import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /**
+ * Shared text primitives for the native expressions — ONE definition of
+ * tokenization and shingle hashing, so the fused loops cannot drift
+ * from each other or from the HOF reference they claim parity with.
+ *
+ * `tokens` replicates [[graft.functions.TextAnalysis.tokens]] EXACTLY,
+ * including its whitespace edge cases: Spark's `trim` strips only the
+ * space character (not \t\n), and Spark's `split` keeps leading/
+ * trailing empty tokens (Java `split`'s default limit 0 drops trailing
+ * empties — hence the explicit -1). A document ending in a newline
+ * therefore tokenizes to [..., ""] on BOTH paths, where a naive
+ * `String.trim.split.filter(_.nonEmpty)` would silently diverge from
+ * the HOF form on any doc with leading/trailing non-space whitespace.
+ */
+private[plans] object NativeText {
+
+  /** Spark-semantics tokens: trim ' ' only; split "\\s+" keeping empty
+    * edge tokens; whitespace-only AFTER the space-trim is NOT empty and
+    * still splits (matching `when(length(trim(text)) === 0, [])`). */
+  def tokens(input: Any): Array[String] = {
+    val s = input.toString
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    val t = s.substring(b, e)
+    if (t.isEmpty) Array.empty[String] else t.split("\\s+", -1)
+  }
+
+  /** The space-joined `shingleWords`-token window starting at `i` —
+    * byte-identical to `concat_ws(" ", slice(toks, i+1, k))`. */
+  def shingleString(toks: Array[String], i: Int, shingleWords: Int): String = {
+    val sb = new java.lang.StringBuilder()
+    var w = i
+    val end = math.min(i + shingleWords, toks.length)
+    while (w < end) {
+      if (w > i) sb.append(' ')
+      sb.append(toks(w))
+      w += 1
+    }
+    sb.toString
+  }
+
+  /** Spark `xxhash64(s)` of a string; default seed 42 like the SQL
+    * function. */
+  def xxhash64(s: String, seed: Long = 42L): Long = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, seed)
+  }
+}
+
+/**
  * Native Catalyst expression for cosine similarity over two numeric
  * array columns, with whole-stage codegen (`doGenCode`).
  *
@@ -170,25 +222,14 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int,
   override def prettyName: String = "graft_minhash"
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = input.toString.trim
-      .split("\\s+").filter(_.nonEmpty)
+    val toks = NativeText.tokens(input)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val nShingles = math.max(toks.length - shingleWords + 1, 1)
     var i = 0
     while (i < nShingles) {
-      val sb = new java.lang.StringBuilder()
-      var w = i
-      val end = math.min(i + shingleWords, toks.length)
-      while (w < end) {
-        if (w > i) sb.append(' ')
-        sb.append(toks(w))
-        w += 1
-      }
-      val u = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
-      val h1 = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
-      val h2 = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 77L)
+      val s = NativeText.shingleString(toks, i, shingleWords)
+      val h1 = NativeText.xxhash64(s)
+      val h2 = NativeText.xxhash64(s, 77L)
       var j = 0
       while (j < numHashes) {
         val g = h1 + j * h2
@@ -275,20 +316,12 @@ case class WordShinglesExpr(child: Expression, shingleWords: Int)
   override def prettyName: String = "graft_shingles"
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = input.toString.trim.split("\\s+").filter(_.nonEmpty)
+    val toks = NativeText.tokens(input)
     val n = math.max(toks.length - shingleWords + 1, 1)
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
     while (i < n) {
-      val sb = new java.lang.StringBuilder()
-      var w = i
-      val end = math.min(i + shingleWords, toks.length)
-      while (w < end) {
-        if (w > i) sb.append(' ')
-        sb.append(toks(w))
-        w += 1
-      }
-      seen.add(sb.toString)
+      seen.add(NativeText.shingleString(toks, i, shingleWords))
       i += 1
     }
     val out = new Array[Any](seen.size)
@@ -333,22 +366,13 @@ case class WinnowingExpr(child: Expression, shingleWords: Int, window: Int)
   override def prettyName: String = "graft_winnow"
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = input.toString.trim.split("\\s+").filter(_.nonEmpty)
+    val toks = NativeText.tokens(input)
     val nSh = math.max(toks.length - shingleWords + 1, 1)
     val hashes = new Array[Long](nSh)
     var i = 0
     while (i < nSh) {
-      val sb = new java.lang.StringBuilder()
-      var w = i
-      val end = math.min(i + shingleWords, toks.length)
-      while (w < end) {
-        if (w > i) sb.append(' ')
-        sb.append(toks(w))
-        w += 1
-      }
-      val u = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
-      hashes(i) = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      hashes(i) = NativeText.xxhash64(
+        NativeText.shingleString(toks, i, shingleWords))
       i += 1
     }
     val nWin = math.max(nSh - window + 1, 1)

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.DataFrame
 
@@ -26,12 +25,17 @@ import graft.operators.Analytics
 object DriftMonitor {
 
   /**
-   * Start the monitor. Each micro-batch appends
-   * (batch_id, bin_lo, p_before, p_after, tv_distance) rows to
-   * `outDir`; `p_before` is the reference side. An empty batch appends
-   * nothing (no rows, not a misleading TV) — `distributionDrift`'s
-   * one-sided TV=1 convention applies only when a non-empty batch
-   * shares no bins with the reference.
+   * Start the monitor. Each micro-batch writes
+   * (bin_lo, p_before, p_after, tv_distance) rows to the Hive-style
+   * partition `outDir/batch_id=<epoch>`; `p_before` is the reference
+   * side; read `outDir` with partition discovery for the full
+   * trajectory. An empty batch writes nothing — guarded explicitly,
+   * because `distributionDrift`'s full-outer join would otherwise keep
+   * every reference bin and report the one-sided TV=1.0 convention for
+   * a batch that simply contained no data. Idempotent under
+   * foreachBatch replay: a re-run epoch OVERWRITES its own partition
+   * (an append log would duplicate the replayed batch's rows after a
+   * crash between commit and checkpoint).
    */
   def streamingDrift(stream: DataFrame, reference: DataFrame,
                      valueCol: String, width: Double,
@@ -43,9 +47,9 @@ object DriftMonitor {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        Analytics.distributionDrift(reference, batch, valueCol, width)
-          .withColumn("batch_id", lit(epoch))
-          .write.mode("append").parquet(outDir)
+        if (!batch.isEmpty)
+          Analytics.distributionDrift(reference, batch, valueCol, width)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$epoch")
       }
       .start()
 }

@@ -112,7 +112,8 @@ class NativeExprSpec extends SparkSpec {
 
   test("native shingles match HOF shingles value-for-value") {
     NativeFunctions.register(spark)
-    val docs = Seq("alpha beta gamma delta epsilon", "x", "  padded   text  ")
+    val docs = Seq("alpha beta gamma delta epsilon", "x", "  padded   text  ",
+      "trailing newline\n", "\ttab lead")
       .toDF("t")
     val both = docs.select(
       NativeFunctions.shinglesNative(col("t"), 3).as("nat"),
@@ -123,9 +124,14 @@ class NativeExprSpec extends SparkSpec {
 
   test("native winnowing ≡ HOF winnowing bit-for-bit") {
     NativeFunctions.register(spark)
+    // includes the whitespace edge cases where naive Java
+    // trim/split/filter diverges from Spark semantics: trailing
+    // newline (Spark keeps a trailing empty token), leading tab
+    // (leading empty token), and tabs Spark's trim does NOT strip
     val docs = Seq(
       "the quick brown fox jumps over the lazy dog again and again",
-      "x", "  padded   text  ", "a b c d e f g h i j k l m n o p")
+      "x", "  padded   text  ", "a b c d e f g h i j k l m n o p",
+      "hello world\n", "\tleading tab", "mixed \t inner\nnewline\t")
       .toDF("text")
     val nat = graft.functions.TextAnalysis
       .winnowingFingerprints(docs, "text", useNative = true)
