@@ -265,19 +265,19 @@ case class SimHashExpr(child: Expression)
   override def prettyName: String = "graft_simhash"
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = input.toString.toLowerCase.trim.split("\\s+")
+    // NativeText.tokens on the lowercased string ≡ tokens(lower(text)),
+    // the HOF form's tokenization — including edge-empty tokens, which
+    // vote there too (skipping them would diverge on whitespace-edge
+    // docs, the same class of bug NativeText exists to prevent)
+    val toks = NativeText.tokens(input.toString.toLowerCase)
     val votes = new Array[Int](64)
     var i = 0
     while (i < toks.length) {
-      if (toks(i).nonEmpty) {
-        val u = org.apache.spark.unsafe.types.UTF8String.fromString(toks(i))
-        val h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
+      val h = NativeText.xxhash64(toks(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
       }
       i += 1
     }

@@ -122,6 +122,17 @@ class NativeExprSpec extends SparkSpec {
       assert(r.getSeq[String](0).sorted == r.getSeq[String](1).sorted))
   }
 
+  test("native simhash ≡ HOF simhash bit-for-bit") {
+    NativeFunctions.register(spark)
+    val docs = Seq("The Quick Brown Fox", "x", "  padded   text  ",
+      "trailing newline\n", "\ttab lead", "")
+      .toDF("t")
+    val both = docs.select(
+      NativeFunctions.simhashNative(col("t")).as("nat"),
+      graft.operators.Dedup.simhash(col("t")).as("hof")).collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("native winnowing ≡ HOF winnowing bit-for-bit") {
     NativeFunctions.register(spark)
     // includes the whitespace edge cases where naive Java
