@@ -207,6 +207,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ingestAdmission: empty history admits batch minus in-batch dups; " +
+      "near-dups of history are rejected") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val batch = Seq((1L, textA), (2L, "totally different words here " +
+      "one two three four five six seven eight nine ten"), (3L, textA))
+      .toDF("doc_id", "text")
+    // empty history: no sketch, no bands — within-batch exact dedup only
+    val got1 = Dedup.ingestAdmission(batch, empty, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got1 == Set(1L, 2L)) // 3 is an in-batch copy of 1
+    // history = textA: exact re-ingest rejected by bloom+exact; a
+    // one-word edit passes both and only the minhash gate rejects it
+    val history = Seq((100L, textA)).toDF("doc_id", "text")
+    val batch2 = Seq((10L, textA), (11L, textA + " extra"),
+      (12L, "novel completely unrelated content with many fresh words " +
+        "spread across the whole document body"))
+      .toDF("doc_id", "text")
+    val got2 = Dedup.ingestAdmission(batch2, history, "doc_id", "text",
+      minJaccard = 0.8).select("doc_id").as[Long].collect().toSet
+    assert(got2 == Set(12L))
+  }
+
   test("duplicateClusters: min-label connected components") {
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
     val got = Dedup.duplicateClusters(pairs).collect()

@@ -96,4 +96,35 @@ class PropertySpec extends SparkSpec {
       rows.indices.forall(i => found.contains((i.toLong, i + 1000L)))
     }, minSuccessful = 8) // each case = 1 Spark job over 12 rows
   }
+
+  test("winnowing guarantee: a shared window+k-1 word run shares a " +
+      "fingerprint (property)") {
+    import spark.implicits._
+    // Schleimer et al.'s core guarantee: any two documents sharing a
+    // word run of at least window+k-1 words have at least one common
+    // fingerprint. The shared run gives window consecutive identical
+    // shingle hashes, so the run's first full window's min is selected
+    // on both sides. Arbitrary surrounding words must not break it.
+    val k = 3
+    val win = 4
+    val word = Gen.choose('a', 'z').flatMap(c =>
+      Gen.choose(1, 3).map(n => c.toString * n))
+    val gen = for {
+      runLen <- Gen.choose(win + k - 1, win + k + 4)
+      run <- Gen.listOfN(runLen, word)
+      preA <- Gen.listOfN(5, word)
+      postA <- Gen.listOfN(5, word)
+      preB <- Gen.listOfN(7, word)
+      postB <- Gen.listOfN(3, word)
+    } yield ((preA ++ run ++ postA).mkString(" "),
+      (preB ++ run ++ postB).mkString(" "))
+    checkProp(Prop.forAll(gen) { case (a, b) =>
+      val fps = graft.functions.TextAnalysis
+        .winnowingFingerprints(Seq((1L, a), (2L, b)).toDF("id", "text"),
+          "text", k, win)
+        .orderBy("id").collect()
+        .map(_.getAs[Seq[Long]]("fingerprints").toSet)
+      fps(0).intersect(fps(1)).nonEmpty
+    }, minSuccessful = 10)
+  }
 }
