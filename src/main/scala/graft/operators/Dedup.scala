@@ -569,13 +569,37 @@ object Dedup {
                          shingleWords: Int = 3,
                          minJaccard: Double = 0.8,
                          maxBucket: Int = 1000,
-                         useNative: Boolean = true): DataFrame = {
+                         useNative: Boolean = true): DataFrame =
+    incrementalMinhashAgainstIndex(newDocs,
+      minhashBands(seen, idCol, textCol, numHashes, bands,
+        shingleWords, useNative).withColumnRenamed(idCol, "seen_id"),
+      seen, idCol, textCol, numHashes, bands, shingleWords,
+      minJaccard, maxBucket, useNative)
+
+  /**
+   * [[incrementalMinhash]] against a PREBUILT band index — the actual
+   * 100 TB API: `seenBands` is a persisted (seen_id, band, band_hash)
+   * table (appended once per admitted batch via [[minhashBands]], never
+   * recomputed), and `seenTexts` a (id, text) lookup touched only for
+   * the few candidate ids that band-collide (semi-join first). The
+   * convenience form above inlines the index build for callers without
+   * a persisted index; plans are identical. The index MUST have been
+   * built with the same (numHashes, bands, shingleWords, useNative)
+   * parameters or band hashes cannot collide with the batch's.
+   */
+  def incrementalMinhashAgainstIndex(newDocs: DataFrame,
+                                     seenBands: DataFrame,
+                                     seenTexts: DataFrame,
+                                     idCol: String, textCol: String,
+                                     numHashes: Int = 64, bands: Int = 16,
+                                     shingleWords: Int = 3,
+                                     minJaccard: Double = 0.8,
+                                     maxBucket: Int = 1000,
+                                     useNative: Boolean = true): DataFrame = {
     val nb = minhashBands(newDocs, idCol, textCol, numHashes, bands,
       shingleWords, useNative)
       .withColumnRenamed(idCol, "new_id")
-    val sb = minhashBands(seen, idCol, textCol, numHashes, bands,
-      shingleWords, useNative)
-      .withColumnRenamed(idCol, "seen_id")
+    val sb = seenBands
     // excluded hot keys surface in the same graft_buckets observe
     // metric as the batch operators — never a silent recall cut
     val hotKeys = observeBuckets(
@@ -597,7 +621,7 @@ object Dedup {
     val newSh = newDocs
       .join(cand.select(col("new_id").as(idCol)).distinct(), idCol)
       .select(col(idCol).as("new_id"), shingles(col(textCol)).as("__sh_n"))
-    val seenSh = seen
+    val seenSh = seenTexts
       .join(cand.select(col("seen_id").as(idCol)).distinct(), idCol)
       .select(col(idCol).as("seen_id"), shingles(col(textCol)).as("__sh_s"))
     cand.join(newSh, "new_id").join(seenSh, "seen_id")
@@ -669,6 +693,33 @@ object Dedup {
         expectedItems, numBits).as("bf"))
       .collect()(0).getAs[Array[Byte]](0)) // null ⟺ empty history
   }
+
+  /**
+   * Merge two persisted membership sketches (bitset OR) — the
+   * append-only update: after admitting a batch, build the batch's OWN
+   * sketch ([[buildSeenSketch]] over just the admitted docs) and merge
+   * it into the persisted history sketch, so the history is NEVER
+   * rescanned as it grows. Uses Spark's public sketch API
+   * (`BloomFilter.readFrom/mergeInPlace/writeTo` — the same
+   * serialization `BloomFilterAggregate` emits and `might_contain`
+   * reads). Both sketches must have been built with the same sizing
+   * (same bit count and hash family) — `mergeInPlace` rejects
+   * incompatible inputs rather than corrupting membership. `None`
+   * behaves as the empty history.
+   */
+  def mergeSeenSketches(a: Option[Array[Byte]],
+                        b: Option[Array[Byte]]): Option[Array[Byte]] =
+    (a, b) match {
+      case (None, x) => x
+      case (x, None) => x
+      case (Some(ba), Some(bb)) =>
+        import org.apache.spark.util.sketch.BloomFilter
+        val merged = BloomFilter.readFrom(ba)
+        merged.mergeInPlace(BloomFilter.readFrom(bb))
+        val out = new java.io.ByteArrayOutputStream()
+        merged.writeTo(out)
+        Some(out.toByteArray)
+    }
 
   /** Probe half of [[bloomSeenFlags]]: flag batch docs against a
     * prebuilt sketch. An absent sketch (empty history) flags nothing —

@@ -231,6 +231,42 @@ class DedupSpec extends SparkSpec {
     assert(got2 == Set(12L))
   }
 
+  test("mergeSeenSketches: merged sketch flags both sides' texts") {
+    val h1 = Seq((1L, "first history doc")).toDF("doc_id", "text")
+    val h2 = Seq((2L, "second history doc")).toDF("doc_id", "text")
+    val s1 = Dedup.buildSeenSketch(h1, "text", 1000L, 1L << 14)
+    val s2 = Dedup.buildSeenSketch(h2, "text", 1000L, 1L << 14)
+    val merged = Dedup.mergeSeenSketches(s1, s2)
+    val batch = Seq((10L, "first history doc"), (11L, "second history doc"),
+      (12L, "a genuinely novel doc")).toDF("doc_id", "text")
+    val flags = Dedup.bloomFlagsFromSketch(batch, "doc_id", "text", merged)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(flags(10L) && flags(11L)) // no false negatives from either side
+    // None behaves as the empty history on either side
+    assert(Dedup.mergeSeenSketches(None, s1) == s1)
+    assert(Dedup.mergeSeenSketches(s2, None) == s2)
+  }
+
+  test("incrementalMinhashAgainstIndex matches the inline-index form") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "red orange yellow green blue indigo violet cyan teal navy"))
+      .toDF("doc_id", "text")
+    val batch = docs.where(col("doc_id") <= 2)
+      .select((col("doc_id") + 100L).as("doc_id"), col("text"))
+    val index = Dedup.minhashBands(docs, "doc_id", "text")
+      .withColumnRenamed("doc_id", "seen_id")
+    val viaIndex = Dedup.incrementalMinhashAgainstIndex(
+        batch, index, docs, "doc_id", "text", minJaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = Dedup.incrementalMinhash(batch, docs, "doc_id", "text",
+        minJaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == inline)
+    assert(viaIndex == Set((101L, 1L), (102L, 2L)))
+  }
+
   test("duplicateClusters: min-label connected components") {
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
     val got = Dedup.duplicateClusters(pairs).collect()
