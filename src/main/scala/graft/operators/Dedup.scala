@@ -771,12 +771,43 @@ object Dedup {
                       numHashes: Int = 64, bands: Int = 16,
                       shingleWords: Int = 3,
                       minJaccard: Double = 0.8,
-                      maxBucket: Int = 1000): DataFrame = {
+                      maxBucket: Int = 1000): DataFrame =
+    ingestAdmissionAgainstState(newDocs, seen,
+      buildSeenSketch(seen, textCol, expectedItems, numBits),
+      minhashBands(seen, idCol, textCol, numHashes, bands, shingleWords)
+        .withColumnRenamed(idCol, "seen_id"),
+      idCol, textCol, numHashes, bands, shingleWords, minJaccard,
+      maxBucket)
+
+  /**
+   * [[ingestAdmission]] against PERSISTED state — the per-batch form:
+   * `sketch` is the history's membership sketch ([[buildSeenSketch]] /
+   * [[mergeSeenSketches]]), `seenBands` its banded MinHash index, and
+   * `seenTexts` the text lookup touched only for exact-stage suspects
+   * (hash projection) and band-colliding candidates. The convenience
+   * form above inlines both state builds.
+   *
+   * Index/sketch entries for ids NOT (or not yet) in `seenTexts` are
+   * benign: a sketch over-flag drains through the exact anti-join, and
+   * a band candidate with no `seenTexts` row drops out of the
+   * verification join — `seenTexts` is the source of truth. The
+   * REVERSE (corpus docs missing from the sketch) would break the
+   * no-false-negative admission contract, so state writers must land
+   * index and sketch before the corpus append (see
+   * `IngestPipeline.nearDupIngestIncremental`).
+   */
+  def ingestAdmissionAgainstState(newDocs: DataFrame, seenTexts: DataFrame,
+                                  sketch: Option[Array[Byte]],
+                                  seenBands: DataFrame,
+                                  idCol: String, textCol: String,
+                                  numHashes: Int = 64, bands: Int = 16,
+                                  shingleWords: Int = 3,
+                                  minJaccard: Double = 0.8,
+                                  maxBucket: Int = 1000): DataFrame = {
     val batch = exact(
       newDocs.select(col(idCol), col(textCol),
         md5(col(textCol).cast("binary")).as("__h")),
       Seq("__h"), idCol).drop("__h")
-    val sketch = buildSeenSketch(seen, textCol, expectedItems, numBits)
     // checkpointed: the probe plan embeds the sketch as a numBits/8-byte
     // literal, and `flagged` fans out to two consumers — without the
     // truncation every downstream stage's task binary would carry the
@@ -785,13 +816,14 @@ object Dedup {
       .localCheckpoint(true)
     val clean = flagged.where(!col("maybe_seen")).drop("maybe_seen")
     val suspects = flagged.where(col("maybe_seen")).drop("maybe_seen")
-    val exactNovel = incrementalExact(suspects, seen, idCol, textCol)
+    val exactNovel = incrementalExact(suspects, seenTexts, idCol, textCol)
     // checkpointed: four consumers (band projection, both candidate-id
     // semi-joins, the final anti-join) would each re-execute the
     // window + anti-join lineage above — again batch-sized
     val candidates = clean.unionByName(exactNovel).localCheckpoint(true)
-    val nearMatches = incrementalMinhash(candidates, seen, idCol, textCol,
-      numHashes, bands, shingleWords, minJaccard, maxBucket)
+    val nearMatches = incrementalMinhashAgainstIndex(candidates, seenBands,
+      seenTexts, idCol, textCol, numHashes, bands, shingleWords,
+      minJaccard, maxBucket)
     candidates.join(
       nearMatches.select(col("new_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")

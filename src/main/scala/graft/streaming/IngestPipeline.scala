@@ -83,6 +83,93 @@ object IngestPipeline {
       }
       .start()
 
+  /**
+   * [[nearDupIngest]] with PERSISTED dedup state — the 100 TB form:
+   * the Bloom sketch lives at `sketchPath` and the banded MinHash
+   * index under `indexDir` (one overwritten Hive partition per epoch),
+   * both updated incrementally with the admitted docs only, so
+   * per-batch fingerprinting cost is O(batch), independent of history
+   * size; history text is scanned only as the exact-stage hash
+   * projection and for band-colliding candidates.
+   *
+   * Crash-safety ordering per batch: (1) admitted set is decided and
+   * PINNED (localCheckpoint), (2) the admitted docs' bands land in the
+   * index, (3) their sketch merges into the persisted sketch, (4) the
+   * corpus append. A crash between any two steps leaves index/sketch
+   * entries for docs not yet in the corpus — benign, because the
+   * corpus is the source of truth (a sketch over-flag drains through
+   * the exact anti-join; an index candidate without a corpus row drops
+   * out of the verification join) — whereas corpus-first would leave
+   * admitted docs MISSING from the sketch and break the
+   * no-false-negative admission contract. Replay after any crash
+   * recomputes the same admitted set (or an empty one, if the corpus
+   * append already landed); the index partition overwrite and the
+   * Bloom OR-merge are both idempotent re-dos.
+   */
+  def nearDupIngestIncremental(stream: DataFrame, idCol: String,
+                               textCol: String,
+                               corpusDir: String, indexDir: String,
+                               sketchPath: String, checkpointDir: String,
+                               expectedItems: Long = 1000000L,
+                               numBits: Long = 1L << 23,
+                               numHashes: Int = 64, bands: Int = 16,
+                               shingleWords: Int = 3,
+                               minJaccard: Double = 0.8,
+                               maxBucket: Int = 1000,
+                               trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val spark = batch.sparkSession
+        val corpus = readCorpus(spark, corpusDir, idCol, textCol)
+        val sketch = readSketch(spark, sketchPath)
+        val index = Try(spark.read.parquet(indexDir)).getOrElse(
+          Dedup.minhashBands(corpus.limit(0), idCol, textCol, numHashes,
+            bands, shingleWords).withColumnRenamed(idCol, "seen_id"))
+        val admitted = Dedup.ingestAdmissionAgainstState(batch, corpus,
+            sketch, index, idCol, textCol, numHashes, bands, shingleWords,
+            minJaccard, maxBucket)
+          .localCheckpoint(true) // pin the decision before state writes
+        if (!admitted.isEmpty) {
+          Dedup.minhashBands(admitted, idCol, textCol, numHashes, bands,
+              shingleWords)
+            .withColumnRenamed(idCol, "seen_id")
+            .write.mode("overwrite").parquet(s"$indexDir/batch_id=$epoch")
+          writeSketch(spark, sketchPath, Dedup.mergeSeenSketches(sketch,
+            Dedup.buildSeenSketch(admitted, textCol, expectedItems,
+              numBits)))
+          admitted.write.mode("append").parquet(corpusDir)
+        }
+      }
+      .start()
+
+  /** Persisted sketch bytes, through the Hadoop filesystem of `path`
+    * (works on local disk, HDFS and object stores alike); None before
+    * the first write. */
+  private def readSketch(spark: SparkSession,
+                         path: String): Option[Array[Byte]] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(org.apache.commons.io.IOUtils.toByteArray(in))
+      finally in.close()
+    }
+  }
+
+  private def writeSketch(spark: SparkSession, path: String,
+                          sketch: Option[Array[Byte]]): Unit =
+    sketch.foreach { bytes =>
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(bytes) finally out.close()
+    }
+
   /** Corpus-so-far, or a typed empty frame before the first append. */
   private def readCorpus(spark: SparkSession, dir: String,
                          idCol: String, textCol: String): DataFrame =

@@ -148,6 +148,48 @@ class StreamingSpec extends SparkSpec {
       .collect().toSet == Set(1L, 2L, 5L))
   }
 
+  test("nearDupIngestIncremental: persisted sketch + band index across " +
+      "batches") {
+    import graft.streaming.IngestPipeline
+    val inDir = tmpDir()
+    val ckDir = tmpDir()
+    val base = tmpDir()
+    val corpus = base + "/corpus"
+    val index = base + "/bands"
+    val sketch = base + "/sketch.bin"
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val textB = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    val textC = "red orange yellow green blue indigo violet cyan " +
+      "magenta teal maroon olive navy coral amber jade ruby pearl"
+    Seq((1L, textA), (2L, textB)).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    IngestPipeline.nearDupIngestIncremental(spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(inDir),
+      "doc_id", "text", corpus, index, sketch, ckDir,
+      expectedItems = 1000L, numBits = 1L << 14).awaitTermination()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L))
+    // state materialized: band index rows for both docs, sketch file
+    assert(spark.read.parquet(index).select("seen_id").distinct()
+      .as[Long].collect().toSet == Set(1L, 2L))
+    assert(new java.io.File(sketch).length() > 0)
+    // wave 2 probes the PERSISTED state: exact repeat rejected via
+    // sketch+anti-join, one-word edit rejected via the index, novel kept
+    Seq((3L, textA), (4L, textA + " extra"), (5L, textC))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    IngestPipeline.nearDupIngestIncremental(spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(inDir),
+      "doc_id", "text", corpus, index, sketch, ckDir,
+      expectedItems = 1000L, numBits = 1L << 14).awaitTermination()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L, 5L))
+    assert(spark.read.parquet(index).select("seen_id").distinct()
+      .as[Long].collect().toSet == Set(1L, 2L, 5L))
+  }
+
   test("streamingDrift logs per-batch TV against a fixed reference") {
     import graft.streaming.DriftMonitor
     val inDir = tmpDir()
