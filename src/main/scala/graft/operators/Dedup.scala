@@ -599,7 +599,16 @@ object Dedup {
     val nb = minhashBands(newDocs, idCol, textCol, numHashes, bands,
       shingleWords, useNative)
       .withColumnRenamed(idCol, "new_id")
-    val sb = seenBands
+    // only index rows whose key the batch touches participate — the
+    // hot-key count and the candidate join are both per-key, so
+    // restricting to the batch's (band, band_hash) keys is
+    // semantics-preserving and turns the per-batch cost from a
+    // full-index aggregation into a broadcast semi-join probe (bucket
+    // or partition the persisted index by band_hash for scan pruning
+    // on top); per-key counts stay COMPLETE for the surviving keys
+    val sb = seenBands.join(
+      nb.select(col("band"), col("band_hash")).distinct(),
+      Seq("band", "band_hash"), "left_semi")
     // excluded hot keys surface in the same graft_buckets observe
     // metric as the batch operators — never a silent recall cut
     val hotKeys = observeBuckets(

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import scala.util.Try
-
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -102,9 +100,20 @@ object IngestPipeline {
    * out of the verification join) — whereas corpus-first would leave
    * admitted docs MISSING from the sketch and break the
    * no-false-negative admission contract. Replay after any crash
-   * recomputes the same admitted set (or an empty one, if the corpus
-   * append already landed); the index partition overwrite and the
-   * Bloom OR-merge are both idempotent re-dos.
+   * recomputes the same admitted set (the batch's own ids are excluded
+   * from the probed index, so its own pre-crash band writes cannot
+   * shift hot-key counts and flip an exclusion), or an empty one if
+   * the corpus append already landed; the index partition overwrite
+   * (keyed by the batch's min admitted id — deterministic under
+   * replay, collision-proof across checkpoint resets, unlike the
+   * checkpoint-scoped epoch) and the Bloom OR-merge are idempotent
+   * re-dos.
+   *
+   * Missing-state bootstrap: a non-empty corpus with an absent (or
+   * unreadable) sketch/index — a corpus migrated from [[dedupIngest]],
+   * or lost state files — is rebuilt FROM the corpus and persisted
+   * before the first batch is judged; silently proceeding with a None
+   * sketch would disable dedup entirely and contaminate the corpus.
    */
   def nearDupIngestIncremental(stream: DataFrame, idCol: String,
                                textCol: String,
@@ -122,22 +131,46 @@ object IngestPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+      .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val corpus = readCorpus(spark, corpusDir, idCol, textCol)
-        val sketch = readSketch(spark, sketchPath)
-        val index = Try(spark.read.parquet(indexDir)).getOrElse(
-          Dedup.minhashBands(corpus.limit(0), idCol, textCol, numHashes,
-            bands, shingleWords).withColumnRenamed(idCol, "seen_id"))
+        val sketch = readSketch(spark, sketchPath).orElse {
+          if (corpus.isEmpty) None
+          else { // bootstrap from the source of truth, then persist
+            val s = Dedup.buildSeenSketch(corpus, textCol, expectedItems,
+              numBits)
+            writeSketch(spark, sketchPath, s)
+            s
+          }
+        }
+        val index =
+          if (pathExists(spark, indexDir)) spark.read.parquet(indexDir)
+          else {
+            val built = Dedup.minhashBands(corpus, idCol, textCol,
+              numHashes, bands, shingleWords)
+              .withColumnRenamed(idCol, "seen_id")
+            if (!corpus.isEmpty)
+              built.write.mode("overwrite")
+                .parquet(s"$indexDir/batch_min_id=-1")
+            built
+          }
+        // the batch's own ids never probe the index: a replay after a
+        // crash between the index write and the corpus append would
+        // otherwise count the batch's own bands toward maxBucket
+        val indexSansSelf = index.join(
+          batch.select(col(idCol).as("seen_id")).distinct(),
+          Seq("seen_id"), "left_anti")
         val admitted = Dedup.ingestAdmissionAgainstState(batch, corpus,
-            sketch, index, idCol, textCol, numHashes, bands, shingleWords,
-            minJaccard, maxBucket)
+            sketch, indexSansSelf, idCol, textCol, numHashes, bands,
+            shingleWords, minJaccard, maxBucket)
           .localCheckpoint(true) // pin the decision before state writes
         if (!admitted.isEmpty) {
+          val minId = admitted.agg(min(col(idCol))).first().get(0)
           Dedup.minhashBands(admitted, idCol, textCol, numHashes, bands,
               shingleWords)
             .withColumnRenamed(idCol, "seen_id")
-            .write.mode("overwrite").parquet(s"$indexDir/batch_id=$epoch")
+            .write.mode("overwrite")
+            .parquet(s"$indexDir/batch_min_id=$minId")
           writeSketch(spark, sketchPath, Dedup.mergeSeenSketches(sketch,
             Dedup.buildSeenSketch(admitted, textCol, expectedItems,
               numBits)))
@@ -146,39 +179,65 @@ object IngestPipeline {
       }
       .start()
 
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Persisted sketch bytes, through the Hadoop filesystem of `path`
-    * (works on local disk, HDFS and object stores alike); None before
-    * the first write. */
+    * (works on local disk, HDFS and object stores alike). None when
+    * absent OR unreadable/corrupt (e.g. a torn write the temp+rename
+    * below couldn't prevent on a rename-less object store) — the
+    * caller's bootstrap path then rebuilds from the corpus, which is
+    * always safe: dedup state ahead of the corpus only over-flags. */
   private def readSketch(spark: SparkSession,
                          path: String): Option[Array[Byte]] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(org.apache.commons.io.IOUtils.toByteArray(in))
-      finally in.close()
-    }
+    else
+      try {
+        val in = fs.open(p)
+        val bytes =
+          try org.apache.commons.io.IOUtils.toByteArray(in)
+          finally in.close()
+        // validate before trusting: a corrupt sketch must route to the
+        // rebuild path, not brick every subsequent batch
+        org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+        Some(bytes)
+      } catch { case _: java.io.IOException => None }
   }
 
+  /** Temp-file + rename so a crash mid-write cannot destroy the
+    * previous sketch AND leave truncated bytes (rename is atomic on
+    * HDFS/local; on object stores the validating read side covers the
+    * residual window). */
   private def writeSketch(spark: SparkSession, path: String,
                           sketch: Option[Array[Byte]]): Unit =
     sketch.foreach { bytes =>
       val p = new org.apache.hadoop.fs.Path(path)
+      val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(p, true)
+      val out = fs.create(tmp, true)
       try out.write(bytes) finally out.close()
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"could not move $tmp over $p")
     }
 
-  /** Corpus-so-far, or a typed empty frame before the first append. */
+  /** Corpus-so-far, or a typed empty frame before the first append.
+    * Path EXISTENCE is the branch condition — a read failure on an
+    * existing corpus must fail the batch (the stream retries), not
+    * silently present an empty history and admit duplicates. */
   private def readCorpus(spark: SparkSession, dir: String,
                          idCol: String, textCol: String): DataFrame =
-    Try(spark.read.parquet(dir)).getOrElse(
+    if (pathExists(spark, dir)) spark.read.parquet(dir)
+    else
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField(idCol,
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField(textCol,
-            org.apache.spark.sql.types.StringType)))))
+            org.apache.spark.sql.types.StringType))))
 }

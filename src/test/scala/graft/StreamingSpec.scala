@@ -190,6 +190,38 @@ class StreamingSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(1L, 2L, 5L))
   }
 
+  test("nearDupIngestIncremental bootstraps state from an existing corpus") {
+    import graft.streaming.IngestPipeline
+    val inDir = tmpDir()
+    val ckDir = tmpDir()
+    val base = tmpDir()
+    val corpus = base + "/corpus"
+    val index = base + "/bands"
+    val sketch = base + "/sketch.bin"
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    // a pre-existing corpus WITHOUT sketch/index (e.g. built by
+    // dedupIngest, or state files lost) — a None sketch taken at face
+    // value would disable dedup and admit the exact repeat
+    Seq((1L, textA)).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(corpus)
+    Seq((10L, textA), (11L, textA + " extra"),
+      (12L, "entirely novel words with no overlap at all whatsoever " +
+        "in this freshly written document body"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    IngestPipeline.nearDupIngestIncremental(spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(inDir),
+      "doc_id", "text", corpus, index, sketch, ckDir,
+      expectedItems = 1000L, numBits = 1L << 14).awaitTermination()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 12L))
+    // the bootstrapped state persisted: doc 1's bands + the sketch file
+    assert(spark.read.parquet(index).select("seen_id").distinct()
+      .as[Long].collect().toSet == Set(1L, 12L))
+    assert(new java.io.File(sketch).length() > 0)
+  }
+
   test("streamingDrift logs per-batch TV against a fixed reference") {
     import graft.streaming.DriftMonitor
     val inDir = tmpDir()
