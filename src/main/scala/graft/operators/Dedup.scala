@@ -803,7 +803,14 @@ object Dedup {
    * REVERSE (corpus docs missing from the sketch) would break the
    * no-false-negative admission contract, so state writers must land
    * index and sketch before the corpus append (see
-   * `IngestPipeline.nearDupIngestIncremental`).
+   * `IngestPipeline.nearDupIngestIncremental`). For the same reason a
+   * `None` sketch is only correct for an EMPTY history — with history
+   * present, exact duplicates lose the DETERMINISTIC exact gate and
+   * are caught only by the probabilistic near-dup gate (identical
+   * signatures band-collide), which misses texts shorter than
+   * `shingleWords` words and texts whose bands are hot-key-capped;
+   * rebuild from the corpus ([[buildSeenSketch]]) instead of passing
+   * None, as the pipeline's bootstrap does.
    */
   def ingestAdmissionAgainstState(newDocs: DataFrame, seenTexts: DataFrame,
                                   sketch: Option[Array[Byte]],

@@ -190,6 +190,54 @@ class StreamingSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(1L, 2L, 5L))
   }
 
+  test("nearDupIngestIncremental: replay after a crash between state " +
+      "writes and corpus append is idempotent") {
+    import graft.streaming.IngestPipeline
+    val inDir = tmpDir()
+    val ckDir = tmpDir()
+    val base = tmpDir()
+    val corpus = base + "/corpus"
+    val index = base + "/bands"
+    val sketch = base + "/sketch.bin"
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val textC = "red orange yellow green blue indigo violet cyan " +
+      "magenta teal maroon olive navy coral amber jade ruby pearl"
+    Seq((1L, textA)).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    IngestPipeline.nearDupIngestIncremental(spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(inDir),
+      "doc_id", "text", corpus, index, sketch, ckDir,
+      expectedItems = 1000L, numBits = 1L << 14).awaitTermination()
+    // SIMULATE the crash window: a wave-2 attempt (batch = exact repeat
+    // 3 + novel 5) decided admitted = {5}, landed 5's bands and merged
+    // 5's sketch, then DIED before the corpus append
+    val admittedPreCrash = Seq((5L, textC)).toDF("doc_id", "text")
+    graft.operators.Dedup.minhashBands(admittedPreCrash, "doc_id", "text")
+      .withColumnRenamed("doc_id", "seen_id")
+      .write.mode("overwrite").parquet(s"$index/batch_min_id=5")
+    val merged = graft.operators.Dedup.mergeSeenSketches(
+      graft.operators.Dedup.buildSeenSketch(Seq((1L, textA))
+        .toDF("doc_id", "text"), "text", 1000L, 1L << 14),
+      graft.operators.Dedup.buildSeenSketch(admittedPreCrash, "text",
+        1000L, 1L << 14))
+    java.nio.file.Files.write(java.nio.file.Paths.get(sketch), merged.get)
+    // replay of the wave: doc 5's own pre-crash bands must not
+    // self-match (or shift hot-key counts), its sketch over-flag must
+    // drain through the exact anti-join, and the re-run must land the
+    // SAME admitted set exactly once
+    Seq((3L, textA), (5L, textC)).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    IngestPipeline.nearDupIngestIncremental(spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(inDir),
+      "doc_id", "text", corpus, index, sketch, ckDir,
+      expectedItems = 1000L, numBits = 1L << 14).awaitTermination()
+    val ids = spark.read.parquet(corpus).select("doc_id").as[Long].collect()
+    assert(ids.sorted.toSeq == Seq(1L, 5L)) // no duplicate appends
+    assert(spark.read.parquet(index).select("seen_id").distinct()
+      .as[Long].collect().toSet == Set(1L, 5L))
+  }
+
   test("nearDupIngestIncremental bootstraps state from an existing corpus") {
     import graft.streaming.IngestPipeline
     val inDir = tmpDir()
