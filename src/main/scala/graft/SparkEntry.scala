@@ -2045,7 +2045,271 @@ object SparkEntry {
                 ROUND(CAST(l_discount AS DOUBLE), 4)
               FROM lineitem WHERE l_orderkey < 100""")))
 
-  private val registry: Seq[Q] = parity ++ extensions ++ pipelines ++ round3
+  // =========================================================================
+  // Round-6 extensions: semantic dedup, span cuts, persisted-state
+  // admission, 128-bit span keys, bucket-drop accounting
+  // =========================================================================
+
+  /** Shared planting for the span-cut queries: every doc gets the first
+    * 12 words of donor doc (doc_id % 10) appended — identical to
+    * q_dup_spans, so the three span queries exercise one corpus shape. */
+  private def spanAugmented(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextAnalysis
+    val docs = s.read.parquet(pq(d, "documents"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val donors = docs.where(col("doc_id") < 10)
+      .select(col("doc_id").as("__don_id"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 12))
+          .as("__don_txt"))
+    docs.select(col("doc_id"), col("text"))
+      .join(broadcast(donors), col("doc_id") % 10 === col("__don_id"))
+      .select(col("doc_id"),
+        concat(col("text"), lit(" "), col("__don_txt")).as("text"))
+  }
+
+  /** DuckDB replay of [[spanAugmented]] + window occurrence counts +
+    * interval merge — the shared oracle prefix for the span-cut pair. */
+  private val spanCutOracleCtes =
+    """WITH don AS (SELECT doc_id AS don_id, array_to_string(
+         list_slice(string_split_regex(trim(text), '\s+'), 1, 12), ' ')
+           AS don_txt
+         FROM documents WHERE doc_id < 10),
+       aug AS (SELECT d.doc_id, d.text || ' ' || don.don_txt AS text
+         FROM documents d JOIN don ON d.doc_id % 10 = don.don_id),
+       t AS (SELECT doc_id,
+         string_split_regex(trim(text), '\s+') AS toks FROM aug),
+       w0 AS (SELECT doc_id, toks, unnest(generate_series(0,
+           greatest(len(toks) - 10, 0))) AS i FROM t),
+       w AS (SELECT doc_id, i, least(i + 10, len(toks)) AS e,
+           array_to_string(list_slice(toks, i + 1, i + 10), ' ') AS win
+         FROM w0),
+       c AS (SELECT doc_id, i, e, COUNT(*) OVER (PARTITION BY win) AS occ
+         FROM w),
+       dup AS (SELECT doc_id, i, e FROM c WHERE occ >= 2),
+       f AS (SELECT doc_id, i, e, CASE WHEN i > COALESCE(MAX(e) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+           THEN 1 ELSE 0 END AS ng FROM dup),
+       g AS (SELECT doc_id, i, e, SUM(ng) OVER (PARTITION BY doc_id
+           ORDER BY i ROWS UNBOUNDED PRECEDING) AS grp FROM f),
+       cuts AS (SELECT doc_id, MIN(i) AS s, MAX(e) AS e
+         FROM g GROUP BY doc_id, grp)"""
+
+  /** Lazily-materialized admission-state fixture (band index parquet +
+    * Bloom sketch bytes) under java.io.tmpdir, keyed by the sf dir —
+    * built on first use, REUSED by every later run in any process, so
+    * q_ingest_admission_state's steady-state bench time measures
+    * admission against prebuilt state (the production shape: state is
+    * maintained incrementally beside the corpus, never rebuilt per
+    * batch — `IngestPipeline.nearDupIngestIncremental` is the writer).
+    * Build lands in a temp dir, then one atomic rename publishes it —
+    * a crashed build leaves only unreferenced garbage, never a
+    * half-state the next run would trust. */
+  private def admissionState(s: SparkSession, d: String,
+                             history: DataFrame): (Array[Byte], DataFrame) = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_admission_state_$key")
+    if (!root.exists()) {
+      val tmp = new java.io.File(root.getParentFile,
+        root.getName + ".build" + System.nanoTime())
+      graft.operators.Dedup.minhashBands(history, "doc_id", "text")
+        .withColumnRenamed("doc_id", "seen_id")
+        .write.mode("overwrite")
+        .parquet(new java.io.File(tmp, "bands").toString)
+      val sketch = graft.operators.Dedup.buildSeenSketch(history, "text",
+        expectedItems = 10000L, numBits = 1L << 17).get
+      java.nio.file.Files.write(
+        new java.io.File(tmp, "sketch").toPath, sketch)
+      if (!tmp.renameTo(root)) // lost a race: the published copy wins
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+    (java.nio.file.Files.readAllBytes(
+      new java.io.File(root, "sketch").toPath),
+      s.read.parquet(new java.io.File(root, "bands").toString))
+  }
+
+  private val round6: Seq[Q] = Seq(
+    // SemDeDup (Abbas et al. 2023): IVF cells → within-cell cosine pairs
+    // → connected components → survivor selection. Planted identical
+    // embeddings (vec_id < 30 copied at +100000/+200000) MUST collapse
+    // to their source id: an identical copy lands in the same
+    // (deterministic) cell, its cosine is exactly 1.0, and min-id
+    // survivor selection keeps the source — an exact expected set, the
+    // q_dedup_survivors pattern for the semantic pipeline. The pmod
+    // filter keeps the planted universe; natural embeddings are random,
+    // so no natural pair reaches cosine 0.999.
+    Q("q_dedup_semantic",
+      (s, d) => {
+        val emb = s.read.parquet(pq(d, "embeddings"))
+          .select(col("vec_id"), col("embedding"))
+        val fam = emb.where(col("vec_id") < 30)
+        val all = emb
+          .unionByName(fam.select((col("vec_id") + 100000L).as("vec_id"),
+            col("embedding")))
+          .unionByName(fam.select((col("vec_id") + 200000L).as("vec_id"),
+            col("embedding")))
+        graft.operators.Dedup.semanticDedup(all, "vec_id", "embedding",
+          nlist = 32, minCosine = 0.999)
+          .where(pmod(col("vec_id"), lit(100000L)) < 30)
+          .select(col("vec_id"))
+      },
+      Some("""SELECT vec_id FROM embeddings WHERE vec_id < 30""")),
+
+    // span CUT extraction (Lee et al. 2022 — the corpus operation, not
+    // just the statistic): maximal merged token intervals of windows
+    // with corpus count >= 2. With the q_dup_spans planting, each
+    // non-donor doc's cut is exactly its appended 12-token donor
+    // suffix; donors additionally cut their own 12-token prefix. The
+    // oracle replays windows → occ → interval merge generically rather
+    // than hand-deriving that shape, so natural repeats (none at these
+    // SFs, but the query must not assume it) stay covered.
+    Q("q_dup_span_cut",
+      (s, d) => graft.operators.Dedup.duplicateSpanCuts(
+        spanAugmented(s, d), "doc_id", "text", spanWords = 10),
+      Some(spanCutOracleCtes + """
+        SELECT doc_id, CAST(s AS BIGINT) AS span_start,
+          CAST(e AS BIGINT) AS span_end FROM cuts""")),
+
+    // the rewrite half: drop exactly the cut intervals, rejoin with
+    // single spaces. For non-donor docs this recovers the original
+    // (space-normalized) text; the oracle again replays generically —
+    // per-token anti-join against the cut intervals, re-aggregated in
+    // position order.
+    Q("q_dup_span_rewrite",
+      (s, d) => {
+        val aug = spanAugmented(s, d)
+        graft.operators.Dedup.rewriteWithoutSpans(aug,
+          graft.operators.Dedup.duplicateSpanCuts(aug, "doc_id", "text",
+            spanWords = 10),
+          "doc_id", "text")
+      },
+      Some(spanCutOracleCtes + """,
+        tok AS (SELECT doc_id, unnest(toks) AS wd,
+          unnest(generate_series(1, len(toks))) AS p FROM t),
+        keep AS (SELECT tok.doc_id, wd, p FROM tok
+          WHERE NOT EXISTS (SELECT 1 FROM cuts
+            WHERE cuts.doc_id = tok.doc_id
+              AND tok.p - 1 >= cuts.s AND tok.p - 1 < cuts.e)),
+        agg AS (SELECT doc_id, string_agg(wd, ' ' ORDER BY p) AS text_cut
+          FROM keep GROUP BY doc_id)
+        SELECT t.doc_id, COALESCE(agg.text_cut, '') AS text_cut
+        FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""")),
+
+    // duplicate-span statistic under the 128-bit (two-long struct)
+    // window key: identical semantics — the oracle is q_dup_spans's,
+    // verbatim — so the 10^13-window hash upgrade is driver-checked,
+    // not just a parameter that compiles
+    Q("q_dup_spans_128",
+      (s, d) => graft.operators.Dedup.duplicateSpans(
+        spanAugmented(s, d), "doc_id", "text", spanWords = 10,
+        hashBits = 128),
+      Some("""WITH don AS (SELECT doc_id AS don_id, array_to_string(
+                  list_slice(string_split_regex(trim(text), '\s+'), 1, 12),
+                  ' ') AS don_txt
+                FROM documents WHERE doc_id < 10),
+              aug AS (SELECT d.doc_id, d.text || ' ' ||
+                  don.don_txt AS text
+                FROM documents d JOIN don ON d.doc_id % 10 = don.don_id),
+              t AS (SELECT doc_id,
+                string_split_regex(trim(text), '\s+') AS toks FROM aug),
+              e AS (SELECT doc_id, unnest(list_transform(
+                  generate_series(0, greatest(len(toks) - 10, 0)),
+                  i -> array_to_string(list_slice(toks, i+1, i+10), ' ')))
+                  AS win FROM t),
+              c AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY win) AS occ
+                FROM e)
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                CAST(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup_spans,
+                ROUND(CAST(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 4) AS dup_span_frac
+              FROM c GROUP BY doc_id""")),
+
+    // the persisted-state admission form under the driver's gates: the
+    // SAME batch and oracle as q_ingest_admission, but the Bloom sketch
+    // and band index come from a prebuilt on-disk fixture
+    // (admissionState) instead of being fingerprinted from history
+    // inline — the form whose 100 TB claim ("per-batch cost independent
+    // of history size") actually matters. The admitted set is identical
+    // by construction, so the oracle is shared verbatim.
+    Q("q_ingest_admission_state",
+      (s, d) => {
+        val docs = s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"), col("text"))
+        val history = docs.where(col("doc_id") < 400)
+        val batch = docs.where(col("doc_id") < 50)
+            .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+          .unionAll(docs.where(col("doc_id").between(50, 79))
+            .select((col("doc_id") + 100000L).as("doc_id"),
+              concat(col("text"), lit(" graftmarker")).as("text")))
+          .unionAll(docs.where(col("doc_id").between(400, 449))
+            .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        val (sketch, bands) = admissionState(s, d, history)
+        graft.operators.Dedup.ingestAdmissionAgainstState(batch, history,
+          Some(sketch), bands, "doc_id", "text", minJaccard = 0.95)
+          .select(col("doc_id"))
+      },
+      Some("""WITH h AS (SELECT doc_id, text FROM documents
+                WHERE doc_id < 400),
+              b AS (SELECT doc_id + 100000 AS doc_id, text
+                  FROM documents WHERE doc_id < 50
+                UNION ALL
+                SELECT doc_id + 100000, text || ' graftmarker'
+                  FROM documents WHERE doc_id BETWEEN 50 AND 79
+                UNION ALL
+                SELECT doc_id + 100000, text
+                  FROM documents WHERE doc_id BETWEEN 400 AND 449),
+              hs AS (SELECT doc_id, list_distinct(list_transform(
+                  generate_series(0, greatest(len(toks) - 3, 0)),
+                  i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+                FROM (SELECT doc_id,
+                  string_split_regex(trim(text), '\s+') AS toks FROM h)),
+              bs AS (SELECT doc_id, list_distinct(list_transform(
+                  generate_series(0, greatest(len(toks) - 3, 0)),
+                  i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+                FROM (SELECT doc_id,
+                  string_split_regex(trim(text), '\s+') AS toks FROM b)),
+              near AS (SELECT DISTINCT bs.doc_id FROM bs JOIN hs ON
+                CAST(len(list_intersect(bs.sh, hs.sh)) AS DOUBLE) /
+                  (len(bs.sh) + len(hs.sh) -
+                    len(list_intersect(bs.sh, hs.sh))) >= 0.95)
+              SELECT b.doc_id FROM b
+              WHERE NOT EXISTS (SELECT 1 FROM h WHERE h.text = b.text)
+                AND NOT EXISTS (SELECT 1 FROM b b2
+                  WHERE b2.text = b.text AND b2.doc_id < b.doc_id)
+                AND b.doc_id NOT IN (SELECT doc_id FROM near)""")),
+
+    // bucket-drop accounting as a driver-checked invariant: run the LSH
+    // candidate stage, then read its observe() metrics — zero dropped
+    // buckets on this corpus, exactly one bucketed expansion in the
+    // plan, and a non-empty pair set (which is also what makes the
+    // observe metric reliable under AQE — see Dedup.observeBuckets).
+    // The count() inside the query body IS the action that populates
+    // the metrics; the returned frame is metric-sized (driver-local by
+    // construction, not a collect of data rows).
+    Q("q_dedup_observe",
+      (s, d) => {
+        val cand = graft.operators.Dedup.minhashCandidates(
+          s.read.parquet(pq(d, "documents")), "doc_id", "text")
+        // collect(), not count(): count() routes through a NEW grouped
+        // QueryExecution, so the observe metrics would land there while
+        // bucketMetrics reads cand's own execution. The pair set is
+        // near-dup-pair-sized (two longs each), not corpus-sized.
+        val nPairs = cand.collect().length
+        val m = graft.operators.Dedup.bucketMetrics(cand)
+        import s.implicits._
+        Seq((m.size.toLong, m.values.map(_._2).sum,
+          if (nPairs > 0) 1L else 0L))
+          .toDF("n_observations", "n_dropped_buckets", "has_pairs")
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS n_observations,
+              CAST(0 AS BIGINT) AS n_dropped_buckets,
+              CAST(1 AS BIGINT) AS has_pairs""")))
+
+  private val registry: Seq[Q] =
+    parity ++ extensions ++ pipelines ++ round3 ++ round6
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

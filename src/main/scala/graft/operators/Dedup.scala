@@ -133,9 +133,11 @@ object Dedup {
    * library-user surface for "did the cap silently cost me recall?".
    */
   def bucketMetrics(df: DataFrame): Map[String, (Long, Long, Long)] = {
-    // max_bucket is an Int (size() is IntegerType); count/sum are Longs
+    // max_bucket is an Int (size() is IntegerType); count/sum are Longs.
+    // null ⟺ the observed aggregate saw zero rows (sum/max over nothing)
+    // — report 0, don't NPE
     def l(r: org.apache.spark.sql.Row, f: String): Long =
-      r.getAs[Number](f).longValue
+      Option(r.getAs[Number](f)).map(_.longValue).getOrElse(0L)
     df.queryExecution.observedMetrics.collect {
       case (k, r) if k.startsWith("graft_buckets") =>
         k -> ((l(r, "n_buckets"), l(r, "n_dropped_buckets"),
@@ -516,6 +518,74 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /**
+   * Semantic near-duplicate pairs (SemDeDup-style, Abbas et al. 2023,
+   * "SemDeDup: Data-efficient learning at web-scale through semantic
+   * deduplication" — public): cluster the embedding space with a
+   * data-dependent IVF/k-means pass, then compare cosines only WITHIN
+   * each cluster — semantic duplicates (paraphrases, re-encodings,
+   * templated variants) sit close in embedding space and land in the
+   * same cell, so the quadratic comparison is confined to cells.
+   *
+   * Composition of existing scale shapes: IVF cell assignment
+   * ([[Similarity.buildCentroids]] / [[Similarity.nearestCell]] — KB of
+   * driver-side centroids, the documented bounded-collect class) →
+   * [[pairsWithinBuckets]] keyed on the cell (shuffles (cell, id) longs
+   * only, `maxBucket`-capped with observe-metric drop accounting) →
+   * cosine verification joined back by id for surviving pairs only.
+   * No all-pairs join anywhere. Versus hyperplane LSH
+   * ([[embeddingDuplicates]]): cells adapt to the data's density (the
+   * paper's choice), at the cost of the centroid build pass.
+   *
+   * Scale dial: cells hold ~corpus/nlist vectors, so `nlist` must grow
+   * with the corpus to keep cells under `maxBucket` (the paper runs
+   * 50k clusters at web scale); over-cap cells are dropped AND counted
+   * in the `graft_buckets` observe metric, never silently.
+   */
+  def semanticDuplicates(df: DataFrame, idCol: String, vecCol: String,
+                         nlist: Int = 16, iters: Int = 2,
+                         minCosine: Double = 0.95,
+                         maxBucket: Int = 1000,
+                         useNative: Boolean = true): DataFrame = {
+    val cos = Similarity.cosineFn(df, useNative)
+    val vecs = df.select(col(idCol),
+      col(vecCol).cast("array<double>").as("v"))
+    val centroids = Similarity.buildCentroids(vecs, idCol, "v", nlist,
+      iters, cos)
+    if (centroids.isEmpty)
+      // empty corpus: empty pair frame with the contract schema
+      return vecs.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0.0).as("cosine")).limit(0)
+    val keyed = vecs
+      .withColumn("__cell", Similarity.nearestCell(cos, centroids,
+        col("v")))
+      .select(col("__cell"), col(idCol))
+    pairsWithinBuckets(keyed, Seq("__cell"), idCol, maxBucket)
+      .join(vecs.select(col(idCol).as("id_a"), col("v").as("v_a")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col("v").as("v_b")), "id_b")
+      .withColumn("cosine", cos(col("v_a"), col("v_b")))
+      .where(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /**
+   * Full semantic dedup: [[semanticDuplicates]] → [[duplicateClusters]]
+   * → [[selectSurvivors]] — keep one representative per semantic-dup
+   * group. Survivor = the group's min id (deterministic and
+   * oracle-stable; the paper keeps the member farthest from the
+   * centroid — a policy swap in the survivor step if wanted, not a
+   * pipeline change).
+   */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int = 16, iters: Int = 2,
+                    minCosine: Double = 0.95,
+                    maxBucket: Int = 1000,
+                    useNative: Boolean = true): DataFrame =
+    selectSurvivors(df,
+      duplicateClusters(semanticDuplicates(df, idCol, vecCol, nlist,
+        iters, minCosine, maxBucket, useNative)),
+      idCol)
+
   // ---- incremental dedup --------------------------------------------------
 
   /**
@@ -865,12 +935,29 @@ object Dedup {
    * driver-side set, no cross join. (A 64-bit collision would count a
    * clean shingle as contaminated; at 10^12 shingles expected collisions
    * are ~0.03 — acceptable for a filtering statistic, same argument as
-   * [[duplicateSpans]].)
+   * [[duplicateSpans]]; `hashBits = 128` switches to a two-long struct
+   * key for 10^13+-shingle corpora without changing semantics.)
    */
+  /** Shingle/window membership key at the configured width: 64-bit
+    * `xxhash64`, or a 128-bit (two-long struct) key — `xxhash64(1, x)`
+    * prepends a constant column, which is the seeded-second-function
+    * form of the same family. Struct keys group/join/window exactly
+    * like scalar keys; the exchange carries 16 bytes instead of 8. At
+    * 10^12 keys the 64-bit birthday bound expects ~0.03 collisions;
+    * a 10^13-shingle corpus (~5 expected) flips `hashBits = 128`
+    * (expected ~1e-14) WITHOUT changing operator semantics. */
+  private def membershipKey(x: Column, hashBits: Int): Column = {
+    require(hashBits == 64 || hashBits == 128,
+      s"hashBits must be 64 or 128, got $hashBits")
+    if (hashBits == 64) xxhash64(x)
+    else struct(xxhash64(x).as("h1"), xxhash64(lit(1L), x).as("h2"))
+  }
+
   def contaminationScore(docs: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String,
                          shingleWords: Int = 5,
-                         useNative: Boolean = true): DataFrame = {
+                         useNative: Boolean = true,
+                         hashBits: Int = 64): DataFrame = {
     // native fused shingle expression when available: the HOF form
     // re-tokenizes per shingle (interpreted lambdas, no CSE) — measured
     // ~4x on the sf0.1 corpus; HOF kept as the portable reference path
@@ -881,10 +968,10 @@ object Dedup {
       } else t => Shingles.wordShingles(t, shingleWords)
     val docSh = docs.select(col(idCol),
         explode(shingles(col(textCol))).as("__shs"))
-      .select(col(idCol), xxhash64(col("__shs")).as("__sh"))
+      .select(col(idCol), membershipKey(col("__shs"), hashBits).as("__sh"))
     val benchSh = benchmark
       .select(explode(shingles(col(textCol))).as("__shs"))
-      .select(xxhash64(col("__shs")).as("__sh"))
+      .select(membershipKey(col("__shs"), hashBits).as("__sh"))
       .distinct()
       .withColumn("__hit", lit(1))
     docSh.join(benchSh, Seq("__sh"), "left")
@@ -953,36 +1040,116 @@ object Dedup {
    * filtering statistic, use a 128-bit hash pair if not.) The paper's
    * suffix array is for finding exact span BOUNDARIES to cut; the
    * corpus-scale statistic here is the standard bucket-count
-   * decomposition. Tokens are materialized as their own column before
-   * window expansion — interpreted HOF lambdas re-evaluate captured
-   * expressions per element, so capturing the raw `split` would
-   * re-tokenize once per window.
+   * decomposition; `hashBits = 128` switches the window key to a
+   * two-long struct for 10^13+-window corpora. Tokens are materialized
+   * as their own column before window expansion — interpreted HOF
+   * lambdas re-evaluate captured expressions per element, so capturing
+   * the raw `split` would re-tokenize once per window.
    */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-                     spanWords: Int = 10): DataFrame = {
-    require(spanWords >= 1, "spanWords must be >= 1")
-    val wins = df
-      .select(col(idCol),
-        graft.functions.TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .withColumn("__nwin",
-        greatest(size(col("__toks")) - (spanWords - 1), lit(1)))
-      .select(col(idCol), explode(transform(
-        sequence(lit(0), col("__nwin") - 1),
-        i => xxhash64(
-          concat_ws(" ", slice(col("__toks"), i + 1, lit(spanWords))))))
-        .as("__h"))
-    // the hash is MATERIALIZED as a column before the window — were the
-    // window partitioned by xxhash64(__win) directly, WindowExec would
-    // need __win to evaluate its partition expression and the shuffle
-    // would carry every 10-word window string (~10× the corpus text);
-    // this way the exchange rows are two longs (id, hash)
-    val occ = Window.partitionBy(col("__h"))
-    wins.withColumn("__occ", count(lit(1)).over(occ))
+                     spanWords: Int = 10, hashBits: Int = 64): DataFrame =
+    spanWindows(df, idCol, textCol, spanWords, hashBits)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("__occ") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
       .select(col(idCol), col("n_spans"), col("n_dup_spans"),
         round(col("n_dup_spans").cast("double") / col("n_spans"), 4)
           .as("dup_span_frac"))
+
+  /** Shared first half of [[duplicateSpans]] / [[duplicateSpanCuts]]:
+    * (id, window start offset, window end offset, corpus-wide
+    * occurrence count) per sliding window. The window-key hash is
+    * MATERIALIZED as a column before the analytic count — were the
+    * count partitioned by xxhash64(__win) directly, WindowExec would
+    * need __win to evaluate its partition expression and the shuffle
+    * would carry every `spanWords`-word window string (~spanWords× the
+    * corpus text); this way the exchange rows are fixed-width
+    * (id, start, end, key). */
+  private def spanWindows(df: DataFrame, idCol: String, textCol: String,
+                          spanWords: Int, hashBits: Int): DataFrame = {
+    require(spanWords >= 1, "spanWords must be >= 1")
+    val wins = df
+      .select(col(idCol),
+        graft.functions.TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__nwin",
+        greatest(size(col("__toks")) - (spanWords - 1), lit(1)))
+      .select(col(idCol), size(col("__toks")).as("__ntok"),
+        posexplode(transform(
+          sequence(lit(0), col("__nwin") - 1),
+          i => membershipKey(
+            concat_ws(" ", slice(col("__toks"), i + 1, lit(spanWords))),
+            hashBits)))
+          .as(Seq("__start", "__h")))
+      .select(col(idCol), col("__start"),
+        least(col("__start") + spanWords, col("__ntok")).as("__end"),
+        col("__h"))
+    val occ = Window.partitionBy(col("__h"))
+    wins.withColumn("__occ", count(lit(1)).over(occ))
+  }
+
+  /**
+   * Duplicate-span CUT extraction — the actual Lee et al. 2022 corpus
+   * operation, not just the statistic: per document, the maximal merged
+   * token intervals `[span_start, span_end)` (0-based word offsets)
+   * covered by sliding windows whose corpus-wide occurrence count is
+   * >= 2. [[rewriteWithoutSpans]] drops exactly these intervals.
+   *
+   * Interval merging is two analytic passes over (id, start, end) rows
+   * — a running max of `end` over preceding rows flags the start of
+   * each disjoint group (adjacent intervals merge: contiguous
+   * duplicated text is one cut), a running sum of flags numbers the
+   * groups — then one `groupBy(id, group)`. Every exchange after the
+   * window expansion carries fixed-width rows keyed by (id) or
+   * (hash); window text never shuffles, same discipline as
+   * [[duplicateSpans]].
+   */
+  def duplicateSpanCuts(df: DataFrame, idCol: String, textCol: String,
+                        spanWords: Int = 10,
+                        hashBits: Int = 64): DataFrame = {
+    val dup = spanWindows(df, idCol, textCol, spanWords, hashBits)
+      .where(col("__occ") >= 2)
+      .select(col(idCol), col("__start"), col("__end"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__start"))
+    val grouped = dup
+      .withColumn("__maxe", max(col("__end")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__start") > coalesce(col("__maxe"), lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("__grp", sum(col("__new")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    grouped.groupBy(col(idCol), col("__grp"))
+      .agg(min(col("__start")).as("span_start"),
+        max(col("__end")).as("span_end"))
+      .select(col(idCol), col("span_start").cast("long"),
+        col("span_end").cast("long"))
+  }
+
+  /**
+   * Rewrite documents with their duplicated spans cut out: tokens whose
+   * 0-based offset falls in any of the doc's [[duplicateSpanCuts]]
+   * intervals are dropped; the survivors re-join with single spaces
+   * (tokenization already normalizes whitespace, so a cut-free doc
+   * round-trips to its space-normalized form). Documents with no cuts
+   * pass through. One membership-sized left join (cut intervals per
+   * doc, collected — a handful of (start, end) longs each, bounded by
+   * docLength/spanWords) + a zero-shuffle projection.
+   */
+  def rewriteWithoutSpans(df: DataFrame, cuts: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val cutsByDoc = cuts
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__cuts"))
+    df.join(cutsByDoc, Seq(idCol), "left")
+      .withColumn("__toks",
+        graft.functions.TextAnalysis.tokens(col(textCol)))
+      .select(col(idCol),
+        when(col("__cuts").isNull, concat_ws(" ", col("__toks")))
+          .otherwise(concat_ws(" ", filter(col("__toks"),
+            (_, i) => !exists(col("__cuts"), c =>
+              i.cast("long") >= c.getField("span_start") &&
+                i.cast("long") < c.getField("span_end")))))
+          .as("text_cut"))
   }
 }

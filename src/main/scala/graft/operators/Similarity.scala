@@ -152,11 +152,7 @@ object Similarity {
     val c = corpus.select(col(corpusId),
       col(corpusVec).cast("array<double>").as("cv"))
 
-    // deterministic seed sample: smallest xxhash64(id) per corpus order
-    var centroids: Array[Seq[Double]] = c
-      .withColumn("__h", xxhash64(col(corpusId)))
-      .orderBy(col("__h")).limit(nlist)
-      .select(col("cv")).collect().map(_.getSeq[Double](0))
+    val centroids = buildCentroids(c, corpusId, "cv", nlist, iters, cos)
 
     if (centroids.isEmpty) {
       // empty corpus: nothing to index; empty result, search schema
@@ -166,39 +162,8 @@ object Similarity {
         .limit(0)
     }
 
-    def nearestCell(v: Column): Column =
-      // argmin over centroids of (1 - cosine) via a greatest-of-structs
-      // trick: pack (similarity, cellId), take the max. `greatest`
-      // requires >= 2 args, so a single-cell index short-circuits.
-      if (centroids.length == 1) lit(0)
-      else {
-        val scored = centroids.toSeq.zipWithIndex.map { case (ct, i) =>
-          struct(cos(v, typedlit(ct)).as("sim"), lit(i).as("cell"))
-        }
-        greatest(scored: _*).getField("cell")
-      }
-
-    // Lloyd refinement: per-(cell, dim) mean via posexplode — a cell
-    // holds ~corpus/nlist vectors, so collecting them into one
-    // aggregation buffer (collect_list of whole vectors) OOMs at scale;
-    // exploding to (cell, pos, value) keeps every buffer O(1) with
-    // map-side partial avg, and the regrouped buffer is just dim structs.
-    (1 to iters).foreach { _ =>
-      val updated = c.withColumn("__cell", nearestCell(col("cv")))
-        .select(col("__cell"), posexplode(col("cv")))
-        .groupBy(col("__cell"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .groupBy(col("__cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-          .as("pm"))
-        .select(col("__cell"), expr("transform(pm, s -> s.m)")
-          .as("centroid"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-      centroids = centroids.indices
-        .map(i => updated.getOrElse(i, centroids(i))).toArray
-    }
-
-    val assigned = c.withColumn("cell", nearestCell(col("cv")))
+    val assigned = c.withColumn("cell",
+      nearestCell(cos, centroids, col("cv")))
     val q = queries.select(col(queryId),
         col(queryVec).cast("array<double>").as("qv"))
       .withColumn("cell", explode(nearestCells(cos, centroids, nprobe)))
@@ -211,6 +176,63 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
   }
+
+  /**
+   * IVF centroid build, shared by [[ivfTopK]] and
+   * `Dedup.semanticDuplicates`: `nlist` centroids seeded by a
+   * deterministic hash-sample of the corpus (smallest `xxhash64(id)`),
+   * refined with `iters` Lloyd iterations. Centroids are driver-side by
+   * design — nlist × dim doubles, KBs, the documented bounded-collect
+   * class — and ship to executors inside the assignment expression.
+   *
+   * Lloyd refinement runs per-(cell, dim) via posexplode: a cell holds
+   * ~corpus/nlist vectors, so collecting them into one aggregation
+   * buffer (collect_list of whole vectors) OOMs at scale; exploding to
+   * (cell, pos, value) keeps every buffer O(1) with map-side partial
+   * avg, and the regrouped buffer is just dim structs.
+   */
+  private[operators] def buildCentroids(
+      c: DataFrame, corpusId: String, vecCol: String, nlist: Int,
+      iters: Int,
+      cos: (Column, Column) => Column): Array[Seq[Double]] = {
+    var centroids: Array[Seq[Double]] = c
+      .withColumn("__h", xxhash64(col(corpusId)))
+      .orderBy(col("__h")).limit(nlist)
+      .select(col(vecCol)).collect().map(_.getSeq[Double](0))
+    if (centroids.isEmpty) return centroids
+    (1 to iters).foreach { _ =>
+      val updated = c
+        .withColumn("__cell", nearestCell(cos, centroids, col(vecCol)))
+        .select(col("__cell"), posexplode(col(vecCol)))
+        .groupBy(col("__cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("__cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("__cell"), expr("transform(pm, s -> s.m)")
+          .as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      centroids = centroids.indices
+        .map(i => updated.getOrElse(i, centroids(i))).toArray
+    }
+    centroids
+  }
+
+  /** Nearest-centroid cell id for vector `v` — argmin over centroids of
+    * (1 - cosine) via a greatest-of-structs trick: pack
+    * (similarity, cellId), take the max. `greatest` requires >= 2 args,
+    * so a single-cell index short-circuits. Deterministic: identical
+    * vectors always land in the same cell. */
+  private[operators] def nearestCell(cos: (Column, Column) => Column,
+                                     centroids: Array[Seq[Double]],
+                                     v: Column): Column =
+    if (centroids.length == 1) lit(0)
+    else {
+      val scored = centroids.toSeq.zipWithIndex.map { case (ct, i) =>
+        struct(cos(v, typedlit(ct)).as("sim"), lit(i).as("cell"))
+      }
+      greatest(scored: _*).getField("cell")
+    }
 
   /** The query's `nprobe` nearest cells as an array column. */
   private def nearestCells(cos: (Column, Column) => Column,

@@ -114,6 +114,24 @@ object IngestPipeline {
    * or lost state files — is rebuilt FROM the corpus and persisted
    * before the first batch is judged; silently proceeding with a None
    * sketch would disable dedup entirely and contaminate the corpus.
+   *
+   * Unique-id contract: doc ids must be unique ACROSS batches (admission
+   * dedups texts, never ids). The index partition key is the batch's min
+   * admitted id; if an id recurred as two different batches' min, the
+   * later partition overwrite would silently delete the earlier batch's
+   * bands from the near-dup index. Streams whose source can replay ids
+   * with different text should derive ids content-side (e.g.
+   * xxhash64(text)) before ingestion.
+   *
+   * Sketch sizing: `expectedItems`/`numBits` fix the Bloom capacity at
+   * first build; OR-merges only saturate it. Past ~expectedItems docs
+   * the false-positive rate climbs toward 1 and the join-free fast path
+   * degrades to routing nearly every doc through the exact anti-join —
+   * correctness holds (Bloom never false-negatives), but the O(batch)
+   * steady-state cost claim erodes. Size expectedItems for the TARGET
+   * corpus, watch the per-batch `expectedFpp` log line this method
+   * emits, and rebuild at larger sizing ([[Dedup.buildSeenSketch]] over
+   * the corpus) when it approaches the configured tolerance.
    */
   def nearDupIngestIncremental(stream: DataFrame, idCol: String,
                                textCol: String,
@@ -144,7 +162,8 @@ object IngestPipeline {
           }
         }
         val index =
-          if (pathExists(spark, indexDir)) spark.read.parquet(indexDir)
+          if (hasCommittedParquet(spark, indexDir))
+            spark.read.parquet(indexDir)
           else {
             val built = Dedup.minhashBands(corpus, idCol, textCol,
               numHashes, bands, shingleWords)
@@ -171,17 +190,51 @@ object IngestPipeline {
             .withColumnRenamed(idCol, "seen_id")
             .write.mode("overwrite")
             .parquet(s"$indexDir/batch_min_id=$minId")
-          writeSketch(spark, sketchPath, Dedup.mergeSeenSketches(sketch,
+          val merged = Dedup.mergeSeenSketches(sketch,
             Dedup.buildSeenSketch(admitted, textCol, expectedItems,
-              numBits)))
+              numBits))
+          // saturation signal: a sketch sized below the corpus quietly
+          // degrades the fast path to "flag everything" — make the
+          // occupancy visible per batch so operators can rebuild larger
+          merged.foreach { bytes =>
+            val fpp = org.apache.spark.util.sketch.BloomFilter
+              .readFrom(bytes).expectedFpp()
+            System.err.println(
+              f"[ingest] sketch expectedFpp=$fpp%.6f" + (
+                if (fpp > 0.5) " — SATURATED: rebuild with larger expectedItems"
+                else ""))
+          }
+          writeSketch(spark, sketchPath, merged)
           admitted.write.mode("append").parquet(corpusDir)
         }
       }
       .start()
 
-  private def pathExists(spark: SparkSession, path: String): Boolean = {
+  /** True iff `path` exists AND holds at least one committed parquet
+    * data file. Bare existence is not enough: a crash during the FIRST
+    * write to a directory (bootstrap index write, first corpus append)
+    * can leave it existing but containing only an uncommitted
+    * `_temporary` subtree — `spark.read.parquet` then throws "Unable to
+    * infer schema" on EVERY replay, permanently bricking the stream
+    * until manual cleanup. A directory with no committed data is
+    * semantically absent and is treated as such (the replayed batch
+    * rebuilds/rewrites it). */
+  private def hasCommittedParquet(spark: SparkSession,
+                                  path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        found = f.isFile && name.endsWith(".parquet") &&
+          !name.startsWith("_") && !name.startsWith(".") &&
+          !f.getPath.toString.contains("/_temporary/")
+      }
+      found
+    }
   }
 
   /** Persisted sketch bytes, through the Hadoop filesystem of `path`
@@ -202,10 +255,14 @@ object IngestPipeline {
           try org.apache.commons.io.IOUtils.toByteArray(in)
           finally in.close()
         // validate before trusting: a corrupt sketch must route to the
-        // rebuild path, not brick every subsequent batch
+        // rebuild path, not brick every subsequent batch. NonFatal, not
+        // just IOException: torn bytes whose version int still reads as
+        // 1 make BitArray throw NegativeArraySizeException (and huge
+        // bogus lengths can OOM the allocation) — those must route to
+        // the rebuild path too, exactly like a short read.
         org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
         Some(bytes)
-      } catch { case _: java.io.IOException => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Temp-file + rename so a crash mid-write cannot destroy the
@@ -226,12 +283,14 @@ object IngestPipeline {
     }
 
   /** Corpus-so-far, or a typed empty frame before the first append.
-    * Path EXISTENCE is the branch condition — a read failure on an
-    * existing corpus must fail the batch (the stream retries), not
-    * silently present an empty history and admit duplicates. */
+    * COMMITTED-data presence is the branch condition: a directory left
+    * behind by a crashed first append (only `_temporary` inside) is
+    * absent, not an error — but a read failure on a corpus with
+    * committed files must still fail the batch (the stream retries),
+    * not silently present an empty history and admit duplicates. */
   private def readCorpus(spark: SparkSession, dir: String,
                          idCol: String, textCol: String): DataFrame =
-    if (pathExists(spark, dir)) spark.read.parquet(dir)
+    if (hasCommittedParquet(spark, dir)) spark.read.parquet(dir)
     else
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
