@@ -315,4 +315,96 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(got(0)) < 1e-12)
     assert(math.abs(got(1) - 1.0) < 1e-12)
   }
+
+  // ---- span cut extraction ------------------------------------------------
+
+  // spanWords = 3 throughout: windows small enough to hand-compute.
+  // A and B share the token run "c d e f" (windows "c d e" + "d e f"
+  // → overlapping intervals that must merge); C repeats both 3-grams
+  // in two SEPARATED places (two disjoint intervals); D is all-unique.
+  private lazy val spanDocs = Seq(
+    (1L, "a b c d e f g h"),
+    (2L, "x y c d e f z"),
+    (3L, "m n c d e o p q d e f r s"),
+    (4L, "u1 u2 u3 u4 u5 u6")
+  ).toDF("doc_id", "text")
+
+  test("duplicateSpanCuts: overlapping dup windows merge into maximal " +
+      "intervals; separated runs stay disjoint") {
+    val cuts = Dedup.duplicateSpanCuts(spanDocs, "doc_id", "text",
+      spanWords = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // A: dup windows at starts 2,3 → [2,5)∪[3,6) merged = [2,6)
+    // B: same relative position → [2,6)
+    // C: "c d e" at 2 → [2,5); "d e f" at 8 → [8,11); gap stays open
+    // D: no cuts at all
+    assert(cuts == Set((1L, 2L, 6L), (2L, 2L, 6L),
+      (3L, 2L, 5L), (3L, 8L, 11L)))
+  }
+
+  test("rewriteWithoutSpans drops exactly the cut tokens; cut-free docs " +
+      "pass through") {
+    val cuts = Dedup.duplicateSpanCuts(spanDocs, "doc_id", "text",
+      spanWords = 3)
+    val got = Dedup.rewriteWithoutSpans(spanDocs, cuts, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "a b g h")
+    assert(got(2L) == "x y z")
+    assert(got(3L) == "m n o p q r s")
+    assert(got(4L) == "u1 u2 u3 u4 u5 u6")
+  }
+
+  test("duplicateSpans and duplicateSpanCuts: 128-bit keys agree with " +
+      "64-bit on every output") {
+    val all = docs.unionByName(spanDocs)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Dedup.duplicateSpans(all, "doc_id", "text", 3, 64)) ==
+      rows(Dedup.duplicateSpans(all, "doc_id", "text", 3, 128)))
+    assert(rows(Dedup.duplicateSpanCuts(all, "doc_id", "text", 3, 64)) ==
+      rows(Dedup.duplicateSpanCuts(all, "doc_id", "text", 3, 128)))
+    assert(rows(Dedup.contaminationScore(docs, spanDocs, "doc_id", "text",
+        shingleWords = 3, hashBits = 64)) ==
+      rows(Dedup.contaminationScore(docs, spanDocs, "doc_id", "text",
+        shingleWords = 3, hashBits = 128)))
+    intercept[IllegalArgumentException] {
+      Dedup.duplicateSpans(all, "doc_id", "text", 3, 96).collect()
+    }
+  }
+
+  // ---- semantic dedup -----------------------------------------------------
+
+  test("semanticDuplicates finds identical embeddings within IVF cells; " +
+      "semanticDedup keeps the min id per group") {
+    // two planted identical groups far apart in direction, plus noise
+    // vectors near-orthogonal to both; nlist=2 so each group's copies
+    // must land in one cell together (deterministic assignment)
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (11L, Seq(1.0, 0.0, 0.0, 0.0)),   // copy of 1
+      (21L, Seq(1.0, 0.0, 0.0, 0.0)),   // copy of 1
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (12L, Seq(0.0, 1.0, 0.0, 0.0)),   // copy of 2
+      (5L, Seq(0.0, 0.0, 1.0, 0.0)),
+      (6L, Seq(0.0, 0.0, 0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticDuplicates(vecs, "vec_id", "embedding",
+      nlist = 2, minCosine = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 11L)) && pairs.contains((1L, 21L)) &&
+      pairs.contains((11L, 21L)))
+    assert(pairs.contains((2L, 12L)))
+    assert(!pairs.exists(p => Set(5L, 6L).contains(p._1) ||
+      Set(5L, 6L).contains(p._2)))
+    val survivors = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      nlist = 2, minCosine = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 2L, 5L, 6L))
+  }
+
+  test("semanticDedup on an empty corpus returns the empty frame") {
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    assert(Dedup.semanticDedup(empty, "vec_id", "embedding").count() == 0)
+  }
 }

@@ -563,4 +563,82 @@ class StreamingSpec extends SparkSpec {
       assert(rows.contains((1L, 1L, 4.0))) // session 2: 1 event, sum 4
     } finally q.stop()
   }
+
+  test("nearDupIngestIncremental: a dir holding only _temporary (crashed " +
+      "first write) reads as absent, not as a bricked corpus") {
+    import graft.streaming.IngestPipeline
+    val inDir = tmpDir()
+    val ckDir = tmpDir()
+    val base = tmpDir()
+    val corpus = base + "/corpus"
+    val index = base + "/bands"
+    val sketch = base + "/sketch.bin"
+    // SIMULATE a crash during the very first write to both parquet
+    // dirs: the directory exists but contains only an uncommitted
+    // _temporary subtree — spark.read.parquet on it throws "Unable to
+    // infer schema", so bare-existence probing would fail EVERY replay
+    // debris lives where a crashed task leaves it: under the PENDING
+    // attempts dir (_temporary/0/_temporary/attempt_*), which later
+    // commits ignore — only the top-level existence is the trap
+    for (d <- Seq(corpus, index)) {
+      val t = new java.io.File(d,
+        "_temporary/0/_temporary/attempt_0/part-00000.parquet")
+      t.getParentFile.mkdirs()
+      java.nio.file.Files.write(t.toPath, Array[Byte](1, 2, 3))
+    }
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    Seq((1L, textA), (2L, textA)).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    IngestPipeline.nearDupIngestIncremental(spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(inDir),
+      "doc_id", "text", corpus, index, sketch, ckDir,
+      expectedItems = 1000L, numBits = 1L << 14).awaitTermination()
+    // replay succeeded: empty-history semantics, in-batch dedup applied
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet == Set(1L))
+  }
+
+  test("nearDupIngestIncremental: torn sketch bytes that decode to a " +
+      "negative array size route to the rebuild path") {
+    import graft.streaming.IngestPipeline
+    val inDir = tmpDir()
+    val ckDir = tmpDir()
+    val base = tmpDir()
+    val corpus = base + "/corpus"
+    val index = base + "/bands"
+    val sketch = base + "/sketch.bin"
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    // pre-existing corpus, and a corrupt sketch whose VERSION int still
+    // reads as valid (1) but whose bit-array word count is negative —
+    // BloomFilter.readFrom then throws NegativeArraySizeException, not
+    // IOException; an IOException-only guard would fail every batch
+    Seq((1L, textA)).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(corpus)
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.writeInt(1)    // V1 — passes the version check
+    dos.writeInt(3)    // numHashFunctions
+    dos.writeInt(-100) // BitArray numWords → new long[negative]
+    dos.close()
+    java.nio.file.Files.write(java.nio.file.Paths.get(sketch),
+      bos.toByteArray)
+    // batch: exact repeat of 1 (MUST be rejected — a sketch taken at
+    // face value as None-without-rebuild would admit it) + novel doc
+    val textC = "red orange yellow green blue indigo violet cyan " +
+      "magenta teal maroon olive navy coral amber jade ruby pearl"
+    Seq((10L, textA), (12L, textC)).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    IngestPipeline.nearDupIngestIncremental(spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(inDir),
+      "doc_id", "text", corpus, index, sketch, ckDir,
+      expectedItems = 1000L, numBits = 1L << 14).awaitTermination()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 12L))
+    // the rebuilt sketch replaced the corrupt bytes with a readable one
+    val fixed = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(sketch))
+    org.apache.spark.util.sketch.BloomFilter.readFrom(fixed)
+  }
 }
