@@ -548,17 +548,17 @@ object Dedup {
                          maxBucket: Int = 1000,
                          useNative: Boolean = true): DataFrame = {
     val cos = Similarity.cosineFn(df, useNative)
+    val nearest = Similarity.nearestCellFn(df, useNative, cos)
     val vecs = df.select(col(idCol),
       col(vecCol).cast("array<double>").as("v"))
     val centroids = Similarity.buildCentroids(vecs, idCol, "v", nlist,
-      iters, cos)
+      iters, nearest)
     if (centroids.isEmpty)
       // empty corpus: empty pair frame with the contract schema
       return vecs.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
         lit(0.0).as("cosine")).limit(0)
     val keyed = vecs
-      .withColumn("__cell", Similarity.nearestCell(cos, centroids,
-        col("v")))
+      .withColumn("__cell", nearest(centroids, col("v")))
       .select(col("__cell"), col(idCol))
     pairsWithinBuckets(keyed, Seq("__cell"), idCol, maxBucket)
       .join(vecs.select(col(idCol).as("id_a"), col("v").as("v_a")), "id_a")

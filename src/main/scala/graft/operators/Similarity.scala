@@ -149,10 +149,11 @@ object Similarity {
               iters: Int = 2, useNative: Boolean = true): DataFrame = {
     require(nlist >= 1, s"nlist must be >= 1, got $nlist")
     val cos = cosineFn(corpus, useNative)
+    val nearest = nearestCellFn(corpus, useNative, cos)
     val c = corpus.select(col(corpusId),
       col(corpusVec).cast("array<double>").as("cv"))
 
-    val centroids = buildCentroids(c, corpusId, "cv", nlist, iters, cos)
+    val centroids = buildCentroids(c, corpusId, "cv", nlist, iters, nearest)
 
     if (centroids.isEmpty) {
       // empty corpus: nothing to index; empty result, search schema
@@ -162,8 +163,7 @@ object Similarity {
         .limit(0)
     }
 
-    val assigned = c.withColumn("cell",
-      nearestCell(cos, centroids, col("cv")))
+    val assigned = c.withColumn("cell", nearest(centroids, col("cv")))
     val q = queries.select(col(queryId),
         col(queryVec).cast("array<double>").as("qv"))
       .withColumn("cell", explode(nearestCells(cos, centroids, nprobe)))
@@ -194,7 +194,8 @@ object Similarity {
   private[operators] def buildCentroids(
       c: DataFrame, corpusId: String, vecCol: String, nlist: Int,
       iters: Int,
-      cos: (Column, Column) => Column): Array[Seq[Double]] = {
+      nearest: (Array[Seq[Double]], Column) => Column)
+      : Array[Seq[Double]] = {
     var centroids: Array[Seq[Double]] = c
       .withColumn("__h", xxhash64(col(corpusId)))
       .orderBy(col("__h")).limit(nlist)
@@ -202,7 +203,7 @@ object Similarity {
     if (centroids.isEmpty) return centroids
     (1 to iters).foreach { _ =>
       val updated = c
-        .withColumn("__cell", nearestCell(cos, centroids, col(vecCol)))
+        .withColumn("__cell", nearest(centroids, col(vecCol)))
         .select(col("__cell"), posexplode(col(vecCol)))
         .groupBy(col("__cell"), col("pos"))
         .agg(avg(col("col")).as("m"))
@@ -222,7 +223,8 @@ object Similarity {
     * (1 - cosine) via a greatest-of-structs trick: pack
     * (similarity, cellId), take the max. `greatest` requires >= 2 args,
     * so a single-cell index short-circuits. Deterministic: identical
-    * vectors always land in the same cell. */
+    * vectors always land in the same cell. The portable reference form;
+    * [[nearestCellFn]] swaps in the fused native expression. */
   private[operators] def nearestCell(cos: (Column, Column) => Column,
                                      centroids: Array[Seq[Double]],
                                      v: Column): Column =
@@ -233,6 +235,26 @@ object Similarity {
       }
       greatest(scored: _*).getField("cell")
     }
+
+  /** Assignment picker, mirroring [[cosineFn]]: the fused
+    * [[graft.plans.NearestCentroidExpr]] when `useNative` (bit-exact
+    * with the struct form, incl. larger-cell-wins ties), else the
+    * greatest-of-structs composition. Beyond per-row speed, the native
+    * form keeps its generated source IDENTICAL across Lloyd iterations
+    * (the matrix is a codegen reference object, not nlist inlined
+    * literal expressions), so whole-stage codegen compiles once per
+    * query instead of once per iteration — and it is the only form
+    * that scales to SemDeDup-sized nlist (~50k cells). */
+  private[operators] def nearestCellFn(df: DataFrame, useNative: Boolean,
+      cos: (Column, Column) => Column)
+      : (Array[Seq[Double]], Column) => Column =
+    if (useNative) {
+      NativeFunctions.register(df.sparkSession)
+      (cents, v) =>
+        if (cents.length == 1) lit(0)
+        else NativeFunctions.nearestCentroidNative(v,
+          cents.toSeq.map(_.toSeq))
+    } else (cents, v) => nearestCell(cos, cents, v)
 
   /** The query's `nprobe` nearest cells as an array column. */
   private def nearestCells(cos: (Column, Column) => Column,

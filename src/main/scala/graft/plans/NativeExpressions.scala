@@ -149,6 +149,116 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 }
 
 /**
+ * Nearest-centroid assignment (argmax over cosine) as ONE fused native
+ * expression, for IVF cell assignment (`Similarity.ivfTopK`,
+ * `Dedup.semanticDuplicates`).
+ *
+ * Why not `greatest(struct(cosine, cell), ...)` over one struct per
+ * centroid (kept as the portable HOF reference path)? Two reasons,
+ * both structural:
+ *  - the greatest-of-structs plan embeds one expression PER CENTROID —
+ *    its generated source changes with every centroid VALUE set, so
+ *    each Lloyd iteration recompiles the whole-stage codegen from
+ *    scratch (measured: ~5s of Janino time across one
+ *    `semanticDuplicates` call at nlist=32). Here the matrix rides as
+ *    a codegen REFERENCE OBJECT: the generated source is identical
+ *    across iterations and the compile cache hits;
+ *  - expression size scales O(nlist): SemDeDup at web scale runs ~50k
+ *    clusters — a 50k-arg `greatest` is not a plannable expression,
+ *    a loop over a 50k-row matrix is.
+ *
+ * Tie-breaking matches the struct form bit-for-bit: equal similarity →
+ * the LARGER cell index wins (`greatest` compares (sim, cell)
+ * lexicographically), implemented as `sim >= best` over ascending
+ * cells. The per-centroid cosine is the same fused loop as
+ * [[CosineSimilarityExpr]] (same accumulation order → identical
+ * doubles).
+ */
+case class NearestCentroidExpr(child: Expression,
+                               centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(centroids.nonEmpty, "centroids must be non-empty")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString} " +
+        "(cast array<float> inputs explicitly)")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.IntegerType
+
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var best = Double.NegativeInfinity
+    var bestCell = 0
+    var c = 0
+    while (c < centroids.length) {
+      val ct = centroids(c)
+      val n = math.min(v.numElements(), ct.length)
+      var dot = 0.0; var nv = 0.0; var nc = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = v.getDouble(i); val yi = ct(i)
+        dot += xi * yi; nv += xi * xi; nc += yi * yi
+        i += 1
+      }
+      val denom = math.sqrt(nv) * math.sqrt(nc)
+      val sim = if (denom == 0.0) 0.0 else dot / denom
+      if (sim >= best) { best = sim; bestCell = c }
+      c += 1
+    }
+    bestCell
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val best = ctx.freshName("best")
+      val bestCell = ctx.freshName("bestCell")
+      val c = ctx.freshName("c")
+      val ct = ctx.freshName("ct")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nv = ctx.freshName("nv")
+      val nc = ctx.freshName("nc")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val denom = ctx.freshName("denom")
+      val sim = ctx.freshName("sim")
+      s"""
+         |double $best = Double.NEGATIVE_INFINITY;
+         |int $bestCell = 0;
+         |for (int $c = 0; $c < $m.length; $c++) {
+         |  final double[] $ct = $m[$c];
+         |  final int $n = java.lang.Math.min($v.numElements(), $ct.length);
+         |  double $dot = 0.0, $nv = 0.0, $nc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $xi = $v.getDouble($i);
+         |    final double $yi = $ct[$i];
+         |    $dot += $xi * $yi; $nv += $xi * $xi; $nc += $yi * $yi;
+         |  }
+         |  final double $denom =
+         |    java.lang.Math.sqrt($nv) * java.lang.Math.sqrt($nc);
+         |  final double $sim = ($denom == 0.0) ? 0.0 : ($dot / $denom);
+         |  if ($sim >= $best) { $best = $sim; $bestCell = $c; }
+         |}
+         |${ev.value} = $bestCell;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroidExpr = copy(child = newChild)
+}
+
+/**
  * Unicode normalization (NFC/NFD/NFKC/NFKD) — text canonicalization for
  * dedup and fingerprinting: composed vs decomposed forms of the same
  * glyph ("é" as U+00E9 vs "e"+U+0301) must hash identically or every
@@ -469,6 +579,7 @@ object NativeFunctions {
   val unicodeNormalizeName = "graft_unicode_normalize"
   val bloomAggName = "graft_bloom_agg"
   val bloomContainsName = "graft_bloom_might_contain"
+  val nearestCentroidName = "graft_nearest_centroid"
 
   private def intLit(e: Expression): Int =
     e.eval(null) match {
@@ -484,6 +595,15 @@ object NativeFunctions {
       case s: String => s
       case other => throw new IllegalArgumentException(
         s"expected string literal, got $other")
+    }
+
+  private def matrixLit(e: Expression): Array[Array[Double]] =
+    e.eval(null) match {
+      case a: ArrayData =>
+        (0 until a.numElements()).map(i => a.getArray(i).toDoubleArray())
+          .toArray
+      case other => throw new IllegalArgumentException(
+        s"expected array<array<double>> literal, got $other")
     }
 
   /** (name, builder) pairs — the single source both [[register]] and
@@ -512,7 +632,9 @@ object NativeFunctions {
         .toAggregateExpression()),
     bloomContainsName -> ((exprs: Seq[Expression]) =>
       new org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(exprs.head, exprs(1))))
+        .BloomFilterMightContain(exprs.head, exprs(1))),
+    nearestCentroidName -> ((exprs: Seq[Expression]) =>
+      NearestCentroidExpr(exprs.head, matrixLit(exprs(1)))))
 
   /** Idempotently register graft native functions on this session. */
   def register(spark: SparkSession): Unit = {
@@ -567,4 +689,11 @@ object NativeFunctions {
   /** Membership probe against a (constant) Bloom sketch. */
   def bloomMightContain(bloom: Column, hash: Column): Column =
     call_function(bloomContainsName, bloom, hash)
+
+  /** Fused nearest-centroid cell assignment (bit-exact with the
+    * greatest-of-structs form, larger cell wins cosine ties). */
+  def nearestCentroidNative(v: Column,
+                            centroids: Seq[Seq[Double]]): Column =
+    call_function(nearestCentroidName, v.cast("array<double>"),
+      org.apache.spark.sql.functions.typedlit(centroids))
 }

@@ -167,6 +167,37 @@ class NativeExprSpec extends SparkSpec {
     assert(nat(0)._1 == 7L)
   }
 
+  test("nearest centroid: fused native assignment, cosine-tie goes to " +
+      "the larger cell (greatest-of-structs semantics)") {
+    NativeFunctions.register(spark)
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 0.0))
+    val got = Seq(
+      (1L, Seq(2.0, 0.0)),  // ties cells 0 and 2 at cosine 1 → 2 wins
+      (2L, Seq(0.0, 3.0)),  // cell 1
+      (3L, Seq(0.0, 0.0))   // zero vector: all sims 0.0 → last cell wins
+    ).toDF("id", "v")
+      .select(col("id"),
+        NativeFunctions.nearestCentroidNative(col("v"), cents).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 2, 2L -> 1, 3L -> 2))
+  }
+
+  test("semanticDuplicates native and HOF assignment paths agree") {
+    val emb = (0 until 60).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.cos(i * 8 + j)))) ++
+      (0 until 10).map(i => (100L + i,
+        Seq.tabulate(8)(j => math.cos(i * 8 + j)))) // planted copies
+    val df = emb.toDF("vec_id", "embedding")
+    def run(native: Boolean) =
+      graft.operators.Dedup.semanticDuplicates(df, "vec_id", "embedding",
+        nlist = 4, minCosine = 0.999, useNative = native)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nat = run(true)
+    val hof = run(false)
+    assert(nat == hof)
+    assert((0 until 10).forall(i => nat.contains((i.toLong, 100L + i))))
+  }
+
   test("GraftExtensions injects every native function at session build") {
     // spark.sql.extensions is a static conf — it only applies to the
     // JVM's first SparkContext, so the config path can't run inside this
