@@ -1798,46 +1798,14 @@ object SparkEntry {
 
   private val round3: Seq[Q] = Seq(
     // substring-level duplicate spans (Lee et al. 2022 style). The corpus
-    // has no natural 10-gram repeats, so the query body plants them:
-    // every doc gets the first 12 words of donor doc (doc_id % 10)
-    // appended — the 3 windows inside that suffix duplicate corpus-wide
+    // has no natural 10-gram repeats, so the query plants them via
+    // spanAugmented (shared with the round-6 span-cut queries): every
+    // doc gets the first 12 words of donor doc (doc_id % 10) appended —
+    // the 3 windows inside that suffix duplicate corpus-wide
     Q("q_dup_spans",
-      (s, d) => {
-        import graft.functions.TextAnalysis
-        val docs = s.read.parquet(pq(d, "documents"))
-          .repartition(s.sparkContext.defaultParallelism)
-        val donors = docs.where(col("doc_id") < 10)
-          .select(col("doc_id").as("__don_id"),
-            concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 12))
-              .as("__don_txt"))
-        val aug = docs.select(col("doc_id"), col("text"))
-          .join(broadcast(donors), col("doc_id") % 10 === col("__don_id"))
-          .select(col("doc_id"),
-            concat(col("text"), lit(" "), col("__don_txt")).as("text"))
-        graft.operators.Dedup.duplicateSpans(aug, "doc_id", "text",
-          spanWords = 10)
-      },
-      Some("""WITH don AS (SELECT doc_id AS don_id, array_to_string(
-                  list_slice(string_split_regex(trim(text), '\s+'), 1, 12),
-                  ' ') AS don_txt
-                FROM documents WHERE doc_id < 10),
-              aug AS (SELECT d.doc_id, d.text || ' ' ||
-                  don.don_txt AS text
-                FROM documents d JOIN don ON d.doc_id % 10 = don.don_id),
-              t AS (SELECT doc_id,
-                string_split_regex(trim(text), '\s+') AS toks FROM aug),
-              e AS (SELECT doc_id, unnest(list_transform(
-                  generate_series(0, greatest(len(toks) - 10, 0)),
-                  i -> array_to_string(list_slice(toks, i+1, i+10), ' ')))
-                  AS win FROM t),
-              c AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY win) AS occ
-                FROM e)
-              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
-                CAST(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_dup_spans,
-                ROUND(CAST(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END)
-                  AS DOUBLE) / COUNT(*), 4) AS dup_span_frac
-              FROM c GROUP BY doc_id""")),
+      (s, d) => graft.operators.Dedup.duplicateSpans(
+        spanAugmented(s, d), "doc_id", "text", spanWords = 10),
+      Some(spanStatsOracle)),
 
     Q("q_quality_c4",
       (s, d) => graft.functions.TextAnalysis.c4Signals(
@@ -2067,6 +2035,35 @@ object SparkEntry {
         concat(col("text"), lit(" "), col("__don_txt")).as("text"))
   }
 
+  /** DuckDB replay of [[spanAugmented]] + per-doc span statistics —
+    * shared verbatim by q_dup_spans (64-bit keys) and q_dup_spans_128:
+    * the two modes are the same semantics by contract, so they get the
+    * same oracle STRING, not a copy. A `def` (not val): referenced
+    * from the round-3 section, which initializes earlier in the
+    * object. */
+  private def spanStatsOracle: String =
+    """WITH don AS (SELECT doc_id AS don_id, array_to_string(
+         list_slice(string_split_regex(trim(text), '\s+'), 1, 12),
+         ' ') AS don_txt
+         FROM documents WHERE doc_id < 10),
+       aug AS (SELECT d.doc_id, d.text || ' ' ||
+           don.don_txt AS text
+         FROM documents d JOIN don ON d.doc_id % 10 = don.don_id),
+       t AS (SELECT doc_id,
+         string_split_regex(trim(text), '\s+') AS toks FROM aug),
+       e AS (SELECT doc_id, unnest(list_transform(
+           generate_series(0, greatest(len(toks) - 10, 0)),
+           i -> array_to_string(list_slice(toks, i+1, i+10), ' ')))
+           AS win FROM t),
+       c AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY win) AS occ
+         FROM e)
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_spans,
+         ROUND(CAST(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END)
+           AS DOUBLE) / COUNT(*), 4) AS dup_span_frac
+       FROM c GROUP BY doc_id"""
+
   /** DuckDB replay of [[spanAugmented]] + window occurrence counts +
     * interval merge — the shared oracle prefix for the span-cut pair. */
   private val spanCutOracleCtes =
@@ -2096,21 +2093,33 @@ object SparkEntry {
          FROM g GROUP BY doc_id, grp)"""
 
   /** Lazily-materialized admission-state fixture (band index parquet +
-    * Bloom sketch bytes) under java.io.tmpdir, keyed by the sf dir —
-    * built on first use, REUSED by every later run in any process, so
+    * Bloom sketch bytes) under java.io.tmpdir — built on first use,
+    * REUSED by every later run in any process, so
     * q_ingest_admission_state's steady-state bench time measures
     * admission against prebuilt state (the production shape: state is
     * maintained incrementally beside the corpus, never rebuilt per
     * batch — `IngestPipeline.nearDupIngestIncremental` is the writer).
-    * Build lands in a temp dir, then one atomic rename publishes it —
-    * a crashed build leaves only unreferenced garbage, never a
-    * half-state the next run would trust. */
+    * Keyed by the source table's CONTENT identity (path + length +
+    * mtime), not just its path: regenerated testdata at the same path
+    * must invalidate the fixture, or the query would admit against a
+    * stale history while the oracle replays the current data. Build
+    * lands in a temp dir, then one atomic rename publishes it — a
+    * crashed build leaves only unreferenced garbage, never a
+    * half-state the next run would trust; a PARTIALLY deleted fixture
+    * (age-based tmp cleaners remove individual files) fails the
+    * completeness probe and is rebuilt rather than read. */
   private def admissionState(s: SparkSession, d: String,
                              history: DataFrame): (Array[Byte], DataFrame) = {
+    val src = new java.io.File(d, "documents.parquet")
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(s"$d|${src.length}|${src.lastModified}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     val root = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_admission_state_$key")
+    val sketchFile = new java.io.File(root, "sketch")
+    val bandsOk = new java.io.File(root, "bands/_SUCCESS")
+    if (root.exists() && !(sketchFile.isFile && bandsOk.isFile))
+      org.apache.commons.io.FileUtils.deleteDirectory(root) // self-heal
     if (!root.exists()) {
       val tmp = new java.io.File(root.getParentFile,
         root.getName + ".build" + System.nanoTime())
@@ -2125,8 +2134,7 @@ object SparkEntry {
       if (!tmp.renameTo(root)) // lost a race: the published copy wins
         org.apache.commons.io.FileUtils.deleteDirectory(tmp)
     }
-    (java.nio.file.Files.readAllBytes(
-      new java.io.File(root, "sketch").toPath),
+    (java.nio.file.Files.readAllBytes(sketchFile.toPath),
       s.read.parquet(new java.io.File(root, "bands").toString))
   }
 
@@ -2142,7 +2150,12 @@ object SparkEntry {
     // so no natural pair reaches cosine 0.999.
     Q("q_dedup_semantic",
       (s, d) => {
+        // the < 100000 guard pins the planting-offset assumption: a
+        // future sf whose embeddings table reached 100000 natural rows
+        // would otherwise leak naturals through the pmod survivor
+        // filter and break the oracle silently
         val emb = s.read.parquet(pq(d, "embeddings"))
+          .where(col("vec_id") < 100000L)
           .select(col("vec_id"), col("embedding"))
         val fam = emb.where(col("vec_id") < 30)
         val all = emb
@@ -2199,33 +2212,13 @@ object SparkEntry {
 
     // duplicate-span statistic under the 128-bit (two-long struct)
     // window key: identical semantics — the oracle is q_dup_spans's,
-    // verbatim — so the 10^13-window hash upgrade is driver-checked,
-    // not just a parameter that compiles
+    // the SAME string — so the 10^13-window hash upgrade is
+    // driver-checked, not just a parameter that compiles
     Q("q_dup_spans_128",
       (s, d) => graft.operators.Dedup.duplicateSpans(
         spanAugmented(s, d), "doc_id", "text", spanWords = 10,
         hashBits = 128),
-      Some("""WITH don AS (SELECT doc_id AS don_id, array_to_string(
-                  list_slice(string_split_regex(trim(text), '\s+'), 1, 12),
-                  ' ') AS don_txt
-                FROM documents WHERE doc_id < 10),
-              aug AS (SELECT d.doc_id, d.text || ' ' ||
-                  don.don_txt AS text
-                FROM documents d JOIN don ON d.doc_id % 10 = don.don_id),
-              t AS (SELECT doc_id,
-                string_split_regex(trim(text), '\s+') AS toks FROM aug),
-              e AS (SELECT doc_id, unnest(list_transform(
-                  generate_series(0, greatest(len(toks) - 10, 0)),
-                  i -> array_to_string(list_slice(toks, i+1, i+10), ' ')))
-                  AS win FROM t),
-              c AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY win) AS occ
-                FROM e)
-              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
-                CAST(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_dup_spans,
-                ROUND(CAST(SUM(CASE WHEN occ >= 2 THEN 1 ELSE 0 END)
-                  AS DOUBLE) / COUNT(*), 4) AS dup_span_frac
-              FROM c GROUP BY doc_id""")),
+      Some(spanStatsOracle)),
 
     // the persisted-state admission form under the driver's gates: the
     // SAME batch and oracle as q_ingest_admission, but the Bloom sketch

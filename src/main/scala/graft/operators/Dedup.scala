@@ -917,6 +917,21 @@ object Dedup {
 
   // ---- benchmark contamination --------------------------------------------
 
+  /** Shingle/window membership key at the configured width: 64-bit
+    * `xxhash64`, or a 128-bit (two-long struct) key — `xxhash64(1, x)`
+    * prepends a constant column, which is the seeded-second-function
+    * form of the same family. Struct keys group/join/window exactly
+    * like scalar keys; the exchange carries 16 bytes instead of 8. At
+    * 10^12 keys the 64-bit birthday bound expects ~0.03 collisions;
+    * a 10^13-shingle corpus (~5 expected) flips `hashBits = 128`
+    * (expected ~1e-14) WITHOUT changing operator semantics. */
+  private def membershipKey(x: Column, hashBits: Int): Column = {
+    require(hashBits == 64 || hashBits == 128,
+      s"hashBits must be 64 or 128, got $hashBits")
+    if (hashBits == 64) xxhash64(x)
+    else struct(xxhash64(x).as("h1"), xxhash64(lit(1L), x).as("h2"))
+  }
+
   /**
    * Benchmark-contamination score: for each document, the fraction of its
    * distinct `k`-word shingles that also occur anywhere in `benchmark`
@@ -938,21 +953,6 @@ object Dedup {
    * [[duplicateSpans]]; `hashBits = 128` switches to a two-long struct
    * key for 10^13+-shingle corpora without changing semantics.)
    */
-  /** Shingle/window membership key at the configured width: 64-bit
-    * `xxhash64`, or a 128-bit (two-long struct) key — `xxhash64(1, x)`
-    * prepends a constant column, which is the seeded-second-function
-    * form of the same family. Struct keys group/join/window exactly
-    * like scalar keys; the exchange carries 16 bytes instead of 8. At
-    * 10^12 keys the 64-bit birthday bound expects ~0.03 collisions;
-    * a 10^13-shingle corpus (~5 expected) flips `hashBits = 128`
-    * (expected ~1e-14) WITHOUT changing operator semantics. */
-  private def membershipKey(x: Column, hashBits: Int): Column = {
-    require(hashBits == 64 || hashBits == 128,
-      s"hashBits must be 64 or 128, got $hashBits")
-    if (hashBits == 64) xxhash64(x)
-    else struct(xxhash64(x).as("h1"), xxhash64(lit(1L), x).as("h2"))
-  }
-
   def contaminationScore(docs: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String,
                          shingleWords: Int = 5,

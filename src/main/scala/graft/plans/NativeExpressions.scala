@@ -169,8 +169,12 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
  *
  * Tie-breaking matches the struct form bit-for-bit: equal similarity →
  * the LARGER cell index wins (`greatest` compares (sim, cell)
- * lexicographically), implemented as `sim >= best` over ascending
- * cells. The per-centroid cosine is the same fused loop as
+ * lexicographically), implemented as `SQLOrderingUtil.compareDoubles(sim,
+ * best) >= 0` over ascending cells — Spark's own double ordering, so a NaN
+ * similarity (a NaN component in the vector) is LARGEST on both paths
+ * and an all-NaN row lands in the last cell either way; a plain `>=`
+ * would silently leave such rows in cell 0 on the native path only.
+ * The per-centroid cosine is the same fused loop as
  * [[CosineSimilarityExpr]] (same accumulation order → identical
  * doubles).
  */
@@ -209,7 +213,9 @@ case class NearestCentroidExpr(child: Expression,
       }
       val denom = math.sqrt(nv) * math.sqrt(nc)
       val sim = if (denom == 0.0) 0.0 else dot / denom
-      if (sim >= best) { best = sim; bestCell = c }
+      if (org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(sim, best) >= 0) {
+        best = sim; bestCell = c
+      }
       c += 1
     }
     bestCell
@@ -247,7 +253,10 @@ case class NearestCentroidExpr(child: Expression,
          |  final double $denom =
          |    java.lang.Math.sqrt($nv) * java.lang.Math.sqrt($nc);
          |  final double $sim = ($denom == 0.0) ? 0.0 : ($dot / $denom);
-         |  if ($sim >= $best) { $best = $sim; $bestCell = $c; }
+         |  if (org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+         |      .compareDoubles($sim, $best) >= 0) {
+         |    $best = $sim; $bestCell = $c;
+         |  }
          |}
          |${ev.value} = $bestCell;
        """.stripMargin

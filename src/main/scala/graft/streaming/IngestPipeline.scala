@@ -210,15 +210,23 @@ object IngestPipeline {
       }
       .start()
 
-  /** True iff `path` exists AND holds at least one committed parquet
-    * data file. Bare existence is not enough: a crash during the FIRST
+  /** True iff `path` exists AND holds at least one committed data
+    * file. Bare existence is not enough: a crash during the FIRST
     * write to a directory (bootstrap index write, first corpus append)
     * can leave it existing but containing only an uncommitted
     * `_temporary` subtree — `spark.read.parquet` then throws "Unable to
     * infer schema" on EVERY replay, permanently bricking the stream
     * until manual cleanup. A directory with no committed data is
     * semantically absent and is treated as such (the replayed batch
-    * rebuilds/rewrites it). */
+    * rebuilds/rewrites it).
+    *
+    * "Committed data file" = any visible file outside `_temporary` —
+    * the same rule Spark's own file listing applies (hidden `_`/`.`
+    * names excluded). Deliberately NOT a `.parquet`-suffix check: a
+    * corpus written by Hive/Trino-style committers has data files
+    * named `000000_0` etc. which `spark.read.parquet` reads fine, and
+    * treating such a corpus as an empty history would silently admit
+    * every duplicate. */
   private def hasCommittedParquet(spark: SparkSession,
                                   path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -229,7 +237,7 @@ object IngestPipeline {
       while (!found && it.hasNext) {
         val f = it.next()
         val name = f.getPath.getName
-        found = f.isFile && name.endsWith(".parquet") &&
+        found = f.isFile &&
           !name.startsWith("_") && !name.startsWith(".") &&
           !f.getPath.toString.contains("/_temporary/")
       }
@@ -255,13 +263,27 @@ object IngestPipeline {
           try org.apache.commons.io.IOUtils.toByteArray(in)
           finally in.close()
         // validate before trusting: a corrupt sketch must route to the
-        // rebuild path, not brick every subsequent batch. NonFatal, not
-        // just IOException: torn bytes whose version int still reads as
-        // 1 make BitArray throw NegativeArraySizeException (and huge
-        // bogus lengths can OOM the allocation) — those must route to
-        // the rebuild path too, exactly like a short read.
-        org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
-        Some(bytes)
+        // rebuild path, not brick every subsequent batch. Two layers:
+        // (1) structural check of the serialized header — version 1,
+        // then numHashFunctions and the bit-array word count, which
+        // must be positive and consistent with the byte length. This
+        // catches the case NonFatal can't: torn bytes whose word count
+        // reads as a huge POSITIVE int would OOM the long[] allocation
+        // inside readFrom, and OutOfMemoryError is fatal — it would
+        // escape any reasonable catch and brick every replay;
+        // (2) NonFatal around the decode for everything else (short
+        // reads → IOException, negative counts → NegativeArraySize).
+        val din = new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val version = din.readInt()
+        din.readInt() // numHashFunctions
+        val numWords = din.readInt()
+        if (version != 1 || numWords <= 0 ||
+            bytes.length < 12L + 8L * numWords) None
+        else {
+          org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+          Some(bytes)
+        }
       } catch { case scala.util.control.NonFatal(_) => None }
   }
 

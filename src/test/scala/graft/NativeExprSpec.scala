@@ -174,12 +174,16 @@ class NativeExprSpec extends SparkSpec {
     val got = Seq(
       (1L, Seq(2.0, 0.0)),  // ties cells 0 and 2 at cosine 1 → 2 wins
       (2L, Seq(0.0, 3.0)),  // cell 1
-      (3L, Seq(0.0, 0.0))   // zero vector: all sims 0.0 → last cell wins
+      (3L, Seq(0.0, 0.0)),  // zero vector: all sims 0.0 → last cell wins
+      // NaN component → every sim NaN; Spark's double ordering (and so
+      // greatest-of-structs) ranks NaN LARGEST, all tie → last cell —
+      // a plain >= comparison would diverge and leave it in cell 0
+      (4L, Seq(Double.NaN, 1.0))
     ).toDF("id", "v")
       .select(col("id"),
         NativeFunctions.nearestCentroidNative(col("v"), cents).as("c"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(got == Map(1L -> 2, 2L -> 1, 3L -> 2))
+    assert(got == Map(1L -> 2, 2L -> 1, 3L -> 2, 4L -> 2))
   }
 
   test("semanticDuplicates native and HOF assignment paths agree") {
