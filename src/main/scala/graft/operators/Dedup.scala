@@ -570,21 +570,59 @@ object Dedup {
 
   /**
    * Full semantic dedup: [[semanticDuplicates]] → [[duplicateClusters]]
-   * → [[selectSurvivors]] — keep one representative per semantic-dup
-   * group. Survivor = the group's min id (deterministic and
-   * oracle-stable; the paper keeps the member farthest from the
-   * centroid — a policy swap in the survivor step if wanted, not a
-   * pipeline change).
+   * → survivor selection, keeping one representative per semantic-dup
+   * group. Two survivor policies:
+   *  - `"min_id"` (default): the group's min id — deterministic,
+   *    oracle-stable, zero extra computation ([[selectSurvivors]]);
+   *  - `"farthest"`: the member with the LOWEST cosine to its group's
+   *    mean vector — SemDeDup's own policy (Abbas et al. 2023 §2 keep
+   *    the most atypical example, which preserves diversity where
+   *    min-id keeps an arbitrary one). Costs one membership-sized
+   *    join + a per-group mean over the CLUSTERED minority (dup-group
+   *    members only, not the corpus); ties (e.g. identical copies)
+   *    break to the min id, so planted-copy oracles hold under both
+   *    policies.
    */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     nlist: Int = 16, iters: Int = 2,
                     minCosine: Double = 0.95,
                     maxBucket: Int = 1000,
-                    useNative: Boolean = true): DataFrame =
-    selectSurvivors(df,
-      duplicateClusters(semanticDuplicates(df, idCol, vecCol, nlist,
-        iters, minCosine, maxBucket, useNative)),
-      idCol)
+                    useNative: Boolean = true,
+                    keepPolicy: String = "min_id"): DataFrame = {
+    require(keepPolicy == "min_id" || keepPolicy == "farthest",
+      s"keepPolicy must be min_id or farthest, got $keepPolicy")
+    val labels = duplicateClusters(semanticDuplicates(df, idCol, vecCol,
+      nlist, iters, minCosine, maxBucket, useNative))
+    if (keepPolicy == "min_id") selectSurvivors(df, labels, idCol)
+    else {
+      val cos = Similarity.cosineFn(df, useNative)
+      // members of dup groups only — membership-sized, tiny next to
+      // the corpus; group means via the same per-(group, dim)
+      // posexplode shape as the Lloyd step (no whole-vector buffers)
+      val members = df
+        .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+        .join(labels.withColumnRenamed("id", idCol), idCol)
+      val means = members
+        .select(col("cluster"), posexplode(col("__v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("cluster"),
+          expr("transform(pm, s -> s.m)").as("__mean"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("__sim").asc, col(idCol).asc)
+      val keep = members.join(means, "cluster")
+        .withColumn("__sim", cos(col("__v"), col("__mean")))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col(idCol))
+      val losers = labels.select(col("id").as(idCol))
+        .join(keep, Seq(idCol), "left_anti")
+      df.join(losers, Seq(idCol), "left_anti")
+    }
+  }
 
   // ---- incremental dedup --------------------------------------------------
 

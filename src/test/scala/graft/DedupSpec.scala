@@ -403,6 +403,31 @@ class DedupSpec extends SparkSpec {
     assert(survivors == Set(1L, 2L, 5L, 6L))
   }
 
+  test("semanticDedup keepPolicy=farthest keeps the member least like " +
+      "its group mean; identical copies tie-break to min id") {
+    // group A: 1 and 2 almost identical, 3 slightly rotated away — all
+    // pairwise cosines clear 0.999 (max angle ~1.7°), the mean sits at
+    // ~0.76° and 3 is the least similar to it (~1e-4 margin) → keep 3.
+    // group B: exact copies 10/11 → tie on similarity → min id 10.
+    val e = 0.01
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(1.0, e, 0.0)),
+      (3L, Seq(1.0, 3 * e, 0.0)),
+      (10L, Seq(0.0, 0.0, 1.0)),
+      (11L, Seq(0.0, 0.0, 1.0)),
+      (50L, Seq(0.0, 1.0, 0.0))    // singleton: passes through
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      nlist = 2, minCosine = 0.999, keepPolicy = "farthest")
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == Set(3L, 10L, 50L))
+    intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        keepPolicy = "median")
+    }
+  }
+
   test("semanticDedup on an empty corpus returns the empty frame") {
     val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
     assert(Dedup.semanticDedup(empty, "vec_id", "embedding").count() == 0)
