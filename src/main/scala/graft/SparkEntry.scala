@@ -2117,10 +2117,20 @@ object SparkEntry {
     val root = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_admission_state_$key")
     val sketchFile = new java.io.File(root, "sketch")
-    val bandsOk = new java.io.File(root, "bands/_SUCCESS")
-    if (root.exists() && !(sketchFile.isFile && bandsOk.isFile))
-      org.apache.commons.io.FileUtils.deleteDirectory(root) // self-heal
-    if (!root.exists()) {
+    // completeness = sketch + commit marker + at least one DATA file:
+    // age-based cleaners delete oldest-first, so part files (written
+    // before _SUCCESS) can vanish while the marker survives
+    def complete: Boolean = sketchFile.isFile &&
+      new java.io.File(root, "bands/_SUCCESS").isFile &&
+      Option(new java.io.File(root, "bands").listFiles).exists(_.exists(
+        f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")))
+    if (root.exists() && !complete)
+      // self-heal; a concurrent healer may win the delete race mid-walk
+      // — that's fine, both fall through to the rebuild below
+      try org.apache.commons.io.FileUtils.deleteDirectory(root)
+      catch { case scala.util.control.NonFatal(_) => () }
+    if (!complete) {
       val tmp = new java.io.File(root.getParentFile,
         root.getName + ".build" + System.nanoTime())
       graft.operators.Dedup.minhashBands(history, "doc_id", "text")

@@ -602,15 +602,7 @@ object Dedup {
       val members = df
         .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
         .join(labels.withColumnRenamed("id", idCol), idCol)
-      val means = members
-        .select(col("cluster"), posexplode(col("__v")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .groupBy(col("cluster"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-          .as("pm"))
-        .select(col("cluster"),
-          expr("transform(pm, s -> s.m)").as("__mean"))
+      val means = Similarity.groupMeans(members, "cluster", "__v")
       val w = Window.partitionBy(col("cluster"))
         .orderBy(col("__sim").asc, col(idCol).asc)
       val keep = members.join(means, "cluster")

@@ -202,22 +202,33 @@ object Similarity {
       .select(col(vecCol)).collect().map(_.getSeq[Double](0))
     if (centroids.isEmpty) return centroids
     (1 to iters).foreach { _ =>
-      val updated = c
-        .withColumn("__cell", nearest(centroids, col(vecCol)))
-        .select(col("__cell"), posexplode(col(vecCol)))
-        .groupBy(col("__cell"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .groupBy(col("__cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-          .as("pm"))
-        .select(col("__cell"), expr("transform(pm, s -> s.m)")
-          .as("centroid"))
+      val updated = groupMeans(
+        c.withColumn("__cell", nearest(centroids, col(vecCol))),
+        "__cell", vecCol)
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
       centroids = centroids.indices
         .map(i => updated.getOrElse(i, centroids(i))).toArray
     }
     centroids
   }
+
+  /** Per-group mean vector — (keyCol, `__mean` array<double>) — via the
+    * per-(group, dim) posexplode shape: a group holds ~corpus/k
+    * vectors, so collecting whole vectors into one aggregation buffer
+    * OOMs at scale; exploding to (key, pos, value) keeps every buffer
+    * O(1) with map-side partial avg, and the regrouped buffer is just
+    * dim structs. ONE definition shared by the Lloyd refinement above
+    * and `Dedup.semanticDedup`'s farthest-survivor policy, whose
+    * determinism claims depend on identical accumulation order. */
+  private[operators] def groupMeans(df: DataFrame, keyCol: String,
+                                    vecCol: String): DataFrame =
+    df.select(col(keyCol), posexplode(col(vecCol)))
+      .groupBy(col(keyCol), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .as("pm"))
+      .select(col(keyCol), expr("transform(pm, s -> s.m)").as("__mean"))
 
   /** Nearest-centroid cell id for vector `v` — argmin over centroids of
     * (1 - cosine) via a greatest-of-structs trick: pack

@@ -276,10 +276,16 @@ object IngestPipeline {
         val din = new java.io.DataInputStream(
           new java.io.ByteArrayInputStream(bytes))
         val version = din.readInt()
-        din.readInt() // numHashFunctions
+        val numHashes = din.readInt()
         val numWords = din.readInt()
-        if (version != 1 || numWords <= 0 ||
-            bytes.length < 12L + 8L * numWords) None
+        // k outside [1, 64]: a torn k that reads huge-positive would
+        // make every later mightContain probe loop ~2^31 hashes per
+        // row (a hang, not an exception — uncatchable downstream);
+        // k <= 0 would make every probe return true and silently
+        // degrade the fast path. Real sketches keep k = numBits/items
+        // * ln2, single digits; 64 is far beyond any sane sizing.
+        if (version != 1 || numHashes <= 0 || numHashes > 64 ||
+            numWords <= 0 || bytes.length < 12L + 8L * numWords) None
         else {
           org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
           Some(bytes)
