@@ -2284,6 +2284,27 @@ object SparkEntry {
                   WHERE b2.text = b.text AND b2.doc_id < b.doc_id)
                 AND b.doc_id NOT IN (SELECT doc_id FROM near)""")),
 
+    // incremental semantic ingestion: batch embeddings matched against
+    // the corpus's persisted IVF index without re-clustering it —
+    // planted copies (re-ingested vec_id < 50 under new ids) land in
+    // their source's cell by assignment determinism and MUST match it
+    // at cosine 1.0; the id-distance filter projects out incidental
+    // natural matches, the q_dedup_incremental_minhash discipline
+    Q("q_dedup_incremental_semantic",
+      (s, d) => {
+        val emb = s.read.parquet(pq(d, "embeddings"))
+          .where(col("vec_id") < 100000L)
+          .select(col("vec_id"), col("embedding"))
+        val batch = emb.where(col("vec_id") < 50)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        graft.operators.Dedup.incrementalSemantic(batch, emb,
+          "vec_id", "embedding", nlist = 32, minCosine = 0.999)
+          .where(col("new_id") - col("seen_id") === 100000L)
+      },
+      Some("""SELECT vec_id + 100000 AS new_id, vec_id AS seen_id,
+              CAST(1.0 AS DOUBLE) AS cosine
+              FROM embeddings WHERE vec_id < 50""")),
+
     // bucket-drop accounting as a driver-checked invariant: run the LSH
     // candidate stage, then read its observe() metrics — zero dropped
     // buckets on this corpus, exactly one bucketed expansion in the

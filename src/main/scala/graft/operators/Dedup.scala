@@ -616,6 +616,71 @@ object Dedup {
     }
   }
 
+  /**
+   * Incremental SEMANTIC near-dup: match a batch of new embeddings
+   * against an already-indexed corpus WITHOUT re-clustering it — the
+   * embedding-side analog of [[incrementalMinhash]], completing the
+   * incremental family (exact hash / Bloom / banded MinHash /
+   * semantic). The batch is assigned to IVF cells under the CORPUS's
+   * centroids (KB-scale driver literal inside the fused
+   * [[graft.plans.NearestCentroidExpr]]), joined to the persisted
+   * (cell, seen_id, vector) index on the cell key — a hash join
+   * touching ~1/nlist of the index per batch doc — and verified with
+   * exact cosine. Returns (new_id, seen_id, cosine) matches at
+   * `minCosine`+.
+   *
+   * The index rows carry vectors (unlike the MinHash index's band
+   * hashes) because cosine verification needs them — at 100 TB the
+   * index IS the corpus's embedding column plus an 4-byte cell id,
+   * partitioned by cell, so the join prunes to the probed cells'
+   * partitions and nothing is recomputed per batch.
+   */
+  def incrementalSemanticAgainstIndex(newVecs: DataFrame,
+                                      seenAssigned: DataFrame,
+                                      centroids: Array[Seq[Double]],
+                                      idCol: String, vecCol: String,
+                                      minCosine: Double = 0.95,
+                                      useNative: Boolean = true)
+      : DataFrame = {
+    val cos = Similarity.cosineFn(newVecs, useNative)
+    val nearest = Similarity.nearestCellFn(newVecs, useNative, cos)
+    newVecs
+      .select(col(idCol).as("new_id"),
+        col(vecCol).cast("array<double>").as("__nv"))
+      .withColumn("cell", nearest(centroids, col("__nv")))
+      .join(seenAssigned.select(col("cell"), col("seen_id"),
+        col("__sv")), "cell")
+      .withColumn("cosine", cos(col("__nv"), col("__sv")))
+      .where(col("cosine") >= minCosine)
+      .select(col("new_id"), col("seen_id"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** [[incrementalSemanticAgainstIndex]] with the index built inline
+    * from `seenVecs` — the self-contained form; production ingestion
+    * persists (cell, seen_id, vector) partitioned by cell and the
+    * centroid table beside the corpus, and re-clusters only on drift. */
+  def incrementalSemantic(newVecs: DataFrame, seenVecs: DataFrame,
+                          idCol: String, vecCol: String,
+                          nlist: Int = 16, iters: Int = 2,
+                          minCosine: Double = 0.95,
+                          useNative: Boolean = true): DataFrame = {
+    val cos = Similarity.cosineFn(seenVecs, useNative)
+    val nearest = Similarity.nearestCellFn(seenVecs, useNative, cos)
+    val seen = seenVecs.select(col(idCol).as("seen_id"),
+      col(vecCol).cast("array<double>").as("__sv"))
+    val centroids = Similarity.buildCentroids(
+      seen.withColumnRenamed("seen_id", idCol)
+        .withColumnRenamed("__sv", "__v"), idCol, "__v", nlist, iters,
+      nearest)
+    if (centroids.isEmpty)
+      return newVecs.select(col(idCol).as("new_id"),
+        col(idCol).as("seen_id"), lit(0.0).as("cosine")).limit(0)
+    incrementalSemanticAgainstIndex(newVecs,
+      seen.withColumn("cell", nearest(centroids, col("__sv"))),
+      centroids, idCol, vecCol, minCosine, useNative)
+  }
+
   // ---- incremental dedup --------------------------------------------------
 
   /**

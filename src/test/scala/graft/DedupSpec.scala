@@ -432,4 +432,25 @@ class DedupSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
     assert(Dedup.semanticDedup(empty, "vec_id", "embedding").count() == 0)
   }
+
+  test("incrementalSemantic: batch copies match their corpus source; " +
+      "novel directions clear; empty corpus matches nothing") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (11L, Seq(1.0, 0.0, 0.0)),      // copy of 1 → match at 1.0
+      (12L, Seq(0.7, 0.7, 0.1))       // between cells, near nothing
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.incrementalSemantic(batch, corpus, "vec_id",
+      "embedding", nlist = 2, minCosine = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((11L, 1L, 1.0)))
+    val none = Dedup.incrementalSemantic(batch,
+      Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    assert(none.count() == 0)
+  }
 }
