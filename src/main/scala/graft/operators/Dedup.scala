@@ -617,68 +617,102 @@ object Dedup {
   }
 
   /**
+   * Build the persisted SEMANTIC index consumed by
+   * [[incrementalSemanticAgainstIndex]]: the corpus's IVF centroids
+   * (driver-side, nlist × dim doubles — the documented bounded-collect
+   * class) and the cell-assigned corpus as `(cell, seen_id, seen_vec)`.
+   * Production ingestion persists the frame PARTITIONED BY `cell`
+   * (plus the centroid table) beside the corpus and re-clusters only
+   * on drift — the public builder, like [[minhashBands]] is for the
+   * banded index.
+   */
+  def semanticIndex(vecs: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int = 16, iters: Int = 2,
+                    useNative: Boolean = true)
+      : (Array[Seq[Double]], DataFrame) = {
+    val cos = Similarity.cosineFn(vecs, useNative)
+    val nearest = Similarity.nearestCellFn(vecs, useNative, cos)
+    val v = vecs.select(col(idCol).as("seen_id"),
+      col(vecCol).cast("array<double>").as("seen_vec"))
+    val centroids = Similarity.buildCentroids(v, "seen_id", "seen_vec",
+      nlist, iters, nearest)
+    if (centroids.isEmpty)
+      (centroids, v.withColumn("cell", lit(0)).limit(0))
+    else (centroids, v.withColumn("cell", nearest(centroids,
+      col("seen_vec"))))
+  }
+
+  /**
    * Incremental SEMANTIC near-dup: match a batch of new embeddings
    * against an already-indexed corpus WITHOUT re-clustering it — the
-   * embedding-side analog of [[incrementalMinhash]], completing the
-   * incremental family (exact hash / Bloom / banded MinHash /
-   * semantic). The batch is assigned to IVF cells under the CORPUS's
-   * centroids (KB-scale driver literal inside the fused
-   * [[graft.plans.NearestCentroidExpr]]), joined to the persisted
-   * (cell, seen_id, vector) index on the cell key — a hash join
-   * touching ~1/nlist of the index per batch doc — and verified with
-   * exact cosine. Returns (new_id, seen_id, cosine) matches at
-   * `minCosine`+.
+   * embedding-side analog of [[incrementalMinhashAgainstIndex]],
+   * completing the incremental family (exact hash / Bloom / banded
+   * MinHash / semantic). `seenIndex` is a [[semanticIndex]] frame
+   * `(cell, seen_id, seen_vec)` with its `centroids`. The batch is
+   * assigned to cells under the CORPUS's centroids (the fused
+   * [[graft.plans.NearestCentroidExpr]]), the index is pruned to the
+   * probed cells and joined against the BROADCAST batch — so a
+   * cell-partitioned on-disk index is read only at the probed cells
+   * (broadcast-hash join + partition pruning), ~1/nlist of it per
+   * distinct batch cell, and nothing is recomputed per batch. Exact
+   * cosine verifies; returns (new_id, seen_id, cosine) at `minCosine`+.
    *
-   * The index rows carry vectors (unlike the MinHash index's band
-   * hashes) because cosine verification needs them — at 100 TB the
-   * index IS the corpus's embedding column plus an 4-byte cell id,
-   * partitioned by cell, so the join prunes to the probed cells'
-   * partitions and nothing is recomputed per batch.
+   * Hot-cell guard, same discipline as every other candidate
+   * generator here: probed cells whose index population exceeds
+   * `maxCell` are dropped AND counted in the `graft_buckets` observe
+   * metric — never a silent cost/recall surprise. The cap bounds a
+   * LINEAR blowup (batch-in-cell × cell size cosines), not the
+   * quadratic pair expansion [[pairsWithinBuckets]] caps, hence the
+   * larger default.
    */
   def incrementalSemanticAgainstIndex(newVecs: DataFrame,
-                                      seenAssigned: DataFrame,
+                                      seenIndex: DataFrame,
                                       centroids: Array[Seq[Double]],
                                       idCol: String, vecCol: String,
                                       minCosine: Double = 0.95,
+                                      maxCell: Int = 100000,
                                       useNative: Boolean = true)
       : DataFrame = {
+    require(centroids.nonEmpty,
+      "empty centroids: an empty corpus has nothing to match against " +
+        "— incrementalSemantic handles that case")
     val cos = Similarity.cosineFn(newVecs, useNative)
     val nearest = Similarity.nearestCellFn(newVecs, useNative, cos)
-    newVecs
+    val batch = newVecs
       .select(col(idCol).as("new_id"),
         col(vecCol).cast("array<double>").as("__nv"))
       .withColumn("cell", nearest(centroids, col("__nv")))
-      .join(seenAssigned.select(col("cell"), col("seen_id"),
-        col("__sv")), "cell")
-      .withColumn("cosine", cos(col("__nv"), col("__sv")))
+    val probed = batch.select(col("cell")).distinct()
+    val sizes = seenIndex
+      .join(broadcast(probed), Seq("cell"), "left_semi")
+      .groupBy(col("cell")).agg(count(lit(1)).as("__n"))
+    val okCells = observeBuckets(sizes, col("__n"), maxCell,
+      "graft_buckets")
+      .where(col("__n") <= maxCell).select(col("cell"))
+    seenIndex
+      .join(broadcast(okCells), Seq("cell"), "left_semi")
+      .join(broadcast(batch), Seq("cell"))
+      .withColumn("cosine", cos(col("__nv"), col("seen_vec")))
       .where(col("cosine") >= minCosine)
       .select(col("new_id"), col("seen_id"),
         round(col("cosine"), 4).as("cosine"))
   }
 
   /** [[incrementalSemanticAgainstIndex]] with the index built inline
-    * from `seenVecs` — the self-contained form; production ingestion
-    * persists (cell, seen_id, vector) partitioned by cell and the
-    * centroid table beside the corpus, and re-clusters only on drift. */
+    * via [[semanticIndex]] — the self-contained form. */
   def incrementalSemantic(newVecs: DataFrame, seenVecs: DataFrame,
                           idCol: String, vecCol: String,
                           nlist: Int = 16, iters: Int = 2,
                           minCosine: Double = 0.95,
+                          maxCell: Int = 100000,
                           useNative: Boolean = true): DataFrame = {
-    val cos = Similarity.cosineFn(seenVecs, useNative)
-    val nearest = Similarity.nearestCellFn(seenVecs, useNative, cos)
-    val seen = seenVecs.select(col(idCol).as("seen_id"),
-      col(vecCol).cast("array<double>").as("__sv"))
-    val centroids = Similarity.buildCentroids(
-      seen.withColumnRenamed("seen_id", idCol)
-        .withColumnRenamed("__sv", "__v"), idCol, "__v", nlist, iters,
-      nearest)
+    val (centroids, index) = semanticIndex(seenVecs, idCol, vecCol,
+      nlist, iters, useNative)
     if (centroids.isEmpty)
       return newVecs.select(col(idCol).as("new_id"),
         col(idCol).as("seen_id"), lit(0.0).as("cosine")).limit(0)
-    incrementalSemanticAgainstIndex(newVecs,
-      seen.withColumn("cell", nearest(centroids, col("__sv"))),
-      centroids, idCol, vecCol, minCosine, useNative)
+    incrementalSemanticAgainstIndex(newVecs, index, centroids, idCol,
+      vecCol, minCosine, maxCell, useNative)
   }
 
   // ---- incremental dedup --------------------------------------------------

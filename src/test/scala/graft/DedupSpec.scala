@@ -453,4 +453,26 @@ class DedupSpec extends SparkSpec {
       "vec_id", "embedding")
     assert(none.count() == 0)
   }
+
+  test("incrementalSemantic: over-cap cells are dropped but SURFACED " +
+      "via the observe metric") {
+    // cell A holds 3 identical corpus vectors (over maxCell=2) → its
+    // batch probe is dropped; cell B survives, keeping the result
+    // non-empty so the observe metric is AQE-reliable
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(1.0, 0.0, 0.0)),
+      (3L, Seq(1.0, 0.0, 0.0)),
+      (9L, Seq(0.0, 0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (11L, Seq(1.0, 0.0, 0.0)),   // probes the hot cell → dropped
+      (19L, Seq(0.0, 0.0, 1.0))    // probes the small cell → matches 9
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.incrementalSemantic(batch, corpus, "vec_id",
+      "embedding", nlist = 2, minCosine = 0.999, maxCell = 2)
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((19L, 9L)))
+    val m = Dedup.bucketMetrics(got)
+    assert(m.values.exists(_._2 >= 1L), s"no dropped-cell metric in $m")
+  }
 }
