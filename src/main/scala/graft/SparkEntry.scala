@@ -1509,6 +1509,31 @@ object SparkEntry {
               CAST(1.0 AS DOUBLE) AS cosine, 2 AS "rank"
               FROM embeddings WHERE vec_id < 3""")),
 
+    // IVF-PQ: the memory-bounded ANN scale path (codes-only candidate
+    // scan + exact-cosine rerank). The quantized shortlist is
+    // approximate, but the planted slice stays exact: an identical
+    // copy shares its source's coarse cell AND its PQ codes
+    // (identical residual → identical L2-argmin codes), ties its ADC
+    // self-reconstruction score — far above unrelated candidates — so
+    // both ride the shortlist into the rerank, where exact cosine
+    // puts the copy at rank 2 behind the self-match
+    Q("q_ann_ivfpq",
+      (s, d) => {
+        val emb = s.read.parquet(pq(d, "embeddings"))
+          .select(col("vec_id"), col("embedding"))
+        val planted = emb.where(col("vec_id") < 3)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        val queries = emb.where(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        graft.operators.Similarity.ivfpqTopK(emb.unionByName(planted),
+          queries, "vec_id", "embedding", "query_id", "qv",
+          k = 5, nlist = 16, nprobe = 4, m = 8, ksub = 16, shortlist = 64)
+          .where(col("vec_id") === col("query_id") + 100000L)
+      },
+      Some("""SELECT vec_id AS query_id, vec_id + 100000 AS vec_id,
+              CAST(1.0 AS DOUBLE) AS cosine, 2 AS "rank"
+              FROM embeddings WHERE vec_id < 3""")),
+
     // LSH buckets are approximate by design, but planted IDENTICAL
     // vectors make a slice of the output exact: a copy shares its
     // source's bucket (same sign bits) with cosine 1.0, so behind the

@@ -34,6 +34,17 @@ object Similarity {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Squared L2 distance — same left-to-right accumulation as the
+    * native PQ loops, so both paths produce identical doubles. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Unit-normalize (zero vectors pass through unchanged, matching the
+    * cosine-of-zero = 0 convention used everywhere else here). */
+  private[operators] def l2normalize(v: Column): Column =
+    when(norm(v) === 0.0, v).otherwise(transform(v, x => x / norm(v)))
+
   /** Cosine similarity (0 when either vector has zero norm). */
   def cosine(a: Column, b: Column): Column = {
     val denom = norm(a) * norm(b)
@@ -293,6 +304,224 @@ object Similarity {
     val hits = a.join(e, Seq(queryId, corpusId), "left_semi").count().toDouble
     val total = e.count().toDouble
     if (total == 0) 0.0 else hits / total
+  }
+
+  // ---- IVF-PQ (product quantization) --------------------------------------
+
+  /**
+   * HOF PQ encoder (portable reference for
+   * [[graft.plans.PqEncodeExpr]]): per subspace, the L2-argmin
+   * sub-centroid code via least-of-structs — `least` compares
+   * (distance, code) lexicographically, so distance ties pick the
+   * SMALLER code, which the native loop replicates with a strict
+   * `compareDoubles < 0`.
+   */
+  def pqEncode(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    var off = 1 // slice() is 1-based
+    val codes = codebooks.map { book =>
+      val dsub = book.head.length
+      val sl = slice(v, off, dsub)
+      off += dsub
+      if (book.length == 1) lit(0)
+      else {
+        val scored = book.zipWithIndex.map { case (ct, j) =>
+          struct(l2sq(sl, typedlit(ct)).as("d"), lit(j).as("code"))
+        }
+        least(scored: _*).getField("code")
+      }
+    }
+    array(codes: _*)
+  }
+
+  /** HOF ADC inner product (portable reference for
+    * [[graft.plans.PqAdcExpr]]): Σ_m dot(query-slice_m,
+    * codebook[m][code_m]). */
+  def pqAdc(q: Column, codes: Column,
+            codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    var off = 1
+    val terms = codebooks.zipWithIndex.map { case (book, m) =>
+      val dsub = book.head.length
+      val sl = slice(q, off, dsub)
+      off += dsub
+      dot(sl, element_at(typedlit(book), element_at(codes, m + 1) + 1))
+    }
+    terms.reduce(_ + _)
+  }
+
+  private[operators] def pqEncodeFn(df: DataFrame, useNative: Boolean)
+      : (Column, Seq[Seq[Seq[Double]]]) => Column =
+    if (useNative) {
+      NativeFunctions.register(df.sparkSession)
+      (v, cb) => NativeFunctions.pqEncodeNative(v, cb)
+    } else pqEncode
+
+  private[operators] def pqAdcFn(df: DataFrame, useNative: Boolean)
+      : (Column, Column, Seq[Seq[Seq[Double]]]) => Column =
+    if (useNative) {
+      NativeFunctions.register(df.sparkSession)
+      (q, c, cb) => NativeFunctions.pqAdcNative(q, c, cb)
+    } else pqAdc
+
+  /** L2-argmin assignment picker for sub-quantizer training — the
+    * native path reuses [[graft.plans.PqEncodeExpr]] with a single
+    * subspace (one fused loop, codebook as reference object); the HOF
+    * path is least-of-structs. Both break ties to the SMALLER cell —
+    * note the deliberate contrast with cosine [[nearestCellFn]]
+    * (greatest semantics, larger cell wins). */
+  private[operators] def l2NearestFn(df: DataFrame, useNative: Boolean)
+      : (Array[Seq[Double]], Column) => Column =
+    if (useNative) {
+      NativeFunctions.register(df.sparkSession)
+      (cents, v) =>
+        if (cents.length == 1) lit(0)
+        else element_at(
+          NativeFunctions.pqEncodeNative(v, Seq(cents.toSeq.map(_.toSeq))), 1)
+    } else (cents, v) =>
+      if (cents.length == 1) lit(0)
+      else least(cents.toSeq.zipWithIndex.map { case (ct, j) =>
+        struct(l2sq(v, typedlit(ct)).as("d"), lit(j).as("cell"))
+      }: _*).getField("cell")
+
+  /**
+   * IVF-PQ index build (Jégou–Douze–Schmid, "Product quantization for
+   * nearest neighbor search", TPAMI 2011): coarse IVF centroids over
+   * the unit-normalized corpus, then per-subspace codebooks trained by
+   * L2 k-means on the coarse RESIDUALS (x − centroid[cell]) — the
+   * classic IVFADC layout. Returns (coarse centroids, codebooks, index
+   * frame `(__id, cell, codes)`).
+   *
+   * THE scale story of the ANN family: the index frame carries NO
+   * vectors — per corpus row it is an id, a small int cell, and `m`
+   * small ints (bytes at ksub ≤ 256). At dim 64 float that is ~30×
+   * smaller than the raw embedding column, so the candidate scan reads
+   * ~3% of the bytes a raw-vector scan would. Production persists it
+   * partitioned by `cell` beside the corpus (the [[semanticIndex]]
+   * pattern — re-cluster only on drift); centroids + codebooks are
+   * driver-side literals (nlist×dim + m×ksub×dsub doubles, KBs — the
+   * documented bounded-collect class).
+   *
+   * The assigned+residual frame is localCheckpoint'ed before codebook
+   * training: training runs m × (iters+1) jobs over it, and without
+   * truncation each would recompute normalize+assign+residual lineage
+   * (use reliable checkpointing on a cluster).
+   */
+  def ivfpqIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
+                 nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+                 iters: Int = 2, useNative: Boolean = true)
+      : (Array[Seq[Double]], Array[Array[Seq[Double]]], DataFrame) = {
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    require(m >= 1 && ksub >= 1, s"need m >= 1 and ksub >= 1, got $m/$ksub")
+    val cos = cosineFn(corpus, useNative)
+    val nearest = nearestCellFn(corpus, useNative, cos)
+    val c = corpus.select(col(corpusId).as("__id"),
+      l2normalize(col(corpusVec).cast("array<double>")).as("__cvn"))
+    val coarse = buildCentroids(c, "__id", "__cvn", nlist, iters, nearest)
+    if (coarse.isEmpty)
+      return (coarse, Array.empty,
+        c.select(col("__id"), lit(0).as("cell"),
+          typedlit(Seq.empty[Int]).as("codes")).limit(0))
+    val dim = coarse(0).length
+    require(dim % m == 0,
+      s"embedding dim $dim is not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val coarseLit = typedlit(coarse.toSeq.map(_.toSeq))
+    val assigned = c.withColumn("cell", nearest(coarse, col("__cvn")))
+      .withColumn("__resid", zip_with(col("__cvn"),
+        element_at(coarseLit, col("cell") + 1), (x, y) => x - y))
+      .localCheckpoint(true)
+    val l2n = l2NearestFn(corpus, useNative)
+    val codebooks = (0 until m).map { mi =>
+      buildCentroids(
+        assigned.select(col("__id"),
+          slice(col("__resid"), mi * dsub + 1, dsub).as("__sub")),
+        "__id", "__sub", ksub, iters, l2n)
+    }.toArray
+    val enc = pqEncodeFn(corpus, useNative)
+    val index = assigned.select(col("__id"), col("cell"),
+      enc(col("__resid"), codebooks.toSeq.map(_.toSeq.map(_.toSeq)))
+        .as("codes"))
+    (coarse, codebooks, index)
+  }
+
+  /**
+   * IVF-PQ search against a prebuilt [[ivfpqIndex]]: queries probe
+   * their `nprobe` nearest coarse cells; candidates in those cells are
+   * scored by ADC — `dot(q, centroid[cell]) + Σ_m dot(q_m,
+   * codebook[m][code_m])`, exact linear algebra over the
+   * reconstruction, reading only codes — then the per-query `shortlist`
+   * best are re-ranked with EXACT cosine against the original vectors
+   * and the top `k` returned. Output matches [[ivfTopK]]:
+   * (queryId, corpusId, cosine, rank).
+   *
+   * Scale shape: the candidate scan is a broadcast-hash join on `cell`
+   * against the codes-only index (partition-pruned when the index is
+   * persisted partitioned by cell); the rerank re-reads the corpus
+   * ONCE with a broadcast semi-join on the shortlist ids (queries ×
+   * shortlist rows — small by contract, same class as the broadcast
+   * query set). Both windows partition by query id — no global sort.
+   */
+  def ivfpqSearch(index: DataFrame, coarse: Array[Seq[Double]],
+                  codebooks: Array[Array[Seq[Double]]],
+                  corpus: DataFrame, queries: DataFrame,
+                  corpusId: String, corpusVec: String,
+                  queryId: String, queryVec: String,
+                  k: Int, nprobe: Int = 4, shortlist: Int = 64,
+                  useNative: Boolean = true): DataFrame = {
+    require(coarse.nonEmpty,
+      "empty coarse centroids: an empty corpus has nothing to search " +
+        "— ivfpqTopK handles that case")
+    val cos = cosineFn(corpus, useNative)
+    val cbSeq = codebooks.toSeq.map(_.toSeq.map(_.toSeq))
+    val adc = pqAdcFn(corpus, useNative)
+    val coarseLit = typedlit(coarse.toSeq.map(_.toSeq))
+    val q = queries.select(col(queryId),
+        l2normalize(col(queryVec).cast("array<double>")).as("qv"))
+      .withColumn("cell", explode(nearestCells(cos, coarse, nprobe)))
+      .withColumn("__cdot", dot(col("qv"), element_at(coarseLit,
+        col("cell") + 1)))
+    val cand = index.join(broadcast(q), Seq("cell"))
+      .withColumn("__adc",
+        col("__cdot") + adc(col("qv"), col("codes"), cbSeq))
+    val ws = Window.partitionBy(col(queryId))
+      .orderBy(col("__adc").desc, col("__id"))
+    val short = cand.withColumn("__r", row_number().over(ws))
+      .where(col("__r") <= shortlist)
+      .select(col(queryId), col("__id"), col("qv"))
+    val cv = corpus.select(col(corpusId).as("__id"),
+      col(corpusVec).cast("array<double>").as("cv"))
+    val rer = cv.join(broadcast(short), Seq("__id"))
+      .withColumn("cosine", round(cos(col("cv"), col("qv")), 4))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col("__id"))
+    rer.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col("__id").as(corpusId),
+        col("cosine"), col("rank"))
+  }
+
+  /** [[ivfpqSearch]] with the index built inline via [[ivfpqIndex]] —
+    * the self-contained form, completing the ANN ladder (brute →
+    * hyperplane LSH → IVF → IVF-PQ). */
+  def ivfpqTopK(corpus: DataFrame, queries: DataFrame,
+                corpusId: String, corpusVec: String,
+                queryId: String, queryVec: String,
+                k: Int, nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 16, iters: Int = 2,
+                shortlist: Int = 64, useNative: Boolean = true)
+      : DataFrame = {
+    val (coarse, codebooks, index) = ivfpqIndex(corpus, corpusId,
+      corpusVec, nlist, m, ksub, iters, useNative)
+    if (coarse.isEmpty) {
+      val c = corpus.select(col(corpusId),
+        col(corpusVec).cast("array<double>").as("cv"))
+      return c.crossJoin(queries.select(col(queryId)))
+        .select(col(queryId), col(corpusId),
+          lit(0.0).as("cosine"), lit(0).as("rank"))
+        .limit(0)
+    }
+    ivfpqSearch(index, coarse, codebooks, corpus, queries,
+      corpusId, corpusVec, queryId, queryVec, k, nprobe, shortlist,
+      useNative)
   }
 
   def lshTopK(corpus: DataFrame, queries: DataFrame,

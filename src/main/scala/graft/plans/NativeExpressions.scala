@@ -573,6 +573,197 @@ case class HyperplaneBucketExpr(child: Expression, planes: Int)
 }
 
 /**
+ * Native product-quantization encoder (Jégou–Douze–Schmid, TPAMI 2011):
+ * for each subspace m the code is the L2-argmin sub-centroid of the
+ * vector's m-th slice — one fused loop per row, the codebook matrix
+ * riding as a codegen reference object (same structural argument as
+ * [[NearestCentroidExpr]]: generated source independent of codebook
+ * VALUES, expression size independent of M × ksub).
+ *
+ * Tie-breaking matches the least-of-structs HOF reference
+ * ([[graft.operators.Similarity.pqEncode]]) bit-for-bit: equal distance
+ * → the SMALLER code wins (`least` compares (dist, code)
+ * lexicographically; here a strict `compareDoubles < 0` keeps the first
+ * minimum). NaN distances (NaN vector components) are LARGEST under
+ * Spark's double ordering on both paths, so an all-NaN slice encodes to
+ * code 0 either way. Subspace slicing follows each codebook's own
+ * sub-dimension, so offsets stay aligned even if sub-dims were uneven.
+ */
+case class PqEncodeExpr(child: Expression,
+                        codebooks: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "codebooks must be non-empty per subspace")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString} " +
+        "(cast array<float> inputs explicitly)")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def prettyName: String = "graft_pq_encode"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val codes = new Array[Any](codebooks.length)
+    var off = 0
+    var m = 0
+    while (m < codebooks.length) {
+      val book = codebooks(m)
+      val dsub = book(0).length
+      var best = Double.PositiveInfinity
+      var bestCode = 0
+      var j = 0
+      while (j < book.length) {
+        val ct = book(j)
+        var d = 0.0
+        var i = 0
+        val lim = math.min(dsub, math.max(n - off, 0))
+        while (i < lim) {
+          val diff = v.getDouble(off + i) - ct(i)
+          d += diff * diff
+          i += 1
+        }
+        if (org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+            .compareDoubles(d, best) < 0) {
+          best = d; bestCode = j
+        }
+        j += 1
+      }
+      codes(m) = bestCode
+      off += dsub
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
+    copy(child = c)
+}
+
+/**
+ * Native ADC (asymmetric distance computation) inner product: given a
+ * query vector and a row's PQ codes, Σ_m dot(query-slice_m,
+ * codebook[m][code_m]) — the approximate `dot(q, reconstruction(x))`
+ * that lets the candidate scan read M small ints per row instead of the
+ * raw vector. THE hot loop of IVF-PQ search (runs per candidate ×
+ * query), hence full `doGenCode`: one fused loop, codebooks as a
+ * codegen reference object, no allocation. Bit-exact with the HOF
+ * reference ([[graft.operators.Similarity.pqAdc]]): both walk subspaces
+ * in order, accumulating left-to-right with identical double ops.
+ * Out-of-range codes (malformed input) contribute 0 rather than
+ * throwing — search-time robustness over fail-fast, matching the HOF
+ * form's null-to-zero coalesce.
+ */
+case class PqAdcExpr(left: Expression, right: Expression,
+                     codebooks: Array[Array[Array[Double]]])
+    extends BinaryExpression {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "codebooks must be non-empty per subspace")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _),
+            ArrayType(org.apache.spark.sql.types.IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<int>), got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_pq_adc"
+
+  override def nullSafeEval(q: Any, c: Any): Any = {
+    val qv = q.asInstanceOf[ArrayData]
+    val codes = c.asInstanceOf[ArrayData]
+    val n = qv.numElements()
+    var s = 0.0
+    var off = 0
+    var m = 0
+    val mLim = math.min(codebooks.length, codes.numElements())
+    while (m < mLim) {
+      val book = codebooks(m)
+      val dsub = book(0).length
+      val code = codes.getInt(m)
+      if (code >= 0 && code < book.length) {
+        val ct = book(code)
+        // per-subspace partial, added once — matches the HOF form's
+        // associativity (per-subspace dot folds, then a sum of
+        // partials), keeping the two paths bit-identical
+        var p = 0.0
+        var i = 0
+        val lim = math.min(dsub, math.max(n - off, 0))
+        while (i < lim) {
+          p += qv.getDouble(off + i) * ct(i)
+          i += 1
+        }
+        s += p
+      }
+      off += dsub
+      m += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val books = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (q, c) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val off = ctx.freshName("off")
+      val m = ctx.freshName("m")
+      val mLim = ctx.freshName("mLim")
+      val book = ctx.freshName("book")
+      val dsub = ctx.freshName("dsub")
+      val code = ctx.freshName("code")
+      val ct = ctx.freshName("ct")
+      val i = ctx.freshName("i")
+      val lim = ctx.freshName("lim")
+      val p = ctx.freshName("p")
+      s"""
+         |final int $n = $q.numElements();
+         |double $s = 0.0;
+         |int $off = 0;
+         |final int $mLim =
+         |  java.lang.Math.min($books.length, $c.numElements());
+         |for (int $m = 0; $m < $mLim; $m++) {
+         |  final double[][] $book = $books[$m];
+         |  final int $dsub = $book[0].length;
+         |  final int $code = $c.getInt($m);
+         |  if ($code >= 0 && $code < $book.length) {
+         |    final double[] $ct = $book[$code];
+         |    final int $lim =
+         |      java.lang.Math.min($dsub, java.lang.Math.max($n - $off, 0));
+         |    double $p = 0.0;
+         |    for (int $i = 0; $i < $lim; $i++) {
+         |      $p += $q.getDouble($off + $i) * $ct[$i];
+         |    }
+         |    $s += $p;
+         |  }
+         |  $off += $dsub;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
  * Registration + Column-API access for the native expressions. Catalyst
  * `Column`s are built through the session function registry
  * (`call_function`), the public path for custom expressions in Spark 4.
@@ -589,6 +780,8 @@ object NativeFunctions {
   val bloomAggName = "graft_bloom_agg"
   val bloomContainsName = "graft_bloom_might_contain"
   val nearestCentroidName = "graft_nearest_centroid"
+  val pqEncodeName = "graft_pq_encode"
+  val pqAdcName = "graft_pq_adc"
 
   private def intLit(e: Expression): Int =
     e.eval(null) match {
@@ -613,6 +806,18 @@ object NativeFunctions {
           .toArray
       case other => throw new IllegalArgumentException(
         s"expected array<array<double>> literal, got $other")
+    }
+
+  private def matrix3Lit(e: Expression): Array[Array[Array[Double]]] =
+    e.eval(null) match {
+      case a: ArrayData =>
+        (0 until a.numElements()).map { m =>
+          val book = a.getArray(m)
+          (0 until book.numElements())
+            .map(j => book.getArray(j).toDoubleArray()).toArray
+        }.toArray
+      case other => throw new IllegalArgumentException(
+        s"expected array<array<array<double>>> literal, got $other")
     }
 
   /** (name, builder) pairs — the single source both [[register]] and
@@ -643,7 +848,11 @@ object NativeFunctions {
       new org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs.head, exprs(1))),
     nearestCentroidName -> ((exprs: Seq[Expression]) =>
-      NearestCentroidExpr(exprs.head, matrixLit(exprs(1)))))
+      NearestCentroidExpr(exprs.head, matrixLit(exprs(1)))),
+    pqEncodeName -> ((exprs: Seq[Expression]) =>
+      PqEncodeExpr(exprs.head, matrix3Lit(exprs(1)))),
+    pqAdcName -> ((exprs: Seq[Expression]) =>
+      PqAdcExpr(exprs.head, exprs(1), matrix3Lit(exprs(2)))))
 
   /** Idempotently register graft native functions on this session. */
   def register(spark: SparkSession): Unit = {
@@ -705,4 +914,18 @@ object NativeFunctions {
                             centroids: Seq[Seq[Double]]): Column =
     call_function(nearestCentroidName, v.cast("array<double>"),
       org.apache.spark.sql.functions.typedlit(centroids))
+
+  /** Fused PQ encode: per-subspace L2-argmin codes (bit-exact with the
+    * least-of-structs form, smaller code wins distance ties). */
+  def pqEncodeNative(v: Column,
+                     codebooks: Seq[Seq[Seq[Double]]]): Column =
+    call_function(pqEncodeName, v.cast("array<double>"),
+      org.apache.spark.sql.functions.typedlit(codebooks))
+
+  /** Fused ADC inner product of a query vector against PQ codes
+    * (bit-exact with the HOF slice/element_at composition). */
+  def pqAdcNative(q: Column, codes: Column,
+                  codebooks: Seq[Seq[Seq[Double]]]): Column =
+    call_function(pqAdcName, q.cast("array<double>"), codes,
+      org.apache.spark.sql.functions.typedlit(codebooks))
 }

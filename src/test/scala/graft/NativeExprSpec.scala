@@ -186,6 +186,36 @@ class NativeExprSpec extends SparkSpec {
     assert(got == Map(1L -> 2, 2L -> 1, 3L -> 2, 4L -> 2))
   }
 
+  test("native PQ encode/ADC ≡ HOF forms bit-for-bit; ties to smaller " +
+      "code") {
+    NativeFunctions.register(spark)
+    // 4 subspaces × 3 codes over dim 32 (dsub 8), deterministic values
+    val books: Seq[Seq[Seq[Double]]] = (0 until 4).map(m =>
+      (0 until 3).map(j =>
+        Seq.tabulate(8)(i => math.cos(m * 100 + j * 10 + i))))
+    val both = vecs.select(col("v"),
+        NativeFunctions.pqEncodeNative(col("v"), books).as("natCodes"),
+        Similarity.pqEncode(col("v"), books).as("hofCodes"))
+      .withColumn("natAdc",
+        NativeFunctions.pqAdcNative(col("v"), col("natCodes"), books))
+      .withColumn("hofAdc",
+        Similarity.pqAdc(col("v"), col("hofCodes"), books))
+      .collect()
+    assert(both.length == 200)
+    both.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2))
+      assert(r.getDouble(3) == r.getDouble(4))
+    }
+    // distance tie: identical codebook entries → both paths pick code 0
+    val tieBooks: Seq[Seq[Seq[Double]]] =
+      Seq(Seq(Seq(1.0, 0.0), Seq(1.0, 0.0)))
+    val tied = Seq((1L, Seq(1.0, 0.0))).toDF("id", "v").select(
+        NativeFunctions.pqEncodeNative(col("v"), tieBooks).as("nat"),
+        Similarity.pqEncode(col("v"), tieBooks).as("hof"))
+      .collect()(0)
+    assert(tied.getSeq[Int](0) == Seq(0) && tied.getSeq[Int](1) == Seq(0))
+  }
+
   test("semanticDuplicates native and HOF assignment paths agree") {
     val emb = (0 until 60).map(i =>
       (i.toLong, Seq.tabulate(8)(j => math.cos(i * 8 + j)))) ++

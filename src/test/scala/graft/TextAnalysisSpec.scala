@@ -133,4 +133,76 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got(0).getLong(1) == 7L) // rank 1 = exact match
   }
+
+  test("ivfpqTopK ≡ exact top-k when nothing is pruned (nprobe=nlist, " +
+      "shortlist ≥ corpus)") {
+    val corpus = (0 until 80).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = (0 until 3).map(i =>
+      (1000L + i, Seq.tabulate(8)(j => math.sin(i * 13 * 8 + j).toFloat)))
+      .toDF("query_id", "qv")
+    // with every cell probed and the shortlist covering the whole
+    // corpus, the exact-cosine rerank sees every candidate — the PQ
+    // stage can only reorder the shortlist, not drop anyone, so the
+    // result must equal the exact baseline exactly
+    val exact = Similarity.topKPerQuery(corpus, queries,
+      "vec_id", "embedding", "query_id", "qv", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val pq = Similarity.ivfpqTopK(corpus, queries, "vec_id", "embedding",
+      "query_id", "qv", k = 5, nlist = 4, nprobe = 4, m = 4, ksub = 8,
+      shortlist = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(pq == exact)
+  }
+
+  test("ivfpqTopK finds the planted self-match through real pruning") {
+    val corpus = (0 until 200).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq(
+      (100L, Seq.tabulate(8)(j => math.sin(42 * 8 + j).toFloat)))
+      .toDF("query_id", "qv") // identical to corpus vec 42
+    val got = Similarity.ivfpqTopK(corpus, queries, "vec_id", "embedding",
+      "query_id", "qv", k = 3, nlist = 8, nprobe = 3, m = 4, ksub = 8,
+      shortlist = 16).collect()
+    assert(got.nonEmpty)
+    assert(got(0).getLong(1) == 42L && got(0).getDouble(2) == 1.0)
+  }
+
+  test("ivfpq index frame carries codes only — no vector column") {
+    val corpus = (0 until 60).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val (coarse, books, index) = Similarity.ivfpqIndex(corpus,
+      "vec_id", "embedding", nlist = 4, m = 4, ksub = 8)
+    assert(coarse.nonEmpty && books.length == 4)
+    assert(index.columns.toSeq == Seq("__id", "cell", "codes"))
+    val row = index.collect()(0)
+    assert(row.getSeq[Int](2).length == 4) // m codes per row, no floats
+    // recall through the pruned path stays useful
+    val queries = (0 until 5).map(i =>
+      (1000L + i, Seq.tabulate(8)(j => math.sin(i * 17 * 8 + j).toFloat)))
+      .toDF("query_id", "qv")
+    val exact = Similarity.topKPerQuery(corpus, queries,
+      "vec_id", "embedding", "query_id", "qv", 5)
+    val pq = Similarity.ivfpqSearch(index, coarse, books, corpus, queries,
+      "vec_id", "embedding", "query_id", "qv", k = 5, nprobe = 2,
+      shortlist = 16)
+    val r = Similarity.recallAtK(pq, exact, "query_id", "vec_id")
+    assert(r > 0.2, s"ivfpq recall $r")
+  }
+
+  test("ivfpqTopK on an empty corpus returns an empty, well-typed frame") {
+    val corpus = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val queries = Seq((1L, Seq.tabulate(8)(_.toFloat)))
+      .toDF("query_id", "qv")
+    val got = Similarity.ivfpqTopK(corpus, queries, "vec_id", "embedding",
+      "query_id", "qv", k = 3)
+    assert(got.columns.toSeq ==
+      Seq("query_id", "vec_id", "cosine", "rank"))
+    assert(got.count() == 0)
+  }
 }
