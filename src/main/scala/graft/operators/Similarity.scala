@@ -40,11 +40,6 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Unit-normalize (zero vectors pass through unchanged, matching the
-    * cosine-of-zero = 0 convention used everywhere else here). */
-  private[operators] def l2normalize(v: Column): Column =
-    when(norm(v) === 0.0, v).otherwise(transform(v, x => x / norm(v)))
-
   /** Cosine similarity (0 when either vector has zero norm). */
   def cosine(a: Column, b: Column): Column = {
     val denom = norm(a) * norm(b)
@@ -335,7 +330,11 @@ object Similarity {
 
   /** HOF ADC inner product (portable reference for
     * [[graft.plans.PqAdcExpr]]): Σ_m dot(query-slice_m,
-    * codebook[m][code_m]). */
+    * codebook[m][code_m]). A missing, null, or out-of-range code
+    * contributes 0 for its subspace — `get()` (0-based, null past the
+    * end) plus a range-guarded CaseWhen, the same skip semantics as
+    * the native loop, so a stale index/codebook mismatch degrades
+    * identically on both paths instead of throwing under ANSI on one. */
   def pqAdc(q: Column, codes: Column,
             codebooks: Seq[Seq[Seq[Double]]]): Column = {
     var off = 1
@@ -343,7 +342,10 @@ object Similarity {
       val dsub = book.head.length
       val sl = slice(q, off, dsub)
       off += dsub
-      dot(sl, element_at(typedlit(book), element_at(codes, m + 1) + 1))
+      val code = get(codes, lit(m))
+      when(code.between(0, book.length - 1),
+        dot(sl, element_at(typedlit(book), code + 1)))
+        .otherwise(lit(0.0))
     }
     terms.reduce(_ + _)
   }
@@ -413,8 +415,13 @@ object Similarity {
     require(m >= 1 && ksub >= 1, s"need m >= 1 and ksub >= 1, got $m/$ksub")
     val cos = cosineFn(corpus, useNative)
     val nearest = nearestCellFn(corpus, useNative, cos)
-    val c = corpus.select(col(corpusId).as("__id"),
-      l2normalize(col(corpusVec).cast("array<double>")).as("__cvn"))
+    // Embeddings.l2Normalize materializes the norm as an attribute
+    // before the transform lambda — a lambda capturing the norm
+    // EXPRESSION would re-evaluate the O(dim) fold per element
+    val c = Embeddings.l2Normalize(
+        corpus.select(col(corpusId).as("__id"), col(corpusVec).as("__cv")),
+        "__cv", "__cvn")
+      .select(col("__id"), col("__cvn"))
     val coarse = buildCentroids(c, "__id", "__cvn", nlist, iters, nearest)
     if (coarse.isEmpty)
       return (coarse, Array.empty,
@@ -474,8 +481,10 @@ object Similarity {
     val cbSeq = codebooks.toSeq.map(_.toSeq.map(_.toSeq))
     val adc = pqAdcFn(corpus, useNative)
     val coarseLit = typedlit(coarse.toSeq.map(_.toSeq))
-    val q = queries.select(col(queryId),
-        l2normalize(col(queryVec).cast("array<double>")).as("qv"))
+    val q = Embeddings.l2Normalize(
+        queries.select(col(queryId), col(queryVec).as("__qv")),
+        "__qv", "qv")
+      .select(col(queryId), col("qv"))
       .withColumn("cell", explode(nearestCells(cos, coarse, nprobe)))
       .withColumn("__cdot", dot(col("qv"), element_at(coarseLit,
         col("cell") + 1)))

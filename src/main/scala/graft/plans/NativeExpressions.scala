@@ -575,10 +575,14 @@ case class HyperplaneBucketExpr(child: Expression, planes: Int)
 /**
  * Native product-quantization encoder (Jégou–Douze–Schmid, TPAMI 2011):
  * for each subspace m the code is the L2-argmin sub-centroid of the
- * vector's m-th slice — one fused loop per row, the codebook matrix
- * riding as a codegen reference object (same structural argument as
- * [[NearestCentroidExpr]]: generated source independent of codebook
- * VALUES, expression size independent of M × ksub).
+ * vector's m-th slice — one JVM loop per row over the codebook matrix,
+ * vs M × ksub interpreted least-of-structs sub-expressions in the HOF
+ * form (whose plan size also grows with every codebook VALUE set,
+ * the [[NearestCentroidExpr]] recompile argument). `CodegenFallback`
+ * is deliberate, the [[MinHashSignatureExpr]] argument: this runs once
+ * per corpus row at INDEX BUILD, the cost is the loop itself, and the
+ * array result allocates either way — the search-time hot loop is
+ * [[PqAdcExpr]], which has full codegen.
  *
  * Tie-breaking matches the least-of-structs HOF reference
  * ([[graft.operators.Similarity.pqEncode]]) bit-for-bit: equal distance
@@ -658,9 +662,11 @@ case class PqEncodeExpr(child: Expression,
  * codegen reference object, no allocation. Bit-exact with the HOF
  * reference ([[graft.operators.Similarity.pqAdc]]): both walk subspaces
  * in order, accumulating left-to-right with identical double ops.
- * Out-of-range codes (malformed input) contribute 0 rather than
- * throwing — search-time robustness over fail-fast, matching the HOF
- * form's null-to-zero coalesce.
+ * Missing, NULL, or out-of-range codes (a stale index scored against
+ * retrained codebooks, or hand-built SQL input) contribute 0 for
+ * their subspace rather than throwing — the HOF form implements the
+ * identical skip with `get()` + a range-guarded CaseWhen, so both
+ * paths degrade the same way.
  */
 case class PqAdcExpr(left: Expression, right: Expression,
                      codebooks: Array[Array[Array[Double]]])
@@ -694,7 +700,7 @@ case class PqAdcExpr(left: Expression, right: Expression,
     while (m < mLim) {
       val book = codebooks(m)
       val dsub = book(0).length
-      val code = codes.getInt(m)
+      val code = if (codes.isNullAt(m)) -1 else codes.getInt(m)
       if (code >= 0 && code < book.length) {
         val ct = book(code)
         // per-subspace partial, added once — matches the HOF form's
@@ -740,7 +746,7 @@ case class PqAdcExpr(left: Expression, right: Expression,
          |for (int $m = 0; $m < $mLim; $m++) {
          |  final double[][] $book = $books[$m];
          |  final int $dsub = $book[0].length;
-         |  final int $code = $c.getInt($m);
+         |  final int $code = $c.isNullAt($m) ? -1 : $c.getInt($m);
          |  if ($code >= 0 && $code < $book.length) {
          |    final double[] $ct = $book[$code];
          |    final int $lim =

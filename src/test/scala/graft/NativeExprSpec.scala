@@ -216,6 +216,34 @@ class NativeExprSpec extends SparkSpec {
     assert(tied.getSeq[Int](0) == Seq(0) && tied.getSeq[Int](1) == Seq(0))
   }
 
+  test("PQ ADC degraded-input parity: null, out-of-range, and short " +
+      "codes skip their subspace on BOTH paths") {
+    NativeFunctions.register(spark)
+    val books: Seq[Seq[Seq[Double]]] = (0 until 4).map(m =>
+      (0 until 3).map(j =>
+        Seq.tabulate(2)(i => math.cos(m * 100 + j * 10 + i))))
+    val q = Seq.tabulate(8)(i => math.sin(i.toDouble))
+    val df = Seq(1).toDF("one").select(typedlit(q).as("q"))
+      // subspace 1 null, subspace 2 out-of-range high, subspace 3
+      // negative; and a 2-element codes array missing subspaces 2-3
+      .withColumn("bad", array(lit(1), lit(null).cast("int"), lit(99),
+        lit(-2)))
+      .withColumn("short", array(lit(1), lit(0)))
+    val got = df.select(
+        NativeFunctions.pqAdcNative(col("q"), col("bad"), books).as("nb"),
+        Similarity.pqAdc(col("q"), col("bad"), books).as("hb"),
+        NativeFunctions.pqAdcNative(col("q"), col("short"), books)
+          .as("ns"),
+        Similarity.pqAdc(col("q"), col("short"), books).as("hs"))
+      .collect()(0)
+    assert(got.getDouble(0) == got.getDouble(1)) // bad codes agree
+    assert(got.getDouble(2) == got.getDouble(3)) // short codes agree
+    // only subspace 0 (code 1) contributes for "bad"
+    val expect = q.slice(0, 2).zip(books(0)(1)).map { case (a, b) => a * b }
+      .sum
+    assert(math.abs(got.getDouble(0) - expect) < 1e-12)
+  }
+
   test("semanticDuplicates native and HOF assignment paths agree") {
     val emb = (0 until 60).map(i =>
       (i.toLong, Seq.tabulate(8)(j => math.cos(i * 8 + j)))) ++
