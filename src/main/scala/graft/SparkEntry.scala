@@ -1783,6 +1783,28 @@ object SparkEntry {
               MIN(l_quantity) AS qty_min, MAX(l_quantity) AS qty_max
               FROM lineitem GROUP BY l_returnflag""")),
 
+    // Z-order clustered write + read-back: the multi-dimensional data-
+    // skipping layout (Morton interleave of l_orderkey × l_partkey
+    // bucket bits; row-group stats tight in BOTH dimensions, so the
+    // rectangle filter prunes on both — ZOrderSpec asserts the actual
+    // row-group pruning; here the driver checks the round-trip answer)
+    Q("q_zorder_skipping",
+      (s, d) => {
+        val li = s.read.parquet(pq(d, "lineitem"))
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-zorder").toString
+        graft.sources.ZOrder.writeZOrdered(li, dir,
+          Seq("l_orderkey", "l_partkey"), bits = 10, numFiles = 16)
+        s.read.parquet(dir)
+          .where(col("l_orderkey") <= 6000 && col("l_partkey") <= 200)
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 4).as("qty"))
+      },
+      Some("""SELECT COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS qty
+              FROM lineitem
+              WHERE l_orderkey <= 6000 AND l_partkey <= 200""")),
+
     // ---- transport round-trip (S7/S8) ------------------------------------
     Q("q_transport_roundtrip",
       (s, d) => {
