@@ -364,25 +364,64 @@ object Similarity {
       (q, c, cb) => NativeFunctions.pqAdcNative(q, c, cb)
     } else pqAdc
 
-  /** L2-argmin assignment picker for sub-quantizer training — the
-    * native path reuses [[graft.plans.PqEncodeExpr]] with a single
-    * subspace (one fused loop, codebook as reference object); the HOF
-    * path is least-of-structs. Both break ties to the SMALLER cell —
-    * note the deliberate contrast with cosine [[nearestCellFn]]
-    * (greatest semantics, larger cell wins). */
-  private[operators] def l2NearestFn(df: DataFrame, useNative: Boolean)
-      : (Array[Seq[Double]], Column) => Column =
-    if (useNative) {
-      NativeFunctions.register(df.sparkSession)
-      (cents, v) =>
-        if (cents.length == 1) lit(0)
-        else element_at(
-          NativeFunctions.pqEncodeNative(v, Seq(cents.toSeq.map(_.toSeq))), 1)
-    } else (cents, v) =>
-      if (cents.length == 1) lit(0)
-      else least(cents.toSeq.zipWithIndex.map { case (ct, j) =>
-        struct(l2sq(v, typedlit(ct)).as("d"), lit(j).as("cell"))
-      }: _*).getField("cell")
+  /**
+   * Joint sub-quantizer training: ONE Lloyd loop refines all `m`
+   * subspace codebooks together instead of running m sequential
+   * [[buildCentroids]] loops. Each iteration is a single job over the
+   * checkpointed residual frame — the PQ encoder ([[pqEncodeFn]])
+   * assigns every subspace's code in one fused pass over the residual
+   * row, then a per-(subspace, code, dim) average rebuilds all
+   * codebooks at once; m × ksub × dsub doubles come back to the driver
+   * (KBs — the bounded-collect class). Assignment semantics match the
+   * per-subspace build exactly: strict-less L2 argmin, distance ties
+   * to the SMALLER code (note the deliberate contrast with cosine
+   * [[nearestCellFn]] — greatest semantics, larger cell wins). Seeding
+   * matches too: the sub-vectors of the ksub smallest-`xxhash64(id)`
+   * rows, the same ids for every subspace, so joint and sequential
+   * training start identically and differ only in float accumulation
+   * order. Empty codes (no members this round) keep their previous
+   * entry, as in [[buildCentroids]].
+   *
+   * The collapse from m×(iters+1) jobs to iters+1 is what makes the
+   * inline index build benchable: at m=8 the sequential form spent its
+   * entire ~7s bench cost on job fan-out, not data.
+   */
+  private[operators] def trainCodebooks(
+      assigned: DataFrame, residCol: String, m: Int, dsub: Int,
+      ksub: Int, iters: Int,
+      enc: (Column, Seq[Seq[Seq[Double]]]) => Column)
+      : Array[Array[Seq[Double]]] = {
+    val seeds = assigned.withColumn("__h", xxhash64(col("__id")))
+      .orderBy(col("__h")).limit(ksub)
+      .select(col(residCol)).collect().map(_.getSeq[Double](0))
+    var books: Array[Array[Seq[Double]]] = Array.tabulate(m) { mi =>
+      seeds.map(v => v.slice(mi * dsub, (mi + 1) * dsub))
+    }
+    if (seeds.isEmpty) return books
+    (1 to iters).foreach { _ =>
+      val cb = books.toSeq.map(_.toSeq.map(_.toSeq))
+      val updated = assigned
+        .withColumn("__codes", enc(col(residCol), cb))
+        .select(col("__codes"), posexplode(col(residCol)))
+        .withColumn("mi", (col("pos") / lit(dsub)).cast("int"))
+        .select(col("mi"),
+          element_at(col("__codes"), col("mi") + 1).as("code"),
+          pmod(col("pos"), lit(dsub)).as("sp"),
+          col("col").as("v"))
+        .groupBy("mi", "code", "sp").agg(avg(col("v")).as("mean"))
+        .collect()
+      val means = updated.map(r =>
+        (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+      books = Array.tabulate(m) { mi =>
+        books(mi).zipWithIndex.map { case (old, code) =>
+          if (means.contains((mi, code, 0)))
+            Seq.tabulate(dsub)(sp => means((mi, code, sp)))
+          else old
+        }
+      }
+    }
+    books
+  }
 
   /**
    * IVF-PQ index build (Jégou–Douze–Schmid, "Product quantization for
@@ -436,14 +475,9 @@ object Similarity {
       .withColumn("__resid", zip_with(col("__cvn"),
         element_at(coarseLit, col("cell") + 1), (x, y) => x - y))
       .localCheckpoint(true)
-    val l2n = l2NearestFn(corpus, useNative)
-    val codebooks = (0 until m).map { mi =>
-      buildCentroids(
-        assigned.select(col("__id"),
-          slice(col("__resid"), mi * dsub + 1, dsub).as("__sub")),
-        "__id", "__sub", ksub, iters, l2n)
-    }.toArray
     val enc = pqEncodeFn(corpus, useNative)
+    val codebooks =
+      trainCodebooks(assigned, "__resid", m, dsub, ksub, iters, enc)
     val index = assigned.select(col("__id"), col("cell"),
       enc(col("__resid"), codebooks.toSeq.map(_.toSeq.map(_.toSeq)))
         .as("codes"))
