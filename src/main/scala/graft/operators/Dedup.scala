@@ -549,8 +549,12 @@ object Dedup {
                          useNative: Boolean = true): DataFrame = {
     val cos = Similarity.cosineFn(df, useNative)
     val nearest = Similarity.nearestCellFn(df, useNative, cos)
+    // pinned once: the Lloyd loop (iters + 1 jobs), the cell keying and
+    // the two pair-verification joins below all read this frame —
+    // unpinned, each re-runs the source scan + cast
     val vecs = df.select(col(idCol),
-      col(vecCol).cast("array<double>").as("v"))
+        col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint(true)
     val centroids = Similarity.buildCentroids(vecs, idCol, "v", nlist,
       iters, nearest)
     if (centroids.isEmpty)
@@ -633,7 +637,10 @@ object Dedup {
     val cos = Similarity.cosineFn(vecs, useNative)
     val nearest = Similarity.nearestCellFn(vecs, useNative, cos)
     val v = vecs.select(col(idCol).as("seen_id"),
-      col(vecCol).cast("array<double>").as("seen_vec"))
+        col(vecCol).cast("array<double>").as("seen_vec"))
+      // pinned for the same reason as `semanticDuplicates`: the Lloyd
+      // jobs and the final cell assignment all read it
+      .localCheckpoint(true)
     val centroids = Similarity.buildCentroids(v, "seen_id", "seen_vec",
       nlist, iters, nearest)
     if (centroids.isEmpty)

@@ -156,8 +156,14 @@ object Similarity {
     require(nlist >= 1, s"nlist must be >= 1, got $nlist")
     val cos = cosineFn(corpus, useNative)
     val nearest = nearestCellFn(corpus, useNative, cos)
+    // pin the projected corpus before the Lloyd loop: every iteration
+    // is its own job, and without the checkpoint each one re-runs the
+    // source scan + cast (iters + 2 parquet scans for one build). On a
+    // cluster the blocks spill MEMORY_AND_DISK per executor — the same
+    // one-materialization-many-iterations shape as `ivfpqIndex`.
     val c = corpus.select(col(corpusId),
-      col(corpusVec).cast("array<double>").as("cv"))
+        col(corpusVec).cast("array<double>").as("cv"))
+      .localCheckpoint(true)
 
     val centroids = buildCentroids(c, corpusId, "cv", nlist, iters, nearest)
 
@@ -461,6 +467,11 @@ object Similarity {
         corpus.select(col(corpusId).as("__id"), col(corpusVec).as("__cv")),
         "__cv", "__cvn")
       .select(col("__id"), col("__cvn"))
+      // one materialization for the whole build: the coarse Lloyd loop,
+      // the residual computation and the PQ training each launch jobs
+      // over this frame — unpinned, every one re-scans the source and
+      // re-normalizes (O(iters) redundant passes)
+      .localCheckpoint(true)
     val coarse = buildCentroids(c, "__id", "__cvn", nlist, iters, nearest)
     if (coarse.isEmpty)
       return (coarse, Array.empty,
