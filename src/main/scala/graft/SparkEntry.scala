@@ -2377,7 +2377,56 @@ object SparkEntry {
       },
       Some("""SELECT CAST(1 AS BIGINT) AS n_observations,
               CAST(0 AS BIGINT) AS n_dropped_buckets,
-              CAST(1 AS BIGINT) AS has_pairs""")))
+              CAST(1 AS BIGINT) AS has_pairs""")),
+
+    // BM25 retrieval over the inverted index: three fixed queries probe
+    // the corpus; the oracle replays the full Okapi/Lucene-idf formula
+    // in SQL. Deterministic: rank on the raw double score with a doc_id
+    // tiebreak, round only in the final projection (the q_tfidf
+    // discipline). Distinct-query-terms contract — the repeated word in
+    // query 2 must NOT double-count.
+    Q("q_bm25_search",
+      (s, d) => {
+        import s.implicits._
+        val queries = Seq((0L, "hash join"), (1L, "customer order data"),
+          (2L, "vector vector scan")).toDF("query_id", "qtext")
+        graft.functions.TextSearch.bm25Search(
+          s.read.parquet(pq(d, "documents")), "doc_id", "text",
+          queries, "query_id", "qtext", k = 5)
+      },
+      Some("""WITH q(query_id, qtext) AS (VALUES
+                (CAST(0 AS BIGINT), 'hash join'),
+                (CAST(1 AS BIGINT), 'customer order data'),
+                (CAST(2 AS BIGINT), 'vector vector scan')),
+              toks AS (SELECT doc_id,
+                  unnest(string_split_regex(lower(trim(text)), '\s+'))
+                    AS term
+                FROM documents WHERE length(trim(text)) > 0),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                FROM toks GROUP BY 1, 2),
+              dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+              stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              qt AS (SELECT DISTINCT query_id,
+                  unnest(string_split_regex(lower(trim(qtext)), '\s+'))
+                    AS term
+                FROM q),
+              scored AS (SELECT qt.query_id, tf.doc_id,
+                  SUM(LN(1 + (stats.n - dfreq.df + 0.5)
+                        / (dfreq.df + 0.5))
+                      * tf.tf * 2.2
+                      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                          / stats.avgdl))) AS raw
+                FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+                  JOIN dl USING (doc_id) CROSS JOIN stats
+                GROUP BY 1, 2)
+              SELECT query_id, doc_id, ROUND(raw, 4) AS score,
+                "rank"
+              FROM (SELECT query_id, doc_id, raw, ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY raw DESC, doc_id)
+                    AS "rank"
+                FROM scored)
+              WHERE "rank" <= 5""")))
 
   private val registry: Seq[Q] =
     parity ++ extensions ++ pipelines ++ round3 ++ round6

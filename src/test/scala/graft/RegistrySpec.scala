@@ -10,8 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("registry counts match the documented surface") {
-    assert(SparkEntry.queries.size == 117)
-    assert(SparkEntry.oracleSql.size == 111)
+    assert(SparkEntry.queries.size == 118)
+    assert(SparkEntry.oracleSql.size == 112)
   }
 
   test("every oracle belongs to a registered query") {

@@ -1,0 +1,103 @@
+package graft
+
+import graft.functions.TextSearch
+import org.apache.spark.sql.functions._
+
+class TextSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "spark joins data with data"),   // dl 5, "data" tf 2
+    (2L, "spark joins data"),             // dl 3, "data" tf 1
+    (3L, "spark spark spark spark"),      // dl 4, no "data"
+    (4L, "rare gem here"),                // dl 3, unique terms
+    (5L, "   ")                           // whitespace-only: no postings
+  ).toDF("doc_id", "text")
+
+  test("invertedIndex: tf, dl, and empty-text handling") {
+    val (postings, docLens) = TextSearch.invertedIndex(docs, "doc_id", "text")
+    val p = postings.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(p.contains(("data", 1L, 2L, 5L)))
+    assert(p.contains(("data", 2L, 1L, 3L)))
+    assert(p.contains(("spark", 3L, 4L, 4L)))
+    assert(!p.exists(_._2 == 5L), "whitespace-only doc must produce no postings")
+    val dl = docLens.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dl == Map(1L -> 5L, 2L -> 3L, 3L -> 4L, 4L -> 3L))
+  }
+
+  test("bm25: higher tf wins at equal length; missing term scores nothing") {
+    val q = Seq((10L, "data")).toDF("query_id", "qtext")
+    val res = TextSearch.bm25Search(docs, "doc_id", "text", q,
+      "query_id", "qtext", k = 10)
+      .orderBy("rank").collect()
+    // only docs 1 and 2 contain "data"
+    assert(res.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    // doc 1 has tf 2 but dl 5; tf dominates here
+    assert(res(0).getInt(3) == 1 && res(0).getLong(1) == 1L)
+  }
+
+  test("bm25: length normalization prefers the shorter doc at equal tf") {
+    val d = Seq(
+      (1L, "term pad pad pad pad pad pad pad"),
+      (2L, "term pad")
+    ).toDF("doc_id", "text")
+    val q = Seq((0L, "term")).toDF("query_id", "qtext")
+    val res = TextSearch.bm25Search(d, "doc_id", "text", q,
+      "query_id", "qtext", k = 2).orderBy("rank").collect()
+    assert(res(0).getLong(1) == 2L, "shorter doc must rank first under b > 0")
+    // b = 0 disables length normalization: equal tf scores tie, id breaks
+    val flat = TextSearch.bm25Search(d, "doc_id", "text", q,
+      "query_id", "qtext", k = 2, b = 0.0).orderBy("rank").collect()
+    assert(flat(0).getLong(1) == 1L)
+    assert(flat(0).getDouble(2) == flat(1).getDouble(2))
+  }
+
+  test("bm25: rarer term out-scores a common one (idf)") {
+    val q = Seq((0L, "gem"), (1L, "spark")).toDF("query_id", "qtext")
+    val res = TextSearch.bm25Search(docs, "doc_id", "text", q,
+      "query_id", "qtext", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(res(0L) > res(1L),
+      s"df=1 'gem' must out-score df=3 'spark': $res")
+  }
+
+  test("bm25: multi-term query sums contributions; repeated query word counts once") {
+    val q = Seq((0L, "spark data"), (1L, "spark data data")).toDF("query_id", "qtext")
+    val res = TextSearch.bm25Search(docs, "doc_id", "text", q,
+      "query_id", "qtext", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // distinct-terms contract: both queries identical
+    assert(res.keySet.map(_._1) == Set(0L, 1L))
+    res.collect { case ((0L, d), s) => assert(res((1L, d)) == s) }
+    // doc 3 matches only "spark" but still surfaces
+    assert(res.contains((0L, 3L)))
+  }
+
+  test("bm25: all-miss query yields no rows; k caps output") {
+    val q = Seq((0L, "absent words only"), (1L, "spark")).toDF("query_id", "qtext")
+    val res = TextSearch.bm25Search(docs, "doc_id", "text", q,
+      "query_id", "qtext", k = 2).collect()
+    assert(!res.exists(_.getLong(0) == 0L))
+    assert(res.count(_.getLong(0) == 1L) == 2)
+    assert(res.filter(_.getLong(0) == 1L).map(_.getInt(3)).toSet == Set(1, 2))
+  }
+
+  test("against-index form equals the inline form") {
+    val (postings, docLens) = TextSearch.invertedIndex(docs, "doc_id", "text")
+    val q = Seq((0L, "spark data"), (7L, "gem")).toDF("query_id", "qtext")
+    val a = TextSearch.bm25SearchAgainstIndex(postings, docLens, q,
+      "query_id", "qtext", k = 5).collect().toSet
+    val b = TextSearch.bm25Search(docs, "doc_id", "text", q,
+      "query_id", "qtext", k = 5).collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("empty corpus: empty, well-typed result") {
+    val q = Seq((0L, "spark")).toDF("query_id", "qtext")
+    val res = TextSearch.bm25Search(docs.limit(0), "doc_id", "text", q,
+      "query_id", "qtext", k = 3)
+    assert(res.count() == 0)
+    assert(res.columns.toSeq == Seq("query_id", "doc_id", "score", "rank"))
+  }
+}
