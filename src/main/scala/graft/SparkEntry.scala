@@ -2426,7 +2426,29 @@ object SparkEntry {
                   PARTITION BY query_id ORDER BY raw DESC, doc_id)
                     AS "rank"
                 FROM scored)
-              WHERE "rank" <= 5""")))
+              WHERE "rank" <= 5""")),
+
+    // bounded-memory heavy hitters: the Misra-Gries sketch nominates
+    // candidates (<= capacity counters per task, any cardinality), the
+    // recount pass restores exact counts — so the oracle is plain
+    // exact SQL. capacity 256 >> corpus vocabulary and >> n/(k-th
+    // count), putting the run deep inside the sketch's correctness
+    // window at every sf.
+    Q("q_heavy_hitters",
+      (s, d) => {
+        val toks = s.read.parquet(pq(d, "documents"))
+          .select(explode(graft.functions.TextAnalysis.tokens(
+            lower(col("text")))).as("term"))
+        graft.operators.Frequency.heavyHitters(toks, "term", k = 15,
+          capacity = 256)
+          .select(col("item").as("term"), col("cnt"))
+      },
+      Some("""WITH toks AS (SELECT
+                  unnest(string_split_regex(lower(trim(text)), '\s+'))
+                    AS term
+                FROM documents WHERE length(trim(text)) > 0)
+              SELECT term, COUNT(*) AS cnt FROM toks
+              GROUP BY term ORDER BY cnt DESC, term LIMIT 15""")))
 
   private val registry: Seq[Q] =
     parity ++ extensions ++ pipelines ++ round3 ++ round6

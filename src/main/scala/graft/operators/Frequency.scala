@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.plans.NativeFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Heavy hitters over unbounded-cardinality columns — "what are the
+ * most frequent tokens / URLs / user ids in this 100 TB column" with
+ * bounded memory everywhere.
+ *
+ * The engine piece is [[graft.plans.MisraGriesAgg]] (native Catalyst
+ * aggregate, ≤ `capacity` counters per task regardless of
+ * cardinality). This operator wraps it in the production two-pass
+ * shape: the sketch pass nominates candidates, then an exact
+ * re-count pass (one broadcast semi-join + a map-side-combined
+ * groupBy over JUST the candidate items) replaces the sketch's
+ * under-estimates with exact counts. The result: exact counts and
+ * deterministic output, while no task ever holds more than
+ * max(capacity, candidate-set) counters — the sketch bounds the
+ * memory, the re-count restores exactness.
+ *
+ * Correctness window, stated precisely: the Misra–Gries guarantee
+ * puts every item with true count > n/(capacity + 1) in the candidate
+ * set, so the re-counted top-k is THE true top-k whenever the k-th
+ * item clears that threshold; size `capacity` ≫ n/count(k-th) to make
+ * the window comfortable. With `recount = false` the sketch's own
+ * (under-)estimates are returned directly — one pass, no second scan,
+ * estimates low by at most n/(capacity + 1).
+ */
+object Frequency {
+
+  /**
+   * One-pass Misra–Gries summary of `itemCol`: `(item, est)` rows,
+   * at most `capacity`, est ≤ true count ≤ est + n/(capacity+1).
+   * Nulls are not counted. Works on any castable-to-string column.
+   */
+  def mgSummary(df: DataFrame, itemCol: String, capacity: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    NativeFunctions.register(df.sparkSession)
+    df.select(col(itemCol).cast("string").as("__it"))
+      .where(col("__it").isNotNull)
+      .agg(NativeFunctions.mgSummaryNative(col("__it"), capacity)
+        .as("__mg"))
+      .select(explode(col("__mg")).as("__e"))
+      .select(col("__e.item").as("item"), col("__e.cnt").as("est"))
+  }
+
+  /**
+   * Top-`k` most frequent values of `itemCol` as `(item, cnt)`,
+   * ordered (cnt desc, item asc). `recount = true` (default) re-counts
+   * the sketch's candidates exactly — output is exact top-k whenever
+   * the k-th item's count exceeds n/(capacity+1), and `cnt` is always
+   * the true count for the rows returned. `recount = false` returns
+   * the sketch's lower-bound estimates directly (single pass).
+   */
+  def heavyHitters(df: DataFrame, itemCol: String, k: Int,
+                   capacity: Int = 4096,
+                   recount: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cand = mgSummary(df, itemCol, capacity)
+    if (!recount)
+      cand.orderBy(col("est").desc, col("item"))
+        .limit(k)
+        .select(col("item"), col("est").as("cnt"))
+    else {
+      // candidate set ≤ capacity entries — broadcast by construction
+      val items = cand.select(col("item"))
+      df.select(col(itemCol).cast("string").as("item"))
+        .where(col("item").isNotNull)
+        .join(broadcast(items), Seq("item"), "left_semi")
+        .groupBy(col("item"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("item"))
+        .limit(k)
+    }
+  }
+}

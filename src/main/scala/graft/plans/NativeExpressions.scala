@@ -788,6 +788,7 @@ object NativeFunctions {
   val nearestCentroidName = "graft_nearest_centroid"
   val pqEncodeName = "graft_pq_encode"
   val pqAdcName = "graft_pq_adc"
+  val mgSummaryName = "graft_mg_summary"
 
   private def intLit(e: Expression): Int =
     e.eval(null) match {
@@ -858,7 +859,9 @@ object NativeFunctions {
     pqEncodeName -> ((exprs: Seq[Expression]) =>
       PqEncodeExpr(exprs.head, matrix3Lit(exprs(1)))),
     pqAdcName -> ((exprs: Seq[Expression]) =>
-      PqAdcExpr(exprs.head, exprs(1), matrix3Lit(exprs(2)))))
+      PqAdcExpr(exprs.head, exprs(1), matrix3Lit(exprs(2)))),
+    mgSummaryName -> ((exprs: Seq[Expression]) =>
+      MisraGriesAgg(exprs.head, intLit(exprs(1))).toAggregateExpression()))
 
   /** Idempotently register graft native functions on this session. */
   def register(spark: SparkSession): Unit = {
@@ -934,4 +937,11 @@ object NativeFunctions {
                   codebooks: Seq[Seq[Seq[Double]]]): Column =
     call_function(pqAdcName, q.cast("array<double>"), codes,
       org.apache.spark.sql.functions.typedlit(codebooks))
+
+  /** Misra–Gries frequent-items summary aggregate →
+    * `array<struct<item, cnt>>` (cnt desc, item asc); at most
+    * `capacity` entries regardless of input cardinality. */
+  def mgSummaryNative(item: Column, capacity: Int): Column =
+    call_function(mgSummaryName, item,
+      org.apache.spark.sql.functions.lit(capacity))
 }

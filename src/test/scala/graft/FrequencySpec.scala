@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.Frequency
+import graft.plans.NativeFunctions
+import org.apache.spark.sql.functions._
+
+class FrequencySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Zipf-ish multiset: item i (1..n) appears `freq(i)` times. */
+  private def skewed(n: Int, freq: Int => Int) =
+    (1 to n).flatMap(i => Seq.fill(freq(i))(f"item_$i%04d"))
+
+  test("exact regime: capacity >= cardinality reproduces exact counts") {
+    val data = skewed(20, i => 21 - i) // item_0001 x20 ... item_0020 x1
+    val df = scala.util.Random.shuffle(data).toDF("v").repartition(8)
+    val hh = Frequency.heavyHitters(df, "v", k = 5, capacity = 64,
+      recount = false).collect()
+    assert(hh.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(
+      ("item_0001", 20L), ("item_0002", 19L), ("item_0003", 18L),
+      ("item_0004", 17L), ("item_0005", 16L)))
+  }
+
+  test("sketch regime: MG bound holds and heavy items survive") {
+    // 5 heavy items (1000 each) + 2000 singletons, capacity 64:
+    // threshold n/(cap+1) = 7000/65 ≈ 108 << 1000 — all heavies must
+    // be candidates with est within the bound
+    val data = skewed(5, _ => 1000) ++
+      (1 to 2000).map(i => f"noise_$i%05d")
+    val df = scala.util.Random.shuffle(data).toDF("v").repartition(16)
+    val sum = Frequency.mgSummary(df, "v", capacity = 64).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sum.size <= 64)
+    val n = data.size
+    val bound = n / 65 + 1
+    (1 to 5).foreach { i =>
+      val est = sum.getOrElse(f"item_$i%04d", 0L)
+      assert(est >= 1000 - bound && est <= 1000,
+        s"item_$i est $est outside [${1000 - bound}, 1000]")
+    }
+  }
+
+  test("recount restores exact counts and exact top-k in the sketch regime") {
+    val data = skewed(5, _ => 1000) ++
+      (1 to 2000).map(i => f"noise_$i%05d")
+    val df = scala.util.Random.shuffle(data).toDF("v").repartition(16)
+    val hh = Frequency.heavyHitters(df, "v", k = 5, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(hh.toSeq == (1 to 5).map(i => (f"item_$i%04d", 1000L)))
+  }
+
+  test("partition-count invariance of the recounted result") {
+    val data = skewed(8, i => 100 * (9 - i)) ++
+      (1 to 500).map(i => f"noise_$i%05d")
+    def run(parts: Int) =
+      Frequency.heavyHitters(data.toDF("v").repartition(parts), "v",
+        k = 8, capacity = 32).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(run(1) == run(32))
+  }
+
+  test("nulls are ignored; empty input yields empty output") {
+    val df = Seq(Some("a"), None, Some("a"), Some("b"), None)
+      .toDF("v")
+    val hh = Frequency.heavyHitters(df, "v", k = 3, capacity = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(hh.toSeq == Seq(("a", 2L), ("b", 1L)))
+    assert(Frequency.heavyHitters(df.limit(0), "v", 3, 8).count() == 0)
+  }
+
+  test("grouped usage: per-group summaries via the raw aggregate") {
+    NativeFunctions.register(spark)
+    val df = Seq(("g1", "x"), ("g1", "x"), ("g1", "y"),
+      ("g2", "z")).toDF("g", "v")
+    val out = df.groupBy("g")
+      .agg(NativeFunctions.mgSummaryNative(col("v"), 8).as("s"))
+      .select(col("g"), explode(col("s")).as("e"))
+      .select(col("g"), col("e.item"), col("e.cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(out == Set(("g1", "x", 2L), ("g1", "y", 1L), ("g2", "z", 1L)))
+  }
+
+  test("tie-break and eval ordering: cnt desc then item asc") {
+    val df = Seq("b", "a", "c", "a", "b", "c").toDF("v")
+    val sum = Frequency.mgSummary(df, "v", capacity = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sum == Seq(("a", 2L), ("b", 2L), ("c", 2L)))
+  }
+}
