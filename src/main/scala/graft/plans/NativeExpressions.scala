@@ -268,6 +268,64 @@ case class NearestCentroidExpr(child: Expression,
 }
 
 /**
+ * Rank bucketization: bucket id = number of `boundaries` ≤ value, via
+ * binary search over a sorted, distinct cut-point array carried as a
+ * codegen REFERENCE OBJECT — the generated source is identical
+ * whatever the boundaries, so Janino compiles once, and 4095 cut
+ * points cost 12 compares per row instead of 4095 literal expression
+ * nodes (the form that stops scaling past ~100 args). Built for
+ * [[graft.sources.ZOrder]]'s skew-robust quantile mode; generally a
+ * streaming-free `ntile` replacement when boundaries are known.
+ * NaN sorts above every boundary (top bucket, matching Spark's
+ * NaN-is-largest ordering); null in → null out.
+ */
+case class BucketizeExpr(child: Expression, boundaries: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires double input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "graft_bucketize"
+
+  override def nullSafeEval(input: Any): Any =
+    BucketizeExpr.bucketOf(input.asInstanceOf[Double], boundaries)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("boundaries", boundaries, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |${ev.value} = graft.plans.BucketizeExpr.bucketOf($v, $b);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BucketizeExpr = copy(child = newChild)
+}
+
+object BucketizeExpr {
+  /** Number of boundaries ≤ v (boundaries sorted, distinct). NaN
+    * counts every boundary — Spark orders NaN largest. Shared by the
+    * interpreted and generated paths so they cannot drift. */
+  def bucketOf(v: Double, boundaries: Array[Double]): Long = {
+    if (java.lang.Double.isNaN(v)) return boundaries.length.toLong
+    var lo = 0
+    var hi = boundaries.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (boundaries(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+}
+
+/**
  * Unicode normalization (NFC/NFD/NFKC/NFKD) — text canonicalization for
  * dedup and fingerprinting: composed vs decomposed forms of the same
  * glyph ("é" as U+00E9 vs "e"+U+0301) must hash identically or every
@@ -789,6 +847,7 @@ object NativeFunctions {
   val pqEncodeName = "graft_pq_encode"
   val pqAdcName = "graft_pq_adc"
   val mgSummaryName = "graft_mg_summary"
+  val bucketizeName = "graft_bucketize"
 
   private def intLit(e: Expression): Int =
     e.eval(null) match {
@@ -804,6 +863,13 @@ object NativeFunctions {
       case s: String => s
       case other => throw new IllegalArgumentException(
         s"expected string literal, got $other")
+    }
+
+  private def vectorLit(e: Expression): Array[Double] =
+    e.eval(null) match {
+      case a: ArrayData => a.toDoubleArray()
+      case other => throw new IllegalArgumentException(
+        s"expected array<double> literal, got $other")
     }
 
   private def matrixLit(e: Expression): Array[Array[Double]] =
@@ -861,7 +927,9 @@ object NativeFunctions {
     pqAdcName -> ((exprs: Seq[Expression]) =>
       PqAdcExpr(exprs.head, exprs(1), matrix3Lit(exprs(2)))),
     mgSummaryName -> ((exprs: Seq[Expression]) =>
-      MisraGriesAgg(exprs.head, intLit(exprs(1))).toAggregateExpression()))
+      MisraGriesAgg(exprs.head, intLit(exprs(1))).toAggregateExpression()),
+    bucketizeName -> ((exprs: Seq[Expression]) =>
+      BucketizeExpr(exprs.head, vectorLit(exprs(1)))))
 
   /** Idempotently register graft native functions on this session. */
   def register(spark: SparkSession): Unit = {
@@ -944,4 +1012,10 @@ object NativeFunctions {
   def mgSummaryNative(item: Column, capacity: Int): Column =
     call_function(mgSummaryName, item,
       org.apache.spark.sql.functions.lit(capacity))
+
+  /** Rank bucket id = number of sorted `boundaries` ≤ value (binary
+    * search; boundaries ride as a codegen reference object). */
+  def bucketizeNative(v: Column, boundaries: Seq[Double]): Column =
+    call_function(bucketizeName, v.cast("double"),
+      org.apache.spark.sql.functions.typedlit(boundaries))
 }

@@ -21,13 +21,12 @@ import org.apache.spark.sql.functions._
  * slicing (time × tenant, orderkey × partkey): pay one range shuffle
  * at write time, skip at every query after.
  *
- * Bucketization is linear min/max scaling to `bits`-bit bucket ids —
- * one aggregation pass, two doubles per column to the driver (the
- * documented bounded-collect class). Linear scaling is skew-sensitive:
- * a heavy-hitter value squeezes the rest of the domain into few
- * buckets. The upgrade path, noted not built, is rank bucketization
- * via approximate quantiles; the interleave and write path are
- * unchanged by it.
+ * Bucketization is linear min/max scaling by default — one aggregation
+ * pass, two doubles per column to the driver (the documented
+ * bounded-collect class) — with a skew-robust `"quantile"` mode (rank
+ * bucketization over `approxQuantile` cut points) for heavy-hitter
+ * distributions; see [[withZKey]]. The interleave and write path are
+ * identical in both modes.
  */
 object ZOrder {
 
@@ -56,28 +55,63 @@ object ZOrder {
   /**
    * Append a Morton key column computed from `cols` (numeric or
    * date/timestamp — anything castable to double): each column is
-   * linearly bucketized to `[0, 2^bits)` using its own min/max from
-   * ONE aggregation pass, then bit-interleaved. Nulls and degenerate
-   * columns (min == max, or all null) land in bucket 0.
+   * bucketized to `[0, 2^bits)`, then bit-interleaved. Nulls and
+   * degenerate columns (min == max, or all null) land in bucket 0.
+   *
+   * Two bucketizers:
+   *  - `"linear"` (default): min/max scaling from ONE aggregation
+   *    pass. Cheapest, but skew-sensitive — a heavy-hitter value
+   *    squeezes the rest of the domain into few buckets, and those
+   *    buckets' row-group stats go wide.
+   *  - `"quantile"`: rank bucketization over `approxQuantile` cut
+   *    points (Greenwald–Khanna sketch, one pass, driver state
+   *    2^bits doubles per column — the bounded-collect class). Every
+   *    bucket holds ~equal ROW COUNT whatever the distribution, so
+   *    file/row-group boundaries stay balanced under Zipfian keys —
+   *    the right mode for tenant ids, counts, prices. Assignment is
+   *    a binary search per row ([[graft.plans.BucketizeExpr]],
+   *    codegen'd, boundaries as a reference object).
    */
   def withZKey(df: DataFrame, cols: Seq[String], bits: Int = 12,
-               keyCol: String = "__zkey"): DataFrame = {
+               keyCol: String = "__zkey",
+               bucketize: String = "linear",
+               relativeError: Double = 0.001): DataFrame = {
     require(cols.nonEmpty, "need at least one z-order column")
     require(bits >= 1 && bits * cols.length <= 63,
       s"bits * columns must fit a long: got $bits * ${cols.length}")
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"__mn_$c"),
-      max(col(c).cast("double")).as(s"__mx_$c")))
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    require(bucketize == "linear" || bucketize == "quantile",
+      s"bucketize must be linear or quantile, got $bucketize")
     val top = (1L << bits) - 1
-    val buckets = cols.zipWithIndex.map { case (c, i) =>
-      val mn = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
-      val mx = if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1)
-      val span = mx - mn
-      if (span <= 0) lit(0L)
-      else least(lit(top), greatest(lit(0L),
-        ((col(c).cast("double") - lit(mn)) / lit(span) * top)
-          .cast("long")))
+    val buckets = if (bucketize == "linear") {
+      val aggs = cols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c")))
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      cols.zipWithIndex.map { case (c, i) =>
+        val mn = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
+        val mx = if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1)
+        val span = mx - mn
+        if (span <= 0) lit(0L)
+        else least(lit(top), greatest(lit(0L),
+          ((col(c).cast("double") - lit(mn)) / lit(span) * top)
+            .cast("long")))
+      }
+    } else {
+      graft.plans.NativeFunctions.register(df.sparkSession)
+      val projected = df.select(cols.zipWithIndex.map { case (c, i) =>
+        col(c).cast("double").as(s"__q_$i")
+      }: _*)
+      val probes = (1 until (1 << bits)).map(_.toDouble / (1 << bits))
+      val cuts = projected.stat.approxQuantile(
+        cols.indices.map(i => s"__q_$i").toArray,
+        probes.toArray, relativeError)
+      cols.zipWithIndex.map { case (c, i) =>
+        // distinct: approxQuantile repeats a cut at heavy-hitter
+        // values; duplicates would burn bucket ids on one value
+        val b = cuts(i).distinct.sorted.toSeq
+        if (b.isEmpty) lit(0L) // all-null column
+        else graft.plans.NativeFunctions.bucketizeNative(col(c), b)
+      }
     }
     df.withColumn(keyCol, interleaveBits(buckets, bits))
   }
@@ -94,8 +128,9 @@ object ZOrder {
    */
   def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
                     bits: Int = 12, numFiles: Int = 0,
-                    maxRecordsPerFile: Long = 0L): Unit = {
-    val keyed = withZKey(df, cols, bits)
+                    maxRecordsPerFile: Long = 0L,
+                    bucketize: String = "linear"): Unit = {
+    val keyed = withZKey(df, cols, bits, bucketize = bucketize)
     val ranged =
       if (numFiles > 0) keyed.repartitionByRange(numFiles, col("__zkey"))
       else keyed.repartitionByRange(col("__zkey"))

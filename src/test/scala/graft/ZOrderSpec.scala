@@ -89,4 +89,60 @@ class ZOrderSpec extends SparkSpec {
       r.getString(2))).toSet ==
       Set((1L, 10L, "x"), (2L, 20L, "y"), (3L, 30L, "z")))
   }
+
+  test("quantile bucketization spreads a Zipfian column evenly where " +
+      "linear collapses it") {
+    // exponentially distributed values (1, 2, 4, ... 2^19, each 5% of
+    // rows): under min/max scaling everything below max/64 — 70% of
+    // the mass — collapses into bucket 0, and only ~7 buckets are
+    // used at all; rank cut points give each value its own bucket
+    val n = 20000
+    val df = spark.range(n).select(
+      pow(lit(2.0), (col("id") % 20).cast("double")).cast("long").as("a"),
+      col("id").as("payload"))
+    def spread(mode: String): (Long, Long) = {
+      val keyed = ZOrder.withZKey(df, Seq("a"), bits = 6,
+        bucketize = mode)
+      val occ = keyed.groupBy(col("__zkey")).count()
+        .agg(count(lit(1)), max(col("count"))).collect()(0)
+      (occ.getLong(0), occ.getLong(1))
+    }
+    val (linBuckets, linMax) = spread("linear")
+    val (qBuckets, qMax) = spread("quantile")
+    assert(linBuckets <= 8,
+      s"linear on exponential data uses few buckets: $linBuckets")
+    assert(linMax >= (n * 6L) / 10,
+      s"linear should pile most rows into one bucket: $linMax")
+    assert(qBuckets >= 16,
+      s"quantile mode should use ~one bucket per value: $qBuckets")
+    assert(qMax <= n / 10,
+      s"no quantile bucket should exceed one value's mass: $qMax")
+  }
+
+  test("quantile mode: bucket ids are rank-monotone and null-safe") {
+    val df = Seq[Option[Long]](Some(5L), Some(1L), None, Some(9L),
+      Some(7L), Some(3L)).toDF("a")
+    val keyed = ZOrder.withZKey(df, Seq("a"), bits = 2,
+      bucketize = "quantile")
+      .select(col("a"), col("__zkey")).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1)))
+    val nonNull = keyed.collect { case (Some(v), k) => (v, k) }.sortBy(_._1)
+    assert(nonNull.map(_._2).toSeq == nonNull.map(_._2).sorted.toSeq,
+      s"bucket ids must be monotone in value: ${nonNull.toSeq}")
+    assert(nonNull.map(_._2).distinct.length > 1, "buckets must split")
+    assert(keyed.collect { case (None, k) => k }.forall(_ == 0L),
+      "nulls land in bucket 0")
+  }
+
+  test("quantile round-trip equals linear round-trip content") {
+    val df = Seq((1L, 10L, "x"), (2L, 20L, "y"), (3L, 30L, "z"))
+      .toDF("a", "b", "s")
+    val dir = tmpDir() + "/zq"
+    ZOrder.writeZOrdered(df, dir, Seq("a", "b"), bits = 4,
+      bucketize = "quantile")
+    val back = spark.read.parquet(dir)
+    assert(back.columns.sorted.toSeq == Seq("a", "b", "s"))
+    assert(back.count() == 3)
+  }
 }
