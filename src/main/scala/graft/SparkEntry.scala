@@ -1790,13 +1790,7 @@ object SparkEntry {
     // row-group pruning; here the driver checks the round-trip answer)
     Q("q_zorder_skipping",
       (s, d) => {
-        val li = s.read.parquet(pq(d, "lineitem"))
-          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-zorder").toString
-        graft.sources.ZOrder.writeZOrdered(li, dir,
-          Seq("l_orderkey", "l_partkey"), bits = 10, numFiles = 16)
-        s.read.parquet(dir)
+        s.read.parquet(zorderFixture(s, d))
           .where(col("l_orderkey") <= 6000 && col("l_partkey") <= 200)
           .agg(count(lit(1)).as("n"),
             round(sum(col("l_quantity")), 4).as("qty"))
@@ -2193,6 +2187,43 @@ object SparkEntry {
     }
     (java.nio.file.Files.readAllBytes(sketchFile.toPath),
       s.read.parquet(new java.io.File(root, "bands").toString))
+  }
+
+  /** Lazily-materialized Z-ordered lineitem fixture, same content-keyed
+    * + atomic-publish + self-heal discipline as [[admissionState]]:
+    * built once per testdata identity and REUSED — earlier revisions
+    * rebuilt the clustered copy into a fresh never-deleted temp dir on
+    * EVERY query construction (each bench warmup/run, each Verify,
+    * each PlanGuard plan), leaking a full table copy per call. The
+    * steady-state bench number now measures the read-side skipping,
+    * which is the operator's claim — the one-time write cost is the
+    * build, exercised by ZOrderSpec. */
+  private def zorderFixture(s: SparkSession, d: String): String = {
+    val src = new java.io.File(d, "lineitem.parquet")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d|${src.length}|${src.lastModified}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_zorder_$key")
+    def complete: Boolean =
+      new java.io.File(root, "_SUCCESS").isFile &&
+      Option(root.listFiles).exists(_.exists(f =>
+        f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")))
+    if (root.exists() && !complete)
+      try org.apache.commons.io.FileUtils.deleteDirectory(root)
+      catch { case scala.util.control.NonFatal(_) => () }
+    if (!complete) {
+      val tmp = new java.io.File(root.getParentFile,
+        root.getName + ".build" + System.nanoTime())
+      val li = s.read.parquet(pq(d, "lineitem"))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      graft.sources.ZOrder.writeZOrdered(li, tmp.toString,
+        Seq("l_orderkey", "l_partkey"), bits = 10, numFiles = 16)
+      if (!tmp.renameTo(root))
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+    root.toString
   }
 
   private val round6: Seq[Q] = Seq(

@@ -448,9 +448,11 @@ object Similarity {
    * documented bounded-collect class).
    *
    * The assigned+residual frame is localCheckpoint'ed before codebook
-   * training: training runs m × (iters+1) jobs over it, and without
-   * truncation each would recompute normalize+assign+residual lineage
-   * (use reliable checkpointing on a cluster).
+   * training: the joint [[trainCodebooks]] loop runs iters+1 jobs over
+   * it (one per Lloyd pass regardless of `m` — see its scaladoc), and
+   * without truncation each would recompute the
+   * normalize+assign+residual lineage (use reliable checkpointing on a
+   * cluster).
    */
   def ivfpqIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
                  nlist: Int = 16, m: Int = 8, ksub: Int = 16,

@@ -671,33 +671,49 @@ case class PqEncodeExpr(child: Expression,
 
   override def prettyName: String = "graft_pq_encode"
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
-    val n = v.numElements()
+  // NULL-vector and short-vector parity with the HOF reference: there,
+  // a null vector nulls every slice and a too-short vector nulls at
+  // least one zip_with term, so every candidate's distance goes null
+  // and least-of-structs falls through to the code tiebreak → code 0.
+  // Hence: null vector → all-zero codes (NOT null), incomplete
+  // subspace → code 0 — eval overridden because the default
+  // null-propagation would return NULL instead.
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val in = child.eval(input)
     val codes = new Array[Any](codebooks.length)
+    if (in == null) {
+      var z = 0
+      while (z < codes.length) { codes(z) = 0; z += 1 }
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+    }
+    val v = in.asInstanceOf[ArrayData]
+    val n = v.numElements()
     var off = 0
     var m = 0
     while (m < codebooks.length) {
       val book = codebooks(m)
       val dsub = book(0).length
-      var best = Double.PositiveInfinity
       var bestCode = 0
-      var j = 0
-      while (j < book.length) {
-        val ct = book(j)
-        var d = 0.0
-        var i = 0
-        val lim = math.min(dsub, math.max(n - off, 0))
-        while (i < lim) {
-          val diff = v.getDouble(off + i) - ct(i)
-          d += diff * diff
-          i += 1
+      if (n - off >= dsub) {
+        var best = Double.PositiveInfinity
+        var j = 0
+        while (j < book.length) {
+          val ct = book(j)
+          var d = 0.0
+          var i = 0
+          while (i < dsub) {
+            val diff = v.getDouble(off + i) - ct(i)
+            d += diff * diff
+            i += 1
+          }
+          if (org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+              .compareDoubles(d, best) < 0) {
+            best = d; bestCode = j
+          }
+          j += 1
         }
-        if (org.apache.spark.sql.catalyst.util.SQLOrderingUtil
-            .compareDoubles(d, best) < 0) {
-          best = d; bestCode = j
-        }
-        j += 1
       }
       codes(m) = bestCode
       off += dsub
@@ -747,6 +763,25 @@ case class PqAdcExpr(left: Expression, right: Expression,
 
   override def prettyName: String = "graft_pq_adc"
 
+  // Degraded-input parity with the HOF reference: there, a NULL codes
+  // ARRAY makes get(codes, m) null for every subspace, each range-
+  // guarded CaseWhen falls to otherwise(0.0), and the sum is 0.0 —
+  // EVEN when the query is also null, since the when-condition short-
+  // circuits before any dot(). A null QUERY with usable codes nulls
+  // every dot() on the HOF side → null here as well. So: codes-null
+  // wins (0.0), then query-null (null). eval/doGenCode handle nulls
+  // manually because the default both-null-propagate contract differs
+  // from this.
+  override def nullable: Boolean = left.nullable
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val c = right.eval(input)
+    if (c == null) return 0.0
+    val q = left.eval(input)
+    if (q == null) return null
+    nullSafeEval(q, c)
+  }
+
   override def nullSafeEval(q: Any, c: Any): Any = {
     val qv = q.asInstanceOf[ArrayData]
     val codes = c.asInstanceOf[ArrayData]
@@ -781,20 +816,29 @@ case class PqAdcExpr(left: Expression, right: Expression,
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     val books = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
-    nullSafeCodeGen(ctx, ev, (q, c) => {
-      val n = ctx.freshName("n")
-      val s = ctx.freshName("s")
-      val off = ctx.freshName("off")
-      val m = ctx.freshName("m")
-      val mLim = ctx.freshName("mLim")
-      val book = ctx.freshName("book")
-      val dsub = ctx.freshName("dsub")
-      val code = ctx.freshName("code")
-      val ct = ctx.freshName("ct")
-      val i = ctx.freshName("i")
-      val lim = ctx.freshName("lim")
-      val p = ctx.freshName("p")
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val q = leftGen.value
+    val c = rightGen.value
+    val n = ctx.freshName("n")
+    val s = ctx.freshName("s")
+    val off = ctx.freshName("off")
+    val m = ctx.freshName("m")
+    val mLim = ctx.freshName("mLim")
+    val book = ctx.freshName("book")
+    val dsub = ctx.freshName("dsub")
+    val code = ctx.freshName("code")
+    val ct = ctx.freshName("ct")
+    val i = ctx.freshName("i")
+    val lim = ctx.freshName("lim")
+    val p = ctx.freshName("p")
+    // manual null handling (not nullSafeCodeGen): a null codes array
+    // must yield 0.0 — the HOF parity contract, codes-null takes
+    // precedence — while a null query with usable codes stays null;
+    // see the eval override above
+    val loop =
       s"""
          |final int $n = $q.numElements();
          |double $s = 0.0;
@@ -819,7 +863,37 @@ case class PqAdcExpr(left: Expression, right: Expression,
          |}
          |${ev.value} = $s;
        """.stripMargin
-    })
+    val leftAndLoop =
+      s"""
+         |${leftGen.code}
+         |if (${leftGen.isNull}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  $loop
+         |}
+       """.stripMargin
+    if (left.nullable) {
+      ev.copy(code =
+        code"""
+          |${rightGen.code}
+          |boolean ${ev.isNull} = false;
+          |double ${ev.value} = 0.0;
+          |if (!${rightGen.isNull}) {
+          |  $leftAndLoop
+          |}
+        """.stripMargin)
+    } else {
+      ev.copy(code =
+        code"""
+          |${rightGen.code}
+          |double ${ev.value} = 0.0;
+          |if (!${rightGen.isNull}) {
+          |  ${leftGen.code}
+          |  $loop
+          |}
+        """.stripMargin,
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+    }
   }
 
   override protected def withNewChildrenInternal(

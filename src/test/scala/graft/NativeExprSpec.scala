@@ -244,6 +244,53 @@ class NativeExprSpec extends SparkSpec {
     assert(math.abs(got.getDouble(0) - expect) < 1e-12)
   }
 
+  test("PQ null-input parity: null/short VECTORS encode to code 0; a " +
+      "NULL codes array scores 0.0; a null query scores null — both paths") {
+    NativeFunctions.register(spark)
+    val books: Seq[Seq[Seq[Double]]] = (0 until 2).map(m =>
+      (0 until 3).map(j =>
+        Seq.tabulate(2)(i => math.cos(m * 100 + j * 10 + i))))
+    val df = Seq(1).toDF("one").select(
+      lit(null).cast("array<double>").as("nullv"),
+      typedlit(Seq(0.9, 0.9, 0.9)).as("shortv"), // 3 < 2 subspaces x 2
+      typedlit(Seq.tabulate(4)(i => math.sin(i.toDouble))).as("q"),
+      lit(null).cast("array<int>").as("nullCodes"))
+    val got = df.select(
+        NativeFunctions.pqEncodeNative(col("nullv"), books).as("nn"),
+        Similarity.pqEncode(col("nullv"), books).as("hn"),
+        NativeFunctions.pqEncodeNative(col("shortv"), books).as("nsv"),
+        Similarity.pqEncode(col("shortv"), books).as("hsv"),
+        NativeFunctions.pqAdcNative(col("q"), col("nullCodes"), books)
+          .as("nc"),
+        Similarity.pqAdc(col("q"), col("nullCodes"), books).as("hc"),
+        NativeFunctions.pqAdcNative(col("nullv"),
+          Similarity.pqEncode(col("q"), books), books).as("nq"),
+        Similarity.pqAdc(col("nullv"),
+          Similarity.pqEncode(col("q"), books), books).as("hq"),
+        NativeFunctions.pqAdcNative(col("nullv"), col("nullCodes"), books)
+          .as("nboth"),
+        Similarity.pqAdc(col("nullv"), col("nullCodes"), books)
+          .as("hboth"))
+      .collect()(0)
+    // null vector → all-zero codes on BOTH paths (least-of-structs
+    // falls through null distances to the code tiebreak)
+    assert(got.getSeq[Int](0) == Seq(0, 0))
+    assert(got.getSeq[Int](1) == Seq(0, 0))
+    // short vector: subspace 0 complete (argmin may be nonzero),
+    // subspace 1 incomplete → code 0; paths agree exactly
+    assert(got.getSeq[Int](2) == got.getSeq[Int](3))
+    assert(got.getSeq[Int](2)(1) == 0)
+    // NULL codes array → 0.0, not null, on BOTH paths
+    assert(!got.isNullAt(4) && got.getDouble(4) == 0.0)
+    assert(!got.isNullAt(5) && got.getDouble(5) == 0.0)
+    // null query with USABLE codes → null on BOTH paths
+    assert(got.isNullAt(6) && got.isNullAt(7))
+    // both null: codes-null wins → 0.0 on BOTH paths (the HOF
+    // CaseWhen short-circuits before any dot)
+    assert(!got.isNullAt(8) && got.getDouble(8) == 0.0)
+    assert(!got.isNullAt(9) && got.getDouble(9) == 0.0)
+  }
+
   test("semanticDuplicates native and HOF assignment paths agree") {
     val emb = (0 until 60).map(i =>
       (i.toLong, Seq.tabulate(8)(j => math.cos(i * 8 + j)))) ++
