@@ -47,6 +47,35 @@ object Frequency {
   }
 
   /**
+   * Driver-side n-way merge of Misra–Gries summaries — the SAME rule
+   * as [[graft.plans.MisraGriesAgg.merge]] (Agarwal et al., mergeable
+   * summaries): sum counters keywise; while over `capacity`, subtract
+   * the (capacity+1)-th largest count and drop the non-positive. Each
+   * input is ≤ capacity entries, so this is KBs of driver work — the
+   * read-time combiner for summaries persisted per micro-batch /
+   * per day / per source by
+   * [[graft.streaming.FrequencyMonitor]]-style logs. The merged
+   * result keeps the MG guarantee with error bounded by
+   * Σ n_i / (capacity + 1). Output sorted (est desc, item asc).
+   */
+  def mergeSummaries(summaries: Seq[Seq[(String, Long)]],
+                     capacity: Int): Seq[(String, Long)] = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val acc = scala.collection.mutable.HashMap.empty[String, Long]
+    summaries.foreach { s =>
+      s.foreach { case (k, c) => acc.update(k, acc.getOrElse(k, 0L) + c) }
+      if (acc.size > capacity) {
+        val counts = acc.values.toArray
+        java.util.Arrays.sort(counts)
+        val cut = counts(counts.length - capacity - 1)
+        acc.mapValuesInPlace((_, c) => c - cut)
+        acc.filterInPlace((_, c) => c > 0L)
+      }
+    }
+    acc.toSeq.sortBy { case (k, c) => (-c, k) }
+  }
+
+  /**
    * Top-`k` most frequent values of `itemCol` as `(item, cnt)`,
    * ordered (cnt desc, item asc). `recount = true` (default) re-counts
    * the sketch's candidates exactly — output is exact top-k whenever

@@ -84,6 +84,20 @@ class FrequencySpec extends SparkSpec {
     assert(out == Set(("g1", "x", 2L), ("g1", "y", 1L), ("g2", "z", 1L)))
   }
 
+  test("mergeSummaries: keywise sum, then the (capacity+1)-th-largest " +
+      "cut — the MisraGriesAgg.merge rule, hand-computed") {
+    val merged = Frequency.mergeSummaries(Seq(
+      Seq(("a", 5L), ("b", 4L), ("c", 3L)),
+      Seq(("b", 2L), ("d", 2L))), capacity = 3)
+    // raw sums a5 b6 c3 d2 → size 4 > 3 → cut 4th-largest (2):
+    // b4 a3 c1, d dropped
+    assert(merged == Seq(("b", 4L), ("a", 3L), ("c", 1L)))
+    // under capacity: plain keywise sum, sorted (est desc, item asc)
+    assert(Frequency.mergeSummaries(Seq(Seq(("x", 1L)), Seq(("y", 1L))),
+      capacity = 8) == Seq(("x", 1L), ("y", 1L)))
+    assert(Frequency.mergeSummaries(Nil, 4) == Nil)
+  }
+
   test("tie-break and eval ordering: cnt desc then item asc") {
     val df = Seq("b", "a", "c", "a", "b", "c").toDF("v")
     val sum = Frequency.mgSummary(df, "v", capacity = 8).collect()

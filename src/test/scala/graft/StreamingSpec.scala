@@ -641,4 +641,70 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(sketch))
     org.apache.spark.util.sketch.BloomFilter.readFrom(fixed)
   }
+
+  test("streamingHeavyHitters: per-batch summaries merge to exact " +
+      "counts across batches") {
+    import graft.streaming.FrequencyMonitor
+    val inDir = tmpDir()
+    val ckDir = tmpDir()
+    val outDir = tmpDir() + "/hh"
+    // batch 1: a x3, b x2, c x1
+    (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("c")).toDF("v")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    FrequencyMonitor.streamingHeavyHitters(
+      spark.readStream.schema("v STRING").parquet(inDir), "v",
+      capacity = 16, outDir, ckDir).awaitTermination()
+    val after1 = FrequencyMonitor.runningTopK(spark, outDir, 16, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(after1 == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+    // batch 2 (same checkpoint → only the new file): b x4, d x2.
+    // capacity ≥ cardinality → merged summary must be the EXACT union
+    (Seq.fill(4)("b") ++ Seq.fill(2)("d")).toDF("v")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    FrequencyMonitor.streamingHeavyHitters(
+      spark.readStream.schema("v STRING").parquet(inDir), "v",
+      capacity = 16, outDir, ckDir).awaitTermination()
+    val merged = FrequencyMonitor.runningTopK(spark, outDir, 16, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(merged == Seq(("b", 6L), ("a", 3L), ("c", 1L), ("d", 2L))
+      .sortBy { case (k, c) => (-c, k) })
+    // n_total rides the merged view
+    val n = FrequencyMonitor.runningTopK(spark, outDir, 16, 1)
+      .select("n_total").as[Long].collect()(0)
+    assert(n == 12L)
+    // the log keeps the per-batch trajectory: two distinct batch keys
+    assert(spark.read.parquet(outDir)
+      .select("batch_key").distinct().count() == 2)
+  }
+
+  test("streamingHeavyHitters: empty batches write nothing; merged " +
+      "bound holds at small capacity") {
+    import graft.streaming.FrequencyMonitor
+    val inDir = tmpDir()
+    val ckDir = tmpDir()
+    val outDir = tmpDir() + "/hh"
+    // heavy item x200 + 100 singletons, capacity 8:
+    // bound = 300/9 ≈ 33 << 200 — the heavy must survive the merge
+    val data = Seq.fill(200)("heavy") ++ (1 to 100).map(i => s"n_$i")
+    new scala.util.Random(7).shuffle(data).toDF("v")
+      .coalesce(2).write.mode("append").parquet(inDir)
+    FrequencyMonitor.streamingHeavyHitters(
+      spark.readStream.schema("v STRING").parquet(inDir), "v",
+      capacity = 8, outDir, ckDir).awaitTermination()
+    val top = FrequencyMonitor.runningTopK(spark, outDir, 8, 1)
+      .collect()(0)
+    assert(top.getString(0) == "heavy")
+    val est = top.getLong(1)
+    assert(est <= 200L && est >= 200L - (300L / 9 + 1),
+      s"est $est outside the MG bound")
+    // second run with the same checkpoint and NO new data: no new
+    // batch partitions appear (empty batch guard)
+    val before = spark.read.parquet(outDir)
+      .select("batch_key").distinct().count()
+    FrequencyMonitor.streamingHeavyHitters(
+      spark.readStream.schema("v STRING").parquet(inDir), "v",
+      capacity = 8, outDir, ckDir).awaitTermination()
+    assert(spark.read.parquet(outDir)
+      .select("batch_key").distinct().count() == before)
+  }
 }
