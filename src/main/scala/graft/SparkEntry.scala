@@ -2149,31 +2149,65 @@ object SparkEntry {
     * half-state the next run would trust; a PARTIALLY deleted fixture
     * (age-based tmp cleaners remove individual files) fails the
     * completeness probe and is rebuilt rather than read. */
-  private def admissionState(s: SparkSession, d: String,
-                             history: DataFrame): (Array[Byte], DataFrame) = {
-    val src = new java.io.File(d, "documents.parquet")
+  /** The content-keyed on-disk fixture discipline, held ONCE for every
+    * registry fixture (admission state, z-ordered table):
+    *  - keyed by the source table's CONTENT identity (path + length +
+    *    mtime), so regenerated testdata at the same path invalidates
+    *    the fixture rather than being served stale state;
+    *  - `complete` probes for real data, not just the directory —
+    *    age-based tmp cleaners delete oldest-first, so part files
+    *    (written before _SUCCESS) can vanish while markers survive; a
+    *    partially deleted fixture is rebuilt, not read;
+    *  - build lands in a temp dir, ONE atomic rename publishes it — a
+    *    crashed build leaves unreferenced garbage, never half-state a
+    *    later run would trust; losing the rename race to a concurrent
+    *    builder is fine, the published copy wins;
+    *  - self-heal delete may race a concurrent healer mid-walk —
+    *    both fall through to the rebuild. */
+  private def contentKeyedFixture(src: java.io.File, name: String)
+      (complete: java.io.File => Boolean)
+      (build: java.io.File => Unit): java.io.File = {
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d|${src.length}|${src.lastModified}".getBytes("UTF-8"))
+      .digest(s"${src.getPath}|${src.length}|${src.lastModified}"
+        .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val root = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_admission_state_$key")
-    val sketchFile = new java.io.File(root, "sketch")
-    // completeness = sketch + commit marker + at least one DATA file:
-    // age-based cleaners delete oldest-first, so part files (written
-    // before _SUCCESS) can vanish while the marker survives
-    def complete: Boolean = sketchFile.isFile &&
-      new java.io.File(root, "bands/_SUCCESS").isFile &&
-      Option(new java.io.File(root, "bands").listFiles).exists(_.exists(
-        f => f.isFile && !f.getName.startsWith("_") &&
-          !f.getName.startsWith(".")))
-    if (root.exists() && !complete)
-      // self-heal; a concurrent healer may win the delete race mid-walk
-      // — that's fine, both fall through to the rebuild below
+      sys.props("java.io.tmpdir"), s"${name}_$key")
+    def ok: Boolean = root.exists() && complete(root)
+    if (root.exists() && !ok)
       try org.apache.commons.io.FileUtils.deleteDirectory(root)
       catch { case scala.util.control.NonFatal(_) => () }
-    if (!complete) {
+    if (!ok) {
       val tmp = new java.io.File(root.getParentFile,
         root.getName + ".build" + System.nanoTime())
+      build(tmp)
+      if (!tmp.renameTo(root))
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+    root
+  }
+
+  /** Commit marker + at least one visible data file under `dir`. */
+  private def committedData(dir: java.io.File): Boolean =
+    new java.io.File(dir, "_SUCCESS").isFile &&
+      Option(dir.listFiles).exists(_.exists(f =>
+        f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")))
+
+  /** Lazily-materialized admission-state fixture (band index parquet +
+    * Bloom sketch bytes) via [[contentKeyedFixture]] — built on first
+    * use, REUSED by every later run in any process, so
+    * q_ingest_admission_state's steady-state bench time measures
+    * admission against prebuilt state (the production shape: state is
+    * maintained incrementally beside the corpus, never rebuilt per
+    * batch — `IngestPipeline.nearDupIngestIncremental` is the writer). */
+  private def admissionState(s: SparkSession, d: String,
+                             history: DataFrame): (Array[Byte], DataFrame) = {
+    val root = contentKeyedFixture(new java.io.File(d, "documents.parquet"),
+      "graft_admission_state") { r =>
+      new java.io.File(r, "sketch").isFile &&
+        committedData(new java.io.File(r, "bands"))
+    } { tmp =>
       graft.operators.Dedup.minhashBands(history, "doc_id", "text")
         .withColumnRenamed("doc_id", "seen_id")
         .write.mode("overwrite")
@@ -2182,49 +2216,28 @@ object SparkEntry {
         expectedItems = 10000L, numBits = 1L << 17).get
       java.nio.file.Files.write(
         new java.io.File(tmp, "sketch").toPath, sketch)
-      if (!tmp.renameTo(root)) // lost a race: the published copy wins
-        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
     }
-    (java.nio.file.Files.readAllBytes(sketchFile.toPath),
+    (java.nio.file.Files.readAllBytes(
+      new java.io.File(root, "sketch").toPath),
       s.read.parquet(new java.io.File(root, "bands").toString))
   }
 
-  /** Lazily-materialized Z-ordered lineitem fixture, same content-keyed
-    * + atomic-publish + self-heal discipline as [[admissionState]]:
-    * built once per testdata identity and REUSED — earlier revisions
-    * rebuilt the clustered copy into a fresh never-deleted temp dir on
-    * EVERY query construction (each bench warmup/run, each Verify,
-    * each PlanGuard plan), leaking a full table copy per call. The
-    * steady-state bench number now measures the read-side skipping,
-    * which is the operator's claim — the one-time write cost is the
-    * build, exercised by ZOrderSpec. */
-  private def zorderFixture(s: SparkSession, d: String): String = {
-    val src = new java.io.File(d, "lineitem.parquet")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$d|${src.length}|${src.lastModified}".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val root = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_zorder_$key")
-    def complete: Boolean =
-      new java.io.File(root, "_SUCCESS").isFile &&
-      Option(root.listFiles).exists(_.exists(f =>
-        f.isFile && !f.getName.startsWith("_") &&
-          !f.getName.startsWith(".")))
-    if (root.exists() && !complete)
-      try org.apache.commons.io.FileUtils.deleteDirectory(root)
-      catch { case scala.util.control.NonFatal(_) => () }
-    if (!complete) {
-      val tmp = new java.io.File(root.getParentFile,
-        root.getName + ".build" + System.nanoTime())
+  /** Lazily-materialized Z-ordered lineitem fixture via
+    * [[contentKeyedFixture]]: built once per testdata identity and
+    * REUSED — earlier revisions rebuilt the clustered copy into a
+    * fresh never-deleted temp dir on EVERY query construction (each
+    * bench warmup/run, each Verify, each PlanGuard plan), leaking a
+    * full table copy per call. The steady-state bench number now
+    * measures the read-side skipping, which is the operator's claim —
+    * the one-time write cost is the build, exercised by ZOrderSpec. */
+  private def zorderFixture(s: SparkSession, d: String): String =
+    contentKeyedFixture(new java.io.File(d, "lineitem.parquet"),
+      "graft_zorder")(committedData) { tmp =>
       val li = s.read.parquet(pq(d, "lineitem"))
         .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
       graft.sources.ZOrder.writeZOrdered(li, tmp.toString,
         Seq("l_orderkey", "l_partkey"), bits = 10, numFiles = 16)
-      if (!tmp.renameTo(root))
-        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
-    }
-    root.toString
-  }
+    }.toString
 
   private val round6: Seq[Q] = Seq(
     // SemDeDup (Abbas et al. 2023): IVF cells → within-cell cosine pairs

@@ -70,17 +70,26 @@ object ZOrder {
    *    file/row-group boundaries stay balanced under Zipfian keys —
    *    the right mode for tenant ids, counts, prices. Assignment is
    *    a binary search per row ([[graft.plans.BucketizeExpr]],
-   *    codegen'd, boundaries as a reference object).
+   *    codegen'd, boundaries as a reference object). Capped at
+   *    `bits ≤ 16` (65535 cut points per column — already far past
+   *    useful row-group resolution; larger would 2^bits the driver
+   *    probe array and, past 30, silently overflow to zero probes).
+   *    `relativeError < 0` (the default) auto-sizes the quantile
+   *    sketch to half the probe spacing, `1 / 2^(bits+1)` — a FIXED
+   *    error coarser than the spacing would collapse runs of adjacent
+   *    cut points to one sketch sample and silently burn resolution.
    */
   def withZKey(df: DataFrame, cols: Seq[String], bits: Int = 12,
                keyCol: String = "__zkey",
                bucketize: String = "linear",
-               relativeError: Double = 0.001): DataFrame = {
+               relativeError: Double = -1.0): DataFrame = {
     require(cols.nonEmpty, "need at least one z-order column")
     require(bits >= 1 && bits * cols.length <= 63,
       s"bits * columns must fit a long: got $bits * ${cols.length}")
     require(bucketize == "linear" || bucketize == "quantile",
       s"bucketize must be linear or quantile, got $bucketize")
+    require(bucketize == "linear" || bits <= 16,
+      s"quantile bucketization caps bits at 16, got $bits")
     val top = (1L << bits) - 1
     val buckets = if (bucketize == "linear") {
       val aggs = cols.flatMap(c => Seq(
@@ -102,9 +111,12 @@ object ZOrder {
         col(c).cast("double").as(s"__q_$i")
       }: _*)
       val probes = (1 until (1 << bits)).map(_.toDouble / (1 << bits))
+      val err =
+        if (relativeError >= 0) relativeError
+        else 1.0 / (1L << (bits + 1)).toDouble
       val cuts = projected.stat.approxQuantile(
         cols.indices.map(i => s"__q_$i").toArray,
-        probes.toArray, relativeError)
+        probes.toArray, err)
       cols.zipWithIndex.map { case (c, i) =>
         // distinct: approxQuantile repeats a cut at heavy-hitter
         // values; duplicates would burn bucket ids on one value

@@ -23,13 +23,20 @@ import graft.plans.NativeFunctions
  *  - per-batch cost is O(batch + capacity), independent of history —
  *    no running state is read on the write path, so there is nothing
  *    to corrupt mid-crash;
- *  - the partition key is CONTENT-DERIVED (md5 of epoch + the summary
- *    rows), so a foreachBatch replay after a crash recomputes the
- *    identical key and the mode-overwrite write is an idempotent
- *    re-do, while distinct batches — including an epoch-id collision
- *    after a checkpoint reset — land in distinct partitions (two
- *    batches collide only if epoch AND full summary content match, in
- *    which case the overwrite is harmless by construction);
+ *  - the partition key is `md5(checkpointDir)_epoch` — deterministic
+ *    under foreachBatch replay (the summary CONTENT is not: in the
+ *    sketch regime the final-merge order is shuffle-fetch order, so
+ *    counter values can differ run to run — a content-derived key
+ *    would let a replay land beside its orphaned original and double-
+ *    count), so a replay overwrites its own partition as an
+ *    idempotent re-do; the checkpoint-identity prefix keeps a
+ *    checkpoint RESET (epoch ids restart) from clobbering another
+ *    lineage's partitions. Re-ingesting the same source under a fresh
+ *    checkpoint into the same log double-counts by construction —
+ *    one log per checkpoint lineage; use a fresh `outDir` with a
+ *    fresh checkpoint. The `_` in the key also pins partition-column
+ *    inference to string (an all-digit hex key would otherwise be
+ *    read back as a number);
  *  - empty batches write nothing.
  *
  * The log is also an auditable trajectory: each partition carries the
@@ -49,6 +56,9 @@ object FrequencyMonitor {
                             trigger: Trigger = Trigger.AvailableNow())
       : StreamingQuery = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val ckKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -67,16 +77,12 @@ object FrequencyMonitor {
         if (n > 0L) {
           val summary = row.getSeq[Row](1)
             .map(e => (e.getString(0), e.getLong(1)))
-          val key = java.security.MessageDigest.getInstance("MD5")
-            .digest((epoch.toString +: summary.map { case (k, c) =>
-              s"|$k=$c" }).mkString.getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString
           import spark.implicits._
           summary.toDF("item", "est")
             .withColumn("n_seen", lit(n))
             .coalesce(1)
             .write.mode("overwrite")
-            .parquet(s"$outDir/batch_key=$key")
+            .parquet(s"$outDir/batch_key=${ckKey}_$epoch")
         }
       }
       .start()
@@ -94,6 +100,11 @@ object FrequencyMonitor {
   def runningTopK(spark: SparkSession, outDir: String, capacity: Int,
                   k: Int): DataFrame = {
     import spark.implicits._
+    // an all-empty-batches monitor has logged nothing yet: zero rows,
+    // not an unreadable-directory AnalysisException
+    if (!hasLoggedData(spark, outDir))
+      return Seq.empty[(String, Long)].toDF("item", "est")
+        .withColumn("n_total", lit(0L))
     val logged = spark.read.parquet(outDir)
       .select(col("batch_key").cast("string"), col("item"),
         col("est"), col("n_seen"))
@@ -107,4 +118,11 @@ object FrequencyMonitor {
       .toDF("item", "est")
       .withColumn("n_total", lit(nTotal))
   }
+
+  /** True iff the log holds at least one committed data file — the
+    * shared [[IngestPipeline.hasCommittedParquet]] probe (dir-exists
+    * is not data-exists; `.parquet`-suffix checks miss Hive-style
+    * file names). */
+  private def hasLoggedData(spark: SparkSession, outDir: String): Boolean =
+    IngestPipeline.hasCommittedParquet(spark, outDir)
 }

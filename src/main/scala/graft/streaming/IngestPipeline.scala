@@ -227,8 +227,8 @@ object IngestPipeline {
     * named `000000_0` etc. which `spark.read.parquet` reads fine, and
     * treating such a corpus as an empty history would silently admit
     * every duplicate. */
-  private def hasCommittedParquet(spark: SparkSession,
-                                  path: String): Boolean = {
+  private[streaming] def hasCommittedParquet(spark: SparkSession,
+                                             path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && {

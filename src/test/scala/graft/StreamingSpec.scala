@@ -706,5 +706,10 @@ class StreamingSpec extends SparkSpec {
       capacity = 8, outDir, ckDir).awaitTermination()
     assert(spark.read.parquet(outDir)
       .select("batch_key").distinct().count() == before)
+    // an all-empty-batches log reads as zero rows, not an exception
+    val empty = FrequencyMonitor.runningTopK(spark,
+      tmpDir() + "/never_written", 8, 5)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("item", "est", "n_total"))
   }
 }
