@@ -2492,7 +2492,123 @@ object SparkEntry {
                     AS term
                 FROM documents WHERE length(trim(text)) > 0)
               SELECT term, COUNT(*) AS cnt FROM toks
-              GROUP BY term ORDER BY cnt DESC, term LIMIT 15""")))
+              GROUP BY term ORDER BY cnt DESC, term LIMIT 15""")),
+
+    // multinomial Naive Bayes, trained and scored on the corpus with
+    // lang as the class: training is pure counting, so the oracle
+    // replays the full smoothed-posterior argmax in SQL — same
+    // baseline+correction decomposition as the Scala plan, so the
+    // float paths match shape-for-shape (round only in the final
+    // projection; label-asc tiebreak both sides).
+    Q("q_classify_nb",
+      (s, d) => {
+        val docs = s.read.parquet(pq(d, "documents"))
+        val model = graft.functions.Classify.trainNaiveBayes(
+          docs, "doc_id", "text", "lang")
+        graft.functions.Classify.predictNaiveBayes(
+            docs, "doc_id", "text", model)
+          .select(col("doc_id"), col("predicted"),
+            round(col("score"), 4).as("score"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+                  unnest(string_split_regex(lower(trim(text)), '\s+'))
+                    AS term
+                FROM documents WHERE length(trim(text)) > 0),
+              n AS (SELECT doc_id, term, COUNT(*) AS n
+                FROM toks GROUP BY 1, 2),
+              dl AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0
+                  THEN 0 ELSE
+                  len(string_split_regex(lower(trim(text)), '\s+')) END
+                    AS dl
+                FROM documents),
+              cls AS (SELECT d.lang AS label, COUNT(*) AS n_docs,
+                  SUM(dl.dl) AS tok_c
+                FROM documents d JOIN dl USING (doc_id) GROUP BY 1),
+              tc AS (SELECT d.lang AS label, n.term, SUM(n.n) AS cnt
+                FROM n JOIN documents d USING (doc_id) GROUP BY 1, 2),
+              st AS (SELECT (SELECT COUNT(*) FROM documents) AS n_total,
+                  (SELECT COUNT(DISTINCT term) FROM toks) AS vocab),
+              base AS (SELECT dl.doc_id, cls.label,
+                  LN(cls.n_docs * 1.0 / st.n_total)
+                    + dl.dl * LN(1.0 / (cls.tok_c + 1.0 * st.vocab))
+                    AS b
+                FROM dl CROSS JOIN cls CROSS JOIN st),
+              corr AS (SELECT n.doc_id, tc.label,
+                  SUM(n.n * LN((tc.cnt + 1.0) / 1.0)) AS c
+                FROM n JOIN tc USING (term) GROUP BY 1, 2),
+              scored AS (SELECT base.doc_id, base.label,
+                  base.b + COALESCE(corr.c, 0.0) AS score
+                FROM base LEFT JOIN corr
+                  ON base.doc_id = corr.doc_id
+                  AND base.label = corr.label)
+              SELECT doc_id, label AS predicted,
+                ROUND(score, 4) AS score
+              FROM (SELECT doc_id, label, score, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id ORDER BY score DESC, label) AS rk
+                FROM scored)
+              WHERE rk = 1""")),
+
+    // DSIR importance selection (Xie et al. 2023): weight every doc by
+    // its smoothed token-bag likelihood ratio against the en-subset
+    // target distribution, keep the top 100. Deterministic counting
+    // end to end — the oracle replays the exact formula; ordering on
+    // the RAW double with a doc_id tiebreak, round in the final
+    // projection only.
+    Q("q_dsir_select",
+      (s, d) => {
+        val docs = s.read.parquet(pq(d, "documents"))
+        graft.operators.Importance.dsirSelect(
+            docs, "doc_id", "text", col("lang") === "en", k = 100)
+          .select(col("doc_id"), col("dl"),
+            round(col("log_weight"), 4).as("log_weight"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+                  unnest(string_split_regex(lower(trim(text)), '\s+'))
+                    AS term
+                FROM documents WHERE length(trim(text)) > 0),
+              n AS (SELECT doc_id, term, COUNT(*) AS n
+                FROM toks GROUP BY 1, 2),
+              rawc AS (SELECT term, SUM(n) AS cnt_r FROM n GROUP BY 1),
+              tgtc AS (SELECT n.term, SUM(n.n) AS cnt_t
+                FROM n JOIN documents d USING (doc_id)
+                WHERE d.lang = 'en' GROUP BY 1),
+              st AS (SELECT
+                  (SELECT SUM(cnt_r) FROM rawc) AS tok_r,
+                  (SELECT COUNT(*) FROM rawc) AS vocab,
+                  (SELECT COALESCE(SUM(cnt_t), 0) FROM tgtc) AS tok_t),
+              contrib AS (SELECT n.doc_id,
+                  n.n * (LN((COALESCE(tgtc.cnt_t, 0) + 1.0)
+                        / (st.tok_t + 1.0 * st.vocab))
+                    - LN((rawc.cnt_r + 1.0)
+                        / (st.tok_r + 1.0 * st.vocab))) AS c
+                FROM n JOIN rawc USING (term)
+                  LEFT JOIN tgtc USING (term) CROSS JOIN st),
+              sums AS (SELECT doc_id, SUM(c) AS s
+                FROM contrib GROUP BY 1),
+              dls AS (SELECT doc_id, SUM(n) AS dl FROM n GROUP BY 1)
+              SELECT doc_id, dl, ROUND(log_weight, 4) AS log_weight
+              FROM (SELECT sums.doc_id, dls.dl,
+                  sums.s / dls.dl AS log_weight
+                FROM sums JOIN dls USING (doc_id)
+                ORDER BY log_weight DESC, doc_id LIMIT 100)""")),
+
+    // RefinedWeb-style per-domain cap: at most 10 docs per source,
+    // chosen by the deterministic md5-of-key order — survivors are a
+    // pure function of (source, doc_id, cap), so the oracle replays
+    // the same window in SQL (DuckDB md5 = same lowercase hex).
+    Q("q_domain_cap",
+      (s, d) => {
+        graft.operators.Sampling.capPerGroup(
+            s.read.parquet(pq(d, "documents")), "source", "doc_id",
+            cap = 10)
+          .select(col("doc_id"), col("source"))
+      },
+      Some("""SELECT doc_id, source FROM (
+                SELECT doc_id, source, ROW_NUMBER() OVER (
+                  PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+                FROM documents)
+              WHERE rk <= 10""")))
 
   private val registry: Seq[Q] =
     parity ++ extensions ++ pipelines ++ round3 ++ round6

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * DSIR-style data selection via importance resampling (Xie et al.,
+ * NeurIPS 2023, public): score every raw document by how much more
+ * likely its token bag is under the TARGET distribution (a trusted
+ * high-quality subset — Wikipedia, curated domains, an in-domain seed
+ * set) than under the RAW distribution, then keep the top-weighted
+ * documents. The standard "make 100 TB of crawl look like 100 GB of
+ * quality data" selection pass. Extension beyond the reference surface
+ * (single-table OLAP, `parquery/README.md:4-8`).
+ *
+ * Both distributions are smoothed bag-of-tokens estimated from the
+ * corpus itself — pure counting, no fitting — so the whole operator is
+ * deterministic and SQL-replayable (the driver's oracle runs the exact
+ * formula in DuckDB). Per document:
+ *
+ *   logw(d) = (1/dl_d) · Σ_t n_{t,d} · [ ln p̂_T(t) − ln p̂_R(t) ]
+ *   p̂_X(t) = (cnt_X(t) + α) / (tok_X + α·V)     V = raw vocabulary
+ *
+ * length-normalized (the 1/dl) so the ratio measures per-token
+ * affinity, not document length. The target side uses the
+ * baseline + correction decomposition (only terms OBSERVED in the
+ * target join; everything else is the constant unseen mass), the raw
+ * side joins directly — every document term is in the raw vocabulary
+ * by construction.
+ *
+ * Scale shape: two map-side-combined counting aggregations
+ * (token-scale), one token-scale hash join against the term table,
+ * corpus totals as broadcast one-row frames — no driver collect, no
+ * global window; [[dsirSelect]]'s top-k ranks via a single ordered
+ * limit (TakeOrderedAndProject), never a full sort.
+ */
+object Importance {
+
+  /** (id, term, n) lower-cased whitespace-token counts per document. */
+  private def docTerms(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    docs.select(col(idCol).as("__id"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("__term"))
+      .groupBy(col("__id"), col("__term"))
+      .agg(count(lit(1)).as("__n"))
+
+  /**
+   * Per-document importance weights `(idCol, dl, log_weight)`.
+   * `isTarget` is a boolean Column over the input's columns selecting
+   * the target subset (e.g. `col("source") === "curated"`); it must be
+   * non-empty to be meaningful: an empty target leaves the smoothed
+   * target distribution uniform, so every weight collapses to the same
+   * document-independent shape (finite, never NaN — smoothing keeps
+   * both logs defined; no scan-ahead guard needed).
+   *
+   * Empty documents (dl = 0) carry no evidence either way and are
+   * EXCLUDED from the output — a 0/0 normalization has no meaningful
+   * weight; filter them before selection or admit them by policy.
+   */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column,
+                        alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0.0, s"alpha must be > 0, got $alpha")
+    val terms = docTerms(docs, idCol, textCol)
+    val targetIds = docs.where(isTarget).select(col(idCol).as("__id"))
+    val rawCnt = terms.groupBy(col("__term").as("term"))
+      .agg(sum(col("__n")).as("cnt_r"))
+    val tgtCnt = terms.join(targetIds, "__id")
+      .groupBy(col("__term").as("term"))
+      .agg(sum(col("__n")).as("cnt_t"))
+    // one-row corpus totals: raw tokens, target tokens, raw vocabulary
+    val stats = rawCnt.agg(sum(col("cnt_r")).as("tok_r"),
+        count(lit(1)).as("vocab"))
+      .crossJoin(tgtCnt.agg(
+        coalesce(sum(col("cnt_t")), lit(0L)).as("tok_t")))
+    // per-(doc, term) contribution; target side via left join so terms
+    // unseen in the target use cnt_t = 0 (the smoothed formula is the
+    // same expression either way — one join shape, no correction split
+    // needed because rawCnt already carries every doc term)
+    val contrib = terms
+      .join(rawCnt, col("__term") === rawCnt("term"))
+      .drop("term")
+      .join(tgtCnt, col("__term") === tgtCnt("term"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("__id"),
+        (col("__n") * (log((coalesce(col("cnt_t"), lit(0L)) + lit(alpha)) /
+            (col("tok_t") + lit(alpha) * col("vocab"))) -
+          log((col("cnt_r") + lit(alpha)) /
+            (col("tok_r") + lit(alpha) * col("vocab"))))).as("__c"))
+    contrib.groupBy(col("__id"))
+      .agg(sum(col("__c")).as("__sum"))
+      .join(terms.groupBy(col("__id")).agg(sum(col("__n")).as("dl")),
+        "__id")
+      .select(col("__id").as(idCol), col("dl"),
+        (col("__sum") / col("dl")).as("log_weight"))
+  }
+
+  /**
+   * Top-k selection by importance weight `(idCol, dl, log_weight)` —
+   * ordered on the raw double with an id-ascending tiebreak, so the
+   * kept SET is deterministic even at weight ties. The deterministic
+   * counterpart of the paper's Gumbel resampling: same weights,
+   * reproducible selection (the `Sampling.hashSampleWeighted`
+   * discipline — no RNG in the plan). Plans as TakeOrderedAndProject
+   * (per-partition top-k then a k-row driver merge), never a global
+   * sort or window.
+   */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, k: Int,
+                 alpha: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    importanceWeights(docs, idCol, textCol, isTarget, alpha)
+      .orderBy(col("log_weight").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

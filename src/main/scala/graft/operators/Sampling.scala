@@ -184,4 +184,28 @@ object Sampling {
         coalesce(col(keyCol).cast("string"), lit("__graft_null__")))),
       1, 4) < threshold)
   }
+
+  /**
+   * Deterministic per-group cap (RefinedWeb-style "at most N documents
+   * per domain/source"): keep the `cap` rows of each group that rank
+   * first by `(md5(salt + key), key)` — a reproducible uniform choice
+   * within the group, not head-of-file bias (file order is an accident
+   * of layout; the hash order is a property of the data). The window
+   * partitions by group — never global — and the `row_number <= cap`
+   * filter plans as WindowGroupLimit, so each task discards beyond-cap
+   * rows during the sort instead of ranking whole groups. One key
+   * shuffle; survivors are a pure function of (group, key, salt, cap).
+   */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                  cap: Int, salt: String = ""): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(concat(lit(salt),
+          coalesce(col(keyCol).cast("string"), lit("__graft_null__")))),
+        col(keyCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= cap)
+      .drop("__rk")
+  }
 }

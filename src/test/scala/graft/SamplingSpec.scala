@@ -104,6 +104,29 @@ class SamplingSpec extends SparkSpec {
     val df = Seq((40691L, 1.0)).toDF("id", "w")
     assert(Sampling.hashSampleWeighted(df, "id", "w").count() == 1)
   }
+
+  test("capPerGroup keeps at most cap rows per group, all of small groups") {
+    val df = spark.range(100)
+      .selectExpr("id", "CASE WHEN id < 80 THEN 'big' ELSE 'small' END AS g")
+    val out = Sampling.capPerGroup(df, "g", "id", cap = 25)
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("big") == 25L)   // capped
+    assert(out("small") == 20L) // under cap: kept whole
+  }
+
+  test("capPerGroup survivors are partitioning-invariant and deterministic") {
+    val df = spark.range(200).selectExpr("id", "CAST(id % 3 AS STRING) AS g")
+    val a = Sampling.capPerGroup(df.repartition(1), "g", "id", cap = 10)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.capPerGroup(df.repartition(32), "g", "id", cap = 10)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    assert(a.size == 30)
+    // hash order, not head-of-file order: the kept set must not be 0..9
+    val g0 = a.filter(_ % 3 == 0)
+    assert(g0 != (0L to 27L by 3).take(10).toSet)
+  }
 }
 
 class RepetitionRedactSpec extends SparkSpec {
