@@ -31,18 +31,20 @@ import org.apache.spark.sql.functions._
  * (doc-token × class) cross product: the correction join touches only
  * (term, class) rows that exist in the model.
  *
- * Scale shape: training is one explode + two map-side-combined
- * groupBys (token-scale shuffle, the inverted-index job). Scoring
- * joins doc tokens to the model on `term` (token-scale hash join;
- * broadcast when the model is small), plus a docs×C-row baseline frame
- * (C = #classes, single digits). No window over the corpus; the argmax
- * window partitions by document.
+ * Scale shape: training is two counting aggregations over the corpus —
+ * one narrow projection to (label, dl) for class stats, one explode →
+ * map-side-combined groupBy for (label, term) counts; no join anywhere
+ * in train. Scoring joins doc tokens to the model on `term`
+ * (token-scale hash join; broadcast when the model is small), plus a
+ * docs×C-row baseline frame (C = #classes, single digits). No window
+ * over the corpus; the argmax window partitions by document.
  *
  * `featureHash = Some(b)` maps terms to `pmod(xxhash64(term), b)`
- * buckets (the hashing trick) in BOTH train and score — bounds the
- * model at b×C rows for open vocabularies (100 TB of web text has
- * billions of distinct tokens; the classifier doesn't need them
- * distinguished, it needs bounded state). Collisions only blur
+ * buckets (the hashing trick) — bounds the model at b×C rows for open
+ * vocabularies (100 TB of web text has billions of distinct tokens;
+ * the classifier doesn't need them distinguished, it needs bounded
+ * state). The setting is CARRIED IN THE MODEL so train and score can
+ * never disagree about the feature space. Collisions only blur
  * features, never break the math; ClassifySpec asserts hashed ≡ exact
  * when b is far above vocabulary size.
  */
@@ -50,16 +52,16 @@ object Classify {
 
   /** Trained model: `classStats` (label, n_docs, tok_c) — one row per
     * class; `termCond` (label, term, cnt) — observed pairs only;
-    * `stats` — ONE row (n_docs_total, vocab). All lazy frames: nothing
-    * is collected at train time, and persisting the three frames IS
-    * model serialization. */
+    * `stats` — ONE row (n_docs_total, vocab); `featureHash` — the
+    * feature space the frames were counted in. Frames are lazy:
+    * nothing is collected at train time, and persisting the three
+    * frames (plus the featureHash setting beside them) IS model
+    * serialization. */
   final case class NbModel(classStats: DataFrame, termCond: DataFrame,
-                           stats: DataFrame)
+                           stats: DataFrame, featureHash: Option[Int])
 
-  /** Optional hashing-trick bucketing of an already-exploded token
-    * column (a generator cannot nest inside pmod/xxhash64, so explode
-    * happens in its own projection first). */
-  private def bucketed(tok: Column, featureHash: Option[Int]): Column =
+  /** Hashing-trick bucketing of an already-exploded token column. */
+  private def bucketed(featureHash: Option[Int])(tok: Column): Column =
     featureHash match {
       case Some(b) =>
         require(b >= 2, s"featureHash buckets must be >= 2, got $b")
@@ -67,24 +69,15 @@ object Classify {
       case None => tok
     }
 
-  /** (id, term, n) token counts per document. Lower-cased whitespace
-    * tokens, optionally hash-bucketed; empty/whitespace-only docs
-    * produce no feature rows (their length still counts as 0 via
-    * [[docLengths]]). */
-  private def docTerms(docs: DataFrame, idCol: String, textCol: String,
-                       featureHash: Option[Int]): DataFrame =
-    docs.select(col(idCol).as("__id"),
-        explode(TextAnalysis.tokens(lower(col(textCol)))).as("__tok"))
-      .select(col("__id"), bucketed(col("__tok"), featureHash).as("__term"))
-      .groupBy(col("__id"), col("__term"))
-      .agg(count(lit(1)).as("__n"))
-
-  /** (id, dl) total token count per document — INCLUDING empty docs
-    * (dl = 0), which score on priors alone. */
+  /** (id, dl) total token count per document — INCLUDING empty and
+    * null-text docs (dl = 0), which score on priors alone. The
+    * coalesce matters: `size(tokens(NULL))` is null under ANSI
+    * semantics and would null out every downstream score. */
   private def docLengths(docs: DataFrame, idCol: String,
                          textCol: String): DataFrame =
     docs.select(col(idCol).as("__id"),
-      size(TextAnalysis.tokens(lower(col(textCol)))).cast("long").as("__dl"))
+      size(TextAnalysis.tokens(lower(coalesce(col(textCol), lit("")))))
+        .cast("long").as("__dl"))
 
   /**
    * Train: count everything, collect nothing. `labelCol` values are the
@@ -99,33 +92,34 @@ object Classify {
       when(col(labelCol).isNotNull, col(labelCol).cast("string"))
         .otherwise(raise_error(concat(lit(s"null $labelCol for "),
           col(idCol).cast("string")))).as("__label"))
-    val dl = docLengths(labeled, "__id", "__text")
-      .join(labeled.select(col("__id"), col("__label")), "__id")
-    val classStats = dl.groupBy(col("__label").as("label"))
+    // label and text sit on the same row: one narrow projection, no join
+    val classStats = labeled
+      .select(col("__label").as("label"),
+        size(TextAnalysis.tokens(lower(coalesce(col("__text"), lit("")))))
+          .cast("long").as("__dl"))
+      .groupBy(col("label"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__dl")).as("tok_c"))
     val termCond = labeled
       .select(col("__label").as("label"),
         explode(TextAnalysis.tokens(lower(col("__text")))).as("__tok"))
-      .select(col("label"), bucketed(col("__tok"), featureHash).as("term"))
+      .select(col("label"),
+        bucketed(featureHash)(col("__tok")).as("term"))
       .groupBy(col("label"), col("term"))
       .agg(count(lit(1)).as("cnt"))
     val stats = classStats.agg(sum(col("n_docs")).as("n_total"))
       .crossJoin(termCond.agg(
         count_distinct(col("term")).as("vocab")))
-    NbModel(classStats, termCond, stats)
+    NbModel(classStats, termCond, stats, featureHash)
   }
 
   /**
    * Per-(document, class) log-scores `(idCol, label, score)` — the full
    * posterior surface (unnormalized log joint), for calibration or
-   * thresholding. `featureHash` must match training — the model frames
-   * carry terms in whichever feature space they were trained in, and a
-   * mismatched scorer joins against the wrong space (features
-   * quietly miss, degrading scores toward the all-unseen baseline).
+   * thresholding. The feature space comes from the model itself, so a
+   * train/score mismatch cannot happen by API shape.
    */
   def scoreNaiveBayes(docs: DataFrame, idCol: String, textCol: String,
-                      model: NbModel, alpha: Double = 1.0,
-                      featureHash: Option[Int] = None): DataFrame = {
+                      model: NbModel, alpha: Double = 1.0): DataFrame = {
     require(alpha > 0.0, s"alpha must be > 0, got $alpha")
     val dl = docLengths(docs, idCol, textCol)
     // baseline: docs × C rows; log prior + dl tokens of unseen mass
@@ -136,7 +130,8 @@ object Classify {
           col("__dl") * log(lit(alpha) /
             (col("tok_c") + lit(alpha) * col("vocab")))).as("__base"))
     // correction: only observed (term, class) pairs join
-    val corr = docTerms(docs, idCol, textCol, featureHash)
+    val corr = TextAnalysis.docTermCounts(docs, idCol, textCol,
+        bucketed(model.featureHash))
       .join(model.termCond, col("__term") === col("term"))
       .groupBy(col("__id"), col("label"))
       .agg(sum(col("__n") * log((col("cnt") + lit(alpha)) / lit(alpha)))
@@ -153,10 +148,9 @@ object Classify {
    * partitions by document — never global.
    */
   def predictNaiveBayes(docs: DataFrame, idCol: String, textCol: String,
-                        model: NbModel, alpha: Double = 1.0,
-                        featureHash: Option[Int] = None): DataFrame = {
-    val scored = scoreNaiveBayes(docs, idCol, textCol, model, alpha,
-      featureHash)
+                        model: NbModel,
+                        alpha: Double = 1.0): DataFrame = {
+    val scored = scoreNaiveBayes(docs, idCol, textCol, model, alpha)
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("label").asc)
     scored.withColumn("__rk", row_number().over(w))

@@ -26,6 +26,26 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /**
+   * `(__id, __term, __n)` lower-cased whitespace-token counts per
+   * document — the shared explode→groupBy construction behind
+   * [[graft.functions.Classify]] and [[graft.operators.Importance]],
+   * kept single-sourced with [[tokens]] so a tokenization change cannot
+   * silently diverge between operators (the NativeText discipline).
+   * Null/empty/whitespace-only text yields no rows. `mapTerm` rewrites
+   * each token before counting (e.g. hashing-trick bucketing) — it runs
+   * in its own projection because a generator cannot nest inside other
+   * expressions.
+   */
+  private[graft] def docTermCounts(docs: DataFrame, idCol: String,
+      textCol: String,
+      mapTerm: Column => Column = identity): DataFrame =
+    docs.select(col(idCol).as("__id"),
+        explode(tokens(lower(col(textCol)))).as("__tok"))
+      .select(col("__id"), mapTerm(col("__tok")).as("__term"))
+      .groupBy(col("__id"), col("__term"))
+      .agg(count(lit(1)).as("__n"))
+
+  /**
    * BPE-ish subword count estimate without a vocab file: word-piece regex
    * splits on case/digit boundaries, then adds a length penalty (long words
    * fragment into more pieces). A deterministic, shuffle-free proxy for

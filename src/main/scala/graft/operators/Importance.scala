@@ -23,27 +23,22 @@ import org.apache.spark.sql.functions._
  *   p̂_X(t) = (cnt_X(t) + α) / (tok_X + α·V)     V = raw vocabulary
  *
  * length-normalized (the 1/dl) so the ratio measures per-token
- * affinity, not document length. The target side uses the
- * baseline + correction decomposition (only terms OBSERVED in the
- * target join; everything else is the constant unseen mass), the raw
- * side joins directly — every document term is in the raw vocabulary
- * by construction.
+ * affinity, not document length. Per (doc, term) row the raw count
+ * joins inner (every document term is in the raw vocabulary by
+ * construction) and the target count joins left with `coalesce(·, 0)`
+ * — the smoothed formula is the same expression whether the term was
+ * seen in the target or not, so one join shape covers both cases.
  *
  * Scale shape: two map-side-combined counting aggregations
- * (token-scale), one token-scale hash join against the term table,
- * corpus totals as broadcast one-row frames — no driver collect, no
- * global window; [[dsirSelect]]'s top-k ranks via a single ordered
- * limit (TakeOrderedAndProject), never a full sort.
+ * (token-scale), then token-scale hash joins of the doc-term rows to
+ * the raw and target term tables (both vocabulary-sized; broadcast
+ * when small), corpus totals as broadcast one-row frames — no driver
+ * collect, no global window; the per-doc sum and the length
+ * normalization come out of ONE groupBy; [[dsirSelect]]'s top-k ranks
+ * via a single ordered limit (TakeOrderedAndProject), never a full
+ * sort.
  */
 object Importance {
-
-  /** (id, term, n) lower-cased whitespace-token counts per document. */
-  private def docTerms(docs: DataFrame, idCol: String,
-                       textCol: String): DataFrame =
-    docs.select(col(idCol).as("__id"),
-        explode(TextAnalysis.tokens(lower(col(textCol)))).as("__term"))
-      .groupBy(col("__id"), col("__term"))
-      .agg(count(lit(1)).as("__n"))
 
   /**
    * Per-document importance weights `(idCol, dl, log_weight)`.
@@ -62,7 +57,7 @@ object Importance {
                         isTarget: Column,
                         alpha: Double = 1.0): DataFrame = {
     require(alpha > 0.0, s"alpha must be > 0, got $alpha")
-    val terms = docTerms(docs, idCol, textCol)
+    val terms = TextAnalysis.docTermCounts(docs, idCol, textCol)
     val targetIds = docs.where(isTarget).select(col(idCol).as("__id"))
     val rawCnt = terms.groupBy(col("__term").as("term"))
       .agg(sum(col("__n")).as("cnt_r"))
@@ -83,15 +78,14 @@ object Importance {
       .drop("term")
       .join(tgtCnt, col("__term") === tgtCnt("term"), "left")
       .crossJoin(broadcast(stats))
-      .select(col("__id"),
+      .select(col("__id"), col("__n"),
         (col("__n") * (log((coalesce(col("cnt_t"), lit(0L)) + lit(alpha)) /
             (col("tok_t") + lit(alpha) * col("vocab"))) -
           log((col("cnt_r") + lit(alpha)) /
             (col("tok_r") + lit(alpha) * col("vocab"))))).as("__c"))
+    // dl rides the same groupBy as the sum — no second pass over terms
     contrib.groupBy(col("__id"))
-      .agg(sum(col("__c")).as("__sum"))
-      .join(terms.groupBy(col("__id")).agg(sum(col("__n")).as("dl")),
-        "__id")
+      .agg(sum(col("__c")).as("__sum"), sum(col("__n")).as("dl"))
       .select(col("__id").as(idCol), col("dl"),
         (col("__sum") / col("dl")).as("log_weight"))
   }

@@ -194,7 +194,12 @@ object Sampling {
    * partitions by group — never global — and the `row_number <= cap`
    * filter plans as WindowGroupLimit, so each task discards beyond-cap
    * rows during the sort instead of ranking whole groups. One key
-   * shuffle; survivors are a pure function of (group, key, salt, cap).
+   * shuffle; survivors are a pure function of (group, key, salt, cap)
+   * PROVIDED `keyCol` is unique within each group — rows sharing a key
+   * (all null keys collapse to one sentinel class) tie on both the
+   * hash and the tiebreak, and which physical row survives a tie is
+   * partition-order dependent. Use a unique key (doc id) for
+   * reproducible survivors.
    */
   def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
                   cap: Int, salt: String = ""): DataFrame = {

@@ -67,11 +67,11 @@ class ClassifySpec extends SparkSpec {
       Classify.trainNaiveBayes(docs, "id", "text", "label"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     // 1 << 20 buckets >> ~20 distinct terms: collisions (if any) are
-    // vanishingly unlikely to flip a clearly separated prediction
-    val hb = Some(1 << 20)
+    // vanishingly unlikely to flip a clearly separated prediction;
+    // the model carries its own feature space — no score-side knob
     val hashed = Classify.predictNaiveBayes(docs, "id", "text",
       Classify.trainNaiveBayes(docs, "id", "text", "label",
-        featureHash = hb), featureHash = hb)
+        featureHash = Some(1 << 20)))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(hashed == exact)
   }
@@ -88,6 +88,22 @@ class ClassifySpec extends SparkSpec {
     assert(model.termCond.count() <= 32)
   }
 
+  test("null text behaves like an empty document (priors only)") {
+    val docs = Seq((1L, "a b", "x"), (2L, null.asInstanceOf[String], "y"))
+      .toDF("id", "text", "label")
+    val model = Classify.trainNaiveBayes(docs, "id", "text", "label")
+    // doc 2 trains as dl = 0 (tok_c for y is 0, not null)
+    val tokC = model.classStats.collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(tokC("y") == 0L)
+    // and scores on priors alone — ln(1/2) for both classes, never null
+    val s2 = Classify.scoreNaiveBayes(docs, "id", "text", model)
+      .where(col("id") === 2L)
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(math.abs(s2("x") - math.log(0.5)) < 1e-12)
+    assert(math.abs(s2("y") - math.log(0.5)) < 1e-12)
+  }
+
   test("null labels are rejected at train time") {
     val docs = Seq((1L, "a b", "x"), (2L, "c", null))
       .toDF("id", "text", "label")
@@ -95,6 +111,11 @@ class ClassifySpec extends SparkSpec {
       Classify.trainNaiveBayes(docs, "id", "text", "label")
         .classStats.collect()
     }
-    assert(ex.getMessage != null)
+    // pin the raise_error path, not just "some exception happened"
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("null label for 2")),
+      s"got: ${messages(ex).mkString(" | ")}")
   }
 }
