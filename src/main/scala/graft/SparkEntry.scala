@@ -2608,7 +2608,57 @@ object SparkEntry {
                   PARTITION BY source
                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
                 FROM documents)
-              WHERE rk <= 10""")))
+              WHERE rk <= 10""")),
+
+    // CCNet-style LM quality scoring (Wenzek et al.): bigram LM trained
+    // on the en subset, every >= 2-token doc scored by smoothed
+    // perplexity. Counting only, so the oracle replays the exact
+    // formula; bigrams are space-joined token pairs (collision-free:
+    // whitespace tokens cannot contain a space); round in the final
+    // projection.
+    Q("q_lm_perplexity",
+      (s, d) => {
+        val docs = s.read.parquet(pq(d, "documents"))
+        val model = graft.functions.LanguageModel.trainBigramLm(
+          docs.where(col("lang") === "en"), "text")
+        graft.functions.LanguageModel.perplexity(
+            docs, "doc_id", "text", model)
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("ppl"), 4).as("ppl"))
+      },
+      Some("""WITH uni AS (SELECT w, COUNT(*) AS cnt FROM (
+                  SELECT unnest(string_split_regex(lower(trim(text)),
+                    '\s+')) AS w
+                  FROM documents
+                  WHERE lang = 'en' AND length(trim(text)) > 0)
+                GROUP BY 1),
+              voc AS (SELECT COUNT(*) AS v FROM uni),
+              bi AS (SELECT bg, COUNT(*) AS cnt FROM (
+                  SELECT unnest(list_transform(range(1, len(l)),
+                    i -> l[i] || ' ' || l[i + 1])) AS bg
+                  FROM (SELECT string_split_regex(lower(trim(text)),
+                      '\s+') AS l
+                    FROM documents
+                    WHERE lang = 'en' AND length(trim(text)) > 0)
+                  WHERE len(l) >= 2)
+                GROUP BY 1),
+              cand AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(l)),
+                    i -> l[i] || ' ' || l[i + 1])) AS bg
+                FROM (SELECT doc_id,
+                    string_split_regex(lower(trim(text)), '\s+') AS l
+                  FROM documents WHERE length(trim(text)) > 0)
+                WHERE len(l) >= 2),
+              lp AS (SELECT cand.doc_id,
+                  LN((COALESCE(bi.cnt, 0) + 1.0)
+                    / (COALESCE(uni.cnt, 0) + 1.0 * voc.v)) AS lp
+                FROM cand LEFT JOIN bi USING (bg)
+                  LEFT JOIN uni
+                    ON uni.w = split_part(cand.bg, ' ', 1)
+                  CROSS JOIN voc)
+              SELECT doc_id, COUNT(*) AS n_bigrams,
+                ROUND(EXP(-SUM(lp) / COUNT(*)), 4) AS ppl
+              FROM lp GROUP BY doc_id""")))
 
   private val registry: Seq[Q] =
     parity ++ extensions ++ pipelines ++ round3 ++ round6
