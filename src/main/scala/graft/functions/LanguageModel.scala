@@ -50,9 +50,11 @@ object LanguageModel {
   final case class BigramLm(unigrams: DataFrame, bigrams: DataFrame,
                             stats: DataFrame)
 
-  /** `(__id, bg)` — one row per in-document bigram occurrence
-    * ("w1 w2", repeats kept: each occurrence is scored). Docs with
-    * fewer than two tokens yield no rows. */
+  /** `(__id, __w1, bg)` — one row per in-document bigram occurrence
+    * (context word and "w1 w2" joined form, repeats kept: each
+    * occurrence is scored; both come out of the same transform so the
+    * scoring path never re-parses the joined string). Docs with fewer
+    * than two tokens yield no rows. */
   private def docBigrams(docs: DataFrame, idCol: String,
                          textCol: String): DataFrame = {
     val toks = TextAnalysis.tokens(lower(col(textCol)))
@@ -60,8 +62,11 @@ object LanguageModel {
       .where(size(col("__toks")) >= 2)
       .select(col("__id"), explode(transform(
         sequence(lit(1), size(col("__toks")) - 1),
-        i => concat(element_at(col("__toks"), i), lit(" "),
-          element_at(col("__toks"), i + 1)))).as("bg"))
+        i => struct(element_at(col("__toks"), i).as("w1"),
+          concat(element_at(col("__toks"), i), lit(" "),
+            element_at(col("__toks"), i + 1)).as("bg")))).as("__p"))
+      .select(col("__id"), col("__p.w1").as("__w1"),
+        col("__p.bg").as("bg"))
   }
 
   /** Train on the target corpus: unigram and bigram occurrence counts
@@ -73,6 +78,7 @@ object LanguageModel {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     val bi = docBigrams(target.select(lit(0L).as("__row"),
         col(textCol)), "__row", textCol)
+      .select(col("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
     val stats = uni.agg(count(lit(1)).as("vocab"))
     BigramLm(uni, bi, stats)
@@ -87,11 +93,7 @@ object LanguageModel {
   def perplexity(docs: DataFrame, idCol: String, textCol: String,
                  model: BigramLm, alpha: Double = 1.0): DataFrame = {
     require(alpha > 0.0, s"alpha must be > 0, got $alpha")
-    val grams = docBigrams(docs, idCol, textCol)
-      // context word = first half of the bigram; tokens cannot contain
-      // a space, so this inverts the join losslessly
-      .withColumn("__w1", substring_index(col("bg"), " ", 1))
-    val scored = grams
+    val scored = docBigrams(docs, idCol, textCol)
       .join(model.bigrams.withColumnRenamed("cnt", "cnt_bi"),
         Seq("bg"), "left")
       .join(model.unigrams.withColumnRenamed("cnt", "cnt_uni")
@@ -110,23 +112,35 @@ object LanguageModel {
 
   /**
    * CCNet head/middle/tail: cut the scored frame into `buckets`
-   * equal-population tiers by exact interpolated percentile of `ppl`
-   * (lowest perplexity = bucket 1 = "head"). One percentile
-   * aggregation (C−1 doubles, broadcast) + a codegen'd CASE — no
-   * global sort or window, unlike `ntile`. Boundary rows (ppl exactly
-   * equal to a cut) land in the lower bucket.
+   * equal-population tiers by percentile of `ppl` (lowest perplexity
+   * = bucket 1 = "head"). One percentile aggregation (C−1 doubles
+   * broadcast back) + a codegen'd CASE — no global sort or window,
+   * unlike `ntile`. The default is the `approx_percentile` sketch:
+   * exact `percentile` funnels every distinct value into one
+   * reducer's aggregation buffer (the q_percentile scaladoc's
+   * anti-pattern), while the sketch keeps O(1/accuracy) state with
+   * map-side partials — the only shape that survives a
+   * billion-document corpus. `exact = true` opts into interpolated
+   * exact cuts for small frames. Boundary rows (ppl exactly equal to
+   * a cut) land in the lower bucket; rows with null/NaN `ppl` (e.g. a
+   * left-joined score column for unscorable docs) keep a NULL bucket
+   * rather than being mislabeled as worst-tier.
    */
   def perplexityBuckets(scored: DataFrame, pplCol: String = "ppl",
-                        buckets: Int = 3): DataFrame = {
+                        buckets: Int = 3, exact: Boolean = false,
+                        accuracy: Int = 10000): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val probs = (1 until buckets).map(_.toDouble / buckets)
-    val cuts = scored.agg(percentile(col(pplCol),
-      typedlit(probs)).as("__cuts"))
-    val bucket = probs.indices.reverse.foldLeft(lit(buckets)) {
+    val cutAgg =
+      if (exact) percentile(col(pplCol), typedlit(probs))
+      else approx_percentile(col(pplCol), typedlit(probs), lit(accuracy))
+    val cuts = scored.agg(cutAgg.as("__cuts"))
+    val tier = probs.indices.reverse.foldLeft(lit(buckets)) {
       case (acc, i) =>
         when(col(pplCol) <= element_at(col("__cuts"), i + 1),
           lit(i + 1)).otherwise(acc)
     }
+    val bucket = when(col(pplCol).isNotNull && !isnan(col(pplCol)), tier)
     scored.crossJoin(broadcast(cuts))
       .withColumn("bucket", bucket)
       .drop("__cuts")

@@ -47,11 +47,25 @@ class LanguageModelSpec extends SparkSpec {
     val scored = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0).zipWithIndex
       .map { case (p, i) => (i.toLong, 1L, p) }
       .toDF("id", "n_bigrams", "ppl")
-    val got = LanguageModel.perplexityBuckets(scored)
-      .collect().map(r => r.getDouble(2) -> r.getInt(3)).toMap
-    // exact percentile cuts of 1..6 at 1/3, 2/3: 2.667, 4.333
-    assert(got(1.0) == 1 && got(2.0) == 1)
-    assert(got(3.0) == 2 && got(4.0) == 2)
-    assert(got(5.0) == 3 && got(6.0) == 3)
+    // sketch path (the default, corpus-scale shape) and exact path
+    // agree on this data: cuts near 2.x and 4.x either way
+    for (exact <- Seq(false, true)) {
+      val got = LanguageModel.perplexityBuckets(scored, exact = exact)
+        .collect().map(r => r.getDouble(2) -> r.getInt(3)).toMap
+      assert(got(1.0) == 1 && got(2.0) == 1, s"exact=$exact: $got")
+      assert(got(3.0) == 2 && got(4.0) == 2, s"exact=$exact: $got")
+      assert(got(5.0) == 3 && got(6.0) == 3, s"exact=$exact: $got")
+    }
+  }
+
+  test("perplexityBuckets gives null ppl a null bucket, not worst-tier") {
+    val scored = Seq((1L, 1L, Some(1.0)), (2L, 1L, Some(2.0)),
+        (3L, 1L, Some(3.0)), (4L, 0L, None))
+      .toDF("id", "n_bigrams", "ppl")
+    val rows = LanguageModel.perplexityBuckets(scored)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getInt(3)))).toMap
+    assert(rows(4L).isEmpty, s"null ppl must keep a null bucket: $rows")
+    assert(rows(1L).contains(1) && rows(3L).contains(3))
   }
 }
