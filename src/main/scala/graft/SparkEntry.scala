@@ -2658,7 +2658,82 @@ object SparkEntry {
                   CROSS JOIN voc)
               SELECT doc_id, COUNT(*) AS n_bigrams,
                 ROUND(EXP(-SUM(lp) / COUNT(*)), 4) AS ppl
-              FROM lp GROUP BY doc_id""")))
+              FROM lp GROUP BY doc_id""")),
+
+    // curation pipeline over the round-6 operators: LM-perplexity
+    // quality gate (fixed threshold — deterministic and replayable,
+    // unlike a percentile cut) → per-source cap → deterministic split
+    // assignment, one declarative plan. The oracle composes the same
+    // stages in SQL (the q_pipeline_e2e pattern): perplexity CTEs,
+    // the cap window over the GATED set, and the md5 cumulative-
+    // threshold split.
+    Q("q_curation_pipeline",
+      (s, d) => {
+        val docs = s.read.parquet(pq(d, "documents"))
+        val model = graft.functions.LanguageModel.trainBigramLm(
+          docs.where(col("lang") === "en"), "text")
+        val gated = graft.functions.LanguageModel.perplexity(
+            docs, "doc_id", "text", model)
+          .where(col("ppl") <= 31.0)
+          .select(col("doc_id"), col("ppl"))
+        val kept = docs.select(col("doc_id"), col("source"))
+          .join(gated, "doc_id")
+        val capped = graft.operators.Sampling.capPerGroup(
+          kept, "source", "doc_id", cap = 15)
+        graft.operators.Sampling.splitAssign(capped, "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "cur")
+          .select(col("doc_id"), col("source"),
+            round(col("ppl"), 4).as("ppl"), col("split"))
+      },
+      Some("""WITH uni AS (SELECT w, COUNT(*) AS cnt FROM (
+                  SELECT unnest(string_split_regex(lower(trim(text)),
+                    '\s+')) AS w
+                  FROM documents
+                  WHERE lang = 'en' AND length(trim(text)) > 0)
+                GROUP BY 1),
+              voc AS (SELECT COUNT(*) AS v FROM uni),
+              bi AS (SELECT bg, COUNT(*) AS cnt FROM (
+                  SELECT unnest(list_transform(range(1, len(l)),
+                    i -> l[i] || ' ' || l[i + 1])) AS bg
+                  FROM (SELECT string_split_regex(lower(trim(text)),
+                      '\s+') AS l
+                    FROM documents
+                    WHERE lang = 'en' AND length(trim(text)) > 0)
+                  WHERE len(l) >= 2)
+                GROUP BY 1),
+              cand AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(l)),
+                    i -> l[i] || ' ' || l[i + 1])) AS bg
+                FROM (SELECT doc_id,
+                    string_split_regex(lower(trim(text)), '\s+') AS l
+                  FROM documents WHERE length(trim(text)) > 0)
+                WHERE len(l) >= 2),
+              lp AS (SELECT cand.doc_id,
+                  LN((COALESCE(bi.cnt, 0) + 1.0)
+                    / (COALESCE(uni.cnt, 0) + 1.0 * voc.v)) AS lp
+                FROM cand LEFT JOIN bi USING (bg)
+                  LEFT JOIN uni
+                    ON uni.w = split_part(cand.bg, ' ', 1)
+                  CROSS JOIN voc),
+              ppl AS (SELECT doc_id, EXP(-SUM(lp) / COUNT(*)) AS ppl
+                FROM lp GROUP BY doc_id),
+              gated AS (SELECT d.doc_id, d.source, p.ppl
+                FROM documents d JOIN ppl p USING (doc_id)
+                WHERE p.ppl <= 31.0),
+              capped AS (SELECT doc_id, source, ppl FROM (
+                  SELECT doc_id, source, ppl, ROW_NUMBER() OVER (
+                    PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                      AS rk
+                  FROM gated)
+                WHERE rk <= 15)
+              SELECT doc_id, source, ROUND(ppl, 4) AS ppl,
+                CASE WHEN substr(md5('cur' || CAST(doc_id AS VARCHAR)),
+                    1, 4) < 'cccc' THEN 'train'
+                  WHEN substr(md5('cur' || CAST(doc_id AS VARCHAR)),
+                    1, 4) < 'e666' THEN 'val'
+                  ELSE 'test' END AS split
+              FROM capped""")))
 
   private val registry: Seq[Q] =
     parity ++ extensions ++ pipelines ++ round3 ++ round6

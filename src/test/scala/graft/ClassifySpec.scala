@@ -88,6 +88,25 @@ class ClassifySpec extends SparkSpec {
     assert(model.termCond.count() <= 32)
   }
 
+  test("model round-trips through parquet: frames ARE the serialization") {
+    val docs = corpus
+    val m = Classify.trainNaiveBayes(docs, "id", "text", "label")
+    val dir = java.nio.file.Files.createTempDirectory("nbmodel").toString
+    m.classStats.write.mode("overwrite").parquet(s"$dir/cls")
+    m.termCond.write.mode("overwrite").parquet(s"$dir/tc")
+    m.stats.write.mode("overwrite").parquet(s"$dir/st")
+    val m2 = Classify.NbModel(spark.read.parquet(s"$dir/cls"),
+      spark.read.parquet(s"$dir/tc"), spark.read.parquet(s"$dir/st"),
+      featureHash = None)
+    val live = Classify.predictNaiveBayes(docs, "id", "text", m)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    val loaded = Classify.predictNaiveBayes(docs, "id", "text", m2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(loaded == live)
+  }
+
   test("null text behaves like an empty document (priors only)") {
     val docs = Seq((1L, "a b", "x"), (2L, null.asInstanceOf[String], "y"))
       .toDF("id", "text", "label")
