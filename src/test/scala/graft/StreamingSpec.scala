@@ -712,4 +712,44 @@ class StreamingSpec extends SparkSpec {
     assert(empty.count() == 0)
     assert(empty.columns.toSeq == Seq("item", "est", "n_total"))
   }
+
+  test("qualityGate admits by perplexity, rejects OOV and short docs") {
+    import graft.streaming.QualityMonitor
+    import graft.functions.LanguageModel
+    val inDir = tmpDir(); val ckDir = tmpDir()
+    val admDir = tmpDir() + "/adm"; val stDir = tmpDir() + "/st"
+    val model = LanguageModel.trainBigramLm(
+      Seq("the cat sat on the mat").toDF("text"), "text")
+    // in-domain ppl ~3.2, fully-OOV ppl = V = 5, "solo" unscorable
+    Seq((1L, "the cat sat on the mat"), (2L, "zz qq ww ee rr tt"),
+        (3L, "solo"))
+      .toDF("id", "text").coalesce(1).write.mode("append").parquet(inDir)
+    QualityMonitor.qualityGate(
+      spark.readStream.schema("id LONG, text STRING").parquet(inDir),
+      "id", "text", model, maxPpl = 4.0, admDir, stDir, ckDir)
+      .awaitTermination()
+    val adm = spark.read.parquet(admDir)
+    assert(adm.select("id").as[Long].collect().toSeq == Seq(1L))
+    // admitted rows keep their columns + ppl (~3.2 < 4)
+    assert(adm.columns.toSet == Set("id", "text", "ppl", "batch_key"))
+    val st = spark.read.parquet(stDir).collect()
+    assert(st.length == 1)
+    val r = st.head
+    assert(r.getAs[Long]("n_in") == 3L)
+    assert(r.getAs[Long]("n_scored") == 2L)   // "solo" unscorable
+    assert(r.getAs[Long]("n_admitted") == 1L)
+    assert(r.getAs[Double]("max_ppl") == 5.0) // fully-OOV doc: ppl = V
+
+    // cross-batch: a second in-domain doc lands in its OWN partition;
+    // the stats log becomes a two-row trajectory
+    Seq((10L, "the cat sat on the mat")).toDF("id", "text")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    QualityMonitor.qualityGate(
+      spark.readStream.schema("id LONG, text STRING").parquet(inDir),
+      "id", "text", model, maxPpl = 4.0, admDir, stDir, ckDir)
+      .awaitTermination()
+    assert(spark.read.parquet(admDir).select("id").as[Long]
+      .collect().toSet == Set(1L, 10L))
+    assert(spark.read.parquet(stDir).count() == 2L)
+  }
 }
