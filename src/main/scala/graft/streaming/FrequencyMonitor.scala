@@ -56,9 +56,7 @@ object FrequencyMonitor {
                             trigger: Trigger = Trigger.AvailableNow())
       : StreamingQuery = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
-    val ckKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpointDir.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+    val ckKey = BatchKeys.lineageKey(checkpointDir)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -82,7 +80,7 @@ object FrequencyMonitor {
             .withColumn("n_seen", lit(n))
             .coalesce(1)
             .write.mode("overwrite")
-            .parquet(s"$outDir/batch_key=${ckKey}_$epoch")
+            .parquet(s"$outDir/batch_key=${BatchKeys.batchKey(ckKey, epoch)}")
         }
       }
       .start()

@@ -55,9 +55,12 @@ object QualityMonitor {
                   trigger: Trigger = Trigger.AvailableNow())
       : StreamingQuery = {
     require(maxPpl > 0.0, s"maxPpl must be > 0, got $maxPpl")
-    val ckKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpointDir.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+    require(!stream.columns.contains("ppl") &&
+        !stream.columns.contains("batch_key"),
+      "input stream must not already have a 'ppl' or 'batch_key' " +
+        "column — the gate appends ppl and partitions by batch_key " +
+        "(rename or drop the existing column first)")
+    val ckKey = BatchKeys.lineageKey(checkpointDir)
     // one-time materialization: per-batch scoring must not re-run the
     // target-corpus counting aggregations
     val pinned = BigramLm(model.unigrams.localCheckpoint(true),
@@ -68,27 +71,39 @@ object QualityMonitor {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        if (!batch.isEmpty) {
-          val scored = LanguageModel.perplexity(
-            batch, idCol, textCol, pinned)
-          val admitted = batch
-            .join(scored.where(col("ppl") <= maxPpl)
-              .select(col(idCol), col("ppl")), idCol)
-          admitted.write.mode("overwrite")
-            .parquet(s"$admittedDir/batch_key=${ckKey}_$epoch")
-          // summary AFTER the admitted write: a crash between the two
-          // loses at most the summary row, and the replay regenerates
-          // both — never a summary describing unwritten admissions
-          val summary = batch.agg(count(lit(1)).as("n_in"))
-            .crossJoin(scored.agg(
-              count(lit(1)).as("n_scored"),
-              sum(when(col("ppl") <= maxPpl, 1L).otherwise(0L))
-                .as("n_admitted"),
-              avg(col("ppl")).as("mean_ppl"),
-              max(col("ppl")).as("max_ppl")))
-          summary.coalesce(1).write.mode("overwrite")
-            .parquet(s"$statsDir/batch_key=${ckKey}_$epoch")
-        }
+        // the batch and its scoring both feed two actions (admitted
+        // write + summary agg) — persist for the body's scope so the
+        // bigram explode + model joins run once, not per action
+        val b = batch.persist()
+        try {
+          if (!b.isEmpty) {
+            val scored = LanguageModel.perplexity(
+              b, idCol, textCol, pinned).persist()
+            try {
+              val admitted = b
+                .join(scored.where(col("ppl") <= maxPpl)
+                  .select(col(idCol), col("ppl")), idCol)
+              admitted.write.mode("overwrite")
+                .parquet(s"$admittedDir/batch_key=${
+                  BatchKeys.batchKey(ckKey, epoch)}")
+              // summary AFTER the admitted write: a crash between the
+              // two loses at most the summary row, and the replay
+              // regenerates both — never a summary describing
+              // unwritten admissions. Aggregates coalesce: a batch of
+              // only unscorable docs must log 0s, not nulls.
+              val summary = b.agg(count(lit(1)).as("n_in"))
+                .crossJoin(scored.agg(
+                  count(lit(1)).as("n_scored"),
+                  coalesce(sum(when(col("ppl") <= maxPpl, 1L)
+                    .otherwise(0L)), lit(0L)).as("n_admitted"),
+                  avg(col("ppl")).as("mean_ppl"),
+                  max(col("ppl")).as("max_ppl")))
+              summary.coalesce(1).write.mode("overwrite")
+                .parquet(s"$statsDir/batch_key=${
+                  BatchKeys.batchKey(ckKey, epoch)}")
+            } finally scored.unpersist()
+          }
+        } finally b.unpersist()
       }
       .start()
   }
