@@ -595,11 +595,18 @@ object SparkEntry {
   // =========================================================================
 
   private def events(s: SparkSession, d: String): DataFrame = {
-    // driver testdata stores ts as timestamp[ns]; Spark reads nanos only
-    // via this legacy conf (as long), then converts to micros
+    // driver testdata has stored ts as timestamp[ns] (Spark reads nanos
+    // only as a long, via this legacy conf) or timestamp[us] (read
+    // natively as TIMESTAMP_NTZ, no annotation). Accept either physical
+    // layout and normalize to session-zone TimestampType micros so every
+    // downstream events query sees one ts type.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(pq(d, "events"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = s.read.parquet(pq(d, "events"))
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   private val pipelines: Seq[Q] = Seq(
@@ -2551,9 +2558,10 @@ object SparkEntry {
     // DSIR importance selection (Xie et al. 2023): weight every doc by
     // its smoothed token-bag likelihood ratio against the en-subset
     // target distribution, keep the top 100. Deterministic counting
-    // end to end — the oracle replays the exact formula; ordering on
-    // the RAW double with a doc_id tiebreak, round in the final
-    // projection only.
+    // end to end — the oracle replays the exact formula; BOTH engines
+    // rank on the 4-decimal ROUNDED weight with a doc_id tiebreak so
+    // the kept set is invariant to FP summation-order noise (ranking
+    // on the raw double flipped the r6 driver gate at a near-tie).
     Q("q_dsir_select",
       (s, d) => {
         val docs = s.read.parquet(pq(d, "documents"))
@@ -2590,7 +2598,8 @@ object SparkEntry {
               FROM (SELECT sums.doc_id, dls.dl,
                   sums.s / dls.dl AS log_weight
                 FROM sums JOIN dls USING (doc_id)
-                ORDER BY log_weight DESC, doc_id LIMIT 100)""")),
+                ORDER BY ROUND(sums.s / dls.dl, 4) DESC, doc_id
+                LIMIT 100)""")),
 
     // RefinedWeb-style per-domain cap: at most 10 docs per source,
     // chosen by the deterministic md5-of-key order — survivors are a

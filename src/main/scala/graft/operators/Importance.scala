@@ -92,8 +92,15 @@ object Importance {
 
   /**
    * Top-k selection by importance weight `(idCol, dl, log_weight)` —
-   * ordered on the raw double with an id-ascending tiebreak, so the
-   * kept SET is deterministic even at weight ties. The deterministic
+   * ordered on the weight ROUNDED to `tieDecimals` decimals with an
+   * id-ascending tiebreak. Ranking on the raw double is not
+   * reproducible across engines or even across runs: the distributed
+   * sum in [[importanceWeights]] is order-dependent at the last few
+   * ulps, so two mathematically-tied documents (e.g. exact duplicates)
+   * or a hair-thin gap at the cut can be ordered differently by FP
+   * noise alone, flipping the kept SET. Quantizing the sort key to a
+   * grid ~1e11 coarser than the noise makes the kept set and the
+   * tiebreak a pure function of the data. The deterministic
    * counterpart of the paper's Gumbel resampling: same weights,
    * reproducible selection (the `Sampling.hashSampleWeighted`
    * discipline — no RNG in the plan). Plans as TakeOrderedAndProject
@@ -102,10 +109,10 @@ object Importance {
    */
   def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
                  isTarget: Column, k: Int,
-                 alpha: Double = 1.0): DataFrame = {
+                 alpha: Double = 1.0, tieDecimals: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     importanceWeights(docs, idCol, textCol, isTarget, alpha)
-      .orderBy(col("log_weight").desc, col(idCol).asc)
+      .orderBy(round(col("log_weight"), tieDecimals).desc, col(idCol).asc)
       .limit(k)
   }
 }

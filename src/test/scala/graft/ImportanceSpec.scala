@@ -58,6 +58,22 @@ class ImportanceSpec extends SparkSpec {
     assert(w.forall(v => !v.isNaN && !v.isInfinite))
   }
 
+  test("exact-duplicate docs at the cut resolve by id, not FP noise") {
+    // docs 20/21/22 are identical -> mathematically equal weights; with
+    // k cutting inside the tie the kept ids must be the SMALLEST ones,
+    // decided by the rounded-weight + id ordering (raw-double ordering
+    // would let summation-order ulps pick the survivors)
+    val dup = corpus.union(Seq(
+      (20L, "alpha beta", 0), (21L, "alpha beta", 0),
+      (22L, "alpha beta", 0)).toDF("id", "text", "quality"))
+    val sel = Importance.dsirSelect(dup, "id", "text",
+        col("quality") === 1, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    // ranking: {1,2} (pure target), then the four tied target-like
+    // docs {10,20,21,22} -> id ascending keeps 10, 20, 21
+    assert(sel == Set(1L, 2L, 10L, 20L, 21L), s"got $sel")
+  }
+
   test("k larger than the corpus returns every non-empty doc") {
     val sel = Importance.dsirSelect(corpus, "id", "text",
       col("quality") === 1, k = 100).collect()
