@@ -473,6 +473,77 @@ object SparkEntry {
         .select(col("l_returnflag"), col("l_linestatus")).distinct(),
       Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""")),
 
+    // by-name union across drifted schemas: the second shard gained
+    // n_chars and narrowed doc_id to int; lang is null-filled there,
+    // n_chars on the first, and doc_id widens back to bigint
+    Q("q_union_evolve",
+      (s, d) => {
+        val docs = s.read.parquet(pq(d, "documents"))
+        graft.operators.Merge.unionEvolve(Seq(
+          docs.where(col("doc_id") < 100)
+            .select(col("doc_id"), col("source"), col("lang")),
+          docs.where(col("doc_id") >= 400)
+            .select(col("doc_id").cast("int").as("doc_id"), col("source"),
+              length(col("text")).cast("bigint").as("n_chars"))))
+      },
+      Some("""SELECT doc_id, source, lang, NULL AS n_chars
+              FROM documents WHERE doc_id < 100
+              UNION ALL
+              SELECT doc_id, source, NULL AS lang, length(text) AS n_chars
+              FROM documents WHERE doc_id >= 400""")),
+
+    // CDC merge to latest snapshot: updates (version 1) overwrite the
+    // base rows, tombstones drop keys, unseen keys insert — the kept
+    // row per key is a pure function of (key, version, side), replayed
+    // by the oracle's window. Update payloads are exact values (a cast
+    // key), so no FP arithmetic rides the gate.
+    Q("q_merge_upsert",
+      (s, d) => {
+        val orders = s.read.parquet(pq(d, "orders"))
+        val base = orders.select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        val updates = orders.where(col("o_orderkey") % 10 < 3)
+          .select(col("o_orderkey"),
+            col("o_orderkey").cast("double").as("o_totalprice"),
+            lit("U").as("o_orderstatus"), lit(1L).as("version"),
+            lit(false).as("is_delete"))
+          .unionAll(orders.where(col("o_orderkey") % 10 === 3)
+            .select(col("o_orderkey"),
+              lit(null).cast("double").as("o_totalprice"),
+              lit(null).cast("string").as("o_orderstatus"),
+              lit(1L).as("version"), lit(true).as("is_delete")))
+          .unionAll(orders.where(col("o_orderkey") % 10 === 4)
+            .select((-col("o_orderkey")).as("o_orderkey"),
+              col("o_orderkey").cast("double").as("o_totalprice"),
+              lit("N").as("o_orderstatus"), lit(1L).as("version"),
+              lit(false).as("is_delete")))
+        graft.operators.Merge.mergeUpsert(base, updates,
+            Seq("o_orderkey"), "version", deleteCol = Some("is_delete"))
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_totalprice,
+                o_orderstatus, 0 AS version, FALSE AS is_delete, 0 AS src
+                FROM orders),
+              upd AS (
+                SELECT o_orderkey, CAST(o_orderkey AS DOUBLE)
+                    AS o_totalprice, 'U' AS o_orderstatus, 1 AS version,
+                  FALSE AS is_delete, 1 AS src
+                FROM orders WHERE o_orderkey % 10 < 3
+                UNION ALL
+                SELECT o_orderkey, NULL, NULL, 1, TRUE, 1
+                FROM orders WHERE o_orderkey % 10 = 3
+                UNION ALL
+                SELECT -o_orderkey, CAST(o_orderkey AS DOUBLE), 'N', 1,
+                  FALSE, 1
+                FROM orders WHERE o_orderkey % 10 = 4),
+              log AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+              win AS (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY o_orderkey
+                  ORDER BY version DESC, src DESC) AS rk FROM log)
+              SELECT o_orderkey, o_totalprice, o_orderstatus
+              FROM win WHERE rk = 1 AND NOT is_delete""")),
+
     // ---- grouping sets ---------------------------------------------------
     Q("q_rollup",
       (s, d) => s.read.parquet(pq(d, "lineitem"))
@@ -1226,6 +1297,40 @@ object SparkEntry {
                 ROUND(CAST(sum(hit) AS DOUBLE)/count(*), 4) AS contamination
               FROM d GROUP BY doc_id""")),
 
+    // decontamination against MANY benchmarks in one pass: src0 and
+    // src1 act as two held-out sets; output is only the (doc,
+    // benchmark) pairs with >= 1 shared 5-gram — hits-sized, never
+    // |docs| x |benchmarks|
+    Q("q_contamination_multi",
+      (s, d) => {
+        val docs = s.read.parquet(pq(d, "documents"))
+          .repartition(s.sparkContext.defaultParallelism)
+        graft.operators.Dedup.contaminationScoreMulti(
+          docs.where(!col("source").isin("src0", "src1")),
+          docs.where(col("source").isin("src0", "src1"))
+            .select(col("source").as("benchmark"), col("text")),
+          "doc_id", "text", "benchmark", shingleWords = 5)
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+                string_split_regex(trim(text), '\s+') AS toks FROM documents),
+              sh AS (SELECT doc_id, source,
+                unnest(list_distinct(list_transform(
+                  generate_series(0, greatest(len(toks)-5, 0)),
+                  i -> array_to_string(toks[i+1:i+5], ' ')))) AS sh FROM t),
+              bench AS (SELECT DISTINCT source AS benchmark, sh
+                FROM sh WHERE source IN ('src0', 'src1')),
+              d AS (SELECT doc_id, sh FROM sh
+                WHERE source NOT IN ('src0', 'src1')),
+              tot AS (SELECT doc_id, CAST(count(*) AS BIGINT)
+                  AS n_shingles FROM d GROUP BY 1),
+              hits AS (SELECT doc_id, benchmark,
+                  CAST(count(*) AS BIGINT) AS n_contaminated
+                FROM d JOIN bench USING (sh) GROUP BY 1, 2)
+              SELECT hits.doc_id, benchmark, n_shingles, n_contaminated,
+                ROUND(CAST(n_contaminated AS DOUBLE) / n_shingles, 4)
+                  AS contamination
+              FROM hits JOIN tot ON hits.doc_id = tot.doc_id""")),
+
     // CCNet-style cross-document line dedup; the corpus has no newlines,
     // so the query body synthesizes 10-word lines first (deterministic,
     // mirrored in the oracle), then drops every line's repeat occurrences
@@ -1447,6 +1552,30 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS BIGINT) AS cum FROM documents)
               SELECT doc_id, n_chars FROM c WHERE cum <= 50000""")),
+
+    // RAG-style token-window chunking: 64-token windows, stride 48
+    // (16-token overlap); the oracle replays the window arithmetic and
+    // the slice text exactly
+    Q("q_chunk_tokens",
+      (s, d) => graft.functions.TextAnalysis.chunkByTokens(
+          s.read.parquet(pq(d, "documents"))
+            .select(col("doc_id"), col("text")),
+          "text", chunkSize = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx").cast("bigint"),
+          col("chunk_start").cast("bigint"),
+          col("chunk_tokens").cast("bigint"), col("chunk_text")),
+      Some("""WITH t AS (SELECT doc_id,
+                  string_split_regex(trim(text), '\s+') AS toks
+                FROM documents WHERE length(trim(text)) > 0),
+              c AS (SELECT doc_id, toks, unnest(generate_series(0,
+                  CAST(floor((greatest(len(toks) - 64, 0) + 47) / 48)
+                    AS BIGINT))) AS chunk_idx FROM t)
+              SELECT doc_id, chunk_idx, chunk_idx * 48 AS chunk_start,
+                least(64, len(toks) - chunk_idx * 48) AS chunk_tokens,
+                array_to_string(
+                  toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')
+                  AS chunk_text
+              FROM c""")),
 
     // deterministic train/val/test split assignment by hashed key
     Q("q_split_assign",

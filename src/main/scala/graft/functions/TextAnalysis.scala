@@ -283,6 +283,54 @@ object TextAnalysis {
         round(col("__score"), 4).as("score"))
   }
 
+  // --- chunking ----------------------------------------------------------
+
+  /**
+   * Token-window chunking: split every document into sliding windows of
+   * `size` whitespace tokens advancing by `stride` tokens — the
+   * retrieval-side twin of [[graft.operators.Pack]]'s context packing
+   * (RAG indexing chunks with overlap `size - stride`; training-window
+   * prep uses `stride = size` for disjoint windows). Output is one row
+   * per chunk: every input column, plus `chunk_idx` (0-based),
+   * `chunk_start` (0-based token offset), `chunk_tokens` (window
+   * length; the final window may be shorter) and `chunk_text`. Empty /
+   * whitespace-only documents yield no chunks. Chunk count is
+   * `1 + ceil(max(n - size, 0) / stride)` — every token is covered,
+   * and no chunk starts at-or-past the end.
+   *
+   * Scale shape: a single generator projection (`explode` over an
+   * in-row `sequence`) — ZERO shuffle, whole-stage-codegen on both
+   * sides of the generator; chunk ids are (doc, chunk_idx) pairs, so no
+   * global ordinal pass is needed. The fan-out factor is ~n/stride
+   * rows per doc, decided per-row — a 100 TB corpus chunks in one
+   * narrow map stage.
+   */
+  def chunkByTokens(docs: DataFrame, textCol: String,
+                    chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val orig = docs.columns.map(col).toSeq
+    val n = size(col("__toks"))
+    // 1 + ceil((n - chunkSize)+ / stride); n >= 1 guaranteed by the
+    // filter below, so the sequence bound is always >= 0 (Spark's
+    // sequence(0, -1) would DESCEND, not return empty)
+    val nChunks = (lit(1) + floor(
+      (greatest(n - chunkSize, lit(0)) + (stride - 1)) / lit(stride)))
+      .cast("int")
+    docs
+      .select(orig :+ tokens(col(textCol)).as("__toks"): _*)
+      .where(size(col("__toks")) > 0)
+      .select(orig :+ col("__toks") :+
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"): _*)
+      .select(orig ++ Seq(
+        col("chunk_idx"),
+        (col("chunk_idx") * stride).as("chunk_start"),
+        least(lit(chunkSize), n - col("chunk_idx") * stride)
+          .as("chunk_tokens"),
+        concat_ws(" ", slice(col("__toks"),
+          col("chunk_idx") * stride + 1, lit(chunkSize))).as("chunk_text")): _*)
+  }
+
   // --- fingerprinting ----------------------------------------------------
 
   /** Canonical-text hash: lowercase, collapse whitespace, xxhash64. */

@@ -1119,6 +1119,57 @@ object Dedup {
           .as("contamination"))
   }
 
+  /**
+   * Decontamination against MANY benchmark sets in one corpus pass:
+   * `benchmarks` carries (`benchCol`, `textCol`) rows — one per
+   * benchmark example — and the result has one row per (document,
+   * benchmark) pair WITH AT LEAST ONE shared `shingleWords`-word
+   * shingle: `(idCol, benchCol, n_shingles, n_contaminated,
+   * contamination)`. Emitting only hit pairs keeps the output
+   * hits-sized, not |docs| x |benchmarks|-sized — the downstream
+   * decontamination filter is an anti-join on the flagged ids (or on
+   * pairs, for per-benchmark eval-carve-outs).
+   *
+   * Scale shape mirrors [[contaminationScore]], paid ONCE for all K
+   * benchmarks instead of K times: both sides hash their shingles to
+   * `hashBits` keys map-side (exchanges carry 8/16-byte keys + the
+   * benchmark tag, never shingle text); the benchmark side is
+   * `distinct` per (benchmark, shingle); one inner hash join on the
+   * key, one (doc, benchmark) aggregation. A shingle shared by many
+   * benchmarks fans out at most K-fold — bounded by the benchmark
+   * count, not the corpus. Per-doc totals ride a doc-sized second
+   * aggregate joined back on the id (both sides one row per doc).
+   */
+  def contaminationScoreMulti(docs: DataFrame, benchmarks: DataFrame,
+                              idCol: String, textCol: String,
+                              benchCol: String,
+                              shingleWords: Int = 5,
+                              useNative: Boolean = true,
+                              hashBits: Int = 64): DataFrame = {
+    val shingles: Column => Column =
+      if (useNative) {
+        graft.plans.NativeFunctions.register(docs.sparkSession)
+        t => graft.plans.NativeFunctions.shinglesNative(t, shingleWords)
+      } else t => Shingles.wordShingles(t, shingleWords)
+    val docSh = docs.select(col(idCol),
+        explode(shingles(col(textCol))).as("__shs"))
+      .select(col(idCol), membershipKey(col("__shs"), hashBits).as("__sh"))
+    val benchSh = benchmarks
+      .select(col(benchCol), explode(shingles(col(textCol))).as("__shs"))
+      .select(col(benchCol), membershipKey(col("__shs"), hashBits).as("__sh"))
+      .distinct()
+    val totals = docSh.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"))
+    docSh.join(benchSh, Seq("__sh"))
+      .groupBy(col(idCol), col(benchCol))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .join(totals, Seq(idCol))
+      .select(col(idCol), col(benchCol), col("n_shingles"),
+        col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 4)
+          .as("contamination"))
+  }
+
   // ---- line-level dedup ---------------------------------------------------
 
   /**

@@ -1,0 +1,172 @@
+package graft
+
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Merge}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+
+/** Round-7 operators: token chunking, CDC merge, schema-evolution
+  * union, multi-benchmark contamination. */
+class MergeChunkSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- chunkByTokens ------------------------------------------------------
+
+  test("chunkByTokens covers every token with the declared windows") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than size
+      (3L, ""), (4L, "   ")                           // no chunks
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkByTokens(docs, "text",
+        chunkSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "chunk_start", "chunk_tokens",
+        "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getString(4)))
+    // doc 1: n=10, size=4, stride=3 -> 1 + ceil(6/3) = 3 chunks
+    assert(got.toSeq == Seq(
+      (1L, 0, 0, 4, "w1 w2 w3 w4"),
+      (1L, 1, 3, 4, "w4 w5 w6 w7"),
+      (1L, 2, 6, 4, "w7 w8 w9 w10"),
+      (2L, 0, 0, 3, "a b c")))
+  }
+
+  test("chunkByTokens disjoint windows when stride == size") {
+    val docs = Seq((1L, (1 to 7).map(_.toString).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkByTokens(docs, "text", 3, 3)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getAs[Int]("chunk_idx"),
+        r.getAs[Int]("chunk_tokens"), r.getAs[String]("chunk_text")))
+    assert(got.toSeq == Seq((0, 3, "1 2 3"), (1, 3, "4 5 6"), (2, 1, "7")))
+  }
+
+  test("chunkByTokens keeps all input columns and rejects bad params") {
+    val docs = Seq((1L, "x y", "keep")).toDF("doc_id", "text", "extra")
+    val got = TextAnalysis.chunkByTokens(docs, "text", 5, 5)
+    assert(got.columns.toSeq == Seq("doc_id", "text", "extra",
+      "chunk_idx", "chunk_start", "chunk_tokens", "chunk_text"))
+    assert(got.select("extra").head.getString(0) == "keep")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkByTokens(docs, "text", 0, 1)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkByTokens(docs, "text", 4, 0)
+    }
+  }
+
+  // ---- compactLog / mergeUpsert ------------------------------------------
+
+  test("mergeUpsert: update wins, tombstone drops, insert lands") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq(
+      (1L, "a2", 1L, false), // update
+      (2L, null, 1L, true),  // delete
+      (9L, "new", 1L, false) // insert
+    ).toDF("k", "v", "version", "is_delete")
+    val got = Merge.mergeUpsert(base, updates, Seq("k"), "version",
+        deleteCol = Some("is_delete"))
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(got == Map(1L -> "a2", 3L -> "c", 9L -> "new"))
+  }
+
+  test("mergeUpsert: equal-version tie resolves to the update side") {
+    val base = Seq((1L, "base", 5L)).toDF("k", "v", "version")
+    val updates = Seq((1L, "upd", 5L)).toDF("k", "v", "version")
+    val got = Merge.mergeUpsert(base, updates, Seq("k"), "version")
+    assert(got.select("v").head.getString(0) == "upd")
+    // and a HIGHER base version survives an older update
+    val got2 = Merge.mergeUpsert(
+      Seq((1L, "base", 9L)).toDF("k", "v", "version"),
+      Seq((1L, "upd", 5L)).toDF("k", "v", "version"),
+      Seq("k"), "version")
+    assert(got2.select("v").head.getString(0) == "base")
+  }
+
+  test("compactLog keeps max-version row per key; delete col dropped") {
+    val log = Seq(
+      (1L, "v0", 0L, false), (1L, "v2", 2L, false), (1L, "v1", 1L, false),
+      (2L, "x", 0L, false), (2L, null, 3L, true)
+    ).toDF("k", "v", "version", "del")
+    val got = Merge.compactLog(log, Seq("k"), "version", Some("del"))
+    assert(got.columns.toSeq == Seq("k", "v", "version"))
+    val rows = got.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "v2"))
+  }
+
+  // ---- unionEvolve --------------------------------------------------------
+
+  test("unionEvolve: null-fill, first-appearance order, widening") {
+    val a = Seq((1, "x")).toDF("id", "name")
+    val b = Seq((2L, 3.5)).toDF("id", "score")
+    val got = Merge.unionEvolve(Seq(a, b))
+    assert(got.columns.toSeq == Seq("id", "name", "score"))
+    assert(got.schema("id").dataType == LongType)   // int widened to long
+    assert(got.schema("score").dataType == DoubleType)
+    val rows = got.orderBy("id").collect()
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "x"
+      && rows(0).isNullAt(2))
+    assert(rows(1).getLong(0) == 2L && rows(1).isNullAt(1)
+      && rows(1).getDouble(2) == 3.5)
+  }
+
+  test("unionEvolve: int/double mix widens to double; string conflict fails") {
+    val a = Seq((1, 2)).toDF("id", "x")
+    val b = Seq((2, 3.5)).toDF("id", "x")
+    val got = Merge.unionEvolve(Seq(a, b))
+    assert(got.schema("x").dataType == DoubleType)
+    assert(got.agg(sum("x")).head.getDouble(0) == 5.5)
+    val c = Seq((3, "s")).toDF("id", "x")
+    val e = intercept[IllegalArgumentException] {
+      Merge.unionEvolve(Seq(a, c))
+    }
+    assert(e.getMessage.contains("incompatible"))
+    assert(Merge.unionEvolve(Seq(a)).columns.toSeq == Seq("id", "x"))
+  }
+
+  // ---- contaminationScoreMulti -------------------------------------------
+
+  test("contaminationScoreMulti: per-benchmark hits only, shared doc totals") {
+    val shared1 = "alpha beta gamma delta epsilon" // 5-gram in bench b1
+    val shared2 = "one two three four five"        // 5-gram in bench b2
+    val docs = Seq(
+      (1L, s"$shared1 filler words here then more padding tokens"),
+      (2L, s"$shared1 intro and also $shared2 trailing tail words"),
+      (3L, "totally unrelated content with no overlap at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      ("b1", s"prefix $shared1 suffix"),
+      ("b2", s"$shared2 something else")
+    ).toDF("benchmark", "text")
+    val got = Dedup.contaminationScoreMulti(docs, bench,
+        "doc_id", "text", "benchmark", shingleWords = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // doc 3 emits nothing; doc 1 hits b1 only; doc 2 hits both
+    assert(got.keySet == Set((1L, "b1"), (2L, "b1"), (2L, "b2")))
+    assert(got((1L, "b1"))._2 == 1L)
+    assert(got((2L, "b1"))._2 == 1L && got((2L, "b2"))._2 == 1L)
+    // n_shingles is the doc total (same for both doc-2 rows)
+    assert(got((2L, "b1"))._1 == got((2L, "b2"))._1)
+    // HOF and native paths agree
+    val hof = Dedup.contaminationScoreMulti(docs, bench, "doc_id", "text",
+        "benchmark", 5, useNative = false)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(hof == got)
+  }
+
+  test("contaminationScoreMulti 128-bit keys match 64-bit results") {
+    val docs = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val bench = Seq(("b", "a b c d e")).toDF("benchmark", "text")
+    def run(bits: Int) = Dedup.contaminationScoreMulti(docs, bench,
+        "doc_id", "text", "benchmark", 5, hashBits = bits)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+      .toSet
+    assert(run(64) == run(128))
+  }
+}

@@ -10,8 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("registry counts match the documented surface") {
-    assert(SparkEntry.queries.size == 124)
-    assert(SparkEntry.oracleSql.size == 118)
+    assert(SparkEntry.queries.size == 128)
+    assert(SparkEntry.oracleSql.size == 122)
   }
 
   test("every oracle belongs to a registered query") {
