@@ -89,12 +89,19 @@ object Bench {
     if (printed.compareAndSet(false, true)) {
       val names = if (allNames.nonEmpty) allNames
         else (warmups.keySet ++ samples.keySet).toSeq.sorted
+      // 4-decimal values (0.1 ms grain — far below measurement noise):
+      // full Double reprs made the line ~2x longer, and the round-6
+      // driver artifact was a stdout TAIL capture that truncated the
+      // line mid-key; Locale.ROOT so a decimal-comma locale can't
+      // corrupt the JSON
+      def num(x: Double): String =
+        String.format(java.util.Locale.ROOT, "%.4f", Double.box(x))
       // only >=2-run queries count as measured: a single steady run cut
       // off by the deadline could be one interference burst — emitting
       // it would defeat the corroboration discipline
       val qs = names.map { n =>
         samples.get(n).filter(_.length >= 2) match {
-          case Some(t) => "\"" + n + "\":" + t.min
+          case Some(t) => "\"" + n + "\":" + num(t.min)
           case None    => "\"" + n + "\":null" // unvisited/uncorroborated
         }
       }.mkString("{", ",", "}")
@@ -102,14 +109,14 @@ object Bench {
       // own warm-up is self-evidently an interference artifact
       val ws = names.map { n =>
         warmups.get(n) match {
-          case Some(w) => "\"" + n + "\":" + w
+          case Some(w) => "\"" + n + "\":" + num(w)
           case None    => "\"" + n + "\":null"
         }
       }.mkString("{", ",", "}")
       val measured = names.flatMap(n => samples.get(n)
         .filter(_.length >= 2).map(_.min))
       val total = measured.sum
-      val valueStr = if (complete) total.toString else "null"
+      val valueStr = if (complete) num(total) else "null"
       val noise = (statAtStart, cpuStat()) match {
         case (Some((tA, ioA, stA)), Some((tB, ioB, stB))) if tB > tA =>
           val d = (tB - tA).toDouble
@@ -121,7 +128,7 @@ object Bench {
           s""","host_iowait_frac":${r((ioB - ioA) / d)},"host_steal_frac":${r((stB - stA) / d)}"""
         case _ => ""
       }
-      val line = s"""{"metric":"total","value":$valueStr,"unit":"sec","queries":$qs,"warmups":$ws,"sf":"$sfDir","complete":$complete,"partial_total":$total,"n_measured":${measured.size},"n_queries":${names.size},"elapsed_s":$elapsed$noise}"""
+      val line = s"""{"metric":"total","value":$valueStr,"unit":"sec","queries":$qs,"warmups":$ws,"sf":"$sfDir","complete":$complete,"partial_total":${num(total)},"n_measured":${measured.size},"n_queries":${names.size},"elapsed_s":${num(elapsed)}$noise}"""
       println(line)
       System.out.flush()
       // the same line also lands in a file: round 4's driver artifact was

@@ -2166,6 +2166,32 @@ object SparkEntry {
               FROM events e JOIN m ON e.event_type = m.event_type
               GROUP BY e.event_type""")),
 
+    // per-source percentile-rank normalization: exact percent_rank
+    // semantics computed from the DISTINCT-value CDF (the window's
+    // per-task data is distinct scores per source, never a whole
+    // source), replayed by the oracle's real PERCENT_RANK window
+    Q("q_score_normalize",
+      (s, d) => graft.operators.Analytics.rankNormalize(
+          s.read.parquet(pq(d, "documents"))
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "n_chars")
+        .select(col("doc_id"), col("source"),
+          round(col("pct_rank"), 4).as("pct_rank")),
+      Some("""SELECT doc_id, source, ROUND(PERCENT_RANK() OVER (
+                PARTITION BY source ORDER BY n_chars), 4) AS pct_rank
+              FROM documents""")),
+
+    // sketch-quantile variant (t-digest cut points; per-group state
+    // O(buckets) at any score cardinality) — sketch-specific values,
+    // rows-only by the driver contract
+    Q("q_score_normalize_approx",
+      (s, d) => graft.operators.Analytics.rankNormalizeApprox(
+          s.read.parquet(pq(d, "documents"))
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "n_chars", buckets = 20)
+        .select(col("doc_id"), col("source"), col("pct_rank")),
+      None),
+
     // wide-to-long reshape (Spark Dataset.unpivot; SURVEY §2.6 family)
     Q("q_unpivot",
       (s, d) => s.read.parquet(pq(d, "lineitem"))

@@ -20,7 +20,19 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // a failed query must be LOUD in the downstream compare, not a
+        // silently absent directory (round 6: 10 queries threw here and
+        // vanished from the correctness artifact without a trace) — an
+        // error-sentinel parquet guarantees a schema/hash mismatch
+        // against any real oracle
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try {
+          import spark.implicits._
+          Seq(s"$name failed: ${e.getMessage}").toDF("__verify_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name sentinel write failed: $e2")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

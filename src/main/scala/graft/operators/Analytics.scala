@@ -172,6 +172,68 @@ object Analytics {
    * aggregate natively); the flagging pass joins the tiny moments
    * frame back (broadcast at any realistic group count).
    */
+  /**
+   * Per-group percentile-rank normalization: adds `outCol` =
+   * `percent_rank` of `scoreCol` within its `groupCol` partition —
+   * the curation primitive that makes quality thresholds comparable
+   * ACROSS sources ("keep the top 30% of every source" instead of one
+   * global cutoff that a high-scoring source monopolizes). Null
+   * scores get a null rank.
+   *
+   * Scale shape: the naive `percent_rank() OVER (PARTITION BY
+   * source)` puts an ENTIRE source in one task's sorter — with a
+   * handful of 10 TB sources that is the single-task global-window
+   * failure mode with a fig leaf. This computes the same number from
+   * the per-group CDF over DISTINCT score values instead: one
+   * `groupBy(group, score)` count (map-side combined), windows over
+   * the distinct-value frame (per-task data = distinct scores per
+   * group, not rows per group), then a hash join back on (group,
+   * score). Exact same value as `percent_rank` — (rows strictly
+   * below) / (group rows - 1) — at any tie structure. For
+   * real-valued scores with unbounded distinct cardinality, round
+   * the score first or use [[rankNormalizeApprox]].
+   */
+  def rankNormalize(df: DataFrame, groupCol: String, scoreCol: String,
+                    outCol: String = "pct_rank"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.where(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__n"))
+    val ordered = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+    val whole = Window.partitionBy(col(groupCol))
+    val cdf = counts.select(col(groupCol), col(scoreCol),
+      ((sum(col("__n")).over(ordered) - col("__n")) /
+        greatest(sum(col("__n")).over(whole) - 1L, lit(1L)))
+        .cast("double").as(outCol))
+    df.join(cdf, Seq(groupCol, scoreCol), "left")
+  }
+
+  /**
+   * Sketch-based variant for unbounded-cardinality scores: per-group
+   * quantile cut points from ONE `approx_percentile` aggregation
+   * (t-digest-style state, map-side partials), then each row's rank
+   * estimate = fraction of cut points at or below its score — a
+   * `buckets`-step staircase approximation of [[rankNormalize]],
+   * with per-group state O(buckets) instead of O(distinct scores).
+   */
+  def rankNormalizeApprox(df: DataFrame, groupCol: String,
+                          scoreCol: String, buckets: Int = 20,
+                          outCol: String = "pct_rank"): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val pcts = array((1 until buckets).map(i =>
+      lit(i.toDouble / buckets)): _*)
+    val cuts = df.where(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(percentile_approx(col(scoreCol), pcts, lit(10000))
+        .as("__cuts"))
+    df.join(cuts, Seq(groupCol), "left")
+      .withColumn(outCol,
+        when(col(scoreCol).isNull || col("__cuts").isNull, lit(null))
+          .otherwise(size(filter(col("__cuts"),
+            c => c <= col(scoreCol))).cast("double") / buckets))
+      .drop("__cuts")
+  }
+
   def zscoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
                      zThreshold: Double = 3.0): DataFrame = {
     val moments = df.groupBy(col(groupCol)).agg(

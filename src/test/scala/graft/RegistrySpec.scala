@@ -10,8 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("registry counts match the documented surface") {
-    assert(SparkEntry.queries.size == 128)
-    assert(SparkEntry.oracleSql.size == 122)
+    assert(SparkEntry.queries.size == 130)
+    assert(SparkEntry.oracleSql.size == 123)
   }
 
   test("every oracle belongs to a registered query") {
@@ -24,6 +24,6 @@ class RegistrySpec extends AnyFunSuite {
     assert(rowsOnly == Set(
       "q_approx_count_distinct", "q_approx_percentile",
       "q_dedup_embedding", "q_dedup_minhash", "q_dedup_simhash",
-      "q_profile_approx"))
+      "q_profile_approx", "q_score_normalize_approx"))
   }
 }

@@ -165,4 +165,50 @@ class Round3OpsSpec extends SparkSpec {
     val out = Analytics.zscoreOutliers(df, "g", "v").collect().head
     assert(out.getLong(1) == 33L && out.getLong(2) == 1L)
   }
+
+  test("rankNormalize matches percent_rank semantics incl. ties") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 20.0), ("a", 4L, 30.0),
+      ("b", 5L, 7.0), // single-row group -> 0.0
+      ("c", 6L, 1.0), ("c", 7L, 2.0)
+    ).toDF("src", "id", "score")
+    val got = Analytics.rankNormalize(df, "src", "score")
+      .select("id", "pct_rank")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // group a (n=4): ranks 1, 2, 2, 4 -> (rank-1)/3
+    assert(got(1L) == 0.0 && got(4L) == 1.0)
+    assert(math.abs(got(2L) - 1.0 / 3) < 1e-12 && got(2L) == got(3L))
+    assert(got(5L) == 0.0)
+    assert(got(6L) == 0.0 && got(7L) == 1.0)
+    // cross-check against Spark's own percent_rank window
+    import org.apache.spark.sql.expressions.Window
+    val ref = df.withColumn("pr", percent_rank().over(
+        Window.partitionBy("src").orderBy("score")))
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(got == ref)
+  }
+
+  test("rankNormalize: null scores get null rank, rows preserved") {
+    val df = Seq(("a", 1L, Some(5.0)), ("a", 2L, None), ("a", 3L, Some(9.0)))
+      .toDF("src", "id", "score")
+    val got = Analytics.rankNormalize(df, "src", "score")
+    assert(got.count() == 3)
+    val nullRow = got.where(col("id") === 2L).select("pct_rank").head
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("rankNormalizeApprox staircase brackets the exact rank") {
+    val df = (1 to 200).map(i => ("a", i.toLong, i.toDouble))
+      .toDF("src", "id", "score")
+    val got = Analytics.rankNormalizeApprox(df, "src", "score",
+        buckets = 20)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // uniform scores: estimate within one bucket step of the true rank
+    (1 to 200).foreach { i =>
+      val exact = (i - 1).toDouble / 199
+      assert(math.abs(got(i.toLong) - exact) <= 0.1,
+        s"id $i: ${got(i.toLong)} vs $exact")
+    }
+    assert(got(200L) > got(1L))
+  }
 }
