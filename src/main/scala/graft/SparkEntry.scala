@@ -1705,6 +1705,23 @@ object SparkEntry {
               ROUND(SUM(value), 4) AS sum_value
               FROM events GROUP BY 1, 2""")),
 
+    // sliding-window rollup (10-min windows every 5 min): each event
+    // lands in exactly two windows — the oracle materializes both via
+    // the [0, 300]s offset unnest on the same 5-min grid arithmetic
+    // Spark's window() uses; naive-timestamp math end to end (no tz)
+    Q("q_events_sliding",
+      (s, d) => graft.streaming.EventsPipeline
+        .slidingUserActivity(events(s, d))
+        .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("win_str"), col("user_id"), col("n"), col("v")),
+      Some("""WITH e AS (SELECT user_id, value,
+                make_timestamp(CAST((floor(epoch(ts) / 300) * 300 - off)
+                  * 1000000 AS BIGINT)) AS win_start
+                FROM events, unnest([0, 300]) AS t(off))
+              SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_str,
+                user_id, COUNT(*) AS n, ROUND(SUM(value), 4) AS v
+              FROM e GROUP BY 1, 2""")),
+
     Q("q_events_type_stats",
       (s, d) => events(s, d).groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),

@@ -1,0 +1,145 @@
+package graft.streaming
+
+import graft.operators.Merge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/**
+ * Streaming CDC compaction: consume a change stream (upserts +
+ * tombstones) and maintain a queryable latest-version snapshot on
+ * plain parquet — the streaming twin of [[graft.operators.Merge]],
+ * built on the same `mergeUpsert`. The reference has no write-side or
+ * streaming surface at all (`parquery/README.md:4-8`); extension.
+ *
+ * Layout: the snapshot is LOG-STRUCTURED and bucket-partitioned —
+ * `dir/epoch=<batchId>/bucket=<hash(key) % numBuckets>/part-*.parquet`.
+ * A micro-batch rewrites ONLY the buckets its keys hash into: the
+ * current state of each bucket is its newest committed epoch (tracked
+ * by Spark's per-epoch `_SUCCESS` marker), so untouched buckets are
+ * carried forward by reference, not by copy. Per-batch cost is
+ * O(touched buckets + batch), independent of total snapshot size when
+ * change keys are concentrated — the property that makes the shape
+ * hold at 100 TB. (A manifest/catalog layer — Delta, Iceberg — would
+ * track bucket→file mappings transactionally and add time travel;
+ * directory listing + `_SUCCESS` is the dependency-free equivalent,
+ * with the swap-atomicity caveats documented on
+ * [[IngestPipeline]]'s sketch I/O.)
+ *
+ * Crash safety / replay: a retried batch re-reads the latest COMMITTED
+ * state (a torn epoch directory has no `_SUCCESS` and is ignored) and
+ * re-merges — `mergeUpsert` is idempotent under replay (re-applying a
+ * change set to a snapshot that already absorbed it yields the same
+ * winners: version ties resolve to the update side, whose payload
+ * equals what is already there; tombstones of absent keys stay
+ * absent).
+ */
+object CdcPipeline {
+
+  /**
+   * Start the compaction query. `changes` must carry `keyCols`,
+   * `versionCol`, `deleteCol` and the payload columns.
+   */
+  def upsertStream(changes: DataFrame, snapshotDir: String,
+                   checkpointDir: String, keyCols: Seq[String],
+                   versionCol: String, deleteCol: String,
+                   numBuckets: Int = 64,
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        applyBatch(batch.sparkSession, batch, snapshotDir, keyCols,
+          versionCol, deleteCol, numBuckets, epoch)
+      }
+      .start()
+
+  /** Deterministic key→bucket routing (shared by write and read). */
+  private def bucketOf(keyCols: Seq[String], numBuckets: Int) =
+    pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets.toLong))
+      .cast("int")
+
+  /**
+   * Apply one change batch to the snapshot (public: the exact function
+   * a replayed micro-batch runs, so tests and backfills drive it
+   * directly). Reads ONLY the buckets the batch's keys hash into,
+   * merges, and writes those buckets under `epoch=<epoch>`.
+   */
+  def applyBatch(spark: SparkSession, batch: DataFrame,
+                 snapshotDir: String, keyCols: Seq[String],
+                 versionCol: String, deleteCol: String,
+                 numBuckets: Int, epoch: Long): Unit = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    if (batch.isEmpty) return
+    val bCol = bucketOf(keyCols, numBuckets)
+    // touched-bucket set: bounded by numBuckets (driver rows ≤ numBuckets
+    // by construction — the same contract as Mixture's per-source collect)
+    val touched = batch.select(bCol.as("__b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val prev = readBuckets(spark, snapshotDir, Some(touched))
+      .getOrElse(batch.limit(0).drop(deleteCol))
+    val merged = Merge.mergeUpsert(prev, batch, keyCols, versionCol,
+      deleteCol = Some(deleteCol))
+    val epochDir = s"$snapshotDir/epoch=$epoch"
+    merged
+      .withColumn("bucket", bucketOf(keyCols, numBuckets))
+      .write.mode("overwrite") // retried epoch overwrites its own dir
+      .partitionBy("bucket")
+      .parquet(epochDir)
+    // a bucket whose post-merge content is EMPTY (every key tombstoned)
+    // writes no partition directory above — and an absent directory
+    // would make the read side fall back to the older epoch,
+    // resurrecting the deleted keys. Materialize every touched bucket
+    // explicitly with a zero-row file so "empty now" is distinguishable
+    // from "not rewritten here".
+    val fs = new org.apache.hadoop.fs.Path(epochDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.foreach { b =>
+      val p = new org.apache.hadoop.fs.Path(s"$epochDir/bucket=$b")
+      if (!fs.exists(p))
+        merged.limit(0).write.mode("overwrite").parquet(p.toString)
+    }
+  }
+
+  /**
+   * Read the current snapshot: for every bucket, its newest committed
+   * epoch's files. One listing pass (epochs × buckets directory
+   * entries — cluster metadata, not data), then a single multi-path
+   * parquet scan.
+   */
+  def readSnapshot(spark: SparkSession, snapshotDir: String): DataFrame =
+    readBuckets(spark, snapshotDir, bucketFilter = None)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed snapshot under $snapshotDir"))
+
+  /** Latest committed epoch dir per bucket; None when nothing committed.
+    * `bucketFilter = None` means all buckets. */
+  private def readBuckets(spark: SparkSession, snapshotDir: String,
+                          bucketFilter: Option[Set[Int]]): Option[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(snapshotDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(snapshotDir))) return None
+    val epochs = fs.listStatus(new org.apache.hadoop.fs.Path(snapshotDir))
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("epoch="))
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .sortBy(p => p.getName.stripPrefix("epoch=").toLong)
+    if (epochs.isEmpty) return None
+    // newest committed epoch wins per bucket
+    val latest = scala.collection.mutable.Map.empty[Int, String]
+    epochs.foreach { e =>
+      fs.listStatus(e).filter(_.isDirectory).foreach { b =>
+        val name = b.getPath.getName
+        if (name.startsWith("bucket=")) {
+          val id = name.stripPrefix("bucket=").toInt
+          if (bucketFilter.forall(_.contains(id)))
+            latest(id) = b.getPath.toString
+        }
+      }
+    }
+    if (latest.isEmpty) None
+    else Some(spark.read.parquet(latest.values.toSeq: _*))
+  }
+}

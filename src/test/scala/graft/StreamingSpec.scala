@@ -752,4 +752,86 @@ class StreamingSpec extends SparkSpec {
       .collect().toSet == Set(1L, 10L))
     assert(spark.read.parquet(stDir).count() == 2L)
   }
+
+  // ---- streaming CDC compaction ------------------------------------------
+
+  test("CdcPipeline: change stream compacts to the latest snapshot") {
+    import graft.streaming.CdcPipeline
+    val inDir = tmpDir()
+    val ckDir = tmpDir()
+    val snapDir = tmpDir() + "/snapshot"
+    // batch 1: three inserts
+    Seq((1L, "a", 1L, false), (2L, "b", 1L, false), (3L, "c", 1L, false))
+      .toDF("k", "v", "version", "is_delete")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val schema = "k LONG, v STRING, version LONG, is_delete BOOLEAN"
+    CdcPipeline.upsertStream(
+      spark.readStream.schema(schema).parquet(inDir),
+      snapDir, ckDir, Seq("k"), "version", "is_delete", numBuckets = 4)
+      .awaitTermination()
+    assert(CdcPipeline.readSnapshot(spark, snapDir)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+    // batch 2: update k=1, delete k=2, insert k=9
+    Seq((1L, "a2", 2L, false), (2L, null, 2L, true), (9L, "new", 2L, false))
+      .toDF("k", "v", "version", "is_delete")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    CdcPipeline.upsertStream(
+      spark.readStream.schema(schema).parquet(inDir),
+      snapDir, ckDir, Seq("k"), "version", "is_delete", numBuckets = 4)
+      .awaitTermination()
+    assert(CdcPipeline.readSnapshot(spark, snapDir)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap == Map(1L -> "a2", 3L -> "c", 9L -> "new"))
+  }
+
+  test("CdcPipeline: a batch rewrites only the buckets it touches") {
+    import graft.streaming.CdcPipeline
+    val snapDir = tmpDir() + "/snap"
+    val all = Seq((1L, "a", 1L, false), (2L, "b", 1L, false),
+      (3L, "c", 1L, false), (4L, "d", 1L, false))
+      .toDF("k", "v", "version", "is_delete")
+    CdcPipeline.applyBatch(spark, all, snapDir, Seq("k"), "version",
+      "is_delete", numBuckets = 8, epoch = 0L)
+    val one = Seq((1L, "a2", 2L, false))
+      .toDF("k", "v", "version", "is_delete")
+    CdcPipeline.applyBatch(spark, one, snapDir, Seq("k"), "version",
+      "is_delete", numBuckets = 8, epoch = 1L)
+    // epoch 1 contains exactly the single touched bucket
+    val e1 = new java.io.File(s"$snapDir/epoch=1")
+      .listFiles.filter(_.isDirectory).map(_.getName).toSeq
+    assert(e1.length == 1 && e1.head.startsWith("bucket="))
+    // snapshot still complete: untouched buckets served from epoch 0
+    assert(CdcPipeline.readSnapshot(spark, snapDir)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap == Map(1L -> "a2", 2L -> "b", 3L -> "c", 4L -> "d"))
+  }
+
+  test("CdcPipeline: replayed epoch is idempotent; torn epoch ignored") {
+    import graft.streaming.CdcPipeline
+    val snapDir = tmpDir() + "/snap"
+    val b0 = Seq((1L, "a", 1L, false), (2L, "b", 1L, false))
+      .toDF("k", "v", "version", "is_delete")
+    CdcPipeline.applyBatch(spark, b0, snapDir, Seq("k"), "version",
+      "is_delete", numBuckets = 4, epoch = 0L)
+    val b1 = Seq((1L, "a2", 2L, false), (2L, null, 2L, true))
+      .toDF("k", "v", "version", "is_delete")
+    CdcPipeline.applyBatch(spark, b1, snapDir, Seq("k"), "version",
+      "is_delete", numBuckets = 4, epoch = 1L)
+    val after1 = CdcPipeline.readSnapshot(spark, snapDir)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    // replay epoch 1 (crash-after-commit rerun): same snapshot
+    CdcPipeline.applyBatch(spark, b1, snapDir, Seq("k"), "version",
+      "is_delete", numBuckets = 4, epoch = 1L)
+    val replayed = CdcPipeline.readSnapshot(spark, snapDir)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(after1 == Map(1L -> "a2") && replayed == after1)
+    // torn epoch: a directory without _SUCCESS must be invisible
+    val torn = new java.io.File(s"$snapDir/epoch=2/bucket=0")
+    torn.mkdirs()
+    assert(CdcPipeline.readSnapshot(spark, snapDir)
+      .select("k").collect().map(_.getLong(0)).toSet == Set(1L))
+  }
 }
