@@ -499,29 +499,43 @@ object SparkEntry {
     // key), so no FP arithmetic rides the gate.
     Q("q_merge_upsert",
       (s, d) => {
-        val orders = s.read.parquet(pq(d, "orders"))
-        val base = orders.select(col("o_orderkey"), col("o_totalprice"),
-          col("o_orderstatus"))
-        val updates = orders.where(col("o_orderkey") % 10 < 3)
-          .select(col("o_orderkey"),
-            col("o_orderkey").cast("double").as("o_totalprice"),
-            lit("U").as("o_orderstatus"), lit(1L).as("version"),
-            lit(false).as("is_delete"))
-          .unionAll(orders.where(col("o_orderkey") % 10 === 3)
-            .select(col("o_orderkey"),
-              lit(null).cast("double").as("o_totalprice"),
-              lit(null).cast("string").as("o_orderstatus"),
-              lit(1L).as("version"), lit(true).as("is_delete")))
-          .unionAll(orders.where(col("o_orderkey") % 10 === 4)
-            .select((-col("o_orderkey")).as("o_orderkey"),
-              col("o_orderkey").cast("double").as("o_totalprice"),
-              lit("N").as("o_orderstatus"), lit(1L).as("version"),
-              lit(false).as("is_delete")))
+        val (base, updates) = ordersChangeSet(s, d)
         graft.operators.Merge.mergeUpsert(base, updates,
             Seq("o_orderkey"), "version", deleteCol = Some("is_delete"))
           .select(col("o_orderkey"), col("o_totalprice"),
             col("o_orderstatus"))
       },
+      Some("""WITH base AS (SELECT o_orderkey, o_totalprice,
+                o_orderstatus, 0 AS version, FALSE AS is_delete, 0 AS src
+                FROM orders),
+              upd AS (
+                SELECT o_orderkey, CAST(o_orderkey AS DOUBLE)
+                    AS o_totalprice, 'U' AS o_orderstatus, 1 AS version,
+                  FALSE AS is_delete, 1 AS src
+                FROM orders WHERE o_orderkey % 10 < 3
+                UNION ALL
+                SELECT o_orderkey, NULL, NULL, 1, TRUE, 1
+                FROM orders WHERE o_orderkey % 10 = 3
+                UNION ALL
+                SELECT -o_orderkey, CAST(o_orderkey AS DOUBLE), 'N', 1,
+                  FALSE, 1
+                FROM orders WHERE o_orderkey % 10 = 4),
+              log AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+              win AS (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY o_orderkey
+                  ORDER BY version DESC, src DESC) AS rk FROM log)
+              SELECT o_orderkey, o_totalprice, o_orderstatus
+              FROM win WHERE rk = 1 AND NOT is_delete""")),
+
+    // the SAME merge driven through CdcPipeline's log-structured
+    // epoch/bucket snapshot (two applied epochs, prebuilt fixture):
+    // readSnapshot serves every bucket from its newest committed epoch
+    // — identical final state to the one-shot merge, same oracle shape
+    Q("q_cdc_snapshot",
+      (s, d) => graft.streaming.CdcPipeline
+        .readSnapshot(s, cdcSnapshotFixture(s, d))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus")),
       Some("""WITH base AS (SELECT o_orderkey, o_totalprice,
                 o_orderstatus, 0 AS version, FALSE AS is_delete, 0 AS src
                 FROM orders),
@@ -2343,6 +2357,60 @@ object SparkEntry {
     *    builder is fine, the published copy wins;
     *  - self-heal delete may race a concurrent healer mid-walk —
     *    both fall through to the rebuild. */
+  /** Shared CDC change set over orders: base snapshot (version 0) plus
+    * updates / tombstones / inserts (version 1) — exact-valued payloads
+    * (a cast key), so no FP arithmetic rides the gate. Used by
+    * `q_merge_upsert` (one-shot merge) and `q_cdc_snapshot` (the same
+    * merge through the epoch/bucket snapshot layout) so both share one
+    * oracle shape. */
+  private def ordersChangeSet(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val orders = s.read.parquet(pq(d, "orders"))
+    val base = orders.select(col("o_orderkey"), col("o_totalprice"),
+      col("o_orderstatus"), lit(0L).as("version"),
+      lit(false).as("is_delete"))
+    val updates = orders.where(col("o_orderkey") % 10 < 3)
+      .select(col("o_orderkey"),
+        col("o_orderkey").cast("double").as("o_totalprice"),
+        lit("U").as("o_orderstatus"), lit(1L).as("version"),
+        lit(false).as("is_delete"))
+      .unionAll(orders.where(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"),
+          lit(null).cast("double").as("o_totalprice"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(1L).as("version"), lit(true).as("is_delete")))
+      .unionAll(orders.where(col("o_orderkey") % 10 === 4)
+        .select((-col("o_orderkey")).as("o_orderkey"),
+          col("o_orderkey").cast("double").as("o_totalprice"),
+          lit("N").as("o_orderstatus"), lit(1L).as("version"),
+          lit(false).as("is_delete")))
+    (base, updates)
+  }
+
+  /** Lazily-materialized CDC snapshot fixture: the [[ordersChangeSet]]
+    * applied as two epochs through [[graft.streaming.CdcPipeline]]'s
+    * log-structured layout — built once per testdata identity, so the
+    * steady-state bench time measures the snapshot READ (latest
+    * committed epoch per bucket), the shape a downstream consumer
+    * pays. */
+  private def cdcSnapshotFixture(s: SparkSession, d: String): String = {
+    val root = contentKeyedFixture(new java.io.File(d, "orders.parquet"),
+      "graft_cdc_snapshot") { r =>
+      new java.io.File(r, "snap/epoch=0/_SUCCESS").isFile &&
+        new java.io.File(r, "snap/epoch=1/_SUCCESS").isFile
+    } { tmp =>
+      val snap = new java.io.File(tmp, "snap").toString
+      val (base, updates) = ordersChangeSet(s, d)
+      graft.streaming.CdcPipeline.applyBatch(s, base, snap,
+        Seq("o_orderkey"), "version", "is_delete", numBuckets = 16,
+        epoch = 0L)
+      graft.streaming.CdcPipeline.applyBatch(s, updates, snap,
+        Seq("o_orderkey"), "version", "is_delete", numBuckets = 16,
+        epoch = 1L)
+    }
+    new java.io.File(root, "snap").toString
+  }
+
   private def contentKeyedFixture(src: java.io.File, name: String)
       (complete: java.io.File => Boolean)
       (build: java.io.File => Unit): java.io.File = {
