@@ -1281,6 +1281,55 @@ object SparkEntry {
                   '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS pii_n
               FROM p""")),
 
+    // crawl-HTML -> text extraction: the corpus has no HTML, so the
+    // query synthesizes a document wrapper (head/style/script with an
+    // embedded '<', entities, a comment, block tags) deterministically
+    // in BOTH engines, then runs the identical RE2-portable
+    // regexp_replace chain — script/style payload gone, blocks become
+    // newlines, entities decoded (&amp; last)
+    Q("q_html_extract",
+      (s, d) => {
+        val html = concat(
+          lit("<html><head><title>T</title><style>p{color:red}</style>" +
+            "<script>var x = 1 < 2;</script></head><body><h1>"),
+          col("source"), lit("</h1>\n<p>"), col("text"),
+          lit(" &amp; A &lt; B</p><!-- hidden --><div>tail</div>" +
+            "</body></html>"))
+        s.read.parquet(pq(d, "documents")).where(col("doc_id") < 200)
+          .select(col("doc_id"),
+            graft.functions.TextAnalysis.extractHtmlText(html)
+              .as("extracted"))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+                '<html><head><title>T</title><style>p{color:red}</style><script>var x = 1 < 2;</script></head><body><h1>' ||
+                source || '</h1>' || chr(10) || '<p>' || text ||
+                ' &amp; A &lt; B</p><!-- hidden --><div>tail</div></body></html>'
+                AS html FROM documents WHERE doc_id < 200),
+              s1 AS (SELECT doc_id, regexp_replace(html,
+                '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS t FROM h),
+              s2 AS (SELECT doc_id, regexp_replace(t,
+                '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS t FROM s1),
+              s3 AS (SELECT doc_id, regexp_replace(t,
+                '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+              s4 AS (SELECT doc_id, regexp_replace(t,
+                '(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|table|tr|td|th|section|article|header|footer|blockquote|pre)\b[^>]*>',
+                chr(10), 'g') AS t FROM s3),
+              s5 AS (SELECT doc_id, regexp_replace(t,
+                '(?s)<[^>]*>', ' ', 'g') AS t FROM s4),
+              s6 AS (SELECT doc_id, regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(t,
+                '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+                '&quot;', '"', 'g'), '&#39;|&apos;', '''', 'g'),
+                '&amp;', '&', 'g') AS t FROM s5),
+              s7 AS (SELECT doc_id, regexp_replace(t,
+                '[ \t\x0B\f\r]+', ' ', 'g') AS t FROM s6),
+              s8 AS (SELECT doc_id, regexp_replace(regexp_replace(t,
+                ' ?\n ?', chr(10), 'g'), '\n{2,}', chr(10), 'g') AS t
+                FROM s7)
+              SELECT doc_id, regexp_replace(t, '^\s+|\s+$', '', 'g')
+                AS extracted FROM s8""")),
+
     // benchmark decontamination: distinct 5-gram overlap of each doc
     // against the held-out set (source = src0); finds the planted
     // near-dups whose source differs

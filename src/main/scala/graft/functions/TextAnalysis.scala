@@ -283,6 +283,46 @@ object TextAnalysis {
         round(col("__score"), 4).as("score"))
   }
 
+  // --- HTML text extraction ----------------------------------------------
+
+  /**
+   * Crawl-HTML → text extraction (the trafilatura/jusText job class,
+   * reduced to its deterministic core): drop `<script>`/`<style>`
+   * payloads and comments, turn block-level tags into newlines (so
+   * paragraphs don't weld into one token), strip remaining tags,
+   * decode the named entities (`&amp;` LAST — decoding it first would
+   * double-decode `&amp;lt;`), collapse intra-line whitespace and
+   * blank-line runs. A pure codegen'd `regexp_replace` chain — zero
+   * shuffle, one narrow map stage over a 100 TB crawl.
+   *
+   * Deliberately NOT handled (documented boundary): numeric character
+   * references (`&#x2019;`), malformed-markup recovery, and
+   * text-density boilerplate scoring — the places where real
+   * extractors disagree with each other; they slot in as a follow-up
+   * native expression without changing this operator's shape.
+   */
+  def extractHtmlText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noComment,
+      "(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|table|tr|td|th|section|article|header|footer|blockquote|pre)\\b[^>]*>",
+      "\n")
+    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(noTags,
+        "&nbsp;", " "), "&lt;", "<"), "&gt;", ">"),
+        "&quot;", "\""), "&#39;|&apos;", "'"), "&amp;", "&")
+    val squashed = regexp_replace(decoded, "[ \\t\\x0B\\f\\r]+", " ")
+    // regex end-trim rather than trim(): trim strips ASCII spaces only
+    // and would leave boundary newlines — and this exact chain is what
+    // the oracle replays, so every step must be engine-portable RE2
+    regexp_replace(regexp_replace(regexp_replace(squashed,
+      " ?\\n ?", "\n"), "\\n{2,}", "\n"), "^\\s+|\\s+$", "")
+  }
+
   // --- chunking ----------------------------------------------------------
 
   /**

@@ -100,6 +100,16 @@ object Merge {
       case (t, NullType) => Some(t)
       case (x, y) if integral(x) && integral(y) =>
         Some(if (x.defaultSize >= y.defaultSize) x else y)
+      // decimals stay exact: widen to cover both (integer digits and
+      // scale each take their max), capped at Spark's 38-digit limit
+      case (x: DecimalType, y: DecimalType) =>
+        val scale = x.scale.max(y.scale)
+        val intDigits = (x.precision - x.scale).max(y.precision - y.scale)
+        Some(DecimalType((intDigits + scale).min(DecimalType.MAX_PRECISION),
+          scale))
+      case (x: DecimalType, y) if integral(y) =>
+        widen(x, DecimalType(20, 0)) // covers any 64-bit integral
+      case (x, y: DecimalType) if integral(x) => widen(DecimalType(20, 0), y)
       case (_: NumericType, _: NumericType) => Some(DoubleType)
       case _ => None
     }

@@ -57,6 +57,35 @@ class MergeChunkSpec extends SparkSpec {
     }
   }
 
+  // ---- extractHtmlText ---------------------------------------------------
+
+  test("extractHtmlText strips script/style/comments, keeps block text") {
+    val html = """<html><head><style>p { color: red }</style>
+      |<script type="text/javascript">if (1 < 2) { alert("x"); }</script>
+      |</head><body><h1>Title</h1><p>First  para.</p>
+      |<!-- secret --><div>Second &amp; third &lt;part&gt;.</div>
+      |<ul><li>item one</li><li>item two</li></ul></body></html>"""
+      .stripMargin
+    val got = Seq(html).toDF("h")
+      .select(TextAnalysis.extractHtmlText(col("h")).as("t"))
+      .head.getString(0)
+    assert(got == "Title\nFirst para.\nSecond & third <part>.\n" +
+      "item one\nitem two", s"got: [$got]")
+  }
+
+  test("extractHtmlText decodes &amp; last; plain text passes through") {
+    val got = Seq("&amp;lt; stays &quot;quoted&quot; &#39;q&#39;")
+      .toDF("h")
+      .select(TextAnalysis.extractHtmlText(col("h")).as("t"))
+      .head.getString(0)
+    // &amp;lt; must become the TEXT "&lt;", not "<"
+    assert(got == "&lt; stays \"quoted\" 'q'", s"got: [$got]")
+    val plain = Seq("no markup   here").toDF("h")
+      .select(TextAnalysis.extractHtmlText(col("h")).as("t"))
+      .head.getString(0)
+    assert(plain == "no markup here")
+  }
+
   // ---- compactLog / mergeUpsert ------------------------------------------
 
   test("mergeUpsert: update wins, tombstone drops, insert lands") {
@@ -111,6 +140,26 @@ class MergeChunkSpec extends SparkSpec {
       && rows(0).isNullAt(2))
     assert(rows(1).getLong(0) == 2L && rows(1).isNullAt(1)
       && rows(1).getDouble(2) == 3.5)
+  }
+
+  test("unionEvolve: decimal mixes stay exact decimals") {
+    import org.apache.spark.sql.types.DecimalType
+    val a = Seq(1).toDF("id")
+      .select(col("id"), lit(BigDecimal("12.34")).cast(DecimalType(10, 2))
+        .as("x"))
+    val b = Seq(2).toDF("id")
+      .select(col("id"), lit(BigDecimal("0.12345")).cast(DecimalType(6, 5))
+        .as("x"))
+    val got = Merge.unionEvolve(Seq(a, b))
+    // int digits max(8, 1) = 8, scale max(2, 5) = 5 -> DECIMAL(13, 5)
+    assert(got.schema("x").dataType == DecimalType(13, 5))
+    val vals = got.orderBy("id").collect()
+      .map(_.getDecimal(1).toPlainString)
+    assert(vals.toSeq == Seq("12.34000", "0.12345"))
+    // decimal + long widens to a decimal that covers any 64-bit value
+    val c = Seq((3, 7L)).toDF("id", "x")
+    assert(Merge.unionEvolve(Seq(a, c)).schema("x").dataType ==
+      DecimalType(22, 2))
   }
 
   test("unionEvolve: int/double mix widens to double; string conflict fails") {
