@@ -120,12 +120,7 @@ object Bench {
       val noise = (statAtStart, cpuStat()) match {
         case (Some((tA, ioA, stA)), Some((tB, ioB, stB))) if tB > tA =>
           val d = (tB - tA).toDouble
-          // Locale.ROOT: a decimal-comma default locale would corrupt
-          // the one JSON line this harness exists to guarantee
-          def r(x: Double): String =
-            String.format(java.util.Locale.ROOT, "%.4f",
-              Double.box(x))
-          s""","host_iowait_frac":${r((ioB - ioA) / d)},"host_steal_frac":${r((stB - stA) / d)}"""
+          s""","host_iowait_frac":${num((ioB - ioA) / d)},"host_steal_frac":${num((stB - stA) / d)}"""
         case _ => ""
       }
       val line = s"""{"metric":"total","value":$valueStr,"unit":"sec","queries":$qs,"warmups":$ws,"sf":"$sfDir","complete":$complete,"partial_total":${num(total)},"n_measured":${measured.size},"n_queries":${names.size},"elapsed_s":${num(elapsed)}$noise}"""

@@ -29,6 +29,34 @@ object SparkEntry {
 
   private def pq(dir: String, table: String) = s"$dir/$table.parquet"
 
+  /** One oracle for BOTH q_merge_upsert and q_cdc_snapshot — the two
+    * queries are documented to produce the identical final state, so
+    * they must share one literal (two copies would let the gates
+    * silently test different oracles if the change set evolves). */
+  private val mergeUpsertOracleSql =
+    """WITH base AS (SELECT o_orderkey, o_totalprice,
+                o_orderstatus, 0 AS version, FALSE AS is_delete, 0 AS src
+                FROM orders),
+              upd AS (
+                SELECT o_orderkey, CAST(o_orderkey AS DOUBLE)
+                    AS o_totalprice, 'U' AS o_orderstatus, 1 AS version,
+                  FALSE AS is_delete, 1 AS src
+                FROM orders WHERE o_orderkey % 10 < 3
+                UNION ALL
+                SELECT o_orderkey, NULL, NULL, 1, TRUE, 1
+                FROM orders WHERE o_orderkey % 10 = 3
+                UNION ALL
+                SELECT -o_orderkey, CAST(o_orderkey AS DOUBLE), 'N', 1,
+                  FALSE, 1
+                FROM orders WHERE o_orderkey % 10 = 4),
+              log AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+              win AS (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY o_orderkey
+                  ORDER BY version DESC, src DESC) AS rk FROM log)
+              SELECT o_orderkey, o_totalprice, o_orderstatus
+              FROM win WHERE rk = 1 AND NOT is_delete"""
+
+
   /** Round an order-dependent double aggregate for oracle stability. */
   private def r4(df: DataFrame, cols: String*): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c), 4)))
@@ -505,27 +533,7 @@ object SparkEntry {
           .select(col("o_orderkey"), col("o_totalprice"),
             col("o_orderstatus"))
       },
-      Some("""WITH base AS (SELECT o_orderkey, o_totalprice,
-                o_orderstatus, 0 AS version, FALSE AS is_delete, 0 AS src
-                FROM orders),
-              upd AS (
-                SELECT o_orderkey, CAST(o_orderkey AS DOUBLE)
-                    AS o_totalprice, 'U' AS o_orderstatus, 1 AS version,
-                  FALSE AS is_delete, 1 AS src
-                FROM orders WHERE o_orderkey % 10 < 3
-                UNION ALL
-                SELECT o_orderkey, NULL, NULL, 1, TRUE, 1
-                FROM orders WHERE o_orderkey % 10 = 3
-                UNION ALL
-                SELECT -o_orderkey, CAST(o_orderkey AS DOUBLE), 'N', 1,
-                  FALSE, 1
-                FROM orders WHERE o_orderkey % 10 = 4),
-              log AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
-              win AS (SELECT *, ROW_NUMBER() OVER (
-                  PARTITION BY o_orderkey
-                  ORDER BY version DESC, src DESC) AS rk FROM log)
-              SELECT o_orderkey, o_totalprice, o_orderstatus
-              FROM win WHERE rk = 1 AND NOT is_delete""")),
+      Some(mergeUpsertOracleSql)),
 
     // the SAME merge driven through CdcPipeline's log-structured
     // epoch/bucket snapshot (two applied epochs, prebuilt fixture):
@@ -536,27 +544,7 @@ object SparkEntry {
         .readSnapshot(s, cdcSnapshotFixture(s, d))
         .select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderstatus")),
-      Some("""WITH base AS (SELECT o_orderkey, o_totalprice,
-                o_orderstatus, 0 AS version, FALSE AS is_delete, 0 AS src
-                FROM orders),
-              upd AS (
-                SELECT o_orderkey, CAST(o_orderkey AS DOUBLE)
-                    AS o_totalprice, 'U' AS o_orderstatus, 1 AS version,
-                  FALSE AS is_delete, 1 AS src
-                FROM orders WHERE o_orderkey % 10 < 3
-                UNION ALL
-                SELECT o_orderkey, NULL, NULL, 1, TRUE, 1
-                FROM orders WHERE o_orderkey % 10 = 3
-                UNION ALL
-                SELECT -o_orderkey, CAST(o_orderkey AS DOUBLE), 'N', 1,
-                  FALSE, 1
-                FROM orders WHERE o_orderkey % 10 = 4),
-              log AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
-              win AS (SELECT *, ROW_NUMBER() OVER (
-                  PARTITION BY o_orderkey
-                  ORDER BY version DESC, src DESC) AS rk FROM log)
-              SELECT o_orderkey, o_totalprice, o_orderstatus
-              FROM win WHERE rk = 1 AND NOT is_delete""")),
+      Some(mergeUpsertOracleSql)),
 
     // ---- grouping sets ---------------------------------------------------
     Q("q_rollup",

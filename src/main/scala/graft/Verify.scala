@@ -22,13 +22,16 @@ object Verify {
       catch { case e: Throwable =>
         // a failed query must be LOUD in the downstream compare, not a
         // silently absent directory (round 6: 10 queries threw here and
-        // vanished from the correctness artifact without a trace) — an
-        // error-sentinel parquet guarantees a schema/hash mismatch
-        // against any real oracle
+        // vanished from the correctness artifact without a trace). The
+        // sentinel is ZERO rows of a __verify_error schema: an
+        // oracle-paired query then fails its schema compare, and a
+        // rows-only query fails its rows>0 smoke — a 1-row sentinel
+        // would have READ AS SUCCESS for exactly the rows-only queries,
+        // which have no schema/hash compare to catch it
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         try {
           import spark.implicits._
-          Seq(s"$name failed: ${e.getMessage}").toDF("__verify_error")
+          Seq.empty[String].toDF("__verify_error")
             .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         } catch { case e2: Throwable =>
           System.err.println(s"[verify] $name sentinel write failed: $e2")

@@ -827,11 +827,7 @@ object Dedup {
       .join(sb, Seq("band", "band_hash"))
       .select(col("new_id"), col("seen_id"))
       .distinct()
-    val shingles: Column => Column =
-      if (useNative) {
-        graft.plans.NativeFunctions.register(newDocs.sparkSession)
-        t => graft.plans.NativeFunctions.shinglesNative(t, shingleWords)
-      } else t => Shingles.wordShingles(t, shingleWords)
+    val shingles = shingleFn(newDocs, shingleWords, useNative)
     // tokenize only colliding docs on each side
     val newSh = newDocs
       .join(cand.select(col("new_id").as(idCol)).distinct(), idCol)
@@ -1061,6 +1057,19 @@ object Dedup {
     * 10^12 keys the 64-bit birthday bound expects ~0.03 collisions;
     * a 10^13-shingle corpus (~5 expected) flips `hashBits = 128`
     * (expected ~1e-14) WITHOUT changing operator semantics. */
+  /** Native-or-HOF shingle dispatch — single-sourced so the
+    * tokenize/shingle discipline cannot diverge between contamination
+    * scoring and the near-dup verify stage. The native fused expression
+    * is measured ~4x the HOF form (which re-tokenizes per shingle:
+    * interpreted lambdas, no CSE); the HOF stays as the portable
+    * reference path, bit-exact by NativeExprSpec. */
+  private def shingleFn(df: DataFrame, shingleWords: Int,
+                        useNative: Boolean): Column => Column =
+    if (useNative) {
+      graft.plans.NativeFunctions.register(df.sparkSession)
+      t => graft.plans.NativeFunctions.shinglesNative(t, shingleWords)
+    } else t => Shingles.wordShingles(t, shingleWords)
+
   private def membershipKey(x: Column, hashBits: Int): Column = {
     require(hashBits == 64 || hashBits == 128,
       s"hashBits must be 64 or 128, got $hashBits")
@@ -1094,14 +1103,7 @@ object Dedup {
                          shingleWords: Int = 5,
                          useNative: Boolean = true,
                          hashBits: Int = 64): DataFrame = {
-    // native fused shingle expression when available: the HOF form
-    // re-tokenizes per shingle (interpreted lambdas, no CSE) — measured
-    // ~4x on the sf0.1 corpus; HOF kept as the portable reference path
-    val shingles: Column => Column =
-      if (useNative) {
-        graft.plans.NativeFunctions.register(docs.sparkSession)
-        t => graft.plans.NativeFunctions.shinglesNative(t, shingleWords)
-      } else t => Shingles.wordShingles(t, shingleWords)
+    val shingles = shingleFn(docs, shingleWords, useNative)
     val docSh = docs.select(col(idCol),
         explode(shingles(col(textCol))).as("__shs"))
       .select(col(idCol), membershipKey(col("__shs"), hashBits).as("__sh"))
@@ -1146,11 +1148,7 @@ object Dedup {
                               shingleWords: Int = 5,
                               useNative: Boolean = true,
                               hashBits: Int = 64): DataFrame = {
-    val shingles: Column => Column =
-      if (useNative) {
-        graft.plans.NativeFunctions.register(docs.sparkSession)
-        t => graft.plans.NativeFunctions.shinglesNative(t, shingleWords)
-      } else t => Shingles.wordShingles(t, shingleWords)
+    val shingles = shingleFn(docs, shingleWords, useNative)
     val docSh = docs.select(col(idCol),
         explode(shingles(col(textCol))).as("__shs"))
       .select(col(idCol), membershipKey(col("__shs"), hashBits).as("__sh"))

@@ -101,12 +101,19 @@ object Merge {
       case (x, y) if integral(x) && integral(y) =>
         Some(if (x.defaultSize >= y.defaultSize) x else y)
       // decimals stay exact: widen to cover both (integer digits and
-      // scale each take their max), capped at Spark's 38-digit limit
+      // scale each take their max). At the 38-digit cap, SCALE gives
+      // way, never integer digits — keeping the scale would shrink the
+      // integer range and silently NULL in-range values on cast (ansi
+      // off); losing fractional digits only rounds. Integer digits
+      // that cannot fit at all fail fast like any incompatible pair.
       case (x: DecimalType, y: DecimalType) =>
         val scale = x.scale.max(y.scale)
         val intDigits = (x.precision - x.scale).max(y.precision - y.scale)
-        Some(DecimalType((intDigits + scale).min(DecimalType.MAX_PRECISION),
-          scale))
+        if (intDigits > DecimalType.MAX_PRECISION) None
+        else {
+          val p = (intDigits + scale).min(DecimalType.MAX_PRECISION)
+          Some(DecimalType(p, p - intDigits))
+        }
       case (x: DecimalType, y) if integral(y) =>
         widen(x, DecimalType(20, 0)) // covers any 64-bit integral
       case (x, y: DecimalType) if integral(x) => widen(DecimalType(20, 0), y)

@@ -72,14 +72,29 @@ object CdcPipeline {
                  numBuckets: Int, epoch: Long): Unit = {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     if (batch.isEmpty) return
+    // bucket routing is HASH-OF-VALUE, and Spark hashes int and long
+    // values differently — a batch whose key columns arrive with a
+    // narrower type than the stored snapshot's would compute different
+    // buckets for the same logical keys (touched set misses the keys'
+    // real homes; stale rows survive beside their updates). Align the
+    // batch's key types to the snapshot's BEFORE any hashing.
+    val aligned = snapshotKeyTypes(spark, snapshotDir, keyCols) match {
+      case Some(types) =>
+        keyCols.foldLeft(batch) { (df, k) =>
+          val want = types(k)
+          if (df.schema(k).dataType == want) df
+          else df.withColumn(k, col(k).cast(want))
+        }
+      case None => batch
+    }
     val bCol = bucketOf(keyCols, numBuckets)
     // touched-bucket set: bounded by numBuckets (driver rows ≤ numBuckets
     // by construction — the same contract as Mixture's per-source collect)
-    val touched = batch.select(bCol.as("__b")).distinct()
+    val touched = aligned.select(bCol.as("__b")).distinct()
       .collect().map(_.getInt(0)).toSet
     val prev = readBuckets(spark, snapshotDir, Some(touched))
-      .getOrElse(batch.limit(0).drop(deleteCol))
-    val merged = Merge.mergeUpsert(prev, batch, keyCols, versionCol,
+      .getOrElse(aligned.limit(0).drop(deleteCol))
+    val merged = Merge.mergeUpsert(prev, aligned, keyCols, versionCol,
       deleteCol = Some(deleteCol))
     val epochDir = s"$snapshotDir/epoch=$epoch"
     merged
@@ -140,6 +155,23 @@ object CdcPipeline {
       }
     }
     if (latest.isEmpty) None
-    else Some(spark.read.parquet(latest.values.toSeq: _*))
+    // mergeSchema: buckets can come from DIFFERENT epochs, and later
+    // epochs may have gained columns (mergeUpsert aligns drifted change
+    // schemas via unionEvolve) — a single-footer schema sample would
+    // silently drop or null them depending on which file is sampled.
+    // Physical TYPE changes across epochs (e.g. int -> long widening)
+    // are beyond parquet schema merge: run a full-snapshot compaction
+    // epoch after such a migration.
+    else Some(spark.read.option("mergeSchema", "true")
+      .parquet(latest.values.toSeq: _*))
   }
+
+  /** Key-column types of the newest committed snapshot — a footer-only
+    * schema read; None when nothing is committed yet. */
+  private def snapshotKeyTypes(spark: SparkSession, snapshotDir: String,
+      keyCols: Seq[String])
+      : Option[Map[String, org.apache.spark.sql.types.DataType]] =
+    readBuckets(spark, snapshotDir, bucketFilter = None).map { df =>
+      keyCols.map(k => k -> df.schema(k).dataType).toMap
+    }
 }

@@ -162,6 +162,22 @@ class MergeChunkSpec extends SparkSpec {
       DecimalType(22, 2))
   }
 
+  test("unionEvolve decimal cap sacrifices scale, never integer digits") {
+    import org.apache.spark.sql.types.DecimalType
+    val a = Seq(1).toDF("id")
+      .select(col("id"), lit(BigDecimal(10).pow(30))
+        .cast(DecimalType(38, 0)).as("x"))
+    val b = Seq(2).toDF("id")
+      .select(col("id"), lit(BigDecimal("0.123456789"))
+        .cast(DecimalType(10, 9)).as("x"))
+    val got = Merge.unionEvolve(Seq(a, b))
+    // intDigits 38 + scale 9 caps at 38 total: scale gives way (values
+    // round) — keeping scale 9 would shrink the integer range and NULL
+    // a's in-range 1e30 on cast
+    assert(got.schema("x").dataType == DecimalType(38, 0))
+    assert(got.where(col("x").isNull).count() == 0)
+  }
+
   test("unionEvolve: int/double mix widens to double; string conflict fails") {
     val a = Seq((1, 2)).toDF("id", "x")
     val b = Seq((2, 3.5)).toDF("id", "x")

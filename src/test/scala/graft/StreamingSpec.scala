@@ -807,6 +807,43 @@ class StreamingSpec extends SparkSpec {
       .toMap == Map(1L -> "a2", 2L -> "b", 3L -> "c", 4L -> "d"))
   }
 
+  test("CdcPipeline: narrower batch key type routes to the snapshot's buckets") {
+    import graft.streaming.CdcPipeline
+    val snapDir = tmpDir() + "/snap"
+    val b0 = Seq((1L, "a", 1L, false), (2L, "b", 1L, false))
+      .toDF("k", "v", "version", "is_delete")
+    CdcPipeline.applyBatch(spark, b0, snapDir, Seq("k"), "version",
+      "is_delete", numBuckets = 16, epoch = 0L)
+    // same logical key arrives as INT: xxhash64(int) != xxhash64(long),
+    // so without type alignment this update would land in a different
+    // bucket and the stale long-keyed row would survive beside it
+    val b1 = Seq((1, "a2", 2L, false)).toDF("k", "v", "version", "is_delete")
+    CdcPipeline.applyBatch(spark, b1, snapDir, Seq("k"), "version",
+      "is_delete", numBuckets = 16, epoch = 1L)
+    val got = CdcPipeline.readSnapshot(spark, snapDir)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(got.length == 2 && got.toMap == Map(1L -> "a2", 2L -> "b"))
+  }
+
+  test("CdcPipeline: later epochs' new columns survive the mixed-epoch read") {
+    import graft.streaming.CdcPipeline
+    val snapDir = tmpDir() + "/snap"
+    val b0 = Seq((1L, "a", 1L, false), (2L, "b", 1L, false))
+      .toDF("k", "v", "version", "is_delete")
+    CdcPipeline.applyBatch(spark, b0, snapDir, Seq("k"), "version",
+      "is_delete", numBuckets = 16, epoch = 0L)
+    val b1 = Seq((1L, "a2", "extra", 2L, false))
+      .toDF("k", "v", "w", "version", "is_delete")
+    CdcPipeline.applyBatch(spark, b1, snapDir, Seq("k"), "version",
+      "is_delete", numBuckets = 16, epoch = 1L)
+    val snap = CdcPipeline.readSnapshot(spark, snapDir)
+    // w must be visible regardless of which epoch's footer is sampled
+    assert(snap.columns.contains("w"))
+    val w = snap.select("k", "w").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(w == Map(1L -> Some("extra"), 2L -> None))
+  }
+
   test("CdcPipeline: replayed epoch is idempotent; torn epoch ignored") {
     import graft.streaming.CdcPipeline
     val snapDir = tmpDir() + "/snap"
