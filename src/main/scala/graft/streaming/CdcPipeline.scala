@@ -166,6 +166,51 @@ object CdcPipeline {
       .parquet(latest.values.toSeq: _*))
   }
 
+  /**
+   * Full-snapshot compaction: rewrite the CURRENT state of every
+   * bucket into one fresh epoch. After it commits, every older epoch
+   * directory is garbage (no bucket's latest pointer references it)
+   * and can be deleted by the caller's retention policy — the
+   * log-structured layout's answer to unbounded epoch accumulation,
+   * and the migration step that makes cross-epoch physical-type
+   * changes safe (post-compaction every live file shares one schema).
+   * Write-only: concurrent readers keep resolving against the old
+   * epochs until the new `_SUCCESS` lands. Returns the epoch id
+   * written (max committed + 1).
+   */
+  def compactSnapshot(spark: SparkSession, snapshotDir: String,
+                      keyCols: Seq[String], numBuckets: Int): Long = {
+    val fs = new org.apache.hadoop.fs.Path(snapshotDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = fs.listStatus(new org.apache.hadoop.fs.Path(snapshotDir))
+      .filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.startsWith("epoch="))
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .map(_.getName.stripPrefix("epoch=").toLong)
+    require(committed.nonEmpty, s"nothing committed under $snapshotDir")
+    val next = committed.max + 1
+    val snap = readSnapshot(spark, snapshotDir)
+    val nextDir = s"$snapshotDir/epoch=$next"
+    snap.withColumn("bucket", bucketOf(keyCols, numBuckets))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(nextDir)
+    // every bucket id visible in ANY older epoch must resolve to this
+    // epoch afterwards — including buckets that are empty now, and ids
+    // beyond a smaller re-bucketing — otherwise their latest pointer
+    // keeps referencing an "older epochs are garbage" directory
+    val priorIds = committed.flatMap { e =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$snapshotDir/epoch=$e"))
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("bucket="))
+    }.toSet
+    priorIds.foreach { name =>
+      val p = new org.apache.hadoop.fs.Path(s"$nextDir/$name")
+      if (!fs.exists(p))
+        snap.limit(0).write.mode("overwrite").parquet(p.toString)
+    }
+    next
+  }
+
   /** Key-column types of the newest committed snapshot — a footer-only
     * schema read; None when nothing is committed yet. */
   private def snapshotKeyTypes(spark: SparkSession, snapshotDir: String,

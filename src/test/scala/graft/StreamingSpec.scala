@@ -844,6 +844,32 @@ class StreamingSpec extends SparkSpec {
     assert(w == Map(1L -> Some("extra"), 2L -> None))
   }
 
+  test("CdcPipeline: compaction folds all epochs; old ones become garbage") {
+    import graft.streaming.CdcPipeline
+    val snapDir = tmpDir() + "/snap"
+    val b0 = Seq((1L, "a", 1L, false), (2L, "b", 1L, false),
+      (3L, "c", 1L, false)).toDF("k", "v", "version", "is_delete")
+    CdcPipeline.applyBatch(spark, b0, snapDir, Seq("k"), "version",
+      "is_delete", numBuckets = 8, epoch = 0L)
+    val b1 = Seq((1L, "a2", 2L, false), (2L, null, 2L, true))
+      .toDF("k", "v", "version", "is_delete")
+    CdcPipeline.applyBatch(spark, b1, snapDir, Seq("k"), "version",
+      "is_delete", numBuckets = 8, epoch = 1L)
+    val next = CdcPipeline.compactSnapshot(spark, snapDir, Seq("k"),
+      numBuckets = 8)
+    assert(next == 2L)
+    // old epochs deleted: the compacted epoch alone serves the snapshot
+    // (incl. k=2's tombstoned-empty bucket, materialized as zero rows)
+    Seq(0L, 1L).foreach { e =>
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$snapDir/epoch=$e"))
+    }
+    val got = CdcPipeline.readSnapshot(spark, snapDir)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(got == Map(1L -> "a2", 3L -> "c"))
+  }
+
   test("CdcPipeline: replayed epoch is idempotent; torn epoch ignored") {
     import graft.streaming.CdcPipeline
     val snapDir = tmpDir() + "/snap"
