@@ -1318,6 +1318,27 @@ object SparkEntry {
               SELECT doc_id, regexp_replace(t, '^\s+|\s+$', '', 'g')
                 AS extracted FROM s8""")),
 
+    // numeric + named character-reference decode via the native
+    // expression (no engine-portable SQL form exists for codepoint
+    // emission, so the oracle CONSTRUCTS the expected decode of the
+    // planted references: A/B by decimal/hex, curly quote + emoji by
+    // chr(), single-pass &amp;lt; semantics, unknown and surrogate
+    // references verbatim). Corpus text is &-free (checked), so the
+    // planted suffix is the only decode site.
+    Q("q_html_entities",
+      (s, d) => {
+        graft.plans.NativeFunctions.register(s)
+        s.read.parquet(pq(d, "documents")).where(col("doc_id") < 200)
+          .select(col("doc_id"),
+            graft.plans.NativeFunctions.htmlEntitiesNative(concat(
+              col("text"),
+              lit(" &#65;&#x42; &rsquo;&#128077; &amp;lt; &bogus; &#xD800;")))
+              .as("decoded"))
+      },
+      Some("""SELECT doc_id, text || ' AB ' || chr(8217) || chr(128077) ||
+                ' &lt; &bogus; &#xD800;' AS decoded
+              FROM documents WHERE doc_id < 200""")),
+
     // benchmark decontamination: distinct 5-gram overlap of each doc
     // against the held-out set (source = src0); finds the planted
     // near-dups whose source differs

@@ -295,11 +295,13 @@ object TextAnalysis {
    * blank-line runs. A pure codegen'd `regexp_replace` chain — zero
    * shuffle, one narrow map stage over a 100 TB crawl.
    *
-   * Deliberately NOT handled (documented boundary): numeric character
-   * references (`&#x2019;`), malformed-markup recovery, and
-   * text-density boilerplate scoring — the places where real
-   * extractors disagree with each other; they slot in as a follow-up
-   * native expression without changing this operator's shape.
+   * Deliberately NOT handled here: numeric character references
+   * (`&#x2019;`) — decode them with the native
+   * [[graft.plans.HtmlEntityDecodeExpr]]
+   * (`NativeFunctions.htmlEntitiesNative`), which this portable chain
+   * can't express in engine-replayable SQL — plus malformed-markup
+   * recovery and text-density boilerplate scoring (the places where
+   * real extractors disagree with each other; documented boundary).
    */
   def extractHtmlText(html: Column): Column = {
     val noScript = regexp_replace(html,

@@ -365,6 +365,99 @@ case class UnicodeNormalizeExpr(child: Expression, form: String)
       newChild: Expression): UnicodeNormalizeExpr = copy(child = newChild)
 }
 
+/** Single-pass HTML character-reference decoder shared by
+  * [[HtmlEntityDecodeExpr]]'s interpreted and codegen paths. HTML5
+  * left-to-right single-scan semantics: `&amp;lt;` decodes to the TEXT
+  * `&lt;`, never double-decodes to `<`; unknown or malformed
+  * references (bad number, surrogate/out-of-range codepoint, no
+  * semicolon within the 12-char entity budget) pass through verbatim
+  * rather than corrupting the text. */
+object HtmlEntities {
+  private val named: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ", "mdash" -> "—",
+    "ndash" -> "–", "hellip" -> "…", "lsquo" -> "‘",
+    "rsquo" -> "’", "ldquo" -> "“", "rdquo" -> "”",
+    "copy" -> "©", "reg" -> "®", "trade" -> "™",
+    "deg" -> "°", "middot" -> "·", "laquo" -> "«",
+    "raquo" -> "»")
+
+  def decode(s: String): String = {
+    var i = s.indexOf('&')
+    if (i < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var start = 0
+    while (i >= 0) {
+      sb.append(s, start, i)
+      val semi = s.indexOf(';', i + 1)
+      var consumed = false
+      if (semi > i + 1 && semi - i <= 12) {
+        val body = s.substring(i + 1, semi)
+        if (body.charAt(0) == '#') {
+          val num = body.substring(1)
+          val cp =
+            try {
+              if (num.length > 1 &&
+                  (num.charAt(0) == 'x' || num.charAt(0) == 'X'))
+                Integer.parseInt(num.substring(1), 16)
+              else Integer.parseInt(num)
+            } catch { case _: NumberFormatException => -1 }
+          if (cp >= 0 && cp <= 0x10FFFF &&
+              !(cp >= 0xD800 && cp <= 0xDFFF)) {
+            sb.appendCodePoint(cp)
+            consumed = true
+          }
+        } else named.get(body) match {
+          case Some(r) => sb.append(r); consumed = true
+          case None => ()
+        }
+      }
+      if (consumed) start = semi + 1
+      else { sb.append('&'); start = i + 1 }
+      i = s.indexOf('&', start)
+    }
+    sb.append(s, start, s.length)
+    sb.toString
+  }
+}
+
+/**
+ * HTML character-reference decode as a native expression — the decoder
+ * [[graft.functions.TextAnalysis.extractHtmlText]]'s portable
+ * regexp_replace chain deliberately does NOT attempt: numeric
+ * references (`&#65;`, `&#x1F44D;`) need integer parsing and codepoint
+ * emission, which has no engine-portable SQL form. Full whole-stage
+ * codegen (one static call per row, zero allocation when the row has
+ * no `&`).
+ */
+case class HtmlEntityDecodeExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def prettyName: String = "graft_html_entities"
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      HtmlEntities.decode(input.toString))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.plans.HtmlEntities.decode($c.toString()))")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HtmlEntityDecodeExpr = copy(child = newChild)
+}
+
 /**
  * Native MinHash signature: whitespace-tokenize, `shingleWords`-word
  * shingles, `numHashes` minima — all in ONE JVM pass per row.
@@ -915,6 +1008,7 @@ object NativeFunctions {
   val hyperplaneName = "graft_hyperplane_bucket"
   val winnowName = "graft_winnow"
   val unicodeNormalizeName = "graft_unicode_normalize"
+  val htmlEntitiesName = "graft_html_entities"
   val bloomAggName = "graft_bloom_agg"
   val bloomContainsName = "graft_bloom_might_contain"
   val nearestCentroidName = "graft_nearest_centroid"
@@ -984,6 +1078,8 @@ object NativeFunctions {
       WinnowingExpr(exprs.head, intLit(exprs(1)), intLit(exprs(2)))),
     unicodeNormalizeName -> ((exprs: Seq[Expression]) =>
       UnicodeNormalizeExpr(exprs.head, strLit(exprs(1)))),
+    htmlEntitiesName -> ((exprs: Seq[Expression]) =>
+      HtmlEntityDecodeExpr(exprs.head)),
     // Catalyst's OWN Bloom expressions (the machinery behind AQE runtime
     // join filters), surfaced through the registry — Spark ships them
     // unregistered. Long-hash in, compact binary sketch out.
@@ -1047,6 +1143,10 @@ object NativeFunctions {
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
     call_function(unicodeNormalizeName, text,
       org.apache.spark.sql.functions.lit(form))
+
+  /** HTML character-reference decode (named + numeric, single-pass). */
+  def htmlEntitiesNative(text: Column): Column =
+    call_function(htmlEntitiesName, text)
 
   /** Bloom-filter aggregate over a long-hash column → binary sketch. */
   def bloomAggNative(hash: Column, expectedItems: Long,

@@ -86,6 +86,24 @@ class MergeChunkSpec extends SparkSpec {
     assert(plain == "no markup here")
   }
 
+  test("HtmlEntities.decode: numeric, hex, named, malformed, single-pass") {
+    import graft.plans.HtmlEntities.decode
+    assert(decode("&#65;&#x42;") == "AB")
+    assert(decode("&rsquo;") == "’")
+    assert(decode("&#128077;") == new String(Character.toChars(128077)))
+    assert(decode("&amp;lt;") == "&lt;")           // single-pass, no double decode
+    assert(decode("&bogus; &#xD800; &#99999999; &#xZZ; &amp") ==
+      "&bogus; &#xD800; &#99999999; &#xZZ; &amp") // malformed verbatim
+    assert(decode("no refs at all") == "no refs at all")
+    assert(decode("&&amp;&") == "&&&")
+    // expression path (interpreted + codegen) agrees with the raw decoder
+    graft.plans.NativeFunctions.register(spark)
+    val got = Seq("x &#65; &amp;lt; y").toDF("t")
+      .select(graft.plans.NativeFunctions.htmlEntitiesNative(col("t")))
+      .head.getString(0)
+    assert(got == "x A &lt; y")
+  }
+
   // ---- compactLog / mergeUpsert ------------------------------------------
 
   test("mergeUpsert: update wins, tombstone drops, insert lands") {

@@ -10,8 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("registry counts match the documented surface") {
-    assert(SparkEntry.queries.size == 133)
-    assert(SparkEntry.oracleSql.size == 126)
+    assert(SparkEntry.queries.size == 134)
+    assert(SparkEntry.oracleSql.size == 127)
   }
 
   test("every oracle belongs to a registered query") {
