@@ -1318,6 +1318,42 @@ object SparkEntry {
               SELECT doc_id, regexp_replace(t, '^\s+|\s+$', '', 'g')
                 AS extracted FROM s8""")),
 
+    // Unicode-script letter ratios: the corpus is ASCII-Latin, so the
+    // query plants a fixed mixed-script suffix (Cyrillic + Han +
+    // Arabic) — counts and fractions are deterministic in both
+    // engines' regex implementations (Java \p{IsX} ≡ RE2 \p{X})
+    Q("q_text_script",
+      (s, d) => {
+        val t = concat(col("text"),
+          lit(" Привет мир 你好世界 مرحبا بالعالم"))
+        s.read.parquet(pq(d, "documents")).where(col("doc_id") < 200)
+          .select(col("doc_id"),
+            graft.functions.TextAnalysis.letterCount(t).as("n_letters"),
+            graft.functions.TextAnalysis.scriptLetterCount(t, "Latin")
+              .as("latin"),
+            graft.functions.TextAnalysis.scriptLetterCount(t, "Cyrillic")
+              .as("cyrillic"),
+            graft.functions.TextAnalysis.scriptLetterCount(t, "Han")
+              .as("han"),
+            graft.functions.TextAnalysis.scriptLetterCount(t, "Arabic")
+              .as("arabic"))
+          .withColumn("latin_frac",
+            round(col("latin").cast("double") / col("n_letters"), 4))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                text || ' Привет мир 你好世界 مرحبا بالعالم' AS tt
+                FROM documents WHERE doc_id < 200)
+              SELECT doc_id,
+                len(regexp_extract_all(tt, '\p{L}')) AS n_letters,
+                len(regexp_extract_all(tt, '\p{Latin}')) AS latin,
+                len(regexp_extract_all(tt, '\p{Cyrillic}')) AS cyrillic,
+                len(regexp_extract_all(tt, '\p{Han}')) AS han,
+                len(regexp_extract_all(tt, '\p{Arabic}')) AS arabic,
+                ROUND(CAST(len(regexp_extract_all(tt, '\p{Latin}'))
+                    AS DOUBLE)
+                  / len(regexp_extract_all(tt, '\p{L}')), 4) AS latin_frac
+              FROM t""")),
+
     // numeric + named character-reference decode via the native
     // expression (no engine-portable SQL form exists for codepoint
     // emission, so the oracle CONSTRUCTS the expected decode of the

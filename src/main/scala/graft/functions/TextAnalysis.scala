@@ -283,6 +283,28 @@ object TextAnalysis {
         round(col("__score"), 4).as("score"))
   }
 
+  // --- script detection ---------------------------------------------------
+
+  /** Total Unicode letters in the text (`\p{L}`) — the denominator for
+    * script ratios. Codegen'd `regexp_count`, zero shuffle. */
+  def letterCount(text: Column): Column =
+    regexp_count(text, lit("\\p{L}")).cast("bigint")
+
+  /**
+   * Letters belonging to one Unicode script (`Latin`, `Cyrillic`,
+   * `Han`, `Arabic`, `Hiragana`, …; Java script-class names). Script
+   * mix ratios are the multilingual-curation complement of the
+   * stopword [[langId]]: language-ID needs words, script detection
+   * works on any text and catches mixed-script spam / mojibake (e.g.
+   * a "Latin" document that is 40% Cyrillic homoglyphs). Ratios =
+   * `scriptLetterCount / letterCount`, all inside one codegen'd
+   * projection — a 100 TB scan stays one narrow map stage.
+   */
+  def scriptLetterCount(text: Column, script: String): Column = {
+    require(script.matches("[A-Za-z_]+"), s"bad script name: $script")
+    regexp_count(text, lit(s"\\p{Is$script}")).cast("bigint")
+  }
+
   // --- HTML text extraction ----------------------------------------------
 
   /**

@@ -43,6 +43,34 @@ class MergeChunkSpec extends SparkSpec {
     assert(got.toSeq == Seq((0, 3, "1 2 3"), (1, 3, "4 5 6"), (2, 1, "7")))
   }
 
+  test("chunkByTokens covers [0, n) exactly for a grid of doc lengths") {
+    val docs = (1 to 40).map(n =>
+      (n.toLong, (0 until n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkByTokens(docs, "text",
+        chunkSize = 7, stride = 5)
+      .select("doc_id", "chunk_idx", "chunk_start", "chunk_tokens",
+        "chunk_text")
+      .collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1))).toMap
+    (1 to 40).foreach { n =>
+      val cs = chunks(n.toLong)
+      // chunk_idx dense from 0; starts advance by stride; windows
+      // within bounds; the final window reaches exactly token n
+      cs.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getInt(1) == i && r.getInt(2) == i * 5)
+        val ct = r.getInt(3)
+        assert(ct >= 1 && ct <= 7 && r.getInt(2) + ct <= n)
+        assert(r.getString(4) ==
+          (r.getInt(2) until r.getInt(2) + ct).map(i => s"t$i")
+            .mkString(" "))
+      }
+      assert(cs.last.getInt(2) + cs.last.getInt(3) == n, s"n=$n tail gap")
+      // no chunk starts at-or-past the end
+      assert(cs.last.getInt(2) < n)
+    }
+  }
+
   test("chunkByTokens keeps all input columns and rejects bad params") {
     val docs = Seq((1L, "x y", "keep")).toDF("doc_id", "text", "extra")
     val got = TextAnalysis.chunkByTokens(docs, "text", 5, 5)
@@ -84,6 +112,22 @@ class MergeChunkSpec extends SparkSpec {
       .select(TextAnalysis.extractHtmlText(col("h")).as("t"))
       .head.getString(0)
     assert(plain == "no markup here")
+  }
+
+  test("scriptLetterCount: hand-counted mixed-script string") {
+    val df = Seq("ab Кир 你好 مر x9!").toDF("t")
+    val got = df.select(
+      TextAnalysis.letterCount(col("t")).as("l"),
+      TextAnalysis.scriptLetterCount(col("t"), "Latin").as("lat"),
+      TextAnalysis.scriptLetterCount(col("t"), "Cyrillic").as("cyr"),
+      TextAnalysis.scriptLetterCount(col("t"), "Han").as("han"),
+      TextAnalysis.scriptLetterCount(col("t"), "Arabic").as("ar")).head
+    // letters: a b К и р 你 好 م ر x = 10 (digits/punct excluded)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3), got.getLong(4)) == ((10L, 3L, 3L, 2L, 2L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.scriptLetterCount(col("t"), "Latin)|x")
+    }
   }
 
   test("HtmlEntities.decode: numeric, hex, named, malformed, single-pass") {
