@@ -1344,15 +1344,16 @@ object SparkEntry {
                 text || ' Привет мир 你好世界 مرحبا بالعالم' AS tt
                 FROM documents WHERE doc_id < 200)
               SELECT doc_id,
-                len(regexp_extract_all(tt, '\p{L}')) AS n_letters,
-                len(regexp_extract_all(tt, '\p{Latin}')) AS latin,
-                len(regexp_extract_all(tt, '\p{Cyrillic}')) AS cyrillic,
-                len(regexp_extract_all(tt, '\p{Han}')) AS han,
-                len(regexp_extract_all(tt, '\p{Arabic}')) AS arabic,
-                ROUND(CAST(len(regexp_extract_all(tt, '\p{Latin}'))
+                len(regexp_extract_all(lt, '\p{L}')) AS n_letters,
+                len(regexp_extract_all(lt, '\p{Latin}')) AS latin,
+                len(regexp_extract_all(lt, '\p{Cyrillic}')) AS cyrillic,
+                len(regexp_extract_all(lt, '\p{Han}')) AS han,
+                len(regexp_extract_all(lt, '\p{Arabic}')) AS arabic,
+                ROUND(CAST(len(regexp_extract_all(lt, '\p{Latin}'))
                     AS DOUBLE)
-                  / len(regexp_extract_all(tt, '\p{L}')), 4) AS latin_frac
-              FROM t""")),
+                  / len(regexp_extract_all(lt, '\p{L}')), 4) AS latin_frac
+              FROM (SELECT doc_id,
+                regexp_replace(tt, '[^\p{L}]', '', 'g') AS lt FROM t)""")),
 
     // numeric + named character-reference decode via the native
     // expression (no engine-portable SQL form exists for codepoint

@@ -291,7 +291,7 @@ object TextAnalysis {
     regexp_count(text, lit("\\p{L}")).cast("bigint")
 
   /**
-   * Letters belonging to one Unicode script (`Latin`, `Cyrillic`,
+   * LETTERS belonging to one Unicode script (`Latin`, `Cyrillic`,
    * `Han`, `Arabic`, `Hiragana`, …; Java script-class names). Script
    * mix ratios are the multilingual-curation complement of the
    * stopword [[langId]]: language-ID needs words, script detection
@@ -299,10 +299,18 @@ object TextAnalysis {
    * a "Latin" document that is 40% Cyrillic homoglyphs). Ratios =
    * `scriptLetterCount / letterCount`, all inside one codegen'd
    * projection — a 100 TB scan stays one narrow map stage.
+   *
+   * Non-letters are stripped BEFORE the script count: `\p{IsArabic}`
+   * alone also matches the script's digits/marks/punctuation, which
+   * [[letterCount]]'s `\p{L}` denominator excludes — an Arabic-digit
+   * string would otherwise score fraction > 1 (or divide by zero).
+   * The strip-then-count form stays RE2-replayable (class intersection
+   * `[\p{IsX}&&\p{L}]` would not be).
    */
   def scriptLetterCount(text: Column, script: String): Column = {
     require(script.matches("[A-Za-z_]+"), s"bad script name: $script")
-    regexp_count(text, lit(s"\\p{Is$script}")).cast("bigint")
+    regexp_count(regexp_replace(text, "[^\\p{L}]", ""),
+      lit(s"\\p{Is$script}")).cast("bigint")
   }
 
   // --- HTML text extraction ----------------------------------------------

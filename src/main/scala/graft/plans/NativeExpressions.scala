@@ -368,10 +368,13 @@ case class UnicodeNormalizeExpr(child: Expression, form: String)
 /** Single-pass HTML character-reference decoder shared by
   * [[HtmlEntityDecodeExpr]]'s interpreted and codegen paths. HTML5
   * left-to-right single-scan semantics: `&amp;lt;` decodes to the TEXT
-  * `&lt;`, never double-decodes to `<`; unknown or malformed
-  * references (bad number, surrogate/out-of-range codepoint, no
-  * semicolon within the 12-char entity budget) pass through verbatim
-  * rather than corrupting the text. */
+  * `&lt;`, never double-decodes to `<`; numeric references are digits
+  * only (no `+` sign — `&#+60;` stays verbatim, not a smuggled `<`);
+  * C1 references 0x80-0x9F remap through Windows-1252 and `&#0;` to
+  * U+FFFD, matching browser behavior on Windows-encoded crawl text;
+  * unknown or malformed references (bad number, surrogate/out-of-range
+  * codepoint, no semicolon within the 12-char entity budget) pass
+  * through verbatim rather than corrupting the text. */
 object HtmlEntities {
   private val named: Map[String, String] = Map(
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
@@ -381,6 +384,37 @@ object HtmlEntities {
     "copy" -> "©", "reg" -> "®", "trade" -> "™",
     "deg" -> "°", "middot" -> "·", "laquo" -> "«",
     "raquo" -> "»")
+
+  // HTML5 numeric-reference remaps: C1 controls 0x80-0x9F go through
+  // Windows-1252 (what every browser does with Windows-encoded crawl
+  // text: &#151; is an em dash, not the control U+0097); NUL becomes
+  // U+FFFD. Identity entries (0x81 etc.) are simply absent.
+  private val c1Remap: Map[Int, Int] = Map(
+    0x00 -> 0xFFFD,
+    0x80 -> 0x20AC, 0x82 -> 0x201A, 0x83 -> 0x0192, 0x84 -> 0x201E,
+    0x85 -> 0x2026, 0x86 -> 0x2020, 0x87 -> 0x2021, 0x88 -> 0x02C6,
+    0x89 -> 0x2030, 0x8A -> 0x0160, 0x8B -> 0x2039, 0x8C -> 0x0152,
+    0x8E -> 0x017D, 0x91 -> 0x2018, 0x92 -> 0x2019, 0x93 -> 0x201C,
+    0x94 -> 0x201D, 0x95 -> 0x2022, 0x96 -> 0x2013, 0x97 -> 0x2014,
+    0x98 -> 0x02DC, 0x99 -> 0x2122, 0x9A -> 0x0161, 0x9B -> 0x203A,
+    0x9C -> 0x0153, 0x9E -> 0x017E, 0x9F -> 0x0178)
+
+  private def digitsOnly(s: String, radix: Int): Int = {
+    // NOT Integer.parseInt: that accepts a leading '+', and HTML5
+    // numeric references are digits only — '&#+60;' must stay verbatim
+    // text, not decode to '<' (a markup-injection hazard downstream)
+    if (s.isEmpty) return -1
+    var v = 0
+    var i = 0
+    while (i < s.length) {
+      val d = Character.digit(s.charAt(i), radix)
+      if (d < 0) return -1
+      v = v * radix + d
+      if (v > 0x10FFFF) return -1
+      i += 1
+    }
+    v
+  }
 
   def decode(s: String): String = {
     var i = s.indexOf('&')
@@ -396,15 +430,13 @@ object HtmlEntities {
         if (body.charAt(0) == '#') {
           val num = body.substring(1)
           val cp =
-            try {
-              if (num.length > 1 &&
-                  (num.charAt(0) == 'x' || num.charAt(0) == 'X'))
-                Integer.parseInt(num.substring(1), 16)
-              else Integer.parseInt(num)
-            } catch { case _: NumberFormatException => -1 }
-          if (cp >= 0 && cp <= 0x10FFFF &&
-              !(cp >= 0xD800 && cp <= 0xDFFF)) {
-            sb.appendCodePoint(cp)
+            if (num.length > 1 &&
+                (num.charAt(0) == 'x' || num.charAt(0) == 'X'))
+              digitsOnly(num.substring(1), 16)
+            else digitsOnly(num, 10)
+          val mapped = c1Remap.getOrElse(cp, cp)
+          if (cp >= 0 && !(mapped >= 0xD800 && mapped <= 0xDFFF)) {
+            sb.appendCodePoint(mapped)
             consumed = true
           }
         } else named.get(body) match {

@@ -96,7 +96,20 @@ object CdcPipeline {
       .getOrElse(aligned.limit(0).drop(deleteCol))
     val merged = Merge.mergeUpsert(prev, aligned, keyCols, versionCol,
       deleteCol = Some(deleteCol))
-    val epochDir = s"$snapshotDir/epoch=$epoch"
+    // the written epoch id must exceed EVERY committed epoch, not just
+    // the stream's own batchIds: compactSnapshot writes epochs outside
+    // the batchId sequence, and a resumed stream whose next batchId
+    // collided with one would OVERWRITE it (destroying the compacted
+    // snapshot). max(batchId, committed-max + 1) keeps replay semantics
+    // — a retried batch whose own epoch already committed rewrites the
+    // same content one epoch later, which is content-idempotent because
+    // re-merging a change set into a state that absorbed it is a no-op.
+    val fsRoot = new org.apache.hadoop.fs.Path(snapshotDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val effectiveEpoch = committedEpochs(fsRoot, snapshotDir)
+      .map(_.getName.stripPrefix("epoch=").toLong)
+      .foldLeft(epoch)((e, c) => e.max(c + 1))
+    val epochDir = s"$snapshotDir/epoch=$effectiveEpoch"
     merged
       .withColumn("bucket", bucketOf(keyCols, numBuckets))
       .write.mode("overwrite") // retried epoch overwrites its own dir
@@ -128,19 +141,28 @@ object CdcPipeline {
       .getOrElse(throw new IllegalArgumentException(
         s"no committed snapshot under $snapshotDir"))
 
+  /** Committed epoch dirs (have `_SUCCESS`), ascending by epoch id —
+    * the one commit-protocol listing shared by every reader/writer. */
+  private def committedEpochs(fs: org.apache.hadoop.fs.FileSystem,
+      snapshotDir: String): Seq[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(snapshotDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root)
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("epoch="))
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .sortBy(p => p.getName.stripPrefix("epoch=").toLong)
+      .toSeq
+  }
+
   /** Latest committed epoch dir per bucket; None when nothing committed.
     * `bucketFilter = None` means all buckets. */
   private def readBuckets(spark: SparkSession, snapshotDir: String,
                           bucketFilter: Option[Set[Int]]): Option[DataFrame] = {
     val fs = new org.apache.hadoop.fs.Path(snapshotDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(snapshotDir))) return None
-    val epochs = fs.listStatus(new org.apache.hadoop.fs.Path(snapshotDir))
-      .filter(_.isDirectory)
-      .map(_.getPath)
-      .filter(p => p.getName.startsWith("epoch="))
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-      .sortBy(p => p.getName.stripPrefix("epoch=").toLong)
+    val epochs = committedEpochs(fs, snapshotDir)
     if (epochs.isEmpty) return None
     // newest committed epoch wins per bucket
     val latest = scala.collection.mutable.Map.empty[Int, String]
@@ -182,31 +204,42 @@ object CdcPipeline {
                       keyCols: Seq[String], numBuckets: Int): Long = {
     val fs = new org.apache.hadoop.fs.Path(snapshotDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed = fs.listStatus(new org.apache.hadoop.fs.Path(snapshotDir))
-      .filter(_.isDirectory).map(_.getPath)
-      .filter(p => p.getName.startsWith("epoch="))
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-      .map(_.getName.stripPrefix("epoch=").toLong)
+    val committed = committedEpochs(fs, snapshotDir)
     require(committed.nonEmpty, s"nothing committed under $snapshotDir")
-    val next = committed.max + 1
+    val next = committed.map(_.getName.stripPrefix("epoch=").toLong).max + 1
     val snap = readSnapshot(spark, snapshotDir)
-    val nextDir = s"$snapshotDir/epoch=$next"
+    // STAGE the whole epoch in a hidden dir and rename it into place:
+    // the main parquet write drops its _SUCCESS before the empty-bucket
+    // shadow files below exist, and a reader (or crash) in that window
+    // would see a committed-looking epoch whose tombstoned-empty
+    // buckets are absent — resurrecting deleted keys from older epochs,
+    // permanently (nothing replays a compaction). The listing ignores
+    // non-"epoch=" names, so the staged dir is invisible until the
+    // rename; rename is atomic on HDFS/local (object-store caveat as
+    // documented on IngestPipeline's sketch I/O).
+    val staged = s"$snapshotDir/.compact-$next"
     snap.withColumn("bucket", bucketOf(keyCols, numBuckets))
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(nextDir)
+      .parquet(staged)
     // every bucket id visible in ANY older epoch must resolve to this
     // epoch afterwards — including buckets that are empty now, and ids
     // beyond a smaller re-bucketing — otherwise their latest pointer
     // keeps referencing an "older epochs are garbage" directory
     val priorIds = committed.flatMap { e =>
-      fs.listStatus(new org.apache.hadoop.fs.Path(s"$snapshotDir/epoch=$e"))
-        .filter(_.isDirectory).map(_.getPath.getName)
+      fs.listStatus(e).filter(_.isDirectory).map(_.getPath.getName)
         .filter(_.startsWith("bucket="))
     }.toSet
     priorIds.foreach { name =>
-      val p = new org.apache.hadoop.fs.Path(s"$nextDir/$name")
+      val p = new org.apache.hadoop.fs.Path(s"$staged/$name")
       if (!fs.exists(p))
         snap.limit(0).write.mode("overwrite").parquet(p.toString)
+    }
+    val target = new org.apache.hadoop.fs.Path(s"$snapshotDir/epoch=$next")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staged), target)) {
+      fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+      throw new IllegalStateException(
+        s"compaction commit failed: could not rename $staged to $target" +
+          " (concurrent compaction or writer?)")
     }
     next
   }

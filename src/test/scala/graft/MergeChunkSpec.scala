@@ -138,6 +138,9 @@ class MergeChunkSpec extends SparkSpec {
     assert(decode("&amp;lt;") == "&lt;")           // single-pass, no double decode
     assert(decode("&bogus; &#xD800; &#99999999; &#xZZ; &amp") ==
       "&bogus; &#xD800; &#99999999; &#xZZ; &amp") // malformed verbatim
+    assert(decode("&#+60;s&#x+41;") == "&#+60;s&#x+41;") // digits ONLY
+    assert(decode("&#151;") == "—")  // C1 -> Windows-1252 em dash
+    assert(decode("&#0;") == "�")    // NUL -> replacement char
     assert(decode("no refs at all") == "no refs at all")
     assert(decode("&&amp;&") == "&&&")
     // expression path (interpreted + codegen) agrees with the raw decoder

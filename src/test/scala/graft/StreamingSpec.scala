@@ -884,15 +884,19 @@ class StreamingSpec extends SparkSpec {
     val after1 = CdcPipeline.readSnapshot(spark, snapDir)
       .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1))
       .toMap
-    // replay epoch 1 (crash-after-commit rerun): same snapshot
+    // replay epoch 1 (crash-after-commit rerun): same snapshot — the
+    // rewrite lands at a FRESH epoch id (committed-max + 1), never on
+    // top of a committed one
     CdcPipeline.applyBatch(spark, b1, snapDir, Seq("k"), "version",
       "is_delete", numBuckets = 4, epoch = 1L)
     val replayed = CdcPipeline.readSnapshot(spark, snapDir)
       .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1))
       .toMap
     assert(after1 == Map(1L -> "a2") && replayed == after1)
+    assert(new java.io.File(s"$snapDir/epoch=1/_SUCCESS").isFile &&
+      new java.io.File(s"$snapDir/epoch=2/_SUCCESS").isFile)
     // torn epoch: a directory without _SUCCESS must be invisible
-    val torn = new java.io.File(s"$snapDir/epoch=2/bucket=0")
+    val torn = new java.io.File(s"$snapDir/epoch=9/bucket=0")
     torn.mkdirs()
     assert(CdcPipeline.readSnapshot(spark, snapDir)
       .select("k").collect().map(_.getLong(0)).toSet == Set(1L))
