@@ -1318,6 +1318,58 @@ object SparkEntry {
               SELECT doc_id, regexp_replace(t, '^\s+|\s+$', '', 'g')
                 AS extracted FROM s8""")),
 
+    // URL canonicalization: synthesized crawl URLs exercise the tricky
+    // cases — LEADING tracking param (seam repair must re-anchor the
+    // query to '?'), trailing tracking param, fragment, default port,
+    // mixed-case scheme/host vs case-preserved path — and the oracle
+    // replays the identical regex chain (DuckDB \1 replacement syntax
+    // for Spark's $1)
+    Q("q_url_normalize",
+      (s, d) => {
+        val u = concat(lit("HTTPS://WWW."), col("source"),
+          lit(".Example.COM:443/Path/"), col("doc_id").cast("string"),
+          lit("?utm_source=news&id="), col("doc_id").cast("string"),
+          lit("&fbclid=x#frag"))
+        s.read.parquet(pq(d, "documents")).where(col("doc_id") < 200)
+          .select(col("doc_id"),
+            graft.functions.Urls.urlHost(u).as("host"),
+            graft.functions.Urls.urlDomain(u).as("domain"),
+            graft.functions.Urls.urlPath(u).as("path"),
+            graft.functions.Urls.urlCanonicalize(u).as("canonical"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+                'HTTPS://WWW.' || source || '.Example.COM:443/Path/' ||
+                CAST(doc_id AS VARCHAR) || '?utm_source=news&id=' ||
+                CAST(doc_id AS VARCHAR) || '&fbclid=x#frag' AS url
+                FROM documents WHERE doc_id < 200),
+              h AS (SELECT doc_id, url,
+                lower(regexp_replace(regexp_replace(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+                  '^[^@]*@', ''), ':[0-9]*$', '')) AS host FROM u),
+              nf AS (SELECT doc_id, url, host,
+                regexp_replace(url, '#.*', '', 'g') AS s FROM h),
+              nt AS (SELECT doc_id, url, host, regexp_replace(s,
+                '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref_src)=[^&]*',
+                '\1', 'g') AS s FROM nf),
+              sm AS (SELECT doc_id, url, host,
+                regexp_replace(regexp_replace(regexp_replace(s,
+                  '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '', 'g')
+                AS s FROM nt),
+              np AS (SELECT doc_id, url, host, regexp_replace(s,
+                '^([A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?[^/:?#]*):(?:80|443)([/?#]|$)',
+                '\1\2', 'g') AS s FROM sm)
+              SELECT doc_id, host,
+                regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+                regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                  AS path,
+                lower(regexp_extract(s,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) ||
+                substr(s, length(regexp_extract(s,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) + 1)
+                  AS canonical
+              FROM np""")),
+
     // Unicode-script letter ratios: the corpus is ASCII-Latin, so the
     // query plants a fixed mixed-script suffix (Cyrillic + Han +
     // Arabic) — counts and fractions are deterministic in both

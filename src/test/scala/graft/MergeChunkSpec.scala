@@ -114,6 +114,28 @@ class MergeChunkSpec extends SparkSpec {
     assert(plain == "no markup here")
   }
 
+  test("Urls: host/domain/path extraction and canonicalization edges") {
+    import graft.functions.Urls
+    def one(u: String): (String, String, String, String) = {
+      val r = Seq(u).toDF("u").select(
+        Urls.urlHost(col("u")), Urls.urlDomain(col("u")),
+        Urls.urlPath(col("u")), Urls.urlCanonicalize(col("u"))).head
+      (r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+    }
+    assert(one("HTTPS://User:pw@WWW.Ex.COM:443/A/b?x=1#f") ==
+      (("www.ex.com", "ex.com", "/A/b",
+        "https://user:pw@www.ex.com/A/b?x=1")))
+    // leading tracking param: the survivor re-anchors to '?'
+    assert(one("http://h.io/p?utm_source=a&id=2&gclid=z")._4 ==
+      "http://h.io/p?id=2")
+    // emptied query drops '?'; non-default port survives
+    assert(one("http://h.io:8080/p?utm_campaign=x")._4 ==
+      "http://h.io:8080/p")
+    // bare host: empty path; schemeless input: empty host/canonical core
+    assert(one("https://a.b.c.io")._3 == "")
+    assert(one("not a url")._1 == "")
+  }
+
   test("scriptLetterCount: hand-counted mixed-script string") {
     val df = Seq("ab Кир 你好 مر x9!").toDF("t")
     val got = df.select(
