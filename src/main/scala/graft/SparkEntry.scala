@@ -2945,17 +2945,19 @@ object SparkEntry {
     // DSIR importance selection (Xie et al. 2023): weight every doc by
     // its smoothed token-bag likelihood ratio against the en-subset
     // target distribution, keep the top 100. Deterministic counting
-    // end to end — the oracle replays the exact formula; BOTH engines
-    // rank on the 4-decimal ROUNDED weight with a doc_id tiebreak so
-    // the kept set is invariant to FP summation-order noise (ranking
-    // on the raw double flipped the r6 driver gate at a near-tie).
+    // end to end, and the arithmetic is integer-exact: each smoothed
+    // ln is snapped to the 1e-9 grid as a BIGINT, the per-doc sum is a
+    // pure integer sum (order-independent — a raw double Σ left the
+    // emitted value flipping 4th-decimal rounding boundaries between
+    // engines, the r6/r7 gate failure), and the final 4-decimal
+    // rounding of S/(dl·1e9) is half-away-from-zero integer division
+    // replayed verbatim by the oracle. Kept set, tiebreak, and value
+    // are all pure functions of the data.
     Q("q_dsir_select",
       (s, d) => {
         val docs = s.read.parquet(pq(d, "documents"))
         graft.operators.Importance.dsirSelect(
-            docs, "doc_id", "text", col("lang") === "en", k = 100)
-          .select(col("doc_id"), col("dl"),
-            round(col("log_weight"), 4).as("log_weight"))
+          docs, "doc_id", "text", col("lang") === "en", k = 100)
       },
       Some("""WITH toks AS (SELECT doc_id,
                   unnest(string_split_regex(lower(trim(text)), '\s+'))
@@ -2971,22 +2973,24 @@ object SparkEntry {
                   (SELECT SUM(cnt_r) FROM rawc) AS tok_r,
                   (SELECT COUNT(*) FROM rawc) AS vocab,
                   (SELECT COALESCE(SUM(cnt_t), 0) FROM tgtc) AS tok_t),
-              contrib AS (SELECT n.doc_id,
-                  n.n * (LN((COALESCE(tgtc.cnt_t, 0) + 1.0)
-                        / (st.tok_t + 1.0 * st.vocab))
-                    - LN((rawc.cnt_r + 1.0)
-                        / (st.tok_r + 1.0 * st.vocab))) AS c
+              contrib AS (SELECT n.doc_id, n.n,
+                  n.n * (CAST(ROUND(LN((COALESCE(tgtc.cnt_t, 0) + 1.0)
+                          / (st.tok_t + 1.0 * st.vocab))
+                        * 1000000000) AS BIGINT)
+                    - CAST(ROUND(LN((rawc.cnt_r + 1.0)
+                          / (st.tok_r + 1.0 * st.vocab))
+                        * 1000000000) AS BIGINT)) AS c
                 FROM n JOIN rawc USING (term)
                   LEFT JOIN tgtc USING (term) CROSS JOIN st),
-              sums AS (SELECT doc_id, SUM(c) AS s
-                FROM contrib GROUP BY 1),
-              dls AS (SELECT doc_id, SUM(n) AS dl FROM n GROUP BY 1)
-              SELECT doc_id, dl, ROUND(log_weight, 4) AS log_weight
-              FROM (SELECT sums.doc_id, dls.dl,
-                  sums.s / dls.dl AS log_weight
-                FROM sums JOIN dls USING (doc_id)
-                ORDER BY ROUND(sums.s / dls.dl, 4) DESC, doc_id
-                LIMIT 100)""")),
+              agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS s,
+                  SUM(n) AS dl
+                FROM contrib GROUP BY 1)
+              SELECT doc_id, dl,
+                SIGN(s) * ((2 * ABS(s) + dl * 100000)
+                  // (2 * dl * 100000)) / 10000.0 AS log_weight
+              FROM agg
+              ORDER BY log_weight DESC, doc_id
+              LIMIT 100""")),
 
     // RefinedWeb-style per-domain cap: at most 10 docs per source,
     // chosen by the deterministic md5-of-key order — survivors are a

@@ -37,8 +37,10 @@ class ImportanceSpec extends SparkSpec {
     // doc 10 = {alpha, beta}: both tokens have cnt_t = 3, cnt_r = 4,
     // so per token (and after the /dl) the weight is
     //   ln((3+1)/(6+4)) - ln((4+1)/(17+4))
+    // tolerance = the 1e-9 ln-quantization grid (each ln is snapped to
+    // 1e-9 before the exact integer sum), not FP ulps
     val expected = (math.log(4.0 / 10) - math.log(5.0 / 21))
-    assert(math.abs(w(10L) - expected) < 1e-12,
+    assert(math.abs(w(10L) - expected) < 2e-9,
       s"${w(10L)} vs $expected")
   }
 
