@@ -123,8 +123,16 @@ object Bench {
           s""","host_iowait_frac":${num((ioB - ioA) / d)},"host_steal_frac":${num((stB - stA) / d)}"""
         case _ => ""
       }
-      val line = s"""{"metric":"total","value":$valueStr,"unit":"sec","queries":$qs,"warmups":$ws,"sf":"$sfDir","complete":$complete,"partial_total":${num(total)},"n_measured":${measured.size},"n_queries":${names.size},"elapsed_s":${num(elapsed)}$noise}"""
+      // key order matters downstream: the driver records a ~2.2KB stdout
+      // TAIL, so "queries" (the steady-state dict — the values a reader
+      // actually wants) goes LAST; round 7's artifact exposed the
+      // warmups dict because it happened to sit at the line's end. A
+      // second, compact summary line (no per-query dicts, ~200 bytes)
+      // follows so the tail always contains one fully-parseable JSON
+      // record even though the full line overflows the capture.
+      val line = s"""{"metric":"total","value":$valueStr,"unit":"sec","sf":"$sfDir","complete":$complete,"partial_total":${num(total)},"n_measured":${measured.size},"n_queries":${names.size},"elapsed_s":${num(elapsed)}$noise,"warmups":$ws,"queries":$qs}"""
       println(line)
+      println(s"""{"metric":"total","value":$valueStr,"unit":"sec","sf":"$sfDir","complete":$complete,"partial_total":${num(total)},"n_measured":${measured.size},"n_queries":${names.size},"elapsed_s":${num(elapsed)}$noise}""")
       System.out.flush()
       // the same line also lands in a file: round 4's driver artifact was
       // truncated by stdout tail-capture despite a clean run — a file copy
