@@ -546,6 +546,17 @@ object SparkEntry {
           col("o_orderstatus")),
       Some(mergeUpsertOracleSql)),
 
+    // the retention end-state: same epochs, then compactSnapshot and
+    // DELETION of the old epoch dirs — the compacted epoch alone must
+    // reproduce the identical snapshot (tombstoned-empty buckets
+    // included, via the atomically-committed sentinels), same oracle
+    Q("q_cdc_compacted",
+      (s, d) => graft.streaming.CdcPipeline
+        .readSnapshot(s, cdcCompactedFixture(s, d))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus")),
+      Some(mergeUpsertOracleSql)),
+
     // ---- grouping sets ---------------------------------------------------
     Q("q_rollup",
       (s, d) => s.read.parquet(pq(d, "lineitem"))
@@ -2554,6 +2565,40 @@ object SparkEntry {
       graft.streaming.CdcPipeline.applyBatch(s, updates, snap,
         Seq("o_orderkey"), "version", "is_delete", numBuckets = 16,
         epoch = 1L)
+    }
+    new java.io.File(root, "snap").toString
+  }
+
+  /** [[cdcSnapshotFixture]]'s end-of-life twin: the same two epochs,
+    * then a FULL compaction, then the old epoch dirs deleted — the
+    * retention flow the log-structured layout exists for. The staged
+    * rename-commit (data + tombstoned-empty-bucket sentinels + bucket
+    * marker published atomically) is what makes the deletion safe: the
+    * compacted epoch alone must serve every bucket, including the
+    * empty-now ones, or deleted keys would resurrect. Final state is
+    * identical to the uncompacted snapshot, so the oracle is shared. */
+  private def cdcCompactedFixture(s: SparkSession, d: String): String = {
+    val root = contentKeyedFixture(new java.io.File(d, "orders.parquet"),
+      "graft_cdc_compacted") { r =>
+      new java.io.File(r, "snap/epoch=2/_SUCCESS").isFile &&
+        !new java.io.File(r, "snap/epoch=0").exists() &&
+        !new java.io.File(r, "snap/epoch=1").exists()
+    } { tmp =>
+      val snap = new java.io.File(tmp, "snap").toString
+      val (base, updates) = ordersChangeSet(s, d)
+      graft.streaming.CdcPipeline.applyBatch(s, base, snap,
+        Seq("o_orderkey"), "version", "is_delete", numBuckets = 16,
+        epoch = 0L)
+      graft.streaming.CdcPipeline.applyBatch(s, updates, snap,
+        Seq("o_orderkey"), "version", "is_delete", numBuckets = 16,
+        epoch = 1L)
+      val next = graft.streaming.CdcPipeline.compactSnapshot(s, snap,
+        Seq("o_orderkey"), numBuckets = 16)
+      require(next == 2L, s"expected compaction epoch 2, got $next")
+      Seq(0L, 1L).foreach { e =>
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(s"$snap/epoch=$e"))
+      }
     }
     new java.io.File(root, "snap").toString
   }

@@ -65,6 +65,26 @@ object CdcPipeline {
    * a replayed micro-batch runs, so tests and backfills drive it
    * directly). Reads ONLY the buckets the batch's keys hash into,
    * merges, and writes those buckets under `epoch=<epoch>`.
+   *
+   * Commit protocol: the WHOLE epoch — data partitions, zero-row
+   * sentinels for tombstoned-empty buckets, and the bucket-count
+   * marker — is staged in a hidden dir and published by one atomic
+   * rename, the same protocol as [[compactSnapshot]]. (A partitioned
+   * write straight to `epoch=<n>` drops `_SUCCESS` before the
+   * sentinels exist; a crash in that window left a committed-looking
+   * epoch whose empty buckets were absent, resurrecting deleted keys —
+   * transiently under streaming replay, permanently for direct
+   * backfills.) A crash mid-stage leaves only an inert `.batch-*` dir
+   * the listing never resolves; it is overwritten by the next attempt
+   * at the same epoch id.
+   *
+   * `numBuckets` is adopted from the committed layout when one exists:
+   * each committed epoch carries its bucket count in a marker file, so
+   * a caller passing a different value cannot silently mis-route keys
+   * (the touched-bucket set would miss the keys' real homes and stale
+   * rows would survive beside their updates). Re-bucketing is
+   * [[compactSnapshot]]'s job — the parameter only seeds a brand-new
+   * snapshot.
    */
   def applyBatch(spark: SparkSession, batch: DataFrame,
                  snapshotDir: String, keyCols: Seq[String],
@@ -72,23 +92,59 @@ object CdcPipeline {
                  numBuckets: Int, epoch: Long): Unit = {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     if (batch.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(snapshotDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the committed layout's bucket count wins over the parameter —
+    // mixed counts would route the same key to different homes
+    val buckets = committedBucketCount(fs, snapshotDir) match {
+      case Some(n) =>
+        if (n != numBuckets)
+          System.err.println(s"[cdc] adopting committed bucket count $n" +
+            s" for $snapshotDir (caller passed $numBuckets; re-bucket" +
+            " via compactSnapshot)")
+        n
+      case None => numBuckets
+    }
     // bucket routing is HASH-OF-VALUE, and Spark hashes int and long
     // values differently — a batch whose key columns arrive with a
     // narrower type than the stored snapshot's would compute different
     // buckets for the same logical keys (touched set misses the keys'
     // real homes; stale rows survive beside their updates). Align the
-    // batch's key types to the snapshot's BEFORE any hashing.
+    // batch's key types to the snapshot's BEFORE any hashing — and
+    // verify the cast is LOSSLESS: a batch key wider than the stored
+    // type (a long exceeding an int column) would otherwise
+    // null/wrap silently and merge the row under a corrupted key.
+    // Cast-back + null-safe compare catches every lossy case (null
+    // stays null <=> null, so legitimate null keys pass).
     val aligned = snapshotKeyTypes(spark, snapshotDir, keyCols) match {
       case Some(types) =>
-        keyCols.foldLeft(batch) { (df, k) =>
-          val want = types(k)
-          if (df.schema(k).dataType == want) df
-          else df.withColumn(k, col(k).cast(want))
+        val changed = keyCols.filter(k =>
+          batch.schema(k).dataType != types(k))
+        if (changed.nonEmpty) {
+          // try_cast, not cast: under ANSI (the Spark 4 default) a lossy
+          // cast throws mid-guard with an opaque arithmetic error — and
+          // under non-ANSI it silently wraps, the exact corruption this
+          // guard exists to catch. try_cast nulls both ways, and the
+          // null-safe compare turns that into a violation row.
+          val lossy = changed.map { k =>
+            !(expr(s"try_cast(`$k` AS ${types(k).sql})")
+              .cast(batch.schema(k).dataType) <=> col(k))
+          }.reduce(_ || _)
+          val examples = batch.where(lossy)
+            .select(changed.map(col): _*).limit(3).collect()
+          if (examples.nonEmpty)
+            throw new IllegalArgumentException(
+              s"batch key values do not fit the snapshot's stored key " +
+                s"types ${changed.map(k => s"$k:${types(k)}").mkString(",")}" +
+                s" (e.g. ${examples.mkString("; ")}) — widen the " +
+                "snapshot via a compaction epoch before applying")
         }
+        changed.foldLeft(batch)((df, k) =>
+          df.withColumn(k, col(k).cast(types(k))))
       case None => batch
     }
-    val bCol = bucketOf(keyCols, numBuckets)
-    // touched-bucket set: bounded by numBuckets (driver rows ≤ numBuckets
+    val bCol = bucketOf(keyCols, buckets)
+    // touched-bucket set: bounded by bucket count (driver rows ≤ buckets
     // by construction — the same contract as Mixture's per-source collect)
     val touched = aligned.select(bCol.as("__b")).distinct()
       .collect().map(_.getInt(0)).toSet
@@ -104,29 +160,83 @@ object CdcPipeline {
     // — a retried batch whose own epoch already committed rewrites the
     // same content one epoch later, which is content-idempotent because
     // re-merging a change set into a state that absorbed it is a no-op.
-    val fsRoot = new org.apache.hadoop.fs.Path(snapshotDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val effectiveEpoch = committedEpochs(fsRoot, snapshotDir)
+    val effectiveEpoch = committedEpochs(fs, snapshotDir)
       .map(_.getName.stripPrefix("epoch=").toLong)
       .foldLeft(epoch)((e, c) => e.max(c + 1))
-    val epochDir = s"$snapshotDir/epoch=$effectiveEpoch"
+    val staged = s"$snapshotDir/.batch-$effectiveEpoch"
     merged
-      .withColumn("bucket", bucketOf(keyCols, numBuckets))
-      .write.mode("overwrite") // retried epoch overwrites its own dir
+      .withColumn("bucket", bucketOf(keyCols, buckets))
+      .write.mode("overwrite") // retried stage overwrites its own dir
       .partitionBy("bucket")
-      .parquet(epochDir)
+      .parquet(staged)
     // a bucket whose post-merge content is EMPTY (every key tombstoned)
     // writes no partition directory above — and an absent directory
     // would make the read side fall back to the older epoch,
     // resurrecting the deleted keys. Materialize every touched bucket
     // explicitly with a zero-row file so "empty now" is distinguishable
     // from "not rewritten here".
-    val fs = new org.apache.hadoop.fs.Path(epochDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     touched.foreach { b =>
-      val p = new org.apache.hadoop.fs.Path(s"$epochDir/bucket=$b")
+      val p = new org.apache.hadoop.fs.Path(s"$staged/bucket=$b")
       if (!fs.exists(p))
         merged.limit(0).write.mode("overwrite").parquet(p.toString)
+    }
+    writeBucketCount(fs, staged, buckets)
+    commitEpoch(fs, staged, s"$snapshotDir/epoch=$effectiveEpoch")
+  }
+
+  /** Name of the per-epoch bucket-count marker file. Living INSIDE the
+    * epoch dir, it is staged and renamed with the data — it can never
+    * disagree with the committed layout the way a separately-written
+    * root marker could after a crash between the two writes. */
+  private val BucketCountMarker = "_GRAFT_BUCKETS"
+
+  private def writeBucketCount(fs: org.apache.hadoop.fs.FileSystem,
+      epochDir: String, n: Int): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(epochDir, BucketCountMarker), true)
+    try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Bucket count of the newest committed epoch carrying a marker —
+    * None for a fresh dir (or one written before markers existed, where
+    * the caller's parameter remains the only source of truth). */
+  private def committedBucketCount(fs: org.apache.hadoop.fs.FileSystem,
+      snapshotDir: String): Option[Int] =
+    committedEpochs(fs, snapshotDir).reverseIterator.map { e =>
+      val p = new org.apache.hadoop.fs.Path(e, BucketCountMarker)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+        finally in.close()
+      }
+    }.collectFirst { case Some(n) => n }
+
+  /** Publish a fully-staged epoch dir with one atomic rename. The
+    * target can pre-exist only as a TORN directory (no `_SUCCESS` —
+    * garbage from a pre-staging-era crash): committed ids are
+    * unreachable because effective epoch ids exceed every committed
+    * epoch, so a committed target means a concurrent writer — fail
+    * loudly rather than destroy its work. */
+  private def commitEpoch(fs: org.apache.hadoop.fs.FileSystem,
+      staged: String, target: String): Unit = {
+    val s = new org.apache.hadoop.fs.Path(staged)
+    val t = new org.apache.hadoop.fs.Path(target)
+    if (fs.exists(t)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(t, "_SUCCESS"))) {
+        fs.delete(s, true)
+        throw new IllegalStateException(
+          s"$target is already committed (concurrent writer?)")
+      }
+      fs.delete(t, true)
+    }
+    if (!fs.rename(s, t)) {
+      fs.delete(s, true)
+      throw new IllegalStateException(
+        s"epoch commit failed: could not rename $staged to $target" +
+          " (concurrent compaction or writer?)")
     }
   }
 
@@ -234,13 +344,10 @@ object CdcPipeline {
       if (!fs.exists(p))
         snap.limit(0).write.mode("overwrite").parquet(p.toString)
     }
-    val target = new org.apache.hadoop.fs.Path(s"$snapshotDir/epoch=$next")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staged), target)) {
-      fs.delete(new org.apache.hadoop.fs.Path(staged), true)
-      throw new IllegalStateException(
-        s"compaction commit failed: could not rename $staged to $target" +
-          " (concurrent compaction or writer?)")
-    }
+    // compaction is THE re-bucketing path: the marker it stages becomes
+    // the layout's bucket count, which applyBatch adopts from then on
+    writeBucketCount(fs, staged, numBuckets)
+    commitEpoch(fs, staged, s"$snapshotDir/epoch=$next")
     next
   }
 

@@ -10,8 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("registry counts match the documented surface") {
-    assert(SparkEntry.queries.size == 136)
-    assert(SparkEntry.oracleSql.size == 129)
+    assert(SparkEntry.queries.size == 137)
+    assert(SparkEntry.oracleSql.size == 130)
   }
 
   test("every oracle belongs to a registered query") {

@@ -870,6 +870,92 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(1L -> "a2", 3L -> "c"))
   }
 
+  test("CdcPipeline: epoch commit is atomic — no staging residue, marker inside") {
+    import graft.streaming.CdcPipeline
+    val snapDir = tmpDir() + "/snap"
+    val b0 = Seq((1L, "a", 1L, false), (2L, null, 1L, true))
+      .toDF("k", "v", "version", "is_delete")
+    CdcPipeline.applyBatch(spark, b0, snapDir, Seq("k"), "version",
+      "is_delete", numBuckets = 4, epoch = 0L)
+    val root = new java.io.File(snapDir)
+    // the staging dir was renamed away, not left beside the epoch
+    assert(root.listFiles.map(_.getName).forall(!_.startsWith(".batch-")),
+      root.listFiles.map(_.getName).mkString(","))
+    // the epoch is committed WITH its bucket-count marker and its
+    // tombstoned-empty bucket sentinel (k=2 died in its own batch)
+    assert(new java.io.File(s"$snapDir/epoch=0/_SUCCESS").isFile)
+    assert(new java.io.File(s"$snapDir/epoch=0/_GRAFT_BUCKETS").isFile)
+    val buckets = new java.io.File(s"$snapDir/epoch=0")
+      .listFiles.filter(_.isDirectory).map(_.getName).toSet
+    val expected = Seq(1L, 2L).toDF("k")
+      .select(pmod(xxhash64(col("k")), lit(4L)).cast("int").as("b"))
+      .collect().map(r => s"bucket=${r.getInt(0)}").toSet
+    assert(buckets == expected, s"$buckets vs touched homes $expected")
+    assert(CdcPipeline.readSnapshot(spark, snapDir)
+      .select("k").collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("CdcPipeline: committed bucket count wins over a drifting parameter") {
+    import graft.streaming.CdcPipeline
+    val snapDir = tmpDir() + "/snap"
+    val b0 = Seq((1L, "a", 1L, false), (2L, "b", 1L, false),
+      (3L, "c", 1L, false), (4L, "d", 1L, false))
+      .toDF("k", "v", "version", "is_delete")
+    CdcPipeline.applyBatch(spark, b0, snapDir, Seq("k"), "version",
+      "is_delete", numBuckets = 4, epoch = 0L)
+    // a later caller passes a DIFFERENT bucket count: without adoption
+    // the update hashes into a 32-bucket id, missing k=1's real home —
+    // the stale row would survive beside the update in the read
+    val b1 = (1L to 4L).map(k => (k, s"v$k", 2L, false))
+      .toDF("k", "v", "version", "is_delete")
+    CdcPipeline.applyBatch(spark, b1, snapDir, Seq("k"), "version",
+      "is_delete", numBuckets = 32, epoch = 1L)
+    val got = CdcPipeline.readSnapshot(spark, snapDir)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(got.length == 4, s"stale rows survived: ${got.mkString(",")}")
+    assert(got.toMap == Map(1L -> "v1", 2L -> "v2", 3L -> "v3", 4L -> "v4"))
+    // epoch 1 only used ids < 4 (the committed count), never 32-space ids
+    val e1 = new java.io.File(s"$snapDir/epoch=1")
+      .listFiles.filter(_.isDirectory).map(_.getName.stripPrefix("bucket=").toInt)
+    assert(e1.forall(_ < 4), e1.mkString(","))
+    // compaction IS the re-bucketing path: its count becomes the layout's
+    val next = CdcPipeline.compactSnapshot(spark, snapDir, Seq("k"),
+      numBuckets = 8)
+    val b2 = Seq((1L, "z", 3L, false)).toDF("k", "v", "version", "is_delete")
+    CdcPipeline.applyBatch(spark, b2, snapDir, Seq("k"), "version",
+      "is_delete", numBuckets = 4, epoch = 7L)
+    assert(CdcPipeline.readSnapshot(spark, snapDir)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap == Map(1L -> "z", 2L -> "v2", 3L -> "v3", 4L -> "v4"))
+    assert(next == 2L)
+  }
+
+  test("CdcPipeline: lossy key narrowing fails loudly, not silently") {
+    import graft.streaming.CdcPipeline
+    val snapDir = tmpDir() + "/snap"
+    // snapshot stores INT keys
+    val b0 = Seq((1, "a", 1L, false), (2, "b", 1L, false))
+      .toDF("k", "v", "version", "is_delete")
+    CdcPipeline.applyBatch(spark, b0, snapDir, Seq("k"), "version",
+      "is_delete", numBuckets = 4, epoch = 0L)
+    // a LONG key beyond int range would null/wrap under a plain cast and
+    // merge under a corrupted key — must throw instead
+    val big = Seq((1L << 40, "boom", 2L, false))
+      .toDF("k", "v", "version", "is_delete")
+    val e = intercept[IllegalArgumentException] {
+      CdcPipeline.applyBatch(spark, big, snapDir, Seq("k"), "version",
+        "is_delete", numBuckets = 4, epoch = 1L)
+    }
+    assert(e.getMessage.contains("do not fit"))
+    // in-range long keys still align-and-apply fine
+    val ok = Seq((1L, "a2", 2L, false)).toDF("k", "v", "version", "is_delete")
+    CdcPipeline.applyBatch(spark, ok, snapDir, Seq("k"), "version",
+      "is_delete", numBuckets = 4, epoch = 1L)
+    assert(CdcPipeline.readSnapshot(spark, snapDir)
+      .select("k", "v").collect().map(r => r.getInt(0) -> r.getString(1))
+      .toMap == Map(1 -> "a2", 2 -> "b"))
+  }
+
   test("CdcPipeline: replayed epoch is idempotent; torn epoch ignored") {
     import graft.streaming.CdcPipeline
     val snapDir = tmpDir() + "/snap"
