@@ -133,22 +133,39 @@ object Merge {
    */
   def unionEvolve(frames: Seq[DataFrame]): DataFrame = {
     require(frames.nonEmpty, "unionEvolve needs at least one frame")
+    // match names the way the session RESOLVES them: Spark is
+    // case-insensitive by default, so "ID" and "id" are one logical
+    // column — a case-sensitive fold would emit two output slots whose
+    // selects both resolve to the same underlying column, yielding a
+    // duplicated, contradictory pair instead of one merged column. The
+    // output keeps the first-appearance spelling (Spark's own
+    // unionByName convention).
+    val caseSensitive = frames.head.sparkSession.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    def keyOf(n: String): String =
+      if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    if (!caseSensitive) frames.foreach { df =>
+      val dup = df.columns.groupBy(keyOf)
+        .collect { case (_, v) if v.length > 1 => v.mkString("/") }
+      require(dup.isEmpty, "unionEvolve: columns collide under the " +
+        s"session's case-insensitive resolution: ${dup.mkString(", ")}")
+    }
     val ordered = frames.flatMap(_.schema.fields).foldLeft(
         Vector.empty[(String, DataType)]) { case (acc, f) =>
-      acc.indexWhere(_._1 == f.name) match {
+      acc.indexWhere(p => keyOf(p._1) == keyOf(f.name)) match {
         case -1 => acc :+ (f.name -> f.dataType)
         case i =>
           val t = widen(acc(i)._2, f.dataType).getOrElse(throw
             new IllegalArgumentException(
               s"unionEvolve: column '${f.name}' has incompatible types " +
                 s"${acc(i)._2.simpleString} vs ${f.dataType.simpleString}"))
-          acc.updated(i, f.name -> t)
+          acc.updated(i, acc(i)._1 -> t)
       }
     }
     frames.map { df =>
-      val have = df.columns.toSet
+      val have = df.columns.map(keyOf).toSet
       df.select(ordered.map { case (n, t) =>
-        (if (have(n)) col(n) else lit(null)).cast(t).as(n)
+        (if (have(keyOf(n))) col(n) else lit(null)).cast(t).as(n)
       }: _*)
     }.reduce(_.unionAll(_))
   }

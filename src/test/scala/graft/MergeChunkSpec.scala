@@ -279,6 +279,26 @@ class MergeChunkSpec extends SparkSpec {
     assert(Merge.unionEvolve(Seq(a)).columns.toSeq == Seq("id", "x"))
   }
 
+  test("unionEvolve: case-variant names merge into one column, not two") {
+    // session default is case-INsensitive resolution: "ID" and "id" are
+    // the same logical column, so the fold must produce ONE output slot
+    // (first-appearance spelling), null-filling nothing
+    val a = Seq((1L, "x")).toDF("ID", "name")
+    val b = Seq((2L, 3.5)).toDF("id", "score")
+    val got = Merge.unionEvolve(Seq(a, b))
+    assert(got.columns.toSeq == Seq("ID", "name", "score"))
+    val rows = got.orderBy("ID").collect()
+    assert(rows(0).getLong(0) == 1L && rows(1).getLong(0) == 2L)
+    assert(got.where(col("ID").isNull).count() == 0)
+    // a frame that ITSELF holds case-colliding columns is unresolvable
+    // under case-insensitive resolution — fail fast, not duplicate
+    val bad = Seq((1L, 2L)).toDF("k", "K")
+    val e = intercept[IllegalArgumentException] {
+      Merge.unionEvolve(Seq(bad))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   // ---- contaminationScoreMulti -------------------------------------------
 
   test("contaminationScoreMulti: per-benchmark hits only, shared doc totals") {
