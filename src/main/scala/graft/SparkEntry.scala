@@ -1341,6 +1341,7 @@ object SparkEntry {
           lit(".Example.COM:443/Path/"), col("doc_id").cast("string"),
           lit("?utm_source=news&id="), col("doc_id").cast("string"),
           lit("&fbclid=x#frag"))
+        graft.plans.NativeFunctions.register(s) // urlCanonicalize pct pass
         s.read.parquet(pq(d, "documents")).where(col("doc_id") < 200)
           .select(col("doc_id"),
             graft.functions.Urls.urlHost(u).as("host"),
@@ -1380,6 +1381,94 @@ object SparkEntry {
                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) + 1)
                   AS canonical
               FROM np""")),
+
+    // PSL registrable domains: planted hosts exercise every rule class
+    // — multi-label registries (co.uk/com.au), the Japanese city
+    // wildcard+exception pair, wildcard-only zones (*.bd, *.ck with
+    // !www.ck), and the default rule. The engine matches its full PSL
+    // snapshot; the oracle replays longest-suffix match against the
+    // EFFECTIVE suffixes of the planted hosts (wildcards expanded,
+    // exceptions omitted — how a PSL rule set grounds out on concrete
+    // hosts), so both sides compute the answer independently.
+    Q("q_url_domain",
+      (s, d) => {
+        val hosts = array(
+          lit("www.shop.example.co.uk"), lit("news.example.com.au"),
+          lit("sub.city.kobe.jp"), lit("shop.foo.kobe.jp"),
+          lit("x.y.foo.bd"), lit("a.www.ck"),
+          lit("deep.a.b.ck"), lit("WWW.Example.COM"))
+        val u = concat(lit("https://"),
+          element_at(hosts, (col("doc_id") % 8 + 1).cast("int")),
+          lit("/p"))
+        graft.plans.NativeFunctions.register(s)
+        s.read.parquet(pq(d, "documents")).where(col("doc_id") < 200)
+          .select(col("doc_id"),
+            graft.functions.Urls.urlHost(u).as("host"),
+            graft.functions.Urls.urlDomain(u, psl = true)
+              .as("domain_psl"),
+            graft.functions.Urls.urlDomain(u).as("domain_naive"))
+      },
+      Some("""WITH hosts AS (SELECT doc_id, lower(CASE CAST(doc_id % 8 AS INT)
+                  WHEN 0 THEN 'www.shop.example.co.uk'
+                  WHEN 1 THEN 'news.example.com.au'
+                  WHEN 2 THEN 'sub.city.kobe.jp'
+                  WHEN 3 THEN 'shop.foo.kobe.jp'
+                  WHEN 4 THEN 'x.y.foo.bd'
+                  WHEN 5 THEN 'a.www.ck'
+                  WHEN 6 THEN 'deep.a.b.ck'
+                  ELSE 'WWW.Example.COM' END) AS host
+                FROM documents WHERE doc_id < 200),
+              sfx AS (SELECT * FROM (VALUES ('co.uk'), ('com.au'),
+                  ('kobe.jp'), ('foo.kobe.jp'), ('foo.bd'), ('b.ck'))
+                  t(s)),
+              m AS (SELECT h.doc_id, h.host, MAX(length(s.s)) AS sl
+                FROM hosts h LEFT JOIN sfx s
+                  ON (h.host = s.s OR h.host LIKE '%.' || s.s)
+                GROUP BY 1, 2)
+              SELECT doc_id, host,
+                CASE WHEN sl IS NULL THEN
+                    regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+                  WHEN length(host) = sl THEN host
+                  ELSE regexp_extract(
+                      substr(host, 1, length(host) - sl - 1),
+                      '([^.]+)$', 1) || '.' ||
+                    substr(host, length(host) - sl + 1) END AS domain_psl,
+                regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain_naive
+              FROM m""")),
+
+    // percent-encoding normalization: planted %-escapes cover decode
+    // (unreserved %61/%41/%7e -> a/A/~), canonical-uppercase of kept
+    // escapes (%2f -> %2F), and malformed passthrough (%zz); the
+    // oracle replays the same spellings as literal replaces, and the
+    // canonical column proves the pass rides urlCanonicalize ahead of
+    // the fragment/lowercase steps
+    Q("q_url_pct",
+      (s, d) => {
+        val u = concat(lit("HTTPS://Example.COM/P%61th/"),
+          col("doc_id").cast("string"),
+          lit("?q=%2fv%41l%7e&x=%4d%zz#f"))
+        graft.plans.NativeFunctions.register(s)
+        s.read.parquet(pq(d, "documents")).where(col("doc_id") < 200)
+          .select(col("doc_id"),
+            graft.functions.Urls.urlPctNormalize(u).as("normalized"),
+            graft.functions.Urls.urlCanonicalize(u).as("canonical"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+                'HTTPS://Example.COM/P%61th/' || CAST(doc_id AS VARCHAR) ||
+                '?q=%2fv%41l%7e&x=%4d%zz#f' AS url
+                FROM documents WHERE doc_id < 200),
+              n AS (SELECT doc_id, replace(replace(replace(replace(
+                replace(url, '%61', 'a'), '%41', 'A'), '%7e', '~'),
+                '%2f', '%2F'), '%4d', 'M') AS normalized FROM u),
+              c AS (SELECT doc_id, normalized,
+                regexp_replace(normalized, '#.*', '', 'g') AS s FROM n)
+              SELECT doc_id, normalized,
+                lower(regexp_extract(s,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) ||
+                substr(s, length(regexp_extract(s,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) + 1)
+                  AS canonical
+              FROM c""")),
 
     // Unicode-script letter ratios: the corpus is ASCII-Latin, so the
     // query plants a fixed mixed-script suffix (Cyrillic + Han +

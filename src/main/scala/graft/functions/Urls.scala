@@ -5,18 +5,19 @@ import org.apache.spark.sql.functions._
 
 /**
  * URL canonicalization for crawl pipelines: host/domain/path
- * extraction and tracking-parameter stripping — the key-preparation
- * step before URL-level dedup, per-domain caps ([[graft.operators
- * .Sampling.capPerGroup]]) and robots/blocklist joins. Pure codegen'd
- * regexp expressions (RE2-portable — no lookahead, no backreferences
- * in patterns), zero shuffle; the reference has no string surface at
- * all (SURVEY §2.8).
+ * extraction, tracking-parameter stripping, percent-encoding
+ * normalization and public-suffix-list domain extraction — the
+ * key-preparation step before URL-level dedup, per-domain caps
+ * ([[graft.operators.Sampling.capPerGroup]]) and robots/blocklist
+ * joins. Codegen'd regexp expressions (RE2-portable — no lookahead,
+ * no backreferences in patterns) plus two single-pass native
+ * expressions where no portable SQL form exists
+ * ([[graft.plans.PctNormalizeExpr]],
+ * [[graft.plans.RegistrableDomainExpr]]); zero shuffle throughout.
+ * The reference has no string surface at all (SURVEY §2.8).
  *
- * Scope, explicitly: syntactic canonicalization (case of host,
- * fragment, tracking params, default ports). Public-suffix-list
- * domain extraction ([[urlDomain]] is a last-two-labels heuristic —
- * wrong for co.uk-style suffixes), IDN/punycode, and percent-encoding
- * normalization are documented boundaries.
+ * Remaining documented boundary: IDN/punycode host normalization
+ * (`xn--…` labels match as literal strings).
  */
 object Urls {
 
@@ -29,10 +30,29 @@ object Urls {
       regexp_extract(u, schemeAuth, 1), "^[^@]*@", ""), ":[0-9]*$", ""))
 
   /** Last-two-labels registrable-domain heuristic over [[urlHost]]
-    * (`a.b.example.com` → `example.com`); the full answer needs the
-    * public-suffix list — documented boundary. */
+    * (`a.b.example.com` → `example.com`) — kept as the dependency-free
+    * SQL-replayable form, but WRONG for multi-label public suffixes
+    * (`co.uk`, `com.au`): use `urlDomain(u, psl = true)` for dedup /
+    * per-domain-cap keys on real crawl data. */
   def urlDomain(u: Column): Column =
     regexp_extract(urlHost(u), "([^.]+\\.[^.]+)$", 1)
+
+  /** Registrable domain over [[urlHost]]. `psl = true` matches against
+    * the public-suffix-list snapshot (longest prevailing rule,
+    * wildcards, exceptions — [[graft.plans.PublicSuffixes]]), so
+    * `shop.example.co.uk` keys as `example.co.uk`, not `co.uk`;
+    * `psl = false` is the last-two-labels heuristic. */
+  def urlDomain(u: Column, psl: Boolean): Column =
+    if (psl) graft.plans.NativeFunctions.registrableDomainNative(urlHost(u))
+    else urlDomain(u)
+
+  /** RFC 3986 percent-encoding normalization: decode `%XX` escapes of
+    * UNRESERVED characters (`%41` ≡ `A` — the same URL must dedup
+    * together), uppercase the hex of every other escape (`%2f` →
+    * `%2F`), pass malformed escapes through verbatim. Safe on a full
+    * URL: decoding the unreserved set can never create a delimiter. */
+  def urlPctNormalize(u: Column): Column =
+    graft.plans.NativeFunctions.pctNormalizeNative(u)
 
   /** Path component (leading `/...`), empty for bare-host URLs. */
   def urlPath(u: Column): Column =
@@ -43,15 +63,19 @@ object Urls {
     "(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref_src)"
 
   /**
-   * Canonicalize for URL-level dedup: drop the fragment, strip
-   * tracking parameters wherever they sit in the query string (the
-   * `?`/`&` seams are repaired, so a leading tracking param doesn't
-   * orphan the rest), drop an emptied `?`, strip default ports
-   * (:80/:443), and lowercase scheme + authority (path/query case is
-   * preserved — it is significant on most servers).
+   * Canonicalize for URL-level dedup: normalize percent-encoding
+   * ([[urlPctNormalize]] — decode unreserved escapes, uppercase the
+   * rest), drop the fragment, strip tracking parameters wherever they
+   * sit in the query string (the `?`/`&` seams are repaired, so a
+   * leading tracking param doesn't orphan the rest), drop an emptied
+   * `?`, strip default ports (:80/:443), and lowercase scheme +
+   * authority (path/query case is preserved — it is significant on
+   * most servers). Percent-normalization runs FIRST: decoded
+   * unreserved characters can never form a delimiter, so the later
+   * regex passes see the canonical spelling.
    */
   def urlCanonicalize(u: Column): Column = {
-    val noFrag = regexp_replace(u, "#.*", "")
+    val noFrag = regexp_replace(urlPctNormalize(u), "#.*", "")
     // each tracking param is replaced by its own leading separator;
     // the seam passes then collapse '?&&' runs and drop emptied
     // query strings — so a LEADING tracking param can't orphan the

@@ -1026,6 +1026,272 @@ case class PqAdcExpr(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Public-suffix-list registrable-domain matcher shared by
+  * [[RegistrableDomainExpr]]'s interpreted and codegen paths.
+  *
+  * The rule set is a SNAPSHOT SUBSET of the publicsuffix.org ICANN
+  * list (public data, MPL-2.0) in PSL line format — the multi-label
+  * country registries that dominate real crawl data (`co.uk`,
+  * `com.au`, `co.jp`, …), the well-known wildcard zones (`*.bd`,
+  * `*.ck`, the Japanese city domains) and their exceptions. Single-
+  * label TLDs need no entry: they are the PSL's implicit default rule
+  * (`*`). Production deployments regenerate [[snapshot]] from the full
+  * published list — the matcher implements the complete PSL algorithm
+  * (longest prevailing rule; wildcards; exceptions override), so only
+  * the data grows.
+  *
+  * Matching: O(labels) hash lookups per host, no allocation beyond the
+  * label split; the PSL does not require rules to be suffix-closed, so
+  * every candidate length is probed (never early-exit on a miss).
+  */
+object PublicSuffixes {
+
+  /** PSL-format lines: `x.y` rule, `*.x` wildcard, `!x.y` exception. */
+  private val snapshot: Seq[String] = Seq(
+    // United Kingdom
+    "co.uk", "org.uk", "net.uk", "me.uk", "ltd.uk", "plc.uk", "sch.uk",
+    "ac.uk", "gov.uk", "nhs.uk", "police.uk",
+    // Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz", "geek.nz", "gen.nz",
+    "kiwi.nz", "maori.nz", "school.nz",
+    // Japan: prefecture-level registries + the city wildcard zones with
+    // their municipal exceptions (the PSL's canonical exception example)
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    "*.kawasaki.jp", "*.kitakyushu.jp", "*.kobe.jp", "*.nagoya.jp",
+    "*.sapporo.jp", "*.sendai.jp", "*.yokohama.jp",
+    "!city.kawasaki.jp", "!city.kitakyushu.jp", "!city.kobe.jp",
+    "!city.nagoya.jp", "!city.sapporo.jp", "!city.sendai.jp",
+    "!city.yokohama.jp",
+    // Africa / Middle East
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za", "edu.za",
+    "com.eg", "net.eg", "org.eg", "gov.eg", "edu.eg", "sci.eg",
+    "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa", "med.sa", "sch.sa",
+    "co.ae", "net.ae", "org.ae", "gov.ae", "ac.ae", "sch.ae", "mil.ae",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "k12.il", "muni.il",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "mil.tr", "bel.tr",
+    "web.tr",
+    "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng", "sch.ng", "i.ng",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "me.ke",
+    "info.ke",
+    // Americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br", "art.br",
+    "blog.br", "eco.br",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar", "int.ar", "mil.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "nom.co",
+    "com.pe", "net.pe", "org.pe", "gob.pe", "edu.pe", "nom.pe",
+    "com.cl", "gob.cl", "gov.cl", "mil.cl",
+    "com.uy", "net.uy", "org.uy", "edu.uy", "gub.uy", "mil.uy",
+    "com.ve", "net.ve", "org.ve", "gob.ve", "edu.ve", "mil.ve",
+    "com.ec", "net.ec", "org.ec", "gob.ec", "edu.ec", "mil.ec",
+    "gc.ca",
+    // South / Southeast / East Asia
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "nic.in",
+    "ac.in", "edu.in", "res.in", "gov.in", "mil.in",
+    "com.pk", "net.pk", "org.pk", "gov.pk", "edu.pk",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "mil.kr",
+    "ac.kr", "hs.kr", "ms.kr", "es.kr", "sc.kr", "kg.kr", "seoul.kr",
+    "busan.kr",
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
+    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk", "idv.hk",
+    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw", "mil.tw", "idv.tw",
+    "club.tw", "game.tw",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my", "mil.my", "name.my",
+    "co.id", "net.id", "or.id", "web.id", "sch.id", "ac.id", "go.id",
+    "mil.id", "biz.id", "my.id", "desa.id",
+    "co.th", "net.th", "or.th", "ac.th", "go.th", "in.th", "mi.th",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn", "ac.vn",
+    "biz.vn", "info.vn", "name.vn", "pro.vn", "health.vn",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph", "ngo.ph", "mil.ph",
+    "i.ph",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    // Europe / Central Asia
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl", "wroc.pl",
+    "krakow.pl", "poznan.pl", "gda.pl",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "co.at", "or.at", "ac.at", "gv.at",
+    "co.hu", "org.hu", "info.hu", "priv.hu",
+    "com.pt", "edu.pt", "gov.pt", "org.pt", "net.pt", "publ.pt",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "gouv.fr", "asso.fr", "nom.fr", "avocat.fr",
+    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
+    "com.ro", "org.ro", "tm.ro", "nt.ro",
+    "com.mt", "org.mt", "net.mt", "edu.mt", "gov.mt",
+    "gov.ie",
+    "com.by", "gov.by", "mil.by", "of.by",
+    "com.kz", "org.kz", "gov.kz", "edu.kz", "net.kz", "mil.kz",
+    "com.ge", "org.ge", "gov.ge", "edu.ge", "net.ge", "mil.ge",
+    "com.az", "org.az", "gov.az", "edu.az", "net.az", "mil.az",
+    "com.uz", "co.uz", "net.uz", "org.uz",
+    // wildcard-only zones (every second-level name is itself a registry)
+    "*.bd", "*.ck", "!www.ck", "*.er", "*.fj", "*.mm", "*.np", "*.pg")
+
+  private val exceptions = new java.util.HashSet[String]
+  private val wildcards = new java.util.HashSet[String]
+  private val rules = new java.util.HashSet[String]
+  snapshot.foreach { line =>
+    if (line.startsWith("!")) exceptions.add(line.substring(1))
+    else if (line.startsWith("*.")) wildcards.add(line.substring(2))
+    else rules.add(line)
+  }
+
+  /**
+   * Registrable domain (public suffix + one label) of an already-bare
+   * host, lowercased. Hosts that ARE a public suffix, single-label
+   * hosts, and malformed hosts (empty labels from leading/trailing/
+   * doubled dots) return unchanged — identity is the safe behavior for
+   * a dedup/cap key. Punycode labels match as literal strings (IDN
+   * normalization is a separate, documented boundary).
+   */
+  def registrable(host: String): String = {
+    val h = host.toLowerCase(java.util.Locale.ROOT)
+    if (h.isEmpty || h.indexOf('.') < 0) return h
+    val labels = h.split("\\.", -1)
+    if (labels.exists(_.isEmpty)) return h
+    var ps = 1 // labels in the prevailing public suffix (default rule)
+    var k = 2
+    var done = false
+    while (k <= labels.length && !done) {
+      val suffix = labels.takeRight(k).mkString(".")
+      if (exceptions.contains(suffix)) {
+        // exception rule prevails over everything: its own leftmost
+        // label is registrable, so the public suffix is one shorter
+        ps = k - 1
+        done = true
+      } else {
+        if (rules.contains(suffix) ||
+            wildcards.contains(labels.takeRight(k - 1).mkString(".")))
+          ps = k
+        k += 1
+      }
+    }
+    if (ps >= labels.length) h
+    else labels.takeRight(ps + 1).mkString(".")
+  }
+}
+
+/**
+ * Registrable domain as a native expression: PSL longest-suffix match
+ * has no portable SQL form (per-host variable-depth label walk against
+ * a rule table with wildcard/exception semantics). Full whole-stage
+ * codegen — one static call per row against the broadcast-free
+ * constant rule set compiled into the class.
+ */
+case class RegistrableDomainExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def prettyName: String = "graft_registrable_domain"
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      PublicSuffixes.registrable(input.toString))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.plans.PublicSuffixes.registrable($c.toString()))")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RegistrableDomainExpr = copy(child = newChild)
+}
+
+/** Single-pass percent-encoding normalizer shared by
+  * [[PctNormalizeExpr]]'s interpreted and codegen paths. RFC 3986
+  * §2.3/§6.2.2 canonical form: `%XX` sequences decoding to UNRESERVED
+  * characters (ALPHA / DIGIT / `-` `.` `_` `~`) are decoded — `%41`
+  * and `A` are the same URL and must dedup together — while every
+  * other escape keeps its meaning but gets UPPERCASE hex (`%2f` →
+  * `%2F`), the RFC's canonical spelling. Decoding the unreserved set
+  * can never create a delimiter, so the pass is safe on a full URL.
+  * Malformed escapes (`%zz`, trailing `%`) pass through verbatim; hex
+  * digits are strict ASCII (Character.digit would admit Unicode
+  * digits). */
+object PctNormalize {
+  private def hex(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  private def unreserved(v: Int): Boolean =
+    (v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z') ||
+      (v >= '0' && v <= '9') ||
+      v == '-' || v == '.' || v == '_' || v == '~'
+
+  def normalize(s: String): String = {
+    var i = s.indexOf('%')
+    if (i < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var start = 0
+    while (i >= 0) {
+      sb.append(s, start, i)
+      val hi = if (i + 2 < s.length) hex(s.charAt(i + 1)) else -1
+      val lo = if (i + 2 < s.length) hex(s.charAt(i + 2)) else -1
+      if (hi >= 0 && lo >= 0) {
+        val v = hi * 16 + lo
+        if (unreserved(v)) sb.append(v.toChar)
+        else sb.append('%')
+          .append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        start = i + 3
+      } else {
+        sb.append('%')
+        start = i + 1
+      }
+      i = s.indexOf('%', start)
+    }
+    sb.append(s, start, s.length)
+    sb.toString
+  }
+}
+
+/**
+ * Percent-encoding normalization as a native expression (the
+ * [[HtmlEntityDecodeExpr]] single-pass pattern): `%41`-vs-`A` and
+ * `%2f`-vs-`%2F` variants defeat URL-level dedup, and the
+ * decode-some/uppercase-the-rest scan has no portable SQL form. Full
+ * whole-stage codegen, zero allocation when the row has no `%`.
+ */
+case class PctNormalizeExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def prettyName: String = "graft_pct_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      PctNormalize.normalize(input.toString))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.plans.PctNormalize.normalize($c.toString()))")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PctNormalizeExpr = copy(child = newChild)
+}
+
 /**
  * Registration + Column-API access for the native expressions. Catalyst
  * `Column`s are built through the session function registry
@@ -1048,6 +1314,8 @@ object NativeFunctions {
   val pqAdcName = "graft_pq_adc"
   val mgSummaryName = "graft_mg_summary"
   val bucketizeName = "graft_bucketize"
+  val registrableDomainName = "graft_registrable_domain"
+  val pctNormalizeName = "graft_pct_normalize"
 
   private def intLit(e: Expression): Int =
     e.eval(null) match {
@@ -1131,7 +1399,11 @@ object NativeFunctions {
     mgSummaryName -> ((exprs: Seq[Expression]) =>
       MisraGriesAgg(exprs.head, intLit(exprs(1))).toAggregateExpression()),
     bucketizeName -> ((exprs: Seq[Expression]) =>
-      BucketizeExpr(exprs.head, vectorLit(exprs(1)))))
+      BucketizeExpr(exprs.head, vectorLit(exprs(1)))),
+    registrableDomainName -> ((exprs: Seq[Expression]) =>
+      RegistrableDomainExpr(exprs.head)),
+    pctNormalizeName -> ((exprs: Seq[Expression]) =>
+      PctNormalizeExpr(exprs.head)))
 
   /** Idempotently register graft native functions on this session. */
   def register(spark: SparkSession): Unit = {
@@ -1224,4 +1496,14 @@ object NativeFunctions {
   def bucketizeNative(v: Column, boundaries: Seq[Double]): Column =
     call_function(bucketizeName, v.cast("double"),
       org.apache.spark.sql.functions.typedlit(boundaries))
+
+  /** PSL registrable domain of a bare host (lowercased; identity for
+    * bare public suffixes and malformed hosts). */
+  def registrableDomainNative(host: Column): Column =
+    call_function(registrableDomainName, host)
+
+  /** RFC 3986 percent-encoding normalization (decode unreserved,
+    * uppercase remaining hex; malformed escapes verbatim). */
+  def pctNormalizeNative(text: Column): Column =
+    call_function(pctNormalizeName, text)
 }

@@ -116,6 +116,7 @@ class MergeChunkSpec extends SparkSpec {
 
   test("Urls: host/domain/path extraction and canonicalization edges") {
     import graft.functions.Urls
+    graft.plans.NativeFunctions.register(spark) // canonicalize pct pass
     def one(u: String): (String, String, String, String) = {
       val r = Seq(u).toDF("u").select(
         Urls.urlHost(col("u")), Urls.urlDomain(col("u")),

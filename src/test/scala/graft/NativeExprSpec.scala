@@ -321,4 +321,54 @@ class NativeExprSpec extends SparkSpec {
       assert(names.contains(n), s"$n not injected (got: $names)")
     }
   }
+
+  test("PublicSuffixes.registrable: rules, wildcards, exceptions, defaults") {
+    import graft.plans.PublicSuffixes.registrable
+    // multi-label registry rules
+    assert(registrable("www.shop.example.co.uk") == "example.co.uk")
+    assert(registrable("news.example.com.au") == "example.com.au")
+    assert(registrable("a.b.c.gouv.fr") == "c.gouv.fr")
+    // default rule: unknown TLD keeps last two labels
+    assert(registrable("a.b.example.com") == "example.com")
+    assert(registrable("example.dev") == "example.dev")
+    // wildcard zones: *.bd makes <x>.bd itself the public suffix
+    assert(registrable("x.y.foo.bd") == "y.foo.bd")
+    assert(registrable("deep.a.b.ck") == "a.b.ck")
+    // exception rules cancel the wildcard: city.kobe.jp is registrable
+    assert(registrable("sub.city.kobe.jp") == "city.kobe.jp")
+    assert(registrable("city.kobe.jp") == "city.kobe.jp")
+    assert(registrable("a.www.ck") == "www.ck")
+    // host IS a public suffix -> identity (safe dedup key)
+    assert(registrable("co.uk") == "co.uk")
+    assert(registrable("x.kobe.jp") == "x.kobe.jp")
+    // lowercasing, single label, malformed hosts
+    assert(registrable("WWW.Example.COM") == "example.com")
+    assert(registrable("localhost") == "localhost")
+    assert(registrable("bad..host") == "bad..host")
+    assert(registrable("") == "")
+  }
+
+  test("PctNormalize: decode unreserved, uppercase kept hex, malformed verbatim") {
+    import graft.plans.PctNormalize.normalize
+    assert(normalize("/P%61th%2fx%7E") == "/Path%2Fx~")
+    assert(normalize("%41%42%63%2d%5f%2e") == "ABc-_.")
+    // reserved escapes keep meaning, canonical uppercase
+    assert(normalize("a%3db&c%26d") == "a%3Db&c%26d")
+    // malformed: bad hex, truncated tail, unicode digit is NOT hex
+    assert(normalize("x%zz%4") == "x%zz%4")
+    assert(normalize("%") == "%")
+    assert(normalize("%٠٠1") == "%٠٠1")
+    assert(normalize("no escapes") == "no escapes")
+  }
+
+  test("registrable-domain and pct native exprs run under codegen") {
+    NativeFunctions.register(spark)
+    val rows = Seq("www.shop.example.co.uk", "x.y.foo.bd").toDF("h")
+      .select(NativeFunctions.registrableDomainNative(col("h")).as("d"),
+        NativeFunctions.pctNormalizeNative(lit("p%61th%2f")).as("p"))
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("example.co.uk", "y.foo.bd"))
+    assert(rows.forall(_.getString(1) == "path%2F"))
+  }
 }
