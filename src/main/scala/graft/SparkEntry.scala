@@ -1470,6 +1470,70 @@ object SparkEntry {
                   AS canonical
               FROM c""")),
 
+    // text-density boilerplate removal: the synthesized page wraps the
+    // document text with a nav bar, a too-short block, a link-heavy
+    // "related" strip and a linky footer — only content-length,
+    // link-sparse blocks survive. Lengths are counted pre-decode and
+    // the density threshold is integer percent, so the keep decision is
+    // exact in both engines; the oracle replays the identical
+    // block-split + lambda scoring (COALESCE on the anchor join:
+    // DuckDB's array_to_string of an empty list is NULL where Spark's
+    // concat_ws is '')
+    Q("q_html_boilerplate",
+      (s, d) => {
+        val html = concat(
+          lit("<html><head><script>nav()</script></head><body>" +
+            "<div><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+            "<a href=\"/c\">Contact</a></div><p>"),
+          col("text"),
+          lit("</p><div>This is the main article body, long enough " +
+            "to keep.</div><div>Related: <a href=\"/x\">"),
+          col("source"),
+          lit(" article one</a></div><footer><a href=\"/p\">Privacy " +
+            "policy</a> &amp; Example</footer></body></html>"))
+        s.read.parquet(pq(d, "documents")).where(col("doc_id") < 200)
+          .select(col("doc_id"),
+            graft.functions.TextAnalysis.removeBoilerplate(html)
+              .as("content"))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+                '<html><head><script>nav()</script></head><body><div><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div><p>' ||
+                text ||
+                '</p><div>This is the main article body, long enough to keep.</div><div>Related: <a href="/x">' ||
+                source ||
+                ' article one</a></div><footer><a href="/p">Privacy policy</a> &amp; Example</footer></body></html>'
+                AS html FROM documents WHERE doc_id < 200),
+              s1 AS (SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(html,
+                  '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+                  '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+                  '(?s)<!--.*?-->', ' ', 'g') AS t FROM h),
+              b AS (SELECT doc_id, string_split_regex(t,
+                '(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|table|tr|td|th|section|article|header|footer|blockquote|pre)\b[^>]*>')
+                AS blocks FROM s1),
+              sc AS (SELECT doc_id, list_transform(blocks,
+                x -> struct_pack(
+                  t := trim(regexp_replace(regexp_replace(x,
+                    '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+                  l := trim(regexp_replace(regexp_replace(
+                    COALESCE(array_to_string(regexp_extract_all(x,
+                      '(?is)<a\b[^>]*>(.*?)</a\s*>', 1), ' '), ''),
+                    '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))))
+                AS bs FROM b),
+              k AS (SELECT doc_id, list_filter(bs,
+                s -> length(s.t) >= 25
+                  AND length(s.l) * 100 <= length(s.t) * 40) AS ks
+                FROM sc)
+              SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(regexp_replace(
+                  array_to_string(list_transform(ks, s -> s.t), chr(10)),
+                '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'),
+                '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+                '&#39;|&apos;', '''', 'g'), '&amp;', '&', 'g')
+                AS content
+              FROM k""")),
+
     // Unicode-script letter ratios: the corpus is ASCII-Latin, so the
     // query plants a fixed mixed-script suffix (Cyrillic + Han +
     // Arabic) — counts and fractions are deterministic in both

@@ -333,26 +333,86 @@ object TextAnalysis {
    * recovery and text-density boilerplate scoring (the places where
    * real extractors disagree with each other; documented boundary).
    */
-  def extractHtmlText(html: Column): Column = {
-    val noScript = regexp_replace(html,
-      "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
-    val noStyle = regexp_replace(noScript,
-      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
-    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val blocks = regexp_replace(noComment,
-      "(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|table|tr|td|th|section|article|header|footer|blockquote|pre)\\b[^>]*>",
-      "\n")
-    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", " ")
-    val decoded = regexp_replace(regexp_replace(regexp_replace(
-      regexp_replace(regexp_replace(regexp_replace(noTags,
+  /** The block-level tags both [[extractHtmlText]] (newline
+    * substitution) and [[removeBoilerplate]] (block splitting) key on —
+    * ONE list, so the two chains segment identically. */
+  private val blockTagRe =
+    "(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|table|tr|td|th|section|article|header|footer|blockquote|pre)\\b[^>]*>"
+
+  /** Script/style payloads and comments dropped (shared head of the
+    * HTML chains — their content is never text). */
+  private def stripNonContent(html: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(html,
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", " "),
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " "),
+      "(?s)<!--.*?-->", " ")
+
+  /** The portable named-entity subset, `&amp;` LAST (decoding it first
+    * would double-decode `&amp;lt;`) — shared so every HTML surface
+    * decodes identically to what the oracle replays. */
+  private def decodeBasicEntities(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(c,
         "&nbsp;", " "), "&lt;", "<"), "&gt;", ">"),
         "&quot;", "\""), "&#39;|&apos;", "'"), "&amp;", "&")
+
+  def extractHtmlText(html: Column): Column = {
+    val blocks = regexp_replace(stripNonContent(html), blockTagRe, "\n")
+    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", " ")
+    val decoded = decodeBasicEntities(noTags)
     val squashed = regexp_replace(decoded, "[ \\t\\x0B\\f\\r]+", " ")
     // regex end-trim rather than trim(): trim strips ASCII spaces only
     // and would leave boundary newlines — and this exact chain is what
     // the oracle replays, so every step must be engine-portable RE2
     regexp_replace(regexp_replace(regexp_replace(squashed,
       " ?\\n ?", "\n"), "\\n{2,}", "\n"), "^\\s+|\\s+$", "")
+  }
+
+  /**
+   * Text-density boilerplate removal (the jusText/trafilatura job
+   * class, reduced to its deterministic core — Kohlschütter et al.
+   * WSDM'10, Pomikálek 2011, public heuristics): segment the page into
+   * blocks at the SAME block-level tags [[extractHtmlText]] keys on,
+   * score each block by its visible text length and its LINK DENSITY
+   * (anchor-text chars / text chars), and keep only content-like
+   * blocks — `length ≥ minChars` and `linkChars·100 ≤ length·
+   * maxLinkPct`. Navigation bars, "related links" strips and footers
+   * are short and link-saturated; article prose is long and link-
+   * sparse — the two thresholds separate them without any model.
+   * Kept blocks join with newlines and decode the portable entity
+   * subset, so the output drops into the same downstream as
+   * [[extractHtmlText]].
+   *
+   * Determinism/replay contract: lengths are counted on the RAW
+   * visible text (entities still encoded — both engines count the
+   * same chars), and the density threshold is integer percent, so the
+   * keep decision never touches floating point. Scale shape: one
+   * projection (split + per-block lambdas + join), ZERO shuffle — the
+   * per-block work is interpreted higher-order lambdas, but it remains
+   * a single narrow map stage over a 100 TB crawl. Anchors that span a
+   * block boundary (malformed HTML) count toward neither side's link
+   * text — the tag strip still removes them; documented boundary.
+   */
+  def removeBoilerplate(html: Column, minChars: Int = 25,
+                        maxLinkPct: Int = 40): Column = {
+    require(minChars >= 0, s"minChars must be >= 0, got $minChars")
+    require(maxLinkPct >= 0 && maxLinkPct <= 100,
+      s"maxLinkPct must be a percent, got $maxLinkPct")
+    def visible(c: Column): Column =
+      trim(regexp_replace(regexp_replace(c, "(?s)<[^>]*>", " "),
+        "\\s+", " "))
+    val blocks = split(stripNonContent(html), blockTagRe)
+    val scored = transform(blocks, b => struct(
+      visible(b).as("t"),
+      visible(concat_ws(" ",
+        regexp_extract_all(b, lit("(?is)<a\\b[^>]*>(.*?)</a\\s*>"), lit(1))))
+        .as("l")))
+    val kept = filter(scored, s =>
+      length(s.getField("t")) >= minChars &&
+        length(s.getField("l")) * 100 <=
+          length(s.getField("t")) * maxLinkPct)
+    decodeBasicEntities(
+      array_join(transform(kept, s => s.getField("t")), "\n"))
   }
 
   // --- chunking ----------------------------------------------------------

@@ -114,6 +114,39 @@ class MergeChunkSpec extends SparkSpec {
     assert(plain == "no markup here")
   }
 
+  test("removeBoilerplate: nav/footer/link-strips die, content survives") {
+    val html = "<html><body>" +
+      "<div><a href='/'>Home</a> <a href='/a'>About</a></div>" +
+      "<p>This paragraph is long enough to be kept as content.</p>" +
+      "<div>Short.</div>" +
+      "<div>Related links: <a href='/x'>a very long anchor text here</a></div>" +
+      "<footer><a href='/p'>Privacy policy page</a> &amp; Co</footer>" +
+      "</body></html>"
+    val got = Seq(html).toDF("h")
+      .select(TextAnalysis.removeBoilerplate(col("h")).as("t"))
+      .head.getString(0)
+    assert(got == "This paragraph is long enough to be kept as content.",
+      s"got: [$got]")
+    // threshold knobs: density 100% keeps the link-heavy related strip
+    val loose = Seq(html).toDF("h")
+      .select(TextAnalysis.removeBoilerplate(col("h"),
+        minChars = 10, maxLinkPct = 100).as("t"))
+      .head.getString(0)
+    assert(loose.contains("Related links:") && loose.contains("Home"),
+      s"got: [$loose]")
+    // entity subset decodes in the kept text (&amp; -> &)
+    val ent = Seq("<p>Fish &amp; chips, a dish good enough to keep.</p>")
+      .toDF("h")
+      .select(TextAnalysis.removeBoilerplate(col("h")).as("t"))
+      .head.getString(0)
+    assert(ent == "Fish & chips, a dish good enough to keep.")
+    // page that is ALL boilerplate -> empty string, not null
+    val none = Seq("<div><a href='/'>Home</a></div>").toDF("h")
+      .select(TextAnalysis.removeBoilerplate(col("h")).as("t"))
+      .head.getString(0)
+    assert(none == "")
+  }
+
   test("Urls: host/domain/path extraction and canonicalization edges") {
     import graft.functions.Urls
     graft.plans.NativeFunctions.register(spark) // canonicalize pct pass

@@ -10,8 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("registry counts match the documented surface") {
-    assert(SparkEntry.queries.size == 139)
-    assert(SparkEntry.oracleSql.size == 132)
+    assert(SparkEntry.queries.size == 140)
+    assert(SparkEntry.oracleSql.size == 133)
   }
 
   test("every oracle belongs to a registered query") {
