@@ -57,6 +57,29 @@ object SparkEntry {
               FROM win WHERE rk = 1 AND NOT is_delete"""
 
 
+  /** Oracle for q_bpe_encode, generated from [[graft.functions.Bpe
+    * .demoMerges]] so the SQL replay and the shipped merge list cannot
+    * drift. Each symbol carries its OWN boundary spaces (symbols
+    * joined by two spaces), under which nested REPLACE is exactly the
+    * greedy merge semantics of [[graft.plans.BpeCodec]] — see
+    * BpeSpec's property test. */
+  private val bpeEncodeOracleSql: String = {
+    val chain = graft.functions.Bpe.demoMerges.foldLeft(
+      "' ' || array_to_string(string_split(w, ''), '  ') || ' '") {
+      case (acc, (a, b)) => s"REPLACE($acc, ' $a  $b ', ' $a$b ')"
+    }
+    raw"""WITH e AS (SELECT doc_id, array_to_string(list_transform(
+            list_filter(string_split_regex(lower(trim(text)), '\s+'),
+              w -> w <> ''),
+            w -> REPLACE(trim($chain), '  ', ' ')), ' ') AS enc
+          FROM documents)
+        SELECT doc_id,
+          CASE WHEN enc = '' THEN 0
+            ELSE len(string_split(enc, ' ')) END AS n_subwords,
+          enc
+        FROM e"""
+  }
+
   /** Round an order-dependent double aggregate for oracle stability. */
   private def r4(df: DataFrame, cols: String*): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c), 4)))
@@ -1469,6 +1492,92 @@ object SparkEntry {
                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) + 1)
                   AS canonical
               FROM c""")),
+
+    // IDN/punycode host normalization: planted ACE and plain hosts
+    // (the q_url_domain planted pattern); host_unicode decodes xn--
+    // labels through the JDK's RFC 3490 codec, host_ascii is the
+    // encode direction (identity on already-ACE/plain input). The
+    // oracle's expected decodings are literal and independently
+    // documented (bücher/münchen/中国/рф/españa are the standard IDN
+    // examples); the Unicode→ACE round trip is property-tested in
+    // NativeExprSpec.
+    Q("q_url_idn",
+      (s, d) => {
+        val hosts = array(
+          lit("xn--bcher-kva.example"), lit("XN--MNCHEN-3YA.de"),
+          lit("www.xn--fiqs8s"), lit("shop.xn--p1ai"),
+          lit("xn--espaa-rta.com"), lit("plain.example.co.uk"))
+        val u = concat(lit("https://"),
+          element_at(hosts, (col("doc_id") % 6 + 1).cast("int")),
+          lit("/p"))
+        graft.plans.NativeFunctions.register(s)
+        s.read.parquet(pq(d, "documents")).where(col("doc_id") < 200)
+          .select(col("doc_id"),
+            graft.functions.Urls.urlHost(u).as("host"),
+            graft.functions.Urls.urlIdnHost(u).as("host_unicode"),
+            graft.functions.Urls.urlIdnHost(u, ascii = true)
+              .as("host_ascii"))
+      },
+      Some("""WITH h AS (SELECT doc_id, CAST(doc_id % 6 AS INT) AS k,
+                lower(CASE CAST(doc_id % 6 AS INT)
+                  WHEN 0 THEN 'xn--bcher-kva.example'
+                  WHEN 1 THEN 'XN--MNCHEN-3YA.de'
+                  WHEN 2 THEN 'www.xn--fiqs8s'
+                  WHEN 3 THEN 'shop.xn--p1ai'
+                  WHEN 4 THEN 'xn--espaa-rta.com'
+                  ELSE 'plain.example.co.uk' END) AS host
+                FROM documents WHERE doc_id < 200)
+              SELECT doc_id, host,
+                CASE k WHEN 0 THEN 'bücher.example'
+                  WHEN 1 THEN 'münchen.de'
+                  WHEN 2 THEN 'www.中国'
+                  WHEN 3 THEN 'shop.рф'
+                  WHEN 4 THEN 'españa.com'
+                  ELSE 'plain.example.co.uk' END AS host_unicode,
+                host AS host_ascii
+              FROM h""")),
+
+    // BPE merge-pair statistics (Sennrich et al. 2016): top-20
+    // adjacent-symbol pairs at merge step 0, counted over distinct
+    // word types weighted by frequency — the corpus touches ONE
+    // counting aggregation; pairs come off the vocabulary-scale type
+    // table. Deterministic through ties (cnt desc, pair asc).
+    Q("q_bpe_pairs",
+      (s, d) => graft.functions.Bpe.topPairs(
+        s.read.parquet(pq(d, "documents")), "text", 20),
+      Some("""WITH words AS (SELECT
+                  unnest(string_split_regex(lower(trim(text)), '\s+'))
+                    AS w
+                FROM documents),
+              wf AS (SELECT w, COUNT(*) AS wf FROM words
+                WHERE w <> '' GROUP BY 1),
+              p AS (SELECT unnest(list_transform(range(1, len(c)),
+                    i -> c[i] || ' ' || c[i + 1])) AS pair, wf
+                FROM (SELECT string_split(w, '') AS c, wf FROM wf))
+              SELECT pair, SUM(wf) AS cnt FROM p
+              GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""")),
+
+    // Greedy BPE encode under a fixed literal merge list (including a
+    // same-symbol merge, the run-adjacency edge case). The oracle
+    // replays the encoder EXACTLY via nested REPLACE over a sequence
+    // whose symbols each carry their own boundary spaces — with
+    // per-symbol boundaries, SQL REPLACE's continue-after-replacement
+    // scan IS the paper's merge semantics (property-checked against
+    // the native expression in BpeSpec); the REPLACE chain is
+    // generated from the same demoMerges list the query ships, so the
+    // two sides cannot drift.
+    Q("q_bpe_encode",
+      (s, d) => {
+        graft.plans.NativeFunctions.register(s)
+        s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"),
+            graft.functions.Bpe.encode(lower(trim(col("text"))),
+              graft.functions.Bpe.demoMerges).as("sub"))
+          .select(col("doc_id"),
+            size(col("sub")).cast("long").as("n_subwords"),
+            concat_ws(" ", col("sub")).as("enc"))
+      },
+      Some(bpeEncodeOracleSql)),
 
     // text-density boilerplate removal: the synthesized page wraps the
     // document text with a nav bar, a too-short block, a link-heavy

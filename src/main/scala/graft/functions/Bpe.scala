@@ -1,0 +1,144 @@
+package graft.functions
+
+import graft.plans.{BpeCodec, NativeFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Byte-pair-encoding tokenizer surface for LLM data pipelines
+ * (Sennrich et al. 2016, public): distributed merge-pair statistics,
+ * a deterministic vocabulary trainer, and a native greedy encoder
+ * ([[graft.plans.BpeEncodeExpr]]). Extension beyond the reference
+ * surface — the reference is single-table OLAP with no text functions
+ * (`parquery/README.md:4-8`); token-aware corpora need the tokenizer
+ * trained and applied inside the same engine that filters and dedups.
+ *
+ * == Scale shape ==
+ *
+ * Everything corpus-sized happens in ONE map-side-combined counting
+ * aggregation: the word-frequency table. Pair statistics and training
+ * then run over DISTINCT WORD TYPES weighted by frequency — the
+ * standard trainer trick (a 100 TB English crawl has ~10^7..10^8 word
+ * types, not 10^13 tokens), so the iterative merge loop never touches
+ * the corpus again. The trainer caps the type table at
+ * `maxWordTypes` most-frequent types (every production trainer
+ * samples; the cap is the deterministic version) and loops on the
+ * driver — bounded by `maxWordTypes × maxWordLen`, the same
+ * contract-bounded-collect class as the IVF centroid fit. Encoding is
+ * a zero-shuffle native projection with the merge list shipped as a
+ * literal.
+ */
+object Bpe {
+
+  /** Whitespace word stream: `lower(trim(text))` split on `\s+`,
+    * empty tokens dropped — byte-identical to the oracle's
+    * `string_split_regex(lower(trim(text)), '\s+')` + filter. */
+  private def words(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+
+  /** Word-type frequency table `(w, wf)` — the one corpus-scale pass
+    * (partial counts map-side, vocabulary-scale shuffle). */
+  def wordFrequencies(docs: DataFrame, textCol: String): DataFrame =
+    words(docs, textCol).groupBy(col("w"))
+      .agg(count(lit(1)).as("wf"))
+
+  /** Adjacent-symbol pair counts at merge step 0 `(pair, cnt)`, the
+    * pair spelled `"a b"` (symbols are whitespace-free, so the space
+    * join is unambiguous). Counts every adjacent position — `"aaa"`
+    * counts `(a,a)` twice — matching the paper's `get_stats`. Runs
+    * over word types weighted by `wf`: vocabulary-scale, not
+    * corpus-scale. */
+  def pairCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val cs = filter(split(col("w"), ""), c => c =!= lit(""))
+    wordFrequencies(docs, textCol)
+      .where(length(col("w")) >= 2)
+      .select(col("wf"), explode(transform(
+        sequence(lit(1), size(cs) - 1),
+        i => concat(element_at(cs, i), lit(" "), element_at(cs, i + 1))))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wf")).as("cnt"))
+  }
+
+  /** Top-`k` step-0 pairs, `(cnt desc, pair asc)` — deterministic
+    * through ties; plans as TakeOrderedAndProject. */
+  def topPairs(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    pairCounts(docs, textCol)
+      .orderBy(col("cnt").desc, col("pair").asc).limit(k)
+
+  /**
+   * Deterministic BPE vocabulary trainer: `numMerges` rounds of
+   * count-pairs / pick-best / apply over the frequency-weighted word
+   * types, ties broken `(cnt desc, left asc, right asc)` so the merge
+   * list is a pure function of the data. Stops early when the best
+   * pair's count drops below `minPairCount`. Returns
+   * `(left, right, cnt)` in rank order; feed straight into
+   * [[encode]]. Merge application is [[graft.plans.BpeCodec]] — the
+   * same code the encoder runs, so train and encode cannot drift.
+   *
+   * The type table is capped at the `maxWordTypes` most frequent
+   * types (`wf desc, w asc` — deterministic); the collect is bounded
+   * by that cap, not the corpus.
+   */
+  def trainBpe(docs: DataFrame, textCol: String, numMerges: Int,
+               maxWordTypes: Int = 100000, minPairCount: Long = 2L)
+      : Seq[(String, String, Long)] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(maxWordTypes >= 1,
+      s"maxWordTypes must be >= 1, got $maxWordTypes")
+    val collected = wordFrequencies(docs, textCol)
+      .orderBy(col("wf").desc, col("w").asc).limit(maxWordTypes)
+      .collect()
+    val types: Array[(Array[String], Long)] = collected.map { r =>
+      (BpeCodec.codepointSymbols(r.getString(0)), r.getLong(1))
+    }
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var step = 0
+    var continue = true
+    while (step < numMerges && continue) {
+      val counts = new scala.collection.mutable.HashMap[(String, String),
+        Long]()
+      types.foreach { case (syms, wf) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val key = (syms(i), syms(i + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + wf)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        val ((a, b), cnt) = counts.minBy { case ((x, y), c) =>
+          (-c, x, y)
+        }
+        if (cnt < minPairCount) continue = false
+        else {
+          merges += ((a, b, cnt))
+          var t = 0
+          while (t < types.length) {
+            types(t) = (BpeCodec.applyMerge(types(t)._1, a, b),
+              types(t)._2)
+            t += 1
+          }
+          step += 1
+        }
+      }
+    }
+    merges.result()
+  }
+
+  /** Greedy encode of (caller-lowered) text under an ordered merge
+    * list → array<string> subwords across all whitespace words. */
+  def encode(text: Column, merges: Seq[(String, String)]): Column =
+    NativeFunctions.bpeEncodeNative(text, merges)
+
+  /** Fixed demonstration merge list for the driver-gate query — a
+    * plausible English prefix (hierarchical: `a+n` then `an+d`) plus
+    * a same-symbol merge (`e+e`) to exercise the run-adjacency edge
+    * the oracle's own REPLACE replay must get right. */
+  val demoMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g", "a" -> "n",
+    "an" -> "d", "e" -> "r", "o" -> "r", "o" -> "u", "s" -> "t",
+    "e" -> "e", "a" -> "t")
+}

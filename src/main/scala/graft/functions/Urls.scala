@@ -10,14 +10,13 @@ import org.apache.spark.sql.functions._
  * key-preparation step before URL-level dedup, per-domain caps
  * ([[graft.operators.Sampling.capPerGroup]]) and robots/blocklist
  * joins. Codegen'd regexp expressions (RE2-portable — no lookahead,
- * no backreferences in patterns) plus two single-pass native
- * expressions where no portable SQL form exists
+ * no backreferences in patterns) plus single-pass native expressions
+ * where no portable SQL form exists
  * ([[graft.plans.PctNormalizeExpr]],
- * [[graft.plans.RegistrableDomainExpr]]); zero shuffle throughout.
+ * [[graft.plans.RegistrableDomainExpr]],
+ * [[graft.plans.IdnHostExpr]] — IDN/punycode via the JDK's RFC 3490
+ * codec); zero shuffle throughout.
  * The reference has no string surface at all (SURVEY §2.8).
- *
- * Remaining documented boundary: IDN/punycode host normalization
- * (`xn--…` labels match as literal strings).
  */
 object Urls {
 
@@ -53,6 +52,17 @@ object Urls {
     * URL: decoding the unreserved set can never create a delimiter. */
   def urlPctNormalize(u: Column): Column =
     graft.plans.NativeFunctions.pctNormalizeNative(u)
+
+  /** IDN-normalized host: `xn--` ACE labels decoded to their Unicode
+    * form (`ascii = false`, default — the human-readable dedup key) or
+    * non-ASCII labels encoded to ACE (`ascii = true` — the
+    * on-the-wire crawl form), lowercased either way; hosts the codec
+    * rejects pass through lowercased-verbatim
+    * ([[graft.plans.IdnHostExpr]]). Compose over [[urlHost]] for
+    * URL-level dedup keys: `xn--mnchen-3ya.de` and `münchen.de` are
+    * the same site and must key together. */
+  def urlIdnHost(u: Column, ascii: Boolean = false): Column =
+    graft.plans.NativeFunctions.idnHostNative(urlHost(u), ascii)
 
   /** Path component (leading `/...`), empty for bare-host URLs. */
   def urlPath(u: Column): Column =

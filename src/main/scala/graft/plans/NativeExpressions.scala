@@ -1293,6 +1293,183 @@ case class PctNormalizeExpr(child: Expression)
 }
 
 /**
+ * Shared greedy byte-pair-encoding application (Sennrich et al. 2016,
+ * "Neural Machine Translation of Rare Words with Subword Units",
+ * public) — ONE definition used by the interpreted expression and the
+ * driver-side trainer loop ([[graft.functions.Bpe.trainBpe]]), so
+ * training-time merge application cannot drift from encode-time.
+ *
+ * Merge semantics are the paper's: for each merge `(a, b)` in rank
+ * order, scan the symbol sequence left to right; every adjacent
+ * `(a, b)` becomes one symbol `a+b` and the scan continues AFTER the
+ * merged symbol (a freshly merged symbol is never the left element of
+ * another merge of the same rank — `[a,a,a]` with merge `(a,a)` gives
+ * `[aa, a]`). These are exactly the semantics of SQL `REPLACE` over a
+ * sequence whose symbols each carry their OWN boundary spaces
+ * (`' a  b ' → ' ab '`), which is how the driver's oracle replays the
+ * encoder verbatim — property-checked against this implementation in
+ * BpeSpec.
+ */
+object BpeCodec {
+
+  /** Word → initial symbols, one per CODE POINT (a surrogate pair is
+    * one symbol, matching DuckDB's `string_split(w, '')` and unlike a
+    * per-`char` split, which would tear astral-plane characters). */
+  def codepointSymbols(w: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** One greedy left-to-right pass of merge `(a, b)`. */
+  def applyMerge(syms: Array[String], a: String, b: String)
+      : Array[String] = {
+    if (syms.length < 2) return syms
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Full encode of one word under an ordered merge list. */
+  def encodeWord(w: String, lefts: Array[String], rights: Array[String])
+      : Array[String] = {
+    var syms = codepointSymbols(w)
+    var m = 0
+    while (m < lefts.length && syms.length >= 2) {
+      syms = applyMerge(syms, lefts(m), rights(m))
+      m += 1
+    }
+    syms
+  }
+}
+
+/**
+ * Greedy BPE encode over whitespace words: split the (caller-lowered,
+ * caller-trimmed) text on `\s+`, encode each word under the ordered
+ * merge list ([[BpeCodec]]), and emit the concatenated subword stream.
+ * The merge list is a query-time literal (vocabulary-scale, like the
+ * IVF centroid matrices), so executors apply it with zero lookups —
+ * one fused loop per row. `CodegenFallback`: cost is the per-word
+ * merge loop, not expression-tree dispatch.
+ */
+case class BpeEncodeExpr(child: Expression, lefts: Array[String],
+                         rights: Array[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(lefts.length == rights.length,
+    s"merge sides differ: ${lefts.length} vs ${rights.length}")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def prettyName: String = "graft_bpe_encode"
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.toString.split("\\s+")
+    val out =
+      new scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.unsafe.types.UTF8String]()
+    var wi = 0
+    while (wi < words.length) {
+      if (words(wi).nonEmpty) {
+        val syms = BpeCodec.encodeWord(words(wi), lefts, rights)
+        var si = 0
+        while (si < syms.length) {
+          out += org.apache.spark.unsafe.types.UTF8String
+            .fromString(syms(si))
+          si += 1
+        }
+      }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : BpeEncodeExpr = copy(child = c)
+}
+
+/**
+ * IDN host normalization via the JDK's RFC 3490 implementation
+ * (`java.net.IDN` — punycode RFC 3492 plus nameprep, public): decode
+ * `xn--` ACE labels to their Unicode form (`toAscii = false`, the
+ * human-readable key) or encode non-ASCII labels to ACE
+ * (`toAscii = true`, the on-the-wire crawl form). Either direction
+ * collapses the mixed spellings of the same host that defeat URL-level
+ * dedup; the result is lowercased. Hosts the codec rejects (overlong
+ * labels, bad ACE) pass through lowercased-verbatim — crawl data is
+ * hostile and a scoring/keying pass must not throw. Documented
+ * boundary: IDNA2003 semantics (the JDK's), not IDNA2008 — the
+ * differences (ß, ZWJ handling) are rare in registrable hosts.
+ */
+case class IdnHostExpr(child: Expression, toAscii: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def prettyName: String = "graft_idn_host"
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      IdnHostExpr.normalize(input.toString, toAscii))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.plans.IdnHostExpr.normalize($c.toString(), $toAscii))")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): IdnHostExpr = copy(child = newChild)
+}
+
+object IdnHostExpr {
+  /** Codegen entry point; `java.util.Locale.ROOT` lowercase so the
+    * result is locale-independent (no Turkish-İ surprises). */
+  def normalize(host: String, toAscii: Boolean): String = {
+    val converted =
+      try {
+        if (toAscii) java.net.IDN.toASCII(host)
+        else java.net.IDN.toUnicode(host)
+      } catch {
+        // toASCII throws on unencodable labels; crawl hosts are
+        // hostile, so ANY codec failure degrades to passthrough
+        case scala.util.control.NonFatal(_) => host
+      }
+    converted.toLowerCase(java.util.Locale.ROOT)
+  }
+}
+
+/**
  * Registration + Column-API access for the native expressions. Catalyst
  * `Column`s are built through the session function registry
  * (`call_function`), the public path for custom expressions in Spark 4.
@@ -1316,6 +1493,8 @@ object NativeFunctions {
   val bucketizeName = "graft_bucketize"
   val registrableDomainName = "graft_registrable_domain"
   val pctNormalizeName = "graft_pct_normalize"
+  val bpeEncodeName = "graft_bpe_encode"
+  val idnHostName = "graft_idn_host"
 
   private def intLit(e: Expression): Int =
     e.eval(null) match {
@@ -1331,6 +1510,15 @@ object NativeFunctions {
       case s: String => s
       case other => throw new IllegalArgumentException(
         s"expected string literal, got $other")
+    }
+
+  private def strArrayLit(e: Expression): Array[String] =
+    e.eval(null) match {
+      case a: ArrayData =>
+        (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+          .toArray
+      case other => throw new IllegalArgumentException(
+        s"expected array<string> literal, got $other")
     }
 
   private def vectorLit(e: Expression): Array[Double] =
@@ -1403,7 +1591,16 @@ object NativeFunctions {
     registrableDomainName -> ((exprs: Seq[Expression]) =>
       RegistrableDomainExpr(exprs.head)),
     pctNormalizeName -> ((exprs: Seq[Expression]) =>
-      PctNormalizeExpr(exprs.head)))
+      PctNormalizeExpr(exprs.head)),
+    bpeEncodeName -> ((exprs: Seq[Expression]) =>
+      BpeEncodeExpr(exprs.head, strArrayLit(exprs(1)),
+        strArrayLit(exprs(2)))),
+    idnHostName -> ((exprs: Seq[Expression]) =>
+      IdnHostExpr(exprs.head, exprs(1).eval(null) match {
+        case b: Boolean => b
+        case other => throw new IllegalArgumentException(
+          s"expected boolean literal, got $other")
+      })))
 
   /** Idempotently register graft native functions on this session. */
   def register(spark: SparkSession): Unit = {
@@ -1504,6 +1701,21 @@ object NativeFunctions {
 
   /** RFC 3986 percent-encoding normalization (decode unreserved,
     * uppercase remaining hex; malformed escapes verbatim). */
+  /** Greedy BPE encode (array<string> of subwords); `merges` applied
+    * in rank order. Caller lowers/trims the input to taste. */
+  def bpeEncodeNative(text: Column, merges: Seq[(String, String)])
+      : Column =
+    call_function(bpeEncodeName, text,
+      org.apache.spark.sql.functions.lit(merges.map(_._1).toArray),
+      org.apache.spark.sql.functions.lit(merges.map(_._2).toArray))
+
+  /** IDN host normalization: ACE→Unicode (`toAscii = false`) or
+    * Unicode→ACE (`toAscii = true`), lowercased; bad hosts pass
+    * through lowercased-verbatim. */
+  def idnHostNative(host: Column, toAscii: Boolean): Column =
+    call_function(idnHostName, host,
+      org.apache.spark.sql.functions.lit(toAscii))
+
   def pctNormalizeNative(text: Column): Column =
     call_function(pctNormalizeName, text)
 }

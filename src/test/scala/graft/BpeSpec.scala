@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Bpe
+import graft.plans.{BpeCodec, NativeFunctions}
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Python/paper-reference greedy BPE, independently written (no
+    * shared code with BpeCodec) — the parity target. */
+  private def refEncode(word: String,
+                        merges: Seq[(String, String)]): Seq[String] = {
+    var syms: List[String] =
+      word.codePoints().toArray.map(Character.toString(_)).toList
+    for ((a, b) <- merges) {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var rest = syms
+      while (rest.nonEmpty) rest match {
+        case x :: y :: tail if x == a && y == b =>
+          out += a + b; rest = tail
+        case x :: tail => out += x; rest = tail
+        case Nil =>
+      }
+      syms = out.toList
+    }
+    syms
+  }
+
+  test("BpeCodec.encodeWord matches the reference on edge cases") {
+    val m = Seq("a" -> "a", "t" -> "h", "th" -> "e", "aa" -> "aa")
+    val lefts = m.map(_._1).toArray
+    val rights = m.map(_._2).toArray
+    for (w <- Seq("aaaaaa", "aaaaaaa", "ththe", "thethe", "the", "x",
+        "", "aath", "athatha")) {
+      assert(BpeCodec.encodeWord(w, lefts, rights).toSeq ==
+        refEncode(w, m), s"word=$w")
+    }
+  }
+
+  test("BpeCodec is codepoint-based: astral chars are one symbol") {
+    val syms = BpeCodec.codepointSymbols("a😀b")
+    assert(syms.toSeq == Seq("a", "😀", "b"))
+  }
+
+  test("native encode expr ≡ reference over random words") {
+    NativeFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abtheing "
+    val texts = (0 until 300).map(i => (i.toLong,
+      (0 until rnd.nextInt(30)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString))
+    val got = texts.toDF("id", "text")
+      .select(col("id"),
+        Bpe.encode(lower(trim(col("text"))), Bpe.demoMerges).as("sub"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    texts.foreach { case (id, text) =>
+      val exp = text.trim.toLowerCase.split("\\s+").toSeq
+        .filter(_.nonEmpty).flatMap(refEncode(_, Bpe.demoMerges))
+      assert(got(id) == exp, s"text='$text'")
+    }
+  }
+
+  test("oracle REPLACE replay semantics == greedy (the scheme the " +
+      "driver's DuckDB oracle uses)") {
+    // replay the wrapped-symbol REPLACE chain in plain Scala and
+    // compare against BpeCodec — proves the q_bpe_encode oracle's
+    // REPLACE nesting implements the paper's merge order exactly
+    def sqlReplay(w: String, merges: Seq[(String, String)]): String = {
+      var s = " " + BpeCodec.codepointSymbols(w).mkString("  ") + " "
+      for ((a, b) <- merges)
+        s = s.replace(s" $a  $b ", s" $a$b ")
+      s.trim.replace("  ", " ")
+    }
+    val rnd = new scala.util.Random(13)
+    val words = Seq("ababab", "aaaaaa", "ththththt", "thee", "feeee",
+      "standing", "") ++ (0 until 2000).map(_ =>
+      (0 until rnd.nextInt(14)).map(_ =>
+        "abtheing" (rnd.nextInt(8))).mkString)
+    val m = Seq("t" -> "h", "th" -> "e", "e" -> "e", "a" -> "a",
+      "aa" -> "aa", "i" -> "n", "in" -> "g", "a" -> "n", "an" -> "d")
+    words.filter(_.nonEmpty).foreach { w =>
+      assert(sqlReplay(w, m) ==
+        BpeCodec.encodeWord(w, m.map(_._1).toArray,
+          m.map(_._2).toArray).mkString(" "), s"word=$w")
+    }
+  }
+
+  test("trainBpe learns the classic merges on a toy corpus") {
+    // 'low'×5 'lower'×2 'newest'×6 'widest'×3 — the Sennrich running
+    // example (without </w> markers). Step-0 best pair: (e,s) with
+    // 6+3=9, then (es,t) 9, then (t? ...) — assert the first two
+    // merges and that application is consistent.
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "text")
+    val merges = Bpe.trainBpe(docs, "text", numMerges = 4,
+      minPairCount = 1L)
+    assert(merges.take(2).map(m => (m._1, m._2)) ==
+      Seq(("e", "s"), ("es", "t")))
+    assert(merges.head._3 == 9L)
+    // encode with the learned merges: 'newest' must end in 'est'
+    val enc = BpeCodec.encodeWord("newest",
+      merges.map(_._1).toArray, merges.map(_._2).toArray)
+    assert(enc.contains("est"))
+  }
+
+  test("trainBpe is deterministic: tie pairs break lexicographically") {
+    val docs = Seq((1L, "ab cd ab cd")).toDF("id", "text")
+    // both (a,b) and (c,d) have count 2: (a,b) wins the tie
+    val merges = Bpe.trainBpe(docs, "text", numMerges = 1,
+      minPairCount = 1L)
+    assert(merges.map(m => (m._1, m._2)) == Seq(("a", "b")))
+  }
+
+  test("trainBpe minPairCount stops the loop") {
+    val docs = Seq((1L, "ab ab cd")).toDF("id", "text")
+    val merges = Bpe.trainBpe(docs, "text", numMerges = 10,
+      minPairCount = 2L)
+    assert(merges.map(m => (m._1, m._2)) == Seq(("a", "b")))
+  }
+
+  test("pairCounts counts every adjacent position, frequency-weighted") {
+    val docs = Seq((1L, "aaa bb"), (2L, "aaa")).toDF("id", "text")
+    val got = Bpe.pairCounts(docs, "text").as[(String, Long)]
+      .collect().toMap
+    // 'aaa' (wf 2) has (a,a) twice per occurrence = 4; 'bb' has (b,b) 1
+    assert(got == Map("a a" -> 4L, "b b" -> 1L))
+  }
+
+  test("topPairs is a TakeOrderedAndProject (never a global sort)") {
+    val docs = Seq((1L, "aa bb")).toDF("id", "text")
+    val plan = Bpe.topPairs(docs, "text", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("encode on whitespace-only and empty text yields empty array") {
+    NativeFunctions.register(spark)
+    val got = Seq((1L, ""), (2L, "   "), (3L, "\t\n"))
+      .toDF("id", "text")
+      .select(Bpe.encode(lower(trim(col("text"))), Bpe.demoMerges)
+        .as("sub"))
+      .collect()
+    got.foreach(r => assert(r.getSeq[String](0).isEmpty))
+  }
+
+  test("Spark char split (the pairCounts path) is codepoint-safe") {
+    // split(w, "") must not tear astral-plane characters — DuckDB's
+    // string_split(w, '') is codepoint-based, so the Spark side must
+    // be too for the q_bpe_pairs oracle to hold on non-BMP text
+    val got = Seq(Tuple1("a😀b")).toDF("w")
+      .select(split(col("w"), "").as("c")).as[Seq[String]].collect()
+    assert(got.head == Seq("a", "😀", "b"))
+  }
+}

@@ -371,4 +371,54 @@ class NativeExprSpec extends SparkSpec {
       Seq("example.co.uk", "y.foo.bd"))
     assert(rows.forall(_.getString(1) == "path%2F"))
   }
+
+  test("IDN host: known ACE decodings (RFC/registry examples)") {
+    import graft.plans.IdnHostExpr.normalize
+    assert(normalize("xn--bcher-kva.example", toAscii = false) ==
+      "bücher.example")
+    assert(normalize("XN--MNCHEN-3YA.de", toAscii = false) ==
+      "münchen.de")
+    assert(normalize("www.xn--fiqs8s", toAscii = false) ==
+      "www.中国")
+    assert(normalize("xn--p1ai", toAscii = false) == "рф")
+    // plain ASCII is identity-lowercased either direction
+    assert(normalize("WWW.Example.COM", toAscii = false) ==
+      "www.example.com")
+    assert(normalize("WWW.Example.COM", toAscii = true) ==
+      "www.example.com")
+  }
+
+  test("IDN host: Unicode→ACE→Unicode round-trips") {
+    import graft.plans.IdnHostExpr.normalize
+    for (h <- Seq("münchen.de", "bücher.example",
+        "www.中国", "рф", "españa.com")) {
+      val ace = normalize(h, toAscii = true)
+      assert(ace.startsWith("xn--") || ace.contains(".xn--") ||
+        ace.contains("xn--"), s"$h -> $ace")
+      assert(normalize(ace, toAscii = false) == h, s"$h -> $ace")
+    }
+  }
+
+  test("IDN host: hostile input passes through lowercased-verbatim") {
+    import graft.plans.IdnHostExpr.normalize
+    // overlong label (>63 chars post-encode) and junk ACE must not
+    // throw — crawl data is hostile
+    val longLabel = "ü" * 80 + ".test"
+    assert(normalize(longLabel, toAscii = true) == longLabel)
+    assert(normalize("xn--this-is-not-valid-ace.test",
+      toAscii = false) == "xn--this-is-not-valid-ace.test")
+    assert(normalize("", toAscii = false) == "")
+  }
+
+  test("IDN native expr runs under codegen") {
+    NativeFunctions.register(spark)
+    val df = spark.range(3)
+      .withColumn("h",
+        when(col("id") >= 0, lit("XN--MNCHEN-3YA.de")).otherwise("x"))
+      .select(NativeFunctions.idnHostNative(col("h"),
+        toAscii = false).as("u"))
+    assert(df.queryExecution.executedPlan.toString
+      .matches("(?s).*\\*\\(\\d+\\) Project \\[graft_idn_host.*"))
+    assert(df.collect().forall(_.getString(0) == "münchen.de"))
+  }
 }
