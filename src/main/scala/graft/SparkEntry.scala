@@ -2298,6 +2298,46 @@ object SparkEntry {
                 ELSE CAST(64 + (i % 3) * 32 AS INTEGER) END AS height
               FROM generate_series(0, 299) t(i)""")),
 
+    // perceptual image dedup: DCT pHash per image (real decode) + the
+    // SAME Manku blocking as text SimHash. The fixture plants 3
+    // pixel-identical copies of each of 60 distinct contents under
+    // different ids, so the pair set is pure id arithmetic —
+    // MultimodalSpec pins the safety margin (distinct contents > 8
+    // bits apart on this exact fixture, query threshold 4)
+    Q("q_image_phash_dedup",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        Multimodal.imageNearDuplicates(
+          Multimodal.syntheticImageCorpus(s, nContents = 60, copies = 3),
+          maxHamming = 4)
+      },
+      Some("""SELECT a.i AS id_a, b.i AS id_b, 0 AS hamming
+              FROM generate_series(0, 179) a(i)
+                JOIN generate_series(0, 179) b(i)
+                ON a.i < b.i AND a.i % 60 = b.i % 60""")),
+
+    // WET (Common Crawl text-extract) record parsing: render each doc
+    // as a WARC conversion record, parse it back with the codegen'd
+    // regexp layer. The oracle is ANALYTIC — expected fields written
+    // directly from the source columns, not by replaying the regex —
+    // so a parse bug cannot cancel itself out. File-level record
+    // splitting (custom lineSep across Hadoop splits) is WarcSpec-tier.
+    Q("q_wet_parse",
+      (s, d) => {
+        val docs = s.read.parquet(pq(d, "documents"))
+        graft.sources.Warc.parseWet(docs.select(
+          graft.sources.Warc.toWetRecord(
+            concat(lit("https://example.com/doc/"),
+              col("doc_id").cast("string")),
+            lit("2024-01-01T00:00:00Z"), col("text")).as("record")))
+      },
+      Some("""SELECT 'https://example.com/doc/' ||
+                CAST(doc_id AS VARCHAR) AS url,
+              '2024-01-01T00:00:00Z' AS warc_date,
+              CAST(length(text) AS BIGINT) AS content_length,
+              regexp_replace(text, '[\r\n]+$', '') AS text
+              FROM documents""")),
+
     // salting must be semantically invisible: oracle is the plain join
     Q("q_skew_salted_join",
       (s, d) => graft.operators.Skew.saltedJoin(

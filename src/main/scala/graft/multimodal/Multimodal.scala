@@ -90,6 +90,107 @@ object Multimodal {
       (w, h, feats)
     }
 
+    /**
+     * 64-bit perceptual image hash (DCT pHash — Zauner 2010,
+     * "Implementation and Benchmarking of Perceptual Image Hash
+     * Functions", public): decode → 32×32 block-mean luminance grid
+     * (area averaging over the ORIGINAL pixels — no interpolation-
+     * dependent resampling, so the hash is a pure function of the
+     * pixel data) → 2D DCT-II → the 63 lowest-frequency coefficients
+     * (8×8 block minus DC) thresholded at their median → packed bits.
+     * Same pixels under different containers (PNG vs BMP) hash
+     * identically; small perturbations move few bits, so Hamming
+     * distance is the near-dup metric — the image analog of SimHash,
+     * sharing its Manku blocking downstream.
+     */
+    def imagePHash(bytes: Array[Byte]): Long = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val n = 32
+      // block-mean luminance grid
+      val grid = Array.ofDim[Double](n, n)
+      var i = 0
+      while (i < n) {
+        val y0 = i * h / n
+        val y1 = math.max(y0 + 1, (i + 1) * h / n)
+        var j = 0
+        while (j < n) {
+          val x0 = j * w / n
+          val x1 = math.max(x0 + 1, (j + 1) * w / n)
+          var sum = 0.0
+          var cnt = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xFF) * 0.299 +
+                ((rgb >> 8) & 0xFF) * 0.587 + (rgb & 0xFF) * 0.114
+              cnt += 1
+              x += 1
+            }
+            y += 1
+          }
+          grid(i)(j) = sum / cnt
+          j += 1
+        }
+        i += 1
+      }
+      // separable 2D DCT-II; only the first 8 output rows/cols needed
+      val cos = Array.tabulate(8, n)((u, x) =>
+        math.cos((2 * x + 1) * u * math.Pi / (2.0 * n)))
+      val rows = Array.ofDim[Double](8, n) // DCT over i for u < 8
+      var u = 0
+      while (u < 8) {
+        var j = 0
+        while (j < n) {
+          var acc = 0.0
+          var x = 0
+          while (x < n) { acc += grid(x)(j) * cos(u)(x); x += 1 }
+          rows(u)(j) = acc
+          j += 1
+        }
+        u += 1
+      }
+      val coeffs = new Array[Double](63)
+      u = 0
+      var k = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          if (u != 0 || v != 0) {
+            var acc = 0.0
+            var x = 0
+            while (x < n) { acc += rows(u)(x) * cos(v)(x); x += 1 }
+            coeffs(k) = acc
+            k += 1
+          }
+          v += 1
+        }
+        u += 1
+      }
+      val sortedC = coeffs.sorted
+      val median = (sortedC(31) + sortedC(32)) / 2.0
+      var bits = 0L
+      k = 0
+      u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          if (u != 0 || v != 0) {
+            if (coeffs(k) > median) bits |= 1L << (u * 8 + v - 1)
+            k += 1
+          }
+          v += 1
+        }
+        u += 1
+      }
+      bits
+    }
+
     /** REAL image resize: decode, bilinear-draw into the target raster,
       * re-encode as PNG. */
     def resizeImage(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
@@ -411,6 +512,55 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  /** Perceptual hashes for the image rows: `(media_id, phash)` — the
+    * fingerprint-once projection (narrow mapPartitions, payloads never
+    * shuffle; store this table and re-block on parameter changes, the
+    * [[graft.operators.Dedup.simhashPairsFromFingerprints]] contract). */
+  def imageHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image")
+      .map(r => (r.media_id, Codec.imagePHash(r.bytes)))
+      .toDF("media_id", "phash")
+  }
+
+  /**
+   * Image near-duplicate pairs `(id_a, id_b, hamming)` at perceptual-
+   * hash Hamming distance ≤ `maxHamming` — re-encoded, lightly
+   * recompressed or subtly retouched copies of the same picture, which
+   * byte-level exact dedup cannot see. Fingerprint via [[imageHashes]]
+   * (one decode per image, no shuffle), then the SAME Manku multi-chunk
+   * blocking as text SimHash ([[graft.operators.Dedup
+   * .simhashPairsFromFingerprints]]): O(1) bucket sizes in corpus
+   * scale, full recall by pigeonhole, over-cap buckets counted — the
+   * image dedup path is the text path with a different fingerprint.
+   */
+  def imageNearDuplicates(media: Dataset[MediaRow], maxHamming: Int = 4,
+                          maxBucket: Int = 1000): DataFrame =
+    graft.operators.Dedup.simhashPairsFromFingerprints(
+      imageHashes(media), "media_id", "phash", maxHamming, maxBucket)
+
+  /**
+   * Deterministic image corpus with planted duplicates: `nContents`
+   * distinct high-frequency pixel patterns, each encoded `copies`
+   * times under DIFFERENT media_ids (`media_id % nContents` = the
+   * content key). Same-content copies are pixel-identical (pHash
+   * Hamming 0); distinct contents are far apart (MultimodalSpec
+   * asserts pairwise distance on this exact fixture), so the
+   * near-dup pair set is a pure function of the id arithmetic —
+   * SQL-replayable for the driver's gate.
+   */
+  def syntheticImageCorpus(spark: SparkSession, nContents: Int,
+                           copies: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(nContents.toLong * copies).as[Long].map { id =>
+      val content = id % nContents
+      val w = 64 + (content % 4).toInt * 16
+      val h = 64 + (content % 3).toInt * 16
+      MediaRow(id, "image", syntheticPng(content, w, h),
+        MediaMeta(w, h, 0, 1))
+    }
   }
 
   /** Column-level helper: payload size histogram — plumbing sanity. */

@@ -148,4 +148,79 @@ class MultimodalSpec extends SparkSpec {
     // every payload is a real container now (PNG / WAV / MJPEG)
     assert(r.getInt(1) > 500 && r.getInt(2) > r.getInt(1))
   }
+
+  // ---- perceptual hashing -------------------------------------------------
+
+  private def pngOf(pix: (Int, Int) => Int, w: Int = 64,
+                    h: Int = 64, fmt: String = "png"): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, pix(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  test("pHash is container-invariant: same pixels as PNG and BMP") {
+    def pix(x: Int, y: Int): Int = {
+      val v = (math.sin(x * 0.3) * math.cos(y * 0.2) * 127 + 128).toInt
+      (v << 16) | (v << 8) | v
+    }
+    val a = Multimodal.Codec.imagePHash(pngOf(pix))
+    val b = Multimodal.Codec.imagePHash(pngOf(pix, fmt = "bmp"))
+    assert(a == b)
+  }
+
+  test("pHash: small perturbation moves few bits, different image many") {
+    def base(x: Int, y: Int): Int = {
+      val v = (math.sin(x * 0.21 + y * 0.13) * 110 + 128).toInt
+      (v << 16) | (v << 8) | v
+    }
+    // perturb: brighten one 8x8 corner slightly
+    def tweaked(x: Int, y: Int): Int =
+      if (x < 8 && y < 8) {
+        val v = math.min(255, ((base(x, y) & 0xFF) + 12))
+        (v << 16) | (v << 8) | v
+      } else base(x, y)
+    def other(x: Int, y: Int): Int = {
+      val v = (math.cos(x * 0.4) * math.sin(y * 0.33) * 120 + 128).toInt
+      (v << 16) | (v << 8) | v
+    }
+    val hb = Multimodal.Codec.imagePHash(pngOf(base))
+    val ht = Multimodal.Codec.imagePHash(pngOf(tweaked))
+    val ho = Multimodal.Codec.imagePHash(pngOf(other))
+    assert(java.lang.Long.bitCount(hb ^ ht) <= 10,
+      s"perturbation moved ${java.lang.Long.bitCount(hb ^ ht)} bits")
+    assert(java.lang.Long.bitCount(hb ^ ho) > 10,
+      s"distinct images only ${java.lang.Long.bitCount(hb ^ ho)} apart")
+  }
+
+  test("planted corpus: distinct contents are far apart (oracle guard)") {
+    // the q_image_phash_dedup fixture EXACTLY: if any two distinct
+    // contents come within the query's maxHamming=4, the driver's
+    // oracle would break — this test pins the safety margin
+    val corpus = Multimodal.syntheticImageCorpus(spark, 60, 3)
+    val hashes = Multimodal.imageHashes(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byContent = hashes.groupBy(_._1 % 60)
+    // copies are pixel-identical -> identical hashes
+    byContent.values.foreach(g =>
+      assert(g.map(_._2).distinct.length == 1))
+    val distinct = byContent.toSeq.sortBy(_._1).map(_._2.head._2)
+    val minDist = (for {
+      i <- distinct.indices; j <- (i + 1) until distinct.length
+    } yield java.lang.Long.bitCount(distinct(i) ^ distinct(j))).min
+    assert(minDist > 8, s"closest distinct contents at hamming $minDist")
+  }
+
+  test("imageNearDuplicates finds exactly the planted content groups") {
+    val corpus = Multimodal.syntheticImageCorpus(spark, 20, 3)
+    val pairs = Multimodal.imageNearDuplicates(corpus, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      a <- 0L until 60L; b <- (a + 1) until 60L
+      if a % 20 == b % 20
+    } yield (a, b)).toSet
+    assert(pairs == expected)
+  }
 }

@@ -10,8 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("registry counts match the documented surface") {
-    assert(SparkEntry.queries.size == 143)
-    assert(SparkEntry.oracleSql.size == 136)
+    assert(SparkEntry.queries.size == 145)
+    assert(SparkEntry.oracleSql.size == 138)
   }
 
   test("every oracle belongs to a registered query") {

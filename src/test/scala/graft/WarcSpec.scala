@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Warc
+
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def wetFile(records: Seq[(String, String)]): String = {
+    val body = records.map { case (url, text) =>
+      "WARC/1.0\r\n" +
+        s"WARC-Type: conversion\r\nWARC-Target-URI: $url\r\n" +
+        "WARC-Date: 2024-06-01T12:00:00Z\r\n" +
+        s"Content-Length: ${text.length}\r\n\r\n$text\r\n\r\n"
+    }.mkString
+    val f = java.nio.file.Files.createTempFile("graft-wet", ".wet")
+    java.nio.file.Files.writeString(f, body)
+    f.toString
+  }
+
+  test("readWetRecords splits a real WET file into records") {
+    val path = wetFile(Seq(
+      ("http://a.example/1", "first doc text\nsecond line"),
+      ("http://b.example/2", "short"),
+      ("http://c.example/3", "third doc")))
+    val docs = Warc.wetDocuments(spark, path).orderBy("url").collect()
+    assert(docs.length == 3)
+    assert(docs.map(_.getString(0)).toSeq == Seq(
+      "http://a.example/1", "http://b.example/2", "http://c.example/3"))
+    assert(docs(0).getString(3) == "first doc text\nsecond line")
+    assert(docs(0).getLong(2) == "first doc text\nsecond line".length)
+    assert(docs.forall(_.getString(1) == "2024-06-01T12:00:00Z"))
+  }
+
+  test("payload blank lines do not truncate the text") {
+    val text = "para one\n\npara two\n\npara three"
+    val path = wetFile(Seq(("http://x.example/p", text)))
+    val got = Warc.wetDocuments(spark, path).collect()(0)
+    assert(got.getString(3) == text)
+  }
+
+  test("corrupt records yield null fields, not a failed scan") {
+    val f = java.nio.file.Files.createTempFile("graft-wet", ".wet")
+    java.nio.file.Files.writeString(f,
+      "WARC/1.0\r\ngarbage without headers or blank line")
+    val got = Warc.wetDocuments(spark, f.toString).collect()
+    assert(got.length == 1)
+    assert(got(0).isNullAt(0) && got(0).isNullAt(2))
+  }
+
+  test("toWetRecord ∘ parseWet is identity on newline-free text") {
+    val docs = Seq((1L, "hello world"), (2L, ""), (3L, "tab\tand space"))
+      .toDF("id", "text")
+    val parsed = Warc.parseWet(docs.select(Warc.toWetRecord(
+        concat(lit("u/"), col("id").cast("string")),
+        lit("2024-01-01T00:00:00Z"), col("text")).as("record")))
+      .orderBy("url").collect()
+    assert(parsed.map(_.getString(3)).toSeq ==
+      Seq("hello world", "", "tab\tand space"))
+    assert(parsed.map(_.getLong(2)).toSeq == Seq(11L, 0L, 13L))
+  }
+
+  test("record splitting survives many records across input splits") {
+    // force multiple Hadoop splits with a small maxPartitionBytes so a
+    // delimiter straddles a split boundary somewhere
+    val n = 500
+    val path = wetFile((0 until n).map(i =>
+      (s"http://s.example/$i", s"document number $i " + ("x" * 200))))
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+      val docs = Warc.wetDocuments(spark, path)
+      assert(docs.count() == n)
+      assert(docs.where(col("url").isNull).count() == 0)
+      val ids = docs.select(
+          regexp_extract(col("url"), "/(\\d+)$", 1).cast("int"))
+        .as[Int].collect().sorted
+      assert(ids.toSeq == (0 until n))
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+}
