@@ -64,14 +64,21 @@ object SparkEntry {
     * greedy merge semantics of [[graft.plans.BpeCodec]] — see
     * BpeSpec's property test. */
   private val bpeEncodeOracleSql: String = {
+    // NB: `oracleSql` collapses ALL whitespace runs (including inside
+    // string literals), so the double-space symbol delimiter is built
+    // with repeat(' ', 2) expressions, never a two-space literal
     val chain = graft.functions.Bpe.demoMerges.foldLeft(
-      "' ' || array_to_string(string_split(w, ''), '  ') || ' '") {
-      case (acc, (a, b)) => s"REPLACE($acc, ' $a  $b ', ' $a$b ')"
+      "' ' || array_to_string(string_split(w, ''), repeat(' ', 2))" +
+        " || ' '") {
+      case (acc, (a, b)) =>
+        s"REPLACE($acc, ' ' || '$a' || repeat(' ', 2) || '$b' || ' '," +
+          s" ' ' || '$a$b' || ' ')"
     }
     raw"""WITH e AS (SELECT doc_id, array_to_string(list_transform(
             list_filter(string_split_regex(lower(trim(text)), '\s+'),
               w -> w <> ''),
-            w -> REPLACE(trim($chain), '  ', ' ')), ' ') AS enc
+            w -> REPLACE(trim($chain), repeat(' ', 2), ' ')), ' ')
+              AS enc
           FROM documents)
         SELECT doc_id,
           CASE WHEN enc = '' THEN 0
@@ -1579,6 +1586,51 @@ object SparkEntry {
       },
       Some(bpeEncodeOracleSql)),
 
+    // one full BPE TRAINING iteration under the driver gate: find the
+    // best step-0 pair (cnt desc, pair asc — the trainer's tiebreak),
+    // apply it to every word type, recount. The oracle computes the
+    // best pair itself and replays the application via the wrapped-
+    // symbol REPLACE (symbols keep owning their boundary spaces after
+    // a merge, so post-merge symbols are exactly the double-space
+    // split), proving the iterative loop's core — count/pick/apply —
+    // in SQL, not just its step-0 statistics.
+    Q("q_bpe_train_step",
+      (s, d) => {
+        val docs = s.read.parquet(pq(d, "documents"))
+        graft.plans.NativeFunctions.register(s)
+        val best = graft.functions.Bpe.topPairs(docs, "text", 1)
+          .collect()(0).getString(0).split(" ", 2)
+        graft.functions.Bpe.pairCountsWithMerges(
+            docs, "text", Seq(best(0) -> best(1)))
+          .orderBy(col("cnt").desc, col("pair").asc).limit(20)
+      },
+      Some("""WITH words AS (SELECT
+                  unnest(string_split_regex(lower(trim(text)), '\s+'))
+                    AS w
+                FROM documents),
+              wf AS (SELECT w, COUNT(*) AS wf FROM words
+                WHERE w <> '' GROUP BY 1),
+              p0 AS (SELECT unnest(list_transform(range(1, len(c)),
+                    i -> c[i] || ' ' || c[i + 1])) AS pair, wf
+                FROM (SELECT string_split(w, '') AS c, wf FROM wf)),
+              best AS (SELECT pair, SUM(wf) AS cnt FROM p0
+                GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1),
+              applied AS (SELECT REPLACE(
+                  ' ' || array_to_string(string_split(w, ''),
+                    repeat(' ', 2)) || ' ',
+                  ' ' || split_part(best.pair, ' ', 1) ||
+                    repeat(' ', 2) ||
+                    split_part(best.pair, ' ', 2) || ' ',
+                  ' ' || replace(best.pair, ' ', '') || ' ') AS s, wf
+                FROM wf CROSS JOIN best),
+              rc AS (SELECT unnest(list_transform(range(1, len(sy)),
+                    i -> sy[i] || ' ' || sy[i + 1])) AS pair, wf
+                FROM (SELECT string_split(trim(s), repeat(' ', 2))
+                    AS sy, wf
+                  FROM applied))
+              SELECT pair, SUM(wf) AS cnt FROM rc
+              GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""")),
+
     // text-density boilerplate removal: the synthesized page wraps the
     // document text with a nav bar, a too-short block, a link-heavy
     // "related" strip and a linky footer — only content-length,
@@ -2315,6 +2367,21 @@ object SparkEntry {
               FROM generate_series(0, 179) a(i)
                 JOIN generate_series(0, 179) b(i)
                 ON a.i < b.i AND a.i % 60 = b.i % 60""")),
+
+    // audio near-dup: temporal zero-crossing fingerprint (real WAV
+    // decode) + the shared Manku blocking — the audio member of the
+    // pHash/SimHash family, same planted-content oracle construction
+    Q("q_audio_fp_dedup",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        Multimodal.audioNearDuplicates(
+          Multimodal.syntheticAudioCorpus(s, nContents = 40, copies = 3),
+          maxHamming = 4)
+      },
+      Some("""SELECT a.i AS id_a, b.i AS id_b, 0 AS hamming
+              FROM generate_series(0, 119) a(i)
+                JOIN generate_series(0, 119) b(i)
+                ON a.i < b.i AND a.i % 40 = b.i % 40""")),
 
     // WET (Common Crawl text-extract) record parsing: render each doc
     // as a WARC conversion record, parse it back with the codegen'd

@@ -67,6 +67,27 @@ object Bpe {
     pairCounts(docs, textCol)
       .orderBy(col("cnt").desc, col("pair").asc).limit(k)
 
+  /** Pair counts AFTER applying an ordered merge list — the trainer's
+    * per-iteration recount as a distributed frame, so a training STEP
+    * is driver-gate verifiable (`q_bpe_train_step`). Symbols come
+    * from the native encoder, i.e. the SAME [[graft.plans.BpeCodec]]
+    * application the trainer and encoder use. Vocabulary-scale like
+    * [[pairCounts]]; uncapped, so it is also the exact full-vocab
+    * check of what [[trainBpe]] computes on the capped type table. */
+  def pairCountsWithMerges(docs: DataFrame, textCol: String,
+                           merges: Seq[(String, String)]): DataFrame = {
+    NativeFunctions.register(docs.sparkSession)
+    val syms = NativeFunctions.bpeEncodeNative(col("w"), merges)
+    wordFrequencies(docs, textCol)
+      .select(col("wf"), syms.as("s"))
+      .where(size(col("s")) >= 2)
+      .select(col("wf"), explode(transform(
+        sequence(lit(1), size(col("s")) - 1),
+        i => concat(element_at(col("s"), i), lit(" "),
+          element_at(col("s"), i + 1)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wf")).as("cnt"))
+  }
+
   /**
    * Deterministic BPE vocabulary trainer: `numMerges` rounds of
    * count-pairs / pick-best / apply over the frequency-weighted word

@@ -218,7 +218,8 @@ object Multimodal {
      *
      * @return (sampleRate, nSamples, features)
      */
-    def decodeAudio(bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
+    /** Shared WAV/PCM sample decode: `(sampleRate, samples in [-1,1])`. */
+    private def pcmSamples(bytes: Array[Byte]): (Int, Array[Double]) = {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
@@ -235,16 +236,68 @@ object Multimodal {
             .toShort / 32768.0
           i += 1
         }
-        val feats = Array.tabulate(dim) { j =>
-          val s0 = j * n / dim
-          val s1 = math.max(s0 + 1, (j + 1) * n / dim)
-          var acc = 0.0
-          var k = s0
-          while (k < s1) { acc += samples(k) * samples(k); k += 1 }
-          math.sqrt(acc / (s1 - s0)).toFloat
-        }
-        (fmt.getSampleRate.toInt, n, feats)
+        (fmt.getSampleRate.toInt, samples)
       } finally in.close()
+    }
+
+    def decodeAudio(bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
+      val (sr, samples) = pcmSamples(bytes)
+      val n = samples.length
+      val feats = Array.tabulate(dim) { j =>
+        val s0 = j * n / dim
+        val s1 = math.max(s0 + 1, (j + 1) * n / dim)
+        var acc = 0.0
+        var k = s0
+        while (k < s1) { acc += samples(k) * samples(k); k += 1 }
+        math.sqrt(acc / (s1 - s0)).toFloat
+      }
+      (sr, n, feats)
+    }
+
+    /**
+     * 64-bit audio fingerprint: the temporal ZERO-CROSSING-RATE
+     * profile — 65 equal time segments, bit i set when segment i
+     * crosses zero more often than segment i+1. ZCR tracks dominant
+     * frequency, so the bit pattern is the clip's coarse melodic/
+     * spectral contour: identical samples under any container hash
+     * identically, small noise moves few bits (adjacent-segment
+     * comparisons only flip where the contour is near-flat), and
+     * Hamming distance is the near-dup metric — the audio member of
+     * the SimHash/pHash family, sharing their Manku blocking.
+     *
+     * Deliberately simple, honestly bounded: production audio
+     * matching uses spectral-peak constellations (Wang 2003, the
+     * Shazam paper, public) or chroma bits (Chromaprint); this
+     * temporal profile is robust to gain/offset changes but NOT to
+     * time-shift or resampling. The distributed shape — fingerprint
+     * once, block, verify — is identical, so swapping the hash
+     * upgrades recall without touching any plumbing.
+     */
+    def audioFingerprint(bytes: Array[Byte]): Long = {
+      val (_, samples) = pcmSamples(bytes)
+      val n = samples.length
+      val segs = 65
+      val zcr = new Array[Int](segs)
+      var j = 0
+      while (j < segs) {
+        val s0 = math.max(j * n / segs, 1)
+        val s1 = math.max(s0 + 1, (j + 1) * n / segs)
+        var c = 0
+        var k = s0
+        while (k < s1) {
+          if ((samples(k - 1) < 0) != (samples(k) < 0)) c += 1
+          k += 1
+        }
+        zcr(j) = c
+        j += 1
+      }
+      var bits = 0L
+      var i = 0
+      while (i < 64) {
+        if (zcr(i) > zcr(i + 1)) bits |= 1L << i
+        i += 1
+      }
+      bits
     }
 
     /**
@@ -561,6 +614,80 @@ object Multimodal {
       MediaRow(id, "image", syntheticPng(content, w, h),
         MediaMeta(w, h, 0, 1))
     }
+  }
+
+  /** Audio fingerprints for the audio rows: `(media_id, afp)` — same
+    * fingerprint-once contract as [[imageHashes]]. */
+  def audioHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio")
+      .map(r => (r.media_id, Codec.audioFingerprint(r.bytes)))
+      .toDF("media_id", "afp")
+  }
+
+  /** Audio near-duplicate pairs `(id_a, id_b, hamming)` — re-encoded
+    * or lightly noised copies of the same clip; [[audioHashes]] then
+    * the shared Manku blocking, exactly the [[imageNearDuplicates]]
+    * shape. */
+  def audioNearDuplicates(media: Dataset[MediaRow], maxHamming: Int = 4,
+                          maxBucket: Int = 1000): DataFrame =
+    graft.operators.Dedup.simhashPairsFromFingerprints(
+      audioHashes(media), "media_id", "afp", maxHamming, maxBucket)
+
+  /**
+   * Deterministic audio corpus with planted duplicates: `nContents`
+   * distinct tone SEQUENCES (64 segments, content-keyed frequency per
+   * segment — the ZCR profile is the content's signature), each
+   * encoded `copies` times under different media_ids
+   * (`media_id % nContents` = content). Same-content copies are
+   * sample-identical (fingerprint Hamming 0); distinct contents are
+   * far apart (MultimodalSpec pins the margin on this exact fixture),
+   * so the near-dup pair set is pure id arithmetic.
+   */
+  def syntheticAudioCorpus(spark: SparkSession, nContents: Int,
+                           copies: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(nContents.toLong * copies).as[Long].map { id =>
+      val content = id % nContents
+      MediaRow(id, "audio", toneSequenceWav(content),
+        MediaMeta(0, 0, 16000, 1))
+    }
+  }
+
+  /** A real 1 s WAV whose frequency steps through a content-keyed
+    * pattern: segment s of 64 plays one of 12 tones chosen by a
+    * content-seeded mix — a coarse "melody" the ZCR fingerprint
+    * reads back. */
+  private def toneSequenceWav(content: Long,
+                              sampleRate: Int = 16000): Array[Byte] = {
+    val segs = 64
+    val n = sampleRate
+    val perSeg = n / segs
+    val pcm = new Array[Byte](n * 2)
+    var s = 0
+    while (s < segs) {
+      val mix = content * 1315423911L + s * 2654435761L
+      val tone = math.floorMod(mix ^ (mix >>> 17), 12L)
+      val freq = 300.0 + tone * 90.0
+      var i = 0
+      while (i < perSeg) {
+        val k = s * perSeg + i
+        val v = (math.sin(2 * math.Pi * freq * i / sampleRate) * 0.6
+          * 32767).toInt
+        pcm(2 * k) = (v & 0xFF).toByte
+        pcm(2 * k + 1) = ((v >> 8) & 0xFF).toByte
+        i += 1
+      }
+      s += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
   }
 
   /** Column-level helper: payload size histogram — plumbing sanity. */

@@ -130,6 +130,27 @@ class BpeSpec extends SparkSpec {
     assert(got == Map("a a" -> 4L, "b b" -> 1L))
   }
 
+  test("pairCountsWithMerges matches an independent recount after a merge") {
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "text")
+    val got = Bpe.pairCountsWithMerges(docs, "text", Seq("e" -> "s"))
+      .as[(String, Long)].collect().toMap
+    // independent recount: apply the merge by hand over the word types
+    val types = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L)
+    val exp = types.toSeq.flatMap { case (w, wf) =>
+      val syms = BpeCodec.applyMerge(
+        BpeCodec.codepointSymbols(w), "e", "s")
+      syms.sliding(2).filter(_.length == 2)
+        .map(p => (s"${p(0)} ${p(1)}", wf))
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    assert(got == exp)
+    // the merged symbol shows up as a pair element
+    assert(got.keys.exists(_.contains("es")))
+  }
+
   test("topPairs is a TakeOrderedAndProject (never a global sort)") {
     val docs = Seq((1L, "aa bb")).toDF("id", "text")
     val plan = Bpe.topPairs(docs, "text", 5)

@@ -223,4 +223,58 @@ class MultimodalSpec extends SparkSpec {
     } yield (a, b)).toSet
     assert(pairs == expected)
   }
+
+  test("audio fingerprint: gain change moves few bits, different " +
+      "melody many; planted corpus margin holds (oracle guard)") {
+    val corpus = Multimodal.syntheticAudioCorpus(spark, 40, 3)
+    val rows = corpus.collect()
+    // copies are sample-identical -> identical fingerprints
+    val fps = rows.map(r =>
+      r.media_id -> Multimodal.Codec.audioFingerprint(r.bytes)).toMap
+    (0L until 40L).foreach { c =>
+      assert(fps(c) == fps(c + 40) && fps(c) == fps(c + 80))
+    }
+    // distinct contents comfortably beyond the query's maxHamming=4
+    val distinct = (0L until 40L).map(fps)
+    val minDist = (for {
+      i <- distinct.indices; j <- (i + 1) until distinct.length
+    } yield java.lang.Long.bitCount(distinct(i) ^ distinct(j))).min
+    assert(minDist > 8, s"closest distinct contents at hamming $minDist")
+    // gain scaling (half volume) leaves the ZCR contour intact
+    val bytes = rows.find(_.media_id == 0L).get.bytes
+    val (fmtSame, scaled) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      val raw = in.readAllBytes()
+      var i = 0
+      while (i < raw.length / 2) {
+        val v = (((raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8)).toShort
+          / 2).toInt
+        raw(2 * i) = (v & 0xFF).toByte
+        raw(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, raw.length / 2L)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      (fmt, out.toByteArray)
+    }
+    val d = java.lang.Long.bitCount(
+      fps(0L) ^ Multimodal.Codec.audioFingerprint(scaled))
+    assert(d <= 4, s"gain change moved $d bits")
+  }
+
+  test("audioNearDuplicates finds exactly the planted content groups") {
+    val corpus = Multimodal.syntheticAudioCorpus(spark, 15, 3)
+    val pairs = Multimodal.audioNearDuplicates(corpus, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      a <- 0L until 45L; b <- (a + 1) until 45L
+      if a % 15 == b % 15
+    } yield (a, b)).toSet
+    assert(pairs == expected)
+  }
 }

@@ -10,8 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("registry counts match the documented surface") {
-    assert(SparkEntry.queries.size == 145)
-    assert(SparkEntry.oracleSql.size == 138)
+    assert(SparkEntry.queries.size == 147)
+    assert(SparkEntry.oracleSql.size == 140)
   }
 
   test("every oracle belongs to a registered query") {
