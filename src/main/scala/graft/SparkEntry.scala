@@ -2368,6 +2368,21 @@ object SparkEntry {
                 JOIN generate_series(0, 179) b(i)
                 ON a.i < b.i AND a.i % 60 = b.i % 60""")),
 
+    // video near-dup: middle-frame DCT pHash over real MJPEG decode +
+    // the shared Manku blocking — completes the image/audio/video
+    // near-dup family under the driver gate
+    Q("q_video_fp_dedup",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        Multimodal.videoNearDuplicates(
+          Multimodal.syntheticVideoCorpus(s, nContents = 30, copies = 3),
+          maxHamming = 4)
+      },
+      Some("""SELECT a.i AS id_a, b.i AS id_b, 0 AS hamming
+              FROM generate_series(0, 89) a(i)
+                JOIN generate_series(0, 89) b(i)
+                ON a.i < b.i AND a.i % 30 = b.i % 30""")),
+
     // audio near-dup: temporal zero-crossing fingerprint (real WAV
     // decode) + the shared Manku blocking — the audio member of the
     // pHash/SimHash family, same planted-content oracle construction

@@ -616,6 +616,31 @@ object Multimodal {
     }
   }
 
+  /** Video fingerprints for the video rows: `(media_id, vfp)` — the
+    * DCT pHash ([[Codec.imagePHash]]) of the clip's MIDDLE frame
+    * (deterministic representative; re-muxed or re-encoded copies of
+    * the same footage keep their frames, so the middle frame matches).
+    * Same fingerprint-once contract as [[imageHashes]]; a
+    * shot-boundary multi-frame signature is the recall upgrade and
+    * swaps in without touching the blocking. */
+  def videoHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video")
+      .map { r =>
+        val frames = Codec.splitMjpegFrames(r.bytes)
+        require(frames.nonEmpty, "no decodable MJPEG frames")
+        (r.media_id, Codec.imagePHash(frames(frames.length / 2)))
+      }
+      .toDF("media_id", "vfp")
+  }
+
+  /** Video near-duplicate pairs `(id_a, id_b, hamming)` — the
+    * [[imageNearDuplicates]] shape over [[videoHashes]]. */
+  def videoNearDuplicates(media: Dataset[MediaRow], maxHamming: Int = 4,
+                          maxBucket: Int = 1000): DataFrame =
+    graft.operators.Dedup.simhashPairsFromFingerprints(
+      videoHashes(media), "media_id", "vfp", maxHamming, maxBucket)
+
   /** Audio fingerprints for the audio rows: `(media_id, afp)` — same
     * fingerprint-once contract as [[imageHashes]]. */
   def audioHashes(media: Dataset[MediaRow]): DataFrame = {
@@ -651,6 +676,25 @@ object Multimodal {
       val content = id % nContents
       MediaRow(id, "audio", toneSequenceWav(content),
         MediaMeta(0, 0, 16000, 1))
+    }
+  }
+
+  /**
+   * Deterministic video corpus with planted duplicates — the
+   * [[syntheticImageCorpus]] construction over real MJPEG payloads
+   * (`media_id % nContents` = content; copies are byte-identical, so
+   * middle-frame pHashes collide at Hamming 0; MultimodalSpec pins
+   * the distinct-content margin on this exact fixture).
+   */
+  def syntheticVideoCorpus(spark: SparkSession, nContents: Int,
+                           copies: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(nContents.toLong * copies).as[Long].map { id =>
+      val content = id % nContents
+      val w = 64 + (content % 4).toInt * 16
+      val h = 64 + (content % 3).toInt * 16
+      MediaRow(id, "video", syntheticMjpeg(content, w, h, frames = 5),
+        MediaMeta(w, h, 0, 5))
     }
   }
 

@@ -267,6 +267,26 @@ class MultimodalSpec extends SparkSpec {
     assert(d <= 4, s"gain change moved $d bits")
   }
 
+  test("video corpus: copies collide, distinct contents far (oracle guard)") {
+    val corpus = Multimodal.syntheticVideoCorpus(spark, 30, 3)
+    val fps = Multimodal.videoHashes(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 30L).foreach(c =>
+      assert(fps(c) == fps(c + 30) && fps(c) == fps(c + 60)))
+    val distinct = (0L until 30L).map(fps)
+    val minDist = (for {
+      i <- distinct.indices; j <- (i + 1) until distinct.length
+    } yield java.lang.Long.bitCount(distinct(i) ^ distinct(j))).min
+    assert(minDist > 8, s"closest distinct contents at hamming $minDist")
+    val pairs = Multimodal.videoNearDuplicates(corpus, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      a <- 0L until 90L; b <- (a + 1) until 90L
+      if a % 30 == b % 30
+    } yield (a, b)).toSet
+    assert(pairs == expected)
+  }
+
   test("audioNearDuplicates finds exactly the planted content groups") {
     val corpus = Multimodal.syntheticAudioCorpus(spark, 15, 3)
     val pairs = Multimodal.audioNearDuplicates(corpus, maxHamming = 4)
