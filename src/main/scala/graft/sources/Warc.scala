@@ -91,6 +91,35 @@ object Warc {
   def wetDocuments(spark: SparkSession, path: String): DataFrame =
     parseWet(readWetRecords(spark, path))
 
+  /** Streaming twin of [[readWetRecords]]: WET archives landing in
+    * `dir` become micro-batches of records — the crawl-drop ingestion
+    * shape (each new Common Crawl segment file is picked up once,
+    * tracked by the stream's file index). */
+  def wetRecordStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.option("lineSep", RecordDelimiter).text(dir)
+      .select(col("value").as("record"))
+      .where(length(trim(col("record"))) > 0)
+
+  /**
+   * End-to-end streaming crawl ingestion: WET archives → parsed docs
+   * (corrupt records dropped) → exact-dedup append into `corpusDir`,
+   * composed from [[parseWet]] and [[graft.streaming.IngestPipeline
+   * .dedupIngest]] — the URL is the document id, so re-crawled
+   * identical pages and replayed micro-batches both dedup away
+   * (idempotent by the ingest pipeline's contract). Swap in
+   * `nearDupIngest` for the Bloom + banded-MinHash admission when
+   * near-copies must be rejected too — same composition.
+   */
+  def wetIngest(spark: SparkSession, wetDir: String, corpusDir: String,
+                checkpointDir: String,
+                trigger: org.apache.spark.sql.streaming.Trigger =
+                  org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.IngestPipeline.dedupIngest(
+      parseWet(wetRecordStream(spark, wetDir))
+        .where(col("url").isNotNull),
+      "url", "text", corpusDir, checkpointDir, trigger)
+
   /** Render rows as WET `conversion` records (the inverse of
     * [[parseWet]] — fixture/export helper; payload length is measured
     * in characters to mirror the parse side's `length`). */

@@ -61,6 +61,35 @@ class WarcSpec extends SparkSpec {
     assert(parsed.map(_.getLong(2)).toSeq == Seq(11L, 0L, 13L))
   }
 
+  test("streaming WET ingestion dedups across archive drops") {
+    val wetDir = java.nio.file.Files
+      .createTempDirectory("graft-wet-stream").toString
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft-wet-corpus").toString + "/c"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-wet-ckpt").toString
+    def drop(name: String, records: Seq[(String, String)]): Unit = {
+      val body = records.map { case (url, text) =>
+        "WARC/1.0\r\n" +
+          s"WARC-Type: conversion\r\nWARC-Target-URI: $url\r\n" +
+          "WARC-Date: 2024-06-01T12:00:00Z\r\n" +
+          s"Content-Length: ${text.length}\r\n\r\n$text\r\n\r\n"
+      }.mkString
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(wetDir, name), body)
+    }
+    drop("seg1.wet", Seq(("http://a/1", "alpha"), ("http://b/2", "beta")))
+    Warc.wetIngest(spark, wetDir, corpus, ckpt).awaitTermination()
+    // second drop: one new doc, one exact re-crawl of an ingested one
+    drop("seg2.wet", Seq(("http://c/3", "gamma"), ("http://a/1", "alpha")))
+    Warc.wetIngest(spark, wetDir, corpus, ckpt).awaitTermination()
+    val got = spark.read.parquet(corpus)
+      .select("url", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("http://a/1", "alpha"), ("http://b/2", "beta"),
+      ("http://c/3", "gamma")))
+  }
+
   test("record splitting survives many records across input splits") {
     // force multiple Hadoop splits with a small maxPartitionBytes so a
     // delimiter straddles a split boundary somewhere
