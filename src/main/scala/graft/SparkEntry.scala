@@ -1513,9 +1513,10 @@ object SparkEntry {
         val hosts = array(
           lit("xn--bcher-kva.example"), lit("XN--MNCHEN-3YA.de"),
           lit("www.xn--fiqs8s"), lit("shop.xn--p1ai"),
-          lit("xn--espaa-rta.com"), lit("plain.example.co.uk"))
+          lit("xn--espaa-rta.com"), lit("plain.example.co.uk"),
+          lit("münchen.de"), lit("www.中国"))
         val u = concat(lit("https://"),
-          element_at(hosts, (col("doc_id") % 6 + 1).cast("int")),
+          element_at(hosts, (col("doc_id") % 8 + 1).cast("int")),
           lit("/p"))
         graft.plans.NativeFunctions.register(s)
         s.read.parquet(pq(d, "documents")).where(col("doc_id") < 200)
@@ -1525,14 +1526,16 @@ object SparkEntry {
             graft.functions.Urls.urlIdnHost(u, ascii = true)
               .as("host_ascii"))
       },
-      Some("""WITH h AS (SELECT doc_id, CAST(doc_id % 6 AS INT) AS k,
-                lower(CASE CAST(doc_id % 6 AS INT)
+      Some("""WITH h AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS k,
+                lower(CASE CAST(doc_id % 8 AS INT)
                   WHEN 0 THEN 'xn--bcher-kva.example'
                   WHEN 1 THEN 'XN--MNCHEN-3YA.de'
                   WHEN 2 THEN 'www.xn--fiqs8s'
                   WHEN 3 THEN 'shop.xn--p1ai'
                   WHEN 4 THEN 'xn--espaa-rta.com'
-                  ELSE 'plain.example.co.uk' END) AS host
+                  WHEN 5 THEN 'plain.example.co.uk'
+                  WHEN 6 THEN 'münchen.de'
+                  ELSE 'www.中国' END) AS host
                 FROM documents WHERE doc_id < 200)
               SELECT doc_id, host,
                 CASE k WHEN 0 THEN 'bücher.example'
@@ -1540,8 +1543,17 @@ object SparkEntry {
                   WHEN 2 THEN 'www.中国'
                   WHEN 3 THEN 'shop.рф'
                   WHEN 4 THEN 'españa.com'
-                  ELSE 'plain.example.co.uk' END AS host_unicode,
-                host AS host_ascii
+                  WHEN 5 THEN 'plain.example.co.uk'
+                  WHEN 6 THEN 'münchen.de'
+                  ELSE 'www.中国' END AS host_unicode,
+                CASE k WHEN 0 THEN 'xn--bcher-kva.example'
+                  WHEN 1 THEN 'xn--mnchen-3ya.de'
+                  WHEN 2 THEN 'www.xn--fiqs8s'
+                  WHEN 3 THEN 'shop.xn--p1ai'
+                  WHEN 4 THEN 'xn--espaa-rta.com'
+                  WHEN 5 THEN 'plain.example.co.uk'
+                  WHEN 6 THEN 'xn--mnchen-3ya.de'
+                  ELSE 'www.xn--fiqs8s' END AS host_ascii
               FROM h""")),
 
     // BPE merge-pair statistics (Sennrich et al. 2016): top-20
@@ -2090,6 +2102,32 @@ object SparkEntry {
                 (SELECT embedding FROM embeddings WHERE vec_id = 0))
                 AS DOUBLE), 4) AS cosine
               FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10""")),
+
+    // hard-negative mining (DPR-style): per anchor, the most-similar
+    // vectors with a DIFFERENT label — exact scan with the label
+    // inequality ahead of the window; oracle replays cosine + rank
+    Q("q_hard_negatives",
+      (s, d) => {
+        val emb = s.read.parquet(pq(d, "embeddings"))
+        val anchors = emb.where(col("vec_id") < 5)
+          .select(col("vec_id").as("anchor_id"),
+            col("embedding").as("av"), col("label").as("albl"))
+        graft.operators.Similarity.hardNegatives(emb, anchors,
+          "vec_id", "embedding", "label", "anchor_id", "av", "albl",
+          k = 5)
+      },
+      Some("""SELECT anchor_id, vec_id, label, cosine, rank FROM (
+                SELECT a.vec_id AS anchor_id, e.vec_id AS vec_id,
+                  e.label,
+                  ROUND(CAST(list_cosine_similarity(e.embedding,
+                    a.embedding) AS DOUBLE), 4) AS cosine,
+                  ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                    ORDER BY ROUND(CAST(list_cosine_similarity(
+                      e.embedding, a.embedding) AS DOUBLE), 4) DESC,
+                      e.vec_id) AS rank
+                FROM embeddings e, embeddings a
+                WHERE a.vec_id < 5 AND e.label <> a.label) t
+              WHERE rank <= 5""")),
 
     Q("q_ann_topk_per_query",
       (s, d) => {

@@ -127,6 +127,44 @@ object Similarity {
   }
 
   /**
+   * Hard-negative mining for contrastive / retrieval training: per
+   * anchor, the `k` most-similar corpus items carrying a DIFFERENT
+   * label — the near-boundary negatives (high cosine, wrong class)
+   * that make embedding training data informative (in-batch random
+   * negatives are mostly easy; mined hard negatives are the standard
+   * upgrade — e.g. DPR, Karpukhin et al. 2020, public). Output
+   * `(anchorId, corpusId, corpusLabel, cosine, rank)`.
+   *
+   * Shape: [[topKPerQuery]]'s broadcast scan with the label
+   * inequality applied BEFORE the window, so same-label pairs never
+   * enter the rank. Anchor/corpus column names must differ (rename on
+   * the way in, as with the other query-set APIs). Scale path: swap
+   * the exact scan for [[ivfTopK]] candidates + the same label filter
+   * — mining tolerates approximate retrieval by construction.
+   */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame,
+                    corpusId: String, corpusVec: String,
+                    corpusLabel: String,
+                    anchorId: String, anchorVec: String,
+                    anchorLabel: String,
+                    k: Int, useNative: Boolean = true): DataFrame = {
+    val cos = cosineFn(corpus, useNative)
+    val joined = corpus.select(col(corpusId), col(corpusLabel),
+        col(corpusVec).cast("array<double>").as("__cv"))
+      .crossJoin(broadcast(anchors.select(col(anchorId),
+        col(anchorLabel).as("__albl"),
+        col(anchorVec).cast("array<double>").as("__qv"))))
+      .where(col(corpusLabel) =!= col("__albl"))
+      .withColumn("cosine", round(cos(col("__cv"), col("__qv")), 4))
+    val w = Window.partitionBy(col(anchorId))
+      .orderBy(col("cosine").desc, col(corpusId))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(anchorId), col(corpusId), col(corpusLabel),
+        col("cosine"), col("rank"))
+  }
+
+  /**
    * LSH-bucketed ANN top-k per query: corpus and queries bucketed by
    * [[hyperplaneBucket]]; candidates scored only within the query's
    * bucket. Recall/cost dial: fewer `planes` → bigger buckets → higher

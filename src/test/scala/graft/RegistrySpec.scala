@@ -10,8 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("registry counts match the documented surface") {
-    assert(SparkEntry.queries.size == 148)
-    assert(SparkEntry.oracleSql.size == 141)
+    assert(SparkEntry.queries.size == 149)
+    assert(SparkEntry.oracleSql.size == 142)
   }
 
   test("every oracle belongs to a registered query") {

@@ -105,6 +105,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(0).getLong(1) == 42L && got(0).getDouble(2) == 1.0)
   }
 
+  test("hardNegatives: same-label items never appear, ranks are dense") {
+    val corpus = (0 until 100).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 8 + j).toFloat),
+        (i % 3)))
+      .toDF("vec_id", "embedding", "label")
+    val anchors = corpus.where($"vec_id" < 4)
+      .select($"vec_id".as("anchor_id"), $"embedding".as("av"),
+        $"label".as("albl"))
+    val got = Similarity.hardNegatives(corpus, anchors,
+      "vec_id", "embedding", "label", "anchor_id", "av", "albl", k = 5)
+      .collect()
+    assert(got.length == 20) // 4 anchors x 5 negatives
+    val labelOf = (0 until 100).map(i => i.toLong -> (i % 3)).toMap
+    got.foreach { r =>
+      val anchor = r.getLong(0)
+      assert(r.getInt(2) != labelOf(anchor),
+        s"anchor $anchor got same-label negative ${r.getLong(1)}")
+      assert(r.getInt(2) == labelOf(r.getLong(1)))
+    }
+    // top negative for an anchor identical to a wrong-label vector is
+    // that vector at cosine 1.0: anchor 0 (label 0) vs planted copy
+    val planted = corpus.unionByName(Seq(
+      (500L, Seq.tabulate(8)(j => math.sin(0 * 8 + j).toFloat), 1))
+      .toDF("vec_id", "embedding", "label"))
+    val top = Similarity.hardNegatives(planted,
+      anchors.where($"anchor_id" === 0),
+      "vec_id", "embedding", "label", "anchor_id", "av", "albl", k = 1)
+      .collect()(0)
+    assert(top.getLong(1) == 500L && top.getDouble(3) == 1.0)
+  }
+
   test("recallAtK: exact-vs-exact is 1.0; approx recall in [0,1]") {
     val corpus = (0 until 100).map(i =>
       (i.toLong, Seq.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
