@@ -2437,11 +2437,14 @@ object SparkEntry {
                 ON a.i < b.i AND a.i % 40 = b.i % 40""")),
 
     // WET (Common Crawl text-extract) record parsing: render each doc
-    // as a WARC conversion record, parse it back with the codegen'd
-    // regexp layer. The oracle is ANALYTIC — expected fields written
-    // directly from the source columns, not by replaying the regex —
-    // so a parse bug cannot cancel itself out. File-level record
-    // splitting (custom lineSep across Hadoop splits) is WarcSpec-tier.
+    // as a WARC conversion record (version line, octet
+    // Content-Length, blank-line terminator), parse it back with the
+    // codegen'd regexp layer — the payload round-trips EXACTLY (one
+    // terminator stripped, content newlines preserved). The oracle is
+    // ANALYTIC — expected fields written directly from the source
+    // columns, not by replaying the regex — so a parse bug cannot
+    // cancel itself out. File-level record splitting (custom lineSep
+    // across Hadoop splits) is WarcSpec-tier.
     Q("q_wet_parse",
       (s, d) => {
         val docs = s.read.parquet(pq(d, "documents"))
@@ -2454,8 +2457,8 @@ object SparkEntry {
       Some("""SELECT 'https://example.com/doc/' ||
                 CAST(doc_id AS VARCHAR) AS url,
               '2024-01-01T00:00:00Z' AS warc_date,
-              CAST(length(text) AS BIGINT) AS content_length,
-              regexp_replace(text, '[\r\n]+$', '') AS text
+              CAST(strlen(text) AS BIGINT) AS content_length,
+              text
               FROM documents""")),
 
     // salting must be semantically invisible: oracle is the plain join

@@ -280,8 +280,11 @@ object Multimodal {
       val zcr = new Array[Int](segs)
       var j = 0
       while (j < segs) {
-        val s0 = math.max(j * n / segs, 1)
-        val s1 = math.max(s0 + 1, (j + 1) * n / segs)
+        // clamp to the sample count: a clip shorter than the segment
+        // grid (even 1 sample) yields empty/degenerate segments with
+        // zcr 0, never an out-of-bounds read
+        val s0 = math.min(math.max(j * n / segs, 1), n)
+        val s1 = math.min(math.max(s0 + 1, (j + 1) * n / segs), n)
         var c = 0
         var k = s0
         while (k < s1) {
@@ -570,11 +573,16 @@ object Multimodal {
   /** Perceptual hashes for the image rows: `(media_id, phash)` — the
     * fingerprint-once projection (narrow mapPartitions, payloads never
     * shuffle; store this table and re-block on parameter changes, the
-    * [[graft.operators.Dedup.simhashPairsFromFingerprints]] contract). */
+    * [[graft.operators.Dedup.simhashPairsFromFingerprints]] contract).
+    * Undecodable payloads are SKIPPED, not thrown — one corrupt image
+    * in a crawl-scale corpus must not abort the whole near-dup job
+    * (the [[graft.sources.Warc]] degrade-don't-fail discipline). */
   def imageHashes(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "image")
-      .map(r => (r.media_id, Codec.imagePHash(r.bytes)))
+      .flatMap(r =>
+        scala.util.Try((r.media_id, Codec.imagePHash(r.bytes)))
+          .toOption)
       .toDF("media_id", "phash")
   }
 
@@ -626,10 +634,14 @@ object Multimodal {
   def videoHashes(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video")
-      .map { r =>
-        val frames = Codec.splitMjpegFrames(r.bytes)
-        require(frames.nonEmpty, "no decodable MJPEG frames")
-        (r.media_id, Codec.imagePHash(frames(frames.length / 2)))
+      .flatMap { r =>
+        // corrupt/frameless clips are skipped, not thrown — the
+        // imageHashes degrade-don't-fail contract
+        scala.util.Try {
+          val frames = Codec.splitMjpegFrames(r.bytes)
+          require(frames.nonEmpty, "no decodable MJPEG frames")
+          (r.media_id, Codec.imagePHash(frames(frames.length / 2)))
+        }.toOption
       }
       .toDF("media_id", "vfp")
   }
@@ -642,11 +654,13 @@ object Multimodal {
       videoHashes(media), "media_id", "vfp", maxHamming, maxBucket)
 
   /** Audio fingerprints for the audio rows: `(media_id, afp)` — same
-    * fingerprint-once contract as [[imageHashes]]. */
+    * fingerprint-once, skip-corrupt contract as [[imageHashes]]. */
   def audioHashes(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "audio")
-      .map(r => (r.media_id, Codec.audioFingerprint(r.bytes)))
+      .flatMap(r =>
+        scala.util.Try((r.media_id, Codec.audioFingerprint(r.bytes)))
+          .toOption)
       .toDF("media_id", "afp")
   }
 

@@ -1699,8 +1699,6 @@ object NativeFunctions {
   def registrableDomainNative(host: Column): Column =
     call_function(registrableDomainName, host)
 
-  /** RFC 3986 percent-encoding normalization (decode unreserved,
-    * uppercase remaining hex; malformed escapes verbatim). */
   /** Greedy BPE encode (array<string> of subwords); `merges` applied
     * in rank order. Caller lowers/trims the input to taste. */
   def bpeEncodeNative(text: Column, merges: Seq[(String, String)])
@@ -1716,6 +1714,8 @@ object NativeFunctions {
     call_function(idnHostName, host,
       org.apache.spark.sql.functions.lit(toAscii))
 
+  /** RFC 3986 percent-encoding normalization (decode unreserved,
+    * uppercase remaining hex; malformed escapes verbatim). */
   def pctNormalizeNative(text: Column): Column =
     call_function(pctNormalizeName, text)
 }

@@ -287,6 +287,23 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == expected)
   }
 
+  test("corrupt payloads are skipped, not fatal, in all hash paths") {
+    import spark.implicits._
+    val junk = Array.fill[Byte](64)(0x5A)
+    val img = Multimodal.syntheticImageCorpus(spark, 3, 1).collect()
+    val mixed = spark.createDataset(
+      img.toSeq :+ MediaRow(99L, "image", junk, MediaMeta(0, 0, 0, 1)))
+    assert(Multimodal.imageHashes(mixed).count() == 3)
+    val aud = Multimodal.syntheticAudioCorpus(spark, 3, 1).collect()
+    val mixedA = spark.createDataset(
+      aud.toSeq :+ MediaRow(99L, "audio", junk, MediaMeta(0, 0, 0, 1)))
+    assert(Multimodal.audioHashes(mixedA).count() == 3)
+    val vid = Multimodal.syntheticVideoCorpus(spark, 3, 1).collect()
+    val mixedV = spark.createDataset(
+      vid.toSeq :+ MediaRow(99L, "video", junk, MediaMeta(0, 0, 0, 1)))
+    assert(Multimodal.videoHashes(mixedV).count() == 3)
+  }
+
   test("audioNearDuplicates finds exactly the planted content groups") {
     val corpus = Multimodal.syntheticAudioCorpus(spark, 15, 3)
     val pairs = Multimodal.audioNearDuplicates(corpus, maxHamming = 4)

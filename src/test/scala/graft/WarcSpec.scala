@@ -7,15 +7,19 @@ import graft.sources.Warc
 class WarcSpec extends SparkSpec {
   import spark.implicits._
 
-  private def wetFile(records: Seq[(String, String)]): String = {
-    val body = records.map { case (url, text) =>
-      "WARC/1.0\r\n" +
-        s"WARC-Type: conversion\r\nWARC-Target-URI: $url\r\n" +
-        "WARC-Date: 2024-06-01T12:00:00Z\r\n" +
-        s"Content-Length: ${text.length}\r\n\r\n$text\r\n\r\n"
-    }.mkString
+  private def record(url: String, text: String,
+                     version: String = "WARC/1.0"): String =
+    version + "\r\n" +
+      s"WARC-Type: conversion\r\nWARC-Target-URI: $url\r\n" +
+      "WARC-Date: 2024-06-01T12:00:00Z\r\n" +
+      s"Content-Length: ${text.getBytes("UTF-8").length}\r\n\r\n" +
+      text + "\r\n\r\n"
+
+  private def wetFile(records: Seq[(String, String)],
+                      version: String = "WARC/1.0"): String = {
     val f = java.nio.file.Files.createTempFile("graft-wet", ".wet")
-    java.nio.file.Files.writeString(f, body)
+    java.nio.file.Files.writeString(f,
+      records.map { case (u, t) => record(u, t, version) }.mkString)
     f.toString
   }
 
@@ -33,10 +37,27 @@ class WarcSpec extends SparkSpec {
     assert(docs.forall(_.getString(1) == "2024-06-01T12:00:00Z"))
   }
 
-  test("payload blank lines do not truncate the text") {
-    val text = "para one\n\npara two\n\npara three"
+  test("WARC/1.1 archives split correctly when the version is passed") {
+    val path = wetFile(Seq(
+      ("http://a.example/1", "one"), ("http://b.example/2", "two")),
+      version = "WARC/1.1")
+    assert(Warc.wetDocuments(spark, path, "WARC/1.1").count() == 2)
+  }
+
+  test("payload blank lines and a bare in-payload version LINE do not " +
+      "split or truncate the record") {
+    val text = "para one\n\npara two\nWARC/1.0\nnot a new record\n\nend"
     val path = wetFile(Seq(("http://x.example/p", text)))
+    val got = Warc.wetDocuments(spark, path).collect()
+    assert(got.length == 1)
+    assert(got(0).getString(3) == text)
+  }
+
+  test("content trailing newlines survive the round trip") {
+    val text = "ends with blank lines\n\n"
+    val path = wetFile(Seq(("http://t.example/n", text)))
     val got = Warc.wetDocuments(spark, path).collect()(0)
+    // only the record terminator is stripped — content bytes intact
     assert(got.getString(3) == text)
   }
 
@@ -49,16 +70,31 @@ class WarcSpec extends SparkSpec {
     assert(got(0).isNullAt(0) && got(0).isNullAt(2))
   }
 
-  test("toWetRecord ∘ parseWet is identity on newline-free text") {
-    val docs = Seq((1L, "hello world"), (2L, ""), (3L, "tab\tand space"))
+  test("hostile header values cannot shadow other headers") {
+    val f = java.nio.file.Files.createTempFile("graft-wet", ".wet")
+    java.nio.file.Files.writeString(f,
+      "WARC/1.0\r\n" +
+        "WARC-Target-URI: http://evil/?x=Content-Length: 0\r\n" +
+        "Content-Length: 7\r\n\r\npayload\r\n\r\n")
+    val got = Warc.wetDocuments(spark, f.toString).collect()(0)
+    assert(got.getString(0) == "http://evil/?x=Content-Length: 0")
+    assert(got.getLong(2) == 7L)
+    assert(got.getString(3) == "payload")
+  }
+
+  test("toWetRecord ∘ parseWet is identity; Content-Length is octets") {
+    val docs = Seq((1L, "hello world"), (2L, ""), (3L, "tab\tand space"),
+      (4L, "trailing\n\n"), (5L, "中国 bytes"))
       .toDF("id", "text")
     val parsed = Warc.parseWet(docs.select(Warc.toWetRecord(
         concat(lit("u/"), col("id").cast("string")),
         lit("2024-01-01T00:00:00Z"), col("text")).as("record")))
       .orderBy("url").collect()
     assert(parsed.map(_.getString(3)).toSeq ==
-      Seq("hello world", "", "tab\tand space"))
-    assert(parsed.map(_.getLong(2)).toSeq == Seq(11L, 0L, 13L))
+      Seq("hello world", "", "tab\tand space", "trailing\n\n",
+        "中国 bytes"))
+    assert(parsed.map(_.getLong(2)).toSeq ==
+      Seq(11L, 0L, 13L, 10L, 12L)) // 中国 = 6 octets + " bytes"
   }
 
   test("streaming WET ingestion dedups across archive drops") {
@@ -68,16 +104,10 @@ class WarcSpec extends SparkSpec {
       .createTempDirectory("graft-wet-corpus").toString + "/c"
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-wet-ckpt").toString
-    def drop(name: String, records: Seq[(String, String)]): Unit = {
-      val body = records.map { case (url, text) =>
-        "WARC/1.0\r\n" +
-          s"WARC-Type: conversion\r\nWARC-Target-URI: $url\r\n" +
-          "WARC-Date: 2024-06-01T12:00:00Z\r\n" +
-          s"Content-Length: ${text.length}\r\n\r\n$text\r\n\r\n"
-      }.mkString
+    def drop(name: String, records: Seq[(String, String)]): Unit =
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(wetDir, name), body)
-    }
+        java.nio.file.Paths.get(wetDir, name),
+        records.map { case (u, t) => record(u, t) }.mkString)
     drop("seg1.wet", Seq(("http://a/1", "alpha"), ("http://b/2", "beta")))
     Warc.wetIngest(spark, wetDir, corpus, ckpt).awaitTermination()
     // second drop: one new doc, one exact re-crawl of an ingested one
