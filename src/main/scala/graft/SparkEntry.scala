@@ -2461,6 +2461,69 @@ object SparkEntry {
               text
               FROM documents""")),
 
+    // the crawl-curation capstone: WET records → parsed docs → PSL
+    // registrable-domain keys → token-count quality gate → per-domain
+    // cap → deterministic split, ONE declarative plan (the
+    // q_pipeline_e2e pattern for the round-8 crawl surface). Every
+    // stage reuses an operator already gated on its own; the oracle
+    // composes their proven SQL replays, with the WET fields and PSL
+    // domains written analytically
+    Q("q_crawl_pipeline",
+      (s, d) => {
+        graft.plans.NativeFunctions.register(s)
+        val docs = s.read.parquet(pq(d, "documents"))
+        val hosts = array(
+          lit("www.shop.example.co.uk"), lit("news.example.co.uk"),
+          lit("a.media-site.com"), lit("b.media-site.com"),
+          lit("store.outlet.example.com.au"), lit("m.example.com.au"))
+        val url = concat(lit("https://"),
+          element_at(hosts, (col("doc_id") % 6 + 1).cast("int")),
+          lit("/doc/"), col("doc_id").cast("string"))
+        val recs = docs.select(graft.sources.Warc.toWetRecord(url,
+          lit("2024-01-01T00:00:00Z"), col("text")).as("record"))
+        val parsed = graft.sources.Warc.parseWet(recs)
+        val keyed = parsed.withColumn("domain",
+          graft.functions.Urls.urlDomain(col("url"), psl = true))
+        val gated = keyed.where(
+          graft.functions.TextAnalysis.tokenCount(col("text")) >= 5)
+        val capped = graft.operators.Sampling.capPerGroup(
+          gated, "domain", "url", cap = 40)
+        graft.operators.Sampling.splitAssign(
+          capped.select(col("url"), col("domain")), "url",
+          Seq("train" -> 0.9, "val" -> 0.1), salt = "crawl")
+      },
+      Some("""WITH base AS (SELECT doc_id,
+                'https://' || CASE CAST(doc_id % 6 AS INT)
+                  WHEN 0 THEN 'www.shop.example.co.uk'
+                  WHEN 1 THEN 'news.example.co.uk'
+                  WHEN 2 THEN 'a.media-site.com'
+                  WHEN 3 THEN 'b.media-site.com'
+                  WHEN 4 THEN 'store.outlet.example.com.au'
+                  ELSE 'm.example.com.au' END ||
+                  '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                CASE CAST(doc_id % 6 AS INT)
+                  WHEN 0 THEN 'example.co.uk'
+                  WHEN 1 THEN 'example.co.uk'
+                  WHEN 2 THEN 'media-site.com'
+                  WHEN 3 THEN 'media-site.com'
+                  ELSE 'example.com.au' END AS domain,
+                text
+                FROM documents),
+              gated AS (SELECT url, domain FROM base
+                WHERE CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END
+                  >= 5),
+              capped AS (SELECT url, domain FROM (
+                  SELECT url, domain, ROW_NUMBER() OVER (
+                    PARTITION BY domain ORDER BY md5(url), url) AS rk
+                  FROM gated)
+                WHERE rk <= 40)
+              SELECT url, domain, CASE
+                WHEN substr(md5('crawl' || url), 1, 4) < 'e666'
+                  THEN 'train'
+                ELSE 'val' END AS split
+              FROM capped""")),
+
     // salting must be semantically invisible: oracle is the plain join
     Q("q_skew_salted_join",
       (s, d) => graft.operators.Skew.saltedJoin(

@@ -10,8 +10,23 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("registry counts match the documented surface") {
-    assert(SparkEntry.queries.size == 149)
-    assert(SparkEntry.oracleSql.size == 142)
+    assert(SparkEntry.queries.size == 150)
+    assert(SparkEntry.oracleSql.size == 143)
+  }
+
+  test("no oracle lost a '||' pipe to stripMargin normalization") {
+    // oracleSql runs each literal through stripMargin + whitespace
+    // collapse; a continuation line STARTING with '||' loses its
+    // first pipe there (bit q_bpe_train_step and q_crawl_pipeline in
+    // round 8). We never use SQL bitwise OR, so a lone '|' outside
+    // string literals is always that corruption.
+    val lone = "(?<!\\|)\\|(?!\\|)".r
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val outsideLiterals = sql.replaceAll("'[^']*'", "''")
+      assert(lone.findFirstIn(outsideLiterals).isEmpty,
+        s"$name has a lone '|' outside string literals — a " +
+          "line-leading '||' was eaten by stripMargin; reflow the line")
+    }
   }
 
   test("every oracle belongs to a registered query") {
