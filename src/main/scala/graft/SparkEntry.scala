@@ -2421,6 +2421,30 @@ object SparkEntry {
                 JOIN generate_series(0, 89) b(i)
                 ON a.i < b.i AND a.i % 30 = b.i % 30""")),
 
+    // incremental media dedup: a new batch's image pHashes probe a
+    // PERSISTED fingerprint index (Dedup.simhashProbeIndex — the
+    // incremental path shared by every 64-bit fingerprint family);
+    // history is fingerprinted once, the batch joins an 8-byte column.
+    // Batch = 10 exact copies of indexed contents + 10 novel contents
+    // (distinct-content margins pinned by the MultimodalSpec fixture
+    // guard), so the match set is pure id arithmetic
+    Q("q_media_incremental_dedup",
+      (s, d) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal
+        val index = Multimodal.imageHashes(
+          Multimodal.syntheticImageCorpus(s, nContents = 40, copies = 1))
+        val batch = Multimodal.syntheticImageCorpus(s, nContents = 50,
+            copies = 1)
+          .filter(r => r.media_id < 10 || r.media_id >= 40)
+          .map(r => r.copy(media_id = r.media_id + 1000))
+        graft.operators.Dedup.simhashProbeIndex(
+          Multimodal.imageHashes(batch), index,
+          "media_id", "phash", maxHamming = 4)
+      },
+      Some("""SELECT i + 1000 AS new_id, i AS seen_id, 0 AS hamming
+              FROM generate_series(0, 9) t(i)""")),
+
     // audio near-dup: temporal zero-crossing fingerprint (real WAV
     // decode) + the shared Manku blocking — the audio member of the
     // pHash/SimHash family, same planted-content oracle construction

@@ -300,17 +300,16 @@ object Dedup {
       "id", "simhash", maxHamming, maxBucket, chunks)
   }
 
-  /**
-   * [[simhashDuplicates]] over PRECOMPUTED fingerprints — the blocking /
-   * verification stage on its own, so callers can reuse stored
-   * fingerprints (the 100 TB shape: fingerprint once, re-block on
-   * parameter changes) and tests can plant exact bit-flips.
-   */
-  def simhashPairsFromFingerprints(fps: DataFrame, idCol: String,
-                                   simhashCol: String,
-                                   maxHamming: Int = 3,
-                                   maxBucket: Int = 1000,
-                                   chunks: Int = 0): DataFrame = {
+  /** Shared Manku family keying: one `(outId, __fp, family, fam_key)`
+    * row per C(m, m−maxHamming) chunk combination — the single
+    * definition behind the within-set pair expansion
+    * ([[simhashPairsFromFingerprints]]) and the batch-vs-index probe
+    * ([[simhashProbeIndex]]), so the two paths cannot drift on chunk
+    * layout or key packing. */
+  private def simhashFamilyKeyed(fps: DataFrame, idCol: String,
+                                 simhashCol: String, outId: String,
+                                 maxHamming: Int,
+                                 chunks: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 63,
       s"maxHamming must be in [0, 63), got $maxHamming")
     val nChunks = if (chunks > 0) chunks else maxHamming + 2
@@ -329,12 +328,10 @@ object Dedup {
     val bounds = (0 until nChunks).scanLeft((0, 0)) { case ((s, w), c) =>
       (s + w, if (c < rem) base + 1 else base)
     }.tail
-    val withSim = fps.select(col(idCol).as("id"),
-      col(simhashCol).as("simhash"))
     def chunkVal(c: Int): Column = {
       val (start, width) = bounds(c)
       val mask = if (width == 64) -1L else (1L << width) - 1L
-      call_function("shiftright", col("simhash"), lit(start))
+      call_function("shiftright", col("__fp"), lit(start))
         .bitwiseAND(lit(mask))
     }
     // one key per family: the selected chunks' bits packed into a long
@@ -344,9 +341,73 @@ object Dedup {
         call_function("shiftleft", acc, lit(bounds(c)._2))
           .bitwiseOR(chunkVal(c))
       }).toSeq
-    val keyed = withSim.select(col("id"), col("simhash"),
-      posexplode(array(familyKeys: _*)))
-      .withColumnRenamed("pos", "family").withColumnRenamed("col", "fam_key")
+    fps.select(col(idCol).as(outId), col(simhashCol).as("__fp"))
+      .select(col(outId), col("__fp"),
+        posexplode(array(familyKeys: _*)))
+      .withColumnRenamed("pos", "family")
+      .withColumnRenamed("col", "fam_key")
+  }
+
+  /**
+   * Hamming-distance probe of a NEW batch's 64-bit fingerprints
+   * against a PERSISTED fingerprint index `(idCol, simhashCol)` —
+   * the incremental form of [[simhashPairsFromFingerprints]], and the
+   * incremental path for ALL the 64-bit fingerprint families (text
+   * SimHash, image pHash, audio ZCR, video middle-frame): history is
+   * fingerprinted ONCE and participates per batch through an 8-byte
+   * column scan, never re-decoded or re-tokenized. Returns
+   * `(new_id, seen_id, hamming)` with Hamming ≤ `maxHamming`.
+   *
+   * Per-batch shape (the [[incrementalMinhashAgainstIndex]]
+   * discipline): index keys are regenerated in-plan from the stored
+   * longs (nothing but `(id, fingerprint)` is persisted), restricted
+   * to the BATCH's keys by a broadcast semi-join before any
+   * aggregation, hot keys (> `maxBucket` index rows) excluded and
+   * counted in the `graft_buckets` observe metric — never a silent
+   * recall cut.
+   */
+  def simhashProbeIndex(batch: DataFrame, index: DataFrame,
+                        idCol: String, simhashCol: String,
+                        maxHamming: Int = 3,
+                        maxBucket: Int = 1000,
+                        chunks: Int = 0): DataFrame = {
+    val bk = simhashFamilyKeyed(batch, idCol, simhashCol, "new_id",
+        maxHamming, chunks)
+      .withColumnRenamed("__fp", "__fp_n")
+    val ik = simhashFamilyKeyed(index, idCol, simhashCol, "seen_id",
+        maxHamming, chunks)
+      .withColumnRenamed("__fp", "__fp_s")
+    val touched = ik.join(
+      bk.select(col("family"), col("fam_key")).distinct(),
+      Seq("family", "fam_key"), "left_semi")
+    val hotKeys = observeBuckets(
+      touched.groupBy(col("family"), col("fam_key"))
+        .agg(count(lit(1)).as("__n")),
+      col("__n"), maxBucket, "graft_buckets")
+      .where(col("__n") > maxBucket)
+      .select(col("family"), col("fam_key"))
+    bk.join(hotKeys, Seq("family", "fam_key"), "left_anti")
+      .join(touched, Seq("family", "fam_key"))
+      .select(col("new_id"), col("seen_id"),
+        hamming(col("__fp_n"), col("__fp_s")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /**
+   * [[simhashDuplicates]] over PRECOMPUTED fingerprints — the blocking /
+   * verification stage on its own, so callers can reuse stored
+   * fingerprints (the 100 TB shape: fingerprint once, re-block on
+   * parameter changes) and tests can plant exact bit-flips.
+   */
+  def simhashPairsFromFingerprints(fps: DataFrame, idCol: String,
+                                   simhashCol: String,
+                                   maxHamming: Int = 3,
+                                   maxBucket: Int = 1000,
+                                   chunks: Int = 0): DataFrame = {
+    val keyed = simhashFamilyKeyed(fps, idCol, simhashCol, "id",
+      maxHamming, chunks)
+      .withColumnRenamed("__fp", "simhash")
     // collect (id, simhash) per family bucket and verify Hamming INSIDE
     // the pair expansion: only ≤maxHamming pairs ever leave the bucket.
     // Bucket cap = skew guard (a degenerate key shared by a huge cohort —

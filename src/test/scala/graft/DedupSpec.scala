@@ -122,6 +122,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhashProbeIndex: full recall on planted flips, none beyond, " +
+      "≡ brute force") {
+    val rnd = new scala.util.Random(77)
+    val index = (0 until 25).map(i => (i.toLong, rnd.nextLong()))
+    val fpOf = index.toMap
+    // batch: for each indexed id i, a probe at exactly (i % 10) flips —
+    // ≤8 must match, 9 must not
+    val batch = index.map { case (i, fp) =>
+      val flips = rnd.shuffle((0 until 64).toList).take((i % 10).toInt)
+      (i + 1000L, flips.foldLeft(fp)((a, p) => a ^ (1L << p)))
+    }
+    val got = Dedup.simhashProbeIndex(batch.toDF("id", "fp"),
+        index.toDF("id", "fp"), "id", "fp", maxHamming = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+      .toMap
+    // brute force over batch × index
+    val exp = (for {
+      (bi, bfp) <- batch; (si, sfp) <- index
+      d = java.lang.Long.bitCount(bfp ^ sfp) if d <= 8
+    } yield ((bi, si), d)).toMap
+    assert(got == exp)
+    assert(exp.contains((1000L, 0L)) && !got.keySet.exists(_._1 == 1009L))
+  }
+
   test("simhash blocking excludes pairs beyond maxHamming") {
     val fp = 0x0123456789ABCDEFL
     val flipped9 = (0 until 9).foldLeft(fp)((a, p) => a ^ (1L << (p * 7)))
