@@ -2485,6 +2485,41 @@ object SparkEntry {
               text
               FROM documents""")),
 
+    // curation-funnel accounting: survivor counts through each
+    // cumulative quality-gate prefix in ONE aggregation pass (N
+    // filter+count stages would be N corpus scans); every predicate
+    // replays verbatim in the oracle
+    Q("q_gate_funnel",
+      (s, d) => {
+        val docs = s.read.parquet(pq(d, "documents"))
+        graft.operators.Analytics.gateFunnel(docs, Seq(
+          "nonempty" -> (length(trim(col("text"))) > 0),
+          "min_tokens" ->
+            (graft.functions.TextAnalysis.tokenCount(col("text")) >= 5),
+          "is_en" -> (col("lang") === "en"),
+          "alpha_half" ->
+            (graft.functions.TextAnalysis.alphaRatio(col("text"))
+              >= 0.5)))
+      },
+      Some("""WITH g AS (SELECT
+                length(trim(text)) > 0 AS g1,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END
+                  >= 5 AS g2,
+                lang = 'en' AS g3,
+                CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text, '[^\p{L}]', '',
+                    'g')) AS DOUBLE) / length(text) END >= 0.5 AS g4
+                FROM documents)
+              SELECT COUNT(*) AS rows_in,
+                SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS nonempty,
+                SUM(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS min_tokens,
+                SUM(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END)
+                  AS is_en,
+                SUM(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END)
+                  AS alpha_half
+              FROM g""")),
+
     // the crawl-curation capstone: WET records → parsed docs → PSL
     // registrable-domain keys → token-count quality gate → per-domain
     // cap → deterministic split, ONE declarative plan (the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -247,5 +247,31 @@ object Analytics {
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
         sum(when(col("__z") > zThreshold, 1L).otherwise(0L)).as("n_outliers"))
+  }
+
+  /**
+   * Curation-funnel accounting in ONE aggregation pass: for ordered
+   * quality gates `(name, predicate)`, one row with the corpus size
+   * (`rows_in`) and the survivor count through each CUMULATIVE gate
+   * prefix (column per gate, in order) — the "where did my data go"
+   * report every 100 TB curation run needs before anyone trusts its
+   * output. Running it as N `filter().count()` stages would scan the
+   * corpus N times; conditional partial aggregation makes it one
+   * map-side-combined pass whatever the gate count. Counts are exact
+   * and engine-portable as long as the predicates are (every gate in
+   * the driver-gated query replays verbatim in SQL). Gate names must
+   * be unique — they become output columns.
+   */
+  def gateFunnel(df: DataFrame, gates: Seq[(String, Column)])
+      : DataFrame = {
+    require(gates.nonEmpty, "need at least one gate")
+    val names = gates.map(_._1)
+    require(names.distinct.size == names.size,
+      s"duplicate gate names: $names")
+    val cum = gates.scanLeft(lit(true))((acc, g) => acc && g._2).tail
+    val aggs = cum.zip(names).map { case (c, n) =>
+      sum(when(c, 1L).otherwise(0L)).as(n)
+    }
+    df.agg(count(lit(1)).as("rows_in"), aggs: _*)
   }
 }

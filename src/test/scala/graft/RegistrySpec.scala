@@ -10,8 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("registry counts match the documented surface") {
-    assert(SparkEntry.queries.size == 151)
-    assert(SparkEntry.oracleSql.size == 144)
+    assert(SparkEntry.queries.size == 152)
+    assert(SparkEntry.oracleSql.size == 145)
   }
 
   test("no oracle lost a '||' pipe to stripMargin normalization") {

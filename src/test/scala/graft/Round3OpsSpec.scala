@@ -211,4 +211,31 @@ class Round3OpsSpec extends SparkSpec {
     }
     assert(got(200L) > got(1L))
   }
+
+  test("gateFunnel: cumulative survivor counts in one row, one pass") {
+    val df = Seq(
+      (1L, "good long doc here ok", "en"),
+      (2L, "", "en"),                       // fails nonempty
+      (3L, "short one", "en"),              // fails min 4 tokens
+      (4L, "vier tokens hier genau", "de"), // fails lang
+      (5L, "another fine english doc", "en"))
+      .toDF("id", "text", "lang")
+    val got = Analytics.gateFunnel(df, Seq(
+      "nonempty" -> (length(trim(col("text"))) > 0),
+      "min_tokens" -> (TextAnalysis.tokenCount(col("text")) >= 4),
+      "is_en" -> (col("lang") === "en"))).collect()(0)
+    assert(got.getLong(0) == 5L)  // rows_in
+    assert(got.getLong(1) == 4L)  // nonempty
+    assert(got.getLong(2) == 3L)  // + >=4 tokens
+    assert(got.getLong(3) == 2L)  // + en
+    // one aggregation pass: no joins, a single Aggregate pair
+    val plan = Analytics.gateFunnel(df,
+      Seq("a" -> lit(true), "b" -> lit(false)))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    // gates must be uniquely named
+    assertThrows[IllegalArgumentException] {
+      Analytics.gateFunnel(df, Seq("x" -> lit(true), "x" -> lit(true)))
+    }
+  }
 }
