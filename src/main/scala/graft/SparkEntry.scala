@@ -3735,8 +3735,14 @@ object SparkEntry {
     registry.map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * Whitespace runs collapse to one space — INCLUDING inside string
+    * literals, so multi-space literals must be built as expressions
+    * (`repeat(' ', 2)`, the BPE oracles). No `stripMargin`: it was a
+    * no-op for every legitimate literal and destructively ate the
+    * first pipe of any line-leading `||` (bit two round-8 oracles;
+    * RegistrySpec's lone-pipe guard keeps the class out). */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(o =>
-      q.name -> o.stripMargin.replaceAll("\\s+", " ").trim)).toMap
+      q.name -> o.replaceAll("\\s+", " ").trim)).toMap
 }

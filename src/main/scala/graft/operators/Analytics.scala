@@ -268,9 +268,13 @@ object Analytics {
     val names = gates.map(_._1)
     require(names.distinct.size == names.size,
       s"duplicate gate names: $names")
+    require(!names.contains("rows_in"),
+      "'rows_in' is the reserved corpus-size column")
     val cum = gates.scanLeft(lit(true))((acc, g) => acc && g._2).tail
+    // coalesce: sum over an EMPTY corpus is null in SQL, but this is
+    // a counting report — 0 is the honest value
     val aggs = cum.zip(names).map { case (c, n) =>
-      sum(when(c, 1L).otherwise(0L)).as(n)
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L)).as(n)
     }
     df.agg(count(lit(1)).as("rows_in"), aggs: _*)
   }

@@ -126,7 +126,6 @@ class DedupSpec extends SparkSpec {
       "≡ brute force") {
     val rnd = new scala.util.Random(77)
     val index = (0 until 25).map(i => (i.toLong, rnd.nextLong()))
-    val fpOf = index.toMap
     // batch: for each indexed id i, a probe at exactly (i % 10) flips —
     // ≤8 must match, 9 must not
     val batch = index.map { case (i, fp) =>

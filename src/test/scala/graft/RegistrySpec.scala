@@ -14,18 +14,19 @@ class RegistrySpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.size == 145)
   }
 
-  test("no oracle lost a '||' pipe to stripMargin normalization") {
-    // oracleSql runs each literal through stripMargin + whitespace
-    // collapse; a continuation line STARTING with '||' loses its
-    // first pipe there (bit q_bpe_train_step and q_crawl_pipeline in
-    // round 8). We never use SQL bitwise OR, so a lone '|' outside
-    // string literals is always that corruption.
+  test("no oracle carries a lone '|' outside string literals") {
+    // the round-8 oracleSql normalization once included stripMargin,
+    // which ate the first pipe of any line-leading '||' (two oracles
+    // bitten before removal). stripMargin is gone; this guard keeps
+    // the corruption class out for good — we never use SQL bitwise
+    // OR, so a lone '|' outside string literals is always a mangled
+    // concatenation.
     val lone = "(?<!\\|)\\|(?!\\|)".r
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       val outsideLiterals = sql.replaceAll("'[^']*'", "''")
       assert(lone.findFirstIn(outsideLiterals).isEmpty,
-        s"$name has a lone '|' outside string literals — a " +
-          "line-leading '||' was eaten by stripMargin; reflow the line")
+        s"$name has a lone '|' outside string literals — a mangled " +
+          "'||' concatenation; check the oracle literal")
     }
   }
 

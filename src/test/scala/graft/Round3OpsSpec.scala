@@ -233,9 +233,16 @@ class Round3OpsSpec extends SparkSpec {
       Seq("a" -> lit(true), "b" -> lit(false)))
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("Join"), plan)
-    // gates must be uniquely named
+    // gates must be uniquely named and may not shadow rows_in
     assertThrows[IllegalArgumentException] {
       Analytics.gateFunnel(df, Seq("x" -> lit(true), "x" -> lit(true)))
     }
+    assertThrows[IllegalArgumentException] {
+      Analytics.gateFunnel(df, Seq("rows_in" -> lit(true)))
+    }
+    // empty corpus reports zeros, not nulls
+    val empty = Analytics.gateFunnel(df.where(lit(false)),
+      Seq("g" -> lit(true))).collect()(0)
+    assert(empty.getLong(0) == 0L && empty.getLong(1) == 0L)
   }
 }
