@@ -154,6 +154,30 @@ object Bpe {
   def encode(text: Column, merges: Seq[(String, String)]): Column =
     NativeFunctions.bpeEncodeNative(text, merges)
 
+  /** Persist a trained merge list as a tiny parquet table
+    * `(rank, left, right, cnt)` — the tokenizer artifact: train once
+    * on a sample, [[loadMerges]] + [[encode]] everywhere after (the
+    * merge list rides into the plan as a literal, so a persisted
+    * tokenizer costs one vocabulary-scale read at plan time). */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[(String, String, Long)],
+                 path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b, cnt), r) => (r, a, b, cnt) }
+      .toDF("rank", "left", "right", "cnt")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveMerges]] artifact back in rank order. The collect is
+    * merge-list-sized (vocabulary-scale, the centroid-literal class). */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy(col("rank"))
+      .select(col("left"), col("right"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getString(1)))
+
   /** Fixed demonstration merge list for the driver-gate query — a
     * plausible English prefix (hierarchical: `a+n` then `an+d`) plus
     * a same-symbol merge (`e+e`) to exercise the run-adjacency edge

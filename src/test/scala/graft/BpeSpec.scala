@@ -130,6 +130,25 @@ class BpeSpec extends SparkSpec {
     assert(got == Map("a a" -> 4L, "b b" -> 1L))
   }
 
+  test("merges round-trip through save/load; encode is unchanged") {
+    NativeFunctions.register(spark)
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(6)("newest") ++
+      Seq.fill(3)("widest")).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val trained = Bpe.trainBpe(docs, "text", numMerges = 6,
+      minPairCount = 1L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bpe").toString + "/m"
+    Bpe.saveMerges(spark, trained, dir)
+    val loaded = Bpe.loadMerges(spark, dir)
+    assert(loaded == trained.map(m => (m._1, m._2)))
+    val a = docs.select(Bpe.encode(col("text"),
+      trained.map(m => (m._1, m._2))).as("s")).collect().map(_.getSeq[String](0))
+    val b = docs.select(Bpe.encode(col("text"), loaded).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("pairCountsWithMerges matches an independent recount after a merge") {
     val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
       Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
