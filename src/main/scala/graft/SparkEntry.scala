@@ -3725,7 +3725,137 @@ object SparkEntry {
                   WHEN substr(md5('cur' || CAST(doc_id AS VARCHAR)),
                     1, 4) < 'e666' THEN 'val'
                   ELSE 'test' END AS split
-              FROM capped""")))
+              FROM capped""")),
+
+    // Bloom-gated semi-join reduction: lineitem joined to a selective
+    // part slice with the big side pre-filtered at the scan by the
+    // small side's key sketch — no false negatives, so the gated join
+    // ≡ the plain join the oracle runs. The 100 TB shape: only
+    // probable matches enter the shuffle.
+    Q("q_bloom_join",
+      (s, d) => {
+        val li = s.read.parquet(pq(d, "lineitem"))
+          .select(col("l_partkey"), col("l_quantity"))
+        val pt = s.read.parquet(pq(d, "part"))
+          .where(col("p_size") === 1)
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+        graft.operators.Skew.bloomGatedJoin(li, pt, Seq("l_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT p_brand, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+                COUNT(*) AS n
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_size = 1
+              GROUP BY p_brand""")),
+
+    // k-NN label propagation: every 5th vector "loses" its label and
+    // gets the majority label of its 5 nearest labeled neighbors —
+    // count ties break toward the smaller label, so the prediction is
+    // a pure function of the data (full SQL replay)
+    Q("q_knn_label",
+      (s, d) => {
+        val emb = s.read.parquet(pq(d, "embeddings"))
+        val unl = emb.where(col("vec_id") % 5 === 0)
+          .select(col("vec_id"), col("embedding"))
+        val lab = emb.where(col("vec_id") % 5 =!= 0)
+          .select(col("vec_id").as("nbr_id"),
+            col("embedding").as("nv"), col("label"))
+        graft.plans.NativeFunctions.register(s)
+        graft.operators.Similarity.knnLabel(unl, lab,
+          "vec_id", "embedding", "nbr_id", "nv", "label", k = 5)
+      },
+      Some("""WITH pairs AS (SELECT u.vec_id, l.vec_id AS nbr_id,
+                  l.label,
+                  ROUND(CAST(list_cosine_similarity(u.embedding,
+                    l.embedding) AS DOUBLE), 4) AS c
+                FROM embeddings u, embeddings l
+                WHERE u.vec_id % 5 = 0 AND l.vec_id % 5 <> 0),
+              nn AS (SELECT vec_id, label FROM (
+                  SELECT vec_id, label, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY c DESC, nbr_id) AS rk
+                  FROM pairs) WHERE rk <= 5),
+              votes AS (SELECT vec_id, label, COUNT(*) AS votes
+                FROM nn GROUP BY vec_id, label)
+              SELECT vec_id, label, votes FROM (
+                SELECT vec_id, label, votes, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id ORDER BY votes DESC, label) AS vr
+                FROM votes) WHERE vr = 1""")),
+
+    // deterministic training-order shuffle: shard by the first hex
+    // digit of md5(salt||id), position within shard by the full hash —
+    // shard-major order IS the reproducible shuffle, with no global
+    // sort anywhere in the plan
+    Q("q_shuffle_deterministic",
+      (s, d) => graft.operators.Sampling.deterministicShuffle(
+          s.read.parquet(pq(d, "documents")).select(col("doc_id")),
+          "doc_id", shards = 8, salt = "ep0")
+        .select(col("doc_id"), col("shard"), col("pos")),
+      Some("""WITH h AS (SELECT doc_id,
+                  md5('ep0' || CAST(doc_id AS VARCHAR)) AS h
+                FROM documents)
+              SELECT doc_id,
+                (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 8
+                  AS shard,
+                ROW_NUMBER() OVER (
+                  PARTITION BY (strpos('0123456789abcdef',
+                    substr(h, 1, 1)) - 1) % 8
+                  ORDER BY h, doc_id) AS pos
+              FROM h""")),
+
+    // round-robin source interleave: batch b takes the b-th document
+    // of every source in reproducible hash order — the source-balanced
+    // training data order; per-source window, never global
+    Q("q_interleave_sources",
+      (s, d) => graft.operators.Sampling.interleaveBySource(
+          s.read.parquet(pq(d, "documents"))
+            .select(col("doc_id"), col("source")),
+          "source", "doc_id", salt = "ep0"),
+      Some("""SELECT doc_id, source,
+                ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY md5('ep0' || CAST(doc_id AS VARCHAR)),
+                    doc_id) - 1 AS batch
+              FROM documents""")),
+
+    // deterministic fixed-size sample: exactly 100 docs by stable hash
+    // order — TakeOrderedAndProject, no global sort, no RNG
+    Q("q_sample_fixed_n",
+      (s, d) => graft.operators.Sampling.hashSampleN(
+        s.read.parquet(pq(d, "documents")).select(col("doc_id"), col("lang")),
+        "doc_id", n = 100, salt = "ev"),
+      Some("""SELECT doc_id, lang FROM documents
+              ORDER BY md5('ev' || CAST(doc_id AS VARCHAR)), doc_id
+              LIMIT 100""")),
+
+    // mojibake repair over planted UTF-8-as-cp1252 corruptions: the
+    // expected outputs are literal (the q_url_idn planted pattern) —
+    // single and double encoding repair, strict-validation identity on
+    // clean ASCII AND on legitimate non-ASCII ('á' is a UTF-8 lead
+    // byte under cp1252, but its neighbors fail continuation checks)
+    Q("q_fix_mojibake",
+      (s, d) => {
+        val planted = array(
+          lit("cafÃ©"), lit("naÃ¯ve donâ€™t"), lit("Â°C and Â£5"),
+          lit("clean ascii text"), lit("já correct é"),
+          lit("cafÃƒÂ©"), lit("ðŸ˜€ ok"))
+        graft.plans.NativeFunctions.register(s)
+        s.read.parquet(pq(d, "documents")).where(col("doc_id") < 200)
+          .select(col("doc_id"),
+            graft.plans.NativeFunctions.fixMojibakeNative(
+              element_at(planted, (col("doc_id") % 7 + 1).cast("int")))
+              .as("fixed"))
+      },
+      Some("""SELECT doc_id,
+                CASE CAST(doc_id % 7 AS INT)
+                  WHEN 0 THEN 'café'
+                  WHEN 1 THEN 'naïve don’t'
+                  WHEN 2 THEN '°C and £5'
+                  WHEN 3 THEN 'clean ascii text'
+                  WHEN 4 THEN 'já correct é'
+                  WHEN 5 THEN 'café'
+                  ELSE '😀 ok' END AS fixed
+              FROM documents WHERE doc_id < 200""")))
 
   private val registry: Seq[Q] =
     parity ++ extensions ++ pipelines ++ round3 ++ round6

@@ -213,4 +213,81 @@ object Sampling {
       .where(col("__rk") <= cap)
       .drop("__rk")
   }
+
+  /**
+   * Deterministic training-order shuffle: every training run needs the
+   * corpus in a uniform-random order that is REPRODUCIBLE (checkpoint
+   * resume, ablation reruns, bug bisection) — a `rand()`-keyed sort is
+   * partition-layout-dependent and unrerunnable. Here the order is a
+   * pure function of (key, salt): rows are sharded by the first hex
+   * digit of `md5(salt || key)` and positioned within their shard by
+   * the full hash (key tiebreak for hash collisions), yielding
+   * `(shard, pos)` — shard-major traversal IS the shuffled order, and
+   * changing `salt` is a fresh epoch-level reshuffle with zero state.
+   *
+   * Scale shape: one hash shuffle on the shard key + a per-shard sort
+   * — NEVER a global total-order sort (a range exchange over 100 TB);
+   * shard-major order makes the global position unnecessary, and each
+   * shard is written/consumed as its own file set. `shards` must
+   * divide 16 (shard = hex digit mod shards) so the digit → shard map
+   * is uniform and replayable by any engine with `md5` + `strpos`.
+   */
+  def deterministicShuffle(df: DataFrame, keyCol: String,
+                           shards: Int = 16,
+                           salt: String = ""): DataFrame = {
+    require(shards >= 1 && 16 % shards == 0,
+      s"shards must divide 16 (uniform hex-digit map), got $shards")
+    val h = md5(concat(lit(salt), col(keyCol).cast("string")))
+    val shard = pmod(instr(lit("0123456789abcdef"), substring(h, 1, 1)) - 1,
+      lit(shards))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard"))
+      .orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", h).withColumn("__shard", shard)
+      .withColumn("pos", row_number().over(w))
+      .withColumn("shard", col("__shard"))
+      .drop("__h", "__shard")
+  }
+
+  /**
+   * Deterministic fixed-size uniform sample: exactly `n` rows (fewer
+   * only if the input is smaller), the ones ranking first by
+   * `(md5(salt || key), key)` — the fixed-COUNT counterpart of
+   * [[hashSample]]'s fixed-RATE keep, for "give me exactly 10k docs
+   * for the eval set" requests where a fraction under- or overshoots.
+   * Same determinism contract: membership is a pure function of
+   * (key, salt, n), stable across runs, partitionings, and engines.
+   * Plans as TakeOrderedAndProject (per-partition top-n, n-row driver
+   * merge) — no global sort, no reservoir state, unlike
+   * `df.sample`'s partition-seeded RNG or RDD `takeSample`'s
+   * driver-side reservoir.
+   */
+  def hashSampleN(df: DataFrame, keyCol: String, n: Int,
+                  salt: String = ""): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    df.orderBy(md5(concat(lit(salt), col(keyCol).cast("string"))),
+        col(keyCol))
+      .limit(n)
+  }
+
+  /**
+   * Round-robin source interleave: position each row within its source
+   * by the [[deterministicShuffle]] hash order, so `batch = pos` takes
+   * the b-th document of EVERY source together — the standard
+   * source-balanced data order for multi-corpus training (each batch
+   * sees all sources; within a source the order is a reproducible
+   * shuffle). Sources of different sizes exhaust at different batch
+   * indices — downstream either truncates at the smallest source
+   * (strict balance) or lets survivors continue (natural mixing);
+   * both are filters on the emitted `batch`. One shuffle on the
+   * source key; the window is per-source, never global.
+   */
+  def interleaveBySource(df: DataFrame, sourceCol: String,
+                         keyCol: String, salt: String = ""): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(md5(concat(lit(salt), col(keyCol).cast("string"))),
+        col(keyCol))
+    df.withColumn("batch", row_number().over(w) - 1)
+  }
 }

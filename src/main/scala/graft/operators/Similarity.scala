@@ -165,6 +165,58 @@ object Similarity {
   }
 
   /**
+   * k-NN label propagation — the standard semi-supervised labeling
+   * pass for training-data curation: give every UNLABELED item the
+   * majority label of its `k` nearest LABELED neighbors by cosine
+   * (ties on count break toward the smaller label, so the prediction
+   * is a pure function of the data — no RNG, engine-replayable).
+   * Output `(id, label, votes)` with one row per unlabeled item:
+   * the predicted label and how many of its k neighbors carried it.
+   *
+   * Used to bootstrap quality/domain labels across a corpus from a
+   * small seed set (label spreading over an embedding space — Zhu &
+   * Ghahramani 2002's one-step form, public). Shape: the labeled seed
+   * set is the query-set of a [[topKPerQuery]]-style broadcast scan
+   * INVERTED — here the unlabeled side is usually the big one, so the
+   * scored pairs partition by unlabeled id and the window ranks the
+   * labeled candidates within each. Two aggregations after the rank
+   * (per-(id,label) vote count, then argmax) — both key-local, no
+   * global window. Scale path: swap the exact pair scan for
+   * [[ivfTopK]] candidates, propagation tolerates approximate
+   * neighbors by construction.
+   *
+   * `labeled`/`unlabeled` must carry distinct vector column names
+   * (rename on the way in, as with the other query-set APIs); the
+   * labeled side must fit broadcast (it is the small seed set by
+   * construction — for a large labeled side, bucket both sides with
+   * [[hyperplaneBucket]] first).
+   */
+  def knnLabel(unlabeled: DataFrame, labeled: DataFrame,
+               unlabeledId: String, unlabeledVec: String,
+               labeledId: String, labeledVec: String,
+               labelCol: String, k: Int,
+               useNative: Boolean = true): DataFrame = {
+    val cos = cosineFn(unlabeled, useNative)
+    val joined = unlabeled.select(col(unlabeledId),
+        col(unlabeledVec).cast("array<double>").as("__uv"))
+      .crossJoin(broadcast(labeled.select(col(labeledId),
+        col(labelCol).as("__lbl"),
+        col(labeledVec).cast("array<double>").as("__lv"))))
+      .withColumn("__cos", round(cos(col("__uv"), col("__lv")), 4))
+    val nn = Window.partitionBy(col(unlabeledId))
+      .orderBy(col("__cos").desc, col(labeledId))
+    val votes = joined.withColumn("__rk", row_number().over(nn))
+      .where(col("__rk") <= k)
+      .groupBy(col(unlabeledId), col("__lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val win = Window.partitionBy(col(unlabeledId))
+      .orderBy(col("votes").desc, col("__lbl"))
+    votes.withColumn("__vrk", row_number().over(win))
+      .where(col("__vrk") === 1)
+      .select(col(unlabeledId), col("__lbl").as(labelCol), col("votes"))
+  }
+
+  /**
    * LSH-bucketed ANN top-k per query: corpus and queries bucketed by
    * [[hyperplaneBucket]]; candidates scored only within the query's
    * bucket. Recall/cost dial: fewer `planes` → bigger buckets → higher

@@ -114,4 +114,71 @@ object Skew {
       explode(sequence(lit(0), lit(buckets - 1))))
     b.join(s, (keyCols :+ "__salt").toSeq, joinType).drop("__salt")
   }
+
+  /** Join types for which pre-filtering the big side cannot change the
+    * result: every big-side row that survives to the output must have a
+    * small-side match. Left/anti joins keep unmatched big rows, so a
+    * gate that drops might-not-match rows would corrupt them. */
+  private val gateableJoins = Set("inner", "left_semi", "leftsemi", "semi")
+
+  /**
+   * Semi-join reduction via a Bloom sketch: the classic distributed-DB
+   * move for a 100 TB fact table joined to a selective dimension. A
+   * plain `big ⋈ small` shuffles the ENTIRE big side on the join key
+   * even when only a sliver of it can match; here the small side's key
+   * set is first compressed into a Bloom filter (one aggregation, a
+   * `numBits/8`-byte sketch — the bounded-collect class of
+   * [[graft.operators.Dedup.buildSeenSketch]]), the big side is gated
+   * at the SCAN by a codegen'd membership probe on the sketch literal,
+   * and only probable matches enter the shuffle. No false negatives —
+   * every true match survives the gate, so the exact join downstream
+   * returns exactly the ungated result; false positives (at the
+   * sketch's rate) merely ride the shuffle and fall out of the join.
+   * This is the explicit, deterministic form of what AQE's
+   * runtime-bloom-filter injection (`InjectRuntimeFilter`) does
+   * opportunistically — same sketch machinery
+   * (`BloomFilterAggregate` / `might_contain`), but under the
+   * caller's control: a plan you can rely on, not a heuristic.
+   *
+   * Restricted to inner/semi joins ([[gateableJoins]]): for left or
+   * anti joins the gate would drop big-side rows the join must keep.
+   * Sketch sizing is clamp-checked like `buildSeenSketch` — an
+   * oversized request fails loudly instead of silently degrading the
+   * false-positive rate. An empty small side yields a null sketch; the
+   * gate is then constant-false (the join result IS empty).
+   */
+  def bloomGatedJoin(big: DataFrame, small: DataFrame,
+                     keyCols: Seq[String],
+                     expectedItems: Long = 1000000L,
+                     numBits: Long = 1L << 23,
+                     joinType: String = "inner"): DataFrame = {
+    import graft.plans.NativeFunctions
+    require(keyCols.nonEmpty, "bloomGatedJoin needs join keys")
+    require(gateableJoins.contains(joinType.toLowerCase),
+      s"join type '$joinType' not preserved under big-side gating " +
+        "(allowed: inner, left_semi)")
+    val conf = big.sparkSession.conf
+    def cap(key: String, dflt: Long): Long =
+      conf.getOption(key).map(_.toLong).getOrElse(dflt)
+    val maxItems =
+      cap("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L)
+    val maxBits =
+      cap("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 1L << 26)
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"sketch size ($expectedItems items / $numBits bits) exceeds " +
+        s"BloomFilterAggregate's clamp ($maxItems / $maxBits)")
+    NativeFunctions.register(big.sparkSession)
+    def keyHash(df: DataFrame): Column =
+      xxhash64(keyCols.map(df.apply): _*)
+    val sketch = Option(small
+      .agg(NativeFunctions.bloomAggNative(keyHash(small),
+        expectedItems, numBits).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)) // null ⟺ empty small side
+    val gate = sketch match {
+      case Some(bytes) =>
+        NativeFunctions.bloomMightContain(lit(bytes), keyHash(big))
+      case None => lit(false)
+    }
+    big.where(gate).join(small, keyCols, joinType)
+  }
 }

@@ -490,6 +490,146 @@ case class HtmlEntityDecodeExpr(child: Expression)
       newChild: Expression): HtmlEntityDecodeExpr = copy(child = newChild)
 }
 
+/** Mojibake repair: undo UTF-8 text mis-decoded as Latin-1/Windows-1252
+  * — the single most common crawl-text corruption ("cafÃ©" for "café",
+  * "â€™" for "’"; the ftfy problem class, Speer 2019, public). Each
+  * char is mapped back to the byte it would have come from under
+  * cp1252 (codes 0x80-0xFF identity; the €‚ƒ… glyph block through the
+  * inverse of the Windows-1252 C1 table, shared with [[HtmlEntities]]);
+  * wherever a maximal run starting at a valid UTF-8 lead byte
+  * (0xC2-0xF4) forms a STRICTLY valid sequence (length-matched
+  * continuations, no overlongs, no surrogates, ≤ U+10FFFF), the
+  * decoded codepoint replaces the run — anything else passes through
+  * untouched, so plain text and already-correct non-ASCII are
+  * identity. Passes repeat to a fixpoint (≤ `maxPasses`) to unwind
+  * double-encoding ("cafÃƒÂ©" → "cafÃ©" → "café").
+  *
+  * Documented boundary: a LEGITIMATE "Ã" followed by a continuation-
+  * mappable char is indistinguishable from mojibake by construction
+  * (ftfy's heuristic scoring draws the same line); strict sequence
+  * validation makes false repairs rare in real text. */
+object Mojibake {
+  // inverse Windows-1252 C1 block: glyph codepoint → original byte
+  private val inv1252: Map[Int, Int] = Map(
+    0x20AC -> 0x80, 0x201A -> 0x82, 0x0192 -> 0x83, 0x201E -> 0x84,
+    0x2026 -> 0x85, 0x2020 -> 0x86, 0x2021 -> 0x87, 0x02C6 -> 0x88,
+    0x2030 -> 0x89, 0x0160 -> 0x8A, 0x2039 -> 0x8B, 0x0152 -> 0x8C,
+    0x017D -> 0x8E, 0x2018 -> 0x91, 0x2019 -> 0x92, 0x201C -> 0x93,
+    0x201D -> 0x94, 0x2022 -> 0x95, 0x2013 -> 0x96, 0x2014 -> 0x97,
+    0x02DC -> 0x98, 0x2122 -> 0x99, 0x0161 -> 0x9A, 0x203A -> 0x9B,
+    0x0153 -> 0x9C, 0x017E -> 0x9E, 0x0178 -> 0x9F)
+
+  /** Byte this char decodes from under cp1252/latin-1, or -1. Both the
+    * cp1252 C1 glyphs AND raw C1 controls map (text mis-decoded via
+    * plain latin-1 keeps the controls themselves). */
+  private def invByte(c: Char): Int =
+    if (c >= 0x80 && c <= 0xFF) c.toInt
+    else inv1252.getOrElse(c.toInt, -1)
+
+  private def seqLen(lead: Int): Int =
+    if (lead >= 0xC2 && lead <= 0xDF) 2
+    else if (lead >= 0xE0 && lead <= 0xEF) 3
+    else if (lead >= 0xF0 && lead <= 0xF4) 4
+    else 0
+
+  /** One left-to-right repair pass; returns `s` itself when clean. */
+  private def repairOnce(s: String): String = {
+    var i = 0
+    val n = s.length
+    var sb: java.lang.StringBuilder = null
+    while (i < n) {
+      val lead = invByte(s.charAt(i))
+      val len = seqLen(lead)
+      var cp = -1
+      if (len > 0 && i + len <= n) {
+        // strict continuation windows close overlong/surrogate holes:
+        // E0 needs A0-BF, ED excludes surrogates, F0 needs 90+, F4 caps
+        // at 8F (RFC 3629's well-formed table)
+        val b1 = invByte(s.charAt(i + 1))
+        val (lo1, hi1) = lead match {
+          case 0xE0 => (0xA0, 0xBF)
+          case 0xED => (0x80, 0x9F)
+          case 0xF0 => (0x90, 0xBF)
+          case 0xF4 => (0x80, 0x8F)
+          case _ => (0x80, 0xBF)
+        }
+        if (b1 >= lo1 && b1 <= hi1) {
+          var v = len match {
+            case 2 => lead & 0x1F
+            case 3 => lead & 0x0F
+            case _ => lead & 0x07
+          }
+          v = (v << 6) | (b1 & 0x3F)
+          var k = 2
+          var ok = true
+          while (ok && k < len) {
+            val bk = invByte(s.charAt(i + k))
+            if (bk >= 0x80 && bk <= 0xBF) v = (v << 6) | (bk & 0x3F)
+            else ok = false
+            k += 1
+          }
+          if (ok) cp = v
+        }
+      }
+      if (cp >= 0) {
+        if (sb == null) {
+          sb = new java.lang.StringBuilder(n)
+          sb.append(s, 0, i)
+        }
+        sb.appendCodePoint(cp)
+        i += len
+      } else {
+        if (sb != null) sb.append(s.charAt(i))
+        i += 1
+      }
+    }
+    if (sb == null) s else sb.toString
+  }
+
+  def repair(s: String, maxPasses: Int = 3): String = {
+    var cur = s
+    var pass = 0
+    var changed = true
+    while (changed && pass < maxPasses) {
+      val next = repairOnce(cur)
+      changed = !(next eq cur)
+      cur = next
+      pass += 1
+    }
+    cur
+  }
+}
+
+/** [[Mojibake]] repair as a native expression — full whole-stage
+  * codegen, one static call per row, zero allocation on clean rows. */
+case class MojibakeRepairExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def prettyName: String = "graft_fix_mojibake"
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      Mojibake.repair(input.toString))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.plans.Mojibake.repair($c.toString(), 3))")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MojibakeRepairExpr = copy(child = newChild)
+}
+
 /**
  * Native MinHash signature: whitespace-tokenize, `shingleWords`-word
  * shingles, `numHashes` minima — all in ONE JVM pass per row.
@@ -1495,6 +1635,7 @@ object NativeFunctions {
   val pctNormalizeName = "graft_pct_normalize"
   val bpeEncodeName = "graft_bpe_encode"
   val idnHostName = "graft_idn_host"
+  val fixMojibakeName = "graft_fix_mojibake"
 
   private def intLit(e: Expression): Int =
     e.eval(null) match {
@@ -1568,6 +1709,8 @@ object NativeFunctions {
       UnicodeNormalizeExpr(exprs.head, strLit(exprs(1)))),
     htmlEntitiesName -> ((exprs: Seq[Expression]) =>
       HtmlEntityDecodeExpr(exprs.head)),
+    fixMojibakeName -> ((exprs: Seq[Expression]) =>
+      MojibakeRepairExpr(exprs.head)),
     // Catalyst's OWN Bloom expressions (the machinery behind AQE runtime
     // join filters), surfaced through the registry — Spark ships them
     // unregistered. Long-hash in, compact binary sketch out.
@@ -1648,6 +1791,10 @@ object NativeFunctions {
   /** HTML character-reference decode (named + numeric, single-pass). */
   def htmlEntitiesNative(text: Column): Column =
     call_function(htmlEntitiesName, text)
+
+  /** Mojibake repair (UTF-8 mis-decoded as Latin-1/cp1252, ≤3 passes). */
+  def fixMojibakeNative(text: Column): Column =
+    call_function(fixMojibakeName, text)
 
   /** Bloom-filter aggregate over a long-hash column → binary sketch. */
   def bloomAggNative(hash: Column, expectedItems: Long,

@@ -10,8 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("registry counts match the documented surface") {
-    assert(SparkEntry.queries.size == 152)
-    assert(SparkEntry.oracleSql.size == 145)
+    assert(SparkEntry.queries.size == 158)
+    assert(SparkEntry.oracleSql.size == 151)
   }
 
   test("no oracle carries a lone '|' outside string literals") {
