@@ -3818,6 +3818,35 @@ object SparkEntry {
                     doc_id) - 1 AS batch
               FROM documents""")),
 
+    // training-data export capstone: quality gate → reproducible
+    // shuffle ORDER (the deterministicShuffle hash as the pack order —
+    // no materialized sort; packSequences range-partitions on it) →
+    // document-preserving sequence packing. The corpus-to-training-
+    // batches closing step, each stage an operator already gated alone.
+    Q("q_export_pipeline",
+      (s, d) => {
+        val docs = s.read.parquet(pq(d, "documents"))
+          .where(col("n_chars") >= 100 && col("n_chars") <= 900)
+          .select(col("doc_id"), col("n_chars"),
+            md5(concat(lit("ex"), col("doc_id").cast("string")))
+              .as("ord"))
+        graft.operators.Pack.packSequences(docs, "ord", "n_chars",
+            maxTokens = 2000L)
+          .select(col("doc_id"), col("seq_id"), col("seq_offset"))
+      },
+      Some("""WITH g AS (SELECT doc_id, n_chars,
+                  md5('ex' || CAST(doc_id AS VARCHAR)) AS ord
+                FROM documents WHERE n_chars BETWEEN 100 AND 900),
+              c AS (SELECT doc_id,
+                  CAST(COALESCE(SUM(n_chars) OVER (ORDER BY ord
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS ex FROM g)
+              SELECT doc_id,
+                CAST(floor(ex / 2000.0) AS BIGINT) AS seq_id,
+                ex - CAST(floor(ex / 2000.0) AS BIGINT) * 2000
+                  AS seq_offset
+              FROM c""")),
+
     // deterministic fixed-size sample: exactly 100 docs by stable hash
     // order — TakeOrderedAndProject, no global sort, no RNG
     Q("q_sample_fixed_n",

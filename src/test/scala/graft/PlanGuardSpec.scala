@@ -27,7 +27,8 @@ class PlanGuardSpec extends SparkSpec {
     * per-partition aggregate frame (one row per partition — bounded by
     * parallelism, not data), documented in Ids/Pack scaladoc. */
   private val globalWindowAllowed =
-    Set("q_assign_ids", "q_pack_sequences", "q_token_budget")
+    Set("q_assign_ids", "q_pack_sequences", "q_token_budget",
+      "q_export_pipeline")
 
   test("no registry query plans a cartesian product or a global window") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
