@@ -3847,6 +3847,57 @@ object SparkEntry {
                   AS seq_offset
               FROM c""")),
 
+    // packed-sequence text assembly on top of the export capstone: the
+    // step that turns the packing ASSIGNMENT into trainer-ready
+    // sequence text — one key shuffle, per-group text bounded by the
+    // token budget itself
+    Q("q_pack_text",
+      (s, d) => {
+        val docs = s.read.parquet(pq(d, "documents"))
+          .where(col("n_chars") >= 100 && col("n_chars") <= 900)
+          .select(col("doc_id"), col("n_chars"), col("text"),
+            md5(concat(lit("pt"), col("doc_id").cast("string")))
+              .as("ord"))
+        val packed = graft.operators.Pack.packSequences(docs, "ord",
+          "n_chars", maxTokens = 2000L)
+        graft.operators.Pack.packedText(packed, "text")
+          .select(col("seq_id"), col("n_docs"), col("text"))
+      },
+      Some("""WITH g AS (SELECT doc_id, n_chars, text,
+                  md5('pt' || CAST(doc_id AS VARCHAR)) AS ord
+                FROM documents WHERE n_chars BETWEEN 100 AND 900),
+              c AS (SELECT doc_id, text,
+                  CAST(COALESCE(SUM(n_chars) OVER (ORDER BY ord
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS ex FROM g),
+              p AS (SELECT doc_id, text,
+                  CAST(floor(ex / 2000.0) AS BIGINT) AS seq_id,
+                  ex - CAST(floor(ex / 2000.0) AS BIGINT) * 2000
+                    AS seq_offset FROM c)
+              SELECT seq_id, COUNT(*) AS n_docs,
+                string_agg(text, chr(10) ORDER BY seq_offset) AS text
+              FROM p GROUP BY seq_id""")),
+
+    // schema data contract against the documents table: planted
+    // type-drift (n_chars contracted int, stored bigint), a missing
+    // contracted column, and an uncontracted extra — pure footer
+    // metadata, zero jobs over the data; the oracle is the literal
+    // expected diff
+    Q("q_schema_contract",
+      (s, d) => graft.operators.Profile.schemaContract(
+        s.read.parquet(pq(d, "documents")),
+        Seq("doc_id" -> "bigint", "text" -> "string",
+          "lang" -> "string", "n_chars" -> "int",
+          "quality" -> "double")),
+      Some("""SELECT * FROM (VALUES
+                ('doc_id', 'bigint', 'bigint', 'ok'),
+                ('text', 'string', 'string', 'ok'),
+                ('lang', 'string', 'string', 'ok'),
+                ('n_chars', 'int', 'bigint', 'type_drift'),
+                ('quality', 'double', NULL, 'missing'),
+                ('source', NULL, 'string', 'extra'))
+                AS t("column", expected_type, actual_type, status)""")),
+
     // deterministic fixed-size sample: exactly 100 docs by stable hash
     // order — TakeOrderedAndProject, no global sort, no RNG
     Q("q_sample_fixed_n",

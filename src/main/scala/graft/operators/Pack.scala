@@ -85,4 +85,34 @@ object Pack {
       .where(col("__cum") <= budget)
       .drop("__cum")
   }
+
+  /**
+   * Assemble [[packSequences]] output into the actual training
+   * sequences: one row per `seq_id` with the member documents'
+   * `textCol` joined by `sep` in offset order, plus the member count —
+   * the step that turns a packed ASSIGNMENT into the text a trainer
+   * tokenizes. Offset order is total within a sequence by the packing
+   * construction (each document's offset is its exclusive prefix sum;
+   * zero-token documents would tie — gate them out upstream), so the
+   * assembled string is a pure function of the data.
+   *
+   * Scale shape: ONE key shuffle on `seq_id`; per-group state is
+   * bounded by the packing contract itself (a sequence holds at most
+   * ~`maxTokens` tokens of text), so `collect_list` here — usually a
+   * red flag — cannot exceed the sequence budget by construction. The
+   * in-group sort is `array_sort` over (offset, text) structs: per-row
+   * work, no extra exchange.
+   */
+  def packedText(packed: DataFrame, textCol: String,
+                 seqIdCol: String = "seq_id",
+                 offsetCol: String = "seq_offset",
+                 sep: String = "\n"): DataFrame =
+    packed.groupBy(col(seqIdCol))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col(offsetCol).as("o"), col(textCol).as("t")))),
+            x => x.getField("t")),
+          sep).as("text"))
 }

@@ -47,4 +47,44 @@ object Profile {
       s"stack(${cols.length}, $stackArgs) AS " +
         "(column, n_rows, n_nonnull, n_distinct, min_v, max_v, avg_v)"))
   }
+
+  /**
+   * Schema data-contract check: compare a frame's ACTUAL schema against
+   * the `(name, simpleTypeString)` contract an ingestion boundary
+   * declares, one row per column of the union with a status —
+   * `ok` / `type_drift` / `missing` (contracted, absent) / `extra`
+   * (present, uncontracted). The fail-fast front door for a 100 TB
+   * pipeline: upstream schema drift is caught as a declared diff
+   * BEFORE a scan burns cluster-hours or (worse) a widened/renamed
+   * column silently nulls through the M-series gates. Pure METADATA —
+   * the comparison reads the parquet footer schema only; the returned
+   * single-partition literal frame runs zero jobs over the data.
+   * Contract order is preserved for contracted columns; extras follow
+   * in schema order. Names compare case-insensitively (Spark's default
+   * resolution; the `unionEvolve` discipline), types by Catalyst
+   * `simpleString` (`bigint`, `string`, `array<float>`, ...).
+   */
+  def schemaContract(df: DataFrame,
+                     expected: Seq[(String, String)]): DataFrame = {
+    require(expected.nonEmpty, "schemaContract needs a contract")
+    val actual = df.schema.map(f =>
+      f.name -> f.dataType.simpleString)
+    val actualByLower = actual.map { case (n, t) => n.toLowerCase -> t }
+      .toMap
+    val expectedLower = expected.map(_._1.toLowerCase).toSet
+    val rows =
+      expected.map { case (name, want) =>
+        actualByLower.get(name.toLowerCase) match {
+          case Some(got) if got == want => (name, want, got, "ok")
+          case Some(got) => (name, want, got, "type_drift")
+          case None => (name, want, null: String, "missing")
+        }
+      } ++ actual.collect {
+        case (name, got) if !expectedLower(name.toLowerCase) =>
+          (name, null: String, got, "extra")
+      }
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF("column", "expected_type", "actual_type", "status")
+  }
 }

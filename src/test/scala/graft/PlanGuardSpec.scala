@@ -28,7 +28,7 @@ class PlanGuardSpec extends SparkSpec {
     * parallelism, not data), documented in Ids/Pack scaladoc. */
   private val globalWindowAllowed =
     Set("q_assign_ids", "q_pack_sequences", "q_token_budget",
-      "q_export_pipeline")
+      "q_export_pipeline", "q_pack_text")
 
   test("no registry query plans a cartesian product or a global window") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -104,6 +104,32 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("schemaContract: ok / drift / missing / extra statuses") {
+    val df = Seq((1L, "a", 2)).toDF("id", "name", "cnt")
+    val out = graft.operators.Profile.schemaContract(df,
+        Seq("id" -> "bigint", "cnt" -> "bigint", "added" -> "string"))
+      .as[(String, String, String, String)].collect().toSeq
+    assert(out == Seq(
+      ("id", "bigint", "bigint", "ok"),
+      ("cnt", "bigint", "int", "type_drift"),
+      ("added", "string", null, "missing"),
+      ("name", null, "string", "extra")))
+    // case-insensitive resolution, contract name reported as declared
+    val ci = graft.operators.Profile.schemaContract(df,
+        Seq("ID" -> "bigint")).select("status").as[String].collect()
+    assert(ci.head == "ok")
+  }
+
+  test("packedText: offset-ordered assembly, count per sequence") {
+    val packed = Seq(
+      (0L, 0L, "first"), (0L, 5L, "second"), (0L, 11L, "third"),
+      (1L, 0L, "solo")).toDF("seq_id", "seq_offset", "text")
+    val out = graft.operators.Pack.packedText(packed, "text", sep = " ")
+      .select("seq_id", "n_docs", "text")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((0L, 3L, "first second third"), (1L, 1L, "solo")))
+  }
+
   test("knnLabel: planted neighborhoods vote their label") {
     // labeled: 6 copies of vector A (label 1), 6 of vector B (label 2);
     // unlabeled u1 == A must take label 1 with 5/5 votes, u2 == B → 2
