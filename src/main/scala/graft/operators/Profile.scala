@@ -61,28 +61,41 @@ object Profile {
    * single-partition literal frame runs zero jobs over the data.
    * Contract order is preserved for contracted columns; extras follow
    * in schema order. Names compare case-insensitively (Spark's default
-   * resolution; the `unionEvolve` discipline), types by Catalyst
-   * `simpleString` (`bigint`, `string`, `array<float>`, ...).
+   * resolution; the `unionEvolve` discipline) with an exact-name match
+   * preferred; a contracted name matching SEVERAL actual columns that
+   * differ only by case (legal under `spark.sql.caseSensitive=true`)
+   * and none exactly reports `ambiguous` rather than picking one.
+   * EVERY actual column not consumed by a contract row surfaces as
+   * `extra` — including case-duplicates whose sibling satisfied the
+   * contract — so a pathological schema yields a truthful diff, never
+   * a collapsed one. Types compare by Catalyst `simpleString`
+   * (`bigint`, `string`, `array<float>`, ...).
    */
   def schemaContract(df: DataFrame,
                      expected: Seq[(String, String)]): DataFrame = {
     require(expected.nonEmpty, "schemaContract needs a contract")
     val actual = df.schema.map(f =>
       f.name -> f.dataType.simpleString)
-    val actualByLower = actual.map { case (n, t) => n.toLowerCase -> t }
-      .toMap
-    val expectedLower = expected.map(_._1.toLowerCase).toSet
-    val rows =
-      expected.map { case (name, want) =>
-        actualByLower.get(name.toLowerCase) match {
-          case Some(got) if got == want => (name, want, got, "ok")
-          case Some(got) => (name, want, got, "type_drift")
-          case None => (name, want, null: String, "missing")
-        }
-      } ++ actual.collect {
-        case (name, got) if !expectedLower(name.toLowerCase) =>
-          (name, null: String, got, "extra")
+    val consumed = scala.collection.mutable.Set.empty[Int]
+    val contractRows = expected.map { case (name, want) =>
+      val exact = actual.indices.filter(i =>
+        !consumed(i) && actual(i)._1 == name)
+      val ci = actual.indices.filter(i =>
+        !consumed(i) && actual(i)._1.equalsIgnoreCase(name))
+      val picked = if (exact.nonEmpty) exact else ci
+      picked match {
+        case Seq(i) =>
+          consumed += i
+          val got = actual(i)._2
+          (name, want, got, if (got == want) "ok" else "type_drift")
+        case Seq() => (name, want, null: String, "missing")
+        case _ => (name, want, null: String, "ambiguous")
       }
+    }
+    val rows = contractRows ++ actual.indices.collect {
+      case i if !consumed(i) =>
+        (actual(i)._1, null: String, actual(i)._2, "extra")
+    }
     val spark = df.sparkSession
     import spark.implicits._
     rows.toDF("column", "expected_type", "actual_type", "status")

@@ -146,6 +146,21 @@ object Skew {
    * oversized request fails loudly instead of silently degrading the
    * false-positive rate. An empty small side yields a null sketch; the
    * gate is then constant-false (the join result IS empty).
+   *
+   * Two correctness guards the sketch forces that a plain join would
+   * not: (1) each key column must have the SAME type on both sides —
+   * a plain join inserts an implicit cast, but `xxhash64` hashes by
+   * type, so an int-vs-long key pair would probe with different
+   * hashes and silently gate out every true match (rejected loudly
+   * here; cast explicitly at the call site); (2) the small side is
+   * pinned via `localCheckpoint` so the sketch and the join read ONE
+   * materialization — without it, a source that changes between the
+   * eager sketch build and the join action (an appended-to directory,
+   * a nondeterministic view) would contain join keys the frozen
+   * sketch never saw. Construction therefore RUNS A JOB (pin +
+   * sketch aggregation) — the same eager-literal contract as
+   * `buildSeenSketch`/IVF centroids; build the frame once, not in a
+   * planning loop.
    */
   def bloomGatedJoin(big: DataFrame, small: DataFrame,
                      keyCols: Seq[String],
@@ -157,6 +172,14 @@ object Skew {
     require(gateableJoins.contains(joinType.toLowerCase),
       s"join type '$joinType' not preserved under big-side gating " +
         "(allowed: inner, left_semi)")
+    keyCols.foreach { k =>
+      val bt = big.schema(big.schema.fieldIndex(k)).dataType
+      val st = small.schema(small.schema.fieldIndex(k)).dataType
+      require(bt == st,
+        s"key '$k' types differ (big: ${bt.simpleString}, small: " +
+          s"${st.simpleString}) — xxhash64 hashes by type, so the gate " +
+          "would miss every true match; cast one side explicitly")
+    }
     val conf = big.sparkSession.conf
     def cap(key: String, dflt: Long): Long =
       conf.getOption(key).map(_.toLong).getOrElse(dflt)
@@ -170,8 +193,11 @@ object Skew {
     NativeFunctions.register(big.sparkSession)
     def keyHash(df: DataFrame): Column =
       xxhash64(keyCols.map(df.apply): _*)
-    val sketch = Option(small
-      .agg(NativeFunctions.bloomAggNative(keyHash(small),
+    // one materialization feeds BOTH the sketch and the join — see the
+    // scaladoc's guard (2)
+    val pinned = small.localCheckpoint(true)
+    val sketch = Option(pinned
+      .agg(NativeFunctions.bloomAggNative(keyHash(pinned),
         expectedItems, numBits).as("bf"))
       .collect()(0).getAs[Array[Byte]](0)) // null ⟺ empty small side
     val gate = sketch match {
@@ -179,6 +205,6 @@ object Skew {
         NativeFunctions.bloomMightContain(lit(bytes), keyHash(big))
       case None => lit(false)
     }
-    big.where(gate).join(small, keyCols, joinType)
+    big.where(gate).join(pinned, keyCols, joinType)
   }
 }

@@ -521,9 +521,11 @@ object Mojibake {
 
   /** Byte this char decodes from under cp1252/latin-1, or -1. Both the
     * cp1252 C1 glyphs AND raw C1 controls map (text mis-decoded via
-    * plain latin-1 keeps the controls themselves). */
+    * plain latin-1 keeps the controls themselves). ASCII exits on the
+    * first compare — the clean-text hot path never touches the map. */
   private def invByte(c: Char): Int =
-    if (c >= 0x80 && c <= 0xFF) c.toInt
+    if (c < 0x80) -1
+    else if (c <= 0xFF) c.toInt
     else inv1252.getOrElse(c.toInt, -1)
 
   private def seqLen(lead: Int): Int =

@@ -24,9 +24,19 @@ class Round8OpsSpec extends SparkSpec {
     // legitimate non-ASCII: 'á' IS a UTF-8 lead byte under cp1252,
     // but its neighbors fail the continuation window — untouched
     assert(Mojibake.repair("já correct é") == "já correct é")
-    // overlong/surrogate guards: C0/C1 leads invalid, ED A0 excluded
-    assert(Mojibake.repair("À¯") == "À¯")
-    assert(Mojibake.repair("í ") == "í ")
+    // overlong/surrogate guards, exercising each lead-specific
+    // continuation window (NOT just the length/generic-range
+    // short-circuits): C0/C1 leads invalid outright; E0 requires
+    // A0-BF (E0 80 80 would be overlong); ED excludes A0-BF
+    // (surrogates) but admits 9F (U+D7C0, just below them); F4 caps
+    // the second byte at 8F (U+10FFFF is the last valid codepoint)
+    assert(Mojibake.repair("\u00C0\u00AF") == "\u00C0\u00AF") // C0 lead: seqLen 0
+    assert(Mojibake.repair("\u00E0\u00A0\u20AC") == "\u0800") // E0 A0 80 valid
+    assert(Mojibake.repair("\u00E0\u20AC\u20AC") == "\u00E0\u20AC\u20AC") // E0 80 80 overlong
+    assert(Mojibake.repair("\u00ED\u00A0\u20AC") == "\u00ED\u00A0\u20AC") // ED A0 80 = D800
+    assert(Mojibake.repair("\u00ED\u009F\u20AC") == "\uD7C0") // ED 9F 80 valid
+    assert(Mojibake.repair("\u00F4\u008F\u00BF\u00BF") == "\uDBFF\uDFFF") // F4 8F BF BF = U+10FFFF
+    assert(Mojibake.repair("\u00F4\u00BF\u00BF\u00BF") == "\u00F4\u00BF\u00BF\u00BF") // F4 BF: above 10FFFF
   }
 
   test("mojibake expression runs under whole-stage codegen") {
@@ -118,6 +128,35 @@ class Round8OpsSpec extends SparkSpec {
     val ci = graft.operators.Profile.schemaContract(df,
         Seq("ID" -> "bigint")).select("status").as[String].collect()
     assert(ci.head == "ok")
+    // case-duplicate actual columns (legal under caseSensitive=true):
+    // exact name wins, the unconsumed sibling surfaces as extra; with
+    // no exact match the diff says ambiguous instead of picking one
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("Id",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.StringType)))
+    val dup = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val out1 = graft.operators.Profile.schemaContract(dup,
+        Seq("id" -> "int"))
+      .as[(String, String, String, String)].collect().toSeq
+    assert(out1 == Seq(("id", "int", "string", "type_drift"),
+      ("Id", null, "int", "extra")))
+    val out2 = graft.operators.Profile.schemaContract(dup,
+        Seq("ID" -> "int"))
+      .as[(String, String, String, String)].collect().toSeq
+    assert(out2 == Seq(("ID", "int", null, "ambiguous"),
+      ("Id", null, "int", "extra"), ("id", null, "string", "extra")))
+  }
+
+  test("bloomGatedJoin rejects mismatched key types") {
+    val big = (1L to 10L).map(i => (i, i)).toDF("k", "v")
+    val small = Seq((1, "a")).toDF("k", "name") // k: INT vs big's BIGINT
+    val e = intercept[IllegalArgumentException] {
+      Skew.bloomGatedJoin(big, small, Seq("k"))
+    }
+    assert(e.getMessage.contains("types differ"))
   }
 
   test("packedText: offset-ordered assembly, count per sequence") {
