@@ -127,4 +127,49 @@ class PropertySpec extends SparkSpec {
       fps(0).intersect(fps(1)).nonEmpty
     }, minSuccessful = 10)
   }
+
+  test("mojibake repair is idempotent and identity on ASCII") {
+    import graft.plans.Mojibake.repair
+    // arbitrary strings over ASCII + the cp1252 glyph block + common
+    // non-ASCII: repair must reach a fixpoint within its pass budget
+    // (a second application changes nothing) and never touch pure
+    // ASCII. Idempotence is what makes re-running a cleaning pipeline
+    // over already-cleaned shards safe.
+    val charGen = Gen.frequency(
+      6 -> Gen.choose(' ', '~'),
+      2 -> Gen.oneOf("€‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“”•–—˜™š›œžŸ".toSeq),
+      2 -> Gen.choose(0x00A0.toChar, 0x00FF.toChar),
+      1 -> Gen.oneOf("éüñ中文😀".toSeq))
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    // maxPasses = 10: a k-pass chain needs ≥ 2^k source chars, so for
+    // generator-sized strings (≪ 1024 chars) 10 passes IS the true
+    // fixpoint — the property tests the algorithm, not the production
+    // pass budget (3, sized for real-world double encoding)
+    checkProp(Prop.forAll(strGen) { s =>
+      val once = repair(s, maxPasses = 10)
+      repair(once, maxPasses = 10) == once
+    }, minSuccessful = 200)
+    val asciiGen = Gen.listOf(Gen.choose(' ', '~')).map(_.mkString)
+    checkProp(Prop.forAll(asciiGen) { s => repair(s) == s },
+      minSuccessful = 100)
+  }
+
+  test("deterministicShuffle is a bijection onto contiguous positions") {
+    // property over random key sets: every input row appears exactly
+    // once, shards partition the rows, and positions within a shard
+    // are exactly 1..n_shard — no drops, no duplicates, no gaps,
+    // whatever the key distribution
+    val keysGen = Gen.nonEmptyListOf(Gen.choose(-1000000L, 1000000L))
+      .map(_.distinct)
+    checkProp(Prop.forAll(keysGen) { keys =>
+      val out = graft.operators.Sampling.deterministicShuffle(
+          keys.toDF("id"), "id", shards = 4, salt = "p")
+        .select("id", "shard", "pos")
+        .as[(Long, Int, Int)].collect()
+      out.length == keys.length &&
+        out.map(_._1).toSet == keys.toSet &&
+        out.groupBy(_._2).values.forall(rows =>
+          rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }, minSuccessful = 10)
+  }
 }
