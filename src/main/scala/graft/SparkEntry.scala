@@ -2671,6 +2671,26 @@ object SparkEntry {
               FROM lineitem
               WHERE l_orderkey <= 6000 AND l_partkey <= 200""")),
 
+    // manifest-level file skipping: the external per-file stats index
+    // picks the files whose [min,max] can intersect the range BEFORE
+    // any footer is opened; the exact filter then runs on the scanned
+    // rows, so the answer ≡ the full-directory read the oracle runs
+    // (StatsIndexSpec asserts the actual file-count reduction)
+    Q("q_file_skipping",
+      (s, d) => {
+        val root = statsIndexFixture(s, d)
+        graft.sources.StatsIndex.prunedRead(s,
+            new java.io.File(root, "data").toString,
+            new java.io.File(root, "index").toString,
+            Seq(graft.sources.StatsIndex.Range("l_orderkey",
+              1000L, 5000L)))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 4).as("qty"))
+      },
+      Some("""SELECT COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS qty
+              FROM lineitem
+              WHERE l_orderkey BETWEEN 1000 AND 5000""")),
+
     // ---- transport round-trip (S7/S8) ------------------------------------
     Q("q_transport_roundtrip",
       (s, d) => {
@@ -3224,6 +3244,25 @@ object SparkEntry {
       graft.sources.ZOrder.writeZOrdered(li, tmp.toString,
         Seq("l_orderkey", "l_partkey"), bits = 10, numFiles = 16)
     }.toString
+
+  /** Range-clustered lineitem copy (16 files tight in l_orderkey) plus
+    * its [[graft.sources.StatsIndex]] manifest, built once per source
+    * content — the bench then measures the index-consulted read. */
+  private def statsIndexFixture(s: SparkSession, d: String): java.io.File =
+    contentKeyedFixture(new java.io.File(d, "lineitem.parquet"),
+      "graft_stats_index") { r =>
+      new java.io.File(r, "data/_SUCCESS").isFile &&
+        new java.io.File(r, "index/_SUCCESS").isFile
+    } { tmp =>
+      val li = s.read.parquet(pq(d, "lineitem"))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      val data = new java.io.File(tmp, "data").toString
+      li.repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(data)
+      graft.sources.StatsIndex.writeIndex(s, data,
+        new java.io.File(tmp, "index").toString, Seq("l_orderkey"))
+    }
 
   private val round6: Seq[Q] = Seq(
     // SemDeDup (Abbas et al. 2023): IVF cells → within-cell cosine pairs

@@ -1,0 +1,101 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * External per-file statistics index — manifest-level pruning, the
+ * Delta/Iceberg move, for plain parquet directories. Extension beyond
+ * the reference surface (its reader opens every shard it is handed,
+ * `parquery/aggregate.py:21-38`).
+ *
+ * Parquet footers already carry row-group min/max, and Spark skips row
+ * groups with them — but only AFTER listing the directory and opening
+ * every file's footer. At 100 TB that is ~10^6 files: the listing and
+ * footer round-trips ARE the query latency for a selective read. An
+ * external index inverts the cost: per-file (min, max, rows) collected
+ * into ONE tiny parquet table at write time, so planning a selective
+ * read touches one table instead of a million footers, and only
+ * surviving files are ever opened (their footers then prune row groups
+ * as usual — the two layers compose). Pairs with [[ZOrder]]: a
+ * clustered layout is what makes per-file ranges TIGHT, the index is
+ * what makes them CHEAP to consult.
+ *
+ * Pruning is conservative by construction: a file survives unless a
+ * predicate's interval provably misses the file's [min, max]; files
+ * with null stats (all-null column) always survive. The exact filter
+ * still runs on the scanned rows, so pruning can never change a query
+ * result — only the bytes read (the [[graft.operators.Skew
+ * .bloomGatedJoin]] no-false-negatives discipline applied to files).
+ */
+object StatsIndex {
+
+  /**
+   * One distributed pass over `dataPath`: one index row per data file
+   * with `(file, n_rows, min_<c>, max_<c> ...)` for each of `cols`.
+   * `file` is the RELATIVE file name (basename), not the absolute
+   * URI — the manifest stays valid when the dataset moves (storage
+   * migration, staged-rename commits) and is resolved against the
+   * caller's `dataPath` at read time. The index is files-count-sized —
+   * KBs per thousand files — aggregated map-side like any groupBy
+   * (the per-file grouping is partition-local by construction: a task
+   * reads one file split).
+   */
+  def buildIndex(spark: SparkSession, dataPath: String,
+                 cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "buildIndex needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(dataPath)
+      .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Build and persist the index beside the data (one small parquet
+    * table; overwrite = rebuild after a data rewrite). */
+  def writeIndex(spark: SparkSession, dataPath: String,
+                 indexPath: String, cols: Seq[String]): Unit =
+    buildIndex(spark, dataPath, cols).coalesce(1)
+      .write.mode("overwrite").parquet(indexPath)
+
+  /** Closed-interval predicate against an indexed column: rows with
+    * `col ∈ [lo, hi]`. The building block callers compose (equality =
+    * `Range(c, v, v)`). */
+  final case class Range(column: String, lo: Any, hi: Any)
+
+  /** Relative names of the files whose stats intervals intersect
+    * EVERY predicate range — the survival condition is
+    * `lo <= max_c AND hi >= min_c`, kept when stats are null
+    * (all-null file: nothing provable, must scan). The returned list
+    * is index-sized at worst (the Spark FileIndex / manifest-listing
+    * collect class — file COUNT, never data). */
+  def prunedFiles(index: DataFrame, preds: Seq[Range]): Seq[String] = {
+    require(preds.nonEmpty, "prunedFiles needs at least one range")
+    val survive = preds.map { case Range(c, lo, hi) =>
+      coalesce(lit(lo) <= col(s"max_$c") && lit(hi) >= col(s"min_$c"),
+        lit(true))
+    }.reduce(_ && _)
+    index.where(survive).select(col("file"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /**
+   * Read only the files that can hold rows matching `preds`, THEN
+   * apply the exact predicates — result ≡ the full-directory filtered
+   * read, bytes read ∝ surviving files. An empty survivor list reads
+   * nothing (empty frame with the data's schema).
+   */
+  def prunedRead(spark: SparkSession, dataPath: String,
+                 indexPath: String, preds: Seq[Range]): DataFrame = {
+    val files = prunedFiles(spark.read.parquet(indexPath), preds)
+    val exact = preds.map(r =>
+      col(r.column) >= lit(r.lo) && col(r.column) <= lit(r.hi))
+      .reduce(_ && _)
+    if (files.isEmpty) {
+      val schema = spark.read.parquet(dataPath).schema
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else spark.read.parquet(
+      files.map(f => s"$dataPath/$f"): _*).where(exact)
+  }
+}
