@@ -2691,6 +2691,25 @@ object SparkEntry {
               FROM lineitem
               WHERE l_orderkey BETWEEN 1000 AND 5000""")),
 
+    // needle-in-haystack point lookup: the per-file Bloom sketch in
+    // the manifest (not the min/max interval) decides which files can
+    // contain the key; no false negatives, exact filter on top —
+    // answer ≡ the plain equality read
+    Q("q_point_lookup",
+      (s, d) => {
+        val root = statsIndexFixture(s, d)
+        graft.sources.StatsIndex.prunedRead(s,
+            new java.io.File(root, "data").toString,
+            new java.io.File(root, "index").toString,
+            preds = Nil,
+            points = Seq(graft.sources.StatsIndex.Point("l_orderkey",
+              1000L)))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 4).as("qty"))
+      },
+      Some("""SELECT COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS qty
+              FROM lineitem WHERE l_orderkey = 1000""")),
+
     // ---- transport round-trip (S7/S8) ------------------------------------
     Q("q_transport_roundtrip",
       (s, d) => {
@@ -3250,7 +3269,7 @@ object SparkEntry {
     * content — the bench then measures the index-consulted read. */
   private def statsIndexFixture(s: SparkSession, d: String): java.io.File =
     contentKeyedFixture(new java.io.File(d, "lineitem.parquet"),
-      "graft_stats_index") { r =>
+      "graft_stats_index_v2") { r =>
       new java.io.File(r, "data/_SUCCESS").isFile &&
         new java.io.File(r, "index/_SUCCESS").isFile
     } { tmp =>
@@ -3261,7 +3280,8 @@ object SparkEntry {
         .sortWithinPartitions("l_orderkey")
         .write.mode("overwrite").parquet(data)
       graft.sources.StatsIndex.writeIndex(s, data,
-        new java.io.File(tmp, "index").toString, Seq("l_orderkey"))
+        new java.io.File(tmp, "index").toString, Seq("l_orderkey"),
+        bloomCols = Seq("l_orderkey"))
     }
 
   private val round6: Seq[Q] = Seq(

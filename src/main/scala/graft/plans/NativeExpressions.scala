@@ -633,6 +633,47 @@ case class MojibakeRepairExpr(child: Expression)
 }
 
 /**
+ * Per-ROW Bloom membership probe: `graft_bloom_probe(sketchBytes,
+ * hash)` where the sketch is a COLUMN, not a constant — the case
+ * Catalyst's own `BloomFilterMightContain` rejects (it requires a
+ * foldable sketch, the runtime-join-filter shape). Needed for
+ * manifest probing ([[graft.sources.StatsIndex]]): one sketch per
+ * data FILE rides in an index row, and the survival predicate probes
+ * each row's own sketch. Deserializing per evaluation is deliberate —
+ * the operand table is files-count-sized (thousands of rows), never
+ * data-sized; for a constant sketch over a big table use
+ * `graft_bloom_might_contain`, which binds the sketch once. Null
+ * sketch or null hash → null (three-valued logic; callers coalesce).
+ */
+case class BloomProbeExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == org.apache.spark.sql.types.BinaryType &&
+        right.dataType == org.apache.spark.sql.types.LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (binary, bigint) arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BooleanType
+
+  override def prettyName: String = "graft_bloom_probe"
+
+  override def nullSafeEval(bloom: Any, hash: Any): Any =
+    org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(
+        bloom.asInstanceOf[Array[Byte]]))
+      .mightContainLong(hash.asInstanceOf[Long])
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomProbeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
  * Native MinHash signature: whitespace-tokenize, `shingleWords`-word
  * shingles, `numHashes` minima — all in ONE JVM pass per row.
  *
@@ -1638,6 +1679,7 @@ object NativeFunctions {
   val bpeEncodeName = "graft_bpe_encode"
   val idnHostName = "graft_idn_host"
   val fixMojibakeName = "graft_fix_mojibake"
+  val bloomProbeName = "graft_bloom_probe"
 
   private def intLit(e: Expression): Int =
     e.eval(null) match {
@@ -1723,6 +1765,8 @@ object NativeFunctions {
     bloomContainsName -> ((exprs: Seq[Expression]) =>
       new org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs.head, exprs(1))),
+    bloomProbeName -> ((exprs: Seq[Expression]) =>
+      BloomProbeExpr(exprs.head, exprs(1))),
     nearestCentroidName -> ((exprs: Seq[Expression]) =>
       NearestCentroidExpr(exprs.head, matrixLit(exprs(1)))),
     pqEncodeName -> ((exprs: Seq[Expression]) =>
@@ -1808,6 +1852,11 @@ object NativeFunctions {
   /** Membership probe against a (constant) Bloom sketch. */
   def bloomMightContain(bloom: Column, hash: Column): Column =
     call_function(bloomContainsName, bloom, hash)
+
+  /** Per-row membership probe — the sketch is a COLUMN (manifest
+    * rows); see [[BloomProbeExpr]] for when to prefer which. */
+  def bloomProbe(bloom: Column, hash: Column): Column =
+    call_function(bloomProbeName, bloom, hash)
 
   /** Fused nearest-centroid cell assignment (bit-exact with the
     * greatest-of-structs form, larger cell wins cosine ties). */

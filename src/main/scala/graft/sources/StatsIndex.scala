@@ -42,10 +42,15 @@ object StatsIndex {
    * reads one file split).
    */
   def buildIndex(spark: SparkSession, dataPath: String,
-                 cols: Seq[String]): DataFrame = {
+                 cols: Seq[String],
+                 bloomCols: Seq[String] = Nil,
+                 bloomBits: Long = 1L << 16): DataFrame = {
     require(cols.nonEmpty, "buildIndex needs at least one column")
+    graft.plans.NativeFunctions.register(spark)
     val aggs = cols.flatMap(c => Seq(
-      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+      bloomCols.map(c => graft.plans.NativeFunctions.bloomAggNative(
+        xxhash64(col(c)), bloomBits / 16, bloomBits).as(s"bloom_$c"))
     spark.read.parquet(dataPath)
       .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
@@ -54,42 +59,64 @@ object StatsIndex {
   /** Build and persist the index beside the data (one small parquet
     * table; overwrite = rebuild after a data rewrite). */
   def writeIndex(spark: SparkSession, dataPath: String,
-                 indexPath: String, cols: Seq[String]): Unit =
-    buildIndex(spark, dataPath, cols).coalesce(1)
+                 indexPath: String, cols: Seq[String],
+                 bloomCols: Seq[String] = Nil,
+                 bloomBits: Long = 1L << 16): Unit =
+    buildIndex(spark, dataPath, cols, bloomCols, bloomBits).coalesce(1)
       .write.mode("overwrite").parquet(indexPath)
 
   /** Closed-interval predicate against an indexed column: rows with
-    * `col ∈ [lo, hi]`. The building block callers compose (equality =
-    * `Range(c, v, v)`). */
+    * `col ∈ [lo, hi]`. The building block callers compose (equality
+    * on a range-indexed column = `Range(c, v, v)`). */
   final case class Range(column: String, lo: Any, hi: Any)
 
-  /** Relative names of the files whose stats intervals intersect
-    * EVERY predicate range — the survival condition is
-    * `lo <= max_c AND hi >= min_c`, kept when stats are null
-    * (all-null file: nothing provable, must scan). The returned list
-    * is index-sized at worst (the Spark FileIndex / manifest-listing
-    * collect class — file COUNT, never data). */
-  def prunedFiles(index: DataFrame, preds: Seq[Range]): Seq[String] = {
-    require(preds.nonEmpty, "prunedFiles needs at least one range")
-    val survive = preds.map { case Range(c, lo, hi) =>
+  /** Point-membership predicate against a BLOOM-indexed column
+    * (`bloomCols` at build time): rows with `col = value`. Min/max
+    * intervals barely prune equality on uncorrelated columns (every
+    * file's range covers most values); the per-file sketch answers
+    * "can this file contain value?" directly — the needle-in-haystack
+    * lookup (one document by id in a 100 TB corpus) touches only the
+    * sketch-positive files. The literal must carry the COLUMN's exact
+    * type ([[graft.operators.Skew.bloomGatedJoin]]'s xxhash64
+    * type-sensitivity). */
+  final case class Point(column: String, value: Any)
+
+  /** Relative names of the files that can hold rows matching every
+    * predicate — intervals via `lo <= max_c AND hi >= min_c`, points
+    * via a membership probe of the file's sketch; null stats (all-null
+    * column, or a file absent from a partial rebuild) conservatively
+    * survive. The returned list is index-sized at worst (the Spark
+    * FileIndex / manifest-listing collect class — file COUNT, never
+    * data). */
+  def prunedFiles(index: DataFrame, preds: Seq[Range],
+                  points: Seq[Point] = Nil): Seq[String] = {
+    require(preds.nonEmpty || points.nonEmpty,
+      "prunedFiles needs at least one predicate")
+    graft.plans.NativeFunctions.register(index.sparkSession)
+    val survive = (preds.map { case Range(c, lo, hi) =>
       coalesce(lit(lo) <= col(s"max_$c") && lit(hi) >= col(s"min_$c"),
         lit(true))
-    }.reduce(_ && _)
+    } ++ points.map { case Point(c, v) =>
+      coalesce(graft.plans.NativeFunctions.bloomProbe(
+        col(s"bloom_$c"), xxhash64(lit(v))), lit(true))
+    }).reduce(_ && _)
     index.where(survive).select(col("file"))
       .collect().map(_.getString(0)).toSeq
   }
 
   /**
-   * Read only the files that can hold rows matching `preds`, THEN
-   * apply the exact predicates — result ≡ the full-directory filtered
+   * Read only the files that can hold rows matching the predicates,
+   * THEN apply them exactly — result ≡ the full-directory filtered
    * read, bytes read ∝ surviving files. An empty survivor list reads
    * nothing (empty frame with the data's schema).
    */
   def prunedRead(spark: SparkSession, dataPath: String,
-                 indexPath: String, preds: Seq[Range]): DataFrame = {
-    val files = prunedFiles(spark.read.parquet(indexPath), preds)
-    val exact = preds.map(r =>
-      col(r.column) >= lit(r.lo) && col(r.column) <= lit(r.hi))
+                 indexPath: String, preds: Seq[Range],
+                 points: Seq[Point] = Nil): DataFrame = {
+    val files = prunedFiles(spark.read.parquet(indexPath), preds, points)
+    val exact = (preds.map(r =>
+      col(r.column) >= lit(r.lo) && col(r.column) <= lit(r.hi)) ++
+      points.map(p => col(p.column) === lit(p.value)))
       .reduce(_ && _)
     if (files.isEmpty) {
       val schema = spark.read.parquet(dataPath).schema

@@ -66,6 +66,35 @@ class StatsIndexSpec extends SparkSpec {
     assert(files.length == 1) // nothing provable — must survive
   }
 
+  test("bloom point pruning: only sketch-positive files survive") {
+    val dir = tmpDir()
+    // two files with DISJOINT key sets but overlapping [min,max]
+    // intervals (interleaved parity), so interval pruning is useless
+    // and only the sketch can discriminate
+    val even = (0L until 2000L by 2).map(i => (i, i.toDouble))
+      .toDF("k", "v")
+    val odd = (1L until 2000L by 2).map(i => (i, i.toDouble))
+      .toDF("k", "v")
+    even.coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
+    odd.coalesce(1).write.mode("append").parquet(s"$dir/data")
+    StatsIndex.writeIndex(spark, s"$dir/data", s"$dir/index", Seq("k"),
+      bloomCols = Seq("k"))
+    // interval-only: both files survive (ranges overlap)
+    val byRange = StatsIndex.prunedFiles(
+      spark.read.parquet(s"$dir/index"),
+      Seq(Range("k", 500L, 500L)))
+    assert(byRange.length == 2)
+    // sketch: the odd file cannot contain an even key
+    val byPoint = StatsIndex.prunedFiles(
+      spark.read.parquet(s"$dir/index"), Nil,
+      Seq(StatsIndex.Point("k", 500L)))
+    assert(byPoint.length == 1)
+    val got = StatsIndex.prunedRead(spark, s"$dir/data", s"$dir/index",
+        Nil, Seq(StatsIndex.Point("k", 500L)))
+      .select("k", "v").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((500L, 500.0)))
+  }
+
   test("multi-range conjunction prunes on every indexed column") {
     val dir = tmpDir()
     val df = (1L to 4000L).map(i => (i, 4000L - i)).toDF("a", "b")
