@@ -46,14 +46,7 @@ object StatsIndex {
                  bloomCols: Seq[String] = Nil,
                  bloomBits: Long = 1L << 16): DataFrame = {
     require(cols.nonEmpty, "buildIndex needs at least one column")
-    graft.plans.NativeFunctions.register(spark)
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
-      bloomCols.map(c => graft.plans.NativeFunctions.bloomAggNative(
-        xxhash64(col(c)), bloomBits / 16, bloomBits).as(s"bloom_$c"))
-    spark.read.parquet(dataPath)
-      .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
-      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    buildIndexForFiles(spark, Seq(dataPath), cols, bloomCols, bloomBits)
   }
 
   /** Build and persist the index beside the data (one small parquet
@@ -64,6 +57,52 @@ object StatsIndex {
                  bloomBits: Long = 1L << 16): Unit =
     buildIndex(spark, dataPath, cols, bloomCols, bloomBits).coalesce(1)
       .write.mode("overwrite").parquet(indexPath)
+
+  /**
+   * Incremental maintenance: index ONLY the data files absent from
+   * the existing manifest and return the union — an append-heavy
+   * dataset (streaming ingestion, daily drops) never rescans indexed
+   * history, the `incrementalMinhashAgainstIndex` discipline applied
+   * to file stats. The already-indexed majority participates as its
+   * manifest rows only; the new files are discovered by an
+   * anti-semi-join of the directory listing's basenames against the
+   * manifest (file-count-sized on both sides) and scanned once.
+   * Rewritten-in-place files (same name, new content) are NOT
+   * detected — parquet writers emit unique part file names, and a
+   * rewrite that reuses names is a full rebuild (`writeIndex`).
+   * Persist by overwriting the index path with the returned frame.
+   */
+  def updateIndex(spark: SparkSession, dataPath: String,
+                  index: DataFrame, cols: Seq[String],
+                  bloomCols: Seq[String] = Nil,
+                  bloomBits: Long = 1L << 16): DataFrame = {
+    val known = index.select(col("file")).collect()
+      .map(_.getString(0)).toSet
+    val all = spark.read.parquet(dataPath).inputFiles
+      .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    val fresh = (all -- known).toSeq.sorted
+    if (fresh.isEmpty) index
+    else {
+      val dir = dataPath.stripSuffix("/")
+      val freshIdx = buildIndexForFiles(spark,
+        fresh.map(f => s"$dir/$f"), cols, bloomCols, bloomBits)
+      index.unionByName(freshIdx)
+    }
+  }
+
+  private def buildIndexForFiles(spark: SparkSession,
+                                 files: Seq[String], cols: Seq[String],
+                                 bloomCols: Seq[String],
+                                 bloomBits: Long): DataFrame = {
+    graft.plans.NativeFunctions.register(spark)
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+      bloomCols.map(c => graft.plans.NativeFunctions.bloomAggNative(
+        xxhash64(col(c)), bloomBits / 16, bloomBits).as(s"bloom_$c"))
+    spark.read.parquet(files: _*)
+      .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
 
   /** Closed-interval predicate against an indexed column: rows with
     * `col ∈ [lo, hi]`. The building block callers compose (equality

@@ -95,6 +95,31 @@ class StatsIndexSpec extends SparkSpec {
     assert(got == Seq((500L, 500.0)))
   }
 
+  test("updateIndex indexes only new files, history untouched") {
+    val dir = tmpDir()
+    (1L to 1000L).map(i => (i, i.toDouble)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
+    val idx0 = StatsIndex.buildIndex(spark, s"$dir/data", Seq("k"))
+      .localCheckpoint(true)
+    assert(idx0.count() == 1)
+    // no new files → the SAME frame back, no scan
+    assert(StatsIndex.updateIndex(spark, s"$dir/data", idx0,
+      Seq("k")) eq idx0)
+    // append a drop; only it gets indexed
+    (2001L to 3000L).map(i => (i, i.toDouble)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/data")
+    val idx1 = StatsIndex.updateIndex(spark, s"$dir/data", idx0,
+      Seq("k"))
+    val rows = idx1.collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == 2000L)
+    // the union prunes like a fresh build: the gap matches nothing
+    assert(StatsIndex.prunedFiles(idx1,
+      Seq(Range("k", 1500L, 1800L))).isEmpty)
+    assert(StatsIndex.prunedFiles(idx1,
+      Seq(Range("k", 2500L, 2600L))).length == 1)
+  }
+
   test("multi-range conjunction prunes on every indexed column") {
     val dir = tmpDir()
     val df = (1L to 4000L).map(i => (i, 4000L - i)).toDF("a", "b")
