@@ -2691,6 +2691,32 @@ object SparkEntry {
               FROM lineitem
               WHERE l_orderkey BETWEEN 1000 AND 5000""")),
 
+    // per-label embedding centroids by mean pooling (the chunk→doc /
+    // class-centroid aggregation); the digest projection keeps the
+    // compare on scalars (the q_transport_embeddings pattern) — dim,
+    // first component, and component-sum pin the whole vector
+    Q("q_emb_pool",
+      (s, d) => {
+        val pooled = graft.operators.Embeddings.meanPool(
+          s.read.parquet(pq(d, "embeddings")), "label", "embedding")
+        pooled.select(col("label"), col("n"),
+          size(col("embedding")).as("dim"),
+          round(element_at(col("embedding"), 1), 4).as("e0"),
+          round(graft.operators.Embeddings.l2Norm(col("embedding")), 4)
+            .as("nrm"))
+      },
+      Some("""WITH idx AS (SELECT label, embedding,
+                  unnest(range(1, len(embedding) + 1)) AS pos
+                FROM embeddings),
+              e AS (SELECT label, pos,
+                  CAST(embedding[pos] AS DOUBLE) AS x FROM idx),
+              m AS (SELECT label, pos, AVG(x) AS m, COUNT(*) AS cnt
+                FROM e GROUP BY label, pos)
+              SELECT label, MAX(cnt) AS n, COUNT(*) AS dim,
+                ROUND(MAX(CASE WHEN pos = 1 THEN m END), 4) AS e0,
+                ROUND(SQRT(SUM(m * m)), 4) AS nrm
+              FROM m GROUP BY label""")),
+
     // needle-in-haystack point lookup: the per-file Bloom sketch in
     // the manifest (not the min/max interval) decides which files can
     // contain the key; no false negatives, exact filter on top —

@@ -65,4 +65,34 @@ object Embeddings {
           transform(col(vecCol), _ => lit(0)))
           .otherwise(transform(col(vecCol),
             x => round(x.cast("double") / col(scaleCol), 0).cast("int"))))
+
+  /**
+   * Mean-pool vectors per group — the chunk-embeddings → document-
+   * embedding (or per-class centroid) aggregation every retrieval
+   * pipeline runs after chunked encoding. Output one row per group:
+   * `(groupCol, n, vecCol)` with the component-wise mean as
+   * `array<double>` and `n` the pooled vector count.
+   *
+   * Scale shape (the [[Similarity]] `groupMeans` discipline): ONE
+   * `posexplode` → per-(group, dim) partial-aggregated means — state
+   * is groups × dims scalars, a whole-group vector LIST never sits in
+   * any buffer — then a per-group `array_sort(collect_list(struct))`
+   * reassembly whose per-group size is exactly the dimension count
+   * (bounded by the model, not the data; the packedText contract-safe
+   * collect class). Vectors of differing lengths within a group
+   * mean-pool per-dimension as far as each dimension has values —
+   * mixed-model groups are a caller bug this surfaces as ragged
+   * output rather than silently truncating.
+   */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val exploded = df.select(col(groupCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("__pos", "__x")))
+      .groupBy(col(groupCol), col("__pos"))
+      .agg(avg(col("__x")).as("__m"), count(lit(1)).as("__cnt"))
+    exploded.groupBy(col(groupCol))
+      .agg(max(col("__cnt")).as("n"),
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__m")))),
+          s => s.getField("__m")).as(vecCol))
+  }
 }
