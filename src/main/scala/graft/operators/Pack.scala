@@ -101,7 +101,12 @@ object Pack {
    * ~`maxTokens` tokens of text), so `collect_list` here — usually a
    * red flag — cannot exceed the sequence budget by construction. The
    * in-group sort is `array_sort` over (offset, text) structs: per-row
-   * work, no extra exchange.
+   * work, no extra exchange. When composed directly onto
+   * [[packSequences]], `textCol` also rides the packing's range
+   * exchange and per-partition window; for very wide documents, pack
+   * on the narrow (order, tokens) projection and join `textCol` back
+   * by id before assembly — one extra key join, two fewer
+   * text-carrying exchanges.
    */
   def packedText(packed: DataFrame, textCol: String,
                  seqIdCol: String = "seq_id",
