@@ -576,6 +576,17 @@ object SparkEntry {
           col("o_orderstatus")),
       Some(mergeUpsertOracleSql)),
 
+    // time travel over the same fixture: as-of epoch 0 must reproduce
+    // the pre-update state exactly (the base change set — unique keys,
+    // no deletes — so the oracle is the base projection itself)
+    Q("q_cdc_time_travel",
+      (s, d) => graft.streaming.CdcPipeline
+        .readSnapshotAsOf(s, cdcSnapshotFixture(s, d), epoch = 0L)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus")),
+      Some("""SELECT o_orderkey, o_totalprice, o_orderstatus
+              FROM orders""")),
+
     // the retention end-state: same epochs, then compactSnapshot and
     // DELETION of the old epoch dirs — the compacted epoch alone must
     // reproduce the identical snapshot (tombstoned-empty buckets

@@ -251,6 +251,27 @@ object CdcPipeline {
       .getOrElse(throw new IllegalArgumentException(
         s"no committed snapshot under $snapshotDir"))
 
+  /**
+   * Time-travel read: the snapshot AS OF `epoch` — every bucket served
+   * from its newest committed epoch ≤ `epoch`, exactly the state a
+   * reader saw after that batch applied. The log-structured layout
+   * gives this for free (epochs are immutable once committed; the
+   * "latest pointer" is just a listing bound), the lakehouse
+   * time-travel feature without a table format: audit what a training
+   * run actually read, reproduce a pipeline against yesterday's state,
+   * bisect a bad upstream batch. Bounded by retention — epochs deleted
+   * after a [[compactSnapshot]] are gone, and a requested point
+   * entirely before the oldest committed epoch fails loudly rather
+   * than serving a partial state.
+   */
+  def readSnapshotAsOf(spark: SparkSession, snapshotDir: String,
+                       epoch: Long): DataFrame =
+    readBuckets(spark, snapshotDir, bucketFilter = None,
+        maxEpoch = Some(epoch))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no epoch <= $epoch committed under $snapshotDir " +
+          "(beyond retention, or never written)"))
+
   /** Committed epoch dirs (have `_SUCCESS`), ascending by epoch id —
     * the one commit-protocol listing shared by every reader/writer. */
   private def committedEpochs(fs: org.apache.hadoop.fs.FileSystem,
@@ -267,12 +288,16 @@ object CdcPipeline {
   }
 
   /** Latest committed epoch dir per bucket; None when nothing committed.
-    * `bucketFilter = None` means all buckets. */
+    * `bucketFilter = None` means all buckets; `maxEpoch` bounds the
+    * listing for time-travel reads. */
   private def readBuckets(spark: SparkSession, snapshotDir: String,
-                          bucketFilter: Option[Set[Int]]): Option[DataFrame] = {
+                          bucketFilter: Option[Set[Int]],
+                          maxEpoch: Option[Long] = None): Option[DataFrame] = {
     val fs = new org.apache.hadoop.fs.Path(snapshotDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val epochs = committedEpochs(fs, snapshotDir)
+      .filter(p => maxEpoch.forall(
+        p.getName.stripPrefix("epoch=").toLong <= _))
     if (epochs.isEmpty) return None
     // newest committed epoch wins per bucket
     val latest = scala.collection.mutable.Map.empty[Int, String]

@@ -785,6 +785,34 @@ class StreamingSpec extends SparkSpec {
       .toMap == Map(1L -> "a2", 3L -> "c", 9L -> "new"))
   }
 
+  test("CdcPipeline: time travel serves each bucket as of the epoch") {
+    import graft.streaming.CdcPipeline
+    val snapDir = tmpDir() + "/snap"
+    def batch(rows: Seq[(Long, String, Long, Boolean)], epoch: Long) =
+      CdcPipeline.applyBatch(spark,
+        rows.toDF("k", "v", "version", "is_delete"), snapDir,
+        Seq("k"), "version", "is_delete", numBuckets = 4, epoch = epoch)
+    batch(Seq((1L, "a", 1L, false), (2L, "b", 1L, false)), 0L)
+    batch(Seq((1L, "a2", 2L, false), (3L, "c", 2L, false)), 1L)
+    batch(Seq((2L, null, 3L, true)), 2L)
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state(CdcPipeline.readSnapshotAsOf(spark, snapDir, 0L)) ==
+      Map(1L -> "a", 2L -> "b"))
+    assert(state(CdcPipeline.readSnapshotAsOf(spark, snapDir, 1L)) ==
+      Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+    assert(state(CdcPipeline.readSnapshotAsOf(spark, snapDir, 2L)) ==
+      Map(1L -> "a2", 3L -> "c"))
+    // as-of beyond the newest epoch = the current snapshot
+    assert(state(CdcPipeline.readSnapshotAsOf(spark, snapDir, 99L)) ==
+      state(CdcPipeline.readSnapshot(spark, snapDir)))
+    // beyond retention (or never written) fails loudly
+    intercept[IllegalArgumentException] {
+      CdcPipeline.readSnapshotAsOf(spark, snapDir, -1L)
+    }
+  }
+
   test("CdcPipeline: a batch rewrites only the buckets it touches") {
     import graft.streaming.CdcPipeline
     val snapDir = tmpDir() + "/snap"
