@@ -2702,6 +2702,69 @@ object SparkEntry {
               FROM lineitem
               WHERE l_orderkey BETWEEN 1000 AND 5000""")),
 
+    // robots.txt politeness gate over planted bodies + URL cases: the
+    // Spark side runs the FULL parse (groups, comments, specific-group
+    // precedence) then the longest-match verdict; the oracle replays
+    // the matching math against the hand-derived effective rule table
+    // for the agent — if the parse produced different rules, the
+    // verdicts would diverge, so both layers are pinned
+    Q("q_robots_filter",
+      (s, d) => {
+        val robotsA = "User-agent: *\nDisallow: /private\n" +
+          "Allow: /private/ok # curated\nDisallow: /tmp*\n\n" +
+          "User-agent: graftbot\nDisallow: /only-star-blocked\n"
+        val robotsB = "User-agent: graftbot\nUser-agent: otherbot\n" +
+          "Disallow: /\nAllow: /pub\n"
+        val robots = s.range(2).toDF("i").select(
+          when(col("i") === 0, "a.com").otherwise("b.com").as("domain"),
+          when(col("i") === 0, robotsA).otherwise(robotsB).as("body"))
+        val ruleTable = graft.functions.Robots.rules(robots,
+          "domain", "body")
+        val domains = array(lit("a.com"), lit("a.com"), lit("a.com"),
+          lit("b.com"), lit("b.com"), lit("c.com"), lit("b.com"),
+          lit("a.com"))
+        val paths = array(lit("/private/ok/x"),
+          lit("/only-star-blocked/z"), lit("/tmp/y"), lit("/pub/doc"),
+          lit("/secret"), lit("/anything"), lit("/"), lit("/private"))
+        val urls = s.read.parquet(pq(d, "documents"))
+          .where(col("doc_id") < 200)
+          .select(col("doc_id"),
+            element_at(domains, (col("doc_id") % 8 + 1).cast("int"))
+              .as("domain"),
+            element_at(paths, (col("doc_id") % 8 + 1).cast("int"))
+              .as("path"))
+        graft.functions.Robots.verdict(urls, ruleTable, "graftbot",
+          "domain", "path")
+      },
+      Some("""WITH rules AS (SELECT * FROM (VALUES
+                ('a.com', FALSE, '/only-star-blocked', 18),
+                ('b.com', FALSE, '/', 1),
+                ('b.com', TRUE, '/pub', 4))
+                AS r(domain, allow, prefix, priority)),
+              urls AS (SELECT doc_id,
+                CASE CAST(doc_id % 8 AS INT)
+                  WHEN 0 THEN 'a.com' WHEN 1 THEN 'a.com'
+                  WHEN 2 THEN 'a.com' WHEN 3 THEN 'b.com'
+                  WHEN 4 THEN 'b.com' WHEN 5 THEN 'c.com'
+                  WHEN 6 THEN 'b.com' ELSE 'a.com' END AS domain,
+                CASE CAST(doc_id % 8 AS INT)
+                  WHEN 0 THEN '/private/ok/x'
+                  WHEN 1 THEN '/only-star-blocked/z'
+                  WHEN 2 THEN '/tmp/y' WHEN 3 THEN '/pub/doc'
+                  WHEN 4 THEN '/secret' WHEN 5 THEN '/anything'
+                  WHEN 6 THEN '/' ELSE '/private' END AS path
+                FROM documents WHERE doc_id < 200),
+              ranked AS (SELECT u.doc_id, u.domain, u.path, r.allow,
+                  ROW_NUMBER() OVER (PARTITION BY u.doc_id
+                    ORDER BY r.priority DESC NULLS LAST,
+                      r.allow DESC) AS rk
+                FROM urls u LEFT JOIN rules r
+                  ON u.domain = r.domain
+                    AND starts_with(u.path, r.prefix))
+              SELECT doc_id, domain, path,
+                COALESCE(allow, TRUE) AS robots_allowed
+              FROM ranked WHERE rk = 1""")),
+
     // per-label embedding centroids by mean pooling (the chunk→doc /
     // class-centroid aggregation); the digest projection keeps the
     // compare on scalars (the q_transport_embeddings pattern) — dim,

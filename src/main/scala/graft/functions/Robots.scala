@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * robots.txt compliance filtering (RFC 9309, public) — the crawl
+ * pipeline's politeness gate: given fetched robots bodies per domain
+ * and a URL table, decide which URLs the named agent may keep. At
+ * 100 TB of crawl the shape matters: robots bodies are DOMAIN-scale
+ * (millions of rows, KBs each), URLs are corpus-scale — rules are
+ * extracted once into a small table and the verdict is one
+ * (domain-keyed) join + a per-URL longest-match window, never a
+ * per-URL re-parse.
+ *
+ * Parsing follows the RFC's line grammar: `#` comments stripped,
+ * `user-agent:` lines open a group (consecutive agent lines share the
+ * group), `allow:`/`disallow:` rules attach to the open group's
+ * agents, unknown directives ignored. Matching: rules for the given
+ * agent (case-insensitive exact product token) plus `*` groups, the
+ * agent's own groups taking precedence when it has ANY (the RFC's
+ * most-specific-group rule); within the selected rule set the longest
+ * matching path prefix wins, allow beating disallow on equal length
+ * (the RFC's least-restrictive tie-break); no matching rule = allowed
+ * (and a domain with no robots rows at all = allowed — RFC: unreadable
+ * robots is not a ban).
+ *
+ * Documented boundary: path patterns are treated as LITERAL prefixes.
+ * Rules containing the RFC's `*`/`$` metacharacters are kept but
+ * matched conservatively by their literal prefix up to the first
+ * metacharacter — for `disallow:` that over-blocks (safe direction);
+ * an `allow:` wildcard can under-allow, never over-allow. Full
+ * wildcard evaluation is a regex-translation upgrade on the same rule
+ * table.
+ */
+object Robots {
+
+  /**
+   * Extract `(domain, agent, allow, prefix, priority)` rules from
+   * robots bodies `(domainCol, textCol)`. One generator projection —
+   * line split + a running agent-group id via a per-domain window over
+   * line number (domain-keyed shuffle, robots-table-sized). `priority`
+   * is the literal-prefix length used for longest-match ranking.
+   * Empty-path rules (`disallow:` with nothing — RFC: allow all) are
+   * emitted with prefix "" and priority 0 so they lose to any real
+   * match but still register the group.
+   */
+  def rules(robots: DataFrame, domainCol: String,
+            textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol)).orderBy(col("__ln"))
+    val lines = robots
+      .select(col(domainCol).as("domain"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__ln", "__raw")))
+      .select(col("domain"), col("__ln"),
+        // strip comments and surrounding whitespace
+        trim(regexp_replace(col("__raw"), "#.*$", "")).as("__line"))
+      .where(col("__line") =!= "")
+      .select(col("domain"), col("__ln"),
+        lower(trim(regexp_extract(col("__line"), "^([^:]+):", 1)))
+          .as("__field"),
+        trim(regexp_extract(col("__line"), "^[^:]+:(.*)$", 1))
+          .as("__value"))
+    // group id: a user-agent line following a RULE line opens a new
+    // group; consecutive user-agent lines extend the current one
+    val grouped = lines
+      .withColumn("__isAgent", (col("__field") === "user-agent").cast("int"))
+      .withColumn("__prevAgent",
+        lag(col("__isAgent"), 1, 0).over(w))
+      .withColumn("__open",
+        (col("__isAgent") === 1 && col("__prevAgent") === 0).cast("int"))
+      .withColumn("__grp", sum(col("__open")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+    val agents = grouped.where(col("__field") === "user-agent")
+      .select(col("domain"), col("__grp"),
+        lower(col("__value")).as("agent")).distinct()
+    val ruleRows = grouped
+      .where(col("__field").isin("allow", "disallow"))
+      .select(col("domain"), col("__grp"),
+        (col("__field") === "allow").as("allow"),
+        col("__value").as("path"))
+    ruleRows.join(agents, Seq("domain", "__grp"))
+      .select(col("domain"), col("agent"), col("allow"),
+        // literal prefix up to the first RFC metacharacter (boundary
+        // documented above); priority = its length
+        regexp_extract(col("path"), "^([^*$]*)", 1).as("prefix"))
+      .withColumn("priority", length(col("prefix")))
+  }
+
+  /**
+   * Verdict per URL row: input plus `robots_allowed`. `urls` must
+   * carry `domainCol` and `pathCol` (e.g. from
+   * [[Urls.urlDomain]]/path extraction). One domain-keyed join of the
+   * corpus against the rule table (broadcast when small) + a per-URL
+   * longest-match window over MATCHING rules only — never all rules.
+   */
+  def verdict(urls: DataFrame, ruleTable: DataFrame, agent: String,
+              domainCol: String, pathCol: String): DataFrame = {
+    val a = lower(lit(agent))
+    // groups for this agent, falling back to '*' groups only where the
+    // agent has none on that domain (RFC most-specific-group rule)
+    val forAgent = ruleTable.where(col("agent") === a)
+    val starOnly = ruleTable.where(col("agent") === "*")
+      .join(forAgent.select(col("domain")).distinct(),
+        Seq("domain"), "left_anti")
+    val effective = forAgent.unionByName(starOnly)
+      .select(col("domain").as("__rd"), col("allow"),
+        col("prefix"), col("priority"))
+    // the verdict is a function of (domain, path) alone — compute it
+    // once per DISTINCT pair and join back, so duplicate URL rows (or
+    // extra payload columns) cannot collapse through the rank window
+    val pairs = urls
+      .select(col(domainCol).as("__d"), col(pathCol).as("__p"))
+      .distinct()
+    val joined = pairs.join(effective,
+      col("__d") === col("__rd") && col("__p").startsWith(col("prefix")),
+      "left")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__d"), col("__p"))
+      .orderBy(col("priority").desc_nulls_last, col("allow").desc)
+    val verdicts = joined
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      // no matching rule (null join) = allowed
+      .select(col("__d"), col("__p"),
+        coalesce(col("allow"), lit(true)).as("robots_allowed"))
+    urls.join(verdicts,
+      urls(domainCol) === col("__d") && urls(pathCol) === col("__p"))
+      .drop("__d", "__p")
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.Robots
+
+/** robots.txt parsing + verdict semantics (RFC 9309 subset documented
+  * on the object): group formation, comment stripping, specific-group
+  * precedence, longest-match with allow tie-break, wildcard-prefix
+  * boundary, and the no-rules/no-robots defaults. */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val bodyA =
+    """User-agent: *
+      |Disallow: /private
+      |Allow: /private/ok  # curated subtree
+      |
+      |User-agent: special
+      |Disallow: /only-special
+      |""".stripMargin
+
+  private def ruleTable = Robots.rules(
+    Seq(("a.com", bodyA)).toDF("domain", "body"), "domain", "body")
+
+  test("rules: groups, comments, and priorities parse per the RFC") {
+    val rows = ruleTable
+      .select("domain", "agent", "allow", "prefix", "priority")
+      .as[(String, String, Boolean, String, Int)].collect().toSet
+    assert(rows == Set(
+      ("a.com", "*", false, "/private", 8),
+      ("a.com", "*", true, "/private/ok", 11),
+      ("a.com", "special", false, "/only-special", 13)))
+  }
+
+  test("verdict: longest match wins, allow breaks ties, default allow") {
+    val urls = Seq(
+      (1L, "a.com", "/private/ok/page"), // allow (11) beats disallow (8)
+      (2L, "a.com", "/private/no"),      // disallow /private
+      (3L, "a.com", "/public"),          // no match -> allowed
+      (4L, "nosuch.com", "/x")           // no robots -> allowed
+    ).toDF("id", "domain", "path")
+    val out = Robots.verdict(urls, ruleTable, "anybot", "domain", "path")
+      .select("id", "robots_allowed").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
+  }
+
+  test("verdict: an agent with its own group ignores the * group") {
+    val urls = Seq((1L, "a.com", "/private/no"),
+      (2L, "a.com", "/only-special/x")).toDF("id", "domain", "path")
+    val out = Robots.verdict(urls, ruleTable, "SPECIAL",
+        "domain", "path")
+      .select("id", "robots_allowed").as[(Long, Boolean)].collect().toMap
+    // /private rules live in the * group — invisible to 'special'
+    assert(out == Map(1L -> true, 2L -> false))
+  }
+
+  test("wildcard rules degrade to their literal prefix (boundary)") {
+    val rt = Robots.rules(
+      Seq(("b.com", "User-agent: *\nDisallow: /tmp*\nDisallow: /x$\n"))
+        .toDF("domain", "body"), "domain", "body")
+    val rows = rt.select("prefix", "priority")
+      .as[(String, Int)].collect().toSet
+    assert(rows == Set(("/tmp", 4), ("/x", 2)))
+  }
+
+  test("duplicate url rows keep their multiplicity through the verdict") {
+    val urls = Seq((1L, "a.com", "/public"), (2L, "a.com", "/public"))
+      .toDF("id", "domain", "path")
+    val out = Robots.verdict(urls, ruleTable, "anybot", "domain", "path")
+    assert(out.count() == 2)
+  }
+}
