@@ -2715,44 +2715,55 @@ object SparkEntry {
           "User-agent: graftbot\nDisallow: /only-star-blocked\n"
         val robotsB = "User-agent: graftbot\nUser-agent: otherbot\n" +
           "Disallow: /\nAllow: /pub\n"
-        val robots = s.range(2).toDF("i").select(
-          when(col("i") === 0, "a.com").otherwise("b.com").as("domain"),
-          when(col("i") === 0, robotsA).otherwise(robotsB).as("body"))
+        val robotsD = "User-agent: *\nDisallow: /dl/*.zip\n" +
+          "Allow: /dl/free\n"
+        val robots = s.range(3).toDF("i").select(
+          when(col("i") === 0, "a.com").when(col("i") === 1, "b.com")
+            .otherwise("d.com").as("domain"),
+          when(col("i") === 0, robotsA).when(col("i") === 1, robotsB)
+            .otherwise(robotsD).as("body"))
         val ruleTable = graft.functions.Robots.rules(robots,
           "domain", "body")
         val domains = array(lit("a.com"), lit("a.com"), lit("a.com"),
           lit("b.com"), lit("b.com"), lit("c.com"), lit("b.com"),
-          lit("a.com"))
+          lit("a.com"), lit("d.com"), lit("d.com"))
         val paths = array(lit("/private/ok/x"),
           lit("/only-star-blocked/z"), lit("/tmp/y"), lit("/pub/doc"),
-          lit("/secret"), lit("/anything"), lit("/"), lit("/private"))
+          lit("/secret"), lit("/anything"), lit("/"), lit("/private"),
+          lit("/dl/stuff.zip"), lit("/dl/readme.txt"))
         val urls = s.read.parquet(pq(d, "documents"))
           .where(col("doc_id") < 200)
           .select(col("doc_id"),
-            element_at(domains, (col("doc_id") % 8 + 1).cast("int"))
+            element_at(domains, (col("doc_id") % 10 + 1).cast("int"))
               .as("domain"),
-            element_at(paths, (col("doc_id") % 8 + 1).cast("int"))
+            element_at(paths, (col("doc_id") % 10 + 1).cast("int"))
               .as("path"))
         graft.functions.Robots.verdict(urls, ruleTable, "graftbot",
           "domain", "path")
       },
       Some("""WITH rules AS (SELECT * FROM (VALUES
-                ('a.com', FALSE, '/only-star-blocked', 18),
-                ('b.com', FALSE, '/', 1),
-                ('b.com', TRUE, '/pub', 4))
-                AS r(domain, allow, prefix, priority)),
+                ('a.com', FALSE, '/only-star-blocked', FALSE, NULL, 18),
+                ('b.com', FALSE, '/', FALSE, NULL, 1),
+                ('b.com', TRUE, '/pub', FALSE, NULL, 4),
+                ('d.com', FALSE, NULL, TRUE, '^/dl/.*\.zip', 9),
+                ('d.com', TRUE, '/dl/free', FALSE, NULL, 8))
+                AS r(domain, allow, prefix, wildcard, pattern,
+                  priority)),
               urls AS (SELECT doc_id,
-                CASE CAST(doc_id % 8 AS INT)
+                CASE CAST(doc_id % 10 AS INT)
                   WHEN 0 THEN 'a.com' WHEN 1 THEN 'a.com'
                   WHEN 2 THEN 'a.com' WHEN 3 THEN 'b.com'
                   WHEN 4 THEN 'b.com' WHEN 5 THEN 'c.com'
-                  WHEN 6 THEN 'b.com' ELSE 'a.com' END AS domain,
-                CASE CAST(doc_id % 8 AS INT)
+                  WHEN 6 THEN 'b.com' WHEN 7 THEN 'a.com'
+                  ELSE 'd.com' END AS domain,
+                CASE CAST(doc_id % 10 AS INT)
                   WHEN 0 THEN '/private/ok/x'
                   WHEN 1 THEN '/only-star-blocked/z'
                   WHEN 2 THEN '/tmp/y' WHEN 3 THEN '/pub/doc'
                   WHEN 4 THEN '/secret' WHEN 5 THEN '/anything'
-                  WHEN 6 THEN '/' ELSE '/private' END AS path
+                  WHEN 6 THEN '/' WHEN 7 THEN '/private'
+                  WHEN 8 THEN '/dl/stuff.zip'
+                  ELSE '/dl/readme.txt' END AS path
                 FROM documents WHERE doc_id < 200),
               ranked AS (SELECT u.doc_id, u.domain, u.path, r.allow,
                   ROW_NUMBER() OVER (PARTITION BY u.doc_id
@@ -2760,7 +2771,9 @@ object SparkEntry {
                       r.allow DESC) AS rk
                 FROM urls u LEFT JOIN rules r
                   ON u.domain = r.domain
-                    AND starts_with(u.path, r.prefix))
+                    AND CASE WHEN r.wildcard
+                      THEN regexp_matches(u.path, r.pattern)
+                      ELSE starts_with(u.path, r.prefix) END)
               SELECT doc_id, domain, path,
                 COALESCE(allow, TRUE) AS robots_allowed
               FROM ranked WHERE rk = 1""")),

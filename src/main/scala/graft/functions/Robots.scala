@@ -25,13 +25,13 @@ import org.apache.spark.sql.functions._
  * (and a domain with no robots rows at all = allowed — RFC: unreadable
  * robots is not a ban).
  *
- * Documented boundary: path patterns are treated as LITERAL prefixes.
- * Rules containing the RFC's `*`/`$` metacharacters are kept but
- * matched conservatively by their literal prefix up to the first
- * metacharacter — for `disallow:` that over-blocks (safe direction);
- * an `allow:` wildcard can under-allow, never over-allow. Full
- * wildcard evaluation is a regex-translation upgrade on the same rule
- * table.
+ * The RFC's `*` (any run) and trailing `$` (end anchor) are fully
+ * supported: each rule carries a translated anchored regex beside its
+ * literal prefix, and matching uses the cheap `startsWith` for
+ * literal rules and the regex only for wildcard rules (per-row
+ * compile, bounded by the rule table's size — rules are domain-scale,
+ * not corpus-scale). Specificity is the raw rule length (the
+ * longest-match convention used by major crawlers).
  */
 object Robots {
 
@@ -80,12 +80,24 @@ object Robots {
       .select(col("domain"), col("__grp"),
         (col("__field") === "allow").as("allow"),
         col("__value").as("path"))
+    // wildcard translation: a TRAILING '$' is the RFC end anchor
+    // (elsewhere it is literal), '*' is any run; everything else is
+    // regex-escaped. Literal rules keep a fast startsWith path via
+    // `prefix`; `priority` is the raw rule length (longest wins).
+    val endAnchor = col("path").endsWith("$")
+    val body = when(endAnchor,
+      expr("substring(path, 1, length(path) - 1)")).otherwise(col("path"))
+    val escaped = regexp_replace(body,
+      "([.\\[\\]{}()+?^$|\\\\])", "\\\\$1")
+    val pattern = concat(lit("^"),
+      regexp_replace(escaped, "\\*", ".*"),
+      when(endAnchor, lit("$")).otherwise(lit("")))
     ruleRows.join(agents, Seq("domain", "__grp"))
       .select(col("domain"), col("agent"), col("allow"),
-        // literal prefix up to the first RFC metacharacter (boundary
-        // documented above); priority = its length
-        regexp_extract(col("path"), "^([^*$]*)", 1).as("prefix"))
-      .withColumn("priority", length(col("prefix")))
+        regexp_extract(col("path"), "^([^*$]*)", 1).as("prefix"),
+        (col("path").contains("*") || endAnchor).as("wildcard"),
+        pattern.as("pattern"),
+        length(col("path")).as("priority"))
   }
 
   /**
@@ -105,17 +117,19 @@ object Robots {
       .join(forAgent.select(col("domain")).distinct(),
         Seq("domain"), "left_anti")
     val effective = forAgent.unionByName(starOnly)
-      .select(col("domain").as("__rd"), col("allow"),
-        col("prefix"), col("priority"))
+      .select(col("domain").as("__rd"), col("allow"), col("prefix"),
+        col("wildcard"), col("pattern"), col("priority"))
     // the verdict is a function of (domain, path) alone — compute it
     // once per DISTINCT pair and join back, so duplicate URL rows (or
     // extra payload columns) cannot collapse through the rank window
     val pairs = urls
       .select(col(domainCol).as("__d"), col(pathCol).as("__p"))
       .distinct()
+    val matches = when(col("wildcard"),
+      regexp_like(col("__p"), col("pattern")))
+      .otherwise(col("__p").startsWith(col("prefix")))
     val joined = pairs.join(effective,
-      col("__d") === col("__rd") && col("__p").startsWith(col("prefix")),
-      "left")
+      col("__d") === col("__rd") && matches, "left")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__d"), col("__p"))
       .orderBy(col("priority").desc_nulls_last, col("allow").desc)

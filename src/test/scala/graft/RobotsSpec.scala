@@ -53,13 +53,23 @@ class RobotsSpec extends SparkSpec {
     assert(out == Map(1L -> true, 2L -> false))
   }
 
-  test("wildcard rules degrade to their literal prefix (boundary)") {
+  test("wildcard and end-anchor rules match per the RFC") {
     val rt = Robots.rules(
-      Seq(("b.com", "User-agent: *\nDisallow: /tmp*\nDisallow: /x$\n"))
+      Seq(("b.com", "User-agent: *\nDisallow: /tmp*\nDisallow: /x$\n" +
+        "Disallow: /dl/*.zip\nAllow: /dl/free\n"))
         .toDF("domain", "body"), "domain", "body")
-    val rows = rt.select("prefix", "priority")
-      .as[(String, Int)].collect().toSet
-    assert(rows == Set(("/tmp", 4), ("/x", 2)))
+    val urls = Seq(
+      (1L, "b.com", "/tmpanything"),   // /tmp* matches mid-run
+      (2L, "b.com", "/x"),             // /x$ matches the exact path
+      (3L, "b.com", "/xy"),            // ...but not a longer one
+      (4L, "b.com", "/dl/a.zip"),      // /dl/*.zip (wildcard, len 9)
+      (5L, "b.com", "/dl/readme.txt"), // no rule matches
+      (6L, "b.com", "/dl/free/a.zip")  // disallow (9) beats allow (8)
+    ).toDF("id", "domain", "path")
+    val out = Robots.verdict(urls, rt, "anybot", "domain", "path")
+      .select("id", "robots_allowed").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> false, 2L -> false, 3L -> true,
+      4L -> false, 5L -> true, 6L -> false))
   }
 
   test("duplicate url rows keep their multiplicity through the verdict") {
