@@ -3382,7 +3382,7 @@ object SparkEntry {
     * content — the bench then measures the index-consulted read. */
   private def statsIndexFixture(s: SparkSession, d: String): java.io.File =
     contentKeyedFixture(new java.io.File(d, "lineitem.parquet"),
-      "graft_stats_index_v2") { r =>
+      "graft_stats_index_v3") { r =>
       new java.io.File(r, "data/_SUCCESS").isFile &&
         new java.io.File(r, "index/_SUCCESS").isFile
     } { tmp =>

@@ -40,26 +40,31 @@ object Robots {
    * robots bodies `(domainCol, textCol)`. One generator projection —
    * line split + a running agent-group id via a per-domain window over
    * line number (domain-keyed shuffle, robots-table-sized). `priority`
-   * is the literal-prefix length used for longest-match ranking.
-   * Empty-path rules (`disallow:` with nothing — RFC: allow all) are
-   * emitted with prefix "" and priority 0 so they lose to any real
-   * match but still register the group.
+   * is the raw rule length used for longest-match ranking.
+   * Empty-path rules (`disallow:` with nothing — the RFC's canonical
+   * allow-all robots.txt) are emitted as ALLOW with prefix "" and
+   * priority 0: they match everything, which under the default-allow
+   * verdict is a no-op — but their presence still registers the
+   * agent's group, so specific-group precedence sees it.
    */
   def rules(robots: DataFrame, domainCol: String,
             textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(domainCol)).orderBy(col("__ln"))
+    // RFC whitespace is space OR tab (Spark's trim strips spaces only)
+    def ws(c: Column): Column =
+      regexp_replace(c, "^[ \\t]+|[ \\t]+$", "")
     val lines = robots
       .select(col(domainCol).as("domain"),
         posexplode(split(col(textCol), "\n")).as(Seq("__ln", "__raw")))
       .select(col("domain"), col("__ln"),
         // strip comments and surrounding whitespace
-        trim(regexp_replace(col("__raw"), "#.*$", "")).as("__line"))
+        ws(regexp_replace(col("__raw"), "#.*$", "")).as("__line"))
       .where(col("__line") =!= "")
       .select(col("domain"), col("__ln"),
-        lower(trim(regexp_extract(col("__line"), "^([^:]+):", 1)))
+        lower(ws(regexp_extract(col("__line"), "^([^:]+):", 1)))
           .as("__field"),
-        trim(regexp_extract(col("__line"), "^[^:]+:(.*)$", 1))
+        ws(regexp_extract(col("__line"), "^[^:]+:(.*)$", 1))
           .as("__value"))
     // group id: a user-agent line following a RULE line opens a new
     // group; consecutive user-agent lines extend the current one
@@ -78,12 +83,15 @@ object Robots {
     val ruleRows = grouped
       .where(col("__field").isin("allow", "disallow"))
       .select(col("domain"), col("__grp"),
-        (col("__field") === "allow").as("allow"),
+        // empty path = RFC allow-all: a matches-everything ALLOW at
+        // priority 0 (no-op under default-allow, group still registers)
+        (col("__field") === "allow" || col("__value") === "").as("allow"),
         col("__value").as("path"))
     // wildcard translation: a TRAILING '$' is the RFC end anchor
-    // (elsewhere it is literal), '*' is any run; everything else is
-    // regex-escaped. Literal rules keep a fast startsWith path via
-    // `prefix`; `priority` is the raw rule length (longest wins).
+    // (elsewhere it is literal — such rules also take the regex path,
+    // with the '$' escaped); '*' is any run; everything else is
+    // regex-escaped. Purely-literal rules keep a fast startsWith path
+    // via `prefix`; `priority` is the raw rule length (longest wins).
     val endAnchor = col("path").endsWith("$")
     val body = when(endAnchor,
       expr("substring(path, 1, length(path) - 1)")).otherwise(col("path"))
@@ -94,8 +102,9 @@ object Robots {
       when(endAnchor, lit("$")).otherwise(lit("")))
     ruleRows.join(agents, Seq("domain", "__grp"))
       .select(col("domain"), col("agent"), col("allow"),
-        regexp_extract(col("path"), "^([^*$]*)", 1).as("prefix"),
-        (col("path").contains("*") || endAnchor).as("wildcard"),
+        col("path").as("prefix"),
+        (col("path").contains("*") || col("path").contains("$"))
+          .as("wildcard"),
         pattern.as("pattern"),
         length(col("path")).as("priority"))
   }
@@ -139,8 +148,11 @@ object Robots {
       // no matching rule (null join) = allowed
       .select(col("__d"), col("__p"),
         coalesce(col("allow"), lit(true)).as("robots_allowed"))
+    // null-safe join-back: a URL row with a null domain/path (failed
+    // extraction upstream) must come out with its default-allow
+    // verdict, not silently vanish from the gate's output
     urls.join(verdicts,
-      urls(domainCol) === col("__d") && urls(pathCol) === col("__p"))
+      urls(domainCol) <=> col("__d") && urls(pathCol) <=> col("__p"))
       .drop("__d", "__p")
   }
 }

@@ -82,17 +82,23 @@ object Embeddings {
    * collect class). Vectors of differing lengths within a group
    * mean-pool per-dimension as far as each dimension has values —
    * mixed-model groups are a caller bug this surfaces as ragged
-   * output rather than silently truncating.
+   * output rather than silently truncating. A group whose vectors are
+   * ALL null/empty still emits its row (`n = 0`, vector null) — a
+   * pooled frame must cover every input group, or downstream joins
+   * silently lose those documents.
    */
   def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
     val exploded = df.select(col(groupCol),
         posexplode(col(vecCol).cast("array<double>")).as(Seq("__pos", "__x")))
       .groupBy(col(groupCol), col("__pos"))
       .agg(avg(col("__x")).as("__m"), count(lit(1)).as("__cnt"))
-    exploded.groupBy(col(groupCol))
+    val pooled = exploded.groupBy(col(groupCol))
       .agg(max(col("__cnt")).as("n"),
         transform(
           array_sort(collect_list(struct(col("__pos"), col("__m")))),
           s => s.getField("__m")).as(vecCol))
+    df.select(col(groupCol)).distinct()
+      .join(pooled, Seq(groupCol), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
   }
 }

@@ -77,20 +77,27 @@ object Profile {
     val actual = df.schema.map(f =>
       f.name -> f.dataType.simpleString)
     val consumed = scala.collection.mutable.Set.empty[Int]
-    val contractRows = expected.map { case (name, want) =>
-      val exact = actual.indices.filter(i =>
-        !consumed(i) && actual(i)._1 == name)
-      val ci = actual.indices.filter(i =>
-        !consumed(i) && actual(i)._1.equalsIgnoreCase(name))
-      val picked = if (exact.nonEmpty) exact else ci
-      picked match {
-        case Seq(i) =>
-          consumed += i
-          val got = actual(i)._2
-          (name, want, got, if (got == want) "ok" else "type_drift")
-        case Seq() => (name, want, null: String, "missing")
-        case _ => (name, want, null: String, "ambiguous")
-      }
+    // phase 1: EXACT name matches for every contract row first, so an
+    // earlier row's case-insensitive fallback can never steal a column
+    // a later row names exactly
+    val exactPick: Map[Int, Int] = expected.indices.flatMap { e =>
+      val name = expected(e)._1
+      actual.indices.filter(i => !consumed(i) && actual(i)._1 == name)
+        .headOption.map { i => consumed += i; e -> i }
+    }.toMap
+    val contractRows = expected.zipWithIndex.map {
+      case ((name, want), e) =>
+        val picked = exactPick.get(e).map(Seq(_)).getOrElse(
+          actual.indices.filter(i =>
+            !consumed(i) && actual(i)._1.equalsIgnoreCase(name)))
+        picked match {
+          case Seq(i) =>
+            consumed += i
+            val got = actual(i)._2
+            (name, want, got, if (got == want) "ok" else "type_drift")
+          case Seq() => (name, want, null: String, "missing")
+          case _ => (name, want, null: String, "ambiguous")
+        }
     }
     val rows = contractRows ++ actual.indices.collect {
       case i if !consumed(i) =>

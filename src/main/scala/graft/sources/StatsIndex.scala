@@ -46,7 +46,28 @@ object StatsIndex {
                  bloomCols: Seq[String] = Nil,
                  bloomBits: Long = 1L << 16): DataFrame = {
     require(cols.nonEmpty, "buildIndex needs at least one column")
+    requireFlat(spark, dataPath)
     buildIndexForFiles(spark, Seq(dataPath), cols, bloomCols, bloomBits)
+  }
+
+  /** Basename-relative resolution assumes a FLAT directory; a
+    * hive-partitioned layout (`date=.../part-*.parquet`) would record
+    * basenames that no longer resolve against `dataPath`. Checked
+    * loudly at build time, not discovered at first pruned read.
+    * Partitioned layouts: index each leaf directory separately (their
+    * partition values are already pruned by Spark's own
+    * PartitionFilters — the manifest's job is the file level BELOW
+    * that). */
+  private def requireFlat(spark: SparkSession, dataPath: String): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(hPath)
+    val nested = spark.read.parquet(dataPath).inputFiles
+      .filter(f => new org.apache.hadoop.fs.Path(f).getParent != root)
+    require(nested.isEmpty,
+      s"StatsIndex needs a flat directory; found nested data files " +
+        s"under $dataPath (e.g. ${nested.head}) — index leaf " +
+        "directories separately")
   }
 
   /** Build and persist the index beside the data (one small parquet
@@ -76,6 +97,7 @@ object StatsIndex {
                   index: DataFrame, cols: Seq[String],
                   bloomCols: Seq[String] = Nil,
                   bloomBits: Long = 1L << 16): DataFrame = {
+    requireFlat(spark, dataPath)
     val known = index.select(col("file")).collect()
       .map(_.getString(0)).toSet
     val all = spark.read.parquet(dataPath).inputFiles
@@ -95,12 +117,18 @@ object StatsIndex {
                                  bloomCols: Seq[String],
                                  bloomBits: Long): DataFrame = {
     graft.plans.NativeFunctions.register(spark)
+    val df = spark.read.parquet(files: _*)
+    // the indexed type rides in the manifest so a point probe with a
+    // wrongly-typed literal fails loudly (xxhash64 hashes by type — a
+    // mis-typed probe would silently prune EVERY file)
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
-      bloomCols.map(c => graft.plans.NativeFunctions.bloomAggNative(
-        xxhash64(col(c)), bloomBits / 16, bloomBits).as(s"bloom_$c"))
-    spark.read.parquet(files: _*)
-      .groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+      bloomCols.flatMap(c => Seq(
+        graft.plans.NativeFunctions.bloomAggNative(
+          xxhash64(col(c)), bloomBits / 16, bloomBits).as(s"bloom_$c"),
+        first(lit(df.schema(df.schema.fieldIndex(c))
+          .dataType.simpleString)).as(s"btype_$c")))
+    df.groupBy(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
 
@@ -132,6 +160,23 @@ object StatsIndex {
     require(preds.nonEmpty || points.nonEmpty,
       "prunedFiles needs at least one predicate")
     graft.plans.NativeFunctions.register(index.sparkSession)
+    if (points.nonEmpty) {
+      // loud type guard: the manifest records each bloom column's
+      // indexed type; a literal of another type hashes differently and
+      // would silently prune every file (the bloomGatedJoin hazard)
+      val btypes = index
+        .select(points.map(p => first(col(s"btype_${p.column}"))
+          .as(p.column)): _*)
+        .collect()(0)
+      points.zipWithIndex.foreach { case (p, i) =>
+        val want = btypes.getString(i)
+        val got = org.apache.spark.sql.catalyst.expressions
+          .Literal(p.value).dataType.simpleString
+        require(got == want,
+          s"Point('${p.column}') literal is $got but the column was " +
+            s"indexed as $want — pass a matching-typed literal")
+      }
+    }
     val survive = (preds.map { case Range(c, lo, hi) =>
       coalesce(lit(lo) <= col(s"max_$c") && lit(hi) >= col(s"min_$c"),
         lit(true))
@@ -158,7 +203,16 @@ object StatsIndex {
       points.map(p => col(p.column) === lit(p.value)))
       .reduce(_ && _)
     if (files.isEmpty) {
-      val schema = spark.read.parquet(dataPath).schema
+      // schema from ONE file named by the manifest — never a full
+      // directory listing (the cost this class exists to avoid); an
+      // empty manifest means an empty dataset, where the listing is
+      // trivially cheap
+      val sample = spark.read.parquet(indexPath)
+        .select(col("file")).limit(1).collect()
+      val schema =
+        if (sample.isEmpty) spark.read.parquet(dataPath).schema
+        else spark.read.parquet(
+          s"$dataPath/${sample(0).getString(0)}").schema
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else spark.read.parquet(

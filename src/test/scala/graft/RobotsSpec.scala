@@ -72,6 +72,49 @@ class RobotsSpec extends SparkSpec {
       4L -> false, 5L -> true, 6L -> false))
   }
 
+  test("empty Disallow is the RFC allow-all, and still shades *") {
+    // the canonical permissive robots.txt must not block the domain
+    val rt = Robots.rules(Seq(
+      ("open.com", "User-agent: *\nDisallow:\n"),
+      ("shade.com", "User-agent: *\nDisallow: /\n" +
+        "\nUser-agent: nice\nDisallow:\n"))
+      .toDF("domain", "body"), "domain", "body")
+    val urls = Seq((1L, "open.com", "/anything"),
+      (2L, "shade.com", "/anything")).toDF("id", "domain", "path")
+    val out = Robots.verdict(urls, rt, "nice", "domain", "path")
+      .select("id", "robots_allowed").as[(Long, Boolean)].collect().toMap
+    // open.com: allow-all; shade.com: nice's own (empty) group shades
+    // the * group's Disallow / — both allowed
+    assert(out == Map(1L -> true, 2L -> true))
+    val star = Robots.verdict(urls, rt, "otherbot", "domain", "path")
+      .select("id", "robots_allowed").as[(Long, Boolean)].collect().toMap
+    assert(star == Map(1L -> true, 2L -> false))
+  }
+
+  test("tab whitespace and mid-rule '$' parse per the RFC") {
+    val rt = Robots.rules(Seq(
+      ("t.com", "User-agent:\tspecial\nDisallow:\t/private\n" +
+        "Disallow: /price$usd\n")).toDF("domain", "body"),
+      "domain", "body")
+    val urls = Seq(
+      (1L, "t.com", "/private/x"), // tabbed agent + tabbed path rule
+      (2L, "t.com", "/price$usd"), // mid-$ is literal, matches exactly
+      (3L, "t.com", "/pricelist")  // must NOT be caught by a truncated
+    ).toDF("id", "domain", "path") // '/price' prefix
+    val out = Robots.verdict(urls, rt, "special", "domain", "path")
+      .select("id", "robots_allowed").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> false, 2L -> false, 3L -> true))
+  }
+
+  test("null domain/path rows surface with default-allow, not dropped") {
+    val urls = Seq((1L, "a.com", "/private/no"),
+      (2L, null, "/x"), (3L, "a.com", null))
+      .toDF("id", "domain", "path")
+    val out = Robots.verdict(urls, ruleTable, "anybot", "domain", "path")
+      .select("id", "robots_allowed").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true))
+  }
+
   test("duplicate url rows keep their multiplicity through the verdict") {
     val urls = Seq((1L, "a.com", "/public"), (2L, "a.com", "/public"))
       .toDF("id", "domain", "path")

@@ -150,6 +150,30 @@ class Round8OpsSpec extends SparkSpec {
       ("Id", null, "int", "extra"), ("id", null, "string", "extra")))
   }
 
+  test("schemaContract: exact matches resolve before any ci fallback") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ID",
+        org.apache.spark.sql.types.StringType)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    // the first row's ci fallback must NOT steal 'ID' from the second
+    // row's exact match
+    val out = graft.operators.Profile.schemaContract(df,
+        Seq("id" -> "int", "ID" -> "string"))
+      .as[(String, String, String, String)].collect().toSeq
+    assert(out == Seq(("id", "int", null, "missing"),
+      ("ID", "string", "string", "ok")))
+  }
+
+  test("meanPool keeps groups whose vectors are all null/empty") {
+    val df = Seq((1, Seq(1.0f, 3.0f)), (1, Seq(3.0f, 5.0f)),
+        (2, Seq.empty[Float]), (3, null: Seq[Float]))
+      .toDF("g", "v")
+    val out = graft.operators.Embeddings.meanPool(df, "g", "v")
+      .select("g", "n").as[(Int, Long)].collect().toMap
+    assert(out == Map(1 -> 2L, 2 -> 0L, 3 -> 0L))
+  }
+
   test("bloomGatedJoin rejects mismatched key types") {
     val big = (1L to 10L).map(i => (i, i)).toDF("k", "v")
     val small = Seq((1, "a")).toDF("k", "name") // k: INT vs big's BIGINT

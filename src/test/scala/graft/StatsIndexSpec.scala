@@ -120,6 +120,29 @@ class StatsIndexSpec extends SparkSpec {
       Seq(Range("k", 2500L, 2600L))).length == 1)
   }
 
+  test("point probe with a mis-typed literal fails loudly") {
+    val dir = tmpDir()
+    (1L to 100L).map(i => (i, i.toDouble)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
+    StatsIndex.writeIndex(spark, s"$dir/data", s"$dir/index", Seq("k"),
+      bloomCols = Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      StatsIndex.prunedFiles(spark.read.parquet(s"$dir/index"), Nil,
+        Seq(StatsIndex.Point("k", 50))) // Int vs indexed bigint
+    }
+    assert(e.getMessage.contains("indexed as bigint"))
+  }
+
+  test("nested (partitioned) layouts are rejected at build time") {
+    val dir = tmpDir()
+    (1L to 100L).map(i => (i, i % 3)).toDF("k", "p")
+      .write.partitionBy("p").mode("overwrite").parquet(s"$dir/data")
+    val e = intercept[IllegalArgumentException] {
+      StatsIndex.buildIndex(spark, s"$dir/data", Seq("k"))
+    }
+    assert(e.getMessage.contains("flat directory"))
+  }
+
   test("multi-range conjunction prunes on every indexed column") {
     val dir = tmpDir()
     val df = (1L to 4000L).map(i => (i, 4000L - i)).toDF("a", "b")
