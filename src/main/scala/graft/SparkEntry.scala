@@ -2702,6 +2702,118 @@ object SparkEntry {
               FROM lineitem
               WHERE l_orderkey BETWEEN 1000 AND 5000""")),
 
+    // outlink extraction: planted pages exercising double/single/un-
+    // quoted hrefs, attribute order, and a non-anchor href that must
+    // NOT extract; the oracle replays the identical RE2 chain
+    Q("q_html_links",
+      (s, d) => {
+        val pages = array(
+          lit("<p>x</p><a href=\"/a1\">one</a><a id=q href='/a2'>two" +
+            "</a>"),
+          lit("<a class=z href=/bare>b</a><link href=\"/css\">" +
+            "<A HREF=\"/caps\">c</A>"),
+          lit("no links here"))
+        val html = element_at(pages, (col("doc_id") % 3 + 1).cast("int"))
+        s.read.parquet(pq(d, "documents")).where(col("doc_id") < 150)
+          .select(col("doc_id"),
+            posexplode_outer(
+              graft.functions.TextAnalysis.extractLinks(html))
+              .as(Seq("pos", "link")))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+                CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN '<p>x</p><a href="/a1">one</a>' ||
+                    '<a id=q href=''/a2''>two</a>'
+                  WHEN 1 THEN '<a class=z href=/bare>b</a>' ||
+                    '<link href="/css"><A HREF="/caps">c</A>'
+                  ELSE 'no links here' END AS html
+                FROM documents WHERE doc_id < 150),
+              l AS (SELECT doc_id, list_transform(
+                  regexp_extract_all(html,
+                    '(?i)<a\s[^>]*?href\s*=\s*("[^"]*"|''[^'']*''|[^\s>"'']+)',
+                    1),
+                  v -> regexp_replace(v, '^["'']|["'']$', '', 'g'))
+                  AS links
+                FROM h),
+              i AS (SELECT doc_id, links,
+                  unnest(range(1, greatest(len(links), 1) + 1)) AS p
+                FROM l)
+              SELECT doc_id,
+                CASE WHEN len(links) = 0 THEN NULL
+                  ELSE CAST(p - 1 AS INT) END AS pos,
+                links[p] AS link
+              FROM i""")),
+
+    // PageRank over a synthesized link graph (node 11 is dst-only —
+    // the dangling case). The ENTIRE iteration is integer arithmetic
+    // on the 1e-12 grid with damping as the rational 17/20, so the
+    // oracle replays three unrolled rounds of identical div
+    // arithmetic — bit-exact, no FP anywhere until the final display
+    // division
+    Q("q_pagerank",
+      (s, d) => {
+        val edges = s.read.parquet(pq(d, "documents"))
+          .where(col("doc_id") < 60)
+          .select((col("doc_id") % 12).as("src"),
+            ((col("doc_id") * 7 + 3) % 12).as("dst"))
+          .where(col("src") =!= 11)
+        graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT doc_id % 12 AS src,
+                  (doc_id * 7 + 3) % 12 AS dst
+                FROM documents
+                WHERE doc_id < 60 AND doc_id % 12 <> 11),
+              nodes AS (SELECT src AS node FROM e
+                UNION SELECT dst FROM e),
+              nn AS (SELECT COUNT(*) AS n FROM nodes),
+              deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+              r0 AS (SELECT node,
+                  (2 * 1000000000000 + n) // (2 * n) AS r
+                FROM nodes, nn),
+              dm1 AS (SELECT COALESCE(SUM(r), 0) AS dm FROM r0
+                LEFT JOIN deg ON r0.node = deg.src WHERE d IS NULL),
+              c1 AS (SELECT e.dst AS node,
+                  SUM((2 * r + d) // (2 * d)) AS inp
+                FROM r0 JOIN deg ON r0.node = deg.src
+                  JOIN e ON e.src = r0.node
+                GROUP BY e.dst),
+              r1 AS (SELECT nodes.node,
+                  (6 * 1000000000000 + 20 * n) // (40 * n)
+                  + (34 * dm + 20 * n) // (40 * n)
+                  + (34 * COALESCE(inp, 0) + 20) // 40 AS r
+                FROM nodes CROSS JOIN nn CROSS JOIN dm1
+                  LEFT JOIN c1 ON nodes.node = c1.node),
+              dm2 AS (SELECT COALESCE(SUM(r), 0) AS dm FROM r1
+                LEFT JOIN deg ON r1.node = deg.src WHERE d IS NULL),
+              c2 AS (SELECT e.dst AS node,
+                  SUM((2 * r + d) // (2 * d)) AS inp
+                FROM r1 JOIN deg ON r1.node = deg.src
+                  JOIN e ON e.src = r1.node
+                GROUP BY e.dst),
+              r2 AS (SELECT nodes.node,
+                  (6 * 1000000000000 + 20 * n) // (40 * n)
+                  + (34 * dm + 20 * n) // (40 * n)
+                  + (34 * COALESCE(inp, 0) + 20) // 40 AS r
+                FROM nodes CROSS JOIN nn CROSS JOIN dm2
+                  LEFT JOIN c2 ON nodes.node = c2.node),
+              dm3 AS (SELECT COALESCE(SUM(r), 0) AS dm FROM r2
+                LEFT JOIN deg ON r2.node = deg.src WHERE d IS NULL),
+              c3 AS (SELECT e.dst AS node,
+                  SUM((2 * r + d) // (2 * d)) AS inp
+                FROM r2 JOIN deg ON r2.node = deg.src
+                  JOIN e ON e.src = r2.node
+                GROUP BY e.dst),
+              r3 AS (SELECT nodes.node,
+                  (6 * 1000000000000 + 20 * n) // (40 * n)
+                  + (34 * dm + 20 * n) // (40 * n)
+                  + (34 * COALESCE(inp, 0) + 20) // 40 AS r
+                FROM nodes CROSS JOIN nn CROSS JOIN dm3
+                  LEFT JOIN c3 ON nodes.node = c3.node)
+              SELECT node,
+                ROUND(CAST(r AS DOUBLE) / 1000000000000, 6) AS rank
+              FROM r3""")),
+
     // robots.txt politeness gate over planted bodies + URL cases: the
     // Spark side runs the FULL parse (groups, comments, specific-group
     // precedence) then the longest-match verdict; the oracle replays

@@ -369,6 +369,26 @@ object TextAnalysis {
   }
 
   /**
+   * Outlink extraction from raw HTML: every `href` attribute value of
+   * an `<a>` tag, in document order — the edge-building step of a
+   * crawl's link graph ([[graft.operators.Graph.pageRank]] consumes
+   * the edges; frontier discovery consumes the set difference against
+   * the seen corpus). One `regexp_extract_all` projection, zero
+   * shuffle, RE2-portable so the oracle replays it verbatim. Handles
+   * single-/double-/un-quoted attribute values and any attribute
+   * order inside the tag; javascript:/mailto:/fragment links are NOT
+   * filtered here — that is [[graft.functions.Urls]] policy applied
+   * on the exploded edges, one concern per operator.
+   */
+  def extractLinks(html: Column): Column =
+    transform(
+      regexp_extract_all(html,
+        lit("(?i)<a\\s[^>]*?href\\s*=\\s*" +
+          "(\"[^\"]*\"|'[^']*'|[^\\s>\"']+)"),
+        lit(1)),
+      v => regexp_replace(v, "^[\"']|[\"']$", ""))
+
+  /**
    * Text-density boilerplate removal (the jusText/trafilatura job
    * class, reduced to its deterministic core — Kohlschütter et al.
    * WSDM'10, Pomikálek 2011, public heuristics): segment the page into

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Web-graph analytics over an edge list — the ranking half of a crawl
+ * pipeline (outlink extraction builds the edges, PageRank turns them
+ * into a quality/centrality prior for crawl scheduling and corpus
+ * weighting; Page et al. 1999, public). Extension beyond the
+ * reference surface (single-table OLAP, `parquery/README.md:4-8`).
+ */
+object Graph {
+
+  /** 1e-12 rank grid: ranks are LONGs counting trillionths of the
+    * total mass. Fine enough that per-op rounding (≤ half a unit)
+    * never shows at any emitted precision; coarse enough that every
+    * intermediate stays far inside Long. */
+  private val Scale = 1000000000000L
+
+  /**
+   * Power-iteration PageRank on `(srcCol, dstCol)` edges: `iters`
+   * rounds of `r' = (1-d)/N + d·(Σ in-contributions + dangling/N)`,
+   * with dangling mass (nodes without outlinks) redistributed
+   * uniformly. Returns `(node, rank)` for every node of the graph
+   * (isolated receivers included), `rank` on the [[Scale]] grid
+   * divided out to a double.
+   *
+   * == Determinism discipline ==
+   *
+   * The ENTIRE iteration is integer arithmetic on the 1e-12 grid —
+   * the DSIR/`distributionDrift` discipline taken to its limit. The
+   * damping factor is a RATIONAL `dampingNum/dampingDen` (default
+   * 17/20 = 0.85), so every step is a half-away-from-zero integer
+   * rounding: contribution `⌊(2r + deg) / 2deg⌋`, damped in-sum
+   * `⌊(2·p·Σ + q) / 2q⌋`, base and dangling shares likewise. Long
+   * sums are associative — no partial-sum order, no decimal scale
+   * rules, no double conversion anywhere — so each round's ranks are
+   * bit-identical across runs, partitionings, AND engines (an oracle
+   * replays the identical `div` arithmetic).
+   *
+   * Scale shape: per round ONE hash join (ranks ⋈ edges on src) + ONE
+   * groupBy(dst) with map-side Long partials + a one-row dangling
+   * aggregate; the rank frame is localCheckpoint-pinned per round
+   * (the `duplicateClusters` lineage discipline — plan growth O(1)
+   * per round, each round computed once). Driver holds one Long per
+   * round. `iters` is a fixed small constant (crawl priors use 3-10),
+   * so cost is iters × (join + agg) — no convergence scan.
+   */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3, dampingNum: Long = 17L,
+               dampingDen: Long = 20L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampingNum > 0 && dampingNum < dampingDen,
+      s"damping must be a rational in (0,1), got $dampingNum/$dampingDen")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty edge list")
+    val (p, q) = (dampingNum, dampingDen)
+    // base share (1-d)/N on the grid, half-away-from-zero
+    val base = (2L * Scale * (q - p) + q * n) / (2L * q * n)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+      .localCheckpoint(true)
+    var ranks = nodes
+      .withColumn("r", lit((2L * Scale + n) / (2L * n)))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val withDeg = ranks.join(outdeg,
+        ranks("node") === outdeg("src"), "left")
+      // dangling nodes (no outlinks): whole rank redistributes
+      val dangling = withDeg.where(col("__deg").isNull)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+        .collect()(0).getLong(0)
+      val dshare = (2L * p * dangling + q * n) / (2L * q * n)
+      val contribs = withDeg.where(col("__deg").isNotNull)
+        .select(col("node"),
+          expr("(2 * r + __deg) div (2 * __deg)").as("__c"))
+        .join(e.select(col("src").as("__es"), col("dst").as("__ed")),
+          col("node") === col("__es"))
+        .groupBy(col("__ed").as("node"))
+        .agg(sum(col("__c")).as("__in"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base + dshare) +
+            expr(s"(2 * $p * coalesce(__in, 0L) + $q) div (2 * $q)"))
+            .as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"),
+      (col("r").cast("double") / Scale).as("rank"))
+  }
+}
