@@ -2744,6 +2744,60 @@ object SparkEntry {
                 links[p] AS link
               FROM i""")),
 
+    // crawl-frontier capstone: outlink extraction → registrable-domain
+    // keys → robots politeness → seen-set anti-join → per-domain cap,
+    // one declarative plan composing operators each gated on its own.
+    // The oracle is the hand-derived candidate set (each exclusion —
+    // seen, robots-blocked — is individually provable from the planted
+    // data) with the cap's md5-order window replayed exactly
+    Q("q_crawl_frontier",
+      (s, d) => {
+        val pages = array(
+          lit("<a href=\"https://a.com/p1\">x</a>" +
+            "<a href=\"https://a.com/private/z\">y</a>"),
+          lit("<a href=\"https://sub.a.com/p2\">x</a>" +
+            "<a href=\"https://b.com/q1\">y</a>"),
+          lit("<a href=\"https://b.com/q2\">x</a>" +
+            "<a href=\"https://b.com/q3\">y</a>"),
+          lit("no links"))
+        val html = element_at(pages, (col("doc_id") % 4 + 1).cast("int"))
+        graft.plans.NativeFunctions.register(s)
+        val links = s.read.parquet(pq(d, "documents"))
+          .where(col("doc_id") < 120)
+          .select(explode(
+            graft.functions.TextAnalysis.extractLinks(html)).as("url"))
+          .distinct()
+          .select(col("url"),
+            graft.functions.Urls.urlDomain(col("url"), psl = true)
+              .as("domain"),
+            graft.functions.Urls.urlPath(col("url")).as("path"))
+        // robots keyed by registrable domain (per-host fetch rolled up
+        // — the planted bodies carry one policy per site)
+        val robots = s.range(1).toDF("i").select(
+          lit("a.com").as("rdomain"),
+          lit("User-agent: *\nDisallow: /private\n").as("body"))
+        val rules = graft.functions.Robots.rules(robots,
+          "rdomain", "body")
+        val allowed = graft.functions.Robots.verdict(links, rules,
+            "graftbot", "domain", "path")
+          .where(col("robots_allowed"))
+        val seen = s.range(1)
+          .select(lit("https://a.com/p1").as("url"))
+        val fresh = allowed.join(seen, Seq("url"), "left_anti")
+        graft.operators.Sampling.capPerGroup(
+            fresh.select(col("domain"), col("url")),
+            "domain", "url", cap = 2, salt = "fr")
+      },
+      Some("""WITH cand AS (SELECT * FROM (VALUES
+                ('a.com', 'https://sub.a.com/p2'),
+                ('b.com', 'https://b.com/q1'),
+                ('b.com', 'https://b.com/q2'),
+                ('b.com', 'https://b.com/q3')) AS t(domain, url)),
+              r AS (SELECT domain, url, ROW_NUMBER() OVER (
+                  PARTITION BY domain
+                  ORDER BY md5('fr' || url), url) AS rk FROM cand)
+              SELECT domain, url FROM r WHERE rk <= 2""")),
+
     // PageRank over a synthesized link graph (node 11 is dst-only —
     // the dangling case). The ENTIRE iteration is integer arithmetic
     // on the 1e-12 grid with damping as the rational 17/20, so the

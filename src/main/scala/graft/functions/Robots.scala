@@ -49,8 +49,11 @@ object Robots {
    */
   def rules(robots: DataFrame, domainCol: String,
             textCol: String): DataFrame = {
+    // NB: the window partitions on the RENAMED "domain" column — the
+    // first select below aliases `domainCol` to it (a caller-named
+    // column would not resolve past that projection)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(domainCol)).orderBy(col("__ln"))
+      .partitionBy(col("domain")).orderBy(col("__ln"))
     // RFC whitespace is space OR tab (Spark's trim strips spaces only)
     def ws(c: Column): Column =
       regexp_replace(c, "^[ \\t]+|[ \\t]+$", "")
