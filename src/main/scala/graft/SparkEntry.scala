@@ -2772,10 +2772,14 @@ object SparkEntry {
               .as("domain"),
             graft.functions.Urls.urlPath(col("url")).as("path"))
         // robots keyed by registrable domain (per-host fetch rolled up
-        // — the planted bodies carry one policy per site)
-        val robots = s.range(1).toDF("i").select(
-          lit("a.com").as("rdomain"),
-          lit("User-agent: *\nDisallow: /private\n").as("body"))
+        // — the planted bodies carry one policy per site). Two rows
+        // via when() so the domain column is non-foldable: a constant
+        // literal would fold the rule parser's window partition spec
+        // to empty (the single-partition shape PlanGuardSpec bans)
+        val robots = s.range(2).toDF("i").select(
+          when(col("i") === 0, "a.com").otherwise("b.com").as("rdomain"),
+          when(col("i") === 0, "User-agent: *\nDisallow: /private\n")
+            .otherwise("# crawl freely\n").as("body"))
         val rules = graft.functions.Robots.rules(robots,
           "rdomain", "body")
         val allowed = graft.functions.Robots.verdict(links, rules,
