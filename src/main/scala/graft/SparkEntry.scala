@@ -2712,7 +2712,8 @@ object SparkEntry {
             "</a>"),
           lit("<a class=z href=/bare>b</a><link href=\"/css\">" +
             "<A HREF=\"/caps\">c</A>"),
-          lit("no links here"))
+          lit("<a data-href=\"/tracker\" href=\"/real\">t</a>" +
+            "no other links"))
         val html = element_at(pages, (col("doc_id") % 3 + 1).cast("int"))
         s.read.parquet(pq(d, "documents")).where(col("doc_id") < 150)
           .select(col("doc_id"),
@@ -2726,11 +2727,12 @@ object SparkEntry {
                     '<a id=q href=''/a2''>two</a>'
                   WHEN 1 THEN '<a class=z href=/bare>b</a>' ||
                     '<link href="/css"><A HREF="/caps">c</A>'
-                  ELSE 'no links here' END AS html
+                  ELSE '<a data-href="/tracker" href="/real">t</a>' ||
+                    'no other links' END AS html
                 FROM documents WHERE doc_id < 150),
               l AS (SELECT doc_id, list_transform(
                   regexp_extract_all(html,
-                    '(?i)<a\s[^>]*?href\s*=\s*("[^"]*"|''[^'']*''|[^\s>"'']+)',
+                    '(?i)<a[\t\n\f\r ](?:[^>]*?[\t\n\f\r "''])?href[\t\n\f\r ]*=[\t\n\f\r ]*("[^"]*"|''[^'']*''|[^\t\n\f\r >"'']+)',
                     1),
                   v -> regexp_replace(v, '^["'']|["'']$', '', 'g'))
                   AS links

@@ -379,12 +379,23 @@ object TextAnalysis {
    * order inside the tag; javascript:/mailto:/fragment links are NOT
    * filtered here — that is [[graft.functions.Urls]] policy applied
    * on the exploded edges, one concern per operator.
+   *
+   * The attribute name is boundary-anchored (whitespace or a closing
+   * quote must precede `href`), so `data-href`/`xhref` attributes
+   * never shadow the real link; whitespace is the explicit
+   * `[\t\n\f\r ]` class, identical in Java regex and RE2 (Java `\s`
+   * additionally matches vertical tab — a silent engine divergence).
+   * Documented boundary: an attribute VALUE containing the literal
+   * text `href=` right after a quote can false-match (full
+   * quote-state tracking is beyond one regex; rare in real markup,
+   * unlike `data-href`, which is everywhere).
    */
   def extractLinks(html: Column): Column =
     transform(
       regexp_extract_all(html,
-        lit("(?i)<a\\s[^>]*?href\\s*=\\s*" +
-          "(\"[^\"]*\"|'[^']*'|[^\\s>\"']+)"),
+        lit("(?i)<a[\\t\\n\\f\\r ](?:[^>]*?[\\t\\n\\f\\r \"'])?" +
+          "href[\\t\\n\\f\\r ]*=[\\t\\n\\f\\r ]*" +
+          "(\"[^\"]*\"|'[^']*'|[^\\t\\n\\f\\r >\"']+)"),
         lit(1)),
       v => regexp_replace(v, "^[\"']|[\"']$", ""))
 

@@ -53,6 +53,12 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampingNum > 0 && dampingNum < dampingDen,
       s"damping must be a rational in (0,1), got $dampingNum/$dampingDen")
+    // overflow headroom: 2·Scale·(q−p) and 2·p·(total mass) must stay
+    // inside Long — q ≤ 1000 caps both at ~2e15 while giving damping
+    // 3-digit precision, far past any PageRank use
+    require(dampingDen <= 1000L,
+      s"dampingDen must be <= 1000 (Long overflow headroom), " +
+        s"got $dampingDen")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
@@ -72,8 +78,12 @@ object Graph {
       .withColumn("r", lit((2L * Scale + n) / (2L * n)))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
+      // ONE ranks⋈outdeg join per round, pinned so the dangling
+      // aggregate and the contribution pass read the same
+      // materialization instead of re-running the join
       val withDeg = ranks.join(outdeg,
         ranks("node") === outdeg("src"), "left")
+        .localCheckpoint(true)
       // dangling nodes (no outlinks): whole rank redistributes
       val dangling = withDeg.where(col("__deg").isNull)
         .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
@@ -86,12 +96,18 @@ object Graph {
           col("node") === col("__es"))
         .groupBy(col("__ed").as("node"))
         .agg(sum(col("__c")).as("__in"))
+      val prev = ranks
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(base + dshare) +
             expr(s"(2 * $p * coalesce(__in, 0L) + $q) div (2 * $q)"))
             .as("r"))
         .localCheckpoint(true)
+      // exactly one live rank snapshot: the new round is materialized
+      // (eager checkpoint above), so the previous round's blocks — and
+      // the per-round join pin — can go
+      prev.unpersist()
+      withDeg.unpersist()
     }
     ranks.select(col("node"),
       (col("r").cast("double") / Scale).as("rank"))

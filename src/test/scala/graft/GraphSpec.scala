@@ -35,6 +35,27 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r.values.sum - 1.0) < 1e-6)
   }
 
+  test("extractLinks: boundary-anchored href, real link not shadowed") {
+    import org.apache.spark.sql.functions._
+    val out = Seq(
+      "<a data-href=\"/tracker\" href=\"/real\">x</a>",
+      "<a xhref=\"/no\">y</a>",
+      "<a\thref=\"/tabbed\">z</a>")
+      .toDF("h")
+      .select(graft.functions.TextAnalysis.extractLinks(col("h"))
+        .as("l"))
+      .as[Seq[String]].collect().toSeq
+    assert(out == Seq(Seq("/real"), Seq(), Seq("/tabbed")))
+  }
+
+  test("pageRank rejects overflow-prone damping denominators") {
+    val e = Seq((1L, 2L)).toDF("s", "t")
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(e, "s", "t", dampingNum = 3400000000L,
+        dampingDen = 4000000000L)
+    }
+  }
+
   test("integer-grid iteration is partition-layout independent") {
     val edges = (1L to 200L).map(i => (i % 23, (i * 7 + 5) % 23))
     val a = Graph.pageRank(edges.toDF("s", "t"), "s", "t", iters = 3)
