@@ -55,7 +55,23 @@ def main(sf_dir, out_dir):
             continue
         gc, gr = canon(got)
         ec, er = canon(exp)
-        if gc != ec:
+        # Oracle-schema lint: the driver's hash is TYPE-sensitive.
+        # DuckDB SUM(BIGINT) surfaces as decimal128(38,0) (hugeint);
+        # if the Spark side isn't decimal too, the hash mismatches even
+        # when every value is identical (rounds 6-8 red root cause).
+        # Flag it as a hard FAIL here so it never reaches the driver.
+        type_errs = []
+        for c in set(gc) & set(ec):
+            gt = got.schema.field(c).type
+            et = exp.schema.field(c).type
+            if pa.types.is_decimal(et) != pa.types.is_decimal(gt):
+                type_errs.append(
+                    f"{c}: spark={gt} oracle={et} "
+                    "(uncast SUM? wrap oracle in CAST(... AS BIGINT))")
+        if type_errs:
+            print(f"FAIL {name}: oracle type drift: {type_errs}")
+            n_fail += 1
+        elif gc != ec:
             print(f"FAIL {name}: cols {gc} != {ec}")
             n_fail += 1
         elif len(gr) != len(er):

@@ -1584,7 +1584,7 @@ object SparkEntry {
               p AS (SELECT unnest(list_transform(range(1, len(c)),
                     i -> c[i] || ' ' || c[i + 1])) AS pair, wf
                 FROM (SELECT string_split(w, '') AS c, wf FROM wf))
-              SELECT pair, SUM(wf) AS cnt FROM p
+              SELECT pair, CAST(SUM(wf) AS BIGINT) AS cnt FROM p
               GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""")),
 
     // Greedy BPE encode under a fixed literal merge list (including a
@@ -1636,7 +1636,7 @@ object SparkEntry {
               p0 AS (SELECT unnest(list_transform(range(1, len(c)),
                     i -> c[i] || ' ' || c[i + 1])) AS pair, wf
                 FROM (SELECT string_split(w, '') AS c, wf FROM wf)),
-              best AS (SELECT pair, SUM(wf) AS cnt FROM p0
+              best AS (SELECT pair, CAST(SUM(wf) AS BIGINT) AS cnt FROM p0
                 GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1),
               applied AS (SELECT REPLACE(
                   ' ' || array_to_string(string_split(w, ''),
@@ -1651,7 +1651,7 @@ object SparkEntry {
                 FROM (SELECT string_split(trim(s), repeat(' ', 2))
                     AS sy, wf
                   FROM applied))
-              SELECT pair, SUM(wf) AS cnt FROM rc
+              SELECT pair, CAST(SUM(wf) AS BIGINT) AS cnt FROM rc
               GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""")),
 
     // text-density boilerplate removal: the synthesized page wraps the
@@ -2523,12 +2523,14 @@ object SparkEntry {
                     'g')) AS DOUBLE) / length(text) END >= 0.5 AS g4
                 FROM documents)
               SELECT COUNT(*) AS rows_in,
-                SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS nonempty,
-                SUM(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS min_tokens,
-                SUM(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END)
-                  AS is_en,
-                SUM(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END)
-                  AS alpha_half
+                CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS nonempty,
+                CAST(SUM(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS min_tokens,
+                CAST(SUM(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS is_en,
+                CAST(SUM(CASE WHEN g1 AND g2 AND g3 AND g4
+                  THEN 1 ELSE 0 END) AS BIGINT) AS alpha_half
               FROM g""")),
 
     // the crawl-curation capstone: WET records → parsed docs → PSL
@@ -3919,7 +3921,7 @@ object SparkEntry {
                 FROM n JOIN rawc USING (term)
                   LEFT JOIN tgtc USING (term) CROSS JOIN st),
               agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS s,
-                  SUM(n) AS dl
+                  CAST(SUM(n) AS BIGINT) AS dl
                 FROM contrib GROUP BY 1)
               SELECT doc_id, dl,
                 SIGN(s) * ((2 * ABS(s) + dl * 100000)
