@@ -1430,16 +1430,23 @@ object SparkEntry {
     // snapshot; the oracle replays longest-suffix match against the
     // EFFECTIVE suffixes of the planted hosts (wildcards expanded,
     // exceptions omitted — how a PSL rule set grounds out on concrete
-    // hosts), so both sides compute the answer independently.
+    // hosts), so both sides compute the answer independently. Two
+    // hosts sit beyond the curated fallback snapshot (co.bw, the
+    // private-section github.io) and are green only with the full
+    // bundled publicsuffix.org list loaded.
     Q("q_url_domain",
       (s, d) => {
         val hosts = array(
           lit("www.shop.example.co.uk"), lit("news.example.com.au"),
           lit("sub.city.kobe.jp"), lit("shop.foo.kobe.jp"),
           lit("x.y.foo.bd"), lit("a.www.ck"),
-          lit("deep.a.b.ck"), lit("WWW.Example.COM"))
+          lit("deep.a.b.ck"), lit("WWW.Example.COM"),
+          // beyond the curated fallback snapshot — green only when the
+          // FULL bundled list is loaded: an ICANN registry absent from
+          // the fallback and a PRIVATE-section suffix
+          lit("shop.example.co.bw"), lit("blog.demo.github.io"))
         val u = concat(lit("https://"),
-          element_at(hosts, (col("doc_id") % 8 + 1).cast("int")),
+          element_at(hosts, (col("doc_id") % 10 + 1).cast("int")),
           lit("/p"))
         graft.plans.NativeFunctions.register(s)
         s.read.parquet(pq(d, "documents")).where(col("doc_id") < 200)
@@ -1449,7 +1456,7 @@ object SparkEntry {
               .as("domain_psl"),
             graft.functions.Urls.urlDomain(u).as("domain_naive"))
       },
-      Some("""WITH hosts AS (SELECT doc_id, lower(CASE CAST(doc_id % 8 AS INT)
+      Some("""WITH hosts AS (SELECT doc_id, lower(CASE CAST(doc_id % 10 AS INT)
                   WHEN 0 THEN 'www.shop.example.co.uk'
                   WHEN 1 THEN 'news.example.com.au'
                   WHEN 2 THEN 'sub.city.kobe.jp'
@@ -1457,10 +1464,13 @@ object SparkEntry {
                   WHEN 4 THEN 'x.y.foo.bd'
                   WHEN 5 THEN 'a.www.ck'
                   WHEN 6 THEN 'deep.a.b.ck'
-                  ELSE 'WWW.Example.COM' END) AS host
+                  WHEN 7 THEN 'WWW.Example.COM'
+                  WHEN 8 THEN 'shop.example.co.bw'
+                  ELSE 'blog.demo.github.io' END) AS host
                 FROM documents WHERE doc_id < 200),
               sfx AS (SELECT * FROM (VALUES ('co.uk'), ('com.au'),
-                  ('kobe.jp'), ('foo.kobe.jp'), ('foo.bd'), ('b.ck'))
+                  ('kobe.jp'), ('foo.kobe.jp'), ('foo.bd'), ('b.ck'),
+                  ('co.bw'), ('github.io'))
                   t(s)),
               m AS (SELECT h.doc_id, h.host, MAX(length(s.s)) AS sl
                 FROM hosts h LEFT JOIN sfx s

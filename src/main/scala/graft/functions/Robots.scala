@@ -28,10 +28,11 @@ import org.apache.spark.sql.functions._
  * The RFC's `*` (any run) and trailing `$` (end anchor) are fully
  * supported: each rule carries a translated anchored regex beside its
  * literal prefix, and matching uses the cheap `startsWith` for
- * literal rules and the regex only for wildcard rules (per-row
- * compile, bounded by the rule table's size — rules are domain-scale,
- * not corpus-scale). Specificity is the raw rule length (the
- * longest-match convention used by major crawlers).
+ * literal rules and, for wildcard rules, the cached native matcher
+ * ([[graft.plans.RegexCache]]) — compile once per distinct rule
+ * pattern per executor, never per (URL, rule) row. Specificity is the
+ * raw rule length (the longest-match convention used by major
+ * crawlers).
  */
 object Robots {
 
@@ -54,12 +55,18 @@ object Robots {
     // column would not resolve past that projection)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("domain")).orderBy(col("__ln"))
-    // RFC whitespace is space OR tab (Spark's trim strips spaces only)
+    // RFC whitespace is space OR tab (Spark's trim strips spaces only);
+    // a stray CR survives only on malformed mixed-EOL input — the line
+    // split below already handles CRLF — but trimming it is free
     def ws(c: Column): Column =
-      regexp_replace(c, "^[ \\t]+|[ \\t]+$", "")
+      regexp_replace(c, "^[ \\t\\r]+|[ \\t\\r]+$", "")
     val lines = robots
+      // RFC 9309 EOL is CR / LF / CRLF — a CRLF body (the common wire
+      // form over HTTP) must not leave "\r" glued to every value; a
+      // leading UTF-8 BOM must not corrupt the first field name
       .select(col(domainCol).as("domain"),
-        posexplode(split(col(textCol), "\n")).as(Seq("__ln", "__raw")))
+        posexplode(split(regexp_replace(col(textCol), "^\uFEFF", ""),
+          "\r\n|\r|\n")).as(Seq("__ln", "__raw")))
       .select(col("domain"), col("__ln"),
         // strip comments and surrounding whitespace
         ws(regexp_replace(col("__raw"), "#.*$", "")).as("__line"))
@@ -69,6 +76,11 @@ object Robots {
           .as("__field"),
         ws(regexp_extract(col("__line"), "^[^:]+:(.*)$", 1))
           .as("__value"))
+      // group formation sees ONLY agent and rule lines: RFC 9309
+      // §2.2.4 — other records (sitemap:, crawl-delay:, unknown
+      // directives) MUST NOT interfere, so one between two user-agent
+      // lines must not split their shared group
+      .where(col("__field").isin("user-agent", "allow", "disallow"))
     // group id: a user-agent line following a RULE line opens a new
     // group; consecutive user-agent lines extend the current one
     val grouped = lines
@@ -103,13 +115,29 @@ object Robots {
     val pattern = concat(lit("^"),
       regexp_replace(escaped, "\\*", ".*"),
       when(endAnchor, lit("$")).otherwise(lit("")))
-    ruleRows.join(agents, Seq("domain", "__grp"))
+    val withAgents = ruleRows.join(agents, Seq("domain", "__grp"))
       .select(col("domain"), col("agent"), col("allow"),
         col("path").as("prefix"),
         (col("path").contains("*") || col("path").contains("$"))
           .as("wildcard"),
         pattern.as("pattern"),
         length(col("path")).as("priority"))
+    // REGISTRATION rows for groups with no allow/disallow lines at all
+    // (e.g. only crawl-delay:): RFC most-specific-group says the
+    // agent's own empty group wins — allow-all — over the '*' group.
+    // A null-prefix row matches no path (the verdict join condition
+    // grounds to null), so it cannot affect any ranking; its presence
+    // just makes the agent's domain visible to the '*'-fallback
+    // anti-join in [[verdict]].
+    val emptyGroups = agents
+      .join(ruleRows.select(col("domain"), col("__grp")).distinct(),
+        Seq("domain", "__grp"), "left_anti")
+      .select(col("domain"), col("agent"), lit(true).as("allow"),
+        lit(null).cast("string").as("prefix"),
+        lit(false).as("wildcard"),
+        lit(null).cast("string").as("pattern"),
+        lit(null).cast("int").as("priority"))
+    withAgents.unionByName(emptyGroups)
   }
 
   /**
@@ -137,8 +165,12 @@ object Robots {
     val pairs = urls
       .select(col(domainCol).as("__d"), col(pathCol).as("__p"))
       .distinct()
+    // wildcard rules carry a pattern COLUMN: Spark's own regexp_like
+    // would recompile it per (URL, rule) row. The native cached
+    // matcher compiles once per distinct rule pattern per executor.
+    graft.plans.NativeFunctions.register(urls.sparkSession)
     val matches = when(col("wildcard"),
-      regexp_like(col("__p"), col("pattern")))
+      graft.plans.NativeFunctions.rlikeCached(col("__p"), col("pattern")))
       .otherwise(col("__p").startsWith(col("prefix")))
     val joined = pairs.join(effective,
       col("__d") === col("__rd") && matches, "left")

@@ -109,6 +109,12 @@ object Graph {
       prev.unpersist()
       withDeg.unpersist()
     }
+    // the final ranks checkpoint alone backs the result — release the
+    // loop-invariant pins (edges, node set, outdegrees) so they don't
+    // occupy the block manager for the rest of the session
+    e.unpersist()
+    nodes.unpersist()
+    outdeg.unpersist()
     ranks.select(col("node"),
       (col("r").cast("double") / Scale).as("rank"))
   }

@@ -237,7 +237,14 @@ object Sampling {
                            salt: String = ""): DataFrame = {
     require(shards >= 1 && 16 % shards == 0,
       s"shards must divide 16 (uniform hex-digit map), got $shards")
-    val h = md5(concat(lit(salt), col(keyCol).cast("string")))
+    // fail loudly instead of silently replacing caller data: the
+    // output claims these two names
+    Seq("pos", "shard").foreach(c => require(!df.columns.contains(c),
+      s"deterministicShuffle emits a '$c' column; input already has one"))
+    // null keys hash as a sentinel class (same convention as
+    // hashSample/capPerGroup) — not first-by-null-ordering
+    val h = md5(concat(lit(salt),
+      coalesce(col(keyCol).cast("string"), lit("__graft_null__"))))
     val shard = pmod(instr(lit("0123456789abcdef"), substring(h, 1, 1)) - 1,
       lit(shards))
     val w = org.apache.spark.sql.expressions.Window
@@ -265,7 +272,11 @@ object Sampling {
   def hashSampleN(df: DataFrame, keyCol: String, n: Int,
                   salt: String = ""): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    df.orderBy(md5(concat(lit(salt), col(keyCol).cast("string"))),
+    // null keys rank by the sentinel's hash like everywhere else in
+    // this family — without the coalesce, md5(null) = null sorts FIRST
+    // under asc and null-keyed rows would always win membership
+    df.orderBy(md5(concat(lit(salt),
+        coalesce(col(keyCol).cast("string"), lit("__graft_null__")))),
         col(keyCol))
       .limit(n)
   }
@@ -284,9 +295,12 @@ object Sampling {
    */
   def interleaveBySource(df: DataFrame, sourceCol: String,
                          keyCol: String, salt: String = ""): DataFrame = {
+    require(!df.columns.contains("batch"),
+      "interleaveBySource emits a 'batch' column; input already has one")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(sourceCol))
-      .orderBy(md5(concat(lit(salt), col(keyCol).cast("string"))),
+      .orderBy(md5(concat(lit(salt),
+          coalesce(col(keyCol).cast("string"), lit("__graft_null__")))),
         col(keyCol))
     df.withColumn("batch", row_number().over(w) - 1)
   }

@@ -1212,16 +1212,18 @@ case class PqAdcExpr(left: Expression, right: Expression,
 /** Public-suffix-list registrable-domain matcher shared by
   * [[RegistrableDomainExpr]]'s interpreted and codegen paths.
   *
-  * The rule set is a SNAPSHOT SUBSET of the publicsuffix.org ICANN
-  * list (public data, MPL-2.0) in PSL line format — the multi-label
-  * country registries that dominate real crawl data (`co.uk`,
-  * `com.au`, `co.jp`, …), the well-known wildcard zones (`*.bd`,
-  * `*.ck`, the Japanese city domains) and their exceptions. Single-
-  * label TLDs need no entry: they are the PSL's implicit default rule
-  * (`*`). Production deployments regenerate [[snapshot]] from the full
-  * published list — the matcher implements the complete PSL algorithm
-  * (longest prevailing rule; wildcards; exceptions override), so only
-  * the data grows.
+  * The rule set is the COMPLETE publicsuffix.org list (public data,
+  * MPL-2.0; ~9.5k rules, ICANN + PRIVATE sections), bundled as the
+  * classpath resource `graft/public_suffix_list.dat` and parsed once
+  * at class init (~1 MB of hash sets — per-JVM, broadcast-free).
+  * Unicode rules are additionally indexed under their IDNA ASCII
+  * (punycode) form via `java.net.IDN`, so a host in either
+  * representation matches. If the resource is unreadable the loader
+  * falls back to a curated snapshot of the registries that dominate
+  * real crawl data — never an empty table, because the implicit `*`
+  * default rule would then silently over-merge every ccTLD registry.
+  * The matcher implements the complete PSL algorithm (longest
+  * prevailing rule; wildcards; exceptions override).
   *
   * Matching: O(labels) hash lookups per host, no allocation beyond the
   * label split; the PSL does not require rules to be suffix-closed, so
@@ -1229,8 +1231,9 @@ case class PqAdcExpr(left: Expression, right: Expression,
   */
 object PublicSuffixes {
 
-  /** PSL-format lines: `x.y` rule, `*.x` wildcard, `!x.y` exception. */
-  private val snapshot: Seq[String] = Seq(
+  /** Fallback PSL-format lines (`x.y` rule, `*.x` wildcard, `!x.y`
+    * exception), used only if the bundled full list fails to load. */
+  private val fallbackSnapshot: Seq[String] = Seq(
     // United Kingdom
     "co.uk", "org.uk", "net.uk", "me.uk", "ltd.uk", "plc.uk", "sch.uk",
     "ac.uk", "gov.uk", "nhs.uk", "police.uk",
@@ -1311,13 +1314,52 @@ object PublicSuffixes {
     // wildcard-only zones (every second-level name is itself a registry)
     "*.bd", "*.ck", "!www.ck", "*.er", "*.fj", "*.mm", "*.np", "*.pg")
 
+  /** Lines of the bundled full list: non-comment, non-blank, with the
+    * whole-line trim publicsuffix.org specifies ("only read up to the
+    * first whitespace"). Falls back to [[fallbackSnapshot]] (never to
+    * an empty table) on any load failure. */
+  private def loadRuleLines(): Seq[String] =
+    try {
+      val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+      if (in == null) sys.error("resource graft/public_suffix_list.dat absent")
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      try src.getLines()
+        .map(l => l.indexWhere(Character.isWhitespace) match {
+          case -1 => l
+          case i  => l.substring(0, i)
+        })
+        .filter(l => l.nonEmpty && !l.startsWith("//"))
+        .toVector
+      finally src.close()
+    } catch {
+      case t: Throwable =>
+        System.err.println(
+          s"[graft] WARN full public-suffix list unavailable ($t); " +
+            "using curated fallback snapshot")
+        fallbackSnapshot
+    }
+
   private val exceptions = new java.util.HashSet[String]
   private val wildcards = new java.util.HashSet[String]
   private val rules = new java.util.HashSet[String]
-  snapshot.foreach { line =>
-    if (line.startsWith("!")) exceptions.add(line.substring(1))
-    else if (line.startsWith("*.")) wildcards.add(line.substring(2))
-    else rules.add(line)
+  loadRuleLines().foreach { line =>
+    // index the rule as published, plus its IDNA ASCII (punycode)
+    // form when they differ, so hosts in either representation match
+    val (kind, body) =
+      if (line.startsWith("!")) (0, line.substring(1))
+      else if (line.startsWith("*.")) (1, line.substring(2))
+      else (2, line)
+    val forms =
+      try {
+        val ascii = java.net.IDN.toASCII(body)
+        if (ascii == body) Seq(body) else Seq(body, ascii)
+      } catch { case _: Exception => Seq(body) }
+    val target = kind match {
+      case 0 => exceptions
+      case 1 => wildcards
+      case _ => rules
+    }
+    forms.foreach(target.add)
   }
 
   /**
@@ -1652,6 +1694,76 @@ object IdnHostExpr {
   }
 }
 
+/** Process-wide compiled-regex cache backing [[CachedRegexMatchExpr]].
+  * Spark's own `RLike` compiles once only when the pattern is a foldable
+  * literal; a pattern COLUMN (the robots rule table's translated
+  * wildcard patterns) recompiles per row. Rule tables are domain-scale
+  * — thousands of distinct patterns, corpus-scale rows — so a bounded
+  * shared cache turns per-row compile into per-pattern compile. */
+object RegexCache {
+  private val MaxEntries = 8192
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.regex.Pattern]()
+
+  def pattern(p: String): java.util.regex.Pattern = {
+    val got = cache.get(p)
+    if (got != null) got
+    else {
+      // crude but bounded eviction: a full clear. The working set is
+      // the distinct wildcard-rule count (domain-scale); overflow means
+      // pathological input, where correctness still holds at the old
+      // per-row-compile cost.
+      if (cache.size() >= MaxEntries) cache.clear()
+      val compiled = java.util.regex.Pattern.compile(p)
+      cache.putIfAbsent(p, compiled)
+      compiled
+    }
+  }
+
+  /** Java-callable matcher used by both eval and codegen paths. */
+  def matches(s: org.apache.spark.unsafe.types.UTF8String,
+              p: org.apache.spark.unsafe.types.UTF8String): Boolean =
+    pattern(p.toString).matcher(s.toString).find()
+}
+
+/**
+ * `regexp_like` with a non-literal pattern column, minus the per-row
+ * `Pattern.compile`: matching goes through [[RegexCache]]. Semantics
+ * match Spark's `RLike` (unanchored find; anchor explicitly with
+ * `^...$` in the pattern — the robots rule translation always
+ * prefixes `^`). Null-safe: null input or pattern → null.
+ */
+case class CachedRegexMatchExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == org.apache.spark.sql.types.StringType &&
+        right.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def prettyName: String = "graft_rlike_cached"
+
+  override def nullSafeEval(s: Any, p: Any): Any =
+    RegexCache.matches(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      p.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, p) =>
+      s"graft.plans.RegexCache.matches($s, $p)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CachedRegexMatchExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /**
  * Registration + Column-API access for the native expressions. Catalyst
  * `Column`s are built through the session function registry
@@ -1680,6 +1792,7 @@ object NativeFunctions {
   val idnHostName = "graft_idn_host"
   val fixMojibakeName = "graft_fix_mojibake"
   val bloomProbeName = "graft_bloom_probe"
+  val rlikeCachedName = "graft_rlike_cached"
 
   private def intLit(e: Expression): Int =
     e.eval(null) match {
@@ -1789,7 +1902,9 @@ object NativeFunctions {
         case b: Boolean => b
         case other => throw new IllegalArgumentException(
           s"expected boolean literal, got $other")
-      })))
+      })),
+    rlikeCachedName -> ((exprs: Seq[Expression]) =>
+      CachedRegexMatchExpr(exprs.head, exprs(1))))
 
   /** Idempotently register graft native functions on this session. */
   def register(spark: SparkSession): Unit = {
@@ -1916,4 +2031,9 @@ object NativeFunctions {
     * uppercase remaining hex; malformed escapes verbatim). */
   def pctNormalizeNative(text: Column): Column =
     call_function(pctNormalizeName, text)
+
+  /** `regexp_like` over a pattern COLUMN with a shared compiled-pattern
+    * cache — per-pattern compile instead of per-row (see [[RegexCache]]). */
+  def rlikeCached(s: Column, pattern: Column): Column =
+    call_function(rlikeCachedName, s, pattern)
 }

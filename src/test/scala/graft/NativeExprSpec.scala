@@ -348,6 +348,21 @@ class NativeExprSpec extends SparkSpec {
     assert(registrable("") == "")
   }
 
+  test("PublicSuffixes: full bundled list, beyond the fallback snapshot") {
+    import graft.plans.PublicSuffixes.registrable
+    // ICANN registries absent from the curated fallback
+    assert(registrable("shop.example.co.bw") == "example.co.bw")
+    assert(registrable("a.b.example.com.cy") == "example.com.cy")
+    // PRIVATE-section suffixes (each github.io user site is its own
+    // origin — exactly the merge boundary a crawl cap wants)
+    assert(registrable("blog.demo.github.io") == "demo.github.io")
+    assert(registrable("x.mysite.blogspot.com") == "mysite.blogspot.com")
+    // unicode rule matched in BOTH representations: 公司.cn is a PSL
+    // rule; its IDNA ASCII form xn--55qx5d.cn is indexed alongside
+    assert(registrable("foo.bar.公司.cn") == "bar.公司.cn")
+    assert(registrable("foo.bar.xn--55qx5d.cn") == "bar.xn--55qx5d.cn")
+  }
+
   test("PctNormalize: decode unreserved, uppercase kept hex, malformed verbatim") {
     import graft.plans.PctNormalize.normalize
     assert(normalize("/P%61th%2fx%7E") == "/Path%2Fx~")

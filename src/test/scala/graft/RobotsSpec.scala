@@ -115,6 +115,49 @@ class RobotsSpec extends SparkSpec {
     assert(out == Map(1L -> false, 2L -> true, 3L -> true))
   }
 
+  test("CRLF bodies and a leading BOM parse identically to LF bodies") {
+    // the common wire form: UTF-8 BOM + CRLF line endings. Every value
+    // must come out \r-free or agent names and prefixes silently match
+    // nothing (default-allow for paths the site disallowed).
+    val crlf = "\uFEFFUser-agent: graftbot\r\nDisallow: /private\r\n" +
+      "Allow: /private/ok\r\n"
+    val rt = Robots.rules(Seq(("c.com", crlf)).toDF("domain", "body"),
+      "domain", "body")
+    val rows = rt.select("agent", "allow", "prefix", "priority")
+      .as[(String, Boolean, String, Int)].collect().toSet
+    assert(rows == Set(("graftbot", false, "/private", 8),
+      ("graftbot", true, "/private/ok", 11)))
+    val urls = Seq((1L, "c.com", "/private/no"),
+      (2L, "c.com", "/private/ok/x")).toDF("id", "domain", "path")
+    val out = Robots.verdict(urls, rt, "GraftBot", "domain", "path")
+      .select("id", "robots_allowed").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> false, 2L -> true))
+  }
+
+  test("non-rule records neither split a group nor erase it (RFC 2.2.4)") {
+    val body = "User-agent: a\nCrawl-delay: 10\nUser-agent: b\n" +
+      "Disallow: /x\n\nUser-agent: *\nDisallow: /\n\n" +
+      "User-agent: quiet\nCrawl-delay: 5\n"
+    val rt = Robots.rules(Seq(("d.com", body)).toDF("domain", "body"),
+      "domain", "body")
+    val urls = Seq((1L, "d.com", "/x"), (2L, "d.com", "/y"))
+      .toDF("id", "domain", "path")
+    // the crawl-delay between the two user-agent lines must not orphan
+    // agent b's rules: a and b share one group
+    val outA = Robots.verdict(urls, rt, "a", "domain", "path")
+      .select("id", "robots_allowed").as[(Long, Boolean)].collect().toMap
+    assert(outA == Map(1L -> false, 2L -> true))
+    // quiet's group has no allow/disallow lines: its own (empty =
+    // allow-all) group still wins over the '*' Disallow-/ group
+    val outQ = Robots.verdict(urls, rt, "quiet", "domain", "path")
+      .select("id", "robots_allowed").as[(Long, Boolean)].collect().toMap
+    assert(outQ == Map(1L -> true, 2L -> true))
+    // an unnamed agent still gets the '*' group
+    val outS = Robots.verdict(urls, rt, "other", "domain", "path")
+      .select("id", "robots_allowed").as[(Long, Boolean)].collect().toMap
+    assert(outS == Map(1L -> false, 2L -> false))
+  }
+
   test("duplicate url rows keep their multiplicity through the verdict") {
     val urls = Seq((1L, "a.com", "/public"), (2L, "a.com", "/public"))
       .toDF("id", "domain", "path")
