@@ -87,6 +87,36 @@ object SparkEntry {
         FROM e"""
   }
 
+  private val bpeEncodeBytesOracleSql: String = {
+    // same REPLACE-chain replay as the char-level sibling, generated
+    // from demoByteMerges (single quotes SQL-escaped — the merge list
+    // contains the contraction apostrophe); the pre-token list is the
+    // GPT-2 regex grounded out BY HAND on the synthesized text —
+    // letters/punct map to themselves under bytes_to_unicode, the
+    // pre-token's leading space to 'Ġ' — so the oracle replays
+    // pre-tokenization, byte mapping, and merges without needing
+    // lookahead regex support in DuckDB
+    def esc(s: String): String = s.replace("'", "''")
+    val chain = graft.functions.Bpe.demoByteMerges.foldLeft(
+      "' ' || array_to_string(string_split(w, ''), repeat(' ', 2))" +
+        " || ' '") {
+      case (acc, (a, b)) =>
+        s"REPLACE($acc, ' ' || '${esc(a)}' || repeat(' ', 2) || " +
+          s"'${esc(b)}' || ' ', ' ' || '${esc(a + b)}' || ' ')"
+    }
+    raw"""WITH e AS (SELECT doc_id, array_to_string(list_transform(
+            ['hello', 'Ġworld', ',', 'Ġit', chr(39) || 's', 'Ġrank',
+             'Ġ' || CAST(doc_id AS VARCHAR)],
+            w -> REPLACE(trim($chain), repeat(' ', 2), ' ')), ' ')
+              AS enc
+          FROM documents WHERE doc_id < 200)
+        SELECT doc_id,
+          CASE WHEN enc = '' THEN 0
+            ELSE len(string_split(enc, ' ')) END AS n_subwords,
+          enc
+        FROM e"""
+  }
+
   /** Round an order-dependent double aggregate for oracle stability. */
   private def r4(df: DataFrame, cols: String*): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c), 4)))
@@ -1618,6 +1648,28 @@ object SparkEntry {
             concat_ws(" ", col("sub")).as("enc"))
       },
       Some(bpeEncodeOracleSql)),
+
+    // byte-level (GPT-2-style) BPE on RAW synthesized text: the
+    // engine runs the real regex pre-tokenizer + bytes_to_unicode
+    // alphabet + merge list; the oracle replays the same pipeline
+    // with the pre-tokens grounded out analytically (the text is
+    // built from literals chosen to exercise contractions,
+    // punctuation, space-carrying 'Ġ' tokens, and a per-doc digit
+    // run that stays unmerged)
+    Q("q_bpe_encode_bytes",
+      (s, d) => {
+        graft.plans.NativeFunctions.register(s)
+        val t = concat(lit("hello world, it's rank "),
+          col("doc_id").cast("string"))
+        s.read.parquet(pq(d, "documents")).where(col("doc_id") < 200)
+          .select(col("doc_id"),
+            graft.functions.Bpe.encodeBytes(t,
+              graft.functions.Bpe.demoByteMerges).as("sub"))
+          .select(col("doc_id"),
+            size(col("sub")).cast("long").as("n_subwords"),
+            concat_ws(" ", col("sub")).as("enc"))
+      },
+      Some(bpeEncodeBytesOracleSql)),
 
     // one full BPE TRAINING iteration under the driver gate: find the
     // best step-0 pair (cnt desc, pair asc — the trainer's tiebreak),
@@ -4138,6 +4190,36 @@ object SparkEntry {
                 SELECT vec_id, label, votes, ROW_NUMBER() OVER (
                   PARTITION BY vec_id ORDER BY votes DESC, label) AS vr
                 FROM votes) WHERE vr = 1""")),
+
+    // the bucketed (large-labeled-side) label propagation path: the
+    // labeled side is shuffle-joined on LSH buckets, never broadcast.
+    // Planted exactness (the q_ann_lsh move): each unlabeled vector
+    // gets an IDENTICAL labeled twin with a known analytic label and
+    // the smallest possible neighbor id — same vector → same bucket
+    // always, cosine 1.0 tops the ranking, and the id tiebreak makes
+    // the twin the k=1 winner even if another vector rounds to 1.0 —
+    // so the approximate path's output is exactly replayable
+    Q("q_knn_label_bucketed",
+      (s, d) => {
+        val emb = s.read.parquet(pq(d, "embeddings"))
+        val unl = emb.where(col("vec_id") < 5)
+          .select(col("vec_id"), col("embedding"))
+        val twins = emb.where(col("vec_id") < 5)
+          .select((col("vec_id") - 1000000L).as("nbr_id"),
+            col("embedding").as("nv"),
+            (lit(1000L) + col("vec_id") % 3).as("label"))
+        val lab = emb.where(col("vec_id") >= 5)
+          .select(col("vec_id").as("nbr_id"),
+            col("embedding").as("nv"), col("label"))
+          .unionByName(twins)
+        graft.plans.NativeFunctions.register(s)
+        graft.operators.Similarity.knnLabelBucketed(unl, lab,
+          "vec_id", "embedding", "nbr_id", "nv", "label",
+          k = 1, planes = 6)
+      },
+      Some("""SELECT vec_id, CAST(1000 + vec_id % 3 AS BIGINT) AS label,
+              CAST(1 AS BIGINT) AS votes
+              FROM embeddings WHERE vec_id < 5""")),
 
     // deterministic training-order shuffle: shard by the first hex
     // digit of md5(salt||id), position within shard by the full hash —

@@ -111,9 +111,18 @@ object Bpe {
     val collected = wordFrequencies(docs, textCol)
       .orderBy(col("wf").desc, col("w").asc).limit(maxWordTypes)
       .collect()
-    val types: Array[(Array[String], Long)] = collected.map { r =>
+    trainLoop(collected.map { r =>
       (BpeCodec.codepointSymbols(r.getString(0)), r.getLong(1))
-    }
+    }, numMerges, minPairCount)
+  }
+
+  /** The count/pick/apply driver loop shared by the char-level and
+    * byte-level trainers — bounded by the capped type table, ties
+    * broken `(cnt desc, left asc, right asc)`. */
+  private def trainLoop(types0: Array[(Array[String], Long)],
+                        numMerges: Int, minPairCount: Long)
+      : Seq[(String, String, Long)] = {
+    val types = types0
     val merges = Seq.newBuilder[(String, String, Long)]
     var step = 0
     var continue = true
@@ -148,6 +157,47 @@ object Bpe {
     }
     merges.result()
   }
+
+  // ---- byte-level (GPT-2-style) mode ------------------------------------
+
+  /** Pre-token frequency table `(w, wf)` under the GPT-2 regex
+    * pre-tokenizer — the byte-level counterpart of
+    * [[wordFrequencies]]: raw text (no lower/trim — case and leading
+    * spaces are part of the pre-token), same one-corpus-pass shape. */
+  def pretokenFrequencies(docs: DataFrame, textCol: String): DataFrame = {
+    NativeFunctions.register(docs.sparkSession)
+    docs.select(explode(
+        NativeFunctions.bpePretokenizeNative(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+  }
+
+  /**
+   * Byte-level BPE trainer: GPT-2 regex pre-tokens, per-UTF-8-byte
+   * initial alphabet ([[graft.plans.BpeCodec.byteSymbols]] — no
+   * unknown symbols, lossless on any input), then the same
+   * deterministic count/pick/apply loop as [[trainBpe]]. Merges
+   * returned in rank order; feed straight into [[encodeBytes]] (or
+   * [[saveMerges]]/[[loadMerges]] — the artifact format is shared).
+   */
+  def trainBpeBytes(docs: DataFrame, textCol: String, numMerges: Int,
+                    maxWordTypes: Int = 100000, minPairCount: Long = 2L)
+      : Seq[(String, String, Long)] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(maxWordTypes >= 1,
+      s"maxWordTypes must be >= 1, got $maxWordTypes")
+    val collected = pretokenFrequencies(docs, textCol)
+      .orderBy(col("wf").desc, col("w").asc).limit(maxWordTypes)
+      .collect()
+    trainLoop(collected.map { r =>
+      (BpeCodec.byteSymbols(r.getString(0)), r.getLong(1))
+    }, numMerges, minPairCount)
+  }
+
+  /** Byte-level greedy encode of RAW text (do NOT lower/trim — case
+    * and whitespace ride in the symbols) under an ordered merge list
+    * → array<string> byte-level subwords. */
+  def encodeBytes(text: Column, merges: Seq[(String, String)]): Column =
+    NativeFunctions.bpeEncodeBytesNative(text, merges)
 
   /** Greedy encode of (caller-lowered) text under an ordered merge
     * list → array<string> subwords across all whitespace words. */
@@ -186,4 +236,12 @@ object Bpe {
     "t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g", "a" -> "n",
     "an" -> "d", "e" -> "r", "o" -> "r", "o" -> "u", "s" -> "t",
     "e" -> "e", "a" -> "t")
+
+  /** Fixed demonstration BYTE-level merge list for the driver-gate
+    * query: hierarchical merges (`a+n`, `an+k`, then `Ġr+ank`), a
+    * same-symbol merge (`l+l`), and space-carrying `Ġ` merges — the
+    * byte-level signature GPT-2 vocabularies are full of. */
+  val demoByteMerges: Seq[(String, String)] = Seq(
+    "h" -> "e", "l" -> "l", "Ġ" -> "w", "a" -> "n", "an" -> "k",
+    "Ġ" -> "r", "i" -> "t", "'" -> "s", "Ġr" -> "ank")
 }

@@ -188,8 +188,8 @@ object Similarity {
    * `labeled`/`unlabeled` must carry distinct vector column names
    * (rename on the way in, as with the other query-set APIs); the
    * labeled side must fit broadcast (it is the small seed set by
-   * construction — for a large labeled side, bucket both sides with
-   * [[hyperplaneBucket]] first).
+   * construction — for a large labeled side use [[knnLabelBucketed]],
+   * which shuffles on LSH buckets instead of broadcasting).
    */
   def knnLabel(unlabeled: DataFrame, labeled: DataFrame,
                unlabeledId: String, unlabeledVec: String,
@@ -202,6 +202,55 @@ object Similarity {
       .crossJoin(broadcast(labeled.select(col(labeledId),
         col(labelCol).as("__lbl"),
         col(labeledVec).cast("array<double>").as("__lv"))))
+      .withColumn("__cos", round(cos(col("__uv"), col("__lv")), 4))
+    val nn = Window.partitionBy(col(unlabeledId))
+      .orderBy(col("__cos").desc, col(labeledId))
+    val votes = joined.withColumn("__rk", row_number().over(nn))
+      .where(col("__rk") <= k)
+      .groupBy(col(unlabeledId), col("__lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val win = Window.partitionBy(col(unlabeledId))
+      .orderBy(col("votes").desc, col("__lbl"))
+    votes.withColumn("__vrk", row_number().over(win))
+      .where(col("__vrk") === 1)
+      .select(col(unlabeledId), col("__lbl").as(labelCol), col("votes"))
+  }
+
+  /**
+   * [[knnLabel]]'s large-labeled-side path: both sides bucketed by
+   * [[hyperplaneBucket]] and candidates scored only within the
+   * unlabeled item's bucket — the labeled side is NEVER broadcast
+   * (the join is pinned to a shuffle hash join on the bucket key), so
+   * a 100M-row labeled set costs one bucket-keyed shuffle instead of
+   * a driver OOM. Same vote/argmax tail and the same deterministic
+   * tie-breaks as [[knnLabel]].
+   *
+   * Approximation contract (the [[lshTopK]] recall dial): neighbors
+   * come only from the item's own bucket, so the k-NN set is
+   * approximate, and an unlabeled item whose bucket holds no labeled
+   * item gets NO output row. Fewer `planes` → bigger buckets → higher
+   * recall and cost. Label propagation tolerates approximate
+   * neighbors by construction (Zhu & Ghahramani 2002).
+   */
+  def knnLabelBucketed(unlabeled: DataFrame, labeled: DataFrame,
+                       unlabeledId: String, unlabeledVec: String,
+                       labeledId: String, labeledVec: String,
+                       labelCol: String, k: Int, planes: Int = 8,
+                       useNative: Boolean = true): DataFrame = {
+    val cos = cosineFn(unlabeled, useNative)
+    val bucket = bucketFn(unlabeled, useNative)
+    val u = unlabeled.select(col(unlabeledId),
+        col(unlabeledVec).cast("array<double>").as("__uv"))
+      .withColumn("__bkt", bucket(col("__uv"), planes))
+    val l = labeled.select(col(labeledId), col(labelCol).as("__lbl"),
+        col(labeledVec).cast("array<double>").as("__lv"))
+      .withColumn("__bkt", bucket(col("__lv"), planes))
+    // shuffle_hash hint: without it Catalyst (or AQE at runtime) would
+    // happily broadcast a small-at-test-scale labeled side — the exact
+    // plan this variant exists to avoid. SHJ on the bucket key is also
+    // the right physical join at corpus scale: both sides hash on
+    // __bkt, no sort, no driver-side relation.
+    val joined = u.join(l.hint("shuffle_hash"), Seq("__bkt"))
       .withColumn("__cos", round(cos(col("__uv"), col("__lv")), 4))
     val nn = Window.partitionBy(col(unlabeledId))
       .orderBy(col("__cos").desc, col(labeledId))

@@ -1580,6 +1580,76 @@ object BpeCodec {
     }
     syms
   }
+
+  // ---- byte-level (GPT-2-style) mode ------------------------------------
+
+  /** GPT-2's `bytes_to_unicode` map (Radford et al. 2019, public
+    * code): the three printable single-byte ranges (`!`..`~`,
+    * `¡`..`¬`, `®`..`ÿ`) map to themselves; the remaining 68 bytes map
+    * to successive code points from U+0100 — so every byte has a
+    * VISIBLE one-char spelling (space → `Ġ`, newline → `Ċ`) and merge
+    * symbols stay whitespace-free, which both the trainer's pair keys
+    * and the oracle's space-delimited replay rely on. */
+  val byteToUnicode: Array[Char] = {
+    val out = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if ((b >= '!' && b <= '~') || (b >= 0xA1 && b <= 0xAC) ||
+          (b >= 0xAE && b <= 0xFF)) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    out
+  }
+
+  /** Pre-token → one symbol per UTF-8 BYTE (mapped via
+    * [[byteToUnicode]]) — the byte-level alphabet: no unknown symbols
+    * ever, any input is representable. */
+  def byteSymbols(pt: String): Array[String] = {
+    val bytes = pt.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = String.valueOf(byteToUnicode(bytes(i) & 0xFF))
+      i += 1
+    }
+    out
+  }
+
+  /** The GPT-2 pre-tokenizer regex (public): contractions, optionally
+    * space-prefixed letter/digit/punctuation runs, whitespace runs.
+    * Java-regex port note: `\p{L}`/`\p{N}` are Unicode classes as in
+    * the original; `\s` is the ASCII whitespace class (the original's
+    * `\s` is Unicode) — a documented, data-irrelevant divergence for
+    * the exotic-whitespace code points. */
+  val gpt2Pattern: java.util.regex.Pattern = java.util.regex.Pattern
+    .compile("'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+|" +
+      " ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
+
+  /** Text → GPT-2 pre-tokens. The matches cover the input exactly
+    * (the alternation has a branch for every char class), so
+    * concatenating the pre-tokens reproduces the text — byte-level
+    * BPE is lossless by construction. */
+  def pretokenize(text: String): Array[String] = {
+    val m = gpt2Pattern.matcher(text)
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    while (m.find()) out += m.group()
+    out.toArray
+  }
+
+  /** Full byte-level encode of one pre-token under an ordered merge
+    * list (merges operate on [[byteSymbols]] spellings). */
+  def encodePretoken(pt: String, lefts: Array[String],
+                     rights: Array[String]): Array[String] = {
+    var syms = byteSymbols(pt)
+    var m = 0
+    while (m < lefts.length && syms.length >= 2) {
+      syms = applyMerge(syms, lefts(m), rights(m))
+      m += 1
+    }
+    syms
+  }
 }
 
 /**
@@ -1634,6 +1704,91 @@ case class BpeEncodeExpr(child: Expression, lefts: Array[String],
 
   override protected def withNewChildInternal(c: Expression)
       : BpeEncodeExpr = copy(child = c)
+}
+
+/**
+ * Byte-level (GPT-2-style) greedy BPE encode: regex pre-tokenization
+ * ([[BpeCodec.gpt2Pattern]]) → per-byte initial symbols
+ * ([[BpeCodec.byteSymbols]]) → the ordered merge list — the modern
+ * tokenizer-training surface, lossless on ANY input (case, punctuation
+ * and whitespace are carried in the symbols, never stripped). Text
+ * goes in RAW: unlike [[BpeEncodeExpr]] the caller must NOT lower or
+ * trim. Merge list as a query-time literal; `CodegenFallback` like
+ * its char-level sibling.
+ */
+case class BpeEncodeBytesExpr(child: Expression, lefts: Array[String],
+                              rights: Array[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(lefts.length == rights.length,
+    s"merge sides differ: ${lefts.length} vs ${rights.length}")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def prettyName: String = "graft_bpe_encode_bytes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val pts = BpeCodec.pretokenize(input.toString)
+    val out =
+      new scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.unsafe.types.UTF8String]()
+    var pi = 0
+    while (pi < pts.length) {
+      val syms = BpeCodec.encodePretoken(pts(pi), lefts, rights)
+      var si = 0
+      while (si < syms.length) {
+        out += org.apache.spark.unsafe.types.UTF8String
+          .fromString(syms(si))
+        si += 1
+      }
+      pi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : BpeEncodeBytesExpr = copy(child = c)
+}
+
+/**
+ * GPT-2 regex pre-tokenization as a projection (`array<string>` of
+ * pre-tokens) — the distributed half of the byte-level trainer: the
+ * pre-token frequency table comes from exploding this column, using
+ * the EXACT code ([[BpeCodec.pretokenize]]) the encoder runs, so
+ * train and encode cannot drift on boundary cases.
+ */
+case class BpePretokenizeExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def prettyName: String = "graft_bpe_pretokenize"
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      BpeCodec.pretokenize(input.toString)
+        .map(org.apache.spark.unsafe.types.UTF8String.fromString))
+
+  override protected def withNewChildInternal(c: Expression)
+      : BpePretokenizeExpr = copy(child = c)
 }
 
 /**
@@ -1793,6 +1948,8 @@ object NativeFunctions {
   val fixMojibakeName = "graft_fix_mojibake"
   val bloomProbeName = "graft_bloom_probe"
   val rlikeCachedName = "graft_rlike_cached"
+  val bpeEncodeBytesName = "graft_bpe_encode_bytes"
+  val bpePretokenizeName = "graft_bpe_pretokenize"
 
   private def intLit(e: Expression): Int =
     e.eval(null) match {
@@ -1904,7 +2061,12 @@ object NativeFunctions {
           s"expected boolean literal, got $other")
       })),
     rlikeCachedName -> ((exprs: Seq[Expression]) =>
-      CachedRegexMatchExpr(exprs.head, exprs(1))))
+      CachedRegexMatchExpr(exprs.head, exprs(1))),
+    bpeEncodeBytesName -> ((exprs: Seq[Expression]) =>
+      BpeEncodeBytesExpr(exprs.head, strArrayLit(exprs(1)),
+        strArrayLit(exprs(2)))),
+    bpePretokenizeName -> ((exprs: Seq[Expression]) =>
+      BpePretokenizeExpr(exprs.head)))
 
   /** Idempotently register graft native functions on this session. */
   def register(spark: SparkSession): Unit = {
@@ -2019,6 +2181,18 @@ object NativeFunctions {
     call_function(bpeEncodeName, text,
       org.apache.spark.sql.functions.lit(merges.map(_._1).toArray),
       org.apache.spark.sql.functions.lit(merges.map(_._2).toArray))
+
+  /** Byte-level (GPT-2-style) BPE encode of RAW text — do not lower
+    * or trim; case and whitespace are carried in the symbols. */
+  def bpeEncodeBytesNative(text: Column, merges: Seq[(String, String)])
+      : Column =
+    call_function(bpeEncodeBytesName, text,
+      org.apache.spark.sql.functions.lit(merges.map(_._1).toArray),
+      org.apache.spark.sql.functions.lit(merges.map(_._2).toArray))
+
+  /** GPT-2 regex pre-tokens of raw text (array<string>). */
+  def bpePretokenizeNative(text: Column): Column =
+    call_function(bpePretokenizeName, text)
 
   /** IDN host normalization: ACE→Unicode (`toAscii = false`) or
     * Unicode→ACE (`toAscii = true`), lowercased; bad hosts pass

@@ -187,6 +187,61 @@ class BpeSpec extends SparkSpec {
     got.foreach(r => assert(r.getSeq[String](0).isEmpty))
   }
 
+  test("bytes_to_unicode is a bijection with the GPT-2 fixed points") {
+    val m = BpeCodec.byteToUnicode
+    assert(m.toSet.size == 256)                 // injective over bytes
+    assert(m(' '.toInt) == 'Ġ')                 // 0x20 -> U+0120
+    assert(m('\n'.toInt) == 'Ċ')                // 0x0A -> U+010A
+    assert(m('a'.toInt) == 'a' && m('!'.toInt) == '!')
+    assert(m(0xFF) == 'ÿ' && m(0xA1) == '¡')
+    assert(m.forall(c => !Character.isWhitespace(c)))
+  }
+
+  test("gpt2 pretokenize: contractions, space-prefixed runs, ws tail") {
+    assert(BpeCodec.pretokenize("hello world, it's rank 42").toSeq ==
+      Seq("hello", " world", ",", " it", "'s", " rank", " 42"))
+    // trailing whitespace is its own token; interior multi-space runs
+    // keep all but the last space (the (?!\S) lookahead)
+    assert(BpeCodec.pretokenize("a  b ").toSeq == Seq("a", " ", " b", " "))
+    // concatenating pre-tokens reproduces the text (lossless)
+    val texts = Seq("hello world, it's rank 42", "a  b ", "x\n\ny",
+      "préfixe über 3.14", "")
+    texts.foreach(t => assert(BpeCodec.pretokenize(t).mkString == t))
+  }
+
+  test("byteSymbols: ASCII maps to itself, multi-byte chars to bytes") {
+    assert(BpeCodec.byteSymbols(" it").toSeq == Seq("Ġ", "i", "t"))
+    // 'é' is two UTF-8 bytes -> two symbols; lossless, never unknown
+    assert(BpeCodec.byteSymbols("é").length == 2)
+    assert(BpeCodec.byteSymbols("😀").length == 4)
+  }
+
+  test("encodeBytes applies byte-level merges over raw text") {
+    NativeFunctions.register(spark)
+    val got = Seq((1L, "hello world, it's rank 42")).toDF("id", "text")
+      .select(Bpe.encodeBytes(col("text"), Bpe.demoByteMerges).as("sub"))
+      .as[Seq[String]].collect().head
+    assert(got == Seq("he", "ll", "o", "Ġw", "o", "r", "l", "d", ",",
+      "Ġ", "it", "'s", "Ġrank", "Ġ", "4", "2"))
+  }
+
+  test("trainBpeBytes learns space-carrying merges; encode round-trips") {
+    // 'the' always space-prefixed after the first word: the trainer
+    // must learn merges over 'Ġthe' pre-tokens, the byte-level
+    // signature the char-level trainer cannot express
+    val docs = Seq.fill(8)("the the the the").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val merges = Bpe.trainBpeBytes(docs, "text", numMerges = 4)
+    val pairs = merges.map(m => (m._1, m._2))
+    // t-h and h-e tie at 32 — left-asc tiebreak picks h-e first; the
+    // space-carrying 'Ġ'+'the' merge lands once 'the' is one symbol
+    assert(pairs.take(3) == Seq("h" -> "e", "t" -> "he", "Ġ" -> "the"))
+    val enc = Seq((1L, "the the")).toDF("id", "text")
+      .select(Bpe.encodeBytes(col("text"), pairs).as("sub"))
+      .as[Seq[String]].collect().head
+    assert(enc == Seq("the", "Ġthe"))
+  }
+
   test("Spark char split (the pairCounts path) is codepoint-safe") {
     // split(w, "") must not tear astral-plane characters — DuckDB's
     // string_split(w, '') is codepoint-based, so the Spark side must

@@ -211,6 +211,27 @@ class Round8OpsSpec extends SparkSpec {
     assert(votes == Map(101L -> 5L, 102L -> 5L))
   }
 
+  test("knnLabelBucketed: agrees on planted neighborhoods, labeled " +
+    "side never broadcast") {
+    val a = Seq(1.0f, 0.0f, 0.0f)
+    val b = Seq(0.0f, 1.0f, 0.0f)
+    val labeled = ((1L to 6L).map(i => (i, a, 1)) ++
+      (7L to 12L).map(i => (i, b, 2))).toDF("nid", "nv", "label")
+    val unlabeled = Seq((101L, a), (102L, b)).toDF("id", "v")
+    // planes = 1: two buckets, and identical vectors always share one
+    val res = Similarity.knnLabelBucketed(unlabeled, labeled,
+      "id", "v", "nid", "nv", "label", k = 5, planes = 1)
+    val out = res.select("id", "label").as[(Long, Int)].collect().toMap
+    assert(out == Map(101L -> 1, 102L -> 2))
+    // the point of the variant: the labeled side must come in through
+    // a shuffle, not a broadcast — even when it is tiny
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"labeled side was broadcast:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected a shuffled hash join on the bucket key:\n$plan")
+  }
+
   test("knnLabel: count ties break toward the smaller label") {
     // two labeled vectors equally close, different labels → k=2 splits
     // 1-1; the smaller label wins deterministically
