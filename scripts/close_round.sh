@@ -1,0 +1,48 @@
+#!/usr/bin/env bash
+# Round-close gate: the closing commit must include the artifact this
+# script writes, produced AFTER the last engine/oracle edit. It fails
+# (non-zero) unless the full suite is green AND the DuckDB oracle
+# compare has zero fails — the mechanical version of "never advance
+# round markers over a red gate" (rounds 6-8 all did).
+#
+# Usage: scripts/close_round.sh <round-number> [sf-dir]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+ROUND="${1:?usage: close_round.sh <round-number> [sf-dir]}"
+SF="${2:-/root/testdata/sf0.01}"
+OUT="/tmp/close_round_verify"
+ART="CLOSEOUT_r${ROUND}.md"
+
+echo "[close] sbt test"
+sbt -batch test 2>&1 | tail -4 | tee /tmp/close_round_test.txt
+grep -q "All tests passed." /tmp/close_round_test.txt
+
+echo "[close] graft.Verify -> ${OUT}"
+sbt -batch "runMain graft.Verify ${SF} ${OUT}" >/dev/null 2>&1
+
+echo "[close] DuckDB oracle compare"
+python3 scripts/compare_oracle.py "${SF}" "${OUT}" \
+  > /tmp/close_round_compare.txt 2>&1 || true
+tail -2 /tmp/close_round_compare.txt
+if grep -q "^FAIL" /tmp/close_round_compare.txt; then
+  echo "[close] RED GATE — do not close the round:"
+  grep "^FAIL" /tmp/close_round_compare.txt
+  exit 1
+fi
+
+TESTS=$(grep -o "Tests: succeeded [0-9]*" /tmp/close_round_test.txt)
+PASS=$(tail -1 /tmp/close_round_compare.txt)
+ROWS=$(grep -c "^rows" /tmp/close_round_compare.txt || true)
+{
+  echo "# CLOSEOUT round ${ROUND}"
+  echo
+  echo "Produced by scripts/close_round.sh AFTER the last engine/oracle"
+  echo "edit of the round; a red gate makes this script exit non-zero,"
+  echo "so this file existing in the closing commit certifies:"
+  echo
+  echo "- suite: ${TESTS}, 0 failed"
+  echo "- oracle compare (${SF}): ${PASS}"
+  echo "- rows-only (no-oracle sketch/hash) queries: ${ROWS}"
+  echo "- verify dump: ${OUT} (not committed)"
+} > "${ART}"
+echo "[close] wrote ${ART}"
