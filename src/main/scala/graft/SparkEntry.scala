@@ -1671,6 +1671,25 @@ object SparkEntry {
       },
       Some(bpeEncodeBytesOracleSql)),
 
+    // byte-level losslessness, proven over REAL corpus text (not a
+    // synthesized fixture): decode(encode(text)) must equal text for
+    // every document — the property that makes byte-level the right
+    // alphabet for training data (no OOV, no normalization loss). The
+    // oracle is the analytic constant the property asserts; any
+    // pre-tokenizer character drop or byte-map error breaks the hash.
+    Q("q_bpe_roundtrip_bytes",
+      (s, d) => {
+        graft.plans.NativeFunctions.register(s)
+        val enc = graft.functions.Bpe.encodeBytes(col("text"),
+          graft.functions.Bpe.demoByteMerges)
+        s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"),
+            (graft.functions.Bpe.decodeBytes(enc) === col("text"))
+              .as("lossless"))
+      },
+      Some("""SELECT doc_id, CAST(TRUE AS BOOLEAN) AS lossless
+              FROM documents""")),
+
     // one full BPE TRAINING iteration under the driver gate: find the
     // best step-0 pair (cnt desc, pair asc — the trainer's tiebreak),
     // apply it to every word type, recount. The oracle computes the

@@ -199,6 +199,12 @@ object Bpe {
   def encodeBytes(text: Column, merges: Seq[(String, String)]): Column =
     NativeFunctions.bpeEncodeBytesNative(text, merges)
 
+  /** Byte-level decode: subword array → original text. Exact inverse
+    * of [[encodeBytes]] for ANY merge list (byte-level BPE is
+    * lossless); `q_bpe_roundtrip_bytes` proves it over corpus text. */
+  def decodeBytes(tokens: Column): Column =
+    NativeFunctions.bpeDecodeBytesNative(tokens)
+
   /** Greedy encode of (caller-lowered) text under an ordered merge
     * list → array<string> subwords across all whitespace words. */
   def encode(text: Column, merges: Seq[(String, String)]): Column =

@@ -1650,6 +1650,39 @@ object BpeCodec {
     }
     syms
   }
+
+  /** Inverse of [[byteToUnicode]]: mapped code point → original byte,
+    * -1 for code points outside the 256-entry image. */
+  private val unicodeToByte: Array[Int] = {
+    val inv = Array.fill(512)(-1)
+    var b = 0
+    while (b < 256) { inv(byteToUnicode(b).toInt) = b; b += 1 }
+    inv
+  }
+
+  /** Byte-level DECODE: concatenated subword symbols → original text.
+    * Each mapped char becomes its byte; a char outside the byte
+    * alphabet (hostile input — our encoder never emits one) passes
+    * through as its own UTF-8 bytes rather than throwing. Exact
+    * inverse of encode on anything the encoder produced — byte-level
+    * BPE is lossless, and [[graft.SparkEntry]] proves it at query
+    * level over real corpus text (`q_bpe_roundtrip_bytes`). */
+  def decodeByteSymbols(joined: String): String = {
+    val out = new java.io.ByteArrayOutputStream(joined.length)
+    var i = 0
+    while (i < joined.length) {
+      val c = joined.charAt(i)
+      val b = if (c < 512) unicodeToByte(c.toInt) else -1
+      if (b >= 0) { out.write(b); i += 1 }
+      else {
+        val n = Character.charCount(joined.codePointAt(i))
+        out.write(joined.substring(i, i + n)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        i += n
+      }
+    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
 }
 
 /**
@@ -1789,6 +1822,45 @@ case class BpePretokenizeExpr(child: Expression)
 
   override protected def withNewChildInternal(c: Expression)
       : BpePretokenizeExpr = copy(child = c)
+}
+
+/**
+ * Byte-level BPE decode: `array<string>` subword symbols → the original
+ * text via the inverse byte map ([[BpeCodec.decodeByteSymbols]]) — the
+ * other half of the tokenizer contract, and the executable proof of
+ * losslessness (`decode(encode(text)) = text` for any text and ANY
+ * merge list). Null elements inside the array are skipped.
+ */
+case class BpeDecodeBytesExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def prettyName: String = "graft_bpe_decode_bytes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) sb.append(arr.getUTF8String(i).toString)
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      BpeCodec.decodeByteSymbols(sb.toString))
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : BpeDecodeBytesExpr = copy(child = c)
 }
 
 /**
@@ -1950,6 +2022,7 @@ object NativeFunctions {
   val rlikeCachedName = "graft_rlike_cached"
   val bpeEncodeBytesName = "graft_bpe_encode_bytes"
   val bpePretokenizeName = "graft_bpe_pretokenize"
+  val bpeDecodeBytesName = "graft_bpe_decode_bytes"
 
   private def intLit(e: Expression): Int =
     e.eval(null) match {
@@ -2066,7 +2139,9 @@ object NativeFunctions {
       BpeEncodeBytesExpr(exprs.head, strArrayLit(exprs(1)),
         strArrayLit(exprs(2)))),
     bpePretokenizeName -> ((exprs: Seq[Expression]) =>
-      BpePretokenizeExpr(exprs.head)))
+      BpePretokenizeExpr(exprs.head)),
+    bpeDecodeBytesName -> ((exprs: Seq[Expression]) =>
+      BpeDecodeBytesExpr(exprs.head)))
 
   /** Idempotently register graft native functions on this session. */
   def register(spark: SparkSession): Unit = {
@@ -2193,6 +2268,11 @@ object NativeFunctions {
   /** GPT-2 regex pre-tokens of raw text (array<string>). */
   def bpePretokenizeNative(text: Column): Column =
     call_function(bpePretokenizeName, text)
+
+  /** Byte-level BPE decode: subword array → original text (exact
+    * inverse of [[bpeEncodeBytesNative]] for any merge list). */
+  def bpeDecodeBytesNative(tokens: Column): Column =
+    call_function(bpeDecodeBytesName, tokens)
 
   /** IDN host normalization: ACE→Unicode (`toAscii = false`) or
     * Unicode→ACE (`toAscii = true`), lowercased; bad hosts pass

@@ -225,6 +225,34 @@ class BpeSpec extends SparkSpec {
       "Ġ", "it", "'s", "Ġrank", "Ġ", "4", "2"))
   }
 
+  test("decodeByteSymbols inverts encode on hostile inputs") {
+    val cases = Seq("hello world, it's rank 42", "a  b ", "x\n\ty",
+      "préfixe über 3.14", "emoji 😀 und 中文", "", "   ",
+      "mixed controlbytes")
+    cases.foreach { t =>
+      val syms = BpeCodec.pretokenize(t)
+        .flatMap(BpeCodec.encodePretoken(_,
+          Bpe.demoByteMerges.map(_._1).toArray,
+          Bpe.demoByteMerges.map(_._2).toArray))
+      assert(BpeCodec.decodeByteSymbols(syms.mkString) == t,
+        s"round-trip failed for ${t.getBytes("UTF-8").toSeq}")
+    }
+    // chars outside the byte alphabet pass through, never throw
+    assert(BpeCodec.decodeByteSymbols("中") == "中")
+  }
+
+  test("decodeBytes column inverts encodeBytes over a DataFrame") {
+    NativeFunctions.register(spark)
+    val texts = Seq((1L, "It's GPT-2 style: Case, 42 & \n newlines."),
+      (2L, "unicode: Ġ literal stays itself? no — it round-trips"))
+      .toDF("id", "text")
+    val got = texts.select(col("text"),
+        Bpe.decodeBytes(Bpe.encodeBytes(col("text"), Bpe.demoByteMerges))
+          .as("rt"))
+      .where(col("text") =!= col("rt")).count()
+    assert(got == 0)
+  }
+
   test("trainBpeBytes learns space-carrying merges; encode round-trips") {
     // 'the' always space-prefixed after the first word: the trainer
     // must learn merges over 'Ġthe' pre-tokens, the byte-level

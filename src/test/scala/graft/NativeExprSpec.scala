@@ -348,6 +348,21 @@ class NativeExprSpec extends SparkSpec {
     assert(registrable("") == "")
   }
 
+  test("cached rlike matches Spark rlike semantics over a pattern col") {
+    import graft.plans.NativeFunctions
+    NativeFunctions.register(spark)
+    val rows = Seq(("/tmp/a", "^/tmp.*"), ("/x", "^/x$"), ("/xy", "^/x$"),
+      ("/dl/a.zip", "^/dl/.*\\.zip"), ("abc", "b"), (null, "^a"),
+      ("a", null)).toDF("s", "p")
+    val got = rows.select(
+        NativeFunctions.rlikeCached(col("s"), col("p")).as("m"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0))
+    assert(got.toSeq == Seq(true, true, false, true, true, null, null))
+    // the cache returns the same compiled pattern across calls
+    val p1 = graft.plans.RegexCache.pattern("^/tmp.*")
+    assert(graft.plans.RegexCache.pattern("^/tmp.*") eq p1)
+  }
+
   test("PublicSuffixes: full bundled list, beyond the fallback snapshot") {
     import graft.plans.PublicSuffixes.registrable
     // ICANN registries absent from the curated fallback

@@ -105,6 +105,32 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSampleWeighted(df, "id", "w").count() == 1)
   }
 
+  test("deterministicShuffle/interleave reject reserved output columns") {
+    val clash = Seq((1L, 2L)).toDF("doc_id", "pos")
+    intercept[IllegalArgumentException] {
+      Sampling.deterministicShuffle(clash, "doc_id")
+    }
+    val clash2 = Seq((1L, 2L)).toDF("doc_id", "batch")
+    intercept[IllegalArgumentException] {
+      Sampling.interleaveBySource(clash2, "doc_id", "doc_id")
+    }
+  }
+
+  test("hashSampleN ranks null keys by the sentinel hash, not first") {
+    // without the sentinel, md5(null)=null sorts FIRST under asc and a
+    // null-keyed row would always win sample membership
+    val df = Seq(Some("a"), Some("b"), Some("c"), None, Some("d"),
+      Some("e")).toDF("k")
+    // md5 order: a(0cc1) < sentinel(1601) < c(4a8a) < d(8277) < b < e —
+    // the null row ranks by the sentinel's hash: IN at n=3, and NOT
+    // first (nulls-first ordering would put it in at n=1)
+    assert(Sampling.hashSampleN(df, "k", n = 3)
+      .as[Option[String]].collect().toSet ==
+      Set(Some("a"), None, Some("c")))
+    assert(Sampling.hashSampleN(df, "k", n = 1)
+      .as[Option[String]].collect().toSet == Set(Some("a")))
+  }
+
   test("capPerGroup keeps at most cap rows per group, all of small groups") {
     val df = spark.range(100)
       .selectExpr("id", "CASE WHEN id < 80 THEN 'big' ELSE 'small' END AS g")
