@@ -3033,6 +3033,58 @@ object SparkEntry {
                 COALESCE(allow, TRUE) AS robots_allowed
               FROM ranked WHERE rk = 1""")),
 
+    // effective Crawl-delay per domain — the frontier scheduler's
+    // rate limit beside the allow/deny verdict. The fixture covers
+    // the precedence matrix: agent delay shades '*' (a.com), '*'
+    // fallback (b.com), unparsable agent value falls back rather
+    // than meaning "no limit" (c.com has no '*' → absent), and
+    // multiple delays collapse to the minimum (d.com). The oracle is
+    // the hand-derived ground truth of those semantics.
+    Q("q_crawl_delay",
+      (s, d) => {
+        val bodyA = "User-agent: *\nCrawl-delay: 10\nDisallow: /x\n\n" +
+          "User-agent: graftbot\nCrawl-delay: 2.5\n"
+        val bodyB = "User-agent: *\nCrawl-delay: 5\n"
+        val bodyC = "User-agent: graftbot\nCrawl-delay: oops\n"
+        val bodyD = "User-agent: graftbot\nDisallow: /q\n" +
+          "Crawl-delay: 7\nCrawl-delay: 3\n"
+        val robots = s.range(4).toDF("i").select(
+          element_at(array(lit("a.com"), lit("b.com"), lit("c.com"),
+            lit("d.com")), (col("i") + 1).cast("int")).as("domain"),
+          element_at(array(lit(bodyA), lit(bodyB), lit(bodyC),
+            lit(bodyD)), (col("i") + 1).cast("int")).as("body"))
+        graft.functions.Robots.crawlDelays(robots, "domain", "body",
+          "GraftBot")
+      },
+      Some("""SELECT * FROM (VALUES
+              ('a.com', CAST(2.5 AS DOUBLE)),
+              ('b.com', CAST(5 AS DOUBLE)),
+              ('d.com', CAST(3 AS DOUBLE)))
+              t(domain, crawl_delay)""")),
+
+    // Sitemap records are domain-global (valid anywhere in the file,
+    // never part of a group): extraction is a field filter with the
+    // URL's case preserved; duplicates collapse
+    Q("q_sitemaps",
+      (s, d) => {
+        val bodyA = "Sitemap: https://a.com/sm1.xml\nUser-agent: *\n" +
+          "Disallow: /x\nSitemap: https://a.com/sm2.xml\n"
+        val bodyB = "User-agent: *\nCrawl-delay: 5\n"
+        val bodyD = "Sitemap: https://d.com/SM.xml\n" +
+          "Sitemap: https://d.com/SM.xml\n"
+        val robots = s.range(3).toDF("i").select(
+          element_at(array(lit("a.com"), lit("b.com"), lit("d.com")),
+            (col("i") + 1).cast("int")).as("domain"),
+          element_at(array(lit(bodyA), lit(bodyB), lit(bodyD)),
+            (col("i") + 1).cast("int")).as("body"))
+        graft.functions.Robots.sitemaps(robots, "domain", "body")
+      },
+      Some("""SELECT * FROM (VALUES
+              ('a.com', 'https://a.com/sm1.xml'),
+              ('a.com', 'https://a.com/sm2.xml'),
+              ('d.com', 'https://d.com/SM.xml'))
+              t(domain, sitemap)""")),
+
     // per-label embedding centroids by mean pooling (the chunk→doc /
     // class-centroid aggregation); the digest projection keeps the
     // compare on scalars (the q_transport_embeddings pattern) — dim,

@@ -48,27 +48,26 @@ object Robots {
    * verdict is a no-op — but their presence still registers the
    * agent's group, so specific-group precedence sees it.
    */
-  def rules(robots: DataFrame, domainCol: String,
-            textCol: String): DataFrame = {
-    // NB: the window partitions on the RENAMED "domain" column — the
-    // first select below aliases `domainCol` to it (a caller-named
-    // column would not resolve past that projection)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("domain")).orderBy(col("__ln"))
-    // RFC whitespace is space OR tab (Spark's trim strips spaces only);
-    // a stray CR survives only on malformed mixed-EOL input — the line
-    // split below already handles CRLF — but trimming it is free
-    def ws(c: Column): Column =
-      regexp_replace(c, "^[ \\t\\r]+|[ \\t\\r]+$", "")
-    val lines = robots
-      // RFC 9309 EOL is CR / LF / CRLF — a CRLF body (the common wire
-      // form over HTTP) must not leave "\r" glued to every value; a
-      // leading UTF-8 BOM must not corrupt the first field name
+  /** RFC whitespace is space OR tab (Spark's trim strips spaces
+    * only); a stray CR survives only on malformed mixed-EOL input —
+    * the line split handles CRLF — but trimming it is free. */
+  private def ws(c: Column): Column =
+    regexp_replace(c, "^[ \\t\\r]+|[ \\t\\r]+$", "")
+
+  /** All syntactically-recognized lines of every robots body:
+    * `(domain, __ln, __field, __value)` — comments stripped, fields
+    * lowercased, values whitespace-trimmed, domain aliased from the
+    * caller's column. RFC 9309 EOL is CR / LF / CRLF — a CRLF body
+    * (the common wire form over HTTP) must not leave `\r` glued to
+    * every value; a leading UTF-8 BOM must not corrupt the first
+    * field name. */
+  private def parsedLines(robots: DataFrame, domainCol: String,
+                          textCol: String): DataFrame =
+    robots
       .select(col(domainCol).as("domain"),
         posexplode(split(regexp_replace(col(textCol), "^\uFEFF", ""),
           "\r\n|\r|\n")).as(Seq("__ln", "__raw")))
       .select(col("domain"), col("__ln"),
-        // strip comments and surrounding whitespace
         ws(regexp_replace(col("__raw"), "#.*$", "")).as("__line"))
       .where(col("__line") =!= "")
       .select(col("domain"), col("__ln"),
@@ -76,14 +75,17 @@ object Robots {
           .as("__field"),
         ws(regexp_extract(col("__line"), "^[^:]+:(.*)$", 1))
           .as("__value"))
-      // group formation sees ONLY agent and rule lines: RFC 9309
-      // §2.2.4 — other records (sitemap:, crawl-delay:, unknown
-      // directives) MUST NOT interfere, so one between two user-agent
-      // lines must not split their shared group
-      .where(col("__field").isin("user-agent", "allow", "disallow"))
-    // group id: a user-agent line following a RULE line opens a new
-    // group; consecutive user-agent lines extend the current one
-    val grouped = lines
+
+  /** Adds the running agent-group id `__grp`. Input must already be
+    * filtered to agent/rule lines: RFC 9309 §2.2.4 — other records
+    * (sitemap:, crawl-delay:, unknown directives) MUST NOT interfere,
+    * so one between two user-agent lines must not split their shared
+    * group. A user-agent line following a RULE line opens a new
+    * group; consecutive user-agent lines extend the current one. */
+  private def withGroups(lines: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(col("__ln"))
+    lines
       .withColumn("__isAgent", (col("__field") === "user-agent").cast("int"))
       .withColumn("__prevAgent",
         lag(col("__isAgent"), 1, 0).over(w))
@@ -92,6 +94,15 @@ object Robots {
       .withColumn("__grp", sum(col("__open")).over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, 0)))
+  }
+
+  def rules(robots: DataFrame, domainCol: String,
+            textCol: String): DataFrame = {
+    // NB: everything downstream works on the RENAMED "domain" column —
+    // parsedLines aliases `domainCol` to it (a caller-named column
+    // would not resolve past that projection)
+    val grouped = withGroups(parsedLines(robots, domainCol, textCol)
+      .where(col("__field").isin("user-agent", "allow", "disallow")))
     val agents = grouped.where(col("__field") === "user-agent")
       .select(col("domain"), col("__grp"),
         lower(col("__value")).as("agent")).distinct()
@@ -190,4 +201,84 @@ object Robots {
       urls(domainCol) <=> col("__d") && urls(pathCol) <=> col("__p"))
       .drop("__d", "__p")
   }
+
+  /**
+   * Effective per-domain `Crawl-delay` for the named agent — the
+   * politeness RATE limit a frontier scheduler needs beside the
+   * [[verdict]] allow/deny gate. Crawl-delay is the de-facto
+   * extension honored by Bing/Yandex (not in RFC 9309; Google ignores
+   * it): a delay line attaches to the group of the most recent
+   * user-agent run, with non-rule records never splitting groups.
+   * Precedence is by VALID DELAY presence: the agent's own groups'
+   * delays win; `*`-group delays apply only on domains where the
+   * agent has none (an unparsable agent delay therefore falls back
+   * rather than silently meaning "no limit"). Multiple delays for one
+   * agent collapse to the MINIMUM (most polite). Non-numeric values
+   * are ignored. Output: `(domain, crawl_delay: double)` — domains
+   * with no applicable delay are absent (schedule at full rate).
+   *
+   * Scale shape: everything here is robots-table-sized — two
+   * domain-keyed windows + one small join; corpus URLs never enter.
+   */
+  def crawlDelays(robots: DataFrame, domainCol: String,
+                  textCol: String, agent: String): DataFrame = {
+    val a = lower(lit(agent))
+    val pl = parsedLines(robots, domainCol, textCol)
+    val grouped = withGroups(
+      pl.where(col("__field").isin("user-agent", "allow", "disallow")))
+    val agents = grouped.where(col("__field") === "user-agent")
+      .select(col("domain"), col("__grp"),
+        lower(col("__value")).as("agent")).distinct()
+    // assign each crawl-delay line the running group id of the last
+    // agent/rule line above it (rule lines carry their group's id, so
+    // last-non-null over the union is exactly the open group)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(col("__ln"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val delayLines = grouped
+      .select(col("domain"), col("__ln"), col("__grp"),
+        lit(null).cast("double").as("__delay"))
+      .unionByName(pl.where(col("__field") === "crawl-delay")
+        .select(col("domain"), col("__ln"),
+          lit(null).cast("bigint").as("__grp"),
+          // try_cast, not cast: under ANSI (the Spark 4 default) an
+          // unparsable delay value would fail the whole scan — hostile
+          // robots bodies must degrade to "no delay", never throw
+          expr("try_cast(__value AS double)").as("__delay")))
+      .withColumn("__g", last(col("__grp"), ignoreNulls = true).over(w))
+      .where(col("__delay").isNotNull && col("__g").isNotNull)
+    // rename the agents side: it shares lineage with delayLines (both
+    // come from the same parse), and an unaliased join trips Spark's
+    // ambiguous-self-join detection on __grp
+    val agentsR = agents.select(col("domain").as("__adom"),
+      col("__grp").as("__agrp"), col("agent"))
+    val perAgent = delayLines
+      .join(agentsR, col("__g") === col("__agrp") &&
+        col("domain") === col("__adom"))
+      .select(col("domain"), col("agent"), col("__delay"))
+      .groupBy(col("domain"), col("agent"))
+      .agg(min(col("__delay")).as("crawl_delay"))
+    val forAgent = perAgent.where(col("agent") === a)
+    val starOnly = perAgent.where(col("agent") === "*")
+      .join(forAgent.select(col("domain")).distinct(),
+        Seq("domain"), "left_anti")
+    forAgent.unionByName(starOnly)
+      .select(col("domain"), col("crawl_delay"))
+  }
+
+  /**
+   * `Sitemap:` URLs per domain — frontier seeding. Sitemap records
+   * are domain-global (RFC 9309 §2.2.4: not part of any group, valid
+   * anywhere in the file), so this is a plain field filter: one
+   * generator projection, robots-table-sized, distinct `(domain,
+   * sitemap)` with the URL's case preserved (values are
+   * case-sensitive; only field names are lowercased).
+   */
+  def sitemaps(robots: DataFrame, domainCol: String,
+               textCol: String): DataFrame =
+    parsedLines(robots, domainCol, textCol)
+      .where(col("__field") === "sitemap" && col("__value") =!= "")
+      .select(col("domain"), col("__value").as("sitemap"))
+      .distinct()
 }

@@ -158,6 +158,45 @@ class RobotsSpec extends SparkSpec {
     assert(outS == Map(1L -> false, 2L -> false))
   }
 
+  test("crawlDelays: agent shades *, fallback, invalid, min, CRLF") {
+    val robots = Seq(
+      // agent's own delay shades the '*' one
+      ("a.com", "User-agent: *\nCrawl-delay: 10\nDisallow: /x\n\n" +
+        "User-agent: graftbot\nCrawl-delay: 2.5\n"),
+      // no agent group -> '*' fallback
+      ("b.com", "User-agent: *\nCrawl-delay: 5\n"),
+      // unparsable agent delay -> falls back; no '*' here -> absent
+      ("c.com", "User-agent: graftbot\nCrawl-delay: oops\n"),
+      // several delays in one group -> minimum; delay AFTER rules
+      // still belongs to the group
+      ("d.com", "User-agent: graftbot\nDisallow: /q\n" +
+        "Crawl-delay: 7\nCrawl-delay: 3\n"),
+      // CRLF body parses identically
+      ("e.com", "User-agent: graftbot\r\nCrawl-delay: 4\r\n"),
+      // delay before any user-agent line attaches to no group
+      ("f.com", "Crawl-delay: 9\nUser-agent: graftbot\nDisallow: /z\n"))
+      .toDF("domain", "body")
+    val out = Robots.crawlDelays(robots, "domain", "body", "GraftBot")
+      .as[(String, Double)].collect().toMap
+    assert(out == Map("a.com" -> 2.5, "b.com" -> 5.0, "d.com" -> 3.0,
+      "e.com" -> 4.0))
+  }
+
+  test("sitemaps: domain-global, case-preserved, deduped") {
+    val robots = Seq(
+      ("a.com", "Sitemap: https://a.com/sm1.xml\nUser-agent: *\n" +
+        "Disallow: /x\nSitemap: https://a.com/sm2.xml\n"),
+      ("b.com", "User-agent: *\nDisallow: /\n"),
+      ("d.com", "Sitemap: https://d.com/SM.xml\n" +
+        "Sitemap: https://d.com/SM.xml\n"))
+      .toDF("domain", "body")
+    val out = Robots.sitemaps(robots, "domain", "body")
+      .as[(String, String)].collect().toSet
+    assert(out == Set(("a.com", "https://a.com/sm1.xml"),
+      ("a.com", "https://a.com/sm2.xml"),
+      ("d.com", "https://d.com/SM.xml")))
+  }
+
   test("duplicate url rows keep their multiplicity through the verdict") {
     val urls = Seq((1L, "a.com", "/public"), (2L, "a.com", "/public"))
       .toDF("id", "domain", "path")
