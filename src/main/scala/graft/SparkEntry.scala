@@ -3085,6 +3085,56 @@ object SparkEntry {
               ('d.com', 'https://d.com/SM.xml'))
               t(domain, sitemap)""")),
 
+    // politeness scheduling capstone: corpus-scale URLs get per-domain
+    // fetch slots under the delays the robots bodies declare (a.com
+    // 2.5s via the agent group, b.com 5s via '*', c.com none →
+    // default 1s). The md5 fetch order and the slot arithmetic are
+    // both engine-portable, so the oracle replays the whole schedule.
+    Q("q_frontier_schedule",
+      (s, d) => {
+        val bodyA = "User-agent: *\nCrawl-delay: 10\nDisallow: /x\n\n" +
+          "User-agent: graftbot\nCrawl-delay: 2.5\n"
+        val bodyB = "User-agent: *\nCrawl-delay: 5\n"
+        val robots = s.range(2).toDF("i").select(
+          element_at(array(lit("a.com"), lit("b.com")),
+            (col("i") + 1).cast("int")).as("domain"),
+          element_at(array(lit(bodyA), lit(bodyB)),
+            (col("i") + 1).cast("int")).as("body"))
+        val delays = graft.functions.Robots.crawlDelays(robots,
+          "domain", "body", "graftbot")
+        val urls = s.read.parquet(pq(d, "documents"))
+          .where(col("doc_id") < 200)
+          .select(col("doc_id"),
+            element_at(array(lit("a.com"), lit("b.com"), lit("c.com")),
+              (col("doc_id") % 3 + 1).cast("int")).as("domain"))
+          .withColumn("url", concat(lit("https://"), col("domain"),
+            lit("/p"), col("doc_id").cast("string")))
+        graft.functions.Robots.scheduleFrontier(urls, delays,
+            "domain", "url")
+          .select(col("doc_id"), col("domain"), col("url"),
+            col("fetch_seq").cast("long").as("fetch_seq"),
+            round(col("fetch_offset_s"), 4).as("fetch_offset_s"))
+      },
+      Some("""WITH urls AS (SELECT doc_id,
+                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'a.com'
+                  WHEN 1 THEN 'b.com' ELSE 'c.com' END AS domain
+                FROM documents WHERE doc_id < 200),
+              u AS (SELECT doc_id, domain,
+                'https://' || domain || '/p' || CAST(doc_id AS VARCHAR)
+                  AS url FROM urls),
+              dl AS (SELECT * FROM (VALUES
+                ('a.com', CAST(2.5 AS DOUBLE)),
+                ('b.com', CAST(5 AS DOUBLE))) t(domain, delay)),
+              seq AS (SELECT doc_id, u.domain, url,
+                ROW_NUMBER() OVER (PARTITION BY u.domain
+                  ORDER BY md5(url), url) - 1 AS fetch_seq,
+                COALESCE(dl.delay, 1.0) AS delay
+                FROM u LEFT JOIN dl ON u.domain = dl.domain)
+              SELECT doc_id, domain, url,
+                CAST(fetch_seq AS BIGINT) AS fetch_seq,
+                ROUND(fetch_seq * delay, 4) AS fetch_offset_s
+              FROM seq""")),
+
     // per-label embedding centroids by mean pooling (the chunk→doc /
     // class-centroid aggregation); the digest projection keeps the
     // compare on scalars (the q_transport_embeddings pattern) — dim,

@@ -281,4 +281,41 @@ object Robots {
       .where(col("__field") === "sitemap" && col("__value") =!= "")
       .select(col("domain"), col("__value").as("sitemap"))
       .distinct()
+
+  /**
+   * Politeness schedule: give every URL a per-domain fetch slot under
+   * the domain's [[crawlDelays]] rate limit — the step that turns an
+   * allowed frontier into a dispatchable one. Each domain's URLs are
+   * ordered by `(md5(url), url)` (deterministic, layout-independent —
+   * the [[graft.operators.Sampling]] hash-order convention) and the
+   * n-th gets `fetch_offset_s = n × delay` (`defaultDelay` where the
+   * domain declares none). Output: input plus `fetch_seq` (0-based)
+   * and `fetch_offset_s`.
+   *
+   * Scale shape: one domain-keyed shuffle + per-domain window (never
+   * global) + a left join against the domain-scale delay table
+   * (broadcast when small). A 100 TB frontier schedules in one pass;
+   * wall-clock per domain is bounded by its own URL count × delay,
+   * which is the physical politeness constraint itself.
+   */
+  def scheduleFrontier(urls: DataFrame, delays: DataFrame,
+                       domainCol: String, urlCol: String,
+                       defaultDelay: Double = 1.0): DataFrame = {
+    require(defaultDelay >= 0,
+      s"defaultDelay must be >= 0, got $defaultDelay")
+    Seq("fetch_seq", "fetch_offset_s").foreach(c =>
+      require(!urls.columns.contains(c),
+        s"scheduleFrontier emits a '$c' column; input already has one"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(md5(col(urlCol)), col(urlCol))
+    urls
+      .join(delays.select(col("domain").as("__sd"),
+        col("crawl_delay").as("__delay")),
+        urls(domainCol) <=> col("__sd"), "left")
+      .withColumn("fetch_seq", row_number().over(w) - 1)
+      .withColumn("fetch_offset_s",
+        col("fetch_seq") * coalesce(col("__delay"), lit(defaultDelay)))
+      .drop("__sd", "__delay")
+  }
 }

@@ -197,6 +197,35 @@ class RobotsSpec extends SparkSpec {
       ("d.com", "https://d.com/SM.xml")))
   }
 
+  test("scheduleFrontier: per-domain slots, default delay, guards") {
+    val urls = Seq(("a.com", "https://a.com/1"),
+      ("a.com", "https://a.com/2"), ("a.com", "https://a.com/3"),
+      ("z.com", "https://z.com/1")).toDF("domain", "url")
+    val delays = Seq(("a.com", 2.0)).toDF("domain", "crawl_delay")
+    val out = Robots.scheduleFrontier(urls, delays, "domain", "url")
+      .select("domain", "fetch_seq", "fetch_offset_s")
+      .as[(String, Int, Double)].collect()
+    // a.com: three slots at 0/2/4s in SOME deterministic order;
+    // z.com: one slot at 0 under the 1s default
+    assert(out.filter(_._1 == "a.com").map(r => (r._2, r._3)).toSet ==
+      Set((0, 0.0), (1, 2.0), (2, 4.0)))
+    assert(out.filter(_._1 == "z.com").toSeq ==
+      Seq(("z.com", 0, 0.0)))
+    // determinism across partitionings
+    val again = Robots.scheduleFrontier(urls.repartition(7),
+        delays, "domain", "url")
+      .select("url", "fetch_seq").as[(String, Int)].collect().toMap
+    val first = Robots.scheduleFrontier(urls, delays, "domain", "url")
+      .select("url", "fetch_seq").as[(String, Int)].collect().toMap
+    assert(again == first)
+    intercept[IllegalArgumentException] {
+      Robots.scheduleFrontier(
+        urls.withColumn("fetch_seq",
+          org.apache.spark.sql.functions.lit(1)),
+        delays, "domain", "url")
+    }
+  }
+
   test("duplicate url rows keep their multiplicity through the verdict") {
     val urls = Seq((1L, "a.com", "/public"), (2L, "a.com", "/public"))
       .toDF("id", "domain", "path")
