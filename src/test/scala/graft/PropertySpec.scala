@@ -172,4 +172,26 @@ class PropertySpec extends SparkSpec {
           rows.map(_._3).sorted.toSeq == (1 to rows.length))
     }, minSuccessful = 10)
   }
+
+  test("byte-level BPE: decode∘encode = id for ANY text and merges") {
+    import graft.plans.BpeCodec
+    // arbitrary unicode strings (astral planes included via Gen's
+    // full-char strings), arbitrary small merge lists over the
+    // byte-alphabet spellings the encoder actually produces
+    val text = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf(" ", "\n", "\t", "'s", "it's", "3.14", "😀", "中文",
+        "préfixe", "Ġ", "  ", "a-b_c!"))).map(_.mkString)
+    val merge = for {
+      a <- Gen.oneOf("t", "h", "e", "Ġ", "i", "n", "th", "Ġt")
+      b <- Gen.oneOf("h", "e", "t", "n", "g", "he", "'s")
+    } yield (a, b)
+    checkProp(Prop.forAll(text, Gen.listOfN(6, merge)) { (t, ms) =>
+      val lefts = ms.map(_._1).toArray
+      val rights = ms.map(_._2).toArray
+      val syms = BpeCodec.pretokenize(t)
+        .flatMap(BpeCodec.encodePretoken(_, lefts, rights))
+      BpeCodec.decodeByteSymbols(syms.mkString) == t
+    }, minSuccessful = 100)
+  }
 }
