@@ -2770,6 +2770,56 @@ object SparkEntry {
     // any footer is opened; the exact filter then runs on the scanned
     // rows, so the answer ≡ the full-directory read the oracle runs
     // (StatsIndexSpec asserts the actual file-count reduction)
+    // JSONL edge round-trip under hostility: the corpus written as
+    // JSONL (Spark-escaped text incl. newlines/quotes/unicode), two
+    // corrupt lines planted (broken JSON + type-mismatched field),
+    // read back under the EXPLICIT schema with quarantine — valid
+    // rows must reproduce the parquet corpus exactly (the sums/counts
+    // pin it) and the corrupt accounting must be 2, not a failed scan
+    // and not a silent drop. Fixture is content-keyed like the other
+    // on-disk fixtures.
+    Q("q_jsonl_roundtrip",
+      (s, d) => {
+        val src = new java.io.File(pq(d, "documents"))
+        val root = contentKeyedFixture(src, "graft_jsonl") { dir =>
+          committedData(new java.io.File(dir, "data")) &&
+            new java.io.File(new java.io.File(dir, "data"),
+              "corrupt-0.json").isFile
+        } { tmp =>
+          val data = new java.io.File(tmp, "data")
+          graft.sources.Jsonl.write(s.read.parquet(src.getPath),
+            data.toString)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(data.toString, "corrupt-0.json"),
+            "{broken\n{\"doc_id\": \"notanumber\"}\n".getBytes("UTF-8"))
+        }
+        val schema = new org.apache.spark.sql.types.StructType()
+          .add("doc_id", org.apache.spark.sql.types.LongType)
+          .add("text", org.apache.spark.sql.types.StringType)
+          .add("lang", org.apache.spark.sql.types.StringType)
+          .add("source", org.apache.spark.sql.types.StringType)
+          .add("n_chars", org.apache.spark.sql.types.LongType)
+        val c = col(graft.sources.Jsonl.CorruptCol)
+        graft.sources.Jsonl.read(s,
+            new java.io.File(root, "data").toString, schema)
+          .agg(count(when(c.isNull, lit(1))).as("n_valid"),
+            count(c).as("n_corrupt"),
+            sum(when(c.isNull, col("n_chars"))).cast("long")
+              .as("sum_chars"),
+            sum(when(c.isNull, length(col("text")))).cast("long")
+              .as("sum_text_len"),
+            count_distinct(when(c.isNull, col("lang"))).as("n_langs"))
+      },
+      Some("""SELECT
+              (SELECT COUNT(*) FROM documents) AS n_valid,
+              CAST(2 AS BIGINT) AS n_corrupt,
+              (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents)
+                AS sum_chars,
+              (SELECT CAST(SUM(length(text)) AS BIGINT) FROM documents)
+                AS sum_text_len,
+              (SELECT COUNT(DISTINCT lang) FROM documents)
+                AS n_langs""")),
+
     Q("q_file_skipping",
       (s, d) => {
         val root = statsIndexFixture(s, d)
