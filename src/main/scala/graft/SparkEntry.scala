@@ -2879,6 +2879,59 @@ object SparkEntry {
                 links[p] AS link
               FROM i""")),
 
+    // anchor (url, text) pairs: visible anchor text beside each link
+    // target — inner tags stripped, whitespace collapsed; an anchor
+    // never closed before EOF is dropped (no text to extract). The
+    // oracle replays the identical two-group RE2 pattern and the
+    // identical strip/collapse/trim chain, zipped by index.
+    Q("q_html_anchors",
+      (s, d) => {
+        val pages = array(
+          lit("<p>x</p><a href=\"/a1\">one</a>" +
+            "<a id=q href='/a2'><b>two</b>\nwords</a>"),
+          lit("<a class=z href=/bare>b</a><link href=\"/css\">" +
+            "<A HREF=\"/caps\">Caps  Text</A>"),
+          lit("<a href=\"/open\">never closed"))
+        val html = element_at(pages, (col("doc_id") % 3 + 1).cast("int"))
+        s.read.parquet(pq(d, "documents")).where(col("doc_id") < 150)
+          .select(col("doc_id"),
+            posexplode_outer(
+              graft.functions.TextAnalysis.extractAnchors(html))
+              .as(Seq("pos", "a")))
+          .select(col("doc_id"), col("pos"),
+            col("a.url").as("url"), col("a.anchor").as("anchor"))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+                CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN '<p>x</p><a href="/a1">one</a>' ||
+                    '<a id=q href=''/a2''><b>two</b>' || chr(10) ||
+                    'words</a>'
+                  WHEN 1 THEN '<a class=z href=/bare>b</a>' ||
+                    '<link href="/css"><A HREF="/caps">Caps  Text</A>'
+                  ELSE '<a href="/open">never closed' END AS html
+                FROM documents WHERE doc_id < 150),
+              l AS (SELECT doc_id,
+                list_transform(regexp_extract_all(html,
+                  '(?is)<a[\t\n\f\r ](?:[^>]*?[\t\n\f\r "''])?href[\t\n\f\r ]*=[\t\n\f\r ]*("[^"]*"|''[^'']*''|[^\t\n\f\r >"'']+)[^>]*>(.*?)</[aA][\t\n\f\r ]*>',
+                  1),
+                  v -> regexp_replace(v, '^["'']|["'']$', '', 'g'))
+                  AS urls,
+                list_transform(regexp_extract_all(html,
+                  '(?is)<a[\t\n\f\r ](?:[^>]*?[\t\n\f\r "''])?href[\t\n\f\r ]*=[\t\n\f\r ]*("[^"]*"|''[^'']*''|[^\t\n\f\r >"'']+)[^>]*>(.*?)</[aA][\t\n\f\r ]*>',
+                  2),
+                  t -> trim(regexp_replace(regexp_replace(t,
+                    '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')))
+                  AS texts
+                FROM h),
+              i AS (SELECT doc_id, urls, texts,
+                  unnest(range(1, greatest(len(urls), 1) + 1)) AS p
+                FROM l)
+              SELECT doc_id,
+                CASE WHEN len(urls) = 0 THEN NULL
+                  ELSE CAST(p - 1 AS INT) END AS pos,
+                urls[p] AS url, texts[p] AS anchor
+              FROM i""")),
+
     // crawl-frontier capstone: outlink extraction → registrable-domain
     // keys → robots politeness → seen-set anti-join → per-domain cap,
     // one declarative plan composing operators each gated on its own.

@@ -400,6 +400,33 @@ object TextAnalysis {
       v => regexp_replace(v, "^[\"']|[\"']$", ""))
 
   /**
+   * Anchor pairs `array<struct<url, anchor>>`: each closed `<a
+   * href=…>…</a>` yields its link target beside its VISIBLE anchor
+   * text (inner tags stripped, whitespace collapsed, trimmed) — the
+   * classic relevance signal a link graph wants on its edges (anchor
+   * text describes the TARGET page; it powered early web ranking and
+   * still labels crawl frontiers). Same href grammar as
+   * [[extractLinks]]; two aligned `regexp_extract_all` passes over
+   * one pattern zip into structs, all codegen'd — zero shuffle.
+   * Documented boundary: an anchor never closed before EOF has no
+   * extractable text and is dropped here (extractLinks still sees its
+   * href).
+   */
+  def extractAnchors(html: Column): Column = {
+    val pat = lit("(?is)<a[\\t\\n\\f\\r ](?:[^>]*?[\\t\\n\\f\\r \"'])?" +
+      "href[\\t\\n\\f\\r ]*=[\\t\\n\\f\\r ]*" +
+      "(\"[^\"]*\"|'[^']*'|[^\\t\\n\\f\\r >\"']+)" +
+      "[^>]*>(.*?)</[aA][\\t\\n\\f\\r ]*>")
+    val urls = transform(regexp_extract_all(html, pat, lit(1)),
+      v => regexp_replace(v, "^[\"']|[\"']$", ""))
+    val texts = transform(regexp_extract_all(html, pat, lit(2)),
+      t => trim(regexp_replace(
+        regexp_replace(t, "<[^>]*>", " "), "\\s+", " ")))
+    zip_with(urls, texts,
+      (u, t) => struct(u.as("url"), t.as("anchor")))
+  }
+
+  /**
    * Text-density boilerplate removal (the jusText/trafilatura job
    * class, reduced to its deterministic core — Kohlschütter et al.
    * WSDM'10, Pomikálek 2011, public heuristics): segment the page into

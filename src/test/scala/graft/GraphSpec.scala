@@ -48,6 +48,18 @@ class GraphSpec extends SparkSpec {
     assert(out == Seq(Seq("/real"), Seq(), Seq("/tabbed")))
   }
 
+  test("extractAnchors: pairs, nested tags stripped, unclosed dropped") {
+    import org.apache.spark.sql.functions.col
+    val h = "<a href=\"/a\"> <b>Bold</b>\n link </a>" +
+      "<A HREF='/b'>plain</A><a href=/c>never closed"
+    val got = Seq(Tuple1(h)).toDF("h")
+      .select(graft.functions.TextAnalysis.extractAnchors(col("h"))
+        .as("a"))
+      .selectExpr("inline(a)")
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(("/a", "Bold link"), ("/b", "plain")))
+  }
+
   test("pageRank rejects overflow-prone damping denominators") {
     val e = Seq((1L, 2L)).toDF("s", "t")
     intercept[IllegalArgumentException] {
