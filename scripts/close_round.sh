@@ -21,12 +21,25 @@ echo "[close] graft.Verify -> ${OUT}"
 sbt -batch "runMain graft.Verify ${SF} ${OUT}" >/dev/null 2>&1
 
 echo "[close] DuckDB oracle compare"
+# capture the exit status explicitly: a compare that CRASHES (missing
+# duckdb, absent oracle_sql.json) must read as a red gate, not as
+# "no FAIL lines found"
+COMPARE_RC=0
 python3 scripts/compare_oracle.py "${SF}" "${OUT}" \
-  > /tmp/close_round_compare.txt 2>&1 || true
+  > /tmp/close_round_compare.txt 2>&1 || COMPARE_RC=$?
 tail -2 /tmp/close_round_compare.txt
 if grep -q "^FAIL" /tmp/close_round_compare.txt; then
   echo "[close] RED GATE — do not close the round:"
   grep "^FAIL" /tmp/close_round_compare.txt
+  exit 1
+fi
+# the compare must have actually completed: its summary line is the
+# proof of execution, and zero fails must agree with the exit code
+if ! tail -1 /tmp/close_round_compare.txt \
+    | grep -qE "^[0-9]+ pass, 0 fail$"; then
+  echo "[close] RED GATE — compare did not complete cleanly" \
+    "(rc=${COMPARE_RC}):"
+  tail -5 /tmp/close_round_compare.txt
   exit 1
 fi
 

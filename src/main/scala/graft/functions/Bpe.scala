@@ -118,11 +118,11 @@ object Bpe {
 
   /** The count/pick/apply driver loop shared by the char-level and
     * byte-level trainers — bounded by the capped type table, ties
-    * broken `(cnt desc, left asc, right asc)`. */
-  private def trainLoop(types0: Array[(Array[String], Long)],
+    * broken `(cnt desc, left asc, right asc)`. Mutates `types` (the
+    * merge applications rewrite its elements in place). */
+  private def trainLoop(types: Array[(Array[String], Long)],
                         numMerges: Int, minPairCount: Long)
       : Seq[(String, String, Long)] = {
-    val types = types0
     val merges = Seq.newBuilder[(String, String, Long)]
     var step = 0
     var continue = true

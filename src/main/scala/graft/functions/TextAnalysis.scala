@@ -390,13 +390,18 @@ object TextAnalysis {
    * quote-state tracking is beyond one regex; rare in real markup,
    * unlike `data-href`, which is everywhere).
    */
+  /** The anchor-open + href-value grammar shared by [[extractLinks]]
+    * and [[extractAnchors]] (group 1 = the possibly-quoted value) —
+    * ONE constant so the two can never drift on what counts as a
+    * link. RE2-portable; the oracle replays it verbatim. */
+  private val hrefGrammar: String =
+    "<a[\\t\\n\\f\\r ](?:[^>]*?[\\t\\n\\f\\r \"'])?" +
+      "href[\\t\\n\\f\\r ]*=[\\t\\n\\f\\r ]*" +
+      "(\"[^\"]*\"|'[^']*'|[^\\t\\n\\f\\r >\"']+)"
+
   def extractLinks(html: Column): Column =
     transform(
-      regexp_extract_all(html,
-        lit("(?i)<a[\\t\\n\\f\\r ](?:[^>]*?[\\t\\n\\f\\r \"'])?" +
-          "href[\\t\\n\\f\\r ]*=[\\t\\n\\f\\r ]*" +
-          "(\"[^\"]*\"|'[^']*'|[^\\t\\n\\f\\r >\"']+)"),
-        lit(1)),
+      regexp_extract_all(html, lit("(?i)" + hrefGrammar), lit(1)),
       v => regexp_replace(v, "^[\"']|[\"']$", ""))
 
   /**
@@ -413,9 +418,7 @@ object TextAnalysis {
    * href).
    */
   def extractAnchors(html: Column): Column = {
-    val pat = lit("(?is)<a[\\t\\n\\f\\r ](?:[^>]*?[\\t\\n\\f\\r \"'])?" +
-      "href[\\t\\n\\f\\r ]*=[\\t\\n\\f\\r ]*" +
-      "(\"[^\"]*\"|'[^']*'|[^\\t\\n\\f\\r >\"']+)" +
+    val pat = lit("(?is)" + hrefGrammar +
       "[^>]*>(.*?)</[aA][\\t\\n\\f\\r ]*>")
     val urls = transform(regexp_extract_all(html, pat, lit(1)),
       v => regexp_replace(v, "^[\"']|[\"']$", ""))

@@ -68,7 +68,10 @@ object Jsonl {
       s"declared schema must not contain $CorruptCol (it is appended)")
     val withCorrupt = schema.add(CorruptCol, StringType)
     spark.read.text(path)
-      .where(length(trim(col("value"))) > 0)
+      // whitespace-ONLY lines are skipped like the json source does
+      // (Spark's trim strips spaces only — a tab-padded blank line
+      // must not read as a corrupt record)
+      .where(!col("value").rlike("^\\s*$"))
       .select(from_json(col("value"), withCorrupt,
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> CorruptCol)).as("__j"),

@@ -35,10 +35,12 @@ class JsonlSpec extends SparkSpec {
   test("corrupt lines are quarantined with their raw text, not dropped") {
     val path = tmp("q")
     Jsonl.write(Seq((1L, "good")).toDF("id", "text"), path)
-    // hostile vendor shard: broken JSON + a type-mismatched field
+    // hostile vendor shard: broken JSON + a type-mismatched field;
+    // whitespace-ONLY padding lines (tab/space) must be skipped like
+    // the json source does, not counted as corrupt
     java.nio.file.Files.write(
       java.nio.file.Paths.get(path, "corrupt-0.json"),
-      "{broken\n{\"id\": \"notanumber\", \"text\": \"x\"}\n"
+      "{broken\n\t\n   \n{\"id\": \"notanumber\", \"text\": \"x\"}\n"
         .getBytes("UTF-8"))
     val all = Jsonl.read(spark, path, schema)
     val corrupt = all.where(col(Jsonl.CorruptCol).isNotNull)

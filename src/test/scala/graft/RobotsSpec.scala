@@ -174,12 +174,16 @@ class RobotsSpec extends SparkSpec {
       // CRLF body parses identically
       ("e.com", "User-agent: graftbot\r\nCrawl-delay: 4\r\n"),
       // delay before any user-agent line attaches to no group
-      ("f.com", "Crawl-delay: 9\nUser-agent: graftbot\nDisallow: /z\n"))
+      ("f.com", "Crawl-delay: 9\nUser-agent: graftbot\nDisallow: /z\n"),
+      // hostile values: a negative delay must NOT win minimum-wins
+      // (negative fetch offsets = a burst), NaN must not poison it
+      ("g.com", "User-agent: graftbot\nCrawl-delay: -100\n" +
+        "Crawl-delay: NaN\nCrawl-delay: 6\n"))
       .toDF("domain", "body")
     val out = Robots.crawlDelays(robots, "domain", "body", "GraftBot")
       .as[(String, Double)].collect().toMap
     assert(out == Map("a.com" -> 2.5, "b.com" -> 5.0, "d.com" -> 3.0,
-      "e.com" -> 4.0))
+      "e.com" -> 4.0, "g.com" -> 6.0))
   }
 
   test("sitemaps: domain-global, case-preserved, deduped") {
