@@ -258,18 +258,20 @@ object Robots {
     // ambiguous-self-join detection on __grp
     val agentsR = agents.select(col("domain").as("__adom"),
       col("__grp").as("__agrp"), col("agent"))
-    val perAgent = delayLines
+    // agent-shades-star precedence as ONE conditional aggregation —
+    // the anti-join formulation would evaluate (and so recompute) the
+    // whole parse subtree once per branch; a single groupBy keeps the
+    // robots-body parse in the plan exactly once
+    delayLines
       .join(agentsR, col("__g") === col("__agrp") &&
         col("domain") === col("__adom"))
-      .select(col("domain"), col("agent"), col("__delay"))
-      .groupBy(col("domain"), col("agent"))
-      .agg(min(col("__delay")).as("crawl_delay"))
-    val forAgent = perAgent.where(col("agent") === a)
-    val starOnly = perAgent.where(col("agent") === "*")
-      .join(forAgent.select(col("domain")).distinct(),
-        Seq("domain"), "left_anti")
-    forAgent.unionByName(starOnly)
-      .select(col("domain"), col("crawl_delay"))
+      .where(col("agent") === a || col("agent") === "*")
+      .groupBy(col("domain"))
+      .agg(min(when(col("agent") === a, col("__delay"))).as("__ad"),
+        min(when(col("agent") === "*", col("__delay"))).as("__sd"))
+      .select(col("domain"),
+        coalesce(col("__ad"), col("__sd")).as("crawl_delay"))
+      .where(col("crawl_delay").isNotNull)
   }
 
   /**
