@@ -126,29 +126,24 @@ object Robots {
     val pattern = concat(lit("^"),
       regexp_replace(escaped, "\\*", ".*"),
       when(endAnchor, lit("$")).otherwise(lit("")))
-    val withAgents = ruleRows.join(agents, Seq("domain", "__grp"))
-      .select(col("domain"), col("agent"), col("allow"),
-        col("path").as("prefix"),
-        (col("path").contains("*") || col("path").contains("$"))
-          .as("wildcard"),
-        pattern.as("pattern"),
-        length(col("path")).as("priority"))
-    // REGISTRATION rows for groups with no allow/disallow lines at all
-    // (e.g. only crawl-delay:): RFC most-specific-group says the
-    // agent's own empty group wins — allow-all — over the '*' group.
-    // A null-prefix row matches no path (the verdict join condition
+    // ONE left join builds both row kinds: an agent×rule match is a
+    // real rule row; an agent whose group has no allow/disallow lines
+    // at all (e.g. only crawl-delay:) keeps its null-path row as a
+    // REGISTRATION row — RFC most-specific-group says that agent's
+    // own empty group wins (allow-all) over the '*' group. A
+    // null-prefix row matches no path (the verdict join condition
     // grounds to null), so it cannot affect any ranking; its presence
-    // just makes the agent's domain visible to the '*'-fallback
-    // anti-join in [[verdict]].
-    val emptyGroups = agents
-      .join(ruleRows.select(col("domain"), col("__grp")).distinct(),
-        Seq("domain", "__grp"), "left_anti")
-      .select(col("domain"), col("agent"), lit(true).as("allow"),
-        lit(null).cast("string").as("prefix"),
-        lit(false).as("wildcard"),
-        lit(null).cast("string").as("pattern"),
-        lit(null).cast("int").as("priority"))
-    withAgents.unionByName(emptyGroups)
+    // just makes the agent's domain visible to [[verdict]]'s
+    // '*'-fallback. (The union-plus-anti-join formulation would
+    // re-evaluate the parse subtree once per branch.)
+    agents.join(ruleRows, Seq("domain", "__grp"), "left")
+      .select(col("domain"), col("agent"),
+        coalesce(col("allow"), lit(true)).as("allow"),
+        col("path").as("prefix"),
+        coalesce(col("path").contains("*") || col("path").contains("$"),
+          lit(false)).as("wildcard"),
+        when(col("path").isNotNull, pattern).as("pattern"),
+        length(col("path")).as("priority"))
   }
 
   /**
@@ -162,12 +157,18 @@ object Robots {
               domainCol: String, pathCol: String): DataFrame = {
     val a = lower(lit(agent))
     // groups for this agent, falling back to '*' groups only where the
-    // agent has none on that domain (RFC most-specific-group rule)
-    val forAgent = ruleTable.where(col("agent") === a)
-    val starOnly = ruleTable.where(col("agent") === "*")
-      .join(forAgent.select(col("domain")).distinct(),
-        Seq("domain"), "left_anti")
-    val effective = forAgent.unionByName(starOnly)
+    // agent has none on that domain (RFC most-specific-group rule).
+    // One domain-partitioned window instead of a forAgent/starOnly
+    // anti-join: the rule table (and everything upstream of it, when
+    // the caller passes the lazy rules() frame) stays in the plan
+    // exactly once.
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+    val effective = ruleTable
+      .where(col("agent") === a || col("agent") === "*")
+      .withColumn("__hasAgent",
+        max(when(col("agent") === a, 1).otherwise(0)).over(wd))
+      .where(col("agent") === a || col("__hasAgent") === 0)
       .select(col("domain").as("__rd"), col("allow"), col("prefix"),
         col("wildcard"), col("pattern"), col("priority"))
     // the verdict is a function of (domain, path) alone — compute it
