@@ -27,7 +27,8 @@ object Writer {
                   overwrite: Boolean = true,
                   maxRecordsPerFile: Long = 0L,
                   singleFile: Boolean = false,
-                  partitionBy: Seq[String] = Nil): Unit = {
+                  partitionBy: Seq[String] = Nil,
+                  bloomFilterCols: Seq[String] = Nil): Unit = {
     val out = if (singleFile) df.coalesce(1) else df
     var w = out.write
       .mode(if (overwrite) "overwrite" else "errorifexists")
@@ -36,6 +37,16 @@ object Writer {
       w = w.option("maxRecordsPerFile", maxRecordsPerFile)
     if (partitionBy.nonEmpty)
       w = w.partitionBy(partitionBy: _*)
+    // NATIVE parquet bloom filters on the named columns (parquet-mr's
+    // per-row-group sketches, read by Spark's parquet reader for
+    // equality/IN pushdown): the row-group-level complement of
+    // [[StatsIndex]]'s per-FILE sketches — point lookups on an
+    // unclustered key skip row groups the min/max stats can't rule
+    // out. Costs bytes in the footer region per row group per column;
+    // enable only on lookup keys.
+    bloomFilterCols.foreach { c =>
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
     w.parquet(path)
   }
 

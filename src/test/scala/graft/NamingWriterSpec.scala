@@ -91,4 +91,33 @@ class NamingWriterSpec extends SparkSpec {
     val back = spark.read.parquet(p).collect()
     assert(back.length == 1 && back(0).getString(1) == "new")
   }
+
+  test("bloomFilterCols writes real per-row-group parquet bloom filters") {
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_bloomw").toString + "/t"
+    Writer.dfToParquet((1L to 1000L).toDF("k")
+      .withColumn("v", org.apache.spark.sql.functions.col("k") * 2),
+      p, bloomFilterCols = Seq("k"))
+    // the sketch must actually be in the file metadata, not just an
+    // accepted-and-ignored option
+    val file = new java.io.File(p).listFiles
+      .find(f => f.getName.endsWith(".parquet")).get
+    val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getPath),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val cols = in.getFooter.getBlocks.get(0).getColumns
+      val k = (0 until cols.size).map(cols.get)
+        .find(_.getPath.toDotString == "k").get
+      val v = (0 until cols.size).map(cols.get)
+        .find(_.getPath.toDotString == "v").get
+      assert(k.getBloomFilterOffset >= 0, "no bloom filter on k")
+      assert(v.getBloomFilterOffset < 0, "unrequested bloom on v")
+    } finally in.close()
+    // and the data reads back intact through an equality lookup
+    assert(spark.read.parquet(p)
+      .where(org.apache.spark.sql.functions.col("k") === 500L)
+      .count() == 1)
+  }
 }
