@@ -34,8 +34,9 @@ if grep -q "^FAIL" /tmp/close_round_compare.txt; then
   exit 1
 fi
 # the compare must have actually completed: its summary line is the
-# proof of execution, and zero fails must agree with the exit code
-if ! tail -1 /tmp/close_round_compare.txt \
+# proof of execution, AND the exit code must agree (a crash after the
+# summary flushed must still read red)
+if [ "${COMPARE_RC}" -ne 0 ] || ! tail -1 /tmp/close_round_compare.txt \
     | grep -qE "^[0-9]+ pass, 0 fail$"; then
   echo "[close] RED GATE — compare did not complete cleanly" \
     "(rc=${COMPARE_RC}):"

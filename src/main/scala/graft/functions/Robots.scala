@@ -248,12 +248,15 @@ object Robots {
           // robots bodies must degrade to "no delay", never throw
           expr("try_cast(__value AS double)").as("__delay")))
       .withColumn("__g", last(col("__grp"), ignoreNulls = true).over(w))
-      // negative/NaN delays are hostile too: under minimum-wins one
-      // "Crawl-delay: -100" would defeat the rate limit (negative
-      // fetch offsets = a burst) — only finite non-negative values
-      // count as declared delays
+      // negative/NaN/Infinity delays are hostile: under minimum-wins
+      // one "Crawl-delay: -100" would defeat the rate limit (negative
+      // fetch offsets = a burst), and try_cast parses "Infinity" —
+      // which scheduleFrontier would turn into 0×Inf = NaN offsets.
+      // Only FINITE non-negative values count as declared delays.
       .where(col("__delay").isNotNull && !isnan(col("__delay")) &&
-        col("__delay") >= 0 && col("__g").isNotNull)
+        col("__delay") >= 0 &&
+        col("__delay") =!= lit(Double.PositiveInfinity) &&
+        col("__g").isNotNull)
     // rename the agents side: it shares lineage with delayLines (both
     // come from the same parse), and an unaliased join trips Spark's
     // ambiguous-self-join detection on __grp

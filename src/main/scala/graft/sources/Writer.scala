@@ -28,7 +28,9 @@ object Writer {
                   maxRecordsPerFile: Long = 0L,
                   singleFile: Boolean = false,
                   partitionBy: Seq[String] = Nil,
-                  bloomFilterCols: Seq[String] = Nil): Unit = {
+                  bloomFilterCols: Seq[String] = Nil,
+                  bloomFilterNdv: Map[String, Long] = Map.empty)
+      : Unit = {
     val out = if (singleFile) df.coalesce(1) else df
     var w = out.write
       .mode(if (overwrite) "overwrite" else "errorifexists")
@@ -42,10 +44,26 @@ object Writer {
     // equality/IN pushdown): the row-group-level complement of
     // [[StatsIndex]]'s per-FILE sketches — point lookups on an
     // unclustered key skip row groups the min/max stats can't rule
-    // out. Costs bytes in the footer region per row group per column;
-    // enable only on lookup keys.
-    bloomFilterCols.foreach { c =>
-      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    // out. WITHOUT sizing, parquet-mr allocates its MAXIMUM bitset
+    // (~1 MB per column per row group — measured); so a caller-known
+    // cardinality goes through `bloomFilterNdv`, and otherwise the
+    // adaptive sizer (parquet-mr 1.13+) picks the bitset from the
+    // observed NDV. Enable only on lookup keys.
+    if (bloomFilterCols.nonEmpty) {
+      // misspelled columns would be accepted-and-ignored by parquet-mr
+      // (a file with NO sketch, silently); nested paths are the
+      // documented carve-out from the top-level check
+      bloomFilterCols.filterNot(_.contains(".")).foreach(c =>
+        require(df.columns.contains(c),
+          s"bloomFilterCols: no such column '$c' " +
+            s"(have: ${df.columns.mkString(", ")})"))
+      w = w.option("parquet.bloom.filter.adaptive.enabled", "true")
+      bloomFilterCols.foreach { c =>
+        w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        bloomFilterNdv.get(c).foreach(n =>
+          w = w.option(s"parquet.bloom.filter.expected.ndv#$c",
+            n.toString))
+      }
     }
     w.parquet(path)
   }

@@ -97,7 +97,7 @@ class NamingWriterSpec extends SparkSpec {
       .createTempDirectory("graft_bloomw").toString + "/t"
     Writer.dfToParquet((1L to 1000L).toDF("k")
       .withColumn("v", org.apache.spark.sql.functions.col("k") * 2),
-      p, bloomFilterCols = Seq("k"))
+      p, bloomFilterCols = Seq("k"), bloomFilterNdv = Map("k" -> 1000L))
     // the sketch must actually be in the file metadata, not just an
     // accepted-and-ignored option
     val file = new java.io.File(p).listFiles
@@ -115,9 +115,19 @@ class NamingWriterSpec extends SparkSpec {
       assert(k.getBloomFilterOffset >= 0, "no bloom filter on k")
       assert(v.getBloomFilterOffset < 0, "unrequested bloom on v")
     } finally in.close()
+    // sized from the declared NDV, not parquet-mr's ~1MB max bitset
+    // (measured: an unsized filter costs ~1MB per column per row
+    // group; 1000 declared values fit in a few KB)
+    assert(file.length < 100 * 1024,
+      s"bloom filter not NDV-sized: ${file.length} bytes")
     // and the data reads back intact through an equality lookup
     assert(spark.read.parquet(p)
       .where(org.apache.spark.sql.functions.col("k") === 500L)
       .count() == 1)
+    // a misspelled column must fail fast, not silently skip the sketch
+    intercept[IllegalArgumentException] {
+      Writer.dfToParquet(Seq((1L, 2L)).toDF("k", "v"), p + "_x",
+        bloomFilterCols = Seq("key"))
+    }
   }
 }

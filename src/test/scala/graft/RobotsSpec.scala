@@ -176,9 +176,11 @@ class RobotsSpec extends SparkSpec {
       // delay before any user-agent line attaches to no group
       ("f.com", "Crawl-delay: 9\nUser-agent: graftbot\nDisallow: /z\n"),
       // hostile values: a negative delay must NOT win minimum-wins
-      // (negative fetch offsets = a burst), NaN must not poison it
+      // (negative fetch offsets = a burst), NaN must not poison it,
+      // and "Infinity" (which try_cast parses!) must not make the
+      // domain unschedulable via 0 x Inf = NaN offsets
       ("g.com", "User-agent: graftbot\nCrawl-delay: -100\n" +
-        "Crawl-delay: NaN\nCrawl-delay: 6\n"))
+        "Crawl-delay: NaN\nCrawl-delay: Infinity\nCrawl-delay: 6\n"))
       .toDF("domain", "body")
     val out = Robots.crawlDelays(robots, "domain", "body", "GraftBot")
       .as[(String, Double)].collect().toMap
