@@ -234,6 +234,41 @@ object Bpe {
       .collect().toSeq
       .map(r => (r.getString(0), r.getString(1)))
 
+  /** Export a merge list as the standard `merges.txt` interchange
+    * format (GPT-2/HuggingFace tokenizers: `#version` header, one
+    * space-separated pair per line in rank order) — the artifact
+    * other tokenizer tooling reads directly. Driver-side file I/O:
+    * the artifact is vocabulary-scale by construction. Symbols never
+    * contain a literal space in either mode (whitespace is a word
+    * boundary char-level; space maps to `Ġ` byte-level), so the
+    * space-delimited format is unambiguous. */
+  def saveMergesTxt(merges: Seq[(String, String)], path: String): Unit = {
+    val body = ("#version: 0.2" +: merges.map { case (a, b) =>
+      require(!a.contains(' ') && !b.contains(' '),
+        s"merge symbols must not contain spaces: ('$a', '$b')")
+      s"$a $b"
+    }).mkString("", "\n", "\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load a `merges.txt` (ours or any GPT-2/HF-tooling-written one):
+    * `#`-comment and blank lines skipped, line order is rank order. */
+  def loadMergesTxt(path: String): Seq[(String, String)] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try src.getLines()
+      .map(_.stripLineEnd)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val parts = l.split(" ", -1)
+        require(parts.length == 2 && parts.forall(_.nonEmpty),
+          s"malformed merges.txt line: '$l'")
+        (parts(0), parts(1))
+      }
+      .toVector
+    finally src.close()
+  }
+
   /** Fixed demonstration merge list for the driver-gate query — a
     * plausible English prefix (hierarchical: `a+n` then `an+d`) plus
     * a same-symbol merge (`e+e`) to exercise the run-adjacency edge

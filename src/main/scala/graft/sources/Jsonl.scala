@@ -62,12 +62,16 @@ object Jsonl {
     * computed column the corrupt text is an ordinary field: same
     * single narrow scan, same Jackson parser, no restriction. Blank
     * lines are skipped (the json source's behavior). */
-  def read(spark: SparkSession, path: String,
-           schema: StructType): DataFrame = {
+  /** The shared line-parse chain behind [[read]] and [[readStream]]:
+    * input is a single-`value` text frame. */
+  private def parsed(lines: => DataFrame, schema: StructType)
+      : DataFrame = {
+    // validate the contract BEFORE the reader touches the path (the
+    // text source checks path existence eagerly)
     require(!schema.fieldNames.contains(CorruptCol),
       s"declared schema must not contain $CorruptCol (it is appended)")
     val withCorrupt = schema.add(CorruptCol, StringType)
-    spark.read.text(path)
+    lines
       // whitespace-ONLY lines are skipped like the json source does
       // (Spark's trim strips spaces only — a tab-padded blank line
       // must not read as a corrupt record)
@@ -84,6 +88,21 @@ object Jsonl {
           when(col("__j").isNull, col("value")))
           .as(CorruptCol)): _*)
   }
+
+  def read(spark: SparkSession, path: String,
+           schema: StructType): DataFrame =
+    parsed(spark.read.text(path), schema)
+
+  /** Streaming JSONL ingestion — training-data drops land as JSONL
+    * shards; this is the `readStream` twin of [[read]] with the SAME
+    * quarantine contract (a corrupt line in a drop must not kill the
+    * stream, and must stay accountable). Compose with
+    * `streaming.IngestPipeline` for dedup-on-arrival. File-source
+    * semantics (new files per micro-batch) come from Spark's text
+    * stream; `maxFilesPerTrigger` etc. go on the session/reader conf. */
+  def readStream(spark: SparkSession, path: String,
+                 schema: StructType): DataFrame =
+    parsed(spark.readStream.text(path), schema)
 
   /** Valid rows only, quarantine column dropped — the ingestion
     * happy path. */

@@ -270,6 +270,26 @@ class BpeSpec extends SparkSpec {
     assert(enc == Seq("the", "Ġthe"))
   }
 
+  test("merges.txt round-trips and reads the standard interchange form") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_merges").resolve("merges.txt").toString
+    val merges = Seq("h" -> "e", "t" -> "he", "Ġ" -> "the")
+    Bpe.saveMergesTxt(merges, path)
+    assert(Bpe.loadMergesTxt(path) == merges)
+    // the on-disk shape IS the GPT-2/HF format: header + "a b" lines
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path))
+    assert(lines.get(0).startsWith("#version"))
+    assert(lines.get(1) == "h e" && lines.get(3) == "Ġ the")
+    // a foreign file with extra comments/blanks still loads
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      "#version: 0.2\n\n# vendor note\na b\nab c\n".getBytes("UTF-8"))
+    assert(Bpe.loadMergesTxt(path) == Seq("a" -> "b", "ab" -> "c"))
+    intercept[IllegalArgumentException] {
+      Bpe.saveMergesTxt(Seq("a b" -> "c"), path)
+    }
+  }
+
   test("Spark char split (the pairCounts path) is codepoint-safe") {
     // split(w, "") must not tear astral-plane characters — DuckDB's
     // string_split(w, '') is codepoint-based, so the Spark side must

@@ -54,6 +54,35 @@ class JsonlSpec extends SparkSpec {
     assert(stats == ((1L, 2L)))
   }
 
+  test("readStream ingests JSONL drops with the same quarantine contract") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_jsonl_stream").toFile
+    dir.deleteOnExit()
+    val data = new java.io.File(dir, "in"); data.mkdirs()
+    val ckpt = new java.io.File(dir, "ckpt").toString
+    def drop(name: String, content: String): Unit =
+      java.nio.file.Files.write(
+        new java.io.File(data, name).toPath, content.getBytes("UTF-8"))
+    drop("d0.jsonl", "{\"id\": 1, \"text\": \"a\"}\n{broken\n")
+    val q = Jsonl.readStream(spark, data.toString, schema)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("jsonl_stream")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // a corrupt line in a drop must not kill the stream, and must
+      // stay accountable in the sink
+      drop("d1.jsonl", "{\"id\": 2, \"text\": \"b\"}\n")
+      q.processAllAvailable()
+      val rows = spark.table("jsonl_stream")
+        .select(col("id"), col("text"),
+          col(Jsonl.CorruptCol).isNotNull.as("bad"))
+        .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          r.getBoolean(2))).toSet
+      assert(rows == Set((1L, false), (2L, false), (-1L, true)))
+    } finally q.stop()
+  }
+
   test("declared schema must not claim the corrupt column") {
     intercept[IllegalArgumentException] {
       Jsonl.read(spark, "/nonexistent",
