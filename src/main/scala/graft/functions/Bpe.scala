@@ -252,6 +252,38 @@ object Bpe {
       body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** The deterministic token vocabulary a merge list induces: the
+    * byte-level base alphabet (the 256 `bytes_to_unicode` symbols in
+    * byte order — ids 0..255, exactly GPT-2's layout) followed by one
+    * token per merge in rank order. Duplicate products (the same
+    * token reachable via different merge paths) keep their FIRST id. */
+  def vocabBytes(merges: Seq[(String, String)]): Seq[(String, Int)] = {
+    val base = (0 until 256).map(b =>
+      String.valueOf(graft.plans.BpeCodec.byteToUnicode(b)))
+    val out = scala.collection.mutable.LinkedHashMap[String, Int]()
+    (base ++ merges.map { case (a, b) => a + b }).foreach { t =>
+      if (!out.contains(t)) out.put(t, out.size)
+    }
+    out.toSeq
+  }
+
+  /** Export [[vocabBytes]] as the standard `vocab.json` artifact
+    * (token → id, the other half of the GPT-2/HF tokenizer pair
+    * beside [[saveMergesTxt]]). Driver-side vocabulary-scale I/O. */
+  def saveVocabJson(merges: Seq[(String, String)], path: String): Unit = {
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c    => c.toString
+    }
+    val body = vocabBytes(merges)
+      .map { case (t, i) => s""""${esc(t)}": $i""" }
+      .mkString("{", ", ", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** Load a `merges.txt` (ours or any GPT-2/HF-tooling-written one):
     * `#`-comment and blank lines skipped, line order is rank order. */
   def loadMergesTxt(path: String): Seq[(String, String)] = {

@@ -290,6 +290,26 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("vocabBytes: GPT-2 base layout, rank-ordered merges, dup-safe") {
+    val merges = Seq("h" -> "e", "t" -> "he", "Ġ" -> "the",
+      "h" -> "e") // duplicate product keeps its first id
+    val vocab = Bpe.vocabBytes(merges).toMap
+    assert(vocab.size == 256 + 3)
+    // GPT-2's exact base layout: byte b's symbol has id b
+    assert(vocab("!") == '!'.toInt && vocab("a") == 'a'.toInt)
+    // byte 0x20 (space) maps to symbol Ġ, so Ġ sits at id 32
+    assert(vocab("Ġ") == 0x20)
+    assert(vocab("he") == 256 && vocab("the") == 257 &&
+      vocab("Ġthe") == 258)
+    // vocab.json round-trips through a JSON parser (escaping holds)
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_vocab").resolve("vocab.json").toString
+    Bpe.saveVocabJson(Seq("\"" -> "\\"), p)
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p)), "UTF-8")
+    assert(txt.contains("\"\\\"\\\\\": 256"))
+  }
+
   test("Spark char split (the pairCounts path) is codepoint-safe") {
     // split(w, "") must not tear astral-plane characters — DuckDB's
     // string_split(w, '') is codepoint-based, so the Spark side must
