@@ -285,13 +285,21 @@ object Bpe {
   }
 
   /** Load a `merges.txt` (ours or any GPT-2/HF-tooling-written one):
-    * `#`-comment and blank lines skipped, line order is rank order. */
+    * blank lines and a LEADING `#version` header skipped, line order
+    * is rank order. NB: only the version header is comment-like —
+    * real GPT-2 merge files contain lines like `# #` (the byte-level
+    * `#` symbol merging with itself on code/markdown corpora), so a
+    * skip-all-`#`-lines rule would silently drop merges and shift
+    * every later rank. Malformed lines are a loud error. */
   def loadMergesTxt(path: String): Seq[(String, String)] = {
     val src = scala.io.Source.fromFile(path, "UTF-8")
     try src.getLines()
       .map(_.stripLineEnd)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map { l =>
+      .zipWithIndex
+      .filterNot { case (l, i) =>
+        l.isEmpty || (i == 0 && l.startsWith("#version"))
+      }
+      .map { case (l, _) =>
         val parts = l.split(" ", -1)
         require(parts.length == 2 && parts.forall(_.nonEmpty),
           s"malformed merges.txt line: '$l'")

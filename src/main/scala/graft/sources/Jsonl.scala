@@ -48,22 +48,9 @@ object Jsonl {
      else w).json(path)
   }
 
-  /** Read JSONL under an EXPLICIT schema, with [[CorruptCol]]
-    * (string, null for clean rows) appended: a malformed line — bad
-    * JSON or a value that does not fit the declared type — surfaces
-    * as a row with its raw text there instead of failing the scan or
-    * vanishing.
-    *
-    * Implementation note: this is `text` + `from_json`, NOT the json
-    * file source — Spark rejects any plan over a raw json file whose
-    * required columns are only the corrupt column
-    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), which is
-    * exactly the shape of a quarantine audit. With the parse as a
-    * computed column the corrupt text is an ordinary field: same
-    * single narrow scan, same Jackson parser, no restriction. Blank
-    * lines are skipped (the json source's behavior). */
   /** The shared line-parse chain behind [[read]] and [[readStream]]:
-    * input is a single-`value` text frame. */
+    * input is a single-`value` text frame (by-name so the schema
+    * contract check runs before the reader touches the path). */
   private def parsed(lines: => DataFrame, schema: StructType)
       : DataFrame = {
     // validate the contract BEFORE the reader touches the path (the
@@ -89,6 +76,20 @@ object Jsonl {
           .as(CorruptCol)): _*)
   }
 
+  /** Read JSONL under an EXPLICIT schema, with [[CorruptCol]]
+    * (string, null for clean rows) appended: a malformed line — bad
+    * JSON or a value that does not fit the declared type — surfaces
+    * as a row with its raw text there instead of failing the scan or
+    * vanishing.
+    *
+    * Implementation note: this is `text` + `from_json`, NOT the json
+    * file source — Spark rejects any plan over a raw json file whose
+    * required columns are only the corrupt column
+    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), which is
+    * exactly the shape of a quarantine audit. With the parse as a
+    * computed column the corrupt text is an ordinary field: same
+    * single narrow scan, same Jackson parser, no restriction. Blank
+    * lines are skipped (the json source's behavior). */
   def read(spark: SparkSession, path: String,
            schema: StructType): DataFrame =
     parsed(spark.read.text(path), schema)

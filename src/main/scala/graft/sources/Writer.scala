@@ -57,6 +57,15 @@ object Writer {
         require(df.columns.contains(c),
           s"bloomFilterCols: no such column '$c' " +
             s"(have: ${df.columns.mkString(", ")})"))
+      // an NDV entry for a column not being sketched (typo'd case,
+      // stale map) would be accepted-and-ignored — the silent failure
+      // the column check above exists to prevent
+      require(bloomFilterNdv.keySet.subsetOf(bloomFilterCols.toSet),
+        "bloomFilterNdv keys must be bloomFilterCols entries; extras: " +
+          (bloomFilterNdv.keySet -- bloomFilterCols).mkString(", "))
+      bloomFilterNdv.foreach { case (c, n) =>
+        require(n > 0, s"bloomFilterNdv['$c'] must be positive, got $n")
+      }
       w = w.option("parquet.bloom.filter.adaptive.enabled", "true")
       bloomFilterCols.foreach { c =>
         w = w.option(s"parquet.bloom.filter.enabled#$c", "true")

@@ -281,10 +281,19 @@ class BpeSpec extends SparkSpec {
       java.nio.file.Paths.get(path))
     assert(lines.get(0).startsWith("#version"))
     assert(lines.get(1) == "h e" && lines.get(3) == "Ġ the")
-    // a foreign file with extra comments/blanks still loads
+    // real GPT-2 merge files contain "# #" lines (the byte-level '#'
+    // symbol merging with itself) — only a LEADING #version header is
+    // comment-like; a '#'-symbol merge must survive the round-trip
+    val hashMerges = Seq("#" -> "#", "##" -> "#", "a" -> "b")
+    Bpe.saveMergesTxt(hashMerges, path)
+    assert(Bpe.loadMergesTxt(path) == hashMerges)
+    // blank lines tolerated; malformed lines are a loud error
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      "#version: 0.2\n\n# vendor note\na b\nab c\n".getBytes("UTF-8"))
+      "#version: 0.2\n\na b\nab c\n".getBytes("UTF-8"))
     assert(Bpe.loadMergesTxt(path) == Seq("a" -> "b", "ab" -> "c"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      "a b c\n".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] { Bpe.loadMergesTxt(path) }
     intercept[IllegalArgumentException] {
       Bpe.saveMergesTxt(Seq("a b" -> "c"), path)
     }
