@@ -87,33 +87,54 @@ object SparkEntry {
         FROM e"""
   }
 
-  private val bpeEncodeBytesOracleSql: String = {
-    // same REPLACE-chain replay as the char-level sibling, generated
-    // from demoByteMerges (single quotes SQL-escaped — the merge list
-    // contains the contraction apostrophe); the pre-token list is the
-    // GPT-2 regex grounded out BY HAND on the synthesized text —
-    // letters/punct map to themselves under bytes_to_unicode, the
-    // pre-token's leading space to 'Ġ' — so the oracle replays
-    // pre-tokenization, byte mapping, and merges without needing
-    // lookahead regex support in DuckDB
-    def esc(s: String): String = s.replace("'", "''")
+  /** SQL-escape a single-quoted literal's body. */
+  private def sqlEsc(s: String): String = s.replace("'", "''")
+
+  /** The shared `e` CTE replaying the byte-level demo encode: the
+    * REPLACE-chain generated from demoByteMerges (single quotes
+    * SQL-escaped — the merge list contains the contraction
+    * apostrophe); the pre-token list is the GPT-2 regex grounded out
+    * BY HAND on the synthesized text — letters/punct map to
+    * themselves under bytes_to_unicode, the pre-token's leading space
+    * to 'Ġ' — so the oracle replays pre-tokenization, byte mapping,
+    * and merges without needing lookahead regex support in DuckDB. */
+  private val bpeBytesEncCte: String = {
     val chain = graft.functions.Bpe.demoByteMerges.foldLeft(
       "' ' || array_to_string(string_split(w, ''), repeat(' ', 2))" +
         " || ' '") {
       case (acc, (a, b)) =>
-        s"REPLACE($acc, ' ' || '${esc(a)}' || repeat(' ', 2) || " +
-          s"'${esc(b)}' || ' ', ' ' || '${esc(a + b)}' || ' ')"
+        s"REPLACE($acc, ' ' || '${sqlEsc(a)}' || repeat(' ', 2) || " +
+          s"'${sqlEsc(b)}' || ' ', ' ' || '${sqlEsc(a + b)}' || ' ')"
     }
-    raw"""WITH e AS (SELECT doc_id, array_to_string(list_transform(
+    raw"""e AS (SELECT doc_id, array_to_string(list_transform(
             ['hello', 'Ġworld', ',', 'Ġit', chr(39) || 's', 'Ġrank',
              'Ġ' || CAST(doc_id AS VARCHAR)],
             w -> REPLACE(trim($chain), repeat(' ', 2), ' ')), ' ')
               AS enc
-          FROM documents WHERE doc_id < 200)
+          FROM documents WHERE doc_id < 200)"""
+  }
+
+  private val bpeEncodeBytesOracleSql: String =
+    raw"""WITH $bpeBytesEncCte
         SELECT doc_id,
           CASE WHEN enc = '' THEN 0
             ELSE len(string_split(enc, ' ')) END AS n_subwords,
           enc
+        FROM e"""
+
+  /** Token-id replay: the vocabulary [[graft.functions.Bpe.vocabBytes]]
+    * induces for demoByteMerges, inlined as a generated CASE — ids on
+    * both sides come from the same deterministic assignment, so drift
+    * is impossible. */
+  private val bpeTokenIdsOracleSql: String = {
+    val vocabCase = graft.functions.Bpe
+      .vocabBytes(graft.functions.Bpe.demoByteMerges)
+      .map { case (t, i) => s"WHEN '${sqlEsc(t)}' THEN $i" }
+      .mkString(" ")
+    raw"""WITH $bpeBytesEncCte
+        SELECT doc_id, array_to_string(list_transform(
+            string_split(enc, ' '),
+            t -> CAST(CASE t $vocabCase END AS VARCHAR)), ',') AS ids
         FROM e"""
   }
 
@@ -1670,6 +1691,24 @@ object SparkEntry {
             concat_ws(" ", col("sub")).as("enc"))
       },
       Some(bpeEncodeBytesOracleSql)),
+
+    // text → token IDS, the form a trainer consumes: encodeBytesToIds
+    // rides the vocabulary as one map literal; ids on both sides come
+    // from the same deterministic vocabBytes assignment (the oracle's
+    // CASE is GENERATED from it), so the check pins the id layout —
+    // GPT-2's base-byte ids then rank-ordered merge products
+    Q("q_bpe_token_ids",
+      (s, d) => {
+        graft.plans.NativeFunctions.register(s)
+        val t = concat(lit("hello world, it's rank "),
+          col("doc_id").cast("string"))
+        s.read.parquet(pq(d, "documents")).where(col("doc_id") < 200)
+          .select(col("doc_id"),
+            concat_ws(",", graft.functions.Bpe.encodeBytesToIds(t,
+                graft.functions.Bpe.demoByteMerges)
+              .cast("array<string>")).as("ids"))
+      },
+      Some(bpeTokenIdsOracleSql)),
 
     // byte-level losslessness, proven over REAL corpus text (not a
     // synthesized fixture): decode(encode(text)) must equal text for

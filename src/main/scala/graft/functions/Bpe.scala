@@ -205,6 +205,20 @@ object Bpe {
   def decodeBytes(tokens: Column): Column =
     NativeFunctions.bpeDecodeBytesNative(tokens)
 
+  /** Byte-level encode straight to TOKEN IDS (`array<int>`) under
+    * [[vocabBytes]]' deterministic id assignment — the form a trainer
+    * consumes. The vocabulary rides as ONE map literal (a single
+    * MapType object, not an expression tree — the centroid-literal
+    * class), so the lookup stays inside codegen; every emitted symbol
+    * is by construction a base-alphabet char or a merge product, so
+    * the lookup can never miss. */
+  def encodeBytesToIds(text: Column,
+                       merges: Seq[(String, String)]): Column = {
+    val vocab = vocabBytes(merges).toMap
+    transform(encodeBytes(text, merges),
+      t => element_at(typedlit(vocab), t))
+  }
+
   /** Greedy encode of (caller-lowered) text under an ordered merge
     * list → array<string> subwords across all whitespace words. */
   def encode(text: Column, merges: Seq[(String, String)]): Column =

@@ -319,6 +319,18 @@ class BpeSpec extends SparkSpec {
     assert(txt.contains("\"\\\"\\\\\": 256"))
   }
 
+  test("encodeBytesToIds maps symbols through the vocabBytes layout") {
+    NativeFunctions.register(spark)
+    val vocab = Bpe.vocabBytes(Bpe.demoByteMerges).toMap
+    val got = Seq((1L, "hello it's 42")).toDF("id", "text")
+      .select(Bpe.encodeBytesToIds(col("text"), Bpe.demoByteMerges)
+        .as("ids")).as[Seq[Int]].collect().head
+    val toks = Seq("he", "ll", "o", "Ġ", "it", "'s", "Ġ", "4", "2")
+    assert(got == toks.map(vocab))
+    // base bytes keep GPT-2's id = byte layout inside the stream
+    assert(got(6) == 0x20 && got(7) == '4'.toInt)
+  }
+
   test("Spark char split (the pairCounts path) is codepoint-safe") {
     // split(w, "") must not tear astral-plane characters — DuckDB's
     // string_split(w, '') is codepoint-based, so the Spark side must

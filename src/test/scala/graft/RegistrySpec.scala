@@ -10,8 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("registry counts match the documented surface") {
-    assert(SparkEntry.queries.size == 177)
-    assert(SparkEntry.oracleSql.size == 170)
+    assert(SparkEntry.queries.size == 178)
+    assert(SparkEntry.oracleSql.size == 171)
   }
 
   test("no oracle carries a lone '|' outside string literals") {
