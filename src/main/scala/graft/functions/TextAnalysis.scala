@@ -590,6 +590,131 @@ object TextAnalysis {
           .as("fingerprints"): _*)
     }
   }
+
+  // --- Gopher/MassiveText rule set -----------------------------------------
+
+  /** The eight function words Gopher's "contains at least two of"
+    * rule checks (Rae et al. 2021, table A1 — public recipe). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * The full Gopher/MassiveText document-quality rule set (Rae et al.
+   * 2021, appendix A1.1 — public recipe), as one codegen'd projection:
+   * word count bounds, mean-word-length bounds, symbol-to-word ratios
+   * (hash and ellipsis), bullet-start / ellipsis-end line fractions,
+   * the fraction of words carrying at least one alphabetic character,
+   * and the ≥2-of-8 function-word requirement — plus the combined
+   * `keep` decision. Complements [[c4Signals]] (the C4 rule family)
+   * and [[repetitionStats]] (Gopher's repetition tier, which needs a
+   * shuffle for the bigram histogram; everything HERE is shuffle-free).
+   *
+   * `keep` is computed from the UNROUNDED ratios; the emitted ratio
+   * columns are rounded to 4 decimals for engine-portable comparison.
+   * One narrow map stage — the 100 TB decision pass reads each
+   * document once and shuffles nothing.
+   */
+  def gopherSignals(docs: DataFrame, idCol: String, textCol: String,
+                    minWords: Int = 50, maxWords: Int = 100000)
+      : DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nWords = size(toks)
+    val mwl = when(nWords === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0), (a, x) => a + length(x)).cast("double") /
+        nWords)
+    // non-overlapping counts, same semantics as DuckDB regexp_extract_all
+    val hashes = regexp_count(t, lit("#")).cast("double")
+    val ellipses = (regexp_count(t, lit("\\.\\.\\.")) +
+      regexp_count(t, lit("…"))).cast("double")
+    val hashRatio = when(nWords === 0, lit(0.0)).otherwise(hashes / nWords)
+    val ellipsisRatio =
+      when(nWords === 0, lit(0.0)).otherwise(ellipses / nWords)
+    val alphaWords = size(filter(toks, w => w.rlike("\\p{L}")))
+    val alphaFrac = when(nWords === 0, lit(0.0)).otherwise(
+      alphaWords.cast("double") / nWords)
+    // line tier: bullet-START and ellipsis-END fractions over \n lines
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines)
+    val bulletFrac = when(nLines === 0, lit(0.0)).otherwise(
+      size(filter(lines, l => trim(l).rlike("^(•|- |\\* )")))
+        .cast("double") / nLines)
+    val ellEndFrac = when(nLines === 0, lit(0.0)).otherwise(
+      size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$")))
+        .cast("double") / nLines)
+    val stopHits = size(array_intersect(
+      array_distinct(tokens(lower(t))), typedlit(gopherStopwords)))
+    docs.select(col(idCol),
+      nWords.cast("long").as("n_words"),
+      round(mwl, 4).as("mean_word_len"),
+      round(hashRatio, 4).as("hash_ratio"),
+      round(ellipsisRatio, 4).as("ellipsis_ratio"),
+      round(alphaFrac, 4).as("alpha_word_frac"),
+      round(bulletFrac, 4).as("bullet_line_frac"),
+      round(ellEndFrac, 4).as("ellipsis_line_frac"),
+      stopHits.cast("long").as("stop_hits"),
+      (nWords.between(minWords, maxWords) &&
+        mwl.between(3.0, 10.0) &&
+        hashRatio <= 0.1 && ellipsisRatio <= 0.1 &&
+        bulletFrac <= 0.9 && ellEndFrac <= 0.3 &&
+        alphaFrac >= 0.8 && stopHits >= 2).cast("int").as("keep"))
+  }
+
+  // --- char-ngram language ID ----------------------------------------------
+
+  /** Character-trigram profiles per language (top orthographic
+    * trigrams; tiny illustrative snapshot of the CLD/langdetect
+    * profile idea — Cavnar & Trenkle 1994, public method). Plain
+    * letters only so the patterns are regex-literal on every engine. */
+  val charNgramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "ing", "ion", "ent"),
+    "de" -> Seq("der", "sch", "ein", "ich", "und"),
+    "fr" -> Seq("les", "que", "ait", "eur", "oux"),
+    "es" -> Seq("los", "cion", "ado", "nte", "par"),
+    "zh" -> Seq("的", "是", "一", "了", "人"))
+
+  /**
+   * Character-n-gram language ID (Cavnar & Trenkle 1994 class): score
+   * per language = total NON-OVERLAPPING occurrences of its profile
+   * n-grams in the lowercased text; winner = highest score (ties break
+   * to the lexicographically LARGEST language code — the same
+   * `greatest(struct(score, lang))` convention as [[langId]]), `und`
+   * when no profile matches at all. Works where the word-based
+   * [[langId]] can't: unsegmented scripts (zh/ja/th have no word
+   * boundaries for a stopword tokenizer to find) and very short texts.
+   * One codegen'd projection — zero shuffle, no model file.
+   */
+  def langIdCharNgram(text: Column): Column = {
+    val lowered = lower(text)
+    val scored = charNgramProfiles.toSeq.map { case (lang, grams) =>
+      val score = grams.map(g =>
+        regexp_count(lowered, lit(java.util.regex.Pattern.quote(g))))
+        .reduce(_ + _)
+      struct(score.as("hits"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  // --- dedup-key normalization ---------------------------------------------
+
+  /**
+   * Aggressive text normalization for dedup keys (the CCNet
+   * normalization, Wenzek et al. 2020 §4.1 — public recipe): lowercase,
+   * digits → `0` (so "page 3 of 7" and "page 4 of 9" collide), strip
+   * punctuation and symbols, collapse whitespace runs, trim. Hash THIS,
+   * not the raw text, before exact dedup — trivially-reformatted copies
+   * (case, punctuation, numbering) then collapse to one key. Pure
+   * codegen'd `regexp_replace` chain, zero shuffle, RE2-portable
+   * classes so the oracle can replay it verbatim.
+   */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(text), "\\p{Nd}", "0"),
+        "[\\p{P}\\p{S}]", ""),
+      "\\s+", " "))
 }
 
 /** Word-shingle helper shared by TextAnalysis and Dedup. */
