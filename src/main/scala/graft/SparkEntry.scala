@@ -75,7 +75,7 @@ object SparkEntry {
           s" ' ' || '$a$b' || ' ')"
     }
     raw"""WITH e AS (SELECT doc_id, array_to_string(list_transform(
-            list_filter(string_split_regex(lower(trim(text)), '\s+'),
+            list_filter(string_split_regex(lower(regexp_replace(text, '^\s+|\s+$$', '', 'g')), '\s+'),
               w -> w <> ''),
             w -> REPLACE(trim($chain), repeat(' ', 2), ' ')), ' ')
               AS enc
@@ -925,9 +925,9 @@ object SparkEntry {
       Some("""WITH base AS (SELECT doc_id, text FROM documents
                 WHERE doc_id < 100),
               toks AS (SELECT doc_id,
-                  unnest(string_split_regex(lower(trim(text)), '\s+'))
+                  unnest(string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+'))
                     AS term
-                FROM base WHERE length(trim(text)) > 0),
+                FROM base WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0),
               tf AS (SELECT doc_id, term, COUNT(*) AS tf
                 FROM toks GROUP BY 1, 2),
               dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
@@ -1082,12 +1082,12 @@ object SparkEntry {
                   generate_series(0, greatest(len(toks) - 3, 0)),
                   i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
                 FROM (SELECT doc_id,
-                  string_split_regex(trim(text), '\s+') AS toks FROM h)),
+                  string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks FROM h)),
               bs AS (SELECT doc_id, list_distinct(list_transform(
                   generate_series(0, greatest(len(toks) - 3, 0)),
                   i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
                 FROM (SELECT doc_id,
-                  string_split_regex(trim(text), '\s+') AS toks FROM b)),
+                  string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks FROM b)),
               near AS (SELECT DISTINCT bs.doc_id FROM bs JOIN hs ON
                 CAST(len(list_intersect(bs.sh, hs.sh)) AS DOUBLE) /
                   (len(bs.sh) + len(hs.sh) -
@@ -1166,8 +1166,8 @@ object SparkEntry {
       // CASE mirrors Spark tokens(): empty/whitespace-only text is 0
       // tokens, where a bare split yields [''] (len 1)
       Some("""SELECT doc_id,
-              CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE CAST(len(regexp_split_to_array(trim(text), '\s+'))
+              CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                ELSE CAST(len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'))
                   AS INT) END AS n_tok,
               LENGTH(text) AS n_char FROM documents""")),
 
@@ -1191,11 +1191,11 @@ object SparkEntry {
       // tokens() → 0 tokens (not ['']), zero-length text → 0.0 ratios
       Some("""WITH t AS (
                 SELECT doc_id, text,
-                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                    ELSE string_split_regex(lower(trim(text)), '\s+') END
+                  CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []::VARCHAR[]
+                    ELSE string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') END
                     AS ltoks,
-                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                    ELSE string_split_regex(trim(text), '\s+') END AS toks
+                  CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []::VARCHAR[]
+                    ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks
                 FROM documents
               ), f AS (
                 SELECT doc_id,
@@ -1319,7 +1319,7 @@ object SparkEntry {
           .repartition(s.sparkContext.defaultParallelism),
         "doc_id", "text"),
       Some("""WITH t AS (SELECT doc_id,
-                string_split_regex(trim(text), '\s+') AS toks FROM documents),
+                string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks FROM documents),
               b AS (SELECT doc_id, len(toks) AS n,
                 len(list_distinct(toks)) AS nd,
                 list_transform(generate_series(1, len(toks)-1),
@@ -1637,7 +1637,7 @@ object SparkEntry {
       (s, d) => graft.functions.Bpe.topPairs(
         s.read.parquet(pq(d, "documents")), "text", 20),
       Some("""WITH words AS (SELECT
-                  unnest(string_split_regex(lower(trim(text)), '\s+'))
+                  unnest(string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+'))
                     AS w
                 FROM documents),
               wf AS (SELECT w, COUNT(*) AS wf FROM words
@@ -1748,7 +1748,7 @@ object SparkEntry {
           .orderBy(col("cnt").desc, col("pair").asc).limit(20)
       },
       Some("""WITH words AS (SELECT
-                  unnest(string_split_regex(lower(trim(text)), '\s+'))
+                  unnest(string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+'))
                     AS w
                 FROM documents),
               wf AS (SELECT w, COUNT(*) AS wf FROM words
@@ -1911,7 +1911,7 @@ object SparkEntry {
           "doc_id", "text", shingleWords = 5)
       },
       Some("""WITH t AS (SELECT doc_id, source,
-                string_split_regex(trim(text), '\s+') AS toks FROM documents),
+                string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks FROM documents),
               s AS (SELECT doc_id, source,
                 unnest(list_distinct(list_transform(
                   generate_series(0, greatest(len(toks)-5, 0)),
@@ -1941,7 +1941,7 @@ object SparkEntry {
           "doc_id", "text", "benchmark", shingleWords = 5)
       },
       Some("""WITH t AS (SELECT doc_id, source,
-                string_split_regex(trim(text), '\s+') AS toks FROM documents),
+                string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks FROM documents),
               sh AS (SELECT doc_id, source,
                 unnest(list_distinct(list_transform(
                   generate_series(0, greatest(len(toks)-5, 0)),
@@ -1976,7 +1976,7 @@ object SparkEntry {
         graft.operators.Dedup.lineDedup(lined, "doc_id", "text_ln", "\n")
       },
       Some("""WITH t AS (SELECT doc_id,
-                string_split_regex(trim(text), '\s+') AS toks FROM documents),
+                string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks FROM documents),
               l AS (SELECT doc_id, list_transform(generate_series(0,
                   CAST(greatest(floor((len(toks)-1)/10.0), 0) AS BIGINT)),
                 i -> array_to_string(toks[i*10+1:i*10+10], ' ')) AS lns
@@ -2079,8 +2079,8 @@ object SparkEntry {
       },
       Some("""WITH t AS (
                 SELECT doc_id, text,
-                  string_split_regex(lower(trim(text)), '\s+') AS ltoks,
-                  string_split_regex(trim(text), '\s+') AS toks
+                  string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS ltoks,
+                  string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks
                 FROM documents
               ), f AS (
                 SELECT doc_id, text,
@@ -2194,8 +2194,8 @@ object SparkEntry {
           col("chunk_start").cast("bigint"),
           col("chunk_tokens").cast("bigint"), col("chunk_text")),
       Some("""WITH t AS (SELECT doc_id,
-                  string_split_regex(trim(text), '\s+') AS toks
-                FROM documents WHERE length(trim(text)) > 0),
+                  string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks
+                FROM documents WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0),
               c AS (SELECT doc_id, toks, unnest(generate_series(0,
                   CAST(floor((greatest(len(toks) - 64, 0) + 47) / 48)
                     AS BIGINT))) AS chunk_idx FROM t)
@@ -2633,9 +2633,9 @@ object SparkEntry {
               >= 0.5)))
       },
       Some("""WITH g AS (SELECT
-                length(trim(text)) > 0 AS g1,
-                CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END
+                length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0 AS g1,
+                CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                  ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END
                   >= 5 AS g2,
                 lang = 'en' AS g3,
                 CASE WHEN length(text) = 0 THEN 0.0
@@ -2702,8 +2702,8 @@ object SparkEntry {
                 text
                 FROM documents),
               gated AS (SELECT url, domain FROM base
-                WHERE CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END
+                WHERE CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                  ELSE len(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END
                   >= 5),
               capped AS (SELECT url, domain FROM (
                   SELECT url, domain, ROW_NUMBER() OVER (
@@ -3379,8 +3379,8 @@ object SparkEntry {
       // (n_words 0, mean_word_len 0.0) where a bare string_split_regex
       // would yield [''] (n_words 1) — the CASEs keep the engines aligned
       Some("""WITH t AS (SELECT doc_id, text,
-                CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE string_split_regex(trim(text), '\s+') END AS toks
+                CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks
                 FROM documents),
               s AS (SELECT doc_id, len(toks) AS n_words,
                 CASE WHEN len(toks) = 0 THEN 0.0
@@ -3633,14 +3633,14 @@ object SparkEntry {
     * object. */
   private def spanStatsOracle: String =
     """WITH don AS (SELECT doc_id AS don_id, array_to_string(
-         list_slice(string_split_regex(trim(text), '\s+'), 1, 12),
+         list_slice(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'), 1, 12),
          ' ') AS don_txt
          FROM documents WHERE doc_id < 10),
        aug AS (SELECT d.doc_id, d.text || ' ' ||
            don.don_txt AS text
          FROM documents d JOIN don ON d.doc_id % 10 = don.don_id),
        t AS (SELECT doc_id,
-         string_split_regex(trim(text), '\s+') AS toks FROM aug),
+         string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks FROM aug),
        e AS (SELECT doc_id, unnest(list_transform(
            generate_series(0, greatest(len(toks) - 10, 0)),
            i -> array_to_string(list_slice(toks, i+1, i+10), ' ')))
@@ -3658,13 +3658,13 @@ object SparkEntry {
     * interval merge — the shared oracle prefix for the span-cut pair. */
   private val spanCutOracleCtes =
     """WITH don AS (SELECT doc_id AS don_id, array_to_string(
-         list_slice(string_split_regex(trim(text), '\s+'), 1, 12), ' ')
+         list_slice(string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'), 1, 12), ' ')
            AS don_txt
          FROM documents WHERE doc_id < 10),
        aug AS (SELECT d.doc_id, d.text || ' ' || don.don_txt AS text
          FROM documents d JOIN don ON d.doc_id % 10 = don.don_id),
        t AS (SELECT doc_id,
-         string_split_regex(trim(text), '\s+') AS toks FROM aug),
+         string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks FROM aug),
        w0 AS (SELECT doc_id, toks, unnest(generate_series(0,
            greatest(len(toks) - 10, 0))) AS i FROM t),
        w AS (SELECT doc_id, i, least(i + 10, len(toks)) AS e,
@@ -4016,12 +4016,12 @@ object SparkEntry {
                   generate_series(0, greatest(len(toks) - 3, 0)),
                   i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
                 FROM (SELECT doc_id,
-                  string_split_regex(trim(text), '\s+') AS toks FROM h)),
+                  string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks FROM h)),
               bs AS (SELECT doc_id, list_distinct(list_transform(
                   generate_series(0, greatest(len(toks) - 3, 0)),
                   i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
                 FROM (SELECT doc_id,
-                  string_split_regex(trim(text), '\s+') AS toks FROM b)),
+                  string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks FROM b)),
               near AS (SELECT DISTINCT bs.doc_id FROM bs JOIN hs ON
                 CAST(len(list_intersect(bs.sh, hs.sh)) AS DOUBLE) /
                   (len(bs.sh) + len(hs.sh) -
@@ -4100,16 +4100,16 @@ object SparkEntry {
                 (CAST(1 AS BIGINT), 'customer order data'),
                 (CAST(2 AS BIGINT), 'vector vector scan')),
               toks AS (SELECT doc_id,
-                  unnest(string_split_regex(lower(trim(text)), '\s+'))
+                  unnest(string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+'))
                     AS term
-                FROM documents WHERE length(trim(text)) > 0),
+                FROM documents WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0),
               tf AS (SELECT doc_id, term, COUNT(*) AS tf
                 FROM toks GROUP BY 1, 2),
               dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
               stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
               dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
               qt AS (SELECT DISTINCT query_id,
-                  unnest(string_split_regex(lower(trim(qtext)), '\s+'))
+                  unnest(string_split_regex(lower(regexp_replace(qtext, '^\s+|\s+$', '', 'g')), '\s+'))
                     AS term
                 FROM q),
               scored AS (SELECT qt.query_id, tf.doc_id,
@@ -4145,9 +4145,9 @@ object SparkEntry {
           .select(col("item").as("term"), col("cnt"))
       },
       Some("""WITH toks AS (SELECT
-                  unnest(string_split_regex(lower(trim(text)), '\s+'))
+                  unnest(string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+'))
                     AS term
-                FROM documents WHERE length(trim(text)) > 0)
+                FROM documents WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0)
               SELECT term, COUNT(*) AS cnt FROM toks
               GROUP BY term ORDER BY cnt DESC, term LIMIT 15""")),
 
@@ -4168,14 +4168,14 @@ object SparkEntry {
             round(col("score"), 4).as("score"))
       },
       Some("""WITH toks AS (SELECT doc_id,
-                  unnest(string_split_regex(lower(trim(text)), '\s+'))
+                  unnest(string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+'))
                     AS term
-                FROM documents WHERE length(trim(text)) > 0),
+                FROM documents WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0),
               n AS (SELECT doc_id, term, COUNT(*) AS n
                 FROM toks GROUP BY 1, 2),
-              dl AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0
+              dl AS (SELECT doc_id, CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
                   THEN 0 ELSE
-                  len(string_split_regex(lower(trim(text)), '\s+')) END
+                  len(string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+')) END
                     AS dl
                 FROM documents),
               cls AS (SELECT d.lang AS label, COUNT(*) AS n_docs,
@@ -4223,9 +4223,9 @@ object SparkEntry {
           docs, "doc_id", "text", col("lang") === "en", k = 100)
       },
       Some("""WITH toks AS (SELECT doc_id,
-                  unnest(string_split_regex(lower(trim(text)), '\s+'))
+                  unnest(string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+'))
                     AS term
-                FROM documents WHERE length(trim(text)) > 0),
+                FROM documents WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0),
               n AS (SELECT doc_id, term, COUNT(*) AS n
                 FROM toks GROUP BY 1, 2),
               rawc AS (SELECT term, SUM(n) AS cnt_r FROM n GROUP BY 1),
@@ -4290,27 +4290,27 @@ object SparkEntry {
             round(col("ppl"), 4).as("ppl"))
       },
       Some("""WITH uni AS (SELECT w, COUNT(*) AS cnt FROM (
-                  SELECT unnest(string_split_regex(lower(trim(text)),
+                  SELECT unnest(string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
                     '\s+')) AS w
                   FROM documents
-                  WHERE lang = 'en' AND length(trim(text)) > 0)
+                  WHERE lang = 'en' AND length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0)
                 GROUP BY 1),
               voc AS (SELECT COUNT(*) AS v FROM uni),
               bi AS (SELECT bg, COUNT(*) AS cnt FROM (
                   SELECT unnest(list_transform(range(1, len(l)),
                     i -> l[i] || ' ' || l[i + 1])) AS bg
-                  FROM (SELECT string_split_regex(lower(trim(text)),
+                  FROM (SELECT string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
                       '\s+') AS l
                     FROM documents
-                    WHERE lang = 'en' AND length(trim(text)) > 0)
+                    WHERE lang = 'en' AND length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0)
                   WHERE len(l) >= 2)
                 GROUP BY 1),
               cand AS (SELECT doc_id,
                   unnest(list_transform(range(1, len(l)),
                     i -> l[i] || ' ' || l[i + 1])) AS bg
                 FROM (SELECT doc_id,
-                    string_split_regex(lower(trim(text)), '\s+') AS l
-                  FROM documents WHERE length(trim(text)) > 0)
+                    string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS l
+                  FROM documents WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0)
                 WHERE len(l) >= 2),
               lp AS (SELECT cand.doc_id,
                   LN((COALESCE(bi.cnt, 0) + 1.0)
@@ -4349,27 +4349,27 @@ object SparkEntry {
             round(col("ppl"), 4).as("ppl"), col("split"))
       },
       Some("""WITH uni AS (SELECT w, COUNT(*) AS cnt FROM (
-                  SELECT unnest(string_split_regex(lower(trim(text)),
+                  SELECT unnest(string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
                     '\s+')) AS w
                   FROM documents
-                  WHERE lang = 'en' AND length(trim(text)) > 0)
+                  WHERE lang = 'en' AND length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0)
                 GROUP BY 1),
               voc AS (SELECT COUNT(*) AS v FROM uni),
               bi AS (SELECT bg, COUNT(*) AS cnt FROM (
                   SELECT unnest(list_transform(range(1, len(l)),
                     i -> l[i] || ' ' || l[i + 1])) AS bg
-                  FROM (SELECT string_split_regex(lower(trim(text)),
+                  FROM (SELECT string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
                       '\s+') AS l
                     FROM documents
-                    WHERE lang = 'en' AND length(trim(text)) > 0)
+                    WHERE lang = 'en' AND length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0)
                   WHERE len(l) >= 2)
                 GROUP BY 1),
               cand AS (SELECT doc_id,
                   unnest(list_transform(range(1, len(l)),
                     i -> l[i] || ' ' || l[i + 1])) AS bg
                 FROM (SELECT doc_id,
-                    string_split_regex(lower(trim(text)), '\s+') AS l
-                  FROM documents WHERE length(trim(text)) > 0)
+                    string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') AS l
+                  FROM documents WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0)
                 WHERE len(l) >= 2),
               lp AS (SELECT cand.doc_id,
                   LN((COALESCE(bi.cnt, 0) + 1.0)
@@ -4638,8 +4638,217 @@ object SparkEntry {
                   ELSE '😀 ok' END AS fixed
               FROM documents WHERE doc_id < 200""")))
 
+  /** Planted sentences for [[graft.functions.TextAnalysis
+    * .langIdCharNgram]] — one per profiled language plus an
+    * out-of-profile row, shared by q_langid_ngram's query AND its
+    * generated oracle so the two cannot drift (the bpeEncodeOracleSql
+    * move). No apostrophes and no multi-space runs: the sentences
+    * become single-quoted SQL literals under oracleSql's whitespace
+    * collapse. */
+  private[graft] val langIdPlants: Seq[(String, String)] = Seq(
+    "en" -> "the cat and the dog are running for the morning train",
+    "de" -> "der schnelle braune fuchs springt über die faulen hunde und lacht",
+    "nl" -> "het is een mooie dag van het jaar voor een wandeling",
+    "sv" -> "det är en vacker dag och att gå för en promenad",
+    "da" -> "det er ikke en dårlig dag og der kommer flere til",
+    "fr" -> "les enfants sont dans une grande maison que nous avons",
+    "es" -> "los niños están en una casa del pueblo por la mañana con la canción",
+    "pt" -> "não é uma solução para os problemas dos homens com ação",
+    "it" -> "che bella giornata per una passeggiata con gli amici della città",
+    "ro" -> "aceasta este o carte pentru copii și din multe ori și pentru oameni",
+    "pl" -> "nie wiem czy się uda ale przez tego czasu nie mogę",
+    "cs" -> "pro mnoho lidí je soused velmi dobrý a most přes řeku a zpět",
+    "hu" -> "egy szép napon meg kell nézni hogy mire jó a szerencse",
+    "fi" -> "tässä talossa voi istua mukavalla tuolilla ja katsella maisemia",
+    "tr" -> "bunlar için bir şey yapmak istiyor ve onlar da geliyor",
+    "id" -> "orang yang ada di dalam rumah itu sedang membaca dan menulis",
+    "vi" -> "một người không được nói về của cải và tiền bạc",
+    "ru" -> "это очень хорошо что при работе есть много возможностей",
+    "uk" -> "від цього питання є враження що не можна зробити",
+    "el" -> "και αυτό είναι που λένε την ιστορία της πόλης τους",
+    "ar" -> "هذا من الماء في البيت وقد قالت لها الكثير",
+    "he" -> "זה את הספר של הילדים ואת המים על השולחן",
+    "hi" -> "यह किताब है और वह मेरे घर में का काम से की है",
+    "zh" -> "这是一个很好的地方我们都在这里有人来了",
+    "ja" -> "これは日本のです私たちにはをたくさんあります",
+    "ko" -> "이것은 우리의 집이다 그리고 하늘을 보고 있다",
+    "th" -> "การที่ของเราและในบ้านไม่ได้มีอะไร",
+    "und" -> "zzz qqq xw vjq kkk")
+
+  /** Oracle for q_langid_ngram, generated from [[langIdPlants]]: the
+    * expected label per planted row is a literal CASE — falsifiable
+    * (a wrong winner or an und-regression mismatches) and immune to
+    * drift between the plant list and the replay. */
+  private val langIdNgramOracleSql: String = {
+    val n = langIdPlants.size
+    val cases = langIdPlants.zipWithIndex.map { case ((lang, _), i) =>
+      s"WHEN $i THEN '$lang'" }.mkString(" ")
+    s"""SELECT doc_id, CASE CAST(doc_id % $n AS INT) $cases
+        END AS lang_pred FROM documents"""
+  }
+
+  /** The shared planted-variant union behind q_dedup_normalized: each
+    * doc 0-49 plus a case/punctuation variant (+100000) and a
+    * digit-shifted variant (+200000); all three must collapse to ONE
+    * normalized key (digit counts are kept equal — digit→0 preserves
+    * length, so `3`≢`10`). */
+  private val dedupNormalizedUnionSql =
+    """u AS (
+        SELECT doc_id, text || ' Page ' || CAST(doc_id % 10 AS VARCHAR)
+          || ' of 99.' AS t
+        FROM documents WHERE doc_id < 50
+        UNION ALL
+        SELECT doc_id + 100000, '¡' || upper(text) || '! page '
+          || CAST(doc_id % 10 AS VARCHAR) || ' of 99'
+        FROM documents WHERE doc_id < 50
+        UNION ALL
+        SELECT doc_id + 200000, text || ' page '
+          || CAST((doc_id + 3) % 10 AS VARCHAR) || ' of 42;'
+        FROM documents WHERE doc_id < 50)"""
+
+  private val round11: Seq[Q] = Seq(
+
+    // full Gopher/MassiveText rule set over adversarial injected
+    // structure (bullets incl. bare '-', ellipsis line endings, hash
+    // spam, CRLF + tab-leading + punctuation-adjacent stopwords) so
+    // every rule tier fires somewhere; the oracle replays the whole
+    // rule arithmetic in SQL
+    Q("q_gopher_signals",
+      (s, d) => {
+        val variants = array(
+          lit("• first point\n- second point\n* third\n‣ fourth\n– dash\n-"),
+          lit("to be continued...\nand then…\nthe end comes later..."),
+          lit("## tagged ### content #### with # extra # tags #"),
+          lit("\tthe, cat. (with) [of] {and} !that!\r\nplain line\r\n"))
+        val injected = concat(substring(col("text"), 1, 60), lit("\n"),
+          element_at(variants, (col("doc_id") % 4 + 1).cast("int")))
+        graft.functions.TextAnalysis.gopherSignals(
+          s.read.parquet(pq(d, "documents"))
+            .select(col("doc_id"), injected.as("text")),
+          "doc_id", "text", minWords = 5)
+      },
+      Some("""WITH raw AS (SELECT doc_id,
+                substr(text, 1, 60) || chr(10) ||
+                  (CASE CAST(doc_id % 4 AS INT)
+                    WHEN 0 THEN '• first point' || chr(10) ||
+                      '- second point' || chr(10) || '* third' || chr(10)
+                      || '‣ fourth' || chr(10) || '– dash' || chr(10) || '-'
+                    WHEN 1 THEN 'to be continued...' || chr(10) ||
+                      'and then…' || chr(10) || 'the end comes later...'
+                    WHEN 2 THEN '## tagged ### content #### with # extra'
+                      || ' # tags #'
+                    ELSE chr(9) || 'the, cat. (with) [of] {and} !that!'
+                      || chr(13) || chr(10) || 'plain line' || chr(13)
+                      || chr(10) END) AS t
+                FROM documents),
+              tok AS (SELECT doc_id, t,
+                CASE WHEN length(regexp_replace(t, '^\s+|\s+$', '', 'g'))
+                    = 0 THEN []::VARCHAR[]
+                  ELSE string_split_regex(
+                    regexp_replace(t, '^\s+|\s+$', '', 'g'), '\s+') END
+                  AS toks FROM raw),
+              ln AS (SELECT doc_id,
+                list_filter(string_split_regex(t, '\r?\n'),
+                  l -> length(trim(l)) > 0) AS lines FROM raw),
+              sig AS (SELECT tok.doc_id AS doc_id,
+                len(toks) AS n_words,
+                CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(list_aggregate(list_transform(toks,
+                    w -> length(w)), 'sum') AS DOUBLE) / len(toks) END
+                  AS mwl,
+                CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(len(regexp_extract_all(t, '#')) AS DOUBLE)
+                    / len(toks) END AS hr,
+                CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(len(regexp_extract_all(t, '\.\.\.'))
+                    + len(regexp_extract_all(t, '…')) AS DOUBLE)
+                    / len(toks) END AS er,
+                CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(toks,
+                    w -> regexp_matches(w, '\p{L}'))) AS DOUBLE)
+                    / len(toks) END AS af,
+                CASE WHEN len(lines) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(lines, l -> regexp_matches(
+                    trim(l), '^([•‣◦·–]|[-*]( |$))'))) AS DOUBLE)
+                    / len(lines) END AS bf,
+                CASE WHEN len(lines) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(lines, l -> regexp_matches(
+                    trim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+                    / len(lines) END AS ef,
+                len(list_intersect(list_distinct(list_transform(toks,
+                  w -> regexp_replace(lower(w),
+                    '^[\p{P}\p{S}]+|[\p{P}\p{S}]+$', '', 'g'))),
+                  ['the','be','to','of','and','that','have','with']))
+                  AS sh
+                FROM tok JOIN ln ON tok.doc_id = ln.doc_id)
+              SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                ROUND(mwl, 4) AS mean_word_len,
+                ROUND(hr, 4) AS hash_ratio,
+                ROUND(er, 4) AS ellipsis_ratio,
+                ROUND(af, 4) AS alpha_word_frac,
+                ROUND(bf, 4) AS bullet_line_frac,
+                ROUND(ef, 4) AS ellipsis_line_frac,
+                CAST(sh AS BIGINT) AS stop_hits,
+                CASE WHEN n_words BETWEEN 5 AND 100000
+                  AND mwl BETWEEN 3.0 AND 10.0
+                  AND hr <= 0.1 AND er <= 0.1
+                  AND bf <= 0.9 AND ef <= 0.3
+                  AND af >= 0.8 AND sh >= 2
+                  THEN 1 ELSE 0 END AS keep
+              FROM sig""")),
+
+    // char-ngram language ID over the 28 planted rows (27 languages
+    // across 9 scripts + one out-of-profile row): expected labels are
+    // literal — the q_fix_mojibake pattern
+    Q("q_langid_ngram",
+      (s, d) => {
+        graft.plans.NativeFunctions.register(s)
+        val plants = array(langIdPlants.map(p => lit(p._2)): _*)
+        s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"),
+            graft.plans.NativeFunctions.langIdNgramNative(
+              element_at(plants,
+                (col("doc_id") % langIdPlants.size + 1).cast("int")))
+              .as("lang_pred"))
+      },
+      Some(langIdNgramOracleSql)),
+
+    // CCNet key normalization ∘ exact dedup: 50 docs × 3 planted
+    // variants (case+punctuation, shifted digits) must collapse to one
+    // key each; the oracle replays the normalization chain verbatim
+    // (written RE2-portable for exactly this)
+    Q("q_dedup_normalized",
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        val base = s.read.parquet(pq(d, "documents"))
+          .where(col("doc_id") < 50).select(col("doc_id"), col("text"))
+        val t0 = base.select(col("doc_id"),
+          concat(col("text"), lit(" Page "),
+            (col("doc_id") % 10).cast("string"), lit(" of 99."))
+            .as("t"))
+        val t1 = base.select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("¡"), upper(col("text")), lit("! page "),
+            (col("doc_id") % 10).cast("string"), lit(" of 99")).as("t"))
+        val t2 = base.select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" page "),
+            ((col("doc_id") + 3) % 10).cast("string"), lit(" of 42;"))
+            .as("t"))
+        val all = t0.unionAll(t1).unionAll(t2)
+          .select(col("doc_id"),
+            TextAnalysis.normalizeForDedup(col("t")).as("norm"))
+        graft.operators.Dedup.exactSummary(all, "norm", "doc_id")
+      },
+      Some(s"""WITH $dedupNormalizedUnionSql,
+              n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+                regexp_replace(lower(t), '\\p{Nd}', '0', 'g'),
+                '[\\p{P}\\p{S}]', '', 'g'), '\\s+', ' ', 'g')) AS k
+                FROM u)
+              SELECT md5(k) AS text_hash, COUNT(*) AS n_copies,
+                MIN(doc_id) AS keep_id
+              FROM n GROUP BY k""")))
+
   private val registry: Seq[Q] =
-    parity ++ extensions ++ pipelines ++ round3 ++ round6
+    parity ++ extensions ++ pipelines ++ round3 ++ round6 ++ round11
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

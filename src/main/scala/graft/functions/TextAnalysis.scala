@@ -17,10 +17,16 @@ import org.apache.spark.sql.functions._
  */
 object TextAnalysis {
 
-  /** Whitespace tokens of trimmed text; empty text → empty array. */
-  def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+  /** Whitespace tokens of trimmed text; empty text → empty array.
+    * Edge-trims the full `\s` class (tab/newline/CR too, not just
+    * ASCII space — a text starting with a tab must not yield an empty
+    * first token), mirrored by the oracles' `regexp_replace(text,
+    * '^\s+|\s+$', '', 'g')`. */
+  def tokens(text: Column): Column = {
+    val t = regexp_replace(text, "^\\s+|\\s+$", "")
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
 
   /** Number of whitespace-delimited tokens. */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -633,17 +639,24 @@ object TextAnalysis {
     val alphaWords = size(filter(toks, w => w.rlike("\\p{L}")))
     val alphaFrac = when(nWords === 0, lit(0.0)).otherwise(
       alphaWords.cast("double") / nWords)
-    // line tier: bullet-START and ellipsis-END fractions over \n lines
-    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    // line tier: bullet-START and ellipsis-END fractions over \r?\n
+    // lines (CRLF-safe: a bare-\n split leaves '...\r' endings that the
+    // ellipsis anchor would miss)
+    val lines = filter(split(t, "\r?\n"), l => length(trim(l)) > 0)
     val nLines = size(lines)
+    // common bullet glyphs plus bare '-'/'*' lines, per the Gopher rule
     val bulletFrac = when(nLines === 0, lit(0.0)).otherwise(
-      size(filter(lines, l => trim(l).rlike("^(•|- |\\* )")))
+      size(filter(lines, l => trim(l).rlike("^([•‣◦·–]|[-*]( |$))")))
         .cast("double") / nLines)
     val ellEndFrac = when(nLines === 0, lit(0.0)).otherwise(
       size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$")))
         .cast("double") / nLines)
+    // strip edge punctuation/symbols before the function-word check so
+    // 'the,' / '(with' still count as stopword hits
     val stopHits = size(array_intersect(
-      array_distinct(tokens(lower(t))), typedlit(gopherStopwords)))
+      array_distinct(transform(tokens(lower(t)),
+        w => regexp_replace(w, "^[\\p{P}\\p{S}]+|[\\p{P}\\p{S}]+$", ""))),
+      typedlit(gopherStopwords)))
     docs.select(col(idCol),
       nWords.cast("long").as("n_words"),
       round(mwl, 4).as("mean_word_len"),
@@ -662,16 +675,54 @@ object TextAnalysis {
 
   // --- char-ngram language ID ----------------------------------------------
 
-  /** Character-trigram profiles per language (top orthographic
-    * trigrams; tiny illustrative snapshot of the CLD/langdetect
-    * profile idea — Cavnar & Trenkle 1994, public method). Plain
-    * letters only so the patterns are regex-literal on every engine. */
+  /** Character-n-gram profiles per language — the top orthographic
+    * n-grams of each language's public-corpus frequency profile
+    * (Cavnar & Trenkle 1994 method; profile CONTENT curated from
+    * published frequency tables for each language, the same
+    * build-time-data move as [[graft.plans.PublicSuffixes]]).
+    *
+    * The grams are VARIABLE-length by design: mostly trigrams for
+    * alphabetic scripts (including frequent function words, which are
+    * what tops every published profile), and single characters for
+    * unsegmented scripts (zh/ja/ko/th have no useful trigram
+    * inventory at this profile size — their highest-frequency units
+    * ARE single han/kana/hangul/thai glyphs). Each entry is matched as
+    * a regex-quoted literal, so any UTF-8 string is safe. 27
+    * languages across 9 scripts. */
   val charNgramProfiles: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "ing", "ion", "ent"),
-    "de" -> Seq("der", "sch", "ein", "ich", "und"),
-    "fr" -> Seq("les", "que", "ait", "eur", "oux"),
-    "es" -> Seq("los", "cion", "ado", "nte", "par"),
-    "zh" -> Seq("的", "是", "一", "了", "人"))
+    // Latin — Germanic
+    "en" -> Seq("the", "and", "ing", "ion", "tio", "for", "tha", "ent"),
+    "de" -> Seq("der", "sch", "ich", "nde", "die", "und", "cht", "ein"),
+    "nl" -> Seq("een", "het", "van", "aar", "oor", "ijk", "nie", "gen"),
+    "sv" -> Seq("och", "att", "det", "som", "för", "ill", "är", "ning"),
+    "da" -> Seq("det", "der", "og ", "til", "ikke", "ede", "ern", "kke"),
+    // Latin — Romance
+    "fr" -> Seq("les", "que", "ait", "eur", "ons", "dans", "est", "une"),
+    "es" -> Seq("los", "ción", "ado", "nte", "una", "ara", "por", "del"),
+    "pt" -> Seq("ção", "não", "uma", "ente", "os ", "com", "par", "dos"),
+    "it" -> Seq("che", "per", "della", "zione", "gli", "con", "una", "ato"),
+    "ro" -> Seq("ește", "ului", "și", "care", "pentru", "din", "ate", "ori"),
+    // Latin — Slavic/Uralic/Turkic/other
+    "pl" -> Seq("nie", "się", "prze", "ych", "ego", "owa", "rza", "czy"),
+    "cs" -> Seq("ění", "ové", "ých", "pro", "ost", "sou", "ř", "ku "),
+    "hu" -> Seq("egy", "nek", "meg", "hogy", "szer", "ság", "ett", "nak"),
+    "fi" -> Seq("en ", "ssä", "sta", "ist", "äin", "lla", "itt", "ksi"),
+    "tr" -> Seq("lar", "ler", "bir", "için", "dır", "ında", "yor", "mak"),
+    "id" -> Seq("ang", "yang", "kan", "dan", "ber", "men", "nya", "ada"),
+    "vi" -> Seq("của", "được", "không", "người", "ược", "một", "và", "ông"),
+    // Cyrillic
+    "ru" -> Seq("ого", "ени", "ост", "ств", "ать", "это", "при", "что"),
+    "uk" -> Seq("ння", "ого", "від", "ість", "ува", "ють", "ськ", "не "),
+    // Greek / RTL / Indic
+    "el" -> Seq("και", "την", "της", "ται", "ους", "που", "των", "ική"),
+    "ar" -> Seq("الم", "ين", "ات", "من", "ها", "ال", "لى", "في"),
+    "he" -> Seq("את", "של", "ים", "ות", "הם", "על", "לא", "יה"),
+    "hi" -> Seq("है", "की", "के", "में", "का", "से", "ने", "और"),
+    // Unsegmented scripts (single-glyph profiles — see Scaladoc)
+    "zh" -> Seq("的", "是", "一", "了", "在", "人", "有", "我"),
+    "ja" -> Seq("の", "に", "は", "を", "た", "です", "して", "ます"),
+    "ko" -> Seq("의", "이", "다", "는", "을", "하", "에", "고"),
+    "th" -> Seq("การ", "ที่", "ของ", "และ", "ใน", "ไม่", "ได้", "มี"))
 
   /**
    * Character-n-gram language ID (Cavnar & Trenkle 1994 class): score
@@ -686,11 +737,18 @@ object TextAnalysis {
    */
   def langIdCharNgram(text: Column): Column = {
     val lowered = lower(text)
+    // non-overlapping occurrence count via replace-and-measure:
+    // (len - len(remove(gram))) / len(gram). Identical semantics to
+    // regexp_count on a quoted literal, but plain string ops — ~220
+    // regex compiles per row was enough to push the generated code
+    // past Janino's method limits (whole-stage codegen fell back to
+    // interpreted); replace stays comfortably codegen'd
+    def count(g: String): Column =
+      ((length(lowered) - length(replace(lowered, lit(g), lit("")))) /
+        lit(g.length)).cast("int")
     val scored = charNgramProfiles.toSeq.map { case (lang, grams) =>
-      val score = grams.map(g =>
-        regexp_count(lowered, lit(java.util.regex.Pattern.quote(g))))
-        .reduce(_ + _)
-      struct(score.as("hits"), lit(lang).as("lang"))
+      struct(grams.map(count).reduce(_ + _).as("hits"),
+        lit(lang).as("lang"))
     }
     val best = greatest(scored: _*)
     when(best.getField("hits") > 0, best.getField("lang"))

@@ -13,26 +13,29 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
  * tokenization and shingle hashing, so the fused loops cannot drift
  * from each other or from the HOF reference they claim parity with.
  *
- * `tokens` replicates [[graft.functions.TextAnalysis.tokens]] EXACTLY,
- * including its whitespace edge cases: Spark's `trim` strips only the
- * space character (not \t\n), and Spark's `split` keeps leading/
- * trailing empty tokens (Java `split`'s default limit 0 drops trailing
- * empties — hence the explicit -1). A document ending in a newline
- * therefore tokenizes to [..., ""] on BOTH paths, where a naive
- * `String.trim.split.filter(_.nonEmpty)` would silently diverge from
- * the HOF form on any doc with leading/trailing non-space whitespace.
+ * `tokens` replicates [[graft.functions.TextAnalysis.tokens]] EXACTLY.
+ * Since the round-11 edge-trim fix, the HOF form strips the full Java
+ * `\s` class ([ \t\n\x0B\f\r] — ASCII-only, NOT `Character
+ * .isWhitespace`, which also accepts U+001C-001F and Unicode spaces)
+ * at both edges before splitting, so neither path can produce empty
+ * edge tokens; interior `\s+` runs still split with limit -1 for
+ * bit-parity with Spark's `split`.
  */
 private[plans] object NativeText {
 
-  /** Spark-semantics tokens: trim ' ' only; split "\\s+" keeping empty
-    * edge tokens; whitespace-only AFTER the space-trim is NOT empty and
-    * still splits (matching `when(length(trim(text)) === 0, [])`). */
+  /** The Java-regex `\s` class, exactly. */
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+      c == '\f' || c == '\r'
+
+  /** Spark-semantics tokens: edge-strip the `\s` class, then split
+    * "\\s+" (matching `when(length(edgeStripped) === 0, [])`). */
   def tokens(input: Any): Array[String] = {
     val s = input.toString
     var b = 0
     var e = s.length
-    while (b < e && s.charAt(b) == ' ') b += 1
-    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    while (b < e && isWs(s.charAt(b))) b += 1
+    while (e > b && isWs(s.charAt(e - 1))) e -= 1
     val t = s.substring(b, e)
     if (t.isEmpty) Array.empty[String] else t.split("\\s+", -1)
   }
@@ -630,6 +633,94 @@ case class MojibakeRepairExpr(child: Expression)
 
   override protected def withNewChildInternal(
       newChild: Expression): MojibakeRepairExpr = copy(child = newChild)
+}
+
+/** Shared classifier behind [[LangIdNgramExpr]] — profiles from
+  * [[graft.functions.TextAnalysis.charNgramProfiles]] (single source;
+  * the HOF form at TextAnalysis.langIdCharNgram scores the SAME table),
+  * flattened once at class-init into parallel arrays so the per-row
+  * loop allocates nothing. Semantics replicated exactly from the HOF
+  * form: score = Σ non-overlapping occurrences of each profile gram in
+  * the lowercased text; winner = max score, ties to the
+  * lexicographically largest language code (langs iterated ascending
+  * with `>=` replacement); all-zero → "und". */
+private[plans] object LangIdNgram {
+
+  private val langs: Array[String] =
+    graft.functions.TextAnalysis.charNgramProfiles.keys.toArray.sorted
+  private val grams: Array[Array[String]] =
+    langs.map(l =>
+      graft.functions.TextAnalysis.charNgramProfiles(l).toArray)
+
+  /** Non-overlapping occurrence count — identical to the HOF form's
+    * replace-and-measure on UTF8String bytes (UTF-8 is
+    * self-synchronizing, so byte-level and UTF-16 `indexOf` agree on
+    * counts for any valid gram). */
+  private def countIn(hay: String, needle: String): Int = {
+    var n = 0
+    var i = hay.indexOf(needle)
+    while (i >= 0) {
+      n += 1
+      i = hay.indexOf(needle, i + needle.length)
+    }
+    n
+  }
+
+  def classify(lowered: String): String = {
+    var bestScore = 0
+    var bestLang = "und"
+    var li = 0
+    while (li < langs.length) {
+      var s = 0
+      val gs = grams(li)
+      var gi = 0
+      while (gi < gs.length) {
+        s += countIn(lowered, gs(gi))
+        gi += 1
+      }
+      if (s > bestScore || (s == bestScore && s > 0)) {
+        bestScore = s
+        bestLang = langs(li)
+      }
+      li += 1
+    }
+    bestLang
+  }
+}
+
+/** [[graft.functions.TextAnalysis.langIdCharNgram]] as a native
+  * expression — the HOF form's 27-language × 8-gram scoring expands to
+  * a generated projection past Janino's method limits (whole-stage
+  * codegen bails to interpreted); this is one static call per row and
+  * keeps the langid pass inside WholeStageCodegen. */
+case class LangIdNgramExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def prettyName: String = "graft_langid_ngram"
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      LangIdNgram.classify(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+          .toLowerCase.toString))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.plans.LangIdNgram.classify($c.toLowerCase().toString()))")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): LangIdNgramExpr = copy(child = newChild)
 }
 
 /**
@@ -2023,6 +2114,7 @@ object NativeFunctions {
   val bpeEncodeBytesName = "graft_bpe_encode_bytes"
   val bpePretokenizeName = "graft_bpe_pretokenize"
   val bpeDecodeBytesName = "graft_bpe_decode_bytes"
+  val langIdNgramName = "graft_langid_ngram"
 
   private def intLit(e: Expression): Int =
     e.eval(null) match {
@@ -2141,7 +2233,9 @@ object NativeFunctions {
     bpePretokenizeName -> ((exprs: Seq[Expression]) =>
       BpePretokenizeExpr(exprs.head)),
     bpeDecodeBytesName -> ((exprs: Seq[Expression]) =>
-      BpeDecodeBytesExpr(exprs.head)))
+      BpeDecodeBytesExpr(exprs.head)),
+    langIdNgramName -> ((exprs: Seq[Expression]) =>
+      LangIdNgramExpr(exprs.head)))
 
   /** Idempotently register graft native functions on this session. */
   def register(spark: SparkSession): Unit = {
@@ -2193,6 +2287,11 @@ object NativeFunctions {
   /** Mojibake repair (UTF-8 mis-decoded as Latin-1/cp1252, ≤3 passes). */
   def fixMojibakeNative(text: Column): Column =
     call_function(fixMojibakeName, text)
+
+  /** Char-ngram language ID (27-language profile table; same scoring
+    * as TextAnalysis.langIdCharNgram, one static call per row). */
+  def langIdNgramNative(text: Column): Column =
+    call_function(langIdNgramName, text)
 
   /** Bloom-filter aggregate over a long-hash column → binary sketch. */
   def bloomAggNative(hash: Column, expectedItems: Long,

@@ -10,8 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("registry counts match the documented surface") {
-    assert(SparkEntry.queries.size == 178)
-    assert(SparkEntry.oracleSql.size == 171)
+    assert(SparkEntry.queries.size == 181)
+    assert(SparkEntry.oracleSql.size == 174)
   }
 
   test("no oracle carries a lone '|' outside string literals") {

@@ -226,6 +226,90 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r > 0.2, s"ivfpq recall $r")
   }
 
+  test("gopherSignals: rule arithmetic and keep decision") {
+    val rows = Seq(
+      // clean prose: all eight stopwords present, keeps
+      (1L, "the words to be written of and that have with more body " +
+        "here so the word count clears the minimum bar easily today"),
+      // bullet-heavy: 4 of 5 lines bullet-started (incl. bare '-')
+      (2L, "the of and that have with to be\n• a\n- b\n* c\n-"),
+      // ellipsis line endings and ellipsis symbol ratio
+      (3L, "the of and to be that have with\nwait...\nmore…"),
+      // tab-leading text + punctuation-adjacent stopwords still count
+      (4L, "\tthe, (of) [and] {that}! have. with? to; be:"),
+      // hash spam fails the symbol-ratio rule
+      (5L, "the of and to be that have with # # # # # # #")).toDF("id", "t")
+    val got = TextAnalysis.gopherSignals(rows, "id", "t", minWords = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1).getAs[Int]("keep") == 1)
+    assert(got(1).getAs[Long]("stop_hits") == 8)
+    // doc 2: 5 lines, 4 bullets
+    assert(got(2).getAs[Double]("bullet_line_frac") == 0.8)
+    // doc 3: 3 lines, 2 ellipsis-ended; ellipsis_ratio = 2/10 > 0.1
+    assert(got(3).getAs[Double]("ellipsis_line_frac") == 0.6667)
+    assert(got(3).getAs[Int]("keep") == 0)
+    // doc 4: tab edge must NOT create an empty token; punct-adjacent
+    // stopwords all counted
+    assert(got(4).getAs[Long]("n_words") == 8)
+    assert(got(4).getAs[Long]("stop_hits") == 8)
+    // doc 5: 7 hashes / 15 words > 0.1 → rejected
+    assert(got(5).getAs[Double]("hash_ratio") > 0.1)
+    assert(got(5).getAs[Int]("keep") == 0)
+  }
+
+  test("gopherSignals: CRLF lines and '...\\r' endings handled") {
+    val rows = Seq((1L, "to be continued...\r\nthe of and that have " +
+      "with plain\r\n")).toDF("id", "t")
+    val r = TextAnalysis.gopherSignals(rows, "id", "t", minWords = 3)
+      .collect().head
+    // 2 non-empty lines after \r?\n split; first ends in '...'
+    assert(r.getAs[Double]("ellipsis_line_frac") == 0.5)
+  }
+
+  test("langIdCharNgram classifies every planted sentence (HOF form)") {
+    val plants = SparkEntry.langIdPlants
+    val got = plants.map(_._2).toDF("t")
+      .select(TextAnalysis.langIdCharNgram(col("t")))
+      .as[String].collect().toSeq
+    assert(got == plants.map(_._1),
+      plants.map(_._1).zip(got).filter(p => p._1 != p._2).toString)
+  }
+
+  test("langIdNgramNative ≡ HOF form on planted sentences and edges") {
+    graft.plans.NativeFunctions.register(spark)
+    val texts = SparkEntry.langIdPlants.map(_._2) ++
+      Seq("", " ", "MiXeD Case THE AND ing", "12345 67")
+    val both = texts.toDF("t").select(
+      TextAnalysis.langIdCharNgram(col("t")).as("hof"),
+      graft.plans.NativeFunctions.langIdNgramNative(col("t")).as("nat"))
+      .collect()
+    both.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"native/HOF divergence: $r"))
+  }
+
+  test("normalizeForDedup collapses case/digit/punct variants; " +
+    "idempotent; distinct texts stay distinct") {
+    val n = TextAnalysis.normalizeForDedup(col("t"))
+    val got = Seq(
+      "The Cat, sat. On page 3 of 99!",
+      "¡THE CAT SAT ON PAGE 7 OF 42…",
+      "the   cat\tsat on page 0 of 00",
+      "an unrelated document entirely").toDF("t")
+      .select(n.as("k")).as[String].collect()
+    assert(got(0) == "the cat sat on page 0 of 00")
+    assert(got(0) == got(1) && got(1) == got(2))
+    assert(got(3) != got(0))
+    // digit→0 preserves length: '3' and '10' must NOT collide
+    val lens = Seq("page 3", "page 10").toDF("t")
+      .select(n.as("k")).as[String].collect()
+    assert(lens(0) != lens(1))
+    // idempotence: normalizing a normalized key is the identity
+    val twice = Seq("  A!  b2c  ").toDF("t")
+      .select(n.as("k1"),
+        TextAnalysis.normalizeForDedup(n).as("k2")).collect().head
+    assert(twice.getString(0) == twice.getString(1))
+  }
+
   test("ivfpqTopK on an empty corpus returns an empty, well-typed frame") {
     val corpus = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     val queries = Seq((1L, Seq.tabulate(8)(_.toFloat)))
