@@ -4706,6 +4706,63 @@ object SparkEntry {
           || CAST((doc_id + 3) % 10 AS VARCHAR) || ' of 42;'
         FROM documents WHERE doc_id < 50)"""
 
+  /** tok/ln/sig CTE chain replaying [[graft.functions.TextAnalysis
+    * .gopherSignals]]'s rule arithmetic over a `raw(doc_id, t)` CTE —
+    * shared by q_gopher_signals (adversarial injected text) and
+    * q_gopher_pipeline (raw corpus text) so the replay cannot drift
+    * between the unit-altitude and pipeline-altitude gates. */
+  private val gopherSigCtes: String =
+    """tok AS (SELECT doc_id, t,
+        CASE WHEN length(regexp_replace(t, '^\s+|\s+$', '', 'g'))
+            = 0 THEN []::VARCHAR[]
+          ELSE string_split_regex(
+            regexp_replace(t, '^\s+|\s+$', '', 'g'), '\s+') END
+          AS toks FROM raw),
+      ln AS (SELECT doc_id,
+        list_filter(string_split_regex(t, '\r?\n'),
+          l -> length(trim(l)) > 0) AS lines FROM raw),
+      sig AS (SELECT tok.doc_id AS doc_id,
+        len(toks) AS n_words,
+        CASE WHEN len(toks) = 0 THEN 0.0
+          ELSE CAST(list_aggregate(list_transform(toks,
+            w -> length(w)), 'sum') AS DOUBLE) / len(toks) END
+          AS mwl,
+        CASE WHEN len(toks) = 0 THEN 0.0
+          ELSE CAST(len(regexp_extract_all(t, '#')) AS DOUBLE)
+            / len(toks) END AS hr,
+        CASE WHEN len(toks) = 0 THEN 0.0
+          ELSE CAST(len(regexp_extract_all(t, '\.\.\.'))
+            + len(regexp_extract_all(t, '…')) AS DOUBLE)
+            / len(toks) END AS er,
+        CASE WHEN len(toks) = 0 THEN 0.0
+          ELSE CAST(len(list_filter(toks,
+            w -> regexp_matches(w, '\p{L}'))) AS DOUBLE)
+            / len(toks) END AS af,
+        CASE WHEN len(lines) = 0 THEN 0.0
+          ELSE CAST(len(list_filter(lines, l -> regexp_matches(
+            trim(l), '^([•‣◦·–]|[-*]( |$))'))) AS DOUBLE)
+            / len(lines) END AS bf,
+        CASE WHEN len(lines) = 0 THEN 0.0
+          ELSE CAST(len(list_filter(lines, l -> regexp_matches(
+            trim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+            / len(lines) END AS ef,
+        len(list_intersect(list_distinct(list_transform(toks,
+          w -> regexp_replace(lower(w),
+            '^[\p{P}\p{S}]+|[\p{P}\p{S}]+$', '', 'g'))),
+          ['the','be','to','of','and','that','have','with']))
+          AS sh
+        FROM tok JOIN ln ON tok.doc_id = ln.doc_id)"""
+
+  /** The combined Gopher keep decision over [[gopherSigCtes]]'s sig
+    * columns, parameterized on the word-count floor. */
+  private def gopherKeepSql(minWords: Int): String =
+    s"""CASE WHEN n_words BETWEEN $minWords AND 100000
+        AND mwl BETWEEN 3.0 AND 10.0
+        AND hr <= 0.1 AND er <= 0.1
+        AND bf <= 0.9 AND ef <= 0.3
+        AND af >= 0.8 AND sh >= 2
+        THEN 1 ELSE 0 END"""
+
   private val round11: Seq[Q] = Seq(
 
     // full Gopher/MassiveText rule set over adversarial injected
@@ -4727,7 +4784,7 @@ object SparkEntry {
             .select(col("doc_id"), injected.as("text")),
           "doc_id", "text", minWords = 5)
       },
-      Some("""WITH raw AS (SELECT doc_id,
+      Some(s"""WITH raw AS (SELECT doc_id,
                 substr(text, 1, 60) || chr(10) ||
                   (CASE CAST(doc_id % 4 AS INT)
                     WHEN 0 THEN '• first point' || chr(10) ||
@@ -4741,46 +4798,7 @@ object SparkEntry {
                       || chr(13) || chr(10) || 'plain line' || chr(13)
                       || chr(10) END) AS t
                 FROM documents),
-              tok AS (SELECT doc_id, t,
-                CASE WHEN length(regexp_replace(t, '^\s+|\s+$', '', 'g'))
-                    = 0 THEN []::VARCHAR[]
-                  ELSE string_split_regex(
-                    regexp_replace(t, '^\s+|\s+$', '', 'g'), '\s+') END
-                  AS toks FROM raw),
-              ln AS (SELECT doc_id,
-                list_filter(string_split_regex(t, '\r?\n'),
-                  l -> length(trim(l)) > 0) AS lines FROM raw),
-              sig AS (SELECT tok.doc_id AS doc_id,
-                len(toks) AS n_words,
-                CASE WHEN len(toks) = 0 THEN 0.0
-                  ELSE CAST(list_aggregate(list_transform(toks,
-                    w -> length(w)), 'sum') AS DOUBLE) / len(toks) END
-                  AS mwl,
-                CASE WHEN len(toks) = 0 THEN 0.0
-                  ELSE CAST(len(regexp_extract_all(t, '#')) AS DOUBLE)
-                    / len(toks) END AS hr,
-                CASE WHEN len(toks) = 0 THEN 0.0
-                  ELSE CAST(len(regexp_extract_all(t, '\.\.\.'))
-                    + len(regexp_extract_all(t, '…')) AS DOUBLE)
-                    / len(toks) END AS er,
-                CASE WHEN len(toks) = 0 THEN 0.0
-                  ELSE CAST(len(list_filter(toks,
-                    w -> regexp_matches(w, '\p{L}'))) AS DOUBLE)
-                    / len(toks) END AS af,
-                CASE WHEN len(lines) = 0 THEN 0.0
-                  ELSE CAST(len(list_filter(lines, l -> regexp_matches(
-                    trim(l), '^([•‣◦·–]|[-*]( |$))'))) AS DOUBLE)
-                    / len(lines) END AS bf,
-                CASE WHEN len(lines) = 0 THEN 0.0
-                  ELSE CAST(len(list_filter(lines, l -> regexp_matches(
-                    trim(l), '(\.\.\.|…)$'))) AS DOUBLE)
-                    / len(lines) END AS ef,
-                len(list_intersect(list_distinct(list_transform(toks,
-                  w -> regexp_replace(lower(w),
-                    '^[\p{P}\p{S}]+|[\p{P}\p{S}]+$', '', 'g'))),
-                  ['the','be','to','of','and','that','have','with']))
-                  AS sh
-                FROM tok JOIN ln ON tok.doc_id = ln.doc_id)
+              $gopherSigCtes
               SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
                 ROUND(mwl, 4) AS mean_word_len,
                 ROUND(hr, 4) AS hash_ratio,
@@ -4789,12 +4807,7 @@ object SparkEntry {
                 ROUND(bf, 4) AS bullet_line_frac,
                 ROUND(ef, 4) AS ellipsis_line_frac,
                 CAST(sh AS BIGINT) AS stop_hits,
-                CASE WHEN n_words BETWEEN 5 AND 100000
-                  AND mwl BETWEEN 3.0 AND 10.0
-                  AND hr <= 0.1 AND er <= 0.1
-                  AND bf <= 0.9 AND ef <= 0.3
-                  AND af >= 0.8 AND sh >= 2
-                  THEN 1 ELSE 0 END AS keep
+                ${gopherKeepSql(5)} AS keep
               FROM sig""")),
 
     // char-ngram language ID over the 28 planted rows (27 languages
@@ -4845,7 +4858,134 @@ object SparkEntry {
                 FROM u)
               SELECT md5(k) AS text_hash, COUNT(*) AS n_copies,
                 MIN(doc_id) AS keep_id
-              FROM n GROUP BY k""")))
+              FROM n GROUP BY k""")),
+
+    // ingestion admission with NORMALIZED exact keys (keyOf =
+    // normalizeForDedup): same pipeline as q_ingest_admission, but the
+    // batch's docs 25-49 are case-/punctuation-reformatted copies of
+    // history — invisible to the raw exact hash AND to raw-text
+    // shingle signatures (case changes every shingle), so only the
+    // normalized key path can reject them. Docs 0-24 are exact copies
+    // (plain path still rejects); 400-449 novel (admitted minus
+    // natural ≥0.95-jaccard twins, same replay as q_ingest_admission)
+    Q("q_ingest_admission_normalized",
+      (s, d) => {
+        val docs = s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"), col("text"))
+        val history = docs.where(col("doc_id") < 400)
+        val batch = docs.where(col("doc_id") < 25)
+            .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+          .unionAll(docs.where(col("doc_id").between(25, 49))
+            .select((col("doc_id") + 100000L).as("doc_id"),
+              concat(lit("¡"), upper(col("text")), lit("!!!")).as("text")))
+          .unionAll(docs.where(col("doc_id").between(400, 449))
+            .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        graft.operators.Dedup.ingestAdmission(batch, history,
+          "doc_id", "text", expectedItems = 10000L, numBits = 1L << 17,
+          minJaccard = 0.95,
+          keyOf = graft.functions.TextAnalysis.normalizeForDedup)
+          .select(col("doc_id"))
+      },
+      Some("""WITH h AS (SELECT doc_id, text FROM documents
+                WHERE doc_id < 400),
+              b AS (SELECT doc_id + 100000 AS doc_id, text
+                  FROM documents WHERE doc_id < 25
+                UNION ALL
+                SELECT doc_id + 100000, '¡' || upper(text) || '!!!'
+                  FROM documents WHERE doc_id BETWEEN 25 AND 49
+                UNION ALL
+                SELECT doc_id + 100000, text
+                  FROM documents WHERE doc_id BETWEEN 400 AND 449),
+              hn AS (SELECT trim(regexp_replace(regexp_replace(
+                  regexp_replace(lower(text), '\p{Nd}', '0', 'g'),
+                  '[\p{P}\p{S}]', '', 'g'), '\s+', ' ', 'g')) AS k
+                FROM h),
+              bn AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+                  regexp_replace(lower(text), '\p{Nd}', '0', 'g'),
+                  '[\p{P}\p{S}]', '', 'g'), '\s+', ' ', 'g')) AS k
+                FROM b),
+              hs AS (SELECT doc_id, list_distinct(list_transform(
+                  generate_series(0, greatest(len(toks) - 3, 0)),
+                  i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+                FROM (SELECT doc_id, string_split_regex(
+                  regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+                  AS toks FROM h)),
+              bs AS (SELECT doc_id, list_distinct(list_transform(
+                  generate_series(0, greatest(len(toks) - 3, 0)),
+                  i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+                FROM (SELECT doc_id, string_split_regex(
+                  regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+                  AS toks FROM b)),
+              near AS (SELECT DISTINCT bs.doc_id FROM bs JOIN hs ON
+                CAST(len(list_intersect(bs.sh, hs.sh)) AS DOUBLE) /
+                  (len(bs.sh) + len(hs.sh) -
+                    len(list_intersect(bs.sh, hs.sh))) >= 0.95)
+              SELECT bn.doc_id FROM bn
+              WHERE bn.k NOT IN (SELECT k FROM hn)
+                AND NOT EXISTS (SELECT 1 FROM bn b2
+                  WHERE b2.k = bn.k AND b2.doc_id < bn.doc_id)
+                AND bn.doc_id NOT IN (SELECT doc_id FROM near)""")),
+
+    // curation capstone with the FULL Gopher keep decision as the
+    // quality gate (pipeline altitude for gopherSignals, the
+    // q_curation_pipeline shape): gopher gate → per-source cap →
+    // deterministic split. The synthetic corpus vocabulary contains
+    // "the" but none of the other seven Gopher function words, so the
+    // ≥2-of-8 rule would reject EVERY raw doc (verified: 0 hits at
+    // sf0.01) — docs with doc_id % 3 != 2 get a function-word preamble
+    // so the gate discriminates and both outcomes flow into the
+    // cap/split stages; the oracle replays the whole rule arithmetic
+    Q("q_gopher_pipeline",
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        import graft.operators.Sampling
+        val pre = "it has to be that good with and of all them "
+        val docs = s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"), col("source"),
+            when(col("doc_id") % 3 =!= 2,
+              concat(lit(pre), col("text")))
+              .otherwise(col("text")).as("text"))
+        val sig = TextAnalysis.gopherSignals(docs, "doc_id", "text",
+          minWords = 10)
+        val kept = docs.select(col("doc_id"), col("source"))
+          .join(sig.where(col("keep") === 1)
+            .select(col("doc_id"), col("n_words"), col("stop_hits")),
+            "doc_id")
+        val capped = Sampling.capPerGroup(kept, "source", "doc_id",
+          cap = 40)
+        Sampling.splitAssign(capped, "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "gopher")
+          .select(col("doc_id"), col("source"), col("n_words"),
+            col("stop_hits"), col("split"))
+      },
+      Some(s"""WITH raw AS (SELECT doc_id,
+                CASE WHEN CAST(doc_id % 3 AS INT) <> 2
+                  THEN 'it has to be that good with and of all them '
+                    || text
+                  ELSE text END AS t
+                FROM documents),
+              $gopherSigCtes,
+              kept AS (SELECT d.doc_id, d.source,
+                  CAST(s.n_words AS BIGINT) AS n_words,
+                  CAST(s.sh AS BIGINT) AS stop_hits
+                FROM documents d JOIN sig s ON d.doc_id = s.doc_id
+                WHERE ${gopherKeepSql(10)} = 1),
+              capped AS (SELECT doc_id, source, n_words, stop_hits
+                FROM (SELECT doc_id, source, n_words, stop_hits,
+                    ROW_NUMBER() OVER (PARTITION BY source
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                      AS rk
+                  FROM kept)
+                WHERE rk <= 40)
+              SELECT doc_id, source, n_words, stop_hits,
+                CASE WHEN substr(md5('gopher'
+                    || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                    THEN 'train'
+                  WHEN substr(md5('gopher'
+                    || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+              FROM capped""")))
 
   private val registry: Seq[Q] =
     parity ++ extensions ++ pipelines ++ round3 ++ round6 ++ round11

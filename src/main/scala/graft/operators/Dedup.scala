@@ -796,10 +796,16 @@ object Dedup {
    * whichever side is small.
    *
    * `md5` (not xxhash64) so results stay SQL-oracle-comparable.
+   *
+   * `keyOf` rewrites the text BEFORE hashing (e.g. [[graft.functions
+   * .TextAnalysis.normalizeForDedup]], so trivially-reformatted copies
+   * collide); it must be the same expression on both sides of an
+   * incremental pipeline or history membership silently breaks.
    */
   def incrementalExact(newDocs: DataFrame, seen: DataFrame,
-                       idCol: String, textCol: String): DataFrame = {
-    val hash = (t: Column) => md5(t.cast("binary"))
+                       idCol: String, textCol: String,
+                       keyOf: Column => Column = identity): DataFrame = {
+    val hash = (t: Column) => md5(keyOf(t).cast("binary"))
     val seenHashes = seen.select(hash(col(textCol)).as("__h")).distinct()
     val batch = newDocs.select(col(idCol), col(textCol),
       hash(col(textCol)).as("__h"))
@@ -945,7 +951,9 @@ object Dedup {
    */
   def buildSeenSketch(seen: DataFrame, textCol: String,
                       expectedItems: Long = 1000000L,
-                      numBits: Long = 1L << 23): Option[Array[Byte]] = {
+                      numBits: Long = 1L << 23,
+                      keyOf: Column => Column = identity)
+      : Option[Array[Byte]] = {
     import graft.plans.NativeFunctions
     val conf = seen.sparkSession.conf
     def cap(key: String, dflt: Long): Long =
@@ -961,7 +969,7 @@ object Dedup {
         "or the clamp silently inflates the false-positive rate")
     NativeFunctions.register(seen.sparkSession)
     Option(seen
-      .agg(NativeFunctions.bloomAggNative(xxhash64(col(textCol)),
+      .agg(NativeFunctions.bloomAggNative(xxhash64(keyOf(col(textCol))),
         expectedItems, numBits).as("bf"))
       .collect()(0).getAs[Array[Byte]](0)) // null ⟺ empty history
   }
@@ -999,12 +1007,15 @@ object Dedup {
     * `maybe_seen` route and its negation partition the batch. */
   def bloomFlagsFromSketch(newDocs: DataFrame, idCol: String,
                            textCol: String,
-                           sketch: Option[Array[Byte]]): DataFrame = {
+                           sketch: Option[Array[Byte]],
+                           keyOf: Column => Column = identity)
+      : DataFrame = {
     import graft.plans.NativeFunctions
     NativeFunctions.register(newDocs.sparkSession)
     val flag = sketch match {
       case Some(bytes) =>
-        NativeFunctions.bloomMightContain(lit(bytes), xxhash64(col(textCol)))
+        NativeFunctions.bloomMightContain(lit(bytes),
+          xxhash64(keyOf(col(textCol))))
       case None => lit(false)
     }
     newDocs.select(col(idCol), col(textCol), flag.as("maybe_seen"))
@@ -1043,13 +1054,14 @@ object Dedup {
                       numHashes: Int = 64, bands: Int = 16,
                       shingleWords: Int = 3,
                       minJaccard: Double = 0.8,
-                      maxBucket: Int = 1000): DataFrame =
+                      maxBucket: Int = 1000,
+                      keyOf: Column => Column = identity): DataFrame =
     ingestAdmissionAgainstState(newDocs, seen,
-      buildSeenSketch(seen, textCol, expectedItems, numBits),
+      buildSeenSketch(seen, textCol, expectedItems, numBits, keyOf),
       minhashBands(seen, idCol, textCol, numHashes, bands, shingleWords)
         .withColumnRenamed(idCol, "seen_id"),
       idCol, textCol, numHashes, bands, shingleWords, minJaccard,
-      maxBucket)
+      maxBucket, keyOf)
 
   /**
    * [[ingestAdmission]] against PERSISTED state — the per-batch form:
@@ -1074,6 +1086,19 @@ object Dedup {
    * `shingleWords` words and texts whose bands are hot-key-capped;
    * rebuild from the corpus ([[buildSeenSketch]]) instead of passing
    * None, as the pipeline's bootstrap does.
+   *
+   * `keyOf` rewrites text before EVERY exact-stage hash (within-batch
+   * dedup, sketch probe, exact anti-join) — pass [[graft.functions
+   * .TextAnalysis.normalizeForDedup]] and a case-/punctuation-/digit-
+   * reformatted copy of history collides where the raw hash admits it
+   * (the CCNet key-normalization step; at 100 TB reformatted
+   * duplicates are the rule, not the edge case). CONTRACT: the
+   * persisted sketch must have been built with the SAME `keyOf`
+   * ([[buildSeenSketch]]'s parameter) or admission silently loses its
+   * no-false-negative guarantee. The near-dup gate deliberately stays
+   * on the RAW text: shingle signatures tolerate small edits by
+   * construction, and normalizing there would change every persisted
+   * band index.
    */
   def ingestAdmissionAgainstState(newDocs: DataFrame, seenTexts: DataFrame,
                                   sketch: Option[Array[Byte]],
@@ -1082,20 +1107,23 @@ object Dedup {
                                   numHashes: Int = 64, bands: Int = 16,
                                   shingleWords: Int = 3,
                                   minJaccard: Double = 0.8,
-                                  maxBucket: Int = 1000): DataFrame = {
+                                  maxBucket: Int = 1000,
+                                  keyOf: Column => Column = identity)
+      : DataFrame = {
     val batch = exact(
       newDocs.select(col(idCol), col(textCol),
-        md5(col(textCol).cast("binary")).as("__h")),
+        md5(keyOf(col(textCol)).cast("binary")).as("__h")),
       Seq("__h"), idCol).drop("__h")
     // checkpointed: the probe plan embeds the sketch as a numBits/8-byte
     // literal, and `flagged` fans out to two consumers — without the
     // truncation every downstream stage's task binary would carry the
     // sketch bytes and re-run the probe (batch-sized frame, cheap to pin)
-    val flagged = bloomFlagsFromSketch(batch, idCol, textCol, sketch)
+    val flagged = bloomFlagsFromSketch(batch, idCol, textCol, sketch, keyOf)
       .localCheckpoint(true)
     val clean = flagged.where(!col("maybe_seen")).drop("maybe_seen")
     val suspects = flagged.where(col("maybe_seen")).drop("maybe_seen")
-    val exactNovel = incrementalExact(suspects, seenTexts, idCol, textCol)
+    val exactNovel =
+      incrementalExact(suspects, seenTexts, idCol, textCol, keyOf)
     // checkpointed: four consumers (band projection, both candidate-id
     // semi-joins, the final anti-join) would each re-execute the
     // window + anti-join lineage above — again batch-sized

@@ -254,6 +254,25 @@ class DedupSpec extends SparkSpec {
     assert(got2 == Set(12L))
   }
 
+  test("ingestAdmission keyOf=normalizeForDedup rejects a case-only " +
+      "copy the raw path admits") {
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val history = Seq((100L, textA)).toDF("doc_id", "text")
+    // uppercased + punctuated copy: different exact hash AND different
+    // case-sensitive shingles — invisible to both raw gates
+    val batch = Seq((10L, textA.toUpperCase + "!!!"),
+      (11L, "novel completely unrelated content with many fresh words"))
+      .toDF("doc_id", "text")
+    val raw = Dedup.ingestAdmission(batch, history, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(raw == Set(10L, 11L)) // the reformatted copy slips through
+    val normed = Dedup.ingestAdmission(batch, history, "doc_id", "text",
+      keyOf = graft.functions.TextAnalysis.normalizeForDedup)
+      .select("doc_id").as[Long].collect().toSet
+    assert(normed == Set(11L)) // normalized key collides with history
+  }
+
   test("mergeSeenSketches: merged sketch flags both sides' texts") {
     val h1 = Seq((1L, "first history doc")).toDF("doc_id", "text")
     val h2 = Seq((2L, "second history doc")).toDF("doc_id", "text")
