@@ -4985,7 +4985,26 @@ object SparkEntry {
                     || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
                     THEN 'val'
                   ELSE 'test' END AS split
-              FROM capped""")))
+              FROM capped""")),
+
+    // spectral-peak constellation audio dedup (Wang 2003) over planted
+    // TIME-OFFSET copies — the case q_audio_fp_dedup's ZCR profile
+    // provably misses (MultimodalSpec pins that miss on this exact
+    // fixture): ids 1000+c are id c's melody behind 16 hops of
+    // silence. Offset voting puts every planted pair at 290 votes and
+    // chance tone collisions at ≤24 (deterministic fixture), so the
+    // 100-vote gate selects exactly the planted pairs — pure id
+    // arithmetic for the oracle
+    Q("q_audio_constellation",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        Multimodal.audioConstellationMatches(
+          Multimodal.syntheticShiftedAudioCorpus(s, nContents = 20,
+            nShifted = 10), minVotes = 100)
+          .select(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT i AS id_a, i + 1000 AS id_b
+              FROM generate_series(0, 9) t(i)""")))
 
   private val registry: Seq[Q] =
     parity ++ extensions ++ pipelines ++ round3 ++ round6 ++ round11

@@ -265,13 +265,13 @@ object Multimodal {
      * Hamming distance is the near-dup metric — the audio member of
      * the SimHash/pHash family, sharing their Manku blocking.
      *
-     * Deliberately simple, honestly bounded: production audio
-     * matching uses spectral-peak constellations (Wang 2003, the
-     * Shazam paper, public) or chroma bits (Chromaprint); this
-     * temporal profile is robust to gain/offset changes but NOT to
-     * time-shift or resampling. The distributed shape — fingerprint
-     * once, block, verify — is identical, so swapping the hash
-     * upgrades recall without touching any plumbing.
+     * Deliberately simple: this temporal profile is robust to
+     * gain/offset changes but NOT to time-shift or resampling — for
+     * those, use the spectral-peak constellation path
+     * ([[audioConstellation]] / [[Multimodal
+     * .audioConstellationMatches]], the Wang 2003 Shazam construction)
+     * whose landmark hashes are shift-invariant by design. Both share
+     * the fingerprint-once → block → verify distributed shape.
      */
     def audioFingerprint(bytes: Array[Byte]): Long = {
       val (_, samples) = pcmSamples(bytes)
@@ -301,6 +301,119 @@ object Multimodal {
         i += 1
       }
       bits
+    }
+
+    /** In-place iterative radix-2 Cooley–Tukey FFT; length must be a
+      * power of two. Plain-JDK, allocation-free beyond the caller's
+      * two arrays — fast enough for fingerprinting frames (512-point
+      * spectra), not a general DSP library. */
+    private def fft(re: Array[Double], im: Array[Double]): Unit = {
+      val n = re.length
+      // bit-reversal permutation
+      var j = 0
+      var i = 1
+      while (i < n) {
+        var bit = n >> 1
+        while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+        j |= bit
+        if (i < j) {
+          val tr = re(i); re(i) = re(j); re(j) = tr
+          val ti = im(i); im(i) = im(j); im(j) = ti
+        }
+        i += 1
+      }
+      var len = 2
+      while (len <= n) {
+        val ang = -2.0 * math.Pi / len
+        val wr = math.cos(ang)
+        val wi = math.sin(ang)
+        var base = 0
+        while (base < n) {
+          var cr = 1.0
+          var ci = 0.0
+          var k = 0
+          while (k < len / 2) {
+            val ur = re(base + k); val ui = im(base + k)
+            val vr0 = re(base + k + len / 2)
+            val vi0 = im(base + k + len / 2)
+            val vr = vr0 * cr - vi0 * ci
+            val vi = vr0 * ci + vi0 * cr
+            re(base + k) = ur + vr; im(base + k) = ui + vi
+            re(base + k + len / 2) = ur - vr
+            im(base + k + len / 2) = ui - vi
+            val ncr = cr * wr - ci * wi
+            ci = cr * wi + ci * wr
+            cr = ncr
+            k += 1
+          }
+          base += len
+        }
+        len <<= 1
+      }
+    }
+
+    /**
+     * Spectral-peak constellation landmarks (Wang 2003, the Shazam
+     * construction — public method): Hann-windowed `frameSize`-point
+     * STFT at `hop`-sample stride, the strongest spectral bin per
+     * frame (silent frames skipped), each anchor peak paired with the
+     * next `fanout` frames' peaks into `(f1, f2, Δt)` landmark hashes.
+     * Returns `(anchorFrame, hash)` pairs.
+     *
+     * This is the time-shift-robust upgrade over [[audioFingerprint]]:
+     * a delayed copy re-emits the SAME hash set (the hash encodes only
+     * frequencies and the frame delta), just at shifted anchor times —
+     * matching groups by hash and votes on the anchor-time OFFSET, so
+     * a constant shift lines every landmark up at one offset. The ZCR
+     * profile, whose segment grid moves with the shift, cannot see
+     * such a copy at any useful Hamming radius.
+     */
+    def audioConstellation(bytes: Array[Byte], frameSize: Int = 512,
+                           hop: Int = 256, fanout: Int = 5)
+        : Array[(Int, Long)] = {
+      require((frameSize & (frameSize - 1)) == 0,
+        s"frameSize must be a power of two, got $frameSize")
+      val (_, samples) = pcmSamples(bytes)
+      val nFrames = math.max(0, (samples.length - frameSize) / hop + 1)
+      val peaks = new Array[Int](nFrames) // bin index, -1 = silent
+      val re = new Array[Double](frameSize)
+      val im = new Array[Double](frameSize)
+      var f = 0
+      while (f < nFrames) {
+        var i = 0
+        while (i < frameSize) {
+          val w = 0.5 * (1 - math.cos(2 * math.Pi * i / (frameSize - 1)))
+          re(i) = samples(f * hop + i) * w
+          im(i) = 0.0
+          i += 1
+        }
+        fft(re, im)
+        var best = -1
+        var bestMag = 1e-6 // silence floor
+        var b = 1
+        while (b < frameSize / 2) {
+          val m = re(b) * re(b) + im(b) * im(b)
+          if (m > bestMag) { bestMag = m; best = b }
+          b += 1
+        }
+        peaks(f) = best
+        f += 1
+      }
+      val out = Array.newBuilder[(Int, Long)]
+      var a = 0
+      while (a < nFrames) {
+        if (peaks(a) >= 0) {
+          var k = 1
+          while (k <= fanout && a + k < nFrames) {
+            if (peaks(a + k) >= 0)
+              out += ((a, (peaks(a).toLong << 15) |
+                (peaks(a + k).toLong << 6) | k.toLong))
+            k += 1
+          }
+        }
+        a += 1
+      }
+      out.result()
     }
 
     /**
@@ -673,6 +786,58 @@ object Multimodal {
     graft.operators.Dedup.simhashPairsFromFingerprints(
       audioHashes(media), "media_id", "afp", maxHamming, maxBucket)
 
+  /** Landmark table `(media_id, t, lh)` from [[Codec
+    * .audioConstellation]]: one narrow mapPartitions over the payloads
+    * (bytes never shuffle), ~300 rows of 24 bytes per second of audio
+    * — the persisted index form for incremental audio-dup checks. */
+  def audioConstellationHashes(media: Dataset[MediaRow],
+                               frameSize: Int = 512, hop: Int = 256,
+                               fanout: Int = 5): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio")
+      .flatMap { r =>
+        scala.util.Try(
+          Codec.audioConstellation(r.bytes, frameSize, hop, fanout)
+            .toSeq.map { case (t, h) => (r.media_id, t, h) })
+          .getOrElse(Seq.empty)
+      }
+      .toDF("media_id", "t", "lh")
+  }
+
+  /**
+   * Time-offset-robust audio duplicate pairs `(id_a, id_b, votes)` by
+   * constellation matching (Wang 2003): landmarks sharing a hash
+   * become candidate pairs, each voting for the anchor-time offset
+   * `ta - tb`; a true (possibly delayed) copy concentrates its votes
+   * at ONE offset, chance hash collisions scatter across offsets, so
+   * `votes = max per-offset count ≥ minVotes` separates them cleanly.
+   * The plan is the banded-LSH shape: self-join ON THE HASH (bucket
+   * join, no cross product), hot hashes (a landmark shared by >
+   * `maxBucket` clips — the constellation analog of the empty-doc
+   * signature) dropped before the join, two partial-aggregated
+   * groupBys after it. The landmark frame is checkpointed: both join
+   * sides reuse it without re-decoding every payload.
+   */
+  def audioConstellationMatches(media: Dataset[MediaRow],
+                                minVotes: Int = 32,
+                                maxBucket: Int = 1000): DataFrame = {
+    val hs = audioConstellationHashes(media).localCheckpoint(true)
+    val hot = hs.groupBy(col("lh")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxBucket).select(col("lh"))
+    val pruned = hs.join(hot, Seq("lh"), "left_anti")
+    val a = pruned.select(col("lh"), col("media_id").as("id_a"),
+      col("t").as("ta"))
+    val b = pruned.select(col("lh"), col("media_id").as("id_b"),
+      col("t").as("tb"))
+    a.join(b, Seq("lh")).where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"),
+        (col("ta") - col("tb")).as("off"))
+      .agg(count(lit(1)).as("__votes"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("__votes")).as("votes"))
+      .where(col("votes") >= minVotes)
+  }
+
   /**
    * Deterministic audio corpus with planted duplicates: `nContents`
    * distinct tone SEQUENCES (64 segments, content-keyed frequency per
@@ -738,14 +903,76 @@ object Multimodal {
       }
       s += 1
     }
+    wavFromPcm(pcm, sampleRate)
+  }
+
+  /** 16-bit mono little-endian PCM bytes → a real WAV container. */
+  private def wavFromPcm(pcm: Array[Byte], sampleRate: Int): Array[Byte] = {
     val fmt = new javax.sound.sampled.AudioFormat(
       sampleRate.toFloat, 16, 1, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / 2L)
     val out = new java.io.ByteArrayOutputStream()
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
+  }
+
+  /** Content-keyed melody PCM for the constellation fixture: 64 equal
+    * segments, each playing one of 128 tone steps (vs
+    * [[toneSequenceWav]]'s 12 — fine enough that two DIFFERENT
+    * contents almost never put the same spectral peak in the same
+    * segment, keeping chance constellation agreement near zero). */
+  private def melodyPcm(content: Long,
+                        sampleRate: Int = 16000): Array[Byte] = {
+    val segs = 64
+    val n = sampleRate
+    val perSeg = n / segs
+    val pcm = new Array[Byte](n * 2)
+    var s = 0
+    while (s < segs) {
+      val mix = content * 2246822519L + s * 3266489917L
+      val tone = math.floorMod(mix ^ (mix >>> 15), 128L)
+      val freq = 300.0 + tone * 18.0
+      var i = 0
+      while (i < perSeg) {
+        val k = s * perSeg + i
+        val v = (math.sin(2 * math.Pi * freq * i / sampleRate) * 0.6
+          * 32767).toInt
+        pcm(2 * k) = (v & 0xFF).toByte
+        pcm(2 * k + 1) = ((v >> 8) & 0xFF).toByte
+        i += 1
+      }
+      s += 1
+    }
+    pcm
+  }
+
+  /**
+   * Audio corpus with planted TIME-OFFSET duplicates — the case the
+   * ZCR profile fingerprint provably misses (a shift moves its segment
+   * grid, flipping far more than `maxHamming` bits) and spectral-peak
+   * constellations catch by construction: ids `0 until nContents` are
+   * distinct melodies; ids `1000 + c` for `c < nShifted` are the same
+   * melody as id `c` with 4096 samples (16 hops at the default 256) of
+   * leading silence, so every landmark recurs at a constant frame
+   * offset of exactly 16.
+   */
+  def syntheticShiftedAudioCorpus(spark: SparkSession, nContents: Int,
+                                  nShifted: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    require(nShifted <= nContents, "shifted copies need a source")
+    val ids = spark.range(nContents.toLong)
+      .union(spark.range(1000L, 1000L + nShifted)).as[Long]
+    ids.map { id =>
+      val content = if (id >= 1000L) id - 1000L else id
+      val melody = melodyPcm(content)
+      val pcm = if (id >= 1000L)
+        new Array[Byte](4096 * 2) ++ melody
+      else melody
+      MediaRow(id, "audio", wavFromPcm(pcm, 16000),
+        MediaMeta(0, 0, 16000, 1))
+    }
   }
 
   /** Column-level helper: payload size histogram — plumbing sanity. */

@@ -314,4 +314,26 @@ class MultimodalSpec extends SparkSpec {
     } yield (a, b)).toSet
     assert(pairs == expected)
   }
+
+  test("constellation matching catches time-offset copies the ZCR " +
+      "fingerprint misses; chance collisions stay far below the gate") {
+    val corpus = Multimodal.syntheticShiftedAudioCorpus(spark, 20, 10)
+    val planted = (0L until 10L).map(c => (c, c + 1000L)).toSet
+    // the ZCR profile cannot see a 16-hop delay at any useful radius
+    val zcr = Multimodal.audioNearDuplicates(corpus, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(zcr.intersect(planted).isEmpty)
+    // constellation offset voting: planted pairs at max votes, chance
+    // tone collisions an order of magnitude below the 100-vote gate
+    val all = Multimodal.audioConstellationMatches(corpus, minVotes = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    planted.foreach(p => assert(all(p) >= 250, s"weak planted pair $p"))
+    val chanceMax = (all -- planted).values.maxOption.getOrElse(0L)
+    assert(chanceMax < 50, s"chance collision too strong: $chanceMax")
+    val gated = Multimodal.audioConstellationMatches(corpus,
+      minVotes = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gated == planted)
+  }
 }
