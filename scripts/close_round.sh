@@ -47,6 +47,39 @@ fi
 TESTS=$(grep -o "Tests: succeeded [0-9]*" /tmp/close_round_test.txt)
 PASS=$(tail -1 /tmp/close_round_compare.txt)
 ROWS=$(grep -c "^rows" /tmp/close_round_compare.txt || true)
+# Orphan-function guard (the round-10 failure class): every public
+# function added since the previous round-close must be referenced
+# somewhere OUTSIDE its defining file — a query, a test, or another
+# operator. A def that only its own file mentions shipped with zero
+# proof and fails the close.
+echo "[close] orphan-function guard"
+BASE=$(git log --oneline | grep -m1 -E "round [0-9]+: end-of-round|Round [0-9]+ close" | cut -d' ' -f1 || true)
+ORPHANS=""
+if [ -n "${BASE}" ]; then
+  # member-level public defs only (2-4 space indent; local defs sit
+  # deeper or get cleared by the cross-file reference check below);
+  # >3-char names to skip loop-helper noise
+  NEWDEFS=$(git diff "${BASE}"..HEAD -- 'src/main/scala/*.scala' \
+    | grep -E '^\+ {2,4}def [a-zA-Z][a-zA-Z0-9_]{3,}' \
+    | grep -vE 'private|override' \
+    | sed -E 's/^\+ +def ([a-zA-Z0-9_]+).*/\1/' | sort -u)
+  for fn in ${NEWDEFS}; do
+    # uses = occurrences anywhere in src/ that are not the definition
+    # line itself (round 10's orphans had exactly zero such lines)
+    USES=$(grep -rh --include='*.scala' -w "${fn}" src/ \
+      | grep -cvE "def ${fn}\b" || true)
+    if [ "${USES}" -eq 0 ]; then
+      ORPHANS="${ORPHANS} ${fn}"
+    fi
+  done
+fi
+if [ -n "${ORPHANS}" ]; then
+  echo "[close] RED GATE — public functions added this round with no"
+  echo "        reference outside their defining file:${ORPHANS}"
+  echo "        wire each into a query/spec or make it private."
+  exit 1
+fi
+
 {
   echo "# CLOSEOUT round ${ROUND}"
   echo
