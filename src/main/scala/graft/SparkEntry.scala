@@ -5004,6 +5004,25 @@ object SparkEntry {
           .select(col("id_a"), col("id_b"))
       },
       Some("""SELECT i AS id_a, i + 1000 AS id_b
+              FROM generate_series(0, 9) t(i)""")),
+
+    // incremental constellation probe: history clips (ids 0-19) are
+    // landmark-indexed ONCE; the batch (their 16-hop-delayed copies,
+    // ids 1000-1009) probes the index — per-batch cost is the touched
+    // index rows, history audio never re-decoded. Planted arithmetic
+    // oracle like q_audio_constellation
+    Q("q_audio_constellation_incremental",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        val corpus = Multimodal.syntheticShiftedAudioCorpus(s,
+          nContents = 20, nShifted = 10)
+        val history = corpus.filter(_.media_id < 1000L)
+        val batch = corpus.filter(_.media_id >= 1000L)
+        Multimodal.audioConstellationProbeIndex(batch,
+          Multimodal.audioConstellationHashes(history), minVotes = 100)
+          .select(col("new_id"), col("seen_id"))
+      },
+      Some("""SELECT i + 1000 AS new_id, i AS seen_id
               FROM generate_series(0, 9) t(i)""")))
 
   private val registry: Seq[Q] =

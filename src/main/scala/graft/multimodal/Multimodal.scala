@@ -786,6 +786,44 @@ object Multimodal {
     graft.operators.Dedup.simhashPairsFromFingerprints(
       audioHashes(media), "media_id", "afp", maxHamming, maxBucket)
 
+  /**
+   * Offset-voted probe of a NEW audio batch against a PERSISTED
+   * landmark index (`(media_id, t, lh)` rows from
+   * [[audioConstellationHashes]], appended once per ingested batch) —
+   * the constellation member of the incremental family
+   * ([[graft.operators.Dedup.simhashProbeIndex]] discipline): history
+   * audio is decoded and FFT'd exactly ONCE; per batch it
+   * participates through fixed-width index rows restricted to the
+   * batch's landmark hashes by a semi-join BEFORE any aggregation,
+   * with hot hashes (> `maxBucket` touched index rows) excluded.
+   * Returns `(new_id, seen_id, votes)` at `minVotes`+ — a delayed or
+   * re-encoded copy of an indexed clip concentrates its votes at one
+   * anchor offset exactly as in [[audioConstellationMatches]].
+   */
+  def audioConstellationProbeIndex(batch: Dataset[MediaRow],
+                                   index: DataFrame,
+                                   minVotes: Int = 32,
+                                   maxBucket: Int = 1000,
+                                   frameSize: Int = 512, hop: Int = 256,
+                                   fanout: Int = 5): DataFrame = {
+    val bh = audioConstellationHashes(batch, frameSize, hop, fanout)
+      .localCheckpoint(true) // three consumers; don't re-decode per use
+      .select(col("media_id").as("new_id"), col("t").as("tn"), col("lh"))
+    val touched = index
+      .select(col("media_id").as("seen_id"), col("t").as("ts"), col("lh"))
+      .join(bh.select(col("lh")).distinct(), Seq("lh"), "left_semi")
+    val hot = touched.groupBy(col("lh")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxBucket).select(col("lh"))
+    bh.join(hot, Seq("lh"), "left_anti")
+      .join(touched, Seq("lh"))
+      .groupBy(col("new_id"), col("seen_id"),
+        (col("tn") - col("ts")).as("off"))
+      .agg(count(lit(1)).as("__votes"))
+      .groupBy(col("new_id"), col("seen_id"))
+      .agg(max(col("__votes")).as("votes"))
+      .where(col("votes") >= minVotes)
+  }
+
   /** Landmark table `(media_id, t, lh)` from [[Codec
     * .audioConstellation]]: one narrow mapPartitions over the payloads
     * (bytes never shuffle), ~300 rows of 24 bytes per second of audio

@@ -336,4 +336,22 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gated == planted)
   }
+
+  test("audioConstellationProbeIndex: batch vs persisted landmark " +
+      "index finds exactly the planted delayed copies") {
+    val corpus = Multimodal.syntheticShiftedAudioCorpus(spark, 20, 10)
+    val index = Multimodal.audioConstellationHashes(
+      corpus.filter(_.media_id < 1000L))
+    val batch = corpus.filter(_.media_id >= 1000L)
+    val got = Multimodal.audioConstellationProbeIndex(batch, index,
+      minVotes = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0L until 10L).map(c => (c + 1000L, c)).toSet)
+    // a probe with an empty index finds nothing and stays well-typed
+    val empty = index.limit(0)
+    val none = Multimodal.audioConstellationProbeIndex(batch, empty,
+      minVotes = 1)
+    assert(none.columns.toSeq == Seq("new_id", "seen_id", "votes"))
+    assert(none.count() == 0)
+  }
 }
