@@ -154,6 +154,48 @@ class PropertySpec extends SparkSpec {
       minSuccessful = 100)
   }
 
+  test("tokens(): array_remove form ≡ independent trim-split reference " +
+      "on whitespace-ridden strings; normalizeForDedup idempotent; " +
+      "langid native ≡ HOF") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextAnalysis
+    // generator biased toward the \s class and edge cases — the
+    // whitespace handling is exactly what round 11 changed
+    val charGen = Gen.frequency(
+      5 -> Gen.choose('a', 'z'),
+      3 -> Gen.oneOf(' ', '\t', '\n', '\r', '\f', '\u000B'),
+      1 -> Gen.oneOf('é', '中', '!', '3', 'の'))
+    val gen = Gen.listOf(charGen).map(_.mkString)
+    val crafted = Seq("", " ", "\t", "\n", " \r\n ", "a", " a ", "\ta\n",
+      "ab", "the  cat", "…", "of\tand")
+    val strings = crafted ++
+      (1 to 300).flatMap(_ => gen.sample) ++
+      // profile-gram-rich rows so the langid comparison exercises wins
+      SparkEntry.langIdPlants.map(_._2)
+    // independent JVM reference (NOT NativeText — a third opinion):
+    // strip the Java \s class at the edges, split interior runs
+    def ref(s: String): Seq[String] = {
+      val t = s.replaceAll("^\\s+|\\s+$", "")
+      if (t.isEmpty) Seq.empty else t.split("\\s+").toSeq
+    }
+    graft.plans.NativeFunctions.register(spark)
+    val rows = strings.toDF("t").select(
+      col("t"),
+      TextAnalysis.tokens(col("t")).as("toks"),
+      TextAnalysis.normalizeForDedup(col("t")).as("k1"),
+      TextAnalysis.normalizeForDedup(
+        TextAnalysis.normalizeForDedup(col("t"))).as("k2"),
+      TextAnalysis.langIdCharNgram(col("t")).as("hof"),
+      graft.plans.NativeFunctions.langIdNgramNative(col("t")).as("nat"))
+      .collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getSeq[String](1) == ref(t), s"tokens mismatch on ${t.map(_.toInt)}")
+      assert(r.getString(2) == r.getString(3), s"normalize not idempotent on ${t.map(_.toInt)}")
+      assert(r.getString(4) == r.getString(5), s"langid native/HOF split on ${t.map(_.toInt)}")
+    }
+  }
+
   test("deterministicShuffle is a bijection onto contiguous positions") {
     // property over random key sets: every input row appears exactly
     // once, shards partition the rows, and positions within a shard
