@@ -5023,7 +5023,55 @@ object SparkEntry {
           .select(col("new_id"), col("seen_id"))
       },
       Some("""SELECT i + 1000 AS new_id, i AS seen_id
-              FROM generate_series(0, 9) t(i)""")))
+              FROM generate_series(0, 9) t(i)""")),
+
+    // language-ID at pipeline altitude: native char-ngram classifier
+    // feeds the mixture rebalancer (the q_gopher_pipeline move for
+    // langid) — planted multilingual corpus, target blend en/zh/ru/ar
+    // 40/30/20/10, every other language dropped. The oracle replays
+    // the classifier as the planted CASE, the scarcest-source-binds
+    // fraction plan, and the deterministic sampler's md5 threshold
+    Q("q_langid_mixture",
+      (s, d) => {
+        graft.plans.NativeFunctions.register(s)
+        val plants = array(langIdPlants.map(p => lit(p._2)): _*)
+        val docs = s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"),
+            graft.plans.NativeFunctions.langIdNgramNative(
+              element_at(plants,
+                (col("doc_id") % langIdPlants.size + 1).cast("int")))
+              .as("lang_pred"))
+          .withColumn("w", lit(1L))
+        graft.operators.Mixture.rebalance(docs, "doc_id", "lang_pred",
+          "w", Map("en" -> 0.4, "zh" -> 0.3, "ru" -> 0.2, "ar" -> 0.1),
+          salt = "lang")
+          .groupBy(col("lang_pred")).agg(count(lit(1)).as("n_kept"))
+      },
+      Some {
+        val n = langIdPlants.size
+        val cases = langIdPlants.zipWithIndex.map { case ((l, _), i) =>
+          s"WHEN $i THEN '$l'" }.mkString(" ")
+        s"""WITH lp AS (SELECT doc_id, CASE CAST(doc_id % $n AS INT)
+              $cases END AS lang_pred FROM documents),
+            m AS (SELECT lang_pred, COUNT(*) AS mass FROM lp
+              GROUP BY lang_pred),
+            w AS (SELECT * FROM (VALUES ('en', CAST(0.4 AS DOUBLE)),
+              ('zh', CAST(0.3 AS DOUBLE)), ('ru', CAST(0.2 AS DOUBLE)),
+              ('ar', CAST(0.1 AS DOUBLE))) t(lang_pred, share)),
+            f AS (SELECT m.lang_pred, LEAST(1.0, w.share *
+                (SELECT MIN(m2.mass / w2.share) FROM m m2
+                  JOIN w w2 USING (lang_pred)) / m.mass) AS frac
+              FROM m JOIN w USING (lang_pred)),
+            thr AS (SELECT lang_pred,
+              CASE WHEN frac >= 1.0 - 1e-12 THEN 'g'
+                ELSE printf('%04x', CAST(LEAST(floor(frac * 65536),
+                  65535) AS INTEGER)) END AS th FROM f)
+            SELECT lp.lang_pred, COUNT(*) AS n_kept
+            FROM lp JOIN thr USING (lang_pred)
+            WHERE substr(md5('lang' || CAST(lp.doc_id AS VARCHAR)), 1, 4)
+              < thr.th
+            GROUP BY lp.lang_pred"""
+      }))
 
   private val registry: Seq[Q] =
     parity ++ extensions ++ pipelines ++ round3 ++ round6 ++ round11

@@ -10,8 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("registry counts match the documented surface") {
-    assert(SparkEntry.queries.size == 185)
-    assert(SparkEntry.oracleSql.size == 178)
+    assert(SparkEntry.queries.size == 186)
+    assert(SparkEntry.oracleSql.size == 179)
   }
 
   test("no oracle carries a lone '|' outside string literals") {
