@@ -5025,6 +5025,39 @@ object SparkEntry {
       Some("""SELECT i + 1000 AS new_id, i AS seen_id
               FROM generate_series(0, 9) t(i)""")),
 
+    // frame-sequence video dedup with offset voting — the video
+    // analog of q_audio_constellation: ids 1000+c are id c's 8-frame
+    // clip behind a 3-frame intro; every content frame recurs at
+    // offset 3 (8 votes), chance exact-pHash collisions are zero on
+    // this fixture, and the middle-frame fingerprint provably misses
+    // the copies (MultimodalSpec pins both)
+    Q("q_video_sequence",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        Multimodal.videoSequenceMatches(
+          Multimodal.syntheticShiftedVideoCorpus(s, nContents = 12,
+            nShifted = 6), minVotes = 5)
+          .select(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT i AS id_a, i + 1000 AS id_b
+              FROM generate_series(0, 5) t(i)""")),
+
+    // its incremental form: history frame-hash index built once, the
+    // intro-prepended copies probe it
+    Q("q_video_sequence_incremental",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        val corpus = Multimodal.syntheticShiftedVideoCorpus(s,
+          nContents = 12, nShifted = 6)
+        Multimodal.videoSequenceProbeIndex(
+          corpus.filter(_.media_id >= 1000L),
+          Multimodal.videoFrameHashes(
+            corpus.filter(_.media_id < 1000L)), minVotes = 5)
+          .select(col("new_id"), col("seen_id"))
+      },
+      Some("""SELECT i + 1000 AS new_id, i AS seen_id
+              FROM generate_series(0, 5) t(i)""")),
+
     // language-ID at pipeline altitude: native char-ngram classifier
     // feeds the mixture rebalancer (the q_gopher_pipeline move for
     // langid) — planted multilingual corpus, target blend en/zh/ru/ar

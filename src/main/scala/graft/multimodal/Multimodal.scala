@@ -805,10 +805,35 @@ object Multimodal {
                                    minVotes: Int = 32,
                                    maxBucket: Int = 1000,
                                    frameSize: Int = 512, hop: Int = 256,
-                                   fanout: Int = 5): DataFrame = {
-    val bh = audioConstellationHashes(batch, frameSize, hop, fanout)
-      .localCheckpoint(true) // three consumers; don't re-decode per use
-      .select(col("media_id").as("new_id"), col("t").as("tn"), col("lh"))
+                                   fanout: Int = 5): DataFrame =
+    offsetVotedProbe(
+      audioConstellationHashes(batch, frameSize, hop, fanout)
+        .localCheckpoint(true), // three consumers; decode batch once
+      index, minVotes, maxBucket)
+
+  /** [[videoSequenceMatches]] in incremental form: a new video batch
+    * probes a PERSISTED per-frame pHash index
+    * ([[videoFrameHashes]] output, appended per ingested batch) —
+    * history clips are never re-decoded, the
+    * [[audioConstellationProbeIndex]] discipline frame for frame. */
+  def videoSequenceProbeIndex(batch: Dataset[MediaRow],
+                              index: DataFrame,
+                              minVotes: Int = 5,
+                              maxBucket: Int = 1000): DataFrame =
+    offsetVotedProbe(videoFrameHashes(batch).localCheckpoint(true),
+      index, minVotes, maxBucket)
+
+  /** Shared batch-vs-index offset voting behind the audio and video
+    * incremental probes: `bh` is the batch's `(media_id, t, lh)` hash
+    * table (checkpointed by the caller), `index` the persisted one.
+    * Index rows are restricted to batch-touched hashes by a semi-join
+    * BEFORE any aggregation; hot hashes among the touched set are
+    * excluded. Returns `(new_id, seen_id, votes ≥ minVotes)`. */
+  private def offsetVotedProbe(bh0: DataFrame, index: DataFrame,
+                               minVotes: Int, maxBucket: Int)
+      : DataFrame = {
+    val bh = bh0.select(col("media_id").as("new_id"),
+      col("t").as("tn"), col("lh"))
     val touched = index
       .select(col("media_id").as("seen_id"), col("t").as("ts"), col("lh"))
       .join(bh.select(col("lh")).distinct(), Seq("lh"), "left_semi")
@@ -842,24 +867,21 @@ object Multimodal {
       .toDF("media_id", "t", "lh")
   }
 
-  /**
-   * Time-offset-robust audio duplicate pairs `(id_a, id_b, votes)` by
-   * constellation matching (Wang 2003): landmarks sharing a hash
-   * become candidate pairs, each voting for the anchor-time offset
-   * `ta - tb`; a true (possibly delayed) copy concentrates its votes
-   * at ONE offset, chance hash collisions scatter across offsets, so
-   * `votes = max per-offset count ≥ minVotes` separates them cleanly.
-   * The plan is the banded-LSH shape: self-join ON THE HASH (bucket
-   * join, no cross product), hot hashes (a landmark shared by >
-   * `maxBucket` clips — the constellation analog of the empty-doc
-   * signature) dropped before the join, two partial-aggregated
-   * groupBys after it. The landmark frame is checkpointed: both join
-   * sides reuse it without re-decoding every payload.
-   */
-  def audioConstellationMatches(media: Dataset[MediaRow],
-                                minVotes: Int = 32,
-                                maxBucket: Int = 1000): DataFrame = {
-    val hs = audioConstellationHashes(media).localCheckpoint(true)
+  /** Shared offset-voting core behind the audio-constellation and
+    * video-frame-sequence matchers — input is a `(media_id, t, lh)`
+    * hash table (landmark hashes with anchor frames, or per-frame
+    * pHashes with frame indices). Hashes shared by two clips become
+    * candidate pairs voting for the time offset `ta - tb`; a true
+    * (possibly delayed) copy concentrates its votes at ONE offset
+    * while chance collisions scatter, so `votes = max per-offset
+    * count ≥ minVotes` separates them. The plan is the banded-LSH
+    * shape: self-join ON THE HASH (bucket join, no cross product),
+    * hot hashes (> `maxBucket` clips — the analog of the empty-doc
+    * signature) dropped before the join, two partial-aggregated
+    * groupBys after it. `hs` is checkpointed by the callers so both
+    * join sides reuse it without re-decoding payloads. */
+  private def offsetVotedPairs(hs: DataFrame, minVotes: Int,
+                               maxBucket: Int): DataFrame = {
     val hot = hs.groupBy(col("lh")).agg(count(lit(1)).as("__n"))
       .where(col("__n") > maxBucket).select(col("lh"))
     val pruned = hs.join(hot, Seq("lh"), "left_anti")
@@ -875,6 +897,57 @@ object Multimodal {
       .agg(max(col("__votes")).as("votes"))
       .where(col("votes") >= minVotes)
   }
+
+  /**
+   * Time-offset-robust audio duplicate pairs `(id_a, id_b, votes)` by
+   * constellation matching (Wang 2003) — [[offsetVotedPairs]] over
+   * [[audioConstellationHashes]].
+   */
+  def audioConstellationMatches(media: Dataset[MediaRow],
+                                minVotes: Int = 32,
+                                maxBucket: Int = 1000): DataFrame =
+    offsetVotedPairs(
+      audioConstellationHashes(media).localCheckpoint(true),
+      minVotes, maxBucket)
+
+  /** Per-frame pHash sequence `(media_id, t, lh)` for video rows —
+    * frame index as the time axis, the frame's 64-bit pHash as the
+    * hash. Same skip-corrupt contract and narrow-map shape as
+    * [[videoHashes]]; this is the persisted index form for
+    * sequence-level (trim/delay-robust) video dedup, where
+    * [[videoHashes]]'s single middle frame is the cheap whole-clip
+    * fingerprint. */
+  def videoFrameHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video")
+      .flatMap { r =>
+        scala.util.Try {
+          val frames = Codec.splitMjpegFrames(r.bytes)
+          require(frames.nonEmpty, "no decodable MJPEG frames")
+          frames.zipWithIndex.map { case (fb, i) =>
+            (r.media_id, i, Codec.imagePHash(fb)) }
+        }.getOrElse(Seq.empty)
+      }
+      .toDF("media_id", "t", "lh")
+  }
+
+  /**
+   * Time-offset-robust VIDEO duplicate pairs `(id_a, id_b, votes)`:
+   * [[offsetVotedPairs]] over the per-frame pHash sequence — the
+   * video analog of [[audioConstellationMatches]], catching
+   * trimmed/delayed/intro-prepended copies that the middle-frame
+   * fingerprint provably misses (the shifted middle lands on a
+   * DIFFERENT source frame; consecutive-frame pHashes in real clips
+   * sit well past any useful Hamming radius — MultimodalSpec pins
+   * the miss and the catch on one fixture). `votes` = aligned frame
+   * count at the best offset, so `minVotes` is the minimum shared-
+   * subsequence length that counts as a duplicate.
+   */
+  def videoSequenceMatches(media: Dataset[MediaRow],
+                           minVotes: Int = 5,
+                           maxBucket: Int = 1000): DataFrame =
+    offsetVotedPairs(videoFrameHashes(media).localCheckpoint(true),
+      minVotes, maxBucket)
 
   /**
    * Deterministic audio corpus with planted duplicates: `nContents`
@@ -912,6 +985,36 @@ object Multimodal {
       val h = 64 + (content % 3).toInt * 16
       MediaRow(id, "video", syntheticMjpeg(content, w, h, frames = 5),
         MediaMeta(w, h, 0, 5))
+    }
+  }
+
+  /**
+   * Video corpus with planted TIME-OFFSET duplicates — the
+   * [[syntheticShiftedAudioCorpus]] construction for video: ids
+   * `0 until nContents` are distinct 8-frame MJPEG clips; ids
+   * `1000 + c` for `c < nShifted` are id `c`'s clip with a 3-frame
+   * content-keyed intro prepended (MJPEG is frame-concatenative, so
+   * the byte concat IS a valid clip). Every content frame recurs at a
+   * constant frame offset of exactly 3 — the case [[videoHashes]]'s
+   * middle-frame fingerprint provably misses (the shifted middle
+   * lands on a different source frame).
+   */
+  def syntheticShiftedVideoCorpus(spark: SparkSession, nContents: Int,
+                                  nShifted: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    require(nShifted <= nContents, "shifted copies need a source")
+    val ids = spark.range(nContents.toLong)
+      .union(spark.range(1000L, 1000L + nShifted)).as[Long]
+    ids.map { id =>
+      val content = if (id >= 1000L) id - 1000L else id
+      val w = 64 + (content % 4).toInt * 16
+      val h = 64 + (content % 3).toInt * 16
+      val body = syntheticMjpeg(content, w, h, frames = 8)
+      val bytes = if (id >= 1000L)
+        syntheticMjpeg(5000L + content, w, h, frames = 3) ++ body
+      else body
+      MediaRow(id, "video", bytes, MediaMeta(w, h, 0,
+        if (id >= 1000L) 11 else 8))
     }
   }
 

@@ -337,6 +337,31 @@ class MultimodalSpec extends SparkSpec {
     assert(gated == planted)
   }
 
+  test("videoSequenceMatches catches intro-prepended copies the " +
+      "middle-frame fingerprint misses; probe form agrees") {
+    val corpus = Multimodal.syntheticShiftedVideoCorpus(spark, 12, 6)
+    val planted = (0L until 6L).map(c => (c, c + 1000L)).toSet
+    // middle-frame fingerprint: shifted middle lands on a different
+    // source frame — no pair at any useful radius
+    val mid = Multimodal.videoNearDuplicates(corpus, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mid.intersect(planted).isEmpty)
+    // sequence voting: all 8 content frames align at offset 3; zero
+    // chance collisions on this fixture
+    val all = Multimodal.videoSequenceMatches(corpus, minVotes = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(all.keySet == planted)
+    planted.foreach(p => assert(all(p) == 8L, s"pair $p votes ${all(p)}"))
+    // incremental probe against the originals' frame-hash index
+    val probed = Multimodal.videoSequenceProbeIndex(
+      corpus.filter(_.media_id >= 1000L),
+      Multimodal.videoFrameHashes(corpus.filter(_.media_id < 1000L)),
+      minVotes = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed == planted.map { case (a, b) => (b, a) })
+  }
+
   test("audioConstellationProbeIndex: batch vs persisted landmark " +
       "index finds exactly the planted delayed copies") {
     val corpus = Multimodal.syntheticShiftedAudioCorpus(spark, 20, 10)
