@@ -621,10 +621,35 @@ object TextAnalysis {
    * columns are rounded to 4 decimals for engine-portable comparison.
    * One narrow map stage — the 100 TB decision pass reads each
    * document once and shuffles nothing.
+   *
+   * `useNative = true` (default) computes all nine outputs through
+   * [[graft.plans.GopherSignalsExpr]] — one fused static call per row
+   * instead of a projection of interpreted HOF lambdas that
+   * re-tokenizes per signal (0.52 s → ~0.1 s for q_gopher_signals at
+   * sf0.1). `false` keeps the HOF reference form below;
+   * TextAnalysisSpec property-tests the two forms equal on arbitrary
+   * strings.
    */
   def gopherSignals(docs: DataFrame, idCol: String, textCol: String,
-                    minWords: Int = 50, maxWords: Int = 100000)
-      : DataFrame = {
+                    minWords: Int = 50, maxWords: Int = 100000,
+                    useNative: Boolean = true): DataFrame = {
+    if (useNative) {
+      graft.plans.NativeFunctions.register(docs.sparkSession)
+      val g = graft.plans.NativeFunctions.gopherSignalsNative(
+        col(textCol), minWords, maxWords)
+      return docs.select(col(idCol), g.as("__g"))
+        .select(col(idCol),
+          col("__g.n_words").as("n_words"),
+          round(col("__g.mean_word_len"), 4).as("mean_word_len"),
+          round(col("__g.hash_ratio"), 4).as("hash_ratio"),
+          round(col("__g.ellipsis_ratio"), 4).as("ellipsis_ratio"),
+          round(col("__g.alpha_word_frac"), 4).as("alpha_word_frac"),
+          round(col("__g.bullet_line_frac"), 4).as("bullet_line_frac"),
+          round(col("__g.ellipsis_line_frac"), 4)
+            .as("ellipsis_line_frac"),
+          col("__g.stop_hits").as("stop_hits"),
+          col("__g.keep").as("keep"))
+    }
     val t = col(textCol)
     val toks = tokens(t)
     val nWords = size(toks)

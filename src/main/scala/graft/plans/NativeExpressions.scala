@@ -688,6 +688,177 @@ private[plans] object LangIdNgram {
   }
 }
 
+/** Shared one-pass computation behind [[GopherSignalsExpr]] —
+  * replicates [[graft.functions.TextAnalysis.gopherSignals]]'s column
+  * arithmetic EXACTLY (a parity property test in TextAnalysisSpec
+  * compares the two forms over arbitrary strings):
+  * [[NativeText.tokens]] for the word tier; precompiled Java
+  * `Pattern`s for the `\p{L}` / edge-`[\p{P}\p{S}]` classes (the SAME
+  * regex engine Spark's rlike/regexp_replace use, so the character
+  * classes cannot drift); space-only `trim` on lines, like Spark's
+  * `trim`. */
+private[plans] object GopherSignals {
+
+  private val letter = java.util.regex.Pattern.compile("\\p{L}")
+  private val edgePunct =
+    java.util.regex.Pattern.compile("^[\\p{P}\\p{S}]+|[\\p{P}\\p{S}]+$")
+  private val stopwords =
+    graft.functions.TextAnalysis.gopherStopwords.toSet
+
+  private def trimSpaces(s: String): String = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s.substring(b, e)
+  }
+
+  /** Non-overlapping occurrences — regexp_count semantics. */
+  private def countSub(hay: String, needle: String): Int = {
+    var n = 0
+    var i = hay.indexOf(needle)
+    while (i >= 0) { n += 1; i = hay.indexOf(needle, i + needle.length) }
+    n
+  }
+
+  /** Java regex `$` (default mode) also matches just before a FINAL
+    * line terminator — replicate by ignoring one trailing
+    * `\r\n | \n | \r | U+0085 | U+2028 | U+2029` (a bare `\r` at line
+    * end survives the `\r?\n` split and would otherwise diverge from
+    * the HOF form's rlike anchors). */
+  private def dollarBase(l: String): String = {
+    if (l.isEmpty) return l
+    l.charAt(l.length - 1) match {
+      case '\n' =>
+        if (l.length >= 2 && l.charAt(l.length - 2) == '\r')
+          l.substring(0, l.length - 2)
+        else l.substring(0, l.length - 1)
+      case '\r' | '\u0085' | '\u2028' | '\u2029' =>
+        l.substring(0, l.length - 1)
+      case _ => l
+    }
+  }
+
+  private def isBullet(trimmed: String): Boolean = {
+    if (trimmed.isEmpty) return false
+    val c = trimmed.charAt(0)
+    if (c == '•' || c == '‣' || c == '◦' || c == '·' || c == '–') true
+    else if (c == '-' || c == '*') {
+      val b = dollarBase(trimmed)
+      b.length == 1 || (b.length > 1 && b.charAt(1) == ' ') ||
+        trimmed.charAt(1) == ' '
+    } else false
+  }
+
+  def compute(u: org.apache.spark.unsafe.types.UTF8String,
+              minWords: Int, maxWords: Int): org.apache.spark.sql
+      .catalyst.InternalRow = {
+    val s = u.toString
+    val toks = NativeText.tokens(s)
+    val n = toks.length
+    var sumLen = 0
+    var alpha = 0
+    var ti = 0
+    while (ti < toks.length) {
+      val w = toks(ti)
+      sumLen += w.codePointCount(0, w.length) // Spark length() = chars
+      if (letter.matcher(w).find()) alpha += 1
+      ti += 1
+    }
+    val mwl = if (n == 0) 0.0 else sumLen.toDouble / n
+    val hr = if (n == 0) 0.0 else countSub(s, "#").toDouble / n
+    val er = if (n == 0) 0.0
+      else (countSub(s, "...") + countSub(s, "…")).toDouble / n
+    val af = if (n == 0) 0.0 else alpha.toDouble / n
+    val lines = s.split("\r?\n", -1).iterator
+      .map(trimSpaces).filter(_.nonEmpty).toArray
+    val nl = lines.length
+    var bullets = 0
+    var ellEnd = 0
+    var li = 0
+    while (li < lines.length) {
+      val l = lines(li)
+      if (isBullet(l)) bullets += 1
+      val b = dollarBase(l)
+      if (b.endsWith("...") || b.endsWith("…")) ellEnd += 1
+      li += 1
+    }
+    val bf = if (nl == 0) 0.0 else bullets.toDouble / nl
+    val ef = if (nl == 0) 0.0 else ellEnd.toDouble / nl
+    // stop tier: tokenize the LOWERED text (same order as the HOF
+    // form — Greek final sigma makes whole-string vs per-token
+    // lowercase context-sensitive), strip edge punctuation/symbols,
+    // distinct, intersect
+    val lowered = u.toLowerCase.toString
+    val seen = new java.util.HashSet[String]()
+    var sh = 0
+    val ltoks = NativeText.tokens(lowered)
+    var si = 0
+    while (si < ltoks.length) {
+      val stripped = edgePunct.matcher(ltoks(si)).replaceAll("")
+      if (stopwords.contains(stripped) && seen.add(stripped)) sh += 1
+      si += 1
+    }
+    val keep =
+      if (n >= minWords && n <= maxWords &&
+        mwl >= 3.0 && mwl <= 10.0 &&
+        hr <= 0.1 && er <= 0.1 &&
+        bf <= 0.9 && ef <= 0.3 &&
+        af >= 0.8 && sh >= 2) 1 else 0
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, mwl, hr, er, af, bf, ef, sh.toLong, keep))
+  }
+}
+
+/** [[graft.functions.TextAnalysis.gopherSignals]]'s per-document
+  * signal block as ONE native struct expression: one string pass per
+  * tier instead of a projection of interpreted HOF lambdas that
+  * re-tokenizes per signal — measured 0.52 s → ~0.1 s for
+  * q_gopher_signals at sf0.1 — and whole-stage-codegen'd. */
+case class GopherSignalsExpr(child: Expression, minWords: Int,
+                             maxWords: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType = GopherSignalsExpr.schema
+
+  override def prettyName: String = "graft_gopher_signals"
+
+  override def nullSafeEval(input: Any): Any =
+    GopherSignals.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      minWords, maxWords)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.GopherSignals.compute($c, $minWords, $maxWords)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GopherSignalsExpr = copy(child = newChild)
+}
+
+object GopherSignalsExpr {
+  import org.apache.spark.sql.types._
+  /** Field order matches [[GopherSignals.compute]]'s row. */
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("mean_word_len", DoubleType, nullable = false),
+    StructField("hash_ratio", DoubleType, nullable = false),
+    StructField("ellipsis_ratio", DoubleType, nullable = false),
+    StructField("alpha_word_frac", DoubleType, nullable = false),
+    StructField("bullet_line_frac", DoubleType, nullable = false),
+    StructField("ellipsis_line_frac", DoubleType, nullable = false),
+    StructField("stop_hits", LongType, nullable = false),
+    StructField("keep", IntegerType, nullable = false)))
+}
+
 /** [[graft.functions.TextAnalysis.langIdCharNgram]] as a native
   * expression — the HOF form's 27-language × 8-gram scoring expands to
   * a generated projection past Janino's method limits (whole-stage
@@ -2115,6 +2286,7 @@ object NativeFunctions {
   val bpePretokenizeName = "graft_bpe_pretokenize"
   val bpeDecodeBytesName = "graft_bpe_decode_bytes"
   val langIdNgramName = "graft_langid_ngram"
+  val gopherSignalsName = "graft_gopher_signals"
 
   private def intLit(e: Expression): Int =
     e.eval(null) match {
@@ -2235,7 +2407,9 @@ object NativeFunctions {
     bpeDecodeBytesName -> ((exprs: Seq[Expression]) =>
       BpeDecodeBytesExpr(exprs.head)),
     langIdNgramName -> ((exprs: Seq[Expression]) =>
-      LangIdNgramExpr(exprs.head)))
+      LangIdNgramExpr(exprs.head)),
+    gopherSignalsName -> ((exprs: Seq[Expression]) =>
+      GopherSignalsExpr(exprs.head, intLit(exprs(1)), intLit(exprs(2)))))
 
   /** Idempotently register graft native functions on this session. */
   def register(spark: SparkSession): Unit = {
@@ -2292,6 +2466,15 @@ object NativeFunctions {
     * as TextAnalysis.langIdCharNgram, one static call per row). */
   def langIdNgramNative(text: Column): Column =
     call_function(langIdNgramName, text)
+
+  /** Gopher rule signals as one native struct (fields per
+    * [[GopherSignalsExpr.schema]]); parity with the HOF form is
+    * property-tested. */
+  def gopherSignalsNative(text: Column, minWords: Int,
+                          maxWords: Int): Column =
+    call_function(gopherSignalsName, text,
+      org.apache.spark.sql.functions.lit(minWords),
+      org.apache.spark.sql.functions.lit(maxWords))
 
   /** Bloom-filter aggregate over a long-hash column → binary sketch. */
   def bloomAggNative(hash: Column, expectedItems: Long,

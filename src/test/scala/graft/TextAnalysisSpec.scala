@@ -266,6 +266,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("ellipsis_line_frac") == 0.5)
   }
 
+  test("gopherSignals native ≡ HOF reference on adversarial strings " +
+      "(bullets, terminators, supplementary chars, final sigma)") {
+    import org.scalacheck.Gen
+    val crafted = Seq("", " ", "\t", "the of and",
+      "• a\n- b\n-\n* c\n‣ d\n– e\n-x\n- y",
+      "wait...\nmore…\nmid...here\nend...\r\nbare...\rtail",
+      "\tthe, (of) [and] {that}! have. with? to; be:",
+      "## a # b ## c", "😀 emoji 😀😀 token", "ΑΣ ΒΑΣ σίγμα",
+      "ab c\fd", "-", "*", "- ", "…", "...", "x…", "línea á é",
+      "\r\n\r\n", "one two", "mixed \r bare \r\n crlf \n lf")
+    val charGen = Gen.frequency(
+      5 -> Gen.choose('a', 'z'),
+      2 -> Gen.oneOf(' ', '\t', '\n', '\r'),
+      2 -> Gen.oneOf('•', '-', '*', '#', '.', '…', ',', '(', ')'),
+      1 -> Gen.oneOf('é', '中', 'Σ', 'の')) // astral chars via crafted 😀
+    val strings = crafted ++
+      (1 to 250).flatMap(_ => Gen.listOf(charGen).map(_.mkString).sample)
+    val df = strings.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val nat = TextAnalysis.gopherSignals(df, "id", "t", minWords = 2)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val hof = TextAnalysis.gopherSignals(df, "id", "t", minWords = 2,
+      useNative = false)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(nat.keySet == hof.keySet)
+    nat.keySet.foreach { id =>
+      assert(nat(id) == hof(id),
+        s"gopher parity split on ${strings(id.toInt).map(_.toInt)}: " +
+          s"native=${nat(id)} hof=${hof(id)}")
+    }
+  }
+
   test("langIdCharNgram classifies every planted sentence (HOF form)") {
     val plants = SparkEntry.langIdPlants
     val got = plants.map(_._2).toDF("t")
