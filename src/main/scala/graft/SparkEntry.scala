@@ -5025,6 +5025,39 @@ object SparkEntry {
       Some("""SELECT i + 1000 AS new_id, i AS seen_id
               FROM generate_series(0, 9) t(i)""")),
 
+    // accent-folded dedup keys (the full CCNet recipe): composed,
+    // decomposed AND accentless re-typings of the same phrase — plus
+    // digit/punct/case noise — must collapse to ONE key per source
+    // doc; plain normalizeForDedup provably keeps the accentless copy
+    // apart (TextAnalysisSpec pins that contrast). 20 planted groups
+    // of 3 → pure arithmetic oracle; an under-folding breaks
+    // n_copies, an over-merging breaks the row count
+    Q("q_dedup_accent_fold",
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        graft.plans.NativeFunctions.register(s)
+        val base = s.read.parquet(pq(d, "documents"))
+          .where(col("doc_id") < 20)
+          .select(col("doc_id"), substring(col("text"), 1, 30).as("p"))
+        val digit = (col("doc_id") % 10).cast("string")
+        val t0 = base.select(col("doc_id"),
+          concat(col("p"), lit(" Caf\u00e9 pi\u00f1ata R\u00e9sum\u00e9 No. "),
+            digit).as("t"))
+        val t1 = base.select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("p"), lit(" Cafe\u0301 pin\u0303ata" +
+            " Re\u0301sume\u0301 no "), digit).as("t"))
+        val t2 = base.select((col("doc_id") + 200000L).as("doc_id"),
+          concat(upper(col("p")), lit(" CAFE PINATA RESUME NO "),
+            ((col("doc_id") + 7) % 10).cast("string")).as("t"))
+        val all = t0.unionAll(t1).unionAll(t2)
+          .select(col("doc_id"),
+            TextAnalysis.normalizeForDedupFolded(col("t")).as("k"))
+        graft.operators.Dedup.exactSummary(all, "k", "doc_id")
+          .select(col("keep_id"), col("n_copies"))
+      },
+      Some("""SELECT i AS keep_id, CAST(3 AS BIGINT) AS n_copies
+              FROM generate_series(0, 19) t(i)""")),
+
     // frame-sequence video dedup with offset voting — the video
     // analog of q_audio_constellation: ids 1000+c are id c's 8-frame
     // clip behind a 3-frame intro; every content frame recurs at

@@ -800,6 +800,22 @@ object TextAnalysis {
         regexp_replace(lower(text), "\\p{Nd}", "0"),
         "[\\p{P}\\p{S}]", ""),
       "\\s+", " "))
+
+  /**
+   * [[normalizeForDedup]] with ACCENT FOLDING in front (the full CCNet
+   * recipe): NFD-decompose (native [[graft.plans.UnicodeNormalizeExpr]]
+   * — requires `NativeFunctions.register` on the session), strip the
+   * combining marks (`\p{M}`), then the digit/punct/whitespace chain.
+   * "Café", "Cafe" + COMBINING ACUTE, and "CAFE" all collapse to one
+   * key — reformatted-AND-deaccented copies are the rule in scraped
+   * duplicates of non-English text. Kept separate from
+   * [[normalizeForDedup]] because folding is lossy across languages
+   * (e.g. German ü→u merges distinct words); choose per corpus.
+   */
+  def normalizeForDedupFolded(text: Column): Column =
+    normalizeForDedup(regexp_replace(
+      graft.plans.NativeFunctions.unicodeNormalize(text, "NFD"),
+      "\\p{M}", ""))
 }
 
 /** Word-shingle helper shared by TextAnalysis and Dedup. */

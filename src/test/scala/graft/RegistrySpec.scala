@@ -10,8 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("registry counts match the documented surface") {
-    assert(SparkEntry.queries.size == 188)
-    assert(SparkEntry.oracleSql.size == 181)
+    assert(SparkEntry.queries.size == 189)
+    assert(SparkEntry.oracleSql.size == 182)
   }
 
   test("no oracle carries a lone '|' outside string literals") {

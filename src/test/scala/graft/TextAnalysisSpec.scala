@@ -266,6 +266,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("ellipsis_line_frac") == 0.5)
   }
 
+  test("normalizeForDedupFolded collapses composed/decomposed/" +
+      "accentless; plain normalizeForDedup keeps accentless apart") {
+    graft.plans.NativeFunctions.register(spark)
+    val rows = Seq(
+      "Café piñata Résumé No. 3", // composed
+      "Cafe\u0301 pin\u0303ata Re\u0301sume\u0301 no 7", // decomposed
+      "CAFE PINATA RESUME NO 9", // accentless re-typing
+      "cafe pinatas resume no 1") // a DIFFERENT word must not merge
+      .toDF("t")
+      .select(TextAnalysis.normalizeForDedupFolded(col("t")).as("f"),
+        TextAnalysis.normalizeForDedup(col("t")).as("p"))
+      .collect()
+    val folded = rows.map(_.getString(0))
+    val plain = rows.map(_.getString(1))
+    assert(folded(0) == "cafe pinata resume no 0")
+    assert(folded(0) == folded(1) && folded(1) == folded(2))
+    assert(folded(3) != folded(0))
+    // the plain key unifies the two accent ENCODINGS only after NFC —
+    // and can never reach the accentless copy
+    assert(plain(2) != plain(0))
+  }
+
   test("gopherSignals native ≡ HOF reference on adversarial strings " +
       "(bullets, terminators, supplementary chars, final sigma)") {
     import org.scalacheck.Gen
