@@ -1100,7 +1100,8 @@ object Multimodal {
    * offset of exactly 16.
    */
   def syntheticShiftedAudioCorpus(spark: SparkSession, nContents: Int,
-                                  nShifted: Int): Dataset[MediaRow] = {
+                                  nShifted: Int,
+                                  noiseLsb: Int = 0): Dataset[MediaRow] = {
     import spark.implicits._
     require(nShifted <= nContents, "shifted copies need a source")
     val ids = spark.range(nContents.toLong)
@@ -1108,9 +1109,25 @@ object Multimodal {
     ids.map { id =>
       val content = if (id >= 1000L) id - 1000L else id
       val melody = melodyPcm(content)
-      val pcm = if (id >= 1000L)
+      val pcm = if (id >= 1000L) {
+        // copies optionally carry deterministic ±noiseLsb sample noise
+        // (a crude re-encode stand-in: the spectral peak must survive)
+        if (noiseLsb > 0) {
+          var i = 0
+          var state = content * 6364136223846793005L + 1442695040888963407L
+          while (i < melody.length - 1) {
+            state = state * 6364136223846793005L + 1442695040888963407L
+            val n = ((state >>> 33) % (2L * noiseLsb + 1)).toInt - noiseLsb
+            val v = math.max(-32768, math.min(32767,
+              (((melody(i) & 0xFF) | (melody(i + 1) << 8)).toShort: Int)
+                + n))
+            melody(i) = (v & 0xFF).toByte
+            melody(i + 1) = ((v >> 8) & 0xFF).toByte
+            i += 2
+          }
+        }
         new Array[Byte](4096 * 2) ++ melody
-      else melody
+      } else melody
       MediaRow(id, "audio", wavFromPcm(pcm, 16000),
         MediaMeta(0, 0, 16000, 1))
     }

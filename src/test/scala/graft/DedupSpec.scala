@@ -273,6 +273,38 @@ class DedupSpec extends SparkSpec {
     assert(normed == Set(11L)) // normalized key collides with history
   }
 
+  test("keyOf contract: a sketch built WITHOUT the probe's keyOf " +
+      "loses the no-false-negative guarantee (documented failure mode)") {
+    // history text whose RAW form differs from its normalized key
+    // (case + punctuation), so a raw-keyed sketch holds a hash the
+    // normalized probe will never ask about
+    val textA = "Alpha, beta. Gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon!"
+    val history = Seq((100L, textA)).toDF("doc_id", "text")
+    val batch = Seq((10L, textA.toUpperCase))
+      .toDF("doc_id", "text")
+    val norm = graft.functions.TextAnalysis.normalizeForDedup(_)
+    // RAW-keyed sketch probed with NORMALIZED keys: the normalized
+    // key of the copy was never inserted, the Bloom gate waves it
+    // through, and the duplicate is admitted — exactly why
+    // ingestAdmissionAgainstState documents that persisted state and
+    // probe MUST share keyOf
+    val rawSketch = Dedup.buildSeenSketch(history, "text", 1000L, 1L << 14)
+    val bands = Dedup.minhashBands(history, "doc_id", "text")
+      .withColumnRenamed("doc_id", "seen_id")
+    val mismatched = Dedup.ingestAdmissionAgainstState(batch, history,
+      rawSketch, bands, "doc_id", "text", keyOf = norm)
+      .select("doc_id").as[Long].collect().toSet
+    assert(mismatched == Set(10L)) // duplicate slips through
+    // consistently normalized state rejects it
+    val normSketch = Dedup.buildSeenSketch(history, "text", 1000L,
+      1L << 14, keyOf = norm)
+    val consistent = Dedup.ingestAdmissionAgainstState(batch, history,
+      normSketch, bands, "doc_id", "text", keyOf = norm)
+      .select("doc_id").as[Long].collect().toSet
+    assert(consistent.isEmpty)
+  }
+
   test("mergeSeenSketches: merged sketch flags both sides' texts") {
     val h1 = Seq((1L, "first history doc")).toDF("doc_id", "text")
     val h2 = Seq((2L, "second history doc")).toDF("doc_id", "text")

@@ -362,6 +362,18 @@ class MultimodalSpec extends SparkSpec {
     assert(probed == planted.map { case (a, b) => (b, a) })
   }
 
+  test("constellation matching survives sample noise on the copies " +
+      "(re-encode stand-in: spectral peaks outlive ±1% LSB noise)") {
+    val noisy = Multimodal.syntheticShiftedAudioCorpus(spark, 12, 6,
+      noiseLsb = 300)
+    val planted = (0L until 6L).map(c => (c, c + 1000L)).toSet
+    val got = Multimodal.audioConstellationMatches(noisy, minVotes = 100)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(got.keySet == planted, s"got ${got.keySet}")
+    planted.foreach(p => assert(got(p) >= 200, s"weak noisy pair $p"))
+  }
+
   test("audioConstellationProbeIndex: batch vs persisted landmark " +
       "index finds exactly the planted delayed copies") {
     val corpus = Multimodal.syntheticShiftedAudioCorpus(spark, 20, 10)
