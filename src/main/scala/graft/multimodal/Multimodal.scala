@@ -949,6 +949,24 @@ object Multimodal {
     offsetVotedPairs(videoFrameHashes(media).localCheckpoint(true),
       minVotes, maxBucket)
 
+  /** [[offsetVotedPairs]] over an ALREADY-COMPUTED `(media_id, t,
+    * lh)` hash table — for callers (the streaming ingest) that hash
+    * once and reuse the table across within-batch and vs-history
+    * stages. The table should be checkpointed/persisted by the
+    * caller. */
+  def sequencePairsFromHashes(hashes: DataFrame, minVotes: Int,
+                              maxBucket: Int = 1000): DataFrame =
+    offsetVotedPairs(hashes, minVotes, maxBucket)
+
+  /** [[offsetVotedProbe]] over an already-computed batch hash table —
+    * the hash-table-level incremental probe shared by
+    * [[audioConstellationProbeIndex]] / [[videoSequenceProbeIndex]]
+    * and the streaming ingest. */
+  def sequenceProbeFromHashes(batchHashes: DataFrame, index: DataFrame,
+                              minVotes: Int,
+                              maxBucket: Int = 1000): DataFrame =
+    offsetVotedProbe(batchHashes, index, minVotes, maxBucket)
+
   /**
    * Deterministic audio corpus with planted duplicates: `nContents`
    * distinct tone SEQUENCES (64 segments, content-keyed frequency per

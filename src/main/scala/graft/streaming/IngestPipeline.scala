@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 import graft.operators.Dedup
 
@@ -205,6 +205,83 @@ object IngestPipeline {
                 else ""))
           }
           writeSketch(spark, sketchPath, merged)
+          admitted.write.mode("append").parquet(corpusDir)
+        }
+      }
+      .start()
+
+  /**
+   * Streaming MEDIA ingestion gated by time-offset-robust sequence
+   * matching: each micro-batch of [[graft.multimodal.MediaRow]]s is
+   * hashed ONCE (`hashesOf` = [[graft.multimodal.Multimodal
+   * .audioConstellationHashes]] for audio or [[graft.multimodal
+   * .Multimodal.videoFrameHashes]] for video), matched WITHIN the
+   * batch (smaller id survives) and against the PERSISTED hash index
+   * of everything admitted so far, and only novel clips append to the
+   * corpus — history payloads are never re-decoded; history
+   * participates through fixed-width `(media_id, t, lh)` index rows
+   * restricted to batch-touched hashes.
+   *
+   * State ordering per batch: index partition write BEFORE corpus
+   * append — the [[nearDupIngestIncremental]] crash discipline (a
+   * replay can only over-flag, never admit a duplicate; the batch's
+   * own ids are excluded from the probed index so pre-crash writes
+   * cannot shift hot-hash counts). Bootstrap: a non-empty corpus with
+   * a missing/uncommitted index is re-hashed once and persisted
+   * before the first batch is judged. Unique-id contract as in
+   * [[nearDupIngestIncremental]].
+   */
+  def mediaSequenceIngest(stream: Dataset[graft.multimodal.MediaRow],
+                          hashesOf: Dataset[graft.multimodal.MediaRow]
+                            => DataFrame,
+                          corpusDir: String, indexDir: String,
+                          checkpointDir: String,
+                          minVotes: Int = 32, maxBucket: Int = 1000,
+                          trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch {
+        (batch: Dataset[graft.multimodal.MediaRow], _: Long) =>
+        import graft.multimodal.{MediaRow, Multimodal}
+        val spark = batch.sparkSession
+        val mediaEnc = org.apache.spark.sql.Encoders.product[MediaRow]
+        val bh = hashesOf(batch).localCheckpoint(true)
+        val index =
+          if (hasCommittedParquet(spark, indexDir))
+            spark.read.parquet(indexDir)
+              .select(col("media_id"), col("t"), col("lh"))
+          else if (hasCommittedParquet(spark, corpusDir)) {
+            val built =
+              hashesOf(spark.read.parquet(corpusDir).as(mediaEnc))
+            built.write.mode("overwrite")
+              .parquet(s"$indexDir/batch_min_id=-1")
+            built
+          } else bh.limit(0)
+        // replay safety: the batch's own pre-crash index partition
+        // must not probe against itself
+        val indexSansSelf = index.join(
+          bh.select(col("media_id")).distinct(),
+          Seq("media_id"), "left_anti")
+        val vsHistory = Multimodal.sequenceProbeFromHashes(
+            bh, indexSansSelf, minVotes, maxBucket)
+          .select(col("new_id").as("media_id"))
+        // within-batch: the larger id of each matched pair is dropped
+        val withinBatch = Multimodal.sequencePairsFromHashes(
+            bh, minVotes, maxBucket)
+          .select(col("id_b").as("media_id"))
+        val rejected = vsHistory.unionByName(withinBatch).distinct()
+        val admitted = batch.join(rejected, Seq("media_id"), "left_anti")
+          .as(mediaEnc).localCheckpoint(true)
+        if (!admitted.isEmpty) {
+          val minId =
+            admitted.agg(min(col("media_id"))).first().getLong(0)
+          bh.join(admitted.select(col("media_id")),
+              Seq("media_id"), "left_semi")
+            .write.mode("overwrite")
+            .parquet(s"$indexDir/batch_min_id=$minId")
           admitted.write.mode("append").parquet(corpusDir)
         }
       }

@@ -1015,4 +1015,42 @@ class StreamingSpec extends SparkSpec {
     assert(CdcPipeline.readSnapshot(spark, snapDir)
       .select("k").collect().map(_.getLong(0)).toSet == Set(1L))
   }
+
+  test("mediaSequenceIngest: delayed audio copies rejected across AND " +
+      "within batches; index persists, history never re-decoded") {
+    import graft.multimodal.{MediaRow, Multimodal}
+    import graft.streaming.IngestPipeline
+    val inDir = tmpDir()
+    val ckDir = tmpDir()
+    val base = tmpDir()
+    val corpus = base + "/corpus"
+    val index = base + "/seq_index"
+    val mediaSchema = "media_id LONG, kind STRING, bytes BINARY, " +
+      "meta STRUCT<width INT, height INT, sampleRate INT, nFrames INT>"
+    def stream() = spark.readStream.schema(mediaSchema).parquet(inDir)
+      .as[MediaRow]
+    val all = Multimodal.syntheticShiftedAudioCorpus(spark, 8, 6)
+      .collect().map(r => r.media_id -> r).toMap
+    // wave 1: originals 0-3, PLUS a within-batch delayed copy of 2
+    // (id 1002) — only 0-3 may land
+    spark.createDataset(Seq(all(0L), all(1L), all(2L), all(3L),
+        all(1002L))).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    IngestPipeline.mediaSequenceIngest(stream(),
+      Multimodal.audioConstellationHashes(_), corpus, index, ckDir,
+      minVotes = 100).awaitTermination()
+    assert(spark.read.parquet(corpus).select("media_id").as[Long]
+      .collect().toSet == Set(0L, 1L, 2L, 3L))
+    // wave 2: delayed copies of history (1000, 1003) + novels (4, 5)
+    spark.createDataset(Seq(all(1000L), all(1003L), all(4L), all(5L)))
+      .coalesce(1).write.mode("append").parquet(inDir)
+    IngestPipeline.mediaSequenceIngest(stream(),
+      Multimodal.audioConstellationHashes(_), corpus, index, ckDir,
+      minVotes = 100).awaitTermination()
+    assert(spark.read.parquet(corpus).select("media_id").as[Long]
+      .collect().toSet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    // the persisted index covers exactly the admitted clips
+    assert(spark.read.parquet(index).select("media_id").as[Long]
+      .collect().toSet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+  }
 }
