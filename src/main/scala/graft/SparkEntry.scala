@@ -5025,6 +5025,69 @@ object SparkEntry {
       Some("""SELECT i + 1000 AS new_id, i AS seen_id
               FROM generate_series(0, 9) t(i)""")),
 
+    // the COMPLETE MassiveText filter: the shuffle-free Gopher rule
+    // tier (gopherSignals) AND the repetition tier (repetitionStats —
+    // the one that genuinely needs a shuffle) composed into one keep
+    // decision. Thresholds chosen where the corpus discriminates both
+    // ways (dup_word_frac median 0.54, top_bigram_frac p90 0.069 at
+    // sf0.01); the same stopword preamble as q_gopher_pipeline keeps
+    // the rule tier non-degenerate. Oracle replays BOTH tiers
+    Q("q_gopher_full",
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        val pre = "it has to be that good with and of all them "
+        val docs = s.read.parquet(pq(d, "documents"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            when(col("doc_id") % 3 =!= 2,
+              concat(lit(pre), col("text")))
+              .otherwise(col("text")).as("text"))
+        val rules = TextAnalysis.gopherSignals(docs, "doc_id", "text",
+          minWords = 10).select(col("doc_id"), col("keep"))
+        val rep = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+        rules.join(rep, "doc_id")
+          .select(col("doc_id"), col("keep").as("keep_rules"),
+            ((col("dup_word_frac") <= 0.5) &&
+              (col("top_bigram_frac") <= 0.08)).cast("int")
+              .as("keep_rep"),
+            ((col("keep") === 1) && (col("dup_word_frac") <= 0.5) &&
+              (col("top_bigram_frac") <= 0.08)).cast("int").as("keep"))
+      },
+      Some(s"""WITH raw AS (SELECT doc_id,
+                CASE WHEN CAST(doc_id % 3 AS INT) <> 2
+                  THEN 'it has to be that good with and of all them '
+                    || text
+                  ELSE text END AS t
+                FROM documents),
+              $gopherSigCtes,
+              rt AS (SELECT doc_id,
+                string_split_regex(
+                  regexp_replace(t, '^\\s+|\\s+$$', '', 'g'), '\\s+')
+                  AS toks FROM raw),
+              rb AS (SELECT doc_id, len(toks) AS n,
+                len(list_distinct(toks)) AS nd,
+                list_transform(generate_series(1, len(toks)-1),
+                  i -> toks[i] || ' ' || toks[i+1]) AS bgs FROM rt),
+              re AS (SELECT doc_id, unnest(bgs) AS bg FROM rb),
+              rc AS (SELECT doc_id, bg, count(*) AS c FROM re
+                GROUP BY doc_id, bg),
+              rm AS (SELECT doc_id, max(c) AS mx,
+                CAST(sum(c) AS BIGINT) AS tot FROM rc GROUP BY doc_id),
+              rep AS (SELECT rb.doc_id AS doc_id,
+                ROUND(CAST(1.0 AS DOUBLE) - CAST(nd AS DOUBLE)/n, 4)
+                  AS dwf,
+                COALESCE(ROUND(CAST(mx AS DOUBLE)/tot, 4),
+                  CAST(0.0 AS DOUBLE)) AS tbf
+                FROM rb LEFT JOIN rm ON rb.doc_id = rm.doc_id)
+              SELECT sig.doc_id AS doc_id,
+                ${gopherKeepSql(10)} AS keep_rules,
+                CASE WHEN dwf <= 0.5 AND tbf <= 0.08 THEN 1 ELSE 0 END
+                  AS keep_rep,
+                CASE WHEN ${gopherKeepSql(10)} = 1
+                  AND dwf <= 0.5 AND tbf <= 0.08 THEN 1 ELSE 0 END
+                  AS keep
+              FROM sig JOIN rep ON sig.doc_id = rep.doc_id""")),
+
     // accent-folded dedup keys (the full CCNet recipe): composed,
     // decomposed AND accentless re-typings of the same phrase — plus
     // digit/punct/case noise — must collapse to ONE key per source

@@ -10,8 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("registry counts match the documented surface") {
-    assert(SparkEntry.queries.size == 189)
-    assert(SparkEntry.oracleSql.size == 182)
+    assert(SparkEntry.queries.size == 190)
+    assert(SparkEntry.oracleSql.size == 183)
   }
 
   test("no oracle carries a lone '|' outside string literals") {
