@@ -59,10 +59,14 @@ if [ -n "${BASE}" ]; then
   # member-level public defs only (2-4 space indent; local defs sit
   # deeper or get cleared by the cross-file reference check below);
   # >3-char names to skip loop-helper noise
+  # `|| true`: an empty diff (no new defs since the base commit) makes
+  # grep exit 1, which under set -e/pipefail would kill the script
+  # BEFORE the closeout write — silently, with rc masked by callers
+  # that pipe the output (bit this round: CLOSEOUT stayed stale)
   NEWDEFS=$(git diff "${BASE}"..HEAD -- 'src/main/scala/*.scala' \
     | grep -E '^\+ {2,4}def [a-zA-Z][a-zA-Z0-9_]{3,}' \
     | grep -vE 'private|override' \
-    | sed -E 's/^\+ +def ([a-zA-Z0-9_]+).*/\1/' | sort -u)
+    | sed -E 's/^\+ +def ([a-zA-Z0-9_]+).*/\1/' | sort -u || true)
   for fn in ${NEWDEFS}; do
     # uses = occurrences anywhere in src/ that are not the definition
     # line itself (round 10's orphans had exactly zero such lines)
