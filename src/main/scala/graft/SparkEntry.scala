@@ -56,6 +56,33 @@ object SparkEntry {
               SELECT o_orderkey, o_totalprice, o_orderstatus
               FROM win WHERE rk = 1 AND NOT is_delete"""
 
+  /** One exact-profile oracle shared by q_profile (verbatim) and
+    * q_profile_approx (wrapped with the constant verdict column) — the
+    * sketch gate and the exact gate must replay the SAME arithmetic, so
+    * they share one literal. */
+  private val profileExactOracleSql =
+    """SELECT 'l_quantity' AS "column", COUNT(*) AS n_rows,
+                COUNT(l_quantity) AS n_nonnull,
+                COUNT(DISTINCT l_quantity) AS n_distinct,
+                ROUND(CAST(MIN(l_quantity) AS DOUBLE), 4) AS min_v,
+                ROUND(CAST(MAX(l_quantity) AS DOUBLE), 4) AS max_v,
+                ROUND(CAST(AVG(l_quantity) AS DOUBLE), 4) AS avg_v
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', COUNT(*),
+                COUNT(l_extendedprice), COUNT(DISTINCT l_extendedprice),
+                ROUND(CAST(MIN(l_extendedprice) AS DOUBLE), 4),
+                ROUND(CAST(MAX(l_extendedprice) AS DOUBLE), 4),
+                ROUND(CAST(AVG(l_extendedprice) AS DOUBLE), 4)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', COUNT(*),
+                COUNT(l_discount), COUNT(DISTINCT l_discount),
+                ROUND(CAST(MIN(l_discount) AS DOUBLE), 4),
+                ROUND(CAST(MAX(l_discount) AS DOUBLE), 4),
+                ROUND(CAST(AVG(l_discount) AS DOUBLE), 4)
+              FROM lineitem"""
+
 
   /** Oracle for q_bpe_encode, generated from [[graft.functions.Bpe
     * .demoMerges]] so the SQL replay and the shipped merge list cannot
@@ -799,31 +826,94 @@ object SparkEntry {
         Seq("text"), "doc_id").select(col("doc_id")),
       Some("""SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text""")),
 
+    // natural-corpus run at the production-shaped threshold 0.5,
+    // promoted from rows-only to a planted-recall gate: 50 exact copies
+    // are planted at +100000 and the output is reduced to three
+    // driver-checkable invariants — every planted pair surfaced (LSH
+    // candidate generation has no false negative on identical
+    // signatures, even among the natural buckets this threshold's
+    // banding creates), every emitted pair's TRUE jaccard respects the
+    // threshold (verify-stage contract), and no pair is emitted twice
+    // (band dedup works). The pair VALUES stay hash-family-specific;
+    // the invariants are not.
     Q("q_dedup_minhash",
-      (s, d) => graft.operators.Dedup.minhashDuplicates(
-        s.read.parquet(pq(d, "documents")), "doc_id", "text",
-        minJaccard = 0.5),
-      None), // xxhash64-family-specific: rows-only check
+      (s, d) => {
+        val docs = s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"), col("text"))
+        val planted = docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        graft.operators.Dedup.minhashDuplicates(docs.unionByName(planted),
+            "doc_id", "text", minJaccard = 0.5)
+          .agg(
+            sum(when(col("id_b") - col("id_a") === 100000L &&
+              col("id_a") < 50, 1L).otherwise(0L)).as("n_planted_found"),
+            sum(when(col("jaccard") < 0.5, 1L).otherwise(0L))
+              .as("n_below_threshold"),
+            (count(lit(1)) - count_distinct(col("id_a"), col("id_b")))
+              .as("n_dup_pairs"))
+      },
+      Some("""SELECT (SELECT COUNT(*) FROM documents WHERE doc_id < 50)
+                AS n_planted_found,
+              CAST(0 AS BIGINT) AS n_below_threshold,
+              CAST(0 AS BIGINT) AS n_dup_pairs""")),
 
     // repartition first: the fingerprint+key-explode chain is narrow, so
     // its parallelism is the input's (one parquet file here = 1-2 tasks);
     // at cluster scale the source arrives partitioned and this is a no-op
-    // in spirit (same pattern as q_dup_spans)
+    // in spirit (same pattern as q_dup_spans). Same planted-recall
+    // promotion as q_dedup_minhash: copies collide at hamming 0 in every
+    // Manku chunk arrangement, so recall of the planted set is exact.
     Q("q_dedup_simhash",
-      (s, d) => graft.operators.Dedup.simhashDuplicates(
-        s.read.parquet(pq(d, "documents"))
-          .repartition(s.sparkContext.defaultParallelism),
-        "doc_id", "text", maxHamming = 8),
-      None),
+      (s, d) => {
+        val docs = s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"), col("text"))
+        val planted = docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        graft.operators.Dedup.simhashDuplicates(
+            docs.unionByName(planted)
+              .repartition(s.sparkContext.defaultParallelism),
+            "doc_id", "text", maxHamming = 8)
+          .agg(
+            sum(when(col("id_b") - col("id_a") === 100000L &&
+              col("id_a") < 50 && col("hamming") === 0, 1L).otherwise(0L))
+              .as("n_planted_found"),
+            sum(when(col("hamming") > 8, 1L).otherwise(0L))
+              .as("n_over_threshold"),
+            (count(lit(1)) - count_distinct(col("id_a"), col("id_b")))
+              .as("n_dup_pairs"))
+      },
+      Some("""SELECT (SELECT COUNT(*) FROM documents WHERE doc_id < 50)
+                AS n_planted_found,
+              CAST(0 AS BIGINT) AS n_over_threshold,
+              CAST(0 AS BIGINT) AS n_dup_pairs""")),
 
     // threshold 0.3 (not the production 0.95): driver embeddings are
     // random, so a realistic near-dup cutoff matches nothing — this
-    // exercises the bucket-join + cosine-verify path with live rows
+    // exercises the bucket-join + cosine-verify path with live rows.
+    // Same planted-recall promotion: identical vectors share every
+    // hyperplane sign, so bucket collision (and cosine 1.0 up to float
+    // rounding) is guaranteed, not probabilistic.
     Q("q_dedup_embedding",
-      (s, d) => graft.operators.Dedup.embeddingDuplicates(
-        s.read.parquet(pq(d, "embeddings")), "vec_id", "embedding",
-        planes = 6, minCosine = 0.3),
-      None),
+      (s, d) => {
+        val emb = s.read.parquet(pq(d, "embeddings"))
+          .select(col("vec_id"), col("embedding"))
+        val planted = emb.where(col("vec_id") < 50)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        graft.operators.Dedup.embeddingDuplicates(emb.unionByName(planted),
+            "vec_id", "embedding", planes = 6, minCosine = 0.3)
+          .agg(
+            sum(when(col("id_b") - col("id_a") === 100000L &&
+              col("id_a") < 50 && col("cosine") > 0.999, 1L).otherwise(0L))
+              .as("n_planted_found"),
+            sum(when(col("cosine") < 0.3, 1L).otherwise(0L))
+              .as("n_below_threshold"),
+            (count(lit(1)) - count_distinct(col("id_a"), col("id_b")))
+              .as("n_dup_pairs"))
+      },
+      Some("""SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id < 50)
+                AS n_planted_found,
+              CAST(0 AS BIGINT) AS n_below_threshold,
+              CAST(0 AS BIGINT) AS n_dup_pairs""")),
 
     // ---- planted-duplicate oracles --------------------------------------
     // The natural-corpus dedup queries above are hash-family-specific
@@ -2471,30 +2561,60 @@ object SparkEntry {
               ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
               FROM lineitem GROUP BY l_returnflag""")),
 
+    // bounded-error gate (not rows-only): the HLL++ estimate is
+    // algorithm-specific, so the query computes approx AND exact in ONE
+    // aggregation pass and emits a per-group verdict the oracle can
+    // state as a constant — |approx − exact| ≤ 4·rsd·exact (rsd 0.05
+    // default ⇒ 0.2). A silently broken sketch now turns the gate red.
+    // The exact twin lives only in the gate; the production scale path
+    // remains the sketch alone.
     Q("q_approx_count_distinct",
       (s, d) => s.read.parquet(pq(d, "lineitem"))
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")),
-      None), // HLL sketch — algorithm-specific values: rows-only check
+        .agg(approx_count_distinct(col("l_partkey")).as("__approx"),
+          count_distinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("__approx") - col("exact_parts")) <=
+            lit(0.2) * col("exact_parts")).as("within_bound")),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+              CAST(1 AS BOOLEAN) AS within_bound
+              FROM lineitem GROUP BY l_returnflag""")),
 
     // the scale path beside q_percentile: exact `percentile` shuffles
     // every group's full value set to one reducer buffer — fine at
     // thousands of values per group, not at 10^9; approx_percentile
     // keeps a bounded sketch per group and partial-aggregates map-side,
     // so memory is O(sketch) however large the group
+    // bounded-error gate: KLL-sketch values are algorithm-specific, so
+    // the query computes approx AND exact percentiles in ONE aggregation
+    // and emits the EXACT values plus a verdict — each approx value
+    // within 1% relative of its exact twin (accuracy 10000 ⇒ rank error
+    // ≤ 1e-4·N; the value gap across ±6 ranks at sf0.01 is far inside
+    // 1%). The oracle replays the exact quantiles and the constant TRUE.
     Q("q_approx_percentile",
-      (s, d) => s.read.parquet(pq(d, "lineitem"))
-        .groupBy(col("l_returnflag"))
-        .agg(expr(
-          "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
-          .as("pcts"))
-        // scalar columns, not the raw array: the driver's rows-only check
-        // still sorts the result, and array cells break that sort
-        .select(col("l_returnflag"),
-          round(element_at(col("pcts"), 1), 4).as("p50"),
-          round(element_at(col("pcts"), 2), 4).as("p90"),
-          round(element_at(col("pcts"), 3), 4).as("p99")),
-      None), // sketch-specific values: rows-only check
+      (s, d) => {
+        def ok(i: Int) =
+          abs(element_at(col("__ap"), i) - element_at(col("__ep"), i)) <=
+            lit(0.01) * abs(element_at(col("__ep"), i))
+        s.read.parquet(pq(d, "lineitem"))
+          .groupBy(col("l_returnflag"))
+          .agg(expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+            .as("__ap"),
+            expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
+              .as("__ep"))
+          .select(col("l_returnflag"),
+            round(element_at(col("__ep"), 1), 4).as("p50"),
+            round(element_at(col("__ep"), 2), 4).as("p90"),
+            round(element_at(col("__ep"), 3), 4).as("p99"),
+            (ok(1) && ok(2) && ok(3)).as("within_bound"))
+      },
+      Some("""SELECT l_returnflag,
+              ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+              ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+              ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+              CAST(1 AS BOOLEAN) AS within_bound
+              FROM lineitem GROUP BY l_returnflag""")),
 
     // ---- multimodal plumbing (image/audio/video decode all REAL — JDK
     // ImageIO / javax.sound / MJPEG frame-split; see Multimodal
@@ -2738,39 +2858,31 @@ object SparkEntry {
       (s, d) => graft.operators.Profile.profileNumeric(
         s.read.parquet(pq(d, "lineitem")),
         Seq("l_quantity", "l_extendedprice", "l_discount")),
-      Some("""SELECT 'l_quantity' AS "column", COUNT(*) AS n_rows,
-                COUNT(l_quantity) AS n_nonnull,
-                COUNT(DISTINCT l_quantity) AS n_distinct,
-                ROUND(CAST(MIN(l_quantity) AS DOUBLE), 4) AS min_v,
-                ROUND(CAST(MAX(l_quantity) AS DOUBLE), 4) AS max_v,
-                ROUND(CAST(AVG(l_quantity) AS DOUBLE), 4) AS avg_v
-              FROM lineitem
-              UNION ALL
-              SELECT 'l_extendedprice', COUNT(*),
-                COUNT(l_extendedprice), COUNT(DISTINCT l_extendedprice),
-                ROUND(CAST(MIN(l_extendedprice) AS DOUBLE), 4),
-                ROUND(CAST(MAX(l_extendedprice) AS DOUBLE), 4),
-                ROUND(CAST(AVG(l_extendedprice) AS DOUBLE), 4)
-              FROM lineitem
-              UNION ALL
-              SELECT 'l_discount', COUNT(*),
-                COUNT(l_discount), COUNT(DISTINCT l_discount),
-                ROUND(CAST(MIN(l_discount) AS DOUBLE), 4),
-                ROUND(CAST(MAX(l_discount) AS DOUBLE), 4),
-                ROUND(CAST(AVG(l_discount) AS DOUBLE), 4)
-              FROM lineitem""")),
-
+      Some(profileExactOracleSql)),
     // the 100 TB profile path: HLL-sketch n_distinct (a few KB per
     // column, still one pass) replaces the exact-distinct Expand that
-    // makes q_profile the slowest bench query. rows-only: no oracle
-    // engine reproduces Spark's HLL++ estimates (same sketch class as
-    // q_approx_count_distinct); the exact twin above is the oracle
+    // makes q_profile the slowest bench query. Bounded-error gate: the
+    // sketch pass joins its exact twin (two 3-row frames, broadcast) and
+    // the output carries the EXACT stats plus a per-column verdict —
+    // |approx_ndv − exact_ndv| ≤ 0.2·exact_ndv (4·rsd at default 0.05) —
+    // so a silently broken sketch goes red instead of rows-only-green.
     Q("q_profile_approx",
-      (s, d) => graft.operators.Profile.profileNumeric(
-        s.read.parquet(pq(d, "lineitem")),
-        Seq("l_quantity", "l_extendedprice", "l_discount"),
-        exactDistinct = false),
-      None),
+      (s, d) => {
+        val li = s.read.parquet(pq(d, "lineitem"))
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+        val exact = graft.operators.Profile.profileNumeric(li, cols)
+        val approx = graft.operators.Profile
+          .profileNumeric(li, cols, exactDistinct = false)
+          .select(col("column"), col("n_distinct").as("__approx_nd"))
+        exact.join(broadcast(approx), Seq("column"))
+          .select(col("column"), col("n_rows"), col("n_nonnull"),
+            col("n_distinct"), col("min_v"), col("max_v"), col("avg_v"),
+            (abs(col("__approx_nd") - col("n_distinct")) <=
+              lit(0.2) * col("n_distinct")).as("ndv_within_bound"))
+      },
+      Some(
+        s"""SELECT *, CAST(1 AS BOOLEAN) AS ndv_within_bound
+            FROM ($profileExactOracleSql)""")),
 
     // salting must be semantically invisible: oracle is the plain GROUP BY
     Q("q_skew_salted",
@@ -3568,16 +3680,27 @@ object SparkEntry {
                 PARTITION BY source ORDER BY n_chars), 4) AS pct_rank
               FROM documents""")),
 
-    // sketch-quantile variant (t-digest cut points; per-group state
-    // O(buckets) at any score cardinality) — sketch-specific values,
-    // rows-only by the driver contract
+    // sketch-quantile variant (approx cut points; per-group state
+    // O(buckets) at any score cardinality). Bounded-error gate: the
+    // bucketed rank counts cut points ≤ score, whose exact analogue is
+    // CUME_DIST (fraction of rows ≤ score — same tie semantics), so the
+    // per-ROW verdict |approx − cume_dist| ≤ 1/buckets + sketch slack
+    // holds by construction when the sketch is healthy and breaks when
+    // it is not. The window is partitioned by source, never global.
     Q("q_score_normalize_approx",
-      (s, d) => graft.operators.Analytics.rankNormalizeApprox(
-          s.read.parquet(pq(d, "documents"))
-            .select(col("doc_id"), col("source"), col("n_chars")),
-          "source", "n_chars", buckets = 20)
-        .select(col("doc_id"), col("source"), col("pct_rank")),
-      None),
+      (s, d) => {
+        val docs = s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        graft.operators.Analytics
+          .rankNormalizeApprox(docs, "source", "n_chars", buckets = 20)
+          .withColumn("__cume", cume_dist().over(
+            Window.partitionBy(col("source")).orderBy(col("n_chars"))))
+          .select(col("doc_id"), col("source"),
+            (abs(col("pct_rank") - col("__cume")) <= lit(0.075))
+              .as("within_bound"))
+      },
+      Some("""SELECT doc_id, source, CAST(1 AS BOOLEAN) AS within_bound
+              FROM documents""")),
 
     // wide-to-long reshape (Spark Dataset.unpivot; SURVEY §2.6 family)
     Q("q_unpivot",
@@ -4673,6 +4796,30 @@ object SparkEntry {
     "ja" -> "これは日本のです私たちにはをたくさんあります",
     "ko" -> "이것은 우리의 집이다 그리고 하늘을 보고 있다",
     "th" -> "การที่ของเราและในบ้านไม่ได้มีอะไร",
+    // round-12 additions (profiles widened 27→50)
+    "no" -> "jeg har en god følelse på denne stasjonen og det er ikke så langt å gå",
+    "is" -> "það er ekki gott að vera einn um kvöldið og maður þarf að fara inn",
+    "ca" -> "aquest és un dels llibres que també parlen amb molta atenció dels nens",
+    "et" -> "see on üks asi mis oli olemas ja mida tuleb teha kui on vaja ning kõik on läinud koju",
+    "lt" -> "tai yra geras dalykas kad žmonės gali dirbti namuose ir miestuose visą laiką",
+    "lv" -> "tā ir laba diena un cilvēkiem patīk iet ar draugiem kas arī dzīvo šeit",
+    "sk" -> "som rád že môžem pracovať a nie je to zlé pre ľudí ktorí sa boja o svoje zdravie",
+    "sl" -> "to je lepo mesto in mislim da lahko tudi mi pridemo tja ki smo želeli potovanje v hribe",
+    "hr" -> "to nije prije bilo pitanje koje ima smisla jer su ljudi koji rade morali doći i ako mogu ostati i to su pitanja bez kraja",
+    "bg" -> "градът е хубав и хората искат да се разходят на улицата през деня и да видят новите неща",
+    "sr" -> "ово је прича о људима који су живели у малим местима и да се зна шта је било прије него што су дошли ту",
+    "be" -> "гэта вельмі добра што ў горадзе ёсць месца дзе можна пайсці і паглядзець на новыя рэчы і жыццё людзей",
+    "fa" -> "این کتاب های خوب است که می توان با پدر و مادر در گلستان خواند",
+    "ur" -> "یہ کتاب میرے گھر میں ہے اور اس کے اندر بہت سی اچھی باتیں لکھی ہیں ڈاکٹر نے بھی پڑھا",
+    "bn" -> "আমাদের দেশের মানুষেরা খুব ভালো করে কাজ করছে এবং তারা নতুন কিছু শিখছে",
+    "ta" -> "அவர்கள் நாட்டில் நல்ல வேலைகளை செய்கிறார்கள் மற்றும் புதியவற்றை கற்றுக்கொள்கிறார்கள்",
+    "te" -> "ప్రజలు తమ దేశంలో మంచి పనులను చేస్తున్నారు మరియు కొత్త విషయాలను నేర్చుకుంటున్నారు",
+    "ml" -> "ആളുകൾ അവരുടെ രാജ്യത്ത് നല്ല ജോലികൾ ചെയ്യുന്നു ഒപ്പം പുതിയ കാര്യങ്ങൾ പഠിക്കുന്നു",
+    "kn" -> "ಜನರು ತಮ್ಮ ದೇಶದಲ್ಲಿ ಒಳ್ಳೆಯ ಕೆಲಸಗಳನ್ನು ಮಾಡುತ್ತಿದ್ದಾರೆ ಮತ್ತು ಹೊಸ ವಿಷಯಗಳನ್ನು ಕಲಿಯುತ್ತಿದ್ದಾರೆ",
+    "ka" -> "ეს არის კარგი ადგილი სადაც ხალხს შეუძლია იმუშაოს და ისწავლოს რომ ცხოვრება უკეთესი იყოს ქვეყანაში",
+    "hy" -> "սա լավ տեղ է որտեղ մարդիկ կարող են աշխատել և սովորել նոր բաներ իրենց կյանքում ամեն օր",
+    "am" -> "ይህ ጥሩ ቦታ ነው ሰዎች የሚሰሩበት እና አዲስ ነገር የሚማሩበት በየቀኑ ላይ",
+    "km" -> "នេះគឺជាកន្លែងល្អដែលមនុស្សអាចធ្វើការនិងរៀនអ្វីថ្មីនៅក្នុងជីវិតរបស់ពួកគេបាន",
     "und" -> "zzz qqq xw vjq kkk")
 
   /** Oracle for q_langid_ngram, generated from [[langIdPlants]]: the
@@ -4710,7 +4857,23 @@ object SparkEntry {
     * .gopherSignals]]'s rule arithmetic over a `raw(doc_id, t)` CTE —
     * shared by q_gopher_signals (adversarial injected text) and
     * q_gopher_pipeline (raw corpus text) so the replay cannot drift
-    * between the unit-altitude and pipeline-altitude gates. */
+    * between the unit-altitude and pipeline-altitude gates.
+    *
+    * KNOWN ORACLE/ENGINE DIVERGENCE (documented, not currently
+    * reachable): DuckDB regexes are RE2, the engine's are java.util
+    * .regex, and they disagree on exactly two character classes —
+    * (a) RE2 `\s` excludes vertical tab U+000B, which Java `\s`
+    * includes (affects every `^\s+|\s+$` edge-trim replay in this
+    * file), and (b) RE2 `$` does not match before a bare final line
+    * terminator the way Java `rlike`'s `$` does for `\r`, U+0085,
+    * U+2028, U+2029 (affects the bullet `[-*]( |$)` and ellipsis
+    * `(\.\.\.|…)$` anchors below). The driver corpora and every
+    * injected fixture in this file are free of all five characters
+    * (U+000B, bare U+000D, U+0085, U+2028, U+2029) — guarded by
+    * OracleDivergenceSpec — so the gates compare the
+    * engines only where they agree; a future corpus containing them
+    * would need the oracle made explicit (strip trailing `\r` before
+    * anchoring, add `\x0B` to the trim class) rather than widened. */
   private val gopherSigCtes: String =
     """tok AS (SELECT doc_id, t,
         CASE WHEN length(regexp_replace(t, '^\s+|\s+$', '', 'g'))
@@ -5004,6 +5167,25 @@ object SparkEntry {
           .select(col("id_a"), col("id_b"))
       },
       Some("""SELECT i AS id_a, i + 1000 AS id_b
+              FROM generate_series(0, 9) t(i)""")),
+
+    // tempo/pitch-robust constellation (round 12): 10 planted
+    // RESAMPLED copies (rate 1.1 — pitch and tempo scale together, the
+    // re-upload model) that the absolute-bin landmarks provably miss
+    // (every peak bin and frame delta scales; MultimodalSpec pins the
+    // miss) and the frequency-ratio hashes + event-sequence verify
+    // catch exactly — the default two-stage gate returns precisely the
+    // planted pair set (measured: copies at match_frac 1.0 / votes
+    // 85-113, best chance pair 0.61 / 36)
+    Q("q_audio_constellation_ratio",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        Multimodal.audioConstellationRatioMatches(
+          Multimodal.syntheticResampledAudioCorpus(s, nContents = 20,
+            nResampled = 10))
+          .select(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT i AS id_a, i + 2000 AS id_b
               FROM generate_series(0, 9) t(i)""")),
 
     // incremental constellation probe: history clips (ids 0-19) are

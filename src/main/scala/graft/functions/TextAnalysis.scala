@@ -714,8 +714,15 @@ object TextAnalysis {
     * unsegmented scripts (zh/ja/ko/th have no useful trigram
     * inventory at this profile size — their highest-frequency units
     * ARE single han/kana/hangul/thai glyphs). Each entry is matched as
-    * a regex-quoted literal, so any UTF-8 string is safe. 27
-    * languages across 9 scripts. */
+    * a regex-quoted literal, so any UTF-8 string is safe. 50
+    * languages across 18 scripts (round 12 widened 27→50; the 14
+    * unique-script additions — Indic, Georgian, Armenian, Ethiopic,
+    * Khmer — are unconfusable by construction, and each same-script
+    * addition carries grams its neighbors lack: Norwegian "sjon"/"å "
+    * vs Danish "tion"-less profile, Serbian's је/ије with Cyrillic ј
+    * which ru/uk/bg do not use, Belarusian ў, Persian گ/پ vs Urdu
+    * ٹ/ڈ/ے — the confusable pairs are pinned by
+    * LangIdAccuracySpec). */
   val charNgramProfiles: Map[String, Seq[String]] = Map(
     // Latin — Germanic
     "en" -> Seq("the", "and", "ing", "ion", "tio", "for", "tha", "ent"),
@@ -723,12 +730,15 @@ object TextAnalysis {
     "nl" -> Seq("een", "het", "van", "aar", "oor", "ijk", "nie", "gen"),
     "sv" -> Seq("och", "att", "det", "som", "för", "ill", "är", "ning"),
     "da" -> Seq("det", "der", "og ", "til", "ikke", "ede", "ern", "kke"),
+    "no" -> Seq("og ", "det", "som", "ikke", "sjon", "jeg", "å ", "på "),
+    "is" -> Seq("að ", "það", "ið ", "ur ", "inn", "ekki", "og ", "um "),
     // Latin — Romance
     "fr" -> Seq("les", "que", "ait", "eur", "ons", "dans", "est", "une"),
     "es" -> Seq("los", "ción", "ado", "nte", "una", "ara", "por", "del"),
     "pt" -> Seq("ção", "não", "uma", "ente", "os ", "com", "par", "dos"),
     "it" -> Seq("che", "per", "della", "zione", "gli", "con", "una", "ato"),
     "ro" -> Seq("ește", "ului", "și", "care", "pentru", "din", "ate", "ori"),
+    "ca" -> Seq("que", "els", "amb", "dels", "aquest", "també", "ció", "molt"),
     // Latin — Slavic/Uralic/Turkic/other
     "pl" -> Seq("nie", "się", "prze", "ych", "ego", "owa", "rza", "czy"),
     "cs" -> Seq("ění", "ové", "ých", "pro", "ost", "sou", "ř", "ku "),
@@ -737,14 +747,40 @@ object TextAnalysis {
     "tr" -> Seq("lar", "ler", "bir", "için", "dır", "ında", "yor", "mak"),
     "id" -> Seq("ang", "yang", "kan", "dan", "ber", "men", "nya", "ada"),
     "vi" -> Seq("của", "được", "không", "người", "ược", "một", "và", "ông"),
+    // Latin — Baltic/Finnic/Slavic additions (round 12)
+    "et" -> Seq("ja ", "on ", "kui", "ud ", "mis", "ning", "oli", "sed"),
+    "lt" -> Seq("ir ", "kad", "yra", "tai", "mas", "ių ", "ės ", "uose"),
+    "lv" -> Seq("un ", "ir ", "ar ", "kas", "iem", "ām ", "tā ", "arī"),
+    "sk" -> Seq("som", "nie", "ie ", "ať ", "ľ", "ô", "ia ", "pre"),
+    "sl" -> Seq("je ", "in ", "da ", "ki ", "anje", "tudi", "lahko", "smo"),
+    "hr" -> Seq("ije", "koji", "da ", "su ", "nja", "ći ", "ima", "ako"),
     // Cyrillic
     "ru" -> Seq("ого", "ени", "ост", "ств", "ать", "это", "при", "что"),
     "uk" -> Seq("ння", "ого", "від", "ість", "ува", "ють", "ськ", "не "),
+    "bg" -> Seq("на ", "та ", "ът ", "ите", "да ", "се ", "ото", "ват"),
+    "sr" -> Seq("је ", "ије", "ња ", "ћи ", "да ", "се ", "ским", "има"),
+    "be" -> Seq("ў", "і ", "на ", "ыя ", "ага", "ада", "не ", "ццё"),
     // Greek / RTL / Indic
     "el" -> Seq("και", "την", "της", "ται", "ους", "που", "των", "ική"),
     "ar" -> Seq("الم", "ين", "ات", "من", "ها", "ال", "لى", "في"),
     "he" -> Seq("את", "של", "ים", "ות", "הם", "על", "לא", "יה"),
+    // fa/ur share the Arabic script but not these letters: گ پ چ ژ are
+    // Persian-only; ٹ ڈ ڑ and the bari-ye ے are Urdu-only; Persian
+    // yeh ی (U+06CC) differs from Arabic yeh ي (U+064A) at the
+    // codepoint level, so ar's ین-family grams never fire on fa text
+    "fa" -> Seq("که ", "است", "های", "می ", "این", "با ", "گ", "پ"),
+    "ur" -> Seq("ے ", "ہے", "کے", "میں", "اور", "ٹ", "ڈ", "ھا"),
     "hi" -> Seq("है", "की", "के", "में", "का", "से", "ने", "और"),
+    // unique-script additions (round 12): the script IS the signature
+    "bn" -> Seq("ের", "য়ে", "কে", "না", "তা", "রা", "বে", "ছে"),
+    "ta" -> Seq("கள்", "த்த", "ும்", "ல்", "ன்", "க்க", "ங்க", "ார்"),
+    "te" -> Seq("ను", "లు", "కు", "ది", "గా", "ంది", "న్న", "రు"),
+    "ml" -> Seq("ിൽ", "ന്ന", "ും", "ുക", "ത്ത", "ക്ക", "ങ്ങ", "യി"),
+    "kn" -> Seq("ಗಳ", "ನ್ನ", "ದೆ", "ಲ್ಲ", "ಕ್ಕ", "ರು", "ದಲ್ಲಿ", "ಿದ"),
+    "ka" -> Seq("ის ", "და ", "ება", "რომ", "ელი", "ში ", "იყო", "ული"),
+    "hy" -> Seq("ում", "է ", "և ", "ներ", "յուն", "ական", "որ ", "ին "),
+    "am" -> Seq("ነው", "የ", "ና", "ው ", "ላይ", "ስለ", "እን", "በት"),
+    "km" -> Seq("ការ", "នេះ", "របស់", "និង", "ដែល", "បាន", "នៅ", "ទៅ"),
     // Unsegmented scripts (single-glyph profiles — see Scaladoc)
     "zh" -> Seq("的", "是", "一", "了", "在", "人", "有", "我"),
     "ja" -> Seq("の", "に", "は", "を", "た", "です", "して", "ます"),
