@@ -373,6 +373,39 @@ object Multimodal {
         : Array[(Int, Long)] = {
       require((frameSize & (frameSize - 1)) == 0,
         s"frameSize must be a power of two, got $frameSize")
+      // the landmark hash packs (peak1 << 15 | peak2 << 6 | k): peak
+      // bins reach frameSize/2 - 1 (9 bits ⇒ frameSize ≤ 1024) and k
+      // reaches fanout (6 bits ⇒ fanout ≤ 63); beyond either, fields
+      // bleed into each other and unrelated landmarks collide silently
+      require(frameSize <= 1024,
+        s"frameSize > 1024 overflows the 9-bit peak field, got $frameSize")
+      require(fanout <= 63 && fanout >= 1,
+        s"fanout must be in [1, 63] (6-bit delta field), got $fanout")
+      val peaks = spectralPeaks(bytes, frameSize, hop)
+      val nFrames = peaks.length
+      val out = Array.newBuilder[(Int, Long)]
+      var a = 0
+      while (a < nFrames) {
+        if (peaks(a) >= 0) {
+          var k = 1
+          while (k <= fanout && a + k < nFrames) {
+            if (peaks(a + k) >= 0)
+              out += ((a, (peaks(a).toLong << 15) |
+                (peaks(a + k).toLong << 6) | k.toLong))
+            k += 1
+          }
+        }
+        a += 1
+      }
+      out.result()
+    }
+
+    /** Strongest spectral bin per Hann-windowed STFT frame (−1 =
+      * silent frame) — the shared peak extractor behind both
+      * constellation hash families. */
+    private[multimodal] def spectralPeaks(bytes: Array[Byte],
+                                          frameSize: Int,
+                                          hop: Int): Array[Int] = {
       val (_, samples) = pcmSamples(bytes)
       val nFrames = math.max(0, (samples.length - frameSize) / hop + 1)
       val peaks = new Array[Int](nFrames) // bin index, -1 = silent
@@ -399,19 +432,143 @@ object Multimodal {
         peaks(f) = best
         f += 1
       }
-      val out = Array.newBuilder[(Int, Long)]
-      var a = 0
-      while (a < nFrames) {
-        if (peaks(a) >= 0) {
-          var k = 1
-          while (k <= fanout && a + k < nFrames) {
-            if (peaks(a + k) >= 0)
-              out += ((a, (peaks(a).toLong << 15) |
-                (peaks(a + k).toLong << 6) | k.toLong))
-            k += 1
-          }
+      peaks
+    }
+
+    /**
+     * RATE-INVARIANT constellation landmarks — the tempo/pitch-robust
+     * complement to [[audioConstellation]], whose absolute-bin hashes
+     * a resampled copy provably breaks (every peak bin scales by the
+     * rate, every frame delta by its inverse). Construction (the
+     * standard ratio-hash move over Wang 2003's voting core):
+     *
+     *  1. run-length-compress the per-frame peak sequence into EVENTS
+     *     `(ordinal, bin)`, silent runs dropped — a resampled copy
+     *     has the SAME event sequence (times scale, the ORDER does
+     *     not), and a delayed copy's leading silence vanishes
+     *     entirely, so the event ordinal is the rate-invariant time
+     *     axis;
+     *  2. hash event QUADRUPLES `(i, i+j2, i+j3, i+j4)` on the three
+     *     quantized frequency ratios between consecutive members
+     *     (pitch-scaling cancels in the ratio; 4 steps per ln-unit
+     *     absorbs the ±1-bin rounding a resample introduces) plus the
+     *     `(j2, j3, j4)` pattern — three ratios because two were
+     *     measured to leave chance collisions within one vote of the
+     *     planted level on the fixture corpus, and the third
+     *     multiplies chance entropy by ~17× while costing ~40%
+     *     planted recall;
+     *  3. anchors are emitted as the EVENT ORDINAL, so a rate-r copy
+     *     lines its votes up at ordinal offset 0 (a trimmed copy at
+     *     the constant ordinal shift) through the unchanged
+     *     [[Multimodal.offsetVotedPairs]] core.
+     *
+     * Trade documented: frequency-ratio hashes carry less entropy
+     * than absolute-bin pairs, so chance collisions vote more — the
+     * separation comes from the vote CONCENTRATION at one ordinal
+     * offset, and `minVotes` should sit well above the diffuse chance
+     * level (MultimodalSpec pins the planted/chance margin). Gap
+     * ratios were measured and rejected: at the ~4-frame run lengths
+     * real segment structure produces, integer rounding flips the
+     * ratio for most triples, costing recall without adding
+     * discrimination.
+     */
+    /** Run-length-compressed spectral-peak EVENT bins (silent runs
+      * dropped) — the rate-invariant sequence both the ratio-hash
+      * candidate stage and its exact verify stage read. Runs shorter
+      * than `minRun` frames are boundary flicker (a window straddling
+      * two tones), not events: they appear in one encoding of a clip
+      * and not its resampled twin, silently shifting every downstream
+      * ordinal — measured as the 0.39 match_frac on a true copy before
+      * the filter. */
+    def eventBins(bytes: Array[Byte], frameSize: Int = 512,
+                  hop: Int = 256, minRun: Int = 2): Array[Int] = {
+      val peaks = spectralPeaks(bytes, frameSize, hop)
+      val evF = Array.newBuilder[Int]
+      var i = 0
+      var last = Int.MinValue // merge equal neighbors a dropped flicker run exposed
+      while (i < peaks.length) {
+        var j = i
+        while (j < peaks.length && peaks(j) == peaks(i)) j += 1
+        if (peaks(i) >= 0 && j - i >= minRun && peaks(i) != last) {
+          evF += peaks(i)
+          last = peaks(i)
         }
-        a += 1
+        i = j
+      }
+      evF.result()
+    }
+
+    /** Exact verify for ratio-hash candidates: best-alignment match
+      * fraction between two clips' consecutive-event ln-bin-ratio
+      * sequences. A resampled copy's ratio sequence is element-wise
+      * equal up to ±1-bin rounding (`tol` absorbs it); unrelated
+      * clips agree only by chance. Scans ordinal offsets in
+      * [-maxLag, maxLag] — the voting stage already established
+      * near-alignment, the scan just absorbs leading-event flicker. */
+    def ratioSequenceMatchFrac(a: Array[Int], b: Array[Int],
+                               tol: Double = 0.15,
+                               maxLag: Int = 4): Double = {
+      def deltas(xs: Array[Int]): Array[Double] = {
+        val d = new Array[Double](math.max(0, xs.length - 1))
+        var i = 0
+        while (i < d.length) {
+          d(i) = math.log(xs(i + 1).toDouble / xs(i)); i += 1
+        }
+        d
+      }
+      val da = deltas(a); val db = deltas(b)
+      if (da.isEmpty || db.isEmpty) return 0.0
+      var best = 0.0
+      var o = -maxLag
+      while (o <= maxLag) {
+        var hits = 0
+        var n = 0
+        var i = math.max(0, -o)
+        while (i < da.length && i + o < db.length) {
+          if (i + o >= 0) {
+            n += 1
+            if (math.abs(da(i) - db(i + o)) <= tol) hits += 1
+          }
+          i += 1
+        }
+        if (n > 0) best = math.max(best, hits.toDouble / math.min(da.length, db.length))
+        o += 1
+      }
+      best
+    }
+
+    def audioConstellationRatio(bytes: Array[Byte], frameSize: Int = 512,
+                                hop: Int = 256, eventFanout: Int = 3)
+        : Array[(Int, Long)] = {
+      require((frameSize & (frameSize - 1)) == 0,
+        s"frameSize must be a power of two, got $frameSize")
+      require(eventFanout >= 2 && eventFanout <= 8,
+        s"eventFanout must be in [2, 8], got $eventFanout")
+      val fs = eventBins(bytes, frameSize, hop)
+      val out = Array.newBuilder[(Int, Long)]
+      def q(x: Double): Long =
+        math.max(0L, math.min(255L, math.round(x * 4.0) + 128L))
+      var i = 0
+      while (i < fs.length) {
+        var j2 = 1
+        while (j2 <= eventFanout - 1 && i + j2 < fs.length) {
+          var j3 = j2 + 1
+          while (j3 <= eventFanout && i + j3 < fs.length) {
+            var j4 = j3 + 1
+            while (j4 <= eventFanout + 1 && i + j4 < fs.length) {
+              val h = (j2.toLong << 32) | (j3.toLong << 28) |
+                (j4.toLong << 24) |
+                (q(math.log(fs(i + j2).toDouble / fs(i))) << 16) |
+                (q(math.log(fs(i + j3).toDouble / fs(i + j2))) << 8) |
+                q(math.log(fs(i + j4).toDouble / fs(i + j3)))
+              out += ((i, h))
+              j4 += 1
+            }
+            j3 += 1
+          }
+          j2 += 1
+        }
+        i += 1
       }
       out.result()
     }
@@ -910,6 +1067,79 @@ object Multimodal {
       audioConstellationHashes(media).localCheckpoint(true),
       minVotes, maxBucket)
 
+  /** Rate-invariant landmark table `(media_id, t, lh)` from
+    * [[Codec.audioConstellationRatio]] — same narrow-map shape and
+    * persisted-index role as [[audioConstellationHashes]], but `t` is
+    * the QUANTIZED LOG anchor time, so the shared voting core's
+    * `ta - tb` is the constant log-offset a resampled copy produces. */
+  def audioConstellationRatioHashes(media: Dataset[MediaRow],
+                                    frameSize: Int = 512, hop: Int = 256,
+                                    eventFanout: Int = 3): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio")
+      .flatMap { r =>
+        scala.util.Try(
+          Codec.audioConstellationRatio(r.bytes, frameSize, hop,
+              eventFanout)
+            .toSeq.map { case (t, h) => (r.media_id, t, h) })
+          .getOrElse(Seq.empty)
+      }
+      .toDF("media_id", "t", "lh")
+  }
+
+  /**
+   * Tempo/pitch-robust audio duplicate pairs `(id_a, id_b, votes,
+   * match_frac)` — the complement of [[audioConstellationMatches]]:
+   * catches RESAMPLED copies (rate/pitch change) the absolute-bin
+   * landmarks provably miss. Two stages, the library's LSH discipline
+   * (candidates must out-vote chance, then an EXACT check decides):
+   *
+   *  1. candidates: [[offsetVotedPairs]] over
+   *     [[audioConstellationRatioHashes]] at `minVotes` — frequency-
+   *     ratio hashes carry less entropy than absolute-bin pairs, so
+   *     chance votes sit closer to the planted level than in the
+   *     absolute family (measured: planted min 33 vs chance max 29 on
+   *     the fixture corpus) and the vote alone is NOT the verdict;
+   *  2. verify: candidates' event-bin sequences ([[Codec.eventBins]],
+   *     ~one int per spectral run — KBs, and decoded only for
+   *     candidate ids via a semi-join, never the corpus) are aligned
+   *     by [[Codec.ratioSequenceMatchFrac]]; measured on the fixture
+   *     corpus: every resampled copy scores 1.0 (votes 85–113), the
+   *     best chance pair 0.61 (votes ≤ 36), so the 0.8 default splits
+   *     them with margin on BOTH axes (MultimodalSpec pins both).
+   *
+   * Payload bytes still never shuffle: the verify decode happens in a
+   * narrow map over the candidate-id semi-joined media rows, and only
+   * the int sequences enter the join.
+   */
+  def audioConstellationRatioMatches(media: Dataset[MediaRow],
+                                     minVotes: Int = 12,
+                                     maxBucket: Int = 1000,
+                                     minMatchFrac: Double = 0.8): DataFrame = {
+    import media.sparkSession.implicits._
+    val cand = offsetVotedPairs(
+      audioConstellationRatioHashes(media).localCheckpoint(true),
+      minVotes, maxBucket).localCheckpoint(true)
+    val ids = cand.select(col("id_a").as("media_id"))
+      .unionAll(cand.select(col("id_b").as("media_id"))).distinct()
+    val bins = media.join(broadcast(ids), Seq("media_id"), "left_semi")
+      .as[MediaRow]
+      .map(r => (r.media_id,
+        scala.util.Try(Codec.eventBins(r.bytes)).getOrElse(Array.empty[Int])))
+      .toDF("media_id", "bins")
+    cand
+      .join(bins.select(col("media_id").as("id_a"), col("bins").as("__ba")),
+        Seq("id_a"))
+      .join(bins.select(col("media_id").as("id_b"), col("bins").as("__bb")),
+        Seq("id_b"))
+      .as[(Long, Long, Long, Array[Int], Array[Int])]
+      .map { case (idB, idA, votes, ba, bb) =>
+        (idA, idB, votes, Codec.ratioSequenceMatchFrac(ba, bb))
+      }
+      .toDF("id_a", "id_b", "votes", "match_frac")
+      .where(col("match_frac") >= minMatchFrac)
+  }
+
   /** Per-frame pHash sequence `(media_id, t, lh)` for video rows —
     * frame index as the time axis, the frame's 64-bit pHash as the
     * hash. Same skip-corrupt contract and narrow-map shape as
@@ -1146,6 +1376,81 @@ object Multimodal {
         }
         new Array[Byte](4096 * 2) ++ melody
       } else melody
+      MediaRow(id, "audio", wavFromPcm(pcm, 16000),
+        MediaMeta(0, 0, 16000, 1))
+    }
+  }
+
+  /** 2-second, 32-segment melody PCM (content-keyed, 128 tone steps):
+    * the RATIO-constellation fixture — longer segments (~4 STFT frames
+    * each) make the run-length event sequence sparse enough that gap
+    * ratios carry signal, which the 1-second/64-segment fixtures'
+    * one-frame-per-segment geometry cannot. */
+  private def melodyPcmLong(content: Long,
+                            sampleRate: Int = 16000): Array[Byte] = {
+    val segs = 32
+    val n = sampleRate * 2
+    val perSeg = n / segs
+    val pcm = new Array[Byte](n * 2)
+    var s = 0
+    while (s < segs) {
+      val mix = content * 2246822519L + s * 3266489917L
+      val tone = math.floorMod(mix ^ (mix >>> 15), 128L)
+      val freq = 300.0 + tone * 18.0
+      var i = 0
+      while (i < perSeg) {
+        val k = s * perSeg + i
+        val v = (math.sin(2 * math.Pi * freq * i / sampleRate) * 0.6
+          * 32767).toInt
+        pcm(2 * k) = (v & 0xFF).toByte
+        pcm(2 * k + 1) = ((v >> 8) & 0xFF).toByte
+        i += 1
+      }
+      s += 1
+    }
+    pcm
+  }
+
+  /** Nearest-neighbor PCM resample by `rate` (>1 = faster + pitched
+    * up): output sample j reads input sample round(j·rate) — the
+    * playback-rate-change model (tempo AND pitch scale together, the
+    * classic radio/speed-adjusted re-upload). 16-bit mono LE. */
+  private def resamplePcm(pcm: Array[Byte], rate: Double): Array[Byte] = {
+    val nIn = pcm.length / 2
+    val nOut = (nIn / rate).toInt
+    val out = new Array[Byte](nOut * 2)
+    var j = 0
+    while (j < nOut) {
+      val src = math.min(nIn - 1, math.round(j * rate).toInt)
+      out(2 * j) = pcm(2 * src)
+      out(2 * j + 1) = pcm(2 * src + 1)
+      j += 1
+    }
+    out
+  }
+
+  /**
+   * Audio corpus with planted RESAMPLED duplicates — the case the
+   * absolute-bin constellation provably misses (a rate change scales
+   * every peak bin and every frame delta, so no landmark hash
+   * survives) and [[audioConstellationRatioMatches]] catches by
+   * construction: ids `0 until nContents` are distinct 2-second
+   * melodies; ids `2000 + c` for `c < nResampled` are the same
+   * melodies played at `ratePct/100` speed (nearest-neighbor
+   * resample — pitch and tempo scale together, the re-upload model).
+   */
+  def syntheticResampledAudioCorpus(spark: SparkSession, nContents: Int,
+                                    nResampled: Int,
+                                    ratePct: Int = 110): Dataset[MediaRow] = {
+    import spark.implicits._
+    require(nResampled <= nContents, "resampled copies need a source")
+    val ids = spark.range(nContents.toLong)
+      .union(spark.range(2000L, 2000L + nResampled)).as[Long]
+    ids.map { id =>
+      val content = if (id >= 2000L) id - 2000L else id
+      val melody = melodyPcmLong(content)
+      val pcm =
+        if (id >= 2000L) resamplePcm(melody, ratePct / 100.0) else melody
       MediaRow(id, "audio", wavFromPcm(pcm, 16000),
         MediaMeta(0, 0, 16000, 1))
     }

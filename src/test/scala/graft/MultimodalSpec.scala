@@ -374,6 +374,39 @@ class MultimodalSpec extends SparkSpec {
     planted.foreach(p => assert(got(p) >= 200, s"weak noisy pair $p"))
   }
 
+  test("ratio constellation catches resampled copies the absolute-bin " +
+      "landmarks miss; verify stage separates chance candidates") {
+    val corpus = Multimodal.syntheticResampledAudioCorpus(spark,
+      nContents = 20, nResampled = 10)
+    val planted = (0L until 10L).map(c => (c, c + 2000L)).toSet
+    // absolute-bin family: a 1.1x resample scales every peak bin and
+    // frame delta, so NO planted pair reaches even the diffuse chance
+    // level on this fixture — the documented miss
+    val absVotes = Multimodal.audioConstellationMatches(corpus,
+        minVotes = 1).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val absPlantedMax = planted.flatMap(absVotes.get).maxOption.getOrElse(0L)
+    val absChanceMax = (absVotes -- planted).values.maxOption.getOrElse(0L)
+    assert(absPlantedMax < absChanceMax,
+      s"absolute family unexpectedly sees resampled copies " +
+        s"(planted max $absPlantedMax vs chance $absChanceMax)")
+    // ratio family at defaults: exactly the planted set, match_frac
+    // 1.0 each, and every surviving chance candidate is below the
+    // verify threshold with margin
+    val got = Multimodal.audioConstellationRatioMatches(corpus).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(got.keySet == planted, s"got ${got.keySet}")
+    got.values.foreach(f => assert(f >= 0.99, s"weak verified copy: $f"))
+    // verify margins: candidates kept with frac gate OFF show chance
+    // pairs capped well under the 0.8 default
+    val all = Multimodal.audioConstellationRatioMatches(corpus,
+        minMatchFrac = 0.0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val chance = (all -- planted).values
+    assert(chance.forall(_ <= 0.7),
+      s"chance match_frac too close to the gate: ${chance.max}")
+  }
+
   test("audioConstellationProbeIndex: batch vs persisted landmark " +
       "index finds exactly the planted delayed copies") {
     val corpus = Multimodal.syntheticShiftedAudioCorpus(spark, 20, 10)
