@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+
+/** The pinned plan shapes for [[GoldenPlanSpec]] — regenerate with
+  * [[GoldenPlanDump]] ONLY for a deliberate plan change, in the same
+  * commit, with the reason in the message. The pinned set is the
+  * bench's most expensive queries (they own the total) plus q_profile
+  * (the round-11 perf flag). */
+object GoldenPlans {
+
+  /** (shuffle exchanges, broadcast exchanges, join-strategy multiset)
+    * of the STATIC physical plan — AQE is disabled around planning so
+    * `executedPlan` is the concrete exchange-bearing plan instead of
+    * an adaptive wrapper whose exchanges appear only at runtime
+    * (`sparkPlan` predates EnsureRequirements and carries none). */
+  def shape(spark: SparkSession, name: String,
+            sfDir: String): (Int, Int, Map[String, Int]) = {
+    val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan
+      val shuffles = plan.collectWithSubqueries {
+        case e: ShuffleExchangeExec => e }.size
+      val broadcasts = plan.collectWithSubqueries {
+        case e: BroadcastExchangeExec => e }.size
+      val joins = plan.collectWithSubqueries { case j: BaseJoinExec => j }
+        .groupBy {
+          case _: BroadcastHashJoinExec => "bhj"
+          case _: SortMergeJoinExec => "smj"
+          case _: ShuffledHashJoinExec => "shj"
+          case _: BroadcastNestedLoopJoinExec => "bnlj"
+          case other => other.nodeName
+        }.map { case (k, v) => k -> v.size }
+      (shuffles, broadcasts, joins)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", before)
+  }
+
+  val pinned: Seq[String] = Seq(
+    "q_ingest_admission",
+    "q_ingest_admission_normalized",
+    "q_ingest_admission_state",
+    "q_dedup_semantic",
+    "q_dedup_survivors",
+    "q_ann_ivfpq",
+    "q_skew_salted_join",
+    "q_profile",
+    "q_bm25_search",
+    "q_dedup_minhash")
+
+  // filled by GoldenPlanDump — (shuffle exchanges, broadcast
+  // exchanges, join-strategy multiset) on the sf0.001 static plan
+  val table: Map[String, (Int, Int, Map[String, Int])] = Map(
+    "q_ingest_admission" -> (9, 6, Map[String, Int]("bhj" -> 11, "smj" -> 3)),
+    "q_ingest_admission_normalized" -> (9, 6, Map[String, Int]("bhj" -> 11, "smj" -> 3)),
+    "q_ingest_admission_state" -> (9, 6, Map[String, Int]("bhj" -> 11, "smj" -> 3)),
+    "q_dedup_semantic" -> (3, 0, Map[String, Int]("smj" -> 3)),
+    "q_dedup_survivors" -> (3, 0, Map[String, Int]("smj" -> 3)),
+    "q_ann_ivfpq" -> (2, 2, Map[String, Int]("bhj" -> 2)),
+    "q_skew_salted_join" -> (1, 1, Map[String, Int]("bhj" -> 1)),
+    "q_profile" -> (2, 0, Map[String, Int]()),
+    "q_bm25_search" -> (8, 3, Map[String, Int]("bhj" -> 2, "bnlj" -> 1)),
+    "q_dedup_minhash" -> (4, 2, Map[String, Int]("bhj" -> 2)))
+}
