@@ -68,10 +68,20 @@ if [ -n "${BASE}" ]; then
     | grep -vE 'private|override' \
     | sed -E 's/^\+ +def ([a-zA-Z0-9_]+).*/\1/' | sort -u || true)
   for fn in ${NEWDEFS}; do
-    # uses = occurrences anywhere in src/ that are not the definition
-    # line itself (round 10's orphans had exactly zero such lines)
-    USES=$(grep -rh --include='*.scala' -w "${fn}" src/ \
-      | grep -cvE "def ${fn}\b" || true)
+    # uses = occurrences in files OTHER than the one holding the def
+    # (the documented rule; counting same-file lines let a def with a
+    # local helper call slip the guard — advisor round-11 finding)
+    DEFFILES=$(grep -rl --include='*.scala' -E "def ${fn}\b" src/ \
+      | tr '\n' ' ' || true)
+    USES=0
+    while IFS= read -r f; do
+      [ -z "${f}" ] && continue
+      case " ${DEFFILES} " in *" ${f} "*) continue ;; esac
+      N=$(grep -cw "${fn}" "${f}" || true)
+      USES=$((USES + N))
+    done <<EOF
+$(grep -rlw --include='*.scala' "${fn}" src/ || true)
+EOF
     if [ "${USES}" -eq 0 ]; then
       ORPHANS="${ORPHANS} ${fn}"
     fi

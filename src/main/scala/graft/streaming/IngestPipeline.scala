@@ -254,8 +254,12 @@ object IngestPipeline {
             spark.read.parquet(indexDir)
               .select(col("media_id"), col("t"), col("lh"))
           else if (hasCommittedParquet(spark, corpusDir)) {
+            // materialize once: without the checkpoint the lazy plan
+            // would decode + FFT the whole corpus TWICE (once for the
+            // index write, again for the probe below)
             val built =
               hashesOf(spark.read.parquet(corpusDir).as(mediaEnc))
+                .localCheckpoint(true)
             built.write.mode("overwrite")
               .parquet(s"$indexDir/batch_min_id=-1")
             built
