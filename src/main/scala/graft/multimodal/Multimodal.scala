@@ -3,6 +3,61 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+/**
+ * Pluggable video frame decoder — the binding point for inter-frame
+ * codecs (H.264/VP9/AV1) that need an external library the default
+ * build deliberately does not carry. Implementations decode a video
+ * payload into per-frame IMAGE payloads (any ImageIO-decodable
+ * encoding); everything downstream of the frame split — per-frame
+ * pHashes, sequence matching, offset voting, persisted indexes,
+ * streaming ingest — is codec-agnostic and untouched.
+ *
+ * Selection: set the JVM system property
+ * `graft.video.frameDecoder=com.example.FfmpegFrameDecoder` (on a
+ * cluster: `spark.driver.extraJavaOptions` AND
+ * `spark.executor.extraJavaOptions`, with the binding jar on the
+ * executor classpath) to a class with a no-arg constructor. Unset, the
+ * JDK-only MJPEG splitter is used — the default build stays
+ * dependency-free and green. Resolution is memoized per JVM per class
+ * name (reflection once, not per row); a misconfigured class fails
+ * fast with the class name in the error.
+ */
+trait FrameDecoder extends Serializable {
+  /** Per-frame image payloads, in display order. */
+  def frames(bytes: Array[Byte]): Seq[Array[Byte]]
+}
+
+object FrameDecoder {
+  val PropKey = "graft.video.frameDecoder"
+
+  /** The JDK-only default: walk concatenated baseline JPEGs. */
+  object Mjpeg extends FrameDecoder {
+    def frames(bytes: Array[Byte]): Seq[Array[Byte]] =
+      Multimodal.Codec.splitMjpegFrames(bytes)
+  }
+
+  @volatile private var cached: (String, FrameDecoder) = ("", Mjpeg)
+
+  /** Resolve the configured decoder (memoized per class name). */
+  def resolve(): FrameDecoder = sys.props.get(PropKey) match {
+    case None | Some("") => Mjpeg
+    case Some(cls) =>
+      val c = cached
+      if (c._1 == cls) c._2
+      else {
+        val d =
+          try Class.forName(cls).getDeclaredConstructor()
+            .newInstance().asInstanceOf[FrameDecoder]
+          catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"$PropKey=$cls is not a loadable FrameDecoder", e)
+          }
+        cached = (cls, d)
+        d
+      }
+  }
+}
+
 /** Typed metadata carried alongside an opaque media payload. */
 final case class MediaMeta(width: Int, height: Int, sampleRate: Int,
                            nFrames: Int)
@@ -39,8 +94,13 @@ final case class MediaFeatures(media_id: Long, kind: String,
  *    through ImageIO in [[Codec.decodeVideo]] / [[Codec.splitMjpegFrames]].
  * [[syntheticMedia]] generates real PNG / WAV / MJPEG payloads. The
  * remaining documented boundary is inter-frame-compressed video
- * (H.264/VP9/AV1): that needs an ffmpeg/javacv binding — swap the frame
- * splitter for it without touching any of the distributed plumbing.
+ * (H.264/VP9/AV1): that needs an ffmpeg/javacv binding, and the
+ * binding point is the [[FrameDecoder]] SPI — name the binding class
+ * in the `graft.video.frameDecoder` system property and every video
+ * operator (featurize, frame sampling, pHash dedup, sequence matching,
+ * streaming ingest) decodes through it; unset, the JDK-only MJPEG
+ * splitter runs and the build stays dependency-free. MultimodalSpec
+ * proves the plumbing with a fake external decoder.
  *
  * Scale notes: payloads never pass through a shuffle here — featurize is
  * a narrow mapPartitions; downstream joins should carry `media_id` and
@@ -655,9 +715,18 @@ object Multimodal {
      *
      * @return (frameWidth, frameHeight, nFrames, features)
      */
+    /** Per-frame image payloads through the CONFIGURED decoder —
+      * [[FrameDecoder.Mjpeg]] (JDK-only) unless the
+      * `graft.video.frameDecoder` property names an external binding
+      * (e.g. ffmpeg/javacv for H.264). Every video operator routes
+      * through here, so a binding lights up the whole family without
+      * touching the distributed plumbing. */
+    def videoFrames(bytes: Array[Byte]): Seq[Array[Byte]] =
+      FrameDecoder.resolve().frames(bytes)
+
     def decodeVideo(bytes: Array[Byte], dim: Int): (Int, Int, Int, Array[Float]) = {
-      val frames = splitMjpegFrames(bytes)
-      require(frames.nonEmpty, "payload contains no JPEG frames")
+      val frames = videoFrames(bytes)
+      require(frames.nonEmpty, "payload contains no video frames")
       val decoded = frames.map(decodeImage(_, dim))
       val (w, h, _) = decoded.head
       val acc = new Array[Float](dim)
@@ -731,7 +800,7 @@ object Multimodal {
       : Dataset[(Long, Int, Array[Float])] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>
-      val frames = Codec.splitMjpegFrames(r.bytes)
+      val frames = Codec.videoFrames(r.bytes)
       (0 until frames.length by everyN).map { f =>
         (r.media_id, f, Codec.decodeImage(frames(f), 8)._3)
       }
@@ -908,8 +977,8 @@ object Multimodal {
         // corrupt/frameless clips are skipped, not thrown — the
         // imageHashes degrade-don't-fail contract
         scala.util.Try {
-          val frames = Codec.splitMjpegFrames(r.bytes)
-          require(frames.nonEmpty, "no decodable MJPEG frames")
+          val frames = Codec.videoFrames(r.bytes)
+          require(frames.nonEmpty, "no decodable video frames")
           (r.media_id, Codec.imagePHash(frames(frames.length / 2)))
         }.toOption
       }
@@ -1152,8 +1221,8 @@ object Multimodal {
     media.filter(_.kind == "video")
       .flatMap { r =>
         scala.util.Try {
-          val frames = Codec.splitMjpegFrames(r.bytes)
-          require(frames.nonEmpty, "no decodable MJPEG frames")
+          val frames = Codec.videoFrames(r.bytes)
+          require(frames.nonEmpty, "no decodable video frames")
           frames.zipWithIndex.map { case (fb, i) =>
             (r.media_id, i, Codec.imagePHash(fb)) }
         }.getOrElse(Seq.empty)

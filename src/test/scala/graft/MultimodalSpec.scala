@@ -407,6 +407,72 @@ class MultimodalSpec extends SparkSpec {
       s"chance match_frac too close to the gate: ${chance.max}")
   }
 
+  test("FrameDecoder SPI: an external video codec binding lights up " +
+      "the whole sequence-matching family; unset falls back to MJPEG") {
+    import graft.multimodal.{FrameDecoder, MediaMeta, MediaRow}
+    import spark.implicits._
+    // clips in a fake non-MJPEG container (GFAKE1: magic + count +
+    // length-prefixed PNG frames) — the deterministic stand-in for an
+    // H.264 payload, since the real codec needs the external binding
+    // this SPI exists for
+    def png(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) {
+          img.setRGB(x, y, (seed * 2654435761L.toInt) ^ (x * 31 + y * 17))
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def fakeClip(frameSeeds: Seq[Int]): Array[Byte] = {
+      val frames = frameSeeds.map(png)
+      val bb = java.nio.ByteBuffer.allocate(
+        10 + frames.map(_.length + 4).sum)
+      bb.put("GFAKE1".getBytes("US-ASCII")).putInt(frames.size)
+      frames.foreach(f => bb.putInt(f.length).put(f))
+      bb.array()
+    }
+    // contents 0..5: 8 distinct frames each; copies at +1000 prepend a
+    // 3-frame intro (the trim/delay case the sequence matcher owns)
+    val rows = (0L until 6L).map { c =>
+      MediaRow(c, "video",
+        fakeClip((0 until 8).map(f => (c * 100 + f).toInt)),
+        MediaMeta(16, 16, 0, 8))
+    } ++ (0L until 6L).map { c =>
+      MediaRow(1000L + c, "video",
+        fakeClip(Seq(9001, 9002, 9003) ++
+          (0 until 8).map(f => (c * 100 + f).toInt)),
+        MediaMeta(16, 16, 0, 11))
+    }
+    val corpus = spark.createDataset(rows)
+    val planted = (0L until 6L).map(c => (c, c + 1000L)).toSet
+    // without the binding: MJPEG splitter finds no SOI → skip-corrupt
+    // contract drops every clip, zero matches (proves routing is real)
+    sys.props.remove(FrameDecoder.PropKey)
+    assert(Multimodal.videoSequenceMatches(corpus, minVotes = 1)
+      .count() == 0)
+    // with the binding: the full family lights up through the SPI
+    sys.props(FrameDecoder.PropKey) = "graft.FakeFrameDecoder"
+    try {
+      val got = Multimodal.videoSequenceMatches(corpus, minVotes = 5)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+        .toMap
+      assert(got.keySet == planted, s"got ${got.keySet}")
+      planted.foreach(p => assert(got(p) == 8L, s"pair $p votes ${got(p)}"))
+      // a bogus class name fails fast with the name in the error
+      sys.props(FrameDecoder.PropKey) = "graft.NoSuchDecoder"
+      val e = intercept[IllegalArgumentException](FrameDecoder.resolve())
+      assert(e.getMessage.contains("graft.NoSuchDecoder"))
+    } finally sys.props.remove(FrameDecoder.PropKey)
+  }
+
   test("audioConstellationProbeIndex: batch vs persisted landmark " +
       "index finds exactly the planted delayed copies") {
     val corpus = Multimodal.syntheticShiftedAudioCorpus(spark, 20, 10)
@@ -423,5 +489,25 @@ class MultimodalSpec extends SparkSpec {
       minVotes = 1)
     assert(none.columns.toSeq == Seq("new_id", "seen_id", "votes"))
     assert(none.count() == 0)
+  }
+}
+
+/** The fake external codec binding for the FrameDecoder SPI test:
+  * "decodes" the GFAKE1 container (magic + frame count + length-
+  * prefixed PNG frames). Top-level with a no-arg constructor, exactly
+  * the contract a real ffmpeg/javacv binding class would satisfy. */
+class FakeFrameDecoder extends graft.multimodal.FrameDecoder {
+  def frames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    require(bytes.length > 10 &&
+      new String(bytes.take(6), "US-ASCII") == "GFAKE1",
+      "not a GFAKE1 container")
+    val bb = java.nio.ByteBuffer.wrap(bytes, 6, bytes.length - 6)
+    val n = bb.getInt
+    (0 until n).map { _ =>
+      val len = bb.getInt
+      val a = new Array[Byte](len)
+      bb.get(a)
+      a
+    }
   }
 }
