@@ -377,6 +377,166 @@ private[graft] object RegistryRound11 {
       Some("""SELECT i AS id_a, i + 2000 AS id_b
               FROM generate_series(0, 9) t(i)""")),
 
+    // hybrid lexical+dense retrieval (RRF, round 12): BM25 top-20 and
+    // exact-cosine top-20 per query fused by 1/(60+rank) sums, top-5
+    // kept. The corpus is documents ⋈ embeddings on id (the rows that
+    // HAVE both text and a vector); the oracle replays both rankers —
+    // the BM25 arithmetic verbatim from q_bm25_search restricted to
+    // the joined corpus, the dense side via list_cosine_similarity —
+    // and the fusion. Rank determinism: both rankers order on raw
+    // doubles with a doc_id tiebreak (the q_bm25_search / q_ann_brute
+    // precedents), and RRF arithmetic is identical small-rational FP
+    // on both engines.
+    Q("q_hybrid_search",
+      (s, d) => {
+        import s.implicits._
+        val fixed = Seq((0L, "hash join"), (1L, "customer order data"),
+          (2L, "vector vector scan")).toDF("query_id", "qtext")
+        val embs = s.read.parquet(pq(d, "embeddings"))
+          .select(col("vec_id"), col("embedding"))
+        val corpus = s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"), col("text"))
+          .join(embs, col("doc_id") === col("vec_id"))
+          .select(col("doc_id"), col("text"), col("embedding"))
+        val queries = fixed.join(embs,
+            col("query_id") === col("vec_id"))
+          .select(col("query_id"), col("qtext"),
+            col("embedding").as("qv"))
+        graft.functions.TextSearch.hybridSearchRrf(corpus,
+          "doc_id", "text", "embedding",
+          queries, "query_id", "qtext", "qv", k = 5)
+      },
+      Some("""WITH c AS (SELECT d.doc_id, d.text, e.embedding
+                FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+              q(query_id, qtext) AS (VALUES
+                (CAST(0 AS BIGINT), 'hash join'),
+                (CAST(1 AS BIGINT), 'customer order data'),
+                (CAST(2 AS BIGINT), 'vector vector scan')),
+              qv AS (SELECT query_id,
+                  (SELECT embedding FROM embeddings e
+                   WHERE e.vec_id = q.query_id) AS qv
+                FROM q),
+              toks AS (SELECT doc_id,
+                  unnest(string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+'))
+                    AS term
+                FROM c WHERE length(regexp_replace(text, '^\s+|\s+$', '', 'g')) > 0),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                FROM toks GROUP BY 1, 2),
+              dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+              stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+              dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              qt AS (SELECT DISTINCT query_id,
+                  unnest(string_split_regex(lower(regexp_replace(qtext, '^\s+|\s+$', '', 'g')), '\s+'))
+                    AS term
+                FROM q),
+              scored AS (SELECT qt.query_id, tf.doc_id,
+                  SUM(LN(1 + (stats.n - dfreq.df + 0.5)
+                        / (dfreq.df + 0.5))
+                      * tf.tf * 2.2
+                      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                          / stats.avgdl))) AS raw
+                FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+                  JOIN dl USING (doc_id) CROSS JOIN stats
+                GROUP BY 1, 2),
+              lex AS (SELECT query_id, doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY raw DESC, doc_id) AS lex_rank
+                FROM scored QUALIFY lex_rank <= 20),
+              dense AS (SELECT query_id, doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY qv.query_id
+                    ORDER BY list_cosine_similarity(c.embedding, qv.qv)
+                      DESC, c.doc_id) AS dense_rank
+                FROM c CROSS JOIN qv QUALIFY dense_rank <= 20),
+              fused AS (SELECT
+                  COALESCE(lex.query_id, dense.query_id) AS query_id,
+                  COALESCE(lex.doc_id, dense.doc_id) AS doc_id,
+                  COALESCE(CAST(1.0 AS DOUBLE) / (60 + lex_rank), 0)
+                    + COALESCE(CAST(1.0 AS DOUBLE) / (60 + dense_rank),
+                        0) AS rrf
+                FROM lex FULL OUTER JOIN dense
+                  ON lex.query_id = dense.query_id
+                  AND lex.doc_id = dense.doc_id)
+              SELECT query_id, doc_id, ROUND(rrf, 6) AS rrf, "rank"
+              FROM (SELECT query_id, doc_id, rrf, ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY rrf DESC, doc_id)
+                    AS "rank"
+                FROM fused)
+              WHERE "rank" <= 5""")),
+
+    // ANN recall gate (round 12): IVF-PQ top-10 vs the exact top-10
+    // for 20 natural queries, recall@10 per query computed IN-PLAN
+    // (hits-sized join, never corpus-sized) and reduced to a floor
+    // verdict — the planted-twin oracles prove identical vectors are
+    // found, THIS proves ranked retrieval quality on natural data.
+    // Floors sit under the measured values with margin (random
+    // driver embeddings are the ANN worst case — no cluster
+    // structure: measured avg 0.705 at sf0.01 / 0.555 at sf0.1, min
+    // 0.3 at both; floors 0.5 avg / 0.2 min). A broken codebook,
+    // assignment, or ADC scan drops recall to ~k/N and reds the gate.
+    Q("q_ann_recall_gate",
+      (s, d) => {
+        import graft.operators.Similarity
+        val emb = s.read.parquet(pq(d, "embeddings"))
+          .select(col("vec_id"), col("embedding"))
+        val queries = emb.where(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("qv"))
+        val approx = Similarity.ivfpqTopK(emb, queries,
+          "vec_id", "embedding", "query_id", "qv",
+          k = 10, nlist = 16, nprobe = 8, m = 8, ksub = 16,
+          shortlist = 64)
+        val exact = Similarity.exactTopK(emb, queries,
+          "vec_id", "embedding", "query_id", "qv", k = 10)
+        Similarity.recallAtK(approx, exact, "query_id", "vec_id", 10)
+          .agg(count(lit(1)).as("n_queries"),
+            (avg(col("recall")) >= 0.5).as("avg_recall_ok"),
+            (min(col("recall")) >= 0.2).as("min_recall_ok"))
+      },
+      Some("""SELECT CAST(20 AS BIGINT) AS n_queries,
+              CAST(1 AS BOOLEAN) AS avg_recall_ok,
+              CAST(1 AS BOOLEAN) AS min_recall_ok""")),
+
+    // content-defined chunking (FastCDC gear, round 12): copies of the
+    // long docs (n_chars >= 400) planted behind a per-doc prefix MUST
+    // re-synchronize to shared chunk hashes inside the unchanged text
+    // — the storage-dedup property whole-document hashing and
+    // fixed-offset blocking both lack. Gate columns: every planted
+    // pair found via chunk-hash equality (measured on this corpus:
+    // all pairs share >= 2 chunks / >= 230 bytes at (16, 32, 256)),
+    // and the chunk table tiles every document exactly
+    // (sum(chunk_len) = octet_length, corpus-wide). The one-row
+    // verdict frames join via broadcast (the one-row-totals pattern).
+    Q("q_cdc_chunk_dedup",
+      (s, d) => {
+        import graft.operators.Dedup
+        val docs = s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"), col("text"), col("n_chars"))
+        val base = docs.where(col("doc_id") < 50 && col("n_chars") >= 400)
+          .select(col("doc_id"), col("text"))
+        val planted = base.select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("completely different prefix material here "),
+            col("doc_id").cast("string"), lit(" :: "), col("text"))
+            .as("text"))
+        val found = Dedup.cdcSharedChunkPairs(base.unionByName(planted),
+            "doc_id", "text", minSize = 16, avgSize = 32, maxSize = 256)
+          .where(col("id_b") - col("id_a") === 100000L &&
+            col("id_a") < 50)
+          .agg(count(lit(1)).as("n_planted_found"))
+        val badTiling = Dedup.cdcChunkHashes(
+            docs.select(col("doc_id"), col("text")), "doc_id", "text",
+            minSize = 16, avgSize = 32, maxSize = 256)
+          .groupBy(col("doc_id")).agg(sum(col("chunk_len")).as("__b"))
+          .join(docs.select(col("doc_id"),
+            octet_length(col("text")).as("__blen")), "doc_id")
+          .where(col("__b") =!= col("__blen"))
+          .agg(count(lit(1)).as("n_bad_tiling"))
+        found.crossJoin(broadcast(badTiling))
+      },
+      Some("""SELECT (SELECT COUNT(*) FROM documents
+                WHERE doc_id < 50 AND n_chars >= 400)
+                AS n_planted_found,
+              CAST(0 AS BIGINT) AS n_bad_tiling""")),
+
     // incremental constellation probe: history clips (ids 0-19) are
     // landmark-indexed ONCE; the batch (their 16-hop-delayed copies,
     // ids 1000-1009) probes the index — per-batch cost is the touched

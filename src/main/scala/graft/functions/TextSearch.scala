@@ -122,4 +122,71 @@ object TextSearch {
     bm25SearchAgainstIndex(postings, docLens, queries, queryIdCol,
       queryTextCol, k, k1, b)
   }
+
+  /**
+   * Hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion
+   * (Cormack, Clarke & Buettcher 2009 — public method): per query,
+   * take the top-`candidates` BM25 hits and the top-`candidates`
+   * embedding-cosine hits, score every candidate
+   * `Σ_lists 1/(kRrf + rank)` (a list not containing the doc
+   * contributes 0 — the standard convention), and keep the top `k` by
+   * fused score with a doc-id tiebreak. RRF needs only RANKS, never
+   * score calibration across the two systems — which is exactly why
+   * it is the production default for first-stage hybrid retrieval.
+   *
+   * Output: (queryIdCol, doc_id, rrf, rank).
+   *
+   * Scale shape: the lexical stage is [[bm25Search]] (hits-sized
+   * shuffles against a term-partitioned index); the dense stage here
+   * is the EXACT scan — corpus vectors stream past the broadcast query
+   * set with a per-query window (the [[graft.operators.Similarity
+   * .hardNegatives]] shape; queries are small by contract). For
+   * web-scale corpora swap the dense stage for `ivfTopK`/`ivfpqTopK`
+   * candidates — RRF consumes ranks from ANY retriever pair. The
+   * fusion join itself is candidates-sized (≤ 2·candidates rows per
+   * query), never corpus-sized.
+   */
+  def hybridSearchRrf(docs: DataFrame, idCol: String, textCol: String,
+                      vecCol: String,
+                      queries: DataFrame, queryIdCol: String,
+                      queryTextCol: String, queryVecCol: String,
+                      k: Int, candidates: Int = 20,
+                      kRrf: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // no candidates >= k requirement: the fused pool holds up to
+    // 2*candidates docs (the two lists need not overlap), so k may
+    // exceed the per-list depth; output is simply capped by the pool
+    require(candidates >= 1, s"candidates must be >= 1, got $candidates")
+    require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
+    val lex = bm25Search(
+        docs.select(col(idCol), col(textCol)), idCol, textCol,
+        queries.select(col(queryIdCol), col(queryTextCol)),
+        queryIdCol, queryTextCol, candidates)
+      .select(col(queryIdCol), col("doc_id"),
+        col("rank").as("__lex_rank"))
+    val cos = graft.operators.Similarity.cosineFn(docs, useNative = true)
+    val qv = queries.select(col(queryIdCol),
+      col(queryVecCol).cast("array<double>").as("__qv"))
+    val wd = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__cos").desc, col("doc_id"))
+    val dense = docs
+      .select(col(idCol).as("doc_id"),
+        col(vecCol).cast("array<double>").as("__dv"))
+      .crossJoin(broadcast(qv))
+      .withColumn("__cos", cos(col("__dv"), col("__qv")))
+      .withColumn("__dense_rank", row_number().over(wd))
+      .where(col("__dense_rank") <= candidates)
+      .select(col(queryIdCol), col("doc_id"), col("__dense_rank"))
+    val wf = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__rrf").desc, col("doc_id"))
+    lex.join(dense, Seq(queryIdCol, "doc_id"), "full_outer")
+      .withColumn("__rrf",
+        coalesce(lit(1.0) / (lit(kRrf) + col("__lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("__dense_rank")),
+            lit(0.0)))
+      .withColumn("rank", row_number().over(wf))
+      .where(col("rank") <= k)
+      .select(col(queryIdCol), col("doc_id"),
+        round(col("__rrf"), 6).as("rrf"), col("rank"))
+  }
 }

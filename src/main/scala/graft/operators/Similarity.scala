@@ -740,4 +740,52 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
   }
+
+  /** Exact per-query top-k by cosine: corpus vectors stream past the
+    * BROADCAST query set, one per-query window ranks them — the
+    * ground-truth side of a recall evaluation (and the exact dense
+    * retriever for small corpora). Queries are small by contract. */
+  def exactTopK(corpus: DataFrame, queries: DataFrame,
+                corpusId: String, corpusVec: String,
+                queryId: String, queryVec: String, k: Int,
+                useNative: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cos = cosineFn(corpus, useNative)
+    val qv = queries.select(col(queryId),
+      col(queryVec).cast("array<double>").as("__qv"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("__cos").desc, col(corpusId))
+    corpus.select(col(corpusId),
+        col(corpusVec).cast("array<double>").as("__cv"))
+      .crossJoin(broadcast(qv))
+      .withColumn("__cos", cos(col("__cv"), col("__qv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(corpusId),
+        round(col("__cos"), 4).as("cosine"), col("rank"))
+  }
+
+  /**
+   * Recall@k of an approximate retriever against the exact top-k:
+   * per query, `|approx ∩ exact| / k`. Both inputs are `(queryId,
+   * id, ...)` hit tables (rank columns ignored — set membership is
+   * the metric). The join is hits-sized (≤ k rows per query per
+   * side), never corpus-sized — evaluating an ANN index over any
+   * corpus costs the two retrievals plus this tiny join, which is
+   * what makes a RECALL GATE cheap enough to run on every index
+   * rebuild.
+   */
+  def recallAtK(approx: DataFrame, exact: DataFrame,
+                queryId: String, id: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val hits = exact.select(col(queryId), col(id))
+      .join(approx.select(col(queryId), col(id)), Seq(queryId, id),
+        "left_semi")
+      .groupBy(col(queryId)).agg(count(lit(1)).as("__hits"))
+    exact.select(col(queryId)).distinct()
+      .join(hits, Seq(queryId), "left")
+      .select(col(queryId),
+        (coalesce(col("__hits"), lit(0L)).cast("double") / k)
+          .as("recall"))
+  }
 }

@@ -243,4 +243,27 @@ class Round8OpsSpec extends SparkSpec {
       .select("label").as[Int].collect().toSeq
     assert(out == Seq(3))
   }
+
+  test("exactTopK ranks by cosine with id tiebreak; recallAtK counts " +
+      "set overlap per query, missing queries score 0") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(1.0f, 0.0f))).toDF("id", "v")
+    val q = Seq((100L, Seq(1.0f, 0.0f))).toDF("qid", "qv")
+    val exact = Similarity.exactTopK(corpus, q, "id", "v", "qid", "qv",
+      k = 3)
+    val got = exact.orderBy(col("rank")).collect()
+      .map(r => (r.getLong(1), r.getInt(3)))
+    // cosine 1.0 for ids 1 and 4 (tie → id order), then 2, never 3
+    assert(got.toSeq == Seq((1L, 1), (4L, 2), (2L, 3)))
+    // approx found {1, 2} of exact {1, 4, 2} → recall 2/3; a query
+    // with NO approx rows at all scores 0, not a dropped row
+    val approx = Seq((100L, 1L), (100L, 2L)).toDF("qid", "id")
+    val exact2 = exact.select(col("qid"), col("id"))
+      .unionByName(Seq((200L, 9L)).toDF("qid", "id"))
+    val rec = Similarity.recallAtK(approx, exact2, "qid", "id", 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(math.abs(rec(100L) - 2.0 / 3) < 1e-9)
+    assert(rec(200L) == 0.0)
+  }
 }

@@ -1053,4 +1053,43 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(index).select("media_id").as[Long]
       .collect().toSet == Set(0L, 1L, 2L, 3L, 4L, 5L))
   }
+
+  test("mediaSequenceIngest composes with RATIO hashes: resampled " +
+      "re-uploads rejected at the gate, novels admitted") {
+    import graft.multimodal.{MediaRow, Multimodal}
+    import graft.streaming.IngestPipeline
+    val inDir = tmpDir()
+    val ckDir = tmpDir()
+    val base = tmpDir()
+    val corpus = base + "/corpus"
+    val index = base + "/ratio_index"
+    val mediaSchema = "media_id LONG, kind STRING, bytes BINARY, " +
+      "meta STRUCT<width INT, height INT, sampleRate INT, nFrames INT>"
+    def stream() = spark.readStream.schema(mediaSchema).parquet(inDir)
+      .as[MediaRow]
+    val all = Multimodal.syntheticResampledAudioCorpus(spark, 8, 6)
+      .collect().map(r => r.media_id -> r).toMap
+    // minVotes 60: planted ratio votes measured 85-113 on this fixture
+    // class, chance <= 36 — the vote gate alone separates here (the
+    // batch-path verify stage is the offline matcher's refinement)
+    // wave 1: originals 0-3
+    spark.createDataset(Seq(all(0L), all(1L), all(2L), all(3L)))
+      .coalesce(1).write.mode("append").parquet(inDir)
+    IngestPipeline.mediaSequenceIngest(stream(),
+      Multimodal.audioConstellationRatioHashes(_), corpus, index, ckDir,
+      minVotes = 60).awaitTermination()
+    assert(spark.read.parquet(corpus).select("media_id").as[Long]
+      .collect().toSet == Set(0L, 1L, 2L, 3L))
+    // wave 2: RESAMPLED copies of history (2000, 2003) + novels (4, 5)
+    // — the case the absolute-bin hash family cannot see at any gate
+    spark.createDataset(Seq(all(2000L), all(2003L), all(4L), all(5L)))
+      .coalesce(1).write.mode("append").parquet(inDir)
+    IngestPipeline.mediaSequenceIngest(stream(),
+      Multimodal.audioConstellationRatioHashes(_), corpus, index, ckDir,
+      minVotes = 60).awaitTermination()
+    assert(spark.read.parquet(corpus).select("media_id").as[Long]
+      .collect().toSet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(spark.read.parquet(index).select("media_id").as[Long]
+      .collect().toSet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+  }
 }

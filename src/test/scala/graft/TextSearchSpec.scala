@@ -100,4 +100,32 @@ class TextSearchSpec extends SparkSpec {
     assert(res.count() == 0)
     assert(res.columns.toSeq == Seq("query_id", "doc_id", "score", "rank"))
   }
+
+  test("hybridSearchRrf: hand-checked fusion — both-list docs beat " +
+      "single-list docs, ties break on doc_id") {
+    // doc 1 and 2 match the query text (1 stronger: repeated term);
+    // vectors make doc 3 densest, doc 2 second — so doc 2 is the only
+    // BOTH-list doc and must fuse to the top even though it wins
+    // neither list alone
+    val corpus = Seq(
+      (1L, "spark spark engine", Array(0.0f, 1.0f)),
+      (2L, "spark rows", Array(0.9f, 0.5f)),
+      (3L, "unrelated words here", Array(1.0f, 0.0f)),
+      (4L, "other text entirely", Array(-1.0f, 0.0f))
+    ).toDF("doc_id", "text", "embedding")
+    val q = Seq((0L, "spark", Array(1.0f, 0.0f)))
+      .toDF("query_id", "qtext", "qv")
+    val got = TextSearch.hybridSearchRrf(corpus, "doc_id", "text",
+        "embedding", q, "query_id", "qtext", "qv",
+        k = 4, candidates = 2, kRrf = 60)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // lex: 1 (rank 1), 2 (rank 2); dense: 3 (rank 1), 2 (rank 2)
+    // rrf(2) = 1/62 + 1/62 ≈ 0.032258; rrf(1) = rrf(3) = 1/61 ≈
+    // 0.016393 — tie broken by doc_id; doc 4 in neither list
+    assert(got.map(_._1).toSeq == Seq(2L, 1L, 3L))
+    assert(math.abs(got(0)._2 - 2.0 / 62) < 1e-6)
+    assert(math.abs(got(1)._2 - 1.0 / 61) < 1e-6)
+    assert(got.map(_._3).toSeq == Seq(1, 2, 3))
+  }
 }
