@@ -1426,4 +1426,68 @@ object Dedup {
                 i.cast("long") < c.getField("span_end")))))
           .as("text_cut"))
   }
+
+  // ---- content-defined chunking (FastCDC gear) ----------------------------
+
+  /**
+   * Content-defined chunk table `(idCol, chunk_hash, chunk_start,
+   * chunk_len)` — one row per chunk, byte offsets
+   * ([[graft.plans.CdcChunking]], the FastCDC gear construction). Cut
+   * points depend only on content, so documents sharing a long
+   * substring RE-SYNCHRONIZE to identical chunks inside it regardless
+   * of differing prefixes — the storage-level dedup primitive
+   * (chunk-hash equality finds shared content where whole-document
+   * hashing and fixed-offset blocking both fail). Zero shuffle: one
+   * codegen'd projection + explode; persist the table partitioned by
+   * `pmod(chunk_hash, buckets)` as the chunk index of a 100 TB store.
+   */
+  def cdcChunkHashes(df: DataFrame, idCol: String, textCol: String,
+                     minSize: Int = 32, avgSize: Int = 64,
+                     maxSize: Int = 128): DataFrame = {
+    graft.plans.NativeFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+        explode(graft.plans.NativeFunctions.cdcChunksNative(
+          col(textCol), minSize, avgSize, maxSize)).as("__c"))
+      .select(col(idCol),
+        col("__c").getField("hash").as("chunk_hash"),
+        col("__c").getField("start").as("chunk_start"),
+        col("__c").getField("len").as("chunk_len"))
+  }
+
+  /**
+   * Document pairs sharing content at chunk granularity:
+   * `(id_a, id_b, n_shared_chunks, shared_bytes)` for pairs sharing at
+   * least `minSharedChunks` chunk hashes. The banded-LSH plan shape —
+   * self-join ON the chunk hash (hot hashes over `maxBucket` docs
+   * dropped first, the boilerplate-chunk guard), two partial-aggregated
+   * groupBys — never all-pairs. `shared_bytes` sums the matched chunk
+   * lengths on the a-side: the dedupable-volume estimate a storage
+   * planner acts on.
+   */
+  def cdcSharedChunkPairs(df: DataFrame, idCol: String, textCol: String,
+                          minSize: Int = 32, avgSize: Int = 64,
+                          maxSize: Int = 128,
+                          minSharedChunks: Int = 1,
+                          maxBucket: Int = 1000): DataFrame = {
+    val chunks = cdcChunkHashes(df, idCol, textCol, minSize, avgSize,
+      maxSize).localCheckpoint(true)
+    val hot = chunks.groupBy(col("chunk_hash"))
+      .agg(count_distinct(col(idCol)).as("__n"))
+      .where(col("__n") > maxBucket).select(col("chunk_hash"))
+    val pruned = chunks.join(hot, Seq("chunk_hash"), "left_anti")
+    // distinct per (id, hash): repeated chunks inside ONE doc must not
+    // multiply the pair count
+    val a = pruned.groupBy(col("chunk_hash"), col(idCol))
+      .agg(max(col("chunk_len")).as("__len"))
+      .select(col("chunk_hash"), col(idCol).as("id_a"),
+        col("__len").as("__len_a"))
+    val b = pruned.select(col("chunk_hash"), col(idCol).as("id_b"))
+      .distinct()
+    a.join(b, Seq("chunk_hash"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared_chunks"),
+        sum(col("__len_a")).as("shared_bytes"))
+      .where(col("n_shared_chunks") >= minSharedChunks)
+  }
 }

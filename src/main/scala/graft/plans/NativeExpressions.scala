@@ -2253,6 +2253,115 @@ case class CachedRegexMatchExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Shared implementation behind [[CdcChunksExpr]] — content-defined
+  * chunking with a gear rolling hash (the FastCDC construction, Xia et
+  * al. 2016, USENIX ATC — public method, simplified: single mask, no
+  * normalized chunking levels). Cut points depend only on recent
+  * CONTENT (the gear hash's 64-shift window), so two documents sharing
+  * a long substring re-synchronize to identical chunk boundaries
+  * within ~64 bytes + one chunk of the shared region's start — the
+  * property that makes chunk-hash dedup find shared content between
+  * documents whose prefixes differ, where whole-document hashing and
+  * fixed-offset blocking both fail. Chunk identity is FNV-1a 64 over
+  * the chunk's UTF-8 bytes (public domain). Offsets/lengths are BYTE
+  * positions in the UTF-8 encoding. */
+object CdcChunking {
+
+  /** Deterministic per-byte gear table (SplitMix64 over the index). */
+  private val gear: Array[Long] = Array.tabulate(256) { i =>
+    var z = i.toLong * 0x9E3779B97F4A7C15L + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def fnv1a(bytes: Array[Byte], start: Int, len: Int): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = start
+    val end = start + len
+    while (i < end) {
+      h ^= (bytes(i) & 0xFFL)
+      h *= 0x100000001B3L
+      i += 1
+    }
+    h
+  }
+
+  def chunks(u: org.apache.spark.unsafe.types.UTF8String,
+             minSize: Int, avgSize: Int, maxSize: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    require(minSize >= 1 && minSize <= avgSize && avgSize <= maxSize,
+      s"need 1 <= min <= avg <= max, got ($minSize, $avgSize, $maxSize)")
+    val bytes = u.getBytes
+    var mask = 1
+    while (mask < avgSize) mask <<= 1
+    val cutMask = (mask - 1).toLong
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    var start = 0
+    var i = 0
+    var h = 0L
+    while (i < bytes.length) {
+      h = (h << 1) + gear(bytes(i) & 0xFF)
+      i += 1
+      val len = i - start
+      if ((len >= minSize && (h & cutMask) == 0L) || len >= maxSize) {
+        out += org.apache.spark.sql.catalyst.InternalRow(
+          fnv1a(bytes, start, len), start, len)
+        start = i
+        h = 0L
+      }
+    }
+    if (start < bytes.length)
+      out += org.apache.spark.sql.catalyst.InternalRow(
+        fnv1a(bytes, start, bytes.length - start), start,
+        bytes.length - start)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** [[CdcChunking.chunks]] as a native expression:
+  * `graft_cdc_chunks(text, min, avg, max)` →
+  * `array<struct<hash: long, start: int, len: int>>`. One static call
+  * per row; the per-chunk loop allocates only the output rows. */
+case class CdcChunksExpr(child: Expression, minSize: Int, avgSize: Int,
+                         maxSize: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType = CdcChunksExpr.schema
+
+  override def prettyName: String = "graft_cdc_chunks"
+
+  override def nullSafeEval(input: Any): Any =
+    CdcChunking.chunks(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      minSize, avgSize, maxSize)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.CdcChunking.chunks($c, $minSize, $avgSize, $maxSize)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CdcChunksExpr = copy(child = newChild)
+}
+
+object CdcChunksExpr {
+  import org.apache.spark.sql.types._
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("hash", LongType, nullable = false),
+    StructField("start", IntegerType, nullable = false),
+    StructField("len", IntegerType, nullable = false))),
+    containsNull = false)
+}
+
 /**
  * Registration + Column-API access for the native expressions. Catalyst
  * `Column`s are built through the session function registry
@@ -2287,6 +2396,7 @@ object NativeFunctions {
   val bpeDecodeBytesName = "graft_bpe_decode_bytes"
   val langIdNgramName = "graft_langid_ngram"
   val gopherSignalsName = "graft_gopher_signals"
+  val cdcChunksName = "graft_cdc_chunks"
 
   private def intLit(e: Expression): Int =
     e.eval(null) match {
@@ -2409,7 +2519,10 @@ object NativeFunctions {
     langIdNgramName -> ((exprs: Seq[Expression]) =>
       LangIdNgramExpr(exprs.head)),
     gopherSignalsName -> ((exprs: Seq[Expression]) =>
-      GopherSignalsExpr(exprs.head, intLit(exprs(1)), intLit(exprs(2)))))
+      GopherSignalsExpr(exprs.head, intLit(exprs(1)), intLit(exprs(2)))),
+    cdcChunksName -> ((exprs: Seq[Expression]) =>
+      CdcChunksExpr(exprs.head, intLit(exprs(1)), intLit(exprs(2)),
+        intLit(exprs(3)))))
 
   /** Idempotently register graft native functions on this session. */
   def register(spark: SparkSession): Unit = {
@@ -2475,6 +2588,16 @@ object NativeFunctions {
     call_function(gopherSignalsName, text,
       org.apache.spark.sql.functions.lit(minWords),
       org.apache.spark.sql.functions.lit(maxWords))
+
+  /** Content-defined chunks of a text column —
+    * `array<struct<hash, start, len>>` (FastCDC gear construction;
+    * byte offsets). */
+  def cdcChunksNative(text: Column, minSize: Int, avgSize: Int,
+                      maxSize: Int): Column =
+    call_function(cdcChunksName, text,
+      org.apache.spark.sql.functions.lit(minSize),
+      org.apache.spark.sql.functions.lit(avgSize),
+      org.apache.spark.sql.functions.lit(maxSize))
 
   /** Bloom-filter aggregate over a long-hash column → binary sketch. */
   def bloomAggNative(hash: Column, expectedItems: Long,

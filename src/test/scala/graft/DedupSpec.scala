@@ -549,4 +549,73 @@ class DedupSpec extends SparkSpec {
     val m = Dedup.bucketMetrics(got)
     assert(m.values.exists(_._2 >= 1L), s"no dropped-cell metric in $m")
   }
+  // ---- content-defined chunking --------------------------------------
+
+  test("cdcChunkHashes: chunks tile the document exactly; cuts are " +
+      "content-defined (identical text chunks identically; a prefix " +
+      "edit re-synchronizes)") {
+    import spark.implicits._
+    val body = Seq.tabulate(40)(i => s"sentence number $i with words")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, body),
+      (2L, body), // identical → identical chunk table
+      (3L, "A DIFFERENT PREFIX BLOCK xyzzy :: " + body)
+    ).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunkHashes(docs, "doc_id", "text",
+      minSize = 16, avgSize = 32, maxSize = 256)
+    val byDoc = ch.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getInt(2), r.getInt(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._2).toSeq).toMap
+    // tiling: contiguous, gap-free, full coverage (byte offsets)
+    byDoc.foreach { case (id, chunks) =>
+      assert(chunks.head._2 == 0, s"doc $id first chunk not at 0")
+      chunks.sliding(2).foreach {
+        case Seq((_, s1, l1), (_, s2, _)) =>
+          assert(s1 + l1 == s2, s"doc $id gap at $s2")
+        case _ =>
+      }
+      val (_, ls, ll) = chunks.last
+      assert(ls + ll == body.getBytes("UTF-8").length ||
+        id == 3L, s"doc $id does not tile")
+    }
+    // identical text → identical chunk tables
+    assert(byDoc(1L) == byDoc(2L))
+    // prefix edit: the tail of doc 3 re-synchronizes to doc 1's chunk
+    // hash set (all but the first chunk or two)
+    val h1 = byDoc(1L).map(_._1).toSet
+    val h3 = byDoc(3L).map(_._1).toSet
+    val shared = h1.intersect(h3).size
+    assert(shared >= h1.size - 2,
+      s"resync too weak: $shared of ${h1.size} chunks shared")
+  }
+
+  test("cdcSharedChunkPairs: prefix-edited copy found, unrelated doc " +
+      "not; repeated chunks inside one doc do not multiply the count") {
+    import spark.implicits._
+    val body = Seq.tabulate(40)(i => s"line $i of the shared body")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, body),
+      (2L, "prefix alpha :: " + body),
+      (3L, "totally unrelated content that shares nothing at all " * 12),
+      // doc 4 repeats the SAME body twice: shared chunks with doc 1
+      // must count each hash once, not once per occurrence
+      (4L, body + " " + body)
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.cdcSharedChunkPairs(docs, "doc_id", "text",
+        minSize = 16, avgSize = 32, maxSize = 256)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.contains((1L, 2L)), s"copy pair missing: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc matched: $pairs")
+    // distinct-hash discipline: (1,4) share the body's hash SET once
+    val h1 = Dedup.cdcChunkHashes(docs.where(col("doc_id") === 1L),
+      "doc_id", "text", 16, 32, 256)
+      .select("chunk_hash").distinct().count()
+    assert(pairs((1L, 4L)) <= h1,
+      s"repeated chunks multiplied the pair count: ${pairs((1L, 4L))} > $h1")
+  }
+
 }
