@@ -537,6 +537,57 @@ private[graft] object RegistryRound11 {
                 AS n_planted_found,
               CAST(0 AS BIGINT) AS n_bad_tiling""")),
 
+    // CDC novelty scoring (round 12): the incremental form — a batch
+    // valued against a persisted chunk index (history enters as ONE
+    // distinct hash column, text never re-read). Planted arithmetic:
+    // exact copies of indexed docs score EXACTLY 0.0 (every chunk
+    // seen), prefix-edited copies strictly > 0 (the altered first
+    // chunk is new by construction), and the disjoint novel slice
+    // averages near 1.0 (measured 0.972 at sf0.01 — a few natural
+    // duplicate texts legitimately score 0, so the gate is the
+    // average, floored at 0.9).
+    Q("q_cdc_novelty",
+      (s, d) => {
+        import graft.operators.Dedup
+        val docs = s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"), col("text"))
+        val history = docs.where(col("doc_id").between(100, 399))
+        val index = Dedup.cdcChunkHashes(history, "doc_id", "text",
+          minSize = 16, avgSize = 32, maxSize = 256)
+        val copies = history.where(col("doc_id") < 150)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        val edited = history.where(col("doc_id").between(150, 199))
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(lit("edited prefix block here :: "), col("text"))
+              .as("text"))
+        val novel = docs.where(col("doc_id").between(400, 499))
+        val nv = Dedup.cdcNovelty(
+          copies.unionByName(edited).unionByName(novel),
+          "doc_id", "text", index,
+          minSize = 16, avgSize = 32, maxSize = 256)
+        nv.agg(
+          sum(when(col("doc_id").between(100000L, 199999L), 1L)
+            .otherwise(0L)).as("n_copies"),
+          sum(when(col("doc_id").between(100000L, 199999L) &&
+            col("novelty") === 0.0, 1L).otherwise(0L))
+            .as("n_copies_zero"),
+          sum(when(col("doc_id") >= 200000L, 1L).otherwise(0L))
+            .as("n_edited"),
+          sum(when(col("doc_id") >= 200000L && col("novelty") > 0.0, 1L)
+            .otherwise(0L)).as("n_edited_positive"),
+          (avg(when(col("doc_id") < 100000L, col("novelty"))) >= 0.9)
+            .as("novel_avg_high"))
+      },
+      Some("""SELECT (SELECT COUNT(*) FROM documents
+                WHERE doc_id BETWEEN 100 AND 149) AS n_copies,
+              (SELECT COUNT(*) FROM documents
+                WHERE doc_id BETWEEN 100 AND 149) AS n_copies_zero,
+              (SELECT COUNT(*) FROM documents
+                WHERE doc_id BETWEEN 150 AND 199) AS n_edited,
+              (SELECT COUNT(*) FROM documents
+                WHERE doc_id BETWEEN 150 AND 199) AS n_edited_positive,
+              CAST(1 AS BOOLEAN) AS novel_avg_high""")),
+
     // incremental constellation probe: history clips (ids 0-19) are
     // landmark-indexed ONCE; the batch (their 16-hop-delayed copies,
     // ids 1000-1009) probes the index — per-batch cost is the touched

@@ -1464,6 +1464,39 @@ object Dedup {
    * lengths on the a-side: the dedupable-volume estimate a storage
    * planner acts on.
    */
+  /**
+   * Per-document NOVELTY against a persisted chunk index — the
+   * incremental/steady-state form of the CDC family: what fraction of
+   * this batch's bytes is content the store has never seen?
+   * `(idCol, total_bytes, novel_bytes, novelty)` where novelty =
+   * novel_bytes / total_bytes; an exact copy of indexed content scores
+   * 0.0, fully new content 1.0, a prefix-edited copy only its changed
+   * chunks. The index participates as ONE distinct 8-byte hash column
+   * (the `incrementalExact` discipline — history text is never read),
+   * so per-batch cost is the batch's chunking plus a hash anti-join:
+   * independent of history size. This is the dedupable-volume /
+   * acquisition-valuation number a storage or data-buying planner acts
+   * on before ingesting a batch.
+   */
+  def cdcNovelty(df: DataFrame, idCol: String, textCol: String,
+                 chunkIndex: DataFrame,
+                 minSize: Int = 32, avgSize: Int = 64,
+                 maxSize: Int = 128): DataFrame = {
+    val chunks = cdcChunkHashes(df, idCol, textCol, minSize, avgSize,
+      maxSize)
+    val seen = chunkIndex.select(col("chunk_hash")).distinct()
+    val novel = chunks.join(seen, Seq("chunk_hash"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(sum(col("chunk_len")).as("novel_bytes"))
+    chunks.groupBy(col(idCol))
+      .agg(sum(col("chunk_len")).as("total_bytes"))
+      .join(novel, Seq(idCol), "left")
+      .select(col(idCol), col("total_bytes"),
+        coalesce(col("novel_bytes"), lit(0L)).as("novel_bytes"),
+        (coalesce(col("novel_bytes"), lit(0L)).cast("double") /
+          col("total_bytes")).as("novelty"))
+  }
+
   def cdcSharedChunkPairs(df: DataFrame, idCol: String, textCol: String,
                           minSize: Int = 32, avgSize: Int = 64,
                           maxSize: Int = 128,

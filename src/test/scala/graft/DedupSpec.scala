@@ -618,4 +618,39 @@ class DedupSpec extends SparkSpec {
       s"repeated chunks multiplied the pair count: ${pairs((1L, 4L))} > $h1")
   }
 
+  test("cdcNovelty: copies score exactly 0, new content 1, a grown " +
+      "doc in between; empty index makes everything novel") {
+    import spark.implicits._
+    val body = Seq.tabulate(40)(i => s"passage $i of the known body")
+      .mkString(" ")
+    val fresh = Seq.tabulate(40)(i => s"unseen material piece $i here")
+      .mkString(" ")
+    val history = Seq((1L, body)).toDF("doc_id", "text")
+    val index = Dedup.cdcChunkHashes(history, "doc_id", "text",
+      16, 32, 256)
+    val batch = Seq(
+      (10L, body),             // exact copy
+      (11L, body + " " + fresh), // grown: old half + new half
+      (12L, fresh)              // fully new
+    ).toDF("doc_id", "text")
+    val nv = Dedup.cdcNovelty(batch, "doc_id", "text", index,
+        16, 32, 256).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(nv(10L)._3 == 0.0, s"copy not zero: ${nv(10L)}")
+    assert(nv(12L)._3 == 1.0, s"new doc not fully novel: ${nv(12L)}")
+    val grown = nv(11L)._3
+    assert(grown > 0.3 && grown < 0.7,
+      s"grown doc should be roughly half novel, got $grown")
+    // bytes add up
+    nv.values.foreach { case (tot, nov, f) =>
+      assert(nov <= tot && math.abs(f - nov.toDouble / tot) < 1e-12)
+    }
+    // empty index: everything is novel
+    val all = Dedup.cdcNovelty(batch, "doc_id", "text",
+        index.limit(0), 16, 32, 256)
+      .collect().map(_.getDouble(3))
+    assert(all.forall(_ == 1.0))
+  }
+
 }
