@@ -588,6 +588,41 @@ private[graft] object RegistryRound11 {
                 WHERE doc_id BETWEEN 150 AND 199) AS n_edited_positive,
               CAST(1 AS BOOLEAN) AS novel_avg_high""")),
 
+    // temperature mixing (round 12): α = 0.5 flattens the natural
+    // source distribution toward uniform (p_s ∝ √mass_s — the
+    // multilingual α-sampling recipe), then the binding-source
+    // arithmetic and the deterministic md5-prefix sampler decide
+    // membership. α = 0.5 specifically because sqrt is IEEE
+    // correctly-rounded, so the oracle replays the whole chain —
+    // masses, flattened shares, binding T, per-source thresholds,
+    // membership — bit-exactly in SQL.
+    Q("q_mixture_temperature",
+      (s, d) => {
+        val docs = s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        graft.operators.Mixture.rebalanceTemperature(docs, "doc_id",
+          "source", "n_chars", alpha = 0.5, salt = "temp")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      },
+      Some("""WITH m AS (SELECT source, SUM(n_chars) AS mass
+                FROM documents GROUP BY source),
+              w AS (SELECT source, SQRT(CAST(mass AS DOUBLE)) /
+                  (SELECT SUM(SQRT(CAST(mass AS DOUBLE))) FROM m)
+                  AS share FROM m),
+              f AS (SELECT m.source, LEAST(1.0, w.share *
+                  (SELECT MIN(m2.mass / w2.share) FROM m m2
+                    JOIN w w2 USING (source)) / m.mass) AS frac
+                FROM m JOIN w USING (source)),
+              thr AS (SELECT source,
+                CASE WHEN frac >= 1.0 - 1e-12 THEN 'g'
+                  ELSE printf('%04x', CAST(LEAST(floor(frac * 65536),
+                    65535) AS INTEGER)) END AS th FROM f)
+              SELECT d.source, COUNT(*) AS n_kept
+              FROM documents d JOIN thr USING (source)
+              WHERE substr(md5('temp' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+                < thr.th
+              GROUP BY d.source""")),
+
     // incremental constellation probe: history clips (ids 0-19) are
     // landmark-indexed ONCE; the batch (their 16-hop-delayed copies,
     // ids 1000-1009) probes the index — per-batch cost is the touched

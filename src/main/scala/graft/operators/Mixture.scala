@@ -75,4 +75,44 @@ object Mixture {
     Sampling.stratifiedHashSample(df, keyCol, sourceCol,
       planFractions(masses, targetShares), salt)
   }
+
+  /**
+   * Temperature-flattened target shares — the multilingual-LM
+   * α-sampling recipe (Conneau & Lample 2019; mT5's "temperature"):
+   * `p_s ∝ mass_s^α` with `α ∈ (0, 1]`. α = 1 keeps the natural
+   * distribution; α → 0 flattens toward uniform, up-weighting
+   * low-resource sources so the head cannot drown them. α = 0.5 uses
+   * `sqrt` (IEEE-754 correctly-rounded, so an oracle replays it bit-
+   * exactly); other α go through `pow`, whose last-ulp behavior is
+   * libm-specific — fine for training mixes, documented for replays.
+   */
+  def temperatureShares(masses: Map[String, Long],
+                        alpha: Double): Map[String, Double] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(masses.nonEmpty, "need at least one source")
+    masses.foreach { case (s, m) =>
+      require(m > 0L, s"source '$s' has no mass") }
+    val pows = masses.map { case (s, m) =>
+      s -> (if (alpha == 0.5) math.sqrt(m.toDouble)
+            else math.pow(m.toDouble, alpha))
+    }
+    val z = pows.values.sum
+    pows.map { case (s, p) => s -> p / z }
+  }
+
+  /** [[rebalance]] with [[temperatureShares]] computed from the
+    * corpus's own per-source masses — one aggregation, then the
+    * deterministic stratified filter; the temperature arithmetic runs
+    * on the source-vocabulary-sized driver rows. */
+  def rebalanceTemperature(df: DataFrame, keyCol: String,
+                           sourceCol: String, weightCol: String,
+                           alpha: Double,
+                           salt: String = "mix"): DataFrame = {
+    val masses = df.groupBy(col(sourceCol))
+      .agg(sum(col(weightCol)).as("__m"))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Number](1).longValue).toMap
+    Sampling.stratifiedHashSample(df, keyCol, sourceCol,
+      planFractions(masses, temperatureShares(masses, alpha)), salt)
+  }
 }

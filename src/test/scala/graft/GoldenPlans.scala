@@ -49,7 +49,8 @@ object GoldenPlans {
     "q_skew_salted_join",
     "q_profile",
     "q_bm25_search",
-    "q_dedup_minhash")
+    "q_dedup_minhash",
+    "q_ann_recall_gate")
 
   // filled by GoldenPlanDump — (shuffle exchanges, broadcast
   // exchanges, join-strategy multiset) on the sf0.001 static plan
@@ -63,5 +64,6 @@ object GoldenPlans {
     "q_skew_salted_join" -> (1, 1, Map[String, Int]("bhj" -> 1)),
     "q_profile" -> (2, 0, Map[String, Int]()),
     "q_bm25_search" -> (8, 3, Map[String, Int]("bhj" -> 2, "bnlj" -> 1)),
-    "q_dedup_minhash" -> (4, 2, Map[String, Int]("bhj" -> 2)))
+    "q_dedup_minhash" -> (4, 2, Map[String, Int]("bhj" -> 2)),
+    "q_ann_recall_gate" -> (7, 3, Map[String, Int]("bhj" -> 2, "bnlj" -> 1, "smj" -> 2)))
 }

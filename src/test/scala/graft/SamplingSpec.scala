@@ -375,4 +375,41 @@ class ContaminationLineDedupSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(out == Set(11L, 12L))
   }
+  test("temperatureShares: alpha 1 is the natural distribution, " +
+      "smaller alpha flattens toward uniform, shares sum to 1") {
+    import graft.operators.Mixture
+    val masses = Map("big" -> 900L, "small" -> 100L)
+    val nat = Mixture.temperatureShares(masses, alpha = 1.0)
+    assert(math.abs(nat("big") - 0.9) < 1e-12)
+    assert(math.abs(nat("small") - 0.1) < 1e-12)
+    val half = Mixture.temperatureShares(masses, alpha = 0.5)
+    // sqrt(900)/(sqrt(900)+sqrt(100)) = 30/40 = 0.75 — exact in doubles
+    assert(half("big") == 0.75 && half("small") == 0.25)
+    val flat = Mixture.temperatureShares(masses, alpha = 0.01)
+    assert(flat("small") > 0.4 && flat("small") < 0.5)
+    Seq(nat, half, flat).foreach(m =>
+      assert(math.abs(m.values.sum - 1.0) < 1e-12))
+    intercept[IllegalArgumentException](
+      Mixture.temperatureShares(masses, alpha = 0.0))
+    intercept[IllegalArgumentException](
+      Mixture.temperatureShares(Map("x" -> 0L), alpha = 0.5))
+  }
+
+  test("rebalanceTemperature: flattening keeps ALL of the scarce " +
+      "source and downsamples the dominant one") {
+    import graft.operators.Mixture
+    // 10 heavy docs vs 2 light ones, equal weights within source
+    val df = ((1 to 10).map(i => (i.toLong, "web", 100L)) ++
+      Seq((100L, "books", 100L), (101L, "books", 100L)))
+      .toDF("k", "src", "wt")
+    val out = Mixture.rebalanceTemperature(df, "k", "src", "wt",
+      alpha = 0.5).collect().map(r => (r.getLong(0), r.getString(1)))
+    // books is the binding source under any flattening: fraction 1.0
+    assert(out.count(_._2 == "books") == 2)
+    // web downsamples: sqrt shares are (sqrt10 : sqrt2)/z -> web target
+    // share ~0.69 => T = 200/0.31; f_web = 0.69*T/1000 ~ 0.45
+    val webKept = out.count(_._2 == "web")
+    assert(webKept < 10, s"web not downsampled: $webKept")
+  }
+
 }
