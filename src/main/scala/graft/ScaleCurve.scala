@@ -102,7 +102,7 @@ object ScaleCurve {
     val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,10,30")
       .split(",").map(_.trim.toInt).toSeq
     val t0 = System.nanoTime()
-    def elapsed: Double = (System.nanoTime() - t0) / 1e9
+    val elapsed = () => (System.nanoTime() - t0) / 1e9
 
     val spark = GraftSession.local("graft-scale",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
@@ -217,12 +217,12 @@ object ScaleCurve {
       .empty[String, Map[Int, Double]]
     families.filter(f => familyFilter.forall(_.contains(f._1)))
       .foreach { case (name, f) =>
-      if (elapsed < budget) {
+      if (elapsed() < budget) {
         timeOnce(f(factors.head)) // warm-up: codegen + JIT, discarded
         val times = factors.flatMap { k =>
-          if (elapsed < budget) {
+          if (elapsed() < budget) {
             val a = timeOnce(f(k))
-            val b = if (elapsed < budget) timeOnce(f(k)) else a
+            val b = if (elapsed() < budget) timeOnce(f(k)) else a
             val t = math.min(a, b)
             System.err.println(f"[scale] $name x$k: $t%.2fs (runs: $a%.2f, $b%.2f)")
             Some(k -> t)

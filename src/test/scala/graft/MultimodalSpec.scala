@@ -374,6 +374,44 @@ class MultimodalSpec extends SparkSpec {
     planted.foreach(p => assert(got(p) >= 200, s"weak noisy pair $p"))
   }
 
+  test("ratio constellation primitives: event bins run-compress, " +
+      "landmark hash sets survive a resample, match-frac separates " +
+      "identical from unrelated sequences") {
+    val corpus = Multimodal.syntheticResampledAudioCorpus(spark,
+      nContents = 3, nResampled = 3).collect()
+      .map(r => r.media_id -> r.bytes).toMap
+    // eventBins: the run-compressed peak sequence is far shorter than
+    // the frame count and has no adjacent repeats
+    val bins = Multimodal.Codec.eventBins(corpus(0L))
+    assert(bins.length > 8 && bins.length < 80, s"events ${bins.length}")
+    bins.sliding(2).foreach {
+      case Array(a, b) => assert(a != b, "adjacent repeat survived")
+      case _ =>
+    }
+    // audioConstellationRatio: a resampled copy re-emits MOST of the
+    // landmark hash set (bin-rounding flips cost some; the voting core
+    // absorbs that), an unrelated clip shares little of it
+    val h0 = Multimodal.Codec.audioConstellationRatio(corpus(0L))
+      .map(_._2).toSet
+    val h0r = Multimodal.Codec.audioConstellationRatio(corpus(2000L))
+      .map(_._2).toSet
+    val h1 = Multimodal.Codec.audioConstellationRatio(corpus(1L))
+      .map(_._2).toSet
+    val copyShare = h0.intersect(h0r).size.toDouble / h0.size
+    val chanceShare = h0.intersect(h1).size.toDouble / h0.size
+    assert(copyShare > 0.5, s"resampled copy shares only $copyShare")
+    assert(chanceShare < copyShare / 2,
+      s"unrelated clip too close: $chanceShare vs $copyShare")
+    // ratioSequenceMatchFrac: identical sequences 1.0; the resampled
+    // twin ~1.0; unrelated low
+    val b0 = Multimodal.Codec.eventBins(corpus(0L))
+    val b0r = Multimodal.Codec.eventBins(corpus(2000L))
+    val b1 = Multimodal.Codec.eventBins(corpus(1L))
+    assert(Multimodal.Codec.ratioSequenceMatchFrac(b0, b0) == 1.0)
+    assert(Multimodal.Codec.ratioSequenceMatchFrac(b0, b0r) >= 0.9)
+    assert(Multimodal.Codec.ratioSequenceMatchFrac(b0, b1) <= 0.5)
+  }
+
   test("ratio constellation catches resampled copies the absolute-bin " +
       "landmarks miss; verify stage separates chance candidates") {
     val corpus = Multimodal.syntheticResampledAudioCorpus(spark,
@@ -461,6 +499,8 @@ class MultimodalSpec extends SparkSpec {
     // with the binding: the full family lights up through the SPI
     sys.props(FrameDecoder.PropKey) = "graft.FakeFrameDecoder"
     try {
+      // the routed entry point itself decodes through the binding
+      assert(Multimodal.Codec.videoFrames(rows.head.bytes).size == 8)
       val got = Multimodal.videoSequenceMatches(corpus, minVotes = 5)
         .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
         .toMap
