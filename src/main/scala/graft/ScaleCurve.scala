@@ -121,6 +121,17 @@ object ScaleCurve {
         scaleLineitem(spark, baseDir, dir, k)
         done.getParentFile.mkdirs(); done.createNewFile()
       }
+      // persisted CDC chunk index per factor — the novelty family's
+      // steady-state contract is measured against a PREBUILT index
+      // (building it is the linear one-time cost, not the per-batch one)
+      val idxDone = new java.io.File(s"$dir/_chunk_index_ok")
+      if (!idxDone.exists()) {
+        graft.operators.Dedup.cdcChunkHashes(
+            spark.read.parquet(s"$dir/documents.parquet")
+              .select(col("doc_id"), col("text")), "doc_id", "text")
+          .write.mode("overwrite").parquet(s"$dir/chunk_index.parquet")
+        idxDone.createNewFile()
+      }
     }
     def docs(k: Int) = spark.read.parquet(s"$workDir/x$k/documents.parquet")
     def embs(k: Int) = spark.read.parquet(s"$workDir/x$k/embeddings.parquet")
@@ -208,6 +219,34 @@ object ScaleCurve {
           Multimodal.syntheticShiftedAudioCorpus(spark,
             nContents = 20 * k, nShifted = 10 * k), minVotes = 100)
           .select(col("id_a"), col("id_b"))
+      },
+      // round-12 additions measured too:
+      "cdc_chunk_pairs" -> { k =>
+        Dedup.cdcSharedChunkPairs(
+          docs(k).select(col("doc_id"), col("text")), "doc_id", "text")
+      },
+      // fixed 1000-doc batch valued against the PREBUILT chunk index
+      // of the scaled corpus: contract = flat, like admission
+      "cdc_novelty_fixed_batch" -> { k =>
+        val batch = docs(k).select(col("doc_id"), col("text"))
+          .where(pmod(col("doc_id"), lit(9973L)) < 3).limit(1000)
+          .select((col("doc_id") + 500000000L).as("doc_id"), col("text"))
+        Dedup.cdcNovelty(batch, "doc_id", "text",
+          spark.read.parquet(s"$workDir/x$k/chunk_index.parquet"))
+      },
+      "hybrid_rrf" -> { k =>
+        import spark.implicits._
+        val queries3 = Seq((0L, "hash join"), (1L, "customer order data"),
+          (2L, "vector vector scan")).toDF("query_id", "qtext")
+        val e = embs(k).select(col("vec_id"), col("embedding"))
+        val corpus = docs(k).select(col("doc_id"), col("text"))
+          .join(e, col("doc_id") === col("vec_id"))
+          .select(col("doc_id"), col("text"), col("embedding"))
+        val q = queries3.join(e, col("query_id") === col("vec_id"))
+          .select(col("query_id"), col("qtext"),
+            col("embedding").as("qv"))
+        TextSearch.hybridSearchRrf(corpus, "doc_id", "text", "embedding",
+          q, "query_id", "qtext", "qv", k = 5)
       })
 
     // ---- measurement ------------------------------------------------

@@ -1473,8 +1473,12 @@ object Dedup {
    * 0.0, fully new content 1.0, a prefix-edited copy only its changed
    * chunks. The index participates as ONE distinct 8-byte hash column
    * (the `incrementalExact` discipline — history text is never read),
-   * so per-batch cost is the batch's chunking plus a hash anti-join:
-   * independent of history size. This is the dedupable-volume /
+   * so per-batch cost is the batch's chunking plus one scan of that
+   * hash column (measured: a fixed 1000-doc batch against a 30× index
+   * costs 2.3× — ScaleCurve's `cdc_novelty_fixed_batch`, e ≈ 0.24; for
+   * strict history-independence put a Bloom sketch of the chunk hashes
+   * in front — the `ingestAdmission` pattern composes directly, chunk
+   * hashes being longs). This is the dedupable-volume /
    * acquisition-valuation number a storage or data-buying planner acts
    * on before ingesting a batch.
    */
