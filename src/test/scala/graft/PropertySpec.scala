@@ -236,4 +236,67 @@ class PropertySpec extends SparkSpec {
       BpeCodec.decodeByteSymbols(syms.mkString) == t
     }, minSuccessful = 100)
   }
+  test("CDC chunking properties: exact byte tiling for arbitrary " +
+      "unicode text, determinism, and resync after a prefix edit") {
+    import graft.plans.CdcChunking
+    import org.apache.spark.unsafe.types.UTF8String
+    val anyText = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.oneOf("\u00e9t\u00e9", "\u4e2d\u6587\u8bcd", "\ud83d\ude00", "  ", "\n", "\u0440\u0443\u0441"),
+      Gen.asciiPrintableStr.map(_.take(8))
+    )).map(_.mkString(" "))
+    def rows(t: String, min: Int, avg: Int, max: Int) = {
+      val arr = CdcChunking.chunks(UTF8String.fromString(t), min, avg, max)
+      (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 3)
+        (r.getLong(0), r.getInt(1), r.getInt(2))
+      }
+    }
+    checkProp(Prop.forAll(anyText) { t =>
+      val cs = rows(t, 8, 16, 64)
+      val bytes = t.getBytes("UTF-8")
+      val tiles = cs.isEmpty && bytes.isEmpty ||
+        (cs.nonEmpty && cs.head._2 == 0 &&
+          cs.sliding(2).forall {
+            case Seq((_, s1, l1), (_, s2, _)) => s1 + l1 == s2
+            case _ => true
+          } && cs.last._2 + cs.last._3 == bytes.length)
+      val sized = cs.dropRight(1).forall(c => c._3 >= 8 && c._3 <= 64)
+      val deterministic = cs == rows(t, 8, 16, 64)
+      tiles && sized && deterministic
+    }, minSuccessful = 60)
+    // resync: for long-enough text, a prefix edit leaves most chunk
+    // hashes intact (the content-defined property itself)
+    val longText = Gen.listOfN(60,
+      Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(10)))
+      .map(_.mkString(" "))
+    checkProp(Prop.forAll(longText) { t =>
+      val base = rows(t, 8, 16, 64).map(_._1)
+      val edited = rows("EDITPREFIX!! " + t, 8, 16, 64).map(_._1)
+      val shared = base.toSet.intersect(edited.toSet).size
+      // everything past the first few chunks re-synchronizes
+      shared >= base.length - 4
+    }, minSuccessful = 30)
+  }
+
+  test("temperatureShares properties: shares sum to 1 and smaller " +
+      "alpha monotonically lifts the scarcest source") {
+    import graft.operators.Mixture
+    val massesGen = Gen.chooseNum(2, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1L, 1000000L)))
+      .map(_.zipWithIndex.map { case (m, i) => s"s$i" -> m }.toMap)
+    val alphaPair = for {
+      a <- Gen.chooseNum(0.05, 0.95)
+      b <- Gen.chooseNum(0.05, 0.95)
+    } yield (math.min(a, b), math.max(a, b))
+    checkProp(Prop.forAll(massesGen, alphaPair) { case (masses, (lo, hi)) =>
+      val sLo = Mixture.temperatureShares(masses, lo)
+      val sHi = Mixture.temperatureShares(masses, hi)
+      val scarcest = masses.minBy(_._2)._1
+      math.abs(sLo.values.sum - 1.0) < 1e-9 &&
+        math.abs(sHi.values.sum - 1.0) < 1e-9 &&
+        sLo(scarcest) >= sHi(scarcest) - 1e-12
+    }, minSuccessful = 60)
+  }
+
 }
