@@ -41,12 +41,19 @@ object ScaleCurve {
   private def run(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  private def timeOnce(f: => DataFrame): Double = {
+  /** None when the family errored (missing parquet, OOM, …) — an
+    * errored run must NOT contribute a bogus fast timing to the
+    * published scaling exponents; failed points are omitted from the
+    * results and the omission is visible in the JSON (missing factor
+    * key) as well as on stderr. */
+  private def timeOnce(f: => DataFrame): Option[Double] = {
     val s = System.nanoTime()
-    try run(f) catch { case t: Throwable =>
-      System.err.println(s"[scale] ERROR ${t.getClass.getSimpleName}: ${t.getMessage}")
+    try { run(f); Some((System.nanoTime() - s) / 1e9) }
+    catch { case t: Throwable =>
+      System.err.println(
+        s"[scale] ERROR ${t.getClass.getSimpleName}: ${t.getMessage}")
+      None
     }
-    (System.nanoTime() - s) / 1e9
   }
 
   /** Salt-union `documents` to `factor` copies with distinct shingles. */
@@ -261,10 +268,21 @@ object ScaleCurve {
         val times = factors.flatMap { k =>
           if (elapsed() < budget) {
             val a = timeOnce(f(k))
-            val b = if (elapsed() < budget) timeOnce(f(k)) else a
-            val t = math.min(a, b)
-            System.err.println(f"[scale] $name x$k: $t%.2fs (runs: $a%.2f, $b%.2f)")
-            Some(k -> t)
+            val b = if (elapsed() < budget) a.flatMap(_ => timeOnce(f(k)))
+                    else a
+            // both runs must SUCCEED for the point to count — an
+            // errored run would otherwise publish its setup time as a
+            // bogus fast measurement
+            (a, b) match {
+              case (Some(ta), Some(tb)) =>
+                val t = math.min(ta, tb)
+                System.err.println(
+                  f"[scale] $name x$k: $t%.2fs (runs: $ta%.2f, $tb%.2f)")
+                Some(k -> t)
+              case _ =>
+                System.err.println(s"[scale] $name x$k: ERRORED, omitted")
+                None
+            }
           } else None
         }.toMap
         results(name) = times

@@ -564,7 +564,12 @@ object Multimodal {
       * equal up to ±1-bin rounding (`tol` absorbs it); unrelated
       * clips agree only by chance. Scans ordinal offsets in
       * [-maxLag, maxLag] — the voting stage already established
-      * near-alignment, the scan just absorbs leading-event flicker. */
+      * near-alignment, the scan just absorbs leading-event flicker.
+      * Hits normalize by the OVERLAP at each offset, floored at
+      * (minLen - maxLag): a true copy aligned at a nonzero lag can
+      * still reach 1.0 (full-min-length normalization capped it at
+      * 1 - |o|/minLen), while the floor keeps a tiny tail overlap
+      * from inflating a chance pair's score. */
     def ratioSequenceMatchFrac(a: Array[Int], b: Array[Int],
                                tol: Double = 0.15,
                                maxLag: Int = 4): Double = {
@@ -578,6 +583,8 @@ object Multimodal {
       }
       val da = deltas(a); val db = deltas(b)
       if (da.isEmpty || db.isEmpty) return 0.0
+      val minLen = math.min(da.length, db.length)
+      val floor = math.max(1, minLen - maxLag)
       var best = 0.0
       var o = -maxLag
       while (o <= maxLag) {
@@ -591,7 +598,8 @@ object Multimodal {
           }
           i += 1
         }
-        if (n > 0) best = math.max(best, hits.toDouble / math.min(da.length, db.length))
+        if (n > 0)
+          best = math.max(best, hits.toDouble / math.max(n, floor))
         o += 1
       }
       best
@@ -1139,8 +1147,11 @@ object Multimodal {
   /** Rate-invariant landmark table `(media_id, t, lh)` from
     * [[Codec.audioConstellationRatio]] — same narrow-map shape and
     * persisted-index role as [[audioConstellationHashes]], but `t` is
-    * the QUANTIZED LOG anchor time, so the shared voting core's
-    * `ta - tb` is the constant log-offset a resampled copy produces. */
+    * the EVENT ORDINAL (the index into the run-compressed
+    * [[Codec.eventBins]] sequence — a rate-invariant time axis, since
+    * resampling stretches frames but preserves the event order), so
+    * the shared voting core's `ta - tb` is the constant ordinal
+    * offset a resampled copy produces. */
   def audioConstellationRatioHashes(media: Dataset[MediaRow],
                                     frameSize: Int = 512, hop: Int = 256,
                                     eventFanout: Int = 3): DataFrame = {
