@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Checkpoints.PinOps
 
 import graft.functions.{Shingles, TextAnalysis}
 
@@ -454,8 +455,10 @@ object Dedup {
    * produce. All distributed, nothing driver-side but the convergence
    * flag; a no-change round implies the propagation step itself is at
    * fixpoint, which is exactly component-min labeling. Lineage is
-   * truncated per round with `localCheckpoint` so plans don't grow with
-   * iterations (use reliable checkpointing on a cluster).
+   * truncated per round with [[Checkpoints.pin]] so plans don't grow
+   * with iterations — reliable checkpointing when the session has a
+   * checkpoint dir (the cluster hardening: rounds survive executor
+   * loss), localCheckpoint otherwise.
    *
    * Input: two id columns (`id_a`, `id_b`), as produced by
    * [[minhashDuplicates]] / [[simhashDuplicates]] /
@@ -468,10 +471,10 @@ object Dedup {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .pinned()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
+      .pinned()
     // empty graph: return before the loop — besides being pointless, an
     // empty frame would let AQE's empty-relation propagation collapse
     // the observe() below and its metric would never arrive
@@ -510,11 +513,11 @@ object Dedup {
         df.observe(obs,
           sum(when(col("__p") =!= col("__old"), 1L).otherwise(0L))
             .as("changed"))
-          .localCheckpoint(true)
+          .pinned()
       val updated =
         if (it < 2) withChangeCount(propagated)
         else {
-          val p = propagated.localCheckpoint(true)
+          val p = propagated.pinned()
           withChangeCount(
             p.join(p.select(col("id").as("__p"), col("__p").as("__pp")),
                 Seq("__p"), "left")
@@ -615,7 +618,7 @@ object Dedup {
     // unpinned, each re-runs the source scan + cast
     val vecs = df.select(col(idCol),
         col(vecCol).cast("array<double>").as("v"))
-      .localCheckpoint(true)
+      .pinned()
     val centroids = Similarity.buildCentroids(vecs, idCol, "v", nlist,
       iters, nearest)
     if (centroids.isEmpty)
@@ -701,7 +704,7 @@ object Dedup {
         col(vecCol).cast("array<double>").as("seen_vec"))
       // pinned for the same reason as `semanticDuplicates`: the Lloyd
       // jobs and the final cell assignment all read it
-      .localCheckpoint(true)
+      .pinned()
     val centroids = Similarity.buildCentroids(v, "seen_id", "seen_vec",
       nlist, iters, nearest)
     if (centroids.isEmpty)

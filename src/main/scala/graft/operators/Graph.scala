@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Checkpoints.PinOps
 
 /**
  * Web-graph analytics over an edge list — the ranking half of a crawl
@@ -41,9 +42,11 @@ object Graph {
    *
    * Scale shape: per round ONE hash join (ranks ⋈ edges on src) + ONE
    * groupBy(dst) with map-side Long partials + a one-row dangling
-   * aggregate; the rank frame is localCheckpoint-pinned per round
-   * (the `duplicateClusters` lineage discipline — plan growth O(1)
-   * per round, each round computed once). Driver holds one Long per
+   * aggregate; the rank frame is pinned per round via
+   * [[Checkpoints.pin]] — reliable checkpoint when the session has a
+   * checkpoint dir, localCheckpoint otherwise; the `duplicateClusters`
+   * lineage discipline: plan growth O(1) per round, each round
+   * computed once. Driver holds one Long per
    * round. `iters` is a fixed small constant (crawl priors use 3-10),
    * so cost is iters × (join + agg) — no convergence scan.
    */
@@ -62,28 +65,28 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .localCheckpoint(true)
+      .pinned()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
+      .pinned()
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge list")
     val (p, q) = (dampingNum, dampingDen)
     // base share (1-d)/N on the grid, half-away-from-zero
     val base = (2L * Scale * (q - p) + q * n) / (2L * q * n)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-      .localCheckpoint(true)
+      .pinned()
     var ranks = nodes
       .withColumn("r", lit((2L * Scale + n) / (2L * n)))
-      .localCheckpoint(true)
+      .pinned()
     for (_ <- 1 to iters) {
       // ONE ranks⋈outdeg join per round, pinned so the dangling
       // aggregate and the contribution pass read the same
       // materialization instead of re-running the join
       val withDeg = ranks.join(outdeg,
         ranks("node") === outdeg("src"), "left")
-        .localCheckpoint(true)
+        .pinned()
       // dangling nodes (no outlinks): whole rank redistributes
       val dangling = withDeg.where(col("__deg").isNull)
         .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
@@ -102,7 +105,7 @@ object Graph {
           (lit(base + dshare) +
             expr(s"(2 * $p * coalesce(__in, 0L) + $q) div (2 * $q)"))
             .as("r"))
-        .localCheckpoint(true)
+        .pinned()
       // exactly one live rank snapshot: the new round is materialized
       // (eager checkpoint above), so the previous round's blocks — and
       // the per-round join pin — can go

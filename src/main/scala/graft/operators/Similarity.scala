@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Checkpoints.PinOps
 
 import graft.plans.NativeFunctions
 
@@ -302,7 +303,7 @@ object Similarity {
     // one-materialization-many-iterations shape as `ivfpqIndex`.
     val c = corpus.select(col(corpusId),
         col(corpusVec).cast("array<double>").as("cv"))
-      .localCheckpoint(true)
+      .pinned()
 
     val centroids = buildCentroids(c, corpusId, "cv", nlist, iters, nearest)
 
@@ -586,7 +587,7 @@ object Similarity {
    * driver-side literals (nlist×dim + m×ksub×dsub doubles, KBs — the
    * documented bounded-collect class).
    *
-   * The assigned+residual frame is localCheckpoint'ed before codebook
+   * The assigned+residual frame is pinned ([[Checkpoints.pin]]) before codebook
    * training: the joint [[trainCodebooks]] loop runs iters+1 jobs over
    * it (one per Lloyd pass regardless of `m` — see its scaladoc), and
    * without truncation each would recompute the
@@ -612,7 +613,7 @@ object Similarity {
       // the residual computation and the PQ training each launch jobs
       // over this frame — unpinned, every one re-scans the source and
       // re-normalizes (O(iters) redundant passes)
-      .localCheckpoint(true)
+      .pinned()
     val coarse = buildCentroids(c, "__id", "__cvn", nlist, iters, nearest)
     if (coarse.isEmpty)
       return (coarse, Array.empty,
@@ -626,7 +627,7 @@ object Similarity {
     val assigned = c.withColumn("cell", nearest(coarse, col("__cvn")))
       .withColumn("__resid", zip_with(col("__cvn"),
         element_at(coarseLit, col("cell") + 1), (x, y) => x - y))
-      .localCheckpoint(true)
+      .pinned()
     val enc = pqEncodeFn(corpus, useNative)
     val codebooks =
       trainCodebooks(assigned, "__resid", m, dsub, ksub, iters, enc)
