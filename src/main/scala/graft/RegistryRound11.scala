@@ -11,6 +11,58 @@ import SparkEntry._
   * matching, ratio constellations. */
 private[graft] object RegistryRound11 {
 
+  /** History slice indexed by the CDC novelty pair (q_cdc_novelty and
+    * q_cdc_novelty_state share fixture, verdict and oracle — the two
+    * forms are the same semantics by contract). */
+  private[graft] def cdcNoveltyHistory(s: SparkSession,
+                                       d: String): DataFrame =
+    s.read.parquet(pq(d, "documents"))
+      .select(col("doc_id"), col("text"))
+      .where(col("doc_id").between(100, 399))
+
+  /** The probe batch: exact copies (+100000), prefix-edited copies
+    * (+200000), and a disjoint novel slice. */
+  private[graft] def cdcNoveltyBatch(s: SparkSession,
+                                     d: String): DataFrame = {
+    val docs = s.read.parquet(pq(d, "documents"))
+      .select(col("doc_id"), col("text"))
+    val history = cdcNoveltyHistory(s, d)
+    val copies = history.where(col("doc_id") < 150)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val edited = history.where(col("doc_id").between(150, 199))
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(lit("edited prefix block here :: "), col("text"))
+          .as("text"))
+    copies.unionByName(edited)
+      .unionByName(docs.where(col("doc_id").between(400, 499)))
+  }
+
+  /** The planted-arithmetic verdict over a novelty frame. */
+  private[graft] def cdcNoveltyVerdict(nv: DataFrame): DataFrame =
+    nv.agg(
+      sum(when(col("doc_id").between(100000L, 199999L), 1L)
+        .otherwise(0L)).as("n_copies"),
+      sum(when(col("doc_id").between(100000L, 199999L) &&
+        col("novelty") === 0.0, 1L).otherwise(0L))
+        .as("n_copies_zero"),
+      sum(when(col("doc_id") >= 200000L, 1L).otherwise(0L))
+        .as("n_edited"),
+      sum(when(col("doc_id") >= 200000L && col("novelty") > 0.0, 1L)
+        .otherwise(0L)).as("n_edited_positive"),
+      (avg(when(col("doc_id") < 100000L, col("novelty"))) >= 0.9)
+        .as("novel_avg_high"))
+
+  private[graft] val cdcNoveltyOracleSql =
+    """SELECT (SELECT COUNT(*) FROM documents
+        WHERE doc_id BETWEEN 100 AND 149) AS n_copies,
+      (SELECT COUNT(*) FROM documents
+        WHERE doc_id BETWEEN 100 AND 149) AS n_copies_zero,
+      (SELECT COUNT(*) FROM documents
+        WHERE doc_id BETWEEN 150 AND 199) AS n_edited,
+      (SELECT COUNT(*) FROM documents
+        WHERE doc_id BETWEEN 150 AND 199) AS n_edited_positive,
+      CAST(1 AS BOOLEAN) AS novel_avg_high"""
+
   /** Oracle for q_langid_ngram, generated from [[langIdPlants]]: the
     * expected label per planted row is a literal CASE — falsifiable
     * (a wrong winner or an und-regression mismatches) and immune to
@@ -545,48 +597,18 @@ private[graft] object RegistryRound11 {
     // chunk is new by construction), and the disjoint novel slice
     // averages near 1.0 (measured 0.972 at sf0.01 — a few natural
     // duplicate texts legitimately score 0, so the gate is the
-    // average, floored at 0.9).
+    // average, floored at 0.9). Fixture/verdict/oracle shared with
+    // q_cdc_novelty_state (round 13): the persisted-index form is the
+    // same semantics by contract, so it gets the same literals.
     Q("q_cdc_novelty",
-      (s, d) => {
-        import graft.operators.Dedup
-        val docs = s.read.parquet(pq(d, "documents"))
-          .select(col("doc_id"), col("text"))
-        val history = docs.where(col("doc_id").between(100, 399))
-        val index = Dedup.cdcChunkHashes(history, "doc_id", "text",
-          minSize = 16, avgSize = 32, maxSize = 256)
-        val copies = history.where(col("doc_id") < 150)
-          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
-        val edited = history.where(col("doc_id").between(150, 199))
-          .select((col("doc_id") + 200000L).as("doc_id"),
-            concat(lit("edited prefix block here :: "), col("text"))
-              .as("text"))
-        val novel = docs.where(col("doc_id").between(400, 499))
-        val nv = Dedup.cdcNovelty(
-          copies.unionByName(edited).unionByName(novel),
-          "doc_id", "text", index,
-          minSize = 16, avgSize = 32, maxSize = 256)
-        nv.agg(
-          sum(when(col("doc_id").between(100000L, 199999L), 1L)
-            .otherwise(0L)).as("n_copies"),
-          sum(when(col("doc_id").between(100000L, 199999L) &&
-            col("novelty") === 0.0, 1L).otherwise(0L))
-            .as("n_copies_zero"),
-          sum(when(col("doc_id") >= 200000L, 1L).otherwise(0L))
-            .as("n_edited"),
-          sum(when(col("doc_id") >= 200000L && col("novelty") > 0.0, 1L)
-            .otherwise(0L)).as("n_edited_positive"),
-          (avg(when(col("doc_id") < 100000L, col("novelty"))) >= 0.9)
-            .as("novel_avg_high"))
-      },
-      Some("""SELECT (SELECT COUNT(*) FROM documents
-                WHERE doc_id BETWEEN 100 AND 149) AS n_copies,
-              (SELECT COUNT(*) FROM documents
-                WHERE doc_id BETWEEN 100 AND 149) AS n_copies_zero,
-              (SELECT COUNT(*) FROM documents
-                WHERE doc_id BETWEEN 150 AND 199) AS n_edited,
-              (SELECT COUNT(*) FROM documents
-                WHERE doc_id BETWEEN 150 AND 199) AS n_edited_positive,
-              CAST(1 AS BOOLEAN) AS novel_avg_high""")),
+      (s, d) => cdcNoveltyVerdict(
+        graft.operators.Dedup.cdcNovelty(cdcNoveltyBatch(s, d),
+          "doc_id", "text",
+          graft.operators.Dedup.cdcChunkHashes(cdcNoveltyHistory(s, d),
+            "doc_id", "text", minSize = 16, avgSize = 32,
+            maxSize = 256),
+          minSize = 16, avgSize = 32, maxSize = 256)),
+      Some(cdcNoveltyOracleSql)),
 
     // temperature mixing (round 12): α = 0.5 flattens the natural
     // source distribution toward uniform (p_s ∝ √mass_s — the

@@ -254,6 +254,24 @@ object ScaleCurve {
             col("embedding").as("qv"))
         TextSearch.hybridSearchRrf(corpus, "doc_id", "text", "embedding",
           q, "query_id", "qtext", "qv", k = 5)
+      },
+      // the web-scale dense stage: IVF probes ~nprobe/nlist of the
+      // corpus per query batch instead of scanning it (nlist ∝ N keeps
+      // cells bounded) — compare this family's exponent to hybrid_rrf's
+      "hybrid_rrf_ivf" -> { k =>
+        import spark.implicits._
+        val queries3 = Seq((0L, "hash join"), (1L, "customer order data"),
+          (2L, "vector vector scan")).toDF("query_id", "qtext")
+        val e = embs(k).select(col("vec_id"), col("embedding"))
+        val corpus = docs(k).select(col("doc_id"), col("text"))
+          .join(e, col("doc_id") === col("vec_id"))
+          .select(col("doc_id"), col("text"), col("embedding"))
+        val q = queries3.join(e, col("query_id") === col("vec_id"))
+          .select(col("query_id"), col("qtext"),
+            col("embedding").as("qv"))
+        TextSearch.hybridSearchRrfIvf(corpus, "doc_id", "text",
+          "embedding", q, "query_id", "qtext", "qv", k = 5,
+          nlist = 16 * k, nprobe = 8)
       })
 
     // ---- measurement ------------------------------------------------

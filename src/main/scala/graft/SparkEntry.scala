@@ -552,7 +552,8 @@ object SparkEntry {
   private[graft] val registry: Seq[Q] =
     RegistryParity.entries ++ RegistryExtensions.entries ++
       RegistryPipelines.entries ++ RegistryRound3.entries ++
-      RegistryRound6.entries ++ RegistryRound11.entries
+      RegistryRound6.entries ++ RegistryRound11.entries ++
+      RegistryRound13.entries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -124,62 +124,35 @@ object TextSearch {
   }
 
   /**
-   * Hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion
-   * (Cormack, Clarke & Buettcher 2009 — public method): per query,
-   * take the top-`candidates` BM25 hits and the top-`candidates`
-   * embedding-cosine hits, score every candidate
+   * Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009 — public
+   * method) of two candidate lists: score every candidate
    * `Σ_lists 1/(kRrf + rank)` (a list not containing the doc
-   * contributes 0 — the standard convention), and keep the top `k` by
+   * contributes 0 — the standard convention), keep the top `k` by
    * fused score with a doc-id tiebreak. RRF needs only RANKS, never
-   * score calibration across the two systems — which is exactly why
-   * it is the production default for first-stage hybrid retrieval.
+   * score calibration across the two systems — which is exactly why it
+   * is the production default for first-stage hybrid retrieval, and
+   * why this fusion core consumes ranks from ANY retriever pair: the
+   * exact-scan dense stage ([[hybridSearchRrf]] — the ground-truth
+   * configuration), the IVF-probed one ([[hybridSearchRrfIvf]] — the
+   * web-scale configuration), or any caller-built `(queryId, doc_id,
+   * rank)` frame.
    *
-   * Output: (queryIdCol, doc_id, rrf, rank).
-   *
-   * Scale shape: the lexical stage is [[bm25Search]] (hits-sized
-   * shuffles against a term-partitioned index); the dense stage here
-   * is the EXACT scan — corpus vectors stream past the broadcast query
-   * set with a per-query window (the [[graft.operators.Similarity
-   * .hardNegatives]] shape; queries are small by contract). For
-   * web-scale corpora swap the dense stage for `ivfTopK`/`ivfpqTopK`
-   * candidates — RRF consumes ranks from ANY retriever pair. The
-   * fusion join itself is candidates-sized (≤ 2·candidates rows per
-   * query), never corpus-sized.
+   * Both inputs are `(queryIdCol, doc_id, rank)` with ranks 1..n per
+   * query. Output: `(queryIdCol, doc_id, rrf, rank)`. The fusion join
+   * is candidates-sized (≤ |lex| + |dense| rows per query), never
+   * corpus-sized; the final window partitions by query.
    */
-  def hybridSearchRrf(docs: DataFrame, idCol: String, textCol: String,
-                      vecCol: String,
-                      queries: DataFrame, queryIdCol: String,
-                      queryTextCol: String, queryVecCol: String,
-                      k: Int, candidates: Int = 20,
-                      kRrf: Int = 60): DataFrame = {
+  def rrfFuse(lex: DataFrame, dense: DataFrame, queryIdCol: String,
+              k: Int, kRrf: Int = 60): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // no candidates >= k requirement: the fused pool holds up to
-    // 2*candidates docs (the two lists need not overlap), so k may
-    // exceed the per-list depth; output is simply capped by the pool
-    require(candidates >= 1, s"candidates must be >= 1, got $candidates")
     require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
-    val lex = bm25Search(
-        docs.select(col(idCol), col(textCol)), idCol, textCol,
-        queries.select(col(queryIdCol), col(queryTextCol)),
-        queryIdCol, queryTextCol, candidates)
-      .select(col(queryIdCol), col("doc_id"),
-        col("rank").as("__lex_rank"))
-    val cos = graft.operators.Similarity.cosineFn(docs, useNative = true)
-    val qv = queries.select(col(queryIdCol),
-      col(queryVecCol).cast("array<double>").as("__qv"))
-    val wd = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("__cos").desc, col("doc_id"))
-    val dense = docs
-      .select(col(idCol).as("doc_id"),
-        col(vecCol).cast("array<double>").as("__dv"))
-      .crossJoin(broadcast(qv))
-      .withColumn("__cos", cos(col("__dv"), col("__qv")))
-      .withColumn("__dense_rank", row_number().over(wd))
-      .where(col("__dense_rank") <= candidates)
-      .select(col(queryIdCol), col("doc_id"), col("__dense_rank"))
+    val l = lex.select(col(queryIdCol), col("doc_id"),
+      col("rank").as("__lex_rank"))
+    val d = dense.select(col(queryIdCol), col("doc_id"),
+      col("rank").as("__dense_rank"))
     val wf = Window.partitionBy(col(queryIdCol))
       .orderBy(col("__rrf").desc, col("doc_id"))
-    lex.join(dense, Seq(queryIdCol, "doc_id"), "full_outer")
+    l.join(d, Seq(queryIdCol, "doc_id"), "full_outer")
       .withColumn("__rrf",
         coalesce(lit(1.0) / (lit(kRrf) + col("__lex_rank")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(kRrf) + col("__dense_rank")),
@@ -188,5 +161,113 @@ object TextSearch {
       .where(col("rank") <= k)
       .select(col(queryIdCol), col("doc_id"),
         round(col("__rrf"), 6).as("rrf"), col("rank"))
+  }
+
+  /**
+   * EXACT dense candidate ranks `(queryIdCol, doc_id, rank)`: corpus
+   * vectors stream past the broadcast query set with a per-query
+   * window (the [[graft.operators.Similarity.hardNegatives]] shape;
+   * queries are small by contract). One full corpus scan per query
+   * batch — the ground-truth dense stage; [[ivfDenseRanks]] is the
+   * sublinear swap.
+   */
+  def exactDenseRanks(docs: DataFrame, idCol: String, vecCol: String,
+                      queries: DataFrame, queryIdCol: String,
+                      queryVecCol: String, candidates: Int): DataFrame = {
+    require(candidates >= 1, s"candidates must be >= 1, got $candidates")
+    val cos = graft.operators.Similarity.cosineFn(docs, useNative = true)
+    val qv = queries.select(col(queryIdCol),
+      col(queryVecCol).cast("array<double>").as("__qv"))
+    val wd = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__cos").desc, col("doc_id"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        col(vecCol).cast("array<double>").as("__dv"))
+      .crossJoin(broadcast(qv))
+      .withColumn("__cos", cos(col("__dv"), col("__qv")))
+      .withColumn("rank", row_number().over(wd))
+      .where(col("rank") <= candidates)
+      .select(col(queryIdCol), col("doc_id"), col("rank"))
+  }
+
+  /**
+   * IVF-probed dense candidate ranks `(queryIdCol, doc_id, rank)` —
+   * [[graft.operators.Similarity.ivfTopK]] reshaped for [[rrfFuse]]:
+   * queries probe their `nprobe` nearest cells and score only those
+   * cells' vectors, ~nprobe/nlist of the corpus instead of all of it.
+   * Recall is approximate; gate it against [[exactDenseRanks]] the way
+   * `q_hybrid_search_ivf` does (fused-result recall floor).
+   */
+  def ivfDenseRanks(docs: DataFrame, idCol: String, vecCol: String,
+                    queries: DataFrame, queryIdCol: String,
+                    queryVecCol: String, candidates: Int,
+                    nlist: Int = 16, nprobe: Int = 4,
+                    iters: Int = 2): DataFrame =
+    graft.operators.Similarity.ivfTopK(docs, queries, idCol, vecCol,
+        queryIdCol, queryVecCol, candidates, nlist, nprobe, iters)
+      .select(col(queryIdCol), col(idCol).as("doc_id"), col("rank"))
+
+  /** BM25 top-`candidates` reshaped for [[rrfFuse]]. */
+  private def lexRanks(docs: DataFrame, idCol: String, textCol: String,
+                       queries: DataFrame, queryIdCol: String,
+                       queryTextCol: String, candidates: Int): DataFrame =
+    bm25Search(
+      docs.select(col(idCol), col(textCol)), idCol, textCol,
+      queries.select(col(queryIdCol), col(queryTextCol)),
+      queryIdCol, queryTextCol, candidates)
+
+  /**
+   * Hybrid lexical+dense retrieval fused by RRF, EXACT dense stage:
+   * per query, the top-`candidates` BM25 hits and the top-`candidates`
+   * exact-cosine hits through [[rrfFuse]]. Output `(queryIdCol,
+   * doc_id, rrf, rank)`.
+   *
+   * Scale shape: the lexical stage is [[bm25Search]] (hits-sized
+   * shuffles against a term-partitioned index); the dense stage is the
+   * exact scan ([[exactDenseRanks]]) — fine as ground truth and for
+   * modest corpora; at web scale use [[hybridSearchRrfIvf]], which
+   * probes IVF cells instead of scanning the corpus per query batch.
+   */
+  def hybridSearchRrf(docs: DataFrame, idCol: String, textCol: String,
+                      vecCol: String,
+                      queries: DataFrame, queryIdCol: String,
+                      queryTextCol: String, queryVecCol: String,
+                      k: Int, candidates: Int = 20,
+                      kRrf: Int = 60): DataFrame = {
+    // no candidates >= k requirement: the fused pool holds up to
+    // 2*candidates docs (the two lists need not overlap), so k may
+    // exceed the per-list depth; output is simply capped by the pool
+    require(candidates >= 1, s"candidates must be >= 1, got $candidates")
+    rrfFuse(
+      lexRanks(docs, idCol, textCol, queries, queryIdCol, queryTextCol,
+        candidates),
+      exactDenseRanks(docs, idCol, vecCol, queries, queryIdCol,
+        queryVecCol, candidates),
+      queryIdCol, k, kRrf)
+  }
+
+  /**
+   * [[hybridSearchRrf]] with the IVF dense stage — the web-scale
+   * configuration: the dense candidates come from
+   * [[ivfDenseRanks]] (queries touch ~nprobe/nlist of the corpus,
+   * never all of it), fused with the same BM25 ranks by the same
+   * [[rrfFuse]] core. Dense recall is approximate — size
+   * `nlist`/`nprobe` with the `q_hybrid_search_ivf` gate pattern
+   * (fused-result recall floor vs the exact configuration).
+   */
+  def hybridSearchRrfIvf(docs: DataFrame, idCol: String, textCol: String,
+                         vecCol: String,
+                         queries: DataFrame, queryIdCol: String,
+                         queryTextCol: String, queryVecCol: String,
+                         k: Int, candidates: Int = 20,
+                         kRrf: Int = 60, nlist: Int = 16,
+                         nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    require(candidates >= 1, s"candidates must be >= 1, got $candidates")
+    rrfFuse(
+      lexRanks(docs, idCol, textCol, queries, queryIdCol, queryTextCol,
+        candidates),
+      ivfDenseRanks(docs, idCol, vecCol, queries, queryIdCol,
+        queryVecCol, candidates, nlist, nprobe, iters),
+      queryIdCol, k, kRrf)
   }
 }

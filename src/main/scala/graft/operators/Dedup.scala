@@ -1530,4 +1530,157 @@ object Dedup {
         sum(col("__len_a")).as("shared_bytes"))
       .where(col("n_shared_chunks") >= minSharedChunks)
   }
+
+  /**
+   * Bloom-fronted novelty resolution of a hash frame against a
+   * persisted [[graft.sources.ChunkIndex]]: rows of `hashFrame` (any
+   * frame with a `chunk_hash` column) whose hash the index has NEVER
+   * seen. Sketch-negative rows are novel JOIN-FREE (no false
+   * negatives — the steady-state majority for novel content);
+   * sketch-positive rows anti-join the indexed hash column to resolve
+   * Bloom false positives exactly. Per-batch cost: the batch's sketch
+   * probes plus one anti-join of the flagged MINORITY against the
+   * index — the `ingestAdmission` shape on 8-byte chunk hashes.
+   */
+  def novelAgainstIndex(hashFrame: DataFrame,
+                        spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String): DataFrame = {
+    import graft.plans.NativeFunctions
+    import graft.sources.ChunkIndex
+    NativeFunctions.register(spark)
+    val flag = ChunkIndex.sketch(indexDir) match {
+      case Some(bytes) =>
+        NativeFunctions.bloomMightContain(lit(bytes),
+          xxhash64(col("chunk_hash")))
+      case None => lit(false)
+    }
+    val flagged = hashFrame.withColumn("__maybe_seen", flag)
+    val novelFast = flagged.where(!col("__maybe_seen"))
+    val resolved = flagged.where(col("__maybe_seen"))
+      .join(ChunkIndex.hashes(spark, indexDir), Seq("chunk_hash"),
+        "left_anti")
+    novelFast.unionByName(resolved).drop("__maybe_seen")
+  }
+
+  /**
+   * [[cdcNovelty]] against a PERSISTED [[graft.sources.ChunkIndex]] —
+   * the production steady-state form: the index participates through
+   * its Bloom sketch (join-free for novel chunks) and, for the
+   * sketch-positive minority, its bucket-partitioned hash column;
+   * history text is never read, and per-batch cost is flat in history
+   * size (strict history-independence for the novel majority — the
+   * sketch probe is O(1) per chunk). Semantics are IDENTICAL to the
+   * inline [[cdcNovelty]] (the sketch has no false negatives; false
+   * positives resolve exactly) — `q_cdc_novelty_state` pins that with
+   * the same oracle.
+   */
+  def cdcNoveltyAgainstIndex(df: DataFrame, idCol: String,
+                             textCol: String, indexDir: String,
+                             minSize: Int = 32, avgSize: Int = 64,
+                             maxSize: Int = 128): DataFrame = {
+    val chunks = cdcChunkHashes(df, idCol, textCol, minSize, avgSize,
+      maxSize).localCheckpoint(true) // two consumers: totals + novelty
+    val novel = novelAgainstIndex(chunks, df.sparkSession, indexDir)
+      .groupBy(col(idCol))
+      .agg(sum(col("chunk_len")).as("novel_bytes"))
+    chunks.groupBy(col(idCol))
+      .agg(sum(col("chunk_len")).as("total_bytes"))
+      .join(novel, Seq(idCol), "left")
+      .select(col(idCol), col("total_bytes"),
+        coalesce(col("novel_bytes"), lit(0L)).as("novel_bytes"),
+        (coalesce(col("novel_bytes"), lit(0L)).cast("double") /
+          col("total_bytes")).as("novelty"))
+  }
+
+  /**
+   * Duplicate-chunk CUT extraction — the Lee et al. 2022 span
+   * operation on CDC boundaries instead of fixed token windows: per
+   * document, the maximal merged BYTE intervals `[cut_start, cut_end)`
+   * covered by chunks whose hash occurs earlier in the corpus (global
+   * first occurrence by `(id, chunk_start)` survives; every later
+   * occurrence — cross-document or within-document — is cut).
+   * [[rewriteWithoutChunkCuts]] drops exactly these intervals.
+   *
+   * Scale shape: first-occurrence is a map-side-partial `groupBy(hash)
+   * min(struct(id, start))` — skew-safe where a per-hash window would
+   * single-task a boilerplate chunk shared by millions of documents —
+   * then one hash join back (chunk rows, fixed width, text never
+   * shuffles) and the two-analytic-pass interval merge of
+   * [[duplicateSpanCuts]] keyed by doc.
+   */
+  def cdcDuplicateChunkCuts(df: DataFrame, idCol: String,
+                            textCol: String,
+                            minSize: Int = 32, avgSize: Int = 64,
+                            maxSize: Int = 128): DataFrame = {
+    val chunks = cdcChunkHashes(df, idCol, textCol, minSize, avgSize,
+      maxSize)
+    val first = chunks.groupBy(col("chunk_hash"))
+      .agg(min(struct(col(idCol), col("chunk_start"))).as("__f"))
+    val dup = chunks.join(first, Seq("chunk_hash"))
+      .where(!(col(idCol) === col("__f")(idCol) &&
+        col("chunk_start") === col("__f")("chunk_start")))
+      .select(col(idCol), col("chunk_start").as("__start"),
+        (col("chunk_start") + col("chunk_len")).as("__end"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__start"))
+    val grouped = dup
+      .withColumn("__maxe", max(col("__end")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__start") > coalesce(col("__maxe"), lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("__grp", sum(col("__new")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    grouped.groupBy(col(idCol), col("__grp"))
+      .agg(min(col("__start")).as("cut_start"),
+        max(col("__end")).as("cut_end"))
+      .select(col(idCol), col("cut_start").cast("long"),
+        col("cut_end").cast("long"))
+  }
+
+  /**
+   * Rewrite documents with their duplicated CHUNKS cut out — the
+   * chunk-granularity twin of [[rewriteWithoutSpans]]: byte intervals
+   * from [[cdcDuplicateChunkCuts]] are spliced out of the UTF-8 byte
+   * stream and the survivors concatenate back (chunks tile the
+   * document, so the kept bytes are whole chunks in order; a cut-free
+   * doc round-trips byte-identically, unlike the token rewrite which
+   * normalizes whitespace). One membership-sized left join (cut
+   * intervals per doc — a handful of longs) + a zero-shuffle splice
+   * projection over the sorted interval list.
+   *
+   * Byte-level caveat, documented not hidden: chunk boundaries are
+   * content-defined BYTE positions; on multi-byte text a cut edge can
+   * split a codepoint, in which case the decode replaces the orphaned
+   * bytes (U+FFFD) — the storage-dedup view is bytes, and callers
+   * needing codepoint-safe edges should post-trim. Exact copies cut
+   * whole documents (every chunk duplicated), which is always
+   * codepoint-safe.
+   */
+  def rewriteWithoutChunkCuts(df: DataFrame, cuts: DataFrame,
+                              idCol: String, textCol: String)
+      : DataFrame = {
+    val cutsByDoc = cuts
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(
+        col("cut_start"), col("cut_end")))).as("__cuts"))
+    df.join(cutsByDoc, Seq(idCol), "left")
+      .withColumn("__bin", encode(col(textCol), "UTF-8"))
+      .select(col(idCol),
+        when(col("__cuts").isNull, col(textCol))
+          .otherwise(decode(aggregate(col("__cuts"),
+            // running state: (pos = bytes consumed, acc = kept bytes)
+            struct(lit(0L).as("pos"),
+              encode(lit(""), "UTF-8").as("acc")),
+            (st, c) => struct(
+              c.getField("cut_end").as("pos"),
+              concat(st.getField("acc"),
+                col("__bin").substr(
+                  (st.getField("pos") + 1).cast("int"),
+                  (c.getField("cut_start") - st.getField("pos"))
+                    .cast("int"))).as("acc")),
+            st => concat(st.getField("acc"),
+              col("__bin").substr((st.getField("pos") + 1).cast("int"),
+                octet_length(col("__bin")).cast("int")))), "UTF-8"))
+          .as("text_cut"))
+  }
 }

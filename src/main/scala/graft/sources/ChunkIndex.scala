@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Persisted content-defined-chunk index — the steady-state state store
+ * behind [[graft.operators.Dedup.cdcNoveltyAgainstIndex]], mirroring
+ * the admission-state pattern (`q_ingest_admission_state`): build once,
+ * append per admitted batch, probe per incoming batch. Extension
+ * beyond the reference surface (single-table OLAP,
+ * `parquery/README.md:4-8`).
+ *
+ * Layout under `dir`:
+ *  - `chunks/` — parquet of DISTINCT chunk hashes, partitioned by
+ *    `bucket = pmod(chunk_hash, buckets)`: at 100 TB the index is
+ *    billions of 8-byte hashes; bucket partitioning keeps individual
+ *    files bounded, append-batches small (novel hashes land in their
+ *    buckets), and lets a bucket-keyed probe plan prune;
+ *  - `sketch` — a Bloom sketch of every indexed hash (atomic-rename
+ *    committed), the join-free front: a probe first consults the
+ *    sketch and only sketch-POSITIVE chunks pay the exact anti-join,
+ *    so per-batch cost is flat in history size for the novel majority
+ *    (the `ingestAdmission` discipline; no false negatives, so no
+ *    seen chunk can score novel);
+ *  - `meta.json` — bucket count and sketch sizing, pinned at create
+ *    time: appended batch sketches must be built with the SAME sizing
+ *    or `mergeInPlace` would reject them.
+ */
+object ChunkIndex {
+
+  private def chunksDir(dir: String) = s"$dir/chunks"
+  private def sketchFile(dir: String) = new java.io.File(dir, "sketch")
+  private def metaFile(dir: String) = new java.io.File(dir, "meta.json")
+
+  final case class Meta(buckets: Int, expectedItems: Long, numBits: Long)
+
+  /** Create the index from a chunk table (the [[graft.operators.Dedup
+    * .cdcChunkHashes]] output — only `chunk_hash` is read). */
+  def create(chunks: DataFrame, dir: String, buckets: Int = 64,
+             expectedItems: Long = 1000000L,
+             numBits: Long = 1L << 23): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    new java.io.File(dir).mkdirs()
+    writeMeta(dir, Meta(buckets, expectedItems, numBits))
+    val distinctHashes = chunks.select(col("chunk_hash")).distinct()
+    distinctHashes
+      .withColumn("bucket", pmod(col("chunk_hash"), lit(buckets.toLong)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(chunksDir(dir))
+    writeSketch(dir, graft.operators.Dedup.buildSeenSketch(
+      distinctHashes, "chunk_hash", expectedItems, numBits))
+  }
+
+  /**
+   * Append a batch's chunk hashes: only hashes NOT already indexed
+   * land (sketch-negative hashes skip the probe entirely; positives
+   * anti-join the index), appended into their bucket partitions, and
+   * the batch sketch merges into the persisted one (bitset OR — the
+   * history is never rebuilt). Call with the admitted batch's chunks
+   * after a [[graft.operators.Dedup.cdcNoveltyAgainstIndex]] decision.
+   */
+  def append(newChunks: DataFrame, dir: String): Unit = {
+    val m = readMeta(dir)
+    val spark = newChunks.sparkSession
+    val batch = newChunks.select(col("chunk_hash")).distinct()
+    val novel = graft.operators.Dedup
+      .novelAgainstIndex(batch, spark, dir)
+      .localCheckpoint(true) // pin the decision before state writes
+    novel
+      .withColumn("bucket",
+        pmod(col("chunk_hash"), lit(m.buckets.toLong)))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(chunksDir(dir))
+    val batchSketch = graft.operators.Dedup.buildSeenSketch(
+      novel, "chunk_hash", m.expectedItems, m.numBits)
+    writeSketch(dir, graft.operators.Dedup.mergeSeenSketches(
+      sketch(dir), batchSketch))
+  }
+
+  /** The indexed hash column `(chunk_hash)`. */
+  def hashes(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(chunksDir(dir)).select(col("chunk_hash"))
+
+  /** The persisted Bloom sketch; None before any hash was indexed. */
+  def sketch(dir: String): Option[Array[Byte]] = {
+    val f = sketchFile(dir)
+    if (f.isFile) Some(java.nio.file.Files.readAllBytes(f.toPath))
+    else None
+  }
+
+  def readMeta(dir: String): Meta = {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      metaFile(dir).toPath), "UTF-8")
+    def num(k: String): Long = {
+      val m = s"""\"$k\"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(s)
+      require(m.isDefined, s"meta.json missing $k in $dir")
+      m.get.group(1).toLong
+    }
+    Meta(num("buckets").toInt, num("expectedItems"), num("numBits"))
+  }
+
+  private def writeMeta(dir: String, m: Meta): Unit =
+    java.nio.file.Files.write(metaFile(dir).toPath,
+      s"""{"buckets":${m.buckets},"expectedItems":${m.expectedItems},"numBits":${m.numBits}}"""
+        .getBytes("UTF-8"))
+
+  /** Atomic-rename commit (the registry-fixture discipline): a crashed
+    * write leaves a `.tmp`, never a torn sketch a later probe trusts. */
+  private def writeSketch(dir: String, bytes: Option[Array[Byte]]): Unit =
+    bytes.foreach { b =>
+      val tmp = new java.io.File(dir, s"sketch.tmp${System.nanoTime()}")
+      java.nio.file.Files.write(tmp.toPath, b)
+      java.nio.file.Files.move(tmp.toPath, sketchFile(dir).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.sources.ChunkIndex
+
+/**
+ * Persisted CDC chunk-index lifecycle: create → probe → append →
+ * re-probe, plus the chunk-granularity cut/rewrite pair. The
+ * load-bearing contracts:
+ *  - `cdcNoveltyAgainstIndex` ≡ inline `cdcNovelty` (the Bloom front
+ *    has no false negatives; positives resolve exactly);
+ *  - `append` is idempotent-by-content (already-indexed hashes never
+ *    re-land) and flips appended content's novelty to 0;
+ *  - the byte-splice rewrite conserves bytes exactly and round-trips
+ *    cut-free documents byte-identically.
+ */
+class ChunkIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDocs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  private val lorem = (1 to 40).map(i =>
+    s"alpha$i beta$i gamma$i delta$i").mkString(" ")
+
+  test("create + probe: inline and persisted novelty agree row-for-row") {
+    val history = mkDocs((1L, lorem), (2L, lorem.reverse),
+      (3L, "tiny"), (4L, lorem.toUpperCase))
+    val chunks = Dedup.cdcChunkHashes(history, "doc_id", "text",
+      16, 32, 256)
+    val dir = tmpDir()
+    ChunkIndex.create(chunks, dir, buckets = 4)
+    val batch = mkDocs(
+      (10L, lorem), // exact copy -> 0.0
+      (11L, "prefix edit :: " + lorem), // partial
+      (12L, "entirely new material never indexed at all zz"))
+    val inline = Dedup.cdcNovelty(batch, "doc_id", "text", chunks,
+      16, 32, 256).orderBy("doc_id").collect().toSeq
+    val state = Dedup.cdcNoveltyAgainstIndex(batch, "doc_id", "text",
+      dir, 16, 32, 256).orderBy("doc_id").collect().toSeq
+    assert(inline == state)
+    val byId = state.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(byId(10L) == 0.0)
+    assert(byId(11L) > 0.0 && byId(11L) < 1.0)
+    assert(byId(12L) == 1.0)
+  }
+
+  test("append: novelty flips to 0, re-append adds no rows, sketch merges") {
+    val history = mkDocs((1L, lorem))
+    val dir = tmpDir()
+    ChunkIndex.create(Dedup.cdcChunkHashes(history, "doc_id", "text",
+      16, 32, 256), dir, buckets = 4)
+    val batch = mkDocs((20L, "all new content block " + lorem.reverse))
+    val before = Dedup.cdcNoveltyAgainstIndex(batch, "doc_id", "text",
+      dir, 16, 32, 256).collect()(0)
+    assert(before.getDouble(3) > 0.9)
+    val batchChunks = Dedup.cdcChunkHashes(batch, "doc_id", "text",
+      16, 32, 256)
+    ChunkIndex.append(batchChunks, dir)
+    val after = Dedup.cdcNoveltyAgainstIndex(batch, "doc_id", "text",
+      dir, 16, 32, 256).collect()(0)
+    assert(after.getDouble(3) == 0.0, s"novelty after append: $after")
+    // idempotent by content: a second append of the same chunks must
+    // not duplicate index rows
+    val n1 = ChunkIndex.hashes(spark, dir).count()
+    ChunkIndex.append(batchChunks, dir)
+    assert(ChunkIndex.hashes(spark, dir).count() == n1)
+    // and the index stays distinct overall
+    assert(ChunkIndex.hashes(spark, dir).distinct().count() == n1)
+  }
+
+  test("meta round-trips; append uses the pinned sketch sizing") {
+    val dir = tmpDir()
+    ChunkIndex.create(Dedup.cdcChunkHashes(mkDocs((1L, lorem)),
+      "doc_id", "text", 16, 32, 256), dir, buckets = 8,
+      expectedItems = 5000L, numBits = 1L << 16)
+    val m = ChunkIndex.readMeta(dir)
+    assert(m == ChunkIndex.Meta(8, 5000L, 1L << 16))
+    // merging a batch sketch built with the pinned sizing must work
+    // (mergeInPlace rejects mismatched sizes — this would throw)
+    ChunkIndex.append(Dedup.cdcChunkHashes(
+      mkDocs((2L, lorem.reverse)), "doc_id", "text", 16, 32, 256), dir)
+    assert(ChunkIndex.sketch(dir).isDefined)
+  }
+
+  test("chunk cuts: first occurrence survives, copies cut to empty, " +
+      "bytes conserve, cut-free docs round-trip byte-identically") {
+    val corpus = mkDocs(
+      (1L, lorem),
+      (2L, lorem), // exact copy of 1 -> fully cut
+      (3L, "lead in text :: " + lorem), // shared suffix partially cut
+      (4L, "completely disjoint material with its own words"))
+    val cuts = Dedup.cdcDuplicateChunkCuts(corpus, "doc_id", "text",
+      16, 32, 256)
+    val rw = Dedup.rewriteWithoutChunkCuts(corpus, cuts,
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rw(1L) == lorem, "first occurrence must survive intact")
+    assert(rw(2L) == "", "exact copy must cut to empty")
+    assert(rw(3L).nonEmpty && rw(3L).length < lorem.length + 16,
+      s"shared-suffix doc should keep ~its novel prefix, " +
+        s"kept ${rw(3L).length}")
+    assert(rw(4L) == corpus.where(col("doc_id") === 4L)
+      .collect()(0).getString(1), "cut-free doc must round-trip")
+    // conservation: kept + cut = original, per doc
+    val cutBytes = cuts.groupBy("doc_id")
+      .agg(sum(col("cut_end") - col("cut_start")).as("cb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    corpus.collect().foreach { r =>
+      val id = r.getLong(0)
+      val orig = r.getString(1).getBytes("UTF-8").length
+      val kept = rw(id).getBytes("UTF-8").length
+      assert(kept == orig - cutBytes.getOrElse(id, 0L),
+        s"doc $id: kept $kept orig $orig cut ${cutBytes.get(id)}")
+    }
+  }
+
+  test("within-document repeats cut after their first occurrence") {
+    val rep = lorem + " " + lorem // doc repeating its own content
+    val corpus = mkDocs((1L, rep))
+    val rw = Dedup.rewriteWithoutChunkCuts(corpus,
+      Dedup.cdcDuplicateChunkCuts(corpus, "doc_id", "text", 16, 32, 256),
+      "doc_id", "text").collect()(0).getString(1)
+    // the second half re-synchronizes to the first half's chunks, so
+    // most of it cuts; the survivor keeps roughly one copy
+    assert(rw.length < rep.length * 3 / 4,
+      s"within-doc repeat not cut: kept ${rw.length} of ${rep.length}")
+    assert(rw.startsWith(lorem.take(32)), "prefix must survive")
+  }
+}

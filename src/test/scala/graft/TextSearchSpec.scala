@@ -128,4 +128,38 @@ class TextSearchSpec extends SparkSpec {
     assert(math.abs(got(1)._2 - 1.0 / 61) < 1e-6)
     assert(got.map(_._3).toSeq == Seq(1, 2, 3))
   }
+
+  test("rrfFuse consumes ranks from ANY retriever pair; " +
+      "hybridSearchRrfIvf at full probe equals the exact configuration") {
+    // hand-built rank frames through the fusion core directly
+    val lex = Seq((0L, 10L, 1), (0L, 11L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val dense = Seq((0L, 11L, 1), (0L, 12L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val fused = TextSearch.rrfFuse(lex, dense, "query_id", k = 3)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    // 11 in both lists (1/62 + 1/61); 10 and 12 one list each, tie on
+    // score -> doc_id order
+    assert(fused.map(_._1).toSeq == Seq(11L, 10L, 12L))
+    assert(math.abs(fused(0)._2 - (1.0 / 62 + 1.0 / 61)) < 1e-6)
+    // separable corpus: IVF dense stage probing EVERY cell must
+    // reproduce the exact configuration end-to-end
+    val corpus = Seq(
+      (1L, "spark spark engine", Array(0.0f, 1.0f)),
+      (2L, "spark rows", Array(0.9f, 0.5f)),
+      (3L, "unrelated words here", Array(1.0f, 0.0f)),
+      (4L, "other text entirely", Array(-1.0f, 0.0f))
+    ).toDF("doc_id", "text", "embedding")
+    val q = Seq((0L, "spark", Array(1.0f, 0.0f)))
+      .toDF("query_id", "qtext", "qv")
+    val exact = TextSearch.hybridSearchRrf(corpus, "doc_id", "text",
+        "embedding", q, "query_id", "qtext", "qv",
+        k = 4, candidates = 2).orderBy(col("rank")).collect().toSeq
+    val ivf = TextSearch.hybridSearchRrfIvf(corpus, "doc_id", "text",
+        "embedding", q, "query_id", "qtext", "qv",
+        k = 4, candidates = 2, nlist = 2, nprobe = 2)
+      .orderBy(col("rank")).collect().toSeq
+    assert(ivf == exact)
+  }
 }
