@@ -67,7 +67,7 @@ private[graft] object RegistryRound11 {
     * expected label per planted row is a literal CASE — falsifiable
     * (a wrong winner or an und-regression mismatches) and immune to
     * drift between the plant list and the replay. */
-  private val langIdNgramOracleSql: String = {
+  private[graft] val langIdNgramOracleSql: String = {
     val n = langIdPlants.size
     val cases = langIdPlants.zipWithIndex.map { case ((lang, _), i) =>
       s"WHEN $i THEN '$lang'" }.mkString(" ")

@@ -105,6 +105,71 @@ private[graft] object RegistryRound13 {
       },
       Some(RegistryRound11.cdcNoveltyOracleSql)),
 
+    // data-driven language-ID profiles (round 13): the SAME planted
+    // sentences and generated oracle as q_langid_ngram, but the
+    // profile table is LOADED from a parquet fixture
+    // (writeNgramProfiles → loadNgramProfiles round-trip of the
+    // compiled-in 50) and rides the native expression as a codegen
+    // reference object. Identical oracle = the contract that the
+    // data-driven path is semantics-preserving; swapping to a wider
+    // table (fastText breadth, a 51st language) is then a TABLE swap —
+    // LangIdAccuracySpec proves the 51st-language case without a
+    // recompile.
+    Q("q_langid_table",
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        graft.plans.NativeFunctions.register(s)
+        val root = contentKeyedFixture(
+          new java.io.File(d, "documents.parquet"),
+          "graft_langid_profiles") { r =>
+          new java.io.File(r, "profiles/_SUCCESS").isFile
+        } { tmp =>
+          TextAnalysis.writeNgramProfiles(s,
+            TextAnalysis.charNgramProfiles,
+            new java.io.File(tmp, "profiles").toString)
+        }
+        val profiles = TextAnalysis.loadNgramProfiles(s,
+          new java.io.File(root, "profiles").toString)
+        val plants = array(langIdPlants.map(p => lit(p._2)): _*)
+        s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"),
+            graft.plans.NativeFunctions.langIdNgramNative(
+              element_at(plants,
+                (col("doc_id") % langIdPlants.size + 1).cast("int")),
+              profiles).as("lang_pred"))
+      },
+      Some(RegistryRound11.langIdNgramOracleSql)),
+
+    // scale-safe semantic dedup (round 13): the SAME planted corpus,
+    // verdict and oracle as q_dedup_semantic, but assignment runs the
+    // two-level coarse-quantized argmax (NearestCentroidTwoLevelExpr,
+    // O(√nlist·dim)/row instead of O(nlist·dim)) — the production mode
+    // for nlist ∝ N, where the flat scan is formally quadratic
+    // (measured r12, scale_evidence/). The oracle holds VERBATIM
+    // because assignment stays a deterministic pure function of the
+    // vector: planted identical embeddings co-assign under ANY
+    // assignment function, their cosine is exactly 1.0, and min-id
+    // survivor selection keeps the source. Shared-oracle = the
+    // semantics-preservation contract, the q_ingest_admission_state
+    // pattern.
+    Q("q_dedup_semantic_twolevel",
+      (s, d) => {
+        val emb = s.read.parquet(pq(d, "embeddings"))
+          .where(col("vec_id") < 100000L)
+          .select(col("vec_id"), col("embedding"))
+        val fam = emb.where(col("vec_id") < 30)
+        val all = emb
+          .unionByName(fam.select((col("vec_id") + 100000L).as("vec_id"),
+            col("embedding")))
+          .unionByName(fam.select((col("vec_id") + 200000L).as("vec_id"),
+            col("embedding")))
+        graft.operators.Dedup.semanticDedup(all, "vec_id", "embedding",
+          nlist = 32, minCosine = 0.999, twoLevel = true)
+          .where(pmod(col("vec_id"), lit(100000L)) < 30)
+          .select(col("vec_id"))
+      },
+      Some("""SELECT vec_id FROM embeddings WHERE vec_id < 30""")),
+
     // chunk-level dedup capstone (round 13): the Lee et al. span-cut
     // operation on CDC boundaries — cdcDuplicateChunkCuts (global
     // first occurrence by (id, start) survives) → byte-splice rewrite.

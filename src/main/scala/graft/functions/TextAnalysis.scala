@@ -798,7 +798,16 @@ object TextAnalysis {
    * boundaries for a stopword tokenizer to find) and very short texts.
    * One codegen'd projection — zero shuffle, no model file.
    */
-  def langIdCharNgram(text: Column): Column = {
+  def langIdCharNgram(text: Column): Column =
+    langIdCharNgram(text, charNgramProfiles)
+
+  /** [[langIdCharNgram]] against a caller-supplied profile table —
+    * the HOF reference for data-driven profiles
+    * ([[loadNgramProfiles]]); the native path's equivalent is
+    * `NativeFunctions.langIdNgramNative(text, profiles)`. */
+  def langIdCharNgram(text: Column,
+                      profiles: Map[String, Seq[String]]): Column = {
+    require(profiles.nonEmpty, "empty language-profile table")
     val lowered = lower(text)
     // non-overlapping occurrence count via replace-and-measure:
     // (len - len(remove(gram))) / len(gram). Identical semantics to
@@ -809,13 +818,53 @@ object TextAnalysis {
     def count(g: String): Column =
       ((length(lowered) - length(replace(lowered, lit(g), lit("")))) /
         lit(g.length)).cast("int")
-    val scored = charNgramProfiles.toSeq.map { case (lang, grams) =>
+    val scored = profiles.toSeq.map { case (lang, grams) =>
       struct(grams.map(count).reduce(_ + _).as("hits"),
         lit(lang).as("lang"))
+    }
+    if (scored.size == 1) {
+      val only = scored.head
+      return when(only.getField("hits") > 0, only.getField("lang"))
+        .otherwise(lit("und"))
     }
     val best = greatest(scored: _*)
     when(best.getField("hits") > 0, best.getField("lang"))
       .otherwise(lit("und"))
+  }
+
+  /**
+   * Load a language-profile table from a parquet table of
+   * `(lang string, grams array<string>)` rows — the data-driven path
+   * for [[langIdCharNgram]] /
+   * `NativeFunctions.langIdNgramNative(text, profiles)`: swapping to a
+   * wider breadth (fastText's ~170 languages) or a domain-tuned gram
+   * set is a TABLE swap, not a recompile. The collect is bounded by
+   * construction — one row per language, KBs (the centroid-table
+   * class). Duplicated `lang` rows are rejected rather than silently
+   * last-wins. [[writeNgramProfiles]] round-trips the compiled-in
+   * default into this layout.
+   */
+  def loadNgramProfiles(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Map[String, Seq[String]] = {
+    val rows = spark.read.parquet(path)
+      .select(col("lang").cast("string"), col("grams"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1))
+    require(rows.nonEmpty, s"empty language-profile table at $path")
+    val dups = rows.groupBy(_._1).collect { case (l, g) if g.length > 1 => l }
+    require(dups.isEmpty,
+      s"duplicate lang rows in profile table at $path: " +
+        dups.toSeq.sorted.mkString(", "))
+    rows.toMap
+  }
+
+  /** Persist a profile table in [[loadNgramProfiles]]'s layout. */
+  def writeNgramProfiles(spark: org.apache.spark.sql.SparkSession,
+                         profiles: Map[String, Seq[String]],
+                         path: String): Unit = {
+    import spark.implicits._
+    profiles.toSeq.sortBy(_._1).toDF("lang", "grams")
+      .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   // --- dedup-key normalization ---------------------------------------------

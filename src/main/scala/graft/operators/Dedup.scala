@@ -604,15 +604,33 @@ object Dedup {
    * Scale dial: cells hold ~corpus/nlist vectors, so `nlist` must grow
    * with the corpus to keep cells under `maxBucket` (the paper runs
    * 50k clusters at web scale); over-cap cells are dropped AND counted
-   * in the `graft_buckets` observe metric, never silently.
+   * in the `graft_buckets` observe metric, never silently. BUT flat
+   * assignment is O(nlist · dim) per row, so nlist ∝ N makes the
+   * assignment stage formally quadratic (measured, `scale_evidence/`
+   * r12: e = 0.90, constant-dominated; the √N-nlist variant e = 1.95).
+   * `twoLevel = true` is the scale-safe production mode: centroids are
+   * coarse-quantized into ~√nlist groups
+   * ([[Similarity.coarseCentroidGroups]]) and every assignment — the
+   * Lloyd refinement's and the final cell keying — runs through the
+   * fused two-level argmax
+   * ([[graft.plans.NearestCentroidTwoLevelExpr]]) at O(√nlist · dim)
+   * per row, making the operator O(N · √nlist · dim) by construction
+   * with nlist ∝ N. Assignment stays a deterministic pure function of
+   * the vector (identical embeddings ALWAYS co-assign — planted-copy
+   * oracles hold verbatim, see `q_dedup_semantic_twolevel`); boundary
+   * vectors may land in a different cell than the flat scan, the
+   * standard IVF coarse-quantizer trade.
    */
   def semanticDuplicates(df: DataFrame, idCol: String, vecCol: String,
                          nlist: Int = 16, iters: Int = 2,
                          minCosine: Double = 0.95,
                          maxBucket: Int = 1000,
-                         useNative: Boolean = true): DataFrame = {
+                         useNative: Boolean = true,
+                         twoLevel: Boolean = false): DataFrame = {
     val cos = Similarity.cosineFn(df, useNative)
-    val nearest = Similarity.nearestCellFn(df, useNative, cos)
+    val nearest =
+      if (twoLevel) Similarity.nearestCellFnTwoLevel(df)
+      else Similarity.nearestCellFn(df, useNative, cos)
     // pinned once: the Lloyd loop (iters + 1 jobs), the cell keying and
     // the two pair-verification joins below all read this frame —
     // unpinned, each re-runs the source scan + cast
@@ -656,11 +674,12 @@ object Dedup {
                     minCosine: Double = 0.95,
                     maxBucket: Int = 1000,
                     useNative: Boolean = true,
-                    keepPolicy: String = "min_id"): DataFrame = {
+                    keepPolicy: String = "min_id",
+                    twoLevel: Boolean = false): DataFrame = {
     require(keepPolicy == "min_id" || keepPolicy == "farthest",
       s"keepPolicy must be min_id or farthest, got $keepPolicy")
     val labels = duplicateClusters(semanticDuplicates(df, idCol, vecCol,
-      nlist, iters, minCosine, maxBucket, useNative))
+      nlist, iters, minCosine, maxBucket, useNative, twoLevel))
     if (keepPolicy == "min_id") selectSurvivors(df, labels, idCol)
     else {
       val cos = Similarity.cosineFn(df, useNative)

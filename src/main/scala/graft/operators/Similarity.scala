@@ -419,6 +419,114 @@ object Similarity {
           cents.toSeq.map(_.toSeq))
     } else (cents, v) => nearestCell(cos, cents, v)
 
+  /** Driver-side cosine between two centroid vectors — same
+    * accumulation order as the assignment expressions' fused loop, so
+    * the coarse grouping's own argmax agrees with what the expression
+    * computes per row. */
+  private def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = a(i); val yi = b(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  /**
+   * Cluster the `nlist` centroids themselves into ~√nlist coarse
+   * groups (driver-side k-means, cosine metric, deterministic: seeded
+   * by centroid index, ties to the larger group id like the assignment
+   * expressions). Returns (coarse vectors, member centroid ids per
+   * group — ascending, empty groups pruned). This is the IVF/IMI
+   * coarse-quantizer build for
+   * [[graft.plans.NearestCentroidTwoLevelExpr]]: O(nlist · √nlist ·
+   * dim · iters) flops on the DRIVER — at the paper's web-scale
+   * nlist ≈ 50k with dim 768 that is ~10^11 flops ≈ seconds, a
+   * one-time cost per Lloyd iteration, bounded like the centroid
+   * collect itself.
+   */
+  private[graft] def coarseCentroidGroups(
+      centroids: Array[Seq[Double]], iters: Int = 3)
+      : (Array[Seq[Double]], Array[Array[Int]]) = {
+    val ncoarse = math.max(1, math.ceil(math.sqrt(
+      centroids.length.toDouble)).toInt)
+    if (ncoarse >= centroids.length)
+      // degenerate: one group per centroid — coarse == fine; callers
+      // normally hit this only at toy nlist
+      return (centroids.clone(),
+        centroids.indices.map(Array(_)).toArray)
+    // unboxed copies once up front: the assignment loop below touches
+    // nlist × √nlist × dim doubles per iteration — through Seq's boxed
+    // apply that measured ~5.5 s at nlist ≈ 10k (r13), as raw arrays
+    // it is ~0.1 s
+    val cents: Array[Array[Double]] = centroids.map(_.toArray)
+    var coarse: Array[Array[Double]] =
+      cents.take(ncoarse).map(_.clone())
+    var assign: Array[Int] = null
+    (1 to iters).foreach { _ =>
+      assign = cents.map { ct =>
+        var best = Double.NegativeInfinity
+        var bestG = 0
+        var g = 0
+        while (g < coarse.length) {
+          val sim = cosineLocal(ct, coarse(g))
+          if (org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+              .compareDoubles(sim, best) >= 0) {
+            best = sim; bestG = g
+          }
+          g += 1
+        }
+        bestG
+      }
+      val dim = cents.head.length
+      coarse = coarse.indices.map { g =>
+        val mem = cents.indices.filter(assign(_) == g)
+        if (mem.isEmpty) coarse(g)
+        else {
+          val m = new Array[Double](dim)
+          mem.foreach { i =>
+            val v = cents(i)
+            var d = 0
+            while (d < math.min(dim, v.length)) { m(d) += v(d); d += 1 }
+          }
+          var d = 0
+          while (d < dim) { m(d) /= mem.length; d += 1 }
+          m
+        }
+      }.toArray
+    }
+    val grouped = centroids.indices.groupBy(assign(_))
+    val kept = coarse.indices.filter(grouped.contains)
+    (kept.map(g => coarse(g).toSeq).toArray,
+      kept.map(g => grouped(g).sorted.toArray).toArray)
+  }
+
+  /** TWO-LEVEL assignment picker — the scale-safe counterpart of
+    * [[nearestCellFn]] for nlist ∝ N regimes (SemDeDup at web scale):
+    * rebuilds the coarse grouping for each centroid set it is handed
+    * (so Lloyd iterations each get a grouping consistent with their
+    * centroids) and assigns via the fused
+    * [[graft.plans.NearestCentroidTwoLevelExpr]] at O(√nlist · dim)
+    * per row. Native-only: the HOF composition would re-introduce the
+    * O(nlist) expression-size wall this exists to remove. */
+  private[graft] def nearestCellFnTwoLevel(df: DataFrame)
+      : (Array[Seq[Double]], Column) => Column = {
+    NativeFunctions.register(df.sparkSession)
+    (cents, v) =>
+      if (cents.length == 1) lit(0)
+      else {
+        val (coarse, members) = coarseCentroidGroups(cents)
+        NativeFunctions.nearestCentroidTwoLevelNative(v,
+          coarse.toSeq.map(_.toSeq),
+          members.toSeq.map(_.toSeq),
+          cents.toSeq.map(_.toSeq))
+      }
+  }
+
   /** The query's `nprobe` nearest cells as an array column. */
   private def nearestCells(cos: (Column, Column) => Column,
                            centroids: Array[Seq[Double]],

@@ -271,6 +271,168 @@ case class NearestCentroidExpr(child: Expression,
 }
 
 /**
+ * TWO-LEVEL nearest-centroid assignment — the scale-safe form of
+ * [[NearestCentroidExpr]] for SemDeDup-sized centroid sets, where
+ * `nlist` must grow with the corpus (cells hold ~corpus/nlist vectors)
+ * and the flat argmax's O(nlist · dim) per row makes the whole
+ * assignment stage O(N · nlist · dim) — formally quadratic once
+ * nlist ∝ N (measured: `scale_evidence/` r12, e = 0.90 only
+ * constant-dominated). Here the nlist centroids are pre-clustered
+ * (driver-side, `Similarity.coarseCentroidGroups`) into ~√nlist coarse
+ * cells; a row first argmaxes over the coarse vectors, then over ONLY
+ * the member centroids of its coarse cell — O(√nlist · dim) per row,
+ * O(N · √nlist · dim) overall, sublinear-per-row by construction.
+ *
+ * Approximation contract: the result is a deterministic pure function
+ * of the input vector (identical vectors ALWAYS co-assign — planted
+ * exact-copy oracles hold unchanged), but a vector near a coarse-cell
+ * boundary may assign to a different fine centroid than the flat scan
+ * would (its true nearest centroid can live under an unprobed coarse
+ * cell). That is the standard IVF/IMI coarse-quantizer trade — the
+ * same class of approximation as `nlist` itself — and near-identical
+ * vectors still co-assign with overwhelming probability because the
+ * assignment function is continuous away from argmax boundaries.
+ * With ONE coarse group holding all centroids the expression is
+ * bit-exact with [[NearestCentroidExpr]] (tested).
+ *
+ * Tie-breaking at BOTH levels matches the flat form:
+ * `SQLOrderingUtil.compareDoubles(sim, best) >= 0` over ascending
+ * candidates — equal similarity picks the larger coarse cell / larger
+ * centroid id (members are stored ascending), and NaN similarity is
+ * LARGEST, so an all-NaN row deterministically lands in the last
+ * coarse cell's last member on both paths. All three matrices ride as
+ * codegen REFERENCE OBJECTS — generated source is identical across
+ * Lloyd iterations, so Janino compiles once per query.
+ */
+case class NearestCentroidTwoLevelExpr(child: Expression,
+                                       coarse: Array[Array[Double]],
+                                       members: Array[Array[Int]],
+                                       centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(coarse.nonEmpty, "coarse centroids must be non-empty")
+  require(coarse.length == members.length,
+    s"coarse/members length mismatch: ${coarse.length} vs ${members.length}")
+  require(members.forall(_.nonEmpty),
+    "empty coarse groups must be pruned before building the expression")
+  require(centroids.nonEmpty, "centroids must be non-empty")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString} " +
+        "(cast array<float> inputs explicitly)")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.IntegerType
+
+  override def prettyName: String = "graft_nearest_centroid_2l"
+
+  private def cosineTo(v: ArrayData, ct: Array[Double]): Double = {
+    val n = math.min(v.numElements(), ct.length)
+    var dot = 0.0; var nv = 0.0; var nc = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = v.getDouble(i); val yi = ct(i)
+      dot += xi * yi; nv += xi * xi; nc += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(nv) * math.sqrt(nc)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var bestC = Double.NegativeInfinity
+    var bestGroup = 0
+    var g = 0
+    while (g < coarse.length) {
+      val sim = cosineTo(v, coarse(g))
+      if (org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+          .compareDoubles(sim, bestC) >= 0) {
+        bestC = sim; bestGroup = g
+      }
+      g += 1
+    }
+    val mem = members(bestGroup)
+    var best = Double.NegativeInfinity
+    var bestCell = mem(0)
+    var m = 0
+    while (m < mem.length) {
+      val sim = cosineTo(v, centroids(mem(m)))
+      if (org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+          .compareDoubles(sim, best) >= 0) {
+        best = sim; bestCell = mem(m)
+      }
+      m += 1
+    }
+    bestCell
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val co = ctx.addReferenceObj("coarse", coarse, "double[][]")
+    val me = ctx.addReferenceObj("members", members, "int[][]")
+    val ce = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val cosFn = ctx.freshName("cos2l")
+      ctx.addNewFunction(cosFn,
+        s"""
+           |private double $cosFn(
+           |    org.apache.spark.sql.catalyst.util.ArrayData v,
+           |    double[] ct) {
+           |  final int n = java.lang.Math.min(v.numElements(), ct.length);
+           |  double dot = 0.0, nv = 0.0, nc = 0.0;
+           |  for (int i = 0; i < n; i++) {
+           |    final double xi = v.getDouble(i);
+           |    final double yi = ct[i];
+           |    dot += xi * yi; nv += xi * xi; nc += yi * yi;
+           |  }
+           |  final double denom =
+           |    java.lang.Math.sqrt(nv) * java.lang.Math.sqrt(nc);
+           |  return (denom == 0.0) ? 0.0 : (dot / denom);
+           |}
+         """.stripMargin)
+      val bestC = ctx.freshName("bestC")
+      val bestGroup = ctx.freshName("bestGroup")
+      val g = ctx.freshName("g")
+      val mem = ctx.freshName("mem")
+      val best = ctx.freshName("best")
+      val bestCell = ctx.freshName("bestCell")
+      val m = ctx.freshName("m")
+      val sim = ctx.freshName("sim")
+      s"""
+         |double $bestC = Double.NEGATIVE_INFINITY;
+         |int $bestGroup = 0;
+         |for (int $g = 0; $g < $co.length; $g++) {
+         |  final double $sim = $cosFn($v, $co[$g]);
+         |  if (org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+         |      .compareDoubles($sim, $bestC) >= 0) {
+         |    $bestC = $sim; $bestGroup = $g;
+         |  }
+         |}
+         |final int[] $mem = $me[$bestGroup];
+         |double $best = Double.NEGATIVE_INFINITY;
+         |int $bestCell = $mem[0];
+         |for (int $m = 0; $m < $mem.length; $m++) {
+         |  final double ${sim}f = $cosFn($v, $ce[$mem[$m]]);
+         |  if (org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+         |      .compareDoubles(${sim}f, $best) >= 0) {
+         |    $best = ${sim}f; $bestCell = $mem[$m];
+         |  }
+         |}
+         |${ev.value} = $bestCell;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroidTwoLevelExpr =
+    copy(child = newChild)
+}
+
+/**
  * Rank bucketization: bucket id = number of `boundaries` ≤ value, via
  * binary search over a sorted, distinct cut-point array carried as a
  * codegen REFERENCE OBJECT — the generated source is identical
@@ -635,22 +797,26 @@ case class MojibakeRepairExpr(child: Expression)
       newChild: Expression): MojibakeRepairExpr = copy(child = newChild)
 }
 
-/** Shared classifier behind [[LangIdNgramExpr]] — profiles from
-  * [[graft.functions.TextAnalysis.charNgramProfiles]] (single source;
-  * the HOF form at TextAnalysis.langIdCharNgram scores the SAME table),
-  * flattened once at class-init into parallel arrays so the per-row
-  * loop allocates nothing. Semantics replicated exactly from the HOF
-  * form: score = Σ non-overlapping occurrences of each profile gram in
-  * the lowercased text; winner = max score, ties to the
-  * lexicographically largest language code (langs iterated ascending
-  * with `>=` replacement); all-zero → "und". */
-private[plans] object LangIdNgram {
+/** A language-ID profile table flattened into parallel arrays so the
+  * per-row loop allocates nothing — the runtime form behind
+  * [[LangIdNgramExpr]]. Instances ride the expression as codegen
+  * REFERENCE OBJECTS, so a table loaded from data (
+  * `TextAnalysis.loadNgramProfiles` — fastText-breadth swaps, a 51st
+  * language) generates the IDENTICAL source as the compiled-in
+  * default and costs zero recompiles. Semantics replicated exactly
+  * from the HOF form (`TextAnalysis.langIdCharNgram`): score = Σ
+  * non-overlapping occurrences of each profile gram in the lowercased
+  * text; winner = max score, ties to the lexicographically largest
+  * language code (langs iterated ascending with `>=` replacement);
+  * all-zero → "und". */
+final class LangIdTable(profiles: Map[String, Seq[String]])
+    extends Serializable {
 
-  private val langs: Array[String] =
-    graft.functions.TextAnalysis.charNgramProfiles.keys.toArray.sorted
+  require(profiles.nonEmpty, "empty language-profile table")
+
+  private val langs: Array[String] = profiles.keys.toArray.sorted
   private val grams: Array[Array[String]] =
-    langs.map(l =>
-      graft.functions.TextAnalysis.charNgramProfiles(l).toArray)
+    langs.map(l => profiles(l).toArray)
 
   /** Non-overlapping occurrence count — identical to the HOF form's
     * replace-and-measure on UTF8String bytes (UTF-8 is
@@ -686,6 +852,16 @@ private[plans] object LangIdNgram {
     }
     bestLang
   }
+}
+
+/** The compiled-in default [[LangIdTable]] — profiles from
+  * [[graft.functions.TextAnalysis.charNgramProfiles]] (single source;
+  * the HOF form scores the SAME table). Kept as a static so the
+  * no-argument `graft_langid_ngram` call needs no reference object. */
+private[plans] object LangIdNgram {
+  lazy val default: LangIdTable =
+    new LangIdTable(graft.functions.TextAnalysis.charNgramProfiles)
+  def classify(lowered: String): String = default.classify(lowered)
 }
 
 /** Shared one-pass computation behind [[GopherSignalsExpr]] —
@@ -860,11 +1036,17 @@ object GopherSignalsExpr {
 }
 
 /** [[graft.functions.TextAnalysis.langIdCharNgram]] as a native
-  * expression — the HOF form's 27-language × 8-gram scoring expands to
+  * expression — the HOF form's 50-language × 8-gram scoring expands to
   * a generated projection past Janino's method limits (whole-stage
-  * codegen bails to interpreted); this is one static call per row and
-  * keeps the langid pass inside WholeStageCodegen. */
-case class LangIdNgramExpr(child: Expression)
+  * codegen bails to interpreted); this is one call per row and keeps
+  * the langid pass inside WholeStageCodegen. `table` defaults to the
+  * compiled-in 50-language [[LangIdNgram.default]]; a DATA-DRIVEN
+  * table (`TextAnalysis.loadNgramProfiles` — wider breadth, a swapped
+  * language set) rides as a codegen reference object, so the
+  * generated source — and therefore Janino's compile cache — is
+  * independent of the table's content. */
+case class LangIdNgramExpr(child: Expression,
+                           table: Option[LangIdTable] = None)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -880,15 +1062,23 @@ case class LangIdNgramExpr(child: Expression)
 
   override def nullSafeEval(input: Any): Any =
     org.apache.spark.unsafe.types.UTF8String.fromString(
-      LangIdNgram.classify(
+      table.getOrElse(LangIdNgram.default).classify(
         input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
           .toLowerCase.toString))
 
   override protected def doGenCode(ctx: CodegenContext,
-                                   ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
-        s"graft.plans.LangIdNgram.classify($c.toLowerCase().toString()))")
+                                   ev: ExprCode): ExprCode = table match {
+    case None =>
+      defineCodeGen(ctx, ev, c =>
+        "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"graft.plans.LangIdNgram.classify($c.toLowerCase().toString()))")
+    case Some(t) =>
+      val ref = ctx.addReferenceObj("langIdTable", t,
+        "graft.plans.LangIdTable")
+      defineCodeGen(ctx, ev, c =>
+        "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"$ref.classify($c.toLowerCase().toString()))")
+  }
 
   override protected def withNewChildInternal(
       newChild: Expression): LangIdNgramExpr = copy(child = newChild)
@@ -2380,6 +2570,7 @@ object NativeFunctions {
   val bloomAggName = "graft_bloom_agg"
   val bloomContainsName = "graft_bloom_might_contain"
   val nearestCentroidName = "graft_nearest_centroid"
+  val nearestCentroid2lName = "graft_nearest_centroid_2l"
   val pqEncodeName = "graft_pq_encode"
   val pqAdcName = "graft_pq_adc"
   val mgSummaryName = "graft_mg_summary"
@@ -2439,6 +2630,28 @@ object NativeFunctions {
         s"expected array<array<double>> literal, got $other")
     }
 
+  private def profileMapLit(e: Expression): Map[String, Seq[String]] =
+    e.eval(null) match {
+      case m: org.apache.spark.sql.catalyst.util.MapData =>
+        val ks = m.keyArray(); val vs = m.valueArray()
+        (0 until m.numElements()).map { i =>
+          ks.getUTF8String(i).toString ->
+            (0 until vs.getArray(i).numElements())
+              .map(j => vs.getArray(i).getUTF8String(j).toString)
+        }.toMap
+      case other => throw new IllegalArgumentException(
+        s"expected map<string, array<string>> literal, got $other")
+    }
+
+  private def intMatrixLit(e: Expression): Array[Array[Int]] =
+    e.eval(null) match {
+      case a: ArrayData =>
+        (0 until a.numElements()).map(i => a.getArray(i).toIntArray())
+          .toArray
+      case other => throw new IllegalArgumentException(
+        s"expected array<array<int>> literal, got $other")
+    }
+
   private def matrix3Lit(e: Expression): Array[Array[Array[Double]]] =
     e.eval(null) match {
       case a: ArrayData =>
@@ -2486,6 +2699,9 @@ object NativeFunctions {
       BloomProbeExpr(exprs.head, exprs(1))),
     nearestCentroidName -> ((exprs: Seq[Expression]) =>
       NearestCentroidExpr(exprs.head, matrixLit(exprs(1)))),
+    nearestCentroid2lName -> ((exprs: Seq[Expression]) =>
+      NearestCentroidTwoLevelExpr(exprs.head, matrixLit(exprs(1)),
+        intMatrixLit(exprs(2)), matrixLit(exprs(3)))),
     pqEncodeName -> ((exprs: Seq[Expression]) =>
       PqEncodeExpr(exprs.head, matrix3Lit(exprs(1)))),
     pqAdcName -> ((exprs: Seq[Expression]) =>
@@ -2517,7 +2733,9 @@ object NativeFunctions {
     bpeDecodeBytesName -> ((exprs: Seq[Expression]) =>
       BpeDecodeBytesExpr(exprs.head)),
     langIdNgramName -> ((exprs: Seq[Expression]) =>
-      LangIdNgramExpr(exprs.head)),
+      if (exprs.size == 1) LangIdNgramExpr(exprs.head)
+      else LangIdNgramExpr(exprs.head,
+        Some(new LangIdTable(profileMapLit(exprs(1)))))),
     gopherSignalsName -> ((exprs: Seq[Expression]) =>
       GopherSignalsExpr(exprs.head, intLit(exprs(1)), intLit(exprs(2)))),
     cdcChunksName -> ((exprs: Seq[Expression]) =>
@@ -2575,10 +2793,21 @@ object NativeFunctions {
   def fixMojibakeNative(text: Column): Column =
     call_function(fixMojibakeName, text)
 
-  /** Char-ngram language ID (27-language profile table; same scoring
-    * as TextAnalysis.langIdCharNgram, one static call per row). */
+  /** Char-ngram language ID (compiled-in 50-language profile table;
+    * same scoring as TextAnalysis.langIdCharNgram, one call per
+    * row). */
   def langIdNgramNative(text: Column): Column =
     call_function(langIdNgramName, text)
+
+  /** Char-ngram language ID against a CALLER-SUPPLIED profile table
+    * (e.g. `TextAnalysis.loadNgramProfiles` output) — the table rides
+    * as a codegen reference object, so widening to fastText-breadth
+    * language sets costs neither a recompile of this library nor a
+    * Janino recompile of the query. */
+  def langIdNgramNative(text: Column,
+                        profiles: Map[String, Seq[String]]): Column =
+    call_function(langIdNgramName, text,
+      org.apache.spark.sql.functions.typedlit(profiles))
 
   /** Gopher rule signals as one native struct (fields per
     * [[GopherSignalsExpr.schema]]); parity with the HOF form is
@@ -2620,6 +2849,20 @@ object NativeFunctions {
   def nearestCentroidNative(v: Column,
                             centroids: Seq[Seq[Double]]): Column =
     call_function(nearestCentroidName, v.cast("array<double>"),
+      org.apache.spark.sql.functions.typedlit(centroids))
+
+  /** Fused TWO-LEVEL cell assignment: coarse argmax over ~√nlist
+    * groups, fine argmax over only that group's member centroids —
+    * O(√nlist · dim) per row vs the flat form's O(nlist · dim). See
+    * [[NearestCentroidTwoLevelExpr]] for the approximation contract
+    * (deterministic; bit-exact with the flat form when one group
+    * holds every centroid). */
+  def nearestCentroidTwoLevelNative(v: Column, coarse: Seq[Seq[Double]],
+                                    members: Seq[Seq[Int]],
+                                    centroids: Seq[Seq[Double]]): Column =
+    call_function(nearestCentroid2lName, v.cast("array<double>"),
+      org.apache.spark.sql.functions.typedlit(coarse),
+      org.apache.spark.sql.functions.typedlit(members),
       org.apache.spark.sql.functions.typedlit(centroids))
 
   /** Fused PQ encode: per-subspace L2-argmin codes (bit-exact with the

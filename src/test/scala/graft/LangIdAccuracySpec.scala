@@ -80,6 +80,79 @@ class LangIdAccuracySpec extends SparkSpec {
     }
   }
 
+  test("data-driven profiles: write/load round-trips the compiled-in " +
+      "table and the loaded table classifies every plant identically " +
+      "through HOF and native") {
+    graft.plans.NativeFunctions.register(spark)
+    val dir = java.nio.file.Files
+      .createTempDirectory("langid_profiles").toString + "/profiles"
+    TextAnalysis.writeNgramProfiles(spark,
+      TextAnalysis.charNgramProfiles, dir)
+    val loaded = TextAnalysis.loadNgramProfiles(spark, dir)
+    assert(loaded == TextAnalysis.charNgramProfiles)
+    val plants = SparkEntry.langIdPlants
+    val got = plants.map(_._2).toDF("t")
+      .select(
+        TextAnalysis.langIdCharNgram(col("t"), loaded).as("hof"),
+        graft.plans.NativeFunctions.langIdNgramNative(col("t"), loaded)
+          .as("nat"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    plants.zip(got).foreach { case ((want, text), (hof, nat)) =>
+      assert(hof == want, s"loaded HOF: '$text' → $hof, want $want")
+      assert(nat == want, s"loaded native: '$text' → $nat, want $want")
+    }
+  }
+
+  test("a 51st language is a TABLE swap, not a recompile: widened " +
+      "table classifies it, compiled-in table does not") {
+    graft.plans.NativeFunctions.register(spark)
+    // a synthetic orthography whose grams collide with no real profile
+    val xxText = "zxqa qzxo zxqe vzxq ozxq zxqi"
+    val widened = TextAnalysis.charNgramProfiles +
+      ("xx" -> Seq("zxq", "qzx", "xqa", "zxo"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("langid_profiles_xx").toString + "/profiles"
+    TextAnalysis.writeNgramProfiles(spark, widened, dir)
+    val loaded = TextAnalysis.loadNgramProfiles(spark, dir)
+    assert(loaded.size == 51)
+    val r = Seq(xxText).toDF("t")
+      .select(
+        graft.plans.NativeFunctions.langIdNgramNative(col("t"), loaded)
+          .as("wide_nat"),
+        TextAnalysis.langIdCharNgram(col("t"), loaded).as("wide_hof"),
+        graft.plans.NativeFunctions.langIdNgramNative(col("t"))
+          .as("default_nat"))
+      .collect()(0)
+    assert(r.getString(0) == "xx")
+    assert(r.getString(1) == "xx")
+    assert(r.getString(2) == "und")
+    // existing languages are untouched by the widening
+    val en = Seq(SparkEntry.langIdPlants.head._2).toDF("t")
+      .select(graft.plans.NativeFunctions
+        .langIdNgramNative(col("t"), loaded))
+      .collect()(0).getString(0)
+    assert(en == SparkEntry.langIdPlants.head._1)
+  }
+
+  test("loadNgramProfiles rejects duplicate lang rows and empty tables") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files
+      .createTempDirectory("langid_profiles_bad").toString
+    Seq(("en", Seq("the")), ("en", Seq("and")))
+      .toDF("lang", "grams").write.parquet(dir + "/dup")
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.loadNgramProfiles(spark, dir + "/dup")
+    }
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("lang", StringType),
+          StructField("grams", ArrayType(StringType)))))
+      .write.parquet(dir + "/empty")
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.loadNgramProfiles(spark, dir + "/empty")
+    }
+  }
+
   test("accuracy table over all fixtures is 100%") {
     val all = SparkEntry.langIdPlants ++ confusables
     val got = classifyAll(all.map(_._2))

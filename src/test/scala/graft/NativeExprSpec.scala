@@ -186,6 +186,90 @@ class NativeExprSpec extends SparkSpec {
     assert(got == Map(1L -> 2, 2L -> 1, 3L -> 2, 4L -> 2))
   }
 
+  test("two-level nearest centroid: one group holding every centroid " +
+      "is bit-exact with the flat form, incl. tie/NaN/zero rows") {
+    NativeFunctions.register(spark)
+    val cents: Seq[Seq[Double]] =
+      (0 until 8).map(c => Seq.tabulate(32)(j => math.cos(c * 32 + j)))
+    val oneGroup = Seq(Seq.tabulate(32)(_ => 0.0))
+    val members = Seq((0 until 8).toSeq)
+    val both = vecs.select(
+        NativeFunctions.nearestCentroidNative(col("v"), cents).as("flat"),
+        NativeFunctions.nearestCentroidTwoLevelNative(col("v"), oneGroup,
+          members, cents).as("two"))
+      .collect()
+    assert(both.length == 200)
+    both.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // the flat spec's tie scenarios, through the two-level path with a
+    // single group: identical verdicts (larger cell wins, NaN largest)
+    val tieCents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 0.0))
+    val got = Seq(
+      (1L, Seq(2.0, 0.0)), (2L, Seq(0.0, 3.0)),
+      (3L, Seq(0.0, 0.0)), (4L, Seq(Double.NaN, 1.0))
+    ).toDF("id", "v")
+      .select(col("id"),
+        NativeFunctions.nearestCentroidTwoLevelNative(col("v"),
+          Seq(Seq(0.0, 0.0)), Seq(Seq(0, 1, 2)), tieCents).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 2, 2L -> 1, 3L -> 2, 4L -> 2))
+  }
+
+  test("two-level nearest centroid: coarse routing confines the fine " +
+      "argmax to the routed group's members") {
+    NativeFunctions.register(spark)
+    // centroid 2 (the diagonal, grouped under the y coarse cell) is the
+    // GLOBAL argmax for v = (0.9, 0.8), but the vector routes to the x
+    // coarse cell (cos 0.747 vs 0.664) and must pick among that cell's
+    // members only → 0. The flat scan picks 2 — the documented
+    // boundary-vector divergence, asserted both ways.
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(0.6, 0.8))
+    val coarse = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val members = Seq(Seq(0), Seq(1, 2))
+    val got = Seq(
+      (1L, Seq(0.9, 0.8)),   // routes x → confined to member 0
+      (2L, Seq(0.05, 1.0))   // routes y → c1 (pure y) beats c2 → 1
+    ).toDF("id", "v")
+      .select(col("id"),
+        NativeFunctions.nearestCentroidTwoLevelNative(col("v"), coarse,
+          members, cents).as("two"),
+        NativeFunctions.nearestCentroidNative(col("v"), cents)
+          .as("flat"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2)))
+      .toMap
+    assert(got == Map(1L -> ((0, 2)), 2L -> ((1, 1))))
+  }
+
+  test("coarseCentroidGroups: exact partition of centroid ids, " +
+      "ascending members, no empty groups; degenerate small nlist is " +
+      "identity; two-level assignment agrees with flat on the bulk") {
+    NativeFunctions.register(spark)
+    val cents: Array[Seq[Double]] = Array.tabulate(64)(c =>
+      Seq.tabulate(16)(j => math.sin(c * 16 + j)))
+    val (coarse, members) = Similarity.coarseCentroidGroups(cents)
+    assert(coarse.length == members.length)
+    assert(members.forall(_.nonEmpty))
+    assert(members.forall(m => m.sameElements(m.sorted)))
+    assert(members.flatten.sorted.sameElements(0 until 64))
+    assert(coarse.length <= 8 + 1)  // ~√64, empty groups pruned
+    // degenerate: ncoarse >= nlist → one group per centroid
+    val tiny: Array[Seq[Double]] =
+      Array(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val (tc, tm) = Similarity.coarseCentroidGroups(tiny)
+    assert(tc.map(_.toSeq).toSeq == tiny.map(_.toSeq).toSeq)
+    assert(tm.map(_.toSeq).toSeq == Seq(Seq(0), Seq(1)))
+    // bulk agreement between flat and two-level on deterministic data:
+    // boundary rows may differ (the documented IVF trade), the bulk
+    // must not
+    val centsSeq = cents.toSeq.map(_.toSeq)
+    val agree = vecs.select(
+        (NativeFunctions.nearestCentroidNative(col("v"), centsSeq) ===
+          NativeFunctions.nearestCentroidTwoLevelNative(col("v"),
+            coarse.toSeq.map(_.toSeq), members.toSeq.map(_.toSeq),
+            centsSeq)).cast("int").as("same"))
+      .agg(avg(col("same"))).collect()(0).getDouble(0)
+    assert(agree >= 0.6, s"flat/two-level agreement $agree")
+  }
+
   test("native PQ encode/ADC ≡ HOF forms bit-for-bit; ties to smaller " +
       "code") {
     NativeFunctions.register(spark)
