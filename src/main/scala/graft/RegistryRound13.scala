@@ -105,6 +105,43 @@ private[graft] object RegistryRound13 {
       },
       Some(RegistryRound11.cdcNoveltyOracleSql)),
 
+    // H.264 video dedup (round 13): the SAME planted-duplicate
+    // construction and oracle as q_video_fp_dedup, but every payload
+    // is a spec-valid Annex-B H.264 stream (all-I_PCM IDR frames,
+    // multimodal.H264) decoded through FrameDecoder.Auto's sniffing
+    // dispatch — the whole codec-agnostic video family now runs on
+    // real H.264 bitstream plumbing with zero external dependencies
+    // (compressed macroblocks remain the documented SPI binding
+    // boundary; H264Spec pins the named-error behavior there).
+    // Identical oracle = the codec-agnosticism contract.
+    Q("q_video_fp_dedup_h264",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        Multimodal.videoNearDuplicates(
+          Multimodal.syntheticH264Corpus(s, nContents = 30, copies = 3),
+          maxHamming = 4)
+      },
+      Some("""SELECT a.i AS id_a, b.i AS id_b, 0 AS hamming
+              FROM generate_series(0, 89) a(i)
+                JOIN generate_series(0, 89) b(i)
+                ON a.i < b.i AND a.i % 30 = b.i % 30""")),
+
+    // frame-sequence offset voting over H.264 — q_video_sequence's
+    // construction and oracle verbatim: Annex-B streams concatenate
+    // like MJPEG (IDR frames are self-contained), so the 3-frame
+    // intro prepend is a byte concat and the same matcher finds the
+    // shift with no codec-specific code
+    Q("q_video_sequence_h264",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        Multimodal.videoSequenceMatches(
+          Multimodal.syntheticShiftedH264Corpus(s, nContents = 12,
+            nShifted = 6), minVotes = 5)
+          .select(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT i AS id_a, i + 1000 AS id_b
+              FROM generate_series(0, 5) t(i)""")),
+
     // data-driven language-ID profiles (round 13): the SAME planted
     // sentences and generated oracle as q_langid_ngram, but the
     // profile table is LOADED from a parquet fixture

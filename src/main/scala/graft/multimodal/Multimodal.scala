@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
  * cluster: `spark.driver.extraJavaOptions` AND
  * `spark.executor.extraJavaOptions`, with the binding jar on the
  * executor classpath) to a class with a no-arg constructor. Unset, the
- * JDK-only MJPEG splitter is used — the default build stays
- * dependency-free and green. Resolution is memoized per JVM per class
- * name (reflection once, not per row); a misconfigured class fails
- * fast with the class name in the error.
+ * JDK-only [[FrameDecoder.Auto]] sniffing dispatch is used (MJPEG, or
+ * the built-in partial H.264 I_PCM path for Annex-B payloads) — the
+ * default build stays dependency-free and green. Resolution is
+ * memoized per JVM per class name (reflection once, not per row); a
+ * misconfigured class fails fast with the class name in the error.
  */
 trait FrameDecoder extends Serializable {
   /** Per-frame image payloads, in display order. */
@@ -30,17 +31,36 @@ trait FrameDecoder extends Serializable {
 object FrameDecoder {
   val PropKey = "graft.video.frameDecoder"
 
-  /** The JDK-only default: walk concatenated baseline JPEGs. */
+  /** The JDK-only MJPEG path: walk concatenated baseline JPEGs. */
   object Mjpeg extends FrameDecoder {
     def frames(bytes: Array[Byte]): Seq[Array[Byte]] =
       Multimodal.Codec.splitMjpegFrames(bytes)
   }
 
-  @volatile private var cached: (String, FrameDecoder) = ("", Mjpeg)
+  /** The built-in partial H.264 path (Annex-B, I/IDR slices, I_PCM
+    * macroblocks — see [[graft.multimodal.H264]] for the exact,
+    * honestly-stated scope; compressed macroblocks still need an
+    * external binding via [[PropKey]]). */
+  object H264IPcm extends FrameDecoder {
+    def frames(bytes: Array[Byte]): Seq[Array[Byte]] =
+      H264.framesAsPng(bytes)
+  }
+
+  /** The default: container-sniffing dispatch — Annex-B start code →
+    * the H.264 path, else MJPEG. A corpus can mix containers; the
+    * sniff reads ≤16 leading bytes and is deterministic per payload,
+    * so fingerprints stay pure functions of the bytes. */
+  object Auto extends FrameDecoder {
+    def frames(bytes: Array[Byte]): Seq[Array[Byte]] =
+      if (H264.looksLikeAnnexB(bytes)) H264IPcm.frames(bytes)
+      else Mjpeg.frames(bytes)
+  }
+
+  @volatile private var cached: (String, FrameDecoder) = ("", Auto)
 
   /** Resolve the configured decoder (memoized per class name). */
   def resolve(): FrameDecoder = sys.props.get(PropKey) match {
-    case None | Some("") => Mjpeg
+    case None | Some("") => Auto
     case Some(cls) =>
       val c = cached
       if (c._1 == cls) c._2
@@ -1315,6 +1335,75 @@ object Multimodal {
         MediaMeta(w, h, 0, 5))
     }
   }
+
+  /**
+   * Deterministic H.264 video corpus with planted duplicates — the
+   * [[syntheticVideoCorpus]] construction, but each payload is a
+   * spec-valid Annex-B H.264 stream of all-I_PCM IDR frames
+   * ([[H264.encode]]) carrying the SAME per-content pixel pattern as
+   * the MJPEG fixture. Decoded through [[FrameDecoder.Auto]]'s
+   * sniffing dispatch — every video operator (pHash, sequence match,
+   * offset voting, incremental probe) runs on it unchanged, which is
+   * the codec-agnosticism the SPI promises.
+   */
+  def syntheticH264Corpus(spark: SparkSession, nContents: Int,
+                          copies: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(nContents.toLong * copies).as[Long].map { id =>
+      val content = id % nContents
+      val w = 64 + (content % 4).toInt * 16
+      val h = 64 + (content % 3).toInt * 16
+      MediaRow(id, "video", syntheticH264(content, w, h, frames = 5),
+        MediaMeta(w, h, 0, 5))
+    }
+  }
+
+  /**
+   * H.264 analog of [[syntheticShiftedVideoCorpus]]: Annex-B streams
+   * are concatenative just like MJPEG (each fixture frame is a
+   * self-contained IDR picture and parameter sets may repeat), so the
+   * intro-prepended copy is the byte concat of two valid streams —
+   * and the SAME offset-voting matcher finds the planted 3-frame
+   * shift with no codec-specific code.
+   */
+  def syntheticShiftedH264Corpus(spark: SparkSession, nContents: Int,
+                                 nShifted: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    require(nShifted <= nContents, "shifted copies need a source")
+    val ids = spark.range(nContents.toLong)
+      .union(spark.range(1000L, 1000L + nShifted)).as[Long]
+    ids.map { id =>
+      val content = if (id >= 1000L) id - 1000L else id
+      val w = 64 + (content % 4).toInt * 16
+      val h = 64 + (content % 3).toInt * 16
+      val body = syntheticH264(content, w, h, frames = 8)
+      val bytes = if (id >= 1000L)
+        syntheticH264(5000L + content, w, h, frames = 3) ++ body
+      else body
+      MediaRow(id, "video", bytes, MediaMeta(w, h, 0,
+        if (id >= 1000L) 11 else 8))
+    }
+  }
+
+  /** The [[syntheticMjpeg]] pixel pattern, H.264-encoded. */
+  private[graft] def syntheticH264(id: Long, w: Int, h: Int,
+                                        frames: Int): Array[Byte] =
+    H264.encode(w, h, (0 until frames).map { f =>
+      val px = new Array[Int](w * h)
+      var x = 0
+      while (x < w) {
+        var y = 0
+        while (y < h) {
+          val r = ((id * 31 + f * 23 + x * 7 + y * 13) % 256).toInt
+          val g = ((id * 17 + f * 5 + x * 3 + y) % 256).toInt
+          val b = ((id + f * 11 + x + y * 11) % 256).toInt
+          px(y * w + x) = (r << 16) | (g << 8) | b
+          y += 1
+        }
+        x += 1
+      }
+      px
+    })
 
   /**
    * Video corpus with planted TIME-OFFSET duplicates — the

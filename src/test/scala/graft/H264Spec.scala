@@ -1,0 +1,185 @@
+package graft
+
+import graft.multimodal.{FrameDecoder, H264, MediaMeta, MediaRow, Multimodal}
+
+/**
+ * The partial H.264 path: bit I/O, emulation prevention, SPS/PPS and
+ * slice parsing, I_PCM frame assembly, cropping, the Auto sniffing
+ * dispatch, and the planted-duplicate fixture margins the
+ * q_video_fp_dedup_h264 oracle rests on.
+ */
+class H264Spec extends SparkSpec {
+
+  test("Exp-Golomb writer/reader round-trip ue and se") {
+    val w = new H264.BitWriter()
+    val ues = Seq(0, 1, 2, 3, 7, 8, 254, 255, 256, 65535)
+    val ses = Seq(0, 1, -1, 2, -2, 31, -31, 4096, -4096)
+    ues.foreach(w.ue)
+    ses.foreach(w.se)
+    w.trailingBits()
+    val r = new H264.BitReader(w.toBytes)
+    ues.foreach(v => assert(r.ue() == v))
+    ses.foreach(v => assert(r.se() == v))
+  }
+
+  test("emulation prevention: adversarial zero runs round-trip, EPBs " +
+      "are actually inserted") {
+    val payloads = Seq[Array[Byte]](
+      Array(0, 0, 0), Array(0, 0, 1), Array(0, 0, 2), Array(0, 0, 3),
+      Array.fill(64)(0.toByte),
+      Array(1, 0, 0, 0, 0, 1, 0, 0, 3, 3, 0, 0, 0, 2).map(_.toByte))
+    payloads.foreach { p =>
+      val ebsp = H264.rbspToEbsp(p)
+      assert(H264.ebspToRbsp(Array(0.toByte) ++ ebsp, 1).toSeq == p.toSeq)
+    }
+    // 00 00 01 would be a start code inside the NAL without the EPB
+    val ebsp = H264.rbspToEbsp(Array[Byte](0, 0, 1))
+    assert(ebsp.toSeq == Seq[Byte](0, 0, 3, 1))
+  }
+
+  test("nalUnits: 3- and 4-byte start codes, leading garbage, " +
+      "trailing zeros") {
+    val a = Array[Byte](9, 9) ++ // garbage
+      Array[Byte](0, 0, 1, 0x67, 1, 2) ++
+      Array[Byte](0, 0, 0, 1, 0x68, 3) ++
+      Array[Byte](0, 0) // trailing zeros
+    val nals = H264.nalUnits(a)
+    assert(nals.map(_.toSeq) ==
+      Seq(Seq[Byte](0x67, 1, 2), Seq[Byte](0x68, 3)))
+  }
+
+  test("gray frames round-trip PIXEL-EXACT through encode→decode " +
+      "(Cb=Cr=128 ⇒ no chroma rounding), including PCM bytes 0x00-0x03" +
+      " that force emulation prevention") {
+    val w = 48; val h = 32
+    // every gray value 0..255 appears, incl. long runs of 0 and 1
+    val frames = (0 until 3).map { f =>
+      Array.tabulate(w * h) { i =>
+        val v = if (i < 64) f % 4 else (i * 7 + f * 31) % 256
+        (v << 16) | (v << 8) | v
+      }
+    }
+    val bytes = H264.encode(w, h, frames)
+    val got = H264.decodeFrames(bytes)
+    assert(got.length == 3)
+    got.zip(frames).foreach { case ((gw, gh, px), want) =>
+      assert(gw == w && gh == h)
+      assert(px.toSeq == want.toSeq)
+    }
+  }
+
+  test("SPS cropping: non-MB-multiple dims decode to the display size") {
+    val w = 72; val h = 40 // 5×3 MBs (80×48), cropR=4, cropB=4 units
+    val frame = Array.tabulate(w * h)(i => { val v = i % 256
+      (v << 16) | (v << 8) | v })
+    val got = H264.decodeFrames(H264.encode(w, h, Seq(frame)))
+    assert(got.length == 1)
+    assert(got.head._1 == w && got.head._2 == h)
+    assert(got.head._3.toSeq == frame.toSeq)
+  }
+
+  test("color frames: deterministic, dims preserved, luma preserved " +
+      "within chroma-rounding tolerance") {
+    val a = Multimodal.syntheticH264(7L, 64, 64, frames = 2)
+    val b = Multimodal.syntheticH264(7L, 64, 64, frames = 2)
+    assert(a.toSeq == b.toSeq) // byte-identical copies by construction
+    val got = H264.decodeFrames(a)
+    assert(got.length == 2)
+    assert(got.head._1 == 64 && got.head._2 == 64)
+    // different content → different payload bytes
+    val c = Multimodal.syntheticH264(8L, 64, 64, frames = 2)
+    assert(a.toSeq != c.toSeq)
+  }
+
+  test("looksLikeAnnexB sniffs H.264 but not JPEG/PNG/empty") {
+    val h264 = Multimodal.syntheticH264(1L, 64, 64, 1)
+    assert(H264.looksLikeAnnexB(h264))
+    assert(!H264.looksLikeAnnexB(Array[Byte](0xFF.toByte, 0xD8.toByte)))
+    assert(!H264.looksLikeAnnexB(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G')))
+    assert(!H264.looksLikeAnnexB(Array.emptyByteArray))
+  }
+
+  test("FrameDecoder.Auto routes H.264 payloads to the I_PCM decoder " +
+      "and MJPEG payloads to the splitter; a mixed corpus fingerprints " +
+      "every row") {
+    import spark.implicits._
+    val h264Frames =
+      FrameDecoder.Auto.frames(Multimodal.syntheticH264(3L, 64, 64, 5))
+    assert(h264Frames.length == 5)
+    // each frame payload is a decodable image (the SPI contract)
+    assert(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(h264Frames(2))) != null)
+    val mixed = Multimodal.syntheticVideoCorpus(spark, 4, 1)
+      .union(Multimodal.syntheticH264Corpus(spark, 4, 1)
+        .map(r => r.copy(media_id = r.media_id + 100)))
+    val hashes = Multimodal.videoHashes(mixed).collect()
+    assert(hashes.length == 8)
+  }
+
+  test("truncated/corrupt H.264 degrades (skip), not throws, through " +
+      "videoHashes") {
+    import spark.implicits._
+    val good = Multimodal.syntheticH264(1L, 64, 64, 3)
+    val bad = good.take(good.length / 3) // truncated mid-slice
+    val ds = spark.createDataset(Seq(
+      MediaRow(0L, "video", good, MediaMeta(64, 64, 0, 3)),
+      MediaRow(1L, "video", bad, MediaMeta(64, 64, 0, 3))))
+    val got = Multimodal.videoHashes(ds).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(0L))
+  }
+
+  test("non-I_PCM macroblocks fail with a NAMED error (the external-" +
+      "binding boundary), not garbage output") {
+    // splice a slice whose first mb_type ue != 25: flip the encoded
+    // mb_type bits by re-encoding a 1-MB frame and corrupting the
+    // slice payload right after the (byte-aligned) header prefix is
+    // hard to pin; instead drive the parser directly with a crafted
+    // stream: reuse SPS/PPS from a real encode, then append a slice
+    // NAL whose RBSP is the real one with the first mb_type ue(25)
+    // (10 bits 000001 1010) overwritten by ue(0) (1 bit, '1') — the
+    // parser must reject mb_type 0 by name.
+    val real = Multimodal.syntheticH264(1L, 16, 16, 1)
+    val nals = H264.nalUnits(real)
+    val slice = nals.find(n => (n(0) & 0x1F) == 5).get
+    val rbsp = H264.ebspToRbsp(slice, 1)
+    // slice header for this fixture: ue(0) ue(7) ue(0) u4(0) ue(idr)
+    // u(1) u(1) se(0) = 1+5+1+4+1|3+1+1+1 bits... locate mb_type by
+    // decoding: replay the reader to the macroblock layer
+    val r = new H264.BitReader(rbsp)
+    r.ue(); r.ue(); r.ue(); r.u(4); r.ue(); r.u(1); r.u(1); r.se()
+    // build a new RBSP: same header bits, then ue(0) as mb_type
+    val w = new H264.BitWriter()
+    w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0); w.u(0, 1)
+    w.u(0, 1); w.se(0)
+    w.ue(0) // mb_type 0: I_4x4 — unsupported by design
+    w.trailingBits()
+    val crafted = nals.takeWhile(n => (n(0) & 0x1F) != 5)
+    val stream = crafted.flatMap(n =>
+      Array[Byte](0, 0, 0, 1) ++ n).toArray ++
+      (Array[Byte](0, 0, 0, 1, 0x65) ++ H264.rbspToEbsp(w.toBytes))
+    val e = intercept[IllegalArgumentException] {
+      H264.decodeFrames(stream)
+    }
+    assert(e.getMessage.contains("I_PCM"))
+    assert(e.getMessage.contains("external"))
+  }
+
+  test("fixture margin for the q_video_fp_dedup_h264 oracle: planted " +
+      "copies at Hamming 0, distinct contents > 8 bits apart") {
+    val corpus = Multimodal.syntheticH264Corpus(spark, nContents = 30,
+      copies = 3)
+    val hashes = Multimodal.videoHashes(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hashes.size == 90)
+    (0 until 30).foreach { c =>
+      assert(hashes(c.toLong) == hashes(c + 30L))
+      assert(hashes(c.toLong) == hashes(c + 60L))
+    }
+    val distinct = (0 until 30).map(c => hashes(c.toLong))
+    for (i <- distinct.indices; j <- distinct.indices if i < j) {
+      val ham = java.lang.Long.bitCount(distinct(i) ^ distinct(j))
+      assert(ham > 8, s"contents $i/$j only $ham bits apart")
+    }
+  }
+}
