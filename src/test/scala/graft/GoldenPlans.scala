@@ -50,7 +50,11 @@ object GoldenPlans {
     "q_profile",
     "q_bm25_search",
     "q_dedup_minhash",
-    "q_ann_recall_gate")
+    "q_ann_recall_gate",
+    // round-13: the r12 verdict's unexplained 0.29→0.58s swing — the
+    // 3-run band (bench_evidence/bench_r13_token_budget.json) reads it
+    // as host noise; the pin makes a real plan drift fail by name
+    "q_token_budget")
 
   // filled by GoldenPlanDump — (shuffle exchanges, broadcast
   // exchanges, join-strategy multiset) on the sf0.001 static plan
@@ -65,5 +69,6 @@ object GoldenPlans {
     "q_profile" -> (2, 0, Map[String, Int]()),
     "q_bm25_search" -> (8, 3, Map[String, Int]("bhj" -> 2, "bnlj" -> 1)),
     "q_dedup_minhash" -> (4, 2, Map[String, Int]("bhj" -> 2)),
-    "q_ann_recall_gate" -> (7, 3, Map[String, Int]("bhj" -> 2, "bnlj" -> 1, "smj" -> 2)))
+    "q_ann_recall_gate" -> (7, 3, Map[String, Int]("bhj" -> 2, "bnlj" -> 1, "smj" -> 2)),
+    "q_token_budget" -> (4, 1, Map[String, Int]("bhj" -> 1)))
 }
