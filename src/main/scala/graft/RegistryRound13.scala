@@ -7,7 +7,8 @@ import SparkEntry._
 
 /** Round-13 extensions: IVF-backed hybrid retrieval, persisted CDC
   * chunk-index lifecycle, chunk-granularity dedup rewrite, two-level
-  * semantic-dedup assignment, H.264 video fixtures. */
+  * semantic-dedup assignment, H.264 video fixtures, CSV/ORC edge
+  * formats. */
 private[graft] object RegistryRound13 {
 
   /** documents ⋈ embeddings corpus + the 3 fixed retrieval queries —
@@ -273,5 +274,103 @@ private[graft] object RegistryRound13 {
                 WHERE doc_id < 50 AND n_chars >= 400) AS n_edited,
               (SELECT COUNT(*) FROM documents
                 WHERE doc_id < 50 AND n_chars >= 400) AS n_edited_trimmed,
-              CAST(0 AS BIGINT) AS n_conservation_violations""")))
+              CAST(0 AS BIGINT) AS n_conservation_violations""")),
+
+    // CSV edge round-trip under hostility (round 13): the corpus
+    // UNIONED with planted rows carrying the whole CSV metacharacter
+    // set — commas, doubled quotes, embedded \n and \r\n, a null
+    // numeric, an empty-vs-null string pair (the classic CSV
+    // data-loss case) — written as RFC 4180 CSV (sources.Csv pins
+    // quote-doubling + multiLine) and read back under the explicit
+    // schema with quarantine. Two corrupt rows planted (both TYPE
+    // mismatches; token-count drift also quarantines — CsvSpec pins
+    // the full quarantine semantics). The gate is
+    // EXACT set equality against the written frame (both exceptAll
+    // directions empty), not aggregate pins — a quoting bug that
+    // splits one row into two garbled ones cannot cancel out.
+    Q("q_csv_roundtrip",
+      (s, d) => {
+        import graft.sources.Csv
+        def hostile: DataFrame = s.range(8).select(
+          (col("id") + 900000L).as("doc_id"),
+          concat(lit("a,b \"quo\"\"ted\" line\nsecond,line\r\nthird "),
+            col("id").cast("string")).as("text"),
+          when(col("id") === 0L, lit("")) // empty string, survives
+            .when(col("id") === 1L, lit(null)) // vs null, survives
+            .otherwise(lit("x,\"x")).as("lang"),
+          lit("csv,torture \"src\"").as("source"),
+          when(col("id") === 2L, lit(null))
+            .otherwise(col("id")).cast("long").as("n_chars"))
+        val src = new java.io.File(pq(d, "documents"))
+        val root = contentKeyedFixture(src, "graft_csv") { dir =>
+          committedData(new java.io.File(dir, "data")) &&
+            new java.io.File(new java.io.File(dir, "data"),
+              "corrupt-0.csv").isFile
+        } { tmp =>
+          val data = new java.io.File(tmp, "data")
+          Csv.write(s.read.parquet(src.getPath).unionByName(hostile),
+            data.toString, maxRecordsPerFile = 200L)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(data.toString, "corrupt-0.csv"),
+            ("doc_id,text,lang,source,n_chars\n" +
+              "notanumber,\"x\",en,web,5\n" +
+              "7,\"y\",en,web,notanumber\n").getBytes("UTF-8"))
+        }
+        val schema = new org.apache.spark.sql.types.StructType()
+          .add("doc_id", org.apache.spark.sql.types.LongType)
+          .add("text", org.apache.spark.sql.types.StringType)
+          .add("lang", org.apache.spark.sql.types.StringType)
+          .add("source", org.apache.spark.sql.types.StringType)
+          .add("n_chars", org.apache.spark.sql.types.LongType)
+        val dataDir = new java.io.File(root, "data").toString
+        val clean = Csv.readClean(s, dataDir, schema)
+        val source = s.read.parquet(src.getPath)
+          .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+          .unionByName(hostile)
+        Csv.quarantineStats(s, dataDir, schema)
+          .crossJoin(clean.exceptAll(source)
+            .agg(count(lit(1)).as("n_extra")))
+          .crossJoin(source.exceptAll(clean)
+            .agg(count(lit(1)).as("n_missing")))
+      },
+      Some("""SELECT (SELECT COUNT(*) + 8 FROM documents) AS n_valid,
+              CAST(2 AS BIGINT) AS n_corrupt,
+              CAST(0 AS BIGINT) AS n_extra,
+              CAST(0 AS BIGINT) AS n_missing""")),
+
+    // ORC edge round-trip (round 13): the OTHER columnar format a
+    // lake migration hands an ingestion pipeline. lineitem exercises
+    // int64/int32/double/string/timestamp, embeddings exercises
+    // list<float> — both written as zstd ORC via Spark's native
+    // source and read back; the gate is exact set equality in both
+    // directions for BOTH tables, in one plan.
+    Q("q_orc_roundtrip",
+      (s, d) => {
+        val li = new java.io.File(pq(d, "lineitem"))
+        val root = contentKeyedFixture(li, "graft_orc") { dir =>
+          committedData(new java.io.File(dir, "lineitem")) &&
+            committedData(new java.io.File(dir, "embeddings"))
+        } { tmp =>
+          Seq("lineitem", "embeddings").foreach { t =>
+            s.read.parquet(pq(d, t)).write.mode("overwrite")
+              .option("compression", "zstd")
+              .orc(new java.io.File(tmp, t).toString)
+          }
+        }
+        def diffs(t: String): DataFrame = {
+          val back = s.read.orc(new java.io.File(root, t).toString)
+          val orig = s.read.parquet(pq(d, t))
+          back.exceptAll(orig).agg(count(lit(1)).as(s"${t}_extra"))
+            .crossJoin(orig.exceptAll(back)
+              .agg(count(lit(1)).as(s"${t}_missing")))
+            .crossJoin(back.agg(count(lit(1)).as(s"${t}_rows")))
+        }
+        diffs("lineitem").crossJoin(diffs("embeddings"))
+      },
+      Some("""SELECT CAST(0 AS BIGINT) AS lineitem_extra,
+              CAST(0 AS BIGINT) AS lineitem_missing,
+              (SELECT COUNT(*) FROM lineitem) AS lineitem_rows,
+              CAST(0 AS BIGINT) AS embeddings_extra,
+              CAST(0 AS BIGINT) AS embeddings_missing,
+              (SELECT COUNT(*) FROM embeddings) AS embeddings_rows""")))
 }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.plans.ShuffleAudit
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Shuffle-VOLUME gate: the plan-shape pins (GoldenPlanSpec) catch a
+ * lost broadcast or an extra exchange; this catches the quieter
+ * regression where the exchange count is UNCHANGED but a wide column
+ * (document text, media bytes, embeddings) starts riding a shuffle
+ * that used to carry keys. Budgets are measured at sf0.01
+ * (ShuffleAuditDump) with ~2x headroom — generous enough for
+ * partition-count jitter, far below the 10-100x a text column costs.
+ */
+class ShuffleVolumeSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  test("every audited query has a budget and vice versa") {
+    assert(ShuffleVolumeSpec.audited.toSet ==
+      ShuffleVolumeSpec.budgets.keySet)
+  }
+
+  ShuffleVolumeSpec.budgets.foreach { case (name, (maxBytes, maxAvgRow)) =>
+    test(s"$name stays inside its shuffle-volume budget") {
+      val v = ShuffleAudit.audit(
+        SparkEntry.queries(name)(TestSpark.spark, sfDir))
+      assert(v.totalBytes <= maxBytes,
+        s"$name shuffled ${v.totalBytes} bytes (budget $maxBytes) — " +
+          "a wide column is riding an exchange that used to carry keys. " +
+          "If the change is deliberate, regenerate with ShuffleAuditDump " +
+          "in the same commit with the reason in the message.")
+      assert(v.maxAvgRowBytes <= maxAvgRow,
+        f"$name's widest exchange averages ${v.maxAvgRowBytes}%.1f " +
+          f"bytes/row (budget $maxAvgRow%.1f) — rows grew wider, not " +
+          "just more numerous. Same contract: deliberate changes " +
+          "regenerate the table in-commit.")
+    }
+  }
+}
+
+object ShuffleVolumeSpec {
+  /** The audited set: the dedup/admission/retrieval families whose
+    * scale posture RESTS on key-only exchanges, plus the two CDC
+    * chunk operators (chunk hashes, never chunk bytes). */
+  val audited: Seq[String] = Seq(
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_survivors",
+    "q_dedup_semantic",
+    "q_ingest_admission",
+    "q_cdc_chunk_dedup",
+    "q_cdc_novelty",
+    "q_bm25_search",
+    "q_hybrid_search_ivf",
+    "q_ann_ivfpq")
+
+  /** query -> (max total shuffle bytes, max per-exchange avg bytes/row)
+    * — measured by ShuffleAuditDump at sf0.01, ~2x headroom (more for
+    * the tiny-volume queries where fixed per-partition framing
+    * dominates). q_ingest_admission's 1600 B/row allowance is the ONE
+    * deliberate text-bearing exchange in the audited set: the
+    * admission batch's text flows ONCE to the banded exact-verify
+    * join (batch-sized by definition — measured 38 rows × 798 B at
+    * sf0.01); every other exchange in the family is key-only
+    * (8-20 B/row). */
+  val budgets: Map[String, (Long, Double)] = Map(
+    "q_dedup_exact" -> (60000L, 100.0), // measured 20265B, 40.5 B/row
+    "q_dedup_minhash" -> (400000L, 150.0), // 165343B, 70.0
+    "q_dedup_survivors" -> (20000L, 60.0), // 1753B, 15.1
+    "q_dedup_semantic" -> (20000L, 60.0), // 1753B, 15.1
+    "q_ingest_admission" -> (120000L, 1600.0), // 50808B, 798.1 (see above)
+    "q_cdc_chunk_dedup" -> (40000L, 130.0), // 11563B, 59.0
+    "q_cdc_novelty" -> (60000L, 160.0), // 22333B, 73.0
+    "q_bm25_search" -> (800000L, 160.0), // 386879B, 72.0
+    "q_hybrid_search_ivf" -> (500000L, 160.0), // 229741B, 73.0
+    "q_ann_ivfpq" -> (30000L, 100.0)) // 9248B, 44.4
+}
