@@ -285,6 +285,16 @@ object ScaleCurve {
           "doc_id", "n_chars", maxTokens = 2000L)
           .select(col("doc_id"), col("seq_id"), col("seq_offset"))
       },
+      // H.264 video dedup scaled by clip count (round 13): encode +
+      // the built-in I_PCM decode + pHash are per-clip work, the
+      // near-dup match is banded — contract linear in clips. This
+      // measures the whole real-bitstream path (Annex-B parse, EPB
+      // removal, macroblock assembly), not a fixture shortcut.
+      "video_h264" -> { k =>
+        Multimodal.videoNearDuplicates(
+          Multimodal.syntheticH264Corpus(spark,
+            nContents = 100 * k, copies = 3), maxHamming = 4)
+      },
       // synthesized media corpus, scaled by clip count
       "audio_constellation" -> { k =>
         Multimodal.audioConstellationMatches(

@@ -102,6 +102,24 @@ object Csv {
       .csv(path)
   }
 
+  /** Streaming CSV ingestion — the `readStream` twin of [[read]] with
+    * the SAME dialect and quarantine contract (a corrupt row in a
+    * drop must not kill the stream, and must stay accountable).
+    * File-source semantics (new files per micro-batch) come from
+    * Spark's csv stream; the multiLine caveat applies doubly here —
+    * keep dropped shards small, they parse per-file. */
+  def readStream(spark: SparkSession, path: String,
+                 schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"declared schema must not contain $CorruptCol (it is appended)")
+    spark.readStream.options(dialect)
+      .option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(schema.add(CorruptCol, StringType))
+      .csv(path)
+  }
+
   /** Valid rows only, quarantine dropped — the ingestion happy path.
     * Caveat (see [[quarantineStats]]): "valid" is judged against the
     * columns the downstream plan references; keep the full row

@@ -77,6 +77,34 @@ class CsvSpec extends SparkSpec {
       "every corrupt row keeps its raw text")
   }
 
+  test("readStream ingests CSV drops with the same quarantine contract") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_csv_stream").toFile
+    dir.deleteOnExit()
+    val data = new java.io.File(dir, "in"); data.mkdirs()
+    val ckpt = new java.io.File(dir, "ckpt").toString
+    def drop(name: String, content: String): Unit =
+      java.nio.file.Files.write(
+        new java.io.File(data, name).toPath, content.getBytes("UTF-8"))
+    drop("d0.csv", "id,text\n1,\"a,\"\"quoted\"\"\nline\"\nbad,oops\n")
+    val q = Csv.readStream(spark, data.toString, schema)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("csv_stream")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      drop("d1.csv", "id,text\n2,b\n")
+      q.processAllAvailable()
+      val rows = spark.table("csv_stream")
+        .select(col("id"), col("text"),
+          col(Csv.CorruptCol).isNotNull.as("bad"))
+        .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+          r.getString(1), r.getBoolean(2))).toSet
+      assert(rows == Set((1L, "a,\"quoted\"\nline", false),
+        (2L, "b", false), (-1L, "oops", true)))
+    } finally q.stop()
+  }
+
   test("quarantine is relative to REFERENCED columns (selective conversion, pinned)") {
     val path = tmp("sel")
     Csv.write(Seq((1L, "good")).toDF("id", "text"), path)

@@ -54,7 +54,11 @@ object GoldenPlans {
     // round-13: the r12 verdict's unexplained 0.29→0.58s swing — the
     // 3-run band (bench_evidence/bench_r13_token_budget.json) reads it
     // as host noise; the pin makes a real plan drift fail by name
-    "q_token_budget")
+    "q_token_budget",
+    // round-13 additions that entered the bench's expensive tier
+    "q_hybrid_search_ivf",
+    "q_dedup_semantic_twolevel",
+    "q_cdc_novelty_state")
 
   // filled by GoldenPlanDump — (shuffle exchanges, broadcast
   // exchanges, join-strategy multiset) on the sf0.001 static plan
@@ -70,5 +74,8 @@ object GoldenPlans {
     "q_bm25_search" -> (8, 3, Map[String, Int]("bhj" -> 2, "bnlj" -> 1)),
     "q_dedup_minhash" -> (4, 2, Map[String, Int]("bhj" -> 2)),
     "q_ann_recall_gate" -> (7, 3, Map[String, Int]("bhj" -> 2, "bnlj" -> 1, "smj" -> 2)),
-    "q_token_budget" -> (4, 1, Map[String, Int]("bhj" -> 1)))
+    "q_token_budget" -> (4, 1, Map[String, Int]("bhj" -> 1)),
+    "q_hybrid_search_ivf" -> (19, 8, Map[String, Int]("bhj" -> 7, "bnlj" -> 2, "smj" -> 6)),
+    "q_dedup_semantic_twolevel" -> (3, 0, Map[String, Int]("smj" -> 3)),
+    "q_cdc_novelty_state" -> (3, 2, Map[String, Int]("bhj" -> 2)))
 }
