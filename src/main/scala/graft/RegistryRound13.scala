@@ -276,6 +276,43 @@ private[graft] object RegistryRound13 {
                 WHERE doc_id < 50 AND n_chars >= 400) AS n_edited_trimmed,
               CAST(0 AS BIGINT) AS n_conservation_violations""")),
 
+    // Count-Min point-frequency estimation (round 13): the complement
+    // of the Misra-Gries family — MG answers "which items are
+    // frequent" in ≤ capacity counters, CMS answers "how often did
+    // THIS item occur" for ANY item in ⌈e/eps⌉·depth counters, built
+    // by Spark's OWN count_min_sketch aggregate and probed by the
+    // graft_cms_estimate expression (Spark ships the builder but no
+    // SQL probe). Gate (bounded-error, the r12 sketch pattern): every
+    // distinct l_partkey probed against its exact in-plan count —
+    // under-estimates are IMPOSSIBLE (one-sided guarantee, asserted
+    // exactly 0), over-estimates must respect eps·n (asserted exactly
+    // 0 violations; measured margin: max overshoot 39 vs bound 60 at
+    // sf0.01, 350 vs 600 at sf0.1). Every count is deterministic:
+    // CMS update/merge are commutative sums, so estimates are pure
+    // functions of the multiset and seed, independent of partitioning.
+    Q("q_cms_estimate",
+      (s, d) => {
+        import graft.operators.Frequency
+        val li = s.read.parquet(pq(d, "lineitem"))
+          .select(col("l_partkey"))
+        val exact = li.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("cnt"))
+        val est = Frequency.cmsEstimates(li, "l_partkey",
+          exact, "l_partkey", eps = 0.001, confidence = 0.99, seed = 42)
+        val n = li.agg(count(lit(1)).as("__n"))
+        est.crossJoin(n)
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("est") < col("cnt"), 1L).otherwise(0L))
+              .as("n_under"),
+            sum(when(col("est") > col("cnt") +
+              ceil(col("__n") * 0.001).cast("long"), 1L).otherwise(0L))
+              .as("n_upper_viol"))
+      },
+      Some("""SELECT (SELECT COUNT(DISTINCT l_partkey) FROM lineitem)
+                AS n_keys,
+              CAST(0 AS BIGINT) AS n_under,
+              CAST(0 AS BIGINT) AS n_upper_viol""")),
+
     // CSV edge round-trip under hostility (round 13): the corpus
     // UNIONED with planted rows carrying the whole CSV metacharacter
     // set — commas, doubled quotes, embedded \n and \r\n, a null

@@ -104,4 +104,49 @@ object Frequency {
         .limit(k)
     }
   }
+
+  /**
+   * Count-Min sketch of `itemCol` as a one-row binary frame — built
+   * by Spark's OWN `count_min_sketch` aggregate (map-side partial
+   * sketches, counter-wise SUM merge: fully commutative, so the
+   * sketch — and every estimate from it — is a pure function of the
+   * input multiset and `seed`, independent of partitioning). The
+   * complement of [[mgSummary]]: MG answers "which items are
+   * frequent" with ≤ capacity counters; CMS answers point queries
+   * "how often did THIS item occur" for ANY item, in
+   * width·depth = ⌈e/eps⌉·⌈ln(1/(1-confidence))⌉ counters, with the
+   * one-sided guarantee estimate ≥ true count, and
+   * estimate ≤ true count + eps·n with probability ≥ confidence
+   * (Cormode & Muthukrishnan 2005, public).
+   *
+   * Scale shape: the sketch is KBs regardless of input size; the
+   * exchange carries numPartitions × sketch bytes. Works per-group
+   * too (it is Spark's own AggregateFunction under the hood).
+   */
+  def cmsSketch(df: DataFrame, itemCol: String,
+                eps: Double = 0.001, confidence: Double = 0.99,
+                seed: Int = 42): DataFrame =
+    df.where(col(itemCol).isNotNull)
+      .agg(count_min_sketch(col(itemCol), lit(eps), lit(confidence),
+        lit(seed)).as("cms"))
+
+  /**
+   * Point estimates for every row of `keys` against ONE sketch of
+   * `df`'s `itemCol`: the keys frame gains an `est` column. The
+   * sketch rides a broadcast (it is one ~KB row by construction) and
+   * deserializes once per task ([[graft.plans.CmsEstimateExpr]]
+   * memoizes on reference identity) — keys-table size is unbounded.
+   * Key and item columns must share a type (bigint or string):
+   * estimates are bit-exact against what the builder added.
+   */
+  def cmsEstimates(df: DataFrame, itemCol: String,
+                   keys: DataFrame, keyCol: String,
+                   eps: Double = 0.001, confidence: Double = 0.99,
+                   seed: Int = 42): DataFrame = {
+    NativeFunctions.register(df.sparkSession)
+    keys.join(broadcast(cmsSketch(df, itemCol, eps, confidence, seed)))
+      .withColumn("est",
+        NativeFunctions.cmsEstimateNative(col("cms"), col(keyCol)))
+      .drop("cms")
+  }
 }

@@ -1126,6 +1126,70 @@ case class BloomProbeExpr(left: Expression, right: Expression)
 }
 
 /**
+ * Per-row Count-Min point estimate: `graft_cms_estimate(sketchBytes,
+ * key)` over a sketch built by Spark's OWN `count_min_sketch`
+ * aggregate (`org.apache.spark.util.sketch.CountMinSketch` binary
+ * layout) — Spark ships the builder but no SQL-level probe; this is
+ * the probe. Key must be bigint or string, matching the two key
+ * types the graft frequency surface uses; string keys probe by their
+ * UTF-8 bytes, the exact representation `CountMinSketchAgg` added
+ * them under, so estimates agree with the builder bit-for-bit.
+ *
+ * The deserialized sketch is MEMOIZED on the byte array's reference
+ * identity: the intended shape binds one sketch (a broadcast-joined
+ * or literal ~KB blob, the SAME object every row of a partition)
+ * against a keys table of any size, so deserialization happens once
+ * per task, not per row. A sketch that genuinely varies per row
+ * still evaluates correctly — each new reference re-deserializes.
+ * Null sketch or null key → null.
+ */
+case class CmsEstimateExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == org.apache.spark.sql.types.BinaryType &&
+        (right.dataType == org.apache.spark.sql.types.LongType ||
+          right.dataType == org.apache.spark.sql.types.StringType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (binary, bigint|string) arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "graft_cms_estimate"
+
+  @transient private var cachedRef: Array[Byte] = _
+  @transient private var cached: org.apache.spark.util.sketch.CountMinSketch = _
+
+  private def sketchOf(bytes: Array[Byte])
+      : org.apache.spark.util.sketch.CountMinSketch = {
+    if (!(bytes eq cachedRef)) {
+      cached = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      cachedRef = bytes
+    }
+    cached
+  }
+
+  override def nullSafeEval(sketch: Any, key: Any): Any = {
+    val s = sketchOf(sketch.asInstanceOf[Array[Byte]])
+    key match {
+      case l: java.lang.Long => s.estimateCount(l)
+      case u: org.apache.spark.unsafe.types.UTF8String =>
+        s.estimateCount(u.getBytes)
+      case other => throw new IllegalStateException(
+        s"unreachable by checkInputDataTypes: ${other.getClass}")
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstimateExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
  * Native MinHash signature: whitespace-tokenize, `shingleWords`-word
  * shingles, `numHashes` minima — all in ONE JVM pass per row.
  *
@@ -2588,6 +2652,7 @@ object NativeFunctions {
   val langIdNgramName = "graft_langid_ngram"
   val gopherSignalsName = "graft_gopher_signals"
   val cdcChunksName = "graft_cdc_chunks"
+  val cmsEstimateName = "graft_cms_estimate"
 
   private def intLit(e: Expression): Int =
     e.eval(null) match {
@@ -2740,7 +2805,9 @@ object NativeFunctions {
       GopherSignalsExpr(exprs.head, intLit(exprs(1)), intLit(exprs(2)))),
     cdcChunksName -> ((exprs: Seq[Expression]) =>
       CdcChunksExpr(exprs.head, intLit(exprs(1)), intLit(exprs(2)),
-        intLit(exprs(3)))))
+        intLit(exprs(3)))),
+    cmsEstimateName -> ((exprs: Seq[Expression]) =>
+      CmsEstimateExpr(exprs.head, exprs(1))))
 
   /** Idempotently register graft native functions on this session. */
   def register(spark: SparkSession): Unit = {
@@ -2885,6 +2952,11 @@ object NativeFunctions {
   def mgSummaryNative(item: Column, capacity: Int): Column =
     call_function(mgSummaryName, item,
       org.apache.spark.sql.functions.lit(capacity))
+
+  /** Count-Min point estimate for `key` (bigint or string) against a
+    * `count_min_sketch`-built binary sketch column. */
+  def cmsEstimateNative(sketch: Column, key: Column): Column =
+    call_function(cmsEstimateName, sketch, key)
 
   /** Rank bucket id = number of sorted `boundaries` ≤ value (binary
     * search; boundaries ride as a codegen reference object). */

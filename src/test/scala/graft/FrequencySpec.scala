@@ -104,4 +104,43 @@ class FrequencySpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(sum == Seq(("a", 2L), ("b", 2L), ("c", 2L)))
   }
+
+  test("CMS: never underestimates, bit-exact across partitionings, string keys") {
+    val data = skewed(50, i => 51 - i)
+    val keys = (1 to 50).map(i => f"item_$i%04d") ++
+      Seq("absent_a", "absent_b")
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // two different partitionings must give IDENTICAL estimates —
+    // CMS merge is a commutative counter sum
+    val ests = Seq(2, 16).map { parts =>
+      val df = new scala.util.Random(7).shuffle(data).toDF("v")
+        .repartition(parts)
+      Frequency.cmsEstimates(df, "v", keys.toDF("k"), "k",
+          eps = 0.01, confidence = 0.99, seed = 13)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(ests(0) == ests(1), "estimates must not depend on partitioning")
+    val n = data.size
+    ests(0).foreach { case (k, est) =>
+      val truth = exact.getOrElse(k, 0L)
+      assert(est >= truth, s"$k: CMS underestimated $est < $truth")
+      assert(est <= truth + math.ceil(eps01 * n).toLong + n / 10,
+        s"$k: overshoot beyond any plausible bound ($est vs $truth)")
+    }
+  }
+  private val eps01 = 0.01
+
+  test("CMS: bigint keys probe the same sketch the aggregate built") {
+    val df = (1 to 1000).map(i => (i % 7).toLong).toDF("v")
+    val keys = (0L to 7L).toDF("k") // 7 is absent
+    val est = Frequency.cmsEstimates(df, "v", keys, "k",
+        eps = 0.001, confidence = 0.99, seed = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 6L).foreach { k =>
+      val truth = (1 to 1000).count(_ % 7 == k).toLong
+      assert(est(k) >= truth && est(k) <= truth + 1,
+        s"key $k: ${est(k)} vs $truth (eps bound = 1)")
+    }
+    assert(est(7L) <= 1L, "absent key must estimate ~0 under eps bound")
+  }
 }
