@@ -276,6 +276,66 @@ private[graft] object RegistryRound13 {
                 WHERE doc_id < 50 AND n_chars >= 400) AS n_edited_trimmed,
               CAST(0 AS BIGINT) AS n_conservation_violations""")),
 
+    // HITS hubs-and-authorities (round 13): the second link-graph
+    // prior beside q_pagerank — same determinism discipline (integer
+    // grid, half-away-from-zero div, decimal(38,0)/HUGEINT for the
+    // normalization products), oracle replays TWO unrolled mutual-
+    // recursion rounds (4 normalize halves) bit-exactly. Planted
+    // bipartite graph: hubs 0-9 with varying out-degrees point at
+    // authorities 100-112 with varying in-degrees, so scores are
+    // discriminative (node 8 is the weakest hub, 106 the weakest
+    // authority) and the hub/authority split is structural (hubs get
+    // authority exactly 0, authorities hub exactly 0).
+    Q("q_hits",
+      (s, d) => {
+        val edges = s.read.parquet(pq(d, "documents"))
+          .where(col("doc_id") < 77)
+          .select((col("doc_id") % 10).as("src"),
+            (lit(100) + (col("doc_id") * 7) % 13).as("dst"))
+        graft.operators.Graph.hits(edges, "src", "dst", iters = 2)
+          .select(col("node"), round(col("hub"), 6).as("hub"),
+            round(col("authority"), 6).as("authority"))
+      },
+      Some("""WITH e AS (SELECT DISTINCT doc_id % 10 AS src,
+                  100 + (doc_id * 7) % 13 AS dst
+                FROM documents WHERE doc_id < 77),
+              nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+              nn AS (SELECT COUNT(*) AS n FROM nodes),
+              h0 AS (SELECT node, (2 * 1000000000000 + n) // (2 * n) AS h
+                FROM nodes, nn),
+              a1r AS (SELECT nodes.node, COALESCE(t.s, 0) AS a FROM nodes
+                LEFT JOIN (SELECT e.dst AS node, SUM(h) AS s FROM e
+                  JOIN h0 ON e.src = h0.node GROUP BY e.dst) t
+                ON nodes.node = t.node),
+              a1s AS (SELECT SUM(a) AS s FROM a1r),
+              a1 AS (SELECT node, (2 * CAST(1000000000000 AS HUGEINT) * a
+                  + s) // (2 * CAST(s AS HUGEINT)) AS a FROM a1r, a1s),
+              h1r AS (SELECT nodes.node, COALESCE(t.s, 0) AS h FROM nodes
+                LEFT JOIN (SELECT e.src AS node, SUM(a) AS s FROM e
+                  JOIN a1 ON e.dst = a1.node GROUP BY e.src) t
+                ON nodes.node = t.node),
+              h1s AS (SELECT SUM(h) AS s FROM h1r),
+              h1 AS (SELECT node, (2 * CAST(1000000000000 AS HUGEINT) * h
+                  + s) // (2 * CAST(s AS HUGEINT)) AS h FROM h1r, h1s),
+              a2r AS (SELECT nodes.node, COALESCE(t.s, 0) AS a FROM nodes
+                LEFT JOIN (SELECT e.dst AS node, SUM(h) AS s FROM e
+                  JOIN h1 ON e.src = h1.node GROUP BY e.dst) t
+                ON nodes.node = t.node),
+              a2s AS (SELECT SUM(a) AS s FROM a2r),
+              a2 AS (SELECT node, (2 * CAST(1000000000000 AS HUGEINT) * a
+                  + s) // (2 * CAST(s AS HUGEINT)) AS a FROM a2r, a2s),
+              h2r AS (SELECT nodes.node, COALESCE(t.s, 0) AS h FROM nodes
+                LEFT JOIN (SELECT e.src AS node, SUM(a) AS s FROM e
+                  JOIN a2 ON e.dst = a2.node GROUP BY e.src) t
+                ON nodes.node = t.node),
+              h2s AS (SELECT SUM(h) AS s FROM h2r),
+              h2 AS (SELECT node, (2 * CAST(1000000000000 AS HUGEINT) * h
+                  + s) // (2 * CAST(s AS HUGEINT)) AS h FROM h2r, h2s)
+              SELECT h2.node,
+                ROUND(CAST(h2.h AS DOUBLE) / 1000000000000, 6) AS hub,
+                ROUND(CAST(a2.a AS DOUBLE) / 1000000000000, 6) AS authority
+              FROM h2 JOIN a2 ON h2.node = a2.node""")),
+
     // Count-Min point-frequency estimation (round 13): the complement
     // of the Misra-Gries family — MG answers "which items are
     // frequent" in ≤ capacity counters, CMS answers "how often did

@@ -121,4 +121,100 @@ object Graph {
     ranks.select(col("node"),
       (col("r").cast("double") / Scale).as("rank"))
   }
+
+  /**
+   * HITS hubs-and-authorities on `(srcCol, dstCol)` edges (Kleinberg
+   * 1999, public) — the OTHER link-graph prior a crawl pipeline wants
+   * beside [[pageRank]]: authorities are pages good to KEEP (pointed
+   * at by good hubs — reference pages, documentation roots), hubs are
+   * pages good to CRAWL FROM (pointing at good authorities — link
+   * hubs, indexes). Returns `(node, hub, authority)` for every node.
+   *
+   * == Determinism discipline (the [[pageRank]] rules) ==
+   *
+   * `iters` rounds of the mutual recursion `a ← Σ_{i→j} h_i`,
+   * `h ← Σ_{i→j} a_j`, each half SUM-normalized back onto the
+   * [[Scale]] grid with half-away-from-zero integer rounding:
+   * `x ← (2·Scale·x' + S) div (2·S)`, `S = Σ x'`. The product
+   * `Scale·x'` reaches ~n·Scale² — far past Long — so normalization
+   * runs in `decimal(38,0)` (exact integer arithmetic, headroom to
+   * 1e38) with `div` bringing the result back to a Long on the grid.
+   * Long/decimal sums are associative, every step is exact integer
+   * math — ranks are bit-identical across runs, partitionings and
+   * engines, and an oracle replays the identical arithmetic (DuckDB
+   * side: HUGEINT and `//`).
+   *
+   * Scale shape per round: two key joins (scores ⋈ edges) + two
+   * map-side-combined groupBys + two one-row sums; score frames are
+   * pinned per round ([[Checkpoints.pin]] — plan growth O(1) per
+   * round). Nodes without outlinks keep hub 0; without inlinks,
+   * authority 0 — they stay in the output.
+   */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .pinned()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .pinned()
+    val n = nodes.count()
+    require(n > 0, "hits needs a non-empty edge list")
+
+    // SUM-normalize a long score column back onto the Scale grid:
+    // decimal(38,0) exact product, half-away-from-zero div. The raw
+    // aggregation is pinned ONCE, so the one-row sum and the
+    // normalize pass read the same materialization (the pageRank
+    // dangling-aggregate discipline).
+    def normalized(raw: DataFrame, c: String): DataFrame = {
+      val pre = raw.pinned()
+      val s = pre.agg(coalesce(sum(col(c)), lit(0L)).as("__s"))
+        .collect()(0).getLong(0)
+      require(s > 0, "score mass vanished — empty edge list half")
+      val out = pre.select(col("node"),
+        expr(s"(2 * cast($Scale as decimal(38,0)) * cast($c as " +
+          s"decimal(38,0)) + $s) div (2 * cast($s as decimal(38,0)))")
+          .as(c))
+        .pinned()
+      pre.unpersist()
+      out
+    }
+
+    var hubs = nodes
+      .withColumn("h", lit((2L * Scale + n) / (2L * n)))
+      .pinned()
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      // authorities from hubs: a'_j = Σ_{i→j} h_i
+      val prevA = auths
+      auths = normalized(
+        e.join(hubs, col("src") === col("node"))
+          .groupBy(col("dst").as("__node"))
+          .agg(sum(col("h")).as("a"))
+          .join(nodes, col("__node") === col("node"), "right")
+          .select(col("node"), coalesce(col("a"), lit(0L)).as("a")),
+        "a")
+      if (prevA != null) prevA.unpersist()
+      // hubs from authorities: h'_i = Σ_{i→j} a_j
+      val prevH = hubs
+      hubs = normalized(
+        e.join(auths, col("dst") === col("node"))
+          .groupBy(col("src").as("__node"))
+          .agg(sum(col("a")).as("h"))
+          .join(nodes, col("__node") === col("node"), "right")
+          .select(col("node"), coalesce(col("h"), lit(0L)).as("h")),
+        "h")
+      prevH.unpersist()
+    }
+    val out = hubs.join(auths, Seq("node"))
+      .select(col("node"),
+        (col("h").cast("double") / Scale).as("hub"),
+        (col("a").cast("double") / Scale).as("authority"))
+    e.unpersist()
+    nodes.unpersist()
+    out
+  }
 }

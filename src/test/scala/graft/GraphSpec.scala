@@ -77,4 +77,38 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(a == b) // bit-identical, not approximately equal
   }
+
+  test("hits: structure, ordering, mass, and partition independence") {
+    // bipartite: hub 2 points at both authorities, hubs 1/3 at one
+    // each; authority 10 and 11 tie by symmetry (1→10, 3→11 mirror)
+    val edges = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L))
+    val run = (parts: Int) => Graph.hits(
+      edges.toDF("s", "t").repartition(parts), "s", "t", iters = 2)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val m = run(1)
+    assert(m.keySet == Set(1L, 2L, 3L, 10L, 11L))
+    // structural zeros: pure hubs have no authority and vice versa
+    Seq(1L, 2L, 3L).foreach(h => assert(m(h)._2 == 0.0))
+    Seq(10L, 11L).foreach(a => assert(m(a)._1 == 0.0))
+    // hub 2 dominates; the symmetric pairs tie exactly
+    assert(m(2L)._1 > m(1L)._1)
+    assert(m(1L) == m(3L))
+    assert(m(10L) == m(11L))
+    // sum-normalization: each mass sums to 1 up to grid rounding
+    assert(math.abs(m.values.map(_._1).sum - 1.0) < 1e-6)
+    assert(math.abs(m.values.map(_._2).sum - 1.0) < 1e-6)
+    assert(run(7) == m) // bit-identical across partitionings
+  }
+
+  test("hits keeps every node of a graph with dangling halves") {
+    // 5 has no outlinks (hub 0), 1 has no inlinks (authority 0)
+    val m = Graph.hits(Seq((1L, 5L), (1L, 2L), (2L, 5L)).toDF("s", "t"),
+        "s", "t", iters = 1)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m.keySet == Set(1L, 2L, 5L))
+    assert(m(5L)._1 == 0.0 && m(1L)._2 == 0.0)
+    assert(m(1L)._1 > m(2L)._1) // 1 points at two authorities
+  }
 }
