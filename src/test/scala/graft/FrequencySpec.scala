@@ -130,6 +130,18 @@ class FrequencySpec extends SparkSpec {
   }
   private val eps01 = 0.01
 
+  test("CMS sketch frame: one row, deserializable, exact total count") {
+    val df = (1 to 500).map(i => (i % 11).toLong).toDF("v")
+    val rows = Frequency.cmsSketch(df, "v", eps = 0.01,
+      confidence = 0.99, seed = 3).collect()
+    assert(rows.length == 1)
+    val bytes = rows(0).getAs[Array[Byte]]("cms")
+    val sk = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    assert(sk.totalCount() == 500L)
+    assert(sk.relativeError() <= 0.01 + 1e-12)
+  }
+
   test("CMS: bigint keys probe the same sketch the aggregate built") {
     val df = (1 to 1000).map(i => (i % 7).toLong).toDF("v")
     val keys = (0L to 7L).toDF("k") // 7 is absent

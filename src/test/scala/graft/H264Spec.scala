@@ -22,6 +22,52 @@ class H264Spec extends SparkSpec {
     ses.foreach(v => assert(r.se() == v))
   }
 
+  test("bit I/O surface: alignment, byte reads, remaining-data accounting") {
+    val w = new H264.BitWriter()
+    w.u(5, 3)      // 101
+    w.alignZero()  // pad to byte: 10100000
+    w.u(0xAB, 8)
+    w.ue(3)        // 00100 → not byte aligned
+    w.trailingBits()
+    val r = new H264.BitReader(w.toBytes)
+    assert(r.u(3) == 5)
+    assert(!r.byteAligned)
+    r.alignToByte() // the five pcm_alignment_zero_bits
+    assert(r.byteAligned)
+    assert(r.readByte() == 0xAB)
+    assert(r.moreRbspData) // ue(3) still ahead of the stop bit
+    assert(r.ue() == 3)
+    assert(!r.moreRbspData) // only rbsp_trailing_bits remain
+    assert(r.bitsLeft > 0 && r.bitsLeft <= 8)
+  }
+
+  test("parseSps/parsePps read back exactly what the encoder wrote") {
+    // 70x52 display: 5x4 macroblocks with 5px right / 6px... (crop
+    // units are 2px) — encode 70x52 → wMbs 5 (80px, cropR 5) hits the
+    // odd-crop guard, so use 72x52: wMbs 5 → cropR (80-72)/2 = 4,
+    // hMbs 4 → cropB (64-52)/2 = 6
+    val stream = H264.encode(72, 52, Seq(new Array[Int](72 * 52)))
+    val nals = H264.nalUnits(stream)
+    val sps = H264.parseSps(H264.ebspToRbsp(nals(0), 1))
+    assert(sps.profileIdc == 66 && sps.levelIdc == 40)
+    assert(sps.widthMbs == 5 && sps.heightMbs == 4)
+    assert((sps.cropL, sps.cropR, sps.cropT, sps.cropB) == ((0, 4, 0, 6)))
+    assert(sps.width == 72 && sps.height == 52)
+    assert(sps.pocType == 2 && sps.frameMbsOnly)
+    val pps = H264.parsePps(H264.ebspToRbsp(nals(1), 1))
+    assert(pps.id == 0 && pps.spsId == sps.id)
+    assert(!pps.cabac && !pps.deblockingControl && !pps.redundantPicCnt)
+  }
+
+  test("rgbToYuv: primaries land on the BT.601 full-range values") {
+    assert(H264.rgbToYuv(0x000000) == ((0, 128, 128)))
+    assert(H264.rgbToYuv(0xFFFFFF) == ((255, 128, 128)))
+    val (yR, cbR, crR) = H264.rgbToYuv(0xFF0000)
+    assert(yR == 76 && cbR == 85 && crR == 255)
+    val (yG, _, _) = H264.rgbToYuv(0x00FF00)
+    assert(yG == 150)
+  }
+
   test("emulation prevention: adversarial zero runs round-trip, EPBs " +
       "are actually inserted") {
     val payloads = Seq[Array[Byte]](

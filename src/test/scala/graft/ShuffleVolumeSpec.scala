@@ -33,8 +33,12 @@ class ShuffleVolumeSpec extends AnyFunSuite {
       assert(v.maxAvgRowBytes <= maxAvgRow,
         f"$name's widest exchange averages ${v.maxAvgRowBytes}%.1f " +
           f"bytes/row (budget $maxAvgRow%.1f) — rows grew wider, not " +
-          "just more numerous. Same contract: deliberate changes " +
-          "regenerate the table in-commit.")
+          "just more numerous. Offending exchanges: " +
+          v.exchanges.filter(_.avgRowBytes > maxAvgRow)
+            .map(e => f"${e.bytes}B/${e.records}rows=" +
+              f"${e.avgRowBytes}%.1f").mkString(", ") +
+          ". Same contract: deliberate changes regenerate the table " +
+          "in-commit.")
     }
   }
 }

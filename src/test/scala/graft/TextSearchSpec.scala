@@ -161,5 +161,18 @@ class TextSearchSpec extends SparkSpec {
         k = 4, candidates = 2, nlist = 2, nprobe = 2)
       .orderBy(col("rank")).collect().toSeq
     assert(ivf == exact)
+    // the pluggable dense stages directly: full-probe IVF ranks must
+    // equal the exact broadcast-scan ranks (nothing pruned), and the
+    // exact stage must rank by cosine with doc_id tie-break
+    val er = TextSearch.exactDenseRanks(corpus, "doc_id", "embedding",
+        q, "query_id", "qv", candidates = 4)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSeq
+    assert(er.map(_._1) == Seq(3L, 2L, 1L, 4L)) // cosine vs (1,0)
+    val ir = TextSearch.ivfDenseRanks(corpus, "doc_id", "embedding",
+        q, "query_id", "qv", candidates = 4, nlist = 2, nprobe = 2)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSeq
+    assert(ir == er)
   }
 }
