@@ -59,7 +59,14 @@ object Csv {
     // both edges by default and would corrupt whitespace-significant
     // text silently
     "ignoreLeadingWhiteSpace" -> "false",
-    "ignoreTrailingWhiteSpace" -> "false")
+    "ignoreTrailingWhiteSpace" -> "false",
+    // when quote == escape, the escape-the-escape char DEFAULTS to
+    // \u0000 — a data NUL right after an escaped quote then gets
+    // swallowed by the reader (found by CsvSpec's round-trip
+    // property). Pin it to U+FFFF, a Unicode NONCHARACTER that never
+    // appears in interchange-valid text, which disables the collision
+    // for every real corpus
+    "charToEscapeQuoteEscaping" -> "￿")
 
   /** Write `df` as RFC 4180 CSV shards with a header row.
     * `maxRecordsPerFile` matters more here than for parquet/JSONL:
