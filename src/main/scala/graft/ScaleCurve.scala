@@ -285,6 +285,26 @@ object ScaleCurve {
           "doc_id", "n_chars", maxTokens = 2000L)
           .select(col("doc_id"), col("seq_id"), col("seq_offset"))
       },
+      // CMS point-frequency (round 13): the sketch build is one
+      // linear scan with commutative partial merges (O(sketch) per
+      // task at any cardinality); the probe side is fixed (l_partkey's
+      // distinct set doesn't grow under the salt-union) — contract
+      // linear in rows
+      "cms_estimate" -> { k =>
+        import graft.operators.Frequency
+        val keys = li(k).select(col("l_partkey")).distinct()
+        Frequency.cmsEstimates(li(k).select(col("l_partkey")),
+          "l_partkey", keys, "l_partkey", eps = 0.001)
+      },
+      // HITS (round 13): node and edge counts scale with the corpus
+      // (orderkey x partkey bipartite slice); per round two key joins
+      // + two map-side-combined aggs — contract linear in edges
+      "hits" -> { k =>
+        graft.operators.Graph.hits(
+          li(k).select(col("l_orderkey").as("src"),
+            (col("l_partkey") + 1000000000L).as("dst")),
+          "src", "dst", iters = 2)
+      },
       // H.264 video dedup scaled by clip count (round 13): encode +
       // the built-in I_PCM decode + pHash are per-clip work, the
       // near-dup match is banded — contract linear in clips. This
