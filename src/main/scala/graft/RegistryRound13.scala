@@ -225,7 +225,13 @@ private[graft] object RegistryRound13 {
         import graft.operators.Dedup
         val docs = s.read.parquet(pq(d, "documents"))
           .select(col("doc_id"), col("text"), col("n_chars"))
-        val base = docs.where(col("doc_id") < 50 && col("n_chars") >= 400)
+        // ASCII-only base docs: the byte-splice rewrite's EXACT
+        // conservation arithmetic presumes no cut edge splits a
+        // multi-byte codepoint (the operator's documented caveat) —
+        // enforce the precondition in-plan instead of assuming the
+        // fixture stays ASCII forever
+        val base = docs.where(col("doc_id") < 50 && col("n_chars") >= 400
+            && col("text").rlike("^[\\x00-\\x7F]*$"))
           .select(col("doc_id"), col("text"))
         val copies = base
           .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
@@ -267,13 +273,17 @@ private[graft] object RegistryRound13 {
       },
       Some("""SELECT CAST(0 AS BIGINT) AS n_base_changed,
               (SELECT COUNT(*) FROM documents
-                WHERE doc_id < 50 AND n_chars >= 400) AS n_copies,
+                WHERE doc_id < 50 AND n_chars >= 400
+                  AND regexp_full_match(text, '[\x00-\x7F]*')) AS n_copies,
               (SELECT COUNT(*) FROM documents
-                WHERE doc_id < 50 AND n_chars >= 400) AS n_copies_empty,
+                WHERE doc_id < 50 AND n_chars >= 400
+                  AND regexp_full_match(text, '[\x00-\x7F]*')) AS n_copies_empty,
               (SELECT COUNT(*) FROM documents
-                WHERE doc_id < 50 AND n_chars >= 400) AS n_edited,
+                WHERE doc_id < 50 AND n_chars >= 400
+                  AND regexp_full_match(text, '[\x00-\x7F]*')) AS n_edited,
               (SELECT COUNT(*) FROM documents
-                WHERE doc_id < 50 AND n_chars >= 400) AS n_edited_trimmed,
+                WHERE doc_id < 50 AND n_chars >= 400
+                  AND regexp_full_match(text, '[\x00-\x7F]*')) AS n_edited_trimmed,
               CAST(0 AS BIGINT) AS n_conservation_violations""")),
 
     // HITS hubs-and-authorities (round 13): the second link-graph

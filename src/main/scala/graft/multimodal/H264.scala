@@ -197,6 +197,7 @@ object H264 {
                        chromaFormatIdc: Int,
                        log2MaxFrameNum: Int, pocType: Int,
                        log2MaxPocLsb: Int,
+                       deltaPicOrderAlwaysZero: Boolean,
                        widthMbs: Int, heightMapUnits: Int,
                        frameMbsOnly: Boolean,
                        cropL: Int, cropR: Int, cropT: Int, cropB: Int) {
@@ -231,10 +232,14 @@ object H264 {
     val log2FrameNum = r.ue() + 4
     val pocType = r.ue()
     var log2Poc = 0
+    // pocType 0/2 slices carry no delta_pic_order_cnt — treat as the
+    // always-zero case so the slice-header parser has one rule
+    var deltaAlwaysZero = true
     pocType match {
       case 0 => log2Poc = r.ue() + 4
       case 1 =>
-        r.u(1); r.se(); r.se()
+        deltaAlwaysZero = r.u(1) == 1
+        r.se(); r.se()
         val n = r.ue()
         (0 until n).foreach(_ => r.se())
       case 2 => ()
@@ -252,7 +257,7 @@ object H264 {
       if (r.u(1) == 1) (r.ue(), r.ue(), r.ue(), r.ue()) else (0, 0, 0, 0)
     // vui ignored
     Sps(id, profile, level, chroma, log2FrameNum, pocType, log2Poc,
-      wMbs, hUnits, frameOnly, cl, cr, ct, cb)
+      deltaAlwaysZero, wMbs, hUnits, frameOnly, cl, cr, ct, cb)
   }
 
   final case class Pps(id: Int, spsId: Int, cabac: Boolean,
@@ -330,6 +335,12 @@ object H264 {
           if (nalType == 5) r.ue() // idr_pic_id
           if (s.pocType == 0) {
             r.u(s.log2MaxPocLsb)
+            if (p.bottomFieldPicOrder) r.se()
+          } else if (s.pocType == 1 && !s.deltaPicOrderAlwaysZero) {
+            // §7.3.3: delta_pic_order_cnt[0], and [1] when the PPS
+            // carries bottom-field order (frame_mbs_only streams have
+            // no field_pic_flag to gate it off)
+            r.se()
             if (p.bottomFieldPicOrder) r.se()
           }
           if (p.redundantPicCnt) r.ue()

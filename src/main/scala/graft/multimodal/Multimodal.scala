@@ -603,8 +603,6 @@ object Multimodal {
       }
       val da = deltas(a); val db = deltas(b)
       if (da.isEmpty || db.isEmpty) return 0.0
-      val minLen = math.min(da.length, db.length)
-      val floor = math.max(1, minLen - maxLag)
       var best = 0.0
       var o = -maxLag
       while (o <= maxLag) {
@@ -618,8 +616,12 @@ object Multimodal {
           }
           i += 1
         }
-        if (n > 0)
-          best = math.max(best, hits.toDouble / math.max(n, floor))
+        // normalize by THIS offset's overlap n — a tiny-overlap floor
+        // is unnecessary here because the lag window bounds the
+        // shrinkage: n >= min(|da|,|db|) - maxLag at every offset, so
+        // an overlap can never get small enough to inflate a chance
+        // pair unless the sequences themselves are ~maxLag short
+        if (n > 0) best = math.max(best, hits.toDouble / n)
         o += 1
       }
       best

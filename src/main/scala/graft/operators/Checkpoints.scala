@@ -20,6 +20,15 @@ import org.apache.spark.sql.DataFrame
  *    survive any executor loss; the job resumes from the last
  *    materialized round instead of dying. Costs one distributed write
  *    per round — the standard hardening for long iterative jobs.
+ *    Implementation detail that matters: `Dataset.checkpoint` runs an
+ *    action and THEN `doCheckpoint` re-runs the lineage to write the
+ *    files, so [[pin]] caches the frame around the checkpoint and
+ *    unpersists after — one compute + one write per round instead of
+ *    two computes. Checkpoint FILES for superseded rounds are
+ *    reclaimed by `spark.cleaner.referenceTracking.cleanCheckpoints`
+ *    (set it true on long-running sessions) or by deleting the
+ *    session's checkpoint subdirectory after the job — a 20-round CC
+ *    job otherwise retains 20 materializations on the store.
  *
  * The switch is the presence of the checkpoint dir, not an operator
  * parameter: the same pipeline code runs unchanged in tests (no dir →
@@ -38,9 +47,14 @@ object Checkpoints {
     * rely on materialize-now semantics (observe metrics, unpersist of
     * the previous round). */
   def pin(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      // cache so the checkpoint's file-writing recompute reads blocks
+      // instead of re-running the round's joins/aggs (checkpoint runs
+      // the plan once for the eager action and once in doCheckpoint)
+      df.persist()
+      try df.checkpoint(eager = true)
+      finally df.unpersist()
+    } else df.localCheckpoint(eager = true)
 
   /** `.pinned()` chain syntax for [[pin]] — reads like the
     * `.localCheckpoint(true)` it replaces at the iterative call sites. */

@@ -1567,18 +1567,24 @@ object Dedup {
     import graft.plans.NativeFunctions
     import graft.sources.ChunkIndex
     NativeFunctions.register(spark)
-    val flag = ChunkIndex.sketch(indexDir) match {
+    ChunkIndex.sketch(indexDir) match {
+      case None =>
+        // the index commits its sketch BEFORE its chunk parquet
+        // (ChunkIndex's commit-order contract), so no sketch file
+        // means nothing is durably indexed: everything is novel,
+        // join-free — and the chunks/ directory may not even have
+        // data files to read yet (day-0 bootstrap)
+        hashFrame
       case Some(bytes) =>
-        NativeFunctions.bloomMightContain(lit(bytes),
-          xxhash64(col("chunk_hash")))
-      case None => lit(false)
+        val flagged = hashFrame.withColumn("__maybe_seen",
+          NativeFunctions.bloomMightContain(lit(bytes),
+            xxhash64(col("chunk_hash"))))
+        val novelFast = flagged.where(!col("__maybe_seen"))
+        val resolved = flagged.where(col("__maybe_seen"))
+          .join(ChunkIndex.hashes(spark, indexDir), Seq("chunk_hash"),
+            "left_anti")
+        novelFast.unionByName(resolved).drop("__maybe_seen")
     }
-    val flagged = hashFrame.withColumn("__maybe_seen", flag)
-    val novelFast = flagged.where(!col("__maybe_seen"))
-    val resolved = flagged.where(col("__maybe_seen"))
-      .join(ChunkIndex.hashes(spark, indexDir), Seq("chunk_hash"),
-        "left_anti")
-    novelFast.unionByName(resolved).drop("__maybe_seen")
   }
 
   /**

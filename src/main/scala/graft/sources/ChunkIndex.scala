@@ -22,7 +22,13 @@ import org.apache.spark.sql.functions._
  *    sketch and only sketch-POSITIVE chunks pay the exact anti-join,
  *    so per-batch cost is flat in history size for the novel majority
  *    (the `ingestAdmission` discipline; no false negatives, so no
- *    seen chunk can score novel);
+ *    seen chunk can score novel). Commit ORDER is sketch before
+ *    chunks, in both [[create]] and [[append]]: a crash between the
+ *    two leaves sketch bits for unindexed hashes — harmless false
+ *    POSITIVES the exact anti-join resolves (the rows stay novel and
+ *    re-append). The reverse order would leave indexed hashes the
+ *    sketch misses — FALSE NEGATIVES that silently admit duplicates,
+ *    the one failure the contract forbids;
  *  - `meta.json` — bucket count and sketch sizing, pinned at create
  *    time: appended batch sketches must be built with the SAME sizing
  *    or `mergeInPlace` would reject them.
@@ -44,12 +50,14 @@ object ChunkIndex {
     new java.io.File(dir).mkdirs()
     writeMeta(dir, Meta(buckets, expectedItems, numBits))
     val distinctHashes = chunks.select(col("chunk_hash")).distinct()
+      .localCheckpoint(true) // one computation feeds both state writes
+    // sketch FIRST (see the commit-order contract in the scaladoc)
+    writeSketch(dir, graft.operators.Dedup.buildSeenSketch(
+      distinctHashes, "chunk_hash", expectedItems, numBits))
     distinctHashes
       .withColumn("bucket", pmod(col("chunk_hash"), lit(buckets.toLong)))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(chunksDir(dir))
-    writeSketch(dir, graft.operators.Dedup.buildSeenSketch(
-      distinctHashes, "chunk_hash", expectedItems, numBits))
   }
 
   /**
@@ -67,20 +75,34 @@ object ChunkIndex {
     val novel = graft.operators.Dedup
       .novelAgainstIndex(batch, spark, dir)
       .localCheckpoint(true) // pin the decision before state writes
+    // sketch FIRST (see the commit-order contract in the scaladoc): a
+    // crash between the writes must leave resolvable false POSITIVES,
+    // never contract-breaking false negatives
+    val batchSketch = graft.operators.Dedup.buildSeenSketch(
+      novel, "chunk_hash", m.expectedItems, m.numBits)
+    writeSketch(dir, graft.operators.Dedup.mergeSeenSketches(
+      sketch(dir), batchSketch))
     novel
       .withColumn("bucket",
         pmod(col("chunk_hash"), lit(m.buckets.toLong)))
       .write.mode("append").partitionBy("bucket")
       .parquet(chunksDir(dir))
-    val batchSketch = graft.operators.Dedup.buildSeenSketch(
-      novel, "chunk_hash", m.expectedItems, m.numBits)
-    writeSketch(dir, graft.operators.Dedup.mergeSeenSketches(
-      sketch(dir), batchSketch))
   }
 
-  /** The indexed hash column `(chunk_hash)`. */
-  def hashes(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(chunksDir(dir)).select(col("chunk_hash"))
+  /** The indexed hash column `(chunk_hash)` — empty (not a failed
+    * schema inference) when nothing has been indexed yet: an index
+    * created from an empty history writes no data files under
+    * `chunks/`, and the day-0 probe must read it as "everything is
+    * novel", not crash. */
+  def hashes(spark: SparkSession, dir: String): DataFrame = {
+    val d = new java.io.File(chunksDir(dir))
+    val hasData = d.isDirectory && Option(d.listFiles).exists(_.exists(
+      f => f.isDirectory || (f.isFile && f.getName.endsWith(".parquet"))))
+    if (hasData)
+      spark.read.parquet(chunksDir(dir)).select(col("chunk_hash"))
+    else
+      spark.range(0).select(col("id").as("chunk_hash"))
+  }
 
   /** The persisted Bloom sketch; None before any hash was indexed. */
   def sketch(dir: String): Option[Array[Byte]] = {

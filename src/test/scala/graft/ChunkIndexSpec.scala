@@ -116,6 +116,25 @@ class ChunkIndexSpec extends SparkSpec {
     }
   }
 
+  test("day-0 bootstrap: an empty-history index probes all-novel and accepts the first append") {
+    val dir = tmpDir()
+    ChunkIndex.create(
+      Dedup.cdcChunkHashes(mkDocs(), "doc_id", "text", 16, 32, 256),
+      dir, buckets = 4)
+    // an empty create commits no sketch and no chunk data files; the
+    // probe must read that as "everything novel", not crash on an
+    // unreadable parquet directory
+    val batch = mkDocs((1L, lorem))
+    val first = Dedup.cdcNoveltyAgainstIndex(batch, "doc_id", "text",
+      dir, 16, 32, 256).collect()(0)
+    assert(first.getDouble(3) == 1.0, "day-0 content must be fully novel")
+    ChunkIndex.append(
+      Dedup.cdcChunkHashes(batch, "doc_id", "text", 16, 32, 256), dir)
+    val second = Dedup.cdcNoveltyAgainstIndex(batch, "doc_id", "text",
+      dir, 16, 32, 256).collect()(0)
+    assert(second.getDouble(3) == 0.0, "appended content must score 0")
+  }
+
   test("within-document repeats cut after their first occurrence") {
     val rep = lorem + " " + lorem // doc repeating its own content
     val corpus = mkDocs((1L, rep))

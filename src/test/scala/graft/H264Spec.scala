@@ -59,6 +59,62 @@ class H264Spec extends SparkSpec {
     assert(!pps.cabac && !pps.deblockingControl && !pps.redundantPicCnt)
   }
 
+  test("pocType-1 stream with explicit delta_pic_order_cnt decodes (§7.3.3)") {
+    // hand-written SPS: pic_order_cnt_type 1 with
+    // delta_pic_order_always_zero_flag = 0 — the slice header then
+    // carries se(v) delta_pic_order_cnt[0], which a parser that only
+    // handles pocType 0 mis-skips, corrupting every later field
+    def nal(refIdc: Int, typ: Int, rbsp: Array[Byte]): Array[Byte] =
+      Array[Byte](0, 0, 0, 1, ((refIdc << 5) | typ).toByte) ++
+        H264.rbspToEbsp(rbsp)
+    val sps = { val w = new H264.BitWriter()
+      w.u(66, 8); w.u(0, 8); w.u(40, 8) // baseline, level 4.0
+      w.ue(0)    // sps id
+      w.ue(0)    // log2_max_frame_num_minus4
+      w.ue(1)    // pic_order_cnt_type 1
+      w.u(0, 1)  // delta_pic_order_always_zero_flag = 0
+      w.se(0); w.se(0) // offsets
+      w.ue(0)    // num_ref_frames_in_pic_order_cnt_cycle
+      w.ue(0)    // max_num_ref_frames
+      w.u(0, 1)  // gaps flag
+      w.ue(0); w.ue(0) // 1x1 macroblocks (16x16)
+      w.u(1, 1)  // frame_mbs_only
+      w.u(1, 1)  // direct_8x8_inference
+      w.u(0, 1)  // no crop
+      w.u(0, 1)  // no vui
+      w.trailingBits(); w.toBytes }
+    val pps = { val w = new H264.BitWriter()
+      w.ue(0); w.ue(0) // pps id, sps id
+      w.u(0, 1) // CAVLC
+      w.u(0, 1) // bottom_field_pic_order_in_frame_present
+      w.ue(0)   // one slice group
+      w.ue(0); w.ue(0) // ref idx defaults
+      w.u(0, 1); w.u(0, 2) // weighted pred
+      w.se(0); w.se(0); w.se(0) // qp/qs/chroma offsets
+      w.u(0, 1); w.u(0, 1); w.u(0, 1) // deblock/constrained/redundant
+      w.trailingBits(); w.toBytes }
+    val slice = { val w = new H264.BitWriter()
+      w.ue(0)   // first_mb_in_slice
+      w.ue(7)   // slice_type I
+      w.ue(0)   // pps id
+      w.u(0, 4) // frame_num
+      w.ue(0)   // idr_pic_id
+      w.se(2)   // delta_pic_order_cnt[0] — the field under test
+      w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking (IDR)
+      w.se(0)   // slice_qp_delta
+      w.ue(25)  // mb_type I_PCM
+      w.alignZero()
+      (0 until 256).foreach(_ => w.u(128, 8)) // Y
+      (0 until 128).foreach(_ => w.u(128, 8)) // Cb, Cr
+      w.trailingBits(); w.toBytes }
+    val stream = nal(3, 7, sps) ++ nal(3, 8, pps) ++ nal(3, 5, slice)
+    val frames = H264.decodeFrames(stream)
+    assert(frames.length == 1)
+    val (w0, h0, px) = frames(0)
+    assert(w0 == 16 && h0 == 16)
+    assert(px.forall(_ == 0x808080)) // Y=Cb=Cr=128 is mid gray
+  }
+
   test("rgbToYuv: primaries land on the BT.601 full-range values") {
     assert(H264.rgbToYuv(0x000000) == ((0, 128, 128)))
     assert(H264.rgbToYuv(0xFFFFFF) == ((255, 128, 128)))
