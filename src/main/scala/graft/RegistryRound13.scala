@@ -346,6 +346,48 @@ private[graft] object RegistryRound13 {
                 ROUND(CAST(a2.a AS DOUBLE) / 1000000000000, 6) AS authority
               FROM h2 JOIN a2 ON h2.node = a2.node""")),
 
+    // Mergeable HLL cardinality log (round 13): Datasketches HLL
+    // binaries via Spark's OWN hll_sketch_agg/hll_union_agg — unlike
+    // approx_count_distinct's internal HLL++, these sketches persist
+    // and union across frames, which is the incremental shape: one
+    // sketch row per (source, day, shard), any later union answers
+    // "distinct over any subset" without re-reading data. Gate
+    // (bounded-error, the r12 sketch pattern): per-event-type user
+    // sketches within 4% of their exact distincts (measured worst
+    // 1.3% at sf0.1, exact at sf0.01's sparse-mode sizes), the
+    // cross-group UNION within 4% of the global exact, and — the
+    // mergeability proof — the union estimate strictly BELOW the sum
+    // of per-group estimates (users overlap across event types; a
+    // "union" that merely added counts reds this).
+    Q("q_hll_log",
+      (s, d) => {
+        import graft.operators.Frequency
+        val ev = s.read.parquet(pq(d, "events"))
+          .select(col("event_type"), col("user_id"))
+        val sk = Frequency.hllSketches(ev, "user_id", "event_type")
+        val per = sk.select(col("event_type"),
+            hll_sketch_estimate(col("hll")).as("__e"))
+          .join(ev.groupBy(col("event_type"))
+            .agg(count_distinct(col("user_id")).as("__n")), "event_type")
+          .agg(count(lit(1)).as("n_groups"),
+            (max(abs(col("__e") - col("__n")) / col("__n")) <= 0.04)
+              .as("groups_ok"),
+            sum(col("__e")).as("__est_sum"))
+        Frequency.hllUnionEstimate(sk)
+          .crossJoin(ev.agg(count_distinct(col("user_id")).as("__g")))
+          .crossJoin(per)
+          .select(col("n_groups"), col("groups_ok"),
+            ((abs(col("distinct_est") - col("__g")) / col("__g")) <= 0.04)
+              .as("union_ok"),
+            (col("distinct_est") < col("__est_sum"))
+              .as("union_dedups_across_groups"))
+      },
+      Some("""SELECT (SELECT COUNT(DISTINCT event_type) FROM events)
+                AS n_groups,
+              CAST(1 AS BOOLEAN) AS groups_ok,
+              CAST(1 AS BOOLEAN) AS union_ok,
+              CAST(1 AS BOOLEAN) AS union_dedups_across_groups""")),
+
     // Count-Min point-frequency estimation (round 13): the complement
     // of the Misra-Gries family — MG answers "which items are
     // frequent" in ≤ capacity counters, CMS answers "how often did

@@ -131,6 +131,34 @@ object Frequency {
         lit(seed)).as("cms"))
 
   /**
+   * Per-group MERGEABLE distinct-count sketches — Datasketches HLL
+   * binaries via Spark's own `hll_sketch_agg` (NOT the internal
+   * HLL++ behind `approx_count_distinct`, which cannot be persisted
+   * or unioned across frames). This is the incremental-cardinality
+   * state store shape: persist one sketch row per (source, day,
+   * shard, …); any later union answers "distinct over any subset"
+   * without touching the data again. `lgK` trades size for error
+   * (2^lgK registers; 12 → ~1.6 KB, rse ≈ 0.8%).
+   *
+   * Scale shape: one aggregation with map-side partial sketches;
+   * the output is groups-sized, each row KBs. Estimates carry the
+   * usual approximate-sketch caveat — gate with bounded-error
+   * verdicts (`q_hll_log`), not exact compares.
+   */
+  def hllSketches(df: DataFrame, itemCol: String, groupCol: String,
+                  lgK: Int = 12): DataFrame =
+    df.where(col(itemCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(hll_sketch_agg(col(itemCol), lit(lgK)).as("hll"))
+
+  /** Union a sketch column (any subset of a persisted sketch log)
+    * into ONE distinct-count estimate — the read-time combiner. */
+  def hllUnionEstimate(sketches: DataFrame,
+                       sketchCol: String = "hll"): DataFrame =
+    sketches.agg(hll_sketch_estimate(hll_union_agg(col(sketchCol)))
+      .as("distinct_est"))
+
+  /**
    * Point estimates for every row of `keys` against ONE sketch of
    * `df`'s `itemCol`: the keys frame gains an `est` column. The
    * sketch is collected to the driver (one row of

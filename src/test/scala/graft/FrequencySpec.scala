@@ -142,6 +142,27 @@ class FrequencySpec extends SparkSpec {
     assert(sk.relativeError() <= 0.01 + 1e-12)
   }
 
+  test("HLL sketch log: small-set exactness, parquet persistence, cross-group dedup") {
+    import org.apache.spark.sql.functions.{col => c, hll_sketch_estimate}
+    // 3 groups sharing members: g0 = 0..99, g1 = 50..149, g2 = 100..199
+    val rows = (0 until 3).flatMap(g =>
+      (g * 50 until g * 50 + 100).map(v => (s"g$g", v.toLong)))
+    val df = rows.toDF("grp", "v").repartition(8)
+    val sk = Frequency.hllSketches(df, "v", "grp")
+    // small sets stay in the sketch's exact (coupon) regime
+    val per = sk.select(c("grp"), hll_sketch_estimate(c("hll")))
+      .as[(String, Long)].collect().toMap
+    assert(per == Map("g0" -> 100L, "g1" -> 100L, "g2" -> 100L))
+    // persisted log: write the sketch rows, read back, union — the
+    // binary survives parquet and the union dedups the 50-overlaps
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_hll").toString + "/log"
+    sk.write.parquet(dir)
+    val est = Frequency.hllUnionEstimate(spark.read.parquet(dir))
+      .as[Long].head()
+    assert(est == 200L, s"union over persisted log: $est != 200")
+  }
+
   test("CMS: bigint keys probe the same sketch the aggregate built") {
     val df = (1 to 1000).map(i => (i % 7).toLong).toDF("v")
     val keys = (0L to 7L).toDF("k") // 7 is absent
