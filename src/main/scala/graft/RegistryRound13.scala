@@ -88,7 +88,10 @@ private[graft] object RegistryRound13 {
         import graft.operators.Dedup
         val root = contentKeyedFixture(
           new java.io.File(d, "documents.parquet"),
-          "graft_chunk_index") { r =>
+          "graft_chunk_index",
+          // chunking params + index layout version: stale fixtures
+          // from older code must not satisfy a newer probe
+          codeKey = "cdc:16,32,256;index:sketch-first") { r =>
           new java.io.File(r, "chunks/_SUCCESS").isFile &&
             new java.io.File(r, "sketch").isFile &&
             new java.io.File(r, "meta.json").isFile
@@ -159,7 +162,11 @@ private[graft] object RegistryRound13 {
         graft.plans.NativeFunctions.register(s)
         val root = contentKeyedFixture(
           new java.io.File(d, "documents.parquet"),
-          "graft_langid_profiles") { r =>
+          "graft_langid_profiles",
+          // the fixture IS the compiled-in table: key on its content
+          // so widening the table rebuilds instead of reusing stale
+          codeKey = TextAnalysis.charNgramProfiles.toSeq
+            .sortBy(_._1).toString.hashCode.toString) { r =>
           new java.io.File(r, "profiles/_SUCCESS").isFile
         } { tmp =>
           TextAnalysis.writeNgramProfiles(s,
@@ -451,7 +458,11 @@ private[graft] object RegistryRound13 {
           when(col("id") === 2L, lit(null))
             .otherwise(col("id")).cast("long").as("n_chars"))
         val src = new java.io.File(pq(d, "documents"))
-        val root = contentKeyedFixture(src, "graft_csv") { dir =>
+        // keyed on the dialect too: the fixture's BYTES are a
+        // function of the writer configuration, and /tmp outlives
+        // code changes
+        val root = contentKeyedFixture(src, "graft_csv",
+            codeKey = Csv.dialectKey) { dir =>
           committedData(new java.io.File(dir, "data")) &&
             new java.io.File(new java.io.File(dir, "data"),
               "corrupt-0.csv").isFile

@@ -391,11 +391,18 @@ object SparkEntry {
     new java.io.File(root, "snap").toString
   }
 
-  private[graft] def contentKeyedFixture(src: java.io.File, name: String)
+  /** `codeKey`: mix a token of the BUILDER'S configuration into the
+    * cache key for fixtures whose bytes depend on code, not just on
+    * the source data (the CSV dialect, the langid profile table, CDC
+    * chunking params). Without it, a code change reuses a stale
+    * fixture built by the old code and the oracle reds mysteriously —
+    * /tmp outlives rounds. */
+  private[graft] def contentKeyedFixture(src: java.io.File, name: String,
+                                         codeKey: String = "")
       (complete: java.io.File => Boolean)
       (build: java.io.File => Unit): java.io.File = {
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${src.getPath}|${src.length}|${src.lastModified}"
+      .digest(s"${src.getPath}|${src.length}|${src.lastModified}|$codeKey"
         .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val root = new java.io.File(

@@ -68,6 +68,11 @@ object Csv {
     // for every real corpus
     "charToEscapeQuoteEscaping" -> "￿")
 
+  /** Stable rendering of the pinned dialect — cache-key material for
+    * fixtures whose BYTES depend on the writer configuration. */
+  def dialectKey: String =
+    dialect.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";")
+
   /** Write `df` as RFC 4180 CSV shards with a header row.
     * `maxRecordsPerFile` matters more here than for parquet/JSONL:
     * multiLine readers parallelize per file. */
