@@ -404,11 +404,15 @@ private[graft] object RegistryRound13 {
     // SQL probe). Gate (bounded-error, the r12 sketch pattern): every
     // distinct l_partkey probed against its exact in-plan count —
     // under-estimates are IMPOSSIBLE (one-sided guarantee, asserted
-    // exactly 0), over-estimates must respect eps·n (asserted exactly
-    // 0 violations; measured margin: max overshoot 39 vs bound 60 at
-    // sf0.01, 350 vs 600 at sf0.1). Every count is deterministic:
-    // CMS update/merge are commutative sums, so estimates are pure
-    // functions of the multiset and seed, independent of partitioning.
+    // exactly 0). Over-estimates respect eps·n only with probability
+    // ≥ confidence PER KEY, so the upper gate allows the bound's own
+    // failure budget, ceil((1-confidence)·n_keys), rather than
+    // pinning 0 (measured: 0 violations at seed 42, max overshoot 39
+    // vs bound 60 at sf0.01 and 350 vs 600 at sf0.1 — but a new
+    // fixture or scale factor may legitimately spend the budget).
+    // Every count is deterministic: CMS update/merge are commutative
+    // sums, so estimates are pure functions of the multiset and seed,
+    // independent of partitioning.
     Q("q_cms_estimate",
       (s, d) => {
         import graft.operators.Frequency
@@ -425,12 +429,16 @@ private[graft] object RegistryRound13 {
               .as("n_under"),
             sum(when(col("est") > col("cnt") +
               ceil(col("__n") * 0.001).cast("long"), 1L).otherwise(0L))
-              .as("n_upper_viol"))
+              .as("__viol"))
+          .select(col("n_keys"), col("n_under"),
+            (col("__viol") <=
+              ceil(col("n_keys") * (1.0 - 0.99)).cast("long"))
+              .as("upper_within_budget"))
       },
       Some("""SELECT (SELECT COUNT(DISTINCT l_partkey) FROM lineitem)
                 AS n_keys,
               CAST(0 AS BIGINT) AS n_under,
-              CAST(0 AS BIGINT) AS n_upper_viol""")),
+              CAST(1 AS BOOLEAN) AS upper_within_budget""")),
 
     // CSV edge round-trip under hostility (round 13): the corpus
     // UNIONED with planted rows carrying the whole CSV metacharacter

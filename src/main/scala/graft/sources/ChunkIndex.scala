@@ -67,26 +67,81 @@ object ChunkIndex {
    * the batch sketch merges into the persisted one (bitset OR — the
    * history is never rebuilt). Call with the admitted batch's chunks
    * after a [[graft.operators.Dedup.cdcNoveltyAgainstIndex]] decision.
+   *
+   * ==Writer concurrency==
+   * Appends are SERIALIZED: the whole read-probe-merge-write sequence
+   * runs under a per-index exclusive lock (a JVM-level monitor keyed
+   * on the canonical dir, plus an advisory `append.lock` file lock for
+   * cross-process callers on a shared filesystem). Without it, two
+   * concurrent appends would both read the pre-append sketch and the
+   * second `writeSketch` would drop the first batch's bits while that
+   * batch's parquet rows still landed under `chunks/` — those hashes
+   * would become sketch FALSE NEGATIVES, exactly the silent-duplicate
+   * failure the commit-order contract exists to forbid (and the
+   * anti-join probe racing the other batch's un-landed rows would
+   * additionally re-append duplicate index rows). The persisted sketch
+   * is re-read INSIDE the lock, so each append merges onto the truly
+   * latest state. NOTE: the file lock is advisory — writers on object
+   * stores without POSIX lock semantics must serialize externally
+   * (single appender per index), which is the deployment contract.
+   *
+   * ==Reader concurrency==
+   * Readers never need the lock. The sketch is atomic-rename
+   * committed, so a concurrent probe sees the complete old or complete
+   * new bytes, never a torn file; `chunks/` grows by whole committed
+   * parquet files. Because sketch commits BEFORE chunks, a probe
+   * interleaved with an append sees at worst extra sketch bits
+   * (resolvable false positives) or not-yet-landed batch rows — i.e. a
+   * novelty decision concurrent with an in-flight append may not
+   * observe THAT append's hashes (read-committed, batch granularity);
+   * it can never un-see history that was committed before it started.
    */
-  def append(newChunks: DataFrame, dir: String): Unit = {
-    val m = readMeta(dir)
-    val spark = newChunks.sparkSession
-    val batch = newChunks.select(col("chunk_hash")).distinct()
-    val novel = graft.operators.Dedup
-      .novelAgainstIndex(batch, spark, dir)
-      .localCheckpoint(true) // pin the decision before state writes
-    // sketch FIRST (see the commit-order contract in the scaladoc): a
-    // crash between the writes must leave resolvable false POSITIVES,
-    // never contract-breaking false negatives
-    val batchSketch = graft.operators.Dedup.buildSeenSketch(
-      novel, "chunk_hash", m.expectedItems, m.numBits)
-    writeSketch(dir, graft.operators.Dedup.mergeSeenSketches(
-      sketch(dir), batchSketch))
-    novel
-      .withColumn("bucket",
-        pmod(col("chunk_hash"), lit(m.buckets.toLong)))
-      .write.mode("append").partitionBy("bucket")
-      .parquet(chunksDir(dir))
+  def append(newChunks: DataFrame, dir: String): Unit =
+    withAppendLock(dir) {
+      val m = readMeta(dir)
+      val spark = newChunks.sparkSession
+      val batch = newChunks.select(col("chunk_hash")).distinct()
+      val novel = graft.operators.Dedup
+        .novelAgainstIndex(batch, spark, dir)
+        .localCheckpoint(true) // pin the decision before state writes
+      // sketch FIRST (see the commit-order contract in the scaladoc):
+      // a crash between the writes must leave resolvable false
+      // POSITIVES, never contract-breaking false negatives
+      val batchSketch = graft.operators.Dedup.buildSeenSketch(
+        novel, "chunk_hash", m.expectedItems, m.numBits)
+      writeSketch(dir, graft.operators.Dedup.mergeSeenSketches(
+        sketch(dir), batchSketch))
+      novel
+        .withColumn("bucket",
+          pmod(col("chunk_hash"), lit(m.buckets.toLong)))
+        .write.mode("append").partitionBy("bucket")
+        .parquet(chunksDir(dir))
+    }
+
+  /** Per-index append mutex: a same-JVM monitor (interned on the
+    * canonical path) wrapping an advisory cross-process file lock.
+    * The monitor must wrap the file lock — `FileChannel.lock` throws
+    * `OverlappingFileLockException` rather than queueing when the
+    * SAME JVM already holds the region, so same-JVM callers serialize
+    * on the monitor first and only one thread per JVM ever contends
+    * for the OS lock. */
+  private val appendMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withAppendLock[T](dir: String)(body: => T): T = {
+    val canon = new java.io.File(dir).getCanonicalPath
+    val monitor =
+      appendMonitors.computeIfAbsent(canon, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        new java.io.File(dir, "append.lock").toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock() // blocks until the other process commits
+        try body finally lock.release()
+      } finally ch.close()
+    }
   }
 
   /** The indexed hash column `(chunk_hash)` — empty (not a failed

@@ -135,6 +135,42 @@ class ChunkIndexSpec extends SparkSpec {
     assert(second.getDouble(3) == 0.0, "appended content must score 0")
   }
 
+  test("concurrent appends serialize: no sketch false negatives, no duplicate index rows") {
+    // Without the per-index append lock, two racing appends both read
+    // the pre-append sketch and the later writeSketch drops the
+    // earlier batch's bits — those hashes become sketch FALSE
+    // NEGATIVES (silently admitted duplicates, the one contract
+    // violation), and the racing anti-join probes re-append duplicate
+    // rows. 8 threads × disjoint batches, then every batch must score
+    // novelty 0.0 and the index must hold exactly the distinct union.
+    val dir = tmpDir()
+    ChunkIndex.create(Dedup.cdcChunkHashes(mkDocs((1L, lorem)),
+      "doc_id", "text", 16, 32, 256), dir, buckets = 4)
+    val batches = (0 until 8).map { i =>
+      mkDocs((100L + i, s"thread $i distinct corpus " +
+        (1 to 30).map(j => s"w${i}_$j").mkString(" ")))
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = batches.map { b =>
+        pool.submit(new Runnable {
+          def run(): Unit = ChunkIndex.append(
+            Dedup.cdcChunkHashes(b, "doc_id", "text", 16, 32, 256), dir)
+        })
+      }
+      futs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    batches.foreach { b =>
+      val nov = Dedup.cdcNoveltyAgainstIndex(b, "doc_id", "text",
+        dir, 16, 32, 256).collect()(0).getDouble(3)
+      assert(nov == 0.0, s"appended batch scored novel ($nov): a " +
+        "racing append dropped its sketch bits or index rows")
+    }
+    val all = ChunkIndex.hashes(spark, dir)
+    assert(all.count() == all.distinct().count(),
+      "racing appends duplicated index rows")
+  }
+
   test("within-document repeats cut after their first occurrence") {
     val rep = lorem + " " + lorem // doc repeating its own content
     val corpus = mkDocs((1L, rep))
