@@ -159,6 +159,49 @@ object Frequency {
       .as("distinct_est"))
 
   /**
+   * Per-group MERGEABLE quantile sketches — KLL binaries via
+   * [[graft.plans.KllDoublesAgg]] (Datasketches KLL, the library
+   * already behind Spark's `hll_sketch_agg` family; Spark itself
+   * ships no persistable quantile state — `percentile_approx` cannot
+   * be stored or unioned). This is the quantile member of the
+   * sketch-log shape: persist one ~3 KB row per (source, day, shard);
+   * [[kllUnionSketch]] over any subset answers any percentile without
+   * re-reading data. Rank error ≈ 1.65% at the default k=200 with
+   * 99% confidence per probe (Karnin–Lang–Liberty FOCS'16), and the
+   * guarantee survives merging; N is exact through merges. Estimates
+   * are randomized (compaction offsets) — gate with bounded-error
+   * verdicts (`q_kll_log`), never exact compares.
+   *
+   * Scale shape: one aggregation with map-side partial sketches; the
+   * exchange carries numPartitions × ~3 KB per group, independent of
+   * input volume.
+   */
+  def kllSketches(df: DataFrame, valueCol: String, groupCol: String,
+                  k: Int = 200): DataFrame = {
+    NativeFunctions.register(df.sparkSession)
+    df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(NativeFunctions.kllAggNative(col(valueCol), k).as("kll"))
+  }
+
+  /** Union a KLL sketch column (any subset of a persisted sketch
+    * log) into ONE merged sketch binary — the read-time combiner.
+    * Pass the k the logs were built with. */
+  def kllUnionSketch(sketches: DataFrame, sketchCol: String = "kll",
+                     k: Int = 200): DataFrame = {
+    NativeFunctions.register(sketches.sparkSession)
+    sketches.agg(
+      NativeFunctions.kllUnionNative(col(sketchCol), k).as("kll"))
+  }
+
+  /** Quantile estimates for `ranks` against a sketch column →
+    * `array<double>` (INCLUSIVE criterion; rank -1.0 probes the
+    * sketch's exact N — deterministic, unlike the estimates). */
+  def kllQuantiles(sketch: org.apache.spark.sql.Column,
+                   ranks: Seq[Double]): org.apache.spark.sql.Column =
+    NativeFunctions.kllQuantilesNative(sketch, ranks)
+
+  /**
    * Point estimates for every row of `keys` against ONE sketch of
    * `df`'s `itemCol`: the keys frame gains an `est` column. The
    * sketch is collected to the driver (one row of

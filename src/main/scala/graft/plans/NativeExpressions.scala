@@ -2653,6 +2653,9 @@ object NativeFunctions {
   val gopherSignalsName = "graft_gopher_signals"
   val cdcChunksName = "graft_cdc_chunks"
   val cmsEstimateName = "graft_cms_estimate"
+  val kllAggName = "graft_kll_agg"
+  val kllUnionName = "graft_kll_union"
+  val kllQuantilesName = "graft_kll_quantiles"
 
   private def intLit(e: Expression): Int =
     e.eval(null) match {
@@ -2807,7 +2810,13 @@ object NativeFunctions {
       CdcChunksExpr(exprs.head, intLit(exprs(1)), intLit(exprs(2)),
         intLit(exprs(3)))),
     cmsEstimateName -> ((exprs: Seq[Expression]) =>
-      CmsEstimateExpr(exprs.head, exprs(1))))
+      CmsEstimateExpr(exprs.head, exprs(1))),
+    kllAggName -> ((exprs: Seq[Expression]) =>
+      KllDoublesAgg(exprs.head, intLit(exprs(1))).toAggregateExpression()),
+    kllUnionName -> ((exprs: Seq[Expression]) =>
+      KllUnionAgg(exprs.head, intLit(exprs(1))).toAggregateExpression()),
+    kllQuantilesName -> ((exprs: Seq[Expression]) =>
+      KllQuantilesExpr(exprs.head, exprs(1))))
 
   /** Idempotently register graft native functions on this session. */
   def register(spark: SparkSession): Unit = {
@@ -2957,6 +2966,24 @@ object NativeFunctions {
     * `count_min_sketch`-built binary sketch column. */
   def cmsEstimateNative(sketch: Column, key: Column): Column =
     call_function(cmsEstimateName, sketch, key)
+
+  /** Mergeable KLL quantile sketch aggregate over a double column →
+    * compact binary (persist one row per group; union later). */
+  def kllAggNative(value: Column, k: Int = 200): Column =
+    call_function(kllAggName, value.cast("double"),
+      org.apache.spark.sql.functions.lit(k))
+
+  /** Union of persisted KLL sketch binaries → one merged binary;
+    * pass the k the logs were built with. */
+  def kllUnionNative(sketch: Column, k: Int = 200): Column =
+    call_function(kllUnionName, sketch,
+      org.apache.spark.sql.functions.lit(k))
+
+  /** Quantile estimates (INCLUSIVE criterion) for a rank vector
+    * against a KLL sketch binary; rank -1.0 probes exact N. */
+  def kllQuantilesNative(sketch: Column, ranks: Seq[Double]): Column =
+    call_function(kllQuantilesName, sketch,
+      org.apache.spark.sql.functions.typedlit(ranks))
 
   /** Rank bucket id = number of sorted `boundaries` ≤ value (binary
     * search; boundaries ride as a codegen reference object). */

@@ -176,4 +176,71 @@ class FrequencySpec extends SparkSpec {
     }
     assert(est(7L) <= 1L, "absent key must estimate ~0 under eps bound")
   }
+
+  test("KLL: union of part sketches matches a whole-data sketch (N exact, ranks within bound)") {
+    // two disjoint halves with different distributions: a union that
+    // dropped or double-merged a part would miss the global median
+    val a = (1 to 4000).map(_.toDouble)            // uniform 1..4000
+    val b = (1 to 4000).map(i => 10000.0 + i * 3)  // shifted + spread
+    val whole = (a ++ b).toDF("v").repartition(16)
+    val parts = a.map(("pa", _)).++(b.map(("pb", _)))
+      .toDF("part", "v").repartition(16)
+    val skParts = Frequency.kllSketches(parts, "v", "part")
+    assert(skParts.count() == 2)
+    val merged = Frequency.kllUnionSketch(skParts)
+      .select(Frequency.kllQuantiles(col("kll"),
+        Seq(0.25, 0.5, 0.75, -1.0)).as("qs"))
+      .collect()(0).getSeq[Double](0)
+    assert(merged(3) == 8000.0, s"union N must be exact, got ${merged(3)}")
+    // replay each estimate's exact inclusive rank against the data —
+    // the KLL contract (~1.65% at k=200, 99%/probe); 2x headroom like
+    // q_kll_log
+    val all = (a ++ b).sorted
+    Seq(0.25, 0.5, 0.75).zipWithIndex.foreach { case (r, i) =>
+      val exactRank = all.count(_ <= merged(i)).toDouble / all.size
+      assert(math.abs(exactRank - r) <= 0.033,
+        s"rank $r: estimate ${merged(i)} has exact rank $exactRank")
+    }
+    // and the union agrees with a directly-built whole-data sketch on N
+    val wholeN = Frequency.kllSketches(
+        whole.withColumn("g", lit("all")), "v", "g")
+      .select(Frequency.kllQuantiles(col("kll"), Seq(-1.0)))
+      .collect()(0).getSeq[Double](0).head
+    assert(wholeN == 8000.0)
+  }
+
+  test("KLL: sketches persist to parquet and union after re-read (the log shape)") {
+    val dir = tmpDir()
+    val day1 = (1 to 3000).map(_.toDouble).toDF("v")
+      .withColumn("day", lit("d1"))
+    val day2 = (3001 to 6000).map(_.toDouble).toDF("v")
+      .withColumn("day", lit("d2"))
+    Frequency.kllSketches(day1, "v", "day")
+      .write.mode("overwrite").parquet(s"$dir/log")
+    Frequency.kllSketches(day2, "v", "day")
+      .write.mode("append").parquet(s"$dir/log")
+    val log = spark.read.parquet(s"$dir/log")
+    assert(log.count() == 2)
+    val qs = Frequency.kllUnionSketch(log)
+      .select(Frequency.kllQuantiles(col("kll"), Seq(0.5, -1.0)))
+      .collect()(0).getSeq[Double](0)
+    assert(qs(1) == 6000.0, "re-read union must carry exact total N")
+    assert(math.abs(qs(0) - 3000.0) <= 6000 * 0.033,
+      s"median over the unioned log off: ${qs(0)}")
+  }
+
+  test("KLL: null values skipped; empty sketch probes to null") {
+    val df = Seq[(String, java.lang.Double)](("g", 1.0), ("g", null),
+      ("g", 3.0)).toDF("grp", "v")
+    val sk = Frequency.kllSketches(df, "v", "grp")
+    val n = sk.select(Frequency.kllQuantiles(col("kll"), Seq(-1.0)))
+      .collect()(0).getSeq[Double](0).head
+    assert(n == 2.0, s"nulls must not count, got N=$n")
+    val empty = df.where(col("v") > 100)
+    val uq = Frequency.kllUnionSketch(
+        Frequency.kllSketches(empty, "v", "grp"))
+      .select(Frequency.kllQuantiles(col("kll"), Seq(0.5)))
+      .collect()(0)
+    assert(uq.isNullAt(0), "empty sketch must probe to null, not throw")
+  }
 }
