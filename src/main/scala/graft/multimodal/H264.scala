@@ -263,7 +263,8 @@ object H264 {
   final case class Pps(id: Int, spsId: Int, cabac: Boolean,
                        bottomFieldPicOrder: Boolean,
                        deblockingControl: Boolean,
-                       redundantPicCnt: Boolean)
+                       redundantPicCnt: Boolean,
+                       picInitQp: Int, chromaQpOffset: Int)
 
   def parsePps(rbsp: Array[Byte]): Pps = {
     val r = new BitReader(rbsp)
@@ -276,13 +277,21 @@ object H264 {
     r.ue(); r.ue() // num_ref_idx_l{0,1}_default_active_minus1
     r.u(1) // weighted_pred_flag
     r.u(2) // weighted_bipred_idc
-    r.se() // pic_init_qp_minus26
+    val picInitQp = 26 + r.se() // pic_init_qp_minus26
     r.se() // pic_init_qs_minus26
-    r.se() // chroma_qp_index_offset
+    val chromaQpOffset = r.se() // chroma_qp_index_offset
     val deblock = r.u(1) == 1
     r.u(1) // constrained_intra_pred_flag
     val redundant = r.u(1) == 1
-    Pps(id, spsId, cabac, bfpo, deblock, redundant)
+    // optional tail (§7.3.2.2): present in High-profile streams
+    if (r.moreRbspData) {
+      require(r.u(1) == 0, "transform_8x8_mode unsupported")
+      require(r.u(1) == 0, "pic_scaling_matrix unsupported")
+      require(r.se() == chromaQpOffset,
+        "distinct second_chroma_qp_index_offset unsupported")
+    }
+    Pps(id, spsId, cabac, bfpo, deblock, redundant, picInitQp,
+      chromaQpOffset)
   }
 
   // ---- frame decode ------------------------------------------------------
@@ -294,12 +303,19 @@ object H264 {
     val cr = new Array[Byte](wMbs * 8 * hMbs * 8)
     var mbsDone = 0
     val total: Int = wMbs * hMbs
+    /** nC / intra-mode / slice-ownership context (§9.2.1, §8.3.1.1). */
+    val ctx = new H264Mb.PicCtx(wMbs, hMbs)
+    var slices = 0
   }
 
-  /** Decode an Annex-B stream of I/IDR slices whose macroblocks are
-    * all I_PCM; returns frames as (width, height, packed 0xRRGGBB) in
-    * display order. Unsupported constructs throw — callers wrap in
-    * `Try` per the degrade-don't-fail contract. */
+  /** Decode an Annex-B stream of I/IDR slices — I_PCM, Intra_4x4 and
+    * Intra_16x16 macroblocks with CAVLC entropy coding (see
+    * [[H264Mb]]/[[Cavlc]]); returns frames as (width, height, packed
+    * 0xRRGGBB) in display order. Streams that enable the deblocking
+    * filter decode to PRE-deblock pixels (stated scope). Unsupported
+    * constructs (CABAC, P/B slices, transform_8x8, scaling matrices)
+    * throw — callers wrap in `Try` per the degrade-don't-fail
+    * contract. */
   def decodeFrames(bytes: Array[Byte]): Seq[(Int, Int, Array[Int])] = {
     val sps = scala.collection.mutable.Map.empty[Int, Sps]
     val pps = scala.collection.mutable.Map.empty[Int, Pps]
@@ -349,7 +365,7 @@ object H264 {
             else require(r.u(1) == 0,
               "adaptive_ref_pic_marking unsupported")
           }
-          r.se() // slice_qp_delta
+          val sliceQpDelta = r.se()
           if (p.deblockingControl) {
             val idc = r.ue()
             if (idc != 1) { r.se(); r.se() }
@@ -360,32 +376,39 @@ object H264 {
             cur = new Yuv(s.widthMbs, s.heightMbs)
             curSps = s
           }
+          val sliceId = cur.slices
+          cur.slices += 1
+          var qpY = p.picInitQp + sliceQpDelta
+          require(qpY >= 0 && qpY <= 51, s"slice QP $qpY out of range")
           var mb = firstMb
           while (mb < cur.total && r.moreRbspData) {
             val mbType = r.ue()
-            require(mbType == 25,
-              s"mb_type $mbType: only I_PCM (25) is decodable — " +
-                "compressed macroblocks need an external FrameDecoder " +
-                "binding")
-            r.alignToByte()
-            val mbX = (mb % cur.wMbs) * 16
-            val mbY = (mb / cur.wMbs) * 16
-            var i = 0
-            while (i < 256) {
-              cur.y((mbY + i / 16) * cur.wMbs * 16 + mbX + i % 16) =
-                r.readByte().toByte
-              i += 1
-            }
-            val cX = mbX / 2; val cY = mbY / 2; val cw = cur.wMbs * 8
-            i = 0
-            while (i < 64) {
-              cur.cb((cY + i / 8) * cw + cX + i % 8) = r.readByte().toByte
-              i += 1
-            }
-            i = 0
-            while (i < 64) {
-              cur.cr((cY + i / 8) * cw + cX + i % 8) = r.readByte().toByte
-              i += 1
+            if (mbType == 25) { // I_PCM
+              r.alignToByte()
+              val mbX = (mb % cur.wMbs) * 16
+              val mbY = (mb / cur.wMbs) * 16
+              var i = 0
+              while (i < 256) {
+                cur.y((mbY + i / 16) * cur.wMbs * 16 + mbX + i % 16) =
+                  r.readByte().toByte
+                i += 1
+              }
+              val cX = mbX / 2; val cY = mbY / 2; val cw = cur.wMbs * 8
+              i = 0
+              while (i < 64) {
+                cur.cb((cY + i / 8) * cw + cX + i % 8) = r.readByte().toByte
+                i += 1
+              }
+              i = 0
+              while (i < 64) {
+                cur.cr((cY + i / 8) * cw + cX + i % 8) = r.readByte().toByte
+                i += 1
+              }
+              cur.ctx.sliceId(mb) = sliceId
+              cur.ctx.isIpcm(mb) = true
+            } else {
+              qpY = H264Mb.decodeMb(r, mbType, cur.ctx, mb, sliceId,
+                qpY, p.chromaQpOffset, cur.y, cur.cb, cur.cr)
             }
             cur.mbsDone += 1
             mb += 1
@@ -409,13 +432,31 @@ object H264 {
     val x0 = 2 * s.cropL; val y0 = 2 * s.cropT
     val lw = f.wMbs * 16; val cw = f.wMbs * 8
     val out = new Array[Int](w * h)
+    fillRgb(out, w, h, x0, y0, lw, cw, f.y, f.cb, f.cr)
+    (w, h, out)
+  }
+
+  /** The encoder-side twin of [[toRgb]] (top-left crop origin). */
+  private def planesToRgb(wMbs: Int, hMbs: Int, cropR: Int, cropB: Int,
+                          y: Array[Byte], cb: Array[Byte],
+                          cr: Array[Byte]): (Int, Int, Array[Int]) = {
+    val w = wMbs * 16 - 2 * cropR
+    val h = hMbs * 16 - 2 * cropB
+    val out = new Array[Int](w * h)
+    fillRgb(out, w, h, 0, 0, wMbs * 16, wMbs * 8, y, cb, cr)
+    (w, h, out)
+  }
+
+  private def fillRgb(out: Array[Int], w: Int, h: Int, x0: Int,
+                      y0: Int, lw: Int, cw: Int, yPl: Array[Byte],
+                      cbPl: Array[Byte], crPl: Array[Byte]): Unit = {
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val yy = f.y((y0 + y) * lw + x0 + x) & 0xFF
-        val cb = (f.cb(((y0 + y) / 2) * cw + (x0 + x) / 2) & 0xFF) - 128
-        val cr = (f.cr(((y0 + y) / 2) * cw + (x0 + x) / 2) & 0xFF) - 128
+        val yy = yPl((y0 + y) * lw + x0 + x) & 0xFF
+        val cb = (cbPl(((y0 + y) / 2) * cw + (x0 + x) / 2) & 0xFF) - 128
+        val cr = (crPl(((y0 + y) / 2) * cw + (x0 + x) / 2) & 0xFF) - 128
         def clamp(v: Double): Int =
           math.max(0, math.min(255, math.round(v).toInt))
         val r = clamp(yy + 1.402 * cr)
@@ -426,7 +467,6 @@ object H264 {
       }
       y += 1
     }
-    (w, h, out)
   }
 
   /** Forward full-range BT.601 RGB → (Y, Cb, Cr). */
@@ -475,7 +515,7 @@ object H264 {
     w.toBytes
   }
 
-  private def ppsRbsp(): Array[Byte] = {
+  private def ppsRbsp(deblockingControl: Boolean = false): Array[Byte] = {
     val w = new BitWriter()
     w.ue(0)   // pic_parameter_set_id
     w.ue(0)   // seq_parameter_set_id
@@ -488,7 +528,7 @@ object H264 {
     w.se(0)   // pic_init_qp_minus26
     w.se(0)   // pic_init_qs_minus26
     w.se(0)   // chroma_qp_index_offset
-    w.u(0, 1) // deblocking_filter_control_present_flag
+    w.u(if (deblockingControl) 1 else 0, 1) // deblocking control present
     w.u(0, 1) // constrained_intra_pred_flag
     w.u(0, 1) // redundant_pic_cnt_present_flag
     w.trailingBits()
@@ -597,6 +637,103 @@ object H264 {
       out.write(sliceNal, 0, sliceNal.length)
     }
     out.toByteArray
+  }
+
+  /** Edge-replicated padded YUV planes for one RGB frame: luma at
+    * (wMbs·16 × hMbs·16), chroma 2×2-averaged at half size — the
+    * shared front of both the I_PCM and CAVLC encoders. */
+  private def rgbToPlanes(width: Int, height: Int, wMbs: Int,
+                          hMbs: Int, rgb: Array[Int])
+      : (Array[Int], Array[Int], Array[Int]) = {
+    val lw = wMbs * 16; val lh = hMbs * 16; val cwid = wMbs * 8
+    val yP = new Array[Int](lw * lh)
+    val cbF = new Array[Int](lw * lh)
+    val crF = new Array[Int](lw * lh)
+    var yy = 0
+    while (yy < lh) {
+      var x = 0
+      while (x < lw) {
+        val sx = math.min(x, width - 1)
+        val sy = math.min(yy, height - 1)
+        val (l, cbv, crv) = rgbToYuv(rgb(sy * width + sx))
+        yP(yy * lw + x) = l
+        cbF(yy * lw + x) = cbv
+        crF(yy * lw + x) = crv
+        x += 1
+      }
+      yy += 1
+    }
+    val cbP = new Array[Int](cwid * hMbs * 8)
+    val crP = new Array[Int](cwid * hMbs * 8)
+    var cy = 0
+    while (cy < hMbs * 8) {
+      var cx = 0
+      while (cx < cwid) {
+        val i0 = (2 * cy) * lw + 2 * cx
+        val i1 = i0 + 1; val i2 = i0 + lw; val i3 = i2 + 1
+        cbP(cy * cwid + cx) = (cbF(i0) + cbF(i1) + cbF(i2) + cbF(i3) + 2) / 4
+        crP(cy * cwid + cx) = (crF(i0) + crF(i1) + crF(i2) + crF(i3) + 2) / 4
+        cx += 1
+      }
+      cy += 1
+    }
+    (yP, cbP, crP)
+  }
+
+  /**
+   * Encode frames as a spec-valid Annex-B H.264 stream with REAL
+   * compressed intra macroblocks: CAVLC entropy coding, a
+   * deterministic mix of Intra_4x4 and Intra_16x16 MB types cycling
+   * through every prediction mode that neighbor availability allows
+   * (see [[H264Mb.encodeSliceData]]). Lossy at any `qp` — so, unlike
+   * [[encode]]'s I_PCM output, the pixels a decoder must produce are
+   * the encoder's own integer-exact RECONSTRUCTION, which is returned
+   * alongside the bytes: `decodeFrames(bytes)` equals it bit-exactly
+   * (H264Spec pins this). The slice signals
+   * disable_deblocking_filter_idc=1, so the stream is exact under any
+   * conformant external decoder too, not just this one.
+   */
+  def encodeCavlc(width: Int, height: Int, frames: Seq[Array[Int]],
+                  qp: Int = 26)
+      : (Array[Byte], Seq[(Int, Int, Array[Int])]) = {
+    require(frames.nonEmpty)
+    require(frames.forall(_.length == width * height))
+    require(qp >= 0 && qp <= 51, s"qp $qp out of [0, 51]")
+    require(width % 2 == 0 && height % 2 == 0,
+      "odd display dims need crop in 1-px units (unsupported)")
+    val wMbs = (width + 15) / 16
+    val hMbs = (height + 15) / 16
+    val cropR = (wMbs * 16 - width) / 2
+    val cropB = (hMbs * 16 - height) / 2
+    val out = new java.io.ByteArrayOutputStream()
+    val spsNal = nal(3, 7, spsRbsp(wMbs, hMbs, cropR, cropB))
+    val ppsNal = nal(3, 8, ppsRbsp(deblockingControl = true))
+    out.write(spsNal, 0, spsNal.length)
+    out.write(ppsNal, 0, ppsNal.length)
+    val recon = frames.zipWithIndex.map { case (rgb, f) =>
+      val (srcY, srcCb, srcCr) = rgbToPlanes(width, height, wMbs,
+        hMbs, rgb)
+      val yR = new Array[Byte](wMbs * 16 * hMbs * 16)
+      val cbR = new Array[Byte](wMbs * 8 * hMbs * 8)
+      val crR = new Array[Byte](wMbs * 8 * hMbs * 8)
+      val ctx = new H264Mb.PicCtx(wMbs, hMbs)
+      val w = new BitWriter()
+      w.ue(0)  // first_mb_in_slice
+      w.ue(7)  // slice_type: I
+      w.ue(0)  // pic_parameter_set_id
+      w.u(0, 4) // frame_num
+      w.ue(f & 1) // idr_pic_id
+      w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking (IDR)
+      w.se(qp - 26) // slice_qp_delta vs pic_init_qp 26
+      w.ue(1) // disable_deblocking_filter_idc = 1
+      H264Mb.encodeSliceData(w, ctx, sliceId = 0, sliceQp = qp,
+        chromaQpOffset = 0, srcY, srcCb, srcCr, yR, cbR, crR)
+      w.trailingBits()
+      val sliceNal = nal(3, 5, w.toBytes)
+      out.write(sliceNal, 0, sliceNal.length)
+      planesToRgb(wMbs, hMbs, cropR, cropB, yR, cbR, crR)
+    }
+    (out.toByteArray, recon)
   }
 
   /** True when the payload leads with an Annex-B start code (possibly

@@ -1,0 +1,725 @@
+package graft.multimodal
+
+import H264.{BitReader, BitWriter}
+
+/**
+ * Macroblock layer for CAVLC I slices (§7.3.5, §7.4.5): mb_type
+ * dispatch (I_NxN / I_16x16 / I_PCM), prediction-mode signaling,
+ * coded_block_pattern, per-MB QP tracking, the §9.2.1 nC context
+ * bookkeeping across macroblocks, and full reconstruction through
+ * [[Intra]] + [[Transform]]. The encoder half emits the same syntax
+ * and reconstructs through the IDENTICAL dequant/inverse path a
+ * decoder must implement, so `decode(encode(x)).pixels ==
+ * encoderRecon(x).pixels` bit-exactly — the contract H264Spec pins.
+ */
+private[graft] object H264Mb {
+
+  /** z-order 4x4 luma block scan (§6.4.3): blkIdx → (x, y) in 4x4
+    * units, and back. Left/up neighbors always have a smaller z. */
+  val zx: Array[Int] = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
+  val zy: Array[Int] = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)
+  def zIdx(bx: Int, by: Int): Int =
+    (by & 2) * 4 + (bx & 2) * 2 + (by & 1) * 2 + (bx & 1)
+
+  /** Table 9-4 (intra column): codeNum → coded_block_pattern. */
+  val intraCbpFromCode: Array[Int] = Array(
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41)
+  val intraCodeFromCbp: Array[Int] = {
+    val inv = new Array[Int](48)
+    intraCbpFromCode.zipWithIndex.foreach { case (cbp, code) =>
+      inv(cbp) = code
+    }
+    inv
+  }
+
+  /** Per-picture decode/encode context: slice ownership plus the nC
+    * and Intra4x4-mode neighbor state (§9.2.1, §8.3.1.1). */
+  final class PicCtx(val wMbs: Int, val hMbs: Int) {
+    val sliceId: Array[Int] = Array.fill(wMbs * hMbs)(-1)
+    val isIpcm: Array[Boolean] = new Array[Boolean](wMbs * hMbs)
+    val lumaNz: Array[Array[Int]] =
+      Array.fill(wMbs * hMbs)(new Array[Int](16))
+    val cbNz: Array[Array[Int]] =
+      Array.fill(wMbs * hMbs)(new Array[Int](4))
+    val crNz: Array[Array[Int]] =
+      Array.fill(wMbs * hMbs)(new Array[Int](4))
+    /** Intra4x4PredMode per block; -1 when the MB is not I_4x4. */
+    val i4Modes: Array[Array[Int]] =
+      Array.fill(wMbs * hMbs)(Array.fill(16)(-1))
+  }
+
+  /** Availability of the MB at (mx, my) as a neighbor of a MB in
+    * `sliceId` (§6.4.11.4: in picture, decoded, same slice). */
+  private def mbAvail(ctx: PicCtx, mx: Int, my: Int,
+                      sliceId: Int): Boolean =
+    mx >= 0 && my >= 0 && mx < ctx.wMbs && my < ctx.hMbs &&
+      ctx.sliceId(my * ctx.wMbs + mx) == sliceId
+
+  /** nC contribution of the luma 4x4 block at GLOBAL block coords
+    * (gbx, gby); -1 when unavailable. `curMb`/`curZ` let in-MB
+    * neighbors resolve during this MB's own parse. */
+  private def lumaNzAt(ctx: PicCtx, gbx: Int, gby: Int, sliceId: Int,
+                       curMb: Int, curZ: Int): Int = {
+    if (gbx < 0 || gby < 0 || gbx >= ctx.wMbs * 4 ||
+        gby >= ctx.hMbs * 4) return -1
+    val m = (gby >> 2) * ctx.wMbs + (gbx >> 2)
+    val z = zIdx(gbx & 3, gby & 3)
+    if (m == curMb) {
+      if (z < curZ) ctx.lumaNz(m)(z) else -1
+    } else if (ctx.sliceId(m) == sliceId) {
+      if (ctx.isIpcm(m)) 16 else ctx.lumaNz(m)(z)
+    } else -1
+  }
+
+  /** §9.2.1 nC for the luma 4x4 block (bx, by) of MB (mbX, mbY). */
+  def lumaNC(ctx: PicCtx, mbX: Int, mbY: Int, bx: Int, by: Int,
+             sliceId: Int): Int = {
+    val curMb = mbY * ctx.wMbs + mbX
+    val curZ = zIdx(bx, by)
+    val nA = lumaNzAt(ctx, mbX * 4 + bx - 1, mbY * 4 + by, sliceId,
+      curMb, curZ)
+    val nB = lumaNzAt(ctx, mbX * 4 + bx, mbY * 4 + by - 1, sliceId,
+      curMb, curZ)
+    if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+    else if (nA >= 0) nA
+    else if (nB >= 0) nB
+    else 0
+  }
+
+  private def chromaNzAt(nz: Array[Array[Int]], ctx: PicCtx,
+                         gbx: Int, gby: Int, sliceId: Int,
+                         curMb: Int, curBlk: Int): Int = {
+    if (gbx < 0 || gby < 0 || gbx >= ctx.wMbs * 2 ||
+        gby >= ctx.hMbs * 2) return -1
+    val m = (gby >> 1) * ctx.wMbs + (gbx >> 1)
+    val b = (gby & 1) * 2 + (gbx & 1) // chroma blocks scan in raster
+    if (m == curMb) {
+      if (b < curBlk) nz(m)(b) else -1
+    } else if (ctx.sliceId(m) == sliceId) {
+      if (ctx.isIpcm(m)) 16 else nz(m)(b)
+    } else -1
+  }
+
+  /** §9.2.1 nC for chroma AC block `blk` (raster 0..3) of a MB. */
+  def chromaNC(nz: Array[Array[Int]], ctx: PicCtx, mbX: Int, mbY: Int,
+               blk: Int, sliceId: Int): Int = {
+    val curMb = mbY * ctx.wMbs + mbX
+    val bx = blk & 1; val by = blk >> 1
+    val nA = chromaNzAt(nz, ctx, mbX * 2 + bx - 1, mbY * 2 + by,
+      sliceId, curMb, blk)
+    val nB = chromaNzAt(nz, ctx, mbX * 2 + bx, mbY * 2 + by - 1,
+      sliceId, curMb, blk)
+    if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+    else if (nA >= 0) nA
+    else if (nB >= 0) nB
+    else 0
+  }
+
+  /** §8.3.1.1 predicted Intra4x4 mode for block (bx, by): min of the
+    * left/up blocks' modes; unavailable or non-I4x4 neighbor → 2. */
+  def predIntra4x4Mode(ctx: PicCtx, mbX: Int, mbY: Int, bx: Int,
+                       by: Int, sliceId: Int,
+                       curModes: Array[Int]): Int = {
+    def modeAt(gbx: Int, gby: Int): Int = {
+      if (gbx < 0 || gby < 0) return 2
+      val m = (gby >> 2) * ctx.wMbs + (gbx >> 2)
+      val z = zIdx(gbx & 3, gby & 3)
+      val curMb = mbY * ctx.wMbs + mbX
+      if (m == curMb) {
+        val v = curModes(z) // z-order: left/up in-MB already assigned
+        if (v >= 0) v else 2
+      } else if (ctx.sliceId(m) == sliceId) {
+        val v = ctx.i4Modes(m)(z)
+        if (v >= 0) v else 2 // I16x16 / I_PCM neighbor → DC
+      } else 2
+    }
+    math.min(modeAt(mbX * 4 + bx - 1, mbY * 4 + by),
+      modeAt(mbX * 4 + bx, mbY * 4 + by - 1))
+  }
+
+  /** Sample-level availability of the 4x4 block at global BLOCK
+    * coords — used for intra prediction neighbor samples. Within the
+    * current MB, earlier-in-z blocks are reconstructed and available. */
+  private def blkSamplesAvail(ctx: PicCtx, gbx: Int, gby: Int,
+                              sliceId: Int, curMb: Int,
+                              curZ: Int): Boolean = {
+    if (gbx < 0 || gby < 0 || gbx >= ctx.wMbs * 4 ||
+        gby >= ctx.hMbs * 4) return false
+    val m = (gby >> 2) * ctx.wMbs + (gbx >> 2)
+    if (m == curMb) zIdx(gbx & 3, gby & 3) < curZ
+    else ctx.sliceId(m) == sliceId
+  }
+
+  @inline private def clipB(v: Int): Byte =
+    (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+
+  /** Carrier for one parsed+reconstructed MB's syntax, so encode and
+    * decode can share the write/parse ordering exactly. */
+  private final case class MbCoeffs(
+      lumaDc: Array[Int], // 16, scan order (I_16x16 only)
+      lumaAc: Array[Array[Int]], // per z-blk; 15 or 16 coeffs scan
+      cbDc: Array[Int], crDc: Array[Int], // 4, scan order
+      cbAc: Array[Array[Int]], crAc: Array[Array[Int]]) // raster blks
+
+  // ---------------------------------------------------------------
+  // decode
+  // ---------------------------------------------------------------
+
+  /**
+   * Decode one non-I_PCM intra MB (mb_type already read): parses
+   * prediction + CBP + mb_qp_delta + CAVLC residuals, reconstructs
+   * into the planes, updates `ctx`. Returns the new luma QP.
+   */
+  def decodeMb(r: BitReader, mbType: Int, ctx: PicCtx, mbIdx: Int,
+               sliceId: Int, qpYPrev: Int, chromaQpOffset: Int,
+               yP: Array[Byte], cbP: Array[Byte],
+               crP: Array[Byte]): Int = {
+    require(mbType >= 0 && mbType <= 24,
+      s"mb_type $mbType is not an intra CAVLC type")
+    val mbX = mbIdx % ctx.wMbs
+    val mbY = mbIdx / ctx.wMbs
+    val is4x4 = mbType == 0
+    ctx.sliceId(mbIdx) = sliceId // neighbors resolve during parse
+
+    // --- mb_pred ---
+    val modes = Array.fill(16)(-1)
+    if (is4x4) {
+      var z = 0
+      while (z < 16) {
+        val pred = predIntra4x4Mode(ctx, mbX, mbY, zx(z), zy(z),
+          sliceId, modes)
+        modes(z) =
+          if (r.u(1) == 1) pred
+          else { val rem = r.u(3); if (rem < pred) rem else rem + 1 }
+        z += 1
+      }
+      ctx.i4Modes(mbIdx) = modes
+    }
+    val chromaMode = r.ue()
+    require(chromaMode <= 3, s"intra_chroma_pred_mode $chromaMode")
+
+    // --- CBP + QP ---
+    val (cbpLuma, cbpChroma, pred16Mode) =
+      if (is4x4) {
+        val code = r.ue()
+        require(code < 48, s"cbp codeNum $code out of range")
+        val cbp = intraCbpFromCode(code)
+        (cbp & 15, cbp >> 4, -1)
+      } else {
+        val m1 = mbType - 1
+        (if (m1 >= 12) 15 else 0, (m1 / 4) % 3, m1 % 4)
+      }
+    var qpY = qpYPrev
+    if (!is4x4 || cbpLuma != 0 || cbpChroma != 0) {
+      val delta = r.se()
+      require(delta >= -26 && delta <= 25, s"mb_qp_delta $delta")
+      qpY = (qpY + delta + 52) % 52
+    }
+    val qpC = Transform.chromaQp(qpY, chromaQpOffset)
+
+    // --- residual parse (§7.3.5.3), recording nz context as we go ---
+    val lumaDc = new Array[Int](16)
+    if (!is4x4) {
+      val nC = lumaNC(ctx, mbX, mbY, 0, 0, sliceId)
+      val (c, _) = Cavlc.readResidualBlock(r, nC, 16)
+      System.arraycopy(c, 0, lumaDc, 0, 16)
+    }
+    val lumaAc = new Array[Array[Int]](16)
+    var z = 0
+    while (z < 16) {
+      val grp = z >> 2
+      if ((cbpLuma & (1 << grp)) != 0) {
+        val nC = lumaNC(ctx, mbX, mbY, zx(z), zy(z), sliceId)
+        val n = if (is4x4) 16 else 15
+        val (c, tc) = Cavlc.readResidualBlock(r, nC, n)
+        lumaAc(z) = c
+        ctx.lumaNz(mbIdx)(z) = tc
+      } else {
+        lumaAc(z) = new Array[Int](if (is4x4) 16 else 15)
+        ctx.lumaNz(mbIdx)(z) = 0
+      }
+      z += 1
+    }
+    val cbDc = new Array[Int](4); val crDc = new Array[Int](4)
+    if (cbpChroma != 0) {
+      System.arraycopy(Cavlc.readResidualBlock(r, -1, 4)._1, 0, cbDc, 0, 4)
+      System.arraycopy(Cavlc.readResidualBlock(r, -1, 4)._1, 0, crDc, 0, 4)
+    }
+    val cbAc = Array.fill(4)(new Array[Int](15))
+    val crAc = Array.fill(4)(new Array[Int](15))
+    if (cbpChroma == 2) {
+      var b = 0
+      while (b < 4) {
+        val nC = chromaNC(ctx.cbNz, ctx, mbX, mbY, b, sliceId)
+        val (c, tc) = Cavlc.readResidualBlock(r, nC, 15)
+        cbAc(b) = c; ctx.cbNz(mbIdx)(b) = tc
+        b += 1
+      }
+      b = 0
+      while (b < 4) {
+        val nC = chromaNC(ctx.crNz, ctx, mbX, mbY, b, sliceId)
+        val (c, tc) = Cavlc.readResidualBlock(r, nC, 15)
+        crAc(b) = c; ctx.crNz(mbIdx)(b) = tc
+        b += 1
+      }
+    }
+
+    reconstruct(ctx, mbIdx, sliceId, qpY, qpC, is4x4, modes,
+      pred16Mode, chromaMode, cbpChroma,
+      MbCoeffs(lumaDc, lumaAc, cbDc, crDc, cbAc, crAc), yP, cbP, crP)
+    qpY
+  }
+
+  // ---------------------------------------------------------------
+  // shared reconstruction (the decoder path; the encoder calls it too)
+  // ---------------------------------------------------------------
+
+  private def reconstruct(ctx: PicCtx, mbIdx: Int, sliceId: Int,
+                          qpY: Int, qpC: Int, is4x4: Boolean,
+                          modes: Array[Int], pred16Mode: Int,
+                          chromaMode: Int, cbpChroma: Int,
+                          co: MbCoeffs, yP: Array[Byte],
+                          cbP: Array[Byte], crP: Array[Byte]): Unit = {
+    val mbX = mbIdx % ctx.wMbs
+    val mbY = mbIdx / ctx.wMbs
+    val lw = ctx.wMbs * 16
+    val cw = ctx.wMbs * 8
+    val x0 = mbX * 16; val y0 = mbY * 16
+    val availLeftMb = mbAvail(ctx, mbX - 1, mbY, sliceId)
+    val availUpMb = mbAvail(ctx, mbX, mbY - 1, sliceId)
+    val availUpLeftMb = mbAvail(ctx, mbX - 1, mbY - 1, sliceId)
+    val pred = new Array[Int](256)
+
+    if (is4x4) {
+      var z = 0
+      val p4 = new Array[Int](16)
+      while (z < 16) {
+        val bx = zx(z); val by = zy(z)
+        val gbx = mbX * 4 + bx; val gby = mbY * 4 + by
+        val aL = blkSamplesAvail(ctx, gbx - 1, gby, sliceId, mbIdx, z)
+        val aU = blkSamplesAvail(ctx, gbx, gby - 1, sliceId, mbIdx, z)
+        val aUL = blkSamplesAvail(ctx, gbx - 1, gby - 1, sliceId, mbIdx, z)
+        val aUR = blkSamplesAvail(ctx, gbx + 1, gby - 1, sliceId, mbIdx, z)
+        Intra.predict4x4(yP, lw, x0 + bx * 4, y0 + by * 4, modes(z),
+          aL, aU, aUL, aUR, p4)
+        // dequant + inverse transform (all 16 coeffs standalone)
+        val d = new Array[Int](16)
+        var k = 0
+        while (k < 16) {
+          val raster = Transform.zigzag4x4(k)
+          d(raster) = Transform.dequant(co.lumaAc(z)(k), qpY, raster)
+          k += 1
+        }
+        val res = Transform.inverse4x4(d)
+        var i = 0
+        while (i < 16) {
+          val px = x0 + bx * 4 + (i & 3); val py = y0 + by * 4 + (i >> 2)
+          yP(py * lw + px) = clipB(p4(i) + res(i))
+          i += 1
+        }
+        z += 1
+      }
+    } else {
+      Intra.predict16x16(yP, lw, x0, y0, pred16Mode, availLeftMb,
+        availUpMb, pred)
+      // luma DC: scan → raster, inverse Hadamard, dequant (§8.5.10)
+      val dcRaster = new Array[Int](16)
+      var k = 0
+      while (k < 16) {
+        dcRaster(Transform.zigzag4x4(k)) = co.lumaDc(k); k += 1
+      }
+      val dcT = Transform.hadamard4x4(dcRaster)
+        .map(Transform.dequantLumaDc(_, qpY))
+      var z = 0
+      while (z < 16) {
+        val bx = zx(z); val by = zy(z)
+        val d = new Array[Int](16)
+        d(0) = dcT(by * 4 + bx)
+        var j = 0
+        while (j < 15) {
+          val raster = Transform.zigzag4x4(j + 1)
+          d(raster) = Transform.dequant(co.lumaAc(z)(j), qpY, raster)
+          j += 1
+        }
+        val res = Transform.inverse4x4(d)
+        var i = 0
+        while (i < 16) {
+          val lx = bx * 4 + (i & 3); val ly = by * 4 + (i >> 2)
+          yP((y0 + ly) * lw + x0 + lx) =
+            clipB(pred(ly * 16 + lx) + res(i))
+          i += 1
+        }
+        z += 1
+      }
+    }
+
+    // chroma
+    val cx0 = mbX * 8; val cy0 = mbY * 8
+    val predC = new Array[Int](64)
+    def reconChroma(plane: Array[Byte], dcScan: Array[Int],
+                    ac: Array[Array[Int]]): Unit = {
+      Intra.predictChroma(plane, cw, cx0, cy0, chromaMode,
+        availLeftMb, availUpMb, predC)
+      val dc =
+        if (cbpChroma != 0)
+          Transform.chromaDcTransformDequant(dcScan, qpC)
+        else Array(0, 0, 0, 0)
+      var b = 0
+      while (b < 4) {
+        val bx = b & 1; val by = b >> 1
+        val d = new Array[Int](16)
+        d(0) = dc(b)
+        if (cbpChroma == 2) {
+          var j = 0
+          while (j < 15) {
+            val raster = Transform.zigzag4x4(j + 1)
+            d(raster) = Transform.dequant(ac(b)(j), qpC, raster)
+            j += 1
+          }
+        }
+        val res = Transform.inverse4x4(d)
+        var i = 0
+        while (i < 16) {
+          val px = bx * 4 + (i & 3); val py = by * 4 + (i >> 2)
+          plane((cy0 + py) * cw + cx0 + px) =
+            clipB(predC(py * 8 + px) + res(i))
+          i += 1
+        }
+        b += 1
+      }
+    }
+    reconChroma(cbP, co.cbDc, co.cbAc)
+    reconChroma(crP, co.crDc, co.crAc)
+  }
+
+  // ---------------------------------------------------------------
+  // encode (fixture generator)
+  // ---------------------------------------------------------------
+
+  /**
+   * Encode one frame's MBs as CAVLC slice data into `w`, writing the
+   * reconstructed pixels into the recon planes (which double as the
+   * prediction source, exactly like a decoder's frame buffer). MB
+   * types and prediction modes cycle deterministically over the
+   * available choices so fixtures exercise I_4x4 AND I_16x16, every
+   * 16x16/chroma mode, and a spread of 4x4 modes. Returns nothing —
+   * the caller wraps `w` into a slice NAL.
+   */
+  def encodeSliceData(wr: BitWriter, ctx: PicCtx, sliceId: Int,
+                      sliceQp: Int, chromaQpOffset: Int,
+                      srcY: Array[Int], srcCb: Array[Int],
+                      srcCr: Array[Int], yP: Array[Byte],
+                      cbP: Array[Byte], crP: Array[Byte]): Unit = {
+    val lw = ctx.wMbs * 16
+    val cw = ctx.wMbs * 8
+    var qpY = sliceQp
+    var mbIdx = 0
+    while (mbIdx < ctx.wMbs * ctx.hMbs) {
+      val mbX = mbIdx % ctx.wMbs
+      val mbY = mbIdx / ctx.wMbs
+      val x0 = mbX * 16; val y0 = mbY * 16
+      ctx.sliceId(mbIdx) = sliceId
+      val availLeftMb = mbAvail(ctx, mbX - 1, mbY, sliceId) &&
+        mbX > 0 // same-slice left
+      val availUpMb = mbAvail(ctx, mbX, mbY - 1, sliceId)
+      val is4x4 = (mbX + mbY) % 3 == 0
+      val qpC = Transform.chromaQp(qpY, chromaQpOffset)
+
+      val modes = Array.fill(16)(-1)
+      val lumaAc = new Array[Array[Int]](16)
+      val lumaDc = new Array[Int](16)
+      var pred16Mode = -1
+
+      if (is4x4) {
+        // per-block: choose mode, predict from RECON, transform+quant,
+        // then reconstruct immediately (later blocks predict from it)
+        val p4 = new Array[Int](16)
+        var z = 0
+        while (z < 16) {
+          val bx = zx(z); val by = zy(z)
+          val gbx = mbX * 4 + bx; val gby = mbY * 4 + by
+          val aL = blkSamplesAvail(ctx, gbx - 1, gby, sliceId, mbIdx, z)
+          val aU = blkSamplesAvail(ctx, gbx, gby - 1, sliceId, mbIdx, z)
+          val aUL = blkSamplesAvail(ctx, gbx - 1, gby - 1, sliceId,
+            mbIdx, z)
+          val aUR = blkSamplesAvail(ctx, gbx + 1, gby - 1, sliceId,
+            mbIdx, z)
+          def ok(m: Int): Boolean = m match {
+            case 0 | 3 | 7 => aU
+            case 1 | 8 => aL
+            case 2 => true
+            case _ => aL && aU && aUL
+          }
+          var m = (z + mbIdx) % 9
+          while (!ok(m)) m = (m + 1) % 9
+          modes(z) = m
+          Intra.predict4x4(yP, lw, x0 + bx * 4, y0 + by * 4, m,
+            aL, aU, aUL, aUR, p4)
+          val diff = new Array[Int](16)
+          var i = 0
+          while (i < 16) {
+            diff(i) = (srcY((y0 + by * 4 + (i >> 2)) * lw +
+              x0 + bx * 4 + (i & 3)) & 0xFF) - p4(i)
+            i += 1
+          }
+          val wCoef = Transform.forward4x4(diff)
+          val scan = new Array[Int](16)
+          var k = 0
+          while (k < 16) {
+            val raster = Transform.zigzag4x4(k)
+            scan(k) = Transform.quant(wCoef(raster), qpY, raster)
+            k += 1
+          }
+          lumaAc(z) = scan
+          // immediate recon (decoder path)
+          val d = new Array[Int](16)
+          k = 0
+          while (k < 16) {
+            val raster = Transform.zigzag4x4(k)
+            d(raster) = Transform.dequant(scan(k), qpY, raster)
+            k += 1
+          }
+          val res = Transform.inverse4x4(d)
+          i = 0
+          while (i < 16) {
+            yP((y0 + by * 4 + (i >> 2)) * lw + x0 + bx * 4 + (i & 3)) =
+              clipB(p4(i) + res(i))
+            i += 1
+          }
+          z += 1
+        }
+        ctx.i4Modes(mbIdx) = modes
+      } else {
+        val okModes = Seq(2) ++
+          (if (availUpMb) Seq(0) else Nil) ++
+          (if (availLeftMb) Seq(1) else Nil) ++
+          (if (availLeftMb && availUpMb) Seq(3) else Nil)
+        pred16Mode = okModes((mbIdx / 2) % okModes.size)
+        val pred = new Array[Int](256)
+        Intra.predict16x16(yP, lw, x0, y0, pred16Mode, availLeftMb,
+          availUpMb, pred)
+        // forward transform per block; DC coeffs get the Hadamard
+        val dcRaster = new Array[Int](16)
+        val acScan = new Array[Array[Int]](16)
+        var z = 0
+        while (z < 16) {
+          val bx = zx(z); val by = zy(z)
+          val diff = new Array[Int](16)
+          var i = 0
+          while (i < 16) {
+            diff(i) = (srcY((y0 + by * 4 + (i >> 2)) * lw +
+              x0 + bx * 4 + (i & 3)) & 0xFF) - pred((by * 4 + (i >> 2)) * 16 + bx * 4 + (i & 3))
+            i += 1
+          }
+          val wCoef = Transform.forward4x4(diff)
+          dcRaster(by * 4 + bx) = wCoef(0)
+          val scan = new Array[Int](15)
+          var k = 0
+          while (k < 15) {
+            val raster = Transform.zigzag4x4(k + 1)
+            scan(k) = Transform.quant(wCoef(raster), qpY, raster)
+            k += 1
+          }
+          acScan(z) = scan
+          z += 1
+        }
+        // DC: forward Hadamard with the reference >>1 then quantDc
+        val had = Transform.hadamard4x4(dcRaster).map(v =>
+          if (v >= 0) (v + 1) >> 1 else -((-v + 1) >> 1))
+        var k = 0
+        while (k < 16) {
+          lumaDc(k) = Transform.quantDc(had(Transform.zigzag4x4(k)), qpY)
+          k += 1
+        }
+        System.arraycopy(acScan, 0, lumaAc, 0, 16)
+      }
+
+      // chroma: predict, transform, quant (shared by both MB types)
+      val chromaOk = Seq(0) ++
+        (if (availLeftMb) Seq(1) else Nil) ++
+        (if (availUpMb) Seq(2) else Nil) ++
+        (if (availLeftMb && availUpMb) Seq(3) else Nil)
+      val chromaMode = chromaOk(mbIdx % chromaOk.size)
+      val cx0 = mbX * 8; val cy0 = mbY * 8
+      def chromaCoeffs(src: Array[Int], plane: Array[Byte])
+          : (Array[Int], Array[Array[Int]]) = {
+        val predC = new Array[Int](64)
+        Intra.predictChroma(plane, cw, cx0, cy0, chromaMode,
+          availLeftMb, availUpMb, predC)
+        val dcRaw = new Array[Int](4)
+        val ac = new Array[Array[Int]](4)
+        var b = 0
+        while (b < 4) {
+          val bx = b & 1; val by = b >> 1
+          val diff = new Array[Int](16)
+          var i = 0
+          while (i < 16) {
+            diff(i) = (src((cy0 + by * 4 + (i >> 2)) * cw +
+              cx0 + bx * 4 + (i & 3)) & 0xFF) -
+              predC((by * 4 + (i >> 2)) * 8 + bx * 4 + (i & 3))
+            i += 1
+          }
+          val wCoef = Transform.forward4x4(diff)
+          dcRaw(b) = wCoef(0)
+          val scan = new Array[Int](15)
+          var k = 0
+          while (k < 15) {
+            val raster = Transform.zigzag4x4(k + 1)
+            scan(k) = Transform.quant(wCoef(raster), qpC, raster)
+            k += 1
+          }
+          ac(b) = scan
+          b += 1
+        }
+        val dcQ = Transform.hadamard2x2(dcRaw).map(
+          Transform.quantDc(_, qpC))
+        (dcQ, ac)
+      }
+      val (cbDc, cbAc) = chromaCoeffs(srcCb, cbP)
+      val (crDc, crAc) = chromaCoeffs(srcCr, crP)
+
+      // CBP from the quantized coefficients
+      var cbpLuma = 0
+      if (is4x4) {
+        var g = 0
+        while (g < 4) {
+          if ((0 until 4).exists(s => lumaAc(g * 4 + s).exists(_ != 0)))
+            cbpLuma |= 1 << g
+          g += 1
+        }
+      } else if (lumaAc.exists(_.exists(_ != 0))) cbpLuma = 15
+      val anyChromaAc = cbAc.exists(_.exists(_ != 0)) ||
+        crAc.exists(_.exists(_ != 0))
+      val anyChromaDc = cbDc.exists(_ != 0) || crDc.exists(_ != 0)
+      val cbpChroma =
+        if (anyChromaAc) 2 else if (anyChromaDc) 1 else 0
+
+      // --- emit syntax (mirror of decodeMb's parse order) ---
+      val mbType =
+        if (is4x4) 0
+        else 1 + pred16Mode + 4 * cbpChroma +
+          12 * (if (cbpLuma == 15) 1 else 0)
+      wr.ue(mbType)
+      if (is4x4) {
+        var z = 0
+        while (z < 16) {
+          val pm = predIntra4x4Mode(ctx, mbX, mbY, zx(z), zy(z),
+            sliceId, modes)
+          if (modes(z) == pm) wr.u(1, 1)
+          else {
+            wr.u(0, 1)
+            wr.u(if (modes(z) < pm) modes(z) else modes(z) - 1, 3)
+          }
+          z += 1
+        }
+      }
+      wr.ue(chromaMode)
+      if (is4x4)
+        wr.ue(intraCodeFromCbp(cbpLuma | (cbpChroma << 4)))
+      if (!is4x4 || cbpLuma != 0 || cbpChroma != 0)
+        wr.se(0) // constant-QP fixtures
+      // residuals, with the same nz bookkeeping order as decode
+      if (!is4x4) {
+        val nC = lumaNC(ctx, mbX, mbY, 0, 0, sliceId)
+        Cavlc.writeResidualBlock(wr, lumaDc, nC)
+      }
+      var z = 0
+      while (z < 16) {
+        val grp = z >> 2
+        if ((cbpLuma & (1 << grp)) != 0) {
+          val nC = lumaNC(ctx, mbX, mbY, zx(z), zy(z), sliceId)
+          ctx.lumaNz(mbIdx)(z) =
+            Cavlc.writeResidualBlock(wr, lumaAc(z), nC)
+        } else ctx.lumaNz(mbIdx)(z) = 0
+        z += 1
+      }
+      if (cbpChroma != 0) {
+        Cavlc.writeResidualBlock(wr, cbDc, -1)
+        Cavlc.writeResidualBlock(wr, crDc, -1)
+      }
+      if (cbpChroma == 2) {
+        var b = 0
+        while (b < 4) {
+          val nC = chromaNC(ctx.cbNz, ctx, mbX, mbY, b, sliceId)
+          ctx.cbNz(mbIdx)(b) = Cavlc.writeResidualBlock(wr, cbAc(b), nC)
+          b += 1
+        }
+        b = 0
+        while (b < 4) {
+          val nC = chromaNC(ctx.crNz, ctx, mbX, mbY, b, sliceId)
+          ctx.crNz(mbIdx)(b) = Cavlc.writeResidualBlock(wr, crAc(b), nC)
+          b += 1
+        }
+      } else {
+        var b = 0
+        while (b < 4) {
+          ctx.cbNz(mbIdx)(b) = 0; ctx.crNz(mbIdx)(b) = 0; b += 1
+        }
+      }
+
+      // reconstruct I_16x16 luma + chroma through the decoder path
+      // (I_4x4 luma already reconstructed block-by-block above)
+      if (!is4x4) {
+        val co = MbCoeffs(lumaDc, lumaAc, cbDc, crDc, cbAc, crAc)
+        reconstruct(ctx, mbIdx, sliceId, qpY, qpC, is4x4 = false,
+          modes, pred16Mode, chromaMode, cbpChroma, co, yP, cbP, crP)
+      } else {
+        // chroma-only recon for the I_4x4 MB
+        val co = MbCoeffs(lumaDc, Array.fill(16)(new Array[Int](16)),
+          cbDc, crDc, cbAc, crAc)
+        reconChromaOnly(ctx, mbIdx, sliceId, qpC, chromaMode,
+          cbpChroma, co, cbP, crP, availLeftMb, availUpMb)
+      }
+      mbIdx += 1
+    }
+  }
+
+  private def reconChromaOnly(ctx: PicCtx, mbIdx: Int, sliceId: Int,
+                              qpC: Int, chromaMode: Int,
+                              cbpChroma: Int, co: MbCoeffs,
+                              cbP: Array[Byte], crP: Array[Byte],
+                              availLeftMb: Boolean,
+                              availUpMb: Boolean): Unit = {
+    val mbX = mbIdx % ctx.wMbs
+    val mbY = mbIdx / ctx.wMbs
+    val cw = ctx.wMbs * 8
+    val cx0 = mbX * 8; val cy0 = mbY * 8
+    val predC = new Array[Int](64)
+    def go(plane: Array[Byte], dcScan: Array[Int],
+           ac: Array[Array[Int]]): Unit = {
+      Intra.predictChroma(plane, cw, cx0, cy0, chromaMode,
+        availLeftMb, availUpMb, predC)
+      val dc =
+        if (cbpChroma != 0)
+          Transform.chromaDcTransformDequant(dcScan, qpC)
+        else Array(0, 0, 0, 0)
+      var b = 0
+      while (b < 4) {
+        val bx = b & 1; val by = b >> 1
+        val d = new Array[Int](16)
+        d(0) = dc(b)
+        if (cbpChroma == 2) {
+          var j = 0
+          while (j < 15) {
+            val raster = Transform.zigzag4x4(j + 1)
+            d(raster) = Transform.dequant(ac(b)(j), qpC, raster)
+            j += 1
+          }
+        }
+        val res = Transform.inverse4x4(d)
+        var i = 0
+        while (i < 16) {
+          val px = bx * 4 + (i & 3); val py = by * 4 + (i >> 2)
+          plane((cy0 + py) * cw + cx0 + px) =
+            clipB(predC(py * 8 + px) + res(i))
+          i += 1
+        }
+        b += 1
+      }
+    }
+    go(cbP, co.cbDc, co.cbAc)
+    go(crP, co.crDc, co.crAc)
+  }
+}

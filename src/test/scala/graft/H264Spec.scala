@@ -231,30 +231,18 @@ class H264Spec extends SparkSpec {
     assert(got.toSeq == Seq(0L))
   }
 
-  test("non-I_PCM macroblocks fail with a NAMED error (the external-" +
+  test("out-of-range mb_type fails with a NAMED error (the external-" +
       "binding boundary), not garbage output") {
-    // splice a slice whose first mb_type ue != 25: flip the encoded
-    // mb_type bits by re-encoding a 1-MB frame and corrupting the
-    // slice payload right after the (byte-aligned) header prefix is
-    // hard to pin; instead drive the parser directly with a crafted
-    // stream: reuse SPS/PPS from a real encode, then append a slice
-    // NAL whose RBSP is the real one with the first mb_type ue(25)
-    // (10 bits 000001 1010) overwritten by ue(0) (1 bit, '1') — the
-    // parser must reject mb_type 0 by name.
+    // craft a slice whose first mb_type ue is 26 — not an intra type
+    // (0 = I_NxN, 1..24 = I_16x16, 25 = I_PCM); the parser must
+    // reject it by name rather than emit garbage. (mb_type 0, the old
+    // boundary, is now a DECODED type — CavlcSpec covers it.)
     val real = Multimodal.syntheticH264(1L, 16, 16, 1)
     val nals = H264.nalUnits(real)
-    val slice = nals.find(n => (n(0) & 0x1F) == 5).get
-    val rbsp = H264.ebspToRbsp(slice, 1)
-    // slice header for this fixture: ue(0) ue(7) ue(0) u4(0) ue(idr)
-    // u(1) u(1) se(0) = 1+5+1+4+1|3+1+1+1 bits... locate mb_type by
-    // decoding: replay the reader to the macroblock layer
-    val r = new H264.BitReader(rbsp)
-    r.ue(); r.ue(); r.ue(); r.u(4); r.ue(); r.u(1); r.u(1); r.se()
-    // build a new RBSP: same header bits, then ue(0) as mb_type
     val w = new H264.BitWriter()
     w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0); w.u(0, 1)
     w.u(0, 1); w.se(0)
-    w.ue(0) // mb_type 0: I_4x4 — unsupported by design
+    w.ue(26) // mb_type 26: beyond the I-slice table
     w.trailingBits()
     val crafted = nals.takeWhile(n => (n(0) & 0x1F) != 5)
     val stream = crafted.flatMap(n =>
@@ -263,8 +251,7 @@ class H264Spec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       H264.decodeFrames(stream)
     }
-    assert(e.getMessage.contains("I_PCM"))
-    assert(e.getMessage.contains("external"))
+    assert(e.getMessage.contains("intra"), e.getMessage)
   }
 
   test("fixture margin for the q_video_fp_dedup_h264 oracle: planted " +
