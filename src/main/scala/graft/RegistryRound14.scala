@@ -90,5 +90,30 @@ private[graft] object RegistryRound14 {
               CAST(1 AS BOOLEAN) AS groups_n_exact,
               CAST(1 AS BOOLEAN) AS groups_rank_ok,
               CAST(1 AS BOOLEAN) AS union_n_exact,
-              CAST(1 AS BOOLEAN) AS union_rank_ok""")))
+              CAST(1 AS BOOLEAN) AS union_rank_ok""")),
+
+    // MP4 video dedup (round 14): the SAME planted-duplicate
+    // construction and oracle as q_video_fp_dedup /
+    // q_video_fp_dedup_h264, but every payload is a REAL .mp4 file —
+    // ISO-BMFF container (ftyp/moov/stbl sample tables, avcC
+    // parameter sets, length-prefixed NALs; multimodal.Mp4) wrapping
+    // CAVLC-COMPRESSED intra H.264 (Intra_4x4 + Intra_16x16
+    // macroblocks, adaptive-suffix level coding; multimodal.H264Mb) —
+    // i.e. the shape actual video files arrive in, decoded end-to-end
+    // by the built-in path with zero external dependencies.
+    // FrameDecoder.Auto sniffs ftyp → demux → intra decode; identical
+    // oracle = the codec-AND-container-agnosticism contract. (CABAC,
+    // P/B slices and deblocking remain the documented SPI boundary —
+    // H264Spec/CavlcSpec pin the named errors.)
+    Q("q_video_fp_dedup_mp4",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        Multimodal.videoNearDuplicates(
+          Multimodal.syntheticMp4Corpus(s, nContents = 30, copies = 3),
+          maxHamming = 4)
+      },
+      Some("""SELECT a.i AS id_a, b.i AS id_b, 0 AS hamming
+              FROM generate_series(0, 89) a(i)
+                JOIN generate_series(0, 89) b(i)
+                ON a.i < b.i AND a.i % 30 = b.i % 30""")))
 }

@@ -46,13 +46,22 @@ object FrameDecoder {
       H264.framesAsPng(bytes)
   }
 
-  /** The default: container-sniffing dispatch — Annex-B start code →
-    * the H.264 path, else MJPEG. A corpus can mix containers; the
-    * sniff reads ≤16 leading bytes and is deterministic per payload,
-    * so fingerprints stay pure functions of the bytes. */
+  /** The MP4 (ISO-BMFF) path: demux avcC + length-prefixed samples
+    * to Annex-B, then the built-in H.264 intra decode. */
+  object Mp4File extends FrameDecoder {
+    def frames(bytes: Array[Byte]): Seq[Array[Byte]] =
+      H264.framesAsPng(Mp4.demuxToAnnexB(bytes))
+  }
+
+  /** The default: container-sniffing dispatch — `ftyp` → MP4 demux →
+    * H.264, Annex-B start code → H.264, else MJPEG. A corpus can mix
+    * containers; the sniff reads ≤16 leading bytes and is
+    * deterministic per payload, so fingerprints stay pure functions
+    * of the bytes. */
   object Auto extends FrameDecoder {
     def frames(bytes: Array[Byte]): Seq[Array[Byte]] =
-      if (H264.looksLikeAnnexB(bytes)) H264IPcm.frames(bytes)
+      if (Mp4.looksLikeMp4(bytes)) Mp4File.frames(bytes)
+      else if (H264.looksLikeAnnexB(bytes)) H264IPcm.frames(bytes)
       else Mjpeg.frames(bytes)
   }
 
@@ -1387,10 +1396,12 @@ object Multimodal {
     }
   }
 
-  /** The [[syntheticMjpeg]] pixel pattern, H.264-encoded. */
-  private[graft] def syntheticH264(id: Long, w: Int, h: Int,
-                                        frames: Int): Array[Byte] =
-    H264.encode(w, h, (0 until frames).map { f =>
+  /** The [[syntheticMjpeg]] per-frame pixel pattern — shared by the
+    * MJPEG, Annex-B and MP4 fixture encoders so the planted-duplicate
+    * structure (and oracle) is identical across containers. */
+  private def fixtureFrames(id: Long, w: Int, h: Int,
+                            frames: Int): Seq[Array[Int]] =
+    (0 until frames).map { f =>
       val px = new Array[Int](w * h)
       var x = 0
       while (x < w) {
@@ -1405,7 +1416,39 @@ object Multimodal {
         x += 1
       }
       px
-    })
+    }
+
+  /** The [[syntheticMjpeg]] pixel pattern, H.264-encoded (I_PCM). */
+  private[graft] def syntheticH264(id: Long, w: Int, h: Int,
+                                   frames: Int): Array[Byte] =
+    H264.encode(w, h, fixtureFrames(id, w, h, frames))
+
+  /** The same pixel pattern as a REAL .mp4 file: CAVLC-compressed
+    * intra macroblocks ([[H264.encodeCavlc]]) muxed into ISO-BMFF
+    * with avcC + length-prefixed samples ([[Mp4.fromAnnexB]]) — the
+    * shape actual video files arrive in. Deterministic bytes, so
+    * planted copies stay byte-identical and fingerprint at distance
+    * 0 just like the MJPEG/Annex-B fixtures. */
+  private[graft] def syntheticMp4(id: Long, w: Int, h: Int,
+                                  frames: Int): Array[Byte] =
+    Mp4.fromAnnexB(
+      H264.encodeCavlc(w, h, fixtureFrames(id, w, h, frames),
+        qp = 26)._1, w, h)
+
+  /** [[syntheticH264Corpus]] with every payload a real MP4 file of
+    * CAVLC-compressed H.264 — decoded through [[FrameDecoder.Auto]]'s
+    * ftyp sniff and the container demux, no external binding. */
+  def syntheticMp4Corpus(spark: SparkSession, nContents: Int,
+                         copies: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(nContents.toLong * copies).as[Long].map { id =>
+      val content = id % nContents
+      val w = 64 + (content % 4).toInt * 16
+      val h = 64 + (content % 3).toInt * 16
+      MediaRow(id, "video", syntheticMp4(content, w, h, frames = 5),
+        MediaMeta(w, h, 0, 5))
+    }
+  }
 
   /**
    * Video corpus with planted TIME-OFFSET duplicates — the

@@ -1,0 +1,114 @@
+package graft
+
+import graft.multimodal.{FrameDecoder, H264, Mp4}
+
+/**
+ * MP4 (ISO-BMFF) demux/mux: the container layer that makes real .mp4
+ * files decodable by the built-in H.264 path — avcC parameter sets,
+ * length-prefixed NAL samples, stsz/stsc/stco location, and the
+ * FrameDecoder.Auto ftyp sniff.
+ */
+class Mp4Spec extends SparkSpec {
+
+  private def gradient(w: Int, h: Int, seed: Int): Array[Int] = {
+    val rnd = new scala.util.Random(seed)
+    Array.tabulate(w * h)(i =>
+      ((i * 31 + seed) & 0xFF) << 16 | (rnd.nextInt(256) << 8) |
+        ((i / w) & 0xFF))
+  }
+
+  test("mux→demux round-trips NAL payloads exactly (I_PCM stream)") {
+    val annexB = H264.encode(48, 32,
+      Seq(gradient(48, 32, 1), gradient(48, 32, 2)))
+    val mp4 = Mp4.fromAnnexB(annexB, 48, 32)
+    assert(Mp4.looksLikeMp4(mp4))
+    assert(!Mp4.looksLikeMp4(annexB))
+    val back = Mp4.demuxToAnnexB(mp4)
+    // same NAL payload multiset in the same order (start-code framing
+    // may normalize, payload bytes must not)
+    val a = H264.nalUnits(annexB).map(_.toSeq)
+    val b = H264.nalUnits(back).map(_.toSeq)
+    assert(b == a, s"NALs differ: ${a.size} vs ${b.size}")
+    // and the decoded pixels are bit-identical
+    val fa = H264.decodeFrames(annexB)
+    val fb = H264.decodeFrames(back)
+    assert(fa.size == 2 && fb.size == 2)
+    fa.zip(fb).foreach { case ((w1, h1, p1), (w2, h2, p2)) =>
+      assert(w1 == w2 && h1 == h2 && p1.toSeq == p2.toSeq)
+    }
+  }
+
+  test("real-world shape end-to-end: CAVLC compressed MBs inside MP4 " +
+      "through FrameDecoder.Auto, bit-exact vs encoder recon") {
+    val frames = Seq(gradient(64, 48, 5), gradient(64, 48, 6),
+      gradient(64, 48, 7))
+    val (annexB, recon) = H264.encodeCavlc(64, 48, frames, qp = 28)
+    val mp4 = Mp4.fromAnnexB(annexB, 64, 48)
+    val pngs = FrameDecoder.Auto.frames(mp4)
+    assert(pngs.size == 3, s"expected 3 samples, got ${pngs.size}")
+    pngs.zip(recon).zipWithIndex.foreach { case ((png, (w, h, rp)), f) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == w && img.getHeight == h)
+      val got = Array.tabulate(w * h)(i =>
+        img.getRGB(i % w, i / w) & 0xFFFFFF)
+      assert(got.toSeq == rp.toSeq, s"frame $f differs from recon")
+    }
+  }
+
+  test("avcC carries SPS/PPS byte-exact with 4-byte length prefixes") {
+    val annexB = H264.encode(16, 16, Seq(gradient(16, 16, 9)))
+    val nals = H264.nalUnits(annexB)
+    val mp4 = Mp4.fromAnnexB(annexB, 16, 16)
+    val back = H264.nalUnits(Mp4.demuxToAnnexB(mp4))
+    assert(back.head.toSeq == nals.find(n => (n(0) & 0x1F) == 7).get.toSeq,
+      "SPS must round-trip through avcC")
+    assert(back(1).toSeq == nals.find(n => (n(0) & 0x1F) == 8).get.toSeq,
+      "PPS must round-trip through avcC")
+  }
+
+  test("multi-slice pictures group into one sample per picture") {
+    // hand-assemble a 2-picture stream where each picture is ONE
+    // slice (first_mb 0) — sample count must equal picture count,
+    // proven through the decode path (2 frames out)
+    val annexB = H264.encode(32, 32,
+      Seq(gradient(32, 32, 3), gradient(32, 32, 4)))
+    val mp4 = Mp4.fromAnnexB(annexB, 32, 32)
+    assert(FrameDecoder.Auto.frames(mp4).size == 2)
+  }
+
+  test("unsupported shapes fail with NAMED errors, and degrade to " +
+      "skips through the video operators") {
+    val annexB = H264.encode(16, 16, Seq(gradient(16, 16, 9)))
+    val mp4 = Mp4.fromAnnexB(annexB, 16, 16)
+    // truncate inside moov → parse error, not garbage
+    intercept[Exception] {
+      Mp4.demuxToAnnexB(mp4.take(mp4.length - 20))
+    }
+    // a file with ftyp but no moov
+    val noMoov = mp4.take(24 + 8) // ftyp + mdat header only
+    val e = intercept[IllegalArgumentException] {
+      Mp4.demuxToAnnexB(noMoov)
+    }
+    assert(e.getMessage.contains("moov") ||
+      e.getMessage.contains("overruns"), e.getMessage)
+    // the degrade-don't-fail contract: a corrupt mp4 in a corpus is
+    // skipped by videoHashes, not fatal
+    import graft.multimodal.{MediaMeta, MediaRow, Multimodal}
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(1L, "video", mp4, MediaMeta(16, 16, 0, 1)),
+      MediaRow(2L, "video", noMoov, MediaMeta(16, 16, 0, 1))).toDS()
+    val hashed = Multimodal.videoHashes(rows)
+    assert(hashed.select("media_id").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("looksLikeMp4 sniffs ftyp and rejects other containers") {
+    assert(!Mp4.looksLikeMp4(Array[Byte](0, 0, 0, 1, 0x67)))
+    assert(!Mp4.looksLikeMp4("ÿØÿ".getBytes("ISO-8859-1")))
+    assert(!Mp4.looksLikeMp4(Array.emptyByteArray))
+    val ok = Array[Byte](0, 0, 0, 24) ++
+      "ftypisom".getBytes("ISO-8859-1") ++ new Array[Byte](12)
+    assert(Mp4.looksLikeMp4(ok))
+  }
+}
