@@ -10,6 +10,69 @@ import SparkEntry._
   * similarity / events / multimodal / transport. */
 private[graft] object RegistryPipelines {
 
+  /** q_text_quality's full-score SQL replay — shared verbatim by
+    * q_text_quality_table (the data-driven-profile twin). */
+  private[graft] val textQualityOracleSql: String =
+    """WITH t AS (
+                SELECT doc_id, text,
+                  CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []::VARCHAR[]
+                    ELSE string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') END
+                    AS ltoks,
+                  CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []::VARCHAR[]
+                    ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks
+                FROM documents
+              ), f AS (
+                SELECT doc_id,
+                  CAST(len(toks) AS DOUBLE) AS ntok,
+                  CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(length(regexp_replace(text, '[^\p{L}]', '',
+                      'g')) AS DOUBLE) / length(text) END AS alpha_r,
+                  CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(length(regexp_replace(text, '[^[:punct:]]',
+                      '', 'g')) AS DOUBLE) / length(text) END AS punct_r,
+                  CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(list_sum(list_transform(toks,
+                      x -> length(x))) AS DOUBLE) / len(toks) END AS mtl,
+                  CASE WHEN len(ltoks) = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(len(list_filter(ltoks, x -> list_contains(
+                    ['the','of','and','to','a','in','is','it','that',
+                     'was','for','on','with','as','at','by','this','are',
+                     'be'], x))) AS DOUBLE) / len(ltoks) END AS stop_r,
+                  len(list_intersect(list_distinct(ltoks),
+                    ['the','of','and','to','a','in','is','it','that',
+                     'was','for','on','with','as','at','by','this','are',
+                     'be'])) AS h_en,
+                  len(list_intersect(list_distinct(ltoks),
+                    ['der','die','das','und','ist','ein','eine','zu',
+                     'den','von','mit','auf','für','im','nicht','sich',
+                     'auch'])) AS h_de,
+                  len(list_intersect(list_distinct(ltoks),
+                    ['le','la','les','de','des','et','est','un','une',
+                     'du','dans','que','qui','pour','pas','sur','au',
+                     'avec'])) AS h_fr,
+                  len(list_intersect(list_distinct(ltoks),
+                    ['el','la','los','las','de','y','es','un','una',
+                     'del','en','que','no','por','con','para','se',
+                     'su'])) AS h_es
+                FROM t
+              )
+              SELECT doc_id,
+                ROUND(least(ntok / 50.0, CAST(1.0 AS DOUBLE)) * 0.25
+                  + alpha_r * 0.25
+                  + greatest(CAST(0.0 AS DOUBLE),
+                      1.0 - punct_r * 5.0) * 0.2
+                  + (CASE WHEN mtl BETWEEN 2.0 AND 12.0
+                      THEN CAST(1.0 AS DOUBLE)
+                      ELSE CAST(0.2 AS DOUBLE) END) * 0.15
+                  + least(stop_r * 5.0, CAST(1.0 AS DOUBLE)) * 0.15, 4)
+                  AS quality,
+                CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                  ELSE (SELECT l FROM (VALUES ('en', h_en), ('de', h_de),
+                    ('fr', h_fr), ('es', h_es)) v(l, h)
+                    ORDER BY h DESC, l DESC LIMIT 1)
+                END AS lang_pred
+              FROM f"""
+
   val entries: Seq[Q] = Seq(
     // ---- deduplication ---------------------------------------------------
     Q("q_dedup_exact",
@@ -477,65 +540,7 @@ private[graft] object RegistryPipelines {
           graft.functions.TextAnalysis.langId(col("text")).as("lang_pred")),
       // empty/whitespace-doc guards mirror the Spark terms exactly:
       // tokens() → 0 tokens (not ['']), zero-length text → 0.0 ratios
-      Some("""WITH t AS (
-                SELECT doc_id, text,
-                  CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []::VARCHAR[]
-                    ELSE string_split_regex(lower(regexp_replace(text, '^\s+|\s+$', '', 'g')), '\s+') END
-                    AS ltoks,
-                  CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN []::VARCHAR[]
-                    ELSE string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks
-                FROM documents
-              ), f AS (
-                SELECT doc_id,
-                  CAST(len(toks) AS DOUBLE) AS ntok,
-                  CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
-                    ELSE CAST(length(regexp_replace(text, '[^\p{L}]', '',
-                      'g')) AS DOUBLE) / length(text) END AS alpha_r,
-                  CASE WHEN length(text) = 0 THEN CAST(0.0 AS DOUBLE)
-                    ELSE CAST(length(regexp_replace(text, '[^[:punct:]]',
-                      '', 'g')) AS DOUBLE) / length(text) END AS punct_r,
-                  CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
-                    ELSE CAST(list_sum(list_transform(toks,
-                      x -> length(x))) AS DOUBLE) / len(toks) END AS mtl,
-                  CASE WHEN len(ltoks) = 0 THEN CAST(0.0 AS DOUBLE)
-                    ELSE CAST(len(list_filter(ltoks, x -> list_contains(
-                    ['the','of','and','to','a','in','is','it','that',
-                     'was','for','on','with','as','at','by','this','are',
-                     'be'], x))) AS DOUBLE) / len(ltoks) END AS stop_r,
-                  len(list_intersect(list_distinct(ltoks),
-                    ['the','of','and','to','a','in','is','it','that',
-                     'was','for','on','with','as','at','by','this','are',
-                     'be'])) AS h_en,
-                  len(list_intersect(list_distinct(ltoks),
-                    ['der','die','das','und','ist','ein','eine','zu',
-                     'den','von','mit','auf','für','im','nicht','sich',
-                     'auch'])) AS h_de,
-                  len(list_intersect(list_distinct(ltoks),
-                    ['le','la','les','de','des','et','est','un','une',
-                     'du','dans','que','qui','pour','pas','sur','au',
-                     'avec'])) AS h_fr,
-                  len(list_intersect(list_distinct(ltoks),
-                    ['el','la','los','las','de','y','es','un','una',
-                     'del','en','que','no','por','con','para','se',
-                     'su'])) AS h_es
-                FROM t
-              )
-              SELECT doc_id,
-                ROUND(least(ntok / 50.0, CAST(1.0 AS DOUBLE)) * 0.25
-                  + alpha_r * 0.25
-                  + greatest(CAST(0.0 AS DOUBLE),
-                      1.0 - punct_r * 5.0) * 0.2
-                  + (CASE WHEN mtl BETWEEN 2.0 AND 12.0
-                      THEN CAST(1.0 AS DOUBLE)
-                      ELSE CAST(0.2 AS DOUBLE) END) * 0.15
-                  + least(stop_r * 5.0, CAST(1.0 AS DOUBLE)) * 0.15, 4)
-                  AS quality,
-                CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
-                  ELSE (SELECT l FROM (VALUES ('en', h_en), ('de', h_de),
-                    ('fr', h_fr), ('es', h_es)) v(l, h)
-                    ORDER BY h DESC, l DESC LIMIT 1)
-                END AS lang_pred
-              FROM f""")),
+      Some(textQualityOracleSql)),
 
     // planted oracle (the q_dedup_minhash_planted pattern): winnowing
     // fingerprint sets and canonical-text hashes are computed for the

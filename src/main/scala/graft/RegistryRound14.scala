@@ -115,5 +115,38 @@ private[graft] object RegistryRound14 {
       Some("""SELECT a.i AS id_a, b.i AS id_b, 0 AS hamming
               FROM generate_series(0, 89) a(i)
                 JOIN generate_series(0, 89) b(i)
-                ON a.i < b.i AND a.i % 30 = b.i % 30""")))
+                ON a.i < b.i AND a.i % 30 = b.i % 30""")),
+
+    // Data-driven stopword profiles (round 14): the SAME documents
+    // and the SAME oracle as q_text_quality, but the stopword tables
+    // behind qualityScore's stop-mass term AND the langId vote are
+    // LOADED from a parquet fixture (writeStopwordProfiles →
+    // loadStopwordProfiles round-trip of the compiled-in 5) and ride
+    // as plan literals. Identical oracle = the data-driven path is
+    // semantics-preserving; a 6th language (or a retuned word list)
+    // is then a table swap, not a recompile — TextAnalysisSpec proves
+    // the swap case. Closes the langid-table pattern
+    // (q_langid_table) over the remaining compiled-in profiles.
+    Q("q_text_quality_table",
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        val root = contentKeyedFixture(
+          new java.io.File(d, "documents.parquet"),
+          "graft_stopword_profiles",
+          codeKey = TextAnalysis.stopwords.toSeq
+            .sortBy(_._1).toString.hashCode.toString) { r =>
+          new java.io.File(r, "profiles/_SUCCESS").isFile
+        } { tmp =>
+          TextAnalysis.writeStopwordProfiles(s, TextAnalysis.stopwords,
+            new java.io.File(tmp, "profiles").toString)
+        }
+        val table = TextAnalysis.loadStopwordProfiles(s,
+          new java.io.File(root, "profiles").toString)
+        s.read.parquet(pq(d, "documents"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            TextAnalysis.qualityScore(col("text"), table).as("quality"),
+            TextAnalysis.langId(col("text"), table).as("lang_pred"))
+      },
+      Some(RegistryPipelines.textQualityOracleSql)))
 }

@@ -207,6 +207,25 @@ object ScaleCurve {
           "vec_id", "embedding",
           nlist = 32 * k, minCosine = 0.999, twoLevel = true)
       },
+      // the r13 verdict's unmeasured combination, root-caused (round
+      // 14): with nlist ∝ N even two-level assignment is O(N·√nlist)
+      // = N^1.5 asymptotically, so the twolevel e2e leg trending to
+      // e≈1.0 at x30 is the ALGEBRA, not a defect. The production
+      // configuration SemDeDup actually runs at web scale (Abbas et
+      // al. §2) is a FIXED cluster table (~50k cells) where two-level
+      // makes assignment O(N·√const) = linear, and the within-cell
+      // pair growth (N²/nlist when cells outgrow the corpus ratio) is
+      // bounded by the maxBucket cap with observe-metric drop
+      // accounting. THIS family is that mode, end-to-end: fixed
+      // nlist=960 (≈ the x30 corpus's 32·k), twoLevel, maxBucket —
+      // contract linear, expect e ≤ 0.9 at these overhead-dominated
+      // sizes.
+      "dedup_semantic_production" -> { k =>
+        Dedup.semanticDedup(embs(k).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding",
+          nlist = 960, minCosine = 0.999, twoLevel = true,
+          maxBucket = 1000)
+      },
       // ---- assignment-stage isolation (round 13) ------------------
       // Deterministic synthetic centroids (cost is content-independent
       // — the flat scan always touches all nlist, the two-level scan

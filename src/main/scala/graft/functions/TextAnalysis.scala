@@ -84,12 +84,16 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "他",
       "们", "中", "为", "上", "个", "国", "就", "以", "说"))
 
-  /** Fraction of tokens (with repeats) that are stopwords of `lang`. */
-  def stopwordRatio(text: Column, lang: String = "en"): Column = {
+  /** Fraction of tokens (with repeats) that are stopwords of `lang`
+    * under a caller-supplied profile table (the data-driven form —
+    * default table = the compiled-in [[stopwords]]). */
+  def stopwordRatio(text: Column, lang: String = "en",
+                    profiles: Map[String, Seq[String]] = stopwords)
+      : Column = {
     val toks = tokens(lower(text))
     when(size(toks) === 0, lit(0.0)).otherwise(
       size(filter(toks, t =>
-        array_contains(typedlit(stopwords(lang)), t))).cast("double") /
+        array_contains(typedlit(profiles(lang)), t))).cast("double") /
         size(toks))
   }
 
@@ -97,16 +101,55 @@ object TextAnalysis {
    * N-gram/stopword-heuristic language ID: the language whose stopword
    * profile overlaps the document's token set most, `und` (unknown) when
    * nothing matches. One narrow projection — no shuffle, no model file.
+   * Data-driven like [[langIdCharNgram]]'s table form: pass `profiles`
+   * (e.g. [[loadStopwordProfiles]] output) to widen or retune the
+   * language set without recompiling — the words ride as plan
+   * literals. Ties break to the LEXICALLY GREATEST language code at
+   * equal hit counts (`greatest` over (hits, lang) structs) for any
+   * profile table, so swapping tables never changes tie semantics.
    */
-  def langId(text: Column): Column = {
+  def langId(text: Column,
+             profiles: Map[String, Seq[String]] = stopwords): Column = {
+    require(profiles.nonEmpty, "empty stopword-profile table")
     val toks = array_distinct(tokens(lower(text)))
-    val scored = stopwords.toSeq.map { case (lang, words) =>
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(size(array_intersect(toks, typedlit(words))).as("hits"),
         lit(lang).as("lang"))
     }
-    val best = greatest(scored: _*)
+    val best =
+      if (scored.size == 1) scored.head else greatest(scored: _*)
     when(best.getField("hits") > 0, best.getField("lang"))
       .otherwise(lit("und"))
+  }
+
+  /** Load a stopword-profile table written by
+    * [[writeStopwordProfiles]] — `(lang string, words array<string>)`
+    * rows, one per language, duplicates rejected. The stopword twin
+    * of [[loadNgramProfiles]]: a 6th language (or a retuned word
+    * list) is a table swap, not a recompile. Bounded collect — one
+    * row per language, KBs. */
+  def loadStopwordProfiles(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Map[String, Seq[String]] = {
+    val rows = spark.read.parquet(path)
+      .select(col("lang").cast("string"), col("words"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1))
+    require(rows.nonEmpty, s"empty stopword-profile table at $path")
+    val dups = rows.groupBy(_._1).collect { case (l, g) if g.length > 1 => l }
+    require(dups.isEmpty,
+      s"duplicate lang rows in stopword table at $path: " +
+        dups.toSeq.sorted.mkString(", "))
+    rows.toMap
+  }
+
+  /** Persist a stopword-profile table in [[loadStopwordProfiles]]'s
+    * layout. */
+  def writeStopwordProfiles(spark: org.apache.spark.sql.SparkSession,
+                            profiles: Map[String, Seq[String]],
+                            path: String): Unit = {
+    import spark.implicits._
+    profiles.toSeq.sortBy(_._1).toDF("lang", "words")
+      .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   // --- quality scoring ---------------------------------------------------
@@ -138,14 +181,17 @@ object TextAnalysis {
    * C4/Gopher-style rules); weights are illustrative, each term is a
    * codegen'd expression.
    */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column,
+                   profiles: Map[String, Seq[String]] = stopwords)
+      : Column = {
     val nTok = tokenCount(text).cast("double")
     val lengthTerm = least(nTok / lit(50.0), lit(1.0))
     val alphaTerm = alphaRatio(text)
     val punctTerm = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
     val mtl = meanTokenLength(text)
     val wordLenTerm = when(mtl.between(2.0, 12.0), 1.0).otherwise(0.2)
-    val stopTerm = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    val stopTerm =
+      least(stopwordRatio(text, "en", profiles) * lit(5.0), lit(1.0))
     round(lengthTerm * 0.25 + alphaTerm * 0.25 + punctTerm * 0.2 +
       wordLenTerm * 0.15 + stopTerm * 0.15, 4)
   }

@@ -374,4 +374,47 @@ class TextAnalysisSpec extends SparkSpec {
       Seq("query_id", "vec_id", "cosine", "rank"))
     assert(got.count() == 0)
   }
+
+  test("stopword profiles are a TABLE swap: loaded table reproduces " +
+      "the compiled-in results, and a 6th language needs no recompile") {
+    import graft.functions.TextAnalysis
+    import spark.implicits._
+    val dir = tmpDir() + "/stopwords"
+    TextAnalysis.writeStopwordProfiles(spark, TextAnalysis.stopwords, dir)
+    val loaded = TextAnalysis.loadStopwordProfiles(spark, dir)
+    assert(loaded == TextAnalysis.stopwords)
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was happy with this"),
+      (2L, "der hund ist ein tier und das ist auch nicht schlimm"),
+      (3L, "questa e una frase che parla di cose della vita nella citta"),
+      (4L, "")).toDF("doc_id", "text")
+    // identical-semantics contract: table-driven == compiled-in
+    val a = docs.select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("l"),
+      TextAnalysis.qualityScore(col("text")).as("q")).collect().toSeq
+    val b = docs.select(col("doc_id"),
+      TextAnalysis.langId(col("text"), loaded).as("l"),
+      TextAnalysis.qualityScore(col("text"), loaded).as("q"))
+      .collect().toSeq
+    assert(a == b)
+    // the 6th language: Italian words added to the TABLE only
+    val widened = TextAnalysis.stopwords +
+      ("it" -> Seq("che", "di", "della", "nella", "una", "questa", "e"))
+    TextAnalysis.writeStopwordProfiles(spark, widened, dir)
+    val table = TextAnalysis.loadStopwordProfiles(spark, dir)
+    val langs = docs.select(col("doc_id"),
+        TextAnalysis.langId(col("text"), table).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(1L) == "en" && langs(2L) == "de")
+    assert(langs(3L) == "it",
+      s"widened table must classify Italian, got ${langs(3L)}")
+    assert(langs(4L) == "und")
+    // duplicate lang rows are rejected, not silently last-wins
+    spark.createDataFrame(Seq(("en", Seq("a")), ("en", Seq("b"))))
+      .toDF("lang", "words").write.mode("overwrite").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.loadStopwordProfiles(spark, dir)
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
 }
