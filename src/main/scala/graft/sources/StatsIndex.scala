@@ -92,6 +92,22 @@ object StatsIndex {
    * detected — parquet writers emit unique part file names, and a
    * rewrite that reuses names is a full rebuild (`writeIndex`).
    * Persist by overwriting the index path with the returned frame.
+   *
+   * ==Reader/writer concurrency (the S4 torn-read class)==
+   * SINGLE WRITER: persisting via `mode("overwrite")` deletes the old
+   * index before committing the new one, so two concurrent updaters
+   * can interleave delete/commit and a reader racing the overwrite
+   * can observe a missing or partially-listed index directory —
+   * serialize index maintenance externally (one updater per index,
+   * the ChunkIndex `append.lock` discipline). Readers racing that
+   * window FAIL VISIBLY, never silently wrong: [[prunedRead]] reads
+   * the manifest as parquet, and a deleted-or-uncommitted index
+   * directory raises a read error (Spark's commit protocol never
+   * exposes half-written part files as a SMALLER valid manifest —
+   * the dangerous outcome, a torn manifest silently pruning away
+   * live files, cannot occur). Retry after the overwrite commits, or
+   * rebuild (`writeIndex`). Readers of the DATA directory are
+   * unaffected — updateIndex never mutates data files.
    */
   def updateIndex(spark: SparkSession, dataPath: String,
                   index: DataFrame, cols: Seq[String],

@@ -211,6 +211,92 @@ object IngestPipeline {
       .start()
 
   /**
+   * Streaming CDC-chunk novelty ingestion — the streaming twin of
+   * `q_cdc_novelty_state`'s batch composition: each micro-batch is
+   * chunk-scored against the PERSISTED [[graft.sources.ChunkIndex]]
+   * (Bloom front, bucket-pruned exact anti-join — per-batch cost flat
+   * in history size), documents whose novel-byte fraction clears
+   * `minNovelty` are admitted, and the admitted chunks append to the
+   * index via [[graft.sources.ChunkIndex.append]] (serialized under
+   * its per-index lock). Within-batch exact copies collapse first
+   * (min id per text hash), so a batch of identical docs admits one.
+   *
+   * ==Crash ordering and replay idempotence==
+   * Per batch: (1) score + admit (decision pinned via
+   * localCheckpoint); (2) corpus append of admitted docs NOT already
+   * in the corpus (id anti-join); (3) `ChunkIndex.append` of ALL
+   * admitted docs' chunks — content-idempotent, already-indexed
+   * hashes never re-land. Structured Streaming replays a crashed
+   * batch before any later batch, so each window heals:
+   *  - crash before (2): plain replay;
+   *  - crash between (2) and (3): the replay re-scores against the
+   *    index WITHOUT the batch's chunks → the same docs re-admit, the
+   *    id anti-join makes the corpus append a no-op, and (3) finally
+   *    lands the chunks — no lost docs, no duplicate corpus rows, and
+   *    the index can never permanently miss admitted content (the
+   *    false-negative class the ChunkIndex contract forbids);
+   *  - crash inside (3): ChunkIndex's own sketch-before-chunks order
+   *    leaves resolvable false POSITIVES only;
+   *  - replay of a fully-committed batch: novelty scores 0 → nothing
+   *    admitted → no state touched.
+   * The corpus-BEFORE-index order is load-bearing: the reverse would
+   * make a replayed batch score its own chunks as seen and drop the
+   * not-yet-appended docs from the corpus permanently.
+   *
+   * Unique-id contract as in [[nearDupIngestIncremental]]: ids must
+   * not recur across batches with different text.
+   */
+  def cdcNoveltyIngest(stream: DataFrame, idCol: String,
+                       textCol: String, corpusDir: String,
+                       indexDir: String, checkpointDir: String,
+                       minNovelty: Double = 0.5,
+                       minSize: Int = 32, avgSize: Int = 64,
+                       maxSize: Int = 128, buckets: Int = 16,
+                       expectedItems: Long = 1000000L,
+                       numBits: Long = 1L << 23,
+                       trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import graft.sources.ChunkIndex
+        // bootstrap: index the pre-existing corpus once (empty is fine)
+        if (!new java.io.File(indexDir, "meta.json").isFile) {
+          val corpus = readCorpus(spark, corpusDir, idCol, textCol)
+          ChunkIndex.create(
+            Dedup.cdcChunkHashes(corpus, idCol, textCol, minSize,
+              avgSize, maxSize),
+            indexDir, buckets, expectedItems, numBits)
+        }
+        // within-batch exact-content dedup: min id per text hash
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(xxhash64(col(textCol))).orderBy(col(idCol))
+        val once = batch.select(col(idCol), col(textCol))
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+        val admitted = once
+          .join(Dedup.cdcNoveltyAgainstIndex(once, idCol, textCol,
+              indexDir, minSize, avgSize, maxSize)
+            .where(col("novelty") >= minNovelty).select(col(idCol)),
+            Seq(idCol))
+          .localCheckpoint(true) // pin the decision before state writes
+        if (!admitted.isEmpty) {
+          // corpus FIRST (see the crash-ordering contract above)
+          val corpusIds = readCorpus(spark, corpusDir, idCol, textCol)
+            .select(col(idCol))
+          admitted.join(corpusIds, Seq(idCol), "left_anti")
+            .write.mode("append").parquet(corpusDir)
+          ChunkIndex.append(
+            Dedup.cdcChunkHashes(admitted, idCol, textCol, minSize,
+              avgSize, maxSize), indexDir)
+        }
+      }
+      .start()
+
+  /**
    * Streaming MEDIA ingestion gated by time-offset-robust sequence
    * matching: each micro-batch of [[graft.multimodal.MediaRow]]s is
    * hashed ONCE (`hashesOf` = [[graft.multimodal.Multimodal

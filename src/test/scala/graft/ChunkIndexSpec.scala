@@ -171,6 +171,62 @@ class ChunkIndexSpec extends SparkSpec {
       "racing appends duplicated index rows")
   }
 
+  test("readers interleaved with appends: no torn sketch, no false " +
+      "negatives on committed history, crashed-append leftovers ignored") {
+    // The S4-class torn-read scenario, for the repo's own mutable
+    // state: a probe concurrent with appends must never (a) crash on
+    // a half-written sketch (writes are atomic-rename committed), or
+    // (b) score ALREADY-COMMITTED content as novel (a false negative
+    // — the one contract violation). It may transiently miss an
+    // IN-FLIGHT append's content (read-committed, documented).
+    val dir = tmpDir()
+    val committed = mkDocs((1L, lorem), (2L, lorem.reverse))
+    ChunkIndex.create(Dedup.cdcChunkHashes(committed, "doc_id", "text",
+      16, 32, 256), dir, buckets = 4)
+    // plant a crashed writer's leftover: a stale .tmp the atomic
+    // rename never moved — readers and future appends must ignore it
+    java.nio.file.Files.write(
+      new java.io.File(dir, "sketch.tmp999").toPath,
+      Array.fill[Byte](64)(0x5A))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val writer = new Thread(() => {
+      var i = 0
+      while (!stop.get && i < 6) {
+        ChunkIndex.append(Dedup.cdcChunkHashes(
+          mkDocs((200L + i, s"appender wave $i " +
+            (1 to 25).map(j => s"w${i}_$j").mkString(" "))),
+          "doc_id", "text", 16, 32, 256), dir)
+        i += 1
+      }
+    })
+    writer.start()
+    try {
+      var probes = 0
+      while (writer.isAlive && probes < 20) {
+        val rows = Dedup.cdcNoveltyAgainstIndex(committed, "doc_id",
+          "text", dir, 16, 32, 256).collect()
+        rows.foreach { r =>
+          if (r.getDouble(3) != 0.0)
+            failures.add(s"committed doc ${r.getLong(0)} scored " +
+              s"novel (${r.getDouble(3)}) during concurrent appends")
+        }
+        probes += 1
+      }
+    } finally { stop.set(true); writer.join(120000) }
+    assert(failures.isEmpty, failures.toArray.mkString("; "))
+    // the stale tmp is still there (never trusted), the live sketch
+    // carries every append (no torn/partial state)
+    assert(new java.io.File(dir, "sketch.tmp999").isFile)
+    (0 until 6).foreach { i =>
+      val nov = Dedup.cdcNoveltyAgainstIndex(
+        mkDocs((900L + i, s"appender wave $i " +
+          (1 to 25).map(j => s"w${i}_$j").mkString(" "))),
+        "doc_id", "text", dir, 16, 32, 256).collect()(0).getDouble(3)
+      assert(nov == 0.0, s"wave $i lost from the index ($nov)")
+    }
+  }
+
   test("within-document repeats cut after their first occurrence") {
     val rep = lorem + " " + lorem // doc repeating its own content
     val corpus = mkDocs((1L, rep))

@@ -1092,4 +1092,90 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(index).select("media_id").as[Long]
       .collect().toSet == Set(0L, 1L, 2L, 3L, 4L, 5L))
   }
+
+  private val cdcLorem = (1 to 40).map(i =>
+    s"alpha$i beta$i gamma$i delta$i").mkString(" ")
+  private val cdcOther = (1 to 40).map(i =>
+    s"red$i blue$i green$i yellow$i").mkString(" ")
+
+  test("cdcNoveltyIngest: cross-batch novelty against the persisted " +
+      "chunk index — copies of batch-1 docs score 0 and are rejected") {
+    import graft.streaming.IngestPipeline
+    val inDir = tmpDir()
+    val ckDir = tmpDir()
+    val base = tmpDir()
+    val corpus = base + "/corpus"
+    val index = base + "/chunkidx"
+    // batch 1: two novel docs + a within-batch exact copy (one admits)
+    Seq((1L, cdcLorem), (2L, cdcOther), (3L, cdcLorem))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    IngestPipeline.cdcNoveltyIngest(spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(inDir),
+      "doc_id", "text", corpus, index, ckDir,
+      minNovelty = 0.5, minSize = 16, avgSize = 32, maxSize = 256,
+      buckets = 4).awaitTermination()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L))
+    // batch 2: exact copy of doc 1 (novelty 0 → reject), a mostly-
+    // copied doc (shared suffix → below threshold → reject), a novel
+    // doc (admit)
+    Seq((10L, cdcLorem),
+        (11L, "tiny prefix :: " + cdcLorem),
+        (12L, (1 to 40).map(i => s"nova$i star$i moon$i").mkString(" ")))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    IngestPipeline.cdcNoveltyIngest(spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(inDir),
+      "doc_id", "text", corpus, index, ckDir,
+      minNovelty = 0.5, minSize = 16, avgSize = 32, maxSize = 256,
+      buckets = 4).awaitTermination()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L, 12L),
+      "batch-2 copies must be rejected by the PERSISTED index")
+    // the admitted batch-2 content is itself indexed now
+    import graft.operators.Dedup
+    val re = Dedup.cdcNoveltyAgainstIndex(
+      Seq((99L, (1 to 40).map(i => s"nova$i star$i moon$i")
+        .mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text", index, 16, 32, 256).collect()(0)
+    assert(re.getDouble(3) == 0.0,
+      s"admitted content must score 0 on re-probe, got $re")
+  }
+
+  test("cdcNoveltyIngest: replay after a crash between corpus append " +
+      "and index append heals both states (no loss, no duplicates)") {
+    import graft.streaming.IngestPipeline
+    import graft.operators.Dedup
+    import graft.sources.ChunkIndex
+    val inDir = tmpDir()
+    val base = tmpDir()
+    val corpus = base + "/corpus"
+    val index = base + "/chunkidx"
+    Seq((1L, cdcLorem)).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    // simulate the crash window: the batch's docs landed in the
+    // CORPUS but the index append never ran (corpus-before-index is
+    // the pipeline's write order), then the batch REPLAYS (fresh
+    // checkpoint over the same input = Structured Streaming's replay)
+    Seq((1L, cdcLorem)).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(corpus)
+    ChunkIndex.create(Dedup.cdcChunkHashes(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", 16, 32, 256), index, buckets = 4)
+    IngestPipeline.cdcNoveltyIngest(spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(inDir),
+      "doc_id", "text", corpus, index, tmpDir(),
+      minNovelty = 0.5, minSize = 16, avgSize = 32, maxSize = 256,
+      buckets = 4).awaitTermination()
+    // no duplicate corpus rows...
+    assert(spark.read.parquet(corpus).count() == 1)
+    // ...and the index finally carries the doc's chunks (the
+    // permanent-false-negative class the ordering contract forbids)
+    val nov = Dedup.cdcNoveltyAgainstIndex(
+      Seq((50L, cdcLorem)).toDF("doc_id", "text"),
+      "doc_id", "text", index, 16, 32, 256).collect()(0)
+    assert(nov.getDouble(3) == 0.0,
+      s"replay must heal the index, got novelty $nov")
+  }
 }
