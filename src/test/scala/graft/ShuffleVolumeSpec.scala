@@ -57,7 +57,14 @@ object ShuffleVolumeSpec {
     "q_cdc_novelty",
     "q_bm25_search",
     "q_hybrid_search_ivf",
-    "q_ann_ivfpq")
+    "q_ann_ivfpq",
+    // round 14: the remaining steady-state/incremental families —
+    // their contract is BATCH-sized shuffles independent of history
+    "q_ingest_admission_state",
+    "q_dedup_incremental_minhash",
+    "q_dedup_incremental_semantic",
+    "q_video_sequence_incremental",
+    "q_cdc_novelty_state")
 
   /** query -> (max total shuffle bytes, max per-exchange avg bytes/row)
     * — measured by ShuffleAuditDump at sf0.01, ~2x headroom (more for
@@ -78,5 +85,15 @@ object ShuffleVolumeSpec {
     "q_cdc_novelty" -> (60000L, 160.0), // 22333B, 73.0
     "q_bm25_search" -> (800000L, 160.0), // 386879B, 72.0
     "q_hybrid_search_ivf" -> (500000L, 160.0), // 229741B, 73.0
-    "q_ann_ivfpq" -> (30000L, 100.0)) // 9248B, 44.4
+    "q_ann_ivfpq" -> (30000L, 100.0), // 9248B, 44.4
+    // round 14 — the steady-state/incremental five: all flat in TOTAL
+    // bytes across the sf0.01→sf0.1 step (shuffle_evidence/), which is
+    // the batch-fixed contract; the two ~750-850 B/row entries are the
+    // admission-style batch-text exact-verify exchange (batch-sized by
+    // definition), same as q_ingest_admission's documented allowance
+    "q_ingest_admission_state" -> (120000L, 1600.0), // 50808B, 798.1
+    "q_dedup_incremental_minhash" -> (120000L, 1600.0), // 50371B, 739.6
+    "q_dedup_incremental_semantic" -> (10000L, 60.0), // 1009B, 20.0
+    "q_video_sequence_incremental" -> (10000L, 150.0), // 2221B, 64.6
+    "q_cdc_novelty_state" -> (20000L, 160.0)) // 5408B, 73.0
 }
