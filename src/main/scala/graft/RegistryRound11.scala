@@ -167,28 +167,26 @@ private[graft] object RegistryRound11 {
         AND af >= 0.8 AND sh >= 2
         THEN 1 ELSE 0 END"""
 
-  val entries: Seq[Q] = Seq(
+  /** The adversarial injected-structure corpus q_gopher_signals runs
+    * on — shared by q_gopher_signals_table (the data-driven
+    * function-word twin). */
+  private[graft] def gopherInjectedDocs(s: org.apache.spark.sql
+      .SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val variants = array(
+      lit("\u2022 first point\n- second point\n* third\n\u2023 fourth\n\u2013 dash\n-"),
+      lit("to be continued...\nand then\u2026\nthe end comes later..."),
+      lit("## tagged ### content #### with # extra # tags #"),
+      lit("\tthe, cat. (with) [of] {and} !that!\r\nplain line\r\n"))
+    val injected = concat(substring(col("text"), 1, 60), lit("\n"),
+      element_at(variants, (col("doc_id") % 4 + 1).cast("int")))
+    s.read.parquet(pq(d, "documents"))
+      .select(col("doc_id"), injected.as("text"))
+  }
 
-    // full Gopher/MassiveText rule set over adversarial injected
-    // structure (bullets incl. bare '-', ellipsis line endings, hash
-    // spam, CRLF + tab-leading + punctuation-adjacent stopwords) so
-    // every rule tier fires somewhere; the oracle replays the whole
-    // rule arithmetic in SQL
-    Q("q_gopher_signals",
-      (s, d) => {
-        val variants = array(
-          lit("• first point\n- second point\n* third\n‣ fourth\n– dash\n-"),
-          lit("to be continued...\nand then…\nthe end comes later..."),
-          lit("## tagged ### content #### with # extra # tags #"),
-          lit("\tthe, cat. (with) [of] {and} !that!\r\nplain line\r\n"))
-        val injected = concat(substring(col("text"), 1, 60), lit("\n"),
-          element_at(variants, (col("doc_id") % 4 + 1).cast("int")))
-        graft.functions.TextAnalysis.gopherSignals(
-          s.read.parquet(pq(d, "documents"))
-            .select(col("doc_id"), injected.as("text")),
-          "doc_id", "text", minWords = 5)
-      },
-      Some(s"""WITH raw AS (SELECT doc_id,
+  /** q_gopher_signals' full rule replay, shared verbatim by the
+    * data-driven twin. */
+  private[graft] val gopherSignalsOracleSql: String =
+    s"""WITH raw AS (SELECT doc_id,
                 substr(text, 1, 60) || chr(10) ||
                   (CASE CAST(doc_id % 4 AS INT)
                     WHEN 0 THEN '• first point' || chr(10) ||
@@ -212,7 +210,20 @@ private[graft] object RegistryRound11 {
                 ROUND(ef, 4) AS ellipsis_line_frac,
                 CAST(sh AS BIGINT) AS stop_hits,
                 ${gopherKeepSql(5)} AS keep
-              FROM sig""")),
+              FROM sig"""
+
+  val entries: Seq[Q] = Seq(
+
+    // full Gopher/MassiveText rule set over adversarial injected
+    // structure (bullets incl. bare '-', ellipsis line endings, hash
+    // spam, CRLF + tab-leading + punctuation-adjacent stopwords) so
+    // every rule tier fires somewhere; the oracle replays the whole
+    // rule arithmetic in SQL
+    Q("q_gopher_signals",
+      (s, d) => graft.functions.TextAnalysis.gopherSignals(
+        gopherInjectedDocs(s, d), "doc_id", "text", minWords = 5),
+      Some(gopherSignalsOracleSql)),
+
 
     // char-ngram language ID over the 28 planted rows (27 languages
     // across 9 scripts + one out-of-profile row): expected labels are

@@ -148,5 +148,38 @@ private[graft] object RegistryRound14 {
             TextAnalysis.qualityScore(col("text"), table).as("quality"),
             TextAnalysis.langId(col("text"), table).as("lang_pred"))
       },
-      Some(RegistryPipelines.textQualityOracleSql)))
+      Some(RegistryPipelines.textQualityOracleSql)),
+
+    // Data-driven Gopher function words (round 14): the SAME
+    // adversarial injected corpus and full-rule-replay oracle as
+    // q_gopher_signals, but the >=2-of-8 function-word list is LOADED
+    // from a parquet fixture and rides the fused native expression as
+    // a codegen reference object (GopherSignalsExpr's optional stop
+    // set — the LangIdNgramExpr table pattern). Identical oracle =
+    // semantics-preserving; retuning the list for another language's
+    // corpus is a table swap, not a recompile (TextAnalysisSpec
+    // proves the swap changes stop_hits without touching this code).
+    // With q_langid_table and q_text_quality_table this closes the
+    // last compiled-in word table.
+    Q("q_gopher_signals_table",
+      (s, d) => {
+        import graft.functions.TextAnalysis
+        val root = contentKeyedFixture(
+          new java.io.File(d, "documents.parquet"),
+          "graft_gopher_words",
+          codeKey = TextAnalysis.gopherStopwords.toString
+            .hashCode.toString) { r =>
+          new java.io.File(r, "words/_SUCCESS").isFile
+        } { tmp =>
+          TextAnalysis.writeStopwordProfiles(s,
+            Map("gopher" -> TextAnalysis.gopherStopwords),
+            new java.io.File(tmp, "words").toString)
+        }
+        val words = TextAnalysis.loadStopwordProfiles(s,
+          new java.io.File(root, "words").toString)("gopher")
+        TextAnalysis.gopherSignals(
+          RegistryRound11.gopherInjectedDocs(s, d),
+          "doc_id", "text", minWords = 5, functionWords = words)
+      },
+      Some(RegistryRound11.gopherSignalsOracleSql)))
 }

@@ -678,11 +678,17 @@ object TextAnalysis {
    */
   def gopherSignals(docs: DataFrame, idCol: String, textCol: String,
                     minWords: Int = 50, maxWords: Int = 100000,
-                    useNative: Boolean = true): DataFrame = {
+                    useNative: Boolean = true,
+                    functionWords: Seq[String] = gopherStopwords)
+      : DataFrame = {
     if (useNative) {
       graft.plans.NativeFunctions.register(docs.sparkSession)
-      val g = graft.plans.NativeFunctions.gopherSignalsNative(
-        col(textCol), minWords, maxWords)
+      val g =
+        if (functionWords == gopherStopwords)
+          graft.plans.NativeFunctions.gopherSignalsNative(
+            col(textCol), minWords, maxWords)
+        else graft.plans.NativeFunctions.gopherSignalsNative(
+          col(textCol), minWords, maxWords, functionWords)
       return docs.select(col(idCol), g.as("__g"))
         .select(col(idCol),
           col("__g.n_words").as("n_words"),
@@ -729,7 +735,7 @@ object TextAnalysis {
     val stopHits = size(array_intersect(
       array_distinct(transform(tokens(lower(t)),
         w => regexp_replace(w, "^[\\p{P}\\p{S}]+|[\\p{P}\\p{S}]+$", ""))),
-      typedlit(gopherStopwords)))
+      typedlit(functionWords)))
     docs.select(col(idCol),
       nWords.cast("long").as("n_words"),
       round(mwl, 4).as("mean_word_len"),

@@ -928,6 +928,15 @@ private[plans] object GopherSignals {
 
   def compute(u: org.apache.spark.unsafe.types.UTF8String,
               minWords: Int, maxWords: Int): org.apache.spark.sql
+      .catalyst.InternalRow =
+    compute(u, minWords, maxWords, stopwords)
+
+  /** The data-driven form: `stop` is a caller-supplied function-word
+    * set (rides as a codegen reference object — a retuned list is a
+    * table swap, not a recompile of this file or the query). */
+  def compute(u: org.apache.spark.unsafe.types.UTF8String,
+              minWords: Int, maxWords: Int,
+              stop: Set[String]): org.apache.spark.sql
       .catalyst.InternalRow = {
     val s = u.toString
     val toks = NativeText.tokens(s)
@@ -972,7 +981,7 @@ private[plans] object GopherSignals {
     var si = 0
     while (si < ltoks.length) {
       val stripped = edgePunct.matcher(ltoks(si)).replaceAll("")
-      if (stopwords.contains(stripped) && seen.add(stripped)) sh += 1
+      if (stop.contains(stripped) && seen.add(stripped)) sh += 1
       si += 1
     }
     val keep =
@@ -992,7 +1001,8 @@ private[plans] object GopherSignals {
   * re-tokenizes per signal — measured 0.52 s → ~0.1 s for
   * q_gopher_signals at sf0.1 — and whole-stage-codegen'd. */
 case class GopherSignalsExpr(child: Expression, minWords: Int,
-                             maxWords: Int)
+                             maxWords: Int,
+                             stop: Option[Set[String]] = None)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -1006,15 +1016,29 @@ case class GopherSignalsExpr(child: Expression, minWords: Int,
 
   override def prettyName: String = "graft_gopher_signals"
 
-  override def nullSafeEval(input: Any): Any =
-    GopherSignals.compute(
+  override def nullSafeEval(input: Any): Any = stop match {
+    case None => GopherSignals.compute(
       input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
       minWords, maxWords)
+    case Some(s) => GopherSignals.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      minWords, maxWords, s)
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
-                                   ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.plans.GopherSignals.compute($c, $minWords, $maxWords)")
+                                   ev: ExprCode): ExprCode = stop match {
+    case None =>
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.GopherSignals.compute($c, $minWords, $maxWords)")
+    case Some(s) =>
+      // the caller-supplied function-word set rides as a codegen
+      // reference object (the LangIdNgramExpr table pattern)
+      val ref = ctx.addReferenceObj("gopherStop", s,
+        "scala.collection.immutable.Set")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.plans.GopherSignals.compute($c, $minWords, $maxWords, " +
+          s"(scala.collection.immutable.Set) $ref)")
+  }
 
   override protected def withNewChildInternal(
       newChild: Expression): GopherSignalsExpr = copy(child = newChild)
@@ -2805,7 +2829,11 @@ object NativeFunctions {
       else LangIdNgramExpr(exprs.head,
         Some(new LangIdTable(profileMapLit(exprs(1)))))),
     gopherSignalsName -> ((exprs: Seq[Expression]) =>
-      GopherSignalsExpr(exprs.head, intLit(exprs(1)), intLit(exprs(2)))),
+      if (exprs.size == 3)
+        GopherSignalsExpr(exprs.head, intLit(exprs(1)), intLit(exprs(2)))
+      else
+        GopherSignalsExpr(exprs.head, intLit(exprs(1)), intLit(exprs(2)),
+          Some(strArrayLit(exprs(3)).toSet))),
     cdcChunksName -> ((exprs: Seq[Expression]) =>
       CdcChunksExpr(exprs.head, intLit(exprs(1)), intLit(exprs(2)),
         intLit(exprs(3)))),
@@ -2893,6 +2921,16 @@ object NativeFunctions {
     call_function(gopherSignalsName, text,
       org.apache.spark.sql.functions.lit(minWords),
       org.apache.spark.sql.functions.lit(maxWords))
+
+  /** Gopher signals with a CALLER-SUPPLIED function-word list (the
+    * data-driven form — the list rides as a codegen reference
+    * object, so retuning it is a table swap, not a recompile). */
+  def gopherSignalsNative(text: Column, minWords: Int, maxWords: Int,
+                          functionWords: Seq[String]): Column =
+    call_function(gopherSignalsName, text,
+      org.apache.spark.sql.functions.lit(minWords),
+      org.apache.spark.sql.functions.lit(maxWords),
+      org.apache.spark.sql.functions.lit(functionWords.toArray))
 
   /** Content-defined chunks of a text column —
     * `array<struct<hash, start, len>>` (FastCDC gear construction;

@@ -417,4 +417,31 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("duplicate"))
   }
+
+  test("Gopher function words are a TABLE swap: custom list changes " +
+      "stop_hits identically through the native and HOF forms") {
+    import graft.functions.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog went to be with that other thing " +
+        "which have been around for a long while in this place"),
+      (2L, "der hund und die katze von dem haus mit der maus sind " +
+        "auch nicht immer ganz so wie die anderen tiere im garten"))
+      .toDF("doc_id", "text")
+    val german = Seq("der", "die", "und", "von", "mit", "auch",
+      "nicht", "im")
+    def hits(useNative: Boolean, words: Seq[String]): Map[Long, Long] =
+      TextAnalysis.gopherSignals(docs, "doc_id", "text", minWords = 5,
+          useNative = useNative, functionWords = words)
+        .select(col("doc_id"), col("stop_hits"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // default list: the English doc hits, the German one starves
+    val defN = hits(useNative = true, TextAnalysis.gopherStopwords)
+    assert(defN(1L) >= 6 && defN(2L) <= 1, defN.toString)
+    // swapped list: the German doc hits — no recompile, same operator
+    val deN = hits(useNative = true, german)
+    val deH = hits(useNative = false, german)
+    assert(deN == deH, s"native $deN vs HOF $deH with a custom list")
+    assert(deN(2L) == 8 && deN(1L) <= 1, deN.toString)
+  }
 }
