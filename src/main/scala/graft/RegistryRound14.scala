@@ -181,5 +181,25 @@ private[graft] object RegistryRound14 {
           RegistryRound11.gopherInjectedDocs(s, d),
           "doc_id", "text", minWords = 5, functionWords = words)
       },
-      Some(RegistryRound11.gopherSignalsOracleSql)))
+      Some(RegistryRound11.gopherSignalsOracleSql)),
+
+    // frame-sequence offset voting over MP4 (round 14):
+    // q_video_sequence's construction and oracle, through the REAL
+    // container path — MP4 files don't byte-concatenate, so the
+    // shifted copy prepends its 3 intro FRAMES before the CAVLC
+    // encode + mux (how a real re-edit arrives). Intra-only frames
+    // reconstruct as pure functions of their own pixels, so the
+    // shifted copy's body frames decode bit-identically to the
+    // source's and the same matcher finds the shift. Identical
+    // oracle = container agnosticism for the sequence family too.
+    Q("q_video_sequence_mp4",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        Multimodal.videoSequenceMatches(
+          Multimodal.syntheticShiftedMp4Corpus(s, nContents = 12,
+            nShifted = 6), minVotes = 5)
+          .select(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT i AS id_a, i + 1000 AS id_b
+              FROM generate_series(0, 5) t(i)""")))
 }

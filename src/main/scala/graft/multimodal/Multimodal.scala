@@ -37,14 +37,20 @@ object FrameDecoder {
       Multimodal.Codec.splitMjpegFrames(bytes)
   }
 
-  /** The built-in partial H.264 path (Annex-B, I/IDR slices, I_PCM
-    * macroblocks — see [[graft.multimodal.H264]] for the exact,
-    * honestly-stated scope; compressed macroblocks still need an
-    * external binding via [[PropKey]]). */
+  /** The built-in H.264 intra path (Annex-B; I/IDR slices; I_PCM,
+    * Intra_4x4 and Intra_16x16 macroblocks with CAVLC entropy coding
+    * — see [[graft.multimodal.H264]]/[[H264Mb]] for the exact,
+    * honestly-stated scope; CABAC and inter-predicted P/B streams
+    * still need an external binding via [[PropKey]]). The name keeps
+    * the original I_PCM floor for source stability; the decode
+    * surface has grown past it. */
   object H264IPcm extends FrameDecoder {
     def frames(bytes: Array[Byte]): Seq[Array[Byte]] =
       H264.framesAsPng(bytes)
   }
+
+  /** Alias with the accurate name. */
+  val H264Intra: FrameDecoder = H264IPcm
 
   /** The MP4 (ISO-BMFF) path: demux avcC + length-prefixed samples
     * to Annex-B, then the built-in H.264 intra decode. */
@@ -1434,6 +1440,38 @@ object Multimodal {
     Mp4.fromAnnexB(
       H264.encodeCavlc(w, h, fixtureFrames(id, w, h, frames),
         qp = 26)._1, w, h)
+
+  /**
+   * MP4 analog of [[syntheticShiftedH264Corpus]]: unlike Annex-B, MP4
+   * files do NOT byte-concatenate, so the intro-prepended copy is
+   * built the way a real re-edit is — the intro FRAMES are prepended
+   * before encoding and the whole sequence is CAVLC-encoded and muxed
+   * as one file. Each IDR frame is intra-only, so a body frame's
+   * reconstruction is a pure function of its own pixels regardless of
+   * position in the stream — the shifted copy's body frames decode
+   * bit-identically to the source's, and the SAME offset-voting
+   * matcher finds the planted 3-frame shift through the container
+   * demux with no codec- or container-specific code.
+   */
+  def syntheticShiftedMp4Corpus(spark: SparkSession, nContents: Int,
+                                nShifted: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    require(nShifted <= nContents, "shifted copies need a source")
+    val ids = spark.range(nContents.toLong)
+      .union(spark.range(1000L, 1000L + nShifted)).as[Long]
+    ids.map { id =>
+      val content = if (id >= 1000L) id - 1000L else id
+      val w = 64 + (content % 4).toInt * 16
+      val h = 64 + (content % 3).toInt * 16
+      val body = fixtureFrames(content, w, h, frames = 8)
+      val frames = if (id >= 1000L)
+        fixtureFrames(5000L + content, w, h, frames = 3) ++ body
+      else body
+      val bytes = Mp4.fromAnnexB(
+        H264.encodeCavlc(w, h, frames, qp = 26)._1, w, h)
+      MediaRow(id, "video", bytes, MediaMeta(w, h, 0, frames.size))
+    }
+  }
 
   /** [[syntheticH264Corpus]] with every payload a real MP4 file of
     * CAVLC-compressed H.264 — decoded through [[FrameDecoder.Auto]]'s

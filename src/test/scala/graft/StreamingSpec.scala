@@ -1143,6 +1143,43 @@ class StreamingSpec extends SparkSpec {
       s"admitted content must score 0 on re-probe, got $re")
   }
 
+  test("QuantileMonitor: per-batch KLL sketch log, running quantiles " +
+      "over the union, exact N through merges") {
+    import graft.streaming.QuantileMonitor
+    val inDir = tmpDir()
+    val ckDir = tmpDir()
+    val outDir = tmpDir() + "/qlog"
+    // wave 1: uniform 1..4000
+    (1 to 4000).map(_.toDouble).toDF("v").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    QuantileMonitor.streamingQuantiles(spark.readStream
+      .schema("v DOUBLE").parquet(inDir), "v", outDir, ckDir)
+      .awaitTermination()
+    // wave 2: shifted block 10001..14000 — moves the global median
+    (10001 to 14000).map(_.toDouble).toDF("v").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    QuantileMonitor.streamingQuantiles(spark.readStream
+      .schema("v DOUBLE").parquet(inDir), "v", outDir, ckDir)
+      .awaitTermination()
+    assert(spark.read.parquet(outDir).count() == 2,
+      "one sketch row per non-empty batch")
+    val r = QuantileMonitor.runningQuantiles(spark, outDir,
+      Seq(0.25, 0.5, 0.75)).collect()(0)
+    assert(r.getLong(1) == 8000L, "union N must be exact")
+    val qs = r.getSeq[Double](0)
+    // exact inclusive ranks of the estimates must sit within 2x the
+    // advertised KLL bound (the q_kll_log gate, over the merged log)
+    val all = ((1 to 4000) ++ (10001 to 14000)).map(_.toDouble).sorted
+    Seq(0.25, 0.5, 0.75).zipWithIndex.foreach { case (rank, i) =>
+      val exact = all.count(_ <= qs(i)).toDouble / all.size
+      assert(math.abs(exact - rank) <= 0.033,
+        s"rank $rank: estimate ${qs(i)} has exact rank $exact")
+    }
+    // the per-batch trajectory is readable directly: wave Ns recorded
+    assert(spark.read.parquet(outDir).select("n_seen").as[Long]
+      .collect().toSet == Set(4000L))
+  }
+
   test("cdcNoveltyIngest: replay after a crash between corpus append " +
       "and index append heals both states (no loss, no duplicates)") {
     import graft.streaming.IngestPipeline
