@@ -101,7 +101,7 @@ private[graft] object Cavlc {
     Array(X, X, X, (6, 5), (7, 0)))
 
   /** Table-9-5 column for an nC value; None → the nC ≥ 8 6-bit FLC. */
-  def coeffTokenTable(nC: Int): Option[Array[Array[Code]]] =
+  private def coeffTokenTable(nC: Int): Option[Array[Array[Code]]] =
     if (nC == -1) Some(coeffTokenChromaDc)
     else if (nC < 2) Some(coeffToken0)
     else if (nC < 4) Some(coeffToken1)

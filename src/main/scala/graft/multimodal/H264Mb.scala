@@ -18,7 +18,7 @@ private[graft] object H264Mb {
     * units, and back. Left/up neighbors always have a smaller z. */
   val zx: Array[Int] = Array(0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3)
   val zy: Array[Int] = Array(0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3)
-  def zIdx(bx: Int, by: Int): Int =
+  private def zIdx(bx: Int, by: Int): Int =
     (by & 2) * 4 + (bx & 2) * 2 + (by & 1) * 2 + (bx & 1)
 
   /** Table 9-4 (intra column): codeNum → coded_block_pattern. */
@@ -74,7 +74,7 @@ private[graft] object H264Mb {
   }
 
   /** §9.2.1 nC for the luma 4x4 block (bx, by) of MB (mbX, mbY). */
-  def lumaNC(ctx: PicCtx, mbX: Int, mbY: Int, bx: Int, by: Int,
+  private def lumaNC(ctx: PicCtx, mbX: Int, mbY: Int, bx: Int, by: Int,
              sliceId: Int): Int = {
     val curMb = mbY * ctx.wMbs + mbX
     val curZ = zIdx(bx, by)
@@ -103,7 +103,7 @@ private[graft] object H264Mb {
   }
 
   /** §9.2.1 nC for chroma AC block `blk` (raster 0..3) of a MB. */
-  def chromaNC(nz: Array[Array[Int]], ctx: PicCtx, mbX: Int, mbY: Int,
+  private def chromaNC(nz: Array[Array[Int]], ctx: PicCtx, mbX: Int, mbY: Int,
                blk: Int, sliceId: Int): Int = {
     val curMb = mbY * ctx.wMbs + mbX
     val bx = blk & 1; val by = blk >> 1
@@ -117,26 +117,35 @@ private[graft] object H264Mb {
     else 0
   }
 
+  /** The Intra4x4 mode of the 4x4 block at GLOBAL block coords, as a
+    * prediction neighbor: 2 (DC) when out of picture, in another
+    * slice, or in a non-I4x4 MB (§8.3.1.1). */
+  private def neighborI4Mode(ctx: PicCtx, curMb: Int,
+                             curModes: Array[Int], sliceId: Int,
+                             gbx: Int, gby: Int): Int = {
+    if (gbx < 0 || gby < 0) return 2
+    val m = (gby >> 2) * ctx.wMbs + (gbx >> 2)
+    val z = zIdx(gbx & 3, gby & 3)
+    if (m == curMb) {
+      val v = curModes(z) // z-order: left/up in-MB already assigned
+      if (v >= 0) v else 2
+    } else if (ctx.sliceId(m) == sliceId) {
+      val v = ctx.i4Modes(m)(z)
+      if (v >= 0) v else 2 // I16x16 / I_PCM neighbor → DC
+    } else 2
+  }
+
   /** §8.3.1.1 predicted Intra4x4 mode for block (bx, by): min of the
     * left/up blocks' modes; unavailable or non-I4x4 neighbor → 2. */
-  def predIntra4x4Mode(ctx: PicCtx, mbX: Int, mbY: Int, bx: Int,
+  private def predIntra4x4Mode(ctx: PicCtx, mbX: Int, mbY: Int, bx: Int,
                        by: Int, sliceId: Int,
                        curModes: Array[Int]): Int = {
-    def modeAt(gbx: Int, gby: Int): Int = {
-      if (gbx < 0 || gby < 0) return 2
-      val m = (gby >> 2) * ctx.wMbs + (gbx >> 2)
-      val z = zIdx(gbx & 3, gby & 3)
-      val curMb = mbY * ctx.wMbs + mbX
-      if (m == curMb) {
-        val v = curModes(z) // z-order: left/up in-MB already assigned
-        if (v >= 0) v else 2
-      } else if (ctx.sliceId(m) == sliceId) {
-        val v = ctx.i4Modes(m)(z)
-        if (v >= 0) v else 2 // I16x16 / I_PCM neighbor → DC
-      } else 2
-    }
-    math.min(modeAt(mbX * 4 + bx - 1, mbY * 4 + by),
-      modeAt(mbX * 4 + bx, mbY * 4 + by - 1))
+    val curMb = mbY * ctx.wMbs + mbX
+    math.min(
+      neighborI4Mode(ctx, curMb, curModes, sliceId,
+        mbX * 4 + bx - 1, mbY * 4 + by),
+      neighborI4Mode(ctx, curMb, curModes, sliceId,
+        mbX * 4 + bx, mbY * 4 + by - 1))
   }
 
   /** Sample-level availability of the 4x4 block at global BLOCK
@@ -355,43 +364,9 @@ private[graft] object H264Mb {
       }
     }
 
-    // chroma
-    val cx0 = mbX * 8; val cy0 = mbY * 8
-    val predC = new Array[Int](64)
-    def reconChroma(plane: Array[Byte], dcScan: Array[Int],
-                    ac: Array[Array[Int]]): Unit = {
-      Intra.predictChroma(plane, cw, cx0, cy0, chromaMode,
-        availLeftMb, availUpMb, predC)
-      val dc =
-        if (cbpChroma != 0)
-          Transform.chromaDcTransformDequant(dcScan, qpC)
-        else Array(0, 0, 0, 0)
-      var b = 0
-      while (b < 4) {
-        val bx = b & 1; val by = b >> 1
-        val d = new Array[Int](16)
-        d(0) = dc(b)
-        if (cbpChroma == 2) {
-          var j = 0
-          while (j < 15) {
-            val raster = Transform.zigzag4x4(j + 1)
-            d(raster) = Transform.dequant(ac(b)(j), qpC, raster)
-            j += 1
-          }
-        }
-        val res = Transform.inverse4x4(d)
-        var i = 0
-        while (i < 16) {
-          val px = bx * 4 + (i & 3); val py = by * 4 + (i >> 2)
-          plane((cy0 + py) * cw + cx0 + px) =
-            clipB(predC(py * 8 + px) + res(i))
-          i += 1
-        }
-        b += 1
-      }
-    }
-    reconChroma(cbP, co.cbDc, co.cbAc)
-    reconChroma(crP, co.crDc, co.crAc)
+    // chroma — one shared path with the encoder's chroma-only recon
+    reconChromaOnly(ctx, mbIdx, sliceId, qpC, chromaMode, cbpChroma,
+      co, cbP, crP, availLeftMb, availUpMb)
   }
 
   // ---------------------------------------------------------------

@@ -68,7 +68,7 @@ object Mp4 {
   final case class AvcC(lengthSize: Int, sps: Seq[Array[Byte]],
                         pps: Seq[Array[Byte]])
 
-  def parseAvcC(b: Array[Byte], from: Long, to: Long): AvcC = {
+  private def parseAvcC(b: Array[Byte], from: Long, to: Long): AvcC = {
     var o = from.toInt
     require(b(o) == 1, s"avcC configurationVersion ${b(o)}")
     o += 4 // version, profile, compat, level

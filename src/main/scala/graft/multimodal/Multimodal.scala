@@ -49,9 +49,6 @@ object FrameDecoder {
       H264.framesAsPng(bytes)
   }
 
-  /** Alias with the accurate name. */
-  val H264Intra: FrameDecoder = H264IPcm
-
   /** The MP4 (ISO-BMFF) path: demux avcC + length-prefixed samples
     * to Annex-B, then the built-in H.264 intra decode. */
   object Mp4File extends FrameDecoder {
