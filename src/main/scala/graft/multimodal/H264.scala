@@ -694,7 +694,7 @@ object H264 {
    * conformant external decoder too, not just this one.
    */
   def encodeCavlc(width: Int, height: Int, frames: Seq[Array[Int]],
-                  qp: Int = 26)
+                  qp: Int = 26, mbRowsPerSlice: Int = 0)
       : (Array[Byte], Seq[(Int, Int, Array[Int])]) = {
     require(frames.nonEmpty)
     require(frames.forall(_.length == width * height))
@@ -705,6 +705,12 @@ object H264 {
     val hMbs = (height + 15) / 16
     val cropR = (wMbs * 16 - width) / 2
     val cropB = (hMbs * 16 - height) / 2
+    // mbRowsPerSlice > 0 splits each picture into multiple slices of
+    // that many MB rows — slices are independent decoding units, so
+    // intra prediction and CAVLC nC contexts must NOT cross the
+    // boundary (the PicCtx sliceId machinery both sides exercise;
+    // single-slice fixtures leave that logic untested)
+    val rows = if (mbRowsPerSlice <= 0) hMbs else mbRowsPerSlice
     val out = new java.io.ByteArrayOutputStream()
     val spsNal = nal(3, 7, spsRbsp(wMbs, hMbs, cropR, cropB))
     val ppsNal = nal(3, 8, ppsRbsp(deblockingControl = true))
@@ -717,20 +723,29 @@ object H264 {
       val cbR = new Array[Byte](wMbs * 8 * hMbs * 8)
       val crR = new Array[Byte](wMbs * 8 * hMbs * 8)
       val ctx = new H264Mb.PicCtx(wMbs, hMbs)
-      val w = new BitWriter()
-      w.ue(0)  // first_mb_in_slice
-      w.ue(7)  // slice_type: I
-      w.ue(0)  // pic_parameter_set_id
-      w.u(0, 4) // frame_num
-      w.ue(f & 1) // idr_pic_id
-      w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking (IDR)
-      w.se(qp - 26) // slice_qp_delta vs pic_init_qp 26
-      w.ue(1) // disable_deblocking_filter_idc = 1
-      H264Mb.encodeSliceData(w, ctx, sliceId = 0, sliceQp = qp,
-        chromaQpOffset = 0, srcY, srcCb, srcCr, yR, cbR, crR)
-      w.trailingBits()
-      val sliceNal = nal(3, 5, w.toBytes)
-      out.write(sliceNal, 0, sliceNal.length)
+      var row = 0
+      var sliceId = 0
+      while (row < hMbs) {
+        val firstMb = row * wMbs
+        val endMb = math.min(hMbs, row + rows) * wMbs
+        val w = new BitWriter()
+        w.ue(firstMb) // first_mb_in_slice
+        w.ue(7)  // slice_type: I
+        w.ue(0)  // pic_parameter_set_id
+        w.u(0, 4) // frame_num
+        w.ue(f & 1) // idr_pic_id
+        w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking (IDR)
+        w.se(qp - 26) // slice_qp_delta vs pic_init_qp 26
+        w.ue(1) // disable_deblocking_filter_idc = 1
+        H264Mb.encodeSliceData(w, ctx, sliceId, sliceQp = qp,
+          chromaQpOffset = 0, srcY, srcCb, srcCr, yR, cbR, crR,
+          firstMb, endMb)
+        w.trailingBits()
+        val sliceNal = nal(3, 5, w.toBytes)
+        out.write(sliceNal, 0, sliceNal.length)
+        row += rows
+        sliceId += 1
+      }
       planesToRgb(wMbs, hMbs, cropR, cropB, yR, cbR, crR)
     }
     (out.toByteArray, recon)

@@ -386,12 +386,14 @@ private[graft] object H264Mb {
                       sliceQp: Int, chromaQpOffset: Int,
                       srcY: Array[Int], srcCb: Array[Int],
                       srcCr: Array[Int], yP: Array[Byte],
-                      cbP: Array[Byte], crP: Array[Byte]): Unit = {
+                      cbP: Array[Byte], crP: Array[Byte],
+                      firstMb: Int = 0, endMb: Int = -1): Unit = {
     val lw = ctx.wMbs * 16
     val cw = ctx.wMbs * 8
+    val stop = if (endMb < 0) ctx.wMbs * ctx.hMbs else endMb
     var qpY = sliceQp
-    var mbIdx = 0
-    while (mbIdx < ctx.wMbs * ctx.hMbs) {
+    var mbIdx = firstMb
+    while (mbIdx < stop) {
       val mbX = mbIdx % ctx.wMbs
       val mbY = mbIdx / ctx.wMbs
       val x0 = mbX * 16; val y0 = mbY * 16

@@ -149,6 +149,43 @@ class CavlcSpec extends SparkSpec {
     }
   }
 
+  test("multi-slice pictures: prediction and nC contexts sever at " +
+      "slice boundaries, decode stays bit-exact, MP4 groups slices " +
+      "into one sample per picture") {
+    val w = 48; val h = 64 // 3x4 MBs
+    val frames = Seq(gradient(w, h, 11), gradient(w, h, 12))
+    // 2 MB rows per slice → 2 slices per picture
+    val (multi, reconM) = H264.encodeCavlc(w, h, frames, qp = 24,
+      mbRowsPerSlice = 2)
+    val sliceNals = H264.nalUnits(multi)
+      .filter(n => (n(0) & 0x1F) == 5)
+    assert(sliceNals.size == 4, s"expected 2 slices x 2 frames, " +
+      s"got ${sliceNals.size}")
+    val decoded = H264.decodeFrames(multi)
+    assert(decoded.size == 2)
+    decoded.zip(reconM).foreach { case ((dw, dh, dp), (_, _, rp)) =>
+      assert(dw == w && dh == h)
+      assert(dp.toSeq == rp.toSeq,
+        "multi-slice decode must equal the encoder reconstruction")
+    }
+    // the slice boundary is load-bearing: the same frames encoded as
+    // ONE slice reconstruct differently (row-2 MBs may predict from
+    // row-1 there, and mode availability shifts)
+    val (_, reconS) = H264.encodeCavlc(w, h, frames, qp = 24)
+    assert(reconS.head._3.toSeq != reconM.head._3.toSeq,
+      "single- and multi-slice recon coincide — the boundary did " +
+        "not sever prediction, so the slice logic went untested")
+    // container path: both slices of a picture group into ONE sample
+    val mp4 = graft.multimodal.Mp4.fromAnnexB(multi, w, h)
+    val pngs = graft.multimodal.FrameDecoder.Auto.frames(mp4)
+    assert(pngs.size == 2, s"expected 2 samples, got ${pngs.size}")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(pngs.head))
+    val got = Array.tabulate(w * h)(i =>
+      img.getRGB(i % w, i / w) & 0xFFFFFF)
+    assert(got.toSeq == reconM.head._3.toSeq)
+  }
+
   test("CAVLC encode is actually lossy-but-close (sanity that the " +
       "transform path carries real residuals, not a copy)") {
     val w = 48; val h = 48
