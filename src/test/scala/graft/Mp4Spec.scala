@@ -103,6 +103,49 @@ class Mp4Spec extends SparkSpec {
     assert(hashed.select("media_id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("64-bit largesize boxes walk correctly (the >4 GiB mdat shape)") {
+    // real >4 GiB files use size == 1 + a 64-bit largesize; rewrite
+    // the muxed fixture's mdat into that form (its content shifts by
+    // 8, so the stco chunk offset is patched to match) and demux must
+    // produce the identical Annex-B stream
+    val annexB = H264.encode(32, 32, Seq(gradient(32, 32, 21)))
+    val mp4 = Mp4.fromAnnexB(annexB, 32, 32)
+    def u32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+        ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+    def put32(b: Array[Byte], o: Int, v: Long): Unit = {
+      b(o) = (v >>> 24).toByte; b(o + 1) = (v >>> 16).toByte
+      b(o + 2) = (v >>> 8).toByte; b(o + 3) = v.toByte
+    }
+    val ftypEnd = u32(mp4, 0).toInt
+    assert(new String(mp4, ftypEnd + 4, 4, "ISO-8859-1") == "mdat")
+    val mdatSize = u32(mp4, ftypEnd)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(mp4, 0, ftypEnd)
+    out.write(Array[Byte](0, 0, 0, 1), 0, 4) // size = 1 → largesize
+    out.write("mdat".getBytes("ISO-8859-1"), 0, 4)
+    val large = new Array[Byte](8)
+    put32(large, 4, mdatSize + 8) // largesize includes its own field
+    out.write(large, 0, 8)
+    out.write(mp4, ftypEnd + 8, mp4.length - ftypEnd - 8)
+    val rewritten = out.toByteArray
+    // patch stco's single chunk offset (+8 for the largesize field):
+    // locate the stco box inside the (shifted) moov
+    var i = ftypEnd + mdatSize.toInt + 8
+    var stco = -1
+    while (i < rewritten.length - 4 && stco < 0) {
+      if (new String(rewritten, i, 4, "ISO-8859-1") == "stco") stco = i
+      i += 1
+    }
+    assert(stco > 0, "stco not found")
+    val offField = stco + 4 /*ver/flags*/ + 4 /*count*/ + 4
+    put32(rewritten, offField, u32(rewritten, offField) + 8)
+    val back = Mp4.demuxToAnnexB(rewritten)
+    assert(H264.nalUnits(back).map(_.toSeq) ==
+      H264.nalUnits(annexB).map(_.toSeq),
+      "largesize mdat must demux to the identical NALs")
+  }
+
   test("looksLikeMp4 sniffs ftyp and rejects other containers") {
     assert(!Mp4.looksLikeMp4(Array[Byte](0, 0, 0, 1, 0x67)))
     assert(!Mp4.looksLikeMp4("ÿØÿ".getBytes("ISO-8859-1")))
