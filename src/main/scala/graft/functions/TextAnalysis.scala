@@ -683,8 +683,15 @@ object TextAnalysis {
       : DataFrame = {
     if (useNative) {
       graft.plans.NativeFunctions.register(docs.sparkSession)
+      // REFERENCE equality, deliberately: only the default argument
+      // (the gopherStopwords object itself) takes the compiled-in
+      // fast path — a caller-supplied list rides the reference-object
+      // form even when its CONTENT equals the default, so the
+      // data-driven twin (q_gopher_signals_table) genuinely exercises
+      // that code path under its identical oracle instead of silently
+      // collapsing onto the compiled-in one
       val g =
-        if (functionWords == gopherStopwords)
+        if (functionWords eq gopherStopwords)
           graft.plans.NativeFunctions.gopherSignalsNative(
             col(textCol), minWords, maxWords)
         else graft.plans.NativeFunctions.gopherSignalsNative(

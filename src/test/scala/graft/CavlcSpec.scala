@@ -344,6 +344,47 @@ class CavlcSpec extends SparkSpec {
       s"got ${px.distinct.take(4).map(_.toHexString)}")
   }
 
+  test("golden 6: I_4x4 directional chain — DC + horizontal modes " +
+      "propagate an in-MB reconstructed residual (hand-computed)") {
+    // Round-trips share the prediction code between encoder and
+    // decoder, so a wrong-but-symmetric formula would cancel; this
+    // vector pins the I_4x4 path end to end BY HAND. One MB, mb_type
+    // I_NxN. Block z0: mode DC (no neighbors → 128) with ONE +1 DC
+    // level at QP 26 → dequant 1·13<<4 = 208 → residual (208+32)>>6
+    // = +3 on every sample → block 0 = 131 uniform. Block z1 signals
+    // mode 1 (horizontal, rem coding: flag 0 + rem 1 since pred = 2)
+    // and every later block takes its PREDICTED mode (flag 1), which
+    // derives as DC where only uniform-131 ups are available and
+    // horizontal elsewhere — all 16 blocks reconstruct to 131 iff
+    // mode derivation (§8.3.1.1), in-MB availability, the nC context
+    // chain (1 → 1 → 0 for blocks z1/z2/z3), the intra-CBP me(v)
+    // mapping (cbp 1 → codeNum 29), and the standalone 4x4
+    // dequant/transform are all right. Chroma: DC, cbp 0 → 128.
+    // Expected: RGB(131,131,131) = 0x838383 everywhere.
+    val stream = goldenHeaders() ++ goldenSlice { w =>
+      w.ue(0)      // mb_type I_NxN
+      w.u(1, 1)    // z0: prev_flag 1 → predicted mode 2 (DC)
+      w.u(0, 1); w.u(1, 3) // z1: flag 0, rem 1 → mode 1 (horizontal)
+      var z = 2
+      while (z < 16) { w.u(1, 1); z += 1 } // all others: predicted
+      w.ue(0)      // intra_chroma_pred_mode DC
+      w.ue(29)     // cbp codeNum 29 → intra cbp 1 (luma group 0 only)
+      w.se(0)      // mb_qp_delta
+      // group-0 residuals, z-order: z0 carries TC=1 T1=1 (+1 at
+      // scan 0), z1..z3 are empty with nC contexts 1, 1, 0
+      w.u(1, 2)    // z0 coeff_token '01' (nC=0, TC=1, T1=1)
+      w.u(0, 1)    // trailing-one sign +
+      w.u(1, 1)    // total_zeros(TC=1) '1' → tz 0
+      w.u(1, 1)    // z1 coeff_token '1' (nC=1, TC=0)
+      w.u(1, 1)    // z2 coeff_token '1' (nC=1, TC=0)
+      w.u(1, 1)    // z3 coeff_token '1' (nC=0, TC=0)
+    }
+    val (w, h, px) = H264.decodeFrames(stream).head
+    assert(w == 16 && h == 16)
+    assert(px.forall(_ == 0x838383),
+      s"got ${px.distinct.take(6).map(_.toHexString)}")
+  }
+
   test("golden 5: mb_qp_delta changes the dequant scale (QP wrap rule)") {
     // same as golden 2 but mb_qp_delta = +6 → QP 32: dequantLumaDc(1)
     // = (16·13·1) << (32/6 − 6)… 32/6 = 5 < 6 → (208 + 1) >> 1 = 104;
