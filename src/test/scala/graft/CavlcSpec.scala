@@ -402,6 +402,48 @@ class CavlcSpec extends SparkSpec {
       s"got ${px.distinct.take(4).map(_.toHexString)}")
   }
 
+  test("fuzz: bit-flipped and truncated CAVLC streams terminate — " +
+      "frames or an exception, never a hang (the degrade contract)") {
+    val (valid, _) = H264.encodeCavlc(48, 48,
+      Seq(gradient(48, 48, 31)), qp = 24)
+    val rnd = new scala.util.Random(1234)
+    var threw = 0
+    // every loop in the decoder is bounded by moreRbspData / require
+    // guards, so decoding either yields frames or throws quickly; the
+    // assertion is that it RETURNS (a hang would trip the suite
+    // timeout) and that any frames have sane dimensions
+    def decodeBounded(bytes: Array[Byte]): Unit =
+      try {
+        H264.decodeFrames(bytes).foreach { case (w, h, px) =>
+          assert(w > 0 && w <= 4096 && h > 0 && h <= 4096)
+          assert(px.length == w * h)
+        }
+      } catch {
+        case _: Exception => threw += 1 // the Try-skip class upstream
+      }
+    (0 until 150).foreach { _ =>
+      val mutated = valid.clone()
+      rnd.nextInt(3) match {
+        case 0 => // flip 1-3 bits anywhere (headers included)
+          (0 until 1 + rnd.nextInt(3)).foreach { _ =>
+            val p = rnd.nextInt(mutated.length)
+            mutated(p) = (mutated(p) ^ (1 << rnd.nextInt(8))).toByte
+          }
+          decodeBounded(mutated)
+        case 1 => // truncate mid-stream
+          val cut = 5 + rnd.nextInt(mutated.length - 5)
+          decodeBounded(java.util.Arrays.copyOf(mutated, cut))
+        case 2 => // splice random garbage into the slice payload
+          val p = mutated.length / 2 + rnd.nextInt(mutated.length / 3)
+          (p until math.min(p + 16, mutated.length)).foreach { i =>
+            mutated(i) = rnd.nextInt(256).toByte
+          }
+          decodeBounded(mutated)
+      }
+    }
+    assert(threw > 0, "mutations never threw — the fuzz is too tame")
+  }
+
   test("Transform: dequant identity (flat lists) and inverse/forward sanity") {
     // the §8.5.12.1 formula with flat lists reduces exactly to
     // c·normAdjust << (qp/6) — spot-check the class-0/1/2 positions
