@@ -61,7 +61,8 @@ private[graft] object RegistryRound14 {
             .cast("double") / count(lit(1))).as("r_exact"))
           .agg(max(abs(col("r_exact") - col("target"))).as("max_err"))
         // union: merge the per-group sketches, replay vs global data
-        val u = Frequency.kllUnionSketch(sk)
+        val uSketch = Frequency.kllUnionSketch(sk)
+        val u = uSketch
           .select(Frequency.kllQuantiles(col("kll"), ranks :+ -1.0)
             .as("qs"))
         val uniEst = u.select(posexplode(slice(col("qs"), 1,
@@ -75,22 +76,38 @@ private[graft] object RegistryRound14 {
           .agg(max(abs(col("r_exact") - col("target"))).as("u_max_err"))
         val uniN = u.select(
           element_at(col("qs"), ranks.size + 1).as("union_n"))
+        // the INVERSE probe (CDF direction): rank estimates for three
+        // fixed values spanning the price range, replayed against the
+        // exact in-plan inclusive ranks — same ε contract, other axis
+        val probeVals = Seq(10000.0, 30000.0, 60000.0)
+        val cdfEst = uSketch.select(posexplode(
+            Frequency.kllRanks(col("kll"), probeVals))
+          .as(Seq("pi", "r_est")))
+          .withColumn("pv", element_at(typedlit(probeVals), col("pi") + 1))
+        val cdfErr = li.crossJoin(broadcast(cdfEst))
+          .groupBy(col("pv"), col("r_est"))
+          .agg((sum(when(col("v") <= col("pv"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1))).as("r_exact"))
+          .agg(max(abs(col("r_exact") - col("r_est"))).as("cdf_max_err"))
         grpN.agg(count(lit(1)).as("n_groups"),
             (sum(when(col("sketch_n") === col("exact_n"), 0L)
               .otherwise(1L)) === 0L).as("groups_n_exact"))
           .crossJoin(rankErr).crossJoin(uniErr).crossJoin(uniN)
+          .crossJoin(cdfErr)
           .crossJoin(li.agg(count(lit(1)).as("__tot")))
           .select(col("n_groups"), col("groups_n_exact"),
             (col("max_err") <= 0.033).as("groups_rank_ok"),
             (col("union_n") === col("__tot")).as("union_n_exact"),
-            (col("u_max_err") <= 0.033).as("union_rank_ok"))
+            (col("u_max_err") <= 0.033).as("union_rank_ok"),
+            (col("cdf_max_err") <= 0.033).as("cdf_probe_ok"))
       },
       Some("""SELECT (SELECT COUNT(DISTINCT l_returnflag) FROM lineitem)
                 AS n_groups,
               CAST(1 AS BOOLEAN) AS groups_n_exact,
               CAST(1 AS BOOLEAN) AS groups_rank_ok,
               CAST(1 AS BOOLEAN) AS union_n_exact,
-              CAST(1 AS BOOLEAN) AS union_rank_ok""")),
+              CAST(1 AS BOOLEAN) AS union_rank_ok,
+              CAST(1 AS BOOLEAN) AS cdf_probe_ok""")),
 
     // MP4 video dedup (round 14): the SAME planted-duplicate
     // construction and oracle as q_video_fp_dedup /

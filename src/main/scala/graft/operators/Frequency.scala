@@ -201,6 +201,15 @@ object Frequency {
                    ranks: Seq[Double]): org.apache.spark.sql.Column =
     NativeFunctions.kllQuantilesNative(sketch, ranks)
 
+  /** The inverse probe: normalized-rank (CDF) estimates for `values`
+    * against a sketch column → `array<double>` in [0, 1] (INCLUSIVE:
+    * fraction of the stream ≤ the value) — "what fraction of docs
+    * are shorter than X" asked of a persisted sketch log directly,
+    * same ε guarantee as the quantile direction. */
+  def kllRanks(sketch: org.apache.spark.sql.Column,
+               values: Seq[Double]): org.apache.spark.sql.Column =
+    NativeFunctions.kllRanksNative(sketch, values)
+
   /**
    * Point estimates for every row of `keys` against ONE sketch of
    * `df`'s `itemCol`: the keys frame gains an `est` column. The

@@ -222,3 +222,59 @@ case class KllQuantilesExpr(sketch: Expression, ranks: Expression)
 
   override def prettyName: String = "graft_kll_quantiles"
 }
+
+/**
+ * The inverse probe of [[KllQuantilesExpr]]: normalized-rank (CDF)
+ * estimates for a vector of VALUES against a KLL sketch binary →
+ * `array<double>` of ranks in [0, 1] (INCLUSIVE criterion: fraction
+ * of the stream ≤ the value), same ε guarantee as the quantile
+ * direction. Null for a null/empty sketch. This is the monitoring
+ * question "what fraction of docs are shorter than X tokens" asked
+ * directly of a persisted sketch log. Eval-only for the same reason
+ * as the quantile probe: one call per GROUP row.
+ */
+case class KllRanksExpr(sketch: Expression, values: Expression)
+  extends Expression with CodegenFallback
+  with BinaryLike[Expression] {
+
+  override def left: Expression = sketch
+  override def right: Expression = values
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (sketch.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"sketch must be binary, got ${sketch.dataType.catalogString}")
+    else values.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"values must be array<double>, got ${other.catalogString}")
+    }
+
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val b = sketch.eval(input)
+    val v = values.eval(input)
+    if (b == null || v == null) return null
+    val sk = KllDoublesSketch.heapify(
+      Memory.wrap(b.asInstanceOf[Array[Byte]]))
+    if (sk.isEmpty) return null
+    val vs = v.asInstanceOf[ArrayData].toDoubleArray()
+    val out = new Array[Double](vs.length)
+    var i = 0
+    while (i < vs.length) {
+      out(i) = sk.getRank(vs(i), QuantileSearchCriteria.INCLUSIVE)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): KllRanksExpr =
+    copy(sketch = l, values = r)
+
+  override def prettyName: String = "graft_kll_ranks"
+}

@@ -2680,6 +2680,7 @@ object NativeFunctions {
   val kllAggName = "graft_kll_agg"
   val kllUnionName = "graft_kll_union"
   val kllQuantilesName = "graft_kll_quantiles"
+  val kllRanksName = "graft_kll_ranks"
 
   private def intLit(e: Expression): Int =
     e.eval(null) match {
@@ -2844,7 +2845,9 @@ object NativeFunctions {
     kllUnionName -> ((exprs: Seq[Expression]) =>
       KllUnionAgg(exprs.head, intLit(exprs(1))).toAggregateExpression()),
     kllQuantilesName -> ((exprs: Seq[Expression]) =>
-      KllQuantilesExpr(exprs.head, exprs(1))))
+      KllQuantilesExpr(exprs.head, exprs(1))),
+    kllRanksName -> ((exprs: Seq[Expression]) =>
+      KllRanksExpr(exprs.head, exprs(1))))
 
   /** Idempotently register graft native functions on this session. */
   def register(spark: SparkSession): Unit = {
@@ -3022,6 +3025,12 @@ object NativeFunctions {
   def kllQuantilesNative(sketch: Column, ranks: Seq[Double]): Column =
     call_function(kllQuantilesName, sketch,
       org.apache.spark.sql.functions.typedlit(ranks))
+
+  /** Normalized-rank (CDF) estimates for a VALUE vector against a
+    * KLL sketch binary — the inverse probe of [[kllQuantilesNative]]. */
+  def kllRanksNative(sketch: Column, values: Seq[Double]): Column =
+    call_function(kllRanksName, sketch,
+      org.apache.spark.sql.functions.typedlit(values))
 
   /** Rank bucket id = number of sorted `boundaries` ≤ value (binary
     * search; boundaries ride as a codegen reference object). */

@@ -229,6 +229,33 @@ class FrequencySpec extends SparkSpec {
       s"median over the unioned log off: ${qs(0)}")
   }
 
+  test("KLL: rank (CDF) probe inverts the quantile probe within the bound") {
+    val df = (1 to 10000).map(_.toDouble).toDF("v")
+      .withColumn("g", lit("all"))
+    val sk = Frequency.kllSketches(df, "v", "g")
+    // known distribution: rank of value x over uniform 1..10000 is
+    // x/10000 — probe three fixed values, 2x-bound gate as everywhere
+    val rs = sk.select(Frequency.kllRanks(col("kll"),
+      Seq(2500.0, 5000.0, 9000.0))).collect()(0).getSeq[Double](0)
+    Seq(0.25, 0.5, 0.9).zip(rs).foreach { case (want, got) =>
+      assert(math.abs(got - want) <= 0.033, s"rank($want): $got")
+    }
+    // inversion: rank(quantile(r)) ≈ r for interior ranks
+    val q = sk.select(Frequency.kllQuantiles(col("kll"),
+      Seq(0.3, 0.7))).collect()(0).getSeq[Double](0)
+    val back = sk.select(Frequency.kllRanks(col("kll"), q))
+      .collect()(0).getSeq[Double](0)
+    Seq(0.3, 0.7).zip(back).foreach { case (r, got) =>
+      assert(math.abs(got - r) <= 0.066, // two probes' error budgets
+        s"rank(quantile($r)) = $got")
+    }
+    // empty sketch → null, matching the quantile probe
+    val empty = Frequency.kllSketches(df.where(col("v") < 0), "v", "g")
+    assert(Frequency.kllUnionSketch(empty)
+      .select(Frequency.kllRanks(col("kll"), Seq(1.0)))
+      .collect()(0).isNullAt(0))
+  }
+
   test("KLL: null values skipped; empty sketch probes to null") {
     val df = Seq[(String, java.lang.Double)](("g", 1.0), ("g", null),
       ("g", 3.0)).toDF("grp", "v")
