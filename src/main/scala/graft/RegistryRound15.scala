@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import SparkEntry._
+
+/** Round-15 extensions: theta sketches for set-operation
+  * cardinality, fragmented MP4 demux, CABAC H.264 entropy decoding. */
+private[graft] object RegistryRound15 {
+
+  private[graft] val entries: Seq[Q] = Seq(
+
+    // Theta sketch set-operation cardinality (round 15): the
+    // INTERSECT/DIFFERENCE member of the persisted-sketch-log family
+    // (MG = frequent items, CMS = point counts, HLL = cardinality,
+    // KLL = quantiles). HLL unions but cannot intersect — train/eval
+    // contamination at 100 TB is exactly "how many keys are in BOTH
+    // corpora", which today's q_contamination answers by an exact
+    // batch-sized join; the theta form answers it from two persisted
+    // ~2^lgK·8B binaries. Gate design (the KLL/CMS lesson —
+    // deterministic pins where the sketch is deterministic, bounded
+    // verdicts where it estimates; theta's fixed default hash seed
+    // makes even the estimation leg a deterministic function of the
+    // data):
+    //  - EXACT leg (lgK=20 ≫ distinct orderkeys at gated SFs): theta
+    //    stays 1.0, so intersection/difference/union estimates are
+    //    pinned EXACTLY equal to the in-plan exact counts;
+    //  - MERGEABILITY pin: union of per-returnflag sketches ==
+    //    whole-corpus distinct count, exactly (a dropped or
+    //    double-merged part reds this);
+    //  - ESTIMATION leg (lgK=9 = 512 nominal entries, forced sampling
+    //    at both gated SFs): the sketch's own 3-σ lower/upper bounds
+    //    must bracket the exact count for all three set ops — the
+    //    documented theta contract, replayed against the data.
+    Q("q_theta_overlap",
+      (s, d) => {
+        import graft.operators.Frequency
+        val li = s.read.parquet(pq(d, "lineitem"))
+          .select(col("l_orderkey"))
+        val a = li.where(col("l_orderkey") % 2 === 0)
+        val b = li.where(col("l_orderkey") % 3 === 0)
+        def legs(lgK: Int) = {
+          val sa = Frequency.thetaSketches(
+            a.withColumn("g", lit("a")), "l_orderkey", "g", lgK)
+            .select(col("theta").as("ta"))
+          val sb = Frequency.thetaSketches(
+            b.withColumn("g", lit("b")), "l_orderkey", "g", lgK)
+            .select(col("theta").as("tb"))
+          sa.crossJoin(broadcast(sb)) // 1 x 1 rows
+            .select(
+              Frequency.thetaEstimate(
+                Frequency.thetaSetOp(col("ta"), col("tb"), "intersect"))
+                .as("i"),
+              Frequency.thetaEstimate(
+                Frequency.thetaSetOp(col("ta"), col("tb"), "anotb"))
+                .as("dx"),
+              Frequency.thetaEstimate(
+                Frequency.thetaSetOp(col("ta"), col("tb"), "union"))
+                .as("u"))
+        }
+        val exact = a.join(b, Seq("l_orderkey"), "left_semi")
+          .agg(countDistinct(col("l_orderkey")).as("n_overlap"))
+          .crossJoin(broadcast(
+            a.agg(countDistinct(col("l_orderkey")).as("n_a"))))
+          .crossJoin(broadcast(
+            b.agg(countDistinct(col("l_orderkey")).as("n_b"))))
+        // mergeability: union-of-parts (per returnflag) vs the whole
+        val parts = Frequency.thetaSketches(
+          s.read.parquet(pq(d, "lineitem"))
+            .select(col("l_orderkey"), col("l_returnflag")),
+          "l_orderkey", "l_returnflag", lgK = 20)
+        val merged = Frequency.thetaUnionSketch(parts, lgK = 20)
+          .select(element_at(Frequency.thetaEstimate(col("theta")), 2)
+            .as("merged_est"))
+        val whole = li.agg(countDistinct(col("l_orderkey")).as("n_all"))
+        exact.crossJoin(broadcast(legs(20))).crossJoin(broadcast(legs(9)
+            .select(col("i").as("ei"), col("dx").as("edx"),
+              col("u").as("eu"))))
+          .crossJoin(broadcast(merged)).crossJoin(broadcast(whole))
+          .select(col("n_overlap"), col("n_a"), col("n_b"),
+            // exact leg: estimate == exact count, exactly
+            (element_at(col("i"), 2) === col("n_overlap").cast("double"))
+              .as("exact_intersect_ok"),
+            (element_at(col("dx"), 2) ===
+              (col("n_a") - col("n_overlap")).cast("double"))
+              .as("exact_anotb_ok"),
+            (element_at(col("u"), 2) ===
+              (col("n_a") + col("n_b") - col("n_overlap")).cast("double"))
+              .as("exact_union_ok"),
+            // mergeability pin: union of parts == whole, exactly
+            (col("merged_est") === col("n_all").cast("double"))
+              .as("merge_exact_ok"),
+            // estimation leg: 3-sigma bounds bracket the truth
+            (element_at(col("ei"), 1) <= col("n_overlap") &&
+              element_at(col("ei"), 3) >= col("n_overlap"))
+              .as("est_intersect_bounded"),
+            (element_at(col("edx"), 1) <= col("n_a") - col("n_overlap") &&
+              element_at(col("edx"), 3) >= col("n_a") - col("n_overlap"))
+              .as("est_anotb_bounded"),
+            (element_at(col("eu"), 1) <=
+              col("n_a") + col("n_b") - col("n_overlap") &&
+              element_at(col("eu"), 3) >=
+                col("n_a") + col("n_b") - col("n_overlap"))
+              .as("est_union_bounded"))
+      },
+      Some("""SELECT
+                (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem
+                 WHERE l_orderkey % 6 = 0) AS n_overlap,
+                (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem
+                 WHERE l_orderkey % 2 = 0) AS n_a,
+                (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem
+                 WHERE l_orderkey % 3 = 0) AS n_b,
+                CAST(1 AS BOOLEAN) AS exact_intersect_ok,
+                CAST(1 AS BOOLEAN) AS exact_anotb_ok,
+                CAST(1 AS BOOLEAN) AS exact_union_ok,
+                CAST(1 AS BOOLEAN) AS merge_exact_ok,
+                CAST(1 AS BOOLEAN) AS est_intersect_bounded,
+                CAST(1 AS BOOLEAN) AS est_anotb_bounded,
+                CAST(1 AS BOOLEAN) AS est_union_bounded""")))
+}

@@ -560,7 +560,8 @@ object SparkEntry {
     RegistryParity.entries ++ RegistryExtensions.entries ++
       RegistryPipelines.entries ++ RegistryRound3.entries ++
       RegistryRound6.entries ++ RegistryRound11.entries ++
-      RegistryRound13.entries ++ RegistryRound14.entries
+      RegistryRound13.entries ++ RegistryRound14.entries ++
+      RegistryRound15.entries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

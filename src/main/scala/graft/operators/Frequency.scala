@@ -211,6 +211,54 @@ object Frequency {
     NativeFunctions.kllRanksNative(sketch, values)
 
   /**
+   * Per-group MERGEABLE theta sketches — the SET-OPERATION member of
+   * the persisted-sketch-log family (HLL unions but cannot
+   * intersect; train/eval contamination at 100 TB asks "how many
+   * keys are in BOTH corpora", i.e. sketch intersection). Backed by
+   * [[graft.plans.ThetaSketchAgg]] over `org.apache.datasketches
+   * .theta` (same classpath library as KLL). Persist one ≤(2^lgK·8B)
+   * row per (corpus, day, shard); [[thetaUnionSketch]] /
+   * [[thetaSetOp]] / [[thetaEstimate]] answer any union /
+   * intersection / difference cardinality over any subset without
+   * re-reading data. EXACT while distinct keys ≤ 2^lgK (theta == 1);
+   * past that, relative std error ≈ 1/sqrt(2^lgK) with
+   * lower/upper bounds that propagate through set ops. Fixed default
+   * hash seed → estimates are deterministic functions of the data.
+   */
+  def thetaSketches(df: DataFrame, keyCol: String, groupCol: String,
+                    lgK: Int = 12): DataFrame = {
+    NativeFunctions.register(df.sparkSession)
+    df.where(col(keyCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(NativeFunctions.thetaAggNative(col(keyCol), lgK).as("theta"))
+  }
+
+  /** Union a theta sketch column (any subset of a persisted sketch
+    * log) into ONE merged sketch binary — the read-time combiner.
+    * Pass the lgK the logs were built with. */
+  def thetaUnionSketch(sketches: DataFrame, sketchCol: String = "theta",
+                       lgK: Int = 12): DataFrame = {
+    NativeFunctions.register(sketches.sparkSession)
+    sketches.agg(
+      NativeFunctions.thetaUnionNative(col(sketchCol), lgK).as("theta"))
+  }
+
+  /** Set operation over two theta sketch binary columns → the result
+    * sketch binary (op ∈ intersect/anotb/union) — composable with
+    * [[thetaEstimate]] and further set ops. */
+  def thetaSetOp(a: org.apache.spark.sql.Column,
+                 b: org.apache.spark.sql.Column,
+                 op: String): org.apache.spark.sql.Column =
+    NativeFunctions.thetaSetOpNative(a, b, op)
+
+  /** Probe a theta sketch binary → array(lower, estimate, upper) at
+    * `numStdDev` std-devs; in exact mode all three equal the true
+    * distinct count. */
+  def thetaEstimate(sketch: org.apache.spark.sql.Column,
+                    numStdDev: Int = 3): org.apache.spark.sql.Column =
+    NativeFunctions.thetaEstimateNative(sketch, numStdDev)
+
+  /**
    * Point estimates for every row of `keys` against ONE sketch of
    * `df`'s `itemCol`: the keys frame gains an `est` column. The
    * sketch is collected to the driver (one row of

@@ -2681,6 +2681,10 @@ object NativeFunctions {
   val kllUnionName = "graft_kll_union"
   val kllQuantilesName = "graft_kll_quantiles"
   val kllRanksName = "graft_kll_ranks"
+  val thetaAggName = "graft_theta_agg"
+  val thetaUnionName = "graft_theta_union"
+  val thetaSetOpName = "graft_theta_setop"
+  val thetaEstimateName = "graft_theta_estimate"
 
   private def intLit(e: Expression): Int =
     e.eval(null) match {
@@ -2847,7 +2851,15 @@ object NativeFunctions {
     kllQuantilesName -> ((exprs: Seq[Expression]) =>
       KllQuantilesExpr(exprs.head, exprs(1))),
     kllRanksName -> ((exprs: Seq[Expression]) =>
-      KllRanksExpr(exprs.head, exprs(1))))
+      KllRanksExpr(exprs.head, exprs(1))),
+    thetaAggName -> ((exprs: Seq[Expression]) =>
+      ThetaSketchAgg(exprs.head, intLit(exprs(1))).toAggregateExpression()),
+    thetaUnionName -> ((exprs: Seq[Expression]) =>
+      ThetaUnionAgg(exprs.head, intLit(exprs(1))).toAggregateExpression()),
+    thetaSetOpName -> ((exprs: Seq[Expression]) =>
+      ThetaSetOpExpr(exprs.head, exprs(1), strLit(exprs(2)))),
+    thetaEstimateName -> ((exprs: Seq[Expression]) =>
+      ThetaEstimateExpr(exprs.head, intLit(exprs(1)))))
 
   /** Idempotently register graft native functions on this session. */
   def register(spark: SparkSession): Unit = {
@@ -3031,6 +3043,31 @@ object NativeFunctions {
   def kllRanksNative(sketch: Column, values: Seq[Double]): Column =
     call_function(kllRanksName, sketch,
       org.apache.spark.sql.functions.typedlit(values))
+
+  /** Mergeable theta sketch aggregate over a bigint/string key
+    * column → compact binary (persist one row per group; set-ops
+    * later). */
+  def thetaAggNative(key: Column, lgK: Int = 12): Column =
+    call_function(thetaAggName, key,
+      org.apache.spark.sql.functions.lit(lgK))
+
+  /** Union of persisted theta sketch binaries → one merged binary;
+    * pass the lgK the logs were built with. */
+  def thetaUnionNative(sketch: Column, lgK: Int = 12): Column =
+    call_function(thetaUnionName, sketch,
+      org.apache.spark.sql.functions.lit(lgK))
+
+  /** Set operation over two theta sketch binaries → result sketch
+    * binary; op ∈ intersect/anotb/union. */
+  def thetaSetOpNative(a: Column, b: Column, op: String): Column =
+    call_function(thetaSetOpName, a, b,
+      org.apache.spark.sql.functions.lit(op))
+
+  /** Probe a theta sketch binary → array(lower, estimate, upper) at
+    * numStdDev std-devs (exact mode: all three == true count). */
+  def thetaEstimateNative(sketch: Column, numStdDev: Int = 3): Column =
+    call_function(thetaEstimateName, sketch,
+      org.apache.spark.sql.functions.lit(numStdDev))
 
   /** Rank bucket id = number of sorted `boundaries` ≤ value (binary
     * search; boundaries ride as a codegen reference object). */

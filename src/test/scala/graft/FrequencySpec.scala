@@ -270,4 +270,86 @@ class FrequencySpec extends SparkSpec {
       .collect()(0)
     assert(uq.isNullAt(0), "empty sketch must probe to null, not throw")
   }
+
+  test("theta: exact-mode set ops equal exact counts; union of parts == whole") {
+    // keys 1..3000 split into A (even) and B (div by 3): overlap =
+    // multiples of 6. lgK=14 (16384 nominal) >> 3000 → exact mode.
+    val df = (1 to 3000).map(k => (k.toLong, s"g${k % 4}"))
+      .toDF("k", "grp").repartition(16)
+    val sa = Frequency.thetaSketches(
+      df.where($"k" % 2 === 0).withColumn("g", lit("a")), "k", "g", 14)
+      .select($"theta".as("ta"))
+    val sb = Frequency.thetaSketches(
+      df.where($"k" % 3 === 0).withColumn("g", lit("b")), "k", "g", 14)
+      .select($"theta".as("tb"))
+    val r = sa.crossJoin(sb).select(
+      element_at(Frequency.thetaEstimate(
+        Frequency.thetaSetOp($"ta", $"tb", "intersect")), 2),
+      element_at(Frequency.thetaEstimate(
+        Frequency.thetaSetOp($"ta", $"tb", "anotb")), 2),
+      element_at(Frequency.thetaEstimate(
+        Frequency.thetaSetOp($"ta", $"tb", "union")), 2)).collect()(0)
+    assert(r.getDouble(0) == 500.0, s"intersect ${r.getDouble(0)}")   // 3000/6
+    assert(r.getDouble(1) == 1000.0, s"anotb ${r.getDouble(1)}")      // 1500-500
+    assert(r.getDouble(2) == 2000.0, s"union ${r.getDouble(2)}")      // 1500+1000-500
+    // mergeability: union of the 4 per-group sketches == 3000 exactly
+    val merged = Frequency.thetaUnionSketch(
+      Frequency.thetaSketches(df, "k", "grp", 14), lgK = 14)
+      .select(element_at(Frequency.thetaEstimate($"theta"), 2))
+      .collect()(0).getDouble(0)
+    assert(merged == 3000.0, s"union-of-parts $merged")
+  }
+
+  test("theta: estimation mode bounds bracket the truth; partition-invariant; strings") {
+    // 20000 distinct string keys at lgK=8 (256 nominal) → heavy
+    // sampling; 3-sigma bounds must bracket, and the estimate must be
+    // identical across partitionings (deterministic default seed)
+    val keys = (1 to 20000).map(i => f"user_$i%06d")
+    def est(parts: Int): (Double, Double, Double) = {
+      val df = keys.toDF("k").repartition(parts)
+        .withColumn("g", lit("all"))
+      val r = Frequency.thetaSketches(df, "k", "g", lgK = 8)
+        .select(Frequency.thetaEstimate($"theta")).collect()(0)
+        .getSeq[Double](0)
+      (r(0), r(1), r(2))
+    }
+    val (lb, e, ub) = est(16)
+    assert(lb <= 20000.0 && ub >= 20000.0, s"bounds [$lb, $ub] miss 20000")
+    assert(e > 10000.0 && e < 40000.0, s"estimate $e wildly off")
+    assert(est(3) == ((lb, e, ub)), "estimate must not depend on partitioning")
+  }
+
+  test("theta: sketches persist to parquet and set-op after re-read (the log shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("theta-log").toString
+    val df = (1 to 800).map(k => (k.toLong, if (k <= 500) "day1" else "day2"))
+      .toDF("k", "day")
+    Frequency.thetaSketches(df, "k", "day", 12)
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val u = Frequency.thetaUnionSketch(back, lgK = 12)
+      .select(element_at(Frequency.thetaEstimate($"theta"), 2))
+      .collect()(0).getDouble(0)
+    assert(u == 800.0, s"re-read union $u")
+    // intersection of the two persisted days is empty (disjoint keys)
+    val days = back.orderBy($"day").collect().map(_.getAs[Array[Byte]]("theta"))
+    val i = Seq((days(0), days(1))).toDF("a", "b")
+      .select(element_at(Frequency.thetaEstimate(
+        Frequency.thetaSetOp($"a", $"b", "intersect")), 2))
+      .collect()(0).getDouble(0)
+    assert(i == 0.0, s"disjoint intersection $i")
+  }
+
+  test("theta: nulls skipped; null sketch inputs propagate null") {
+    val df = Seq[(java.lang.Long, String)]((1L, "g"), (null, "g"), (3L, "g"))
+      .toDF("k", "grp")
+    val n = Frequency.thetaSketches(df, "k", "grp", 12)
+      .select(element_at(Frequency.thetaEstimate($"theta"), 2))
+      .collect()(0).getDouble(0)
+    assert(n == 2.0, s"nulls must not count, got $n")
+    val r = Seq((Option.empty[Array[Byte]], Option.empty[Array[Byte]]))
+      .toDF("a", "b")
+      .select(Frequency.thetaSetOp($"a", $"b", "union"),
+        Frequency.thetaEstimate($"a")).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
 }
