@@ -36,7 +36,14 @@ import java.util.concurrent.atomic.AtomicBoolean
  *     both back-to-back steady runs; to survive the revisit it would
  *     have to ALSO span this second, well-separated window;
  *   - a hard wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default
- *     900s) via watchdog thread + JVM shutdown hook for SIGTERM.
+ *     900s) via watchdog thread + JVM shutdown hook for SIGTERM;
+ *   - QUIET-HOST self-certification (round 15): "noise_ok" in the JSON
+ *     is true iff at least one full pass over every query ran with
+ *     steal/iowait inside the quiet band — a noisy main sweep triggers
+ *     full single-run retry passes (reported values are mins, so one
+ *     quiet pass bounds every number) until one is quiet or the budget
+ *     ends. The committed artifact certifies itself; no side-evidence
+ *     appeal (round 14's 106s-vs-89s steal capture) is ever needed.
  *
  * Measurement discipline on a healthy host is unchanged: warm-up absorbs
  * Janino whole-stage-codegen + JIT (15-30s first-touch vs 0.3-2s steady
@@ -59,6 +66,20 @@ object Bench {
   @volatile private var sfDir: String = "?"
   @volatile private var allNames: Seq[String] = Seq.empty
   @volatile private var statAtStart: Option[(Long, Long, Long)] = None
+  // self-certification (round 15): true once at least one FULL pass
+  // over every query ran inside the quiet-host band — the committed
+  // artifact then never needs a side-evidence appeal (the round-14
+  // capture read 106s purely from host steal, and only
+  // bench_evidence/ showed it)
+  @volatile private var quietPassDone: Boolean = false
+  @volatile private var quietRetries: Int = 0
+
+  /** Quiet-host band: clean captures measure steal ≈ 0.0006 and the
+    * r14 contaminated one 0.0156 (bench_evidence/README); the
+    * threshold sits an order of magnitude above clean and well below
+    * the smallest contamination that moved a total. */
+  private val maxStealFrac = 0.004
+  private val maxIowaitFrac = 0.010
 
   /** (totalJiffies, iowait, steal) from /proc/stat's aggregate cpu line —
     * None on non-Linux hosts. */
@@ -123,6 +144,10 @@ object Bench {
           s""","host_iowait_frac":${num((ioB - ioA) / d)},"host_steal_frac":${num((stB - stA) / d)}"""
         case _ => ""
       }
+      // self-certification verdict: true iff at least one FULL pass over
+      // every query ran inside the quiet-host band (reported values are
+      // mins over all runs, so one quiet pass bounds every number)
+      val cert = s""","noise_ok":$quietPassDone,"noise_retries":$quietRetries"""
       // key order matters downstream: the driver records a ~2.2KB stdout
       // TAIL, so "queries" (the steady-state dict — the values a reader
       // actually wants) goes LAST; round 7's artifact exposed the
@@ -130,9 +155,9 @@ object Bench {
       // second, compact summary line (no per-query dicts, ~200 bytes)
       // follows so the tail always contains one fully-parseable JSON
       // record even though the full line overflows the capture.
-      val line = s"""{"metric":"total","value":$valueStr,"unit":"sec","sf":"$sfDir","complete":$complete,"partial_total":${num(total)},"n_measured":${measured.size},"n_queries":${names.size},"elapsed_s":${num(elapsed)}$noise,"warmups":$ws,"queries":$qs}"""
+      val line = s"""{"metric":"total","value":$valueStr,"unit":"sec","sf":"$sfDir","complete":$complete,"partial_total":${num(total)},"n_measured":${measured.size},"n_queries":${names.size},"elapsed_s":${num(elapsed)}$noise$cert,"warmups":$ws,"queries":$qs}"""
       println(line)
-      println(s"""{"metric":"total","value":$valueStr,"unit":"sec","sf":"$sfDir","complete":$complete,"partial_total":${num(total)},"n_measured":${measured.size},"n_queries":${names.size},"elapsed_s":${num(elapsed)}$noise}""")
+      println(s"""{"metric":"total","value":$valueStr,"unit":"sec","sf":"$sfDir","complete":$complete,"partial_total":${num(total)},"n_measured":${measured.size},"n_queries":${names.size},"elapsed_s":${num(elapsed)}$noise$cert}""")
       // minimal last-line summary (~30 bytes): with run/outputStrategy
       // inheriting stdout (build.sbt), this line reaches the driver
       // verbatim — the smallest parseable record survives any tail size
@@ -209,6 +234,41 @@ object Bench {
         System.err.println(f"[bench] $name: ${shown.getOrElse(Double.NaN)}%.2fs " +
           f"(warmup: ${warmups(name)}%.2f; runs: ${t.map(x => f"$x%.2f").mkString(", ")})")
       }
+    }
+    // QUIET-HOST certification (round 15): the r14 committed capture
+    // was 17s slow purely from host steal, and only side evidence
+    // (bench_evidence/) showed it — the artifact itself must certify.
+    // Reported values are mins over ALL runs, so ONE full pass inside
+    // the quiet band bounds every reported number; if the main sweep
+    // ran noisy, keep taking full single-run passes (each also
+    // tightens the mins) until one lands inside the band or the
+    // budget runs out. noise_ok=false in the JSON then says, by
+    // construction, "no quiet window was available this run".
+    def inBand(a: Option[(Long, Long, Long)],
+               b: Option[(Long, Long, Long)]): Boolean = (a, b) match {
+      case (Some((tA, ioA, stA)), Some((tB, ioB, stB))) if tB > tA =>
+        val d = (tB - tA).toDouble
+        (stB - stA) / d <= maxStealFrac && (ioB - ioA) / d <= maxIowaitFrac
+      case _ => false // unreadable /proc/stat can't certify quiet
+    }
+    val mainSweepComplete = queries.forall { case (n, _) =>
+      samples.get(n).exists(_.nonEmpty)
+    }
+    if (mainSweepComplete && inBand(statAtStart, cpuStat()))
+      quietPassDone = true
+    while (!quietPassDone && elapsed < deadline) {
+      quietRetries += 1
+      System.err.println(f"[bench] noisy capture at $elapsed%.1fs — " +
+        f"quiet-band retry pass $quietRetries")
+      val passStart = cpuStat()
+      var full = true
+      queries.foreach { case (name, fn) =>
+        if (elapsed < deadline) {
+          val t = once(name, fn)
+          samples(name) = samples.getOrElse(name, Vector.empty) :+ t
+        } else full = false
+      }
+      if (full && inBand(passStart, cpuStat())) quietPassDone = true
     }
     // REVISIT pass: one extra timed run for the slowest queries, and for
     // any whose steady min exceeds 2x its own warm-up (a steady run does
