@@ -58,7 +58,11 @@ object GoldenPlans {
     // round-13 additions that entered the bench's expensive tier
     "q_hybrid_search_ivf",
     "q_dedup_semantic_twolevel",
-    "q_cdc_novelty_state")
+    "q_cdc_novelty_state",
+    // round-15: the r13/r14 verdicts' twice-host-attributed >1.3x
+    // mover — pinned so a third move with an identical plan is
+    // provably not a plan drift (and a plan drift fails by name)
+    "q_pipeline_e2e")
 
   // filled by GoldenPlanDump — (shuffle exchanges, broadcast
   // exchanges, join-strategy multiset) on the sf0.001 static plan
@@ -77,5 +81,6 @@ object GoldenPlans {
     "q_token_budget" -> (4, 1, Map[String, Int]("bhj" -> 1)),
     "q_hybrid_search_ivf" -> (19, 8, Map[String, Int]("bhj" -> 7, "bnlj" -> 2, "smj" -> 6)),
     "q_dedup_semantic_twolevel" -> (3, 0, Map[String, Int]("smj" -> 3)),
-    "q_cdc_novelty_state" -> (3, 2, Map[String, Int]("bhj" -> 2)))
+    "q_cdc_novelty_state" -> (3, 2, Map[String, Int]("bhj" -> 2)),
+    "q_pipeline_e2e" -> (2, 0, Map[String, Int]()))
 }
