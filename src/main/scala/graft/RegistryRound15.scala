@@ -116,5 +116,24 @@ private[graft] object RegistryRound15 {
                 CAST(1 AS BOOLEAN) AS merge_exact_ok,
                 CAST(1 AS BOOLEAN) AS est_intersect_bounded,
                 CAST(1 AS BOOLEAN) AS est_anotb_bounded,
-                CAST(1 AS BOOLEAN) AS est_union_bounded""")))
+                CAST(1 AS BOOLEAN) AS est_union_bounded""")),
+
+    // Fragmented MP4 (round 15): q_video_sequence_mp4's construction
+    // and oracle VERBATIM, but every clip is an fMP4 — moof/tfhd/trun
+    // sample tables instead of stbl (Mp4.fragmentSampleLocations),
+    // the DASH/streaming-era shape the r14 demuxer named-errored on.
+    // Identical oracle = the container-agnosticism contract, third
+    // instance (MJPEG → progressive MP4 → fragmented MP4); the
+    // fragment tables feed the same NAL reframe and CAVLC intra
+    // decode, so the offset-voting matcher sees identical pixels.
+    Q("q_video_sequence_fmp4",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        Multimodal.videoSequenceMatches(
+          Multimodal.syntheticShiftedMp4Corpus(s, nContents = 12,
+            nShifted = 6, fragmented = true), minVotes = 5)
+          .select(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT i AS id_a, i + 1000 AS id_b
+              FROM generate_series(0, 5) t(i)""")))
 }

@@ -15,9 +15,14 @@ package graft.multimodal
  * sample entries; `stsz`/`stsc`/`stco`-or-`co64` sample location
  * (versioned boxes tolerated, 64-bit box sizes supported); samples
  * emitted in decode order, which equals display order for the I-only
- * streams the H.264 path decodes. Unsupported shapes (no video
- * track, fragmented `moof` movies, non-AVC codecs) throw named errors
- * — the degrade-don't-fail `Try` upstream turns them into skips.
+ * streams the H.264 path decodes. FRAGMENTED movies (fMP4 — the
+ * DASH/streaming-era shape, 14496-12 §8.8) are demuxed too: top-level
+ * `moof` boxes' `tfhd`/`trun` sample tables locate each fragment's
+ * samples (base-data-offset, default-base-is-moof, and implicit
+ * moof-start bases; per-sample or tfhd-default sizes), feeding the
+ * SAME NAL reframe path as the `stbl` route. Unsupported shapes (no
+ * video track, non-AVC codecs, size-less truns) throw named errors —
+ * the degrade-don't-fail `Try` upstream turns them into skips.
  */
 object Mp4 {
 
@@ -157,15 +162,22 @@ object Mp4 {
   def demuxToAnnexB(bytes: Array[Byte]): Array[Byte] = {
     val top = boxes(bytes, 0, bytes.length)
     require(top.exists(_._1 == "ftyp"), "not an ISO-BMFF file")
-    require(!top.exists(_._1 == "moof"),
-      "fragmented MP4 (moof) unsupported")
     val (moovS, moovE) = child(bytes, top, "moov")
       .getOrElse(throw new IllegalArgumentException("no moov box"))
     val moovKids = boxes(bytes, moovS, moovE)
-    // first trak whose mdia/hdlr is 'vide'
+    // first trak whose mdia/hdlr is 'vide': its stbl + its track_ID
+    // (the ID keys this track's traf boxes in fragmented movies)
     val stblOpt = moovKids.filter(_._1 == "trak").flatMap {
       case (_, ts, te) =>
-        val mdia = child(bytes, boxes(bytes, ts, te), "mdia")
+        val trakKids = boxes(bytes, ts, te)
+        val trackId = child(bytes, trakKids, "tkhd").map {
+          case (hs, _) =>
+            // fullbox: version 0 → creation/modification are 4 B each,
+            // version 1 → 8 B each; track_ID follows them
+            val ver = bytes(hs.toInt) & 0xFF
+            u32(bytes, hs.toInt + 4 + (if (ver == 1) 16 else 8))
+        }.getOrElse(-1L)
+        val mdia = child(bytes, trakKids, "mdia")
         mdia.flatMap { case (ms, me) =>
           val mdiaKids = boxes(bytes, ms, me)
           val isVideo = child(bytes, mdiaKids, "hdlr").exists {
@@ -174,10 +186,11 @@ object Mp4 {
           if (!isVideo) None
           else child(bytes, mdiaKids, "minf").flatMap {
             case (ns, ne) => child(bytes, boxes(bytes, ns, ne), "stbl")
+              .map(st => (st, trackId))
           }
         }
     }.headOption
-    val (stblS, stblE) = stblOpt.getOrElse(
+    val ((stblS, stblE), videoTrackId) = stblOpt.getOrElse(
       throw new IllegalArgumentException("no video track"))
     val stbl = boxes(bytes, stblS, stblE)
     val (sdS, sdE) = child(bytes, stbl, "stsd")
@@ -195,7 +208,14 @@ object Mp4 {
     (cfg.sps ++ cfg.pps).foreach { n =>
       out.write(startCode); out.write(n, 0, n.length)
     }
-    sampleLocations(bytes, stbl).foreach { case (off, size) =>
+    // fragmented movies carry samples in moof/traf/trun tables, not
+    // stbl (whose stsz is typically present-but-empty); both routes
+    // feed the same length-prefixed NAL reframe below
+    val locations =
+      if (top.exists(_._1 == "moof"))
+        fragmentSampleLocations(bytes, top, videoTrackId)
+      else sampleLocations(bytes, stbl)
+    locations.foreach { case (off, size) =>
       var o = off
       val end = off + size
       while (o + cfg.lengthSize <= end) {
@@ -212,6 +232,81 @@ object Mp4 {
       }
     }
     out.toByteArray
+  }
+
+  /** Per-sample (offset, size) pairs from a fragmented movie's moof
+    * boxes (14496-12 §8.8), in file order: for each `traf` whose
+    * `tfhd` names the video track, resolve the base data offset
+    * (explicit base-data-offset flag 0x1; default-base-is-moof flag
+    * 0x20000; or the implicit default — the first byte of the
+    * enclosing moof), then walk its `trun`s (data-offset flag 0x1,
+    * first-sample-flags 0x4, per-sample duration/size/flags/cts
+    * 0x100/0x200/0x400/0x800). Sample sizes come per-sample from the
+    * trun or from tfhd's default-sample-size (flag 0x10); a movie
+    * relying on mvex/trex defaults for SIZE throws a named error
+    * (trex defaults are for duration/flags in practice — size-less
+    * truns don't occur in AVC video). */
+  private def fragmentSampleLocations(b: Array[Byte],
+                                      top: Seq[(String, Long, Long)],
+                                      trackId: Long): Seq[(Long, Int)] = {
+    val out = Seq.newBuilder[(Long, Int)]
+    top.filter(_._1 == "moof").foreach { case (_, moofS, moofE) =>
+      val moofStart = moofS - 8 // payload start → box start
+      boxes(b, moofS, moofE).filter(_._1 == "traf").foreach {
+        case (_, trafS, trafE) =>
+          val trafKids = boxes(b, trafS, trafE)
+          val (thS, _) = child(b, trafKids, "tfhd").getOrElse(
+            throw new IllegalArgumentException("traf without tfhd"))
+          val thFlags = u32(b, thS.toInt) & 0xFFFFFF
+          var o = thS.toInt + 4
+          val tfTrackId = u32(b, o); o += 4
+          if (tfTrackId == trackId) {
+            val base: Long =
+              if ((thFlags & 0x1) != 0) { val v = u64(b, o); o += 8; v }
+              else moofStart // default-base-is-moof OR the implicit
+                             // default — both the enclosing moof start
+            if ((thFlags & 0x2) != 0) o += 4 // sample_description_index
+            if ((thFlags & 0x8) != 0) o += 4 // default_sample_duration
+            val defaultSize: Long =
+              if ((thFlags & 0x10) != 0) { val v = u32(b, o); o += 4; v }
+              else -1L
+            // default_sample_flags (0x20) not needed for location
+            var nextImplicitOff = -1L // end of previous trun's samples
+            trafKids.filter(_._1 == "trun").foreach { case (_, trS, _) =>
+              val trFlags = u32(b, trS.toInt) & 0xFFFFFF
+              var p = trS.toInt + 4
+              val count = u32(b, p).toInt; p += 4
+              var off: Long =
+                if ((trFlags & 0x1) != 0) {
+                  val v = u32(b, p).toInt; p += 4 // signed int32
+                  base + v
+                } else if (nextImplicitOff >= 0) nextImplicitOff
+                else base
+              if ((trFlags & 0x4) != 0) p += 4 // first_sample_flags
+              var i = 0
+              while (i < count) {
+                if ((trFlags & 0x100) != 0) p += 4 // sample_duration
+                val size: Long =
+                  if ((trFlags & 0x200) != 0) {
+                    val v = u32(b, p); p += 4; v
+                  } else defaultSize
+                require(size >= 0,
+                  "trun without sample sizes and tfhd without default" +
+                    " — mvex/trex size defaults unsupported")
+                if ((trFlags & 0x400) != 0) p += 4 // sample_flags
+                if ((trFlags & 0x800) != 0) p += 4 // composition offset
+                out += ((off, size.toInt))
+                off += size
+                i += 1
+              }
+              nextImplicitOff = off
+            }
+          }
+      }
+    }
+    val locs = out.result()
+    require(locs.nonEmpty, "fragmented movie has no video samples")
+    locs
   }
 
   // ---- mux (fixture writer) ----------------------------------------------
@@ -243,8 +338,11 @@ object Mp4 {
    * one sample per picture (a new picture starts at each slice whose
    * first_mb_in_slice is 0), 25 fps timing. Deterministic bytes.
    */
-  def fromAnnexB(annexB: Array[Byte], width: Int,
-                 height: Int): Array[Byte] = {
+  /** Annex-B → (SPS NALs, PPS NALs, per-picture samples of 4-byte
+    * length-prefixed slice NALs — a new picture starts at each slice
+    * with first_mb_in_slice == 0): the shared front of both muxers. */
+  private def groupSamples(annexB: Array[Byte])
+      : (Seq[Array[Byte]], Seq[Array[Byte]], Seq[Array[Byte]]) = {
     val nals = H264.nalUnits(annexB)
     val sps = nals.filter(n => (n(0) & 0x1F) == 7)
     val pps = nals.filter(n => (n(0) & 0x1F) == 8)
@@ -252,7 +350,6 @@ object Mp4 {
     val slices = nals.filter(n => (n(0) & 0x1F) == 1 ||
       (n(0) & 0x1F) == 5)
     require(slices.nonEmpty, "Annex-B lacks slices")
-    // group slices into pictures: first_mb_in_slice == 0 starts one
     val samples = Seq.newBuilder[Array[Byte]]
     var cur = new java.io.ByteArrayOutputStream()
     slices.foreach { s =>
@@ -265,7 +362,12 @@ object Mp4 {
       cur.write(s, 0, s.length)
     }
     if (cur.size > 0) samples += cur.toByteArray
-    val smp = samples.result()
+    (sps, pps, samples.result())
+  }
+
+  def fromAnnexB(annexB: Array[Byte], width: Int,
+                 height: Int): Array[Byte] = {
+    val (sps, pps, smp) = groupSamples(annexB)
 
     val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1"),
       be32(0x200), "isomavc1".getBytes("ISO-8859-1"))
@@ -277,36 +379,8 @@ object Mp4 {
     val frameTicks = 40L // 25 fps
     val duration = smp.size * frameTicks
 
-    val avcC = {
-      val out = new java.io.ByteArrayOutputStream()
-      out.write(1) // configurationVersion
-      out.write(sps.head(1)); out.write(sps.head(2)); out.write(sps.head(3))
-      out.write(0xFF) // '111111' + lengthSizeMinusOne 3 → 4-byte
-      out.write(0xE0 | sps.size)
-      sps.foreach { s => out.write(be16(s.length), 0, 2)
-        out.write(s, 0, s.length) }
-      out.write(pps.size)
-      pps.foreach { p => out.write(be16(p.length), 0, 2)
-        out.write(p, 0, p.length) }
-      box("avcC", out.toByteArray)
-    }
-    val avc1 = {
-      val out = new java.io.ByteArrayOutputStream()
-      out.write(new Array[Byte](6), 0, 6) // reserved
-      out.write(be16(1), 0, 2) // data_reference_index
-      out.write(new Array[Byte](16), 0, 16) // pre_defined/reserved
-      out.write(be16(width), 0, 2)
-      out.write(be16(height), 0, 2)
-      out.write(be32(0x00480000L), 0, 4) // 72 dpi horiz
-      out.write(be32(0x00480000L), 0, 4) // 72 dpi vert
-      out.write(be32(0), 0, 4) // reserved
-      out.write(be16(1), 0, 2) // frame_count
-      out.write(new Array[Byte](32), 0, 32) // compressorname
-      out.write(be16(0x0018), 0, 2) // depth 24
-      out.write(be16(0xFFFF), 0, 2) // pre_defined -1
-      box("avc1", out.toByteArray, avcC)
-    }
-    val stsd = fullBox("stsd", be32(1) ++ avc1)
+    val stsd = fullBox("stsd", be32(1) ++
+      avc1Box(sps, pps, width, height))
     val stts = fullBox("stts",
       be32(1) ++ be32(smp.size) ++ be32(frameTicks))
     val stsc = fullBox("stsc", be32(1) ++ be32(1) ++
@@ -345,6 +419,135 @@ object Mp4 {
     out.write(ftyp, 0, ftyp.length)
     out.write(mdat, 0, mdat.length)
     out.write(moov, 0, moov.length)
+    out.toByteArray
+  }
+
+  /** VisualSampleEntry ('avc1') with its avcC child — shared by the
+    * progressive and fragmented muxers. */
+  private def avc1Box(sps: Seq[Array[Byte]], pps: Seq[Array[Byte]],
+                      width: Int, height: Int): Array[Byte] = {
+    val avcC = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(1) // configurationVersion
+      out.write(sps.head(1)); out.write(sps.head(2)); out.write(sps.head(3))
+      out.write(0xFF) // '111111' + lengthSizeMinusOne 3 → 4-byte
+      out.write(0xE0 | sps.size)
+      sps.foreach { s => out.write(be16(s.length), 0, 2)
+        out.write(s, 0, s.length) }
+      out.write(pps.size)
+      pps.foreach { p => out.write(be16(p.length), 0, 2)
+        out.write(p, 0, p.length) }
+      box("avcC", out.toByteArray)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(new Array[Byte](6), 0, 6) // reserved
+    out.write(be16(1), 0, 2) // data_reference_index
+    out.write(new Array[Byte](16), 0, 16) // pre_defined/reserved
+    out.write(be16(width), 0, 2)
+    out.write(be16(height), 0, 2)
+    out.write(be32(0x00480000L), 0, 4) // 72 dpi horiz
+    out.write(be32(0x00480000L), 0, 4) // 72 dpi vert
+    out.write(be32(0), 0, 4) // reserved
+    out.write(be16(1), 0, 2) // frame_count
+    out.write(new Array[Byte](32), 0, 32) // compressorname
+    out.write(be16(0x0018), 0, 2) // depth 24
+    out.write(be16(0xFFFF), 0, 2) // pre_defined -1
+    box("avc1", out.toByteArray, avcC)
+  }
+
+  /**
+   * Mux an Annex-B H.264 stream into a FRAGMENTED MP4 (fMP4, the
+   * DASH/streaming shape): `ftyp` + `moov` whose stbl sample tables
+   * are EMPTY (stsz count 0 — samples live in fragments) and whose
+   * `mvex`/`trex` declares fragmenting, then one `moof`+`mdat` pair
+   * per group of `samplesPerFragment` pictures. Each traf uses
+   * tfhd flag 0x20000 (default-base-is-moof) and one trun with
+   * data-offset + per-sample sizes — the common real-world encoding
+   * of the §8.8 tables. Deterministic bytes; the demux side of this
+   * module reads its own output AND the tfhd-default-size /
+   * implicit-base variants it never emits (Mp4Spec covers those by
+   * hand-built fixtures).
+   */
+  def fromAnnexBFragmented(annexB: Array[Byte], width: Int,
+                           height: Int,
+                           samplesPerFragment: Int = 3): Array[Byte] = {
+    require(samplesPerFragment >= 1)
+    val (sps, pps, smp) = groupSamples(annexB)
+
+    val timescale = 1000L
+    val frameTicks = 40L // 25 fps
+
+    val ftyp = box("ftyp", "iso5".getBytes("ISO-8859-1"),
+      be32(0x200), "iso5isomavc1".getBytes("ISO-8859-1"))
+    val stsd = fullBox("stsd", be32(1) ++
+      avc1Box(sps, pps, width, height))
+    // empty sample tables: fragments own the samples
+    val stts = fullBox("stts", be32(0))
+    val stsc = fullBox("stsc", be32(0))
+    val stsz = fullBox("stsz", be32(0) ++ be32(0))
+    val stco = fullBox("stco", be32(0))
+    val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+    val dref = fullBox("dref", be32(1) ++
+      box("url ", Array[Byte](0, 0, 0, 1)))
+    val vmhd = box("vmhd", Array[Byte](0, 0, 0, 1), new Array[Byte](8))
+    val minf = box("minf", vmhd, box("dinf", dref), stbl)
+    val hdlr = fullBox("hdlr", be32(0) ++
+      "vide".getBytes("ISO-8859-1") ++ new Array[Byte](12) ++
+      "graft ".getBytes("ISO-8859-1"))
+    // duration 0 in mdhd/tkhd/mvhd: unknown until fragments are read
+    val mdhd = fullBox("mdhd", be32(0) ++ be32(0) ++
+      be32(timescale) ++ be32(0) ++ be16(0x55C4) ++ be16(0))
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7),
+      be32(0), be32(0), be32(1), be32(0), be32(0),
+      new Array[Byte](8), be16(0), be16(0), be16(0), be16(0),
+      be32(0x10000), be32(0), be32(0), be32(0), be32(0x10000),
+      be32(0), be32(0), be32(0), be32(0x40000000),
+      be32(width.toLong << 16), be32(height.toLong << 16))
+    val trex = fullBox("trex", be32(1) ++ // track_ID
+      be32(1) ++ // default_sample_description_index
+      be32(frameTicks) ++ // default_sample_duration
+      be32(0) ++ // default_sample_size (sizes ride in truns)
+      be32(0))   // default_sample_flags
+    val mvex = box("mvex", trex)
+    val mvhd = fullBox("mvhd", be32(0) ++ be32(0) ++
+      be32(timescale) ++ be32(0) ++ be32(0x10000) ++
+      be16(0x0100) ++ be16(0) ++ new Array[Byte](8) ++
+      be32(0x10000) ++ be32(0) ++ be32(0) ++ be32(0) ++
+      be32(0x10000) ++ be32(0) ++ be32(0) ++ be32(0) ++
+      be32(0x40000000) ++ new Array[Byte](24) ++ be32(2))
+    val moov = box("moov", mvhd, box("trak", tkhd, mdia), mvex)
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ftyp, 0, ftyp.length)
+    out.write(moov, 0, moov.length)
+    var seq = 1
+    var decodeTime = 0L
+    smp.grouped(samplesPerFragment).foreach { group =>
+      val mfhd = fullBox("mfhd", be32(seq))
+      val tfhd = box("tfhd", Array[Byte](0, 2, 0, 0), // flags 0x20000
+        be32(1)) // track_ID
+      val tfdt = fullBox("tfdt", be32(decodeTime))
+      // trun flags: 0x1 data-offset + 0x200 sample-size
+      val trunPayload = be32(group.size) ++
+        be32(0) ++ // data_offset placeholder, patched below
+        group.flatMap(s => be32(s.length)).toArray
+      val trun = box("trun", Array[Byte](0, 0, 2, 1), trunPayload)
+      val traf = box("traf", tfhd, tfdt, trun)
+      val moof = box("moof", mfhd, traf)
+      // data_offset (from moof start) = moof size + mdat header;
+      // its slot sits after trun's size+type+verflags+sample_count
+      val dataOff = moof.length + 8
+      val slotInTraf = 8 + tfhd.length + tfdt.length + 8 + 4 + 4
+      val slot = 8 + mfhd.length + slotInTraf
+      val patched = be32(dataOff)
+      System.arraycopy(patched, 0, moof, slot, 4)
+      val mdat = box("mdat", group.flatten.toArray)
+      out.write(moof, 0, moof.length)
+      out.write(mdat, 0, mdat.length)
+      seq += 1
+      decodeTime += group.size * frameTicks
+    }
     out.toByteArray
   }
 }

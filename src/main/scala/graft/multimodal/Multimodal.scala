@@ -1449,9 +1449,16 @@ object Multimodal {
    * bit-identically to the source's, and the SAME offset-voting
    * matcher finds the planted 3-frame shift through the container
    * demux with no codec- or container-specific code.
+   *
+   * `fragmented = true` muxes each clip as an fMP4 instead
+   * ([[Mp4.fromAnnexBFragmented]] — moof/tfhd/trun sample tables, the
+   * DASH/streaming shape): identical pixels and oracle, third
+   * container for the agnosticism contract.
    */
   def syntheticShiftedMp4Corpus(spark: SparkSession, nContents: Int,
-                                nShifted: Int): Dataset[MediaRow] = {
+                                nShifted: Int,
+                                fragmented: Boolean = false)
+      : Dataset[MediaRow] = {
     import spark.implicits._
     require(nShifted <= nContents, "shifted copies need a source")
     val ids = spark.range(nContents.toLong)
@@ -1464,8 +1471,10 @@ object Multimodal {
       val frames = if (id >= 1000L)
         fixtureFrames(5000L + content, w, h, frames = 3) ++ body
       else body
-      val bytes = Mp4.fromAnnexB(
-        H264.encodeCavlc(w, h, frames, qp = 26)._1, w, h)
+      val annexB = H264.encodeCavlc(w, h, frames, qp = 26)._1
+      val bytes = if (fragmented)
+        Mp4.fromAnnexBFragmented(annexB, w, h)
+      else Mp4.fromAnnexB(annexB, w, h)
       MediaRow(id, "video", bytes, MediaMeta(w, h, 0, frames.size))
     }
   }

@@ -103,6 +103,125 @@ class Mp4Spec extends SparkSpec {
     assert(hashed.select("media_id").as[Long].collect().toSet == Set(1L))
   }
 
+  // --- fragmented MP4 (round 15) -----------------------------------
+
+  /** Top-level (type, start, end-exclusive) box spans of an ISO-BMFF
+    * file — test-side reader for fixture surgery. */
+  private def topBoxes(b: Array[Byte]): Seq[(String, Int, Int)] = {
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var o = 0
+    while (o + 8 <= b.length) {
+      val size = ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) |
+        ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+      val t = new String(b, o + 4, 4, "ISO-8859-1")
+      out += ((t, o, o + size))
+      o += size
+    }
+    out.result()
+  }
+
+  private def be32(v: Int): Array[Byte] = Array(
+    (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  private def rawBox(t: String, payload: Array[Byte]*): Array[Byte] = {
+    val n = 8 + payload.map(_.length).sum
+    be32(n) ++ t.getBytes("ISO-8859-1") ++ payload.flatten
+  }
+
+  test("fMP4 mux→demux round-trips NAL payloads exactly; oracle " +
+      "pixels identical to the progressive container") {
+    val frames = Seq(gradient(64, 48, 11), gradient(64, 48, 12),
+      gradient(64, 48, 13), gradient(64, 48, 14), gradient(64, 48, 15))
+    val (annexB, recon) = H264.encodeCavlc(64, 48, frames, qp = 26)
+    val fmp4 = Mp4.fromAnnexBFragmented(annexB, 64, 48,
+      samplesPerFragment = 2) // 2+2+1 → multi-fragment + short tail
+    assert(Mp4.looksLikeMp4(fmp4))
+    assert(topBoxes(fmp4).count(_._1 == "moof") == 3)
+    val back = Mp4.demuxToAnnexB(fmp4)
+    assert(H264.nalUnits(back).map(_.toSeq) ==
+      H264.nalUnits(annexB).map(_.toSeq))
+    // container agnosticism: same pixels as progressive mux + decode
+    val prog = H264.decodeFrames(Mp4.demuxToAnnexB(
+      Mp4.fromAnnexB(annexB, 64, 48)))
+    val frag = H264.decodeFrames(back)
+    assert(frag.size == 5 && prog.size == 5)
+    frag.zip(prog).zip(recon).foreach {
+      case (((w1, h1, p1), (w2, h2, p2)), (w3, h3, p3)) =>
+        assert(w1 == w2 && w2 == w3 && h1 == h2 && h2 == h3)
+        assert(p1.toSeq == p2.toSeq && p2.toSeq == p3.toSeq)
+    }
+  }
+
+  test("fMP4 variants the muxer never emits: tfhd default-sample-size " +
+      "and multi-trun implicit offsets demux correctly") {
+    val annexB = H264.encode(32, 32,
+      Seq(gradient(32, 32, 21), gradient(32, 32, 22)))
+    val gen = Mp4.fromAnnexBFragmented(annexB, 32, 32,
+      samplesPerFragment = 1)
+    val tops = topBoxes(gen)
+    val ftyp = gen.slice(tops(0)._2, tops(0)._3)
+    val moov = gen.slice(tops(1)._2, tops(1)._3)
+    // extract the two sample payloads from the generated mdats
+    val samples = tops.filter(_._1 == "mdat").map { case (_, s, e) =>
+      gen.slice(s + 8, e)
+    }
+    assert(samples.size == 2)
+
+    // variant A: tfhd carries default-sample-size (flag 0x10), NO
+    // default-base-is-moof — exercising the implicit moof-start base;
+    // trun has data-offset only (flag 0x1)
+    def moofA(seq: Int, sample: Array[Byte]): Array[Byte] = {
+      val mfhd = rawBox("mfhd", be32(0), be32(seq))
+      val tfhd = rawBox("tfhd", be32(0x000010), be32(1),
+        be32(sample.length))
+      val trun0 = rawBox("trun", be32(0x000001), be32(1), be32(0))
+      val traf = rawBox("traf", tfhd, trun0)
+      val moofLen = 8 + mfhd.length + traf.length
+      val trun = rawBox("trun", be32(0x000001), be32(1),
+        be32(moofLen + 8))
+      rawBox("moof", mfhd, rawBox("traf", tfhd, trun))
+    }
+    val fileA = ftyp ++ moov ++
+      moofA(1, samples(0)) ++ rawBox("mdat", samples(0)) ++
+      moofA(2, samples(1)) ++ rawBox("mdat", samples(1))
+    assert(H264.nalUnits(Mp4.demuxToAnnexB(fileA)).map(_.toSeq) ==
+      H264.nalUnits(annexB).map(_.toSeq), "variant A NALs differ")
+
+    // variant B: ONE fragment, one traf, TWO truns — the second has
+    // no data_offset and must continue where the first ended
+    val mfhd = rawBox("mfhd", be32(0), be32(1))
+    val tfhd = rawBox("tfhd", be32(0x020000), be32(1))
+    def trunFor(sample: Array[Byte], off: Option[Int]): Array[Byte] =
+      off match {
+        case Some(o) => rawBox("trun", be32(0x000201), be32(1),
+          be32(o), be32(sample.length))
+        case None => rawBox("trun", be32(0x000200), be32(1),
+          be32(sample.length))
+      }
+    val t2NoOff = trunFor(samples(1), None)
+    val t1Sized = trunFor(samples(0), Some(0))
+    val moofLenB = 8 + mfhd.length +
+      (8 + tfhd.length + t1Sized.length + t2NoOff.length)
+    val trafB = rawBox("traf", tfhd,
+      trunFor(samples(0), Some(moofLenB + 8)), t2NoOff)
+    val fileB = ftyp ++ moov ++ rawBox("moof", mfhd, trafB) ++
+      rawBox("mdat", samples(0) ++ samples(1))
+    assert(H264.nalUnits(Mp4.demuxToAnnexB(fileB)).map(_.toSeq) ==
+      H264.nalUnits(annexB).map(_.toSeq), "variant B NALs differ")
+
+    // named error: size-less trun with size-less tfhd
+    val tfhdBare = rawBox("tfhd", be32(0x020000), be32(1))
+    val trunBare = rawBox("trun", be32(0x000001), be32(1), be32(64))
+    val fileC = ftyp ++ moov ++
+      rawBox("moof", mfhd, rawBox("traf", tfhdBare, trunBare)) ++
+      rawBox("mdat", samples(0))
+    val e = intercept[IllegalArgumentException] {
+      Mp4.demuxToAnnexB(fileC)
+    }
+    assert(e.getMessage.contains("trex size defaults unsupported") ||
+      e.getMessage.contains("without sample sizes"), e.getMessage)
+  }
+
   test("64-bit largesize boxes walk correctly (the >4 GiB mdat shape)") {
     // real >4 GiB files use size == 1 + a 64-bit largesize; rewrite
     // the muxed fixture's mdat into that form (its content shifts by
