@@ -334,6 +334,18 @@ object ScaleCurve {
           Multimodal.syntheticH264Corpus(spark,
             nContents = 100 * k, copies = 3), maxHamming = 4)
       },
+      // MP4 container path scaled by clip count (round 15): the full
+      // real-file pipeline — CAVLC intra encode + ISO-BMFF mux on the
+      // fixture side, then ftyp sniff, moov/stbl walk, avcC, NAL
+      // reframe and CAVLC intra decode + pHash per clip; near-dup
+      // match banded. Contract: linear in clips — demux adds O(bytes)
+      // only (compare this family's exponent to video_h264's, the
+      // same oracle one container earlier)
+      "video_mp4" -> { k =>
+        Multimodal.videoNearDuplicates(
+          Multimodal.syntheticMp4Corpus(spark,
+            nContents = 100 * k, copies = 3), maxHamming = 4)
+      },
       // synthesized media corpus, scaled by clip count
       "audio_constellation" -> { k =>
         Multimodal.audioConstellationMatches(
