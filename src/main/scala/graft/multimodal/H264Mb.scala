@@ -35,7 +35,11 @@ private[graft] object H264Mb {
   }
 
   /** Per-picture decode/encode context: slice ownership plus the nC
-    * and Intra4x4-mode neighbor state (§9.2.1, §8.3.1.1). */
+    * and Intra4x4-mode neighbor state (§9.2.1, §8.3.1.1). The last
+    * five arrays are the CABAC neighbor contexts (§9.3.3.1.1.4/.8/.9
+    * — cbp bits, chroma pred mode, and the I_16x16/chroma DC
+    * coded_block_flags; AC-block flags reuse the nz arrays: a CABAC
+    * coded_block_flag of 1 guarantees ≥1 nonzero, so nz>0 ≡ cbf). */
   final class PicCtx(val wMbs: Int, val hMbs: Int) {
     val sliceId: Array[Int] = Array.fill(wMbs * hMbs)(-1)
     val isIpcm: Array[Boolean] = new Array[Boolean](wMbs * hMbs)
@@ -48,11 +52,17 @@ private[graft] object H264Mb {
     /** Intra4x4PredMode per block; -1 when the MB is not I_4x4. */
     val i4Modes: Array[Array[Int]] =
       Array.fill(wMbs * hMbs)(Array.fill(16)(-1))
+    val cbpLumaArr: Array[Int] = new Array[Int](wMbs * hMbs)
+    val cbpChromaArr: Array[Int] = new Array[Int](wMbs * hMbs)
+    val chromaModeArr: Array[Int] = new Array[Int](wMbs * hMbs)
+    val lumaDcCbf: Array[Boolean] = new Array[Boolean](wMbs * hMbs)
+    val cbDcCbf: Array[Boolean] = new Array[Boolean](wMbs * hMbs)
+    val crDcCbf: Array[Boolean] = new Array[Boolean](wMbs * hMbs)
   }
 
   /** Availability of the MB at (mx, my) as a neighbor of a MB in
     * `sliceId` (§6.4.11.4: in picture, decoded, same slice). */
-  private def mbAvail(ctx: PicCtx, mx: Int, my: Int,
+  private[multimodal] def mbAvail(ctx: PicCtx, mx: Int, my: Int,
                       sliceId: Int): Boolean =
     mx >= 0 && my >= 0 && mx < ctx.wMbs && my < ctx.hMbs &&
       ctx.sliceId(my * ctx.wMbs + mx) == sliceId
@@ -137,7 +147,7 @@ private[graft] object H264Mb {
 
   /** §8.3.1.1 predicted Intra4x4 mode for block (bx, by): min of the
     * left/up blocks' modes; unavailable or non-I4x4 neighbor → 2. */
-  private def predIntra4x4Mode(ctx: PicCtx, mbX: Int, mbY: Int, bx: Int,
+  private[multimodal] def predIntra4x4Mode(ctx: PicCtx, mbX: Int, mbY: Int, bx: Int,
                        by: Int, sliceId: Int,
                        curModes: Array[Int]): Int = {
     val curMb = mbY * ctx.wMbs + mbX
@@ -166,7 +176,7 @@ private[graft] object H264Mb {
 
   /** Carrier for one parsed+reconstructed MB's syntax, so encode and
     * decode can share the write/parse ordering exactly. */
-  private final case class MbCoeffs(
+  private[multimodal] final case class MbCoeffs(
       lumaDc: Array[Int], // 16, scan order (I_16x16 only)
       lumaAc: Array[Array[Int]], // per z-blk; 15 or 16 coeffs scan
       cbDc: Array[Int], crDc: Array[Int], // 4, scan order
@@ -285,7 +295,7 @@ private[graft] object H264Mb {
   // shared reconstruction (the decoder path; the encoder calls it too)
   // ---------------------------------------------------------------
 
-  private def reconstruct(ctx: PicCtx, mbIdx: Int, sliceId: Int,
+  private[multimodal] def reconstruct(ctx: PicCtx, mbIdx: Int, sliceId: Int,
                           qpY: Int, qpC: Int, is4x4: Boolean,
                           modes: Array[Int], pred16Mode: Int,
                           chromaMode: Int, cbpChroma: Int,
@@ -373,27 +383,32 @@ private[graft] object H264Mb {
   // encode (fixture generator)
   // ---------------------------------------------------------------
 
+  /** One analyzed+reconstructed MB, ready for syntax emission by
+    * EITHER entropy coder — the analysis (mode choice, transforms,
+    * quantization, reconstruction) is entropy-agnostic, and sharing
+    * it keeps the CAVLC and CABAC fixtures pixel-identical. */
+  private[multimodal] final case class MbPlan(
+      is4x4: Boolean, modes: Array[Int], pred16Mode: Int,
+      chromaMode: Int, cbpLuma: Int, cbpChroma: Int, co: MbCoeffs)
+
   /**
-   * Encode one frame's MBs as CAVLC slice data into `w`, writing the
-   * reconstructed pixels into the recon planes (which double as the
-   * prediction source, exactly like a decoder's frame buffer). MB
-   * types and prediction modes cycle deterministically over the
-   * available choices so fixtures exercise I_4x4 AND I_16x16, every
-   * 16x16/chroma mode, and a spread of 4x4 modes. Returns nothing —
-   * the caller wraps `w` into a slice NAL.
+   * Analyze + reconstruct one MB for the fixture encoders: choose
+   * the MB type and prediction modes (cycling deterministically over
+   * the available choices so fixtures exercise I_4x4 AND I_16x16,
+   * every 16x16/chroma mode, and a spread of 4x4 modes), transform +
+   * quantize against the RECON planes (which double as the
+   * prediction source, exactly like a decoder's frame buffer), and
+   * reconstruct through the decoder path. Entropy-agnostic: the
+   * caller emits the returned plan as CAVLC or CABAC syntax.
    */
-  def encodeSliceData(wr: BitWriter, ctx: PicCtx, sliceId: Int,
-                      sliceQp: Int, chromaQpOffset: Int,
+  private[multimodal] def analyzeMb(ctx: PicCtx, mbIdx: Int,
+                      sliceId: Int, qpY: Int, chromaQpOffset: Int,
                       srcY: Array[Int], srcCb: Array[Int],
                       srcCr: Array[Int], yP: Array[Byte],
-                      cbP: Array[Byte], crP: Array[Byte],
-                      firstMb: Int = 0, endMb: Int = -1): Unit = {
+                      cbP: Array[Byte], crP: Array[Byte]): MbPlan = {
     val lw = ctx.wMbs * 16
     val cw = ctx.wMbs * 8
-    val stop = if (endMb < 0) ctx.wMbs * ctx.hMbs else endMb
-    var qpY = sliceQp
-    var mbIdx = firstMb
-    while (mbIdx < stop) {
+    locally {
       val mbX = mbIdx % ctx.wMbs
       val mbY = mbIdx / ctx.wMbs
       val x0 = mbX * 16; val y0 = mbY * 16
@@ -573,6 +588,43 @@ private[graft] object H264Mb {
       val cbpChroma =
         if (anyChromaAc) 2 else if (anyChromaDc) 1 else 0
 
+      // reconstruct I_16x16 luma + chroma through the decoder path
+      // (I_4x4 luma already reconstructed block-by-block above)
+      val co = MbCoeffs(lumaDc, lumaAc, cbDc, crDc, cbAc, crAc)
+      if (!is4x4) {
+        reconstruct(ctx, mbIdx, sliceId, qpY, qpC, is4x4 = false,
+          modes, pred16Mode, chromaMode, cbpChroma, co, yP, cbP, crP)
+      } else {
+        // chroma-only recon for the I_4x4 MB
+        reconChromaOnly(ctx, mbIdx, sliceId, qpC, chromaMode,
+          cbpChroma, co, cbP, crP, availLeftMb, availUpMb)
+      }
+      MbPlan(is4x4, modes, pred16Mode, chromaMode, cbpLuma,
+        cbpChroma, co)
+    }
+  }
+
+  /**
+   * Encode one frame's MBs as CAVLC slice data into `w` (see
+   * [[analyzeMb]] for the shared analysis/reconstruction). Returns
+   * nothing — the caller wraps `w` into a slice NAL.
+   */
+  def encodeSliceData(wr: BitWriter, ctx: PicCtx, sliceId: Int,
+                      sliceQp: Int, chromaQpOffset: Int,
+                      srcY: Array[Int], srcCb: Array[Int],
+                      srcCr: Array[Int], yP: Array[Byte],
+                      cbP: Array[Byte], crP: Array[Byte],
+                      firstMb: Int = 0, endMb: Int = -1): Unit = {
+    val stop = if (endMb < 0) ctx.wMbs * ctx.hMbs else endMb
+    val qpY = sliceQp // constant-QP fixtures (mb_qp_delta = 0)
+    var mbIdx = firstMb
+    while (mbIdx < stop) {
+      val mbX = mbIdx % ctx.wMbs
+      val mbY = mbIdx / ctx.wMbs
+      val plan = analyzeMb(ctx, mbIdx, sliceId, qpY, chromaQpOffset,
+        srcY, srcCb, srcCr, yP, cbP, crP)
+      import plan._
+
       // --- emit syntax (mirror of decodeMb's parse order) ---
       val mbType =
         if (is4x4) 0
@@ -600,7 +652,7 @@ private[graft] object H264Mb {
       // residuals, with the same nz bookkeeping order as decode
       if (!is4x4) {
         val nC = lumaNC(ctx, mbX, mbY, 0, 0, sliceId)
-        Cavlc.writeResidualBlock(wr, lumaDc, nC)
+        Cavlc.writeResidualBlock(wr, co.lumaDc, nC)
       }
       var z = 0
       while (z < 16) {
@@ -608,25 +660,27 @@ private[graft] object H264Mb {
         if ((cbpLuma & (1 << grp)) != 0) {
           val nC = lumaNC(ctx, mbX, mbY, zx(z), zy(z), sliceId)
           ctx.lumaNz(mbIdx)(z) =
-            Cavlc.writeResidualBlock(wr, lumaAc(z), nC)
+            Cavlc.writeResidualBlock(wr, co.lumaAc(z), nC)
         } else ctx.lumaNz(mbIdx)(z) = 0
         z += 1
       }
       if (cbpChroma != 0) {
-        Cavlc.writeResidualBlock(wr, cbDc, -1)
-        Cavlc.writeResidualBlock(wr, crDc, -1)
+        Cavlc.writeResidualBlock(wr, co.cbDc, -1)
+        Cavlc.writeResidualBlock(wr, co.crDc, -1)
       }
       if (cbpChroma == 2) {
         var b = 0
         while (b < 4) {
           val nC = chromaNC(ctx.cbNz, ctx, mbX, mbY, b, sliceId)
-          ctx.cbNz(mbIdx)(b) = Cavlc.writeResidualBlock(wr, cbAc(b), nC)
+          ctx.cbNz(mbIdx)(b) =
+            Cavlc.writeResidualBlock(wr, co.cbAc(b), nC)
           b += 1
         }
         b = 0
         while (b < 4) {
           val nC = chromaNC(ctx.crNz, ctx, mbX, mbY, b, sliceId)
-          ctx.crNz(mbIdx)(b) = Cavlc.writeResidualBlock(wr, crAc(b), nC)
+          ctx.crNz(mbIdx)(b) =
+            Cavlc.writeResidualBlock(wr, co.crAc(b), nC)
           b += 1
         }
       } else {
@@ -634,20 +688,6 @@ private[graft] object H264Mb {
         while (b < 4) {
           ctx.cbNz(mbIdx)(b) = 0; ctx.crNz(mbIdx)(b) = 0; b += 1
         }
-      }
-
-      // reconstruct I_16x16 luma + chroma through the decoder path
-      // (I_4x4 luma already reconstructed block-by-block above)
-      if (!is4x4) {
-        val co = MbCoeffs(lumaDc, lumaAc, cbDc, crDc, cbAc, crAc)
-        reconstruct(ctx, mbIdx, sliceId, qpY, qpC, is4x4 = false,
-          modes, pred16Mode, chromaMode, cbpChroma, co, yP, cbP, crP)
-      } else {
-        // chroma-only recon for the I_4x4 MB
-        val co = MbCoeffs(lumaDc, Array.fill(16)(new Array[Int](16)),
-          cbDc, crDc, cbAc, crAc)
-        reconChromaOnly(ctx, mbIdx, sliceId, qpC, chromaMode,
-          cbpChroma, co, cbP, crP, availLeftMb, availUpMb)
       }
       mbIdx += 1
     }
