@@ -126,6 +126,30 @@ private[graft] object RegistryRound15 {
     // instance (MJPEG → progressive MP4 → fragmented MP4); the
     // fragment tables feed the same NAL reframe and CAVLC intra
     // decode, so the offset-voting matcher sees identical pixels.
+    // CABAC MP4 (round 15): q_video_fp_dedup_mp4's construction and
+    // oracle VERBATIM, but the H.264 inside every .mp4 is
+    // CABAC-entropy-coded (entropy_coding_mode_flag=1 — the
+    // High-profile shape that dominates real-world files and that
+    // r14 named-errored on). multimodal.H264Cabac implements §9.3
+    // both ways: context-init tables, the arithmetic engine
+    // (engine-level hand-derived golden vectors in CabacSpec), and
+    // the intra MB-layer binarizations/context schedules; analysis
+    // and reconstruction ride the SAME H264Mb path as CAVLC, so the
+    // pixels — and therefore the fingerprints and this oracle — are
+    // identical. The entropy-agnosticism contract, alongside the
+    // container (MJPEG/MP4/fMP4) and codec (I_PCM/CAVLC) instances.
+    Q("q_video_fp_dedup_mp4_cabac",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        Multimodal.videoNearDuplicates(
+          Multimodal.syntheticMp4Corpus(s, nContents = 30, copies = 3,
+            cabac = true), maxHamming = 4)
+      },
+      Some("""SELECT a.i AS id_a, b.i AS id_b, 0 AS hamming
+              FROM generate_series(0, 89) a(i)
+                JOIN generate_series(0, 89) b(i)
+                ON a.i < b.i AND a.i % 30 = b.i % 30""")),
+
     Q("q_video_sequence_fmp4",
       (s, d) => {
         import graft.multimodal.Multimodal

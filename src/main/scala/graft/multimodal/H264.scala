@@ -119,6 +119,8 @@ object H264 {
 
     def alignZero(): Unit = while (nbits != 0) u(0, 1)
 
+    def byteAligned: Boolean = nbits == 0
+
     /** rbsp_trailing_bits: stop-one then zero-pad to the byte. */
     def trailingBits(): Unit = { u(1, 1); alignZero() }
 
@@ -309,11 +311,12 @@ object H264 {
   }
 
   /** Decode an Annex-B stream of I/IDR slices — I_PCM, Intra_4x4 and
-    * Intra_16x16 macroblocks with CAVLC entropy coding (see
-    * [[H264Mb]]/[[Cavlc]]); returns frames as (width, height, packed
-    * 0xRRGGBB) in display order. Streams that enable the deblocking
-    * filter decode to PRE-deblock pixels (stated scope). Unsupported
-    * constructs (CABAC, P/B slices, transform_8x8, scaling matrices)
+    * Intra_16x16 macroblocks with CAVLC ([[H264Mb]]/[[Cavlc]]) OR
+    * CABAC ([[H264Cabac]], §9.3) entropy coding; returns frames as
+    * (width, height, packed 0xRRGGBB) in display order. Streams that
+    * enable the deblocking filter decode to PRE-deblock pixels
+    * (stated scope). Unsupported constructs (P/B slices,
+    * transform_8x8, scaling matrices, I_PCM inside CABAC slices)
     * throw — callers wrap in `Try` per the degrade-don't-fail
     * contract. */
   def decodeFrames(bytes: Array[Byte]): Seq[(Int, Int, Array[Int])] = {
@@ -345,7 +348,6 @@ object H264 {
             s"non-I slice_type $sliceType unsupported")
           val p = pps.getOrElse(r.ue(),
             throw new IllegalArgumentException("slice before its PPS"))
-          require(!p.cabac, "CABAC entropy coding unsupported")
           val s = sps(p.spsId)
           r.u(s.log2MaxFrameNum) // frame_num
           if (nalType == 5) r.ue() // idr_pic_id
@@ -380,6 +382,14 @@ object H264 {
           cur.slices += 1
           var qpY = p.picInitQp + sliceQpDelta
           require(qpY >= 0 && qpY <= 51, s"slice QP $qpY out of range")
+          if (p.cabac) {
+            // cabac_alignment_one_bit* then CABAC slice data (§9.3)
+            while (!r.byteAligned)
+              require(r.u(1) == 1, "cabac_alignment_one_bit must be 1")
+            cur.mbsDone += H264Cabac.decodeSliceData(r, cur.ctx,
+              sliceId, firstMb, qpY, p.chromaQpOffset,
+              cur.y, cur.cb, cur.cr)
+          } else {
           var mb = firstMb
           while (mb < cur.total && r.moreRbspData) {
             val mbType = r.ue()
@@ -412,6 +422,7 @@ object H264 {
             }
             cur.mbsDone += 1
             mb += 1
+          }
           }
           if (cur.mbsDone >= cur.total) {
             frames += toRgb(cur, curSps)
@@ -515,11 +526,12 @@ object H264 {
     w.toBytes
   }
 
-  private def ppsRbsp(deblockingControl: Boolean = false): Array[Byte] = {
+  private def ppsRbsp(deblockingControl: Boolean = false,
+                      cabac: Boolean = false): Array[Byte] = {
     val w = new BitWriter()
     w.ue(0)   // pic_parameter_set_id
     w.ue(0)   // seq_parameter_set_id
-    w.u(0, 1) // entropy_coding_mode_flag: CAVLC
+    w.u(if (cabac) 1 else 0, 1) // entropy_coding_mode_flag
     w.u(0, 1) // bottom_field_pic_order_in_frame_present_flag
     w.ue(0)   // num_slice_groups_minus1
     w.ue(0); w.ue(0) // num_ref_idx_l{0,1}_default_active_minus1
@@ -741,6 +753,73 @@ object H264 {
           chromaQpOffset = 0, srcY, srcCb, srcCr, yR, cbR, crR,
           firstMb, endMb)
         w.trailingBits()
+        val sliceNal = nal(3, 5, w.toBytes)
+        out.write(sliceNal, 0, sliceNal.length)
+        row += rows
+        sliceId += 1
+      }
+      planesToRgb(wMbs, hMbs, cropR, cropB, yR, cbR, crR)
+    }
+    (out.toByteArray, recon)
+  }
+
+  /**
+   * Encode frames with CABAC entropy coding (§9.3) — the High-profile
+   * entropy layer real-world files dominantly use. The PPS signals
+   * `entropy_coding_mode_flag=1`; each slice header is followed by
+   * cabac_alignment_one_bits, the context-adaptive arithmetic-coded
+   * macroblock layer, and the engine flush whose final 1 is the rbsp
+   * stop bit. Analysis/reconstruction is [[H264Mb.analyzeMb]] — the
+   * SAME deterministic mode cycle as [[encodeCavlc]], so for equal
+   * inputs the two entropy coders reconstruct IDENTICAL pixels
+   * (CabacSpec pins this cross-coder equality, plus
+   * `decodeFrames(bytes) == recon` bit-exactness).
+   */
+  def encodeCabac(width: Int, height: Int, frames: Seq[Array[Int]],
+                  qp: Int = 26, mbRowsPerSlice: Int = 0)
+      : (Array[Byte], Seq[(Int, Int, Array[Int])]) = {
+    require(frames.nonEmpty)
+    require(frames.forall(_.length == width * height))
+    require(qp >= 0 && qp <= 51, s"qp $qp out of [0, 51]")
+    require(width % 2 == 0 && height % 2 == 0,
+      "odd display dims need crop in 1-px units (unsupported)")
+    val wMbs = (width + 15) / 16
+    val hMbs = (height + 15) / 16
+    val cropR = (wMbs * 16 - width) / 2
+    val cropB = (hMbs * 16 - height) / 2
+    val rows = if (mbRowsPerSlice <= 0) hMbs else mbRowsPerSlice
+    val out = new java.io.ByteArrayOutputStream()
+    val spsNal = nal(3, 7, spsRbsp(wMbs, hMbs, cropR, cropB))
+    val ppsNal = nal(3, 8,
+      ppsRbsp(deblockingControl = true, cabac = true))
+    out.write(spsNal, 0, spsNal.length)
+    out.write(ppsNal, 0, ppsNal.length)
+    val recon = frames.zipWithIndex.map { case (rgb, f) =>
+      val (srcY, srcCb, srcCr) = rgbToPlanes(width, height, wMbs,
+        hMbs, rgb)
+      val yR = new Array[Byte](wMbs * 16 * hMbs * 16)
+      val cbR = new Array[Byte](wMbs * 8 * hMbs * 8)
+      val crR = new Array[Byte](wMbs * 8 * hMbs * 8)
+      val ctx = new H264Mb.PicCtx(wMbs, hMbs)
+      var row = 0
+      var sliceId = 0
+      while (row < hMbs) {
+        val firstMb = row * wMbs
+        val endMb = math.min(hMbs, row + rows) * wMbs
+        val w = new BitWriter()
+        w.ue(firstMb) // first_mb_in_slice
+        w.ue(7)  // slice_type: I
+        w.ue(0)  // pic_parameter_set_id
+        w.u(0, 4) // frame_num
+        w.ue(f & 1) // idr_pic_id
+        w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking (IDR)
+        w.se(qp - 26) // slice_qp_delta vs pic_init_qp 26
+        w.ue(1) // disable_deblocking_filter_idc = 1
+        while (!w.byteAligned) w.u(1, 1) // cabac_alignment_one_bit*
+        H264Cabac.encodeSliceData(w, ctx, sliceId, sliceQp = qp,
+          chromaQpOffset = 0, srcY, srcCb, srcCr, yR, cbR, crR,
+          firstMb, endMb)
+        w.alignZero() // flush's final 1 was the rbsp stop bit
         val sliceNal = nal(3, 5, w.toBytes)
         out.write(sliceNal, 0, sliceNal.length)
         row += rows

@@ -1426,17 +1426,22 @@ object Multimodal {
                                    frames: Int): Array[Byte] =
     H264.encode(w, h, fixtureFrames(id, w, h, frames))
 
-  /** The same pixel pattern as a REAL .mp4 file: CAVLC-compressed
-    * intra macroblocks ([[H264.encodeCavlc]]) muxed into ISO-BMFF
+  /** The same pixel pattern as a REAL .mp4 file: CAVLC- or (with
+    * `cabac = true`) CABAC-compressed intra macroblocks
+    * ([[H264.encodeCavlc]]/[[H264.encodeCabac]]) muxed into ISO-BMFF
     * with avcC + length-prefixed samples ([[Mp4.fromAnnexB]]) — the
     * shape actual video files arrive in. Deterministic bytes, so
     * planted copies stay byte-identical and fingerprint at distance
     * 0 just like the MJPEG/Annex-B fixtures. */
   private[graft] def syntheticMp4(id: Long, w: Int, h: Int,
-                                  frames: Int): Array[Byte] =
-    Mp4.fromAnnexB(
-      H264.encodeCavlc(w, h, fixtureFrames(id, w, h, frames),
-        qp = 26)._1, w, h)
+                                  frames: Int,
+                                  cabac: Boolean = false): Array[Byte] = {
+    val px = fixtureFrames(id, w, h, frames)
+    val annexB =
+      if (cabac) H264.encodeCabac(w, h, px, qp = 26)._1
+      else H264.encodeCavlc(w, h, px, qp = 26)._1
+    Mp4.fromAnnexB(annexB, w, h)
+  }
 
   /**
    * MP4 analog of [[syntheticShiftedH264Corpus]]: unlike Annex-B, MP4
@@ -1480,16 +1485,20 @@ object Multimodal {
   }
 
   /** [[syntheticH264Corpus]] with every payload a real MP4 file of
-    * CAVLC-compressed H.264 — decoded through [[FrameDecoder.Auto]]'s
-    * ftyp sniff and the container demux, no external binding. */
+    * compressed H.264 — decoded through [[FrameDecoder.Auto]]'s
+    * ftyp sniff and the container demux, no external binding.
+    * `cabac = true` switches the entropy layer to CABAC (the
+    * High-profile shape); pixels and oracle are identical. */
   def syntheticMp4Corpus(spark: SparkSession, nContents: Int,
-                         copies: Int): Dataset[MediaRow] = {
+                         copies: Int,
+                         cabac: Boolean = false): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(nContents.toLong * copies).as[Long].map { id =>
       val content = id % nContents
       val w = 64 + (content % 4).toInt * 16
       val h = 64 + (content % 3).toInt * 16
-      MediaRow(id, "video", syntheticMp4(content, w, h, frames = 5),
+      MediaRow(id, "video",
+        syntheticMp4(content, w, h, frames = 5, cabac),
         MediaMeta(w, h, 0, 5))
     }
   }
