@@ -150,6 +150,29 @@ private[graft] object RegistryRound15 {
                 JOIN generate_series(0, 89) b(i)
                 ON a.i < b.i AND a.i % 30 = b.i % 30""")),
 
+    // Deblocked CABAC MP4 (round 15): the SAME oracle once more, now
+    // over the FULL real-world intra shape — ISO-BMFF container +
+    // CABAC entropy coding + the §8.7 in-loop deblocking filter
+    // (multimodal.H264Deblock: bS 4/3 intra edges, alpha/beta/tC0
+    // tables, strong + clipped-normal filters, per-slice idc and
+    // FilterOffsetA/B, I_PCM-at-QP-0). Until this round such streams
+    // decoded to PRE-deblock pixels; now they decode display-exact
+    // (H264DeblockSpec pins decode == encoder recon bit-exactly both
+    // entropy coders). Identical oracle = the fingerprints are stable
+    // across the filter too — the last documented scope gap on the
+    // intra video path is closed.
+    Q("q_video_fp_dedup_mp4_deblock",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        Multimodal.videoNearDuplicates(
+          Multimodal.syntheticMp4Corpus(s, nContents = 30, copies = 3,
+            cabac = true, deblock = true), maxHamming = 4)
+      },
+      Some("""SELECT a.i AS id_a, b.i AS id_b, 0 AS hamming
+              FROM generate_series(0, 89) a(i)
+                JOIN generate_series(0, 89) b(i)
+                ON a.i < b.i AND a.i % 30 = b.i % 30""")),
+
     Q("q_video_sequence_fmp4",
       (s, d) => {
         import graft.multimodal.Multimodal

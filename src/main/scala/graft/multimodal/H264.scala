@@ -308,6 +308,13 @@ object H264 {
     /** nC / intra-mode / slice-ownership context (§9.2.1, §8.3.1.1). */
     val ctx = new H264Mb.PicCtx(wMbs, hMbs)
     var slices = 0
+    // per-MB deblocking state (§8.7): the MB's decoded QP (I_PCM: 0)
+    // and its slice's filter idc/offsets
+    val mbQp = new Array[Int](total)
+    val deblockIdc: Array[Int] = Array.fill(total)(1)
+    val offsetA = new Array[Int](total)
+    val offsetB = new Array[Int](total)
+    var chromaQpOffset = 0
   }
 
   /** Decode an Annex-B stream of I/IDR slices — I_PCM, Intra_4x4 and
@@ -368,9 +375,16 @@ object H264 {
               "adaptive_ref_pic_marking unsupported")
           }
           val sliceQpDelta = r.se()
+          var deblockIdc = 0 // absent control syntax → filter on
+          var filterOffA = 0
+          var filterOffB = 0
           if (p.deblockingControl) {
-            val idc = r.ue()
-            if (idc != 1) { r.se(); r.se() }
+            deblockIdc = r.ue()
+            require(deblockIdc <= 2, s"deblock idc $deblockIdc")
+            if (deblockIdc != 1) {
+              filterOffA = 2 * r.se()
+              filterOffB = 2 * r.se()
+            }
           }
           // macroblock layer
           if (firstMb == 0 || cur == null ||
@@ -382,13 +396,26 @@ object H264 {
           cur.slices += 1
           var qpY = p.picInitQp + sliceQpDelta
           require(qpY >= 0 && qpY <= 51, s"slice QP $qpY out of range")
+          cur.chromaQpOffset = p.chromaQpOffset
+          def recordDeblock(mb: Int, qp: Int): Unit = {
+            cur.mbQp(mb) = qp
+            cur.deblockIdc(mb) = deblockIdc
+            cur.offsetA(mb) = filterOffA
+            cur.offsetB(mb) = filterOffB
+          }
           if (p.cabac) {
             // cabac_alignment_one_bit* then CABAC slice data (§9.3)
             while (!r.byteAligned)
               require(r.u(1) == 1, "cabac_alignment_one_bit must be 1")
-            cur.mbsDone += H264Cabac.decodeSliceData(r, cur.ctx,
+            val qps = new Array[Int](cur.total)
+            val done = H264Cabac.decodeSliceData(r, cur.ctx,
               sliceId, firstMb, qpY, p.chromaQpOffset,
-              cur.y, cur.cb, cur.cr)
+              cur.y, cur.cb, cur.cr, qps)
+            var mb = firstMb
+            while (mb < firstMb + done) {
+              recordDeblock(mb, qps(mb)); mb += 1
+            }
+            cur.mbsDone += done
           } else {
           var mb = firstMb
           while (mb < cur.total && r.moreRbspData) {
@@ -416,15 +443,22 @@ object H264 {
               }
               cur.ctx.sliceId(mb) = sliceId
               cur.ctx.isIpcm(mb) = true
+              recordDeblock(mb, 0) // I_PCM deblocks at QP 0 (§8.7.2)
             } else {
               qpY = H264Mb.decodeMb(r, mbType, cur.ctx, mb, sliceId,
                 qpY, p.chromaQpOffset, cur.y, cur.cb, cur.cr)
+              recordDeblock(mb, qpY)
             }
             cur.mbsDone += 1
             mb += 1
           }
           }
           if (cur.mbsDone >= cur.total) {
+            if (cur.deblockIdc.exists(_ != 1))
+              H264Deblock.filterPicture(cur.y, cur.cb, cur.cr,
+                cur.wMbs, cur.hMbs, cur.mbQp, cur.chromaQpOffset,
+                cur.ctx.sliceId, cur.deblockIdc, cur.offsetA,
+                cur.offsetB)
             frames += toRgb(cur, curSps)
             cur = null
           }
@@ -706,7 +740,8 @@ object H264 {
    * conformant external decoder too, not just this one.
    */
   def encodeCavlc(width: Int, height: Int, frames: Seq[Array[Int]],
-                  qp: Int = 26, mbRowsPerSlice: Int = 0)
+                  qp: Int = 26, mbRowsPerSlice: Int = 0,
+                  deblock: Boolean = false)
       : (Array[Byte], Seq[(Int, Int, Array[Int])]) = {
     require(frames.nonEmpty)
     require(frames.forall(_.length == width * height))
@@ -748,7 +783,8 @@ object H264 {
         w.ue(f & 1) // idr_pic_id
         w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking (IDR)
         w.se(qp - 26) // slice_qp_delta vs pic_init_qp 26
-        w.ue(1) // disable_deblocking_filter_idc = 1
+        if (deblock) { w.ue(0); w.se(0); w.se(0) } // filter on
+        else w.ue(1) // disable_deblocking_filter_idc = 1
         H264Mb.encodeSliceData(w, ctx, sliceId, sliceQp = qp,
           chromaQpOffset = 0, srcY, srcCb, srcCr, yR, cbR, crR,
           firstMb, endMb)
@@ -758,9 +794,23 @@ object H264 {
         row += rows
         sliceId += 1
       }
+      if (deblock) deblockRecon(ctx, qp, yR, cbR, crR)
       planesToRgb(wMbs, hMbs, cropR, cropB, yR, cbR, crR)
     }
     (out.toByteArray, recon)
+  }
+
+  /** Encoder-side deblock post-pass: the recon planes double as the
+    * prediction source DURING encoding (intra prediction reads
+    * unfiltered samples, §8.7), so the filter runs only after the
+    * whole picture is encoded — exactly the decoder's sequencing. */
+  private def deblockRecon(ctx: H264Mb.PicCtx, qp: Int,
+                           yR: Array[Byte], cbR: Array[Byte],
+                           crR: Array[Byte]): Unit = {
+    val n = ctx.wMbs * ctx.hMbs
+    H264Deblock.filterPicture(yR, cbR, crR, ctx.wMbs, ctx.hMbs,
+      Array.fill(n)(qp), chromaQpOffset = 0, ctx.sliceId,
+      Array.fill(n)(0), new Array[Int](n), new Array[Int](n))
   }
 
   /**
@@ -776,7 +826,8 @@ object H264 {
    * `decodeFrames(bytes) == recon` bit-exactness).
    */
   def encodeCabac(width: Int, height: Int, frames: Seq[Array[Int]],
-                  qp: Int = 26, mbRowsPerSlice: Int = 0)
+                  qp: Int = 26, mbRowsPerSlice: Int = 0,
+                  deblock: Boolean = false)
       : (Array[Byte], Seq[(Int, Int, Array[Int])]) = {
     require(frames.nonEmpty)
     require(frames.forall(_.length == width * height))
@@ -814,7 +865,8 @@ object H264 {
         w.ue(f & 1) // idr_pic_id
         w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking (IDR)
         w.se(qp - 26) // slice_qp_delta vs pic_init_qp 26
-        w.ue(1) // disable_deblocking_filter_idc = 1
+        if (deblock) { w.ue(0); w.se(0); w.se(0) } // filter on
+        else w.ue(1) // disable_deblocking_filter_idc = 1
         while (!w.byteAligned) w.u(1, 1) // cabac_alignment_one_bit*
         H264Cabac.encodeSliceData(w, ctx, sliceId, sliceQp = qp,
           chromaQpOffset = 0, srcY, srcCb, srcCr, yR, cbR, crR,
@@ -825,6 +877,7 @@ object H264 {
         row += rows
         sliceId += 1
       }
+      if (deblock) deblockRecon(ctx, qp, yR, cbR, crR)
       planesToRgb(wMbs, hMbs, cropR, cropB, yR, cbR, crR)
     }
     (out.toByteArray, recon)

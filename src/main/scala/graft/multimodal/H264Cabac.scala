@@ -592,7 +592,8 @@ private[graft] object H264Cabac {
   def decodeSliceData(r: BitReader, ctx: PicCtx, sliceId: Int,
                       firstMb: Int, sliceQp: Int, chromaQpOffset: Int,
                       yP: Array[Byte], cbP: Array[Byte],
-                      crP: Array[Byte]): Int = {
+                      crP: Array[Byte],
+                      mbQpOut: Array[Int] = null): Int = {
     val cm = new CtxModel(sliceQp)
     val d = new Decoder(r, cm)
     var qpY = sliceQp
@@ -607,6 +608,7 @@ private[graft] object H264Cabac {
       qpY = decodeMb(d, ctx, mbIdx, sliceId, qpY, chromaQpOffset,
         prevQpDeltaNonZeroIn = prevQpDeltaNonZero,
         setPrev = v => prevQpDeltaNonZero = v, yP, cbP, crP)
+      if (mbQpOut != null) mbQpOut(mbIdx) = qpY
       done += 1
       mbIdx += 1
       end = d.terminate() == 1

@@ -1,0 +1,210 @@
+package graft.multimodal
+
+/**
+ * In-loop deblocking filter for intra pictures (ITU-T Rec. H.264
+ * §8.7 — public specification). Until round 15, streams that enabled
+ * the filter decoded to PRE-deblock pixels (fingerprint-stable but
+ * not display-exact); this closes that last gap on the intra path.
+ *
+ * Scope and shape:
+ *  - intra-only pictures (this decoder's scope): boundary strength
+ *    is 4 on macroblock edges and 3 on internal 4x4 edges — the §8.7.2.1
+ *    derivation collapses to that for intra MBs, so no coefficient
+ *    or motion bookkeeping is needed;
+ *  - per-MB raster order, all vertical edges left→right then all
+ *    horizontal edges top→bottom, filtering IN PLACE so later edges
+ *    see earlier edges' outputs (the spec's sequencing);
+ *  - `disable_deblocking_filter_idc` per MB (slices may differ):
+ *    1 = skip the MB entirely, 2 = skip MB edges whose neighbor is
+ *    in another slice, 0 = filter everything; FilterOffsetA/B from
+ *    the slice header shift the alpha/beta/tC0 table indices;
+ *  - intra prediction reads UNFILTERED samples, so both decode and
+ *    the fixture encoders run this as a whole-picture post-pass.
+ *
+ * The alpha/beta/tC0 constants are transcribed from Tables 8-16 and
+ * 8-17; like the CABAC init tables, both coder halves share this one
+ * transcription, so encode↔decode bit-exactness (H264Spec/CabacSpec)
+ * holds independently of it.
+ */
+private[graft] object H264Deblock {
+
+  // Table 8-16: alpha and beta by index (0..51)
+  private val alphaTab: Array[Int] = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25, 28,
+    32, 36, 40, 45, 50, 56, 63, 71, 80, 90, 101, 113, 127, 144,
+    162, 182, 203, 226, 255, 255)
+  private val betaTab: Array[Int] = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8,
+    9, 9, 10, 10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15,
+    16, 16, 17, 17, 18, 18)
+
+  // Table 8-17: tC0 for bS 1..3 (we use only the bS=3 column on
+  // internal edges; bS=4 edges use the strong filter, no tC0)
+  private val tc0Bs3: Array[Int] = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 4, 4,
+    4, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20,
+    23, 25, 27, 30, 33, 36)
+
+  @inline private def clip3(lo: Int, hi: Int, v: Int): Int =
+    if (v < lo) lo else if (v > hi) hi else v
+  @inline private def clip1(v: Int): Int = clip3(0, 255, v)
+
+  /**
+   * Filter one edge of `len` sample lines in place. The edge sits
+   * between sample columns/rows: p samples at offsets -1..-4 times
+   * `across` from `base`, q samples at 0..3; successive lines step
+   * by `along`. `strong` = bS 4 (MB edge), else bS 3.
+   */
+  private def filterEdge(plane: Array[Byte], base: Int, across: Int,
+                         along: Int, len: Int, strong: Boolean,
+                         chroma: Boolean, indexA: Int,
+                         indexB: Int): Unit = {
+    val alpha = alphaTab(indexA)
+    val beta = betaTab(indexB)
+    if (alpha == 0 || beta == 0) return
+    var line = 0
+    while (line < len) {
+      val o = base + line * along
+      @inline def s(k: Int): Int = plane(o + k * across) & 0xFF
+      val p0 = s(-1); val p1 = s(-2); val p2 = s(-3)
+      val q0 = s(0); val q1 = s(1); val q2 = s(2)
+      if (math.abs(p0 - q0) < alpha && math.abs(p1 - p0) < beta &&
+          math.abs(q1 - q0) < beta) {
+        if (strong) {
+          if (chroma) {
+            plane(o - across) = ((2 * p1 + p0 + q1 + 2) >> 2).toByte
+            plane(o) = ((2 * q1 + q0 + p1 + 2) >> 2).toByte
+          } else {
+            val p3 = s(-4); val q3 = s(3)
+            val smallGap = math.abs(p0 - q0) < (alpha >> 2) + 2
+            if (smallGap && math.abs(p2 - p0) < beta) {
+              plane(o - across) =
+                ((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3).toByte
+              plane(o - 2 * across) =
+                ((p2 + p1 + p0 + q0 + 2) >> 2).toByte
+              plane(o - 3 * across) =
+                ((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3).toByte
+            } else
+              plane(o - across) = ((2 * p1 + p0 + q1 + 2) >> 2).toByte
+            if (smallGap && math.abs(q2 - q0) < beta) {
+              plane(o) =
+                ((q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3).toByte
+              plane(o + across) =
+                ((q2 + q1 + q0 + p0 + 2) >> 2).toByte
+              plane(o + 2 * across) =
+                ((2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3).toByte
+            } else
+              plane(o) = ((2 * q1 + q0 + p1 + 2) >> 2).toByte
+          }
+        } else { // bS = 3: the clipped normal filter
+          val tc0 = tc0Bs3(indexA)
+          val ap = math.abs(p2 - p0)
+          val aq = math.abs(q2 - q0)
+          val tc =
+            if (chroma) tc0 + 1
+            else tc0 + (if (ap < beta) 1 else 0) +
+              (if (aq < beta) 1 else 0)
+          val delta = clip3(-tc, tc,
+            (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3)
+          plane(o - across) = clip1(p0 + delta).toByte
+          plane(o) = clip1(q0 - delta).toByte
+          if (!chroma) {
+            if (ap < beta)
+              plane(o - 2 * across) = (p1 + clip3(-tc0, tc0,
+                (p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1)).toByte
+            if (aq < beta)
+              plane(o + across) = (q1 + clip3(-tc0, tc0,
+                (q2 + ((q0 + p0 + 1) >> 1) - 2 * q1) >> 1)).toByte
+          }
+        }
+      }
+      line += 1
+    }
+  }
+
+  /**
+   * Deblock one intra picture in place. Per-MB arrays carry each
+   * MB's decode state: `mbQp` (I_PCM MBs: 0, the spec's convention),
+   * `disableIdc`/`offsetA`/`offsetB` from the MB's slice header, and
+   * `sliceId` for the idc==2 cross-slice rule.
+   */
+  def filterPicture(yP: Array[Byte], cbP: Array[Byte],
+                    crP: Array[Byte], wMbs: Int, hMbs: Int,
+                    mbQp: Array[Int], chromaQpOffset: Int,
+                    sliceId: Array[Int], disableIdc: Array[Int],
+                    offsetA: Array[Int], offsetB: Array[Int]): Unit = {
+    val lw = wMbs * 16
+    val cw = wMbs * 8
+    var mb = 0
+    while (mb < wMbs * hMbs) {
+      if (disableIdc(mb) != 1) {
+        val mbX = mb % wMbs
+        val mbY = mb / wMbs
+        def neighborOk(n: Int): Boolean =
+          disableIdc(mb) == 0 || sliceId(n) == sliceId(mb)
+        def indices(qpP: Int, qpQ: Int, chromaPlane: Boolean)
+            : (Int, Int) = {
+          val qp =
+            if (chromaPlane)
+              (Transform.chromaQp(qpP, chromaQpOffset) +
+                Transform.chromaQp(qpQ, chromaQpOffset) + 1) >> 1
+            else (qpP + qpQ + 1) >> 1
+          (clip3(0, 51, qp + offsetA(mb)),
+            clip3(0, 51, qp + offsetB(mb)))
+        }
+        // --- vertical edges, left to right ---
+        var e = 0
+        while (e < 4) {
+          val boundary = e == 0
+          val filterIt =
+            if (!boundary) true
+            else mbX > 0 && neighborOk(mb - 1)
+          if (filterIt) {
+            val qpP = if (boundary) mbQp(mb - 1) else mbQp(mb)
+            val (ia, ib) = indices(qpP, mbQp(mb), chromaPlane = false)
+            filterEdge(yP, mbY * 16 * lw + mbX * 16 + e * 4,
+              across = 1, along = lw, len = 16,
+              strong = boundary, chroma = false, ia, ib)
+            if ((e & 1) == 0) { // chroma vertical edges at 0 and 8/2
+              val (ca, cb) = indices(qpP, mbQp(mb), chromaPlane = true)
+              val cbase = mbY * 8 * cw + mbX * 8 + e * 2
+              filterEdge(cbP, cbase, 1, cw, 8, boundary,
+                chroma = true, ca, cb)
+              filterEdge(crP, cbase, 1, cw, 8, boundary,
+                chroma = true, ca, cb)
+            }
+          }
+          e += 1
+        }
+        // --- horizontal edges, top to bottom ---
+        e = 0
+        while (e < 4) {
+          val boundary = e == 0
+          val filterIt =
+            if (!boundary) true
+            else mbY > 0 && neighborOk(mb - wMbs)
+          if (filterIt) {
+            val qpP = if (boundary) mbQp(mb - wMbs) else mbQp(mb)
+            val (ia, ib) = indices(qpP, mbQp(mb), chromaPlane = false)
+            filterEdge(yP, (mbY * 16 + e * 4) * lw + mbX * 16,
+              across = lw, along = 1, len = 16,
+              strong = boundary, chroma = false, ia, ib)
+            if ((e & 1) == 0) {
+              val (ca, cb) = indices(qpP, mbQp(mb), chromaPlane = true)
+              val cbase = (mbY * 8 + e * 2) * cw + mbX * 8
+              filterEdge(cbP, cbase, cw, 1, 8, boundary,
+                chroma = true, ca, cb)
+              filterEdge(crP, cbase, cw, 1, 8, boundary,
+                chroma = true, ca, cb)
+            }
+          }
+          e += 1
+        }
+      }
+      mb += 1
+    }
+  }
+}

@@ -1435,11 +1435,12 @@ object Multimodal {
     * 0 just like the MJPEG/Annex-B fixtures. */
   private[graft] def syntheticMp4(id: Long, w: Int, h: Int,
                                   frames: Int,
-                                  cabac: Boolean = false): Array[Byte] = {
+                                  cabac: Boolean = false,
+                                  deblock: Boolean = false): Array[Byte] = {
     val px = fixtureFrames(id, w, h, frames)
     val annexB =
-      if (cabac) H264.encodeCabac(w, h, px, qp = 26)._1
-      else H264.encodeCavlc(w, h, px, qp = 26)._1
+      if (cabac) H264.encodeCabac(w, h, px, qp = 26, deblock = deblock)._1
+      else H264.encodeCavlc(w, h, px, qp = 26, deblock = deblock)._1
     Mp4.fromAnnexB(annexB, w, h)
   }
 
@@ -1491,14 +1492,15 @@ object Multimodal {
     * High-profile shape); pixels and oracle are identical. */
   def syntheticMp4Corpus(spark: SparkSession, nContents: Int,
                          copies: Int,
-                         cabac: Boolean = false): Dataset[MediaRow] = {
+                         cabac: Boolean = false,
+                         deblock: Boolean = false): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(nContents.toLong * copies).as[Long].map { id =>
       val content = id % nContents
       val w = 64 + (content % 4).toInt * 16
       val h = 64 + (content % 3).toInt * 16
       MediaRow(id, "video",
-        syntheticMp4(content, w, h, frames = 5, cabac),
+        syntheticMp4(content, w, h, frames = 5, cabac, deblock),
         MediaMeta(w, h, 0, 5))
     }
   }
