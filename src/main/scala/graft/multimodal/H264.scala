@@ -741,7 +741,7 @@ object H264 {
    */
   def encodeCavlc(width: Int, height: Int, frames: Seq[Array[Int]],
                   qp: Int = 26, mbRowsPerSlice: Int = 0,
-                  deblock: Boolean = false)
+                  deblock: Boolean = false, qpAmp: Int = 0)
       : (Array[Byte], Seq[(Int, Int, Array[Int])]) = {
     require(frames.nonEmpty)
     require(frames.forall(_.length == width * height))
@@ -770,6 +770,7 @@ object H264 {
       val cbR = new Array[Byte](wMbs * 8 * hMbs * 8)
       val crR = new Array[Byte](wMbs * 8 * hMbs * 8)
       val ctx = new H264Mb.PicCtx(wMbs, hMbs)
+      val mbQps = Array.fill(wMbs * hMbs)(qp)
       var row = 0
       var sliceId = 0
       while (row < hMbs) {
@@ -787,14 +788,14 @@ object H264 {
         else w.ue(1) // disable_deblocking_filter_idc = 1
         H264Mb.encodeSliceData(w, ctx, sliceId, sliceQp = qp,
           chromaQpOffset = 0, srcY, srcCb, srcCr, yR, cbR, crR,
-          firstMb, endMb)
+          firstMb, endMb, qpAmp, mbQps)
         w.trailingBits()
         val sliceNal = nal(3, 5, w.toBytes)
         out.write(sliceNal, 0, sliceNal.length)
         row += rows
         sliceId += 1
       }
-      if (deblock) deblockRecon(ctx, qp, yR, cbR, crR)
+      if (deblock) deblockRecon(ctx, mbQps, yR, cbR, crR)
       planesToRgb(wMbs, hMbs, cropR, cropB, yR, cbR, crR)
     }
     (out.toByteArray, recon)
@@ -804,12 +805,12 @@ object H264 {
     * prediction source DURING encoding (intra prediction reads
     * unfiltered samples, §8.7), so the filter runs only after the
     * whole picture is encoded — exactly the decoder's sequencing. */
-  private def deblockRecon(ctx: H264Mb.PicCtx, qp: Int,
+  private def deblockRecon(ctx: H264Mb.PicCtx, mbQps: Array[Int],
                            yR: Array[Byte], cbR: Array[Byte],
                            crR: Array[Byte]): Unit = {
     val n = ctx.wMbs * ctx.hMbs
     H264Deblock.filterPicture(yR, cbR, crR, ctx.wMbs, ctx.hMbs,
-      Array.fill(n)(qp), chromaQpOffset = 0, ctx.sliceId,
+      mbQps, chromaQpOffset = 0, ctx.sliceId,
       Array.fill(n)(0), new Array[Int](n), new Array[Int](n))
   }
 
@@ -827,7 +828,7 @@ object H264 {
    */
   def encodeCabac(width: Int, height: Int, frames: Seq[Array[Int]],
                   qp: Int = 26, mbRowsPerSlice: Int = 0,
-                  deblock: Boolean = false)
+                  deblock: Boolean = false, qpAmp: Int = 0)
       : (Array[Byte], Seq[(Int, Int, Array[Int])]) = {
     require(frames.nonEmpty)
     require(frames.forall(_.length == width * height))
@@ -852,6 +853,7 @@ object H264 {
       val cbR = new Array[Byte](wMbs * 8 * hMbs * 8)
       val crR = new Array[Byte](wMbs * 8 * hMbs * 8)
       val ctx = new H264Mb.PicCtx(wMbs, hMbs)
+      val mbQps = Array.fill(wMbs * hMbs)(qp)
       var row = 0
       var sliceId = 0
       while (row < hMbs) {
@@ -870,14 +872,14 @@ object H264 {
         while (!w.byteAligned) w.u(1, 1) // cabac_alignment_one_bit*
         H264Cabac.encodeSliceData(w, ctx, sliceId, sliceQp = qp,
           chromaQpOffset = 0, srcY, srcCb, srcCr, yR, cbR, crR,
-          firstMb, endMb)
+          firstMb, endMb, qpAmp, mbQps)
         w.alignZero() // flush's final 1 was the rbsp stop bit
         val sliceNal = nal(3, 5, w.toBytes)
         out.write(sliceNal, 0, sliceNal.length)
         row += rows
         sliceId += 1
       }
-      if (deblock) deblockRecon(ctx, qp, yR, cbR, crR)
+      if (deblock) deblockRecon(ctx, mbQps, yR, cbR, crR)
       planesToRgb(wMbs, hMbs, cropR, cropB, yR, cbR, crR)
     }
     (out.toByteArray, recon)

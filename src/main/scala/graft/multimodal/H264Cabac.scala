@@ -804,16 +804,19 @@ private[graft] object H264Cabac {
                       srcY: Array[Int], srcCb: Array[Int],
                       srcCr: Array[Int], yP: Array[Byte],
                       cbP: Array[Byte], crP: Array[Byte],
-                      firstMb: Int, endMb: Int): Unit = {
+                      firstMb: Int, endMb: Int,
+                      qpAmp: Int = 0,
+                      mbQpOut: Array[Int] = null): Unit = {
     val cm = new CtxModel(sliceQp)
     val e = new Encoder(w, cm)
-    val qpY = sliceQp // constant-QP fixtures (mb_qp_delta = 0)
+    var qpY = sliceQp
     var prevQpDeltaNonZero = false
     var mbIdx = firstMb
     while (mbIdx < endMb) {
       val mbX = mbIdx % ctx.wMbs
       val mbY = mbIdx / ctx.wMbs
-      val plan = H264Mb.analyzeMb(ctx, mbIdx, sliceId, qpY,
+      val target = H264Mb.qpTarget(sliceQp, qpAmp, mbIdx)
+      val plan = H264Mb.analyzeMb(ctx, mbIdx, sliceId, target,
         chromaQpOffset, srcY, srcCb, srcCr, yP, cbP, crP)
       import plan._
 
@@ -880,11 +883,26 @@ private[graft] object H264Cabac {
       ctx.cbpLumaArr(mbIdx) = cbpLuma
       ctx.cbpChromaArr(mbIdx) = cbpChroma
 
-      // --- mb_qp_delta (always 0 in constant-QP fixtures) ---
+      // --- mb_qp_delta (unary of the se-style mapped value) ---
       if (!is4x4 || cbpLuma != 0 || cbpChroma != 0) {
-        e.decision(60 + (if (prevQpDeltaNonZero) 1 else 0), 0)
-        prevQpDeltaNonZero = false
+        val delta = target - qpY
+        qpY = target
+        val u = if (delta > 0) 2 * delta - 1 else -2 * delta
+        if (u == 0)
+          e.decision(60 + (if (prevQpDeltaNonZero) 1 else 0), 0)
+        else {
+          e.decision(60 + (if (prevQpDeltaNonZero) 1 else 0), 1)
+          if (u == 1) e.decision(62, 0)
+          else {
+            e.decision(62, 1)
+            var k = 3
+            while (k <= u) { e.decision(63, 1); k += 1 }
+            e.decision(63, 0)
+          }
+        }
+        prevQpDeltaNonZero = delta != 0
       }
+      if (mbQpOut != null) mbQpOut(mbIdx) = qpY
       // --- residuals ---
       if (!is4x4) {
         val has = co.lumaDc.exists(_ != 0)

@@ -609,19 +609,36 @@ private[graft] object H264Mb {
    * [[analyzeMb]] for the shared analysis/reconstruction). Returns
    * nothing — the caller wraps `w` into a slice NAL.
    */
+  /** Deterministic per-MB QP target for `qpAmp > 0` fixtures: a
+    * triangle wave of amplitude qpAmp around the slice QP, clipped
+    * to [0, 51] — exercises the mb_qp_delta decode path real
+    * rate-controlled streams hit constantly. Shared by both entropy
+    * coders so their pixels stay identical. */
+  private[multimodal] def qpTarget(sliceQp: Int, qpAmp: Int,
+                                   mbIdx: Int): Int = {
+    if (qpAmp <= 0) return sliceQp
+    val period = 2 * qpAmp
+    val ph = mbIdx % period
+    val wave = if (ph <= qpAmp) ph else period - ph
+    math.max(0, math.min(51, sliceQp - qpAmp / 2 + wave))
+  }
+
   def encodeSliceData(wr: BitWriter, ctx: PicCtx, sliceId: Int,
                       sliceQp: Int, chromaQpOffset: Int,
                       srcY: Array[Int], srcCb: Array[Int],
                       srcCr: Array[Int], yP: Array[Byte],
                       cbP: Array[Byte], crP: Array[Byte],
-                      firstMb: Int = 0, endMb: Int = -1): Unit = {
+                      firstMb: Int = 0, endMb: Int = -1,
+                      qpAmp: Int = 0,
+                      mbQpOut: Array[Int] = null): Unit = {
     val stop = if (endMb < 0) ctx.wMbs * ctx.hMbs else endMb
-    val qpY = sliceQp // constant-QP fixtures (mb_qp_delta = 0)
+    var qpY = sliceQp
     var mbIdx = firstMb
     while (mbIdx < stop) {
       val mbX = mbIdx % ctx.wMbs
       val mbY = mbIdx / ctx.wMbs
-      val plan = analyzeMb(ctx, mbIdx, sliceId, qpY, chromaQpOffset,
+      val target = qpTarget(sliceQp, qpAmp, mbIdx)
+      val plan = analyzeMb(ctx, mbIdx, sliceId, target, chromaQpOffset,
         srcY, srcCb, srcCr, yP, cbP, crP)
       import plan._
 
@@ -647,8 +664,15 @@ private[graft] object H264Mb {
       wr.ue(chromaMode)
       if (is4x4)
         wr.ue(intraCodeFromCbp(cbpLuma | (cbpChroma << 4)))
-      if (!is4x4 || cbpLuma != 0 || cbpChroma != 0)
-        wr.se(0) // constant-QP fixtures
+      // mb_qp_delta: present for I16x16 or any coded residual; an
+      // MB without the slot carries no coefficients, so QP is moot
+      // there and the running qpY simply persists (decoder rule)
+      if (!is4x4 || cbpLuma != 0 || cbpChroma != 0) {
+        val delta = target - qpY
+        wr.se(delta)
+        qpY = target
+      }
+      if (mbQpOut != null) mbQpOut(mbIdx) = qpY
       // residuals, with the same nz bookkeeping order as decode
       if (!is4x4) {
         val nC = lumaNC(ctx, mbX, mbY, 0, 0, sliceId)

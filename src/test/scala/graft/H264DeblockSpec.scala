@@ -126,6 +126,31 @@ class H264DeblockSpec extends SparkSpec {
     assert(y.toSeq == before.toSeq, "QP-0 filtering must be a no-op")
   }
 
+  test("varying per-MB QP (mb_qp_delta != 0) round-trips bit-exact " +
+      "under BOTH entropy coders, with and without deblocking") {
+    // real rate-controlled streams change QP per macroblock; the
+    // constant-QP fixtures never exercised that decode path. qpAmp
+    // drives a triangle wave of per-MB QP targets → nonzero
+    // mb_qp_delta elements in both entropy codings.
+    val frames = Seq(gradient(64, 48, 41), gradient(64, 48, 42))
+    Seq(false, true).foreach { db =>
+      val (cavlc, rv) = H264.encodeCavlc(64, 48, frames, qp = 28,
+        mbRowsPerSlice = 0, deblock = db, qpAmp = 6)
+      assert(H264.decodeFrames(cavlc).map(_._3.toSeq) ==
+        rv.map(_._3.toSeq), s"cavlc deblock=$db")
+      val (cabac, rb) = H264.encodeCabac(64, 48, frames, qp = 28,
+        mbRowsPerSlice = 2, deblock = db, qpAmp = 6)
+      assert(H264.decodeFrames(cabac).map(_._3.toSeq) ==
+        rb.map(_._3.toSeq), s"cabac deblock=$db")
+    }
+    // the deltas are real: the varying-QP stream differs from the
+    // constant-QP one on identical input
+    val (flat, _) = H264.encodeCavlc(64, 48, frames, qp = 28)
+    val (varied, _) = H264.encodeCavlc(64, 48, frames, qp = 28,
+      qpAmp = 6)
+    assert(flat.toSeq != varied.toSeq)
+  }
+
   test("H264Mb PicCtx arrays exist for the filter's neighbors " +
       "(compile-level contract)") {
     val ctx = new H264Mb.PicCtx(2, 2)
