@@ -74,11 +74,13 @@ object Bench {
   @volatile private var quietPassDone: Boolean = false
   @volatile private var quietRetries: Int = 0
 
-  /** Quiet-host band: clean captures measure steal ≈ 0.0006 and the
-    * r14 contaminated one 0.0156 (bench_evidence/README); the
-    * threshold sits an order of magnitude above clean and well below
-    * the smallest contamination that moved a total. */
-  private val maxStealFrac = 0.004
+  /** Quiet-host band: clean captures measure steal ≈ 0.0006; the r14
+    * evidence line (total vs steal: 0.0006→91.1s, 0.0069→109.1s,
+    * 0.0156→126.4s) is ~2600 s of inflation per unit steal, so even
+    * 0.004 costs ~10% — round 15's first capture confirmed it
+    * (steal 0.0038, shared-query total +12%). The band is therefore
+    * set where inflation is ≤ ~3%: steal ≤ 0.0015. */
+  private val maxStealFrac = 0.0015
   private val maxIowaitFrac = 0.010
 
   /** (totalJiffies, iowait, steal) from /proc/stat's aggregate cpu line —

@@ -119,9 +119,9 @@ private[graft] object RegistryRound14 {
     // i.e. the shape actual video files arrive in, decoded end-to-end
     // by the built-in path with zero external dependencies.
     // FrameDecoder.Auto sniffs ftyp → demux → intra decode; identical
-    // oracle = the codec-AND-container-agnosticism contract. (CABAC,
-    // P/B slices and deblocking remain the documented SPI boundary —
-    // H264Spec/CavlcSpec pin the named errors.)
+    // oracle = the codec-AND-container-agnosticism contract. (Round
+    // 15 closed CABAC and deblocking — q_video_fp_dedup_mp4_cabac /
+    // _deblock; P/B slices remain the documented SPI boundary.)
     Q("q_video_fp_dedup_mp4",
       (s, d) => {
         import graft.multimodal.Multimodal

@@ -17,17 +17,20 @@ package graft.multimodal
  *    I slices — byte-aligned raw 4:2:0 samples), assembling frames
  *    across one or many slices per picture.
  *
- * SCOPE — stated plainly: compressed macroblock types (CAVLC/CABAC
- * residuals, intra/inter prediction, deblocking) are NOT implemented,
- * so real-world compressed H.264 still needs an external binding
- * through the same SPI (`graft.video.frameDecoder`). What this module
- * changes is the default path's honesty: the container/bitstream
- * layer (start codes, EPBs, parameter sets, slice structure) is the
- * real format, spec-valid all-I_PCM streams — which [[H264.encode]]
- * emits and any conformant decoder accepts — decode bit-exactly, and
- * a non-I_PCM macroblock fails with a named error instead of garbage
- * (the degrade-don't-fail `Try` in `videoHashes` then skips the
- * clip). Reference behaviors modeled on the published spec only.
+ * The macroblock layer lives in the sibling modules: [[H264Mb]] +
+ * [[Cavlc]] (intra prediction, §8.5 transforms, CAVLC residuals),
+ * [[H264Cabac]] (§9.3 CABAC entropy coding, both directions), and
+ * [[H264Deblock]] (§8.7 in-loop filter) — so I/IDR pictures with
+ * I_PCM, Intra_4x4 and Intra_16x16 macroblocks decode display-exact
+ * under EITHER entropy coder, filtered or not.
+ *
+ * SCOPE — stated plainly: P/B (inter) slices, interlaced coding,
+ * transform_8x8, scaling matrices and I_PCM-inside-CABAC are named
+ * errors, so real-world INTER video still needs an external binding
+ * through the same SPI (`graft.video.frameDecoder`); intra frames —
+ * which carry the fingerprint signal — decode natively. The
+ * degrade-don't-fail `Try` in `videoHashes` turns named errors into
+ * skips. Reference behaviors modeled on the published spec only.
  */
 object H264 {
 
@@ -321,8 +324,9 @@ object H264 {
     * Intra_16x16 macroblocks with CAVLC ([[H264Mb]]/[[Cavlc]]) OR
     * CABAC ([[H264Cabac]], §9.3) entropy coding; returns frames as
     * (width, height, packed 0xRRGGBB) in display order. Streams that
-    * enable the deblocking filter decode to PRE-deblock pixels
-    * (stated scope). Unsupported constructs (P/B slices,
+    * enable the deblocking filter are filtered per §8.7
+    * ([[H264Deblock]]) — display-exact pixels. Unsupported
+    * constructs (P/B slices,
     * transform_8x8, scaling matrices, I_PCM inside CABAC slices)
     * throw — callers wrap in `Try` per the degrade-don't-fail
     * contract. */

@@ -64,7 +64,10 @@ object ShuffleVolumeSpec {
     "q_dedup_incremental_minhash",
     "q_dedup_incremental_semantic",
     "q_video_sequence_incremental",
-    "q_cdc_novelty_state")
+    "q_cdc_novelty_state",
+    // round 15: the sketch-log set-op family — exchanges carry keys
+    // and <=(2^lgK*8B) sketch binaries, never documents
+    "q_theta_overlap")
 
   /** query -> (max total shuffle bytes, max per-exchange avg bytes/row)
     * — measured by ShuffleAuditDump at sf0.01, ~2x headroom (more for
@@ -95,5 +98,15 @@ object ShuffleVolumeSpec {
     "q_dedup_incremental_minhash" -> (120000L, 1600.0), // 50371B, 739.6
     "q_dedup_incremental_semantic" -> (10000L, 60.0), // 1009B, 20.0
     "q_video_sequence_incremental" -> (10000L, 150.0), // 2221B, 64.6
-    "q_cdc_novelty_state" -> (20000L, 160.0)) // 5408B, 73.0
+    "q_cdc_novelty_state" -> (20000L, 160.0), // 5408B, 73.0
+    // round 15 — theta set-op gate. NOT a flat-budget family: its
+    // exchanges carry sketch PARTIALS of min(distinct, 2^lgK)·8B
+    // each, so volume grows with distinct keys until it SATURATES at
+    // 2^lgK (the exact-mode leg pins exactness at gated SFs with
+    // lgK=20; production estimation-mode sketches at lgK≤12 are
+    // ≤32KB per partial regardless of data volume). Budget = ~2x the
+    // sf0.01 measurement; the row-avg allowance is the wide sketch
+    // rows themselves — there is still no document text on any
+    // exchange (the keys are 8-byte hashes).
+    "q_theta_overlap" -> (1700000L, 310000.0)) // 826780B, 150748.0
 }
