@@ -152,6 +152,20 @@ class Mp4Spec extends SparkSpec {
     }
   }
 
+  test("orthogonality: CABAC + deblocking + varying QP inside an fMP4 " +
+      "demuxes and decodes bit-exact (all round-15 features composed)") {
+    val frames = Seq(gradient(48, 48, 91), gradient(48, 48, 92))
+    val (annexB, recon) = H264.encodeCabac(48, 48, frames, qp = 30,
+      mbRowsPerSlice = 1, deblock = true, qpAmp = 4)
+    val fmp4 = Mp4.fromAnnexBFragmented(annexB, 48, 48,
+      samplesPerFragment = 1)
+    val decoded = H264.decodeFrames(Mp4.demuxToAnnexB(fmp4))
+    assert(decoded.size == 2)
+    decoded.zip(recon).foreach { case ((w, h, dp), (_, _, rp)) =>
+      assert(w == 48 && h == 48 && dp.toSeq == rp.toSeq)
+    }
+  }
+
   test("fMP4 variants the muxer never emits: tfhd default-sample-size " +
       "and multi-trun implicit offsets demux correctly") {
     val annexB = H264.encode(32, 32,

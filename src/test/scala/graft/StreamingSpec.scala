@@ -1180,6 +1180,46 @@ class StreamingSpec extends SparkSpec {
       .collect().toSet == Set(4000L))
   }
 
+  test("OverlapMonitor: per-batch theta sketch logs; exact-mode " +
+      "union/intersection/difference across two streams") {
+    import graft.streaming.OverlapMonitor
+    val inA = tmpDir(); val inB = tmpDir()
+    val ckA = tmpDir(); val ckB = tmpDir()
+    val logA = tmpDir() + "/tlogA"; val logB = tmpDir() + "/tlogB"
+    // stream A: keys 1..3000 over two batches; stream B: multiples
+    // of 3 in 1..6000 (one batch). Overlap = 1000, A\B = 2000.
+    def drain(in: String, ck: String, log: String): Unit =
+      OverlapMonitor.streamingKeySketches(spark.readStream
+        .schema("k LONG").parquet(in), "k", log, ck, lgK = 14)
+        .awaitTermination()
+    (1L to 1500L).toDF("k").coalesce(1).write.mode("append").parquet(inA)
+    drain(inA, ckA, logA)
+    (1501L to 3000L).toDF("k").coalesce(1).write.mode("append").parquet(inA)
+    drain(inA, ckA, logA)
+    (1L to 2000L).map(_ * 3).toDF("k").coalesce(1)
+      .write.mode("append").parquet(inB)
+    drain(inB, ckB, logB)
+    assert(spark.read.parquet(logA).count() == 2,
+      "one sketch row per non-empty batch")
+    // lgK=14 >> 3000 distinct → exact mode: all three probes exact
+    val da = OverlapMonitor.runningDistinct(spark, logA, 14).collect()(0)
+    assert(da.getDouble(1) == 3000.0 && da.getDouble(0) == 3000.0)
+    val ov = OverlapMonitor.overlap(spark, logA, logB, 14).collect()(0)
+    assert(ov.getDouble(1) == 1000.0,
+      s"overlap ${ov.getDouble(1)} != 1000 (multiples of 3 in 1..3000)")
+    val nv = OverlapMonitor.novelty(spark, logA, logB, 14).collect()(0)
+    assert(nv.getDouble(1) == 2000.0, s"novelty ${nv.getDouble(1)}")
+    // replay idempotence: re-drain with a FRESH checkpoint into the
+    // same log dir must overwrite its own epoch partitions, not
+    // double-count — the lineage prefix isolates; union over BOTH
+    // lineages' rows still reports the same exact set
+    val ck2 = tmpDir()
+    drain(inA, ck2, logA)
+    val da2 = OverlapMonitor.runningDistinct(spark, logA, 14).collect()(0)
+    assert(da2.getDouble(1) == 3000.0,
+      "set union is idempotent — duplicate sketch rows cannot inflate")
+  }
+
   test("cdcNoveltyIngest: replay after a crash between corpus append " +
       "and index append heals both states (no loss, no duplicates)") {
     import graft.streaming.IngestPipeline
