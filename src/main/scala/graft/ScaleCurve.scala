@@ -346,6 +346,16 @@ object ScaleCurve {
           Multimodal.syntheticMp4Corpus(spark,
             nContents = 100 * k, copies = 3), maxHamming = 4)
       },
+      // CABAC + deblocking variant (round 15): the same oracle/shape
+      // with arithmetic entropy decoding + the in-loop filter — both
+      // are per-clip (per-bin / per-edge) work, so the contract is
+      // still linear in clips; compare to video_mp4's exponent
+      "video_mp4_cabac" -> { k =>
+        Multimodal.videoNearDuplicates(
+          Multimodal.syntheticMp4Corpus(spark,
+            nContents = 100 * k, copies = 3, cabac = true,
+            deblock = true), maxHamming = 4)
+      },
       // synthesized media corpus, scaled by clip count
       "audio_constellation" -> { k =>
         Multimodal.audioConstellationMatches(
