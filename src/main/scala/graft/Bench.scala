@@ -83,6 +83,17 @@ object Bench {
   private val maxStealFrac = 0.0015
   private val maxIowaitFrac = 0.010
 
+  /** Was the window between two /proc/stat snapshots inside the
+    * quiet band? Unreadable stats can't certify quiet. */
+  private def inBand(a: Option[(Long, Long, Long)],
+                     b: Option[(Long, Long, Long)]): Boolean =
+    (a, b) match {
+      case (Some((tA, ioA, stA)), Some((tB, ioB, stB))) if tB > tA =>
+        val d = (tB - tA).toDouble
+        (stB - stA) / d <= maxStealFrac && (ioB - ioA) / d <= maxIowaitFrac
+      case _ => false
+    }
+
   /** (totalJiffies, iowait, steal) from /proc/stat's aggregate cpu line —
     * None on non-Linux hosts. */
   private def cpuStat(): Option[(Long, Long, Long)] =
@@ -246,13 +257,6 @@ object Bench {
     // tightens the mins) until one lands inside the band or the
     // budget runs out. noise_ok=false in the JSON then says, by
     // construction, "no quiet window was available this run".
-    def inBand(a: Option[(Long, Long, Long)],
-               b: Option[(Long, Long, Long)]): Boolean = (a, b) match {
-      case (Some((tA, ioA, stA)), Some((tB, ioB, stB))) if tB > tA =>
-        val d = (tB - tA).toDouble
-        (stB - stA) / d <= maxStealFrac && (ioB - ioA) / d <= maxIowaitFrac
-      case _ => false // unreadable /proc/stat can't certify quiet
-    }
     val mainSweepComplete = queries.forall { case (n, _) =>
       samples.get(n).exists(_.nonEmpty)
     }

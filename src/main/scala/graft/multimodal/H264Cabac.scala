@@ -326,11 +326,11 @@ private[graft] object H264Cabac {
     * or I_NxN (§9.3.3.1.1.3). */
   private def mbTypeInc(ctx: PicCtx, mbX: Int, mbY: Int,
                         sliceId: Int): Int = {
-    def cond(mx: Int, my: Int): Int =
+    def ct(mx: Int, my: Int): Int =
       if (!mbAvail(ctx, mx, my, sliceId)) 0
       else if (isI4x4(ctx, my * ctx.wMbs + mx)) 0
       else 1
-    cond(mbX - 1, mbY) + cond(mbX, mbY - 1)
+    ct(mbX - 1, mbY) + ct(mbX, mbY - 1)
   }
 
   /** intra_chroma_pred_mode bin0 ctxIdxInc: condTermN = 1 iff mbN is
@@ -338,13 +338,13 @@ private[graft] object H264Cabac {
     * (§9.3.3.1.1.8). */
   private def chromaModeInc(ctx: PicCtx, mbX: Int, mbY: Int,
                             sliceId: Int): Int = {
-    def cond(mx: Int, my: Int): Int =
+    def ct(mx: Int, my: Int): Int =
       if (!mbAvail(ctx, mx, my, sliceId)) 0
       else {
         val m = my * ctx.wMbs + mx
         if (ctx.isIpcm(m) || ctx.chromaModeArr(m) == 0) 0 else 1
       }
-    cond(mbX - 1, mbY) + cond(mbX, mbY - 1)
+    ct(mbX - 1, mbY) + ct(mbX, mbY - 1)
   }
 
   /** coded_block_pattern luma bin `b` ctxIdxInc (§9.3.3.1.1.4):
@@ -354,7 +354,7 @@ private[graft] object H264Cabac {
   private def cbpLumaInc(ctx: PicCtx, mbX: Int, mbY: Int, sliceId: Int,
                          b: Int, cbpSoFar: Int): Int = {
     // 8x8 blocks raster in the MB: 0 TL, 1 TR, 2 BL, 3 BR
-    def condAt(mx: Int, my: Int, blk: Int, inCur: Boolean): Int =
+    def ct8(mx: Int, my: Int, blk: Int, inCur: Boolean): Int =
       if (inCur) { if (((cbpSoFar >> blk) & 1) == 0) 1 else 0 }
       else if (!mbAvail(ctx, mx, my, sliceId)) 0
       else {
@@ -363,11 +363,11 @@ private[graft] object H264Cabac {
         else if (((ctx.cbpLumaArr(m) >> blk) & 1) == 0) 1 else 0
       }
     val condA = // left neighbor 8x8 of block b
-      if ((b & 1) == 1) condAt(0, 0, b - 1, inCur = true)
-      else condAt(mbX - 1, mbY, b + 1, inCur = false)
+      if ((b & 1) == 1) ct8(0, 0, b - 1, inCur = true)
+      else ct8(mbX - 1, mbY, b + 1, inCur = false)
     val condB = // top neighbor 8x8 of block b
-      if (b >= 2) condAt(0, 0, b - 2, inCur = true)
-      else condAt(mbX, mbY - 1, b + 2, inCur = false)
+      if (b >= 2) ct8(0, 0, b - 2, inCur = true)
+      else ct8(mbX, mbY - 1, b + 2, inCur = false)
     condA + 2 * condB
   }
 
@@ -376,7 +376,7 @@ private[graft] object H264Cabac {
     * counts as 2 (§9.3.3.1.1.4). */
   private def cbpChromaInc(ctx: PicCtx, mbX: Int, mbY: Int,
                            sliceId: Int, bin1: Boolean): Int = {
-    def cond(mx: Int, my: Int): Int =
+    def ct(mx: Int, my: Int): Int =
       if (!mbAvail(ctx, mx, my, sliceId)) 0
       else {
         val m = my * ctx.wMbs + mx
@@ -385,7 +385,7 @@ private[graft] object H264Cabac {
         else { if (v != 0) 1 else 0 }
       }
     (if (bin1) 4 else 0) +
-      cond(mbX - 1, mbY) + 2 * cond(mbX, mbY - 1)
+      ct(mbX - 1, mbY) + 2 * ct(mbX, mbY - 1)
   }
 
   // ctxBlockCat: 0 = I16x16 luma DC, 1 = I16x16 luma AC, 2 = luma
@@ -405,9 +405,9 @@ private[graft] object H264Cabac {
                      curMb: Int): Int = {
     @inline def zIdxOf(bx: Int, by: Int): Int =
       (by & 2) * 4 + (bx & 2) * 2 + (by & 1) * 2 + (bx & 1)
-    def mbCond(m: Int, get: Int => Boolean): Int =
+    def mbc(m: Int, get: Int => Boolean): Int =
       if (ctx.isIpcm(m)) 1 else if (get(m)) 1 else 0
-    def cond(dx: Int, dy: Int): Int = cat match {
+    def ct(dx: Int, dy: Int): Int = cat match {
       case 0 => // luma DC: neighbor MB's luma DC block, I16x16 only
         if (!mbAvail(ctx, mbX + dx, mbY + dy, sliceId)) 1
         else {
@@ -425,7 +425,7 @@ private[graft] object H264Cabac {
           val z = zIdxOf(bx & 3, by & 3)
           if (m == curMb) { if (ctx.lumaNz(m)(z) > 0) 1 else 0 }
           else if (!mbAvail(ctx, bx >> 2, by >> 2, sliceId)) 1
-          else mbCond(m, mm => ctx.lumaNz(mm)(z) > 0)
+          else mbc(m, mm => ctx.lumaNz(mm)(z) > 0)
         }
       case 3 => // chroma DC of the same component
         if (!mbAvail(ctx, mbX + dx, mbY + dy, sliceId)) 1
@@ -447,11 +447,11 @@ private[graft] object H264Cabac {
           val nz = if (component == 1) ctx.cbNz else ctx.crNz
           if (m == curMb) { if (nz(m)(b) > 0) 1 else 0 }
           else if (!mbAvail(ctx, bx >> 1, by >> 1, sliceId)) 1
-          else mbCond(m, mm => nz(mm)(b) > 0)
+          else mbc(m, mm => nz(mm)(b) > 0)
         }
       case other => throw new IllegalArgumentException(s"cat $other")
     }
-    85 + cbfCatOffset(cat) + cond(-1, 0) + 2 * cond(0, -1)
+    85 + cbfCatOffset(cat) + ct(-1, 0) + 2 * ct(0, -1)
   }
 
   @inline private def sigCtx(cat: Int, i: Int): Int =
