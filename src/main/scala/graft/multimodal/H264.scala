@@ -326,8 +326,7 @@ object H264 {
     * (width, height, packed 0xRRGGBB) in display order. Streams that
     * enable the deblocking filter are filtered per §8.7
     * ([[H264Deblock]]) — display-exact pixels. Unsupported
-    * constructs (P/B slices,
-    * transform_8x8, scaling matrices, I_PCM inside CABAC slices)
+    * constructs (P/B slices, transform_8x8, scaling matrices)
     * throw — callers wrap in `Try` per the degrade-don't-fail
     * contract. */
   def decodeFrames(bytes: Array[Byte]): Seq[(Int, Int, Array[Int])] = {
@@ -832,7 +831,8 @@ object H264 {
    */
   def encodeCabac(width: Int, height: Int, frames: Seq[Array[Int]],
                   qp: Int = 26, mbRowsPerSlice: Int = 0,
-                  deblock: Boolean = false, qpAmp: Int = 0)
+                  deblock: Boolean = false, qpAmp: Int = 0,
+                  pcmEvery: Int = 0)
       : (Array[Byte], Seq[(Int, Int, Array[Int])]) = {
     require(frames.nonEmpty)
     require(frames.forall(_.length == width * height))
@@ -876,7 +876,7 @@ object H264 {
         while (!w.byteAligned) w.u(1, 1) // cabac_alignment_one_bit*
         H264Cabac.encodeSliceData(w, ctx, sliceId, sliceQp = qp,
           chromaQpOffset = 0, srcY, srcCb, srcCr, yR, cbR, crR,
-          firstMb, endMb, qpAmp, mbQps)
+          firstMb, endMb, qpAmp, mbQps, pcmEvery)
         w.alignZero() // flush's final 1 was the rbsp stop bit
         val sliceNal = nal(3, 5, w.toBytes)
         out.write(sliceNal, 0, sliceNal.length)

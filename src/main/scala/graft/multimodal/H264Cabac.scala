@@ -32,9 +32,10 @@ import H264.{BitReader, BitWriter}
  *
  * SCOPE, stated plainly: I slices only (P/B syntax is absent, as
  * everywhere in this decoder); frame-coded (no MBAFF/field context
- * offsets); I_PCM inside CABAC slices throws a named error (the
- * engine-reinit-around-raw-bytes path — real encoders do not emit
- * PCM, and the fixture generator never does). The context
+ * offsets). I_PCM inside CABAC slices is SUPPORTED (the PCM mb_type
+ * bin flushes the engine, the raw byte-aligned samples follow, and
+ * the engine reinitializes with contexts persisting — §9.3.1.2;
+ * CabacSpec round-trips mixed compressed/PCM slices). The context
  * INITIALIZATION constants are transcribed from the spec's I-slice
  * column (Tables 9-12..9-23); a transcription slip there cannot
  * produce wrong pixels (both coder halves share the one table — a
@@ -244,6 +245,20 @@ private[graft] object H264Cabac {
           offset = (offset << 1) | r.u(1)
         }
         0
+      }
+    }
+
+    /** DecodeFlush (§9.3.3.2.5) after the I_PCM terminate bin: drain
+      * the codeword so the reader lands where the encoder-side flush
+      * ended — pcm_alignment_zero_bit then raw samples follow, after
+      * which callers REINITIALIZE the engine (a fresh Decoder on the
+      * same CtxModel — §9.3.1.2 re-inits the engine, not the
+      * contexts). */
+    def flushForPcm(): Unit = {
+      range = 2
+      while (range < 256) {
+        range <<= 1
+        offset = (offset << 1) | r.u(1)
       }
     }
   }
@@ -595,7 +610,7 @@ private[graft] object H264Cabac {
                       crP: Array[Byte],
                       mbQpOut: Array[Int] = null): Int = {
     val cm = new CtxModel(sliceQp)
-    val d = new Decoder(r, cm)
+    var d = new Decoder(r, cm)
     var qpY = sliceQp
     require(qpY >= 0 && qpY <= 51, s"slice QP $qpY out of range")
     var prevQpDeltaNonZero = false
@@ -605,10 +620,28 @@ private[graft] object H264Cabac {
     var end = false
     while (!end) {
       require(mbIdx < total, "slice data overruns the picture")
-      qpY = decodeMb(d, ctx, mbIdx, sliceId, qpY, chromaQpOffset,
-        prevQpDeltaNonZeroIn = prevQpDeltaNonZero,
-        setPrev = v => prevQpDeltaNonZero = v, yP, cbP, crP)
-      if (mbQpOut != null) mbQpOut(mbIdx) = qpY
+      val mbX = mbIdx % ctx.wMbs
+      val mbY = mbIdx / ctx.wMbs
+      val bin0 = d.decision(3 + mbTypeInc(ctx, mbX, mbY, sliceId))
+      if (bin0 == 1 && d.terminate() == 1) {
+        // I_PCM (§7.3.5 + §9.3.1.2): flush the codeword, read the
+        // byte-aligned raw samples, reinitialize the engine (the
+        // contexts persist)
+        ctx.sliceId(mbIdx) = sliceId
+        ctx.isIpcm(mbIdx) = true
+        d.flushForPcm()
+        r.alignToByte()
+        readPcmSamples(r, ctx, mbIdx, yP, cbP, crP)
+        prevQpDeltaNonZero = false
+        if (mbQpOut != null) mbQpOut(mbIdx) = 0 // deblock QP (§8.7.2)
+        d = new Decoder(r, cm)
+      } else {
+        qpY = decodeMb(d, ctx, mbIdx, sliceId, qpY, chromaQpOffset,
+          prevQpDeltaNonZeroIn = prevQpDeltaNonZero,
+          setPrev = v => prevQpDeltaNonZero = v, yP, cbP, crP,
+          mbTypeBin0 = bin0)
+        if (mbQpOut != null) mbQpOut(mbIdx) = qpY
+      }
       done += 1
       mbIdx += 1
       end = d.terminate() == 1
@@ -616,26 +649,49 @@ private[graft] object H264Cabac {
     done
   }
 
+  /** Raw I_PCM sample read/write order (§7.3.5): 256 luma then 64
+    * Cb then 64 Cr bytes, raster within the MB. */
+  private def readPcmSamples(r: BitReader, ctx: PicCtx, mbIdx: Int,
+                             yP: Array[Byte], cbP: Array[Byte],
+                             crP: Array[Byte]): Unit = {
+    val mbX = (mbIdx % ctx.wMbs) * 16
+    val mbY = (mbIdx / ctx.wMbs) * 16
+    val lw = ctx.wMbs * 16
+    val cw = ctx.wMbs * 8
+    var i = 0
+    while (i < 256) {
+      yP((mbY + i / 16) * lw + mbX + i % 16) = r.readByte().toByte
+      i += 1
+    }
+    val cX = mbX / 2; val cY = mbY / 2
+    i = 0
+    while (i < 64) {
+      cbP((cY + i / 8) * cw + cX + i % 8) = r.readByte().toByte; i += 1
+    }
+    i = 0
+    while (i < 64) {
+      crP((cY + i / 8) * cw + cX + i % 8) = r.readByte().toByte; i += 1
+    }
+  }
+
   private def decodeMb(d: Decoder, ctx: PicCtx, mbIdx: Int,
                        sliceId: Int, qpYPrev: Int, chromaQpOffset: Int,
                        prevQpDeltaNonZeroIn: Boolean,
                        setPrev: Boolean => Unit,
                        yP: Array[Byte], cbP: Array[Byte],
-                       crP: Array[Byte]): Int = {
+                       crP: Array[Byte], mbTypeBin0: Int): Int = {
     val mbX = mbIdx % ctx.wMbs
     val mbY = mbIdx / ctx.wMbs
     ctx.sliceId(mbIdx) = sliceId
 
-    // --- mb_type (Table 9-36 / 9-39) ---
-    val bin0 = d.decision(3 + mbTypeInc(ctx, mbX, mbY, sliceId))
+    // --- mb_type (Table 9-36 / 9-39; bin0 and — for bin0==1 — the
+    // I_PCM terminate bin were consumed by the caller) ---
     var is4x4 = false
     var cbpLuma = 0
     var cbpChroma = 0
     var pred16Mode = -1
-    if (bin0 == 0) is4x4 = true
+    if (mbTypeBin0 == 0) is4x4 = true
     else {
-      require(d.terminate() == 0,
-        "I_PCM inside CABAC slices unsupported")
       if (d.decision(3 + 3) == 1) cbpLuma = 15
       if (d.decision(3 + 4) == 1)
         cbpChroma = if (d.decision(3 + 5) == 1) 2 else 1
@@ -806,15 +862,34 @@ private[graft] object H264Cabac {
                       cbP: Array[Byte], crP: Array[Byte],
                       firstMb: Int, endMb: Int,
                       qpAmp: Int = 0,
-                      mbQpOut: Array[Int] = null): Unit = {
+                      mbQpOut: Array[Int] = null,
+                      pcmEvery: Int = 0): Unit = {
     val cm = new CtxModel(sliceQp)
-    val e = new Encoder(w, cm)
+    var e = new Encoder(w, cm)
     var qpY = sliceQp
     var prevQpDeltaNonZero = false
     var mbIdx = firstMb
     while (mbIdx < endMb) {
       val mbX = mbIdx % ctx.wMbs
       val mbY = mbIdx / ctx.wMbs
+      if (pcmEvery > 0 && mbIdx % pcmEvery == pcmEvery - 1) {
+        // I_PCM fixture MB: the mb_type PCM bin flushes the engine
+        // (EncodeTerminate(1) includes EncodeFlush), then the raw
+        // byte-aligned source samples, then a FRESH engine on the
+        // same contexts — the decoder's exact mirror
+        e.decision(3 + mbTypeInc(ctx, mbX, mbY, sliceId), 1)
+        e.terminate(1)
+        w.alignZero() // pcm_alignment_zero_bit*
+        ctx.sliceId(mbIdx) = sliceId
+        ctx.isIpcm(mbIdx) = true
+        writePcmSamples(w, ctx, mbIdx, srcY, srcCb, srcCr,
+          yP, cbP, crP)
+        prevQpDeltaNonZero = false
+        if (mbQpOut != null) mbQpOut(mbIdx) = 0
+        e = new Encoder(w, cm)
+        e.terminate(if (mbIdx + 1 == endMb) 1 else 0)
+        mbIdx += 1
+      } else {
       val target = H264Mb.qpTarget(sliceQp, qpAmp, mbIdx)
       val plan = H264Mb.analyzeMb(ctx, mbIdx, sliceId, target,
         chromaQpOffset, srcY, srcCb, srcCr, yP, cbP, crP)
@@ -966,6 +1041,38 @@ private[graft] object H264Cabac {
 
       mbIdx += 1
       e.terminate(if (mbIdx == endMb) 1 else 0) // end_of_slice_flag
+      }
+    }
+  }
+
+  /** Encoder mirror of [[readPcmSamples]]: write the SOURCE samples
+    * raw and copy them into the recon planes (I_PCM is lossless). */
+  private def writePcmSamples(w: BitWriter, ctx: PicCtx, mbIdx: Int,
+                              srcY: Array[Int], srcCb: Array[Int],
+                              srcCr: Array[Int], yP: Array[Byte],
+                              cbP: Array[Byte],
+                              crP: Array[Byte]): Unit = {
+    val mbX = (mbIdx % ctx.wMbs) * 16
+    val mbY = (mbIdx / ctx.wMbs) * 16
+    val lw = ctx.wMbs * 16
+    val cw = ctx.wMbs * 8
+    var i = 0
+    while (i < 256) {
+      val o = (mbY + i / 16) * lw + mbX + i % 16
+      w.u(srcY(o) & 0xFF, 8)
+      yP(o) = srcY(o).toByte
+      i += 1
+    }
+    val cX = mbX / 2; val cY = mbY / 2
+    i = 0
+    while (i < 64) {
+      val o = (cY + i / 8) * cw + cX + i % 8
+      w.u(srcCb(o) & 0xFF, 8); cbP(o) = srcCb(o).toByte; i += 1
+    }
+    i = 0
+    while (i < 64) {
+      val o = (cY + i / 8) * cw + cX + i % 8
+      w.u(srcCr(o) & 0xFF, 8); crP(o) = srcCr(o).toByte; i += 1
     }
   }
 }

@@ -243,7 +243,36 @@ class CabacSpec extends SparkSpec {
     assert(threw > 0, "some mutations must be detected")
   }
 
-  test("I_PCM inside a CABAC slice is a NAMED error") {
+  test("I_PCM inside CABAC slices: flush -> raw bytes -> engine " +
+      "re-init round-trips bit-exact, mixed with compressed MBs") {
+    // every 3rd MB is raw PCM (lossless), the rest CABAC-compressed;
+    // the engine flushes before each PCM payload and re-inits after
+    // (contexts persisting). Also: PCM as the FIRST and LAST MB of a
+    // slice, and composition with deblocking (PCM deblocks at QP 0).
+    Seq((48, 48, 3, 0, false), (64, 32, 1, 0, false), // every MB PCM
+        (64, 48, 4, 2, false), (48, 64, 3, 0, true)).foreach {
+      case (w, h, every, rows, db) =>
+        val frames = Seq(gradient(w, h, w + every), gradient(w, h, 7))
+        val (bytes, recon) = H264.encodeCabac(w, h, frames, qp = 28,
+          mbRowsPerSlice = rows, deblock = db, pcmEvery = every)
+        val decoded = H264.decodeFrames(bytes)
+        assert(decoded.size == 2, s"${w}x$h every=$every")
+        decoded.zip(recon).foreach { case ((dw, dh, dp), (_, _, rp)) =>
+          assert(dw == w && dh == h)
+          assert(dp.toSeq == rp.toSeq,
+            s"${w}x$h every=$every rows=$rows deblock=$db differs")
+        }
+    }
+    // and PCM-adjacent context/prediction state is genuinely
+    // exercised: the mixed stream differs from the all-compressed one
+    val frames = Seq(gradient(64, 48, 9))
+    val (mixed, _) = H264.encodeCabac(64, 48, frames, pcmEvery = 3)
+    val (comp, _) = H264.encodeCabac(64, 48, frames)
+    assert(mixed.toSeq != comp.toSeq)
+  }
+
+  test("legacy guard: a PCM bin in a truncated CABAC stream still " +
+      "fails loudly, never hangs") {
     // hand-build: SPS/PPS(cabac) + a slice whose first mb_type decodes
     // as the PCM path — craft by encoding, then decoding with a
     // doctored engine is fragile; instead drive the decoder with a
@@ -280,9 +309,11 @@ class CabacSpec extends SparkSpec {
     out.write(slice(0)) // same NAL header byte
     val ebsp = H264.rbspToEbsp(w.toBytes)
     out.write(ebsp, 0, ebsp.length)
-    val e2 = intercept[IllegalArgumentException] {
+    // the stream declares PCM but carries no sample bytes: the decode
+    // must throw (reader overrun / corrupt NAL), never hang or return
+    // fabricated pixels
+    intercept[Exception] {
       H264.decodeFrames(out.toByteArray)
     }
-    assert(e2.getMessage.contains("I_PCM inside CABAC"), e2.getMessage)
   }
 }
