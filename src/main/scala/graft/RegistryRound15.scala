@@ -118,6 +118,59 @@ private[graft] object RegistryRound15 {
                 CAST(1 AS BOOLEAN) AS est_anotb_bounded,
                 CAST(1 AS BOOLEAN) AS est_union_bounded""")),
 
+    // Bucketed co-located join (round 15): Spark TABLE bucketing —
+    // the storage-level scale tool the LSH "bucketing" operators do
+    // not cover. Both sides are written once CLUSTERED BY their join
+    // key INTO 8 BUCKETS (sources.Bucketed: external tables +
+    // idempotent DDL re-attach, since the in-memory catalog is
+    // session-scoped); the recurring fact-to-fact join then runs
+    // with ZERO exchange on either side — at 100 TB that converts
+    // two full-data shuffles PER QUERY into one shuffle paid once at
+    // write. BucketedSpec + the GoldenPlans pin assert the
+    // exchange-free join plan (1 shuffle total — the final
+    // group-by); the oracle replays the join+agg over the raw
+    // parquet, so the bucketed layout is also proven
+    // semantics-preserving.
+    Q("q_bucketed_join",
+      (s, d) => {
+        import graft.sources.Bucketed
+        def liProj = s.read.parquet(pq(d, "lineitem"))
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_returnflag"))
+        def ordProj = s.read.parquet(pq(d, "orders"))
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        val root = contentKeyedFixture(
+          new java.io.File(d, "lineitem.parquet"),
+          "graft_bucketed_join", codeKey = "v1:8buckets") { r =>
+          committedData(new java.io.File(r, "li")) &&
+            committedData(new java.io.File(r, "ord"))
+        } { tmp =>
+          Bucketed.writeBucketed(liProj, "graft_bli",
+            new java.io.File(tmp, "li").toString, "l_orderkey", 8)
+          Bucketed.writeBucketed(ordProj, "graft_bord",
+            new java.io.File(tmp, "ord").toString, "o_orderkey", 8)
+        }
+        val li = Bucketed.attach(s, "graft_bli", liProj.schema.toDDL,
+          "l_orderkey", 8, "l_orderkey",
+          new java.io.File(root, "li").toString)
+        val ord = Bucketed.attach(s, "graft_bord", ordProj.schema.toDDL,
+          "o_orderkey", 8, "o_orderkey",
+          new java.io.File(root, "ord").toString)
+        // hint("merge"): at gated SFs the orders side fits the
+        // broadcast threshold, which would hide the point — at 100 TB
+        // NEITHER side broadcasts, and the merge join over bucketed
+        // scans is exactly the exchange-free plan being demonstrated
+        li.join(ord.hint("merge"),
+            li("l_orderkey") === ord("o_orderkey"))
+          .groupBy(col("l_returnflag"), col("o_orderstatus"))
+          .agg(sum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT l_returnflag, o_orderstatus,
+                SUM(l_quantity) AS sum_qty, COUNT(*) AS n_rows
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY 1, 2""")),
+
     // Fragmented MP4 (round 15): q_video_sequence_mp4's construction
     // and oracle VERBATIM, but every clip is an fMP4 — moof/tfhd/trun
     // sample tables instead of stbl (Mp4.fragmentSampleLocations),

@@ -1,0 +1,85 @@
+package graft
+
+import graft.sources.Bucketed
+import org.apache.spark.sql.functions._
+
+/**
+ * Bucketed-table co-location: the join between two tables CLUSTERED
+ * BY their join key into the same bucket count must plan WITHOUT an
+ * exchange on either side — the storage-level shuffle elimination
+ * q_bucketed_join demonstrates — and the layout must be
+ * semantics-preserving and re-attachable across catalog resets (the
+ * in-memory catalog is session-scoped; files persist).
+ */
+class BucketedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture(): (String, String) = {
+    val base = java.nio.file.Files
+      .createTempDirectory("bucketed-spec").toString
+    val facts = (1L to 4000L).map(k => (k, (k % 7).toInt, s"g${k % 3}"))
+      .toDF("k", "v", "grp")
+    val dims = (1L to 4000L).filter(_ % 2 == 0)
+      .map(k => (k, s"s${k % 5}")).toDF("k2", "status")
+    Bucketed.writeBucketed(facts, "bspec_facts", s"$base/facts",
+      "k", 4)
+    Bucketed.writeBucketed(dims, "bspec_dims", s"$base/dims", "k2", 4)
+    (s"$base/facts", s"$base/dims")
+  }
+
+  private def joined(factsPath: String, dimsPath: String) = {
+    val facts = Bucketed.attach(spark, "bspec_facts",
+      "k BIGINT, v INT, grp STRING", "k", 4, "k", factsPath)
+    val dims = Bucketed.attach(spark, "bspec_dims",
+      "k2 BIGINT, status STRING", "k2", 4, "k2", dimsPath)
+    facts.join(dims.hint("merge"), facts("k") === dims("k2"))
+      .groupBy($"grp", $"status").agg(sum($"v").as("sv"),
+        count(lit(1)).as("n"))
+  }
+
+  test("co-located join plans with ZERO exchanges before the final " +
+      "aggregation, and matches the plain-parquet join exactly") {
+    val (fp, dp) = fixture()
+    val df = joined(fp, dp)
+    // static plan (AQE off): the ONLY exchange is the final group-by;
+    // the join reads both bucketed scans directly
+    val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = df.queryExecution.executedPlan
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.size == 1,
+        s"expected only the final-agg exchange, got ${exchanges.size}:\n" +
+          plan.toString.take(2000))
+      val smj = plan.collect { case j: SortMergeJoinExec => j }
+      assert(smj.size == 1, "the co-located join must be a merge join")
+      // and no exchange sits BELOW the join
+      assert(smj.head.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        "neither bucketed side may shuffle")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", before)
+    // values: identical to the unbucketed join over the same rows
+    val facts = spark.read.parquet(fp)
+    val dims = spark.read.parquet(dp)
+    val expect = facts.join(dims, facts("k") === dims("k2"))
+      .groupBy($"grp", $"status").agg(sum($"v").as("sv"),
+        count(lit(1)).as("n"))
+      .collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet == expect)
+  }
+
+  test("re-attach after a catalog reset: DDL re-creates the table " +
+      "over the same files with the same bucket spec") {
+    val (fp, dp) = fixture()
+    val t = Bucketed.tableName("bspec_facts", fp)
+    spark.sql(s"DROP TABLE IF EXISTS $t") // simulate a new session
+    val again = joined(fp, dp)
+    assert(again.agg(sum($"n")).collect()(0).getLong(0) == 2000L,
+      "every even key joins exactly once after re-attach")
+  }
+
+  test("tableName is location-keyed: two SF dirs cannot share a name") {
+    assert(Bucketed.tableName("p", "/a/b") != Bucketed.tableName("p", "/a/c"))
+  }
+}

@@ -62,7 +62,10 @@ object GoldenPlans {
     // round-15: the r13/r14 verdicts' twice-host-attributed >1.3x
     // mover — pinned so a third move with an identical plan is
     // provably not a plan drift (and a plan drift fails by name)
-    "q_pipeline_e2e")
+    "q_pipeline_e2e",
+    // round-15: the bucketed co-located join — the pin IS the claim
+    // (1 exchange total: the final agg; the join itself shuffle-free)
+    "q_bucketed_join")
 
   // filled by GoldenPlanDump — (shuffle exchanges, broadcast
   // exchanges, join-strategy multiset) on the sf0.001 static plan
@@ -82,5 +85,6 @@ object GoldenPlans {
     "q_hybrid_search_ivf" -> (19, 8, Map[String, Int]("bhj" -> 7, "bnlj" -> 2, "smj" -> 6)),
     "q_dedup_semantic_twolevel" -> (3, 0, Map[String, Int]("smj" -> 3)),
     "q_cdc_novelty_state" -> (3, 2, Map[String, Int]("bhj" -> 2)),
-    "q_pipeline_e2e" -> (2, 0, Map[String, Int]()))
+    "q_pipeline_e2e" -> (2, 0, Map[String, Int]()),
+    "q_bucketed_join" -> (1, 0, Map[String, Int]("smj" -> 1)))
 }
