@@ -118,6 +118,77 @@ private[graft] object RegistryRound15 {
                 CAST(1 AS BOOLEAN) AS est_anotb_bounded,
                 CAST(1 AS BOOLEAN) AS est_union_bounded""")),
 
+    // Sketch contamination (round 15): the theta family applied to
+    // the TEXT pipeline it was built for — q_contamination's corpus
+    // and benchmark shingle sets reduced to two theta binaries, the
+    // contamination rate answered from the sketches alone
+    // (Dedup.contaminationSketch: persistable/mergeable, no join, no
+    // re-scan — the continuous 100 TB gauge in front of the exact
+    // per-doc join). Gate: exact-mode leg (lgK=20 ≫ distinct
+    // 5-shingles at gated SFs) pins corpus/bench/overlap estimates
+    // EXACTLY equal to the in-plan exact distinct counts; estimation
+    // leg (lgK=9) replays 3σ bound containment. The oracle recomputes
+    // the exact distinct-shingle counts at TEXT level in DuckDB —
+    // also re-certifying the 64-bit shingle keys collision-free on
+    // this corpus (the q_contamination equivalence).
+    Q("q_contamination_theta",
+      (s, d) => {
+        import graft.operators.Dedup
+        graft.plans.NativeFunctions.register(s)
+        val docs = s.read.parquet(pq(d, "documents"))
+          .repartition(s.sparkContext.defaultParallelism)
+        val corpus = docs.where(col("source") =!= "src0")
+        val bench = docs.where(col("source") === "src0")
+        def leg(lgK: Int) = Dedup.contaminationSketch(
+          corpus, bench, "text", shingleWords = 5, lgK = lgK)
+        // exact distinct counts, in-plan (same 64-bit shingle keys
+        // contaminationScore/contaminationSketch hash with)
+        val exactCounts = {
+          val c = corpus.select(explode(
+              graft.plans.NativeFunctions.shinglesNative(col("text"), 5))
+              .as("sh")).select(xxhash64(col("sh")).as("k")).distinct()
+          val b = bench.select(explode(
+              graft.plans.NativeFunctions.shinglesNative(col("text"), 5))
+              .as("sh")).select(xxhash64(col("sh")).as("k")).distinct()
+          c.agg(count(lit(1)).as("n_corpus"))
+            .crossJoin(broadcast(b.agg(count(lit(1)).as("n_bench"))))
+            .crossJoin(broadcast(
+              c.join(b, Seq("k"), "left_semi")
+                .agg(count(lit(1)).as("n_overlap"))))
+        }
+        exactCounts.crossJoin(broadcast(leg(20)))
+          .crossJoin(broadcast(leg(9).select(
+            col("overlap_lower").as("el"),
+            col("overlap_upper").as("eu"))))
+          .select(col("n_corpus"), col("n_bench"), col("n_overlap"),
+            (col("corpus_est") === col("n_corpus").cast("double"))
+              .as("exact_corpus_ok"),
+            (col("bench_est") === col("n_bench").cast("double"))
+              .as("exact_bench_ok"),
+            (col("overlap_est") === col("n_overlap").cast("double"))
+              .as("exact_overlap_ok"),
+            (col("rate_est") === round(col("n_overlap").cast("double") /
+              col("n_corpus"), 6)).as("exact_rate_ok"),
+            (col("el") <= col("n_overlap") &&
+              col("eu") >= col("n_overlap")).as("est_overlap_bounded"))
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+                string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks FROM documents),
+              s AS (SELECT doc_id, source,
+                unnest(list_distinct(list_transform(
+                  generate_series(0, greatest(len(toks)-5, 0)),
+                  i -> array_to_string(toks[i+1:i+5], ' ')))) AS sh FROM t),
+              c AS (SELECT DISTINCT sh FROM s WHERE source <> 'src0'),
+              b AS (SELECT DISTINCT sh FROM s WHERE source = 'src0')
+              SELECT (SELECT COUNT(*) FROM c) AS n_corpus,
+                (SELECT COUNT(*) FROM b) AS n_bench,
+                (SELECT COUNT(*) FROM c JOIN b USING (sh)) AS n_overlap,
+                CAST(1 AS BOOLEAN) AS exact_corpus_ok,
+                CAST(1 AS BOOLEAN) AS exact_bench_ok,
+                CAST(1 AS BOOLEAN) AS exact_overlap_ok,
+                CAST(1 AS BOOLEAN) AS exact_rate_ok,
+                CAST(1 AS BOOLEAN) AS est_overlap_bounded""")),
+
     // Bucketed co-located join (round 15): Spark TABLE bucketing —
     // the storage-level scale tool the LSH "bucketing" operators do
     // not cover. Both sides are written once CLUSTERED BY their join

@@ -1209,6 +1209,50 @@ object Dedup {
    * [[duplicateSpans]]; `hashBits = 128` switches to a two-long struct
    * key for 10^13+-shingle corpora without changing semantics.)
    */
+  /**
+   * SKETCH contamination: corpus-level overlap between the corpus's
+   * and a benchmark's distinct shingle sets from two THETA sketches
+   * ([[graft.operators.Frequency.thetaSketches]] family) instead of
+   * the exact join — the 100 TB monitoring form: each side reduces
+   * to one ≤(2^lgK·8 B) binary (persistable, mergeable across
+   * days/shards), and |corpus ∩ benchmark| / |corpus| is answered
+   * from the sketches alone, no re-scan, no join. The exact
+   * per-document verdicts stay with [[contaminationScore]] (a sketch
+   * cannot attribute hits to documents); this is the cheap
+   * continuous gauge in front of it. One output row:
+   * `(corpus_est, bench_est, overlap_lower, overlap_est,
+   * overlap_upper, rate_est)`. Exact while distinct shingles ≤
+   * 2^lgK per side (theta == 1); deterministic under the library's
+   * fixed seed.
+   */
+  def contaminationSketch(docs: DataFrame, benchmark: DataFrame,
+                          textCol: String, shingleWords: Int = 5,
+                          lgK: Int = 12, useNative: Boolean = true,
+                          hashBits: Int = 64): DataFrame = {
+    import graft.plans.NativeFunctions
+    NativeFunctions.register(docs.sparkSession)
+    val shingles = shingleFn(docs, shingleWords, useNative)
+    def sketchOf(df: DataFrame, name: String): DataFrame = df
+      .select(explode(shingles(col(textCol))).as("__shs"))
+      .select(membershipKey(col("__shs"), hashBits).as("__sh"))
+      .agg(NativeFunctions.thetaAggNative(col("__sh"), lgK).as(name))
+    sketchOf(docs, "tc").crossJoin(broadcast(sketchOf(benchmark, "tb")))
+      .select(col("tc"), col("tb"),
+        NativeFunctions.thetaEstimateNative(
+          NativeFunctions.thetaSetOpNative(col("tc"), col("tb"),
+            "intersect")).as("ov"))
+      .select(
+        element_at(NativeFunctions.thetaEstimateNative(col("tc")), 2)
+          .as("corpus_est"),
+        element_at(NativeFunctions.thetaEstimateNative(col("tb")), 2)
+          .as("bench_est"),
+        element_at(col("ov"), 1).as("overlap_lower"),
+        element_at(col("ov"), 2).as("overlap_est"),
+        element_at(col("ov"), 3).as("overlap_upper"))
+      .withColumn("rate_est",
+        round(col("overlap_est") / col("corpus_est"), 6))
+  }
+
   def contaminationScore(docs: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String,
                          shingleWords: Int = 5,
