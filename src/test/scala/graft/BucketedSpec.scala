@@ -69,6 +69,24 @@ class BucketedSpec extends SparkSpec {
     assert(df.collect().map(_.toSeq).toSet == expect)
   }
 
+  test("aggregation ON the bucket key is exchange-free too") {
+    val (fp, _) = fixture()
+    val facts = Bucketed.attach(spark, "bspec_facts",
+      "k BIGINT, v INT, grp STRING", "k", 4, "k", fp)
+    val agg = facts.groupBy($"k").agg(sum($"v").as("sv"))
+    val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val exchanges = agg.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }
+      assert(exchanges.isEmpty,
+        "a group-by on the bucket key must reuse the bucket hash " +
+          "partitioning — zero exchanges")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", before)
+    assert(agg.count() == 4000)
+  }
+
   test("re-attach after a catalog reset: DDL re-creates the table " +
       "over the same files with the same bucket spec") {
     val (fp, dp) = fixture()
