@@ -254,7 +254,7 @@ private[graft] object H264Cabac {
       * which callers REINITIALIZE the engine (a fresh Decoder on the
       * same CtxModel — §9.3.1.2 re-inits the engine, not the
       * contexts). */
-    def flushForPcm(): Unit = {
+    private[H264Cabac] def flushForPcm(): Unit = {
       range = 2
       while (range < 256) {
         range <<= 1
