@@ -97,6 +97,18 @@ class BucketedSpec extends SparkSpec {
       "every even key joins exactly once after re-attach")
   }
 
+  test("bucket pruning: an equality filter on the bucket key scans " +
+      "1 of n buckets") {
+    val (fp, _) = fixture()
+    val facts = Bucketed.attach(spark, "bspec_facts",
+      "k BIGINT, v INT, grp STRING", "k", 4, "k", fp)
+    val probe = facts.where($"k" === 1234L)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount: 1 out of 4"),
+      s"bucket pruning missing from the scan:\n${plan.take(1500)}")
+    assert(probe.count() == 1)
+  }
+
   test("tableName is location-keyed: two SF dirs cannot share a name") {
     assert(Bucketed.tableName("p", "/a/b") != Bucketed.tableName("p", "/a/c"))
   }
