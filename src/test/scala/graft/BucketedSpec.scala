@@ -102,11 +102,22 @@ class BucketedSpec extends SparkSpec {
     val (fp, _) = fixture()
     val facts = Bucketed.attach(spark, "bspec_facts",
       "k BIGINT, v INT, grp STRING", "k", 4, "k", fp)
-    val probe = facts.where($"k" === 1234L)
-    val plan = probe.queryExecution.executedPlan.toString
-    assert(plan.contains("SelectedBucketsCount: 1 out of 4"),
-      s"bucket pruning missing from the scan:\n${plan.take(1500)}")
-    assert(probe.count() == 1)
+    // a bare filter has no downstream need for the bucket
+    // partitioning, so DisableUnnecessaryBucketedScan would turn the
+    // bucketed scan (and with it, pruning) off — pin autoBucketedScan
+    // off for the probe, the config a point-lookup workload sets
+    val before = spark.conf.get(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val probe = facts.where($"k" === 1234L)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 4"),
+        s"bucket pruning missing from the scan:\n${plan.take(1500)}")
+      assert(probe.count() == 1)
+    } finally spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", before)
   }
 
   test("tableName is location-keyed: two SF dirs cannot share a name") {
