@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 import SparkEntry._
 
 /** Round-15 extensions: theta sketches for set-operation
-  * cardinality, fragmented MP4 demux, CABAC H.264 entropy decoding. */
+  * cardinality (+ the sketch-contamination form), bucketed-table
+  * co-located joins, fragmented MP4 demux, and CABAC H.264 entropy
+  * decoding with the §8.7 in-loop deblocking filter. */
 private[graft] object RegistryRound15 {
 
   private[graft] val entries: Seq[Q] = Seq(
