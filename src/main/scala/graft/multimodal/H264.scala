@@ -25,10 +25,11 @@ package graft.multimodal
  * under EITHER entropy coder, filtered or not.
  *
  * SCOPE — stated plainly: P/B (inter) slices, interlaced coding,
- * transform_8x8, scaling matrices and I_PCM-inside-CABAC are named
- * errors, so real-world INTER video still needs an external binding
- * through the same SPI (`graft.video.frameDecoder`); intra frames —
- * which carry the fingerprint signal — decode natively. The
+ * transform_8x8 and scaling matrices are named errors, so real-world
+ * INTER video still needs an external binding through the same SPI
+ * (`graft.video.frameDecoder`); intra frames — which carry the
+ * fingerprint signal — decode natively, including I_PCM inside
+ * CABAC slices. The
  * degrade-don't-fail `Try` in `videoHashes` turns named errors into
  * skips. Reference behaviors modeled on the published spec only.
  */

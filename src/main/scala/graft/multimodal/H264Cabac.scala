@@ -248,19 +248,6 @@ private[graft] object H264Cabac {
       }
     }
 
-    /** DecodeFlush (§9.3.3.2.5) after the I_PCM terminate bin: drain
-      * the codeword so the reader lands where the encoder-side flush
-      * ended — pcm_alignment_zero_bit then raw samples follow, after
-      * which callers REINITIALIZE the engine (a fresh Decoder on the
-      * same CtxModel — §9.3.1.2 re-inits the engine, not the
-      * contexts). */
-    private[H264Cabac] def flushForPcm(): Unit = {
-      range = 2
-      while (range < 256) {
-        range <<= 1
-        offset = (offset << 1) | r.u(1)
-      }
-    }
   }
 
   // ---- encoding engine (§9.3.4) -------------------------------------
@@ -309,9 +296,13 @@ private[graft] object H264Cabac {
     def terminate(bin: Int): Unit = {
       range -= 2
       if (bin != 0) {
+        // EncodeTerminate (§9.3.4.1.1) goes STRAIGHT to EncodeFlush —
+        // no intermediate renorm. flush() emits exactly 10 bits
+        // (7 renorm + 1 putBit + 2 raw); the decoder's 9-bit init
+        // preread plus the terminate bin's zero-read makes the reader
+        // land exactly at the flush end, so the decode side needs only
+        // a byte alignment before I_PCM samples.
         low += range
-        range = 2
-        renorm()
         flush()
       } else renorm()
     }
@@ -624,12 +615,14 @@ private[graft] object H264Cabac {
       val mbY = mbIdx / ctx.wMbs
       val bin0 = d.decision(3 + mbTypeInc(ctx, mbX, mbY, sliceId))
       if (bin0 == 1 && d.terminate() == 1) {
-        // I_PCM (§7.3.5 + §9.3.1.2): flush the codeword, read the
-        // byte-aligned raw samples, reinitialize the engine (the
-        // contexts persist)
+        // I_PCM (§7.3.5 + §9.3.1.2): after the terminate bin the
+        // reader already sits exactly at the encoder-flush end (the
+        // 9-bit init preread covers the flush's 10 emitted bits minus
+        // the suppressed first bit), so only pcm_alignment_zero_bit
+        // remains before the raw samples; reinitialize the engine
+        // afterwards (the contexts persist)
         ctx.sliceId(mbIdx) = sliceId
         ctx.isIpcm(mbIdx) = true
-        d.flushForPcm()
         r.alignToByte()
         readPcmSamples(r, ctx, mbIdx, yP, cbP, crP)
         prevQpDeltaNonZero = false

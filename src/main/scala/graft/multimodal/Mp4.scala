@@ -45,11 +45,13 @@ object Mp4 {
   private def boxType(b: Array[Byte], o: Int): String =
     new String(b, o + 4, 4, "ISO-8859-1")
 
-  /** Walk the child boxes of [from, to): (type, payloadStart,
-    * payloadEnd) triples in file order. */
-  private def boxes(b: Array[Byte], from: Long,
-                    to: Long): Seq[(String, Long, Long)] = {
-    val out = Seq.newBuilder[(String, Long, Long)]
+  /** Walk the child boxes of [from, to): (type, boxStart,
+    * payloadStart, payloadEnd) in file order. boxStart is the first
+    * byte of the size field — the correct moof anchor for
+    * default-base-is-moof regardless of 32-bit vs largesize header. */
+  private def boxesFull(b: Array[Byte], from: Long,
+                        to: Long): Seq[(String, Long, Long, Long)] = {
+    val out = Seq.newBuilder[(String, Long, Long, Long)]
     var o = from
     while (o + 8 <= to) {
       val size0 = u32(b, o.toInt)
@@ -59,11 +61,17 @@ object Mp4 {
         else if (size0 == 0) (o + 8, to) // extends to end
         else (o + 8, o + size0)
       require(end <= to && end > o, s"box $t overruns its parent")
-      out += ((t, payload, end))
+      out += ((t, o, payload, end))
       o = end
     }
     out.result()
   }
+
+  /** Walk the child boxes of [from, to): (type, payloadStart,
+    * payloadEnd) triples in file order. */
+  private def boxes(b: Array[Byte], from: Long,
+                    to: Long): Seq[(String, Long, Long)] =
+    boxesFull(b, from, to).map { case (t, _, p, e) => (t, p, e) }
 
   private def child(b: Array[Byte], kids: Seq[(String, Long, Long)],
                     t: String): Option[(Long, Long)] =
@@ -213,7 +221,7 @@ object Mp4 {
     // feed the same length-prefixed NAL reframe below
     val locations =
       if (top.exists(_._1 == "moof"))
-        fragmentSampleLocations(bytes, top, videoTrackId)
+        fragmentSampleLocations(bytes, videoTrackId)
       else sampleLocations(bytes, stbl)
     locations.foreach { case (off, size) =>
       var o = off
@@ -247,24 +255,37 @@ object Mp4 {
     * (trex defaults are for duration/flags in practice — size-less
     * truns don't occur in AVC video). */
   private def fragmentSampleLocations(b: Array[Byte],
-                                      top: Seq[(String, Long, Long)],
                                       trackId: Long): Seq[(Long, Int)] = {
     val out = Seq.newBuilder[(Long, Int)]
-    top.filter(_._1 == "moof").foreach { case (_, moofS, moofE) =>
-      val moofStart = moofS - 8 // payload start → box start
-      boxes(b, moofS, moofE).filter(_._1 == "traf").foreach {
-        case (_, trafS, trafE) =>
-          val trafKids = boxes(b, trafS, trafE)
-          val (thS, _) = child(b, trafKids, "tfhd").getOrElse(
-            throw new IllegalArgumentException("traf without tfhd"))
-          val thFlags = u32(b, thS.toInt) & 0xFFFFFF
-          var o = thS.toInt + 4
-          val tfTrackId = u32(b, o); o += 4
-          if (tfTrackId == trackId) {
+    boxesFull(b, 0, b.length).filter(_._1 == "moof").foreach {
+      case (_, moofStart, moofS, moofE) =>
+        // Implicit base chaining (§8.8.7): the first traf without an
+        // explicit base or default-base-is-moof anchors at the moof
+        // start; each SUBSEQUENT such traf anchors at the end of the
+        // previous traf's sample data. To know that end we walk the
+        // truns of EVERY traf (any track), emitting locations only
+        // for the requested track; a traf whose sizes we cannot
+        // resolve leaves the chain end unknown (-1) and a later
+        // implicit-base traf then fails with a named error.
+        var prevTrafEnd = -1L
+        var firstTraf = true
+        boxes(b, moofS, moofE).filter(_._1 == "traf").foreach {
+          case (_, trafS, trafE) =>
+            val trafKids = boxes(b, trafS, trafE)
+            val (thS, _) = child(b, trafKids, "tfhd").getOrElse(
+              throw new IllegalArgumentException("traf without tfhd"))
+            val thFlags = u32(b, thS.toInt) & 0xFFFFFF
+            var o = thS.toInt + 4
+            val tfTrackId = u32(b, o); o += 4
+            val emit = tfTrackId == trackId
             val base: Long =
               if ((thFlags & 0x1) != 0) { val v = u64(b, o); o += 8; v }
-              else moofStart // default-base-is-moof OR the implicit
-                             // default — both the enclosing moof start
+              else if ((thFlags & 0x20000) != 0) moofStart // base-is-moof
+              else if (firstTraf) moofStart // implicit default, 1st traf
+              else if (prevTrafEnd >= 0) prevTrafEnd
+              else throw new IllegalArgumentException(
+                "implicit traf base after a traf whose data end is " +
+                  "unknown — unsupported multi-traf layout")
             if ((thFlags & 0x2) != 0) o += 4 // sample_description_index
             if ((thFlags & 0x8) != 0) o += 4 // default_sample_duration
             val defaultSize: Long =
@@ -272,37 +293,47 @@ object Mp4 {
               else -1L
             // default_sample_flags (0x20) not needed for location
             var nextImplicitOff = -1L // end of previous trun's samples
+            var sizesUnknown = false
             trafKids.filter(_._1 == "trun").foreach { case (_, trS, _) =>
               val trFlags = u32(b, trS.toInt) & 0xFFFFFF
-              var p = trS.toInt + 4
-              val count = u32(b, p).toInt; p += 4
-              var off: Long =
-                if ((trFlags & 0x1) != 0) {
-                  val v = u32(b, p).toInt; p += 4 // signed int32
-                  base + v
-                } else if (nextImplicitOff >= 0) nextImplicitOff
-                else base
-              if ((trFlags & 0x4) != 0) p += 4 // first_sample_flags
-              var i = 0
-              while (i < count) {
-                if ((trFlags & 0x100) != 0) p += 4 // sample_duration
-                val size: Long =
-                  if ((trFlags & 0x200) != 0) {
-                    val v = u32(b, p); p += 4; v
-                  } else defaultSize
-                require(size >= 0,
+              val hasSize = (trFlags & 0x200) != 0 || defaultSize >= 0
+              if (!hasSize && emit)
+                throw new IllegalArgumentException(
                   "trun without sample sizes and tfhd without default" +
                     " — mvex/trex size defaults unsupported")
-                if ((trFlags & 0x400) != 0) p += 4 // sample_flags
-                if ((trFlags & 0x800) != 0) p += 4 // composition offset
-                out += ((off, size.toInt))
-                off += size
-                i += 1
+              if (!hasSize) sizesUnknown = true
+              if (!sizesUnknown) {
+                var p = trS.toInt + 4
+                val count = u32(b, p).toInt; p += 4
+                var off: Long =
+                  if ((trFlags & 0x1) != 0) {
+                    val v = u32(b, p).toInt; p += 4 // signed int32
+                    base + v
+                  } else if (nextImplicitOff >= 0) nextImplicitOff
+                  else base
+                if ((trFlags & 0x4) != 0) p += 4 // first_sample_flags
+                var i = 0
+                while (i < count) {
+                  if ((trFlags & 0x100) != 0) p += 4 // sample_duration
+                  val size: Long =
+                    if ((trFlags & 0x200) != 0) {
+                      val v = u32(b, p); p += 4; v
+                    } else defaultSize
+                  if ((trFlags & 0x400) != 0) p += 4 // sample_flags
+                  if ((trFlags & 0x800) != 0) p += 4 // composition offset
+                  if (emit) out += ((off, size.toInt))
+                  off += size
+                  i += 1
+                }
+                nextImplicitOff = off
               }
-              nextImplicitOff = off
             }
-          }
-      }
+            prevTrafEnd =
+              if (sizesUnknown) -1L
+              else if (nextImplicitOff >= 0) nextImplicitOff
+              else base // traf with no truns: no data consumed
+            firstTraf = false
+        }
     }
     val locs = out.result()
     require(locs.nonEmpty, "fragmented movie has no video samples")

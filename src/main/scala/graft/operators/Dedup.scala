@@ -1229,6 +1229,14 @@ object Dedup {
                           textCol: String, shingleWords: Int = 5,
                           lgK: Int = 12, useNative: Boolean = true,
                           hashBits: Int = 64): DataFrame = {
+    // 128-bit keys are a two-long STRUCT, which ThetaSketchAgg's input
+    // type check rejects (bigint/int/string) — and a theta sketch adds
+    // no resolution from them anyway: its own error (≥2^-lgK/2
+    // relative) dwarfs 64-bit collision mass at any feasible corpus
+    // size, so the wider key only matters for the EXACT forms
+    // (contaminationScore / duplicateSpans), which accept it.
+    require(hashBits == 64,
+      s"contaminationSketch supports hashBits=64 only, got $hashBits")
     import graft.plans.NativeFunctions
     NativeFunctions.register(docs.sparkSession)
     val shingles = shingleFn(docs, shingleWords, useNative)

@@ -41,18 +41,29 @@ object Bucketed {
       .digest(path.getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
 
+  /** SQL identifier quoting for interpolated DDL (backtick form). */
+  private def qi(ident: String): String =
+    "`" + ident.replace("`", "``") + "`"
+
+  /** SQL string-literal escaping for the LOCATION clause — a quote
+    * (or backslash) in a path must not break out of the literal. */
+  private def qs(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+
   /** Idempotently attach an external bucketed table over `path`.
-    * `schemaDdl` is `df.schema.toDDL`; the spec must match what the
-    * files were written with (see [[writeBucketed]]). */
+    * `schemaDdl` is `df.schema.toDDL` (already identifier-quoted by
+    * Spark); the spec must match what the files were written with
+    * (see [[writeBucketed]]). Table/column names and the path are
+    * escaped here, so quote-bearing paths cannot corrupt the DDL. */
   def register(spark: SparkSession, table: String, schemaDdl: String,
                bucketCol: String, buckets: Int, sortCol: String,
                path: String): Unit =
     spark.sql(
-      s"""CREATE TABLE IF NOT EXISTS $table ($schemaDdl)
+      s"""CREATE TABLE IF NOT EXISTS ${qi(table)} ($schemaDdl)
           USING PARQUET
-          CLUSTERED BY ($bucketCol) SORTED BY ($sortCol)
+          CLUSTERED BY (${qi(bucketCol)}) SORTED BY (${qi(sortCol)})
           INTO $buckets BUCKETS
-          LOCATION '$path'""")
+          LOCATION '${qs(path)}'""")
 
   /**
    * Write `df` as an external bucketed table at `path` and return
@@ -69,7 +80,8 @@ object Bucketed {
     register(spark, table, df.schema.toDDL, bucketCol, buckets, sort,
       path)
     df.createOrReplaceTempView(s"${table}_src")
-    spark.sql(s"INSERT OVERWRITE TABLE $table SELECT * FROM ${table}_src")
+    spark.sql(s"INSERT OVERWRITE TABLE ${qi(table)} " +
+      s"SELECT * FROM ${qi(table + "_src")}")
     table
   }
 

@@ -123,4 +123,17 @@ class BucketedSpec extends SparkSpec {
   test("tableName is location-keyed: two SF dirs cannot share a name") {
     assert(Bucketed.tableName("p", "/a/b") != Bucketed.tableName("p", "/a/c"))
   }
+
+  test("quote-bearing paths survive the DDL round-trip (escaped " +
+      "LOCATION literal, not string splicing)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("bucketed-q'uote").toString
+    assert(base.contains("'"), s"fixture dir lost its quote: $base")
+    val df = (1L to 100L).map(k => (k, k * 2)).toDF("k", "v")
+    Bucketed.writeBucketed(df, "bspec_quoted", s"$base/t", "k", 2)
+    val back = Bucketed.attach(spark, "bspec_quoted",
+      "k BIGINT, v BIGINT", "k", 2, "k", s"$base/t")
+    assert(back.count() == 100)
+    assert(back.agg(sum($"v")).collect()(0).getLong(0) == 10100L)
+  }
 }

@@ -120,6 +120,36 @@ class CabacSpec extends SparkSpec {
     assert(d.terminate() == 0, "terminate")
   }
 
+  /**
+   * Spec-conformance pin for EncodeTerminate(1) → EncodeFlush
+   * (§9.3.4.1.1/9.3.4.1.2): a fresh engine terminating immediately
+   * emits EXACTLY 10 bit events (7 flush renorms + PutBit + 2 raw),
+   * of which the first is suppressed — hand-derived:
+   *   terminate: range=510-2=508, low+=508.
+   *   flush: range=2; renorm ×7 — low=508,504,496,480,448,384,256 all
+   *   land in [256,512) → outstanding grows to 7, low ends 0;
+   *   PutBit((0>>9)&1)=0 (suppressed as first bit) drains outstanding
+   *   as seven 1s; WriteBits((0>>7)&3|1)=01.
+   *   Written stream: 1111111 01 → 0xFE 0x80 after zero alignment.
+   * The old non-conformant path (intermediate renorm before flush)
+   * emitted 7 extra bits and fails this byte pin. The decoder reads
+   * its 9-bit init preread, returns terminate=1 with no further
+   * reads, and must sit exactly at the flush end: byte alignment
+   * consumes only the zero padding.
+   */
+  test("engine: terminate(1) flush is spec-exact (byte pin + decoder " +
+      "lands at the flush end)") {
+    val w = new H264.BitWriter()
+    val e = new H264Cabac.Encoder(w, new H264Cabac.CtxModel(26))
+    e.terminate(1)
+    w.alignZero()
+    assert(w.toBytes.toSeq == Seq(0xFE.toByte, 0x80.toByte))
+    val r = new H264.BitReader(w.toBytes)
+    val d = new H264Cabac.Decoder(r, new H264Cabac.CtxModel(26))
+    assert(d.terminate() == 1)
+    r.alignToByte() // the remaining 7 bits must all be zero padding
+  }
+
   test("context init: preCtxState clip keeps every state in [0,62] " +
       "for every QP (structural table sanity)") {
     (0 to 51).foreach { qp =>

@@ -445,6 +445,14 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.duplicateSpans(all, "doc_id", "text", 3, 96).collect()
     }
+    // contaminationSketch is 64-bit-only (theta agg keys on a single
+    // long; sketch error dwarfs collision mass) — named error, not an
+    // analysis-time type failure deep in ThetaSketchAgg
+    val e = intercept[IllegalArgumentException] {
+      Dedup.contaminationSketch(docs, spanDocs, "text",
+        shingleWords = 3, hashBits = 128)
+    }
+    assert(e.getMessage.contains("hashBits=64"), e.getMessage)
   }
 
   // ---- semantic dedup -----------------------------------------------------

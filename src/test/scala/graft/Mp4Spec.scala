@@ -236,6 +236,75 @@ class Mp4Spec extends SparkSpec {
       e.getMessage.contains("without sample sizes"), e.getMessage)
   }
 
+  test("fMP4: largesize moof header anchors default-base-is-moof at " +
+      "the box START, and multi-traf implicit bases chain") {
+    val annexB = H264.encode(32, 32, Seq(gradient(32, 32, 41)))
+    val gen = Mp4.fromAnnexBFragmented(annexB, 32, 32,
+      samplesPerFragment = 1)
+    val tops = topBoxes(gen)
+    val ftyp = gen.slice(tops(0)._2, tops(0)._3)
+    val moov = gen.slice(tops(1)._2, tops(1)._3)
+    val sample = {
+      val (_, s, e) = tops.find(_._1 == "mdat").get
+      gen.slice(s + 8, e)
+    }
+
+    // --- largesize moof: 16-byte header (size=1 + 64-bit largesize).
+    // default-base-is-moof must anchor at the size field, not 8 bytes
+    // into the box (the old `payloadStart - 8` assumption).
+    def rawBox64(t: String, payload: Array[Byte]*): Array[Byte] = {
+      val n = 16 + payload.map(_.length).sum
+      be32(1) ++ t.getBytes("ISO-8859-1") ++
+        Array.fill[Byte](4)(0) ++ be32(n) ++ payload.flatten
+    }
+    val mfhd = rawBox("mfhd", be32(0), be32(1))
+    val tfhdMoofBase = rawBox("tfhd", be32(0x020000), be32(1))
+    def trunAt(off: Int): Array[Byte] =
+      rawBox("trun", be32(0x000201), be32(1), be32(off),
+        be32(sample.length))
+    val trafLen = 8 + tfhdMoofBase.length + trunAt(0).length
+    val moofLen64 = 16 + mfhd.length + trafLen
+    val moof64 = rawBox64("moof", mfhd,
+      rawBox("traf", tfhdMoofBase, trunAt(moofLen64 + 8)))
+    assert(moof64.length == moofLen64)
+    val fileL = ftyp ++ moov ++ moof64 ++ rawBox("mdat", sample)
+    assert(H264.nalUnits(Mp4.demuxToAnnexB(fileL)).map(_.toSeq) ==
+      H264.nalUnits(annexB).map(_.toSeq), "largesize moof NALs differ")
+
+    // --- multi-traf implicit base: traf#1 (another track, implicit
+    // moof-start base) is followed by traf#2 (the video track, NO
+    // base flags) whose base must be the END of traf#1's data — not
+    // the moof start.
+    val dummy = Array.tabulate[Byte](37)(i => (i * 7).toByte)
+    val tfhdTrk2 = rawBox("tfhd", be32(0), be32(2))
+    val tfhdTrk1 = rawBox("tfhd", be32(0), be32(1))
+    def trun1(off: Int) = rawBox("trun", be32(0x000201), be32(1),
+      be32(off), be32(dummy.length))
+    val trun2 = rawBox("trun", be32(0x000200), be32(1),
+      be32(sample.length)) // size only: implicit chained base
+    val traf2 = rawBox("traf", tfhdTrk1, trun2)
+    val moofLenM = 8 + mfhd.length +
+      (8 + tfhdTrk2.length + trun1(0).length) + traf2.length
+    val moofM = rawBox("moof", mfhd,
+      rawBox("traf", tfhdTrk2, trun1(moofLenM + 8)), traf2)
+    assert(moofM.length == moofLenM)
+    val fileM = ftyp ++ moov ++ moofM ++ rawBox("mdat", dummy ++ sample)
+    assert(H264.nalUnits(Mp4.demuxToAnnexB(fileM)).map(_.toSeq) ==
+      H264.nalUnits(annexB).map(_.toSeq), "multi-traf NALs differ")
+
+    // --- named error: traf#1's data end UNKNOWN (size-less trun on a
+    // foreign track) followed by an implicit-base video traf
+    val tfhdTrk2Bare = rawBox("tfhd", be32(0), be32(2))
+    val trunBare2 = rawBox("trun", be32(0x000001), be32(1), be32(0))
+    val moofU = rawBox("moof", mfhd,
+      rawBox("traf", tfhdTrk2Bare, trunBare2), traf2)
+    val fileU = ftyp ++ moov ++ moofU ++ rawBox("mdat", dummy ++ sample)
+    val e = intercept[IllegalArgumentException] {
+      Mp4.demuxToAnnexB(fileU)
+    }
+    assert(e.getMessage.contains("data end is unknown"), e.getMessage)
+  }
+
   test("64-bit largesize boxes walk correctly (the >4 GiB mdat shape)") {
     // real >4 GiB files use size == 1 + a 64-bit largesize; rewrite
     // the muxed fixture's mdat into that form (its content shifts by
