@@ -321,21 +321,29 @@ object H264 {
     var chromaQpOffset = 0
   }
 
-  /** Decode an Annex-B stream of I/IDR slices — I_PCM, Intra_4x4 and
-    * Intra_16x16 macroblocks with CAVLC ([[H264Mb]]/[[Cavlc]]) OR
-    * CABAC ([[H264Cabac]], §9.3) entropy coding; returns frames as
-    * (width, height, packed 0xRRGGBB) in display order. Streams that
-    * enable the deblocking filter are filtered per §8.7
-    * ([[H264Deblock]]) — display-exact pixels. Unsupported
-    * constructs (P/B slices, transform_8x8, scaling matrices)
-    * throw — callers wrap in `Try` per the degrade-don't-fail
-    * contract. */
+  /** Decode the INTRA pictures of an Annex-B stream — I_PCM,
+    * Intra_4x4 and Intra_16x16 macroblocks with CAVLC
+    * ([[H264Mb]]/[[Cavlc]]) OR CABAC ([[H264Cabac]], §9.3) entropy
+    * coding; returns frames as (width, height, packed 0xRRGGBB) in
+    * decode order. Streams that enable the deblocking filter are
+    * filtered per §8.7 ([[H264Deblock]]) — display-exact pixels.
+    *
+    * MIXED I/P/B streams (the real-world shape: ~1 IDR per seconds
+    * of inter frames) decode I-frame-only: inter slices are skipped
+    * at the slice header (no motion compensation), and each fully-I
+    * picture — the ones that carry the fingerprint signal — is
+    * returned. A stream with NO decodable intra picture throws a
+    * named error, as do genuinely unsupported intra constructs
+    * (transform_8x8, scaling matrices) — callers wrap in `Try` per
+    * the degrade-don't-fail contract. */
   def decodeFrames(bytes: Array[Byte]): Seq[(Int, Int, Array[Int])] = {
     val sps = scala.collection.mutable.Map.empty[Int, Sps]
     val pps = scala.collection.mutable.Map.empty[Int, Pps]
     val frames = Seq.newBuilder[(Int, Int, Array[Int])]
     var cur: Yuv = null
     var curSps: Sps = null
+    var framesOut = 0
+    var skippedInter = 0
 
     nalUnits(bytes).foreach { nal =>
       val header = nal(0) & 0xFF
@@ -355,8 +363,17 @@ object H264 {
           val r = new BitReader(rbsp)
           val firstMb = r.ue()
           val sliceType = r.ue()
-          require(sliceType == 2 || sliceType == 7,
-            s"non-I slice_type $sliceType unsupported")
+          require(sliceType <= 9, s"bad slice_type $sliceType")
+          if (sliceType != 2 && sliceType != 7) {
+            // P/B/SP/SI slice: SKIP it at the header — no motion
+            // compensation here. Real streams are ~1 IDR per seconds
+            // of inter frames; the IDR pictures (the ones the
+            // fingerprint needs) still decode. A picture containing
+            // any inter slice cannot be reconstructed, so any
+            // partially-decoded picture is dropped with it.
+            skippedInter += 1
+            cur = null
+          } else {
           val p = pps.getOrElse(r.ue(),
             throw new IllegalArgumentException("slice before its PPS"))
           val s = sps(p.spsId)
@@ -464,11 +481,18 @@ object H264 {
                 cur.ctx.sliceId, cur.deblockIdc, cur.offsetA,
                 cur.offsetB)
             frames += toRgb(cur, curSps)
+            framesOut += 1
             cur = null
+          }
           }
         case _ => () // SEI/AUD/filler/...: skipped
       }
     }
+    if (framesOut == 0 && skippedInter > 0)
+      throw new IllegalArgumentException(
+        s"no decodable I picture: all $skippedInter slices are " +
+          "inter-coded (P/B) — I-frame-only decoding needs at least " +
+          "one intra picture")
     frames.result()
   }
 
@@ -542,7 +566,7 @@ object H264 {
   }
 
   private def spsRbsp(wMbs: Int, hMbs: Int, cropR: Int,
-                      cropB: Int): Array[Byte] = {
+                      cropB: Int, maxRefFrames: Int = 0): Array[Byte] = {
     val w = new BitWriter()
     w.u(66, 8) // profile_idc: Baseline
     w.u(0, 8)  // constraint flags + reserved_zero_2bits
@@ -550,7 +574,7 @@ object H264 {
     w.ue(0)    // seq_parameter_set_id
     w.ue(0)    // log2_max_frame_num_minus4
     w.ue(2)    // pic_order_cnt_type 2 (all-IDR stream)
-    w.ue(0)    // max_num_ref_frames
+    w.ue(maxRefFrames) // max_num_ref_frames (1 when P filler present)
     w.u(0, 1)  // gaps_in_frame_num_value_allowed_flag
     w.ue(wMbs - 1)
     w.ue(hMbs - 1)
@@ -565,9 +589,10 @@ object H264 {
   }
 
   private def ppsRbsp(deblockingControl: Boolean = false,
-                      cabac: Boolean = false): Array[Byte] = {
+                      cabac: Boolean = false,
+                      id: Int = 0): Array[Byte] = {
     val w = new BitWriter()
-    w.ue(0)   // pic_parameter_set_id
+    w.ue(id)  // pic_parameter_set_id
     w.ue(0)   // seq_parameter_set_id
     w.u(if (cabac) 1 else 0, 1) // entropy_coding_mode_flag
     w.u(0, 1) // bottom_field_pic_order_in_frame_present_flag
@@ -888,6 +913,87 @@ object H264 {
       planesToRgb(wMbs, hMbs, cropR, cropB, yR, cbR, crR)
     }
     (out.toByteArray, recon)
+  }
+
+  /** Conformant all-skip P-slice RBSP — the filler picture between
+    * IDRs in mixed-stream fixtures. CAVLC P slice data is one
+    * `mb_skip_run` covering every macroblock (§7.3.4): a "repeat the
+    * reference" picture a conformant decoder reconstructs as the
+    * preceding IDR, and exactly what [[decodeFrames]] skips at the
+    * header. Non-reference (nal_ref_idc 0), so dec_ref_pic_marking
+    * is absent and frame_num stays PrevRefFrameNum+1 = 1 (§7.4.3). */
+  private def pFillerRbsp(totalMbs: Int): Array[Byte] = {
+    val w = new BitWriter()
+    w.ue(0)        // first_mb_in_slice
+    w.ue(5)        // slice_type: P (all slices in picture are P)
+    w.ue(1)        // pic_parameter_set_id → the CAVLC filler PPS
+    w.u(1, 4)      // frame_num (log2MaxFrameNum = 4)
+    // pic_order_cnt_type 2 → no POC syntax
+    w.u(0, 1)      // num_ref_idx_active_override_flag
+    w.u(0, 1)      // ref_pic_list_modification_flag_l0 (§7.3.3.1)
+    w.se(0)        // slice_qp_delta (PPS 1: no deblock control syntax)
+    w.ue(totalMbs) // mb_skip_run: every MB is P_Skip
+    w.trailingBits()
+    w.toBytes
+  }
+
+  /**
+   * Turn an all-IDR fixture stream (any of [[encode]]/[[encodeCavlc]]/
+   * [[encodeCabac]]'s outputs) into the real-world MIXED shape: after
+   * each IDR picture, `perGap` skippable P filler pictures. The SPS is
+   * re-emitted with max_num_ref_frames=1 (P pictures reference the
+   * IDR) and a second, CAVLC PPS (id 1) carries the filler slices —
+   * pictures may reference different PPSs, so this composes with
+   * CABAC base streams without needing P-context CABAC tables. The
+   * result is spec-valid end to end; [[decodeFrames]] returns exactly
+   * the IDR pictures of the base stream.
+   */
+  def insertInterFiller(annexB: Array[Byte],
+                        perGap: Int = 2): Array[Byte] = {
+    require(perGap >= 1, s"perGap $perGap")
+    val nals = nalUnits(annexB)
+    val spsNal = nals.find(n => (n(0) & 0x1F) == 7)
+      .getOrElse(throw new IllegalArgumentException("no SPS"))
+    val s = parseSps(ebspToRbsp(spsNal, 1))
+    require(s.pocType == 2 && s.log2MaxFrameNum == 4 &&
+      s.cropL == 0 && s.cropT == 0,
+      "insertInterFiller expects this module's own fixture SPS shape")
+    nals.filter(n => (n(0) & 0x1F) == 8).foreach { p =>
+      require(parsePps(ebspToRbsp(p, 1)).id != 1,
+        "PPS id 1 is reserved for the filler slices")
+    }
+    val filler = nal(0, 1, pFillerRbsp(s.widthMbs * s.heightMbs))
+    val fillerPps = nal(3, 8,
+      ppsRbsp(deblockingControl = false, cabac = false, id = 1))
+    val newSps = nal(3, 7, spsRbsp(s.widthMbs, s.heightMbs, s.cropR,
+      s.cropB, maxRefFrames = 1))
+    val out = new java.io.ByteArrayOutputStream()
+    // nal()-built units carry their own start code; nalUnits()
+    // payloads do not — re-prefix those on pass-through
+    def emit(n: Array[Byte]): Unit = out.write(n, 0, n.length)
+    def emitRaw(n: Array[Byte]): Unit = {
+      out.write(Array[Byte](0, 0, 0, 1), 0, 4)
+      out.write(n, 0, n.length)
+    }
+    var sawPps = false
+    var inPicture = false
+    def closeGap(): Unit =
+      if (inPicture) { (0 until perGap).foreach(_ => emit(filler)) }
+    nals.foreach { n =>
+      (n(0) & 0x1F) match {
+        case 7 => emit(newSps)
+        case 8 =>
+          emitRaw(n)
+          if (!sawPps) { emit(fillerPps); sawPps = true }
+        case 1 | 5 =>
+          val firstMb = new BitReader(ebspToRbsp(n, 1)).ue()
+          if (firstMb == 0) { closeGap(); inPicture = true }
+          emitRaw(n)
+        case _ => emitRaw(n)
+      }
+    }
+    closeGap() // trailing P tail after the last IDR
+    out.toByteArray
   }
 
   /** True when the payload leads with an Annex-B start code (possibly

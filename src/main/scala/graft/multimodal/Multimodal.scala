@@ -1436,12 +1436,19 @@ object Multimodal {
   private[graft] def syntheticMp4(id: Long, w: Int, h: Int,
                                   frames: Int,
                                   cabac: Boolean = false,
-                                  deblock: Boolean = false): Array[Byte] = {
+                                  deblock: Boolean = false,
+                                  pFiller: Int = 0): Array[Byte] = {
     val px = fixtureFrames(id, w, h, frames)
     val annexB =
       if (cabac) H264.encodeCabac(w, h, px, qp = 26, deblock = deblock)._1
       else H264.encodeCavlc(w, h, px, qp = 26, deblock = deblock)._1
-    Mp4.fromAnnexB(annexB, w, h)
+    // pFiller > 0: the real-world MIXED stream shape — each IDR
+    // followed by that many skippable all-P_Skip filler pictures
+    // (H264.insertInterFiller); the decoder fingerprints IDRs only
+    val withFiller =
+      if (pFiller > 0) H264.insertInterFiller(annexB, pFiller)
+      else annexB
+    Mp4.fromAnnexB(withFiller, w, h)
   }
 
   /**
@@ -1493,14 +1500,16 @@ object Multimodal {
   def syntheticMp4Corpus(spark: SparkSession, nContents: Int,
                          copies: Int,
                          cabac: Boolean = false,
-                         deblock: Boolean = false): Dataset[MediaRow] = {
+                         deblock: Boolean = false,
+                         pFiller: Int = 0): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(nContents.toLong * copies).as[Long].map { id =>
       val content = id % nContents
       val w = 64 + (content % 4).toInt * 16
       val h = 64 + (content % 3).toInt * 16
       MediaRow(id, "video",
-        syntheticMp4(content, w, h, frames = 5, cabac, deblock),
+        syntheticMp4(content, w, h, frames = 5, cabac, deblock,
+          pFiller),
         MediaMeta(w, h, 0, 5))
     }
   }

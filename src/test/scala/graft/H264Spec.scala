@@ -254,6 +254,100 @@ class H264Spec extends SparkSpec {
     assert(e.getMessage.contains("intra"), e.getMessage)
   }
 
+  // ---- mixed I/P/B streams (round 16): I-frame-only decode ---------
+
+  test("mixed I/P/B streams decode I-frame-only: inter filler is " +
+      "skipped and IDR pictures come back pixel-exact (both coders, " +
+      "multi-slice, MP4)") {
+    import graft.multimodal.Mp4
+    val frames = Seq(
+      Array.tabulate(64 * 48)(i => (i * 31) & 0xFFFFFF),
+      Array.tabulate(64 * 48)(i => (i * 97 + 5) & 0xFFFFFF))
+    // CAVLC, single-slice
+    val (cavlc, rv) = H264.encodeCavlc(64, 48, frames, qp = 26)
+    val mixed = H264.insertInterFiller(cavlc, perGap = 3)
+    val dec = H264.decodeFrames(mixed)
+    assert(dec.size == 2, "exactly the IDR pictures")
+    dec.zip(rv).foreach { case ((w, h, p), (rw, rh, rp)) =>
+      assert(w == rw && h == rh && p.toSeq == rp.toSeq)
+    }
+    // the filler genuinely adds inter pictures to the stream
+    assert(H264.nalUnits(mixed).count(n => (n(0) & 0x1F) == 1) == 6)
+    // CABAC base + multi-slice IDRs + deblock: filler rides a second
+    // CAVLC PPS while the IDRs stay CABAC — per-picture PPS switching
+    val (cabac, rc) = H264.encodeCabac(64, 48, frames, qp = 30,
+      mbRowsPerSlice = 1, deblock = true)
+    val mixedC = H264.insertInterFiller(cabac, perGap = 2)
+    val decC = H264.decodeFrames(mixedC)
+    assert(decC.size == 2)
+    decC.zip(rc).foreach { case ((_, _, p), (_, _, rp)) =>
+      assert(p.toSeq == rp.toSeq)
+    }
+    // and through the MP4 container (each filler picture = one sample)
+    val mp4 = Mp4.fromAnnexB(mixedC, 64, 48)
+    val decM = H264.decodeFrames(Mp4.demuxToAnnexB(mp4))
+    assert(decM.map(_._3.toSeq) == decC.map(_._3.toSeq))
+  }
+
+  test("a stream with NO decodable I picture throws a NAMED error; " +
+      "videoHashes degrades it to a skip") {
+    val frames = Seq(Array.tabulate(32 * 32)(i => (i * 13) & 0xFFFFFF))
+    val mixed = H264.insertInterFiller(
+      H264.encodeCavlc(32, 32, frames, qp = 26)._1, perGap = 2)
+    // drop the IDR slices, keep SPS/PPS/P-fillers
+    val out = new java.io.ByteArrayOutputStream()
+    H264.nalUnits(mixed).foreach { n =>
+      if ((n(0) & 0x1F) != 5) {
+        out.write(Array[Byte](0, 0, 0, 1)); out.write(n)
+      }
+    }
+    val pOnly = out.toByteArray
+    val e = intercept[IllegalArgumentException] {
+      H264.decodeFrames(pOnly)
+    }
+    assert(e.getMessage.contains("no decodable I picture"),
+      e.getMessage)
+    // degrade-don't-fail: the corpus row is skipped, not fatal
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(1L, "video", pOnly, MediaMeta(32, 32, 0, 2)),
+      MediaRow(2L, "video", mixed, MediaMeta(32, 32, 0, 1))).toDS()
+    val hashed = Multimodal.videoHashes(rows)
+    assert(hashed.select("media_id").as[Long].collect().toSet ==
+      Set(2L))
+  }
+
+  test("insertInterFiller emits a conformant filler shape: non-ref " +
+      "P slices under a dedicated CAVLC PPS id 1, SPS max refs bumped") {
+    val frames = Seq(Array.tabulate(32 * 32)(i => (i * 7) & 0xFFFFFF))
+    val base = H264.encodeCabac(32, 32, frames, qp = 26)._1
+    val mixed = H264.insertInterFiller(base, perGap = 2)
+    val nals = H264.nalUnits(mixed)
+    val ppss = nals.filter(n => (n(0) & 0x1F) == 8)
+      .map(n => H264.parsePps(H264.ebspToRbsp(n, 1)))
+    assert(ppss.map(_.id).toSet == Set(0, 1))
+    assert(ppss.find(_.id == 0).get.cabac, "base PPS stays CABAC")
+    assert(!ppss.find(_.id == 1).get.cabac, "filler PPS is CAVLC")
+    nals.filter(n => (n(0) & 0x1F) == 1).foreach { n =>
+      assert(((n(0) & 0xFF) >>> 5) == 0, "filler must be non-reference")
+      val r = new H264.BitReader(H264.ebspToRbsp(n, 1))
+      assert(r.ue() == 0)     // first_mb_in_slice
+      assert(r.ue() == 5)     // slice_type P (all-P picture form)
+      assert(r.ue() == 1)     // pic_parameter_set_id = the filler PPS
+    }
+    // PPS id 1 already taken → named refusal, no silent collision
+    val withPps1 = {
+      val out = new java.io.ByteArrayOutputStream()
+      H264.nalUnits(mixed).foreach { n =>
+        out.write(Array[Byte](0, 0, 0, 1)); out.write(n)
+      }
+      out.toByteArray
+    }
+    intercept[IllegalArgumentException] {
+      H264.insertInterFiller(withPps1, 1)
+    }
+  }
+
   test("fixture margin for the q_video_fp_dedup_h264 oracle: planted " +
       "copies at Hamming 0, distinct contents > 8 bits apart") {
     val corpus = Multimodal.syntheticH264Corpus(spark, nContents = 30,
