@@ -10,6 +10,49 @@ import SparkEntry._
   * decoding with the §8.7 in-loop deblocking filter. */
 private[graft] object RegistryRound15 {
 
+  /** In-plan exact distinct-shingle counts for the contamination
+    * gates (corpus/bench/overlap over the SAME 64-bit shingle keys
+    * the sketch forms hash with) — shared by q_contamination_theta
+    * and the round-16 persisted-log twin so the exact side of both
+    * gates is one implementation. */
+  private[graft] def contaminationExactCounts(
+      corpus: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val c = corpus.select(explode(
+        graft.plans.NativeFunctions.shinglesNative(col("text"), 5))
+        .as("sh")).select(xxhash64(col("sh")).as("k")).distinct()
+    val b = bench.select(explode(
+        graft.plans.NativeFunctions.shinglesNative(col("text"), 5))
+        .as("sh")).select(xxhash64(col("sh")).as("k")).distinct()
+    c.agg(count(lit(1)).as("n_corpus"))
+      .crossJoin(broadcast(b.agg(count(lit(1)).as("n_bench"))))
+      .crossJoin(broadcast(
+        c.join(b, Seq("k"), "left_semi")
+          .agg(count(lit(1)).as("n_overlap"))))
+  }
+
+  /** Shared by q_contamination_theta and the round-16 persisted-log
+    * twin — the two forms are the same semantics by contract, so
+    * they get the same literals (the q_cdc_novelty/_state pattern). */
+  private[graft] val contaminationThetaOracle: String =
+    """WITH t AS (SELECT doc_id, source,
+         string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks FROM documents),
+       s AS (SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+           generate_series(0, greatest(len(toks)-5, 0)),
+           i -> array_to_string(toks[i+1:i+5], ' ')))) AS sh FROM t),
+       c AS (SELECT DISTINCT sh FROM s WHERE source <> 'src0'),
+       b AS (SELECT DISTINCT sh FROM s WHERE source = 'src0')
+       SELECT (SELECT COUNT(*) FROM c) AS n_corpus,
+         (SELECT COUNT(*) FROM b) AS n_bench,
+         (SELECT COUNT(*) FROM c JOIN b USING (sh)) AS n_overlap,
+         CAST(1 AS BOOLEAN) AS exact_corpus_ok,
+         CAST(1 AS BOOLEAN) AS exact_bench_ok,
+         CAST(1 AS BOOLEAN) AS exact_overlap_ok,
+         CAST(1 AS BOOLEAN) AS exact_rate_ok,
+         CAST(1 AS BOOLEAN) AS est_overlap_bounded"""
+
   private[graft] val entries: Seq[Q] = Seq(
 
     // Theta sketch set-operation cardinality (round 15): the
@@ -145,19 +188,7 @@ private[graft] object RegistryRound15 {
           corpus, bench, "text", shingleWords = 5, lgK = lgK)
         // exact distinct counts, in-plan (same 64-bit shingle keys
         // contaminationScore/contaminationSketch hash with)
-        val exactCounts = {
-          val c = corpus.select(explode(
-              graft.plans.NativeFunctions.shinglesNative(col("text"), 5))
-              .as("sh")).select(xxhash64(col("sh")).as("k")).distinct()
-          val b = bench.select(explode(
-              graft.plans.NativeFunctions.shinglesNative(col("text"), 5))
-              .as("sh")).select(xxhash64(col("sh")).as("k")).distinct()
-          c.agg(count(lit(1)).as("n_corpus"))
-            .crossJoin(broadcast(b.agg(count(lit(1)).as("n_bench"))))
-            .crossJoin(broadcast(
-              c.join(b, Seq("k"), "left_semi")
-                .agg(count(lit(1)).as("n_overlap"))))
-        }
+        val exactCounts = contaminationExactCounts(corpus, bench)
         exactCounts.crossJoin(broadcast(leg(20)))
           .crossJoin(broadcast(leg(9).select(
             col("overlap_lower").as("el"),
@@ -174,22 +205,7 @@ private[graft] object RegistryRound15 {
             (col("el") <= col("n_overlap") &&
               col("eu") >= col("n_overlap")).as("est_overlap_bounded"))
       },
-      Some("""WITH t AS (SELECT doc_id, source,
-                string_split_regex(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks FROM documents),
-              s AS (SELECT doc_id, source,
-                unnest(list_distinct(list_transform(
-                  generate_series(0, greatest(len(toks)-5, 0)),
-                  i -> array_to_string(toks[i+1:i+5], ' ')))) AS sh FROM t),
-              c AS (SELECT DISTINCT sh FROM s WHERE source <> 'src0'),
-              b AS (SELECT DISTINCT sh FROM s WHERE source = 'src0')
-              SELECT (SELECT COUNT(*) FROM c) AS n_corpus,
-                (SELECT COUNT(*) FROM b) AS n_bench,
-                (SELECT COUNT(*) FROM c JOIN b USING (sh)) AS n_overlap,
-                CAST(1 AS BOOLEAN) AS exact_corpus_ok,
-                CAST(1 AS BOOLEAN) AS exact_bench_ok,
-                CAST(1 AS BOOLEAN) AS exact_overlap_ok,
-                CAST(1 AS BOOLEAN) AS exact_rate_ok,
-                CAST(1 AS BOOLEAN) AS est_overlap_bounded""")),
+      Some(contaminationThetaOracle)),
 
     // Bucketed co-located join (round 15): Spark TABLE bucketing —
     // the storage-level scale tool the LSH "bucketing" operators do

@@ -34,5 +34,121 @@ private[graft] object RegistryRound16 {
       Some("""SELECT a.i AS id_a, b.i AS id_b, 0 AS hamming
               FROM generate_series(0, 89) a(i)
                 JOIN generate_series(0, 89) b(i)
-                ON a.i < b.i AND a.i % 30 = b.i % 30""")))
+                ON a.i < b.i AND a.i % 30 = b.i % 30""")),
+
+    // Persisted theta sketch log (round 16): q_contamination_theta's
+    // verdict answered from PREBUILT state — the production shape.
+    // Dedup.contaminationSketchLog reduces each `source` shard of the
+    // documents corpus ONCE to one sketch row under its own
+    // partition; the probe (Dedup.contaminationFromLog) is two sketch
+    // unions over the KB-scale log + one set op — no shingle re-scan,
+    // no join, the q_cdc_novelty_state pattern for sketches
+    // (OverlapMonitor writes the same layout for streams). The union
+    // across shards is the MERGEABILITY contract under partitioning:
+    // exact-mode estimates from unioned per-shard sketches must equal
+    // the in-plan exact counts (any dropped/double-counted shard reds
+    // it), and the lgK=9 log replays 3σ bound containment. Identical
+    // oracle to q_contamination_theta = persisted state is
+    // semantics-preserving.
+    Q("q_contamination_theta_state",
+      (s, d) => {
+        import graft.operators.Dedup
+        graft.plans.NativeFunctions.register(s)
+        val root = contentKeyedFixture(
+          new java.io.File(d, "documents.parquet"),
+          "graft_theta_log",
+          codeKey = "theta-log:w5;shard=source;lgk20+9") { r =>
+          committedData(new java.io.File(r, "lgk20")) &&
+            committedData(new java.io.File(r, "lgk9"))
+        } { tmp =>
+          val docs = s.read.parquet(pq(d, "documents"))
+            .repartition(s.sparkContext.defaultParallelism)
+          Dedup.contaminationSketchLog(docs, "text", "source",
+            s"$tmp/lgk20", shingleWords = 5, lgK = 20)
+          Dedup.contaminationSketchLog(docs, "text", "source",
+            s"$tmp/lgk9", shingleWords = 5, lgK = 9)
+        }
+        val docs = s.read.parquet(pq(d, "documents"))
+        val exactCounts = RegistryRound15.contaminationExactCounts(
+          docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"))
+        val fromLog = Dedup.contaminationFromLog(s, s"$root/lgk20",
+          benchShards = Seq("src0"), lgK = 20)
+        val est = Dedup.contaminationFromLog(s, s"$root/lgk9",
+          benchShards = Seq("src0"), lgK = 9)
+          .select(col("overlap_lower").as("el"),
+            col("overlap_upper").as("eu"))
+        exactCounts.crossJoin(broadcast(fromLog))
+          .crossJoin(broadcast(est))
+          .select(col("n_corpus"), col("n_bench"), col("n_overlap"),
+            (col("corpus_est") === col("n_corpus").cast("double"))
+              .as("exact_corpus_ok"),
+            (col("bench_est") === col("n_bench").cast("double"))
+              .as("exact_bench_ok"),
+            (col("overlap_est") === col("n_overlap").cast("double"))
+              .as("exact_overlap_ok"),
+            (col("rate_est") === round(col("n_overlap").cast("double") /
+              col("n_corpus"), 6)).as("exact_rate_ok"),
+            (col("el") <= col("n_overlap") &&
+              col("eu") >= col("n_overlap")).as("est_overlap_bounded"))
+      },
+      Some(RegistryRound15.contaminationThetaOracle)),
+
+    // Bucketed DOCUMENTS-family join (round 16): q_bucketed_join
+    // demonstrated the layout on lineitem ⋈ orders; this cashes the
+    // header claim ("corpus ⋈ embeddings") on the join the retrieval
+    // family re-runs every query — documents ⋈ embeddings on
+    // doc_id = vec_id (the q_hybrid_search/q_ann_recall_gate corpus
+    // construction). Both tables are written once CLUSTERED BY their
+    // join key INTO 8 BUCKETS; the corpus join then plans with ZERO
+    // exchange on either side (GoldenPlans pins 1 shuffle total — the
+    // final per-source agg — and 1 smj). At 100 TB the corpus ⋈
+    // embeddings join recurs across every retrieval/dedup/curation
+    // query; the bucketed layout converts its two full-corpus
+    // shuffles per query into one paid at ingest. The oracle replays
+    // the join + agg over the raw parquet — the layout is
+    // semantics-preserving, same contract as q_bucketed_join.
+    Q("q_bucketed_doc_join",
+      (s, d) => {
+        import graft.sources.Bucketed
+        def docProj = s.read.parquet(pq(d, "documents"))
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        def embProj = s.read.parquet(pq(d, "embeddings"))
+          .select(col("vec_id"), col("label"))
+        val root = contentKeyedFixture(
+          new java.io.File(d, "documents.parquet"),
+          "graft_bucketed_docs", codeKey = "v1:8buckets") { r =>
+          committedData(new java.io.File(r, "docs")) &&
+            committedData(new java.io.File(r, "emb"))
+        } { tmp =>
+          Bucketed.writeBucketed(docProj, "graft_bdocs",
+            new java.io.File(tmp, "docs").toString, "doc_id", 8)
+          Bucketed.writeBucketed(embProj, "graft_bemb",
+            new java.io.File(tmp, "emb").toString, "vec_id", 8)
+        }
+        val docs = Bucketed.attach(s, "graft_bdocs",
+          docProj.schema.toDDL, "doc_id", 8, "doc_id",
+          new java.io.File(root, "docs").toString)
+        val emb = Bucketed.attach(s, "graft_bemb",
+          embProj.schema.toDDL, "vec_id", 8, "vec_id",
+          new java.io.File(root, "emb").toString)
+        // hint("merge") for the same reason as q_bucketed_join: at
+        // gated SFs one side fits the broadcast threshold; at 100 TB
+        // neither does, and the exchange-free merge join over the
+        // bucketed scans is the plan being demonstrated
+        docs.join(emb.hint("merge"),
+            docs("doc_id") === emb("vec_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(col("label").cast("long")).as("sum_label"),
+            min(col("vec_id")).as("min_vec"),
+            max(col("vec_id")).as("max_vec"))
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                CAST(SUM(label) AS BIGINT) AS sum_label,
+                MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+              FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+              GROUP BY 1""")))
 }

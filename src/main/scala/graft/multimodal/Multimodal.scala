@@ -90,6 +90,115 @@ object FrameDecoder {
   }
 }
 
+/**
+ * Pluggable AUDIO decode — the [[FrameDecoder]] SPI's twin for the
+ * audio family: one binding point turns an opaque audio payload into
+ * `(sampleRate, mono samples in [-1, 1])`; everything downstream —
+ * RMS features, ZCR fingerprints, constellation landmarks, persisted
+ * indexes, streaming ingest — is codec-agnostic and untouched.
+ *
+ * The built-in path is WAV/PCM only (JDK `javax.sound.sampled`).
+ * Compressed formats (MP3/AAC/Ogg/FLAC) are NOT decoded natively and
+ * never will be faked: their Huffman codebooks and synthesis windows
+ * ARE the bitstream — a from-memory transcription decodes real files
+ * to garbage while appearing to work (SURVEY §8). Instead they fail
+ * with a NAMED error that names this binding point: set the JVM
+ * system property `graft.audio.decoder=com.example.Mp3Decoder` (on a
+ * cluster: `spark.driver.extraJavaOptions` AND
+ * `spark.executor.extraJavaOptions`, binding jar on the executor
+ * classpath) to a class with a no-arg constructor. Resolution is
+ * memoized per JVM per class name; a misconfigured class fails fast
+ * with the class name in the error. The degrade-don't-fail `Try` in
+ * the audio entry points turns named errors into row skips.
+ */
+trait AudioDecoder extends Serializable {
+  /** (sampleRate, mono samples in [-1, 1]) decoded from the payload. */
+  def samples(bytes: Array[Byte]): (Int, Array[Double])
+}
+
+object AudioDecoder {
+  val PropKey = "graft.audio.decoder"
+
+  /** The JDK-only WAV/PCM path (16-bit mono little-endian). */
+  object Wav extends AudioDecoder {
+    def samples(bytes: Array[Byte]): (Int, Array[Double]) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian,
+          s"expected 16-bit mono little-endian PCM, got $fmt")
+        val raw = in.readAllBytes()
+        val n = raw.length / 2
+        require(n > 0, "empty audio payload")
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          out(i) = ((raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8))
+            .toShort / 32768.0
+          i += 1
+        }
+        (fmt.getSampleRate.toInt, out)
+      } finally in.close()
+    }
+  }
+
+  /** Container sniff for the named-error message (≤16 leading
+    * bytes, deterministic per payload). */
+  private def formatName(b: Array[Byte]): String =
+    if (b.length < 4) "truncated payload"
+    else if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') "MP3 (ID3 tag)"
+    else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xF6) == 0xF0)
+      "AAC (ADTS sync)"
+    else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xE0) == 0xE0)
+      "MP3 (frame sync)"
+    else if (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')
+      "Ogg"
+    else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
+      "FLAC"
+    else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' &&
+      b(6) == 'y' && b(7) == 'p') "MP4/M4A container"
+    else "unrecognized format"
+
+  private[multimodal] def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
+      b(11) == 'E'
+
+  /** The default: WAV payloads decode through [[Wav]]; anything else
+    * is a NAMED error pointing at [[PropKey]] — never a fake decode. */
+  object Auto extends AudioDecoder {
+    def samples(bytes: Array[Byte]): (Int, Array[Double]) =
+      if (looksLikeWav(bytes)) Wav.samples(bytes)
+      else throw new IllegalArgumentException(
+        s"compressed audio (${formatName(bytes)}) needs an external " +
+          s"AudioDecoder binding — set -D$PropKey=<class>; the " +
+          "built-in path is WAV/PCM only")
+  }
+
+  @volatile private var cached: (String, AudioDecoder) = ("", Auto)
+
+  /** Resolve the configured decoder (memoized per class name). */
+  def resolve(): AudioDecoder = sys.props.get(PropKey) match {
+    case None | Some("") => Auto
+    case Some(cls) =>
+      val c = cached
+      if (c._1 == cls) c._2
+      else {
+        val d =
+          try Class.forName(cls).getDeclaredConstructor()
+            .newInstance().asInstanceOf[AudioDecoder]
+          catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"$PropKey=$cls is not a loadable AudioDecoder", e)
+          }
+        cached = (cls, d)
+        d
+      }
+  }
+}
+
 /** Typed metadata carried alongside an opaque media payload. */
 final case class MediaMeta(width: Int, height: Int, sampleRate: Int,
                            nFrames: Int)
@@ -125,14 +234,18 @@ final case class MediaFeatures(media_id: Long, kind: String,
  *    interchange format) splits on SOI/EOI markers and decodes every frame
  *    through ImageIO in [[Codec.decodeVideo]] / [[Codec.splitMjpegFrames]].
  * [[syntheticMedia]] generates real PNG / WAV / MJPEG payloads. The
- * remaining documented boundary is inter-frame-compressed video
- * (H.264/VP9/AV1): that needs an ffmpeg/javacv binding, and the
- * binding point is the [[FrameDecoder]] SPI — name the binding class
- * in the `graft.video.frameDecoder` system property and every video
- * operator (featurize, frame sampling, pHash dedup, sequence matching,
- * streaming ingest) decodes through it; unset, the JDK-only MJPEG
- * splitter runs and the build stays dependency-free. MultimodalSpec
- * proves the plumbing with a fake external decoder.
+ * remaining documented boundaries each have an SPI escape hatch:
+ * inter-frame-compressed video (H.264 P/B prediction, VP9, AV1) needs
+ * an ffmpeg/javacv binding through the [[FrameDecoder]] SPI
+ * (`graft.video.frameDecoder`), and compressed audio (MP3/AAC/Ogg/
+ * FLAC) a binding through the [[AudioDecoder]] SPI
+ * (`graft.audio.decoder`) — every operator of the respective family
+ * (featurize, fingerprint dedup, constellation/sequence matching,
+ * persisted indexes, streaming ingest) decodes through its SPI.
+ * Unset, the JDK-only paths run (MJPEG + intra H.264; WAV/PCM) and
+ * the build stays dependency-free; compressed audio fails with a
+ * NAMED error rather than a fake decode. MultimodalSpec proves both
+ * plumbings with fake external decoders.
  *
  * Scale notes: payloads never pass through a shuffle here — featurize is
  * a narrow mapPartitions; downstream joins should carry `media_id` and
@@ -310,27 +423,11 @@ object Multimodal {
      *
      * @return (sampleRate, nSamples, features)
      */
-    /** Shared WAV/PCM sample decode: `(sampleRate, samples in [-1,1])`. */
-    private def pcmSamples(bytes: Array[Byte]): (Int, Array[Double]) = {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try {
-        val fmt = in.getFormat
-        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
-          !fmt.isBigEndian, s"expected 16-bit mono little-endian PCM, got $fmt")
-        val raw = in.readAllBytes()
-        val n = raw.length / 2
-        require(n > 0, "empty audio payload")
-        val samples = new Array[Double](n)
-        var i = 0
-        while (i < n) {
-          samples(i) = ((raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8))
-            .toShort / 32768.0
-          i += 1
-        }
-        (fmt.getSampleRate.toInt, samples)
-      } finally in.close()
-    }
+    /** Shared sample decode, routed through the [[AudioDecoder]] SPI:
+      * `(sampleRate, samples in [-1,1])` — WAV/PCM built in,
+      * compressed formats via the `graft.audio.decoder` binding. */
+    private def pcmSamples(bytes: Array[Byte]): (Int, Array[Double]) =
+      AudioDecoder.resolve().samples(bytes)
 
     def decodeAudio(bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
       val (sr, samples) = pcmSamples(bytes)

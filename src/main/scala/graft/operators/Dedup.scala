@@ -1244,7 +1244,17 @@ object Dedup {
       .select(explode(shingles(col(textCol))).as("__shs"))
       .select(membershipKey(col("__shs"), hashBits).as("__sh"))
       .agg(NativeFunctions.thetaAggNative(col("__sh"), lgK).as(name))
-    sketchOf(docs, "tc").crossJoin(broadcast(sketchOf(benchmark, "tb")))
+    contaminationOutput(sketchOf(docs, "tc"), sketchOf(benchmark, "tb"))
+  }
+
+  /** The shared contamination-gauge tail: two one-row sketch frames
+    * (`tc` = corpus, `tb` = benchmark) → the six-column output —
+    * single-sourced so the batch ([[contaminationSketch]]) and
+    * log-probing ([[contaminationFromLog]]) forms cannot diverge. */
+  private def contaminationOutput(corpus: DataFrame,
+                                  bench: DataFrame): DataFrame = {
+    import graft.plans.NativeFunctions
+    corpus.crossJoin(broadcast(bench))
       .select(col("tc"), col("tb"),
         NativeFunctions.thetaEstimateNative(
           NativeFunctions.thetaSetOpNative(col("tc"), col("tb"),
@@ -1259,6 +1269,67 @@ object Dedup {
         element_at(col("ov"), 3).as("overlap_upper"))
       .withColumn("rate_est",
         round(col("overlap_est") / col("corpus_est"), 6))
+  }
+
+  /**
+   * Persist a per-shard shingle theta-sketch LOG for a documents
+   * corpus — the production shape [[contaminationSketch]] points at:
+   * instead of re-sketching both corpora per call, each shard (a
+   * day, a source, a crawl snapshot) reduces ONCE to one ≤(2^lgK·8 B)
+   * sketch row under its own partition, and every later contamination
+   * question is answered from the log with ZERO re-scan of the data
+   * (the [[graft.sources.ChunkIndex]] pattern for sketches;
+   * [[graft.streaming.OverlapMonitor]] is the streaming writer of the
+   * same layout). Layout: parquet partitioned by `shard=<value>`,
+   * one row `(theta, n_shingle_rows)` per shard.
+   *
+   * Append discipline: a NEW shard's arrival is one partition write —
+   * rerun with `docs` filtered to it and dynamic partition overwrite,
+   * or just this method per shard directory. Duplicate rows for one
+   * shard are harmless to probes (theta union is idempotent — A∪A=A);
+   * REPLACING a shard's data requires overwriting its partition.
+   * Probes union shard sketches, so estimates are exact while the
+   * union's distinct count fits 2^lgK (theta == 1) — union with the
+   * SAME lgK preserves that, which is why [[contaminationFromLog]]
+   * takes the create-time lgK.
+   */
+  def contaminationSketchLog(docs: DataFrame, textCol: String,
+                             shardCol: String, dir: String,
+                             shingleWords: Int = 5, lgK: Int = 12,
+                             useNative: Boolean = true): Unit = {
+    import graft.plans.NativeFunctions
+    NativeFunctions.register(docs.sparkSession)
+    val shingles = shingleFn(docs, shingleWords, useNative)
+    docs
+      .select(col(shardCol).cast("string").as("shard"),
+        explode(shingles(col(textCol))).as("__shs"))
+      .select(col("shard"), membershipKey(col("__shs"), 64).as("__sh"))
+      .groupBy(col("shard"))
+      .agg(NativeFunctions.thetaAggNative(col("__sh"), lgK).as("theta"),
+        count(lit(1)).as("n_shingle_rows"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+  }
+
+  /** Answer the contamination gauge from a prebuilt
+    * [[contaminationSketchLog]]: benchmark = the union of
+    * `benchShards`' sketches, corpus = the union of every other
+    * shard's — no join, no re-scan, two sketch unions over a
+    * KB-scale log. Same output schema and semantics as
+    * [[contaminationSketch]] (the persisted-state-is-semantics-
+    * preserving contract q_contamination_theta_state pins). */
+  def contaminationFromLog(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, benchShards: Seq[String],
+                           lgK: Int = 12): DataFrame = {
+    require(benchShards.nonEmpty, "benchShards must name ≥1 shard")
+    import graft.operators.Frequency
+    val log = spark.read.parquet(dir)
+    val corpus = Frequency.thetaUnionSketch(
+      log.where(!col("shard").isin(benchShards: _*)), "theta", lgK)
+      .select(col("theta").as("tc"))
+    val bench = Frequency.thetaUnionSketch(
+      log.where(col("shard").isin(benchShards: _*)), "theta", lgK)
+      .select(col("theta").as("tb"))
+    contaminationOutput(corpus, bench)
   }
 
   def contaminationScore(docs: DataFrame, benchmark: DataFrame,

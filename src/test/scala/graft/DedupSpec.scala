@@ -455,6 +455,41 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("hashBits=64"), e.getMessage)
   }
 
+  test("contaminationSketchLog + contaminationFromLog: the persisted " +
+      "per-shard log answers exactly what the batch form computes") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("theta-log").toString
+    val all = docs.withColumn("src",
+        when(col("doc_id") <= 2, "bench").otherwise(
+          concat(lit("s"), col("doc_id") % 2)))
+      .unionByName(spanDocs.withColumn("src", lit("s9")))
+    Dedup.contaminationSketchLog(all, "text", "src", s"$dir/log",
+      shingleWords = 3, lgK = 16)
+    val fromLog = Dedup.contaminationFromLog(spark, s"$dir/log",
+      benchShards = Seq("bench"), lgK = 16).collect()(0)
+    val batch = Dedup.contaminationSketch(
+      all.where(col("src") =!= "bench"),
+      all.where(col("src") === "bench"), "text",
+      shingleWords = 3, lgK = 16).collect()(0)
+    // union-of-shards == one-shot sketch, field by field (exact mode:
+    // tiny corpora ≪ 2^16)
+    assert(fromLog.toSeq == batch.toSeq,
+      s"log $fromLog vs batch $batch")
+    // duplicate shard rows are idempotent (A ∪ A = A): re-append the
+    // same shards and probe again
+    val log1 = spark.read.parquet(s"$dir/log")
+    log1.write.mode("append").partitionBy("shard")
+      .parquet(s"$dir/log2")
+    log1.write.mode("append").partitionBy("shard")
+      .parquet(s"$dir/log2")
+    val doubled = Dedup.contaminationFromLog(spark, s"$dir/log2",
+      benchShards = Seq("bench"), lgK = 16).collect()(0)
+    assert(doubled.toSeq == batch.toSeq)
+    intercept[IllegalArgumentException] {
+      Dedup.contaminationFromLog(spark, s"$dir/log", Seq(), 16)
+    }
+  }
+
   // ---- semantic dedup -----------------------------------------------------
 
   test("semanticDuplicates finds identical embeddings within IVF cells; " +

@@ -65,7 +65,10 @@ object GoldenPlans {
     "q_pipeline_e2e",
     // round-15: the bucketed co-located join — the pin IS the claim
     // (1 exchange total: the final agg; the join itself shuffle-free)
-    "q_bucketed_join")
+    "q_bucketed_join",
+    // round-16: the same claim cashed on the documents-family join
+    // the retrieval queries recur on (documents ⋈ embeddings)
+    "q_bucketed_doc_join")
 
   // filled by GoldenPlanDump — (shuffle exchanges, broadcast
   // exchanges, join-strategy multiset) on the sf0.001 static plan
@@ -86,5 +89,6 @@ object GoldenPlans {
     "q_dedup_semantic_twolevel" -> (3, 0, Map[String, Int]("smj" -> 3)),
     "q_cdc_novelty_state" -> (3, 2, Map[String, Int]("bhj" -> 2)),
     "q_pipeline_e2e" -> (2, 0, Map[String, Int]()),
-    "q_bucketed_join" -> (1, 0, Map[String, Int]("smj" -> 1)))
+    "q_bucketed_join" -> (1, 0, Map[String, Int]("smj" -> 1)),
+    "q_bucketed_doc_join" -> (1, 0, Map[String, Int]("smj" -> 1)))
 }

@@ -513,6 +513,66 @@ class MultimodalSpec extends SparkSpec {
     } finally sys.props.remove(FrameDecoder.PropKey)
   }
 
+  test("AudioDecoder SPI: an external audio codec binding lights up " +
+      "the fingerprint family; unset, compressed formats fail with a " +
+      "NAMED error that names the binding point") {
+    import graft.multimodal.{AudioDecoder, MediaMeta, MediaRow}
+    import spark.implicits._
+    // clips in a fake compressed container (GFAKA1: magic +
+    // sampleRate + raw 16-bit LE PCM) — the deterministic stand-in
+    // for MP3/AAC, whose real decode needs the external binding this
+    // SPI exists for (faking it would misrepresent coverage)
+    def fakeClip(content: Long): Array[Byte] = {
+      val sr = 16000
+      val pcm = new Array[Byte](sr * 2)
+      var i = 0
+      while (i < sr) {
+        val seg = i * 64 / sr
+        val mix = content * 1315423911L + seg * 2654435761L
+        val freq = 300.0 + math.floorMod(mix ^ (mix >>> 17), 12L) * 90.0
+        val v = (math.sin(2 * math.Pi * freq * i / sr) * 12000).toInt
+        pcm(2 * i) = v.toByte; pcm(2 * i + 1) = (v >> 8).toByte
+        i += 1
+      }
+      val bb = java.nio.ByteBuffer.allocate(10 + pcm.length)
+      bb.put("GFAKA1".getBytes("US-ASCII")).putInt(sr).put(pcm)
+      bb.array()
+    }
+    val rows = (0L until 6L).map(c =>
+      MediaRow(c, "audio", fakeClip(c), MediaMeta(0, 0, 16000, 0))) ++
+      (0L until 6L).map(c =>
+        MediaRow(100L + c, "audio", fakeClip(c),
+          MediaMeta(0, 0, 16000, 0)))
+    val corpus = spark.createDataset(rows)
+    // without the binding: the named error degrades every row to a
+    // skip (proves routing is real), and the DIRECT call names both
+    // the sniffed format and the property
+    sys.props.remove(AudioDecoder.PropKey)
+    assert(Multimodal.audioHashes(corpus).count() == 0)
+    val mp3ish = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0)
+    val e = intercept[IllegalArgumentException] {
+      AudioDecoder.resolve().samples(mp3ish)
+    }
+    assert(e.getMessage.contains("MP3") &&
+      e.getMessage.contains(AudioDecoder.PropKey), e.getMessage)
+    val id3 = "ID3".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0)
+    assert(intercept[IllegalArgumentException] {
+      AudioDecoder.resolve().samples(id3)
+    }.getMessage.contains("ID3"))
+    // with the binding: the whole family lights up through the SPI
+    sys.props(AudioDecoder.PropKey) = "graft.FakeAudioDecoder"
+    try {
+      val dups = Multimodal.audioNearDuplicates(corpus, maxHamming = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(dups == (0L until 6L).map(c => (c, c + 100L)).toSet,
+        s"got $dups")
+      // a bogus class name fails fast with the name in the error
+      sys.props(AudioDecoder.PropKey) = "graft.NoSuchAudioDecoder"
+      val e2 = intercept[IllegalArgumentException](AudioDecoder.resolve())
+      assert(e2.getMessage.contains("graft.NoSuchAudioDecoder"))
+    } finally sys.props.remove(AudioDecoder.PropKey)
+  }
+
   test("audioConstellationProbeIndex: batch vs persisted landmark " +
       "index finds exactly the planted delayed copies") {
     val corpus = Multimodal.syntheticShiftedAudioCorpus(spark, 20, 10)
@@ -529,6 +589,30 @@ class MultimodalSpec extends SparkSpec {
       minVotes = 1)
     assert(none.columns.toSeq == Seq("new_id", "seen_id", "votes"))
     assert(none.count() == 0)
+  }
+}
+
+/** The fake external codec binding for the AudioDecoder SPI test:
+  * "decodes" the GFAKA1 container (magic + sample rate + raw 16-bit
+  * LE PCM). Top-level with a no-arg constructor, exactly the contract
+  * a real MP3/AAC binding class would satisfy. */
+class FakeAudioDecoder extends graft.multimodal.AudioDecoder {
+  def samples(bytes: Array[Byte]): (Int, Array[Double]) = {
+    require(bytes.length > 10 &&
+      new String(bytes.take(6), "US-ASCII") == "GFAKA1",
+      "not a GFAKA1 container")
+    val bb = java.nio.ByteBuffer.wrap(bytes, 6, bytes.length - 6)
+    val sr = bb.getInt
+    val n = bb.remaining() / 2
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val lo = bb.get() & 0xFF
+      val hi = bb.get()
+      out(i) = ((lo | (hi << 8)).toShort) / 32768.0
+      i += 1
+    }
+    (sr, out)
   }
 }
 
