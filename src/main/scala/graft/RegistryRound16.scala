@@ -36,6 +36,33 @@ private[graft] object RegistryRound16 {
                 JOIN generate_series(0, 89) b(i)
                 ON a.i < b.i AND a.i % 30 = b.i % 30""")),
 
+    // High-profile transform_8x8 + scaling matrices (round 16):
+    // q_video_fp_dedup_mp4's construction and oracle VERBATIM, but
+    // the H.264 inside every .mp4 is the remaining High-profile
+    // INTRA shape — profile_idc 100 SPS with seq scaling matrices
+    // (the DEFAULT intra/inter lists via the §7.3.2.1.1.1 jump-to-
+    // zero form + Table 7-2 rule-A fallbacks), a PPS with
+    // transform_8x8_mode_flag, and a deterministic Intra_8x8/4x4 mix
+    // inside the I_NxN population (§8.3.2 filtered-reference
+    // prediction, §8.5.13 8x8 dequant with weight matrices, the
+    // CAVLC interleave split, and the 8x8-aware §8.7 deblock grid;
+    // deblock ON here so the grid change is load-bearing). r15
+    // named-errored at the PPS for both features. Identical oracle =
+    // the transform-size/quant-matrix-agnosticism contract: the
+    // fingerprints cannot move under either.
+    Q("q_video_fp_dedup_mp4_8x8",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        Multimodal.videoNearDuplicates(
+          Multimodal.syntheticMp4Corpus(s, nContents = 30, copies = 3,
+            deblock = true, transform8x8 = true, scalingMatrix = true),
+          maxHamming = 4)
+      },
+      Some("""SELECT a.i AS id_a, b.i AS id_b, 0 AS hamming
+              FROM generate_series(0, 89) a(i)
+                JOIN generate_series(0, 89) b(i)
+                ON a.i < b.i AND a.i % 30 = b.i % 30""")),
+
     // Persisted theta sketch log (round 16): q_contamination_theta's
     // verdict answered from PREBUILT state — the production shape.
     // Dedup.contaminationSketchLog reduces each `source` shard of the

@@ -18,18 +18,24 @@ package graft.multimodal
  *    across one or many slices per picture.
  *
  * The macroblock layer lives in the sibling modules: [[H264Mb]] +
- * [[Cavlc]] (intra prediction, §8.5 transforms, CAVLC residuals),
+ * [[Cavlc]] (intra prediction, §8.5 transforms — 4x4 AND the High-
+ * profile 8x8 (§8.3.2/§8.5.13) with quantization scaling matrices
+ * (§7.3.2.1.1.1 + Table 7-2 fallbacks) — CAVLC residuals),
  * [[H264Cabac]] (§9.3 CABAC entropy coding, both directions), and
- * [[H264Deblock]] (§8.7 in-loop filter) — so I/IDR pictures with
- * I_PCM, Intra_4x4 and Intra_16x16 macroblocks decode display-exact
- * under EITHER entropy coder, filtered or not.
+ * [[H264Deblock]] (§8.7 in-loop filter, 8x8-aware edge grid) — so
+ * I/IDR pictures with I_PCM, Intra_4x4, Intra_8x8 and Intra_16x16
+ * macroblocks decode display-exact under EITHER entropy coder,
+ * filtered or not, flat or weighted quant.
  *
- * SCOPE — stated plainly: P/B (inter) slices, interlaced coding,
- * transform_8x8 and scaling matrices are named errors, so real-world
- * INTER video still needs an external binding through the same SPI
- * (`graft.video.frameDecoder`); intra frames — which carry the
- * fingerprint signal — decode natively, including I_PCM inside
- * CABAC slices. The
+ * SCOPE — stated plainly: inter (P/B) slices are SKIPPED, not
+ * decoded (no motion compensation — mixed streams decode
+ * I-frame-only; a stream with no intra picture is a named error);
+ * interlaced coding and CABAC×transform_8x8 (the ctx-399+ context
+ * init tables are not transcribed — constants are never invented)
+ * are named errors, so such streams need an external binding
+ * through the SPI (`graft.video.frameDecoder`). Intra pictures —
+ * which carry the fingerprint signal — decode natively, including
+ * I_PCM inside CABAC slices and CAVLC transform_8x8. The
  * degrade-don't-fail `Try` in `videoHashes` turns named errors into
  * skips. Reference behaviors modeled on the published spec only.
  */
@@ -206,7 +212,8 @@ object H264 {
                        deltaPicOrderAlwaysZero: Boolean,
                        widthMbs: Int, heightMapUnits: Int,
                        frameMbsOnly: Boolean,
-                       cropL: Int, cropR: Int, cropT: Int, cropB: Int) {
+                       cropL: Int, cropR: Int, cropT: Int, cropB: Int,
+                       sm: Option[ScalingMatrices] = None) {
     require(frameMbsOnly, "interlaced (field) coding unsupported")
     require(chromaFormatIdc == 1, "only 4:2:0 chroma supported")
     val heightMbs: Int = heightMapUnits
@@ -219,6 +226,76 @@ object H264 {
   private val highProfiles =
     Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
 
+  /** scaling_list() (§7.3.2.1.1.1): delta-coded values in SCAN order
+    * written into RASTER positions via `zig`; a first-step jump to 0
+    * selects the default matrix. */
+  private def scalingList(r: BitReader, size: Int,
+                          zig: Array[Int]): (Array[Int], Boolean) = {
+    val out = new Array[Int](size)
+    var last = 8; var next = 8
+    var useDefault = false
+    var j = 0
+    while (j < size) {
+      if (next != 0) {
+        next = (last + r.se() + 256) % 256
+        if (j == 0 && next == 0) useDefault = true
+      }
+      val v = if (next == 0) last else next
+      out(zig(j)) = v
+      last = v
+      j += 1
+    }
+    (out, useDefault)
+  }
+
+  /** Parse one scaling-matrix block (SPS or PPS form) and resolve it
+    * to final matrices via the Table 7-2 fallback rules: rule A
+    * (defaults) when `spsBase` is None, rule B (fall back to the SPS
+    * matrices on lists 0/3/6/7) otherwise. `n8` = number of 8x8
+    * lists coded (2 here — 4:2:0 only). */
+  private def parseScalingMatrix(r: BitReader, n8: Int,
+                                 spsBase: Option[ScalingMatrices])
+      : ScalingMatrices = {
+    import ScalingMatrices._
+    val w4 = new Array[Array[Int]](6)
+    val w8 = new Array[Array[Int]](2)
+    def default(i: Int): Array[Int] = i match {
+      case 0 | 1 | 2 => Default4x4Intra
+      case 3 | 4 | 5 => Default4x4Inter
+      case 6 => Default8x8Intra
+      case _ => Default8x8Inter
+    }
+    def fallback(i: Int): Array[Int] = (i, spsBase) match {
+      case (0, Some(b)) => b.w4(0)
+      case (3, Some(b)) => b.w4(3)
+      case (6, Some(b)) => b.w8(0)
+      case (7, Some(b)) => b.w8(1)
+      case (0, None) | (3, None) | (6, None) | (7, None) => default(i)
+      case (i4, _) if i4 < 6 => w4(i4 - 1)
+      case _ => w8(0) // list 7 after list 6 cannot occur (6/7 are anchors)
+    }
+    var i = 0
+    while (i < 6 + n8) {
+      val present = r.u(1) == 1
+      val resolved =
+        if (!present) fallback(i)
+        else {
+          val (vals, useDef) =
+            if (i < 6) scalingList(r, 16, Transform.zigzag4x4)
+            else scalingList(r, 64, Transform.zigzag8x8)
+          if (useDef) default(i) else vals
+        }
+      if (i < 6) w4(i) = resolved else w8(i - 6) = resolved
+      i += 1
+    }
+    if (n8 == 0) {
+      // 8x8 lists not coded (no transform_8x8): carry the base's
+      w8(0) = spsBase.map(_.w8(0)).getOrElse(Flat.w8(0))
+      w8(1) = spsBase.map(_.w8(1)).getOrElse(Flat.w8(1))
+    }
+    new ScalingMatrices(w4, w8)
+  }
+
   def parseSps(rbsp: Array[Byte]): Sps = {
     val r = new BitReader(rbsp)
     val profile = r.u(8)
@@ -226,14 +303,15 @@ object H264 {
     val level = r.u(8)
     val id = r.ue()
     var chroma = 1
+    var sm: Option[ScalingMatrices] = None
     if (highProfiles.contains(profile)) {
       chroma = r.ue()
       if (chroma == 3) r.u(1) // separate_colour_plane_flag
       r.ue(); r.ue() // bit_depth_luma/chroma_minus8
       require(r.bitsLeft >= 0)
       r.u(1) // qpprime_y_zero_transform_bypass_flag
-      val scaling = r.u(1)
-      require(scaling == 0, "seq_scaling_matrix unsupported")
+      if (r.u(1) == 1) // seq_scaling_matrix_present_flag
+        sm = Some(parseScalingMatrix(r, n8 = 2, spsBase = None))
     }
     val log2FrameNum = r.ue() + 4
     val pocType = r.ue()
@@ -263,16 +341,23 @@ object H264 {
       if (r.u(1) == 1) (r.ue(), r.ue(), r.ue(), r.ue()) else (0, 0, 0, 0)
     // vui ignored
     Sps(id, profile, level, chroma, log2FrameNum, pocType, log2Poc,
-      deltaAlwaysZero, wMbs, hUnits, frameOnly, cl, cr, ct, cb)
+      deltaAlwaysZero, wMbs, hUnits, frameOnly, cl, cr, ct, cb, sm)
   }
 
   final case class Pps(id: Int, spsId: Int, cabac: Boolean,
                        bottomFieldPicOrder: Boolean,
                        deblockingControl: Boolean,
                        redundantPicCnt: Boolean,
-                       picInitQp: Int, chromaQpOffset: Int)
+                       picInitQp: Int, chromaQpOffset: Int,
+                       transform8x8: Boolean = false,
+                       sm: ScalingMatrices = ScalingMatrices.Flat)
 
-  def parsePps(rbsp: Array[Byte]): Pps = {
+  /** Parse a PPS. `spsLookup` resolves the referenced SPS so PPS
+    * scaling lists can apply fallback rule B against the SPS
+    * matrices (Table 7-2); absent, rule A (defaults) applies — the
+    * correct behavior when the SPS carries no matrix. */
+  def parsePps(rbsp: Array[Byte],
+               spsLookup: Int => Option[Sps] = _ => None): Pps = {
     val r = new BitReader(rbsp)
     val id = r.ue()
     val spsId = r.ue()
@@ -290,14 +375,23 @@ object H264 {
     r.u(1) // constrained_intra_pred_flag
     val redundant = r.u(1) == 1
     // optional tail (§7.3.2.2): present in High-profile streams
+    var transform8x8 = false
+    var ppsSm: Option[ScalingMatrices] = None
     if (r.moreRbspData) {
-      require(r.u(1) == 0, "transform_8x8_mode unsupported")
-      require(r.u(1) == 0, "pic_scaling_matrix unsupported")
+      transform8x8 = r.u(1) == 1
+      if (r.u(1) == 1) // pic_scaling_matrix_present_flag
+        ppsSm = Some(parseScalingMatrix(r,
+          n8 = if (transform8x8) 2 else 0,
+          spsBase = spsLookup(spsId).flatMap(_.sm)))
       require(r.se() == chromaQpOffset,
         "distinct second_chroma_qp_index_offset unsupported")
     }
+    // picture-effective matrices: PPS lists beat SPS lists beat flat
+    val sm = ppsSm
+      .orElse(spsLookup(spsId).flatMap(_.sm))
+      .getOrElse(ScalingMatrices.Flat)
     Pps(id, spsId, cabac, bfpo, deblock, redundant, picInitQp,
-      chromaQpOffset)
+      chromaQpOffset, transform8x8, sm)
   }
 
   // ---- frame decode ------------------------------------------------------
@@ -355,7 +449,7 @@ object H264 {
           val s = parseSps(ebspToRbsp(nal, 1))
           sps(s.id) = s
         case 8 =>
-          val p = parsePps(ebspToRbsp(nal, 1))
+          val p = parsePps(ebspToRbsp(nal, 1), sps.get)
           require(sps.contains(p.spsId), s"PPS ${p.id} before its SPS")
           pps(p.id) = p
         case 1 | 5 =>
@@ -425,13 +519,20 @@ object H264 {
             cur.offsetB(mb) = filterOffB
           }
           if (p.cabac) {
+            // CABAC × transform_8x8 needs the ctx-399+ init tables
+            // (§9.3.1.1 High extension), which this module has NOT
+            // transcribed — a named error, never invented constants
+            // (the MP3 rule); CAVLC carries the 8x8 path
+            require(!p.transform8x8,
+              "CABAC with transform_8x8_mode unsupported (ctx-399+ " +
+                "init tables not transcribed) — CAVLC 8x8 is")
             // cabac_alignment_one_bit* then CABAC slice data (§9.3)
             while (!r.byteAligned)
               require(r.u(1) == 1, "cabac_alignment_one_bit must be 1")
             val qps = new Array[Int](cur.total)
             val done = H264Cabac.decodeSliceData(r, cur.ctx,
               sliceId, firstMb, qpY, p.chromaQpOffset,
-              cur.y, cur.cb, cur.cr, qps)
+              cur.y, cur.cb, cur.cr, qps, p.sm)
             var mb = firstMb
             while (mb < firstMb + done) {
               recordDeblock(mb, qps(mb)); mb += 1
@@ -467,7 +568,8 @@ object H264 {
               recordDeblock(mb, 0) // I_PCM deblocks at QP 0 (§8.7.2)
             } else {
               qpY = H264Mb.decodeMb(r, mbType, cur.ctx, mb, sliceId,
-                qpY, p.chromaQpOffset, cur.y, cur.cb, cur.cr)
+                qpY, p.chromaQpOffset, cur.y, cur.cb, cur.cr,
+                p.transform8x8, p.sm)
               recordDeblock(mb, qpY)
             }
             cur.mbsDone += 1
@@ -479,7 +581,7 @@ object H264 {
               H264Deblock.filterPicture(cur.y, cur.cb, cur.cr,
                 cur.wMbs, cur.hMbs, cur.mbQp, cur.chromaQpOffset,
                 cur.ctx.sliceId, cur.deblockIdc, cur.offsetA,
-                cur.offsetB)
+                cur.offsetB, cur.ctx.is8x8)
             frames += toRgb(cur, curSps)
             framesOut += 1
             cur = null
@@ -566,12 +668,28 @@ object H264 {
   }
 
   private def spsRbsp(wMbs: Int, hMbs: Int, cropR: Int,
-                      cropB: Int, maxRefFrames: Int = 0): Array[Byte] = {
+                      cropB: Int, maxRefFrames: Int = 0,
+                      high: Boolean = false,
+                      seqScalingDefault: Boolean = false): Array[Byte] = {
     val w = new BitWriter()
-    w.u(66, 8) // profile_idc: Baseline
+    w.u(if (high) 100 else 66, 8) // profile_idc: High or Baseline
     w.u(0, 8)  // constraint flags + reserved_zero_2bits
     w.u(40, 8) // level_idc 4.0
     w.ue(0)    // seq_parameter_set_id
+    if (high) {
+      w.ue(1)     // chroma_format_idc 4:2:0
+      w.ue(0); w.ue(0) // bit_depth_luma/chroma_minus8
+      w.u(0, 1)   // qpprime_y_zero_transform_bypass_flag
+      if (seqScalingDefault) {
+        w.u(1, 1) // seq_scaling_matrix_present_flag
+        // list 0 present, first delta jumps to 0 → the DEFAULT intra
+        // matrix (§7.3.2.1.1.1); all other lists absent → Table 7-2
+        // rule-A fallbacks (1,2 inherit list 0; 3-5 default inter;
+        // 6/7 default 8x8 intra/inter)
+        w.u(1, 1); w.se(-8)
+        (1 until 8).foreach(_ => w.u(0, 1))
+      } else w.u(0, 1)
+    }
     w.ue(0)    // log2_max_frame_num_minus4
     w.ue(2)    // pic_order_cnt_type 2 (all-IDR stream)
     w.ue(maxRefFrames) // max_num_ref_frames (1 when P filler present)
@@ -590,7 +708,8 @@ object H264 {
 
   private def ppsRbsp(deblockingControl: Boolean = false,
                       cabac: Boolean = false,
-                      id: Int = 0): Array[Byte] = {
+                      id: Int = 0,
+                      transform8x8: Boolean = false): Array[Byte] = {
     val w = new BitWriter()
     w.ue(id)  // pic_parameter_set_id
     w.ue(0)   // seq_parameter_set_id
@@ -606,6 +725,11 @@ object H264 {
     w.u(if (deblockingControl) 1 else 0, 1) // deblocking control present
     w.u(0, 1) // constrained_intra_pred_flag
     w.u(0, 1) // redundant_pic_cnt_present_flag
+    if (transform8x8) { // §7.3.2.2 optional tail
+      w.u(1, 1) // transform_8x8_mode_flag
+      w.u(0, 1) // pic_scaling_matrix_present_flag (SPS lists apply)
+      w.se(0)   // second_chroma_qp_index_offset == chroma offset
+    }
     w.trailingBits()
     w.toBytes
   }
@@ -768,9 +892,25 @@ object H264 {
    * disable_deblocking_filter_idc=1, so the stream is exact under any
    * conformant external decoder too, not just this one.
    */
+  /** The matrices the `scalingMatrix = true` fixtures quantize and
+    * reconstruct with — by construction EXACTLY what parseSps
+    * resolves from the emitted SPS (list 0 default + rule-A
+    * fallbacks), so decode == recon stays the pin. */
+  private def defaultSm: ScalingMatrices = new ScalingMatrices(
+    Array(ScalingMatrices.Default4x4Intra,
+      ScalingMatrices.Default4x4Intra,
+      ScalingMatrices.Default4x4Intra,
+      ScalingMatrices.Default4x4Inter,
+      ScalingMatrices.Default4x4Inter,
+      ScalingMatrices.Default4x4Inter),
+    Array(ScalingMatrices.Default8x8Intra,
+      ScalingMatrices.Default8x8Inter))
+
   def encodeCavlc(width: Int, height: Int, frames: Seq[Array[Int]],
                   qp: Int = 26, mbRowsPerSlice: Int = 0,
-                  deblock: Boolean = false, qpAmp: Int = 0)
+                  deblock: Boolean = false, qpAmp: Int = 0,
+                  transform8x8: Boolean = false,
+                  scalingMatrix: Boolean = false)
       : (Array[Byte], Seq[(Int, Int, Array[Int])]) = {
     require(frames.nonEmpty)
     require(frames.forall(_.length == width * height))
@@ -787,9 +927,18 @@ object H264 {
     // boundary (the PicCtx sliceId machinery both sides exercise;
     // single-slice fixtures leave that logic untested)
     val rows = if (mbRowsPerSlice <= 0) hMbs else mbRowsPerSlice
+    // High profile carries transform_8x8/scaling matrices; the
+    // encoder-side quant and recon must use the SAME resolved
+    // matrices parseSps/parsePps produce (decode == recon is the pin)
+    val high = transform8x8 || scalingMatrix
+    val sm =
+      if (!scalingMatrix) ScalingMatrices.Flat
+      else defaultSm
     val out = new java.io.ByteArrayOutputStream()
-    val spsNal = nal(3, 7, spsRbsp(wMbs, hMbs, cropR, cropB))
-    val ppsNal = nal(3, 8, ppsRbsp(deblockingControl = true))
+    val spsNal = nal(3, 7, spsRbsp(wMbs, hMbs, cropR, cropB,
+      high = high, seqScalingDefault = scalingMatrix))
+    val ppsNal = nal(3, 8, ppsRbsp(deblockingControl = true,
+      transform8x8 = transform8x8))
     out.write(spsNal, 0, spsNal.length)
     out.write(ppsNal, 0, ppsNal.length)
     val recon = frames.zipWithIndex.map { case (rgb, f) =>
@@ -817,7 +966,7 @@ object H264 {
         else w.ue(1) // disable_deblocking_filter_idc = 1
         H264Mb.encodeSliceData(w, ctx, sliceId, sliceQp = qp,
           chromaQpOffset = 0, srcY, srcCb, srcCr, yR, cbR, crR,
-          firstMb, endMb, qpAmp, mbQps)
+          firstMb, endMb, qpAmp, mbQps, transform8x8, sm)
         w.trailingBits()
         val sliceNal = nal(3, 5, w.toBytes)
         out.write(sliceNal, 0, sliceNal.length)
@@ -840,7 +989,8 @@ object H264 {
     val n = ctx.wMbs * ctx.hMbs
     H264Deblock.filterPicture(yR, cbR, crR, ctx.wMbs, ctx.hMbs,
       mbQps, chromaQpOffset = 0, ctx.sliceId,
-      Array.fill(n)(0), new Array[Int](n), new Array[Int](n))
+      Array.fill(n)(0), new Array[Int](n), new Array[Int](n),
+      ctx.is8x8)
   }
 
   /**
@@ -858,7 +1008,8 @@ object H264 {
   def encodeCabac(width: Int, height: Int, frames: Seq[Array[Int]],
                   qp: Int = 26, mbRowsPerSlice: Int = 0,
                   deblock: Boolean = false, qpAmp: Int = 0,
-                  pcmEvery: Int = 0)
+                  pcmEvery: Int = 0,
+                  scalingMatrix: Boolean = false)
       : (Array[Byte], Seq[(Int, Int, Array[Int])]) = {
     require(frames.nonEmpty)
     require(frames.forall(_.length == width * height))
@@ -870,8 +1021,12 @@ object H264 {
     val cropR = (wMbs * 16 - width) / 2
     val cropB = (hMbs * 16 - height) / 2
     val rows = if (mbRowsPerSlice <= 0) hMbs else mbRowsPerSlice
+    val sm =
+      if (!scalingMatrix) ScalingMatrices.Flat
+      else defaultSm
     val out = new java.io.ByteArrayOutputStream()
-    val spsNal = nal(3, 7, spsRbsp(wMbs, hMbs, cropR, cropB))
+    val spsNal = nal(3, 7, spsRbsp(wMbs, hMbs, cropR, cropB,
+      high = scalingMatrix, seqScalingDefault = scalingMatrix))
     val ppsNal = nal(3, 8,
       ppsRbsp(deblockingControl = true, cabac = true))
     out.write(spsNal, 0, spsNal.length)
@@ -902,7 +1057,7 @@ object H264 {
         while (!w.byteAligned) w.u(1, 1) // cabac_alignment_one_bit*
         H264Cabac.encodeSliceData(w, ctx, sliceId, sliceQp = qp,
           chromaQpOffset = 0, srcY, srcCb, srcCr, yR, cbR, crR,
-          firstMb, endMb, qpAmp, mbQps, pcmEvery)
+          firstMb, endMb, qpAmp, mbQps, pcmEvery, sm)
         w.alignZero() // flush's final 1 was the rbsp stop bit
         val sliceNal = nal(3, 5, w.toBytes)
         out.write(sliceNal, 0, sliceNal.length)
@@ -958,6 +1113,12 @@ object H264 {
     require(s.pocType == 2 && s.log2MaxFrameNum == 4 &&
       s.cropL == 0 && s.cropT == 0,
       "insertInterFiller expects this module's own fixture SPS shape")
+    val high = highProfiles.contains(s.profileIdc)
+    val hasSm = s.sm.isDefined
+    require(!hasSm || (s.sm.get.w4(0).toSeq == defaultSm.w4(0).toSeq &&
+        s.sm.get.w8(0).toSeq == defaultSm.w8(0).toSeq),
+      "insertInterFiller regenerates the SPS and supports only the " +
+        "fixture default scaling matrices")
     nals.filter(n => (n(0) & 0x1F) == 8).foreach { p =>
       require(parsePps(ebspToRbsp(p, 1)).id != 1,
         "PPS id 1 is reserved for the filler slices")
@@ -966,7 +1127,8 @@ object H264 {
     val fillerPps = nal(3, 8,
       ppsRbsp(deblockingControl = false, cabac = false, id = 1))
     val newSps = nal(3, 7, spsRbsp(s.widthMbs, s.heightMbs, s.cropR,
-      s.cropB, maxRefFrames = 1))
+      s.cropB, maxRefFrames = 1, high = high,
+      seqScalingDefault = hasSm))
     val out = new java.io.ByteArrayOutputStream()
     // nal()-built units carry their own start code; nalUnits()
     // payloads do not — re-prefix those on pass-through

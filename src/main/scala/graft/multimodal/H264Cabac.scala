@@ -599,7 +599,9 @@ private[graft] object H264Cabac {
                       firstMb: Int, sliceQp: Int, chromaQpOffset: Int,
                       yP: Array[Byte], cbP: Array[Byte],
                       crP: Array[Byte],
-                      mbQpOut: Array[Int] = null): Int = {
+                      mbQpOut: Array[Int] = null,
+                      sm: ScalingMatrices = ScalingMatrices.Flat)
+      : Int = {
     val cm = new CtxModel(sliceQp)
     var d = new Decoder(r, cm)
     var qpY = sliceQp
@@ -632,7 +634,7 @@ private[graft] object H264Cabac {
         qpY = decodeMb(d, ctx, mbIdx, sliceId, qpY, chromaQpOffset,
           prevQpDeltaNonZeroIn = prevQpDeltaNonZero,
           setPrev = v => prevQpDeltaNonZero = v, yP, cbP, crP,
-          mbTypeBin0 = bin0)
+          mbTypeBin0 = bin0, sm = sm)
         if (mbQpOut != null) mbQpOut(mbIdx) = qpY
       }
       done += 1
@@ -672,7 +674,9 @@ private[graft] object H264Cabac {
                        prevQpDeltaNonZeroIn: Boolean,
                        setPrev: Boolean => Unit,
                        yP: Array[Byte], cbP: Array[Byte],
-                       crP: Array[Byte], mbTypeBin0: Int): Int = {
+                       crP: Array[Byte], mbTypeBin0: Int,
+                       sm: ScalingMatrices = ScalingMatrices.Flat)
+      : Int = {
     val mbX = mbIdx % ctx.wMbs
     val mbY = mbIdx / ctx.wMbs
     ctx.sliceId(mbIdx) = sliceId
@@ -833,7 +837,8 @@ private[graft] object H264Cabac {
 
     H264Mb.reconstruct(ctx, mbIdx, sliceId, qpY, qpC, is4x4, modes,
       pred16Mode, chromaMode, cbpChroma,
-      MbCoeffs(lumaDc, lumaAc, cbDc, crDc, cbAc, crAc), yP, cbP, crP)
+      MbCoeffs(lumaDc, lumaAc, cbDc, crDc, cbAc, crAc), yP, cbP, crP,
+      sm = sm)
     qpY
   }
 
@@ -856,7 +861,9 @@ private[graft] object H264Cabac {
                       firstMb: Int, endMb: Int,
                       qpAmp: Int = 0,
                       mbQpOut: Array[Int] = null,
-                      pcmEvery: Int = 0): Unit = {
+                      pcmEvery: Int = 0,
+                      sm: ScalingMatrices = ScalingMatrices.Flat)
+      : Unit = {
     val cm = new CtxModel(sliceQp)
     var e = new Encoder(w, cm)
     var qpY = sliceQp
@@ -885,7 +892,7 @@ private[graft] object H264Cabac {
       } else {
       val target = H264Mb.qpTarget(sliceQp, qpAmp, mbIdx)
       val plan = H264Mb.analyzeMb(ctx, mbIdx, sliceId, target,
-        chromaQpOffset, srcY, srcCb, srcCr, yP, cbP, crP)
+        chromaQpOffset, srcY, srcCb, srcCr, yP, cbP, crP, sm = sm)
       import plan._
 
       // --- mb_type ---

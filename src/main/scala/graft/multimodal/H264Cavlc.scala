@@ -375,11 +375,88 @@ private[graft] object Cavlc {
  * reconstruction uses the SAME dequant/inverse path, which is what
  * makes fixture round-trips exact.
  */
+/**
+ * Resolved quantization weight matrices for one picture (§8.5.9):
+ * `w4` = WeightScale4x4 lists 0-5 (raster 16), `w8` = WeightScale8x8
+ * lists 0-1 → spec lists 6 (intra) / 7 (inter) (raster 64). The
+ * FLAT matrices (all 16) are the no-scaling-matrix default; SPS/PPS
+ * scaling lists (§7.3.2.1.1.1 + the Table 7-2 fallback rules,
+ * parsed in [[H264]]) replace them per picture.
+ */
+private[graft] final class ScalingMatrices(val w4: Array[Array[Int]],
+                                           val w8: Array[Array[Int]]) {
+  require(w4.length == 6 && w4.forall(_.length == 16), "w4 shape")
+  require(w8.length == 2 && w8.forall(_.length == 64), "w8 shape")
+  def isFlat: Boolean =
+    w4.forall(_.forall(_ == 16)) && w8.forall(_.forall(_ == 16))
+}
+
+private[graft] object ScalingMatrices {
+  val Flat: ScalingMatrices = new ScalingMatrices(
+    Array.fill(6)(Array.fill(16)(16)), Array.fill(2)(Array.fill(64)(16)))
+
+  /** Table 7-3 defaults, RASTER order (the spec lists them in scan
+    * order; these are the equivalent matrices). */
+  val Default4x4Intra: Array[Int] = Array(
+    6, 13, 20, 28,
+    13, 20, 28, 32,
+    20, 28, 32, 37,
+    28, 32, 37, 42)
+  val Default4x4Inter: Array[Int] = Array(
+    10, 14, 20, 24,
+    14, 20, 24, 27,
+    20, 24, 27, 30,
+    24, 27, 30, 34)
+
+  /** Table 7-4 defaults, RASTER order. */
+  val Default8x8Intra: Array[Int] = Array(
+    6, 10, 13, 16, 18, 23, 25, 27,
+    10, 11, 16, 18, 23, 25, 27, 29,
+    13, 16, 18, 23, 25, 27, 29, 31,
+    16, 18, 23, 25, 27, 29, 31, 33,
+    18, 23, 25, 27, 29, 31, 33, 36,
+    23, 25, 27, 29, 31, 33, 36, 38,
+    25, 27, 29, 31, 33, 36, 38, 40,
+    27, 29, 31, 33, 36, 38, 40, 42)
+  val Default8x8Inter: Array[Int] = Array(
+    9, 13, 15, 17, 19, 21, 22, 24,
+    13, 13, 17, 19, 21, 22, 24, 25,
+    15, 17, 19, 21, 22, 24, 25, 27,
+    17, 19, 21, 22, 24, 25, 27, 28,
+    19, 21, 22, 24, 25, 27, 28, 30,
+    21, 22, 24, 25, 27, 28, 30, 32,
+    22, 24, 25, 27, 28, 30, 32, 33,
+    24, 25, 27, 28, 30, 32, 33, 35)
+}
+
 private[graft] object Transform {
 
   /** Zig-zag scan (§8.5.6 frame scan): scanPos → raster idx in 4x4. */
   val zigzag4x4: Array[Int] =
     Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+  /** 8x8 zig-zag frame scan (Table 8-8): scanPos → raster idx,
+    * generated by the standard diagonal walk (the H.264 8x8 frame
+    * scan IS the classic zig-zag). */
+  val zigzag8x8: Array[Int] = {
+    val out = new Array[Int](64)
+    var r = 0; var c = 0
+    var k = 0
+    while (k < 64) {
+      out(k) = r * 8 + c
+      if (((r + c) & 1) == 0) { // moving up-right
+        if (c == 7) r += 1
+        else if (r == 0) c += 1
+        else { r -= 1; c += 1 }
+      } else { // moving down-left
+        if (r == 7) c += 1
+        else if (c == 0) r += 1
+        else { r += 1; c -= 1 }
+      }
+      k += 1
+    }
+    out
+  }
 
   /** normAdjust4x4 (Table in §8.5.9): [qp%6][class] where class
     * 0 = positions (0,0),(0,2),(2,0),(2,2); 1 = (1,1),(1,3),(3,1),
@@ -412,10 +489,17 @@ private[graft] object Transform {
     if (qPi < 30) qPi else qpcTab(qPi - 30)
   }
 
-  /** Dequant one AC/standalone coefficient at raster idx (§8.5.12.1;
-    * exact with flat lists: c · normAdjust << (qp/6), see scaladoc). */
-  def dequant(c: Int, qp: Int, idx: Int): Int =
-    (c * normAdjust(qp % 6)(posClass(idx))) << (qp / 6)
+  /** Dequant one AC/standalone coefficient at raster idx (§8.5.12.1)
+    * with quant weight `w` (WeightScale4x4 entry; 16 = flat). The
+    * general form LevelScale = w · normAdjust with the qP < 24
+    * rounding; for w = 16 it reduces EXACTLY to the historical
+    * c · normAdjust << (qp/6) shortcut (the product is divisible by
+    * 2^4, so the rounding term never carries). */
+  def dequant(c: Int, qp: Int, idx: Int, w: Int = 16): Int = {
+    val ls = w * normAdjust(qp % 6)(posClass(idx))
+    if (qp >= 24) (c * ls) << (qp / 6 - 4)
+    else (c * ls + (1 << (3 - qp / 6))) >> (4 - qp / 6)
+  }
 
   /** Inverse 4x4 core transform + (x+32)>>6 rounding (§8.5.12.2);
     * input/output raster order. Output is the residual to add. */
@@ -475,20 +559,22 @@ private[graft] object Transform {
     out
   }
 
-  /** Luma DC dequant after the inverse Hadamard (§8.5.10). */
-  def dequantLumaDc(f: Int, qp: Int): Int = {
-    val ls = 16 * normAdjust(qp % 6)(0)
+  /** Luma DC dequant after the inverse Hadamard (§8.5.10); `w0` is
+    * WeightScale4x4[list](0,0) (16 = flat). */
+  def dequantLumaDc(f: Int, qp: Int, w0: Int = 16): Int = {
+    val ls = w0 * normAdjust(qp % 6)(0)
     if (qp >= 36) (f * ls) << (qp / 6 - 6)
     else (f * ls + (1 << (5 - qp / 6))) >> (6 - qp / 6)
   }
 
-  /** Chroma DC: 2x2 Hadamard then §8.5.11 scaling. */
-  def chromaDcTransformDequant(c: Array[Int], qpC: Int): Array[Int] = {
+  /** Chroma DC: 2x2 Hadamard then §8.5.11 scaling; `w0` as above. */
+  def chromaDcTransformDequant(c: Array[Int], qpC: Int,
+                               w0: Int = 16): Array[Int] = {
     val f0 = c(0) + c(1) + c(2) + c(3)
     val f1 = c(0) - c(1) + c(2) - c(3)
     val f2 = c(0) + c(1) - c(2) - c(3)
     val f3 = c(0) - c(1) - c(2) + c(3)
-    val ls = 16 * normAdjust(qpC % 6)(0)
+    val ls = w0 * normAdjust(qpC % 6)(0)
     Array(f0, f1, f2, f3).map(f => ((f * ls) << (qpC / 6)) >> 5)
   }
 
@@ -525,22 +611,170 @@ private[graft] object Transform {
   }
 
   /** Forward quant of one core-transform coefficient (intra rounding
-    * f = 2^qbits/3 — the public reference-encoder rule). */
-  def quant(w: Int, qp: Int, idx: Int): Int = {
+    * f = 2^qbits/3 — the public reference-encoder rule). A non-flat
+    * quant weight `weight` scales the step up by weight/16 (encoder
+    * side is non-normative; Long arithmetic keeps it overflow-safe). */
+  def quant(w: Int, qp: Int, idx: Int, weight: Int = 16): Int = {
     val qbits = 15 + qp / 6
     val f = (1 << qbits) / 3
     val m = mf(qp % 6)(posClass(idx))
-    val v = (math.abs(w) * m + f) >> qbits
+    val m16 =
+      if (weight == 16) m.toLong
+      else (m.toLong * 16 + weight / 2) / weight
+    val v = ((math.abs(w).toLong * m16 + f) >> qbits).toInt
     if (w < 0) -v else v
   }
 
   /** Forward quant for DC coefficients (doubled rounding, +1 shift —
     * the standard pairing with §8.5.10/§8.5.11 dequant). */
-  def quantDc(w: Int, qp: Int): Int = {
+  def quantDc(w: Int, qp: Int, weight: Int = 16): Int = {
     val qbits = 15 + qp / 6
     val f = (1 << qbits) / 3
     val m = mf(qp % 6)(0)
-    val v = (math.abs(w) * m + 2 * f) >> (qbits + 1)
+    val m16 =
+      if (weight == 16) m.toLong
+      else (m.toLong * 16 + weight / 2) / weight
+    val v = ((math.abs(w).toLong * m16 + 2 * f) >> (qbits + 1)).toInt
+    if (w < 0) -v else v
+  }
+
+  // ---- 8x8 transform (§8.5.12.3/§8.5.13, High profile) -------------
+
+  /** normAdjust8x8 (§8.5.13.1): [qp%6][class] — the 6-class position
+    * pattern below. */
+  private val normAdjust8: Array[Array[Int]] = Array(
+    Array(20, 18, 32, 19, 25, 24), Array(22, 19, 35, 21, 28, 26),
+    Array(26, 23, 42, 24, 33, 31), Array(28, 25, 45, 26, 35, 33),
+    Array(32, 28, 51, 30, 40, 38), Array(36, 32, 58, 34, 46, 43))
+
+  /** Forward quant multipliers for 8x8 (the public reference-encoder
+    * MF8 table, the integer inverse pair of normAdjust8). */
+  private val mf8: Array[Array[Int]] = Array(
+    Array(13107, 11428, 20972, 12222, 16777, 15481),
+    Array(11916, 10826, 19174, 11058, 14980, 14290),
+    Array(10082, 8943, 15978, 9675, 12710, 11985),
+    Array(9362, 8228, 14913, 8931, 11984, 11259),
+    Array(8192, 7346, 13159, 7740, 10486, 9777),
+    Array(7282, 6428, 11570, 6830, 9118, 8640))
+
+  /** Position class for the 8x8 tables, keyed by (row%4, col%4):
+    * (0,0)→0; odd,odd→1; (2,2)→2; 0↔odd→3; 0↔2→4; 2↔odd→5. */
+  private val posClass8Tab: Array[Int] = Array(
+    0, 3, 4, 3,
+    3, 1, 5, 1,
+    4, 5, 2, 5,
+    3, 1, 5, 1)
+  private def posClass8(idx: Int): Int =
+    posClass8Tab(((idx >> 3) & 3) * 4 + (idx & 3))
+
+  /** Dequant one 8x8 coefficient at raster idx (§8.5.13.1) with
+    * quant weight `w` (WeightScale8x8 entry; 16 = flat). */
+  def dequant8(c: Int, qp: Int, idx: Int, w: Int = 16): Int = {
+    val ls = w * normAdjust8(qp % 6)(posClass8(idx))
+    if (qp >= 36) (c * ls) << (qp / 6 - 6)
+    else (c * ls + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+  }
+
+  /** Inverse 8x8 core transform + (x+32)>>6 rounding (§8.5.12.3);
+    * raster in/out. The row/column butterfly is the spec's: even
+    * half a 4-point stage, odd half the ±(x>>1)/±(x>>2) ladder. */
+  def inverse8x8(d: Array[Int]): Array[Int] = {
+    val tmp = new Array[Int](64)
+    def pass(src: Array[Int], dst: Array[Int], rowMajor: Boolean,
+             round: Boolean): Unit = {
+      var i = 0
+      while (i < 8) {
+        def at(k: Int): Int =
+          if (rowMajor) src(i * 8 + k) else src(k * 8 + i)
+        val d0 = at(0); val d1 = at(1); val d2 = at(2); val d3 = at(3)
+        val d4 = at(4); val d5 = at(5); val d6 = at(6); val d7 = at(7)
+        val a0 = d0 + d4
+        val a4 = d0 - d4
+        val a2 = (d2 >> 1) - d6
+        val a6 = d2 + (d6 >> 1)
+        val b0 = a0 + a6
+        val b2 = a4 + a2
+        val b4 = a4 - a2
+        val b6 = a0 - a6
+        val a1 = -d3 + d5 - d7 - (d7 >> 1)
+        val a3 = d1 + d7 - d3 - (d3 >> 1)
+        val a5 = -d1 + d7 + d5 + (d5 >> 1)
+        val a7 = d3 + d5 + d1 + (d1 >> 1)
+        val b1 = a1 + (a7 >> 2)
+        val b7 = a7 - (a1 >> 2)
+        val b3 = a3 + (a5 >> 2)
+        val b5 = (a3 >> 2) - a5
+        val o = Array(b0 + b7, b2 + b5, b4 + b3, b6 + b1,
+          b6 - b1, b4 - b3, b2 - b5, b0 - b7)
+        var k = 0
+        while (k < 8) {
+          val v = if (round) (o(k) + 32) >> 6 else o(k)
+          if (rowMajor) dst(i * 8 + k) = v else dst(k * 8 + i) = v
+          k += 1
+        }
+        i += 1
+      }
+    }
+    pass(d, tmp, rowMajor = true, round = false)
+    val out = new Array[Int](64)
+    pass(tmp, out, rowMajor = false, round = true)
+    out
+  }
+
+  /** Forward 8x8 integer transform (encoder side; the public
+    * reference-encoder butterfly that pairs with [[inverse8x8]]). */
+  def forward8x8(x: Array[Int]): Array[Int] = {
+    val tmp = new Array[Int](64)
+    def pass(src: Array[Int], dst: Array[Int], rowMajor: Boolean): Unit = {
+      var i = 0
+      while (i < 8) {
+        def at(k: Int): Int =
+          if (rowMajor) src(i * 8 + k) else src(k * 8 + i)
+        val d0 = at(0); val d1 = at(1); val d2 = at(2); val d3 = at(3)
+        val d4 = at(4); val d5 = at(5); val d6 = at(6); val d7 = at(7)
+        val a0 = d0 + d7; val a1 = d1 + d6; val a2 = d2 + d5
+        val a3 = d3 + d4
+        val a4 = d0 - d7; val a5 = d1 - d6; val a6 = d2 - d5
+        val a7 = d3 - d4
+        val b0 = a0 + a3; val b1 = a1 + a2
+        val b2 = a0 - a3; val b3 = a1 - a2
+        val b4 = a5 + a6 + ((a4 >> 1) + a4)
+        val b5 = a4 - a7 - ((a6 >> 1) + a6)
+        val b6 = a4 + a7 - ((a5 >> 1) + a5)
+        val b7 = a5 - a6 + ((a7 >> 1) + a7)
+        val o = Array(
+          b0 + b1,
+          b4 + (b7 >> 2),
+          b2 + (b3 >> 1),
+          b5 + (b6 >> 2),
+          b0 - b1,
+          b6 - (b5 >> 2),
+          (b2 >> 1) - b3,
+          -b7 + (b4 >> 2))
+        var k = 0
+        while (k < 8) {
+          if (rowMajor) dst(i * 8 + k) = o(k) else dst(k * 8 + i) = o(k)
+          k += 1
+        }
+        i += 1
+      }
+    }
+    pass(x, tmp, rowMajor = true)
+    val out = new Array[Int](64)
+    pass(tmp, out, rowMajor = false)
+    out
+  }
+
+  /** Forward quant of one 8x8 coefficient (qbits is one higher than
+    * 4x4; intra rounding f = 2^qbits/3). */
+  def quant8(w: Int, qp: Int, idx: Int, weight: Int = 16): Int = {
+    val qbits = 16 + qp / 6
+    val f = (1 << qbits) / 3
+    val m = mf8(qp % 6)(posClass8(idx))
+    val m16 =
+      if (weight == 16) m.toLong
+      else (m.toLong * 16 + weight / 2) / weight
+    val v = ((math.abs(w).toLong * m16 + f) >> qbits).toInt
     if (w < 0) -v else v
   }
 }
@@ -729,6 +963,208 @@ private[graft] object Intra {
         }
       case other =>
         throw new IllegalArgumentException(s"intra4x4 mode $other")
+    }
+  }
+
+  /**
+   * Intra_8x8 prediction (§8.3.2, High profile): reference samples
+   * are loaded with the §8.3.1.2-style above-right substitution,
+   * LOW-PASS FILTERED per §8.3.2.2.1 ((a + 2b + c + 2) >> 2 with
+   * 3-tap ends), then one of the 9 modes — the same mode set as 4x4
+   * with size-8 geometry — fills `out` (64 samples, raster).
+   */
+  def predict8x8(plane: Array[Byte], stride: Int, x0: Int, y0: Int,
+                 mode: Int, availLeft: Boolean, availUp: Boolean,
+                 availUpLeft: Boolean, availUpRight: Boolean,
+                 out: Array[Int]): Unit = {
+    // ---- unfiltered references with substitution ----
+    val tr = new Array[Int](16) // p[x,-1], x = 0..15
+    if (availUp) {
+      var x = 0
+      while (x < 8) {
+        tr(x) = plane((y0 - 1) * stride + x0 + x) & 0xFF; x += 1
+      }
+      if (availUpRight) {
+        while (x < 16) {
+          tr(x) = plane((y0 - 1) * stride + x0 + x) & 0xFF; x += 1
+        }
+      } else {
+        while (x < 16) { tr(x) = tr(7); x += 1 }
+      }
+    }
+    val lf = new Array[Int](8) // p[-1,y]
+    if (availLeft) {
+      var y = 0
+      while (y < 8) {
+        lf(y) = plane((y0 + y) * stride + x0 - 1) & 0xFF; y += 1
+      }
+    }
+    val c0 = if (availUpLeft) plane((y0 - 1) * stride + x0 - 1) & 0xFF
+             else 0
+
+    // ---- §8.3.2.2.1 reference filtering ----
+    val t = new Array[Int](16)
+    if (availUp) {
+      t(0) =
+        if (availUpLeft) (c0 + 2 * tr(0) + tr(1) + 2) >> 2
+        else (3 * tr(0) + tr(1) + 2) >> 2
+      var x = 1
+      while (x < 15) {
+        t(x) = (tr(x - 1) + 2 * tr(x) + tr(x + 1) + 2) >> 2; x += 1
+      }
+      t(15) = (tr(14) + 3 * tr(15) + 2) >> 2
+    }
+    val l = new Array[Int](8)
+    if (availLeft) {
+      l(0) =
+        if (availUpLeft) (c0 + 2 * lf(0) + lf(1) + 2) >> 2
+        else (3 * lf(0) + lf(1) + 2) >> 2
+      var y = 1
+      while (y < 7) {
+        l(y) = (lf(y - 1) + 2 * lf(y) + lf(y + 1) + 2) >> 2; y += 1
+      }
+      l(7) = (lf(6) + 3 * lf(7) + 2) >> 2
+    }
+    val c =
+      if (!availUpLeft) 0
+      else if (availUp && availLeft) (tr(0) + 2 * c0 + lf(0) + 2) >> 2
+      else if (availUp) (3 * c0 + tr(0) + 2) >> 2
+      else if (availLeft) (3 * c0 + lf(0) + 2) >> 2
+      else c0
+
+    def req(ok: Boolean): Unit = require(ok,
+      s"intra8x8 mode $mode needs unavailable neighbors (corrupt)")
+    // index -1 reaches the filtered corner in both arms
+    def pT(i: Int): Int = if (i == -1) c else t(i)
+    def pL(i: Int): Int = if (i == -1) c else l(i)
+
+    mode match {
+      case 0 => // Vertical
+        req(availUp)
+        var i = 0
+        while (i < 64) { out(i) = t(i & 7); i += 1 }
+      case 1 => // Horizontal
+        req(availLeft)
+        var i = 0
+        while (i < 64) { out(i) = l(i >> 3); i += 1 }
+      case 2 => // DC
+        var st = 0; var sl = 0
+        var k = 0
+        while (k < 8) { st += t(k); sl += l(k); k += 1 }
+        val v =
+          if (availLeft && availUp) (st + sl + 8) >> 4
+          else if (availLeft) (sl + 4) >> 3
+          else if (availUp) (st + 4) >> 3
+          else 128
+        java.util.Arrays.fill(out, v)
+      case 3 => // Diagonal Down Left
+        req(availUp)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            out(y * 8 + x) =
+              if (x == 7 && y == 7) (t(14) + 3 * t(15) + 2) >> 2
+              else (t(x + y) + 2 * t(x + y + 1) + t(x + y + 2) + 2) >> 2
+            x += 1
+          }
+          y += 1
+        }
+      case 4 => // Diagonal Down Right
+        req(availLeft && availUp && availUpLeft)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            out(y * 8 + x) =
+              if (x > y)
+                (pT(x - y - 2) + 2 * pT(x - y - 1) + pT(x - y) + 2) >> 2
+              else if (x < y)
+                (pL(y - x - 2) + 2 * pL(y - x - 1) + pL(y - x) + 2) >> 2
+              else (t(0) + 2 * c + l(0) + 2) >> 2
+            x += 1
+          }
+          y += 1
+        }
+      case 5 => // Vertical Right
+        req(availLeft && availUp && availUpLeft)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val z = 2 * x - y
+            out(y * 8 + x) =
+              if (z >= 0 && z % 2 == 0)
+                (pT(x - (y >> 1) - 1) + pT(x - (y >> 1)) + 1) >> 1
+              else if (z >= 0)
+                (pT(x - (y >> 1) - 2) + 2 * pT(x - (y >> 1) - 1) +
+                  pT(x - (y >> 1)) + 2) >> 2
+              else if (z == -1) (l(0) + 2 * c + t(0) + 2) >> 2
+              else
+                (pL(y - 2 * x - 1) + 2 * pL(y - 2 * x - 2) +
+                  pL(y - 2 * x - 3) + 2) >> 2
+            x += 1
+          }
+          y += 1
+        }
+      case 6 => // Horizontal Down
+        req(availLeft && availUp && availUpLeft)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val z = 2 * y - x
+            out(y * 8 + x) =
+              if (z >= 0 && z % 2 == 0)
+                (pL(y - (x >> 1) - 1) + pL(y - (x >> 1)) + 1) >> 1
+              else if (z >= 0)
+                (pL(y - (x >> 1) - 2) + 2 * pL(y - (x >> 1) - 1) +
+                  pL(y - (x >> 1)) + 2) >> 2
+              else if (z == -1) (t(0) + 2 * c + l(0) + 2) >> 2
+              else
+                (pT(x - 2 * y - 1) + 2 * pT(x - 2 * y - 2) +
+                  pT(x - 2 * y - 3) + 2) >> 2
+            x += 1
+          }
+          y += 1
+        }
+      case 7 => // Vertical Left
+        req(availUp)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            out(y * 8 + x) =
+              if (y % 2 == 0)
+                (t(x + (y >> 1)) + t(x + (y >> 1) + 1) + 1) >> 1
+              else
+                (t(x + (y >> 1)) + 2 * t(x + (y >> 1) + 1) +
+                  t(x + (y >> 1) + 2) + 2) >> 2
+            x += 1
+          }
+          y += 1
+        }
+      case 8 => // Horizontal Up
+        req(availLeft)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val z = x + 2 * y
+            out(y * 8 + x) =
+              if (z < 13 && z % 2 == 0)
+                (l(y + (x >> 1)) + l(y + (x >> 1) + 1) + 1) >> 1
+              else if (z < 13)
+                (l(y + (x >> 1)) + 2 * l(y + (x >> 1) + 1) +
+                  l(y + (x >> 1) + 2) + 2) >> 2
+              else if (z == 13) (l(6) + 3 * l(7) + 2) >> 2
+              else l(7)
+            x += 1
+          }
+          y += 1
+        }
+      case other =>
+        throw new IllegalArgumentException(s"intra8x8 mode $other")
     }
   }
 

@@ -135,7 +135,8 @@ private[graft] object H264Deblock {
                     crP: Array[Byte], wMbs: Int, hMbs: Int,
                     mbQp: Array[Int], chromaQpOffset: Int,
                     sliceId: Array[Int], disableIdc: Array[Int],
-                    offsetA: Array[Int], offsetB: Array[Int]): Unit = {
+                    offsetA: Array[Int], offsetB: Array[Int],
+                    is8x8: Array[Boolean] = null): Unit = {
     val lw = wMbs * 16
     val cw = wMbs * 8
     var mb = 0
@@ -155,13 +156,18 @@ private[graft] object H264Deblock {
           (clip3(0, 51, qp + offsetA(mb)),
             clip3(0, 51, qp + offsetB(mb)))
         }
+        // an 8x8-transform MB filters only 8x8-aligned internal
+        // luma edges (§8.7: transform block edges); chroma edges sit
+        // at e 0/2 regardless, so only the luma grid changes
+        val t8 = is8x8 != null && is8x8(mb)
         // --- vertical edges, left to right ---
         var e = 0
         while (e < 4) {
           val boundary = e == 0
           val filterIt =
-            if (!boundary) true
-            else mbX > 0 && neighborOk(mb - 1)
+            (if (!boundary) true
+             else mbX > 0 && neighborOk(mb - 1)) &&
+              !(t8 && (e & 1) == 1)
           if (filterIt) {
             val qpP = if (boundary) mbQp(mb - 1) else mbQp(mb)
             val (ia, ib) = indices(qpP, mbQp(mb), chromaPlane = false)
@@ -184,8 +190,9 @@ private[graft] object H264Deblock {
         while (e < 4) {
           val boundary = e == 0
           val filterIt =
-            if (!boundary) true
-            else mbY > 0 && neighborOk(mb - wMbs)
+            (if (!boundary) true
+             else mbY > 0 && neighborOk(mb - wMbs)) &&
+              !(t8 && (e & 1) == 1)
           if (filterIt) {
             val qpP = if (boundary) mbQp(mb - wMbs) else mbQp(mb)
             val (ia, ib) = indices(qpP, mbQp(mb), chromaPlane = false)

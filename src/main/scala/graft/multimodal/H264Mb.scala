@@ -58,6 +58,10 @@ private[graft] object H264Mb {
     val lumaDcCbf: Array[Boolean] = new Array[Boolean](wMbs * hMbs)
     val cbDcCbf: Array[Boolean] = new Array[Boolean](wMbs * hMbs)
     val crDcCbf: Array[Boolean] = new Array[Boolean](wMbs * hMbs)
+    /** transform_size_8x8_flag per MB (High profile §7.3.5): drives
+      * the deblocking filter's luma edge grid (8x8-transform MBs
+      * filter only 8x8-aligned internal edges, §8.7). */
+    val is8x8: Array[Boolean] = new Array[Boolean](wMbs * hMbs)
   }
 
   /** Availability of the MB at (mx, my) as a neighbor of a MB in
@@ -194,7 +198,9 @@ private[graft] object H264Mb {
   def decodeMb(r: BitReader, mbType: Int, ctx: PicCtx, mbIdx: Int,
                sliceId: Int, qpYPrev: Int, chromaQpOffset: Int,
                yP: Array[Byte], cbP: Array[Byte],
-               crP: Array[Byte]): Int = {
+               crP: Array[Byte],
+               transform8x8Allowed: Boolean = false,
+               sm: ScalingMatrices = ScalingMatrices.Flat): Int = {
     require(mbType >= 0 && mbType <= 24,
       s"mb_type $mbType is not an intra CAVLC type")
     val mbX = mbIdx % ctx.wMbs
@@ -202,9 +208,32 @@ private[graft] object H264Mb {
     val is4x4 = mbType == 0
     ctx.sliceId(mbIdx) = sliceId // neighbors resolve during parse
 
+    // --- transform_size_8x8_flag (§7.3.5, I_NxN only) ---
+    val use8 = is4x4 && transform8x8Allowed && r.u(1) == 1
+    ctx.is8x8(mbIdx) = use8
+
     // --- mb_pred ---
     val modes = Array.fill(16)(-1)
-    if (is4x4) {
+    if (is4x4 && use8) {
+      // 4 Intra8x8PredModes, each replicated into its four 4x4 slots
+      // so every neighbor rule (§8.3.2.1 via the 4x4 mode array)
+      // reads the covering 8x8 block's mode
+      var b = 0
+      while (b < 4) {
+        val bx = (b & 1) * 2; val by = (b >> 1) * 2
+        val pred = predIntra4x4Mode(ctx, mbX, mbY, bx, by,
+          sliceId, modes)
+        val m =
+          if (r.u(1) == 1) pred
+          else { val rem = r.u(3); if (rem < pred) rem else rem + 1 }
+        var k = 0
+        while (k < 4) {
+          modes(zIdx(bx + (k & 1), by + (k >> 1))) = m; k += 1
+        }
+        b += 1
+      }
+      ctx.i4Modes(mbIdx) = modes
+    } else if (is4x4) {
       var z = 0
       while (z < 16) {
         val pred = predIntra4x4Mode(ctx, mbX, mbY, zx(z), zy(z),
@@ -287,7 +316,8 @@ private[graft] object H264Mb {
 
     reconstruct(ctx, mbIdx, sliceId, qpY, qpC, is4x4, modes,
       pred16Mode, chromaMode, cbpChroma,
-      MbCoeffs(lumaDc, lumaAc, cbDc, crDc, cbAc, crAc), yP, cbP, crP)
+      MbCoeffs(lumaDc, lumaAc, cbDc, crDc, cbAc, crAc), yP, cbP, crP,
+      use8 = use8, sm = sm)
     qpY
   }
 
@@ -300,7 +330,10 @@ private[graft] object H264Mb {
                           modes: Array[Int], pred16Mode: Int,
                           chromaMode: Int, cbpChroma: Int,
                           co: MbCoeffs, yP: Array[Byte],
-                          cbP: Array[Byte], crP: Array[Byte]): Unit = {
+                          cbP: Array[Byte], crP: Array[Byte],
+                          use8: Boolean = false,
+                          sm: ScalingMatrices = ScalingMatrices.Flat)
+      : Unit = {
     val mbX = mbIdx % ctx.wMbs
     val mbY = mbIdx / ctx.wMbs
     val lw = ctx.wMbs * 16
@@ -311,7 +344,43 @@ private[graft] object H264Mb {
     val availUpLeftMb = mbAvail(ctx, mbX - 1, mbY - 1, sliceId)
     val pred = new Array[Int](256)
 
-    if (is4x4) {
+    if (is4x4 && use8) {
+      // §8.3.2 + §8.5.13: per 8x8 block — predict (filtered refs),
+      // de-interleave the four CAVLC 4x4 parts back into the 64-coeff
+      // scan (coeff64[4·i + k] = part_k[i], §7.4.5.3.3), dequant8,
+      // inverse 8x8 transform, add
+      val p8 = new Array[Int](64)
+      var b = 0
+      while (b < 4) {
+        val bx = (b & 1) * 2; val by = (b >> 1) * 2
+        val gbx = mbX * 4 + bx; val gby = mbY * 4 + by
+        val zTL = zIdx(bx, by)
+        val aL = blkSamplesAvail(ctx, gbx - 1, gby, sliceId, mbIdx, zTL)
+        val aU = blkSamplesAvail(ctx, gbx, gby - 1, sliceId, mbIdx, zTL)
+        val aUL = blkSamplesAvail(ctx, gbx - 1, gby - 1, sliceId,
+          mbIdx, zTL)
+        val aUR = blkSamplesAvail(ctx, gbx + 2, gby - 1, sliceId,
+          mbIdx, zTL)
+        Intra.predict8x8(yP, lw, x0 + bx * 4, y0 + by * 4,
+          modes(zTL), aL, aU, aUL, aUR, p8)
+        val d = new Array[Int](64)
+        var s = 0
+        while (s < 64) {
+          val cval = co.lumaAc(b * 4 + (s & 3))(s >> 2)
+          val raster = Transform.zigzag8x8(s)
+          d(raster) = Transform.dequant8(cval, qpY, raster, sm.w8(0)(raster))
+          s += 1
+        }
+        val res = Transform.inverse8x8(d)
+        var i = 0
+        while (i < 64) {
+          val px = x0 + bx * 4 + (i & 7); val py = y0 + by * 4 + (i >> 3)
+          yP(py * lw + px) = clipB(p8(i) + res(i))
+          i += 1
+        }
+        b += 1
+      }
+    } else if (is4x4) {
       var z = 0
       val p4 = new Array[Int](16)
       while (z < 16) {
@@ -328,7 +397,8 @@ private[graft] object H264Mb {
         var k = 0
         while (k < 16) {
           val raster = Transform.zigzag4x4(k)
-          d(raster) = Transform.dequant(co.lumaAc(z)(k), qpY, raster)
+          d(raster) = Transform.dequant(co.lumaAc(z)(k), qpY, raster,
+            sm.w4(0)(raster))
           k += 1
         }
         val res = Transform.inverse4x4(d)
@@ -350,7 +420,7 @@ private[graft] object H264Mb {
         dcRaster(Transform.zigzag4x4(k)) = co.lumaDc(k); k += 1
       }
       val dcT = Transform.hadamard4x4(dcRaster)
-        .map(Transform.dequantLumaDc(_, qpY))
+        .map(Transform.dequantLumaDc(_, qpY, sm.w4(0)(0)))
       var z = 0
       while (z < 16) {
         val bx = zx(z); val by = zy(z)
@@ -359,7 +429,8 @@ private[graft] object H264Mb {
         var j = 0
         while (j < 15) {
           val raster = Transform.zigzag4x4(j + 1)
-          d(raster) = Transform.dequant(co.lumaAc(z)(j), qpY, raster)
+          d(raster) = Transform.dequant(co.lumaAc(z)(j), qpY, raster,
+            sm.w4(0)(raster))
           j += 1
         }
         val res = Transform.inverse4x4(d)
@@ -376,7 +447,7 @@ private[graft] object H264Mb {
 
     // chroma — one shared path with the encoder's chroma-only recon
     reconChromaOnly(ctx, mbIdx, sliceId, qpC, chromaMode, cbpChroma,
-      co, cbP, crP, availLeftMb, availUpMb)
+      co, cbP, crP, availLeftMb, availUpMb, sm)
   }
 
   // ---------------------------------------------------------------
@@ -389,7 +460,8 @@ private[graft] object H264Mb {
     * it keeps the CAVLC and CABAC fixtures pixel-identical. */
   private[multimodal] final case class MbPlan(
       is4x4: Boolean, modes: Array[Int], pred16Mode: Int,
-      chromaMode: Int, cbpLuma: Int, cbpChroma: Int, co: MbCoeffs)
+      chromaMode: Int, cbpLuma: Int, cbpChroma: Int, co: MbCoeffs,
+      use8: Boolean = false)
 
   /**
    * Analyze + reconstruct one MB for the fixture encoders: choose
@@ -405,7 +477,10 @@ private[graft] object H264Mb {
                       sliceId: Int, qpY: Int, chromaQpOffset: Int,
                       srcY: Array[Int], srcCb: Array[Int],
                       srcCr: Array[Int], yP: Array[Byte],
-                      cbP: Array[Byte], crP: Array[Byte]): MbPlan = {
+                      cbP: Array[Byte], crP: Array[Byte],
+                      transform8x8: Boolean = false,
+                      sm: ScalingMatrices = ScalingMatrices.Flat)
+      : MbPlan = {
     val lw = ctx.wMbs * 16
     val cw = ctx.wMbs * 8
     locally {
@@ -417,6 +492,12 @@ private[graft] object H264Mb {
         mbX > 0 // same-slice left
       val availUpMb = mbAvail(ctx, mbX, mbY - 1, sliceId)
       val is4x4 = (mbX + mbY) % 3 == 0
+      // deterministic 8x8/4x4 mix inside the I_NxN population, so
+      // fixtures exercise BOTH transform sizes and their neighbor
+      // interactions (mode prediction across sizes, nC across the
+      // interleave split)
+      val use8 = transform8x8 && is4x4 && (mbIdx % 2 == 0)
+      ctx.is8x8(mbIdx) = use8
       val qpC = Transform.chromaQp(qpY, chromaQpOffset)
 
       val modes = Array.fill(16)(-1)
@@ -424,7 +505,69 @@ private[graft] object H264Mb {
       val lumaDc = new Array[Int](16)
       var pred16Mode = -1
 
-      if (is4x4) {
+      if (use8) {
+        // per 8x8 block: choose mode, predict (filtered refs),
+        // forward 8x8 transform + quant, split into the four CAVLC
+        // interleave parts, reconstruct immediately (later blocks
+        // predict from it) — mirror of the 4x4 branch below
+        val p8 = new Array[Int](64)
+        var b = 0
+        while (b < 4) {
+          val bx = (b & 1) * 2; val by = (b >> 1) * 2
+          val gbx = mbX * 4 + bx; val gby = mbY * 4 + by
+          val zTL = zIdx(bx, by)
+          val aL = blkSamplesAvail(ctx, gbx - 1, gby, sliceId, mbIdx, zTL)
+          val aU = blkSamplesAvail(ctx, gbx, gby - 1, sliceId, mbIdx, zTL)
+          val aUL = blkSamplesAvail(ctx, gbx - 1, gby - 1, sliceId,
+            mbIdx, zTL)
+          val aUR = blkSamplesAvail(ctx, gbx + 2, gby - 1, sliceId,
+            mbIdx, zTL)
+          def ok(m: Int): Boolean = m match {
+            case 0 | 3 | 7 => aU
+            case 1 | 8 => aL
+            case 2 => true
+            case _ => aL && aU && aUL
+          }
+          var m = (b + mbIdx) % 9
+          while (!ok(m)) m = (m + 1) % 9
+          var k = 0
+          while (k < 4) {
+            modes(zIdx(bx + (k & 1), by + (k >> 1))) = m; k += 1
+          }
+          Intra.predict8x8(yP, lw, x0 + bx * 4, y0 + by * 4, m,
+            aL, aU, aUL, aUR, p8)
+          val diff = new Array[Int](64)
+          var i = 0
+          while (i < 64) {
+            diff(i) = (srcY((y0 + by * 4 + (i >> 3)) * lw +
+              x0 + bx * 4 + (i & 7)) & 0xFF) - p8(i)
+            i += 1
+          }
+          val wCoef = Transform.forward8x8(diff)
+          val d = new Array[Int](64)
+          var sp = 0
+          while (sp < 64) {
+            val raster = Transform.zigzag8x8(sp)
+            val lvl = Transform.quant8(wCoef(raster), qpY, raster,
+              sm.w8(0)(raster))
+            if (lumaAc(b * 4 + (sp & 3)) == null)
+              lumaAc(b * 4 + (sp & 3)) = new Array[Int](16)
+            lumaAc(b * 4 + (sp & 3))(sp >> 2) = lvl
+            d(raster) = Transform.dequant8(lvl, qpY, raster,
+              sm.w8(0)(raster))
+            sp += 1
+          }
+          val res = Transform.inverse8x8(d)
+          i = 0
+          while (i < 64) {
+            yP((y0 + by * 4 + (i >> 3)) * lw + x0 + bx * 4 + (i & 7)) =
+              clipB(p8(i) + res(i))
+            i += 1
+          }
+          b += 1
+        }
+        ctx.i4Modes(mbIdx) = modes
+      } else if (is4x4) {
         // per-block: choose mode, predict from RECON, transform+quant,
         // then reconstruct immediately (later blocks predict from it)
         val p4 = new Array[Int](16)
@@ -461,7 +604,8 @@ private[graft] object H264Mb {
           var k = 0
           while (k < 16) {
             val raster = Transform.zigzag4x4(k)
-            scan(k) = Transform.quant(wCoef(raster), qpY, raster)
+            scan(k) = Transform.quant(wCoef(raster), qpY, raster,
+              sm.w4(0)(raster))
             k += 1
           }
           lumaAc(z) = scan
@@ -470,7 +614,8 @@ private[graft] object H264Mb {
           k = 0
           while (k < 16) {
             val raster = Transform.zigzag4x4(k)
-            d(raster) = Transform.dequant(scan(k), qpY, raster)
+            d(raster) = Transform.dequant(scan(k), qpY, raster,
+              sm.w4(0)(raster))
             k += 1
           }
           val res = Transform.inverse4x4(d)
@@ -511,7 +656,8 @@ private[graft] object H264Mb {
           var k = 0
           while (k < 15) {
             val raster = Transform.zigzag4x4(k + 1)
-            scan(k) = Transform.quant(wCoef(raster), qpY, raster)
+            scan(k) = Transform.quant(wCoef(raster), qpY, raster,
+              sm.w4(0)(raster))
             k += 1
           }
           acScan(z) = scan
@@ -522,7 +668,8 @@ private[graft] object H264Mb {
           if (v >= 0) (v + 1) >> 1 else -((-v + 1) >> 1))
         var k = 0
         while (k < 16) {
-          lumaDc(k) = Transform.quantDc(had(Transform.zigzag4x4(k)), qpY)
+          lumaDc(k) = Transform.quantDc(had(Transform.zigzag4x4(k)),
+            qpY, sm.w4(0)(0))
           k += 1
         }
         System.arraycopy(acScan, 0, lumaAc, 0, 16)
@@ -535,7 +682,8 @@ private[graft] object H264Mb {
         (if (availLeftMb && availUpMb) Seq(3) else Nil)
       val chromaMode = chromaOk(mbIdx % chromaOk.size)
       val cx0 = mbX * 8; val cy0 = mbY * 8
-      def chromaCoeffs(src: Array[Int], plane: Array[Byte])
+      def chromaCoeffs(src: Array[Int], plane: Array[Byte],
+                       wgt: Array[Int])
           : (Array[Int], Array[Array[Int]]) = {
         val predC = new Array[Int](64)
         Intra.predictChroma(plane, cw, cx0, cy0, chromaMode,
@@ -559,18 +707,19 @@ private[graft] object H264Mb {
           var k = 0
           while (k < 15) {
             val raster = Transform.zigzag4x4(k + 1)
-            scan(k) = Transform.quant(wCoef(raster), qpC, raster)
+            scan(k) = Transform.quant(wCoef(raster), qpC, raster,
+              wgt(raster))
             k += 1
           }
           ac(b) = scan
           b += 1
         }
         val dcQ = Transform.hadamard2x2(dcRaw).map(
-          Transform.quantDc(_, qpC))
+          Transform.quantDc(_, qpC, wgt(0)))
         (dcQ, ac)
       }
-      val (cbDc, cbAc) = chromaCoeffs(srcCb, cbP)
-      val (crDc, crAc) = chromaCoeffs(srcCr, crP)
+      val (cbDc, cbAc) = chromaCoeffs(srcCb, cbP, sm.w4(1))
+      val (crDc, crAc) = chromaCoeffs(srcCr, crP, sm.w4(2))
 
       // CBP from the quantized coefficients
       var cbpLuma = 0
@@ -593,14 +742,16 @@ private[graft] object H264Mb {
       val co = MbCoeffs(lumaDc, lumaAc, cbDc, crDc, cbAc, crAc)
       if (!is4x4) {
         reconstruct(ctx, mbIdx, sliceId, qpY, qpC, is4x4 = false,
-          modes, pred16Mode, chromaMode, cbpChroma, co, yP, cbP, crP)
+          modes, pred16Mode, chromaMode, cbpChroma, co, yP, cbP, crP,
+          sm = sm)
       } else {
-        // chroma-only recon for the I_4x4 MB
+        // chroma-only recon for the I_NxN MB (4x4 or 8x8 luma was
+        // reconstructed block-by-block above)
         reconChromaOnly(ctx, mbIdx, sliceId, qpC, chromaMode,
-          cbpChroma, co, cbP, crP, availLeftMb, availUpMb)
+          cbpChroma, co, cbP, crP, availLeftMb, availUpMb, sm)
       }
       MbPlan(is4x4, modes, pred16Mode, chromaMode, cbpLuma,
-        cbpChroma, co)
+        cbpChroma, co, use8)
     }
   }
 
@@ -630,7 +781,10 @@ private[graft] object H264Mb {
                       cbP: Array[Byte], crP: Array[Byte],
                       firstMb: Int = 0, endMb: Int = -1,
                       qpAmp: Int = 0,
-                      mbQpOut: Array[Int] = null): Unit = {
+                      mbQpOut: Array[Int] = null,
+                      transform8x8: Boolean = false,
+                      sm: ScalingMatrices = ScalingMatrices.Flat)
+      : Unit = {
     val stop = if (endMb < 0) ctx.wMbs * ctx.hMbs else endMb
     var qpY = sliceQp
     var mbIdx = firstMb
@@ -639,7 +793,7 @@ private[graft] object H264Mb {
       val mbY = mbIdx / ctx.wMbs
       val target = qpTarget(sliceQp, qpAmp, mbIdx)
       val plan = analyzeMb(ctx, mbIdx, sliceId, target, chromaQpOffset,
-        srcY, srcCb, srcCr, yP, cbP, crP)
+        srcY, srcCb, srcCr, yP, cbP, crP, transform8x8, sm)
       import plan._
 
       // --- emit syntax (mirror of decodeMb's parse order) ---
@@ -648,7 +802,22 @@ private[graft] object H264Mb {
         else 1 + pred16Mode + 4 * cbpChroma +
           12 * (if (cbpLuma == 15) 1 else 0)
       wr.ue(mbType)
-      if (is4x4) {
+      if (is4x4 && transform8x8) wr.u(if (use8) 1 else 0, 1)
+      if (is4x4 && use8) {
+        var b = 0
+        while (b < 4) {
+          val bx = (b & 1) * 2; val by = (b >> 1) * 2
+          val z = zIdx(bx, by)
+          val pm = predIntra4x4Mode(ctx, mbX, mbY, bx, by,
+            sliceId, modes)
+          if (modes(z) == pm) wr.u(1, 1)
+          else {
+            wr.u(0, 1)
+            wr.u(if (modes(z) < pm) modes(z) else modes(z) - 1, 3)
+          }
+          b += 1
+        }
+      } else if (is4x4) {
         var z = 0
         while (z < 16) {
           val pm = predIntra4x4Mode(ctx, mbX, mbY, zx(z), zy(z),
@@ -722,19 +891,21 @@ private[graft] object H264Mb {
                               cbpChroma: Int, co: MbCoeffs,
                               cbP: Array[Byte], crP: Array[Byte],
                               availLeftMb: Boolean,
-                              availUpMb: Boolean): Unit = {
+                              availUpMb: Boolean,
+                              sm: ScalingMatrices = ScalingMatrices.Flat)
+      : Unit = {
     val mbX = mbIdx % ctx.wMbs
     val mbY = mbIdx / ctx.wMbs
     val cw = ctx.wMbs * 8
     val cx0 = mbX * 8; val cy0 = mbY * 8
     val predC = new Array[Int](64)
     def go(plane: Array[Byte], dcScan: Array[Int],
-           ac: Array[Array[Int]]): Unit = {
+           ac: Array[Array[Int]], w: Array[Int]): Unit = {
       Intra.predictChroma(plane, cw, cx0, cy0, chromaMode,
         availLeftMb, availUpMb, predC)
       val dc =
         if (cbpChroma != 0)
-          Transform.chromaDcTransformDequant(dcScan, qpC)
+          Transform.chromaDcTransformDequant(dcScan, qpC, w(0))
         else Array(0, 0, 0, 0)
       var b = 0
       while (b < 4) {
@@ -745,7 +916,8 @@ private[graft] object H264Mb {
           var j = 0
           while (j < 15) {
             val raster = Transform.zigzag4x4(j + 1)
-            d(raster) = Transform.dequant(ac(b)(j), qpC, raster)
+            d(raster) = Transform.dequant(ac(b)(j), qpC, raster,
+              w(raster))
             j += 1
           }
         }
@@ -760,7 +932,7 @@ private[graft] object H264Mb {
         b += 1
       }
     }
-    go(cbP, co.cbDc, co.cbAc)
-    go(crP, co.crDc, co.crAc)
+    go(cbP, co.cbDc, co.cbAc, sm.w4(1))
+    go(crP, co.crDc, co.crAc, sm.w4(2))
   }
 }

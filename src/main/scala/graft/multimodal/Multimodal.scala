@@ -1534,11 +1534,18 @@ object Multimodal {
                                   frames: Int,
                                   cabac: Boolean = false,
                                   deblock: Boolean = false,
-                                  pFiller: Int = 0): Array[Byte] = {
+                                  pFiller: Int = 0,
+                                  transform8x8: Boolean = false,
+                                  scalingMatrix: Boolean = false)
+      : Array[Byte] = {
+    require(!(cabac && transform8x8),
+      "CABAC x transform_8x8 unsupported (see H264 scope)")
     val px = fixtureFrames(id, w, h, frames)
     val annexB =
-      if (cabac) H264.encodeCabac(w, h, px, qp = 26, deblock = deblock)._1
-      else H264.encodeCavlc(w, h, px, qp = 26, deblock = deblock)._1
+      if (cabac) H264.encodeCabac(w, h, px, qp = 26, deblock = deblock,
+        scalingMatrix = scalingMatrix)._1
+      else H264.encodeCavlc(w, h, px, qp = 26, deblock = deblock,
+        transform8x8 = transform8x8, scalingMatrix = scalingMatrix)._1
     // pFiller > 0: the real-world MIXED stream shape — each IDR
     // followed by that many skippable all-P_Skip filler pictures
     // (H264.insertInterFiller); the decoder fingerprints IDRs only
@@ -1598,7 +1605,10 @@ object Multimodal {
                          copies: Int,
                          cabac: Boolean = false,
                          deblock: Boolean = false,
-                         pFiller: Int = 0): Dataset[MediaRow] = {
+                         pFiller: Int = 0,
+                         transform8x8: Boolean = false,
+                         scalingMatrix: Boolean = false)
+      : Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(nContents.toLong * copies).as[Long].map { id =>
       val content = id % nContents
@@ -1606,7 +1616,7 @@ object Multimodal {
       val h = 64 + (content % 3).toInt * 16
       MediaRow(id, "video",
         syntheticMp4(content, w, h, frames = 5, cabac, deblock,
-          pFiller),
+          pFiller, transform8x8, scalingMatrix),
         MediaMeta(w, h, 0, 5))
     }
   }
