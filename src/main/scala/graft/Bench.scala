@@ -73,6 +73,22 @@ object Bench {
   // bench_evidence/ showed it)
   @volatile private var quietPassDone: Boolean = false
   @volatile private var quietRetries: Int = 0
+  // per-PASS noise windows (round 16): the r15 verdict's +5.3%
+  // shared-set creep question was answerable only by pricing steal
+  // from a side evidence line — now every full pass's own
+  // (steal, iowait, wall seconds) rides in the JSON, so cross-round
+  // comparisons can be STEAL-MATCHED mechanically. Pass 0 is the
+  // main sweep (warm-ups included in its window), then one entry per
+  // quiet-band retry pass.
+  private val passes =
+    scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Boolean, Double)]
+  /** Stricter tier for cross-round totals: a full pass at steal ≤
+    * 0.0008 (≈ ≤2s of inflation at the ~2600 s/unit price) — the r15
+    * verdict's like-for-like threshold. noise_ok (≤ 0.0015) bounds
+    * single-capture validity; steal_matched bounds round-over-round
+    * DELTAS. */
+  private val matchedStealFrac = 0.0008
+  @volatile private var stealMatched: Boolean = false
 
   /** Quiet-host band: clean captures measure steal ≈ 0.0006; the r14
     * evidence line (total vs steal: 0.0006→91.1s, 0.0069→109.1s,
@@ -83,15 +99,34 @@ object Bench {
   private val maxStealFrac = 0.0015
   private val maxIowaitFrac = 0.010
 
-  /** Was the window between two /proc/stat snapshots inside the
-    * quiet band? Unreadable stats can't certify quiet. */
-  private def inBand(a: Option[(Long, Long, Long)],
-                     b: Option[(Long, Long, Long)]): Boolean =
+  /** (stealFrac, iowaitFrac) of the window between two /proc/stat
+    * snapshots; None when unreadable. */
+  private def windowFracs(a: Option[(Long, Long, Long)],
+                          b: Option[(Long, Long, Long)])
+      : Option[(Double, Double)] =
     (a, b) match {
       case (Some((tA, ioA, stA)), Some((tB, ioB, stB))) if tB > tA =>
         val d = (tB - tA).toDouble
-        (stB - stA) / d <= maxStealFrac && (ioB - ioA) / d <= maxIowaitFrac
-      case _ => false
+        Some(((stB - stA) / d, (ioB - ioA) / d))
+      case _ => None
+    }
+
+  /** Record one full-or-partial pass window; returns whether it was
+    * inside the quiet band (unreadable stats can't certify), and
+    * updates the steal-matched tier. */
+  private def recordPass(a: Option[(Long, Long, Long)],
+                         b: Option[(Long, Long, Long)],
+                         full: Boolean, secs: Double): Boolean =
+    windowFracs(a, b) match {
+      case Some((st, io)) =>
+        passes += ((st, io, full, secs))
+        val quiet = full && st <= maxStealFrac && io <= maxIowaitFrac
+        if (full && st <= matchedStealFrac && io <= maxIowaitFrac)
+          stealMatched = true
+        quiet
+      case None =>
+        passes += ((-1.0, -1.0, full, secs))
+        false
     }
 
   /** (totalJiffies, iowait, steal) from /proc/stat's aggregate cpu line —
@@ -160,7 +195,14 @@ object Bench {
       // self-certification verdict: true iff at least one FULL pass over
       // every query ran inside the quiet-host band (reported values are
       // mins over all runs, so one quiet pass bounds every number)
-      val cert = s""","noise_ok":$quietPassDone,"noise_retries":$quietRetries"""
+      val passJson = passes.map { case (st, io, full, secs) =>
+        if (st < 0) s"""{"steal":null,"iowait":null,"full":$full,"secs":${num(secs)}}"""
+        else s"""{"steal":${num(st)},"iowait":${num(io)},"full":$full,"secs":${num(secs)}}"""
+      }.mkString("[", ",", "]")
+      val minFullSteal = passes.collect {
+        case (st, _, true, _) if st >= 0 => st
+      }.minOption
+      val cert = s""","noise_ok":$quietPassDone,"noise_retries":$quietRetries,"steal_matched":$stealMatched,"min_full_pass_steal":${minFullSteal.map(num).getOrElse("null")},"passes":$passJson"""
       // key order matters downstream: the driver records a ~2.2KB stdout
       // TAIL, so "queries" (the steady-state dict — the values a reader
       // actually wants) goes LAST; round 7's artifact exposed the
@@ -260,13 +302,23 @@ object Bench {
     val mainSweepComplete = queries.forall { case (n, _) =>
       samples.get(n).exists(_.nonEmpty)
     }
-    if (mainSweepComplete && inBand(statAtStart, cpuStat()))
+    if (recordPass(statAtStart, cpuStat(), mainSweepComplete, elapsed))
       quietPassDone = true
-    while (!quietPassDone && elapsed < deadline) {
+    // Retry until a pass certifies the quiet band (noise_ok), then —
+    // steal-matched tier (round 16) — up to 3 MORE passes chasing a
+    // steal ≤ 0.0008 window so cross-round totals compare
+    // like-for-like without a side evidence line. Every retry also
+    // tightens the reported mins, so the extra passes are never
+    // wasted.
+    var stealChase = 0
+    while (elapsed < deadline &&
+        (!quietPassDone || (!stealMatched && stealChase < 3))) {
+      if (quietPassDone) stealChase += 1
       quietRetries += 1
-      System.err.println(f"[bench] noisy capture at $elapsed%.1fs — " +
-        f"quiet-band retry pass $quietRetries")
+      System.err.println(f"[bench] ${if (quietPassDone) "steal-match"
+        else "quiet-band"} retry pass $quietRetries at $elapsed%.1fs")
       val passStart = cpuStat()
+      val passT0 = elapsed
       var full = true
       queries.foreach { case (name, fn) =>
         if (elapsed < deadline) {
@@ -274,7 +326,8 @@ object Bench {
           samples(name) = samples.getOrElse(name, Vector.empty) :+ t
         } else full = false
       }
-      if (full && inBand(passStart, cpuStat())) quietPassDone = true
+      if (recordPass(passStart, cpuStat(), full, elapsed - passT0))
+        quietPassDone = true
     }
     // REVISIT pass: one extra timed run for the slowest queries, and for
     // any whose steady min exceeds 2x its own warm-up (a steady run does

@@ -68,7 +68,12 @@ object GoldenPlans {
     "q_bucketed_join",
     // round-16: the same claim cashed on the documents-family join
     // the retrieval queries recur on (documents ⋈ embeddings)
-    "q_bucketed_doc_join")
+    "q_bucketed_doc_join",
+    // round-16: the r15 verdict's one >1.3x clean-capture mover with
+    // untouched operators (0.88→1.36s) — pinned so any future move
+    // with an identical plan is provably not a plan drift (the
+    // q_pipeline_e2e recipe; SoloBand evidence in bench_evidence/)
+    "q_curation_pipeline")
 
   // filled by GoldenPlanDump — (shuffle exchanges, broadcast
   // exchanges, join-strategy multiset) on the sf0.001 static plan
@@ -90,5 +95,6 @@ object GoldenPlans {
     "q_cdc_novelty_state" -> (3, 2, Map[String, Int]("bhj" -> 2)),
     "q_pipeline_e2e" -> (2, 0, Map[String, Int]()),
     "q_bucketed_join" -> (1, 0, Map[String, Int]("smj" -> 1)),
-    "q_bucketed_doc_join" -> (1, 0, Map[String, Int]("smj" -> 1)))
+    "q_bucketed_doc_join" -> (1, 0, Map[String, Int]("smj" -> 1)),
+    "q_curation_pipeline" -> (6, 4, Map[String, Int]("bhj" -> 3, "bnlj" -> 1)))
 }
