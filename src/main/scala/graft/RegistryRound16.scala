@@ -5,8 +5,11 @@ import org.apache.spark.sql.functions._
 import SparkEntry._
 
 /** Round-16 extensions: I-frame-only decoding of mixed I/P/B H.264
-  * streams (the real-world GOP shape), plus the round's other
-  * additions. */
+  * streams (the real-world GOP shape), High-profile transform_8x8 +
+  * quantization scaling matrices, the persisted theta sketch log
+  * (contamination answered from prebuilt state), and the bucketed
+  * documents ⋈ embeddings layout. Each gate shares an existing
+  * oracle verbatim — the agnosticism/persisted-state contracts. */
 private[graft] object RegistryRound16 {
 
   private[graft] val entries: Seq[Q] = Seq(

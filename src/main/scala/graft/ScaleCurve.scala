@@ -356,6 +356,43 @@ object ScaleCurve {
             nContents = 100 * k, copies = 3, cabac = true,
             deblock = true), maxHamming = 4)
       },
+      // round-16 variants, same linear-in-clips contract:
+      // mixed GOP — each IDR followed by 3 skipped P fillers (the
+      // skip is header-level, so cost per clip grows only by the
+      // filler NAL walk)…
+      "video_mp4_mixed" -> { k =>
+        Multimodal.videoNearDuplicates(
+          Multimodal.syntheticMp4Corpus(spark,
+            nContents = 100 * k, copies = 3, cabac = true,
+            pFiller = 3), maxHamming = 4)
+      },
+      // …and the High-profile 8x8-transform + scaling-matrix + deblock
+      // shape (per-MB work, still linear in clips)
+      "video_mp4_8x8" -> { k =>
+        Multimodal.videoNearDuplicates(
+          Multimodal.syntheticMp4Corpus(spark,
+            nContents = 100 * k, copies = 3, deblock = true,
+            transform8x8 = true, scalingMatrix = true), maxHamming = 4)
+      },
+      // persisted theta sketch-log build + probe over a scaling
+      // corpus: the create is one shuffle of 8-byte keys → per-shard
+      // sketches (contract linear in rows; the exchange carries
+      // ≤2^lgK·8B partials per shard), the probe reads only the
+      // KB-scale log (contract flat). Measured r16: 0.78/0.86/1.02 s
+      // at x1/x10/x30 — FIXED job overhead dominates at local corpus
+      // sizes (e_overall 0.08), i.e. the family pins "no superlinear
+      // leg"; the linear-create claim at 100 TB rests on the key-only
+      // shuffle shape, not on these overhead-bound points
+      "theta_sketch_log" -> { k =>
+        val dir = java.nio.file.Files
+          .createTempDirectory("scale-theta-log").toString
+        Dedup.contaminationSketchLog(
+          docs(k).select(col("text"),
+            pmod(col("doc_id"), lit(8L)).cast("string").as("shard")),
+          "text", "shard", dir, shingleWords = 5, lgK = 12)
+        Dedup.contaminationFromLog(spark, dir,
+          benchShards = Seq("0"), lgK = 12)
+      },
       // synthesized media corpus, scaled by clip count
       "audio_constellation" -> { k =>
         Multimodal.audioConstellationMatches(

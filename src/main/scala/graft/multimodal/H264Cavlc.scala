@@ -387,8 +387,6 @@ private[graft] final class ScalingMatrices(val w4: Array[Array[Int]],
                                            val w8: Array[Array[Int]]) {
   require(w4.length == 6 && w4.forall(_.length == 16), "w4 shape")
   require(w8.length == 2 && w8.forall(_.length == 64), "w8 shape")
-  def isFlat: Boolean =
-    w4.forall(_.forall(_ == 16)) && w8.forall(_.forall(_ == 16))
 }
 
 private[graft] object ScalingMatrices {

@@ -67,7 +67,13 @@ object ShuffleVolumeSpec {
     "q_cdc_novelty_state",
     // round 15: the sketch-log set-op family — exchanges carry keys
     // and <=(2^lgK*8B) sketch binaries, never documents
-    "q_theta_overlap")
+    "q_theta_overlap",
+    // round 16: the persisted-log twin (exact legs + two log probes —
+    // same saturation semantics as q_theta_overlap) and the bucketed
+    // documents join (the join itself exchange-FREE; the only shuffle
+    // is the final per-source agg, key+counters rows)
+    "q_contamination_theta_state",
+    "q_bucketed_doc_join")
 
   /** query -> (max total shuffle bytes, max per-exchange avg bytes/row)
     * — measured by ShuffleAuditDump at sf0.01, ~2x headroom (more for
@@ -108,5 +114,13 @@ object ShuffleVolumeSpec {
     // sf0.01 measurement; the row-avg allowance is the wide sketch
     // rows themselves — there is still no document text on any
     // exchange (the keys are 8-byte hashes).
-    "q_theta_overlap" -> (1700000L, 310000.0)) // 826780B, 150748.0
+    "q_theta_overlap" -> (1700000L, 310000.0), // 826780B, 150748.0
+    // round 16 — the persisted-log twin: volume is the gate's EXACT
+    // verification legs (8-byte shingle keys) plus two KB-scale log
+    // probes; the wide row-avg is the sketch partials, same
+    // saturation argument as q_theta_overlap. The bucketed doc join's
+    // ONE exchange is the final per-source agg — the join itself
+    // shuffles nothing at any scale (that's the pinned plan).
+    "q_contamination_theta_state" -> (1200000L, 150000.0), // 574407B, 69833.5
+    "q_bucketed_doc_join" -> (16000L, 100.0)) // 7099B, 46.1
 }
