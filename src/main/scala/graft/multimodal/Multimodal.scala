@@ -199,6 +199,95 @@ object AudioDecoder {
   }
 }
 
+/**
+ * Pluggable IMAGE decode — completes the per-modality SPI trio
+ * ([[FrameDecoder]] video, [[AudioDecoder]] audio): one binding
+ * point turns an opaque image payload into a `BufferedImage`;
+ * everything downstream — RMS/luma features, DCT pHash, resize,
+ * near-dup blocking — is format-agnostic and untouched.
+ *
+ * The built-in path is JDK ImageIO (PNG/JPEG/BMP/GIF). Modern web
+ * formats (WebP/AVIF/HEIC/JPEG-XL) are not JDK-decodable; they fail
+ * with a NAMED error that sniffs the container and names this
+ * binding point — set `graft.image.decoder=com.example.WebpDecoder`
+ * (a no-arg-constructor class; on a cluster, both driver and
+ * executor extraJavaOptions + the jar on the executor classpath).
+ * Resolution is memoized per JVM per class name; the
+ * degrade-don't-fail `Try` in the image entry points turns named
+ * errors into row skips.
+ */
+trait ImageDecoder extends Serializable {
+  /** Decoded image for the payload; implementations throw on
+    * undecodable bytes (callers treat any throw as a skip). */
+  def image(bytes: Array[Byte]): java.awt.image.BufferedImage
+}
+
+object ImageDecoder {
+  val PropKey = "graft.image.decoder"
+
+  /** The JDK path: whatever ImageIO's installed readers accept. */
+  object ImageIo extends ImageDecoder {
+    def image(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a decodable image")
+      img
+    }
+  }
+
+  /** Container sniff for the named-error message (≤16 leading
+    * bytes, deterministic per payload). */
+  private def modernFormat(b: Array[Byte]): Option[String] =
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+      b(11) == 'P') Some("WebP")
+    else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' &&
+      b(6) == 'y' && b(7) == 'p') {
+      val brand = new String(b, 8, 4, "ISO-8859-1")
+      if (brand.startsWith("avi")) Some("AVIF")
+      else if (brand.startsWith("hei") || brand.startsWith("hev"))
+        Some("HEIC")
+      else None
+    }
+    else if (b.length >= 2 && (b(0) & 0xFF) == 0xFF &&
+      (b(1) & 0xFF) == 0x0A) Some("JPEG XL")
+    else None
+
+  /** The default: modern-format payloads fail with a NAMED error
+    * pointing at [[PropKey]]; everything else tries ImageIO. */
+  object Auto extends ImageDecoder {
+    def image(bytes: Array[Byte]): java.awt.image.BufferedImage =
+      modernFormat(bytes) match {
+        case Some(fmt) => throw new IllegalArgumentException(
+          s"$fmt image needs an external ImageDecoder binding — set " +
+            s"-D$PropKey=<class>; the built-in path is JDK ImageIO " +
+            "(PNG/JPEG/BMP/GIF)")
+        case None => ImageIo.image(bytes)
+      }
+  }
+
+  @volatile private var cached: (String, ImageDecoder) = ("", Auto)
+
+  /** Resolve the configured decoder (memoized per class name). */
+  def resolve(): ImageDecoder = sys.props.get(PropKey) match {
+    case None | Some("") => Auto
+    case Some(cls) =>
+      val c = cached
+      if (c._1 == cls) c._2
+      else {
+        val d =
+          try Class.forName(cls).getDeclaredConstructor()
+            .newInstance().asInstanceOf[ImageDecoder]
+          catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"$PropKey=$cls is not a loadable ImageDecoder", e)
+          }
+        cached = (cls, d)
+        d
+      }
+  }
+}
+
 /** Typed metadata carried alongside an opaque media payload. */
 final case class MediaMeta(width: Int, height: Int, sampleRate: Int,
                            nFrames: Int)
@@ -268,9 +357,7 @@ object Multimodal {
      * @return (decodedWidth, decodedHeight, features)
      */
     def decodeImage(bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
-      require(img != null, "payload is not a decodable image")
+      val img = ImageDecoder.resolve().image(bytes)
       val w = img.getWidth
       val h = img.getHeight
       val feats = Array.tabulate(dim) { j =>
@@ -309,9 +396,7 @@ object Multimodal {
      * sharing its Manku blocking downstream.
      */
     def imagePHash(bytes: Array[Byte]): Long = {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
-      require(img != null, "payload is not a decodable image")
+      val img = ImageDecoder.resolve().image(bytes)
       val w = img.getWidth
       val h = img.getHeight
       val n = 32
@@ -399,9 +484,7 @@ object Multimodal {
     /** REAL image resize: decode, bilinear-draw into the target raster,
       * re-encode as PNG. */
     def resizeImage(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      val src = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
-      require(src != null, "payload is not a decodable image")
+      val src = ImageDecoder.resolve().image(bytes)
       val dst = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g = dst.createGraphics()

@@ -1297,6 +1297,16 @@ object Dedup {
                              shardCol: String, dir: String,
                              shingleWords: Int = 5, lgK: Int = 12,
                              useNative: Boolean = true): Unit = {
+    shardSketches(docs, textCol, shardCol, shingleWords, lgK,
+        useNative)
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+  }
+
+  /** One sketch row per shard — the shared front of
+    * [[contaminationSketchLog]] and [[contaminationSketchLogUpsert]]. */
+  private def shardSketches(docs: DataFrame, textCol: String,
+                            shardCol: String, shingleWords: Int,
+                            lgK: Int, useNative: Boolean): DataFrame = {
     import graft.plans.NativeFunctions
     NativeFunctions.register(docs.sparkSession)
     val shingles = shingleFn(docs, shingleWords, useNative)
@@ -1307,7 +1317,22 @@ object Dedup {
       .groupBy(col("shard"))
       .agg(NativeFunctions.thetaAggNative(col("__sh"), lgK).as("theta"),
         count(lit(1)).as("n_shingle_rows"))
-      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+  }
+
+  /** Upsert SPECIFIC shards of a [[contaminationSketchLog]]: rebuild
+    * the sketches of exactly the shards present in `docs` and
+    * overwrite ONLY those partitions (dynamic partition overwrite) —
+    * the new-day/new-crawl append and the replaced-shard refresh in
+    * one primitive; untouched shards' files are never rewritten. */
+  def contaminationSketchLogUpsert(docs: DataFrame, textCol: String,
+                                   shardCol: String, dir: String,
+                                   shingleWords: Int = 5, lgK: Int = 12,
+                                   useNative: Boolean = true): Unit = {
+    shardSketches(docs, textCol, shardCol, shingleWords, lgK,
+        useNative)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard").parquet(dir)
   }
 
   /** Answer the contamination gauge from a prebuilt

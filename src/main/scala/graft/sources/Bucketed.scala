@@ -85,6 +85,33 @@ object Bucketed {
     table
   }
 
+  /**
+   * APPEND a batch into an existing bucketed table (idempotently
+   * re-attaching first) — the per-ingest-batch path: each append
+   * rides Spark's bucketed writer, so new rows land in files keyed
+   * by the SAME bucket spec and joins stay exchange-free; with
+   * several files per bucket the sort-merge join (correctly)
+   * re-sorts, still without exchanges. At 100 TB this is the shape
+   * that keeps the corpus ⋈ embeddings layout current as shards
+   * arrive, without ever rewriting history. Appends are not
+   * transactional across writers — serialize them per table (the
+   * ChunkIndex discipline) or use a real table format for
+   * concurrent-writer corpora.
+   */
+  def appendBucketed(df: DataFrame, prefix: String, path: String,
+                     bucketCol: String, buckets: Int,
+                     sortCol: String = null): String = {
+    val spark = df.sparkSession
+    val table = tableName(prefix, path)
+    val sort = if (sortCol == null) bucketCol else sortCol
+    register(spark, table, df.schema.toDDL, bucketCol, buckets, sort,
+      path)
+    df.createOrReplaceTempView(s"${table}_src")
+    spark.sql(s"INSERT INTO ${qi(table)} " +
+      s"SELECT * FROM ${qi(table + "_src")}")
+    table
+  }
+
   /** Re-attach (or no-op if already attached) a table previously
     * written by [[writeBucketed]] with the SAME spec, and read it.
     * The caller supplies the identical schema/spec — the contract is

@@ -124,6 +124,34 @@ class BucketedSpec extends SparkSpec {
     assert(Bucketed.tableName("p", "/a/b") != Bucketed.tableName("p", "/a/c"))
   }
 
+  test("appendBucketed: ingest batches land in-bucket — the join " +
+      "stays exchange-free across appends and values are the union") {
+    val (fp, dp) = fixture()
+    // two ingest batches of new fact rows (disjoint key ranges)
+    val b1 = (4001L to 4500L).map(k => (k, (k % 7).toInt, s"g${k % 3}"))
+      .toDF("k", "v", "grp")
+    val b2 = (4501L to 5000L).map(k => (k, (k % 7).toInt, s"g${k % 3}"))
+      .toDF("k", "v", "grp")
+    Bucketed.appendBucketed(b1, "bspec_facts", fp, "k", 4)
+    Bucketed.appendBucketed(b2, "bspec_facts", fp, "k", 4)
+    val dimsExtra = (4001L to 5000L).filter(_ % 2 == 0)
+      .map(k => (k, s"s${k % 5}")).toDF("k2", "status")
+    Bucketed.appendBucketed(dimsExtra, "bspec_dims", dp, "k2", 4)
+    val df = joined(fp, dp)
+    val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }
+      assert(exchanges.size == 1,
+        "appends must not reintroduce join-side exchanges " +
+          "(multi-file buckets re-sort, never re-shuffle)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", before)
+    // every even key 2..5000 joins exactly once
+    assert(df.agg(sum($"n")).collect()(0).getLong(0) == 2500L)
+  }
+
   test("quote-bearing paths survive the DDL round-trip (escaped " +
       "LOCATION literal, not string splicing)") {
     val base = java.nio.file.Files

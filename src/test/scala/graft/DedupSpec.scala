@@ -488,6 +488,22 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.contaminationFromLog(spark, s"$dir/log", Seq(), 16)
     }
+    // upsert: refresh ONE shard's data; the probe reflects it and
+    // the other shards' rows are untouched
+    val before = spark.read.parquet(s"$dir/log")
+      .select("shard", "n_shingle_rows")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Dedup.contaminationSketchLogUpsert(
+      all.where(col("src") === "s9")
+        .withColumn("text", concat(col("text"), lit(" zz9 zz8 zz7"))),
+      "text", "src", s"$dir/log", shingleWords = 3, lgK = 16)
+    val after = spark.read.parquet(s"$dir/log")
+      .select("shard", "n_shingle_rows")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after.keySet == before.keySet)
+    assert(after("s9") > before("s9"), "refreshed shard must change")
+    assert(after.removed("s9") == before.removed("s9"),
+      "untouched shards must keep their rows byte-for-byte")
   }
 
   // ---- semantic dedup -----------------------------------------------------

@@ -573,6 +573,69 @@ class MultimodalSpec extends SparkSpec {
     } finally sys.props.remove(AudioDecoder.PropKey)
   }
 
+  test("ImageDecoder SPI: an external image codec binding lights up " +
+      "the pHash family; unset, modern formats fail with a NAMED " +
+      "error that sniffs the container") {
+    import graft.multimodal.{ImageDecoder, MediaMeta, MediaRow}
+    import spark.implicits._
+    // images in a fake modern container (GFAKP1: magic + a PNG body)
+    // — the stand-in for WebP/AVIF, whose real decode needs the
+    // external binding this SPI exists for
+    def png(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(24, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 24) {
+        var x = 0
+        while (x < 24) {
+          img.setRGB(x, y,
+            (seed * 2654435761L.toInt) ^ (x * 131 + y * 31 + seed))
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def fake(seed: Int): Array[Byte] =
+      "GFAKP1".getBytes("US-ASCII") ++ png(seed)
+    val rows = (0L until 6L).map(c =>
+      MediaRow(c, "image", fake(c.toInt * 7), MediaMeta(24, 24, 0, 1))) ++
+      (0L until 6L).map(c =>
+        MediaRow(100L + c, "image", fake(c.toInt * 7),
+          MediaMeta(24, 24, 0, 1)))
+    val corpus = spark.createDataset(rows)
+    sys.props.remove(ImageDecoder.PropKey)
+    // fake container is not ImageIO-decodable → every row skips
+    assert(Multimodal.imageNearDuplicates(corpus, maxHamming = 0)
+      .count() == 0)
+    // modern-format sniffs name the format AND the property
+    val webp = "RIFF".getBytes("US-ASCII") ++ new Array[Byte](4) ++
+      "WEBP".getBytes("US-ASCII") ++ new Array[Byte](8)
+    val e = intercept[IllegalArgumentException] {
+      ImageDecoder.resolve().image(webp)
+    }
+    assert(e.getMessage.contains("WebP") &&
+      e.getMessage.contains(ImageDecoder.PropKey), e.getMessage)
+    val avif = new Array[Byte](4) ++ "ftypavif".getBytes("US-ASCII") ++
+      new Array[Byte](8)
+    assert(intercept[IllegalArgumentException] {
+      ImageDecoder.resolve().image(avif)
+    }.getMessage.contains("AVIF"))
+    // with the binding: the pHash family lights up through the SPI
+    sys.props(ImageDecoder.PropKey) = "graft.FakeImageDecoder"
+    try {
+      val dups = Multimodal.imageNearDuplicates(corpus, maxHamming = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(dups == (0L until 6L).map(c => (c, c + 100L)).toSet,
+        s"got $dups")
+      sys.props(ImageDecoder.PropKey) = "graft.NoSuchImageDecoder"
+      val e2 = intercept[IllegalArgumentException](ImageDecoder.resolve())
+      assert(e2.getMessage.contains("graft.NoSuchImageDecoder"))
+    } finally sys.props.remove(ImageDecoder.PropKey)
+  }
+
   test("audioConstellationProbeIndex: batch vs persisted landmark " +
       "index finds exactly the planted delayed copies") {
     val corpus = Multimodal.syntheticShiftedAudioCorpus(spark, 20, 10)
@@ -589,6 +652,22 @@ class MultimodalSpec extends SparkSpec {
       minVotes = 1)
     assert(none.columns.toSeq == Seq("new_id", "seen_id", "votes"))
     assert(none.count() == 0)
+  }
+}
+
+/** The fake external codec binding for the ImageDecoder SPI test:
+  * "decodes" the GFAKP1 container (magic + a PNG body). Top-level
+  * with a no-arg constructor, the contract a real WebP/AVIF binding
+  * class would satisfy. */
+class FakeImageDecoder extends graft.multimodal.ImageDecoder {
+  def image(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    require(bytes.length > 6 &&
+      new String(bytes.take(6), "US-ASCII") == "GFAKP1",
+      "not a GFAKP1 container")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes, 6, bytes.length - 6))
+    require(img != null, "corrupt GFAKP1 body")
+    img
   }
 }
 
