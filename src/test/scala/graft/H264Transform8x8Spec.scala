@@ -278,6 +278,32 @@ class H264Transform8x8Spec extends SparkSpec {
     assert(err.getMessage.contains("transform_8x8"), err.getMessage)
   }
 
+  test("fuzz: mutated/truncated 8x8+matrix and mixed-GOP streams " +
+      "throw or decode — never hang or corrupt the JVM") {
+    val (bytes8, _) = H264.encodeCavlc(48, 48,
+      Seq(gradient(48, 48, 55)), qp = 30, transform8x8 = true,
+      scalingMatrix = true, deblock = true)
+    val mixed = H264.insertInterFiller(
+      H264.encodeCavlc(48, 48, Seq(gradient(48, 48, 56)), qp = 26)._1,
+      perGap = 2)
+    val rnd = new scala.util.Random(123)
+    var threw = 0
+    Seq(bytes8, mixed).foreach { base =>
+      (0 until 200).foreach { _ =>
+        val m = base.clone()
+        m(rnd.nextInt(m.length)) =
+          (m(rnd.nextInt(m.length)) ^ (1 << rnd.nextInt(8))).toByte
+        try { H264.decodeFrames(m); () }
+        catch { case _: Exception | _: AssertionError => threw += 1 }
+      }
+      (1 until 12).foreach { cut =>
+        try { H264.decodeFrames(base.take(base.length - cut * 9)); () }
+        catch { case _: Exception => () }
+      }
+    }
+    assert(threw > 0, "some mutations must be detected")
+  }
+
   test("the 8x8 fixture population genuinely mixes transform sizes " +
       "and composes with mixed-GOP P filler") {
     val frames = Seq(gradient(64, 64, 3))
