@@ -350,7 +350,8 @@ object H264 {
                        redundantPicCnt: Boolean,
                        picInitQp: Int, chromaQpOffset: Int,
                        transform8x8: Boolean = false,
-                       sm: ScalingMatrices = ScalingMatrices.Flat)
+                       sm: ScalingMatrices = ScalingMatrices.Flat,
+                       chromaQpOffsetCr: Int = 0)
 
   /** Parse a PPS. `spsLookup` resolves the referenced SPS so PPS
     * scaling lists can apply fallback rule B against the SPS
@@ -377,21 +378,22 @@ object H264 {
     // optional tail (§7.3.2.2): present in High-profile streams
     var transform8x8 = false
     var ppsSm: Option[ScalingMatrices] = None
+    // absent tail → Cr shares the Cb offset (§7.4.2.2 inference rule)
+    var chromaQpOffsetCr = chromaQpOffset
     if (r.moreRbspData) {
       transform8x8 = r.u(1) == 1
       if (r.u(1) == 1) // pic_scaling_matrix_present_flag
         ppsSm = Some(parseScalingMatrix(r,
           n8 = if (transform8x8) 2 else 0,
           spsBase = spsLookup(spsId).flatMap(_.sm)))
-      require(r.se() == chromaQpOffset,
-        "distinct second_chroma_qp_index_offset unsupported")
+      chromaQpOffsetCr = r.se() // second_chroma_qp_index_offset (Cr)
     }
     // picture-effective matrices: PPS lists beat SPS lists beat flat
     val sm = ppsSm
       .orElse(spsLookup(spsId).flatMap(_.sm))
       .getOrElse(ScalingMatrices.Flat)
     Pps(id, spsId, cabac, bfpo, deblock, redundant, picInitQp,
-      chromaQpOffset, transform8x8, sm)
+      chromaQpOffset, transform8x8, sm, chromaQpOffsetCr)
   }
 
   // ---- frame decode ------------------------------------------------------
@@ -413,6 +415,7 @@ object H264 {
     val offsetA = new Array[Int](total)
     val offsetB = new Array[Int](total)
     var chromaQpOffset = 0
+    var chromaQpOffsetCr = 0
   }
 
   /** Decode the INTRA pictures of an Annex-B stream — I_PCM,
@@ -512,6 +515,7 @@ object H264 {
           var qpY = p.picInitQp + sliceQpDelta
           require(qpY >= 0 && qpY <= 51, s"slice QP $qpY out of range")
           cur.chromaQpOffset = p.chromaQpOffset
+          cur.chromaQpOffsetCr = p.chromaQpOffsetCr
           def recordDeblock(mb: Int, qp: Int): Unit = {
             cur.mbQp(mb) = qp
             cur.deblockIdc(mb) = deblockIdc
@@ -532,7 +536,7 @@ object H264 {
             val qps = new Array[Int](cur.total)
             val done = H264Cabac.decodeSliceData(r, cur.ctx,
               sliceId, firstMb, qpY, p.chromaQpOffset,
-              cur.y, cur.cb, cur.cr, qps, p.sm)
+              cur.y, cur.cb, cur.cr, qps, p.sm, p.chromaQpOffsetCr)
             var mb = firstMb
             while (mb < firstMb + done) {
               recordDeblock(mb, qps(mb)); mb += 1
@@ -569,7 +573,7 @@ object H264 {
             } else {
               qpY = H264Mb.decodeMb(r, mbType, cur.ctx, mb, sliceId,
                 qpY, p.chromaQpOffset, cur.y, cur.cb, cur.cr,
-                p.transform8x8, p.sm)
+                p.transform8x8, p.sm, p.chromaQpOffsetCr)
               recordDeblock(mb, qpY)
             }
             cur.mbsDone += 1
@@ -581,7 +585,7 @@ object H264 {
               H264Deblock.filterPicture(cur.y, cur.cb, cur.cr,
                 cur.wMbs, cur.hMbs, cur.mbQp, cur.chromaQpOffset,
                 cur.ctx.sliceId, cur.deblockIdc, cur.offsetA,
-                cur.offsetB, cur.ctx.is8x8)
+                cur.offsetB, cur.ctx.is8x8, cur.chromaQpOffsetCr)
             frames += toRgb(cur, curSps)
             framesOut += 1
             cur = null
@@ -709,7 +713,8 @@ object H264 {
   private def ppsRbsp(deblockingControl: Boolean = false,
                       cabac: Boolean = false,
                       id: Int = 0,
-                      transform8x8: Boolean = false): Array[Byte] = {
+                      transform8x8: Boolean = false,
+                      chromaQpOffsetCr: Int = 0): Array[Byte] = {
     val w = new BitWriter()
     w.ue(id)  // pic_parameter_set_id
     w.ue(0)   // seq_parameter_set_id
@@ -725,10 +730,10 @@ object H264 {
     w.u(if (deblockingControl) 1 else 0, 1) // deblocking control present
     w.u(0, 1) // constrained_intra_pred_flag
     w.u(0, 1) // redundant_pic_cnt_present_flag
-    if (transform8x8) { // §7.3.2.2 optional tail
-      w.u(1, 1) // transform_8x8_mode_flag
+    if (transform8x8 || chromaQpOffsetCr != 0) { // §7.3.2.2 tail
+      w.u(if (transform8x8) 1 else 0, 1) // transform_8x8_mode_flag
       w.u(0, 1) // pic_scaling_matrix_present_flag (SPS lists apply)
-      w.se(0)   // second_chroma_qp_index_offset == chroma offset
+      w.se(chromaQpOffsetCr) // second_chroma_qp_index_offset (Cr)
     }
     w.trailingBits()
     w.toBytes
@@ -910,7 +915,8 @@ object H264 {
                   qp: Int = 26, mbRowsPerSlice: Int = 0,
                   deblock: Boolean = false, qpAmp: Int = 0,
                   transform8x8: Boolean = false,
-                  scalingMatrix: Boolean = false)
+                  scalingMatrix: Boolean = false,
+                  chromaQpOffsetCr: Int = 0)
       : (Array[Byte], Seq[(Int, Int, Array[Int])]) = {
     require(frames.nonEmpty)
     require(frames.forall(_.length == width * height))
@@ -938,7 +944,8 @@ object H264 {
     val spsNal = nal(3, 7, spsRbsp(wMbs, hMbs, cropR, cropB,
       high = high, seqScalingDefault = scalingMatrix))
     val ppsNal = nal(3, 8, ppsRbsp(deblockingControl = true,
-      transform8x8 = transform8x8))
+      transform8x8 = transform8x8,
+      chromaQpOffsetCr = chromaQpOffsetCr))
     out.write(spsNal, 0, spsNal.length)
     out.write(ppsNal, 0, ppsNal.length)
     val recon = frames.zipWithIndex.map { case (rgb, f) =>
@@ -966,14 +973,16 @@ object H264 {
         else w.ue(1) // disable_deblocking_filter_idc = 1
         H264Mb.encodeSliceData(w, ctx, sliceId, sliceQp = qp,
           chromaQpOffset = 0, srcY, srcCb, srcCr, yR, cbR, crR,
-          firstMb, endMb, qpAmp, mbQps, transform8x8, sm)
+          firstMb, endMb, qpAmp, mbQps, transform8x8, sm,
+          chromaQpOffsetCr)
         w.trailingBits()
         val sliceNal = nal(3, 5, w.toBytes)
         out.write(sliceNal, 0, sliceNal.length)
         row += rows
         sliceId += 1
       }
-      if (deblock) deblockRecon(ctx, mbQps, yR, cbR, crR)
+      if (deblock) deblockRecon(ctx, mbQps, yR, cbR, crR,
+        chromaQpOffsetCr)
       planesToRgb(wMbs, hMbs, cropR, cropB, yR, cbR, crR)
     }
     (out.toByteArray, recon)
@@ -985,12 +994,13 @@ object H264 {
     * whole picture is encoded — exactly the decoder's sequencing. */
   private def deblockRecon(ctx: H264Mb.PicCtx, mbQps: Array[Int],
                            yR: Array[Byte], cbR: Array[Byte],
-                           crR: Array[Byte]): Unit = {
+                           crR: Array[Byte],
+                           chromaQpOffsetCr: Int = 0): Unit = {
     val n = ctx.wMbs * ctx.hMbs
     H264Deblock.filterPicture(yR, cbR, crR, ctx.wMbs, ctx.hMbs,
       mbQps, chromaQpOffset = 0, ctx.sliceId,
       Array.fill(n)(0), new Array[Int](n), new Array[Int](n),
-      ctx.is8x8)
+      ctx.is8x8, chromaQpOffsetCr)
   }
 
   /**
@@ -1009,7 +1019,8 @@ object H264 {
                   qp: Int = 26, mbRowsPerSlice: Int = 0,
                   deblock: Boolean = false, qpAmp: Int = 0,
                   pcmEvery: Int = 0,
-                  scalingMatrix: Boolean = false)
+                  scalingMatrix: Boolean = false,
+                  chromaQpOffsetCr: Int = 0)
       : (Array[Byte], Seq[(Int, Int, Array[Int])]) = {
     require(frames.nonEmpty)
     require(frames.forall(_.length == width * height))
@@ -1028,7 +1039,8 @@ object H264 {
     val spsNal = nal(3, 7, spsRbsp(wMbs, hMbs, cropR, cropB,
       high = scalingMatrix, seqScalingDefault = scalingMatrix))
     val ppsNal = nal(3, 8,
-      ppsRbsp(deblockingControl = true, cabac = true))
+      ppsRbsp(deblockingControl = true, cabac = true,
+        chromaQpOffsetCr = chromaQpOffsetCr))
     out.write(spsNal, 0, spsNal.length)
     out.write(ppsNal, 0, ppsNal.length)
     val recon = frames.zipWithIndex.map { case (rgb, f) =>
@@ -1057,14 +1069,16 @@ object H264 {
         while (!w.byteAligned) w.u(1, 1) // cabac_alignment_one_bit*
         H264Cabac.encodeSliceData(w, ctx, sliceId, sliceQp = qp,
           chromaQpOffset = 0, srcY, srcCb, srcCr, yR, cbR, crR,
-          firstMb, endMb, qpAmp, mbQps, pcmEvery, sm)
+          firstMb, endMb, qpAmp, mbQps, pcmEvery, sm,
+          chromaQpOffsetCr)
         w.alignZero() // flush's final 1 was the rbsp stop bit
         val sliceNal = nal(3, 5, w.toBytes)
         out.write(sliceNal, 0, sliceNal.length)
         row += rows
         sliceId += 1
       }
-      if (deblock) deblockRecon(ctx, mbQps, yR, cbR, crR)
+      if (deblock) deblockRecon(ctx, mbQps, yR, cbR, crR,
+        chromaQpOffsetCr)
       planesToRgb(wMbs, hMbs, cropR, cropB, yR, cbR, crR)
     }
     (out.toByteArray, recon)

@@ -600,7 +600,8 @@ private[graft] object H264Cabac {
                       yP: Array[Byte], cbP: Array[Byte],
                       crP: Array[Byte],
                       mbQpOut: Array[Int] = null,
-                      sm: ScalingMatrices = ScalingMatrices.Flat)
+                      sm: ScalingMatrices = ScalingMatrices.Flat,
+                      chromaQpOffsetCr: Int = Int.MinValue)
       : Int = {
     val cm = new CtxModel(sliceQp)
     var d = new Decoder(r, cm)
@@ -634,7 +635,8 @@ private[graft] object H264Cabac {
         qpY = decodeMb(d, ctx, mbIdx, sliceId, qpY, chromaQpOffset,
           prevQpDeltaNonZeroIn = prevQpDeltaNonZero,
           setPrev = v => prevQpDeltaNonZero = v, yP, cbP, crP,
-          mbTypeBin0 = bin0, sm = sm)
+          mbTypeBin0 = bin0, sm = sm,
+          chromaQpOffsetCr = chromaQpOffsetCr)
         if (mbQpOut != null) mbQpOut(mbIdx) = qpY
       }
       done += 1
@@ -675,7 +677,8 @@ private[graft] object H264Cabac {
                        setPrev: Boolean => Unit,
                        yP: Array[Byte], cbP: Array[Byte],
                        crP: Array[Byte], mbTypeBin0: Int,
-                       sm: ScalingMatrices = ScalingMatrices.Flat)
+                       sm: ScalingMatrices = ScalingMatrices.Flat,
+                       chromaQpOffsetCr: Int = Int.MinValue)
       : Int = {
     val mbX = mbIdx % ctx.wMbs
     val mbY = mbIdx / ctx.wMbs
@@ -838,7 +841,9 @@ private[graft] object H264Cabac {
     H264Mb.reconstruct(ctx, mbIdx, sliceId, qpY, qpC, is4x4, modes,
       pred16Mode, chromaMode, cbpChroma,
       MbCoeffs(lumaDc, lumaAc, cbDc, crDc, cbAc, crAc), yP, cbP, crP,
-      sm = sm)
+      sm = sm, qpCr = Transform.chromaQp(qpY,
+        if (chromaQpOffsetCr == Int.MinValue) chromaQpOffset
+        else chromaQpOffsetCr))
     qpY
   }
 
@@ -862,7 +867,8 @@ private[graft] object H264Cabac {
                       qpAmp: Int = 0,
                       mbQpOut: Array[Int] = null,
                       pcmEvery: Int = 0,
-                      sm: ScalingMatrices = ScalingMatrices.Flat)
+                      sm: ScalingMatrices = ScalingMatrices.Flat,
+                      chromaQpOffsetCr: Int = Int.MinValue)
       : Unit = {
     val cm = new CtxModel(sliceQp)
     var e = new Encoder(w, cm)
@@ -892,7 +898,8 @@ private[graft] object H264Cabac {
       } else {
       val target = H264Mb.qpTarget(sliceQp, qpAmp, mbIdx)
       val plan = H264Mb.analyzeMb(ctx, mbIdx, sliceId, target,
-        chromaQpOffset, srcY, srcCb, srcCr, yP, cbP, crP, sm = sm)
+        chromaQpOffset, srcY, srcCb, srcCr, yP, cbP, crP, sm = sm,
+        chromaQpOffsetCr = chromaQpOffsetCr)
       import plan._
 
       // --- mb_type ---

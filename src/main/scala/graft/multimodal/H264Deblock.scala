@@ -136,7 +136,13 @@ private[graft] object H264Deblock {
                     mbQp: Array[Int], chromaQpOffset: Int,
                     sliceId: Array[Int], disableIdc: Array[Int],
                     offsetA: Array[Int], offsetB: Array[Int],
-                    is8x8: Array[Boolean] = null): Unit = {
+                    is8x8: Array[Boolean] = null,
+                    chromaQpOffsetCr: Int = Int.MinValue): Unit = {
+    // second_chroma_qp_index_offset: Cr edges filter at Cr's own QP
+    // (§8.7.2 uses QPc of the PLANE being filtered)
+    val offCr =
+      if (chromaQpOffsetCr == Int.MinValue) chromaQpOffset
+      else chromaQpOffsetCr
     val lw = wMbs * 16
     val cw = wMbs * 8
     var mb = 0
@@ -146,16 +152,21 @@ private[graft] object H264Deblock {
         val mbY = mb / wMbs
         def neighborOk(n: Int): Boolean =
           disableIdc(mb) == 0 || sliceId(n) == sliceId(mb)
-        def indices(qpP: Int, qpQ: Int, chromaPlane: Boolean)
+        def indicesFor(qpP: Int, qpQ: Int, off: Option[Int])
             : (Int, Int) = {
-          val qp =
-            if (chromaPlane)
-              (Transform.chromaQp(qpP, chromaQpOffset) +
-                Transform.chromaQp(qpQ, chromaQpOffset) + 1) >> 1
-            else (qpP + qpQ + 1) >> 1
+          val qp = off match {
+            case Some(o) =>
+              (Transform.chromaQp(qpP, o) +
+                Transform.chromaQp(qpQ, o) + 1) >> 1
+            case None => (qpP + qpQ + 1) >> 1
+          }
           (clip3(0, 51, qp + offsetA(mb)),
             clip3(0, 51, qp + offsetB(mb)))
         }
+        def indices(qpP: Int, qpQ: Int, chromaPlane: Boolean)
+            : (Int, Int) =
+          indicesFor(qpP, qpQ,
+            if (chromaPlane) Some(chromaQpOffset) else None)
         // an 8x8-transform MB filters only 8x8-aligned internal
         // luma edges (§8.7: transform block edges); chroma edges sit
         // at e 0/2 regardless, so only the luma grid changes
@@ -176,11 +187,12 @@ private[graft] object H264Deblock {
               strong = boundary, chroma = false, ia, ib)
             if ((e & 1) == 0) { // chroma vertical edges at 0 and 8/2
               val (ca, cb) = indices(qpP, mbQp(mb), chromaPlane = true)
+              val (ra, rb) = indicesFor(qpP, mbQp(mb), Some(offCr))
               val cbase = mbY * 8 * cw + mbX * 8 + e * 2
               filterEdge(cbP, cbase, 1, cw, 8, boundary,
                 chroma = true, ca, cb)
               filterEdge(crP, cbase, 1, cw, 8, boundary,
-                chroma = true, ca, cb)
+                chroma = true, ra, rb)
             }
           }
           e += 1
@@ -201,11 +213,12 @@ private[graft] object H264Deblock {
               strong = boundary, chroma = false, ia, ib)
             if ((e & 1) == 0) {
               val (ca, cb) = indices(qpP, mbQp(mb), chromaPlane = true)
+              val (ra, rb) = indicesFor(qpP, mbQp(mb), Some(offCr))
               val cbase = (mbY * 8 + e * 2) * cw + mbX * 8
               filterEdge(cbP, cbase, cw, 1, 8, boundary,
                 chroma = true, ca, cb)
               filterEdge(crP, cbase, cw, 1, 8, boundary,
-                chroma = true, ca, cb)
+                chroma = true, ra, rb)
             }
           }
           e += 1

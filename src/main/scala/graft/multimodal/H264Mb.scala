@@ -200,7 +200,13 @@ private[graft] object H264Mb {
                yP: Array[Byte], cbP: Array[Byte],
                crP: Array[Byte],
                transform8x8Allowed: Boolean = false,
-               sm: ScalingMatrices = ScalingMatrices.Flat): Int = {
+               sm: ScalingMatrices = ScalingMatrices.Flat,
+               chromaQpOffsetCr: Int = Int.MinValue): Int = {
+    // second_chroma_qp_index_offset (§7.4.2.2): Cr gets its own QP
+    // offset when the PPS tail carries one; sentinel = same as Cb
+    val offCr =
+      if (chromaQpOffsetCr == Int.MinValue) chromaQpOffset
+      else chromaQpOffsetCr
     require(mbType >= 0 && mbType <= 24,
       s"mb_type $mbType is not an intra CAVLC type")
     val mbX = mbIdx % ctx.wMbs
@@ -266,6 +272,7 @@ private[graft] object H264Mb {
       qpY = (qpY + delta + 52) % 52
     }
     val qpC = Transform.chromaQp(qpY, chromaQpOffset)
+    val qpCr = Transform.chromaQp(qpY, offCr)
 
     // --- residual parse (§7.3.5.3), recording nz context as we go ---
     val lumaDc = new Array[Int](16)
@@ -317,7 +324,7 @@ private[graft] object H264Mb {
     reconstruct(ctx, mbIdx, sliceId, qpY, qpC, is4x4, modes,
       pred16Mode, chromaMode, cbpChroma,
       MbCoeffs(lumaDc, lumaAc, cbDc, crDc, cbAc, crAc), yP, cbP, crP,
-      use8 = use8, sm = sm)
+      use8 = use8, sm = sm, qpCr = qpCr)
     qpY
   }
 
@@ -332,7 +339,8 @@ private[graft] object H264Mb {
                           co: MbCoeffs, yP: Array[Byte],
                           cbP: Array[Byte], crP: Array[Byte],
                           use8: Boolean = false,
-                          sm: ScalingMatrices = ScalingMatrices.Flat)
+                          sm: ScalingMatrices = ScalingMatrices.Flat,
+                          qpCr: Int = Int.MinValue)
       : Unit = {
     val mbX = mbIdx % ctx.wMbs
     val mbY = mbIdx / ctx.wMbs
@@ -447,7 +455,8 @@ private[graft] object H264Mb {
 
     // chroma — one shared path with the encoder's chroma-only recon
     reconChromaOnly(ctx, mbIdx, sliceId, qpC, chromaMode, cbpChroma,
-      co, cbP, crP, availLeftMb, availUpMb, sm)
+      co, cbP, crP, availLeftMb, availUpMb, sm,
+      if (qpCr == Int.MinValue) qpC else qpCr)
   }
 
   // ---------------------------------------------------------------
@@ -479,8 +488,12 @@ private[graft] object H264Mb {
                       srcCr: Array[Int], yP: Array[Byte],
                       cbP: Array[Byte], crP: Array[Byte],
                       transform8x8: Boolean = false,
-                      sm: ScalingMatrices = ScalingMatrices.Flat)
+                      sm: ScalingMatrices = ScalingMatrices.Flat,
+                      chromaQpOffsetCr: Int = Int.MinValue)
       : MbPlan = {
+    val offCr =
+      if (chromaQpOffsetCr == Int.MinValue) chromaQpOffset
+      else chromaQpOffsetCr
     val lw = ctx.wMbs * 16
     val cw = ctx.wMbs * 8
     locally {
@@ -499,6 +512,7 @@ private[graft] object H264Mb {
       val use8 = transform8x8 && is4x4 && (mbIdx % 2 == 0)
       ctx.is8x8(mbIdx) = use8
       val qpC = Transform.chromaQp(qpY, chromaQpOffset)
+      val qpCr = Transform.chromaQp(qpY, offCr)
 
       val modes = Array.fill(16)(-1)
       val lumaAc = new Array[Array[Int]](16)
@@ -683,7 +697,7 @@ private[graft] object H264Mb {
       val chromaMode = chromaOk(mbIdx % chromaOk.size)
       val cx0 = mbX * 8; val cy0 = mbY * 8
       def chromaCoeffs(src: Array[Int], plane: Array[Byte],
-                       wgt: Array[Int])
+                       wgt: Array[Int], qp: Int)
           : (Array[Int], Array[Array[Int]]) = {
         val predC = new Array[Int](64)
         Intra.predictChroma(plane, cw, cx0, cy0, chromaMode,
@@ -707,7 +721,7 @@ private[graft] object H264Mb {
           var k = 0
           while (k < 15) {
             val raster = Transform.zigzag4x4(k + 1)
-            scan(k) = Transform.quant(wCoef(raster), qpC, raster,
+            scan(k) = Transform.quant(wCoef(raster), qp, raster,
               wgt(raster))
             k += 1
           }
@@ -715,11 +729,11 @@ private[graft] object H264Mb {
           b += 1
         }
         val dcQ = Transform.hadamard2x2(dcRaw).map(
-          Transform.quantDc(_, qpC, wgt(0)))
+          Transform.quantDc(_, qp, wgt(0)))
         (dcQ, ac)
       }
-      val (cbDc, cbAc) = chromaCoeffs(srcCb, cbP, sm.w4(1))
-      val (crDc, crAc) = chromaCoeffs(srcCr, crP, sm.w4(2))
+      val (cbDc, cbAc) = chromaCoeffs(srcCb, cbP, sm.w4(1), qpC)
+      val (crDc, crAc) = chromaCoeffs(srcCr, crP, sm.w4(2), qpCr)
 
       // CBP from the quantized coefficients
       var cbpLuma = 0
@@ -743,12 +757,12 @@ private[graft] object H264Mb {
       if (!is4x4) {
         reconstruct(ctx, mbIdx, sliceId, qpY, qpC, is4x4 = false,
           modes, pred16Mode, chromaMode, cbpChroma, co, yP, cbP, crP,
-          sm = sm)
+          sm = sm, qpCr = qpCr)
       } else {
         // chroma-only recon for the I_NxN MB (4x4 or 8x8 luma was
         // reconstructed block-by-block above)
         reconChromaOnly(ctx, mbIdx, sliceId, qpC, chromaMode,
-          cbpChroma, co, cbP, crP, availLeftMb, availUpMb, sm)
+          cbpChroma, co, cbP, crP, availLeftMb, availUpMb, sm, qpCr)
       }
       MbPlan(is4x4, modes, pred16Mode, chromaMode, cbpLuma,
         cbpChroma, co, use8)
@@ -783,7 +797,8 @@ private[graft] object H264Mb {
                       qpAmp: Int = 0,
                       mbQpOut: Array[Int] = null,
                       transform8x8: Boolean = false,
-                      sm: ScalingMatrices = ScalingMatrices.Flat)
+                      sm: ScalingMatrices = ScalingMatrices.Flat,
+                      chromaQpOffsetCr: Int = Int.MinValue)
       : Unit = {
     val stop = if (endMb < 0) ctx.wMbs * ctx.hMbs else endMb
     var qpY = sliceQp
@@ -793,7 +808,8 @@ private[graft] object H264Mb {
       val mbY = mbIdx / ctx.wMbs
       val target = qpTarget(sliceQp, qpAmp, mbIdx)
       val plan = analyzeMb(ctx, mbIdx, sliceId, target, chromaQpOffset,
-        srcY, srcCb, srcCr, yP, cbP, crP, transform8x8, sm)
+        srcY, srcCb, srcCr, yP, cbP, crP, transform8x8, sm,
+        chromaQpOffsetCr)
       import plan._
 
       // --- emit syntax (mirror of decodeMb's parse order) ---
@@ -892,20 +908,22 @@ private[graft] object H264Mb {
                               cbP: Array[Byte], crP: Array[Byte],
                               availLeftMb: Boolean,
                               availUpMb: Boolean,
-                              sm: ScalingMatrices = ScalingMatrices.Flat)
+                              sm: ScalingMatrices = ScalingMatrices.Flat,
+                              qpCrIn: Int = Int.MinValue)
       : Unit = {
+    val qpCr = if (qpCrIn == Int.MinValue) qpC else qpCrIn
     val mbX = mbIdx % ctx.wMbs
     val mbY = mbIdx / ctx.wMbs
     val cw = ctx.wMbs * 8
     val cx0 = mbX * 8; val cy0 = mbY * 8
     val predC = new Array[Int](64)
     def go(plane: Array[Byte], dcScan: Array[Int],
-           ac: Array[Array[Int]], w: Array[Int]): Unit = {
+           ac: Array[Array[Int]], w: Array[Int], qp: Int): Unit = {
       Intra.predictChroma(plane, cw, cx0, cy0, chromaMode,
         availLeftMb, availUpMb, predC)
       val dc =
         if (cbpChroma != 0)
-          Transform.chromaDcTransformDequant(dcScan, qpC, w(0))
+          Transform.chromaDcTransformDequant(dcScan, qp, w(0))
         else Array(0, 0, 0, 0)
       var b = 0
       while (b < 4) {
@@ -916,7 +934,7 @@ private[graft] object H264Mb {
           var j = 0
           while (j < 15) {
             val raster = Transform.zigzag4x4(j + 1)
-            d(raster) = Transform.dequant(ac(b)(j), qpC, raster,
+            d(raster) = Transform.dequant(ac(b)(j), qp, raster,
               w(raster))
             j += 1
           }
@@ -932,7 +950,7 @@ private[graft] object H264Mb {
         b += 1
       }
     }
-    go(cbP, co.cbDc, co.cbAc, sm.w4(1))
-    go(crP, co.crDc, co.crAc, sm.w4(2))
+    go(cbP, co.cbDc, co.cbAc, sm.w4(1), qpC)
+    go(crP, co.crDc, co.crAc, sm.w4(2), qpCr)
   }
 }

@@ -278,6 +278,41 @@ class H264Transform8x8Spec extends SparkSpec {
     assert(err.getMessage.contains("transform_8x8"), err.getMessage)
   }
 
+  test("second_chroma_qp_index_offset: distinct Cr offsets round-trip " +
+      "display-exact under both coders, with deblock and 8x8") {
+    val frames = Seq(gradient(64, 48, 71), gradient(64, 48, 72))
+    Seq(
+      ("cavlc cr+4", H264.encodeCavlc(64, 48, frames, 30,
+        chromaQpOffsetCr = 4)),
+      ("cavlc cr-6 deblock", H264.encodeCavlc(64, 48, frames, 30,
+        deblock = true, chromaQpOffsetCr = -6)),
+      ("cavlc cr+5 t8 sm deblock", H264.encodeCavlc(64, 48, frames, 30,
+        transform8x8 = true, scalingMatrix = true, deblock = true,
+        chromaQpOffsetCr = 5)),
+      ("cabac cr+4 deblock", H264.encodeCabac(64, 48, frames, 30,
+        deblock = true, chromaQpOffsetCr = 4))
+    ).foreach { case (tag, (bytes, recon)) =>
+      val dec = H264.decodeFrames(bytes)
+      assert(dec.size == 2, tag)
+      dec.zip(recon).foreach { case ((_, _, p), (_, _, rp)) =>
+        assert(p.toSeq == rp.toSeq, tag)
+      }
+    }
+    // the offset is live (changes pixels), zero is bit-compatible
+    // with the tail-less emitter, and the parse reads it back
+    val (b4, r4) = H264.encodeCavlc(64, 48, frames, 30,
+      chromaQpOffsetCr = 4)
+    val (b0, r0) = H264.encodeCavlc(64, 48, frames, 30,
+      chromaQpOffsetCr = 0)
+    val (bp, _) = H264.encodeCavlc(64, 48, frames, 30)
+    assert(b0.toSeq == bp.toSeq)
+    assert(r4.map(_._3.toSeq) != r0.map(_._3.toSeq))
+    val pps = H264.parsePps(H264.ebspToRbsp(
+      H264.nalUnits(b4).find(n => (n(0) & 0x1F) == 8).get, 1))
+    assert(pps.chromaQpOffsetCr == 4 && pps.chromaQpOffset == 0)
+    assert(!pps.transform8x8, "Cr-only tail must not enable 8x8")
+  }
+
   test("fuzz: mutated/truncated 8x8+matrix and mixed-GOP streams " +
       "throw or decode — never hang or corrupt the JVM") {
     val (bytes8, _) = H264.encodeCavlc(48, 48,
