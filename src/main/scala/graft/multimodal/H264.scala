@@ -1147,28 +1147,28 @@ object H264 {
     // nal()-built units carry their own start code; nalUnits()
     // payloads do not — re-prefix those on pass-through
     def emit(n: Array[Byte]): Unit = out.write(n, 0, n.length)
-    def emitRaw(n: Array[Byte]): Unit = {
+    def raw(n: Array[Byte]): Unit = {
       out.write(Array[Byte](0, 0, 0, 1), 0, 4)
       out.write(n, 0, n.length)
     }
     var sawPps = false
     var inPicture = false
-    def closeGap(): Unit =
+    def gap(): Unit =
       if (inPicture) { (0 until perGap).foreach(_ => emit(filler)) }
     nals.foreach { n =>
       (n(0) & 0x1F) match {
         case 7 => emit(newSps)
         case 8 =>
-          emitRaw(n)
+          raw(n)
           if (!sawPps) { emit(fillerPps); sawPps = true }
         case 1 | 5 =>
           val firstMb = new BitReader(ebspToRbsp(n, 1)).ue()
-          if (firstMb == 0) { closeGap(); inPicture = true }
-          emitRaw(n)
-        case _ => emitRaw(n)
+          if (firstMb == 0) { gap(); inPicture = true }
+          raw(n)
+        case _ => raw(n)
       }
     }
-    closeGap() // trailing P tail after the last IDR
+    gap() // trailing P tail after the last IDR
     out.toByteArray
   }
 
