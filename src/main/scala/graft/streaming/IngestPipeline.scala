@@ -45,6 +45,35 @@ object IngestPipeline {
       .start()
 
   /**
+   * BUCKETED ingestion — the streaming twin of
+   * [[graft.sources.Bucketed.appendBucketed]]: each micro-batch lands
+   * in the bucketed table through Spark's bucketed writer, so the
+   * corpus keeps its CLUSTERED BY layout as shards arrive and every
+   * downstream equi-join on `bucketCol` stays exchange-free (the
+   * BucketedSpec plan pin). Exactly-once caveat: a replayed batch
+   * APPENDS its rows again — compose with [[dedupIngest]] (dedup
+   * first, then bucket the survivors) or an idempotent upstream for
+   * at-least-once sources; this primitive owns the LAYOUT, not the
+   * dedup (the two concerns compose as ordinary stages).
+   */
+  def bucketedIngest(stream: DataFrame, prefix: String, path: String,
+                     bucketCol: String, buckets: Int,
+                     checkpointDir: String,
+                     sortCol: String = null,
+                     trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Bucketed.appendBucketed(batch, prefix, path,
+          bucketCol, buckets, sortCol)
+        ()
+      }
+      .start()
+
+  /**
    * Near-dup-aware ingestion: each micro-batch runs the FULL admission
    * pipeline ([[Dedup.ingestAdmission]]: Bloom gate → exact anti-join →
    * banded MinHash near-dup gate) against the corpus-so-far, so

@@ -115,6 +115,49 @@ class StreamingSpec extends SparkSpec {
     assert(after2 == Set(1L, 2L, 5L)) // 4 was already seen as text
   }
 
+  test("bucketedIngest: streamed batches land in-bucket and the " +
+      "downstream join stays exchange-free") {
+    import graft.streaming.IngestPipeline
+    import graft.sources.Bucketed
+    val inDir = tmpDir()
+    val ckDir = tmpDir()
+    val base = tmpDir()
+    // seed the bucketed tables (the write-once layout owner)
+    val facts0 = (1L to 1000L).map(k => (k, (k % 5).toInt))
+      .toDF("k", "v")
+    Bucketed.writeBucketed(facts0, "sbi_facts", s"$base/facts", "k", 4)
+    val dims = (1L to 2000L).map(k => (k, s"s${k % 3}"))
+      .toDF("k2", "status")
+    Bucketed.writeBucketed(dims, "sbi_dims", s"$base/dims", "k2", 4)
+    // two streamed waves of new facts
+    (1L to 2L).foreach { wave =>
+      val lo = 1000L + 500L * (wave - 1L) + 1L
+      (lo to lo + 499L).map(k => (k, (k % 5).toInt)).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(inDir)
+      val q = IngestPipeline.bucketedIngest(
+        spark.readStream.schema("k LONG, v INT").parquet(inDir),
+        "sbi_facts", s"$base/facts", "k", 4, ckDir)
+      q.awaitTermination()
+    }
+    val facts = Bucketed.attach(spark, "sbi_facts", "k BIGINT, v INT",
+      "k", 4, "k", s"$base/facts")
+    val dimsT = Bucketed.attach(spark, "sbi_dims",
+      "k2 BIGINT, status STRING", "k2", 4, "k2", s"$base/dims")
+    val joined = facts.join(dimsT.hint("merge"),
+        facts("k") === dimsT("k2"))
+      .groupBy($"status").agg(count(lit(1)).as("n"))
+    val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      assert(joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }.size == 1,
+        "streamed appends must keep the join exchange-free")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", before)
+    // every key 1..2000 joins exactly once (facts now reach 2000)
+    assert(joined.agg(sum($"n")).collect()(0).getLong(0) == 2000L)
+  }
+
   test("nearDupIngest rejects near-copies of history across batches") {
     import graft.streaming.IngestPipeline
     val inDir = tmpDir()
