@@ -471,125 +471,125 @@ object H264 {
             skippedInter += 1
             cur = null
           } else {
-          val p = pps.getOrElse(r.ue(),
-            throw new IllegalArgumentException("slice before its PPS"))
-          val s = sps(p.spsId)
-          r.u(s.log2MaxFrameNum) // frame_num
-          if (nalType == 5) r.ue() // idr_pic_id
-          if (s.pocType == 0) {
-            r.u(s.log2MaxPocLsb)
-            if (p.bottomFieldPicOrder) r.se()
-          } else if (s.pocType == 1 && !s.deltaPicOrderAlwaysZero) {
-            // §7.3.3: delta_pic_order_cnt[0], and [1] when the PPS
-            // carries bottom-field order (frame_mbs_only streams have
-            // no field_pic_flag to gate it off)
-            r.se()
-            if (p.bottomFieldPicOrder) r.se()
-          }
-          if (p.redundantPicCnt) r.ue()
-          if (refIdc != 0) {
-            if (nalType == 5) { r.u(1); r.u(1) } // no_output / long_term
-            else require(r.u(1) == 0,
-              "adaptive_ref_pic_marking unsupported")
-          }
-          val sliceQpDelta = r.se()
-          var deblockIdc = 0 // absent control syntax → filter on
-          var filterOffA = 0
-          var filterOffB = 0
-          if (p.deblockingControl) {
-            deblockIdc = r.ue()
-            require(deblockIdc <= 2, s"deblock idc $deblockIdc")
-            if (deblockIdc != 1) {
-              filterOffA = 2 * r.se()
-              filterOffB = 2 * r.se()
+            val p = pps.getOrElse(r.ue(),
+              throw new IllegalArgumentException("slice before its PPS"))
+            val s = sps(p.spsId)
+            r.u(s.log2MaxFrameNum) // frame_num
+            if (nalType == 5) r.ue() // idr_pic_id
+            if (s.pocType == 0) {
+              r.u(s.log2MaxPocLsb)
+              if (p.bottomFieldPicOrder) r.se()
+            } else if (s.pocType == 1 && !s.deltaPicOrderAlwaysZero) {
+              // §7.3.3: delta_pic_order_cnt[0], and [1] when the PPS
+              // carries bottom-field order (frame_mbs_only streams have
+              // no field_pic_flag to gate it off)
+              r.se()
+              if (p.bottomFieldPicOrder) r.se()
             }
-          }
-          // macroblock layer
-          if (firstMb == 0 || cur == null ||
-              cur.wMbs != s.widthMbs || cur.hMbs != s.heightMbs) {
-            cur = new Yuv(s.widthMbs, s.heightMbs)
-            curSps = s
-          }
-          val sliceId = cur.slices
-          cur.slices += 1
-          var qpY = p.picInitQp + sliceQpDelta
-          require(qpY >= 0 && qpY <= 51, s"slice QP $qpY out of range")
-          cur.chromaQpOffset = p.chromaQpOffset
-          cur.chromaQpOffsetCr = p.chromaQpOffsetCr
-          def recordDeblock(mb: Int, qp: Int): Unit = {
-            cur.mbQp(mb) = qp
-            cur.deblockIdc(mb) = deblockIdc
-            cur.offsetA(mb) = filterOffA
-            cur.offsetB(mb) = filterOffB
-          }
-          if (p.cabac) {
-            // CABAC × transform_8x8 needs the ctx-399+ init tables
-            // (§9.3.1.1 High extension), which this module has NOT
-            // transcribed — a named error, never invented constants
-            // (the MP3 rule); CAVLC carries the 8x8 path
-            require(!p.transform8x8,
-              "CABAC with transform_8x8_mode unsupported (ctx-399+ " +
-                "init tables not transcribed) — CAVLC 8x8 is")
-            // cabac_alignment_one_bit* then CABAC slice data (§9.3)
-            while (!r.byteAligned)
-              require(r.u(1) == 1, "cabac_alignment_one_bit must be 1")
-            val qps = new Array[Int](cur.total)
-            val done = H264Cabac.decodeSliceData(r, cur.ctx,
-              sliceId, firstMb, qpY, p.chromaQpOffset,
-              cur.y, cur.cb, cur.cr, qps, p.sm, p.chromaQpOffsetCr)
-            var mb = firstMb
-            while (mb < firstMb + done) {
-              recordDeblock(mb, qps(mb)); mb += 1
+            if (p.redundantPicCnt) r.ue()
+            if (refIdc != 0) {
+              if (nalType == 5) { r.u(1); r.u(1) } // no_output / long_term
+              else require(r.u(1) == 0,
+                "adaptive_ref_pic_marking unsupported")
             }
-            cur.mbsDone += done
-          } else {
-          var mb = firstMb
-          while (mb < cur.total && r.moreRbspData) {
-            val mbType = r.ue()
-            if (mbType == 25) { // I_PCM
-              r.alignToByte()
-              val mbX = (mb % cur.wMbs) * 16
-              val mbY = (mb / cur.wMbs) * 16
-              var i = 0
-              while (i < 256) {
-                cur.y((mbY + i / 16) * cur.wMbs * 16 + mbX + i % 16) =
-                  r.readByte().toByte
-                i += 1
+            val sliceQpDelta = r.se()
+            var deblockIdc = 0 // absent control syntax → filter on
+            var filterOffA = 0
+            var filterOffB = 0
+            if (p.deblockingControl) {
+              deblockIdc = r.ue()
+              require(deblockIdc <= 2, s"deblock idc $deblockIdc")
+              if (deblockIdc != 1) {
+                filterOffA = 2 * r.se()
+                filterOffB = 2 * r.se()
               }
-              val cX = mbX / 2; val cY = mbY / 2; val cw = cur.wMbs * 8
-              i = 0
-              while (i < 64) {
-                cur.cb((cY + i / 8) * cw + cX + i % 8) = r.readByte().toByte
-                i += 1
+            }
+            // macroblock layer
+            if (firstMb == 0 || cur == null ||
+                cur.wMbs != s.widthMbs || cur.hMbs != s.heightMbs) {
+              cur = new Yuv(s.widthMbs, s.heightMbs)
+              curSps = s
+            }
+            val sliceId = cur.slices
+            cur.slices += 1
+            var qpY = p.picInitQp + sliceQpDelta
+            require(qpY >= 0 && qpY <= 51, s"slice QP $qpY out of range")
+            cur.chromaQpOffset = p.chromaQpOffset
+            cur.chromaQpOffsetCr = p.chromaQpOffsetCr
+            def recordDeblock(mb: Int, qp: Int): Unit = {
+              cur.mbQp(mb) = qp
+              cur.deblockIdc(mb) = deblockIdc
+              cur.offsetA(mb) = filterOffA
+              cur.offsetB(mb) = filterOffB
+            }
+            if (p.cabac) {
+              // CABAC × transform_8x8 needs the ctx-399+ init tables
+              // (§9.3.1.1 High extension), which this module has NOT
+              // transcribed — a named error, never invented constants
+              // (the MP3 rule); CAVLC carries the 8x8 path
+              require(!p.transform8x8,
+                "CABAC with transform_8x8_mode unsupported (ctx-399+ " +
+                  "init tables not transcribed) — CAVLC 8x8 is")
+              // cabac_alignment_one_bit* then CABAC slice data (§9.3)
+              while (!r.byteAligned)
+                require(r.u(1) == 1, "cabac_alignment_one_bit must be 1")
+              val qps = new Array[Int](cur.total)
+              val done = H264Cabac.decodeSliceData(r, cur.ctx,
+                sliceId, firstMb, qpY, p.chromaQpOffset,
+                cur.y, cur.cb, cur.cr, qps, p.sm, p.chromaQpOffsetCr)
+              var mb = firstMb
+              while (mb < firstMb + done) {
+                recordDeblock(mb, qps(mb)); mb += 1
               }
-              i = 0
-              while (i < 64) {
-                cur.cr((cY + i / 8) * cw + cX + i % 8) = r.readByte().toByte
-                i += 1
-              }
-              cur.ctx.sliceId(mb) = sliceId
-              cur.ctx.isIpcm(mb) = true
-              recordDeblock(mb, 0) // I_PCM deblocks at QP 0 (§8.7.2)
+              cur.mbsDone += done
             } else {
-              qpY = H264Mb.decodeMb(r, mbType, cur.ctx, mb, sliceId,
-                qpY, p.chromaQpOffset, cur.y, cur.cb, cur.cr,
-                p.transform8x8, p.sm, p.chromaQpOffsetCr)
-              recordDeblock(mb, qpY)
+            var mb = firstMb
+            while (mb < cur.total && r.moreRbspData) {
+              val mbType = r.ue()
+              if (mbType == 25) { // I_PCM
+                r.alignToByte()
+                val mbX = (mb % cur.wMbs) * 16
+                val mbY = (mb / cur.wMbs) * 16
+                var i = 0
+                while (i < 256) {
+                  cur.y((mbY + i / 16) * cur.wMbs * 16 + mbX + i % 16) =
+                    r.readByte().toByte
+                  i += 1
+                }
+                val cX = mbX / 2; val cY = mbY / 2; val cw = cur.wMbs * 8
+                i = 0
+                while (i < 64) {
+                  cur.cb((cY + i / 8) * cw + cX + i % 8) = r.readByte().toByte
+                  i += 1
+                }
+                i = 0
+                while (i < 64) {
+                  cur.cr((cY + i / 8) * cw + cX + i % 8) = r.readByte().toByte
+                  i += 1
+                }
+                cur.ctx.sliceId(mb) = sliceId
+                cur.ctx.isIpcm(mb) = true
+                recordDeblock(mb, 0) // I_PCM deblocks at QP 0 (§8.7.2)
+              } else {
+                qpY = H264Mb.decodeMb(r, mbType, cur.ctx, mb, sliceId,
+                  qpY, p.chromaQpOffset, cur.y, cur.cb, cur.cr,
+                  p.transform8x8, p.sm, p.chromaQpOffsetCr)
+                recordDeblock(mb, qpY)
+              }
+              cur.mbsDone += 1
+              mb += 1
             }
-            cur.mbsDone += 1
-            mb += 1
-          }
-          }
-          if (cur.mbsDone >= cur.total) {
-            if (cur.deblockIdc.exists(_ != 1))
-              H264Deblock.filterPicture(cur.y, cur.cb, cur.cr,
-                cur.wMbs, cur.hMbs, cur.mbQp, cur.chromaQpOffset,
-                cur.ctx.sliceId, cur.deblockIdc, cur.offsetA,
-                cur.offsetB, cur.ctx.is8x8, cur.chromaQpOffsetCr)
-            frames += toRgb(cur, curSps)
-            framesOut += 1
-            cur = null
-          }
+            }
+            if (cur.mbsDone >= cur.total) {
+              if (cur.deblockIdc.exists(_ != 1))
+                H264Deblock.filterPicture(cur.y, cur.cb, cur.cr,
+                  cur.wMbs, cur.hMbs, cur.mbQp, cur.chromaQpOffset,
+                  cur.ctx.sliceId, cur.deblockIdc, cur.offsetA,
+                  cur.offsetB, cur.ctx.is8x8, cur.chromaQpOffsetCr)
+              frames += toRgb(cur, curSps)
+              framesOut += 1
+              cur = null
+            }
           }
         case _ => () // SEI/AUD/filler/...: skipped
       }
