@@ -112,6 +112,73 @@ object Bucketed {
     table
   }
 
+  /**
+   * Compact a bucketed table's accumulated append files (each
+   * [[appendBucketed]] batch adds one file set) back down to ~one
+   * file per bucket: the steady-state maintenance the append path
+   * creates a need for — without it, a 1000-batch corpus pays a
+   * 1000-file-per-bucket scan and the sort-merge join re-sorts
+   * forever. Sequence: materialize a compacted copy into a side
+   * directory THROUGH the bucketed writer (pre-partitioned on the
+   * bucket column so each task owns exactly one bucket → one file),
+   * then swap directories and refresh — the original table's catalog
+   * entry (location-keyed) now serves the compacted files. The swap
+   * is not atomic for concurrent READERS on a plain filesystem;
+   * serialize compaction with queries the way appends are
+   * serialized (or use a real table format for that guarantee).
+   */
+  def compact(spark: SparkSession, prefix: String, schemaDdl: String,
+              bucketCol: String, buckets: Int, sortCol: String,
+              path: String): Unit = {
+    val df = attach(spark, prefix, schemaDdl, bucketCol, buckets,
+      sortCol, path)
+    val tmpPath = path + ".compact"
+    // One file per bucket needs each write task to own exactly one
+    // bucket. The clean way is reading the SOURCE through its
+    // bucketed scan (4 aligned partitions); the planner interplay
+    // that breaks the naive form is worth naming: a repartition on
+    // the bucket column gets elided as redundant against the
+    // bucketed scan's partitioning, and THEN
+    // DisableUnnecessaryBucketedScan de-buckets the scan (the write
+    // declares no distribution requirement) — leaving neither, so
+    // every task holds every bucket. Pinning autoBucketedScan OFF
+    // (which FORCES the bucketed scan, the BucketedSpec pruning-test
+    // config) keeps the aligned partitioning; AQE off keeps local
+    // shuffle reads from re-merging if a shuffle does materialize.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val absBefore = spark.conf.get(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val tmpTable =
+      try writeBucketed(
+        df.repartition(buckets, org.apache.spark.sql.functions
+          .col(bucketCol)),
+        prefix + "_compact", tmpPath, bucketCol, buckets, sortCol)
+      finally {
+        spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+        spark.conf.set(
+          "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+          absBefore)
+      }
+    // swap: the compacted files take the original location; the
+    // original table's metadata (keyed by `path`) is untouched
+    val fs = new java.io.File(path)
+    val tmp = new java.io.File(tmpPath)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(deleteRec))
+      f.delete(); ()
+    }
+    deleteRec(fs)
+    require(tmp.renameTo(fs), s"compact swap failed: $tmpPath -> $path")
+    spark.sql(s"DROP TABLE IF EXISTS ${qi(tmpTable)}")
+    // both caches go stale at the swap: the path's shared file-status
+    // cache AND the original table's relation cache
+    spark.catalog.refreshByPath(path)
+    spark.catalog.refreshTable(tableName(prefix, path))
+  }
+
   /** Re-attach (or no-op if already attached) a table previously
     * written by [[writeBucketed]] with the SAME spec, and read it.
     * The caller supplies the identical schema/spec — the contract is

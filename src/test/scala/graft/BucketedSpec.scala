@@ -152,6 +152,42 @@ class BucketedSpec extends SparkSpec {
     assert(df.agg(sum($"n")).collect()(0).getLong(0) == 2500L)
   }
 
+  test("compact: append-accumulated files shrink to ~one per bucket, " +
+      "values and the exchange-free join survive the swap") {
+    val (fp, dp) = fixture()
+    (1 to 5).foreach { w =>
+      val lo = 4000L + 200L * (w - 1) + 1L
+      Bucketed.appendBucketed(
+        (lo to lo + 199L).map(k => (k, (k % 7).toInt, s"g${k % 3}"))
+          .toDF("k", "v", "grp"), "bspec_facts", fp, "k", 4)
+    }
+    def dataFiles(dir: String): Int =
+      Option(new java.io.File(dir).listFiles).map(_.count(f =>
+        f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))).getOrElse(0)
+    val before = dataFiles(fp)
+    assert(before >= 4 + 5 * 4 - 8, s"appends must add files ($before)")
+    val sumBefore = spark.read.parquet(fp).agg(sum($"v"))
+      .collect()(0).getLong(0)
+    Bucketed.compact(spark, "bspec_facts",
+      "k BIGINT, v INT, grp STRING", "k", 4, "k", fp)
+    val after = dataFiles(fp)
+    assert(after <= 4, s"compact must leave ~one file per bucket ($after)")
+    assert(spark.read.parquet(fp).agg(sum($"v"))
+      .collect()(0).getLong(0) == sumBefore, "values must survive")
+    // the catalog entry still serves the location: join exchange-free
+    val df = joined(fp, dp)
+    val beforeConf = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      assert(df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e }.size == 1)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", beforeConf)
+    assert(df.agg(sum($"n")).collect()(0).getLong(0) == 2000L,
+      "even keys 2..4000 join once (appended keys have no dims)")
+  }
+
   test("quote-bearing paths survive the DDL round-trip (escaped " +
       "LOCATION literal, not string splicing)") {
     val base = java.nio.file.Files
