@@ -162,16 +162,25 @@ object Bucketed {
           "spark.sql.sources.bucketing.autoBucketedScan.enabled",
           absBefore)
       }
-    // swap: the compacted files take the original location; the
-    // original table's metadata (keyed by `path`) is untouched
+    // swap: originals step ASIDE first (never deleted before the
+    // compacted copy is in place — a failed rename leaves both copies
+    // on disk, recoverable), then the compacted dir takes the
+    // location, then the originals go
     val fs = new java.io.File(path)
     val tmp = new java.io.File(tmpPath)
+    val old = new java.io.File(path + ".precompact")
     def deleteRec(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(deleteRec))
       f.delete(); ()
     }
-    deleteRec(fs)
-    require(tmp.renameTo(fs), s"compact swap failed: $tmpPath -> $path")
+    deleteRec(old) // a previous failed swap's leftover
+    require(fs.renameTo(old), s"compact swap failed: $path aside")
+    if (!tmp.renameTo(fs)) {
+      old.renameTo(fs) // roll back; originals intact
+      throw new IllegalStateException(
+        s"compact swap failed: $tmpPath -> $path (rolled back)")
+    }
+    deleteRec(old)
     spark.sql(s"DROP TABLE IF EXISTS ${qi(tmpTable)}")
     // both caches go stale at the swap: the path's shared file-status
     // cache AND the original table's relation cache
