@@ -169,18 +169,18 @@ object Bucketed {
     val fs = new java.io.File(path)
     val tmp = new java.io.File(tmpPath)
     val old = new java.io.File(path + ".precompact")
-    def deleteRec(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(deleteRec))
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmr))
       f.delete(); ()
     }
-    deleteRec(old) // a previous failed swap's leftover
+    rmr(old) // a previous failed swap's leftover
     require(fs.renameTo(old), s"compact swap failed: $path aside")
     if (!tmp.renameTo(fs)) {
       old.renameTo(fs) // roll back; originals intact
       throw new IllegalStateException(
         s"compact swap failed: $tmpPath -> $path (rolled back)")
     }
-    deleteRec(old)
+    rmr(old)
     spark.sql(s"DROP TABLE IF EXISTS ${qi(tmpTable)}")
     // both caches go stale at the swap: the path's shared file-status
     // cache AND the original table's relation cache
