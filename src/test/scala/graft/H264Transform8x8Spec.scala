@@ -199,6 +199,58 @@ class H264Transform8x8Spec extends SparkSpec {
     assert(inherit.sm.w4(0).forall(_ == 24))
   }
 
+  test("scaling-list delta coding round-trips arbitrary value " +
+      "sequences, including the 255-wrap edge (property)") {
+    val rnd = new scala.util.Random(42)
+    (0 until 100).foreach { trial =>
+      // values in 1..255 (0 is the jump-to-default escape at j=0 and
+      // the repeat-last escape elsewhere — excluded by construction)
+      val vals = Array.fill(16)(1 + rnd.nextInt(255))
+      val sps = H264.parseSps(highSps { w =>
+        w.u(1, 1)
+        w.u(1, 1)
+        var last = 8
+        vals.foreach { v =>
+          // delta_scale is se(v) in [-128, 127] with mod-256 wrap
+          var d = v - last
+          if (d > 127) d -= 256
+          if (d < -128) d += 256
+          w.se(d); last = v
+        }
+        (1 until 8).foreach(_ => w.u(0, 1))
+      })
+      val got = sps.sm.get.w4(0)
+      (0 until 16).foreach { j =>
+        assert(got(Transform.zigzag4x4(j)) == vals(j),
+          s"trial $trial scan pos $j")
+      }
+      // repeat-last escape: a mid-list jump to 0 repeats the last
+      // value for the remaining entries
+      val cut = 1 + rnd.nextInt(14)
+      val sps2 = H264.parseSps(highSps { w =>
+        w.u(1, 1)
+        w.u(1, 1)
+        var last = 8
+        vals.take(cut).foreach { v =>
+          var d = v - last
+          if (d > 127) d -= 256
+          if (d < -128) d += 256
+          w.se(d); last = v
+        }
+        var d0 = 0 - last
+        if (d0 < -128) d0 += 256
+        w.se(d0) // jump to 0 → repeat last
+        (1 until 8).foreach(_ => w.u(0, 1))
+      })
+      val got2 = sps2.sm.get.w4(0)
+      (0 until 16).foreach { j =>
+        val expect = if (j < cut) vals(j) else vals(cut - 1)
+        assert(got2(Transform.zigzag4x4(j)) == expect,
+          s"trial $trial cut $cut pos $j")
+      }
+    }
+  }
+
   // ---- full bitstream round trips ------------------------------------
 
   test("encode↔decode bit-exact across the 8x8 × matrices × deblock × " +
