@@ -14,6 +14,36 @@ private[graft] object RegistryRound16 {
 
   private[graft] val entries: Seq[Q] = Seq(
 
+    // P-slice motion compensation (round 16, inter pass):
+    // q_video_fp_dedup_mp4's construction and oracle VERBATIM, but
+    // every .mp4 is a REAL IPPP stream — frame 0 IDR, frames 1+
+    // motion-compensated CAVLC P pictures with planted FRACTIONAL
+    // global MVs (§8.4.2.2 quarter-pel luma / eighth-pel chroma
+    // interpolation on every decode), the full Table 7-13/7-17
+    // partition cycle (16x16/16x8/8x16/P_8x8/P_8x8ref0 + all
+    // sub_mb_types, §8.4.1.3 MV prediction incl. the directional
+    // rules), P_Skip, intra refresh MBs (mb_type+5), and the
+    // deblocking filter ON so the full §8.7.2.1 inter boundary
+    // strengths (0/1/2) run in-loop. Until this pass P slices were
+    // parse-and-SKIPPED (I-frame-only); now they RECONSTRUCT, and
+    // videoHashes fingerprints a motion-compensated P frame (5-frame
+    // clips → the middle frame is P #2). Identical oracle = the
+    // GOP-position-agnosticism contract: planted copies are
+    // byte-identical files, so fingerprints of DECODED inter frames
+    // must match at Hamming 0 — any MC/interpolation/deblock
+    // nondeterminism or drift reds the compare.
+    Q("q_video_fp_dedup_mp4_pslice",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        Multimodal.videoNearDuplicates(
+          Multimodal.syntheticMp4Corpus(s, nContents = 30, copies = 3,
+            deblock = true, pSlices = true), maxHamming = 4)
+      },
+      Some("""SELECT a.i AS id_a, b.i AS id_b, 0 AS hamming
+              FROM generate_series(0, 89) a(i)
+                JOIN generate_series(0, 89) b(i)
+                ON a.i < b.i AND a.i % 30 = b.i % 30""")),
+
     // Mixed I/P/B MP4 (round 16): q_video_fp_dedup_mp4's construction
     // and oracle VERBATIM, but every .mp4 now has the real-world GOP
     // shape — each IDR picture is followed by 3 inter (P) filler

@@ -21,21 +21,28 @@ package graft.multimodal
  * [[Cavlc]] (intra prediction, §8.5 transforms — 4x4 AND the High-
  * profile 8x8 (§8.3.2/§8.5.13) with quantization scaling matrices
  * (§7.3.2.1.1.1 + Table 7-2 fallbacks) — CAVLC residuals),
- * [[H264Cabac]] (§9.3 CABAC entropy coding, both directions), and
- * [[H264Deblock]] (§8.7 in-loop filter, 8x8-aware edge grid) — so
- * I/IDR pictures with I_PCM, Intra_4x4, Intra_8x8 and Intra_16x16
- * macroblocks decode display-exact under EITHER entropy coder,
- * filtered or not, flat or weighted quant.
+ * [[H264Cabac]] (§9.3 CABAC entropy coding, both directions),
+ * [[H264Inter]] (P-slice motion compensation: §8.4.2.2 quarter-pel
+ * interpolation, §8.4.1 MV prediction and P_Skip, Tables 7-13/7-17
+ * partitions, multi-reference sliding-window DPB), and
+ * [[H264Deblock]] (§8.7 in-loop filter, the full §8.7.2.1 boundary
+ * strengths, 8x8-aware edge grid) — so I/IDR pictures with I_PCM,
+ * Intra_4x4, Intra_8x8 and Intra_16x16 macroblocks decode
+ * display-exact under EITHER entropy coder, and P pictures decode
+ * with real motion compensation under CAVLC, filtered or not, flat
+ * or weighted quant.
  *
- * SCOPE — stated plainly: inter (P/B) slices are SKIPPED, not
- * decoded (no motion compensation — mixed streams decode
- * I-frame-only; a stream with no intra picture is a named error);
- * interlaced coding and CABAC×transform_8x8 (the ctx-399+ context
- * init tables are not transcribed — constants are never invented)
- * are named errors, so such streams need an external binding
- * through the SPI (`graft.video.frameDecoder`). Intra pictures —
- * which carry the fingerprint signal — decode natively, including
- * I_PCM inside CABAC slices and CAVLC transform_8x8. The
+ * SCOPE — stated plainly: B slices (list1/direct modes), CABAC P
+ * slices (the inter syntax-element context init tables are not
+ * transcribed — constants are never invented), weighted prediction,
+ * ref-pic-list modification, MMCO/long-term marking and inter
+ * transform_8x8 are named boundaries: an affected picture is
+ * SKIPPED whole (a reference gap then disables P decode until the
+ * next IDR re-anchors the DPB), so such streams degrade to
+ * I-frame-only decoding exactly as before the inter round; a stream
+ * where NOTHING decodes is a named error. Interlaced coding and
+ * CABAC×transform_8x8 (ctx-399+ init tables) remain named errors,
+ * bindable through the SPI (`graft.video.frameDecoder`). The
  * degrade-don't-fail `Try` in `videoHashes` turns named errors into
  * skips. Reference behaviors modeled on the published spec only.
  */
@@ -213,7 +220,8 @@ object H264 {
                        widthMbs: Int, heightMapUnits: Int,
                        frameMbsOnly: Boolean,
                        cropL: Int, cropR: Int, cropT: Int, cropB: Int,
-                       sm: Option[ScalingMatrices] = None) {
+                       sm: Option[ScalingMatrices] = None,
+                       maxNumRefFrames: Int = 0) {
     require(frameMbsOnly, "interlaced (field) coding unsupported")
     require(chromaFormatIdc == 1, "only 4:2:0 chroma supported")
     val heightMbs: Int = heightMapUnits
@@ -330,7 +338,7 @@ object H264 {
       case other =>
         throw new IllegalArgumentException(s"bad pic_order_cnt_type $other")
     }
-    r.ue() // max_num_ref_frames
+    val maxRefFrames = r.ue() // max_num_ref_frames
     r.u(1) // gaps_in_frame_num_value_allowed_flag
     val wMbs = r.ue() + 1
     val hUnits = r.ue() + 1
@@ -341,7 +349,8 @@ object H264 {
       if (r.u(1) == 1) (r.ue(), r.ue(), r.ue(), r.ue()) else (0, 0, 0, 0)
     // vui ignored
     Sps(id, profile, level, chroma, log2FrameNum, pocType, log2Poc,
-      deltaAlwaysZero, wMbs, hUnits, frameOnly, cl, cr, ct, cb, sm)
+      deltaAlwaysZero, wMbs, hUnits, frameOnly, cl, cr, ct, cb, sm,
+      maxRefFrames)
   }
 
   final case class Pps(id: Int, spsId: Int, cabac: Boolean,
@@ -351,7 +360,10 @@ object H264 {
                        picInitQp: Int, chromaQpOffset: Int,
                        transform8x8: Boolean = false,
                        sm: ScalingMatrices = ScalingMatrices.Flat,
-                       chromaQpOffsetCr: Int = 0)
+                       chromaQpOffsetCr: Int = 0,
+                       numRefIdxL0Default: Int = 1,
+                       weightedPred: Boolean = false,
+                       constrainedIntra: Boolean = false)
 
   /** Parse a PPS. `spsLookup` resolves the referenced SPS so PPS
     * scaling lists can apply fallback rule B against the SPS
@@ -366,14 +378,15 @@ object H264 {
     val bfpo = r.u(1) == 1
     val groups = r.ue() + 1
     require(groups == 1, "slice groups (FMO) unsupported")
-    r.ue(); r.ue() // num_ref_idx_l{0,1}_default_active_minus1
-    r.u(1) // weighted_pred_flag
+    val numRefIdxL0Default = r.ue() + 1 // num_ref_idx_l0_default_active
+    r.ue() // num_ref_idx_l1_default_active_minus1
+    val weightedPred = r.u(1) == 1 // weighted_pred_flag
     r.u(2) // weighted_bipred_idc
     val picInitQp = 26 + r.se() // pic_init_qp_minus26
     r.se() // pic_init_qs_minus26
     val chromaQpOffset = r.se() // chroma_qp_index_offset
     val deblock = r.u(1) == 1
-    r.u(1) // constrained_intra_pred_flag
+    val constrainedIntra = r.u(1) == 1 // constrained_intra_pred_flag
     val redundant = r.u(1) == 1
     // optional tail (§7.3.2.2): present in High-profile streams
     var transform8x8 = false
@@ -393,7 +406,8 @@ object H264 {
       .orElse(spsLookup(spsId).flatMap(_.sm))
       .getOrElse(ScalingMatrices.Flat)
     Pps(id, spsId, cabac, bfpo, deblock, redundant, picInitQp,
-      chromaQpOffset, transform8x8, sm, chromaQpOffsetCr)
+      chromaQpOffset, transform8x8, sm, chromaQpOffsetCr,
+      numRefIdxL0Default, weightedPred, constrainedIntra)
   }
 
   // ---- frame decode ------------------------------------------------------
@@ -416,23 +430,29 @@ object H264 {
     val offsetB = new Array[Int](total)
     var chromaQpOffset = 0
     var chromaQpOffsetCr = 0
+    /** per-4x4 motion state (§8.4.1.3 neighbors + §8.7.2.1 bS). */
+    val mo = new H264Inter.MotionCtx(wMbs * 4, hMbs * 4)
   }
 
-  /** Decode the INTRA pictures of an Annex-B stream — I_PCM,
-    * Intra_4x4 and Intra_16x16 macroblocks with CAVLC
-    * ([[H264Mb]]/[[Cavlc]]) OR CABAC ([[H264Cabac]], §9.3) entropy
-    * coding; returns frames as (width, height, packed 0xRRGGBB) in
-    * decode order. Streams that enable the deblocking filter are
-    * filtered per §8.7 ([[H264Deblock]]) — display-exact pixels.
+  /** Decode an Annex-B stream: intra pictures (I_PCM, Intra_4x4,
+    * Intra_8x8, Intra_16x16) under CAVLC ([[H264Mb]]/[[Cavlc]]) OR
+    * CABAC ([[H264Cabac]], §9.3), and P pictures with REAL motion
+    * compensation under CAVLC ([[H264Inter]] — quarter-pel
+    * interpolation, MV prediction, P_Skip, all Table 7-13/7-17
+    * partitions, intra MBs inside P slices, multi-reference
+    * sliding-window DPB); returns frames as (width, height, packed
+    * 0xRRGGBB) in decode order. Streams that enable the deblocking
+    * filter are filtered per §8.7 with the full §8.7.2.1 boundary
+    * strengths ([[H264Deblock]]) — display-exact pixels.
     *
-    * MIXED I/P/B streams (the real-world shape: ~1 IDR per seconds
-    * of inter frames) decode I-frame-only: inter slices are skipped
-    * at the slice header (no motion compensation), and each fully-I
-    * picture — the ones that carry the fingerprint signal — is
-    * returned. A stream with NO decodable intra picture throws a
-    * named error, as do genuinely unsupported intra constructs
-    * (transform_8x8, scaling matrices) — callers wrap in `Try` per
-    * the degrade-don't-fail contract. */
+    * Pictures that hit a named inter boundary (B/SP/SI slices,
+    * CABAC P, weighted prediction, list modification) are SKIPPED
+    * whole; if such a picture was a REFERENCE, P decode stays off
+    * until the next IDR (the DPB would be wrong), so those streams
+    * degrade to I-frame-only decoding. A stream where NO picture
+    * decodes throws a named error, as do genuinely unsupported
+    * constructs — callers wrap in `Try` per the degrade-don't-fail
+    * contract. */
   def decodeFrames(bytes: Array[Byte]): Seq[(Int, Int, Array[Int])] = {
     val sps = scala.collection.mutable.Map.empty[Int, Sps]
     val pps = scala.collection.mutable.Map.empty[Int, Pps]
@@ -441,6 +461,13 @@ object H264 {
     var curSps: Sps = null
     var framesOut = 0
     var skippedInter = 0
+    // decoded picture buffer: short-term reference pictures
+    // (post-deblock planes), sliding-window marked (§8.2.5.3)
+    val dpb = scala.collection.mutable.ArrayBuffer.empty[H264Inter.RefPic]
+    var picCounter = 0
+    var dpbBroken = false
+    var curIsRef = false
+    var curFrameNum = 0
 
     nalUnits(bytes).foreach { nal =>
       val header = nal(0) & 0xFF
@@ -461,20 +488,27 @@ object H264 {
           val firstMb = r.ue()
           val sliceType = r.ue()
           require(sliceType <= 9, s"bad slice_type $sliceType")
-          if (sliceType != 2 && sliceType != 7) {
-            // P/B/SP/SI slice: SKIP it at the header — no motion
-            // compensation here. Real streams are ~1 IDR per seconds
-            // of inter frames; the IDR pictures (the ones the
-            // fingerprint needs) still decode. A picture containing
-            // any inter slice cannot be reconstructed, so any
-            // partially-decoded picture is dropped with it.
+          val isI = sliceType == 2 || sliceType == 7
+          val isP = sliceType == 0 || sliceType == 5
+          // an undecodable inter picture is dropped whole; if it was
+          // a REFERENCE, later P pictures would motion-compensate
+          // from a frame we don't have, so P decode stays off until
+          // the next IDR re-anchors the DPB
+          def skipPicture(): Unit = {
             skippedInter += 1
             cur = null
+            if (refIdc != 0) dpbBroken = true
+          }
+          if (!isI && !isP) {
+            // B/SP/SI slice: no list1/direct/switching support —
+            // named SPI boundary; the intra pictures (the ones the
+            // fingerprint needs most) still decode
+            skipPicture()
           } else {
             val p = pps.getOrElse(r.ue(),
               throw new IllegalArgumentException("slice before its PPS"))
             val s = sps(p.spsId)
-            r.u(s.log2MaxFrameNum) // frame_num
+            val frameNum = r.u(s.log2MaxFrameNum)
             if (nalType == 5) r.ue() // idr_pic_id
             if (s.pocType == 0) {
               r.u(s.log2MaxPocLsb)
@@ -487,9 +521,33 @@ object H264 {
               if (p.bottomFieldPicOrder) r.se()
             }
             if (p.redundantPicCnt) r.ue()
+            // P-slice list syntax (§7.3.3); the undecodable-P causes
+            // are named here and degrade to the I-frame-only path
+            var numRefActive = p.numRefIdxL0Default
+            var pWhyNot: String = null
+            if (isP) {
+              if (r.u(1) == 1) numRefActive = r.ue() + 1 // override
+              val listMod = r.u(1) == 1 // ref_pic_list_modification_l0
+              if (p.cabac) pWhyNot =
+                "CABAC P slice (inter context init tables not transcribed)"
+              else if (listMod) pWhyNot =
+                "ref_pic_list_modification unsupported"
+              else if (p.weightedPred) pWhyNot =
+                "weighted prediction unsupported"
+              else if (p.constrainedIntra) pWhyNot =
+                "constrained_intra_pred unsupported"
+              else if (dpbBroken) pWhyNot =
+                "reference picture gap (an undecodable inter picture was a reference)"
+              else if (nalType != 5 && dpb.isEmpty) pWhyNot =
+                "P slice with an empty reference list"
+            }
+            if (isP && pWhyNot != null) skipPicture()
+            else {
             if (refIdc != 0) {
-              if (nalType == 5) { r.u(1); r.u(1) } // no_output / long_term
-              else require(r.u(1) == 0,
+              if (nalType == 5) {
+                r.u(1) // no_output_of_prior_pics_flag
+                require(r.u(1) == 0, "long-term reference unsupported")
+              } else require(r.u(1) == 0,
                 "adaptive_ref_pic_marking unsupported")
             }
             val sliceQpDelta = r.se()
@@ -509,6 +567,10 @@ object H264 {
                 cur.wMbs != s.widthMbs || cur.hMbs != s.heightMbs) {
               cur = new Yuv(s.widthMbs, s.heightMbs)
               curSps = s
+              // an IDR picture re-anchors reference decoding (§8.2.5.1)
+              if (nalType == 5) { dpb.clear(); dpbBroken = false }
+              curIsRef = refIdc != 0
+              curFrameNum = frameNum
             }
             val sliceId = cur.slices
             cur.slices += 1
@@ -522,7 +584,57 @@ object H264 {
               cur.offsetA(mb) = filterOffA
               cur.offsetB(mb) = filterOffB
             }
-            if (p.cabac) {
+            if (isP) {
+              // RefPicList0 (§8.2.4.2.1): short-term refs by
+              // descending PicNum (FrameNumWrap, §8.2.4.1)
+              val maxFn = 1 << s.log2MaxFrameNum
+              def picNum(rp: H264Inter.RefPic): Int =
+                if (rp.frameNum > frameNum) rp.frameNum - maxFn
+                else rp.frameNum
+              val refList = dpb.sortBy(rp => -picNum(rp)).toIndexedSeq
+              require(numRefActive >= 1 && numRefActive <= 32,
+                s"num_ref_idx_l0_active $numRefActive out of range")
+              val ctx = cur.ctx; val mo = cur.mo
+              var mb = firstMb
+              var more = r.moreRbspData
+              while (more && mb < cur.total) {
+                val run = r.ue() // mb_skip_run
+                var k = 0
+                while (k < run && mb < cur.total) {
+                  H264Inter.decodeSkipMb(ctx, mo, sliceId, mb,
+                    refList, cur.y, cur.cb, cur.cr)
+                  recordDeblock(mb, qpY) // P_Skip: QP carries over
+                  cur.mbsDone += 1
+                  mb += 1; k += 1
+                }
+                require(k == run, "mb_skip_run past end of picture")
+                more = r.moreRbspData
+                if (more && mb < cur.total) {
+                  val mbType = r.ue()
+                  if (mbType >= 5) { // intra MB in a P slice
+                    val it = mbType - 5
+                    if (it == 25) {
+                      readIpcmMb(r, cur, mb, sliceId)
+                      recordDeblock(mb, 0)
+                    } else {
+                      qpY = H264Mb.decodeMb(r, it, ctx, mb, sliceId,
+                        qpY, p.chromaQpOffset, cur.y, cur.cb, cur.cr,
+                        p.transform8x8, p.sm, p.chromaQpOffsetCr)
+                      recordDeblock(mb, qpY)
+                    }
+                    mo.markIntraMb(mb, cur.wMbs)
+                  } else {
+                    qpY = H264Inter.decodeInterMb(r, mbType, ctx, mo,
+                      sliceId, mb, qpY, p, refList, numRefActive,
+                      cur.y, cur.cb, cur.cr)
+                    recordDeblock(mb, qpY)
+                  }
+                  cur.mbsDone += 1
+                  mb += 1
+                  more = r.moreRbspData
+                }
+              }
+            } else if (p.cabac) {
               // CABAC × transform_8x8 needs the ctx-399+ init tables
               // (§9.3.1.1 High extension), which this module has NOT
               // transcribed — a named error, never invented constants
@@ -539,7 +651,9 @@ object H264 {
                 cur.y, cur.cb, cur.cr, qps, p.sm, p.chromaQpOffsetCr)
               var mb = firstMb
               while (mb < firstMb + done) {
-                recordDeblock(mb, qps(mb)); mb += 1
+                recordDeblock(mb, qps(mb))
+                cur.mo.markIntraMb(mb, cur.wMbs)
+                mb += 1
               }
               cur.mbsDone += done
             } else {
@@ -547,28 +661,7 @@ object H264 {
             while (mb < cur.total && r.moreRbspData) {
               val mbType = r.ue()
               if (mbType == 25) { // I_PCM
-                r.alignToByte()
-                val mbX = (mb % cur.wMbs) * 16
-                val mbY = (mb / cur.wMbs) * 16
-                var i = 0
-                while (i < 256) {
-                  cur.y((mbY + i / 16) * cur.wMbs * 16 + mbX + i % 16) =
-                    r.readByte().toByte
-                  i += 1
-                }
-                val cX = mbX / 2; val cY = mbY / 2; val cw = cur.wMbs * 8
-                i = 0
-                while (i < 64) {
-                  cur.cb((cY + i / 8) * cw + cX + i % 8) = r.readByte().toByte
-                  i += 1
-                }
-                i = 0
-                while (i < 64) {
-                  cur.cr((cY + i / 8) * cw + cX + i % 8) = r.readByte().toByte
-                  i += 1
-                }
-                cur.ctx.sliceId(mb) = sliceId
-                cur.ctx.isIpcm(mb) = true
+                readIpcmMb(r, cur, mb, sliceId)
                 recordDeblock(mb, 0) // I_PCM deblocks at QP 0 (§8.7.2)
               } else {
                 qpY = H264Mb.decodeMb(r, mbType, cur.ctx, mb, sliceId,
@@ -576,6 +669,7 @@ object H264 {
                   p.transform8x8, p.sm, p.chromaQpOffsetCr)
                 recordDeblock(mb, qpY)
               }
+              cur.mo.markIntraMb(mb, cur.wMbs)
               cur.mbsDone += 1
               mb += 1
             }
@@ -585,10 +679,28 @@ object H264 {
                 H264Deblock.filterPicture(cur.y, cur.cb, cur.cr,
                   cur.wMbs, cur.hMbs, cur.mbQp, cur.chromaQpOffset,
                   cur.ctx.sliceId, cur.deblockIdc, cur.offsetA,
-                  cur.offsetB, cur.ctx.is8x8, cur.chromaQpOffsetCr)
+                  cur.offsetB, cur.ctx.is8x8, cur.chromaQpOffsetCr,
+                  cur.mo, cur.ctx.lumaNz)
               frames += toRgb(cur, curSps)
               framesOut += 1
+              if (curIsRef) {
+                // store POST-deblock planes (§8.4.2.1 MC reads the
+                // filtered picture); sliding-window marking: evict
+                // the smallest FrameNumWrap when over max_num_ref_frames
+                dpb += new H264Inter.RefPic(picCounter, curFrameNum,
+                  cur.wMbs, cur.hMbs, cur.y, cur.cb, cur.cr)
+                picCounter += 1
+                val maxFn = 1 << curSps.log2MaxFrameNum
+                val cap = math.max(1, curSps.maxNumRefFrames)
+                while (dpb.size > cap) {
+                  def wrap(rp: H264Inter.RefPic): Int =
+                    if (rp.frameNum > curFrameNum) rp.frameNum - maxFn
+                    else rp.frameNum
+                  dpb -= dpb.minBy(wrap)
+                }
+              }
               cur = null
+            }
             }
           }
         case _ => () // SEI/AUD/filler/...: skipped
@@ -596,10 +708,39 @@ object H264 {
     }
     if (framesOut == 0 && skippedInter > 0)
       throw new IllegalArgumentException(
-        s"no decodable I picture: all $skippedInter slices are " +
-          "inter-coded (P/B) — I-frame-only decoding needs at least " +
-          "one intra picture")
+        s"no decodable picture: all $skippedInter inter pictures " +
+          "hit a named boundary (B/SP/SI, CABAC P, weighted or " +
+          "list-modified prediction, or a missing reference) and " +
+          "no intra picture decoded")
     frames.result()
+  }
+
+  /** Read one I_PCM macroblock's raw samples (§7.3.5 pcm path) into
+    * the picture planes — shared by the I-slice and P-slice loops. */
+  private def readIpcmMb(r: BitReader, cur: Yuv, mb: Int,
+                         sliceId: Int): Unit = {
+    r.alignToByte()
+    val mbX = (mb % cur.wMbs) * 16
+    val mbY = (mb / cur.wMbs) * 16
+    var i = 0
+    while (i < 256) {
+      cur.y((mbY + i / 16) * cur.wMbs * 16 + mbX + i % 16) =
+        r.readByte().toByte
+      i += 1
+    }
+    val cX = mbX / 2; val cY = mbY / 2; val cw = cur.wMbs * 8
+    i = 0
+    while (i < 64) {
+      cur.cb((cY + i / 8) * cw + cX + i % 8) = r.readByte().toByte
+      i += 1
+    }
+    i = 0
+    while (i < 64) {
+      cur.cr((cY + i / 8) * cw + cX + i % 8) = r.readByte().toByte
+      i += 1
+    }
+    cur.ctx.sliceId(mb) = sliceId
+    cur.ctx.isIpcm(mb) = true
   }
 
   /** Full-range BT.601 YCbCr → packed RGB, cropped per the SPS. The
@@ -995,12 +1136,159 @@ object H264 {
   private def deblockRecon(ctx: H264Mb.PicCtx, mbQps: Array[Int],
                            yR: Array[Byte], cbR: Array[Byte],
                            crR: Array[Byte],
-                           chromaQpOffsetCr: Int = 0): Unit = {
+                           chromaQpOffsetCr: Int = 0,
+                           mo: H264Inter.MotionCtx = null): Unit = {
     val n = ctx.wMbs * ctx.hMbs
     H264Deblock.filterPicture(yR, cbR, crR, ctx.wMbs, ctx.hMbs,
       mbQps, chromaQpOffset = 0, ctx.sliceId,
       Array.fill(n)(0), new Array[Int](n), new Array[Int](n),
-      ctx.is8x8, chromaQpOffsetCr)
+      ctx.is8x8, chromaQpOffsetCr, mo, ctx.lumaNz)
+  }
+
+  /**
+   * Encode an IPPP… stream (CAVLC): frame 0 (and every `gop`-th
+   * frame when `gop` > 0) is an IDR via [[H264Mb.encodeSliceData]];
+   * every other frame is ONE P slice of motion-compensated
+   * macroblocks ([[H264Inter.encodePMb]]) referencing up to
+   * `refFrames` sliding-window short-term references.
+   *
+   *  - `forcedMv` plants one global quarter-pel MV per P frame
+   *    (cycled), exercising every §8.4.2.2 fractional position and
+   *    making most interior MBs collapse to P_Skip on translating
+   *    content; empty → integer SAD search per partition.
+   *  - `partitionCycle` cycles the MB partitioning through
+   *    P_L0_16x16 / 16x8 / 8x16 / P_8x8 / P_8x8ref0 so every
+   *    Table 7-13/7-17 shape and §8.4.1.3 directional rule is on
+   *    the wire; off → 16x16 only (the skip-friendly shape).
+   *  - `intraEvery` > 0 codes every n-th MB of P slices as an INTRA
+   *    MB (mb_type + 5) — the refresh pattern real encoders emit.
+   *
+   * Returns (Annex-B bytes, per-frame reconstruction) — the decode
+   * oracle: `decodeFrames(bytes)` must equal the recon pixels
+   * exactly (H264InterSpec pins it).
+   */
+  def encodeCavlcP(width: Int, height: Int, frames: Seq[Array[Int]],
+                   qp: Int = 26, gop: Int = 0,
+                   forcedMv: Seq[(Int, Int)] = Nil,
+                   searchRange: Int = 4,
+                   partitionCycle: Boolean = false,
+                   intraEvery: Int = 0,
+                   refFrames: Int = 1,
+                   deblock: Boolean = false)
+      : (Array[Byte], Seq[(Int, Int, Array[Int])]) = {
+    require(frames.nonEmpty)
+    require(frames.forall(_.length == width * height))
+    require(qp >= 0 && qp <= 51, s"qp $qp out of [0, 51]")
+    require(width % 2 == 0 && height % 2 == 0,
+      "odd display dims need crop in 1-px units (unsupported)")
+    require(refFrames >= 1 && refFrames <= 4, "refFrames in 1..4")
+    val wMbs = (width + 15) / 16
+    val hMbs = (height + 15) / 16
+    val nMbs = wMbs * hMbs
+    val cropR = (wMbs * 16 - width) / 2
+    val cropB = (hMbs * 16 - height) / 2
+    val out = new java.io.ByteArrayOutputStream()
+    val spsNal = nal(3, 7, spsRbsp(wMbs, hMbs, cropR, cropB,
+      maxRefFrames = refFrames))
+    val ppsNal = nal(3, 8, ppsRbsp(deblockingControl = true))
+    out.write(spsNal, 0, spsNal.length)
+    out.write(ppsNal, 0, ppsNal.length)
+    // the Pps a decoder parses from ppsRbsp above — encode-side
+    // quant/recon must run off the SAME picture parameters
+    val pEnc = Pps(0, 0, cabac = false, bottomFieldPicOrder = false,
+      deblockingControl = true, redundantPicCnt = false,
+      picInitQp = 26, chromaQpOffset = 0)
+    val dpb = scala.collection.mutable.ArrayBuffer
+      .empty[H264Inter.RefPic]
+    var picId = 0
+    var nextFn = 0
+    var pIdx = 0 // P-frame counter, indexes forcedMv
+    val recon = frames.zipWithIndex.map { case (rgb, f) =>
+      val isIdr = f == 0 || (gop > 0 && f % gop == 0)
+      val (srcY, srcCb, srcCr) = rgbToPlanes(width, height, wMbs,
+        hMbs, rgb)
+      val yR = new Array[Byte](wMbs * 16 * hMbs * 16)
+      val cbR = new Array[Byte](wMbs * 8 * hMbs * 8)
+      val crR = new Array[Byte](wMbs * 8 * hMbs * 8)
+      val ctx = new H264Mb.PicCtx(wMbs, hMbs)
+      val mo = new H264Inter.MotionCtx(wMbs * 4, hMbs * 4)
+      val mbQps = Array.fill(nMbs)(qp)
+      val w = new BitWriter()
+      val fn = if (isIdr) 0 else nextFn
+      if (isIdr) {
+        dpb.clear()
+        w.ue(0)  // first_mb_in_slice
+        w.ue(7)  // slice_type: I
+        w.ue(0)  // pic_parameter_set_id
+        w.u(0, 4) // frame_num (IDR resets)
+        w.ue(f & 1) // idr_pic_id
+        w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking (IDR)
+        w.se(qp - 26)
+        if (deblock) { w.ue(0); w.se(0); w.se(0) } else w.ue(1)
+        H264Mb.encodeSliceData(w, ctx, 0, qp, 0, srcY, srcCb, srcCr,
+          yR, cbR, crR, 0, -1, 0, mbQps)
+        var mb = 0
+        while (mb < nMbs) { mo.markIntraMb(mb, wMbs); mb += 1 }
+        w.trailingBits()
+        val sliceNal = nal(3, 5, w.toBytes)
+        out.write(sliceNal, 0, sliceNal.length)
+      } else {
+        val maxFn = 16 // log2_max_frame_num 4 (spsRbsp)
+        val refList = dpb.sortBy(rp =>
+          -(if (rp.frameNum > fn) rp.frameNum - maxFn
+            else rp.frameNum)).toIndexedSeq
+        val numRefActive = math.min(refFrames, refList.size)
+        val fmv =
+          if (forcedMv.isEmpty) None
+          else Some(forcedMv(pIdx % forcedMv.size))
+        pIdx += 1
+        w.ue(0)  // first_mb_in_slice
+        w.ue(5)  // slice_type: P (all slices in picture are P)
+        w.ue(0)  // pic_parameter_set_id
+        w.u(fn, 4)
+        if (numRefActive != 1) { w.u(1, 1); w.ue(numRefActive - 1) }
+        else w.u(0, 1) // num_ref_idx_active_override_flag
+        w.u(0, 1) // ref_pic_list_modification_flag_l0
+        w.u(0, 1) // adaptive_ref_pic_marking_mode_flag
+        w.se(qp - 26)
+        if (deblock) { w.ue(0); w.se(0); w.se(0) } else w.ue(1)
+        var qpY = qp
+        var run = 0
+        var mb = 0
+        while (mb < nMbs) {
+          if (intraEvery > 0 && mb % intraEvery == intraEvery - 1) {
+            w.ue(run); run = 0
+            val plan = H264Mb.analyzeMb(ctx, mb, 0, qp, 0, srcY,
+              srcCb, srcCr, yR, cbR, crR)
+            qpY = H264Mb.emitIntraMb(w, ctx, 0, mb, plan, qpY, qp,
+              transform8x8 = false, mbTypeOffset = 5)
+            mo.markIntraMb(mb, wMbs)
+          } else {
+            val variant = if (partitionCycle) mb % 5 else 0
+            val (skipped, q) = H264Inter.encodePMb(w, ctx, mo, 0, mb,
+              refList, numRefActive, srcY, srcCb, srcCr, qpY, qp,
+              pEnc, variant, fmv, searchRange, yR, cbR, crR, run)
+            if (skipped) run += 1 else { run = 0; qpY = q }
+          }
+          mbQps(mb) = qpY
+          mb += 1
+        }
+        if (run > 0) w.ue(run) // trailing skips close the slice
+        w.trailingBits()
+        val sliceNal = nal(2, 1, w.toBytes)
+        out.write(sliceNal, 0, sliceNal.length)
+      }
+      if (deblock) deblockRecon(ctx, mbQps, yR, cbR, crR, 0, mo)
+      // every picture is a reference: sliding-window marking
+      dpb += new H264Inter.RefPic(picId, fn, wMbs, hMbs, yR, cbR, crR)
+      picId += 1
+      while (dpb.size > refFrames)
+        dpb -= dpb.minBy(rp =>
+          if (rp.frameNum > fn) rp.frameNum - 16 else rp.frameNum)
+      nextFn = (fn + 1) % 16
+      planesToRgb(wMbs, hMbs, cropR, cropB, yR, cbR, crR)
+    }
+    (out.toByteArray, recon)
   }
 
   /**

@@ -1,16 +1,18 @@
 package graft.multimodal
 
 /**
- * In-loop deblocking filter for intra pictures (ITU-T Rec. H.264
- * §8.7 — public specification). Until round 15, streams that enabled
- * the filter decoded to PRE-deblock pixels (fingerprint-stable but
- * not display-exact); this closes that last gap on the intra path.
+ * In-loop deblocking filter (ITU-T Rec. H.264 §8.7 — public
+ * specification). Until round 15, streams that enabled the filter
+ * decoded to PRE-deblock pixels; this closed that gap on the intra
+ * path, and the inter round added the full §8.7.2.1 boundary-strength
+ * derivation for P pictures.
  *
  * Scope and shape:
- *  - intra-only pictures (this decoder's scope): boundary strength
- *    is 4 on macroblock edges and 3 on internal 4x4 edges — the §8.7.2.1
- *    derivation collapses to that for intra MBs, so no coefficient
- *    or motion bookkeeping is needed;
+ *  - intra MBs: boundary strength is 4 on macroblock edges and 3 on
+ *    internal 4x4 edges (the §8.7.2.1 derivation collapses to that);
+ *    with motion state present, inter 4x4 block pairs derive bS
+ *    2 (residual coefficients), 1 (different reference picture or an
+ *    MV component ≥ 4 quarter-pel apart) or 0 (skip the edge);
  *  - per-MB raster order, all vertical edges left→right then all
  *    horizontal edges top→bottom, filtering IN PLACE so later edges
  *    see earlier edges' outputs (the spec's sequencing);
@@ -40,13 +42,31 @@ private[graft] object H264Deblock {
     9, 9, 10, 10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15,
     16, 16, 17, 17, 18, 18)
 
-  // Table 8-17: tC0 for bS 1..3 (we use only the bS=3 column on
-  // internal edges; bS=4 edges use the strong filter, no tC0)
+  // Table 8-17: tC0 columns for bS 1..3 (bS 4 edges use the strong
+  // filter, no tC0). All three columns are one transcription shared
+  // by both encode and decode fixtures, so encode↔decode
+  // bit-exactness holds independently of it; the bS=3 column predates
+  // the inter work and the bS=1/2 columns follow the same table rows.
+  private val tc0Bs1: Array[Int] = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    2, 2, 2, 2, 3, 3, 3, 4, 4, 5, 6, 6, 7, 8,
+    9, 10, 11, 13, 14, 16)
+  private val tc0Bs2: Array[Int] = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3,
+    3, 3, 4, 4, 5, 5, 6, 7, 8, 9, 10, 11, 13, 14,
+    16, 18, 20, 23, 25, 27)
   private val tc0Bs3: Array[Int] = Array(
     0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
     1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 4, 4,
     4, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20,
     23, 25, 27, 30, 33, 36)
+  private def tc0For(bs: Int, indexA: Int): Int = bs match {
+    case 1 => tc0Bs1(indexA)
+    case 2 => tc0Bs2(indexA)
+    case _ => tc0Bs3(indexA)
+  }
 
   @inline private def clip3(lo: Int, hi: Int, v: Int): Int =
     if (v < lo) lo else if (v > hi) hi else v
@@ -56,17 +76,24 @@ private[graft] object H264Deblock {
    * Filter one edge of `len` sample lines in place. The edge sits
    * between sample columns/rows: p samples at offsets -1..-4 times
    * `across` from `base`, q samples at 0..3; successive lines step
-   * by `along`. `strong` = bS 4 (MB edge), else bS 3.
+   * by `along`. `bsSeg` carries the §8.7.2.1 boundary strength per
+   * group of `segLen` lines (4 luma lines / 2 chroma lines per 4x4
+   * luma block pair): 0 skips the group, 4 runs the strong filter,
+   * 1..3 the clipped normal filter with that bS's tC0 column.
    */
   private def filterEdge(plane: Array[Byte], base: Int, across: Int,
-                         along: Int, len: Int, strong: Boolean,
-                         chroma: Boolean, indexA: Int,
+                         along: Int, len: Int, bsSeg: Array[Int],
+                         segLen: Int, chroma: Boolean, indexA: Int,
                          indexB: Int): Unit = {
     val alpha = alphaTab(indexA)
     val beta = betaTab(indexB)
     if (alpha == 0 || beta == 0) return
     var line = 0
     while (line < len) {
+      val bs = bsSeg(line / segLen)
+      if (bs == 0) { line += 1 }
+      else {
+      val strong = bs == 4
       val o = base + line * along
       @inline def s(k: Int): Int = plane(o + k * across) & 0xFF
       val p0 = s(-1); val p1 = s(-2); val p2 = s(-3)
@@ -99,8 +126,8 @@ private[graft] object H264Deblock {
             } else
               plane(o) = ((2 * q1 + q0 + p1 + 2) >> 2).toByte
           }
-        } else { // bS = 3: the clipped normal filter
-          val tc0 = tc0Bs3(indexA)
+        } else { // bS 1..3: the clipped normal filter
+          val tc0 = tc0For(bs, indexA)
           val ap = math.abs(p2 - p0)
           val aq = math.abs(q2 - q0)
           val tc =
@@ -122,14 +149,26 @@ private[graft] object H264Deblock {
         }
       }
       line += 1
+      }
     }
   }
 
+  private val allBs3 = Array(3, 3, 3, 3)
+  private val allBs4 = Array(4, 4, 4, 4)
+
   /**
-   * Deblock one intra picture in place. Per-MB arrays carry each
-   * MB's decode state: `mbQp` (I_PCM MBs: 0, the spec's convention),
+   * Deblock one picture in place. Per-MB arrays carry each MB's
+   * decode state: `mbQp` (I_PCM MBs: 0, the spec's convention),
    * `disableIdc`/`offsetA`/`offsetB` from the MB's slice header, and
    * `sliceId` for the idc==2 cross-slice rule.
+   *
+   * Intra pictures (no `motion`): boundary strength is 4 on MB edges
+   * and 3 internally — the §8.7.2.1 derivation collapses to that for
+   * intra MBs. With `motion` + `lumaNz` (inter pictures), the full
+   * derivation runs per 4x4 block pair: either side intra → 4 (MB
+   * edge) / 3; either 4x4 block has residual coefficients → 2;
+   * different reference pictures or an MV component differing by
+   * ≥ 4 quarter-pel → 1; else 0 (no filtering).
    */
   def filterPicture(yP: Array[Byte], cbP: Array[Byte],
                     crP: Array[Byte], wMbs: Int, hMbs: Int,
@@ -137,7 +176,9 @@ private[graft] object H264Deblock {
                     sliceId: Array[Int], disableIdc: Array[Int],
                     offsetA: Array[Int], offsetB: Array[Int],
                     is8x8: Array[Boolean] = null,
-                    chromaQpOffsetCr: Int = Int.MinValue): Unit = {
+                    chromaQpOffsetCr: Int = Int.MinValue,
+                    motion: H264Inter.MotionCtx = null,
+                    lumaNz: Array[Array[Int]] = null): Unit = {
     // second_chroma_qp_index_offset: Cr edges filter at Cr's own QP
     // (§8.7.2 uses QPc of the PLANE being filtered)
     val offCr =
@@ -171,6 +212,42 @@ private[graft] object H264Deblock {
         // luma edges (§8.7: transform block edges); chroma edges sit
         // at e 0/2 regardless, so only the luma grid changes
         val t8 = is8x8 != null && is8x8(mb)
+        // §8.7.2.1 boundary strength for the 4x4 pair (p, q); the
+        // intra collapse (no motion state) is 4 on MB edges, 3 inside
+        def bsFor(pbx: Int, pby: Int, qbx: Int, qby: Int,
+                  mbEdge: Boolean): Int = {
+          if (motion == null) return if (mbEdge) 4 else 3
+          val w4 = wMbs * 4
+          val pi = pby * w4 + pbx; val qi = qby * w4 + qbx
+          if (motion.refPic(pi) < 0 || motion.refPic(qi) < 0)
+            return if (mbEdge) 4 else 3 // either side intra
+          def nzAt(bx: Int, by: Int): Boolean = {
+            val m = (by >> 2) * wMbs + (bx >> 2)
+            val z = (by & 2) * 4 + (bx & 2) * 2 + (by & 1) * 2 +
+              (bx & 1)
+            lumaNz != null && lumaNz(m)(z) > 0
+          }
+          if (nzAt(pbx, pby) || nzAt(qbx, qby)) 2
+          else if (motion.refPic(pi) != motion.refPic(qi)) 1
+          else if (math.abs(motion.mvx(pi) - motion.mvx(qi)) >= 4 ||
+                   math.abs(motion.mvy(pi) - motion.mvy(qi)) >= 4) 1
+          else 0
+        }
+        def bsEdge(e: Int, vertical: Boolean): Array[Int] = {
+          if (motion == null) return if (e == 0) allBs4 else allBs3
+          val out = new Array[Int](4)
+          var k = 0
+          while (k < 4) {
+            val (qbx, qby) =
+              if (vertical) (mbX * 4 + e, mbY * 4 + k)
+              else (mbX * 4 + k, mbY * 4 + e)
+            out(k) =
+              if (vertical) bsFor(qbx - 1, qby, qbx, qby, e == 0)
+              else bsFor(qbx, qby - 1, qbx, qby, e == 0)
+            k += 1
+          }
+          out
+        }
         // --- vertical edges, left to right ---
         var e = 0
         while (e < 4) {
@@ -180,18 +257,19 @@ private[graft] object H264Deblock {
              else mbX > 0 && neighborOk(mb - 1)) &&
               !(t8 && (e & 1) == 1)
           if (filterIt) {
+            val bs = bsEdge(e, vertical = true)
             val qpP = if (boundary) mbQp(mb - 1) else mbQp(mb)
             val (ia, ib) = indices(qpP, mbQp(mb), chromaPlane = false)
             filterEdge(yP, mbY * 16 * lw + mbX * 16 + e * 4,
               across = 1, along = lw, len = 16,
-              strong = boundary, chroma = false, ia, ib)
+              bs, segLen = 4, chroma = false, ia, ib)
             if ((e & 1) == 0) { // chroma vertical edges at 0 and 8/2
               val (ca, cb) = indices(qpP, mbQp(mb), chromaPlane = true)
               val (ra, rb) = indicesFor(qpP, mbQp(mb), Some(offCr))
               val cbase = mbY * 8 * cw + mbX * 8 + e * 2
-              filterEdge(cbP, cbase, 1, cw, 8, boundary,
+              filterEdge(cbP, cbase, 1, cw, 8, bs, segLen = 2,
                 chroma = true, ca, cb)
-              filterEdge(crP, cbase, 1, cw, 8, boundary,
+              filterEdge(crP, cbase, 1, cw, 8, bs, segLen = 2,
                 chroma = true, ra, rb)
             }
           }
@@ -206,18 +284,19 @@ private[graft] object H264Deblock {
              else mbY > 0 && neighborOk(mb - wMbs)) &&
               !(t8 && (e & 1) == 1)
           if (filterIt) {
+            val bs = bsEdge(e, vertical = false)
             val qpP = if (boundary) mbQp(mb - wMbs) else mbQp(mb)
             val (ia, ib) = indices(qpP, mbQp(mb), chromaPlane = false)
             filterEdge(yP, (mbY * 16 + e * 4) * lw + mbX * 16,
               across = lw, along = 1, len = 16,
-              strong = boundary, chroma = false, ia, ib)
+              bs, segLen = 4, chroma = false, ia, ib)
             if ((e & 1) == 0) {
               val (ca, cb) = indices(qpP, mbQp(mb), chromaPlane = true)
               val (ra, rb) = indicesFor(qpP, mbQp(mb), Some(offCr))
               val cbase = (mbY * 8 + e * 2) * cw + mbX * 8
-              filterEdge(cbP, cbase, cw, 1, 8, boundary,
+              filterEdge(cbP, cbase, cw, 1, 8, bs, segLen = 2,
                 chroma = true, ca, cb)
-              filterEdge(crP, cbase, cw, 1, 8, boundary,
+              filterEdge(crP, cbase, cw, 1, 8, bs, segLen = 2,
                 chroma = true, ra, rb)
             }
           }

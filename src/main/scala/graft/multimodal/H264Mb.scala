@@ -116,6 +116,17 @@ private[graft] object H264Mb {
     } else -1
   }
 
+  /** Package accessors for the §9.2.1 nC rules, so the inter module
+    * ([[H264Inter]]) shares ONE neighbor implementation. */
+  private[multimodal] def lumaNCFor(ctx: PicCtx, mbX: Int, mbY: Int,
+                                    bx: Int, by: Int,
+                                    sliceId: Int): Int =
+    lumaNC(ctx, mbX, mbY, bx, by, sliceId)
+  private[multimodal] def chromaNCFor(nz: Array[Array[Int]],
+                                      ctx: PicCtx, mbX: Int, mbY: Int,
+                                      blk: Int, sliceId: Int): Int =
+    chromaNC(nz, ctx, mbX, mbY, blk, sliceId)
+
   /** §9.2.1 nC for chroma AC block `blk` (raster 0..3) of a MB. */
   private def chromaNC(nz: Array[Array[Int]], ctx: PicCtx, mbX: Int, mbY: Int,
                blk: Int, sliceId: Int): Int = {
@@ -810,96 +821,114 @@ private[graft] object H264Mb {
       val plan = analyzeMb(ctx, mbIdx, sliceId, target, chromaQpOffset,
         srcY, srcCb, srcCr, yP, cbP, crP, transform8x8, sm,
         chromaQpOffsetCr)
-      import plan._
-
-      // --- emit syntax (mirror of decodeMb's parse order) ---
-      val mbType =
-        if (is4x4) 0
-        else 1 + pred16Mode + 4 * cbpChroma +
-          12 * (if (cbpLuma == 15) 1 else 0)
-      wr.ue(mbType)
-      if (is4x4 && transform8x8) wr.u(if (use8) 1 else 0, 1)
-      if (is4x4 && use8) {
-        var b = 0
-        while (b < 4) {
-          val bx = (b & 1) * 2; val by = (b >> 1) * 2
-          val z = zIdx(bx, by)
-          val pm = predIntra4x4Mode(ctx, mbX, mbY, bx, by,
-            sliceId, modes)
-          if (modes(z) == pm) wr.u(1, 1)
-          else {
-            wr.u(0, 1)
-            wr.u(if (modes(z) < pm) modes(z) else modes(z) - 1, 3)
-          }
-          b += 1
-        }
-      } else if (is4x4) {
-        var z = 0
-        while (z < 16) {
-          val pm = predIntra4x4Mode(ctx, mbX, mbY, zx(z), zy(z),
-            sliceId, modes)
-          if (modes(z) == pm) wr.u(1, 1)
-          else {
-            wr.u(0, 1)
-            wr.u(if (modes(z) < pm) modes(z) else modes(z) - 1, 3)
-          }
-          z += 1
-        }
-      }
-      wr.ue(chromaMode)
-      if (is4x4)
-        wr.ue(intraCodeFromCbp(cbpLuma | (cbpChroma << 4)))
-      // mb_qp_delta: present for I16x16 or any coded residual; an
-      // MB without the slot carries no coefficients, so QP is moot
-      // there and the running qpY simply persists (decoder rule)
-      if (!is4x4 || cbpLuma != 0 || cbpChroma != 0) {
-        val delta = target - qpY
-        wr.se(delta)
-        qpY = target
-      }
+      qpY = emitIntraMb(wr, ctx, sliceId, mbIdx, plan, qpY, target,
+        transform8x8)
       if (mbQpOut != null) mbQpOut(mbIdx) = qpY
-      // residuals, with the same nz bookkeeping order as decode
-      if (!is4x4) {
-        val nC = lumaNC(ctx, mbX, mbY, 0, 0, sliceId)
-        Cavlc.writeResidualBlock(wr, co.lumaDc, nC)
-      }
-      var z = 0
-      while (z < 16) {
-        val grp = z >> 2
-        if ((cbpLuma & (1 << grp)) != 0) {
-          val nC = lumaNC(ctx, mbX, mbY, zx(z), zy(z), sliceId)
-          ctx.lumaNz(mbIdx)(z) =
-            Cavlc.writeResidualBlock(wr, co.lumaAc(z), nC)
-        } else ctx.lumaNz(mbIdx)(z) = 0
-        z += 1
-      }
-      if (cbpChroma != 0) {
-        Cavlc.writeResidualBlock(wr, co.cbDc, -1)
-        Cavlc.writeResidualBlock(wr, co.crDc, -1)
-      }
-      if (cbpChroma == 2) {
-        var b = 0
-        while (b < 4) {
-          val nC = chromaNC(ctx.cbNz, ctx, mbX, mbY, b, sliceId)
-          ctx.cbNz(mbIdx)(b) =
-            Cavlc.writeResidualBlock(wr, co.cbAc(b), nC)
-          b += 1
-        }
-        b = 0
-        while (b < 4) {
-          val nC = chromaNC(ctx.crNz, ctx, mbX, mbY, b, sliceId)
-          ctx.crNz(mbIdx)(b) =
-            Cavlc.writeResidualBlock(wr, co.crAc(b), nC)
-          b += 1
-        }
-      } else {
-        var b = 0
-        while (b < 4) {
-          ctx.cbNz(mbIdx)(b) = 0; ctx.crNz(mbIdx)(b) = 0; b += 1
-        }
-      }
       mbIdx += 1
     }
+  }
+
+  /**
+   * Emit one analyzed intra MB's CAVLC syntax (mirror of decodeMb's
+   * parse order), updating the nz context as it writes. Returns the
+   * new running luma QP. `mbTypeOffset` shifts mb_type for intra MBs
+   * inside P slices (+5, Table 7-13).
+   */
+  private[multimodal] def emitIntraMb(wr: BitWriter, ctx: PicCtx,
+                                      sliceId: Int, mbIdx: Int,
+                                      plan: MbPlan, qpYIn: Int,
+                                      target: Int,
+                                      transform8x8: Boolean,
+                                      mbTypeOffset: Int = 0): Int = {
+    import plan._
+    val mbX = mbIdx % ctx.wMbs
+    val mbY = mbIdx / ctx.wMbs
+    var qpY = qpYIn
+    val mbType =
+      if (is4x4) 0
+      else 1 + pred16Mode + 4 * cbpChroma +
+        12 * (if (cbpLuma == 15) 1 else 0)
+    wr.ue(mbType + mbTypeOffset)
+    if (is4x4 && transform8x8) wr.u(if (use8) 1 else 0, 1)
+    if (is4x4 && use8) {
+      var b = 0
+      while (b < 4) {
+        val bx = (b & 1) * 2; val by = (b >> 1) * 2
+        val z = zIdx(bx, by)
+        val pm = predIntra4x4Mode(ctx, mbX, mbY, bx, by,
+          sliceId, modes)
+        if (modes(z) == pm) wr.u(1, 1)
+        else {
+          wr.u(0, 1)
+          wr.u(if (modes(z) < pm) modes(z) else modes(z) - 1, 3)
+        }
+        b += 1
+      }
+    } else if (is4x4) {
+      var z = 0
+      while (z < 16) {
+        val pm = predIntra4x4Mode(ctx, mbX, mbY, zx(z), zy(z),
+          sliceId, modes)
+        if (modes(z) == pm) wr.u(1, 1)
+        else {
+          wr.u(0, 1)
+          wr.u(if (modes(z) < pm) modes(z) else modes(z) - 1, 3)
+        }
+        z += 1
+      }
+    }
+    wr.ue(chromaMode)
+    if (is4x4)
+      wr.ue(intraCodeFromCbp(cbpLuma | (cbpChroma << 4)))
+    // mb_qp_delta: present for I16x16 or any coded residual; an
+    // MB without the slot carries no coefficients, so QP is moot
+    // there and the running qpY simply persists (decoder rule)
+    if (!is4x4 || cbpLuma != 0 || cbpChroma != 0) {
+      val delta = target - qpY
+      wr.se(delta)
+      qpY = target
+    }
+    // residuals, with the same nz bookkeeping order as decode
+    if (!is4x4) {
+      val nC = lumaNC(ctx, mbX, mbY, 0, 0, sliceId)
+      Cavlc.writeResidualBlock(wr, co.lumaDc, nC)
+    }
+    var z = 0
+    while (z < 16) {
+      val grp = z >> 2
+      if ((cbpLuma & (1 << grp)) != 0) {
+        val nC = lumaNC(ctx, mbX, mbY, zx(z), zy(z), sliceId)
+        ctx.lumaNz(mbIdx)(z) =
+          Cavlc.writeResidualBlock(wr, co.lumaAc(z), nC)
+      } else ctx.lumaNz(mbIdx)(z) = 0
+      z += 1
+    }
+    if (cbpChroma != 0) {
+      Cavlc.writeResidualBlock(wr, co.cbDc, -1)
+      Cavlc.writeResidualBlock(wr, co.crDc, -1)
+    }
+    if (cbpChroma == 2) {
+      var b = 0
+      while (b < 4) {
+        val nC = chromaNC(ctx.cbNz, ctx, mbX, mbY, b, sliceId)
+        ctx.cbNz(mbIdx)(b) =
+          Cavlc.writeResidualBlock(wr, co.cbAc(b), nC)
+        b += 1
+      }
+      b = 0
+      while (b < 4) {
+        val nC = chromaNC(ctx.crNz, ctx, mbX, mbY, b, sliceId)
+        ctx.crNz(mbIdx)(b) =
+          Cavlc.writeResidualBlock(wr, co.crAc(b), nC)
+        b += 1
+      }
+    } else {
+      var b = 0
+      while (b < 4) {
+        ctx.cbNz(mbIdx)(b) = 0; ctx.crNz(mbIdx)(b) = 0; b += 1
+      }
+    }
+    qpY
   }
 
   private def reconChromaOnly(ctx: PicCtx, mbIdx: Int, sliceId: Int,

@@ -1619,19 +1619,33 @@ object Multimodal {
                                   deblock: Boolean = false,
                                   pFiller: Int = 0,
                                   transform8x8: Boolean = false,
-                                  scalingMatrix: Boolean = false)
+                                  scalingMatrix: Boolean = false,
+                                  pSlices: Boolean = false)
       : Array[Byte] = {
     require(!(cabac && transform8x8),
       "CABAC x transform_8x8 unsupported (see H264 scope)")
+    require(!(pSlices && (cabac || transform8x8 || scalingMatrix)),
+      "pSlices fixtures are CAVLC baseline (see H264 scope)")
     val px = fixtureFrames(id, w, h, frames)
     val annexB =
-      if (cabac) H264.encodeCabac(w, h, px, qp = 26, deblock = deblock,
-        scalingMatrix = scalingMatrix)._1
+      if (pSlices)
+        // a REAL IPPP stream: frame 0 IDR, the rest motion-compensated
+        // P pictures (planted fractional global MVs exercise the
+        // §8.4.2.2 interpolation; the partition cycle covers Tables
+        // 7-13/7-17; intraEvery is the refresh pattern; deblock
+        // composes the inter §8.7.2.1 bS path)
+        H264.encodeCavlcP(w, h, px, qp = 26, deblock = deblock,
+          forcedMv = Seq((5, 2), (-3, 1), (2, -2), (7, 3)),
+          partitionCycle = true, intraEvery = 7)._1
+      else if (cabac) H264.encodeCabac(w, h, px, qp = 26,
+        deblock = deblock, scalingMatrix = scalingMatrix)._1
       else H264.encodeCavlc(w, h, px, qp = 26, deblock = deblock,
         transform8x8 = transform8x8, scalingMatrix = scalingMatrix)._1
     // pFiller > 0: the real-world MIXED stream shape — each IDR
-    // followed by that many skippable all-P_Skip filler pictures
-    // (H264.insertInterFiller); the decoder fingerprints IDRs only
+    // followed by that many all-P_Skip filler pictures
+    // (H264.insertInterFiller); since the inter round the fillers
+    // DECODE (motion compensation) as exact copies of their IDR
+    // reference, so planted copies stay fingerprint-identical
     val withFiller =
       if (pFiller > 0) H264.insertInterFiller(annexB, pFiller)
       else annexB
@@ -1690,7 +1704,8 @@ object Multimodal {
                          deblock: Boolean = false,
                          pFiller: Int = 0,
                          transform8x8: Boolean = false,
-                         scalingMatrix: Boolean = false)
+                         scalingMatrix: Boolean = false,
+                         pSlices: Boolean = false)
       : Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(nContents.toLong * copies).as[Long].map { id =>
@@ -1699,7 +1714,7 @@ object Multimodal {
       val h = 64 + (content % 3).toInt * 16
       MediaRow(id, "video",
         syntheticMp4(content, w, h, frames = 5, cabac, deblock,
-          pFiller, transform8x8, scalingMatrix),
+          pFiller, transform8x8, scalingMatrix, pSlices),
         MediaMeta(w, h, 0, 5))
     }
   }

@@ -254,22 +254,26 @@ class H264Spec extends SparkSpec {
     assert(e.getMessage.contains("intra"), e.getMessage)
   }
 
-  // ---- mixed I/P/B streams (round 16): I-frame-only decode ---------
+  // ---- mixed I/P/B streams: since the inter round the P_Skip
+  // filler pictures DECODE (motion compensation) as exact copies ----
 
-  test("mixed I/P/B streams decode I-frame-only: inter filler is " +
-      "skipped and IDR pictures come back pixel-exact (both coders, " +
-      "multi-slice, MP4)") {
+  test("mixed I/P/B streams decode WHOLE: P_Skip filler pictures " +
+      "come back as exact copies of their IDR reference (both " +
+      "coders, multi-slice, MP4)") {
     import graft.multimodal.Mp4
     val frames = Seq(
       Array.tabulate(64 * 48)(i => (i * 31) & 0xFFFFFF),
       Array.tabulate(64 * 48)(i => (i * 97 + 5) & 0xFFFFFF))
-    // CAVLC, single-slice
+    // CAVLC, single-slice: [I0, P,P,P, I1, P,P,P] — every picture
+    // decodes; each filler equals the IDR it references exactly
+    // (P_Skip, zero MV, no residual, bS 0 under the filter)
     val (cavlc, rv) = H264.encodeCavlc(64, 48, frames, qp = 26)
     val mixed = H264.insertInterFiller(cavlc, perGap = 3)
     val dec = H264.decodeFrames(mixed)
-    assert(dec.size == 2, "exactly the IDR pictures")
-    dec.zip(rv).foreach { case ((w, h, p), (rw, rh, rp)) =>
-      assert(w == rw && h == rh && p.toSeq == rp.toSeq)
+    assert(dec.size == 8, s"2 IDRs + 6 fillers, got ${dec.size}")
+    dec.zipWithIndex.foreach { case ((w, h, p), i) =>
+      val (rw, rh, rp) = rv(i / 4) // 0..3 → IDR0, 4..7 → IDR1
+      assert(w == rw && h == rh && p.toSeq == rp.toSeq, s"picture $i")
     }
     // the filler genuinely adds inter pictures to the stream
     assert(H264.nalUnits(mixed).count(n => (n(0) & 0x1F) == 1) == 6)
@@ -279,9 +283,9 @@ class H264Spec extends SparkSpec {
       mbRowsPerSlice = 1, deblock = true)
     val mixedC = H264.insertInterFiller(cabac, perGap = 2)
     val decC = H264.decodeFrames(mixedC)
-    assert(decC.size == 2)
-    decC.zip(rc).foreach { case ((_, _, p), (_, _, rp)) =>
-      assert(p.toSeq == rp.toSeq)
+    assert(decC.size == 6)
+    decC.zipWithIndex.foreach { case ((_, _, p), i) =>
+      assert(p.toSeq == rc(i / 3)._3.toSeq, s"picture $i")
     }
     // and through the MP4 container (each filler picture = one sample)
     val mp4 = Mp4.fromAnnexB(mixedC, 64, 48)
@@ -305,7 +309,7 @@ class H264Spec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       H264.decodeFrames(pOnly)
     }
-    assert(e.getMessage.contains("no decodable I picture"),
+    assert(e.getMessage.contains("no decodable picture"),
       e.getMessage)
     // degrade-don't-fail: the corpus row is skipped, not fatal
     import spark.implicits._
