@@ -44,6 +44,30 @@ private[graft] object RegistryRound16 {
                 JOIN generate_series(0, 89) b(i)
                 ON a.i < b.i AND a.i % 30 = b.i % 30""")),
 
+    // High-profile INTER residual (round 16, inter pass): the pslice
+    // gate's construction and oracle VERBATIM, with the remaining
+    // High-profile inter shape composed on top — PPS
+    // transform_8x8_mode (P MBs mix 8x8 and 4x4 luma residuals; the
+    // §7.4.5.3.3 interleave parse, §8.5.13 dequant on INTER 8x8 list
+    // 1, §8.5.12.3 inverse butterfly), SPS default scaling matrices
+    // (inter 4x4 lists 3-5 weight every P residual), and deblocking
+    // with the t8-aware edge grid + 8x8-granularity bS=2 test.
+    // Until this pass inter transform_8x8 was a named error at the
+    // flag. Identical oracle = the transform-size/quant-matrix
+    // agnosticism contract extended to INTER pictures.
+    Q("q_video_fp_dedup_mp4_pslice_8x8",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        Multimodal.videoNearDuplicates(
+          Multimodal.syntheticMp4Corpus(s, nContents = 30, copies = 3,
+            deblock = true, pSlices = true, transform8x8 = true,
+            scalingMatrix = true), maxHamming = 4)
+      },
+      Some("""SELECT a.i AS id_a, b.i AS id_b, 0 AS hamming
+              FROM generate_series(0, 89) a(i)
+                JOIN generate_series(0, 89) b(i)
+                ON a.i < b.i AND a.i % 30 = b.i % 30""")),
+
     // Mixed I/P/B MP4 (round 16): q_video_fp_dedup_mp4's construction
     // and oracle VERBATIM, but every .mp4 now has the real-world GOP
     // shape — each IDR picture is followed by 3 inter (P) filler

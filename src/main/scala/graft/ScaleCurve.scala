@@ -374,6 +374,18 @@ object ScaleCurve {
             nContents = 100 * k, copies = 3, deblock = true,
             transform8x8 = true, scalingMatrix = true), maxHamming = 4)
       },
+      // inter pass: real IPPP streams — motion-compensated P decode
+      // (quarter-pel interpolation, MV prediction, partition cycle,
+      // inter deblock bS). MC is per-MB work against a single
+      // reference frame, so the contract stays linear in clips;
+      // compare the exponent to video_mp4's (same oracle, intra-only)
+      "video_mp4_pslice" -> { k =>
+        Multimodal.videoNearDuplicates(
+          Multimodal.syntheticMp4Corpus(spark,
+            nContents = 100 * k, copies = 3, deblock = true,
+            pSlices = true, transform8x8 = true,
+            scalingMatrix = true), maxHamming = 4)
+      },
       // persisted theta sketch-log build + probe over a scaling
       // corpus: the create is one shuffle of 8-byte keys → per-shard
       // sketches (contract linear in rows; the exchange carries

@@ -35,8 +35,8 @@ package graft.multimodal
  * SCOPE — stated plainly: B slices (list1/direct modes), CABAC P
  * slices (the inter syntax-element context init tables are not
  * transcribed — constants are never invented), weighted prediction,
- * ref-pic-list modification, MMCO/long-term marking and inter
- * transform_8x8 are named boundaries: an affected picture is
+ * ref-pic-list modification and MMCO/long-term marking are named
+ * boundaries: an affected picture is
  * SKIPPED whole (a reference gap then disables P decode until the
  * next IDR re-anchors the DPB), so such streams degrade to
  * I-frame-only decoding exactly as before the inter round; a stream
@@ -1174,7 +1174,9 @@ object H264 {
                    partitionCycle: Boolean = false,
                    intraEvery: Int = 0,
                    refFrames: Int = 1,
-                   deblock: Boolean = false)
+                   deblock: Boolean = false,
+                   transform8x8: Boolean = false,
+                   scalingMatrix: Boolean = false)
       : (Array[Byte], Seq[(Int, Int, Array[Int])]) = {
     require(frames.nonEmpty)
     require(frames.forall(_.length == width * height))
@@ -1187,17 +1189,22 @@ object H264 {
     val nMbs = wMbs * hMbs
     val cropR = (wMbs * 16 - width) / 2
     val cropB = (hMbs * 16 - height) / 2
+    val high = transform8x8 || scalingMatrix
+    val sm = if (scalingMatrix) defaultSm else ScalingMatrices.Flat
     val out = new java.io.ByteArrayOutputStream()
     val spsNal = nal(3, 7, spsRbsp(wMbs, hMbs, cropR, cropB,
-      maxRefFrames = refFrames))
-    val ppsNal = nal(3, 8, ppsRbsp(deblockingControl = true))
+      maxRefFrames = refFrames, high = high,
+      seqScalingDefault = scalingMatrix))
+    val ppsNal = nal(3, 8, ppsRbsp(deblockingControl = true,
+      transform8x8 = transform8x8))
     out.write(spsNal, 0, spsNal.length)
     out.write(ppsNal, 0, ppsNal.length)
     // the Pps a decoder parses from ppsRbsp above — encode-side
     // quant/recon must run off the SAME picture parameters
     val pEnc = Pps(0, 0, cabac = false, bottomFieldPicOrder = false,
       deblockingControl = true, redundantPicCnt = false,
-      picInitQp = 26, chromaQpOffset = 0)
+      picInitQp = 26, chromaQpOffset = 0,
+      transform8x8 = transform8x8, sm = sm)
     val dpb = scala.collection.mutable.ArrayBuffer
       .empty[H264Inter.RefPic]
     var picId = 0
@@ -1226,7 +1233,7 @@ object H264 {
         w.se(qp - 26)
         if (deblock) { w.ue(0); w.se(0); w.se(0) } else w.ue(1)
         H264Mb.encodeSliceData(w, ctx, 0, qp, 0, srcY, srcCb, srcCr,
-          yR, cbR, crR, 0, -1, 0, mbQps)
+          yR, cbR, crR, 0, -1, 0, mbQps, transform8x8, sm)
         var mb = 0
         while (mb < nMbs) { mo.markIntraMb(mb, wMbs); mb += 1 }
         w.trailingBits()
@@ -1259,15 +1266,16 @@ object H264 {
           if (intraEvery > 0 && mb % intraEvery == intraEvery - 1) {
             w.ue(run); run = 0
             val plan = H264Mb.analyzeMb(ctx, mb, 0, qp, 0, srcY,
-              srcCb, srcCr, yR, cbR, crR)
+              srcCb, srcCr, yR, cbR, crR, transform8x8, sm)
             qpY = H264Mb.emitIntraMb(w, ctx, 0, mb, plan, qpY, qp,
-              transform8x8 = false, mbTypeOffset = 5)
+              transform8x8, mbTypeOffset = 5)
             mo.markIntraMb(mb, wMbs)
           } else {
             val variant = if (partitionCycle) mb % 5 else 0
             val (skipped, q) = H264Inter.encodePMb(w, ctx, mo, 0, mb,
               refList, numRefActive, srcY, srcCb, srcCr, qpY, qp,
-              pEnc, variant, fmv, searchRange, yR, cbR, crR, run)
+              pEnc, variant, fmv, searchRange, yR, cbR, crR, run,
+              transform8x8)
             if (skipped) run += 1 else { run = 0; qpY = q }
           }
           mbQps(mb) = qpY

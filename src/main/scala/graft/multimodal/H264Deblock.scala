@@ -223,9 +223,22 @@ private[graft] object H264Deblock {
             return if (mbEdge) 4 else 3 // either side intra
           def nzAt(bx: Int, by: Int): Boolean = {
             val m = (by >> 2) * wMbs + (bx >> 2)
-            val z = (by & 2) * 4 + (bx & 2) * 2 + (by & 1) * 2 +
-              (bx & 1)
-            lumaNz != null && lumaNz(m)(z) > 0
+            if (lumaNz == null) return false
+            if (is8x8 != null && is8x8(m)) {
+              // 8x8 transform: "the block containing the sample" is
+              // the covering 8x8 — any of its four interleave parts
+              val b8 = (by & 2) + ((bx & 2) >> 1)
+              var k = 0
+              while (k < 4) {
+                if (lumaNz(m)(b8 * 4 + k) > 0) return true
+                k += 1
+              }
+              false
+            } else {
+              val z = (by & 2) * 4 + (bx & 2) * 2 + (by & 1) * 2 +
+                (bx & 1)
+              lumaNz(m)(z) > 0
+            }
           }
           if (nzAt(pbx, pby) || nzAt(qbx, qby)) 2
           else if (motion.refPic(pi) != motion.refPic(qi)) 1

@@ -488,12 +488,12 @@ private[graft] object H264Inter {
     val cbpLuma = cbp & 15; val cbpChroma = cbp >> 4
     require(cbpChroma <= 2, s"cbp chroma $cbpChroma")
     // transform_size_8x8_flag (§7.3.5): only when the PPS enables it,
-    // luma residual exists, and no sub-partition is below 8x8
-    if (p.transform8x8 && cbpLuma != 0 &&
-        (!withSub || subTypes.forall(_ == 0)))
-      require(r.u(1) == 0,
-        "inter transform_8x8 unsupported (named boundary — intra " +
-          "8x8 decodes; bind an external decoder for inter 8x8)")
+    // luma residual exists, and no sub-partition is below 8x8; the
+    // residual PARSE is unchanged (the §7.4.5.3.3 4x4-interleave
+    // split), only dequant + inverse transform switch to 8x8
+    val use8 = p.transform8x8 && cbpLuma != 0 &&
+      (!withSub || subTypes.forall(_ == 0)) && r.u(1) == 1
+    ctx.is8x8(mbIdx) = use8
     var qpY = qpYPrev
     if (cbp != 0) {
       val delta = r.se()
@@ -511,7 +511,7 @@ private[graft] object H264Inter {
 
     reconInter(ctx, mbIdx, qpY, p, InterMb(resolved, cbpLuma,
       cbpChroma, qpY, lumaAc, cbDc, crDc, cbAc, crAc), predY, predCb,
-      predCr, yP, cbP, crP)
+      predCr, yP, cbP, crP, use8)
     qpY
   }
 
@@ -574,19 +574,58 @@ private[graft] object H264Inter {
     (cbDc, crDc, cbAc, crAc)
   }
 
-  /** Add the dequantized inter residual (weight lists 3/4/5 — the
-    * INTER columns of the scaling matrices) onto the MC prediction
-    * and write the MB's planes. */
+  /** Add the dequantized inter residual (weight lists 3/4/5 and 8x8
+    * list 1 — the INTER columns of the scaling matrices) onto the MC
+    * prediction and write the MB's planes. `use8` switches the luma
+    * residual to §8.5.13 8x8 dequant + §8.5.12.3 inverse 8x8 over the
+    * de-interleaved parts (§7.4.5.3.3). */
   private def reconInter(ctx: H264Mb.PicCtx, mbIdx: Int, qpY: Int,
                          p: Pps, m: InterMb, predY: Array[Int],
                          predCb: Array[Int], predCr: Array[Int],
                          yP: Array[Byte], cbP: Array[Byte],
-                         crP: Array[Byte]): Unit = {
+                         crP: Array[Byte], use8: Boolean = false)
+      : Unit = {
     val mbX = mbIdx % ctx.wMbs; val mbY = mbIdx / ctx.wMbs
     val lw = ctx.wMbs * 16; val cw = ctx.wMbs * 8
     val x0 = mbX * 16; val y0 = mbY * 16
     val qpC = Transform.chromaQp(qpY, p.chromaQpOffset)
     val qpCr = Transform.chromaQp(qpY, p.chromaQpOffsetCr)
+    if (use8) {
+      // luma as four 8x8 transform blocks: de-interleave the CAVLC
+      // parts back into the 64-coeff scan, dequant8 on inter list 1,
+      // inverse 8x8 butterfly, add
+      var b = 0
+      while (b < 4) {
+        val bx = (b & 1) * 8; val by = (b >> 1) * 8
+        if ((m.cbpLuma & (1 << b)) != 0) {
+          val d = new Array[Int](64)
+          var s = 0
+          while (s < 64) {
+            val cval = m.lumaAc(b * 4 + (s & 3))(s >> 2)
+            val raster = Transform.zigzag8x8(s)
+            d(raster) = Transform.dequant8(cval, qpY, raster,
+              p.sm.w8(1)(raster))
+            s += 1
+          }
+          val res = Transform.inverse8x8(d)
+          var i = 0
+          while (i < 64) {
+            val px = bx + (i & 7); val py = by + (i >> 3)
+            yP((y0 + py) * lw + x0 + px) =
+              clipB(predY(py * 16 + px) + res(i))
+            i += 1
+          }
+        } else {
+          var i = 0
+          while (i < 64) {
+            val px = bx + (i & 7); val py = by + (i >> 3)
+            yP((y0 + py) * lw + x0 + px) = clipB(predY(py * 16 + px))
+            i += 1
+          }
+        }
+        b += 1
+      }
+    } else {
     // luma: 16 standalone 4x4 blocks (no DC split in inter MBs)
     var z = 0
     while (z < 16) {
@@ -617,6 +656,7 @@ private[graft] object H264Inter {
         }
       }
       z += 1
+    }
     }
     // chroma
     val cx0 = mbX * 8; val cy0 = mbY * 8
@@ -722,7 +762,7 @@ private[graft] object H264Inter {
       qpYIn: Int, target: Int, p: Pps, variant: Int,
       forcedMv: Option[(Int, Int)], searchRange: Int,
       yR: Array[Byte], cbR: Array[Byte], crR: Array[Byte],
-      skipRun: Int): (Boolean, Int) = {
+      skipRun: Int, transform8x8: Boolean = false): (Boolean, Int) = {
     val mbX = mbIdx % ctx.wMbs; val mbY = mbIdx / ctx.wMbs
     val lw = ctx.wMbs * 16; val cw = ctx.wMbs * 8
     ctx.sliceId(mbIdx) = sliceId
@@ -734,12 +774,40 @@ private[graft] object H264Inter {
     val qpC = Transform.chromaQp(target, p.chromaQpOffset)
     val qpCr = Transform.chromaQp(target, p.chromaQpOffsetCr)
 
-    // quantized residual of the whole MB against a given prediction
+    // quantized residual of the whole MB against a given prediction;
+    // `use8` codes luma through the 8x8 transform (quant8 on inter
+    // 8x8 list 1, parts in the §7.4.5.3.3 interleave split)
     def residuals(predY: Array[Int], predCb: Array[Int],
-                  predCr: Array[Int])
+                  predCr: Array[Int], use8: Boolean = false)
         : (Array[Array[Int]], Array[Int], Array[Int],
            Array[Array[Int]], Array[Array[Int]], Int, Int) = {
       val lumaAc = new Array[Array[Int]](16)
+      if (use8) {
+        var b = 0
+        while (b < 4) {
+          val bx = (b & 1) * 8; val by = (b >> 1) * 8
+          val diff = new Array[Int](64)
+          var i = 0
+          while (i < 64) {
+            val px = bx + (i & 7); val py = by + (i >> 3)
+            diff(i) = srcY((mbY * 16 + py) * lw + mbX * 16 + px) -
+              predY(py * 16 + px)
+            i += 1
+          }
+          val wCoef = Transform.forward8x8(diff)
+          var k = 0
+          while (k < 4) { lumaAc(b * 4 + k) = new Array[Int](16); k += 1 }
+          var s = 0
+          while (s < 64) {
+            val raster = Transform.zigzag8x8(s)
+            lumaAc(b * 4 + (s & 3))(s >> 2) =
+              Transform.quant8(wCoef(raster), target, raster,
+                p.sm.w8(1)(raster))
+            s += 1
+          }
+          b += 1
+        }
+      } else {
       var z = 0
       while (z < 16) {
         val bx = H264Mb.zx(z); val by = H264Mb.zy(z)
@@ -762,6 +830,7 @@ private[graft] object H264Inter {
         }
         lumaAc(z) = scan
         z += 1
+      }
       }
       def chromaCoeffs(src: Array[Int], pred: Array[Int],
                        wgt: Array[Int], qp: Int)
@@ -874,9 +943,16 @@ private[graft] object H264Inter {
     }
 
     // --- residuals against the MC prediction ---
+    // deterministic 8x8/4x4 mix when the PPS allows it (and the
+    // partitioning does — §7.3.5's noSubMbPartSizeLessThan8x8)
+    val t8Eligible = transform8x8 &&
+      (mbType <= 2 || subTypes.forall(_ == 0))
+    val use8Want = t8Eligible && mbIdx % 2 == 0
     val (lumaAc, cbDc, crDc, cbAc, crAc, cbpLuma, cbpChroma) =
-      residuals(predY, predCb, predCr)
+      residuals(predY, predCb, predCr, use8Want)
     val cbp = cbpLuma | (cbpChroma << 4)
+    val use8 = use8Want && cbpLuma != 0
+    ctx.is8x8(mbIdx) = use8
 
     // --- emit (decode parse order) ---
     wr.ue(skipRun)
@@ -888,6 +964,9 @@ private[graft] object H264Inter {
       wr.se(mdx); wr.se(mdy)
     }
     wr.ue(interCodeFromCbp(cbp))
+    if (transform8x8 && cbpLuma != 0 &&
+        (mbType <= 2 || subTypes.forall(_ == 0)))
+      wr.u(if (use8) 1 else 0, 1) // transform_size_8x8_flag
     var qpY = qpYIn
     if (cbp != 0) {
       wr.se(target - qpY)
@@ -934,7 +1013,7 @@ private[graft] object H264Inter {
     reconInter(ctx, mbIdx, qpY, p,
       InterMb(chosen.map(c => (c._1, c._2, c._5, c._6)), cbpLuma,
         cbpChroma, qpY, lumaAc, cbDc, crDc, cbAc, crAc),
-      predY, predCb, predCr, yR, cbR, crR)
+      predY, predCb, predCr, yR, cbR, crR, use8)
     (false, qpY)
   }
 }

@@ -1624,8 +1624,8 @@ object Multimodal {
       : Array[Byte] = {
     require(!(cabac && transform8x8),
       "CABAC x transform_8x8 unsupported (see H264 scope)")
-    require(!(pSlices && (cabac || transform8x8 || scalingMatrix)),
-      "pSlices fixtures are CAVLC baseline (see H264 scope)")
+    require(!(pSlices && cabac),
+      "CABAC P slices unsupported (see H264 scope)")
     val px = fixtureFrames(id, w, h, frames)
     val annexB =
       if (pSlices)
@@ -1633,10 +1633,13 @@ object Multimodal {
         // P pictures (planted fractional global MVs exercise the
         // §8.4.2.2 interpolation; the partition cycle covers Tables
         // 7-13/7-17; intraEvery is the refresh pattern; deblock
-        // composes the inter §8.7.2.1 bS path)
+        // composes the inter §8.7.2.1 bS path; transform8x8 /
+        // scalingMatrix compose the High-profile inter residual)
         H264.encodeCavlcP(w, h, px, qp = 26, deblock = deblock,
           forcedMv = Seq((5, 2), (-3, 1), (2, -2), (7, 3)),
-          partitionCycle = true, intraEvery = 7)._1
+          partitionCycle = true, intraEvery = 7,
+          transform8x8 = transform8x8,
+          scalingMatrix = scalingMatrix)._1
       else if (cabac) H264.encodeCabac(w, h, px, qp = 26,
         deblock = deblock, scalingMatrix = scalingMatrix)._1
       else H264.encodeCavlc(w, h, px, qp = 26, deblock = deblock,

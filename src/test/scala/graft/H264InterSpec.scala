@@ -321,6 +321,42 @@ class H264InterSpec extends SparkSpec {
     assertDecodesExact(bytes, recon)
   }
 
+  test("inter transform_8x8 (High profile): the 8x8/4x4 residual mix " +
+      "round-trips display-exact, with and without deblocking") {
+    val frames = translatedFrames(4, 64, 48, dx = 1, dy = 2)
+    val (bytes, recon) = H264.encodeCavlcP(64, 48, frames, qp = 27,
+      searchRange = 3, partitionCycle = true, transform8x8 = true)
+    assertDecodesExact(bytes, recon)
+    // the 8x8 leg genuinely changes the wire vs the 4x4-only encode
+    val (bytes4, _) = H264.encodeCavlcP(64, 48, frames, qp = 27,
+      searchRange = 3, partitionCycle = true)
+    assert(bytes.toSeq != bytes4.toSeq)
+    // deblock composes: t8 MBs filter only 8x8-aligned luma edges
+    // and the bS=2 test runs at 8x8 residual granularity
+    val (bytesD, reconD) = H264.encodeCavlcP(64, 48, frames, qp = 30,
+      searchRange = 2, partitionCycle = true, transform8x8 = true,
+      deblock = true, intraEvery = 5)
+    assertDecodesExact(bytesD, reconD)
+  }
+
+  test("inter scaling matrices: the DEFAULT inter lists (4x4 list 3-5, " +
+      "8x8 list 1) weight the residual and round-trip display-exact") {
+    val frames = translatedFrames(3, 64, 48, dx = 2, dy = 1)
+    val (bytes, recon) = H264.encodeCavlcP(64, 48, frames, qp = 28,
+      searchRange = 2, scalingMatrix = true)
+    assertDecodesExact(bytes, recon)
+    // matrices genuinely change pixels vs flat quant
+    val (_, reconF) = H264.encodeCavlcP(64, 48, frames, qp = 28,
+      searchRange = 2)
+    assert(recon.map(_._3.toSeq) != reconF.map(_._3.toSeq))
+    // the full High-profile inter composition: 8x8 + matrices +
+    // deblock + partition cycle + intra refresh
+    val (bytesH, reconH) = H264.encodeCavlcP(64, 48, frames, qp = 30,
+      searchRange = 2, partitionCycle = true, transform8x8 = true,
+      scalingMatrix = true, deblock = true, intraEvery = 4)
+    assertDecodesExact(bytesH, reconH)
+  }
+
   test("GOP structure: IDR every 3 pictures re-anchors the DPB; " +
       "frame_num wraps across a long P chain") {
     val frames = gradFrames(7, 48, 32, seed = 11)
