@@ -44,6 +44,54 @@ private[graft] object RegistryRound16 {
                 JOIN generate_series(0, 89) b(i)
                 ON a.i < b.i AND a.i % 30 = b.i % 30""")),
 
+    // B slices (round 16, inter pass): the pslice gate's construction
+    // and oracle VERBATIM over the classic broadcast GOP — I B B P
+    // B B P: non-reference B pictures between P anchors, decoded with
+    // two POC-ordered reference lists (§8.2.4.2.3), default
+    // biprediction (§8.4.2.3.1), spatial direct + B_Skip
+    // (§8.4.1.2.2 with direct_8x8_inference and the co-located
+    // colZeroFlag), intra refresh inside B slices (mb_type+23), and
+    // ref_idx on BOTH lists (refsEachWay 2). Decode order ≠ display
+    // order, so the §8.2.1 POC reconstruction and display-order
+    // re-emission are load-bearing: the fingerprint frame IS a B
+    // picture. The B machinery is cross-checked against the P path
+    // (H264BSliceSpec: B-coded-as-L0 == P, pixel-identical) — an
+    // external anchor, not a self-consistent round-trip.
+    Q("q_video_fp_dedup_mp4_bslice",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        Multimodal.videoNearDuplicates(
+          Multimodal.syntheticMp4Corpus(s, nContents = 30, copies = 3,
+            deblock = true, bSlices = true), maxHamming = 4)
+      },
+      Some("""SELECT a.i AS id_a, b.i AS id_b, 0 AS hamming
+              FROM generate_series(0, 89) a(i)
+                JOIN generate_series(0, 89) b(i)
+                ON a.i < b.i AND a.i % 30 = b.i % 30""")),
+
+    // Explicit weighted prediction (round 16, inter pass): the pslice
+    // gate's construction and oracle VERBATIM with a §7.3.3.2
+    // pred_weight_table in force — every P MB's motion-compensated
+    // prediction (incl. P_Skip) runs the §8.4.2.3.2 weighting
+    // (per-refIdx luma/chroma weights+offsets, distinct denominators)
+    // before the residual adds. The fade shape real encoders code
+    // with WP. Until this pass a weighted-pred PPS skipped the
+    // picture (I-frame-only degrade). Identical oracle = the
+    // weighting-agnosticism contract: byte-identical planted copies
+    // must fingerprint at Hamming 0 through the weighted MC path.
+    Q("q_video_fp_dedup_mp4_wpred",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        Multimodal.videoNearDuplicates(
+          Multimodal.syntheticMp4Corpus(s, nContents = 30, copies = 3,
+            deblock = true, pSlices = true, weighted = true),
+          maxHamming = 4)
+      },
+      Some("""SELECT a.i AS id_a, b.i AS id_b, 0 AS hamming
+              FROM generate_series(0, 89) a(i)
+                JOIN generate_series(0, 89) b(i)
+                ON a.i < b.i AND a.i % 30 = b.i % 30""")),
+
     // High-profile INTER residual (round 16, inter pass): the pslice
     // gate's construction and oracle VERBATIM, with the remaining
     // High-profile inter shape composed on top — PPS

@@ -22,29 +22,31 @@ package graft.multimodal
  * profile 8x8 (§8.3.2/§8.5.13) with quantization scaling matrices
  * (§7.3.2.1.1.1 + Table 7-2 fallbacks) — CAVLC residuals),
  * [[H264Cabac]] (§9.3 CABAC entropy coding, both directions),
- * [[H264Inter]] (P-slice motion compensation: §8.4.2.2 quarter-pel
- * interpolation, §8.4.1 MV prediction and P_Skip, Tables 7-13/7-17
- * partitions, multi-reference sliding-window DPB), and
+ * [[H264Inter]] (P AND B motion compensation: §8.4.2.2 quarter-pel
+ * interpolation, §8.4.1 MV prediction, P_Skip/B_Skip, spatial
+ * direct, default biprediction, explicit weighted prediction,
+ * Tables 7-13/7-14/7-17/7-18 partitions, POC-ordered reference
+ * lists over a sliding-window DPB), and
  * [[H264Deblock]] (§8.7 in-loop filter, the full §8.7.2.1 boundary
- * strengths, 8x8-aware edge grid) — so I/IDR pictures with I_PCM,
- * Intra_4x4, Intra_8x8 and Intra_16x16 macroblocks decode
- * display-exact under EITHER entropy coder, and P pictures decode
- * with real motion compensation under CAVLC, filtered or not, flat
- * or weighted quant.
+ * strengths over both lists, 8x8-aware edge grid) — so I/IDR
+ * pictures decode display-exact under EITHER entropy coder, and
+ * P/B pictures decode with real motion compensation under CAVLC
+ * (display-order output via §8.2.1 POC), filtered or not, flat or
+ * weighted quant.
  *
- * SCOPE — stated plainly: B slices (list1/direct modes), CABAC P
- * slices (the inter syntax-element context init tables are not
- * transcribed — constants are never invented), weighted prediction,
- * ref-pic-list modification and MMCO/long-term marking are named
- * boundaries: an affected picture is
- * SKIPPED whole (a reference gap then disables P decode until the
- * next IDR re-anchors the DPB), so such streams degrade to
- * I-frame-only decoding exactly as before the inter round; a stream
- * where NOTHING decodes is a named error. Interlaced coding and
- * CABAC×transform_8x8 (ctx-399+ init tables) remain named errors,
- * bindable through the SPI (`graft.video.frameDecoder`). The
- * degrade-don't-fail `Try` in `videoHashes` turns named errors into
- * skips. Reference behaviors modeled on the published spec only.
+ * SCOPE — stated plainly: CABAC inter slices (the inter
+ * syntax-element context init tables are not transcribed —
+ * constants are never invented), temporal direct mode, weighted
+ * biprediction (idc 1/2), ref-pic-list modification and
+ * MMCO/long-term marking are named boundaries: an affected picture
+ * is SKIPPED whole (a reference gap then disables inter decode
+ * until the next IDR re-anchors the DPB), so such streams degrade
+ * to I-frame-only decoding; a stream where NOTHING decodes is a
+ * named error. Interlaced coding and CABAC×transform_8x8 (ctx-399+
+ * init tables) remain named errors, bindable through the SPI
+ * (`graft.video.frameDecoder`). The degrade-don't-fail `Try` in
+ * `videoHashes` turns named errors into skips. Reference behaviors
+ * modeled on the published spec only.
  */
 object H264 {
 
@@ -221,7 +223,8 @@ object H264 {
                        frameMbsOnly: Boolean,
                        cropL: Int, cropR: Int, cropT: Int, cropB: Int,
                        sm: Option[ScalingMatrices] = None,
-                       maxNumRefFrames: Int = 0) {
+                       maxNumRefFrames: Int = 0,
+                       direct8x8Inference: Boolean = true) {
     require(frameMbsOnly, "interlaced (field) coding unsupported")
     require(chromaFormatIdc == 1, "only 4:2:0 chroma supported")
     val heightMbs: Int = heightMapUnits
@@ -344,13 +347,13 @@ object H264 {
     val hUnits = r.ue() + 1
     val frameOnly = r.u(1) == 1
     if (!frameOnly) r.u(1) // mb_adaptive_frame_field_flag
-    r.u(1) // direct_8x8_inference_flag
+    val d8x8Inf = r.u(1) == 1 // direct_8x8_inference_flag
     val (cl, cr, ct, cb) =
       if (r.u(1) == 1) (r.ue(), r.ue(), r.ue(), r.ue()) else (0, 0, 0, 0)
     // vui ignored
     Sps(id, profile, level, chroma, log2FrameNum, pocType, log2Poc,
       deltaAlwaysZero, wMbs, hUnits, frameOnly, cl, cr, ct, cb, sm,
-      maxRefFrames)
+      maxRefFrames, d8x8Inf)
   }
 
   final case class Pps(id: Int, spsId: Int, cabac: Boolean,
@@ -363,7 +366,9 @@ object H264 {
                        chromaQpOffsetCr: Int = 0,
                        numRefIdxL0Default: Int = 1,
                        weightedPred: Boolean = false,
-                       constrainedIntra: Boolean = false)
+                       constrainedIntra: Boolean = false,
+                       numRefIdxL1Default: Int = 1,
+                       weightedBipred: Int = 0)
 
   /** Parse a PPS. `spsLookup` resolves the referenced SPS so PPS
     * scaling lists can apply fallback rule B against the SPS
@@ -379,9 +384,9 @@ object H264 {
     val groups = r.ue() + 1
     require(groups == 1, "slice groups (FMO) unsupported")
     val numRefIdxL0Default = r.ue() + 1 // num_ref_idx_l0_default_active
-    r.ue() // num_ref_idx_l1_default_active_minus1
+    val numRefIdxL1Default = r.ue() + 1 // num_ref_idx_l1_default_active
     val weightedPred = r.u(1) == 1 // weighted_pred_flag
-    r.u(2) // weighted_bipred_idc
+    val weightedBipred = r.u(2) // weighted_bipred_idc (B slices)
     val picInitQp = 26 + r.se() // pic_init_qp_minus26
     r.se() // pic_init_qs_minus26
     val chromaQpOffset = r.se() // chroma_qp_index_offset
@@ -407,7 +412,8 @@ object H264 {
       .getOrElse(ScalingMatrices.Flat)
     Pps(id, spsId, cabac, bfpo, deblock, redundant, picInitQp,
       chromaQpOffset, transform8x8, sm, chromaQpOffsetCr,
-      numRefIdxL0Default, weightedPred, constrainedIntra)
+      numRefIdxL0Default, weightedPred, constrainedIntra,
+      numRefIdxL1Default, weightedBipred)
   }
 
   // ---- frame decode ------------------------------------------------------
@@ -432,31 +438,42 @@ object H264 {
     var chromaQpOffsetCr = 0
     /** per-4x4 motion state (§8.4.1.3 neighbors + §8.7.2.1 bS). */
     val mo = new H264Inter.MotionCtx(wMbs * 4, hMbs * 4)
+    /** §8.2.1 picture order count + IDR epoch: the display-order
+      * sort key (B pictures decode after the future reference they
+      * use, so decode order ≠ display order). */
+    var poc = 0
+    var epoch = 0
   }
 
   /** Decode an Annex-B stream: intra pictures (I_PCM, Intra_4x4,
     * Intra_8x8, Intra_16x16) under CAVLC ([[H264Mb]]/[[Cavlc]]) OR
-    * CABAC ([[H264Cabac]], §9.3), and P pictures with REAL motion
-    * compensation under CAVLC ([[H264Inter]] — quarter-pel
-    * interpolation, MV prediction, P_Skip, all Table 7-13/7-17
-    * partitions, intra MBs inside P slices, multi-reference
+    * CABAC ([[H264Cabac]], §9.3), and P AND B pictures with REAL
+    * motion compensation under CAVLC ([[H264Inter]] — quarter-pel
+    * interpolation, MV prediction, P_Skip/B_Skip, spatial direct,
+    * default biprediction, explicit weighted prediction, all
+    * Table 7-13/7-14/7-17/7-18 partitions, intra MBs inside inter
+    * slices, POC-ordered multi-reference lists over a
     * sliding-window DPB); returns frames as (width, height, packed
-    * 0xRRGGBB) in decode order. Streams that enable the deblocking
-    * filter are filtered per §8.7 with the full §8.7.2.1 boundary
+    * 0xRRGGBB) in DISPLAY order (§8.2.1 POC — B streams decode out
+    * of display order). Streams that enable the deblocking filter
+    * are filtered per §8.7 with the full §8.7.2.1 boundary
     * strengths ([[H264Deblock]]) — display-exact pixels.
     *
-    * Pictures that hit a named inter boundary (B/SP/SI slices,
-    * CABAC P, weighted prediction, list modification) are SKIPPED
-    * whole; if such a picture was a REFERENCE, P decode stays off
-    * until the next IDR (the DPB would be wrong), so those streams
-    * degrade to I-frame-only decoding. A stream where NO picture
-    * decodes throws a named error, as do genuinely unsupported
-    * constructs — callers wrap in `Try` per the degrade-don't-fail
-    * contract. */
+    * Pictures that hit a named inter boundary (SP/SI slices, CABAC
+    * inter, temporal direct, weighted bipred, list modification)
+    * are SKIPPED whole; if such a picture was a REFERENCE, inter
+    * decode stays off until the next IDR (the DPB would be wrong),
+    * so those streams degrade to I-frame-only decoding. A stream
+    * where NO picture decodes throws a named error, as do genuinely
+    * unsupported constructs — callers wrap in `Try` per the
+    * degrade-don't-fail contract. */
   def decodeFrames(bytes: Array[Byte]): Seq[(Int, Int, Array[Int])] = {
     val sps = scala.collection.mutable.Map.empty[Int, Sps]
     val pps = scala.collection.mutable.Map.empty[Int, Pps]
-    val frames = Seq.newBuilder[(Int, Int, Array[Int])]
+    // (epoch, poc, frame): B pictures decode out of display order;
+    // the final emission sorts by IDR epoch then POC (§8.2.1)
+    val pending = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, (Int, Int, Array[Int]))]
     var cur: Yuv = null
     var curSps: Sps = null
     var framesOut = 0
@@ -468,6 +485,13 @@ object H264 {
     var dpbBroken = false
     var curIsRef = false
     var curFrameNum = 0
+    // §8.2.1 POC state: type 0 anchors on the previous REFERENCE
+    // picture's msb/lsb; type 2 tracks FrameNumOffset per picture
+    var pocMsbPrev = 0
+    var pocLsbPrev = 0
+    var fnOffPrev = 0
+    var fnPrev = 0
+    var epoch = 0
 
     nalUnits(bytes).foreach { nal =>
       val header = nal(0) & 0xFF
@@ -490,6 +514,7 @@ object H264 {
           require(sliceType <= 9, s"bad slice_type $sliceType")
           val isI = sliceType == 2 || sliceType == 7
           val isP = sliceType == 0 || sliceType == 5
+          val isB = sliceType == 1 || sliceType == 6
           // an undecodable inter picture is dropped whole; if it was
           // a REFERENCE, later P pictures would motion-compensate
           // from a frame we don't have, so P decode stays off until
@@ -499,10 +524,10 @@ object H264 {
             cur = null
             if (refIdc != 0) dpbBroken = true
           }
-          if (!isI && !isP) {
-            // B/SP/SI slice: no list1/direct/switching support —
-            // named SPI boundary; the intra pictures (the ones the
-            // fingerprint needs most) still decode
+          if (!isI && !isP && !isB) {
+            // SP/SI slice: no switching-slice support — named SPI
+            // boundary; the intra pictures (the ones the fingerprint
+            // needs most) still decode
             skipPicture()
           } else {
             val p = pps.getOrElse(r.ue(),
@@ -510,8 +535,9 @@ object H264 {
             val s = sps(p.spsId)
             val frameNum = r.u(s.log2MaxFrameNum)
             if (nalType == 5) r.ue() // idr_pic_id
+            var pocLsb = 0
             if (s.pocType == 0) {
-              r.u(s.log2MaxPocLsb)
+              pocLsb = r.u(s.log2MaxPocLsb)
               if (p.bottomFieldPicOrder) r.se()
             } else if (s.pocType == 1 && !s.deltaPicOrderAlwaysZero) {
               // §7.3.3: delta_pic_order_cnt[0], and [1] when the PPS
@@ -524,24 +550,46 @@ object H264 {
             // P-slice list syntax (§7.3.3); the undecodable-P causes
             // are named here and degrade to the I-frame-only path
             var numRefActive = p.numRefIdxL0Default
+            var numRefActive1 = p.numRefIdxL1Default
             var pWhyNot: String = null
-            if (isP) {
-              if (r.u(1) == 1) numRefActive = r.ue() + 1 // override
+            var pWeights: H264Inter.PredWeights = null
+            var directSpatial = true
+            if (isB) directSpatial = r.u(1) == 1
+            if (isP || isB) {
+              if (r.u(1) == 1) { // num_ref_idx_active_override_flag
+                numRefActive = r.ue() + 1
+                if (isB) numRefActive1 = r.ue() + 1
+              }
               val listMod = r.u(1) == 1 // ref_pic_list_modification_l0
+              val listMod1 = isB && r.u(1) == 1 // ..._l1
               if (p.cabac) pWhyNot =
-                "CABAC P slice (inter context init tables not transcribed)"
-              else if (listMod) pWhyNot =
+                "CABAC inter slice (inter context init tables not transcribed)"
+              else if (listMod || listMod1) pWhyNot =
                 "ref_pic_list_modification unsupported"
-              else if (p.weightedPred) pWhyNot =
-                "weighted prediction unsupported"
               else if (p.constrainedIntra) pWhyNot =
                 "constrained_intra_pred unsupported"
+              else if (isB && !directSpatial) pWhyNot =
+                "temporal direct mode unsupported (spatial direct decodes)"
+              else if (isB && p.weightedBipred != 0) pWhyNot =
+                s"weighted_bipred_idc ${p.weightedBipred} unsupported"
+              else if (isB && s.pocType == 1) pWhyNot =
+                "B slices under pic_order_cnt_type 1 unsupported"
+              else if (isB && !s.direct8x8Inference) pWhyNot =
+                "direct_8x8_inference_flag=0 unsupported"
               else if (dpbBroken) pWhyNot =
                 "reference picture gap (an undecodable inter picture was a reference)"
               else if (nalType != 5 && dpb.isEmpty) pWhyNot =
-                "P slice with an empty reference list"
+                "inter slice with an empty reference list"
+              // pred_weight_table (§7.3.3.2) sits between the list
+              // syntax and dec_ref_pic_marking; explicit weighting
+              // applies per refIdx in the MC stage (§8.4.2.3.2). For
+              // B it is present only under weighted_bipred_idc 1,
+              // which is named-unsupported above.
+              if (pWhyNot == null && isP && p.weightedPred)
+                pWeights = H264Inter.parsePredWeightTable(r,
+                  numRefActive)
             }
-            if (isP && pWhyNot != null) skipPicture()
+            if ((isP || isB) && pWhyNot != null) skipPicture()
             else {
             if (refIdc != 0) {
               if (nalType == 5) {
@@ -568,9 +616,38 @@ object H264 {
               cur = new Yuv(s.widthMbs, s.heightMbs)
               curSps = s
               // an IDR picture re-anchors reference decoding (§8.2.5.1)
-              if (nalType == 5) { dpb.clear(); dpbBroken = false }
+              if (nalType == 5) {
+                dpb.clear(); dpbBroken = false; epoch += 1
+              }
               curIsRef = refIdc != 0
               curFrameNum = frameNum
+              // §8.2.1 picture order count (types 0 and 2; type 1
+              // pictures order by decode position — fine for the
+              // streams we decode, since B under type 1 is named off)
+              cur.epoch = epoch
+              cur.poc = s.pocType match {
+                case 0 =>
+                  val maxLsb = 1 << s.log2MaxPocLsb
+                  val (mPrev, lPrev) =
+                    if (nalType == 5) (0, 0) else (pocMsbPrev, pocLsbPrev)
+                  val msb =
+                    if (pocLsb < lPrev && lPrev - pocLsb >= maxLsb / 2)
+                      mPrev + maxLsb
+                    else if (pocLsb > lPrev &&
+                        pocLsb - lPrev > maxLsb / 2) mPrev - maxLsb
+                    else mPrev
+                  if (curIsRef) { pocMsbPrev = msb; pocLsbPrev = pocLsb }
+                  msb + pocLsb
+                case 2 =>
+                  val maxFn = 1 << s.log2MaxFrameNum
+                  val off =
+                    if (nalType == 5) 0
+                    else if (fnPrev > frameNum) fnOffPrev + maxFn
+                    else fnOffPrev
+                  fnOffPrev = off; fnPrev = frameNum
+                  2 * (off + frameNum) - (if (curIsRef) 0 else 1)
+                case _ => picCounter * 2 // decode-order fallback
+              }
             }
             val sliceId = cur.slices
             cur.slices += 1
@@ -584,7 +661,62 @@ object H264 {
               cur.offsetA(mb) = filterOffA
               cur.offsetB(mb) = filterOffB
             }
-            if (isP) {
+            if (isB) {
+              // RefPicList0/1 for B (§8.2.4.2.3): list 0 = past refs
+              // by descending POC then future refs ascending; list 1
+              // mirrored; identical lists of length > 1 swap their
+              // first two entries
+              val before = dpb.filter(_.poc < cur.poc).sortBy(-_.poc)
+              val after = dpb.filter(_.poc > cur.poc).sortBy(_.poc)
+              val l0 = (before ++ after).toIndexedSeq
+              var l1 = (after ++ before).toIndexedSeq
+              if (l1.size > 1 && l0 == l1)
+                l1 = IndexedSeq(l1(1), l1(0)) ++ l1.drop(2)
+              require(numRefActive >= 1 && numRefActive1 >= 1 &&
+                numRefActive <= 32 && numRefActive1 <= 32,
+                "num_ref_idx_active out of range")
+              val colPic = l1.head
+              val ctx = cur.ctx; val mo = cur.mo
+              var mb = firstMb
+              var more = r.moreRbspData
+              while (more && mb < cur.total) {
+                val run = r.ue() // mb_skip_run (B_Skip = direct)
+                var k = 0
+                while (k < run && mb < cur.total) {
+                  H264Inter.decodeBSkipMb(ctx, mo, sliceId, mb, l0,
+                    l1, colPic, cur.y, cur.cb, cur.cr)
+                  recordDeblock(mb, qpY)
+                  cur.mbsDone += 1
+                  mb += 1; k += 1
+                }
+                require(k == run, "mb_skip_run past end of picture")
+                more = r.moreRbspData
+                if (more && mb < cur.total) {
+                  val mbType = r.ue()
+                  if (mbType >= 23) { // intra MB in a B slice
+                    val it = mbType - 23
+                    if (it == 25) {
+                      readIpcmMb(r, cur, mb, sliceId)
+                      recordDeblock(mb, 0)
+                    } else {
+                      qpY = H264Mb.decodeMb(r, it, ctx, mb, sliceId,
+                        qpY, p.chromaQpOffset, cur.y, cur.cb, cur.cr,
+                        p.transform8x8, p.sm, p.chromaQpOffsetCr)
+                      recordDeblock(mb, qpY)
+                    }
+                    mo.markIntraMb(mb, cur.wMbs)
+                  } else {
+                    qpY = H264Inter.decodeBMb(r, mbType, ctx, mo,
+                      sliceId, mb, qpY, p, l0, l1, numRefActive,
+                      numRefActive1, colPic, cur.y, cur.cb, cur.cr)
+                    recordDeblock(mb, qpY)
+                  }
+                  cur.mbsDone += 1
+                  mb += 1
+                  more = r.moreRbspData
+                }
+              }
+            } else if (isP) {
               // RefPicList0 (§8.2.4.2.1): short-term refs by
               // descending PicNum (FrameNumWrap, §8.2.4.1)
               val maxFn = 1 << s.log2MaxFrameNum
@@ -602,7 +734,7 @@ object H264 {
                 var k = 0
                 while (k < run && mb < cur.total) {
                   H264Inter.decodeSkipMb(ctx, mo, sliceId, mb,
-                    refList, cur.y, cur.cb, cur.cr)
+                    refList, cur.y, cur.cb, cur.cr, pWeights)
                   recordDeblock(mb, qpY) // P_Skip: QP carries over
                   cur.mbsDone += 1
                   mb += 1; k += 1
@@ -626,7 +758,7 @@ object H264 {
                   } else {
                     qpY = H264Inter.decodeInterMb(r, mbType, ctx, mo,
                       sliceId, mb, qpY, p, refList, numRefActive,
-                      cur.y, cur.cb, cur.cr)
+                      cur.y, cur.cb, cur.cr, pWeights)
                     recordDeblock(mb, qpY)
                   }
                   cur.mbsDone += 1
@@ -681,14 +813,15 @@ object H264 {
                   cur.ctx.sliceId, cur.deblockIdc, cur.offsetA,
                   cur.offsetB, cur.ctx.is8x8, cur.chromaQpOffsetCr,
                   cur.mo, cur.ctx.lumaNz)
-              frames += toRgb(cur, curSps)
+              pending += ((cur.epoch, cur.poc, toRgb(cur, curSps)))
               framesOut += 1
               if (curIsRef) {
                 // store POST-deblock planes (§8.4.2.1 MC reads the
                 // filtered picture); sliding-window marking: evict
                 // the smallest FrameNumWrap when over max_num_ref_frames
                 dpb += new H264Inter.RefPic(picCounter, curFrameNum,
-                  cur.wMbs, cur.hMbs, cur.y, cur.cb, cur.cr)
+                  cur.wMbs, cur.hMbs, cur.y, cur.cb, cur.cr,
+                  cur.poc, cur.mo)
                 picCounter += 1
                 val maxFn = 1 << curSps.log2MaxFrameNum
                 val cap = math.max(1, curSps.maxNumRefFrames)
@@ -709,10 +842,11 @@ object H264 {
     if (framesOut == 0 && skippedInter > 0)
       throw new IllegalArgumentException(
         s"no decodable picture: all $skippedInter inter pictures " +
-          "hit a named boundary (B/SP/SI, CABAC P, weighted or " +
-          "list-modified prediction, or a missing reference) and " +
-          "no intra picture decoded")
-    frames.result()
+          "hit a named boundary (SP/SI, CABAC inter, temporal " +
+          "direct, list-modified prediction, or a missing " +
+          "reference) and no intra picture decoded")
+    // display order: IDR epoch, then POC (stable for ties)
+    pending.sortBy(t => (t._1, t._2)).map(_._3).toSeq
   }
 
   /** Read one I_PCM macroblock's raw samples (§7.3.5 pcm path) into
@@ -815,7 +949,8 @@ object H264 {
   private def spsRbsp(wMbs: Int, hMbs: Int, cropR: Int,
                       cropB: Int, maxRefFrames: Int = 0,
                       high: Boolean = false,
-                      seqScalingDefault: Boolean = false): Array[Byte] = {
+                      seqScalingDefault: Boolean = false,
+                      pocLsbBits: Int = 0): Array[Byte] = {
     val w = new BitWriter()
     w.u(if (high) 100 else 66, 8) // profile_idc: High or Baseline
     w.u(0, 8)  // constraint flags + reserved_zero_2bits
@@ -836,7 +971,10 @@ object H264 {
       } else w.u(0, 1)
     }
     w.ue(0)    // log2_max_frame_num_minus4
-    w.ue(2)    // pic_order_cnt_type 2 (all-IDR stream)
+    if (pocLsbBits > 0) {
+      w.ue(0)  // pic_order_cnt_type 0 (B streams reorder output)
+      w.ue(pocLsbBits - 4) // log2_max_pic_order_cnt_lsb_minus4
+    } else w.ue(2) // pic_order_cnt_type 2 (decode order = display)
     w.ue(maxRefFrames) // max_num_ref_frames (1 when P filler present)
     w.u(0, 1)  // gaps_in_frame_num_value_allowed_flag
     w.ue(wMbs - 1)
@@ -855,7 +993,8 @@ object H264 {
                       cabac: Boolean = false,
                       id: Int = 0,
                       transform8x8: Boolean = false,
-                      chromaQpOffsetCr: Int = 0): Array[Byte] = {
+                      chromaQpOffsetCr: Int = 0,
+                      weightedPred: Boolean = false): Array[Byte] = {
     val w = new BitWriter()
     w.ue(id)  // pic_parameter_set_id
     w.ue(0)   // seq_parameter_set_id
@@ -863,7 +1002,7 @@ object H264 {
     w.u(0, 1) // bottom_field_pic_order_in_frame_present_flag
     w.ue(0)   // num_slice_groups_minus1
     w.ue(0); w.ue(0) // num_ref_idx_l{0,1}_default_active_minus1
-    w.u(0, 1) // weighted_pred_flag
+    w.u(if (weightedPred) 1 else 0, 1) // weighted_pred_flag
     w.u(0, 2) // weighted_bipred_idc
     w.se(0)   // pic_init_qp_minus26
     w.se(0)   // pic_init_qs_minus26
@@ -1176,7 +1315,8 @@ object H264 {
                    refFrames: Int = 1,
                    deblock: Boolean = false,
                    transform8x8: Boolean = false,
-                   scalingMatrix: Boolean = false)
+                   scalingMatrix: Boolean = false,
+                   weighted: Boolean = false)
       : (Array[Byte], Seq[(Int, Int, Array[Int])]) = {
     require(frames.nonEmpty)
     require(frames.forall(_.length == width * height))
@@ -1196,7 +1336,7 @@ object H264 {
       maxRefFrames = refFrames, high = high,
       seqScalingDefault = scalingMatrix))
     val ppsNal = nal(3, 8, ppsRbsp(deblockingControl = true,
-      transform8x8 = transform8x8))
+      transform8x8 = transform8x8, weightedPred = weighted))
     out.write(spsNal, 0, spsNal.length)
     out.write(ppsNal, 0, ppsNal.length)
     // the Pps a decoder parses from ppsRbsp above — encode-side
@@ -1204,7 +1344,20 @@ object H264 {
     val pEnc = Pps(0, 0, cabac = false, bottomFieldPicOrder = false,
       deblockingControl = true, redundantPicCnt = false,
       picInitQp = 26, chromaQpOffset = 0,
-      transform8x8 = transform8x8, sm = sm)
+      transform8x8 = transform8x8, sm = sm,
+      weightedPred = weighted)
+    // deterministic explicit weights per refIdx (§7.3.3.2): a fade
+    // shape — ~0.9x luma with a small positive offset on ref 0,
+    // stepping per ref so multi-ref fixtures carry DISTINCT weights;
+    // chroma weighted toward identity with a negative Cr offset
+    def weightsFor(numRef: Int): H264Inter.PredWeights =
+      H264Inter.PredWeights(5, 6,
+        wY = Array.tabulate(numRef)(i => 29 - 2 * i),
+        oY = Array.tabulate(numRef)(i => 2 + i),
+        wCb = Array.tabulate(numRef)(i => 64 - 3 * i),
+        oCb = Array.fill(numRef)(0),
+        wCr = Array.tabulate(numRef)(i => 61 + i),
+        oCr = Array.fill(numRef)(-1))
     val dpb = scala.collection.mutable.ArrayBuffer
       .empty[H264Inter.RefPic]
     var picId = 0
@@ -1256,6 +1409,12 @@ object H264 {
         if (numRefActive != 1) { w.u(1, 1); w.ue(numRefActive - 1) }
         else w.u(0, 1) // num_ref_idx_active_override_flag
         w.u(0, 1) // ref_pic_list_modification_flag_l0
+        val pwSlice =
+          if (weighted) {
+            val pws = weightsFor(numRefActive)
+            H264Inter.writePredWeightTable(w, pws)
+            pws
+          } else null
         w.u(0, 1) // adaptive_ref_pic_marking_mode_flag
         w.se(qp - 26)
         if (deblock) { w.ue(0); w.se(0); w.se(0) } else w.ue(1)
@@ -1275,7 +1434,7 @@ object H264 {
             val (skipped, q) = H264Inter.encodePMb(w, ctx, mo, 0, mb,
               refList, numRefActive, srcY, srcCb, srcCr, qpY, qp,
               pEnc, variant, fmv, searchRange, yR, cbR, crR, run,
-              transform8x8)
+              transform8x8, pwSlice)
             if (skipped) run += 1 else { run = 0; qpY = q }
           }
           mbQps(mb) = qpY
@@ -1297,6 +1456,211 @@ object H264 {
       planesToRgb(wMbs, hMbs, cropR, cropB, yR, cbR, crR)
     }
     (out.toByteArray, recon)
+  }
+
+  /**
+   * Encode an I(B..B)P(B..B)P… stream (CAVLC): display frame 0 is an
+   * IDR; every `bBetween + 1`-th display frame (and the last) is a P
+   * ANCHOR referencing the previous anchor; the frames between
+   * consecutive anchors are non-reference B pictures whose list 0
+   * holds the past anchor and list 1 the future anchor — the classic
+   * broadcast GOP, decode order ≠ display order. POC type 0 with
+   * `pocLsbBits` of lsb (small values exercise the §8.2.1.1 msb
+   * wraparound); the decoder's output must come back in DISPLAY
+   * order, equal to the returned recon.
+   *
+   * `variant` coverage mirrors [[encodeCavlcP]]: `partitionCycle`
+   * walks B_Direct/L0/L1/Bi 16x16, the 16x8/8x16 two-list pairs and
+   * B_8x8 sub-partitions; `intraEvery` codes intra MBs inside B
+   * slices (mb_type + 23); `refsEachWay = 2` makes both anchors
+   * addressable from BOTH lists (ref_idx te on the wire).
+   */
+  def encodeCavlcB(width: Int, height: Int, frames: Seq[Array[Int]],
+                   qp: Int = 26, bBetween: Int = 2,
+                   forcedMv: Seq[(Int, Int)] = Nil,
+                   searchRange: Int = 4,
+                   partitionCycle: Boolean = false,
+                   intraEvery: Int = 0,
+                   deblock: Boolean = false,
+                   transform8x8: Boolean = false,
+                   scalingMatrix: Boolean = false,
+                   refsEachWay: Int = 1,
+                   pocLsbBits: Int = 8,
+                   bVariantBase: Int = 0)
+      : (Array[Byte], Seq[(Int, Int, Array[Int])]) = {
+    require(frames.nonEmpty)
+    require(frames.forall(_.length == width * height))
+    require(qp >= 0 && qp <= 51, s"qp $qp out of [0, 51]")
+    require(width % 2 == 0 && height % 2 == 0,
+      "odd display dims need crop in 1-px units (unsupported)")
+    require(bBetween >= 1 && refsEachWay >= 1 && refsEachWay <= 2)
+    require(pocLsbBits >= 4 && pocLsbBits <= 16)
+    val n = frames.size
+    val wMbs = (width + 15) / 16
+    val hMbs = (height + 15) / 16
+    val nMbs = wMbs * hMbs
+    val cropR = (wMbs * 16 - width) / 2
+    val cropB2 = (hMbs * 16 - height) / 2
+    val high = transform8x8 || scalingMatrix
+    val sm = if (scalingMatrix) defaultSm else ScalingMatrices.Flat
+    val out = new java.io.ByteArrayOutputStream()
+    val spsNal = nal(3, 7, spsRbsp(wMbs, hMbs, cropR, cropB2,
+      maxRefFrames = 2, high = high,
+      seqScalingDefault = scalingMatrix, pocLsbBits = pocLsbBits))
+    val ppsNal = nal(3, 8, ppsRbsp(deblockingControl = true,
+      transform8x8 = transform8x8))
+    out.write(spsNal, 0, spsNal.length)
+    out.write(ppsNal, 0, ppsNal.length)
+    val pEnc = Pps(0, 0, cabac = false, bottomFieldPicOrder = false,
+      deblockingControl = true, redundantPicCnt = false,
+      picInitQp = 26, chromaQpOffset = 0,
+      transform8x8 = transform8x8, sm = sm)
+    // display-index schedule: anchors every bBetween+1 (last frame
+    // coerced anchor), then decode order = anchor, then its B run
+    val g = bBetween + 1
+    val anchors = ((0 until n by g) ++ Seq(n - 1)).distinct.sorted
+    val schedule = Seq.newBuilder[Int]
+    schedule += anchors.head
+    anchors.sliding(2).foreach {
+      case Seq(a, b) =>
+        schedule += b
+        (a + 1 until b).foreach(schedule += _)
+      case _ => ()
+    }
+    val maxLsb = 1 << pocLsbBits
+    val dpb = scala.collection.mutable.ArrayBuffer
+      .empty[H264Inter.RefPic]
+    var picId = 0
+    var nextFn = 0
+    var pIdx = 0
+    val reconByDisplay = new Array[(Int, Int, Array[Int])](n)
+    schedule.result().foreach { disp =>
+      val isIdr = disp == 0
+      val isAnchor = anchors.contains(disp)
+      val poc = 2 * disp
+      val pocLsb = poc % maxLsb
+      val (srcY, srcCb, srcCr) = rgbToPlanes(width, height, wMbs,
+        hMbs, frames(disp))
+      val yR = new Array[Byte](wMbs * 16 * hMbs * 16)
+      val cbR = new Array[Byte](wMbs * 8 * hMbs * 8)
+      val crR = new Array[Byte](wMbs * 8 * hMbs * 8)
+      val ctx = new H264Mb.PicCtx(wMbs, hMbs)
+      val mo = new H264Inter.MotionCtx(wMbs * 4, hMbs * 4)
+      val mbQps = Array.fill(nMbs)(qp)
+      val w = new BitWriter()
+      val fn = if (isIdr) 0 else nextFn
+      if (isIdr) {
+        dpb.clear()
+        w.ue(0); w.ue(7); w.ue(0)
+        w.u(0, 4) // frame_num
+        w.ue(0)   // idr_pic_id
+        w.u(pocLsb, pocLsbBits)
+        w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking (IDR)
+        w.se(qp - 26)
+        if (deblock) { w.ue(0); w.se(0); w.se(0) } else w.ue(1)
+        H264Mb.encodeSliceData(w, ctx, 0, qp, 0, srcY, srcCb, srcCr,
+          yR, cbR, crR, 0, -1, 0, mbQps, transform8x8, sm)
+        var mb = 0
+        while (mb < nMbs) { mo.markIntraMb(mb, wMbs); mb += 1 }
+        w.trailingBits()
+        val sliceNal = nal(3, 5, w.toBytes)
+        out.write(sliceNal, 0, sliceNal.length)
+      } else if (isAnchor) { // P anchor referencing the previous one
+        val refList = dpb.sortBy(-_.poc).take(1).toIndexedSeq
+        w.ue(0); w.ue(5); w.ue(0)
+        w.u(fn, 4)
+        w.u(pocLsb, pocLsbBits)
+        w.u(0, 1) // num_ref_idx_active_override (l0 default 1)
+        w.u(0, 1) // ref_pic_list_modification_flag_l0
+        w.u(0, 1) // adaptive_ref_pic_marking_mode_flag
+        w.se(qp - 26)
+        if (deblock) { w.ue(0); w.se(0); w.se(0) } else w.ue(1)
+        var qpY = qp
+        var run = 0
+        var mb = 0
+        val fmv =
+          if (forcedMv.isEmpty) None
+          else Some(forcedMv(pIdx % forcedMv.size))
+        pIdx += 1
+        while (mb < nMbs) {
+          val variant = if (partitionCycle) mb % 5 else 0
+          val (skipped, q) = H264Inter.encodePMb(w, ctx, mo, 0, mb,
+            refList, 1, srcY, srcCb, srcCr, qpY, qp, pEnc, variant,
+            fmv, searchRange, yR, cbR, crR, run, transform8x8)
+          if (skipped) run += 1 else { run = 0; qpY = q }
+          mbQps(mb) = qpY
+          mb += 1
+        }
+        if (run > 0) w.ue(run)
+        w.trailingBits()
+        val sliceNal = nal(2, 1, w.toBytes)
+        out.write(sliceNal, 0, sliceNal.length)
+      } else { // non-reference B between the two newest anchors
+        // the DECODER's list construction, replicated exactly
+        val before = dpb.filter(_.poc < poc).sortBy(-_.poc)
+        val after = dpb.filter(_.poc > poc).sortBy(_.poc)
+        val l0 = (before ++ after).toIndexedSeq
+        var l1 = (after ++ before).toIndexedSeq
+        if (l1.size > 1 && l0 == l1)
+          l1 = IndexedSeq(l1(1), l1(0)) ++ l1.drop(2)
+        val nr0 = math.min(refsEachWay, l0.size)
+        val nr1 = math.min(refsEachWay, l1.size)
+        val colPic = l1.head
+        w.ue(0); w.ue(6); w.ue(0) // slice_type 6: B (all-B picture)
+        w.u(fn, 4)
+        w.u(pocLsb, pocLsbBits)
+        w.u(1, 1) // direct_spatial_mv_pred_flag = 1 (spatial)
+        if (nr0 != 1 || nr1 != 1) {
+          w.u(1, 1); w.ue(nr0 - 1); w.ue(nr1 - 1)
+        } else w.u(0, 1)
+        w.u(0, 1); w.u(0, 1) // ref_pic_list_modification l0/l1
+        // non-reference (refIdc 0): no dec_ref_pic_marking
+        w.se(qp - 26)
+        if (deblock) { w.ue(0); w.se(0); w.se(0) } else w.ue(1)
+        var qpY = qp
+        var run = 0
+        var mb = 0
+        val fmv =
+          if (forcedMv.isEmpty) None
+          else Some(forcedMv(pIdx % forcedMv.size))
+        pIdx += 1
+        while (mb < nMbs) {
+          if (intraEvery > 0 && mb % intraEvery == intraEvery - 1) {
+            w.ue(run); run = 0
+            val plan = H264Mb.analyzeMb(ctx, mb, 0, qp, 0, srcY,
+              srcCb, srcCr, yR, cbR, crR, transform8x8, sm)
+            qpY = H264Mb.emitIntraMb(w, ctx, 0, mb, plan, qpY, qp,
+              transform8x8, mbTypeOffset = 23)
+            mo.markIntraMb(mb, wMbs)
+          } else {
+            val variant = if (partitionCycle) mb % 8 else bVariantBase
+            val (skipped, q) = H264Inter.encodeBMb(w, ctx, mo, 0, mb,
+              l0, l1, nr0, nr1, colPic, srcY, srcCb, srcCr, qpY, qp,
+              pEnc, variant, fmv, searchRange, yR, cbR, crR, run,
+              transform8x8)
+            if (skipped) run += 1 else { run = 0; qpY = q }
+          }
+          mbQps(mb) = qpY
+          mb += 1
+        }
+        if (run > 0) w.ue(run)
+        w.trailingBits()
+        val sliceNal = nal(0, 1, w.toBytes) // non-reference
+        out.write(sliceNal, 0, sliceNal.length)
+      }
+      if (deblock) deblockRecon(ctx, mbQps, yR, cbR, crR, 0, mo)
+      if (isAnchor) { // only anchors are references
+        dpb += new H264Inter.RefPic(picId, fn, wMbs, hMbs, yR, cbR,
+          crR, poc, mo)
+        picId += 1
+        while (dpb.size > 2)
+          dpb -= dpb.minBy(_.poc) // anchors arrive in POC order
+        nextFn = (fn + 1) % 16
+      }
+      reconByDisplay(disp) = planesToRgb(wMbs, hMbs, cropR, cropB2,
+        yR, cbR, crR)
+    }
+    (out.toByteArray, reconByDisplay.toSeq)
   }
 
   /**

@@ -219,7 +219,7 @@ private[graft] object H264Deblock {
           if (motion == null) return if (mbEdge) 4 else 3
           val w4 = wMbs * 4
           val pi = pby * w4 + pbx; val qi = qby * w4 + qbx
-          if (motion.refPic(pi) < 0 || motion.refPic(qi) < 0)
+          if (motion.state(pi) != 2 || motion.state(qi) != 2)
             return if (mbEdge) 4 else 3 // either side intra
           def nzAt(bx: Int, by: Int): Boolean = {
             val m = (by >> 2) * wMbs + (bx >> 2)
@@ -240,11 +240,47 @@ private[graft] object H264Deblock {
               lumaNz(m)(z) > 0
             }
           }
-          if (nzAt(pbx, pby) || nzAt(qbx, qby)) 2
-          else if (motion.refPic(pi) != motion.refPic(qi)) 1
-          else if (math.abs(motion.mvx(pi) - motion.mvx(qi)) >= 4 ||
-                   math.abs(motion.mvy(pi) - motion.mvy(qi)) >= 4) 1
-          else 0
+          if (nzAt(pbx, pby) || nzAt(qbx, qby)) return 2
+          // §8.7.2.1 motion comparison, both lists (B pictures may
+          // carry two MVs per block): different MV count or a
+          // different set of reference PICTURES → 1; same refs →
+          // compare the vectors (same-picture-twice blocks compare
+          // under both pairings)
+          def used(i: Int): Seq[(Int, Int, Int)] = {
+            val out = Seq.newBuilder[(Int, Int, Int)]
+            if (motion.refPic(i) >= 0)
+              out += ((motion.refPic(i), motion.mvx(i).toInt,
+                motion.mvy(i).toInt))
+            if (motion.refPic1(i) >= 0)
+              out += ((motion.refPic1(i), motion.mvx1(i).toInt,
+                motion.mvy1(i).toInt))
+            out.result()
+          }
+          val pu = used(pi); val qu = used(qi)
+          if (pu.size != qu.size) return 1
+          @inline def far(a: (Int, Int, Int), b: (Int, Int, Int)) =
+            math.abs(a._2 - b._2) >= 4 || math.abs(a._3 - b._3) >= 4
+          if (pu.size == 1) {
+            if (pu.head._1 != qu.head._1) 1
+            else if (far(pu.head, qu.head)) 1
+            else 0
+          } else {
+            val pPics = Seq(pu(0)._1, pu(1)._1).sorted
+            val qPics = Seq(qu(0)._1, qu(1)._1).sorted
+            if (pPics != qPics) 1
+            else if (pu(0)._1 != pu(1)._1) {
+              // two distinct pictures: match vectors by picture
+              val q0 = if (qu(0)._1 == pu(0)._1) qu(0) else qu(1)
+              val q1 = if (qu(0)._1 == pu(0)._1) qu(1) else qu(0)
+              if (far(pu(0), q0) || far(pu(1), q1)) 1 else 0
+            } else {
+              // the same picture twice: either pairing may match
+              val ok =
+                (!far(pu(0), qu(0)) && !far(pu(1), qu(1))) ||
+                  (!far(pu(0), qu(1)) && !far(pu(1), qu(0)))
+              if (ok) 0 else 1
+            }
+          }
         }
         def bsEdge(e: Int, vertical: Boolean): Array[Int] = {
           if (motion == null) return if (e == 0) allBs4 else allBs3

@@ -3,25 +3,31 @@ package graft.multimodal
 import H264.{BitReader, BitWriter, Pps}
 
 /**
- * H.264 inter (P-slice) prediction — motion-compensated decode of
- * P macroblocks under CAVLC entropy coding, built from the public
+ * H.264 inter prediction — motion-compensated decode of P AND B
+ * macroblocks under CAVLC entropy coding, built from the public
  * ITU-T Rec. H.264 spec sections cited inline (the same
  * public-spec-only rule as the intra modules; reference behaviors:
  * parquery has no video surface — this whole family is the repo's
  * LLM-pipeline extension tier).
  *
  * What decodes natively: P slices with P_L0_16x16 / 16x8 / 8x16 /
- * P_8x8 / P_8x8ref0 partitions (Tables 7-13/7-17), P_Skip, multiple
- * short-term reference frames (sliding-window marking), intra MBs
- * inside P slices (incl. I_PCM), quarter-pel luma (§8.4.2.2.1) and
- * eighth-pel chroma (§8.4.2.2.2) interpolation, and the full
- * §8.4.1.3 MV prediction (median + directional + single-ref-match
- * rules). SCOPE boundaries, all named errors at the SPI binding
- * point: B slices (list1/direct modes), CABAC P slices (the inter
- * syntax-element context init tables are not transcribed — the
- * constants-are-never-invented rule), weighted prediction,
- * ref-pic-list modification, MMCO/long-term marking, and inter
- * transform_8x8.
+ * P_8x8 / P_8x8ref0 partitions (Tables 7-13/7-17) and P_Skip; B
+ * slices with the full Table 7-14/7-18 grammar (L0/L1/Bi 16x16,
+ * the two-list 16x8/8x16 pairs, B_8x8 sub-partitions), B_Skip and
+ * SPATIAL direct (§8.4.1.2.2 with direct_8x8_inference and the
+ * co-located colZeroFlag), default biprediction (§8.4.2.3.1);
+ * multiple short-term reference frames (sliding-window marking,
+ * POC-ordered B lists), intra MBs inside inter slices (incl.
+ * I_PCM), quarter-pel luma (§8.4.2.2.1) and eighth-pel chroma
+ * (§8.4.2.2.2) interpolation, the full §8.4.1.3 MV prediction
+ * (median + directional + single-ref-match rules, per list),
+ * explicit weighted prediction for P (§7.3.3.2 / §8.4.2.3.2), and
+ * the inter transform_8x8 residual (§8.5.13 on the inter weight
+ * lists). SCOPE boundaries, all named errors at the SPI binding
+ * point: CABAC inter slices (the inter syntax-element context init
+ * tables are not transcribed — the constants-are-never-invented
+ * rule), temporal direct, weighted biprediction (idc 1/2),
+ * ref-pic-list modification, and MMCO/long-term marking.
  */
 private[graft] object H264Inter {
 
@@ -37,21 +43,43 @@ private[graft] object H264Inter {
   /** One decoded reference picture (POST-deblock planes — §8.4.2.1
     * motion compensation reads the filtered picture). `picId` is a
     * decode-order counter unique within the stream; the deblocker's
-    * bS=1 "different reference pictures" test compares it. */
+    * bS=1 "different reference pictures" test compares it. `poc`
+    * orders the B reference lists (§8.2.4.2.3) and `mo` carries the
+    * motion state the §8.4.1.2.2 spatial-direct colZeroFlag reads
+    * from the co-located picture. */
   final class RefPic(val picId: Int, val frameNum: Int,
                      val wMbs: Int, val hMbs: Int,
                      val y: Array[Byte], val cb: Array[Byte],
-                     val cr: Array[Byte])
+                     val cr: Array[Byte],
+                     val poc: Int = 0,
+                     val mo: MotionCtx = null)
 
   /** Per-picture motion state at 4x4-block granularity (§8.4.1.3
-    * neighbor reads + §8.7.2.1 bS derivation). `refPic` doubles as
-    * the decoded-yet flag: NOT_DECODED until the covering partition
-    * (or intra MB) finishes, then the reference's picId, or INTRA. */
+    * neighbor reads, §8.4.1.2.2 spatial direct, §8.7.2.1 bS
+    * derivation). List 0 lives in `mvx/mvy/refIdx/refPic` (the
+    * original P-slice arrays — `refPic` keeps its NOT_DECODED/INTRA
+    * conventions, and an inter block that does not USE list 0 stores
+    * INTRA there, which is exactly the §8.4.1.3.2 "predFlagL0 = 0 →
+    * refIdx −1 / mv 0" neighbor contribution); list 1 lives in the
+    * `*1` twins. `state` disambiguates for the deblocker: 0 not
+    * decoded, 1 intra, 2 inter. */
   final class MotionCtx(val w4: Int, val h4: Int) {
     val mvx = new Array[Short](w4 * h4)
     val mvy = new Array[Short](w4 * h4)
     val refPic: Array[Int] = Array.fill(w4 * h4)(NotDecoded)
     val refIdx: Array[Byte] = Array.fill(w4 * h4)(-1)
+    val mvx1 = new Array[Short](w4 * h4)
+    val mvy1 = new Array[Short](w4 * h4)
+    val refPic1: Array[Int] = Array.fill(w4 * h4)(Intra)
+    val refIdx1: Array[Byte] = Array.fill(w4 * h4)(-1)
+    val state = new Array[Byte](w4 * h4)
+
+    @inline def lMvx(l: Int): Array[Short] = if (l == 0) mvx else mvx1
+    @inline def lMvy(l: Int): Array[Short] = if (l == 0) mvy else mvy1
+    @inline def lRefIdx(l: Int): Array[Byte] =
+      if (l == 0) refIdx else refIdx1
+    @inline def lRefPic(l: Int): Array[Int] =
+      if (l == 0) refPic else refPic1
 
     def markIntraMb(mbIdx: Int, wMbs: Int): Unit = {
       val bx0 = (mbIdx % wMbs) * 4; val by0 = (mbIdx / wMbs) * 4
@@ -61,12 +89,15 @@ private[graft] object H264Inter {
         while (bx < bx0 + 4) {
           val i = by * w4 + bx
           refPic(i) = Intra; refIdx(i) = -1; mvx(i) = 0; mvy(i) = 0
+          refPic1(i) = Intra; refIdx1(i) = -1; mvx1(i) = 0; mvy1(i) = 0
+          state(i) = 1
           bx += 1
         }
         by += 1
       }
     }
 
+    /** List-0-only inter partition (the P path): list 1 cleared. */
     def setPartition(bx0: Int, by0: Int, pw: Int, ph: Int,
                      mx: Int, my: Int, rIdx: Int, rPic: Int): Unit = {
       var by = by0
@@ -76,6 +107,31 @@ private[graft] object H264Inter {
           val i = by * w4 + bx
           mvx(i) = mx.toShort; mvy(i) = my.toShort
           refIdx(i) = rIdx.toByte; refPic(i) = rPic
+          mvx1(i) = 0; mvy1(i) = 0
+          refIdx1(i) = -1; refPic1(i) = Intra
+          state(i) = 2
+          bx += 1
+        }
+        by += 1
+      }
+    }
+
+    /** One list of a B partition; an unused list is written with
+      * (rIdx, rPic) = (−1, INTRA) and zero MV. Callers set both
+      * lists for every covered block. */
+    def setPartitionL(list: Int, bx0: Int, by0: Int, pw: Int,
+                      ph: Int, mx: Int, my: Int, rIdx: Int,
+                      rPic: Int): Unit = {
+      val xs = lMvx(list); val ys = lMvy(list)
+      val ris = lRefIdx(list); val rps = lRefPic(list)
+      var by = by0
+      while (by < by0 + ph) {
+        var bx = bx0
+        while (bx < bx0 + pw) {
+          val i = by * w4 + bx
+          xs(i) = mx.toShort; ys(i) = my.toShort
+          ris(i) = rIdx.toByte; rps(i) = if (rIdx < 0) Intra else rPic
+          state(i) = 2
           bx += 1
         }
         by += 1
@@ -195,25 +251,25 @@ private[graft] object H264Inter {
   // motion vector prediction (§8.4.1.3)
   // ---------------------------------------------------------------
 
-  /** Neighbor read for MV prediction: (available, refIdx, mvx, mvy).
-    * A block is available when it is inside the picture, already
-    * decoded, and its MB is in the same slice (§6.4.11.7's marking of
-    * not-yet-decoded and cross-slice neighbors as unavailable);
-    * intra blocks are available but contribute refIdx −1 / mv 0
-    * (§8.4.1.3.2). */
+  /** Neighbor read for MV prediction: (available, refIdx, mvx, mvy)
+    * for one reference list. A block is available when it is inside
+    * the picture, already decoded, and its MB is in the same slice
+    * (§6.4.11.7's marking of not-yet-decoded and cross-slice
+    * neighbors as unavailable); intra blocks — and inter blocks that
+    * do not USE the list — are available but contribute refIdx −1 /
+    * mv 0 (§8.4.1.3.2). */
   private def nbr(ctx: H264Mb.PicCtx, mo: MotionCtx, sliceId: Int,
-                  bx: Int, by: Int): (Boolean, Int, Int, Int) = {
+                  bx: Int, by: Int, list: Int = 0)
+      : (Boolean, Int, Int, Int) = {
     if (bx < 0 || by < 0 || bx >= mo.w4 || by >= mo.h4)
       return (false, -1, 0, 0)
     val mb = (by >> 2) * ctx.wMbs + (bx >> 2)
     if (ctx.sliceId(mb) != sliceId) return (false, -1, 0, 0)
     val i = by * mo.w4 + bx
-    mo.refPic(i) match {
-      case NotDecoded => (false, -1, 0, 0)
-      case Intra => (true, -1, 0, 0)
-      case _ => (true, mo.refIdx(i).toInt, mo.mvx(i).toInt,
-        mo.mvy(i).toInt)
-    }
+    if (mo.state(i) == 0) return (false, -1, 0, 0)
+    val ri = mo.lRefIdx(list)(i).toInt
+    if (ri < 0) (true, -1, 0, 0)
+    else (true, ri, mo.lMvx(list)(i).toInt, mo.lMvy(list)(i).toInt)
   }
 
   @inline private def median3(a: Int, b: Int, c: Int): Int =
@@ -236,11 +292,12 @@ private[graft] object H264Inter {
    */
   def mvPred(ctx: H264Mb.PicCtx, mo: MotionCtx, sliceId: Int,
              bx: Int, by: Int, w4: Int, refIdx: Int,
-             partKind: Int): (Int, Int) = {
-    val a = nbr(ctx, mo, sliceId, bx - 1, by)
-    val b = nbr(ctx, mo, sliceId, bx, by - 1)
-    val c0 = nbr(ctx, mo, sliceId, bx + w4, by - 1)
-    val c = if (c0._1) c0 else nbr(ctx, mo, sliceId, bx - 1, by - 1)
+             partKind: Int, list: Int = 0): (Int, Int) = {
+    val a = nbr(ctx, mo, sliceId, bx - 1, by, list)
+    val b = nbr(ctx, mo, sliceId, bx, by - 1, list)
+    val c0 = nbr(ctx, mo, sliceId, bx + w4, by - 1, list)
+    val c =
+      if (c0._1) c0 else nbr(ctx, mo, sliceId, bx - 1, by - 1, list)
 
     partKind match {
       case Part16x8Top if b._1 && b._2 == refIdx => return (b._3, b._4)
@@ -326,6 +383,89 @@ private[graft] object H264Inter {
       throw new IllegalArgumentException(s"bad P sub_mb_type $other")
   }
 
+  /** Explicit weighted-prediction parameters for list 0 (§7.3.3.2):
+    * per-refIdx luma/chroma weights and offsets plus the shared
+    * log2 denominators. Defaults (absent flags) are the identity
+    * weight `1 << denom` with offset 0. */
+  final case class PredWeights(lumaDenom: Int, chromaDenom: Int,
+                               wY: Array[Int], oY: Array[Int],
+                               wCb: Array[Int], oCb: Array[Int],
+                               wCr: Array[Int], oCr: Array[Int])
+
+  /** Parse pred_weight_table (§7.3.3.2) for a P slice (list 0 only,
+    * 4:2:0 so the chroma syntax is present). */
+  def parsePredWeightTable(r: BitReader,
+                           numRefActive: Int): PredWeights = {
+    val lumaDenom = r.ue()
+    val chromaDenom = r.ue()
+    require(lumaDenom <= 7 && chromaDenom <= 7,
+      s"log2 weight denom out of range: $lumaDenom/$chromaDenom")
+    val wY = Array.fill(numRefActive)(1 << lumaDenom)
+    val oY = new Array[Int](numRefActive)
+    val wCb = Array.fill(numRefActive)(1 << chromaDenom)
+    val oCb = new Array[Int](numRefActive)
+    val wCr = Array.fill(numRefActive)(1 << chromaDenom)
+    val oCr = new Array[Int](numRefActive)
+    var i = 0
+    while (i < numRefActive) {
+      if (r.u(1) == 1) { wY(i) = r.se(); oY(i) = r.se() }
+      if (r.u(1) == 1) {
+        wCb(i) = r.se(); oCb(i) = r.se()
+        wCr(i) = r.se(); oCr(i) = r.se()
+      }
+      i += 1
+    }
+    PredWeights(lumaDenom, chromaDenom, wY, oY, wCb, oCb, wCr, oCr)
+  }
+
+  /** Encoder twin of [[parsePredWeightTable]]. */
+  private[graft] def writePredWeightTable(w: BitWriter,
+                                               pw: PredWeights)
+      : Unit = {
+    w.ue(pw.lumaDenom)
+    w.ue(pw.chromaDenom)
+    var i = 0
+    while (i < pw.wY.length) {
+      val defY = pw.wY(i) == (1 << pw.lumaDenom) && pw.oY(i) == 0
+      if (defY) w.u(0, 1)
+      else { w.u(1, 1); w.se(pw.wY(i)); w.se(pw.oY(i)) }
+      val defC = pw.wCb(i) == (1 << pw.chromaDenom) &&
+        pw.oCb(i) == 0 &&
+        pw.wCr(i) == (1 << pw.chromaDenom) && pw.oCr(i) == 0
+      if (defC) w.u(0, 1)
+      else {
+        w.u(1, 1)
+        w.se(pw.wCb(i)); w.se(pw.oCb(i))
+        w.se(pw.wCr(i)); w.se(pw.oCr(i))
+      }
+      i += 1
+    }
+  }
+
+  /** §8.4.2.3.2 explicit weighted sample prediction, single list:
+    * `((pred·w + 2^(d−1)) >> d) + o` (plain `pred·w + o` at d = 0),
+    * clipped — applied in place over one partition's region of an
+    * MB-local pred buffer. */
+  private[graft] def applyWeight(out: Array[Int], stride: Int,
+                          ox: Int,
+                          oy: Int, w: Int, h: Int, wgt: Int,
+                          off: Int, denom: Int): Unit = {
+    var j = 0
+    while (j < h) {
+      var i = 0
+      while (i < w) {
+        val idx = (oy + j) * stride + ox + i
+        val v =
+          if (denom >= 1)
+            ((out(idx) * wgt + (1 << (denom - 1))) >> denom) + off
+          else out(idx) * wgt + off
+        out(idx) = clip3(0, 255, v)
+        i += 1
+      }
+      j += 1
+    }
+  }
+
   /** te(v) for ref_idx (§9.1.1): one inverted bit when the bound is
     * 1, ue(v) otherwise. */
   private def te(r: BitReader, max: Int): Int =
@@ -339,11 +479,13 @@ private[graft] object H264Inter {
     else w.ue(v)
 
   /** Motion-compensate one luma+chroma partition from `ref` into the
-    * MB-local pred buffers. */
+    * MB-local pred buffers; explicit weighted prediction (§8.4.2.3.2)
+    * applies per `refIdx` when a pred_weight_table is in force. */
   private def mcPartition(ref: RefPic, mbX: Int, mbY: Int, p: Part,
                           mx: Int, my: Int, predY: Array[Int],
-                          predCb: Array[Int], predCr: Array[Int])
-      : Unit = {
+                          predCb: Array[Int], predCr: Array[Int],
+                          refIdx: Int = 0,
+                          pw: PredWeights = null): Unit = {
     val lw = ref.wMbs * 16; val lh = ref.hMbs * 16
     val cw = ref.wMbs * 8; val ch = ref.hMbs * 8
     predLuma(ref.y, lw, lh, mbX * 16 + p.px * 4, mbY * 16 + p.py * 4,
@@ -352,6 +494,14 @@ private[graft] object H264Inter {
       mx, my, p.w4 * 2, p.h4 * 2, predCb, p.px * 2, p.py * 2)
     predChroma(ref.cr, cw, ch, mbX * 8 + p.px * 2, mbY * 8 + p.py * 2,
       mx, my, p.w4 * 2, p.h4 * 2, predCr, p.px * 2, p.py * 2)
+    if (pw != null) {
+      applyWeight(predY, 16, p.px * 4, p.py * 4, p.w4 * 4, p.h4 * 4,
+        pw.wY(refIdx), pw.oY(refIdx), pw.lumaDenom)
+      applyWeight(predCb, 8, p.px * 2, p.py * 2, p.w4 * 2, p.h4 * 2,
+        pw.wCb(refIdx), pw.oCb(refIdx), pw.chromaDenom)
+      applyWeight(predCr, 8, p.px * 2, p.py * 2, p.w4 * 2, p.h4 * 2,
+        pw.wCr(refIdx), pw.oCr(refIdx), pw.chromaDenom)
+    }
   }
 
   /** Decode one P_Skip MB: 16x16 MC at the §8.4.1.1 skip motion from
@@ -359,7 +509,8 @@ private[graft] object H264Inter {
   def decodeSkipMb(ctx: H264Mb.PicCtx, mo: MotionCtx, sliceId: Int,
                    mbIdx: Int, refList: IndexedSeq[RefPic],
                    yP: Array[Byte], cbP: Array[Byte],
-                   crP: Array[Byte]): Unit = {
+                   crP: Array[Byte],
+                   pw: PredWeights = null): Unit = {
     val mbX = mbIdx % ctx.wMbs; val mbY = mbIdx / ctx.wMbs
     ctx.sliceId(mbIdx) = sliceId
     val (mx, my) = skipMv(ctx, mo, sliceId, mbX * 4, mbY * 4)
@@ -367,7 +518,7 @@ private[graft] object H264Inter {
     val predCb = new Array[Int](64); val predCr = new Array[Int](64)
     val ref = refList(0)
     mcPartition(ref, mbX, mbY, Part(0, 0, 4, 4, PartNormal), mx, my,
-      predY, predCb, predCr)
+      predY, predCb, predCr, 0, pw)
     writePred(ctx, mbIdx, predY, predCb, predCr, yP, cbP, crP)
     mo.setPartition(mbX * 4, mbY * 4, 4, 4, mx, my, 0, ref.picId)
     clearNz(ctx, mbIdx)
@@ -423,7 +574,8 @@ private[graft] object H264Inter {
                     mo: MotionCtx, sliceId: Int, mbIdx: Int,
                     qpYPrev: Int, p: Pps, refList: IndexedSeq[RefPic],
                     numRefActive: Int, yP: Array[Byte],
-                    cbP: Array[Byte], crP: Array[Byte]): Int = {
+                    cbP: Array[Byte], crP: Array[Byte],
+                    pw: PredWeights = null): Int = {
     val mbX = mbIdx % ctx.wMbs; val mbY = mbIdx / ctx.wMbs
     ctx.sliceId(mbIdx) = sliceId
     ctx.is8x8(mbIdx) = false
@@ -476,7 +628,8 @@ private[graft] object H264Inter {
         pt.kind)
       val mx = pmx + mdx; val my = pmy + mdy
       val ref = refList(ri)
-      mcPartition(ref, mbX, mbY, pt, mx, my, predY, predCb, predCr)
+      mcPartition(ref, mbX, mbY, pt, mx, my, predY, predCb, predCr,
+        ri, pw)
       mo.setPartition(px, py, pt.w4, pt.h4, mx, my, ri, ref.picId)
       (pt, ri, mx, my)
     }
@@ -695,6 +848,389 @@ private[graft] object H264Inter {
     go(crP, predCr, m.crDc, m.crAc, p.sm.w4(5), qpCr)
   }
 
+  // ---------------------------------------------------------------
+  // B slices (§7.3.5.1 Table 7-14/7-18, §8.4.1.2 direct, §8.4.2.3.1)
+  // ---------------------------------------------------------------
+
+  /** One B partition: geometry plus list usage. `direct` partitions
+    * derive their motion from §8.4.1.2.2 (spatial) instead of
+    * carrying refs/mvds. */
+  private final case class BPart(px: Int, py: Int, w4: Int, h4: Int,
+                                 kind: Int, useL0: Boolean,
+                                 useL1: Boolean, direct: Boolean)
+
+  // (useL0, useL1) for the Pred_L0 / Pred_L1 / BiPred codes
+  private val predModes: Array[(Boolean, Boolean)] =
+    Array((true, false), (false, true), (true, true))
+
+  /** Table 7-14: B mb_type 0..21 → partitions (22 = B_8x8 handled
+    * via sub_mb_types; ≥ 23 = intra, offset −23). */
+  private def bParts(mbType: Int): Seq[BPart] = {
+    if (mbType == 0)
+      return Seq(BPart(0, 0, 4, 4, PartNormal, useL0 = false,
+        useL1 = false, direct = true))
+    if (mbType <= 3) {
+      val (l0, l1) = predModes(mbType - 1)
+      return Seq(BPart(0, 0, 4, 4, PartNormal, l0, l1,
+        direct = false))
+    }
+    require(mbType <= 21, s"B mb_type $mbType out of Table 7-14")
+    // 4..21: (pred0, pred1) pairs in the order
+    // (L0,L0),(L1,L1),(L0,L1),(L1,L0),(L0,Bi),(L1,Bi),(Bi,L0),
+    // (Bi,L1),(Bi,Bi); even = 16x8, odd = 8x16
+    val pairIdx = (mbType - 4) >> 1
+    val is8x16 = ((mbType - 4) & 1) == 1
+    val pairs = Array((0, 0), (1, 1), (0, 1), (1, 0), (0, 2), (1, 2),
+      (2, 0), (2, 1), (2, 2))
+    val (m0, m1) = pairs(pairIdx)
+    val (a0, a1) = predModes(m0)
+    val (b0, b1) = predModes(m1)
+    if (is8x16)
+      Seq(BPart(0, 0, 2, 4, Part8x16Left, a0, a1, direct = false),
+        BPart(2, 0, 2, 4, Part8x16Right, b0, b1, direct = false))
+    else
+      Seq(BPart(0, 0, 4, 2, Part16x8Top, a0, a1, direct = false),
+        BPart(0, 2, 4, 2, Part16x8Bottom, b0, b1, direct = false))
+  }
+
+  /** Table 7-18: B sub_mb_type → sub-partitions of one 8x8 (offsets
+    * relative to the 8x8). */
+  private def bSubParts(subType: Int): Seq[BPart] = {
+    def mk(shapes: Seq[(Int, Int, Int, Int)], l0: Boolean,
+           l1: Boolean): Seq[BPart] =
+      shapes.map(s => BPart(s._1, s._2, s._3, s._4, PartNormal, l0,
+        l1, direct = false))
+    val whole = Seq((0, 0, 2, 2))
+    val h2 = Seq((0, 0, 2, 1), (0, 1, 2, 1))
+    val v2 = Seq((0, 0, 1, 2), (1, 0, 1, 2))
+    val q4 = Seq((0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1),
+      (1, 1, 1, 1))
+    subType match {
+      case 0 => Seq(BPart(0, 0, 2, 2, PartNormal, useL0 = false,
+        useL1 = false, direct = true)) // B_Direct_8x8
+      case 1 => mk(whole, l0 = true, l1 = false)
+      case 2 => mk(whole, l0 = false, l1 = true)
+      case 3 => mk(whole, l0 = true, l1 = true)
+      case 4 => mk(h2, l0 = true, l1 = false)
+      case 5 => mk(v2, l0 = true, l1 = false)
+      case 6 => mk(h2, l0 = false, l1 = true)
+      case 7 => mk(v2, l0 = false, l1 = true)
+      case 8 => mk(h2, l0 = true, l1 = true)
+      case 9 => mk(v2, l0 = true, l1 = true)
+      case 10 => mk(q4, l0 = true, l1 = false)
+      case 11 => mk(q4, l0 = false, l1 = true)
+      case 12 => mk(q4, l0 = true, l1 = true)
+      case other =>
+        throw new IllegalArgumentException(
+          s"B sub_mb_type $other out of Table 7-18")
+    }
+  }
+
+  /** MinPositive (§8.4.1.2.2): min when both non-negative, else the
+    * larger (i.e. the non-negative one, or −1 when both are). */
+  @inline private def minPositive(a: Int, b: Int): Int =
+    if (a >= 0 && b >= 0) math.min(a, b) else math.max(a, b)
+
+  /** Derived spatial-direct motion for one MB: per-list refIdx and
+    * predicted MV, plus the co-located picture handle for the
+    * per-block colZeroFlag moderation. */
+  private final case class DirectMv(refIdxL0: Int, refIdxL1: Int,
+                                    mv0: (Int, Int), mv1: (Int, Int),
+                                    zeroAll: Boolean)
+
+  /**
+   * §8.4.1.2.2 spatial direct, MB-level part: list refIdx = the
+   * MinPositive over the 16x16's A/B/C neighbors, MVs = the
+   * §8.4.1.3.1 median prediction per list; when NO neighbor
+   * references either list, both lists predict ref 0 with zero MVs
+   * unconditionally (directZeroPredictionFlag).
+   */
+  private def spatialDirectMb(ctx: H264Mb.PicCtx, mo: MotionCtx,
+                              sliceId: Int, mbIdx: Int): DirectMv = {
+    val bx = (mbIdx % ctx.wMbs) * 4; val by = (mbIdx / ctx.wMbs) * 4
+    def listRef(list: Int): Int = {
+      val a = nbr(ctx, mo, sliceId, bx - 1, by, list)
+      val b = nbr(ctx, mo, sliceId, bx, by - 1, list)
+      val c0 = nbr(ctx, mo, sliceId, bx + 4, by - 1, list)
+      val c =
+        if (c0._1) c0 else nbr(ctx, mo, sliceId, bx - 1, by - 1, list)
+      minPositive(minPositive(a._2, b._2), c._2)
+    }
+    val r0 = listRef(0); val r1 = listRef(1)
+    if (r0 < 0 && r1 < 0)
+      return DirectMv(0, 0, (0, 0), (0, 0), zeroAll = true)
+    val mv0 =
+      if (r0 >= 0) mvPred(ctx, mo, sliceId, bx, by, 4, r0, PartNormal,
+        0)
+      else (0, 0)
+    val mv1 =
+      if (r1 >= 0) mvPred(ctx, mo, sliceId, bx, by, 4, r1, PartNormal,
+        1)
+      else (0, 0)
+    DirectMv(r0, r1, mv0, mv1, zeroAll = false)
+  }
+
+  /** colZeroFlag (§8.4.1.2.2): the co-located block in RefPicList1[0]
+    * is a zero-ish motion ref-0 block. With direct_8x8_inference the
+    * co-located 4x4 is the OUTER CORNER of the co-located 8x8:
+    * b 0→(0,0), 1→(3,0), 2→(0,3), 3→(3,3) in MB-relative 4x4 units. */
+  private def colZero(colPic: RefPic, mbIdx: Int, b8: Int): Boolean = {
+    if (colPic == null || colPic.mo == null) return false
+    val mo = colPic.mo
+    val mbX = mbIdx % colPic.wMbs; val mbY = mbIdx / colPic.wMbs
+    val cx = mbX * 4 + (if ((b8 & 1) == 1) 3 else 0)
+    val cy = mbY * 4 + (if ((b8 & 2) == 2) 3 else 0)
+    val i = cy * mo.w4 + cx
+    if (mo.state(i) != 2) return false // intra co-located: no zeroing
+    // the co-located block's "refIdxCol": its L0 ref if used, else L1
+    val (ri, mx, my) =
+      if (mo.refIdx(i) >= 0)
+        (mo.refIdx(i).toInt, mo.mvx(i).toInt, mo.mvy(i).toInt)
+      else (mo.refIdx1(i).toInt, mo.mvx1(i).toInt, mo.mvy1(i).toInt)
+    ri == 0 && mx >= -1 && mx <= 1 && my >= -1 && my <= 1
+  }
+
+  /** Average two MB-local pred buffers over one partition region —
+    * §8.4.2.3.1 default biprediction. */
+  private def avgRegion(a: Array[Int], b: Array[Int], stride: Int,
+                        ox: Int, oy: Int, w: Int, h: Int): Unit = {
+    var j = 0
+    while (j < h) {
+      var i = 0
+      while (i < w) {
+        val idx = (oy + j) * stride + ox + i
+        a(idx) = (a(idx) + b(idx) + 1) >> 1
+        i += 1
+      }
+      j += 1
+    }
+  }
+
+  /** Motion-compensate one B partition: single-list into the main
+    * buffers, BiPred as the rounded average of both lists'
+    * predictions (§8.4.2.3.1, weighted_bipred_idc 0). */
+  private def mcB(pt: Part, mbX: Int, mbY: Int,
+                  useL0: Boolean, useL1: Boolean,
+                  r0: RefPic, mv0: (Int, Int),
+                  r1: RefPic, mv1: (Int, Int),
+                  predY: Array[Int], predCb: Array[Int],
+                  predCr: Array[Int]): Unit = {
+    if (useL0 && useL1) {
+      val tY = new Array[Int](256)
+      val tCb = new Array[Int](64); val tCr = new Array[Int](64)
+      mcPartition(r0, mbX, mbY, pt, mv0._1, mv0._2, predY, predCb,
+        predCr)
+      mcPartition(r1, mbX, mbY, pt, mv1._1, mv1._2, tY, tCb, tCr)
+      avgRegion(predY, tY, 16, pt.px * 4, pt.py * 4, pt.w4 * 4,
+        pt.h4 * 4)
+      avgRegion(predCb, tCb, 8, pt.px * 2, pt.py * 2, pt.w4 * 2,
+        pt.h4 * 2)
+      avgRegion(predCr, tCr, 8, pt.px * 2, pt.py * 2, pt.w4 * 2,
+        pt.h4 * 2)
+    } else if (useL0) {
+      mcPartition(r0, mbX, mbY, pt, mv0._1, mv0._2, predY, predCb,
+        predCr)
+    } else {
+      mcPartition(r1, mbX, mbY, pt, mv1._1, mv1._2, predY, predCb,
+        predCr)
+    }
+  }
+
+  /** Decode the motion + MC of one DIRECT region (whole MB or one
+    * 8x8): per-8x8 colZeroFlag moderation, both lists, storing both
+    * lists' motion. `b8s` = the 8x8 indices covered. */
+  private def mcDirect(ctx: H264Mb.PicCtx, mo: MotionCtx,
+                       sliceId: Int, mbIdx: Int, dm: DirectMv,
+                       b8s: Seq[Int], l0: IndexedSeq[RefPic],
+                       l1: IndexedSeq[RefPic], colPic: RefPic,
+                       predY: Array[Int], predCb: Array[Int],
+                       predCr: Array[Int]): Unit = {
+    val mbX = mbIdx % ctx.wMbs; val mbY = mbIdx / ctx.wMbs
+    b8s.foreach { b8 =>
+      val ox = (b8 & 1) * 2; val oy = (b8 >> 1) * 2
+      val cz = !dm.zeroAll && colZero(colPic, mbIdx, b8)
+      val useL0 = dm.refIdxL0 >= 0 || dm.zeroAll
+      val useL1 = dm.refIdxL1 >= 0 || dm.zeroAll
+      val m0 =
+        if (dm.zeroAll || (cz && dm.refIdxL0 == 0)) (0, 0) else dm.mv0
+      val m1 =
+        if (dm.zeroAll || (cz && dm.refIdxL1 == 0)) (0, 0) else dm.mv1
+      val ri0 = if (dm.zeroAll) 0 else dm.refIdxL0
+      val ri1 = if (dm.zeroAll) 0 else dm.refIdxL1
+      val pt = Part(ox, oy, 2, 2, PartNormal)
+      mcB(pt, mbX, mbY, useL0, useL1,
+        if (useL0) l0(ri0) else null, m0,
+        if (useL1) l1(ri1) else null, m1,
+        predY, predCb, predCr)
+      val gx = mbX * 4 + ox; val gy = mbY * 4 + oy
+      mo.setPartitionL(0, gx, gy, 2, 2, m0._1, m0._2,
+        if (useL0) ri0 else -1, if (useL0) l0(ri0).picId else -1)
+      mo.setPartitionL(1, gx, gy, 2, 2, m1._1, m1._2,
+        if (useL1) ri1 else -1, if (useL1) l1(ri1).picId else -1)
+    }
+  }
+
+  /** Decode one B_Skip MB (§8.4.1.2 direct motion, no residual). */
+  def decodeBSkipMb(ctx: H264Mb.PicCtx, mo: MotionCtx, sliceId: Int,
+                    mbIdx: Int, l0: IndexedSeq[RefPic],
+                    l1: IndexedSeq[RefPic], colPic: RefPic,
+                    yP: Array[Byte], cbP: Array[Byte],
+                    crP: Array[Byte]): Unit = {
+    ctx.sliceId(mbIdx) = sliceId
+    val dm = spatialDirectMb(ctx, mo, sliceId, mbIdx)
+    val predY = new Array[Int](256)
+    val predCb = new Array[Int](64); val predCr = new Array[Int](64)
+    mcDirect(ctx, mo, sliceId, mbIdx, dm, 0 until 4, l0, l1, colPic,
+      predY, predCb, predCr)
+    writePred(ctx, mbIdx, predY, predCb, predCr, yP, cbP, crP)
+    clearNz(ctx, mbIdx)
+  }
+
+  /**
+   * Decode one inter-coded B MB (Table 7-14 mb_type 0..22, CAVLC).
+   * Parse order per §7.3.5.1: [sub_mb_type×4,] all ref_idx_l0, all
+   * ref_idx_l1, all mvd_l0, all mvd_l1, coded_block_pattern,
+   * [transform_size_8x8_flag,] [mb_qp_delta,] residuals. Direct
+   * partitions (B_Direct_16x16 / B_Direct_8x8) derive spatial-direct
+   * motion. Returns the updated luma QP.
+   */
+  def decodeBMb(r: BitReader, mbType: Int, ctx: H264Mb.PicCtx,
+                mo: MotionCtx, sliceId: Int, mbIdx: Int,
+                qpYPrev: Int, p: Pps, l0: IndexedSeq[RefPic],
+                l1: IndexedSeq[RefPic], numRef0: Int, numRef1: Int,
+                colPic: RefPic, yP: Array[Byte], cbP: Array[Byte],
+                crP: Array[Byte]): Int = {
+    val mbX = mbIdx % ctx.wMbs; val mbY = mbIdx / ctx.wMbs
+    ctx.sliceId(mbIdx) = sliceId
+    ctx.is8x8(mbIdx) = false
+
+    val is8x8Mb = mbType == 22
+    val subTypes: Array[Int] =
+      if (is8x8Mb) Array.fill(4)(r.ue()) else null
+    // partitions: MB-level (with their 8x8 coverage) or per-sub
+    val parts: Seq[(BPart, Int)] = // partition, owning 8x8 (or -1)
+      if (is8x8Mb) {
+        (0 until 4).flatMap { b =>
+          val ox = (b & 1) * 2; val oy = (b >> 1) * 2
+          bSubParts(subTypes(b)).map(sp =>
+            (sp.copy(px = ox + sp.px, py = oy + sp.py), b))
+        }
+      } else bParts(mbType).map((_, -1))
+    // ref_idx parse: per partition-or-8x8 that uses the list, list 0
+    // then list 1 (for B_8x8, refs are per 8x8, shared by its subs)
+    def refSlots: Seq[Int] = // indices into a per-slot ref array
+      if (is8x8Mb) 0 until 4 else parts.indices
+    def slotUses(list: Int, slot: Int): Boolean =
+      if (is8x8Mb) {
+        val st = subTypes(slot)
+        if (st == 0) false
+        else {
+          val sp = bSubParts(st).head
+          if (list == 0) sp.useL0 else sp.useL1
+        }
+      } else {
+        val pt = parts(slot)._1
+        !pt.direct && (if (list == 0) pt.useL0 else pt.useL1)
+      }
+    val refs0 = new Array[Int](refSlots.size)
+    val refs1 = new Array[Int](refSlots.size)
+    refSlots.foreach { s =>
+      if (slotUses(0, s)) {
+        refs0(s) = te(r, numRef0 - 1)
+        require(refs0(s) < l0.size,
+          s"ref_idx_l0 ${refs0(s)} but only ${l0.size} refs")
+      }
+    }
+    refSlots.foreach { s =>
+      if (slotUses(1, s)) {
+        refs1(s) = te(r, numRef1 - 1)
+        require(refs1(s) < l1.size,
+          s"ref_idx_l1 ${refs1(s)} but only ${l1.size} refs")
+      }
+    }
+    // mvd parse: all list-0 mvds in partition order, then list 1
+    val mvd0 = parts.map { case (pt, _) =>
+      if (pt.useL0) (r.se(), r.se()) else (0, 0)
+    }
+    val mvd1 = parts.map { case (pt, _) =>
+      if (pt.useL1) (r.se(), r.se()) else (0, 0)
+    }
+
+    // --- derive motion sequentially, MC each partition ---
+    val predY = new Array[Int](256)
+    val predCb = new Array[Int](64); val predCr = new Array[Int](64)
+    // direct derivation uses the NEIGHBOR state before this MB's
+    // non-direct partitions write — derive it up front (it is
+    // MB-level in §8.4.1.2.2)
+    lazy val dm = spatialDirectMb(ctx, mo, sliceId, mbIdx)
+    parts.zipWithIndex.foreach { case ((pt, b8), pi) =>
+      if (pt.direct) {
+        val covered = if (is8x8Mb) Seq(b8) else (0 until 4)
+        mcDirect(ctx, mo, sliceId, mbIdx, dm, covered, l0, l1,
+          colPic, predY, predCb, predCr)
+      } else {
+        val slot = if (is8x8Mb) b8 else pi
+        val gx = mbX * 4 + pt.px; val gy = mbY * 4 + pt.py
+        val (m0, r0) =
+          if (pt.useL0) {
+            val ri = refs0(slot)
+            val (px0, py0) = mvPred(ctx, mo, sliceId, gx, gy, pt.w4,
+              ri, pt.kind, 0)
+            ((px0 + mvd0(pi)._1, py0 + mvd0(pi)._2), ri)
+          } else ((0, 0), -1)
+        val (m1, r1ri) =
+          if (pt.useL1) {
+            val ri = refs1(slot)
+            val (px1, py1) = mvPred(ctx, mo, sliceId, gx, gy, pt.w4,
+              ri, pt.kind, 1)
+            ((px1 + mvd1(pi)._1, py1 + mvd1(pi)._2), ri)
+          } else ((0, 0), -1)
+        mcB(Part(pt.px, pt.py, pt.w4, pt.h4, pt.kind), mbX, mbY,
+          pt.useL0, pt.useL1,
+          if (pt.useL0) l0(r0) else null, m0,
+          if (pt.useL1) l1(r1ri) else null, m1,
+          predY, predCb, predCr)
+        mo.setPartitionL(0, gx, gy, pt.w4, pt.h4, m0._1, m0._2,
+          if (pt.useL0) r0 else -1,
+          if (pt.useL0) l0(r0).picId else -1)
+        mo.setPartitionL(1, gx, gy, pt.w4, pt.h4, m1._1, m1._2,
+          if (pt.useL1) r1ri else -1,
+          if (pt.useL1) l1(r1ri).picId else -1)
+      }
+    }
+
+    // --- coded_block_pattern + transform_size_8x8_flag ---
+    val code = r.ue()
+    require(code < 48, s"inter cbp codeNum $code out of range")
+    val cbp = interCbpFromCode(code)
+    val cbpLuma = cbp & 15; val cbpChroma = cbp >> 4
+    require(cbpChroma <= 2, s"cbp chroma $cbpChroma")
+    // §7.3.5: direct 16x16 needs direct_8x8_inference (our SPS rule);
+    // B_8x8 must have no sub-partition below 8x8 (direct subs count
+    // as 8x8 under inference)
+    val t8Allowed = p.transform8x8 && cbpLuma != 0 &&
+      (mbType != 0 || true) &&
+      (!is8x8Mb || subTypes.forall(st => st <= 3))
+    val use8 = t8Allowed && r.u(1) == 1
+    ctx.is8x8(mbIdx) = use8
+    var qpY = qpYPrev
+    if (cbp != 0) {
+      val delta = r.se()
+      require(delta >= -26 && delta <= 25, s"mb_qp_delta $delta")
+      qpY = (qpY + delta + 52) % 52
+    }
+    val lumaAc = parseLumaResidual(r, ctx, mbX, mbY, sliceId, mbIdx,
+      cbpLuma)
+    val (cbDc, crDc, cbAc, crAc) =
+      parseChromaResidual(r, ctx, mbX, mbY, sliceId, mbIdx, cbpChroma)
+    ctx.cbpLumaArr(mbIdx) = cbpLuma
+    ctx.cbpChromaArr(mbIdx) = cbpChroma
+    reconInter(ctx, mbIdx, qpY, p, InterMb(Nil, cbpLuma, cbpChroma,
+      qpY, lumaAc, cbDc, crDc, cbAc, crAc), predY, predCb, predCr,
+      yP, cbP, crP, use8)
+    qpY
+  }
+
   // nC via H264Mb's private §9.2.1 helpers — duplicated thin
   // accessors to keep the neighbor logic in ONE place
   private def lumaNCVia(ctx: H264Mb.PicCtx, mbX: Int, mbY: Int,
@@ -743,71 +1279,49 @@ private[graft] object H264Inter {
     (bx << 2, by << 2)
   }
 
-  /**
-   * Analyze + emit + reconstruct ONE P macroblock for the fixture
-   * encoder. `variant` picks the partitioning (0 16x16 / 1 16x8 /
-   * 2 8x16 / 3 P_8x8 / 4 P_8x8ref0); `forcedMv` plants a global
-   * quarter-pel MV (exercising every fractional interpolation
-   * position), otherwise an integer SAD search runs per partition.
-   * A 16x16/ref0 MB whose MV equals the §8.4.1.1 skip motion and
-   * whose residual quantizes to zero becomes P_Skip: the caller
-   * accumulates `skipRun` and this returns (true, qpY) WITHOUT
-   * writing; otherwise ue(skipRun) + the MB syntax are written.
-   * Reconstruction runs through the decoder path either way.
-   */
-  private[multimodal] def encodePMb(wr: BitWriter, ctx: H264Mb.PicCtx,
-      mo: MotionCtx, sliceId: Int, mbIdx: Int,
-      refList: IndexedSeq[RefPic], numRefActive: Int,
-      srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int],
-      qpYIn: Int, target: Int, p: Pps, variant: Int,
-      forcedMv: Option[(Int, Int)], searchRange: Int,
-      yR: Array[Byte], cbR: Array[Byte], crR: Array[Byte],
-      skipRun: Int, transform8x8: Boolean = false): (Boolean, Int) = {
+  /** Quantized residual of one whole MB against a given prediction:
+    * luma through the 4x4 transform on inter list 3 — or, with
+    * `use8`, the 8x8 transform on inter 8x8 list 1 in the
+    * §7.4.5.3.3 interleave split — chroma DC/AC on lists 4/5.
+    * Returns (lumaAc, cbDc, crDc, cbAc, crAc, cbpLuma, cbpChroma). */
+  private def mbResiduals(ctx: H264Mb.PicCtx, mbIdx: Int,
+                          srcY: Array[Int], srcCb: Array[Int],
+                          srcCr: Array[Int], predY: Array[Int],
+                          predCb: Array[Int], predCr: Array[Int],
+                          target: Int, p: Pps, use8: Boolean)
+      : (Array[Array[Int]], Array[Int], Array[Int],
+         Array[Array[Int]], Array[Array[Int]], Int, Int) = {
     val mbX = mbIdx % ctx.wMbs; val mbY = mbIdx / ctx.wMbs
     val lw = ctx.wMbs * 16; val cw = ctx.wMbs * 8
-    ctx.sliceId(mbIdx) = sliceId
-    ctx.is8x8(mbIdx) = false
-    val mbType = variant % 5
-    val subTypes: Array[Int] =
-      if (mbType >= 3) Array.tabulate(4)(b => (b + mbIdx) % 4)
-      else null
     val qpC = Transform.chromaQp(target, p.chromaQpOffset)
     val qpCr = Transform.chromaQp(target, p.chromaQpOffsetCr)
-
-    // quantized residual of the whole MB against a given prediction;
-    // `use8` codes luma through the 8x8 transform (quant8 on inter
-    // 8x8 list 1, parts in the §7.4.5.3.3 interleave split)
-    def residuals(predY: Array[Int], predCb: Array[Int],
-                  predCr: Array[Int], use8: Boolean = false)
-        : (Array[Array[Int]], Array[Int], Array[Int],
-           Array[Array[Int]], Array[Array[Int]], Int, Int) = {
-      val lumaAc = new Array[Array[Int]](16)
-      if (use8) {
-        var b = 0
-        while (b < 4) {
-          val bx = (b & 1) * 8; val by = (b >> 1) * 8
-          val diff = new Array[Int](64)
-          var i = 0
-          while (i < 64) {
-            val px = bx + (i & 7); val py = by + (i >> 3)
-            diff(i) = srcY((mbY * 16 + py) * lw + mbX * 16 + px) -
-              predY(py * 16 + px)
-            i += 1
-          }
-          val wCoef = Transform.forward8x8(diff)
-          var k = 0
-          while (k < 4) { lumaAc(b * 4 + k) = new Array[Int](16); k += 1 }
-          var s = 0
-          while (s < 64) {
-            val raster = Transform.zigzag8x8(s)
-            lumaAc(b * 4 + (s & 3))(s >> 2) =
-              Transform.quant8(wCoef(raster), target, raster,
-                p.sm.w8(1)(raster))
-            s += 1
-          }
-          b += 1
+    val lumaAc = new Array[Array[Int]](16)
+    if (use8) {
+      var b = 0
+      while (b < 4) {
+        val bx = (b & 1) * 8; val by = (b >> 1) * 8
+        val diff = new Array[Int](64)
+        var i = 0
+        while (i < 64) {
+          val px = bx + (i & 7); val py = by + (i >> 3)
+          diff(i) = srcY((mbY * 16 + py) * lw + mbX * 16 + px) -
+            predY(py * 16 + px)
+          i += 1
         }
-      } else {
+        val wCoef = Transform.forward8x8(diff)
+        var k = 0
+        while (k < 4) { lumaAc(b * 4 + k) = new Array[Int](16); k += 1 }
+        var s = 0
+        while (s < 64) {
+          val raster = Transform.zigzag8x8(s)
+          lumaAc(b * 4 + (s & 3))(s >> 2) =
+            Transform.quant8(wCoef(raster), target, raster,
+              p.sm.w8(1)(raster))
+          s += 1
+        }
+        b += 1
+      }
+    } else {
       var z = 0
       while (z < 16) {
         val bx = H264Mb.zx(z); val by = H264Mb.zy(z)
@@ -831,56 +1345,96 @@ private[graft] object H264Inter {
         lumaAc(z) = scan
         z += 1
       }
-      }
-      def chromaCoeffs(src: Array[Int], pred: Array[Int],
-                       wgt: Array[Int], qp: Int)
-          : (Array[Int], Array[Array[Int]]) = {
-        val dcRaw = new Array[Int](4)
-        val ac = new Array[Array[Int]](4)
-        var b = 0
-        while (b < 4) {
-          val bx = b & 1; val by = b >> 1
-          val diff = new Array[Int](16)
-          var i = 0
-          while (i < 16) {
-            val px = bx * 4 + (i & 3); val py = by * 4 + (i >> 2)
-            diff(i) = src((mbY * 8 + py) * cw + mbX * 8 + px) -
-              pred(py * 8 + px)
-            i += 1
-          }
-          val wCoef = Transform.forward4x4(diff)
-          dcRaw(b) = wCoef(0)
-          val scan = new Array[Int](15)
-          var k = 0
-          while (k < 15) {
-            val raster = Transform.zigzag4x4(k + 1)
-            scan(k) = Transform.quant(wCoef(raster), qp, raster,
-              wgt(raster))
-            k += 1
-          }
-          ac(b) = scan
-          b += 1
-        }
-        val dcQ = Transform.hadamard2x2(dcRaw).map(
-          Transform.quantDc(_, qp, wgt(0)))
-        (dcQ, ac)
-      }
-      val (cbDc, cbAc) = chromaCoeffs(srcCb, predCb, p.sm.w4(4), qpC)
-      val (crDc, crAc) = chromaCoeffs(srcCr, predCr, p.sm.w4(5), qpCr)
-      var cbpLuma = 0
-      var g = 0
-      while (g < 4) {
-        if ((0 until 4).exists(s2 => lumaAc(g * 4 + s2).exists(_ != 0)))
-          cbpLuma |= 1 << g
-        g += 1
-      }
-      val anyChromaAc = cbAc.exists(_.exists(_ != 0)) ||
-        crAc.exists(_.exists(_ != 0))
-      val anyChromaDc = cbDc.exists(_ != 0) || crDc.exists(_ != 0)
-      val cbpChroma =
-        if (anyChromaAc) 2 else if (anyChromaDc) 1 else 0
-      (lumaAc, cbDc, crDc, cbAc, crAc, cbpLuma, cbpChroma)
     }
+    def chromaCoeffs(src: Array[Int], pred: Array[Int],
+                     wgt: Array[Int], qp: Int)
+        : (Array[Int], Array[Array[Int]]) = {
+      val dcRaw = new Array[Int](4)
+      val ac = new Array[Array[Int]](4)
+      var b = 0
+      while (b < 4) {
+        val bx = b & 1; val by = b >> 1
+        val diff = new Array[Int](16)
+        var i = 0
+        while (i < 16) {
+          val px = bx * 4 + (i & 3); val py = by * 4 + (i >> 2)
+          diff(i) = src((mbY * 8 + py) * cw + mbX * 8 + px) -
+            pred(py * 8 + px)
+          i += 1
+        }
+        val wCoef = Transform.forward4x4(diff)
+        dcRaw(b) = wCoef(0)
+        val scan = new Array[Int](15)
+        var k = 0
+        while (k < 15) {
+          val raster = Transform.zigzag4x4(k + 1)
+          scan(k) = Transform.quant(wCoef(raster), qp, raster,
+            wgt(raster))
+          k += 1
+        }
+        ac(b) = scan
+        b += 1
+      }
+      val dcQ = Transform.hadamard2x2(dcRaw).map(
+        Transform.quantDc(_, qp, wgt(0)))
+      (dcQ, ac)
+    }
+    val (cbDc, cbAc) = chromaCoeffs(srcCb, predCb, p.sm.w4(4), qpC)
+    val (crDc, crAc) = chromaCoeffs(srcCr, predCr, p.sm.w4(5), qpCr)
+    var cbpLuma = 0
+    var g = 0
+    while (g < 4) {
+      if ((0 until 4).exists(s2 => lumaAc(g * 4 + s2).exists(_ != 0)))
+        cbpLuma |= 1 << g
+      g += 1
+    }
+    val anyChromaAc = cbAc.exists(_.exists(_ != 0)) ||
+      crAc.exists(_.exists(_ != 0))
+    val anyChromaDc = cbDc.exists(_ != 0) || crDc.exists(_ != 0)
+    val cbpChroma = if (anyChromaAc) 2 else if (anyChromaDc) 1 else 0
+    (lumaAc, cbDc, crDc, cbAc, crAc, cbpLuma, cbpChroma)
+  }
+
+  /**
+   * Analyze + emit + reconstruct ONE P macroblock for the fixture
+   * encoder. `variant` picks the partitioning (0 16x16 / 1 16x8 /
+   * 2 8x16 / 3 P_8x8 / 4 P_8x8ref0); `forcedMv` plants a global
+   * quarter-pel MV (exercising every fractional interpolation
+   * position), otherwise an integer SAD search runs per partition.
+   * A 16x16/ref0 MB whose MV equals the §8.4.1.1 skip motion and
+   * whose residual quantizes to zero becomes P_Skip: the caller
+   * accumulates `skipRun` and this returns (true, qpY) WITHOUT
+   * writing; otherwise ue(skipRun) + the MB syntax are written.
+   * Reconstruction runs through the decoder path either way.
+   */
+  private[multimodal] def encodePMb(wr: BitWriter, ctx: H264Mb.PicCtx,
+      mo: MotionCtx, sliceId: Int, mbIdx: Int,
+      refList: IndexedSeq[RefPic], numRefActive: Int,
+      srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int],
+      qpYIn: Int, target: Int, p: Pps, variant: Int,
+      forcedMv: Option[(Int, Int)], searchRange: Int,
+      yR: Array[Byte], cbR: Array[Byte], crR: Array[Byte],
+      skipRun: Int, transform8x8: Boolean = false,
+      pw: PredWeights = null): (Boolean, Int) = {
+    val mbX = mbIdx % ctx.wMbs; val mbY = mbIdx / ctx.wMbs
+    val lw = ctx.wMbs * 16; val cw = ctx.wMbs * 8
+    ctx.sliceId(mbIdx) = sliceId
+    ctx.is8x8(mbIdx) = false
+    val mbType = variant % 5
+    val subTypes: Array[Int] =
+      if (mbType >= 3) Array.tabulate(4)(b => (b + mbIdx) % 4)
+      else null
+    val qpC = Transform.chromaQp(target, p.chromaQpOffset)
+    val qpCr = Transform.chromaQp(target, p.chromaQpOffsetCr)
+
+    // quantized residual of the whole MB against a given prediction
+    // (shared with the B encoder — see mbResiduals)
+    def residuals(predY: Array[Int], predCb: Array[Int],
+                  predCr: Array[Int], use8: Boolean = false)
+        : (Array[Array[Int]], Array[Int], Array[Int],
+           Array[Array[Int]], Array[Array[Int]], Int, Int) =
+      mbResiduals(ctx, mbIdx, srcY, srcCb, srcCr, predY, predCb,
+        predCr, target, p, use8)
 
     // skip FIRST (the real-encoder decision order): 16x16 at the
     // §8.4.1.1 skip motion from ref 0, residual quantizes to zero
@@ -889,7 +1443,7 @@ private[graft] object H264Inter {
       val sy = new Array[Int](256)
       val scb = new Array[Int](64); val scr = new Array[Int](64)
       mcPartition(refList(0), mbX, mbY, Part(0, 0, 4, 4, PartNormal),
-        skipCand._1, skipCand._2, sy, scb, scr)
+        skipCand._1, skipCand._2, sy, scb, scr, 0, pw)
       val (_, _, _, _, _, skL, skC) = residuals(sy, scb, scr)
       if (skL == 0 && skC == 0) {
         mo.setPartition(mbX * 4, mbY * 4, 4, 4, skipCand._1,
@@ -936,7 +1490,7 @@ private[graft] object H264Inter {
           mbY * 16 + pt.py * 4, pt.w4 * 4, pt.h4 * 4, (pmx, pmy),
           searchRange))
       mcPartition(refList(ri), mbX, mbY, pt, mx, my, predY, predCb,
-        predCr)
+        predCr, ri, pw)
       mo.setPartition(px, py, pt.w4, pt.h4, mx, my, ri,
         refList(ri).picId)
       (pt, ri, mx - pmx, my - pmy, mx, my)
@@ -1015,5 +1569,238 @@ private[graft] object H264Inter {
         cbpChroma, qpY, lumaAc, cbDc, crDc, cbAc, crAc),
       predY, predCb, predCr, yR, cbR, crR, use8)
     (false, qpY)
+  }
+
+  /**
+   * Analyze + emit + reconstruct ONE B macroblock for the fixture
+   * encoder. `variant` cycles the Table 7-14 shapes: 0 tries direct
+   * first (B_Skip when the residual quantizes to zero, else
+   * B_Direct_16x16); 1/2/3 = L0/L1/Bi 16x16; 4 = L0L0_16x8;
+   * 5 = L0L1_8x16; 6 = BiBi_16x8; 7 = B_8x8 with cycling
+   * sub_mb_types. Forced MVs apply to list 0 and are mirrored on
+   * list 1 (the B anchors sit on opposite temporal sides).
+   */
+  private[multimodal] def encodeBMb(wr: BitWriter, ctx: H264Mb.PicCtx,
+      mo: MotionCtx, sliceId: Int, mbIdx: Int,
+      l0: IndexedSeq[RefPic], l1: IndexedSeq[RefPic],
+      numRef0: Int, numRef1: Int, colPic: RefPic,
+      srcY: Array[Int], srcCb: Array[Int], srcCr: Array[Int],
+      qpYIn: Int, target: Int, p: Pps, variant: Int,
+      forcedMv: Option[(Int, Int)], searchRange: Int,
+      yR: Array[Byte], cbR: Array[Byte], crR: Array[Byte],
+      skipRun: Int, transform8x8: Boolean = false)
+      : (Boolean, Int) = {
+    val mbX = mbIdx % ctx.wMbs; val mbY = mbIdx / ctx.wMbs
+    val lw = ctx.wMbs * 16
+    ctx.sliceId(mbIdx) = sliceId
+    ctx.is8x8(mbIdx) = false
+
+    // --- direct-first (variant 0): B_Skip or B_Direct_16x16 ---
+    if (variant % 8 == 0) {
+      val dm = spatialDirectMb(ctx, mo, sliceId, mbIdx)
+      val predY = new Array[Int](256)
+      val predCb = new Array[Int](64); val predCr = new Array[Int](64)
+      mcDirect(ctx, mo, sliceId, mbIdx, dm, 0 until 4, l0, l1,
+        colPic, predY, predCb, predCr)
+      val (lumaAc, cbDc, crDc, cbAc, crAc, cbpL, cbpC) =
+        mbResiduals(ctx, mbIdx, srcY, srcCb, srcCr, predY, predCb,
+          predCr, target, p, use8 = false)
+      if (cbpL == 0 && cbpC == 0) { // B_Skip
+        writePred(ctx, mbIdx, predY, predCb, predCr, yR, cbR, crR)
+        clearNz(ctx, mbIdx)
+        return (true, qpYIn)
+      }
+      // B_Direct_16x16 with residual
+      wr.ue(skipRun)
+      wr.ue(0)
+      val cbp = cbpL | (cbpC << 4)
+      wr.ue(interCodeFromCbp(cbp))
+      if (transform8x8 && cbpL != 0) wr.u(0, 1) // keep 4x4 residual
+      var qpY = qpYIn
+      wr.se(target - qpY); qpY = target
+      emitInterResidual(wr, ctx, mbIdx, sliceId, cbpL, cbpC, lumaAc,
+        cbDc, crDc, cbAc, crAc)
+      reconInter(ctx, mbIdx, qpY, p, InterMb(Nil, cbpL, cbpC, qpY,
+        lumaAc, cbDc, crDc, cbAc, crAc), predY, predCb, predCr,
+        yR, cbR, crR)
+      return (false, qpY)
+    }
+
+    // --- explicit-motion variants ---
+    val mbType = variant % 8 match {
+      case 1 => 1 // B_L0_16x16
+      case 2 => 2 // B_L1_16x16
+      case 3 => 3 // B_Bi_16x16
+      case 4 => 4 // B_L0_L0_16x8
+      case 5 => 9 // B_L0_L1_8x16
+      case 6 => 20 // B_Bi_Bi_16x8
+      case _ => 22 // B_8x8
+    }
+    val is8x8Mb = mbType == 22
+    // sub cycle avoids direct-8x8 here (variant 0 owns direct) and
+    // covers L0/L1/Bi at 8x8 plus one below-8x8 shape
+    val subTypes: Array[Int] =
+      if (is8x8Mb) Array.tabulate(4)(b => Array(1, 2, 3, 5)((b + mbIdx) % 4))
+      else null
+    val parts: Seq[(BPart, Int)] =
+      if (is8x8Mb)
+        (0 until 4).flatMap { b =>
+          val ox = (b & 1) * 2; val oy = (b >> 1) * 2
+          bSubParts(subTypes(b)).map(sp =>
+            (sp.copy(px = ox + sp.px, py = oy + sp.py), b))
+        }
+      else bParts(mbType).map((_, -1))
+    val nSlots = if (is8x8Mb) 4 else parts.size
+    val refs0 = new Array[Int](nSlots)
+    val refs1 = new Array[Int](nSlots)
+    var s = 0
+    while (s < nSlots) {
+      refs0(s) = (mbIdx + s) % math.min(numRef0, l0.size)
+      refs1(s) = (mbIdx + s) % math.min(numRef1, l1.size)
+      s += 1
+    }
+    def slotUses(list: Int, slot: Int): Boolean =
+      if (is8x8Mb) {
+        val sp = bSubParts(subTypes(slot)).head
+        if (list == 0) sp.useL0 else sp.useL1
+      } else {
+        val pt = parts(slot)._1
+        if (list == 0) pt.useL0 else pt.useL1
+      }
+
+    // motion per partition (decode order), MC into the buffers
+    val predY = new Array[Int](256)
+    val predCb = new Array[Int](64); val predCr = new Array[Int](64)
+    val mvds = parts.zipWithIndex.map { case ((pt, b8), pi) =>
+      val slot = if (is8x8Mb) b8 else pi
+      val gx = mbX * 4 + pt.px; val gy = mbY * 4 + pt.py
+      val (m0, d0) =
+        if (pt.useL0) {
+          val ri = refs0(slot)
+          val (px0, py0) = mvPred(ctx, mo, sliceId, gx, gy, pt.w4,
+            ri, pt.kind, 0)
+          val mv = forcedMv.getOrElse(
+            searchMv(l0(ri), srcY, lw, mbX * 16 + pt.px * 4,
+              mbY * 16 + pt.py * 4, pt.w4 * 4, pt.h4 * 4,
+              (px0, py0), searchRange))
+          (mv, (mv._1 - px0, mv._2 - py0))
+        } else ((0, 0), (0, 0))
+      val (m1, d1) =
+        if (pt.useL1) {
+          val ri = refs1(slot)
+          val (px1, py1) = mvPred(ctx, mo, sliceId, gx, gy, pt.w4,
+            ri, pt.kind, 1)
+          val mv = forcedMv.map(v => (-v._1, -v._2)).getOrElse(
+            searchMv(l1(ri), srcY, lw, mbX * 16 + pt.px * 4,
+              mbY * 16 + pt.py * 4, pt.w4 * 4, pt.h4 * 4,
+              (px1, py1), searchRange))
+          (mv, (mv._1 - px1, mv._2 - py1))
+        } else ((0, 0), (0, 0))
+      mcB(Part(pt.px, pt.py, pt.w4, pt.h4, pt.kind), mbX, mbY,
+        pt.useL0, pt.useL1,
+        if (pt.useL0) l0(refs0(slot)) else null, m0,
+        if (pt.useL1) l1(refs1(slot)) else null, m1,
+        predY, predCb, predCr)
+      mo.setPartitionL(0, gx, gy, pt.w4, pt.h4, m0._1, m0._2,
+        if (pt.useL0) refs0(slot) else -1,
+        if (pt.useL0) l0(refs0(slot)).picId else -1)
+      mo.setPartitionL(1, gx, gy, pt.w4, pt.h4, m1._1, m1._2,
+        if (pt.useL1) refs1(slot) else -1,
+        if (pt.useL1) l1(refs1(slot)).picId else -1)
+      (d0, d1)
+    }
+
+    val t8Eligible = transform8x8 &&
+      (!is8x8Mb || subTypes.forall(_ <= 3))
+    val use8Want = t8Eligible && mbIdx % 2 == 0
+    val (lumaAc, cbDc, crDc, cbAc, crAc, cbpLuma, cbpChroma) =
+      mbResiduals(ctx, mbIdx, srcY, srcCb, srcCr, predY, predCb,
+        predCr, target, p, use8Want)
+    val cbp = cbpLuma | (cbpChroma << 4)
+    val use8 = use8Want && cbpLuma != 0
+    ctx.is8x8(mbIdx) = use8
+
+    // --- emit (decode parse order) ---
+    wr.ue(skipRun)
+    wr.ue(mbType)
+    if (is8x8Mb) subTypes.foreach(wr.ue)
+    var slot = 0
+    while (slot < nSlots) {
+      if (slotUses(0, slot)) writeTe(wr, refs0(slot), numRef0 - 1)
+      slot += 1
+    }
+    slot = 0
+    while (slot < nSlots) {
+      if (slotUses(1, slot)) writeTe(wr, refs1(slot), numRef1 - 1)
+      slot += 1
+    }
+    parts.zipWithIndex.foreach { case ((pt, _), pi) =>
+      if (pt.useL0) { wr.se(mvds(pi)._1._1); wr.se(mvds(pi)._1._2) }
+    }
+    parts.zipWithIndex.foreach { case ((pt, _), pi) =>
+      if (pt.useL1) { wr.se(mvds(pi)._2._1); wr.se(mvds(pi)._2._2) }
+    }
+    wr.ue(interCodeFromCbp(cbp))
+    if (transform8x8 && cbpLuma != 0 &&
+        (!is8x8Mb || subTypes.forall(_ <= 3)))
+      wr.u(if (use8) 1 else 0, 1)
+    var qpY = qpYIn
+    if (cbp != 0) {
+      wr.se(target - qpY)
+      qpY = target
+    }
+    emitInterResidual(wr, ctx, mbIdx, sliceId, cbpLuma, cbpChroma,
+      lumaAc, cbDc, crDc, cbAc, crAc)
+    ctx.cbpLumaArr(mbIdx) = cbpLuma
+    ctx.cbpChromaArr(mbIdx) = cbpChroma
+    reconInter(ctx, mbIdx, qpY, p, InterMb(Nil, cbpLuma, cbpChroma,
+      qpY, lumaAc, cbDc, crDc, cbAc, crAc), predY, predCb, predCr,
+      yR, cbR, crR, use8)
+    (false, qpY)
+  }
+
+  /** CAVLC residual emission with the decode-order nz bookkeeping —
+    * shared by the P and B macroblock encoders. */
+  private def emitInterResidual(wr: BitWriter, ctx: H264Mb.PicCtx,
+                                mbIdx: Int, sliceId: Int,
+                                cbpLuma: Int, cbpChroma: Int,
+                                lumaAc: Array[Array[Int]],
+                                cbDc: Array[Int], crDc: Array[Int],
+                                cbAc: Array[Array[Int]],
+                                crAc: Array[Array[Int]]): Unit = {
+    val mbX = mbIdx % ctx.wMbs; val mbY = mbIdx / ctx.wMbs
+    var z = 0
+    while (z < 16) {
+      if ((cbpLuma & (1 << (z >> 2))) != 0) {
+        val nC = lumaNCVia(ctx, mbX, mbY, H264Mb.zx(z), H264Mb.zy(z),
+          sliceId)
+        ctx.lumaNz(mbIdx)(z) =
+          Cavlc.writeResidualBlock(wr, lumaAc(z), nC)
+      } else ctx.lumaNz(mbIdx)(z) = 0
+      z += 1
+    }
+    if (cbpChroma != 0) {
+      Cavlc.writeResidualBlock(wr, cbDc, -1)
+      Cavlc.writeResidualBlock(wr, crDc, -1)
+    }
+    if (cbpChroma == 2) {
+      var b = 0
+      while (b < 4) {
+        val nC = chromaNCVia(ctx.cbNz, ctx, mbX, mbY, b, sliceId)
+        ctx.cbNz(mbIdx)(b) = Cavlc.writeResidualBlock(wr, cbAc(b), nC)
+        b += 1
+      }
+      b = 0
+      while (b < 4) {
+        val nC = chromaNCVia(ctx.crNz, ctx, mbX, mbY, b, sliceId)
+        ctx.crNz(mbIdx)(b) = Cavlc.writeResidualBlock(wr, crAc(b), nC)
+        b += 1
+      }
+    } else {
+      var b = 0
+      while (b < 4) {
+        ctx.cbNz(mbIdx)(b) = 0; ctx.crNz(mbIdx)(b) = 0; b += 1
+      }
+    }
   }
 }

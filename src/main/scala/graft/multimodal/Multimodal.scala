@@ -1620,15 +1620,27 @@ object Multimodal {
                                   pFiller: Int = 0,
                                   transform8x8: Boolean = false,
                                   scalingMatrix: Boolean = false,
-                                  pSlices: Boolean = false)
+                                  pSlices: Boolean = false,
+                                  weighted: Boolean = false,
+                                  bSlices: Boolean = false)
       : Array[Byte] = {
     require(!(cabac && transform8x8),
       "CABAC x transform_8x8 unsupported (see H264 scope)")
-    require(!(pSlices && cabac),
-      "CABAC P slices unsupported (see H264 scope)")
+    require(!((pSlices || bSlices) && cabac),
+      "CABAC inter slices unsupported (see H264 scope)")
     val px = fixtureFrames(id, w, h, frames)
     val annexB =
-      if (pSlices)
+      if (bSlices)
+        // the classic broadcast GOP: I B B P B(…) — non-reference B
+        // pictures between P anchors, two POC-ordered lists, spatial
+        // direct + B_Skip, biprediction; decode order ≠ display
+        // order, so the decoder's POC reordering is load-bearing for
+        // the fingerprint (the middle frame IS a B picture)
+        H264.encodeCavlcB(w, h, px, qp = 26, bBetween = 2,
+          deblock = deblock,
+          forcedMv = Seq((5, 2), (-3, 1), (2, -2)),
+          partitionCycle = true, intraEvery = 7, refsEachWay = 2)._1
+      else if (pSlices)
         // a REAL IPPP stream: frame 0 IDR, the rest motion-compensated
         // P pictures (planted fractional global MVs exercise the
         // §8.4.2.2 interpolation; the partition cycle covers Tables
@@ -1639,7 +1651,7 @@ object Multimodal {
           forcedMv = Seq((5, 2), (-3, 1), (2, -2), (7, 3)),
           partitionCycle = true, intraEvery = 7,
           transform8x8 = transform8x8,
-          scalingMatrix = scalingMatrix)._1
+          scalingMatrix = scalingMatrix, weighted = weighted)._1
       else if (cabac) H264.encodeCabac(w, h, px, qp = 26,
         deblock = deblock, scalingMatrix = scalingMatrix)._1
       else H264.encodeCavlc(w, h, px, qp = 26, deblock = deblock,
@@ -1708,7 +1720,9 @@ object Multimodal {
                          pFiller: Int = 0,
                          transform8x8: Boolean = false,
                          scalingMatrix: Boolean = false,
-                         pSlices: Boolean = false)
+                         pSlices: Boolean = false,
+                         weighted: Boolean = false,
+                         bSlices: Boolean = false)
       : Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(nContents.toLong * copies).as[Long].map { id =>
@@ -1717,7 +1731,8 @@ object Multimodal {
       val h = 64 + (content % 3).toInt * 16
       MediaRow(id, "video",
         syntheticMp4(content, w, h, frames = 5, cabac, deblock,
-          pFiller, transform8x8, scalingMatrix, pSlices),
+          pFiller, transform8x8, scalingMatrix, pSlices, weighted,
+          bSlices),
         MediaMeta(w, h, 0, 5))
     }
   }

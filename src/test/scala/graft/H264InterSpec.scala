@@ -357,6 +357,54 @@ class H264InterSpec extends SparkSpec {
     assertDecodesExact(bytesH, reconH)
   }
 
+  test("explicit weighted prediction (§8.4.2.3.2): the formula, the " +
+      "table round-trip, and display-exact decode of weighted fades") {
+    // formula golden, worked by hand: w=3, o=−2, logWD=1 on pred 100:
+    //   ((100·3 + 1) >> 1) − 2 = (301 >> 1) − 2 = 150 − 2 = 148
+    val buf = Array.fill(16)(100)
+    H264Inter.applyWeight(buf, 4, 0, 0, 4, 4, 3, -2, 1)
+    assert(buf.forall(_ == 148))
+    // logWD=0 path: pred·w + o, clipped: 100·3 − 2 = 298 → 255
+    val buf0 = Array.fill(16)(100)
+    H264Inter.applyWeight(buf0, 4, 0, 0, 4, 4, 3, -2, 0)
+    assert(buf0.forall(_ == 255))
+    // pred_weight_table write → parse round-trip (defaults + explicit)
+    val pw = H264Inter.PredWeights(5, 6,
+      Array(29, 32), Array(2, 0), Array(64, 61), Array(0, 0),
+      Array(61, 64), Array(-1, 0))
+    val w = new H264.BitWriter()
+    H264Inter.writePredWeightTable(w, pw)
+    w.trailingBits()
+    val back = H264Inter.parsePredWeightTable(
+      new H264.BitReader(w.toBytes), 2)
+    assert(back.lumaDenom == 5 && back.chromaDenom == 6)
+    assert(back.wY.toSeq == Seq(29, 32) && back.oY.toSeq == Seq(2, 0))
+    assert(back.wCb.toSeq == Seq(64, 61) && back.oCr.toSeq ==
+      Seq(-1, 0))
+    // a fading scene coded WITH weights round-trips display-exact
+    val base = gradFrames(1, 64, 48, seed = 9).head
+    def fade(f: Double): Array[Int] = base.map { px =>
+      def s(v: Int) = (v * f).toInt & 0xFF
+      (s((px >> 16) & 0xFF) << 16) | (s((px >> 8) & 0xFF) << 8) |
+        s(px & 0xFF)
+    }
+    val frames = Seq(fade(1.0), fade(0.91), fade(0.82), fade(0.74))
+    val (bytes, recon) = H264.encodeCavlcP(64, 48, frames, qp = 28,
+      weighted = true, searchRange = 2)
+    assertDecodesExact(bytes, recon)
+    // weighting genuinely changes the wire and helps the fade:
+    // identical inputs WITHOUT weights produce different bytes
+    val (bytesU, _) = H264.encodeCavlcP(64, 48, frames, qp = 28,
+      searchRange = 2)
+    assert(bytes.toSeq != bytesU.toSeq)
+    // multi-ref weighted (distinct weights per refIdx through te +
+    // the partition cycle), composed with deblocking
+    val (bytesM, reconM) = H264.encodeCavlcP(64, 48, frames, qp = 30,
+      weighted = true, refFrames = 2, partitionCycle = true,
+      deblock = true, searchRange = 2)
+    assertDecodesExact(bytesM, reconM)
+  }
+
   test("GOP structure: IDR every 3 pictures re-anchors the DPB; " +
       "frame_num wraps across a long P chain") {
     val frames = gradFrames(7, 48, 32, seed = 11)
@@ -390,10 +438,15 @@ class H264InterSpec extends SparkSpec {
     val frames = gradFrames(3, 48, 32)
     val (bytes, recon) = H264.encodeCavlcP(48, 32, frames, qp = 26)
     val nals = H264.nalUnits(bytes)
-    // a non-reference B slice header (slice_type 6) — skipped whole
+    // a non-reference B slice that hits a NAMED boundary (temporal
+    // direct, direct_spatial_mv_pred_flag = 0) — skipped whole
     val bSlice = {
       val w = new H264.BitWriter()
       w.ue(0); w.ue(6); w.ue(0) // first_mb, slice_type B, pps 0
+      w.u(0, 4) // frame_num (pocType 2: no poc syntax)
+      w.u(0, 1) // direct_spatial_mv_pred_flag = 0 → temporal, named
+      w.u(0, 1) // num_ref_idx_active_override_flag
+      w.u(0, 1); w.u(0, 1) // ref_pic_list_modification l0/l1
       w.trailingBits()
       val rbsp = w.toBytes
       Array[Byte](0x01) ++ rbsp // nal header refIdc 0, type 1
