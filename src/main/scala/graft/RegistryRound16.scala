@@ -69,6 +69,29 @@ private[graft] object RegistryRound16 {
                 JOIN generate_series(0, 89) b(i)
                 ON a.i < b.i AND a.i % 30 = b.i % 30""")),
 
+    // Temporal direct + explicit weighted biprediction (round 16,
+    // inter pass): the bslice gate's construction and oracle VERBATIM
+    // with direct_spatial_mv_pred_flag = 0 — every direct/skip MB
+    // derives its motion from the CO-LOCATED picture's vectors scaled
+    // by POC distances (§8.4.1.2.3: tx = (16384+|td/2|)/td, DSF,
+    // mvL1 = mvL0 − mvCol; hand-derived vectors in H264BSliceSpec) —
+    // and weighted_bipred_idc = 1: every two-list prediction runs the
+    // §8.4.2.3.2 explicit bi formula with per-list tables, single-list
+    // B predictions the per-list §8.4.2.3.2 form. Both were named
+    // errors at the slice header until this pass.
+    Q("q_video_fp_dedup_mp4_bslice_tw",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        Multimodal.videoNearDuplicates(
+          Multimodal.syntheticMp4Corpus(s, nContents = 30, copies = 3,
+            deblock = true, bSlices = true, bTemporalWeighted = true),
+          maxHamming = 4)
+      },
+      Some("""SELECT a.i AS id_a, b.i AS id_b, 0 AS hamming
+              FROM generate_series(0, 89) a(i)
+                JOIN generate_series(0, 89) b(i)
+                ON a.i < b.i AND a.i % 30 = b.i % 30""")),
+
     // Explicit weighted prediction (round 16, inter pass): the pslice
     // gate's construction and oracle VERBATIM with a §7.3.3.2
     // pred_weight_table in force — every P MB's motion-compensated

@@ -23,8 +23,8 @@ package graft.multimodal
  * (§7.3.2.1.1.1 + Table 7-2 fallbacks) — CAVLC residuals),
  * [[H264Cabac]] (§9.3 CABAC entropy coding, both directions),
  * [[H264Inter]] (P AND B motion compensation: §8.4.2.2 quarter-pel
- * interpolation, §8.4.1 MV prediction, P_Skip/B_Skip, spatial
- * direct, default biprediction, explicit weighted prediction,
+ * interpolation, §8.4.1 MV prediction, P_Skip/B_Skip, spatial AND
+ * temporal direct, default / explicit / implicit (bi)prediction,
  * Tables 7-13/7-14/7-17/7-18 partitions, POC-ordered reference
  * lists over a sliding-window DPB), and
  * [[H264Deblock]] (§8.7 in-loop filter, the full §8.7.2.1 boundary
@@ -36,8 +36,7 @@ package graft.multimodal
  *
  * SCOPE — stated plainly: CABAC inter slices (the inter
  * syntax-element context init tables are not transcribed —
- * constants are never invented), temporal direct mode, weighted
- * biprediction (idc 1/2), ref-pic-list modification and
+ * constants are never invented), ref-pic-list modification and
  * MMCO/long-term marking are named boundaries: an affected picture
  * is SKIPPED whole (a reference gap then disables inter decode
  * until the next IDR re-anchors the DPB), so such streams degrade
@@ -460,7 +459,7 @@ object H264 {
     * strengths ([[H264Deblock]]) — display-exact pixels.
     *
     * Pictures that hit a named inter boundary (SP/SI slices, CABAC
-    * inter, temporal direct, weighted bipred, list modification)
+    * inter, list modification)
     * are SKIPPED whole; if such a picture was a REFERENCE, inter
     * decode stays off until the next IDR (the DPB would be wrong),
     * so those streams degrade to I-frame-only decoding. A stream
@@ -485,6 +484,7 @@ object H264 {
     var dpbBroken = false
     var curIsRef = false
     var curFrameNum = 0
+    var curL0Head = -1 // picId of the current picture's RefPicList0[0]
     // §8.2.1 POC state: type 0 anchors on the previous REFERENCE
     // picture's msb/lsb; type 2 tracks FrameNumOffset per picture
     var pocMsbPrev = 0
@@ -553,6 +553,7 @@ object H264 {
             var numRefActive1 = p.numRefIdxL1Default
             var pWhyNot: String = null
             var pWeights: H264Inter.PredWeights = null
+            var pWeightsL1: H264Inter.PredWeights = null
             var directSpatial = true
             if (isB) directSpatial = r.u(1) == 1
             if (isP || isB) {
@@ -568,10 +569,6 @@ object H264 {
                 "ref_pic_list_modification unsupported"
               else if (p.constrainedIntra) pWhyNot =
                 "constrained_intra_pred unsupported"
-              else if (isB && !directSpatial) pWhyNot =
-                "temporal direct mode unsupported (spatial direct decodes)"
-              else if (isB && p.weightedBipred != 0) pWhyNot =
-                s"weighted_bipred_idc ${p.weightedBipred} unsupported"
               else if (isB && s.pocType == 1) pWhyNot =
                 "B slices under pic_order_cnt_type 1 unsupported"
               else if (isB && !s.direct8x8Inference) pWhyNot =
@@ -582,12 +579,17 @@ object H264 {
                 "inter slice with an empty reference list"
               // pred_weight_table (§7.3.3.2) sits between the list
               // syntax and dec_ref_pic_marking; explicit weighting
-              // applies per refIdx in the MC stage (§8.4.2.3.2). For
-              // B it is present only under weighted_bipred_idc 1,
-              // which is named-unsupported above.
+              // applies per refIdx in the MC stage (§8.4.2.3.2). B
+              // slices carry BOTH lists' entries under
+              // weighted_bipred_idc 1.
               if (pWhyNot == null && isP && p.weightedPred)
                 pWeights = H264Inter.parsePredWeightTable(r,
                   numRefActive)
+              if (pWhyNot == null && isB && p.weightedBipred == 1) {
+                val (w0, w1) = H264Inter.parsePredWeightTableB(r,
+                  numRefActive, numRefActive1)
+                pWeights = w0; pWeightsL1 = w1
+              }
             }
             if ((isP || isB) && pWhyNot != null) skipPicture()
             else {
@@ -621,6 +623,7 @@ object H264 {
               }
               curIsRef = refIdc != 0
               curFrameNum = frameNum
+              curL0Head = -1
               // §8.2.1 picture order count (types 0 and 2; type 1
               // pictures order by decode position — fine for the
               // streams we decode, since B under type 1 is named off)
@@ -676,6 +679,7 @@ object H264 {
                 numRefActive <= 32 && numRefActive1 <= 32,
                 "num_ref_idx_active out of range")
               val colPic = l1.head
+              curL0Head = l0.head.picId
               val ctx = cur.ctx; val mo = cur.mo
               var mb = firstMb
               var more = r.moreRbspData
@@ -684,7 +688,9 @@ object H264 {
                 var k = 0
                 while (k < run && mb < cur.total) {
                   H264Inter.decodeBSkipMb(ctx, mo, sliceId, mb, l0,
-                    l1, colPic, cur.y, cur.cb, cur.cr)
+                    l1, colPic, cur.y, cur.cb, cur.cr,
+                    directSpatial, cur.poc, pWeights, pWeightsL1,
+                    p.weightedBipred == 2)
                   recordDeblock(mb, qpY)
                   cur.mbsDone += 1
                   mb += 1; k += 1
@@ -708,7 +714,9 @@ object H264 {
                   } else {
                     qpY = H264Inter.decodeBMb(r, mbType, ctx, mo,
                       sliceId, mb, qpY, p, l0, l1, numRefActive,
-                      numRefActive1, colPic, cur.y, cur.cb, cur.cr)
+                      numRefActive1, colPic, cur.y, cur.cb, cur.cr,
+                      directSpatial, cur.poc, pWeights, pWeightsL1,
+                      p.weightedBipred == 2)
                     recordDeblock(mb, qpY)
                   }
                   cur.mbsDone += 1
@@ -726,6 +734,7 @@ object H264 {
               val refList = dpb.sortBy(rp => -picNum(rp)).toIndexedSeq
               require(numRefActive >= 1 && numRefActive <= 32,
                 s"num_ref_idx_l0_active $numRefActive out of range")
+              curL0Head = refList.head.picId
               val ctx = cur.ctx; val mo = cur.mo
               var mb = firstMb
               var more = r.moreRbspData
@@ -821,7 +830,7 @@ object H264 {
                 // the smallest FrameNumWrap when over max_num_ref_frames
                 dpb += new H264Inter.RefPic(picCounter, curFrameNum,
                   cur.wMbs, cur.hMbs, cur.y, cur.cb, cur.cr,
-                  cur.poc, cur.mo)
+                  cur.poc, cur.mo, curL0Head)
                 picCounter += 1
                 val maxFn = 1 << curSps.log2MaxFrameNum
                 val cap = math.max(1, curSps.maxNumRefFrames)
@@ -842,9 +851,9 @@ object H264 {
     if (framesOut == 0 && skippedInter > 0)
       throw new IllegalArgumentException(
         s"no decodable picture: all $skippedInter inter pictures " +
-          "hit a named boundary (SP/SI, CABAC inter, temporal " +
-          "direct, list-modified prediction, or a missing " +
-          "reference) and no intra picture decoded")
+          "hit a named boundary (SP/SI, CABAC inter, list-modified " +
+          "prediction, or a missing reference) and no intra " +
+          "picture decoded")
     // display order: IDR epoch, then POC (stable for ties)
     pending.sortBy(t => (t._1, t._2)).map(_._3).toSeq
   }
@@ -994,7 +1003,8 @@ object H264 {
                       id: Int = 0,
                       transform8x8: Boolean = false,
                       chromaQpOffsetCr: Int = 0,
-                      weightedPred: Boolean = false): Array[Byte] = {
+                      weightedPred: Boolean = false,
+                      weightedBipredIdc: Int = 0): Array[Byte] = {
     val w = new BitWriter()
     w.ue(id)  // pic_parameter_set_id
     w.ue(0)   // seq_parameter_set_id
@@ -1003,7 +1013,7 @@ object H264 {
     w.ue(0)   // num_slice_groups_minus1
     w.ue(0); w.ue(0) // num_ref_idx_l{0,1}_default_active_minus1
     w.u(if (weightedPred) 1 else 0, 1) // weighted_pred_flag
-    w.u(0, 2) // weighted_bipred_idc
+    w.u(weightedBipredIdc, 2) // weighted_bipred_idc
     w.se(0)   // pic_init_qp_minus26
     w.se(0)   // pic_init_qs_minus26
     w.se(0)   // chroma_qp_index_offset
@@ -1486,7 +1496,10 @@ object H264 {
                    scalingMatrix: Boolean = false,
                    refsEachWay: Int = 1,
                    pocLsbBits: Int = 8,
-                   bVariantBase: Int = 0)
+                   bVariantBase: Int = 0,
+                   directTemporal: Boolean = false,
+                   weightedBi: Boolean = false,
+                   implicitBi: Boolean = false)
       : (Array[Byte], Seq[(Int, Int, Array[Int])]) = {
     require(frames.nonEmpty)
     require(frames.forall(_.length == width * height))
@@ -1507,14 +1520,31 @@ object H264 {
     val spsNal = nal(3, 7, spsRbsp(wMbs, hMbs, cropR, cropB2,
       maxRefFrames = 2, high = high,
       seqScalingDefault = scalingMatrix, pocLsbBits = pocLsbBits))
+    require(!(weightedBi && implicitBi),
+      "weighted_bipred_idc is one of explicit (1) or implicit (2)")
     val ppsNal = nal(3, 8, ppsRbsp(deblockingControl = true,
-      transform8x8 = transform8x8))
+      transform8x8 = transform8x8,
+      weightedBipredIdc =
+        if (weightedBi) 1 else if (implicitBi) 2 else 0))
     out.write(spsNal, 0, spsNal.length)
     out.write(ppsNal, 0, ppsNal.length)
     val pEnc = Pps(0, 0, cabac = false, bottomFieldPicOrder = false,
       deblockingControl = true, redundantPicCnt = false,
       picInitQp = 26, chromaQpOffset = 0,
       transform8x8 = transform8x8, sm = sm)
+    // deterministic explicit BI weights per list (§8.4.2.3.2): list 0
+    // above identity, list 1 below, distinct offsets — asymmetric so
+    // the weighted combine differs visibly from the plain average
+    def biWeights(nRefs: Int, list: Int): H264Inter.PredWeights =
+      H264Inter.PredWeights(5, 6,
+        wY = Array.tabulate(nRefs)(i =>
+          (if (list == 0) 36 else 27) + 2 * i),
+        oY = Array.tabulate(nRefs)(i =>
+          (if (list == 0) 2 else -2) + i),
+        wCb = Array.fill(nRefs)(64 + (if (list == 0) 3 else -3)),
+        oCb = Array.fill(nRefs)(if (list == 0) 1 else 0),
+        wCr = Array.fill(nRefs)(64 - (if (list == 0) 2 else -2)),
+        oCr = Array.fill(nRefs)(if (list == 0) -1 else 1))
     // display-index schedule: anchors every bBetween+1 (last frame
     // coerced anchor), then decode order = anchor, then its B run
     val g = bBetween + 1
@@ -1609,11 +1639,18 @@ object H264 {
         w.ue(0); w.ue(6); w.ue(0) // slice_type 6: B (all-B picture)
         w.u(fn, 4)
         w.u(pocLsb, pocLsbBits)
-        w.u(1, 1) // direct_spatial_mv_pred_flag = 1 (spatial)
+        w.u(if (directTemporal) 0 else 1, 1) // direct_spatial_mv_pred
         if (nr0 != 1 || nr1 != 1) {
           w.u(1, 1); w.ue(nr0 - 1); w.ue(nr1 - 1)
         } else w.u(0, 1)
         w.u(0, 1); w.u(0, 1) // ref_pic_list_modification l0/l1
+        val (pw0S, pw1S) =
+          if (weightedBi) {
+            val a = biWeights(nr0, 0); val b = biWeights(nr1, 1)
+            H264Inter.writePredWeightTable(w, a)
+            H264Inter.writePredWeightTable(w, b, denoms = false)
+            (a, b)
+          } else (null, null)
         // non-reference (refIdc 0): no dec_ref_pic_marking
         w.se(qp - 26)
         if (deblock) { w.ue(0); w.se(0); w.se(0) } else w.ue(1)
@@ -1637,7 +1674,8 @@ object H264 {
             val (skipped, q) = H264Inter.encodeBMb(w, ctx, mo, 0, mb,
               l0, l1, nr0, nr1, colPic, srcY, srcCb, srcCr, qpY, qp,
               pEnc, variant, fmv, searchRange, yR, cbR, crR, run,
-              transform8x8)
+              transform8x8, !directTemporal, poc, pw0S, pw1S,
+              implicitBi)
             if (skipped) run += 1 else { run = 0; qpY = q }
           }
           mbQps(mb) = qpY
@@ -1650,8 +1688,10 @@ object H264 {
       }
       if (deblock) deblockRecon(ctx, mbQps, yR, cbR, crR, 0, mo)
       if (isAnchor) { // only anchors are references
+        val l0Head =
+          if (isIdr) -1 else dpb.maxBy(_.poc).picId // its P reference
         dpb += new H264Inter.RefPic(picId, fn, wMbs, hMbs, yR, cbR,
-          crR, poc, mo)
+          crR, poc, mo, l0Head)
         picId += 1
         while (dpb.size > 2)
           dpb -= dpb.minBy(_.poc) // anchors arrive in POC order

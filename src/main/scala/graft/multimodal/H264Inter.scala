@@ -13,9 +13,12 @@ import H264.{BitReader, BitWriter, Pps}
  * What decodes natively: P slices with P_L0_16x16 / 16x8 / 8x16 /
  * P_8x8 / P_8x8ref0 partitions (Tables 7-13/7-17) and P_Skip; B
  * slices with the full Table 7-14/7-18 grammar (L0/L1/Bi 16x16,
- * the two-list 16x8/8x16 pairs, B_8x8 sub-partitions), B_Skip and
+ * the two-list 16x8/8x16 pairs, B_8x8 sub-partitions), B_Skip,
  * SPATIAL direct (§8.4.1.2.2 with direct_8x8_inference and the
- * co-located colZeroFlag), default biprediction (§8.4.2.3.1);
+ * co-located colZeroFlag) AND TEMPORAL direct (§8.4.1.2.3
+ * POC-scaled co-located motion), default (§8.4.2.3.1), explicit
+ * weighted (§8.4.2.3.2, idc 1) and POC-implicit (idc 2)
+ * biprediction;
  * multiple short-term reference frames (sliding-window marking,
  * POC-ordered B lists), intra MBs inside inter slices (incl.
  * I_PCM), quarter-pel luma (§8.4.2.2.1) and eighth-pel chroma
@@ -26,8 +29,7 @@ import H264.{BitReader, BitWriter, Pps}
  * lists). SCOPE boundaries, all named errors at the SPI binding
  * point: CABAC inter slices (the inter syntax-element context init
  * tables are not transcribed — the constants-are-never-invented
- * rule), temporal direct, weighted biprediction (idc 1/2),
- * ref-pic-list modification, and MMCO/long-term marking.
+ * rule), ref-pic-list modification, and MMCO/long-term marking.
  */
 private[graft] object H264Inter {
 
@@ -52,7 +54,12 @@ private[graft] object H264Inter {
                      val y: Array[Byte], val cb: Array[Byte],
                      val cr: Array[Byte],
                      val poc: Int = 0,
-                     val mo: MotionCtx = null)
+                     val mo: MotionCtx = null,
+                     /** picId of this picture's own RefPicList0[0]
+                       * when it was decoded (−1 for intra pictures) —
+                       * §8.4.1.2.3 temporal direct resolves an
+                       * intra co-located block's refPicCol to it. */
+                     val l0HeadPicId: Int = -1)
 
   /** Per-picture motion state at 4x4-block granularity (§8.4.1.3
     * neighbor reads, §8.4.1.2.2 spatial direct, §8.7.2.1 bS
@@ -392,22 +399,17 @@ private[graft] object H264Inter {
                                wCb: Array[Int], oCb: Array[Int],
                                wCr: Array[Int], oCr: Array[Int])
 
-  /** Parse pred_weight_table (§7.3.3.2) for a P slice (list 0 only,
-    * 4:2:0 so the chroma syntax is present). */
-  def parsePredWeightTable(r: BitReader,
-                           numRefActive: Int): PredWeights = {
-    val lumaDenom = r.ue()
-    val chromaDenom = r.ue()
-    require(lumaDenom <= 7 && chromaDenom <= 7,
-      s"log2 weight denom out of range: $lumaDenom/$chromaDenom")
-    val wY = Array.fill(numRefActive)(1 << lumaDenom)
-    val oY = new Array[Int](numRefActive)
-    val wCb = Array.fill(numRefActive)(1 << chromaDenom)
-    val oCb = new Array[Int](numRefActive)
-    val wCr = Array.fill(numRefActive)(1 << chromaDenom)
-    val oCr = new Array[Int](numRefActive)
+  /** One list's weight entries given the shared denominators. */
+  private def parseWeightEntries(r: BitReader, n: Int, lumaDenom: Int,
+                                 chromaDenom: Int): PredWeights = {
+    val wY = Array.fill(n)(1 << lumaDenom)
+    val oY = new Array[Int](n)
+    val wCb = Array.fill(n)(1 << chromaDenom)
+    val oCb = new Array[Int](n)
+    val wCr = Array.fill(n)(1 << chromaDenom)
+    val oCr = new Array[Int](n)
     var i = 0
-    while (i < numRefActive) {
+    while (i < n) {
       if (r.u(1) == 1) { wY(i) = r.se(); oY(i) = r.se() }
       if (r.u(1) == 1) {
         wCb(i) = r.se(); oCb(i) = r.se()
@@ -418,12 +420,42 @@ private[graft] object H264Inter {
     PredWeights(lumaDenom, chromaDenom, wY, oY, wCb, oCb, wCr, oCr)
   }
 
-  /** Encoder twin of [[parsePredWeightTable]]. */
+  /** Parse pred_weight_table (§7.3.3.2) for a P slice (list 0 only,
+    * 4:2:0 so the chroma syntax is present). */
+  def parsePredWeightTable(r: BitReader,
+                           numRefActive: Int): PredWeights = {
+    val lumaDenom = r.ue()
+    val chromaDenom = r.ue()
+    require(lumaDenom <= 7 && chromaDenom <= 7,
+      s"log2 weight denom out of range: $lumaDenom/$chromaDenom")
+    parseWeightEntries(r, numRefActive, lumaDenom, chromaDenom)
+  }
+
+  /** Parse pred_weight_table for a B slice under
+    * weighted_bipred_idc 1: shared denominators, then list-0 and
+    * list-1 entry blocks. */
+  def parsePredWeightTableB(r: BitReader, numRef0: Int,
+                            numRef1: Int): (PredWeights, PredWeights) = {
+    val lumaDenom = r.ue()
+    val chromaDenom = r.ue()
+    require(lumaDenom <= 7 && chromaDenom <= 7,
+      s"log2 weight denom out of range: $lumaDenom/$chromaDenom")
+    val p0 = parseWeightEntries(r, numRef0, lumaDenom, chromaDenom)
+    val p1 = parseWeightEntries(r, numRef1, lumaDenom, chromaDenom)
+    (p0, p1)
+  }
+
+  /** Encoder twin of [[parsePredWeightTable]]; for the B form
+    * ([[parsePredWeightTableB]]) call once per list with
+    * `denoms = false` on the second. */
   private[graft] def writePredWeightTable(w: BitWriter,
-                                               pw: PredWeights)
+                                          pw: PredWeights,
+                                          denoms: Boolean = true)
       : Unit = {
-    w.ue(pw.lumaDenom)
-    w.ue(pw.chromaDenom)
+    if (denoms) {
+      w.ue(pw.lumaDenom)
+      w.ue(pw.chromaDenom)
+    }
     var i = 0
     while (i < pw.wY.length) {
       val defY = pw.wY(i) == (1 << pw.lumaDenom) && pw.oY(i) == 0
@@ -990,6 +1022,47 @@ private[graft] object H264Inter {
     ri == 0 && mx >= -1 && mx <= 1 && my >= -1 && my <= 1
   }
 
+  /**
+   * §8.4.1.2.3 temporal direct for one 8x8: the co-located block's
+   * motion scaled by POC distances. Returns (refIdxL0, mvL0, mvL1);
+   * refIdxL1 is 0 by definition. `tx = (16384 + |td/2|) / td`,
+   * `DistScaleFactor = Clip3(−1024, 1023, (tb·tx + 32) >> 6)`,
+   * `mvL0 = (DSF·mvCol + 128) >> 8`, `mvL1 = mvL0 − mvCol`; a
+   * zero POC distance copies the co-located motion. An intra
+   * co-located block contributes zero motion referencing the
+   * co-located picture's own list-0 head.
+   */
+  private[graft] def temporalDirect(colPic: RefPic, mbIdx: Int, b8: Int,
+                             l0: IndexedSeq[RefPic], curPoc: Int)
+      : (Int, (Int, Int), (Int, Int)) = {
+    val mo = colPic.mo
+    val mbX = mbIdx % colPic.wMbs; val mbY = mbIdx / colPic.wMbs
+    val cx = mbX * 4 + (if ((b8 & 1) == 1) 3 else 0)
+    val cy = mbY * 4 + (if ((b8 & 2) == 2) 3 else 0)
+    val i = cy * mo.w4 + cx
+    val (colRefPicId, mvColX, mvColY) =
+      if (mo.state(i) != 2) (colPic.l0HeadPicId, 0, 0)
+      else if (mo.refPic(i) >= 0)
+        (mo.refPic(i), mo.mvx(i).toInt, mo.mvy(i).toInt)
+      else (mo.refPic1(i), mo.mvx1(i).toInt, mo.mvy1(i).toInt)
+    // map refPicCol into the CURRENT list 0 (lowest index); an
+    // unresolvable picture (intra co-located inside an I anchor)
+    // falls back to index 0
+    val idx = l0.indexWhere(_.picId == colRefPicId)
+    val ri0 = if (idx >= 0) idx else 0
+    val pic0 = l0(ri0)
+    if (colPic.poc == pic0.poc)
+      (ri0, (mvColX, mvColY), (0, 0))
+    else {
+      val tb = clip3(-128, 127, curPoc - pic0.poc)
+      val td = clip3(-128, 127, colPic.poc - pic0.poc)
+      val tx = (16384 + math.abs(td / 2)) / td
+      val dsf = clip3(-1024, 1023, (tb * tx + 32) >> 6)
+      val m0 = ((dsf * mvColX + 128) >> 8, (dsf * mvColY + 128) >> 8)
+      (ri0, m0, (m0._1 - mvColX, m0._2 - mvColY))
+    }
+  }
+
   /** Average two MB-local pred buffers over one partition region —
     * §8.4.2.3.1 default biprediction. */
   private def avgRegion(a: Array[Int], b: Array[Int], stride: Int,
@@ -1006,62 +1079,144 @@ private[graft] object H264Inter {
     }
   }
 
+  /** §8.4.2.3.2 explicit weighted BIprediction over one region:
+    * `Clip1(((p0·w0 + p1·w1 + 2^logWD) >> (logWD+1)) +
+    * ((o0+o1+1) >> 1))`. */
+  private[graft] def biWeightRegion(a: Array[Int], b: Array[Int],
+                                    stride: Int, ox: Int, oy: Int,
+                                    w: Int, h: Int, w0: Int, w1: Int,
+                                    o0: Int, o1: Int,
+                                    denom: Int): Unit = {
+    val rnd = 1 << denom
+    val off = (o0 + o1 + 1) >> 1
+    var j = 0
+    while (j < h) {
+      var i = 0
+      while (i < w) {
+        val idx = (oy + j) * stride + ox + i
+        a(idx) = clip3(0, 255,
+          ((a(idx) * w0 + b(idx) * w1 + rnd) >> (denom + 1)) + off)
+        i += 1
+      }
+      j += 1
+    }
+  }
+
+  /** §8.4.2.3.1 IMPLICIT biprediction weights (idc 2): derived from
+    * the POC distances of the two references; (32, 32) when the
+    * references share a POC or the scale leaves [−64, 128]. */
+  private[graft] def implicitBiWeights(curPoc: Int, poc0: Int,
+                                       poc1: Int): (Int, Int) = {
+    if (poc1 == poc0) return (32, 32)
+    val tb = clip3(-128, 127, curPoc - poc0)
+    val td = clip3(-128, 127, poc1 - poc0)
+    val tx = (16384 + math.abs(td / 2)) / td
+    val dsf = clip3(-1024, 1023, (tb * tx + 32) >> 6)
+    val w1 = dsf >> 2
+    if (w1 < -64 || w1 > 128) (32, 32) else (64 - w1, w1)
+  }
+
   /** Motion-compensate one B partition: single-list into the main
-    * buffers, BiPred as the rounded average of both lists'
-    * predictions (§8.4.2.3.1, weighted_bipred_idc 0). */
+    * buffers (per-list explicit weights when in force, §8.4.2.3.2),
+    * BiPred as the rounded average (§8.4.2.3.1, idc 0), the
+    * explicit weighted combine (idc 1), or the POC-implicit combine
+    * (idc 2) of both lists' predictions. */
   private def mcB(pt: Part, mbX: Int, mbY: Int,
                   useL0: Boolean, useL1: Boolean,
                   r0: RefPic, mv0: (Int, Int),
                   r1: RefPic, mv1: (Int, Int),
                   predY: Array[Int], predCb: Array[Int],
-                  predCr: Array[Int]): Unit = {
+                  predCr: Array[Int],
+                  ri0: Int = 0, ri1: Int = 0,
+                  pw0: PredWeights = null,
+                  pw1: PredWeights = null,
+                  implicitBi: Boolean = false,
+                  curPoc: Int = 0): Unit = {
     if (useL0 && useL1) {
       val tY = new Array[Int](256)
       val tCb = new Array[Int](64); val tCr = new Array[Int](64)
+      // RAW interpolated predictions; weighting happens at the
+      // combine (the §8.4.2.3.2 bi formula weights the pair)
       mcPartition(r0, mbX, mbY, pt, mv0._1, mv0._2, predY, predCb,
         predCr)
       mcPartition(r1, mbX, mbY, pt, mv1._1, mv1._2, tY, tCb, tCr)
-      avgRegion(predY, tY, 16, pt.px * 4, pt.py * 4, pt.w4 * 4,
-        pt.h4 * 4)
-      avgRegion(predCb, tCb, 8, pt.px * 2, pt.py * 2, pt.w4 * 2,
-        pt.h4 * 2)
-      avgRegion(predCr, tCr, 8, pt.px * 2, pt.py * 2, pt.w4 * 2,
-        pt.h4 * 2)
+      if (implicitBi) {
+        val (w0, w1) = implicitBiWeights(curPoc, r0.poc, r1.poc)
+        biWeightRegion(predY, tY, 16, pt.px * 4, pt.py * 4,
+          pt.w4 * 4, pt.h4 * 4, w0, w1, 0, 0, 5)
+        biWeightRegion(predCb, tCb, 8, pt.px * 2, pt.py * 2,
+          pt.w4 * 2, pt.h4 * 2, w0, w1, 0, 0, 5)
+        biWeightRegion(predCr, tCr, 8, pt.px * 2, pt.py * 2,
+          pt.w4 * 2, pt.h4 * 2, w0, w1, 0, 0, 5)
+      } else if (pw0 != null && pw1 != null) {
+        biWeightRegion(predY, tY, 16, pt.px * 4, pt.py * 4,
+          pt.w4 * 4, pt.h4 * 4, pw0.wY(ri0), pw1.wY(ri1),
+          pw0.oY(ri0), pw1.oY(ri1), pw0.lumaDenom)
+        biWeightRegion(predCb, tCb, 8, pt.px * 2, pt.py * 2,
+          pt.w4 * 2, pt.h4 * 2, pw0.wCb(ri0), pw1.wCb(ri1),
+          pw0.oCb(ri0), pw1.oCb(ri1), pw0.chromaDenom)
+        biWeightRegion(predCr, tCr, 8, pt.px * 2, pt.py * 2,
+          pt.w4 * 2, pt.h4 * 2, pw0.wCr(ri0), pw1.wCr(ri1),
+          pw0.oCr(ri0), pw1.oCr(ri1), pw0.chromaDenom)
+      } else {
+        avgRegion(predY, tY, 16, pt.px * 4, pt.py * 4, pt.w4 * 4,
+          pt.h4 * 4)
+        avgRegion(predCb, tCb, 8, pt.px * 2, pt.py * 2, pt.w4 * 2,
+          pt.h4 * 2)
+        avgRegion(predCr, tCr, 8, pt.px * 2, pt.py * 2, pt.w4 * 2,
+          pt.h4 * 2)
+      }
     } else if (useL0) {
       mcPartition(r0, mbX, mbY, pt, mv0._1, mv0._2, predY, predCb,
-        predCr)
+        predCr, ri0, pw0)
     } else {
       mcPartition(r1, mbX, mbY, pt, mv1._1, mv1._2, predY, predCb,
-        predCr)
+        predCr, ri1, pw1)
     }
   }
 
   /** Decode the motion + MC of one DIRECT region (whole MB or one
-    * 8x8): per-8x8 colZeroFlag moderation, both lists, storing both
-    * lists' motion. `b8s` = the 8x8 indices covered. */
+    * 8x8): SPATIAL (per-8x8 colZeroFlag moderation of the MB-level
+    * `dm`) or TEMPORAL (per-8x8 POC-scaled co-located motion), both
+    * lists stored. `b8s` = the 8x8 indices covered. */
   private def mcDirect(ctx: H264Mb.PicCtx, mo: MotionCtx,
                        sliceId: Int, mbIdx: Int, dm: DirectMv,
                        b8s: Seq[Int], l0: IndexedSeq[RefPic],
                        l1: IndexedSeq[RefPic], colPic: RefPic,
                        predY: Array[Int], predCb: Array[Int],
-                       predCr: Array[Int]): Unit = {
+                       predCr: Array[Int],
+                       spatial: Boolean = true,
+                       curPoc: Int = 0,
+                       pw0: PredWeights = null,
+                       pw1: PredWeights = null,
+                       implicitBi: Boolean = false): Unit = {
     val mbX = mbIdx % ctx.wMbs; val mbY = mbIdx / ctx.wMbs
     b8s.foreach { b8 =>
       val ox = (b8 & 1) * 2; val oy = (b8 >> 1) * 2
-      val cz = !dm.zeroAll && colZero(colPic, mbIdx, b8)
-      val useL0 = dm.refIdxL0 >= 0 || dm.zeroAll
-      val useL1 = dm.refIdxL1 >= 0 || dm.zeroAll
-      val m0 =
-        if (dm.zeroAll || (cz && dm.refIdxL0 == 0)) (0, 0) else dm.mv0
-      val m1 =
-        if (dm.zeroAll || (cz && dm.refIdxL1 == 0)) (0, 0) else dm.mv1
-      val ri0 = if (dm.zeroAll) 0 else dm.refIdxL0
-      val ri1 = if (dm.zeroAll) 0 else dm.refIdxL1
+      val (useL0, useL1, ri0, ri1, m0, m1) =
+        if (spatial) {
+          val cz = !dm.zeroAll && colZero(colPic, mbIdx, b8)
+          val u0 = dm.refIdxL0 >= 0 || dm.zeroAll
+          val u1 = dm.refIdxL1 >= 0 || dm.zeroAll
+          val mv0 =
+            if (dm.zeroAll || (cz && dm.refIdxL0 == 0)) (0, 0)
+            else dm.mv0
+          val mv1 =
+            if (dm.zeroAll || (cz && dm.refIdxL1 == 0)) (0, 0)
+            else dm.mv1
+          (u0, u1, if (dm.zeroAll) 0 else dm.refIdxL0,
+            if (dm.zeroAll) 0 else dm.refIdxL1, mv0, mv1)
+        } else {
+          val (r0, mv0, mv1) = temporalDirect(colPic, mbIdx, b8, l0,
+            curPoc)
+          (true, true, r0, 0, mv0, mv1)
+        }
       val pt = Part(ox, oy, 2, 2, PartNormal)
       mcB(pt, mbX, mbY, useL0, useL1,
         if (useL0) l0(ri0) else null, m0,
         if (useL1) l1(ri1) else null, m1,
-        predY, predCb, predCr)
+        predY, predCb, predCr, ri0, ri1, pw0, pw1, implicitBi,
+        curPoc)
       val gx = mbX * 4 + ox; val gy = mbY * 4 + oy
       mo.setPartitionL(0, gx, gy, 2, 2, m0._1, m0._2,
         if (useL0) ri0 else -1, if (useL0) l0(ri0).picId else -1)
@@ -1075,13 +1230,21 @@ private[graft] object H264Inter {
                     mbIdx: Int, l0: IndexedSeq[RefPic],
                     l1: IndexedSeq[RefPic], colPic: RefPic,
                     yP: Array[Byte], cbP: Array[Byte],
-                    crP: Array[Byte]): Unit = {
+                    crP: Array[Byte],
+                    directSpatial: Boolean = true,
+                    curPoc: Int = 0,
+                    pw0: PredWeights = null,
+                    pw1: PredWeights = null,
+                    implicitBi: Boolean = false): Unit = {
     ctx.sliceId(mbIdx) = sliceId
-    val dm = spatialDirectMb(ctx, mo, sliceId, mbIdx)
+    val dm =
+      if (directSpatial) spatialDirectMb(ctx, mo, sliceId, mbIdx)
+      else null
     val predY = new Array[Int](256)
     val predCb = new Array[Int](64); val predCr = new Array[Int](64)
     mcDirect(ctx, mo, sliceId, mbIdx, dm, 0 until 4, l0, l1, colPic,
-      predY, predCb, predCr)
+      predY, predCb, predCr, directSpatial, curPoc, pw0, pw1,
+      implicitBi)
     writePred(ctx, mbIdx, predY, predCb, predCr, yP, cbP, crP)
     clearNz(ctx, mbIdx)
   }
@@ -1099,7 +1262,12 @@ private[graft] object H264Inter {
                 qpYPrev: Int, p: Pps, l0: IndexedSeq[RefPic],
                 l1: IndexedSeq[RefPic], numRef0: Int, numRef1: Int,
                 colPic: RefPic, yP: Array[Byte], cbP: Array[Byte],
-                crP: Array[Byte]): Int = {
+                crP: Array[Byte],
+                directSpatial: Boolean = true,
+                curPoc: Int = 0,
+                pw0: PredWeights = null,
+                pw1: PredWeights = null,
+                implicitBi: Boolean = false): Int = {
     val mbX = mbIdx % ctx.wMbs; val mbY = mbIdx / ctx.wMbs
     ctx.sliceId(mbIdx) = sliceId
     ctx.is8x8(mbIdx) = false
@@ -1161,13 +1329,17 @@ private[graft] object H264Inter {
     val predCb = new Array[Int](64); val predCr = new Array[Int](64)
     // direct derivation uses the NEIGHBOR state before this MB's
     // non-direct partitions write — derive it up front (it is
-    // MB-level in §8.4.1.2.2)
-    lazy val dm = spatialDirectMb(ctx, mo, sliceId, mbIdx)
+    // MB-level in §8.4.1.2.2); temporal direct reads only the
+    // co-located picture, so it has no such ordering concern
+    lazy val dm =
+      if (directSpatial) spatialDirectMb(ctx, mo, sliceId, mbIdx)
+      else null
     parts.zipWithIndex.foreach { case ((pt, b8), pi) =>
       if (pt.direct) {
         val covered = if (is8x8Mb) Seq(b8) else (0 until 4)
         mcDirect(ctx, mo, sliceId, mbIdx, dm, covered, l0, l1,
-          colPic, predY, predCb, predCr)
+          colPic, predY, predCb, predCr, directSpatial, curPoc,
+          pw0, pw1, implicitBi)
       } else {
         val slot = if (is8x8Mb) b8 else pi
         val gx = mbX * 4 + pt.px; val gy = mbY * 4 + pt.py
@@ -1189,7 +1361,8 @@ private[graft] object H264Inter {
           pt.useL0, pt.useL1,
           if (pt.useL0) l0(r0) else null, m0,
           if (pt.useL1) l1(r1ri) else null, m1,
-          predY, predCb, predCr)
+          predY, predCb, predCr, r0, r1ri, pw0, pw1, implicitBi,
+          curPoc)
         mo.setPartitionL(0, gx, gy, pt.w4, pt.h4, m0._1, m0._2,
           if (pt.useL0) r0 else -1,
           if (pt.useL0) l0(r0).picId else -1)
@@ -1588,7 +1761,10 @@ private[graft] object H264Inter {
       qpYIn: Int, target: Int, p: Pps, variant: Int,
       forcedMv: Option[(Int, Int)], searchRange: Int,
       yR: Array[Byte], cbR: Array[Byte], crR: Array[Byte],
-      skipRun: Int, transform8x8: Boolean = false)
+      skipRun: Int, transform8x8: Boolean = false,
+      directSpatial: Boolean = true, curPoc: Int = 0,
+      pw0: PredWeights = null, pw1: PredWeights = null,
+      implicitBi: Boolean = false)
       : (Boolean, Int) = {
     val mbX = mbIdx % ctx.wMbs; val mbY = mbIdx / ctx.wMbs
     val lw = ctx.wMbs * 16
@@ -1597,11 +1773,14 @@ private[graft] object H264Inter {
 
     // --- direct-first (variant 0): B_Skip or B_Direct_16x16 ---
     if (variant % 8 == 0) {
-      val dm = spatialDirectMb(ctx, mo, sliceId, mbIdx)
+      val dm =
+        if (directSpatial) spatialDirectMb(ctx, mo, sliceId, mbIdx)
+        else null
       val predY = new Array[Int](256)
       val predCb = new Array[Int](64); val predCr = new Array[Int](64)
       mcDirect(ctx, mo, sliceId, mbIdx, dm, 0 until 4, l0, l1,
-        colPic, predY, predCb, predCr)
+        colPic, predY, predCb, predCr, directSpatial, curPoc,
+        pw0, pw1, implicitBi)
       val (lumaAc, cbDc, crDc, cbAc, crAc, cbpL, cbpC) =
         mbResiduals(ctx, mbIdx, srcY, srcCb, srcCr, predY, predCb,
           predCr, target, p, use8 = false)
@@ -1700,7 +1879,8 @@ private[graft] object H264Inter {
         pt.useL0, pt.useL1,
         if (pt.useL0) l0(refs0(slot)) else null, m0,
         if (pt.useL1) l1(refs1(slot)) else null, m1,
-        predY, predCb, predCr)
+        predY, predCb, predCr, refs0(slot), refs1(slot), pw0, pw1,
+        implicitBi, curPoc)
       mo.setPartitionL(0, gx, gy, pt.w4, pt.h4, m0._1, m0._2,
         if (pt.useL0) refs0(slot) else -1,
         if (pt.useL0) l0(refs0(slot)).picId else -1)

@@ -1622,7 +1622,8 @@ object Multimodal {
                                   scalingMatrix: Boolean = false,
                                   pSlices: Boolean = false,
                                   weighted: Boolean = false,
-                                  bSlices: Boolean = false)
+                                  bSlices: Boolean = false,
+                                  bTemporalWeighted: Boolean = false)
       : Array[Byte] = {
     require(!(cabac && transform8x8),
       "CABAC x transform_8x8 unsupported (see H264 scope)")
@@ -1639,7 +1640,9 @@ object Multimodal {
         H264.encodeCavlcB(w, h, px, qp = 26, bBetween = 2,
           deblock = deblock,
           forcedMv = Seq((5, 2), (-3, 1), (2, -2)),
-          partitionCycle = true, intraEvery = 7, refsEachWay = 2)._1
+          partitionCycle = true, intraEvery = 7, refsEachWay = 2,
+          directTemporal = bTemporalWeighted,
+          weightedBi = bTemporalWeighted)._1
       else if (pSlices)
         // a REAL IPPP stream: frame 0 IDR, the rest motion-compensated
         // P pictures (planted fractional global MVs exercise the
@@ -1722,7 +1725,8 @@ object Multimodal {
                          scalingMatrix: Boolean = false,
                          pSlices: Boolean = false,
                          weighted: Boolean = false,
-                         bSlices: Boolean = false)
+                         bSlices: Boolean = false,
+                         bTemporalWeighted: Boolean = false)
       : Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(nContents.toLong * copies).as[Long].map { id =>
@@ -1732,7 +1736,7 @@ object Multimodal {
       MediaRow(id, "video",
         syntheticMp4(content, w, h, frames = 5, cabac, deblock,
           pFiller, transform8x8, scalingMatrix, pSlices, weighted,
-          bSlices),
+          bSlices, bTemporalWeighted),
         MediaMeta(w, h, 0, 5))
     }
   }

@@ -132,6 +132,125 @@ class H264BSliceSpec extends SparkSpec {
     assertExact(bytes, recon)
   }
 
+  test("temporal direct (§8.4.1.2.3): the POC-scaled co-located " +
+      "motion, worked by hand, and full-stream round-trips") {
+    import graft.multimodal.H264Inter
+    // anchors A (poc 0) and C (poc 6), current B at poc 2; the
+    // co-located block in C carries mv (30, −18) referencing A.
+    //   tb = 2, td = 6; tx = (16384 + |6/2|) / 6 = 16387/6 = 2731
+    //   DSF = (2·2731 + 32) >> 6 = 5494 >> 6 = 85
+    //   mvL0x = (85·30 + 128) >> 8 = 2678 >> 8 = 10
+    //   mvL0y = (85·(−18) + 128) >> 8 = −1402 >> 8 = −6 (floor)
+    //   mvL1 = mvL0 − mvCol = (−20, 12)
+    val aPic = new H264Inter.RefPic(10, 0, 2, 2,
+      new Array[Byte](1024), new Array[Byte](256),
+      new Array[Byte](256), poc = 0)
+    val colMo = new H264Inter.MotionCtx(8, 8)
+    colMo.setPartition(0, 0, 8, 8, 30, -18, 0, rPic = 10)
+    val colPic = new H264Inter.RefPic(11, 1, 2, 2,
+      new Array[Byte](1024), new Array[Byte](256),
+      new Array[Byte](256), poc = 6, mo = colMo, l0HeadPicId = 10)
+    val (ri0, mv0, mv1) = H264Inter.temporalDirect(colPic,
+      mbIdx = 0, b8 = 0, l0 = IndexedSeq(aPic), curPoc = 2)
+    assert(ri0 == 0)
+    assert(mv0 == (10, -6), mv0.toString)
+    assert(mv1 == (-20, 12), mv1.toString)
+    // an intra co-located block: zero motion referencing the col
+    // picture's own list-0 head → mv (0,0) both lists scale to 0
+    val intraMo = new H264Inter.MotionCtx(8, 8)
+    intraMo.markIntraMb(0, 2)
+    val colI = new H264Inter.RefPic(12, 1, 2, 2,
+      new Array[Byte](1024), new Array[Byte](256),
+      new Array[Byte](256), poc = 6, mo = intraMo, l0HeadPicId = 10)
+    val (riI, m0I, m1I) = H264Inter.temporalDirect(colI, 0, 0,
+      IndexedSeq(aPic), curPoc = 2)
+    assert(riI == 0 && m0I == (0, 0) && m1I == (0, 0))
+    // full-stream: temporal direct on translating content (the
+    // co-located anchors carry REAL motion to scale)
+    val f = translated(7, 64, 48, dx = 2, dy = 1)
+    val (bytes, recon) = H264.encodeCavlcB(64, 48, f, qp = 28,
+      bBetween = 2, searchRange = 3, directTemporal = true)
+    assertExact(bytes, recon)
+    // composed with deblocking + partition cycle (variant-0 MBs are
+    // temporal-direct, the rest explicit)
+    val (bd, rd) = H264.encodeCavlcB(64, 48, f, qp = 30,
+      bBetween = 2, searchRange = 2, directTemporal = true,
+      partitionCycle = true, deblock = true)
+    assertExact(bd, rd)
+  }
+
+  test("explicit weighted biprediction (idc 1): the §8.4.2.3.2 bi " +
+      "formula worked by hand; weighted B streams round-trip") {
+    import graft.multimodal.H264Inter
+    // p0 = 100, p1 = 200, w0 = 36, w1 = 27, o0 = 2, o1 = −2, d = 5:
+    //   ((100·36 + 200·27 + 32) >> 6) + ((2 − 2 + 1) >> 1)
+    //   = (3600 + 5400 + 32) >> 6 + 0 = 9032 >> 6 = 141
+    val a = Array.fill(4)(100)
+    val b = Array.fill(4)(200)
+    H264Inter.biWeightRegion(a, b, 2, 0, 0, 2, 2, 36, 27, 2, -2, 5)
+    assert(a.forall(_ == 141), a.toSeq.toString)
+    // B-table write → parse round-trip (shared denominators)
+    val pw0 = H264Inter.PredWeights(5, 6, Array(36), Array(2),
+      Array(67), Array(1), Array(62), Array(-1))
+    val pw1 = H264Inter.PredWeights(5, 6, Array(27), Array(-2),
+      Array(61), Array(0), Array(66), Array(1))
+    val w = new H264.BitWriter()
+    H264Inter.writePredWeightTable(w, pw0)
+    H264Inter.writePredWeightTable(w, pw1, denoms = false)
+    w.trailingBits()
+    val (b0, b1) = H264Inter.parsePredWeightTableB(
+      new H264.BitReader(w.toBytes), 1, 1)
+    assert(b0.wY.toSeq == Seq(36) && b0.oY.toSeq == Seq(2))
+    assert(b1.wY.toSeq == Seq(27) && b1.oCr.toSeq == Seq(1))
+    // weighted-bi streams round-trip display-exact and genuinely
+    // differ from the default-average encode
+    val f = translated(5, 64, 48, dx = 1, dy = 2)
+    val (bytes, recon) = H264.encodeCavlcB(64, 48, f, qp = 28,
+      bBetween = 2, searchRange = 2, weightedBi = true,
+      partitionCycle = true)
+    assertExact(bytes, recon)
+    val (plain, _) = H264.encodeCavlcB(64, 48, f, qp = 28,
+      bBetween = 2, searchRange = 2, partitionCycle = true)
+    assert(bytes.toSeq != plain.toSeq)
+    // composed: weighted bi + temporal direct + deblock + 2 refs
+    val (bw, rw) = H264.encodeCavlcB(64, 48, f, qp = 30,
+      bBetween = 2, searchRange = 2, weightedBi = true,
+      directTemporal = true, deblock = true, refsEachWay = 2,
+      intraEvery = 5)
+    assertExact(bw, rw)
+  }
+
+  test("implicit weighted biprediction (idc 2): POC-derived weights " +
+      "worked by hand, fallbacks pinned, streams round-trip") {
+    import graft.multimodal.H264Inter
+    // B at poc 2 between refs at poc 0 and 6: tb = 2, td = 6,
+    //   tx = 16387/6 = 2731, DSF = (2·2731 + 32) >> 6 = 85,
+    //   w1 = 85 >> 2 = 21, w0 = 64 − 21 = 43 — the CLOSER (past)
+    //   reference carries the larger weight
+    assert(H264Inter.implicitBiWeights(2, 0, 6) == (43, 21))
+    // the exact midpoint: DSF = (3·2731 + 32) >> 6 = 128 → 32/32
+    assert(H264Inter.implicitBiWeights(3, 0, 6) == (32, 32))
+    // out-of-range scale falls back: tb = 14, td = 2 → DSF clips to
+    // 1023, w1 = 255 > 128 → 32/32
+    assert(H264Inter.implicitBiWeights(14, 0, 2) == (32, 32))
+    // equal-POC references → 32/32 by definition
+    assert(H264Inter.implicitBiWeights(5, 4, 4) == (32, 32))
+    // full-stream round-trip; implicit genuinely changes the wire
+    val f = translated(5, 64, 48, dx = 2, dy = 1)
+    val (bytes, recon) = H264.encodeCavlcB(64, 48, f, qp = 28,
+      bBetween = 2, searchRange = 2, implicitBi = true,
+      partitionCycle = true)
+    assertExact(bytes, recon)
+    val (plain, _) = H264.encodeCavlcB(64, 48, f, qp = 28,
+      bBetween = 2, searchRange = 2, partitionCycle = true)
+    assert(bytes.toSeq != plain.toSeq)
+    // composed with temporal direct + deblocking
+    val (bi, ri) = H264.encodeCavlcB(64, 48, f, qp = 30,
+      bBetween = 2, searchRange = 2, implicitBi = true,
+      directTemporal = true, deblock = true, intraEvery = 4)
+    assertExact(bi, ri)
+  }
+
   test("fixture margin for the q_video_fp_dedup_mp4_bslice oracle: " +
       "planted copies at Hamming 0, distinct contents > 8 bits " +
       "apart (the fingerprint is a B picture)") {
@@ -149,6 +268,34 @@ class H264BSliceSpec extends SparkSpec {
       val ham = java.lang.Long.bitCount(distinct(i) ^ distinct(j))
       assert(ham > 8, s"contents $i/$j only $ham bits apart")
     }
+  }
+
+  test("fuzz: mutated/truncated B streams (spatial, temporal, " +
+      "weighted, implicit) throw or decode — never hang or corrupt") {
+    val f = translated(5, 48, 32, dx = 1, dy = 1)
+    val bases = Seq(
+      H264.encodeCavlcB(48, 32, f, qp = 28, bBetween = 2,
+        partitionCycle = true, refsEachWay = 2)._1,
+      H264.encodeCavlcB(48, 32, f, qp = 28, bBetween = 2,
+        directTemporal = true, weightedBi = true)._1,
+      H264.encodeCavlcB(48, 32, f, qp = 28, bBetween = 2,
+        implicitBi = true, deblock = true)._1)
+    val rnd = new scala.util.Random(77)
+    var threw = 0
+    bases.foreach { base =>
+      (0 until 120).foreach { _ =>
+        val m = base.clone()
+        m(rnd.nextInt(m.length)) =
+          (m(rnd.nextInt(m.length)) ^ (1 << rnd.nextInt(8))).toByte
+        try { H264.decodeFrames(m); () }
+        catch { case _: Exception | _: AssertionError => threw += 1 }
+      }
+      (1 until 8).foreach { cut =>
+        try { H264.decodeFrames(base.take(base.length - cut * 11)); () }
+        catch { case _: Exception => () }
+      }
+    }
+    assert(threw > 0, "some mutations must be detected")
   }
 
   test("MP4 container carries the B stream; decode equals Annex-B") {

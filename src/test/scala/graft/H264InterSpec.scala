@@ -438,15 +438,16 @@ class H264InterSpec extends SparkSpec {
     val frames = gradFrames(3, 48, 32)
     val (bytes, recon) = H264.encodeCavlcP(48, 32, frames, qp = 26)
     val nals = H264.nalUnits(bytes)
-    // a non-reference B slice that hits a NAMED boundary (temporal
-    // direct, direct_spatial_mv_pred_flag = 0) — skipped whole
+    // a non-reference B slice that hits a NAMED boundary
+    // (ref_pic_list_modification_flag_l0 = 1) — skipped whole
     val bSlice = {
       val w = new H264.BitWriter()
       w.ue(0); w.ue(6); w.ue(0) // first_mb, slice_type B, pps 0
       w.u(0, 4) // frame_num (pocType 2: no poc syntax)
-      w.u(0, 1) // direct_spatial_mv_pred_flag = 0 → temporal, named
+      w.u(1, 1) // direct_spatial_mv_pred_flag (spatial)
       w.u(0, 1) // num_ref_idx_active_override_flag
-      w.u(0, 1); w.u(0, 1) // ref_pic_list_modification l0/l1
+      w.u(1, 1) // ref_pic_list_modification_flag_l0 = 1 → named
+      w.u(0, 1) // (consumed as the l1 flag before the skip decision)
       w.trailingBits()
       val rbsp = w.toBytes
       Array[Byte](0x01) ++ rbsp // nal header refIdc 0, type 1
