@@ -36,8 +36,10 @@ package graft.multimodal
  *
  * SCOPE — stated plainly: CABAC inter slices (the inter
  * syntax-element context init tables are not transcribed —
- * constants are never invented), ref-pic-list modification and
- * MMCO/long-term marking are named boundaries: an affected picture
+ * constants are never invented) and long-term machinery (MMCO
+ * marking, long-term list-modification ops) are named boundaries
+ * (SHORT-TERM ref-pic-list modification decodes, §8.2.4.3.1): an
+ * affected picture
  * is SKIPPED whole (a reference gap then disables inter decode
  * until the next IDR re-anchors the DPB), so such streams degrade
  * to I-frame-only decoding; a stream where NOTHING decodes is a
@@ -459,7 +461,7 @@ object H264 {
     * strengths ([[H264Deblock]]) — display-exact pixels.
     *
     * Pictures that hit a named inter boundary (SP/SI slices, CABAC
-    * inter, list modification)
+    * inter, long-term reference ops)
     * are SKIPPED whole; if such a picture was a REFERENCE, inter
     * decode stays off until the next IDR (the DPB would be wrong),
     * so those streams degrade to I-frame-only decoding. A stream
@@ -554,6 +556,8 @@ object H264 {
             var pWhyNot: String = null
             var pWeights: H264Inter.PredWeights = null
             var pWeightsL1: H264Inter.PredWeights = null
+            var listMod0: Seq[(Int, Int)] = null
+            var listMod1: Seq[(Int, Int)] = null
             var directSpatial = true
             if (isB) directSpatial = r.u(1) == 1
             if (isP || isB) {
@@ -561,12 +565,21 @@ object H264 {
                 numRefActive = r.ue() + 1
                 if (isB) numRefActive1 = r.ue() + 1
               }
-              val listMod = r.u(1) == 1 // ref_pic_list_modification_l0
-              val listMod1 = isB && r.u(1) == 1 // ..._l1
-              if (p.cabac) pWhyNot =
+              // ref_pic_list_modification (§7.3.3.1): short-term ops
+              // decode (§8.2.4.3.1); long-term ops name the slice
+              // undecodable (caught → picture skip, not a throw)
+              try {
+                if (r.u(1) == 1)
+                  listMod0 = H264Inter.parseListModification(r)
+                if (isB && r.u(1) == 1)
+                  listMod1 = H264Inter.parseListModification(r)
+              } catch {
+                case e: IllegalArgumentException =>
+                  pWhyNot = e.getMessage
+              }
+              if (pWhyNot != null) ()
+              else if (p.cabac) pWhyNot =
                 "CABAC inter slice (inter context init tables not transcribed)"
-              else if (listMod || listMod1) pWhyNot =
-                "ref_pic_list_modification unsupported"
               else if (p.constrainedIntra) pWhyNot =
                 "constrained_intra_pred unsupported"
               else if (isB && s.pocType == 1) pWhyNot =
@@ -671,13 +684,20 @@ object H264 {
               // first two entries
               val before = dpb.filter(_.poc < cur.poc).sortBy(-_.poc)
               val after = dpb.filter(_.poc > cur.poc).sortBy(_.poc)
-              val l0 = (before ++ after).toIndexedSeq
+              var l0 = (before ++ after).toIndexedSeq
               var l1 = (after ++ before).toIndexedSeq
               if (l1.size > 1 && l0 == l1)
                 l1 = IndexedSeq(l1(1), l1(0)) ++ l1.drop(2)
               require(numRefActive >= 1 && numRefActive1 >= 1 &&
                 numRefActive <= 32 && numRefActive1 <= 32,
                 "num_ref_idx_active out of range")
+              val maxFnB = 1 << s.log2MaxFrameNum
+              if (listMod0 != null)
+                l0 = H264Inter.applyListModification(l0, listMod0,
+                  frameNum, maxFnB, numRefActive)
+              if (listMod1 != null)
+                l1 = H264Inter.applyListModification(l1, listMod1,
+                  frameNum, maxFnB, numRefActive1)
               val colPic = l1.head
               curL0Head = l0.head.picId
               val ctx = cur.ctx; val mo = cur.mo
@@ -731,9 +751,12 @@ object H264 {
               def picNum(rp: H264Inter.RefPic): Int =
                 if (rp.frameNum > frameNum) rp.frameNum - maxFn
                 else rp.frameNum
-              val refList = dpb.sortBy(rp => -picNum(rp)).toIndexedSeq
+              var refList = dpb.sortBy(rp => -picNum(rp)).toIndexedSeq
               require(numRefActive >= 1 && numRefActive <= 32,
                 s"num_ref_idx_l0_active $numRefActive out of range")
+              if (listMod0 != null)
+                refList = H264Inter.applyListModification(refList,
+                  listMod0, frameNum, maxFn, numRefActive)
               curL0Head = refList.head.picId
               val ctx = cur.ctx; val mo = cur.mo
               var mb = firstMb
@@ -851,8 +874,8 @@ object H264 {
     if (framesOut == 0 && skippedInter > 0)
       throw new IllegalArgumentException(
         s"no decodable picture: all $skippedInter inter pictures " +
-          "hit a named boundary (SP/SI, CABAC inter, list-modified " +
-          "prediction, or a missing reference) and no intra " +
+          "hit a named boundary (SP/SI, CABAC inter, long-term " +
+          "reference ops, or a missing reference) and no intra " +
           "picture decoded")
     // display order: IDR epoch, then POC (stable for ties)
     pending.sortBy(t => (t._1, t._2)).map(_._3).toSeq
@@ -1316,6 +1339,18 @@ object H264 {
    * oracle: `decodeFrames(bytes)` must equal the recon pixels
    * exactly (H264InterSpec pins it).
    */
+  /** Modification ops that rebuild a list as `desired` picNums,
+    * each op relative to the running predictor (§8.2.4.3.1). */
+  private def listModOps(desired: Seq[Int],
+                         currPicNum: Int): Seq[(Int, Int)] = {
+    var pred = currPicNum
+    desired.map { pn =>
+      val diff = pn - pred
+      pred = pn
+      if (diff < 0) (0, -diff - 1) else (1, diff - 1)
+    }
+  }
+
   def encodeCavlcP(width: Int, height: Int, frames: Seq[Array[Int]],
                    qp: Int = 26, gop: Int = 0,
                    forcedMv: Seq[(Int, Int)] = Nil,
@@ -1326,7 +1361,8 @@ object H264 {
                    deblock: Boolean = false,
                    transform8x8: Boolean = false,
                    scalingMatrix: Boolean = false,
-                   weighted: Boolean = false)
+                   weighted: Boolean = false,
+                   listModSwap: Boolean = false)
       : (Array[Byte], Seq[(Int, Int, Array[Int])]) = {
     require(frames.nonEmpty)
     require(frames.forall(_.length == width * height))
@@ -1404,10 +1440,19 @@ object H264 {
         out.write(sliceNal, 0, sliceNal.length)
       } else {
         val maxFn = 16 // log2_max_frame_num 4 (spsRbsp)
-        val refList = dpb.sortBy(rp =>
+        val refList0 = dpb.sortBy(rp =>
           -(if (rp.frameNum > fn) rp.frameNum - maxFn
             else rp.frameNum)).toIndexedSeq
-        val numRefActive = math.min(refFrames, refList.size)
+        val numRefActive = math.min(refFrames, refList0.size)
+        def pnOf(rp: H264Inter.RefPic): Int =
+          if (rp.frameNum > fn) rp.frameNum - maxFn else rp.frameNum
+        // listModSwap: reverse the initial list order on the wire —
+        // the DECODER must reconstruct the same swapped list
+        val doSwap = listModSwap && numRefActive >= 2
+        val refList =
+          if (doSwap) refList0.take(numRefActive).reverse ++
+            refList0.drop(numRefActive)
+          else refList0
         val fmv =
           if (forcedMv.isEmpty) None
           else Some(forcedMv(pIdx % forcedMv.size))
@@ -1418,7 +1463,11 @@ object H264 {
         w.u(fn, 4)
         if (numRefActive != 1) { w.u(1, 1); w.ue(numRefActive - 1) }
         else w.u(0, 1) // num_ref_idx_active_override_flag
-        w.u(0, 1) // ref_pic_list_modification_flag_l0
+        if (doSwap) {
+          w.u(1, 1) // ref_pic_list_modification_flag_l0
+          H264Inter.writeListModification(w,
+            listModOps(refList.take(numRefActive).map(pnOf), fn))
+        } else w.u(0, 1)
         val pwSlice =
           if (weighted) {
             val pws = weightsFor(numRefActive)
@@ -1499,7 +1548,8 @@ object H264 {
                    bVariantBase: Int = 0,
                    directTemporal: Boolean = false,
                    weightedBi: Boolean = false,
-                   implicitBi: Boolean = false)
+                   implicitBi: Boolean = false,
+                   listModSwap: Boolean = false)
       : (Array[Byte], Seq[(Int, Int, Array[Int])]) = {
     require(frames.nonEmpty)
     require(frames.forall(_.length == width * height))
@@ -1629,12 +1679,20 @@ object H264 {
         // the DECODER's list construction, replicated exactly
         val before = dpb.filter(_.poc < poc).sortBy(-_.poc)
         val after = dpb.filter(_.poc > poc).sortBy(_.poc)
-        val l0 = (before ++ after).toIndexedSeq
+        val l0Init = (before ++ after).toIndexedSeq
         var l1 = (after ++ before).toIndexedSeq
-        if (l1.size > 1 && l0 == l1)
+        if (l1.size > 1 && l0Init == l1)
           l1 = IndexedSeq(l1(1), l1(0)) ++ l1.drop(2)
-        val nr0 = math.min(refsEachWay, l0.size)
+        val nr0 = math.min(refsEachWay, l0Init.size)
         val nr1 = math.min(refsEachWay, l1.size)
+        def pnOfB(rp: H264Inter.RefPic): Int =
+          if (rp.frameNum > fn) rp.frameNum - 16 else rp.frameNum
+        // listModSwap on l0: reverse the first nr0 entries (nr0 = 1
+        // selects the OTHER anchor as the sole list-0 reference)
+        val doSwapB = listModSwap && l0Init.size >= 2
+        val l0 =
+          if (doSwapB) l0Init.take(2).reverse ++ l0Init.drop(2)
+          else l0Init
         val colPic = l1.head
         w.ue(0); w.ue(6); w.ue(0) // slice_type 6: B (all-B picture)
         w.u(fn, 4)
@@ -1643,7 +1701,13 @@ object H264 {
         if (nr0 != 1 || nr1 != 1) {
           w.u(1, 1); w.ue(nr0 - 1); w.ue(nr1 - 1)
         } else w.u(0, 1)
-        w.u(0, 1); w.u(0, 1) // ref_pic_list_modification l0/l1
+        if (doSwapB) {
+          w.u(1, 1) // ref_pic_list_modification_flag_l0
+          H264Inter.writeListModification(w,
+            listModOps(l0.take(math.max(nr0, 2)).take(nr0 max 1)
+              .map(pnOfB), fn))
+        } else w.u(0, 1)
+        w.u(0, 1) // ref_pic_list_modification_flag_l1
         val (pw0S, pw1S) =
           if (weightedBi) {
             val a = biWeights(nr0, 0); val b = biWeights(nr1, 1)

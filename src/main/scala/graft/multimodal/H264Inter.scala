@@ -29,7 +29,9 @@ import H264.{BitReader, BitWriter, Pps}
  * lists). SCOPE boundaries, all named errors at the SPI binding
  * point: CABAC inter slices (the inter syntax-element context init
  * tables are not transcribed — the constants-are-never-invented
- * rule), ref-pic-list modification, and MMCO/long-term marking.
+ * rule) and the long-term machinery (MMCO marking, long-term
+ * list-modification ops); SHORT-TERM ref-pic-list modification
+ * decodes (§8.2.4.3.1, both lists).
  */
 private[graft] object H264Inter {
 
@@ -496,6 +498,75 @@ private[graft] object H264Inter {
       }
       j += 1
     }
+  }
+
+  /** Parse ref_pic_list_modification ops for ONE list (§7.3.3.1,
+    * the flag already read as 1): (idc, abs_diff_pic_num_minus1)
+    * pairs until idc 3. Long-term ops (idc 2) are a named error —
+    * long-term marking itself is out of scope. */
+  def parseListModification(r: BitReader): Seq[(Int, Int)] = {
+    val ops = Seq.newBuilder[(Int, Int)]
+    var idc = r.ue()
+    var n = 0
+    while (idc != 3) {
+      require(idc == 0 || idc == 1,
+        s"modification_of_pic_nums_idc $idc unsupported " +
+          "(long-term reference ops are out of scope)")
+      ops += ((idc, r.ue()))
+      n += 1
+      require(n <= 32, "runaway ref_pic_list_modification")
+      idc = r.ue()
+    }
+    ops.result()
+  }
+
+  /** Encoder twin of [[parseListModification]]. */
+  private[multimodal] def writeListModification(
+      w: BitWriter, ops: Seq[(Int, Int)]): Unit = {
+    ops.foreach { case (idc, v) => w.ue(idc); w.ue(v) }
+    w.ue(3)
+  }
+
+  /**
+   * §8.2.4.3.1 short-term reordering: each op derives picNumLX from
+   * the running predictor (init CurrPicNum, modular in MaxPicNum),
+   * inserts the matching short-term picture at the front cursor and
+   * squeezes later duplicates out; the list truncates back to
+   * `numRefActive`.
+   */
+  def applyListModification(init: IndexedSeq[RefPic],
+                            ops: Seq[(Int, Int)], currPicNum: Int,
+                            maxPicNum: Int,
+                            numRefActive: Int): IndexedSeq[RefPic] = {
+    def picNum(rp: RefPic): Int =
+      if (rp.frameNum > currPicNum) rp.frameNum - maxPicNum
+      else rp.frameNum
+    val list = scala.collection.mutable.ArrayBuffer[RefPic](
+      init.take(numRefActive): _*)
+    var pred = currPicNum
+    var refIdx = 0
+    ops.foreach { case (idc, absM1) =>
+      val noWrap =
+        if (idc == 0) {
+          val v = pred - (absM1 + 1)
+          if (v < 0) v + maxPicNum else v
+        } else {
+          val v = pred + absM1 + 1
+          if (v >= maxPicNum) v - maxPicNum else v
+        }
+      pred = noWrap
+      val pn = if (noWrap > currPicNum) noWrap - maxPicNum else noWrap
+      val pic = init.find(picNum(_) == pn).getOrElse(
+        throw new IllegalArgumentException(
+          s"list modification references absent PicNum $pn"))
+      // insert at refIdx, shift, then drop the later duplicate
+      list.insert(refIdx, pic)
+      refIdx += 1
+      val dup = list.indexWhere(p => (p eq pic), refIdx)
+      if (dup >= 0) list.remove(dup)
+      while (list.size > numRefActive) list.remove(list.size - 1)
+    }
+    list.toIndexedSeq
   }
 
   /** te(v) for ref_idx (§9.1.1): one inverted bit when the bound is

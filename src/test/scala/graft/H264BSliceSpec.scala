@@ -298,6 +298,24 @@ class H264BSliceSpec extends SparkSpec {
     assert(threw > 0, "some mutations must be detected")
   }
 
+  test("ref_pic_list_modification on B list 0: the swapped and the " +
+      "other-anchor-only forms round-trip display-exact") {
+    val f = translated(5, 48, 48, dx = 1, dy = 1)
+    // nr0 = 2: list 0 arrives REVERSED on the wire
+    val (b2, r2) = H264.encodeCavlcB(48, 48, f, qp = 28,
+      bBetween = 2, searchRange = 2, refsEachWay = 2,
+      partitionCycle = true, listModSwap = true)
+    assertExact(b2, r2)
+    // nr0 = 1: the modification makes the FUTURE anchor the sole
+    // list-0 reference (both lists then face forward)
+    val (b1, r1) = H264.encodeCavlcB(48, 48, f, qp = 28,
+      bBetween = 2, searchRange = 2, listModSwap = true)
+    assertExact(b1, r1)
+    val (plain, _) = H264.encodeCavlcB(48, 48, f, qp = 28,
+      bBetween = 2, searchRange = 2)
+    assert(b1.toSeq != plain.toSeq)
+  }
+
   test("MP4 container carries the B stream; decode equals Annex-B") {
     import graft.multimodal.Mp4
     val f = translated(6, 64, 48, dx = 1, dy = 1)

@@ -438,16 +438,16 @@ class H264InterSpec extends SparkSpec {
     val frames = gradFrames(3, 48, 32)
     val (bytes, recon) = H264.encodeCavlcP(48, 32, frames, qp = 26)
     val nals = H264.nalUnits(bytes)
-    // a non-reference B slice that hits a NAMED boundary
-    // (ref_pic_list_modification_flag_l0 = 1) — skipped whole
+    // a non-reference B slice that hits a NAMED boundary (a
+    // LONG-TERM list-modification op, idc 2) — skipped whole
     val bSlice = {
       val w = new H264.BitWriter()
       w.ue(0); w.ue(6); w.ue(0) // first_mb, slice_type B, pps 0
       w.u(0, 4) // frame_num (pocType 2: no poc syntax)
       w.u(1, 1) // direct_spatial_mv_pred_flag (spatial)
       w.u(0, 1) // num_ref_idx_active_override_flag
-      w.u(1, 1) // ref_pic_list_modification_flag_l0 = 1 → named
-      w.u(0, 1) // (consumed as the l1 flag before the skip decision)
+      w.u(1, 1) // ref_pic_list_modification_flag_l0
+      w.ue(2)   // modification_of_pic_nums_idc 2 (long-term) → named
       w.trailingBits()
       val rbsp = w.toBytes
       Array[Byte](0x01) ++ rbsp // nal header refIdc 0, type 1
@@ -471,6 +471,41 @@ class H264InterSpec extends SparkSpec {
     val dec = H264.decodeFrames(rebuild(refB, afterIdx = 2))
     assert(dec.size == 1)
     assert(dec.head._3.toSeq == recon.head._3.toSeq)
+  }
+
+  test("ref_pic_list_modification (§8.2.4.3.1): reorder/select/wrap " +
+      "semantics pinned, and modified-list P streams round-trip") {
+    import graft.multimodal.H264Inter
+    def pic(id: Int, fn: Int) = new H264Inter.RefPic(id, fn, 1, 1,
+      new Array[Byte](256), new Array[Byte](64), new Array[Byte](64))
+    val a = pic(1, 4); val b = pic(2, 3) // picNums 4 and 3 at currFn 5
+    // full reorder [B, A]: op0 jumps back 2 (5→3), op1 forward 1 (3→4)
+    val swapped = H264Inter.applyListModification(IndexedSeq(a, b),
+      Seq((0, 1), (1, 0)), currPicNum = 5, maxPicNum = 16,
+      numRefActive = 2)
+    assert(swapped == IndexedSeq(b, a))
+    // single op: B to the front, the later duplicate squeezed out
+    val fronted = H264Inter.applyListModification(IndexedSeq(a, b),
+      Seq((0, 1)), currPicNum = 5, maxPicNum = 16, numRefActive = 2)
+    assert(fronted == IndexedSeq(b, a))
+    // PicNum wrap: currFn 1, a ref with frameNum 15 has picNum −1;
+    // op0 abs_diff+1 = 2 → noWrap = 1−2+16 = 15 → picNum −1 → selects it
+    val w15 = pic(3, 15); val w0 = pic(4, 0)
+    val wrapped = H264Inter.applyListModification(
+      IndexedSeq(w0, w15), Seq((0, 1)), currPicNum = 1,
+      maxPicNum = 16, numRefActive = 1)
+    assert(wrapped == IndexedSeq(w15))
+    // e2e: a two-reference P stream whose slices REVERSE list 0 on
+    // the wire decodes display-exact, and genuinely differs from
+    // the unmodified encode
+    val frames = translatedFrames(5, 48, 48, dx = 1, dy = 0)
+    val (bytes, recon) = H264.encodeCavlcP(48, 48, frames, qp = 26,
+      refFrames = 2, partitionCycle = true, searchRange = 2,
+      listModSwap = true)
+    assertDecodesExact(bytes, recon)
+    val (plain, _) = H264.encodeCavlcP(48, 48, frames, qp = 26,
+      refFrames = 2, partitionCycle = true, searchRange = 2)
+    assert(bytes.toSeq != plain.toSeq)
   }
 
   test("fixture margin for the q_video_fp_dedup_mp4_pslice oracle: " +
