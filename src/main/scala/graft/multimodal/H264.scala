@@ -1396,7 +1396,7 @@ object H264 {
     // shape — ~0.9x luma with a small positive offset on ref 0,
     // stepping per ref so multi-ref fixtures carry DISTINCT weights;
     // chroma weighted toward identity with a negative Cr offset
-    def weightsFor(numRef: Int): H264Inter.PredWeights =
+    def wts(numRef: Int): H264Inter.PredWeights =
       H264Inter.PredWeights(5, 6,
         wY = Array.tabulate(numRef)(i => 29 - 2 * i),
         oY = Array.tabulate(numRef)(i => 2 + i),
@@ -1470,7 +1470,7 @@ object H264 {
         } else w.u(0, 1)
         val pwSlice =
           if (weighted) {
-            val pws = weightsFor(numRefActive)
+            val pws = wts(numRefActive)
             H264Inter.writePredWeightTable(w, pws)
             pws
           } else null
@@ -1585,7 +1585,7 @@ object H264 {
     // deterministic explicit BI weights per list (§8.4.2.3.2): list 0
     // above identity, list 1 below, distinct offsets — asymmetric so
     // the weighted combine differs visibly from the plain average
-    def biWeights(nRefs: Int, list: Int): H264Inter.PredWeights =
+    def bws(nRefs: Int, list: Int): H264Inter.PredWeights =
       H264Inter.PredWeights(5, 6,
         wY = Array.tabulate(nRefs)(i =>
           (if (list == 0) 36 else 27) + 2 * i),
@@ -1710,7 +1710,7 @@ object H264 {
         w.u(0, 1) // ref_pic_list_modification_flag_l1
         val (pw0S, pw1S) =
           if (weightedBi) {
-            val a = biWeights(nr0, 0); val b = biWeights(nr1, 1)
+            val a = bws(nr0, 0); val b = bws(nr1, 1)
             H264Inter.writePredWeightTable(w, a)
             H264Inter.writePredWeightTable(w, b, denoms = false)
             (a, b)

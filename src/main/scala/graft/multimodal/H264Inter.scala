@@ -1051,7 +1051,7 @@ private[graft] object H264Inter {
   private def spatialDirectMb(ctx: H264Mb.PicCtx, mo: MotionCtx,
                               sliceId: Int, mbIdx: Int): DirectMv = {
     val bx = (mbIdx % ctx.wMbs) * 4; val by = (mbIdx / ctx.wMbs) * 4
-    def listRef(list: Int): Int = {
+    def lrf(list: Int): Int = {
       val a = nbr(ctx, mo, sliceId, bx - 1, by, list)
       val b = nbr(ctx, mo, sliceId, bx, by - 1, list)
       val c0 = nbr(ctx, mo, sliceId, bx + 4, by - 1, list)
@@ -1059,7 +1059,7 @@ private[graft] object H264Inter {
         if (c0._1) c0 else nbr(ctx, mo, sliceId, bx - 1, by - 1, list)
       minPositive(minPositive(a._2, b._2), c._2)
     }
-    val r0 = listRef(0); val r1 = listRef(1)
+    val r0 = lrf(0); val r1 = lrf(1)
     if (r0 < 0 && r1 < 0)
       return DirectMv(0, 0, (0, 0), (0, 0), zeroAll = true)
     val mv0 =
@@ -1357,9 +1357,9 @@ private[graft] object H264Inter {
       } else bParts(mbType).map((_, -1))
     // ref_idx parse: per partition-or-8x8 that uses the list, list 0
     // then list 1 (for B_8x8, refs are per 8x8, shared by its subs)
-    def refSlots: Seq[Int] = // indices into a per-slot ref array
+    def rsl: Seq[Int] = // indices into a per-slot ref array
       if (is8x8Mb) 0 until 4 else parts.indices
-    def slotUses(list: Int, slot: Int): Boolean =
+    def slu(list: Int, slot: Int): Boolean =
       if (is8x8Mb) {
         val st = subTypes(slot)
         if (st == 0) false
@@ -1371,17 +1371,17 @@ private[graft] object H264Inter {
         val pt = parts(slot)._1
         !pt.direct && (if (list == 0) pt.useL0 else pt.useL1)
       }
-    val refs0 = new Array[Int](refSlots.size)
-    val refs1 = new Array[Int](refSlots.size)
-    refSlots.foreach { s =>
-      if (slotUses(0, s)) {
+    val refs0 = new Array[Int](rsl.size)
+    val refs1 = new Array[Int](rsl.size)
+    rsl.foreach { s =>
+      if (slu(0, s)) {
         refs0(s) = te(r, numRef0 - 1)
         require(refs0(s) < l0.size,
           s"ref_idx_l0 ${refs0(s)} but only ${l0.size} refs")
       }
     }
-    refSlots.foreach { s =>
-      if (slotUses(1, s)) {
+    rsl.foreach { s =>
+      if (slu(1, s)) {
         refs1(s) = te(r, numRef1 - 1)
         require(refs1(s) < l1.size,
           s"ref_idx_l1 ${refs1(s)} but only ${l1.size} refs")
@@ -1590,7 +1590,7 @@ private[graft] object H264Inter {
         z += 1
       }
     }
-    def chromaCoeffs(src: Array[Int], pred: Array[Int],
+    def ccs(src: Array[Int], pred: Array[Int],
                      wgt: Array[Int], qp: Int)
         : (Array[Int], Array[Array[Int]]) = {
       val dcRaw = new Array[Int](4)
@@ -1623,8 +1623,8 @@ private[graft] object H264Inter {
         Transform.quantDc(_, qp, wgt(0)))
       (dcQ, ac)
     }
-    val (cbDc, cbAc) = chromaCoeffs(srcCb, predCb, p.sm.w4(4), qpC)
-    val (crDc, crAc) = chromaCoeffs(srcCr, predCr, p.sm.w4(5), qpCr)
+    val (cbDc, cbAc) = ccs(srcCb, predCb, p.sm.w4(4), qpC)
+    val (crDc, crAc) = ccs(srcCr, predCr, p.sm.w4(5), qpCr)
     var cbpLuma = 0
     var g = 0
     while (g < 4) {
@@ -1909,7 +1909,7 @@ private[graft] object H264Inter {
       refs1(s) = (mbIdx + s) % math.min(numRef1, l1.size)
       s += 1
     }
-    def slotUses(list: Int, slot: Int): Boolean =
+    def slu(list: Int, slot: Int): Boolean =
       if (is8x8Mb) {
         val sp = bSubParts(subTypes(slot)).head
         if (list == 0) sp.useL0 else sp.useL1
@@ -1977,12 +1977,12 @@ private[graft] object H264Inter {
     if (is8x8Mb) subTypes.foreach(wr.ue)
     var slot = 0
     while (slot < nSlots) {
-      if (slotUses(0, slot)) writeTe(wr, refs0(slot), numRef0 - 1)
+      if (slu(0, slot)) writeTe(wr, refs0(slot), numRef0 - 1)
       slot += 1
     }
     slot = 0
     while (slot < nSlots) {
-      if (slotUses(1, slot)) writeTe(wr, refs1(slot), numRef1 - 1)
+      if (slu(1, slot)) writeTe(wr, refs1(slot), numRef1 - 1)
       slot += 1
     }
     parts.zipWithIndex.foreach { case ((pt, _), pi) =>

@@ -47,6 +47,29 @@ class H264BSliceSpec extends SparkSpec {
     }
   }
 
+  test("per-list motion state: list-1 MV prediction reads ONLY " +
+      "list-1 neighbors; a list-0-only block contributes -1/0 there") {
+    import graft.multimodal.{H264Inter, H264Mb}
+    val ctx = new H264Mb.PicCtx(2, 2)
+    java.util.Arrays.fill(ctx.sliceId, 0)
+    val mo = new H264Inter.MotionCtx(8, 8)
+    // A = (3,4): BOTH lists; B = (4,3): list 1 only; D = (3,3):
+    // list 0 only (so for list-1 prediction it reads ref −1 / mv 0)
+    mo.setPartitionL(0, 3, 4, 1, 1, 10, 20, 0, 100)
+    mo.setPartitionL(1, 3, 4, 1, 1, 1, 2, 0, 200)
+    mo.setPartitionL(0, 4, 3, 1, 1, 0, 0, -1, -1)
+    mo.setPartitionL(1, 4, 3, 1, 1, 3, 4, 0, 200)
+    mo.setPartition(3, 3, 1, 1, 50, 60, 0, 100) // P-style: list 0 only
+    // list 1 median at (4,4): A=(1,2), B=(3,4), C→D=(0,0 ref −1)
+    // → all-match count 2 → median: x med(1,3,0)=1, y med(2,4,0)=2
+    assert(H264Inter.mvPred(ctx, mo, 0, 4, 4, 4, 0,
+      H264Inter.PartNormal, list = 1) == (1, 2))
+    // list 0 at the same spot sees A=(10,20), B unused (−1/0),
+    // D=(50,60): exactly A and D match ref 0 → median with B as 0
+    assert(H264Inter.mvPred(ctx, mo, 0, 4, 4, 4, 0,
+      H264Inter.PartNormal, list = 0) == (10, 20))
+  }
+
   test("cross-check against the P machinery: a B picture coded " +
       "L0-only decodes pixel-identically to the SAME frame coded as " +
       "a P picture") {
