@@ -604,15 +604,23 @@ object H264 {
                 pWeights = w0; pWeightsL1 = w1
               }
             }
-            if ((isP || isB) && pWhyNot != null) skipPicture()
-            else {
-            if (refIdc != 0) {
+            // dec_ref_pic_marking (§7.3.3.3) applies to ALL slice
+            // types. Unsupported marking ops (long-term self-marking
+            // on an IDR, MMCO) skip that PICTURE per the module
+            // contract — never abort the stream — and poison the DPB
+            // when the skipped picture was a reference. The read is
+            // guarded on pWhyNot: a slice already named undecodable
+            // may have left the bit reader desynced.
+            if (pWhyNot == null && refIdc != 0) {
               if (nalType == 5) {
                 r.u(1) // no_output_of_prior_pics_flag
-                require(r.u(1) == 0, "long-term reference unsupported")
-              } else require(r.u(1) == 0,
-                "adaptive_ref_pic_marking unsupported")
+                if (r.u(1) == 1) pWhyNot =
+                  "long_term_reference_flag=1 (long-term marking unsupported)"
+              } else if (r.u(1) == 1) pWhyNot =
+                "adaptive_ref_pic_marking (MMCO) unsupported"
             }
+            if (pWhyNot != null) skipPicture()
+            else {
             val sliceQpDelta = r.se()
             var deblockIdc = 0 // absent control syntax → filter on
             var filterOffA = 0
@@ -698,6 +706,13 @@ object H264 {
               if (listMod1 != null)
                 l1 = H264Inter.applyListModification(l1, listMod1,
                   frameNum, maxFnB, numRefActive1)
+              // §8.2.4.2: the final lists hold at most
+              // num_ref_idx_lX_active entries even when no
+              // modification syntax is present, so an out-of-active
+              // ref_idx fails decode validation instead of silently
+              // motion-compensating from an inactive reference
+              l0 = l0.take(numRefActive)
+              l1 = l1.take(numRefActive1)
               val colPic = l1.head
               curL0Head = l0.head.picId
               val ctx = cur.ctx; val mo = cur.mo
@@ -736,7 +751,7 @@ object H264 {
                       sliceId, mb, qpY, p, l0, l1, numRefActive,
                       numRefActive1, colPic, cur.y, cur.cb, cur.cr,
                       directSpatial, cur.poc, pWeights, pWeightsL1,
-                      p.weightedBipred == 2)
+                      p.weightedBipred == 2, s.direct8x8Inference)
                     recordDeblock(mb, qpY)
                   }
                   cur.mbsDone += 1
@@ -757,6 +772,9 @@ object H264 {
               if (listMod0 != null)
                 refList = H264Inter.applyListModification(refList,
                   listMod0, frameNum, maxFn, numRefActive)
+              // truncate to num_ref_idx_l0_active (§8.2.4.2.1) so
+              // ref_idx validation is bounded by the ACTIVE count
+              refList = refList.take(numRefActive)
               curL0Head = refList.head.picId
               val ctx = cur.ctx; val mo = cur.mo
               var mb = firstMb

@@ -37,11 +37,15 @@ import H264.{BitReader, BitWriter}
  * the engine reinitializes with contexts persisting — §9.3.1.2;
  * CabacSpec round-trips mixed compressed/PCM slices). The context
  * INITIALIZATION constants are transcribed from the spec's I-slice
- * column (Tables 9-12..9-23); a transcription slip there cannot
- * produce wrong pixels (both coder halves share the one table — a
- * slip only moves compression efficiency off the standard's), and
- * CabacSpec pins the engine itself against hand-derived
- * arithmetic-level golden vectors that do not depend on the table.
+ * column (Tables 9-12..9-23). For the repo's OWN fixture
+ * round-trips a transcription slip cannot produce wrong pixels
+ * (both coder halves share the one table — a slip only moves
+ * compression efficiency off the standard's); for EXTERNAL
+ * conformant streams a wrong init constant desynchronizes the
+ * arithmetic decoder and corrupts pixels, and with no conformance
+ * bitstreams available in this environment that path is unproven
+ * beyond CabacSpec's hand-derived arithmetic-level golden vectors
+ * (which pin the engine but not every table row).
  *
  * Reference behaviors modeled on the published spec only.
  */

@@ -24,9 +24,11 @@ package graft.multimodal
  *    the fixture encoders run this as a whole-picture post-pass.
  *
  * The alpha/beta/tC0 constants are transcribed from Tables 8-16 and
- * 8-17; like the CABAC init tables, both coder halves share this one
- * transcription, so encode↔decode bit-exactness (H264Spec/CabacSpec)
- * holds independently of it.
+ * 8-17. Both coder halves share this one transcription, so the
+ * fixture encode↔decode round-trips (H264Spec/CabacSpec) are
+ * bit-exact independently of it — but decoding EXTERNAL conformant
+ * streams requires the exact published values, so H264DeblockSpec
+ * pins spot rows of all three tC0 columns against the spec table.
  */
 private[graft] object H264Deblock {
 
@@ -43,26 +45,29 @@ private[graft] object H264Deblock {
     16, 16, 17, 17, 18, 18)
 
   // Table 8-17: tC0 columns for bS 1..3 (bS 4 edges use the strong
-  // filter, no tC0). All three columns are one transcription shared
-  // by both encode and decode fixtures, so encode↔decode
-  // bit-exactness holds independently of it; the bS=3 column predates
-  // the inter work and the bS=1/2 columns follow the same table rows.
+  // filter, no tC0). Verbatim re-transcription of the spec table
+  // (round 17 — the previous transcription had shifted first-nonzero
+  // rows and invented tail values in all three columns). Fixture
+  // encode↔decode round-trips share this transcription and so stay
+  // bit-exact either way; EXTERNAL conformant streams require these
+  // exact values, which H264DeblockSpec now pins against spot rows
+  // of the published table (e.g. indexA 36 → (2,3,4), 51 → (13,17,25)).
   private val tc0Bs1: Array[Int] = Array(
     0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
-    0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
-    2, 2, 2, 2, 3, 3, 3, 4, 4, 5, 6, 6, 7, 8,
-    9, 10, 11, 13, 14, 16)
+    0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 2, 2, 2, 2, 3, 3, 3, 4, 4, 4, 5, 6, 6,
+    7, 8, 9, 10, 11, 13)
   private val tc0Bs2: Array[Int] = Array(
     0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
-    0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3,
-    3, 3, 4, 4, 5, 5, 6, 7, 8, 9, 10, 11, 13, 14,
-    16, 18, 20, 23, 25, 27)
+    0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2,
+    2, 2, 2, 3, 3, 3, 4, 4, 4, 5, 5, 6, 7, 8,
+    9, 10, 11, 13, 15, 17)
   private val tc0Bs3: Array[Int] = Array(
     0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
-    1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 4, 4,
-    4, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20,
-    23, 25, 27, 30, 33, 36)
-  private def tc0For(bs: Int, indexA: Int): Int = bs match {
+    0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3,
+    3, 3, 4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13,
+    14, 16, 18, 20, 23, 25)
+  private[graft] def tc0For(bs: Int, indexA: Int): Int = bs match {
     case 1 => tc0Bs1(indexA)
     case 2 => tc0Bs2(indexA)
     case _ => tc0Bs3(indexA)

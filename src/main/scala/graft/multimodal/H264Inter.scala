@@ -1338,7 +1338,8 @@ private[graft] object H264Inter {
                 curPoc: Int = 0,
                 pw0: PredWeights = null,
                 pw1: PredWeights = null,
-                implicitBi: Boolean = false): Int = {
+                implicitBi: Boolean = false,
+                direct8x8Inference: Boolean = true): Int = {
     val mbX = mbIdx % ctx.wMbs; val mbY = mbIdx / ctx.wMbs
     ctx.sliceId(mbIdx) = sliceId
     ctx.is8x8(mbIdx) = false
@@ -1449,11 +1450,14 @@ private[graft] object H264Inter {
     val cbp = interCbpFromCode(code)
     val cbpLuma = cbp & 15; val cbpChroma = cbp >> 4
     require(cbpChroma <= 2, s"cbp chroma $cbpChroma")
-    // §7.3.5: direct 16x16 needs direct_8x8_inference (our SPS rule);
-    // B_8x8 must have no sub-partition below 8x8 (direct subs count
-    // as 8x8 under inference)
+    // §7.3.5: B_Direct_16x16 carries transform_size_8x8_flag only
+    // under direct_8x8_inference (threaded from the SPS; the slice
+    // header separately names inference=0 unsupported, so the flag
+    // is true on every path that reaches here today); B_8x8 must
+    // have no sub-partition below 8x8 (direct subs count as 8x8
+    // under inference)
     val t8Allowed = p.transform8x8 && cbpLuma != 0 &&
-      (mbType != 0 || true) &&
+      (mbType != 0 || direct8x8Inference) &&
       (!is8x8Mb || subTypes.forall(st => st <= 3))
     val use8 = t8Allowed && r.u(1) == 1
     ctx.is8x8(mbIdx) = use8

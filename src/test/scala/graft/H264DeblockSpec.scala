@@ -156,4 +156,29 @@ class H264DeblockSpec extends SparkSpec {
     val ctx = new H264Mb.PicCtx(2, 2)
     assert(ctx.cbpLumaArr.length == 4 && ctx.chromaModeArr.length == 4)
   }
+
+  test("Table 8-17 tC0 columns pin spot rows of the published table") {
+    // (indexA, tC0 for bS=1, bS=2, bS=3) — rows copied digit-for-digit
+    // from ITU-T H.264 Table 8-17. These catch any re-transcription
+    // drift that fixture round-trips (which share the table between
+    // encoder and decoder) structurally cannot.
+    val rows = Seq(
+      (15, 0, 0, 0), (16, 0, 0, 0),
+      (17, 0, 0, 1),  // first nonzero of the bS=3 column
+      (20, 0, 0, 1),
+      (21, 0, 1, 1),  // first nonzero of the bS=2 column
+      (22, 0, 1, 1),
+      (23, 1, 1, 1),  // first nonzero of the bS=1 column
+      (26, 1, 1, 1), (27, 1, 1, 2), (30, 1, 1, 2),
+      (31, 1, 2, 3), (33, 2, 2, 3), (34, 2, 2, 4),
+      (36, 2, 3, 4), (37, 3, 3, 5), (38, 3, 4, 6),
+      (40, 4, 4, 7), (42, 4, 5, 9), (43, 5, 6, 10),
+      (45, 6, 8, 13), (47, 8, 10, 16), (48, 9, 11, 18),
+      (49, 10, 13, 20), (50, 11, 15, 23), (51, 13, 17, 25))
+    rows.foreach { case (idxA, t1, t2, t3) =>
+      assert(H264Deblock.tc0For(1, idxA) == t1, s"bS=1 indexA=$idxA")
+      assert(H264Deblock.tc0For(2, idxA) == t2, s"bS=2 indexA=$idxA")
+      assert(H264Deblock.tc0For(3, idxA) == t3, s"bS=3 indexA=$idxA")
+    }
+  }
 }

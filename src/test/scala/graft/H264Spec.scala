@@ -369,4 +369,66 @@ class H264Spec extends SparkSpec {
       assert(ham > 8, s"contents $i/$j only $ham bits apart")
     }
   }
+
+  test("unsupported ref-pic marking skips the PICTURE, not the " +
+      "stream (§7.3.3.3 degrade contract)") {
+    def nal(refIdc: Int, typ: Int, rbsp: Array[Byte]): Array[Byte] =
+      Array[Byte](0, 0, 0, 1, ((refIdc << 5) | typ).toByte) ++
+        H264.rbspToEbsp(rbsp)
+    // pocType 2 SPS: no poc fields in the slice header, 16x16 frame
+    val sps = { val w = new H264.BitWriter()
+      w.u(66, 8); w.u(0, 8); w.u(40, 8)
+      w.ue(0)    // sps id
+      w.ue(0)    // log2_max_frame_num_minus4
+      w.ue(2)    // pic_order_cnt_type 2
+      w.ue(1)    // max_num_ref_frames
+      w.u(0, 1)  // gaps flag
+      w.ue(0); w.ue(0) // 1x1 macroblocks
+      w.u(1, 1)  // frame_mbs_only
+      w.u(1, 1)  // direct_8x8_inference
+      w.u(0, 1)  // no crop
+      w.u(0, 1)  // no vui
+      w.trailingBits(); w.toBytes }
+    val pps = { val w = new H264.BitWriter()
+      w.ue(0); w.ue(0) // pps id, sps id
+      w.u(0, 1) // CAVLC
+      w.u(0, 1) // bottom_field_pic_order_in_frame_present
+      w.ue(0)   // one slice group
+      w.ue(0); w.ue(0) // ref idx defaults
+      w.u(0, 1); w.u(0, 2) // weighted pred
+      w.se(0); w.se(0); w.se(0) // qp/qs/chroma offsets
+      w.u(0, 1); w.u(0, 1); w.u(0, 1) // deblock/constrained/redundant
+      w.trailingBits(); w.toBytes }
+    def iPcmSlice(idr: Boolean, idrId: Int, frameNum: Int,
+                  ltOrMmcoFlag: Int, lum: Int): Array[Byte] = {
+      val w = new H264.BitWriter()
+      w.ue(0)   // first_mb_in_slice
+      w.ue(7)   // slice_type I
+      w.ue(0)   // pps id
+      w.u(frameNum, 4)
+      if (idr) { w.ue(idrId); w.u(0, 1); w.u(ltOrMmcoFlag, 1) }
+      else w.u(ltOrMmcoFlag, 1) // adaptive_ref_pic_marking_mode_flag
+      w.se(0)   // slice_qp_delta
+      w.ue(25)  // mb_type I_PCM
+      w.alignZero()
+      (0 until 256).foreach(_ => w.u(lum, 8))
+      (0 until 128).foreach(_ => w.u(128, 8))
+      w.trailingBits(); w.toBytes }
+    // case 1: IDR marks itself long-term → that picture skipped,
+    // the NEXT IDR still decodes (stream survives)
+    val s1 = nal(3, 7, sps) ++ nal(3, 8, pps) ++
+      nal(3, 5, iPcmSlice(idr = true, 0, 0, ltOrMmcoFlag = 1, 50)) ++
+      nal(3, 5, iPcmSlice(idr = true, 1, 0, ltOrMmcoFlag = 0, 200))
+    val f1 = H264.decodeFrames(s1)
+    assert(f1.length == 1)
+    assert((f1.head._3(0) >> 16 & 0xFF) > 150, "surviving IDR is the bright one")
+    // case 2: non-IDR reference picture with MMCO → skipped, the
+    // preceding IDR's frame still comes out
+    val s2 = nal(3, 7, sps) ++ nal(3, 8, pps) ++
+      nal(3, 5, iPcmSlice(idr = true, 0, 0, ltOrMmcoFlag = 0, 50)) ++
+      nal(2, 1, iPcmSlice(idr = false, 0, 1, ltOrMmcoFlag = 1, 200))
+    val f2 = H264.decodeFrames(s2)
+    assert(f2.length == 1)
+    assert((f2.head._3(0) >> 16 & 0xFF) < 150, "surviving picture is the IDR")
+  }
 }
