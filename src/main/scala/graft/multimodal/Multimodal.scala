@@ -97,11 +97,14 @@ object FrameDecoder {
  * RMS features, ZCR fingerprints, constellation landmarks, persisted
  * indexes, streaming ingest — is codec-agnostic and untouched.
  *
- * The built-in path is WAV/PCM only (JDK `javax.sound.sampled`).
- * Compressed formats (MP3/AAC/Ogg/FLAC) are NOT decoded natively and
- * never will be faked: their Huffman codebooks and synthesis windows
- * ARE the bitstream — a from-memory transcription decodes real files
- * to garbage while appearing to work (SURVEY §8). Instead they fail
+ * Built-in paths: WAV/PCM (JDK `javax.sound.sampled`) and FLAC
+ * ([[Flac]] — lossless, so the in-stream CRCs + MD5 signature verify
+ * every decode; see that module for why FLAC is exempt from the
+ * constants-are-never-invented rule). Lossy formats (MP3/AAC/Ogg
+ * Vorbis) are NOT decoded natively and never will be faked: their
+ * Huffman codebooks and synthesis windows ARE the bitstream — a
+ * from-memory transcription decodes real files to garbage while
+ * appearing to work (SURVEY §8). Instead they fail
  * with a NAMED error that names this binding point: set the JVM
  * system property `graft.audio.decoder=com.example.Mp3Decoder` (on a
  * cluster: `spark.driver.extraJavaOptions` AND
@@ -155,8 +158,6 @@ object AudioDecoder {
       "MP3 (frame sync)"
     else if (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')
       "Ogg"
-    else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
-      "FLAC"
     else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' &&
       b(6) == 'y' && b(7) == 'p') "MP4/M4A container"
     else "unrecognized format"
@@ -166,15 +167,17 @@ object AudioDecoder {
       b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
       b(11) == 'E'
 
-  /** The default: WAV payloads decode through [[Wav]]; anything else
-    * is a NAMED error pointing at [[PropKey]] — never a fake decode. */
+  /** The default: WAV payloads decode through [[Wav]], FLAC through
+    * [[Flac]] (CRC+MD5-verified lossless decode); anything else is a
+    * NAMED error pointing at [[PropKey]] — never a fake decode. */
   object Auto extends AudioDecoder {
     def samples(bytes: Array[Byte]): (Int, Array[Double]) =
       if (looksLikeWav(bytes)) Wav.samples(bytes)
+      else if (Flac.looksLikeFlac(bytes)) Flac.samples(bytes)
       else throw new IllegalArgumentException(
         s"compressed audio (${formatName(bytes)}) needs an external " +
           s"AudioDecoder binding — set -D$PropKey=<class>; the " +
-          "built-in path is WAV/PCM only")
+          "built-in paths are WAV/PCM and FLAC only")
   }
 
   @volatile private var cached: (String, AudioDecoder) = ("", Auto)
@@ -1512,6 +1515,26 @@ object Multimodal {
   }
 
   /**
+   * [[syntheticAudioCorpus]] with every payload FLAC-encoded
+   * ([[Flac.fromPcm16]]) instead of WAV-wrapped — SAME tone
+   * sequences, so every downstream fingerprint is sample-identical
+   * to the WAV corpus (FLAC is lossless) and the q_audio_fp_dedup
+   * oracle transfers VERBATIM. This is the codec-agnosticism
+   * contract for the audio family: the LibriSpeech/MLS-class corpora
+   * real pipelines ingest ship as FLAC.
+   */
+  def syntheticAudioCorpusFlac(spark: SparkSession, nContents: Int,
+                               copies: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(nContents.toLong * copies).as[Long].map { id =>
+      val content = id % nContents
+      MediaRow(id, "audio",
+        Flac.fromPcm16(toneSequencePcm(content), 16000),
+        MediaMeta(0, 0, 16000, 1))
+    }
+  }
+
+  /**
    * Deterministic video corpus with planted duplicates — the
    * [[syntheticImageCorpus]] construction over real MJPEG payloads
    * (`media_id % nContents` = content; copies are byte-identical, so
@@ -1776,7 +1799,11 @@ object Multimodal {
     * content-seeded mix — a coarse "melody" the ZCR fingerprint
     * reads back. */
   private def toneSequenceWav(content: Long,
-                              sampleRate: Int = 16000): Array[Byte] = {
+                              sampleRate: Int = 16000): Array[Byte] =
+    wavFromPcm(toneSequencePcm(content, sampleRate), sampleRate)
+
+  private[multimodal] def toneSequencePcm(content: Long,
+                                          sampleRate: Int = 16000): Array[Byte] = {
     val segs = 64
     val n = sampleRate
     val perSeg = n / segs
@@ -1797,7 +1824,7 @@ object Multimodal {
       }
       s += 1
     }
-    wavFromPcm(pcm, sampleRate)
+    pcm
   }
 
   /** 16-bit mono little-endian PCM bytes → a real WAV container. */
@@ -1882,6 +1909,30 @@ object Multimodal {
         new Array[Byte](4096 * 2) ++ melody
       } else melody
       MediaRow(id, "audio", wavFromPcm(pcm, 16000),
+        MediaMeta(0, 0, 16000, 1))
+    }
+  }
+
+  /**
+   * [[syntheticShiftedAudioCorpus]] (noise-free form) with every
+   * payload FLAC-encoded — same melodies, same 4096-sample leading
+   * silence on the 1000+c copies, so the constellation offset-voting
+   * oracle transfers VERBATIM (lossless decode ⇒ identical STFT ⇒
+   * identical landmarks and votes).
+   */
+  def syntheticShiftedAudioCorpusFlac(spark: SparkSession,
+                                      nContents: Int,
+                                      nShifted: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    require(nShifted <= nContents, "shifted copies need a source")
+    val ids = spark.range(nContents.toLong)
+      .union(spark.range(1000L, 1000L + nShifted)).as[Long]
+    ids.map { id =>
+      val content = if (id >= 1000L) id - 1000L else id
+      val melody = melodyPcm(content)
+      val pcm =
+        if (id >= 1000L) new Array[Byte](4096 * 2) ++ melody else melody
+      MediaRow(id, "audio", Flac.fromPcm16(pcm, 16000),
         MediaMeta(0, 0, 16000, 1))
     }
   }
