@@ -49,6 +49,72 @@ private[graft] object RegistryRound17 {
           .select(col("id_a"), col("id_b"))
       },
       Some("""SELECT i AS id_a, i + 1000 AS id_b
-              FROM generate_series(0, 9) t(i)"""))
+              FROM generate_series(0, 9) t(i)""")),
+
+    // PDF text extraction: each document is rendered into a
+    // spec-valid fixture PDF (graft.sources.Pdf.buildPdf — an
+    // independent writer) cycling through the three xref layouts real
+    // corpora carry (classic table / classic + FlateDecode content /
+    // xref stream + ObjStm, chosen by doc_id % 3), then extracted
+    // back through the full parser (xref chain, filters, page walk,
+    // WinAnsi fonts, Tj/TJ with kerning-gap spaces). The oracle is
+    // ANALYTIC — the expected text is written directly from the
+    // source columns, so a writer/parser bug pair cannot cancel out
+    // the way a parse-replay oracle would let it
+    Q("q_pdf_extract",
+      (s, d) => {
+        import s.implicits._
+        val docs = s.read.parquet(pq(d, "documents"))
+          .where(col("doc_id") < 150)
+          .select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)]
+        docs.map { case (id, src, txt) =>
+          val pdf = graft.sources.Pdf.buildPdf(src, txt, (id % 3).toInt)
+          (id, graft.sources.Pdf.extractText(pdf))
+        }.toDF("doc_id", "extracted")
+      },
+      Some("""SELECT doc_id, source || chr(10) || text AS extracted
+              FROM documents WHERE doc_id < 150""")),
+
+    // DOCX text extraction: q_pdf_extract's construction for the
+    // other document format — each document rendered into a minimal
+    // valid OOXML archive (graft.sources.Docx.buildDocx), split-run
+    // bodies (the shape real editors produce) on odd ids, extracted
+    // back through ZIP + StAX (DTD off). Same ANALYTIC oracle
+    Q("q_docx_extract",
+      (s, d) => {
+        import s.implicits._
+        val docs = s.read.parquet(pq(d, "documents"))
+          .where(col("doc_id") < 150)
+          .select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)]
+        docs.map { case (id, src, txt) =>
+          val docx = graft.sources.Docx.buildDocx(src, txt,
+            splitRuns = id % 2 == 1)
+          (id, graft.sources.Docx.extractText(docx))
+        }.toDF("doc_id", "extracted")
+      },
+      Some("""SELECT doc_id, source || chr(10) || text AS extracted
+              FROM documents WHERE doc_id < 150""")),
+
+    // EXIF-orientation-normalized pHash: q_image_phash_dedup's
+    // construction and oracle VERBATIM, but copy set 1 is stored
+    // rotated 90° CCW under orientation tag 6 and copy set 2 rotated
+    // 180° under tag 3 (the phone-photo re-upload shape ImageIO
+    // ignores). Lossless PNG + eXIf planting ⇒ normalization
+    // recovers pixel-identical images ⇒ planted pairs at Hamming 0;
+    // without the normalization the rotated copies hash far away
+    // (MultimodalSpec pins that miss)
+    Q("q_image_phash_dedup_exif",
+      (s, d) => {
+        import graft.multimodal.Multimodal
+        Multimodal.imageNearDuplicates(
+          Multimodal.syntheticImageCorpusExif(s, nContents = 60,
+            copies = 3), maxHamming = 4)
+      },
+      Some("""SELECT a.i AS id_a, b.i AS id_b, 0 AS hamming
+              FROM generate_series(0, 179) a(i)
+                JOIN generate_series(0, 179) b(i)
+                ON a.i < b.i AND a.i % 60 = b.i % 60"""))
   )
 }

@@ -399,7 +399,14 @@ object Multimodal {
      * sharing its Manku blocking downstream.
      */
     def imagePHash(bytes: Array[Byte]): Long = {
-      val img = ImageDecoder.resolve().image(bytes)
+      val raw = ImageDecoder.resolve().image(bytes)
+      // EXIF-orientation normalization (round 17): a rotated
+      // re-upload (orientation 3/6/8 — most phone photos) must hash
+      // WITH its tag applied, or it lands far from its original.
+      // ImageIO ignores the tag; Exif.orientation walks it out of
+      // the JPEG APP1 / PNG eXIf block, defaulting to 1 on anything
+      // unparseable.
+      val img = Exif.normalize(raw, Exif.orientation(bytes))
       val w = img.getWidth
       val h = img.getHeight
       val n = 32
@@ -1185,6 +1192,41 @@ object Multimodal {
       val h = 64 + (content % 3).toInt * 16
       MediaRow(id, "image", syntheticPng(content, w, h),
         MediaMeta(w, h, 0, 1))
+    }
+  }
+
+  /**
+   * [[syntheticImageCorpus]] with EXIF-rotated copies: copy set 1
+   * stores each content's pixels rotated 90° CCW and tags
+   * orientation 6 (rotate-90-CW-to-display), copy set 2 stores them
+   * rotated 180° with orientation 3 — the phone-photo re-upload
+   * shape. PNG + eXIf chunk keeps the planting LOSSLESS, so after
+   * [[Exif.normalize]] every copy's pixels are IDENTICAL to the
+   * upright original and the planted pairs sit at pHash Hamming 0 —
+   * the q_image_phash_dedup oracle transfers verbatim. (The JPEG
+   * APP1 leg of the same walk is pinned in MultimodalSpec, where
+   * lossy re-encode keeps it out of the exact oracle.)
+   */
+  def syntheticImageCorpusExif(spark: SparkSession, nContents: Int,
+                               copies: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    require(copies <= 3, "fixture defines orientations for 3 copy sets")
+    spark.range(nContents.toLong * copies).as[Long].map { id =>
+      val content = id % nContents
+      val w = 64 + (content % 4).toInt * 16
+      val h = 64 + (content % 3).toInt * 16
+      val upright = syntheticPng(content, w, h)
+      val copySet = (id / nContents).toInt
+      val bytes = if (copySet == 0) upright else {
+        val o = if (copySet == 1) 6 else 3
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(upright))
+        val stored = Exif.denormalize(img, o)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(stored, "png", out)
+        Exif.withOrientationPng(out.toByteArray, o)
+      }
+      MediaRow(id, "image", bytes, MediaMeta(w, h, 0, 1))
     }
   }
 

@@ -50,7 +50,41 @@ object Bucketed {
   private def qs(s: String): String =
     s.replace("\\", "\\\\").replace("'", "\\'")
 
-  /** Idempotently attach an external bucketed table over `path`.
+  /**
+   * Resolve the LIVE data directory under a logical table path.
+   * Bucketed data lives in versioned subdirectories (`<path>/v0`,
+   * `<path>/v1`, …) named by an atomic-rename-committed `_CURRENT`
+   * pointer file — the ChunkIndex publish discipline, which is what
+   * makes [[compact]] reader-atomic: a publish flips the pointer (and
+   * the catalog location) without ever touching the files a running
+   * query already listed. A path without a pointer (the pre-pointer
+   * layout, or a directory of foreign parquet files) resolves to
+   * itself.
+   */
+  def dataLocation(path: String): String = {
+    val ptr = new java.io.File(path, "_CURRENT")
+    if (ptr.isFile) {
+      val v = new String(java.nio.file.Files.readAllBytes(ptr.toPath),
+        "UTF-8").trim
+      if (v.nonEmpty) new java.io.File(path, v).getPath else path
+    } else path
+  }
+
+  /** Commit the `_CURRENT` pointer via write-temp + atomic rename —
+    * a concurrent [[dataLocation]] sees the complete old or complete
+    * new pointer, never a torn one. */
+  private def commitPointer(path: String, version: String): Unit = {
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    val tmp = new java.io.File(dir, "_CURRENT.tmp")
+    java.nio.file.Files.write(tmp.toPath, version.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(dir, "_CURRENT").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Idempotently attach an external bucketed table over `path`
+    * (resolved through [[dataLocation]]'s pointer when present).
     * `schemaDdl` is `df.schema.toDDL` (already identifier-quoted by
     * Spark); the spec must match what the files were written with
     * (see [[writeBucketed]]). Table/column names and the path are
@@ -58,12 +92,21 @@ object Bucketed {
   def register(spark: SparkSession, table: String, schemaDdl: String,
                bucketCol: String, buckets: Int, sortCol: String,
                path: String): Unit =
+    registerAt(spark, table, schemaDdl, bucketCol, buckets, sortCol,
+      dataLocation(path))
+
+  /** [[register]] against an EXACT directory, no pointer resolution —
+    * the private leg [[compact]] uses for version-dir side writes. */
+  private def registerAt(spark: SparkSession, table: String,
+                         schemaDdl: String, bucketCol: String,
+                         buckets: Int, sortCol: String,
+                         location: String): Unit =
     spark.sql(
       s"""CREATE TABLE IF NOT EXISTS ${qi(table)} ($schemaDdl)
           USING PARQUET
           CLUSTERED BY (${qi(bucketCol)}) SORTED BY (${qi(sortCol)})
           INTO $buckets BUCKETS
-          LOCATION '${qs(path)}'""")
+          LOCATION '${qs(location)}'""")
 
   /**
    * Write `df` as an external bucketed table at `path` and return
@@ -77,6 +120,9 @@ object Bucketed {
     val spark = df.sparkSession
     val table = tableName(prefix, path)
     val sort = if (sortCol == null) bucketCol else sortCol
+    // a first write establishes the versioned layout (v0 + pointer)
+    if (!new java.io.File(path, "_CURRENT").isFile)
+      commitPointer(path, "v0")
     register(spark, table, df.schema.toDDL, bucketCol, buckets, sort,
       path)
     df.createOrReplaceTempView(s"${table}_src")
@@ -118,21 +164,52 @@ object Bucketed {
    * file per bucket: the steady-state maintenance the append path
    * creates a need for — without it, a 1000-batch corpus pays a
    * 1000-file-per-bucket scan and the sort-merge join re-sorts
-   * forever. Sequence: materialize a compacted copy into a side
-   * directory THROUGH the bucketed writer (pre-partitioned on the
-   * bucket column so each task owns exactly one bucket → one file),
-   * then swap directories and refresh — the original table's catalog
-   * entry (location-keyed) now serves the compacted files. The swap
-   * is not atomic for concurrent READERS on a plain filesystem;
-   * serialize compaction with queries the way appends are
-   * serialized (or use a real table format for that guarantee).
+   * forever.
+   *
+   * The publish is READER-ATOMIC via the ChunkIndex discipline
+   * (versioned directory + commit pointer), replacing the round-16
+   * rename dance that could fail a query racing the swap:
+   *  1. materialize the compacted copy into the NEXT version
+   *    directory (`<path>/vN+1`) through the bucketed writer
+   *    (pre-partitioned on the bucket column so each task owns
+   *    exactly one bucket → one file);
+   *  2. flip the table's catalog location (`ALTER TABLE ... SET
+   *    LOCATION`) and commit the `_CURRENT` pointer by atomic
+   *    rename — new plans resolve the compacted files;
+   *  3. the PREVIOUS version's files are NOT deleted: a reader that
+   *    planned before the flip keeps its file list valid to the end
+   *    of its query. Superseded versions are garbage-collected one
+   *    compact LATER (the grace window is a full compact cycle);
+   *    BucketedSpec pins a reader planned pre-compact collecting
+   *    correctly post-compact.
+   * Appends racing a compact still need external serialization (the
+   * append lands in the version being retired) — same contract as
+   * appendBucketed's writer-side discipline.
    */
   def compact(spark: SparkSession, prefix: String, schemaDdl: String,
               bucketCol: String, buckets: Int, sortCol: String,
               path: String): Unit = {
     val df = attach(spark, prefix, schemaDdl, bucketCol, buckets,
       sortCol, path)
-    val tmpPath = path + ".compact"
+    val table = tableName(prefix, path)
+    val curLoc = dataLocation(path)
+    val curName = new java.io.File(curLoc).getName
+    val curVer =
+      if (curLoc != path && curName.startsWith("v") &&
+        curName.drop(1).nonEmpty && curName.drop(1).forall(_.isDigit))
+        curName.drop(1).toInt
+      else -1 // pre-pointer layout: data sits in `path` itself
+    // never reuse an existing version dir (a crashed half-publish may
+    // have left one newer than the pointer — and possibly already
+    // serving this session's catalog entry)
+    val maxVer = Option(new java.io.File(path).listFiles)
+      .map(_.toSeq.collect {
+        case f if f.isDirectory && f.getName.startsWith("v") &&
+          f.getName.drop(1).nonEmpty &&
+          f.getName.drop(1).forall(_.isDigit) => f.getName.drop(1).toInt
+      }).getOrElse(Seq.empty).maxOption.getOrElse(-1)
+    val newVerName = s"v${math.max(curVer, maxVer) + 1}"
+    val newLoc = new java.io.File(path, newVerName).getPath
     // One file per bucket needs each write task to own exactly one
     // bucket. The clean way is reading the SOURCE through its
     // bucketed scan (4 aligned partitions); the planner interplay
@@ -151,41 +228,48 @@ object Bucketed {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set(
       "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    val tmpTable =
-      try writeBucketed(
-        df.repartition(buckets, org.apache.spark.sql.functions
-          .col(bucketCol)),
-        prefix + "_compact", tmpPath, bucketCol, buckets, sortCol)
-      finally {
-        spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-        spark.conf.set(
-          "spark.sql.sources.bucketing.autoBucketedScan.enabled",
-          absBefore)
-      }
-    // swap: originals step ASIDE first (never deleted before the
-    // compacted copy is in place — a failed rename leaves both copies
-    // on disk, recoverable), then the compacted dir takes the
-    // location, then the originals go
-    val fs = new java.io.File(path)
-    val tmp = new java.io.File(tmpPath)
-    val old = new java.io.File(path + ".precompact")
-    def rmr(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rmr))
+    val sort = if (sortCol == null) bucketCol else sortCol
+    val tmpTable = tableName(s"${prefix}_compact_$newVerName", path)
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS ${qi(tmpTable)}")
+      registerAt(spark, tmpTable, schemaDdl, bucketCol, buckets, sort,
+        newLoc)
+      df.repartition(buckets,
+          org.apache.spark.sql.functions.col(bucketCol))
+        .createOrReplaceTempView(s"${tmpTable}_src")
+      spark.sql(s"INSERT OVERWRITE TABLE ${qi(tmpTable)} " +
+        s"SELECT * FROM ${qi(tmpTable + "_src")}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        absBefore)
+    }
+    // PUBLISH: catalog location flip (this session's planner), then
+    // the pointer commit (future sessions' register). Neither step
+    // touches the retiring version's files, so plans built before
+    // this line keep reading a complete, consistent snapshot.
+    spark.sql(s"ALTER TABLE ${qi(table)} SET LOCATION '${qs(newLoc)}'")
+    commitPointer(path, newVerName)
+    spark.sql(s"DROP TABLE IF EXISTS ${qi(tmpTable)}")
+    spark.catalog.refreshTable(table)
+    // grace-deferred GC: versions OLDER than the one just retired
+    // (and, once the first versioned compact has landed, data files
+    // of the pre-pointer root layout). The just-retired version stays
+    // for one full compact cycle — the pinned-reader window.
+    def rmrGc(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmrGc))
       f.delete(); ()
     }
-    rmr(old) // a previous failed swap's leftover
-    require(fs.renameTo(old), s"compact swap failed: $path aside")
-    if (!tmp.renameTo(fs)) {
-      old.renameTo(fs) // roll back; originals intact
-      throw new IllegalStateException(
-        s"compact swap failed: $tmpPath -> $path (rolled back)")
-    }
-    rmr(old)
-    spark.sql(s"DROP TABLE IF EXISTS ${qi(tmpTable)}")
-    // both caches go stale at the swap: the path's shared file-status
-    // cache AND the original table's relation cache
-    spark.catalog.refreshByPath(path)
-    spark.catalog.refreshTable(tableName(prefix, path))
+    Option(new java.io.File(path).listFiles).foreach(_.foreach { f =>
+      val n = f.getName
+      val oldVersion = f.isDirectory && n.startsWith("v") &&
+        n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit) &&
+        n.drop(1).toInt < curVer
+      val legacyRootData = curVer >= 0 && curLoc != path && f.isFile &&
+        !n.startsWith("_") && !n.startsWith(".")
+      if (oldVersion || legacyRootData) rmrGc(f)
+    })
   }
 
   /** Re-attach (or no-op if already attached) a table previously

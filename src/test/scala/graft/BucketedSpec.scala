@@ -60,8 +60,9 @@ class BucketedSpec extends SparkSpec {
         "neither bucketed side may shuffle")
     } finally spark.conf.set("spark.sql.adaptive.enabled", before)
     // values: identical to the unbucketed join over the same rows
-    val facts = spark.read.parquet(fp)
-    val dims = spark.read.parquet(dp)
+    // (raw reads resolve the versioned data dir via the pointer)
+    val facts = spark.read.parquet(Bucketed.dataLocation(fp))
+    val dims = spark.read.parquet(Bucketed.dataLocation(dp))
     val expect = facts.join(dims, facts("k") === dims("k2"))
       .groupBy($"grp", $"status").agg(sum($"v").as("sv"),
         count(lit(1)).as("n"))
@@ -165,16 +166,36 @@ class BucketedSpec extends SparkSpec {
       Option(new java.io.File(dir).listFiles).map(_.count(f =>
         f.isFile && !f.getName.startsWith("_") &&
           !f.getName.startsWith("."))).getOrElse(0)
-    val before = dataFiles(fp)
+    val before = dataFiles(Bucketed.dataLocation(fp))
     assert(before >= 4 + 5 * 4 - 8, s"appends must add files ($before)")
-    val sumBefore = spark.read.parquet(fp).agg(sum($"v"))
-      .collect()(0).getLong(0)
+    val sumBefore = spark.read.parquet(Bucketed.dataLocation(fp))
+      .agg(sum($"v")).collect()(0).getLong(0)
+    // pin a reader BEFORE the compact: its plan has already resolved
+    // the current version's file list
+    val pinned = Bucketed.attach(spark, "bspec_facts",
+      "k BIGINT, v INT, grp STRING", "k", 4, "k", fp)
+    val pinnedPlanned = pinned.groupBy().agg(sum($"v").as("sv"))
     Bucketed.compact(spark, "bspec_facts",
       "k BIGINT, v INT, grp STRING", "k", 4, "k", fp)
-    val after = dataFiles(fp)
+    val after = dataFiles(Bucketed.dataLocation(fp))
     assert(after <= 4, s"compact must leave ~one file per bucket ($after)")
-    assert(spark.read.parquet(fp).agg(sum($"v"))
+    assert(spark.read.parquet(Bucketed.dataLocation(fp)).agg(sum($"v"))
       .collect()(0).getLong(0) == sumBefore, "values must survive")
+    // reader-atomicity: the pre-compact plan still collects correctly
+    // (the retired version's files survive the publish — the round-16
+    // rename dance failed exactly this)
+    assert(pinnedPlanned.collect()(0).getLong(0) == sumBefore,
+      "a reader planned before compact must survive the publish")
+    // grace GC: a SECOND compact retires the previous version and
+    // garbage-collects the one before it — at most current + grace
+    // versions remain
+    Bucketed.compact(spark, "bspec_facts",
+      "k BIGINT, v INT, grp STRING", "k", 4, "k", fp)
+    val vdirs = Option(new java.io.File(fp).listFiles).get
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(vdirs.length <= 2, s"grace GC must bound versions: $vdirs")
+    assert(spark.read.parquet(Bucketed.dataLocation(fp)).agg(sum($"v"))
+      .collect()(0).getLong(0) == sumBefore)
     // the catalog entry still serves the location: join exchange-free
     val df = joined(fp, dp)
     val beforeConf = spark.conf.get("spark.sql.adaptive.enabled", "true")

@@ -653,6 +653,93 @@ class MultimodalSpec extends SparkSpec {
     assert(none.columns.toSeq == Seq("new_id", "seen_id", "votes"))
     assert(none.count() == 0)
   }
+
+  // ---- EXIF orientation (round 17) ---------------------------------------
+
+  test("EXIF orientation: JPEG APP1 and PNG eXIf tags parse; absent " +
+      "or corrupt tags default to 1") {
+    import graft.multimodal.Exif
+    def pix(x: Int, y: Int): Int = ((x * 5 + y * 11) % 256) << 16
+    val jpeg = pngOf(pix, fmt = "jpg")
+    val png = pngOf(pix)
+    assert(Exif.orientation(jpeg) == 1)
+    assert(Exif.orientation(png) == 1)
+    (1 to 8).foreach { o =>
+      assert(Exif.orientation(Exif.withOrientationJpeg(jpeg, o)) == o,
+        s"jpeg orientation $o")
+      assert(Exif.orientation(Exif.withOrientationPng(png, o)) == o,
+        s"png orientation $o")
+    }
+    assert(Exif.orientation("garbage".getBytes) == 1)
+    assert(Exif.orientation(jpeg.take(3).toArray) == 1)
+  }
+
+  test("EXIF normalize/denormalize are exact inverses for all eight " +
+      "orientations") {
+    import graft.multimodal.Exif
+    val img = new java.awt.image.BufferedImage(40, 24,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 40; y <- 0 until 24)
+      img.setRGB(x, y, (x * 6553 + y * 271) & 0xFFFFFF)
+    (1 to 8).foreach { o =>
+      val back = Exif.normalize(Exif.denormalize(img, o), o)
+      assert(back.getWidth == 40 && back.getHeight == 24, s"dims o=$o")
+      for (x <- 0 until 40; y <- 0 until 24)
+        assert(back.getRGB(x, y) == img.getRGB(x, y),
+          s"pixel ($x,$y) under orientation $o")
+    }
+  }
+
+  test("a rotated re-upload collides with its original AFTER EXIF " +
+      "normalization, and provably misses without the tag (JPEG leg)") {
+    import graft.multimodal.Exif
+    // smooth content (JPEG-friendly): re-encode loss stays small
+    def pix(x: Int, y: Int): Int = {
+      val v = (math.sin(x * 0.11) * math.cos(y * 0.07) * 110 + 128).toInt
+      (v << 16) | ((255 - v) << 8) | ((v * 3 / 4 + 32) & 0xFF)
+    }
+    val upright = pngOf(pix, w = 96, h = 64, fmt = "jpg")
+    val h0 = Multimodal.Codec.imagePHash(upright)
+    Seq(3, 6, 8).foreach { o =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(upright))
+      val stored = Exif.denormalize(img, o)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(stored, "jpg", out)
+      val untagged = out.toByteArray
+      val tagged = Exif.withOrientationJpeg(untagged, o)
+      val hTagged = Multimodal.Codec.imagePHash(tagged)
+      val hUntagged = Multimodal.Codec.imagePHash(untagged)
+      val hitDist = java.lang.Long.bitCount(h0 ^ hTagged)
+      assert(hitDist <= 4,
+        s"orientation $o: tagged re-upload must collide (got $hitDist)")
+      if (o != 3) {
+        // 90°/270° rotations move the hash far without the tag — the
+        // miss this whole feature exists to close (180° can stay
+        // closer for near-symmetric content, so it is not pinned)
+        val missDist = java.lang.Long.bitCount(h0 ^ hUntagged)
+        assert(missDist > 8,
+          s"orientation $o: untagged rotation should miss ($missDist)")
+      }
+    }
+  }
+
+  test("EXIF image corpus: planted rotated copies collide at Hamming " +
+      "0 (lossless PNG leg), distinct contents stay far") {
+    val corpus = Multimodal.syntheticImageCorpusExif(spark,
+      nContents = 8, copies = 3)
+    val hashes = Multimodal.imageHashes(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hashes.size == 24)
+    (0 until 8).foreach { c =>
+      assert(hashes(c.toLong) == hashes(c + 8L), s"rot-90 copy of $c")
+      assert(hashes(c.toLong) == hashes(c + 16L), s"rot-180 copy of $c")
+    }
+    val distinct = (0 until 8).map(c => hashes(c.toLong))
+    for (i <- distinct.indices; j <- distinct.indices if i < j)
+      assert(java.lang.Long.bitCount(distinct(i) ^ distinct(j)) > 4,
+        s"contents $i/$j too close")
+  }
 }
 
 /** The fake external codec binding for the ImageDecoder SPI test:

@@ -1,0 +1,236 @@
+package graft
+
+import graft.sources.Pdf
+
+/**
+ * PDF text extraction: the three xref layouts (classic table, classic
+ * + Flate content, xref stream + ObjStm), literal-string escapes, TJ
+ * kerning spaces, multi-page walks with /Resources inheritance,
+ * incremental-update /Prev chains, /Differences + uniXXXX decoding,
+ * ToUnicode CMaps (the Type0 path), ASCIIHex/ASCII85 filters, NAMED
+ * errors (encrypted, LZW, CID-without-ToUnicode), truncation/garbage
+ * fuzz, and the quarantining Spark surface.
+ */
+class PdfSpec extends SparkSpec {
+
+  /** classic-xref assembler for hand-built documents: (num, body)
+    * pairs in order 1..n; body is everything between "N 0 obj" and
+    * "endobj". Returns (bytes, xrefOffset). */
+  private def classic(objs: Seq[Array[Byte]],
+                      trailerExtra: String = ""): (Array[Byte], Int) = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    val offs = objs.zipWithIndex.map { case (b, i) =>
+      val off = out.size()
+      w(s"${i + 1} 0 obj\n")
+      out.write(b, 0, b.length)
+      w("\nendobj\n")
+      off
+    }
+    val xref = out.size()
+    w(s"xref\n0 ${objs.length + 1}\n")
+    w("0000000000 65535 f \n")
+    offs.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R$trailerExtra >>\n")
+    w(s"startxref\n$xref\n%%EOF\n")
+    (out.toByteArray, xref)
+  }
+
+  private def s2b(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+
+  private def onePageObjs(fontBody: String, content: Array[Byte],
+                          contentDictExtra: String = ""): Seq[Array[Byte]] = Seq(
+    s2b("<< /Type /Catalog /Pages 2 0 R >>"),
+    s2b("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+    s2b("<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> " +
+      "/Contents 4 0 R >>"),
+    s2b(s"<< /Length ${content.length}$contentDictExtra >>\nstream\n") ++
+      content ++ s2b("\nendstream"),
+    s2b(fontBody))
+
+  test("all three builder variants extract to exactly title\\nbody, " +
+      "including parens, backslashes and runs of spaces") {
+    val cases = Seq(
+      ("Title one", "plain body text"),
+      ("T(paren)s", "body with (nested (parens)) and \\ backslash"),
+      ("multi  space", "a  double  and   triple   spaced body"))
+    for ((t, b) <- cases; v <- 0 to 2) {
+      val pdf = Pdf.buildPdf(t, b, v)
+      assert(Pdf.extractText(pdf) == s"$t\n$b", s"variant $v, title '$t'")
+    }
+  }
+
+  test("multi-page document walks the page tree in order; resources " +
+      "inherit from the /Pages node") {
+    val content1 = s2b("BT /F1 12 Tf 72 720 Td (page one) Tj ET")
+    val content2 = s2b("BT /F1 12 Tf 72 720 Td (page two) Tj ET")
+    val objs = Seq(
+      s2b("<< /Type /Catalog /Pages 2 0 R >>"),
+      // resources declared ONCE here, inherited by both pages
+      s2b("<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 " +
+        "/Resources << /Font << /F1 7 0 R >> >> >>"),
+      s2b("<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"),
+      s2b("<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>"),
+      s2b(s"<< /Length ${content1.length} >>\nstream\n") ++ content1 ++
+        s2b("\nendstream"),
+      s2b(s"<< /Length ${content2.length} >>\nstream\n") ++ content2 ++
+        s2b("\nendstream"),
+      s2b("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"))
+    val (pdf, _) = classic(objs)
+    assert(Pdf.extractText(pdf) == "page one\npage two")
+  }
+
+  test("incremental update (/Prev chain): the NEWEST xref section " +
+      "wins for overridden objects") {
+    val (base, oldXref) = {
+      val content = s2b("BT /F1 12 Tf 72 720 Td (original text) Tj ET")
+      classic(onePageObjs(
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>", content))
+    }
+    assert(Pdf.extractText(base) == "original text")
+    // append an updated content object 4 + a one-entry xref section
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, base.length)
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val newContent = s2b("BT /F1 12 Tf 72 720 Td (updated text) Tj ET")
+    val objOff = out.size()
+    w(s"4 0 obj\n<< /Length ${newContent.length} >>\nstream\n")
+    out.write(newContent, 0, newContent.length)
+    w("\nendstream\nendobj\n")
+    val xref = out.size()
+    w(s"xref\n4 1\n")
+    w(f"$objOff%010d 00000 n \n")
+    w(s"trailer\n<< /Size 6 /Root 1 0 R /Prev $oldXref >>\n")
+    w(s"startxref\n$xref\n%%EOF\n")
+    assert(Pdf.extractText(out.toByteArray) == "updated text")
+  }
+
+  test("/Differences remaps codes through glyph names and uniXXXX") {
+    // codes 65/66 ('A'/'B') remapped: A -> "0" (/zero), B -> U+0042
+    // via the uniXXXX convention (identity here, proving the path)
+    val content = s2b("BT /F1 12 Tf 72 720 Td (AB c) Tj ET")
+    val font = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding << /BaseEncoding /WinAnsiEncoding " +
+      "/Differences [65 /zero /uni0058] >> >>"
+    val (pdf, _) = classic(onePageObjs(font, content))
+    assert(Pdf.extractText(pdf) == "0X c")
+  }
+
+  test("Type0 font WITH ToUnicode decodes 2-byte codes; without it, " +
+      "a NAMED error") {
+    val cmap = s2b("""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def
+/CMapName /Adobe-Identity-UCS def
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+2 beginbfchar
+<0001> <0048>
+<0002> <0069>
+endbfchar
+1 beginbfrange
+<0010> <0012> <0041>
+endbfrange
+endcmap
+CMap defined
+end
+end""")
+    val content = s2b("BT /F1 12 Tf 72 720 Td <00010002> Tj 0 -14 Td " +
+      "<001000110012> Tj ET")
+    val objs = Seq(
+      s2b("<< /Type /Catalog /Pages 2 0 R >>"),
+      s2b("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      s2b("<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 5 0 R >> >> " +
+        "/Contents 4 0 R >>"),
+      s2b(s"<< /Length ${content.length} >>\nstream\n") ++ content ++
+        s2b("\nendstream"),
+      s2b("<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H " +
+        "/ToUnicode 6 0 R >>"),
+      s2b(s"<< /Length ${cmap.length} >>\nstream\n") ++ cmap ++
+        s2b("\nendstream"))
+    val (pdf, _) = classic(objs)
+    assert(Pdf.extractText(pdf) == "Hi\nABC")
+    // same document, ToUnicode dropped → named boundary
+    val objsNoTu = objs.updated(4,
+      s2b("<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H >>"))
+    val (bad, _) = classic(objsNoTu)
+    val e = intercept[IllegalArgumentException](Pdf.extractText(bad))
+    assert(e.getMessage.contains("ToUnicode"))
+  }
+
+  test("ASCIIHexDecode and ASCII85Decode content streams decode; " +
+      "LZW is a NAMED error") {
+    val plain = "BT /F1 12 Tf 72 720 Td (hex text) Tj ET"
+    val hex = plain.getBytes("ISO-8859-1")
+      .map(b => f"$b%02X").mkString(" ") + ">"
+    val font = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    val (pdfHex, _) = classic(onePageObjs(font, s2b(hex),
+      " /Filter /ASCIIHexDecode"))
+    assert(Pdf.extractText(pdfHex) == "hex text")
+    // ASCII85: encode by hand
+    def a85(data: Array[Byte]): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < data.length) {
+        val chunk = data.slice(i, i + 4)
+        val pad = 4 - chunk.length
+        val full = chunk ++ Array.fill(pad)(0.toByte)
+        var acc = 0L
+        full.foreach(b => acc = (acc << 8) | (b & 0xFF))
+        val cs = (0 until 5).map(k =>
+          ('!' + (acc / math.pow(85, 4 - k).toLong % 85)).toChar)
+        sb.append(cs.take(5 - pad).mkString)
+        i += 4
+      }
+      sb.append("~>")
+      sb.toString
+    }
+    val plain85 = "BT /F1 12 Tf 72 720 Td (a85 text) Tj ET"
+    val (pdf85, _) = classic(onePageObjs(font, s2b(a85(s2b(plain85))),
+      " /Filter /ASCII85Decode"))
+    assert(Pdf.extractText(pdf85) == "a85 text")
+    val (pdfLzw, _) = classic(onePageObjs(font, s2b("xx"),
+      " /Filter /LZWDecode"))
+    val e = intercept[IllegalArgumentException](Pdf.extractText(pdfLzw))
+    assert(e.getMessage.contains("LZWDecode"))
+  }
+
+  test("encrypted documents are a NAMED error, checked before any " +
+      "object decryption would be needed") {
+    val content = s2b("BT /F1 12 Tf 72 720 Td (secret) Tj ET")
+    val (pdf, _) = classic(onePageObjs(
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>", content),
+      trailerExtra = " /Encrypt 9 0 R")
+    val e = intercept[IllegalArgumentException](Pdf.extractText(pdf))
+    assert(e.getMessage.contains("encrypted"))
+  }
+
+  test("truncation and garbage never hang or silently succeed") {
+    val good = Pdf.buildPdf("a title", "a body", 2)
+    // (cutting only the %%EOF comment still parses — by design; these
+    // cuts all remove real structure: xref data, stream bodies, keys)
+    Seq(10, good.length / 3, good.length / 2, good.length - 60).foreach { n =>
+      intercept[Exception](Pdf.extractText(good.take(n)))
+    }
+    intercept[Exception](Pdf.extractText("not a pdf at all".getBytes))
+    intercept[Exception](Pdf.extractText(Array[Byte]()))
+  }
+
+  test("Spark surface quarantines failed payloads with the named " +
+      "error instead of failing the job") {
+    import spark.implicits._
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      (1L, Pdf.buildPdf("t1", "body one", 0)),
+      (2L, "garbage".getBytes),
+      (3L, Pdf.buildPdf("t3", "body three", 2)))
+    val out = Pdf.extractTexts(spark.createDataset(rows))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, "t1\nbody one", null)))
+    assert(out(1)._2 == null && out(1)._3 != null)
+    assert(out(2) == ((3L, "t3\nbody three", null)))
+  }
+}
