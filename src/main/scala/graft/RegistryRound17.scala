@@ -115,6 +115,64 @@ private[graft] object RegistryRound17 {
       Some("""SELECT a.i AS id_a, b.i AS id_b, 0 AS hamming
               FROM generate_series(0, 179) a(i)
                 JOIN generate_series(0, 179) b(i)
-                ON a.i < b.i AND a.i % 60 = b.i % 60"""))
+                ON a.i < b.i AND a.i % 60 = b.i % 60""")),
+
+    // zstd-compressed JSONL round-trip: q_jsonl_roundtrip's
+    // construction and oracle VERBATIM over `.jsonl.zst` shards (the
+    // compression The-Pile/RedPajama-class corpora ship) decoded by
+    // the pure-Java airlift codec — Spark's stock zstd path needs
+    // native libhadoop and is unavailable here by construction, so
+    // identical results prove the registered codec, not a silent
+    // fallback. The corrupt shard is itself zstd-compressed:
+    // quarantine accounting must survive the codec
+    Q("q_jsonl_zst_roundtrip",
+      (s, d) => {
+        val src = new java.io.File(pq(d, "documents"))
+        val root = contentKeyedFixture(src, "graft_jsonl_zst") { dir =>
+          committedData(new java.io.File(dir, "data")) &&
+            new java.io.File(new java.io.File(dir, "data"),
+              "corrupt-0.jsonl.zst").isFile
+        } { tmp =>
+          val data = new java.io.File(tmp, "data")
+          graft.sources.Zstd.writeJsonlZst(s.read.parquet(src.getPath),
+            data.toString)
+          val zbytes = {
+            val out = new java.io.ByteArrayOutputStream()
+            val z = new io.airlift.compress.zstd.ZstdOutputStream(out)
+            z.write("{broken\n{\"doc_id\": \"notanumber\"}\n"
+              .getBytes("UTF-8"))
+            z.close()
+            out.toByteArray
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(data.toString, "corrupt-0.jsonl.zst"),
+            zbytes)
+        }
+        val schema = new org.apache.spark.sql.types.StructType()
+          .add("doc_id", org.apache.spark.sql.types.LongType)
+          .add("text", org.apache.spark.sql.types.StringType)
+          .add("lang", org.apache.spark.sql.types.StringType)
+          .add("source", org.apache.spark.sql.types.StringType)
+          .add("n_chars", org.apache.spark.sql.types.LongType)
+        val c = col(graft.sources.Jsonl.CorruptCol)
+        graft.sources.Zstd.readJsonlZst(s,
+            new java.io.File(root, "data").toString, schema)
+          .agg(count(when(c.isNull, lit(1))).as("n_valid"),
+            count(c).as("n_corrupt"),
+            sum(when(c.isNull, col("n_chars"))).cast("long")
+              .as("sum_chars"),
+            sum(when(c.isNull, length(col("text")))).cast("long")
+              .as("sum_text_len"),
+            count_distinct(when(c.isNull, col("lang"))).as("n_langs"))
+      },
+      Some("""SELECT
+              (SELECT COUNT(*) FROM documents) AS n_valid,
+              CAST(2 AS BIGINT) AS n_corrupt,
+              (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents)
+                AS sum_chars,
+              (SELECT CAST(SUM(length(text)) AS BIGINT) FROM documents)
+                AS sum_text_len,
+              (SELECT COUNT(DISTINCT lang) FROM documents)
+                AS n_langs"""))
   )
 }

@@ -195,10 +195,36 @@ object Dedup {
         useNative),
       Seq("band", "band_hash"), idCol, maxBucket)
 
+  /** Slack under `minJaccard` for the hashed prefilter stage of
+    * [[ngramJaccardPairs]]: 64-bit shingle-hash collisions can move a
+    * pair's set-Jaccard by at most ~(collisions / set size); moving a
+    * TRUE pair below `minJaccard − 0.05` would need dozens of
+    * same-document collisions (P ≈ (n²/2⁶⁴)ᵏ — never), so the
+    * prefilter's survivor set provably contains every exact survivor
+    * while the exact stage prunes any hash-flattered stragglers. */
+  private val JaccardPrefilterSlack = 0.05
+
   /**
-   * Exact n-gram Jaccard for candidate pairs: joins shingle sets back by
-   * id (two broadcast-or-shuffle hash joins on ids) and computes
-   * |A∩B| / |A∪B| with array ops. Runs only on LSH survivors.
+   * Exact n-gram Jaccard for candidate pairs, in two stages (round 17
+   * — re-shaped after the x100 ScaleCurve decade exposed a
+   * superlinear leg in the one-stage form):
+   *
+   *  1. PREFILTER on hashed shingles: candidates join `xxhash64`'d
+   *    shingle arrays (8 B/element instead of ~25 B of string) and a
+   *    pair survives when its hashed-set Jaccard clears
+   *    `minJaccard −` [[JaccardPrefilterSlack]]. This stage touches
+   *    EVERY candidate, so its row width is what the shuffle and the
+   *    join's sort/spill actually pay — at the x100 decade the
+   *    one-stage string form sort-spilled 29 GB in a single stage
+   *    (e(x30→x100) = 1.9); the hashed rows keep the same join
+   *    under memory.
+   *  2. EXACT string Jaccard on the survivors only — typically the
+   *    output's own order of magnitude, thousands of times smaller
+   *    than the candidate set; AQE broadcasts the survivor list to
+   *    the shingle table, so the wide string arrays never shuffle at
+   *    all. Results are therefore EXACT (the operator's published
+   *    contract), with the hashed stage only discarding pairs the
+   *    exact stage would discard anyway.
    */
   def ngramJaccardPairs(df: DataFrame, candidates: DataFrame,
                         idCol: String, textCol: String,
@@ -211,7 +237,27 @@ object Dedup {
         graft.plans.NativeFunctions.shinglesNative(col(textCol), shingleWords)
       } else Shingles.wordShingles(col(textCol), shingleWords)
     val sh = df.select(col(idCol), shExpr.as("sh"))
-    candidates
+    // sorted+distinct once per DOCUMENT; each array is then probed by
+    // ~candidates-per-doc pairs through the fused primitive merge
+    // (SortedJaccardExpr) — no boxed hash sets in the per-pair loop
+    val shHashed = sh.select(col(idCol),
+      array_sort(array_distinct(transform(col("sh"), s => xxhash64(s))))
+        .as("shh"))
+    val jhExpr =
+      if (useNative)
+        graft.plans.NativeFunctions.sortedJaccardNative(col("ha"), col("hb"))
+      else
+        size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          size(array_union(col("ha"), col("hb")))
+    val survivors = candidates
+      .join(shHashed.select(col(idCol).as("id_a"), col("shh").as("ha")),
+        "id_a")
+      .join(shHashed.select(col(idCol).as("id_b"), col("shh").as("hb")),
+        "id_b")
+      .withColumn("jh", jhExpr)
+      .where(col("jh") >= minJaccard - JaccardPrefilterSlack)
+      .select(col("id_a"), col("id_b"))
+    survivors
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
@@ -1282,6 +1328,15 @@ object Dedup {
    * [[graft.streaming.OverlapMonitor]] is the streaming writer of the
    * same layout). Layout: parquet partitioned by `shard=<value>`,
    * one row `(theta, n_shingle_rows)` per shard.
+   *
+   * LOG FORMAT CONTRACT — membership-key width: every sketch in a log
+   * hashes shingles through `membershipKey(…, 64)` (64-bit keys,
+   * hard-pinned here, NOT a parameter). The batch-side
+   * `contaminationSketch` gauge exposes `hashBits` but guards it to
+   * 64 for the same reason: theta sketches only intersect meaningfully
+   * over one key function, so if a 128-bit path ever lands for the
+   * batch gauge, this log format must version (new dir or a width
+   * column), not silently mix widths.
    *
    * Append discipline: a NEW shard's arrival is one partition write —
    * rerun with `docs` filtered to it and dynamic partition overwrite,

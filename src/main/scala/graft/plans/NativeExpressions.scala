@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /**
  * Shared text primitives for the native expressions — ONE definition of
@@ -148,6 +148,89 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarityExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Set-Jaccard of two SORTED DISTINCT `array<bigint>` inputs as one
+ * fused primitive merge — the hot loop of
+ * [[graft.operators.Dedup.ngramJaccardPairs]]'s hashed prefilter
+ * stage, which runs once per LSH CANDIDATE pair (tens of millions of
+ * times per corpus decade). The portable
+ * `size(array_intersect)/size(array_union)` form allocates two boxed
+ * hash sets and two result arrays per pair (measured ~50 µs/pair at
+ * the x100 ScaleCurve decade — the whole stage was CPU, not shuffle);
+ * this merge touches two primitive longs per step and allocates
+ * nothing. Inputs MUST be ascending and duplicate-free (the caller
+ * builds them with `array_sort ∘ array_distinct`, once per document —
+ * O(n log n) amortized over ~30 pair evaluations each); the merge's
+ * correctness is pinned against the portable form in NativeExprSpec.
+ */
+case class SortedJaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_sorted_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var m = 0
+    while (i < nx && j < ny) {
+      val xi = x.getLong(i)
+      val yj = y.getLong(j)
+      if (xi == yj) { m += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    val denom = nx + ny - m
+    if (denom == 0) 0.0 else m.toDouble / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val xi = ctx.freshName("xi")
+      val yj = ctx.freshName("yj")
+      val denom = ctx.freshName("denom")
+      s"""
+         |final int $nx = $a.numElements();
+         |final int $ny = $b.numElements();
+         |int $i = 0, $j = 0, $m = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  final long $xi = $a.getLong($i);
+         |  final long $yj = $b.getLong($j);
+         |  if ($xi == $yj) { $m++; $i++; $j++; }
+         |  else if ($xi < $yj) { $i++; } else { $j++; }
+         |}
+         |final int $denom = $nx + $ny - $m;
+         |${ev.value} = ($denom == 0) ? 0.0 : ((double) $m / $denom);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedJaccardExpr =
     copy(left = newLeft, right = newRight)
 }
 
@@ -2648,6 +2731,7 @@ object CdcChunksExpr {
 object NativeFunctions {
 
   val cosineName = "graft_cosine"
+  val sortedJaccardName = "graft_sorted_jaccard"
   val minhashName = "graft_minhash"
   val simhashName = "graft_simhash"
   val shinglesName = "graft_shingles"
@@ -2767,6 +2851,8 @@ object NativeFunctions {
       : Seq[(String, Seq[Expression] => Expression)] = Seq(
     cosineName -> ((exprs: Seq[Expression]) =>
       CosineSimilarityExpr(exprs.head, exprs(1))),
+    sortedJaccardName -> ((exprs: Seq[Expression]) =>
+      SortedJaccardExpr(exprs.head, exprs(1))),
     minhashName -> ((exprs: Seq[Expression]) =>
       MinHashSignatureExpr(exprs.head, intLit(exprs(1)), intLit(exprs(2)))),
     simhashName -> ((exprs: Seq[Expression]) => SimHashExpr(exprs.head)),
@@ -2873,6 +2959,11 @@ object NativeFunctions {
     * Inputs must be array<double> — cast array<float> explicitly. */
   def cosineNative(a: Column, b: Column): Column =
     call_function(cosineName, a.cast("array<double>"), b.cast("array<double>"))
+
+  /** Native sorted-distinct-array<bigint> Jaccard (the hashed-shingle
+    * prefilter's per-candidate hot loop); [[register]] must have run. */
+  def sortedJaccardNative(a: Column, b: Column): Column =
+    call_function(sortedJaccardName, a, b)
 
   /** Native fused MinHash signature (array<bigint> of length numHashes). */
   def minhashNative(text: Column, numHashes: Int, shingleWords: Int): Column =

@@ -87,7 +87,12 @@ object GoldenPlans {
     "q_skew_salted_join" -> (1, 1, Map[String, Int]("bhj" -> 1)),
     "q_profile" -> (2, 0, Map[String, Int]()),
     "q_bm25_search" -> (8, 3, Map[String, Int]("bhj" -> 2, "bnlj" -> 1)),
-    "q_dedup_minhash" -> (4, 2, Map[String, Int]("bhj" -> 2)),
+    // round-17 two-stage verify: the hashed prefilter pair carries
+    // the candidate volume (same 4 shuffles as the one-stage form);
+    // the exact stage's two joins run over the tiny survivor set and
+    // BROADCAST (the extra bhj×2 + broadcast) — wide string-shingle
+    // arrays never shuffle at all now
+    "q_dedup_minhash" -> (4, 3, Map[String, Int]("bhj" -> 4)),
     "q_ann_recall_gate" -> (7, 3, Map[String, Int]("bhj" -> 2, "bnlj" -> 1, "smj" -> 2)),
     "q_token_budget" -> (4, 1, Map[String, Int]("bhj" -> 1)),
     "q_hybrid_search_ivf" -> (19, 8, Map[String, Int]("bhj" -> 7, "bnlj" -> 2, "smj" -> 6)),
