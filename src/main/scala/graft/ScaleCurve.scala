@@ -412,6 +412,52 @@ object ScaleCurve {
             nContents = 20 * k, nShifted = 10 * k), minVotes = 100)
           .select(col("id_a"), col("id_b"))
       },
+      // round-17 document/codec families: per-row byte walks (build a
+      // fixture payload from each doc row, decode it back) — contract
+      // is exact linearity in rows, nothing crosses rows; the
+      // measurement pins that no hidden driver-side or quadratic leg
+      // hides in the parser plumbing. The explicit repartition is the
+      // measurement GEOMETRY, not a tuning: the scaled corpus parquet
+      // is tiny (< one 128 MB split even at x30), so the scan gives
+      // per-row CPU work ONE partition and the family would time a
+      // single core at every factor — first capture of flac_decode
+      // measured 39.2 s at x1 single-threaded vs 2.1 s repartitioned,
+      // a 19× misread of the same linear computation
+      "pdf_extract" -> { k =>
+        import spark.implicits._
+        val d = docs(k).select(col("doc_id"), col("source"), col("text"))
+          .repartition(par)
+          .as[(Long, String, String)]
+        d.map { case (id, src, txt) =>
+          val pdf = graft.sources.Pdf.buildPdf(src, txt, (id % 3).toInt)
+          (id, graft.sources.Pdf.extractText(pdf).length)
+        }.toDF("doc_id", "n")
+      },
+      "docx_extract" -> { k =>
+        import spark.implicits._
+        val d = docs(k).select(col("doc_id"), col("source"), col("text"))
+          .repartition(par)
+          .as[(Long, String, String)]
+        d.map { case (id, src, txt) =>
+          val dx = graft.sources.Docx.buildDocx(src, txt,
+            splitRuns = id % 2 == 1)
+          (id, graft.sources.Docx.extractText(dx).length)
+        }.toDF("doc_id", "n")
+      },
+      // FLAC encode + CRC/MD5-verified decode per clip (audio seconds
+      // scale with rows; the per-clip tone PCM is doc_id-keyed)
+      "flac_decode" -> { k =>
+        import spark.implicits._
+        val d = docs(k).select(col("doc_id")).repartition(par).as[Long]
+        d.map { id =>
+          val pcm = Array.tabulate(16000)(i =>
+            (math.sin(i * (0.01 + (id % 37) * 0.002)) * 12000).toInt)
+          val flac = graft.multimodal.Flac.encode(
+            graft.multimodal.Flac.Pcm(16000, 1, 16, Array(pcm)))
+          val back = graft.multimodal.Flac.decodePcm(flac)
+          (id, back.nSamples)
+        }.toDF("doc_id", "n")
+      },
       // round-12 additions measured too:
       "cdc_chunk_pairs" -> { k =>
         Dedup.cdcSharedChunkPairs(

@@ -56,13 +56,27 @@ object Docx {
     } finally zin.close()
   }
 
+  /** StAX factory per thread: `newInstance()` walks the classpath's
+    * provider files on EVERY call (measured ~90 µs/row in the
+    * ScaleCurve family — more than the parse itself), and factory
+    * instances are not specified thread-safe, so cache one per
+    * executor thread. DTD and external entities stay OFF (XXE). */
+  private val staxFactory =
+    new ThreadLocal[javax.xml.stream.XMLInputFactory] {
+      override def initialValue(): javax.xml.stream.XMLInputFactory = {
+        val f = javax.xml.stream.XMLInputFactory.newInstance()
+        f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+        f.setProperty(
+          javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES,
+          false)
+        f
+      }
+    }
+
   def extractText(bytes: Array[Byte]): String = {
     val doc = zipEntry(bytes, "word/document.xml")
     if (doc == null) err("no word/document.xml entry (not a DOCX?)")
-    val factory = javax.xml.stream.XMLInputFactory.newInstance()
-    factory.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
-    factory.setProperty(
-      javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    val factory = staxFactory.get()
     val sb = new StringBuilder
     def newline(): Unit =
       if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
