@@ -52,13 +52,13 @@ private[graft] object Flac {
 
   final class BitReader(val buf: Array[Byte]) {
     private var pos = 0 // absolute bit position
-    def bytePos: Int = {
+    private[multimodal] def bytePos: Int = {
       require((pos & 7) == 0, "unaligned byte position")
       pos >> 3
     }
     def bitsLeft: Long = buf.length.toLong * 8 - pos
     def u(n: Int): Int = uLong(n).toInt
-    def uLong(n: Int): Long = {
+    private[multimodal] def uLong(n: Int): Long = {
       require(n >= 0 && n <= 57, s"read width $n")
       require(bitsLeft >= n, "FLAC bitstream truncated")
       var v = 0L
@@ -87,8 +87,7 @@ private[graft] object Flac {
       while ({ require(bitsLeft >= 1, "FLAC bitstream truncated"); u(1) == 0 }) q += 1
       q
     }
-    def alignByte(): Unit = pos = (pos + 7) & ~7
-    def atByteBoundary: Boolean = (pos & 7) == 0
+    private[multimodal] def alignByte(): Unit = pos = (pos + 7) & ~7
   }
 
   final class BitWriter {

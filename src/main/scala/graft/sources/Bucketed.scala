@@ -257,8 +257,8 @@ object Bucketed {
     // (and, once the first versioned compact has landed, data files
     // of the pre-pointer root layout). The just-retired version stays
     // for one full compact cycle — the pinned-reader window.
-    def rmrGc(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rmrGc))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm))
       f.delete(); ()
     }
     Option(new java.io.File(path).listFiles).foreach(_.foreach { f =>
@@ -268,7 +268,7 @@ object Bucketed {
         n.drop(1).toInt < curVer
       val legacyRootData = curVer >= 0 && curLoc != path && f.isFile &&
         !n.startsWith("_") && !n.startsWith(".")
-      if (oldVersion || legacyRootData) rmrGc(f)
+      if (oldVersion || legacyRootData) rm(f)
     })
   }
 

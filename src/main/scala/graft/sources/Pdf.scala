@@ -92,7 +92,7 @@ object Pdf {
     @inline private def cur: Int =
       if (pos < buf.length) buf(pos) & 0xFF else -1
 
-    def skipWs(): Unit = {
+    private[sources] def skipWs(): Unit = {
       var go = true
       while (go) {
         while (pos < buf.length && isWs(cur)) pos += 1
@@ -110,16 +110,16 @@ object Pdf {
       }
       sb.toString
     }
-    def takeKeyword(): String = {
+    private[sources] def takeKeyword(): String = {
       val k = peekKeyword(); pos += k.length; k
     }
-    def expectKeyword(k: String): Unit = {
+    private[sources] def expectKeyword(k: String): Unit = {
       skipWs()
       val got = takeKeyword()
       if (got != k) err(s"expected '$k', got '$got' at $pos")
     }
 
-    def parseValue(): Obj = {
+    private[sources] def parseValue(): Obj = {
       skipWs()
       cur match {
         case -1 => err("unexpected end of data")
@@ -141,7 +141,7 @@ object Pdf {
       }
     }
 
-    def parseName(): PName = {
+    private[sources] def parseName(): PName = {
       pos += 1 // '/'
       val sb = new StringBuilder
       while (pos < buf.length && !isWs(cur) && !isDelim(cur)) {
@@ -187,7 +187,7 @@ object Pdf {
       n
     }
 
-    def parseLiteralString(): PString = {
+    private[sources] def parseLiteralString(): PString = {
       pos += 1 // '('
       val out = new ArrayBuffer[Byte]()
       var depth = 1
@@ -228,7 +228,7 @@ object Pdf {
       PString(out.toArray)
     }
 
-    def parseHexString(): PString = {
+    private[sources] def parseHexString(): PString = {
       pos += 1 // '<'
       val out = new ArrayBuffer[Byte]()
       var hi = -1
@@ -247,7 +247,7 @@ object Pdf {
       PString(out.toArray)
     }
 
-    def parseArray(): PArr = {
+    private[sources] def parseArray(): PArr = {
       pos += 1 // '['
       val items = Vector.newBuilder[Obj]
       skipWs()
@@ -260,7 +260,7 @@ object Pdf {
       PArr(items.result())
     }
 
-    def parseDict(): Obj = {
+    private[sources] def parseDict(): Obj = {
       pos += 2 // '<<'
       val m = Map.newBuilder[String, Obj]
       skipWs()
@@ -444,7 +444,7 @@ object Pdf {
       case PRef(n, _) => resolve(obj(n))
       case other => other
     }
-    def resolveOpt(d: PDict, k: String): Option[Obj] =
+    private[sources] def resolveOpt(d: PDict, k: String): Option[Obj] =
       d.get(k).map(resolve)
 
     def obj(num: Int): Obj = cache.getOrElseUpdate(num, {
@@ -734,12 +734,12 @@ object Pdf {
     val lx = new Lexer(cmap, 0)
     var codeLen = 1
     val map = Map.newBuilder[Int, String]
-    def hexToInt(b: Array[Byte]): Int = {
+    def num(b: Array[Byte]): Int = {
       var v = 0
       b.foreach(x => v = (v << 8) | (x & 0xFF))
       v
     }
-    def hexToStr(b: Array[Byte]): String =
+    def str(b: Array[Byte]): String =
       new String(b, java.nio.charset.StandardCharsets.UTF_16BE)
     while (lx.pos < cmap.length) {
       lx.skipWs()
@@ -770,7 +770,7 @@ object Pdf {
             val src = lx.parseHexString()
             lx.skipWs()
             val dst = lx.parseHexString()
-            map += hexToInt(src.bytes) -> hexToStr(dst.bytes)
+            map += num(src.bytes) -> str(dst.bytes)
             lx.skipWs()
           }
           lx.expectKeyword("endbfchar")
@@ -783,18 +783,18 @@ object Pdf {
             lx.skipWs()
             if ((cmap(lx.pos) & 0xFF) == '[') {
               val arr = lx.parseArray()
-              var c = hexToInt(lo.bytes)
+              var c = num(lo.bytes)
               arr.v.foreach {
-                case PString(b) => map += c -> hexToStr(b); c += 1
+                case PString(b) => map += c -> str(b); c += 1
                 case other => err(s"bad bfrange array entry $other")
               }
             } else {
               val dst = lx.parseHexString()
-              val base = hexToInt(dst.bytes)
-              var c = hexToInt(lo.bytes)
-              val top = hexToInt(hi.bytes)
+              val base = num(dst.bytes)
+              var c = num(lo.bytes)
+              val top = num(hi.bytes)
               while (c <= top) {
-                map += c -> new String(Character.toChars(base + c - hexToInt(lo.bytes)))
+                map += c -> new String(Character.toChars(base + c - num(lo.bytes)))
                 c += 1
               }
             }
@@ -868,7 +868,7 @@ object Pdf {
     def newline(): Unit =
       if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
 
-    def walkPages(node: PDict, inheritedRes: Option[PDict]): Unit = {
+    def go(node: PDict, inheritedRes: Option[PDict]): Unit = {
       val res = doc.resolveOpt(node, "Resources") match {
         case Some(d: PDict) => Some(d)
         case _ => inheritedRes
@@ -878,7 +878,7 @@ object Pdf {
           doc.resolveOpt(node, "Kids") match {
             case Some(PArr(kids)) => kids.foreach { k =>
               doc.resolve(k) match {
-                case d: PDict => walkPages(d, res)
+                case d: PDict => go(d, res)
                 case other => err(s"bad page-tree kid $other")
               }
             }
@@ -904,7 +904,7 @@ object Pdf {
         case other => err(s"bad page-tree node type $other")
       }
     }
-    walkPages(doc.resolve(root.m.getOrElse("Pages",
+    go(doc.resolve(root.m.getOrElse("Pages",
       err("catalog without /Pages"))) match {
       case d: PDict => d
       case other => err(s"bad /Pages $other")

@@ -712,4 +712,42 @@ class DedupSpec extends SparkSpec {
     assert(all.forall(_ == 1.0))
   }
 
+  test("two-stage ngramJaccardPairs is EXACT: reported jaccard equals " +
+      "the directly computed string-shingle jaccard for every pair, " +
+      "and the hashed prefilter drops nothing the exact stage keeps") {
+    import spark.implicits._
+    // a corpus dense enough that candidate pairs span the whole
+    // jaccard range, including pairs just around the 0.5 gate
+    val base = Seq("alpha beta gamma delta epsilon zeta eta theta",
+      "alpha beta gamma delta epsilon zeta eta iota",
+      "alpha beta gamma delta epsilon other words here",
+      "alpha beta gamma unrelated tail of words now",
+      "totally different text with no shared window at all")
+    val rows = for {
+      (t, i) <- base.zipWithIndex
+      k <- 0 until 3
+    } yield ((i * 3 + k).toLong,
+      if (k == 0) t else t + s" suffix$k pad$k")
+    val df = rows.toDF("doc_id", "text")
+    val candidates = Dedup.minhashCandidates(df, "doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(df, candidates, "doc_id", "text",
+        minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // recompute the exact jaccard per candidate pair directly
+    def shingles(t: String): Set[Seq[String]] =
+      t.toLowerCase.split("\\s+").toSeq.sliding(3).map(_.toSeq).toSet
+    val text = rows.toMap
+    val want = candidates.collect().map { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (sa, sb) = (shingles(text(a)), shingles(text(b)))
+      val j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      (a, b) -> (math.round(j * 10000) / 10000.0)
+    }.filter(_._2 >= 0.5).toMap
+    assert(got == want,
+      s"two-stage output differs from direct computation:\n got " +
+        s"${got.toSeq.sorted}\n want ${want.toSeq.sorted}")
+    assert(want.nonEmpty && want.values.exists(_ < 1.0),
+      "fixture must exercise non-trivial jaccard values")
+  }
 }

@@ -535,4 +535,56 @@ class NativeExprSpec extends SparkSpec {
       .matches("(?s).*\\*\\(\\d+\\) Project \\[graft_idn_host.*"))
     assert(df.collect().forall(_.getString(0) == "münchen.de"))
   }
+
+  test("sorted-jaccard native expr equals the portable " +
+      "array_intersect/array_union form on random sorted-distinct " +
+      "arrays, and runs under codegen") {
+    NativeFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 300).map { i =>
+      def arr(seed: Int, n: Int): Array[Long] =
+        Array.fill(n)((rnd.nextLong() % 50 + 50) % 50) // dense → overlaps
+          .distinct.sorted
+      val n1 = 1 + rnd.nextInt(30)
+      val n2 = 1 + rnd.nextInt(30)
+      (i.toLong, arr(i, n1), arr(i + 7, n2))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val both = df.select(col("id"),
+      NativeFunctions.sortedJaccardNative(col("a"), col("b")).as("jn"),
+      (size(array_intersect(col("a"), col("b"))).cast("double") /
+        size(array_union(col("a"), col("b")))).as("jp"))
+    // plan/codegen assertion on a range-backed frame (the local Seq
+    // above constant-folds to a LocalTableScan before execution)
+    val ranged = spark.range(16).select(
+      NativeFunctions.sortedJaccardNative(
+        sequence(col("id"), col("id") + 3),
+        sequence(col("id") + 2, col("id") + 5)).as("j"))
+    assert(ranged.queryExecution.executedPlan.toString
+      .matches("(?s).*\\*\\(\\d+\\) Project \\[graft_sorted_jaccard.*"),
+      "expression must run inside whole-stage codegen")
+    assert(ranged.collect().forall(r =>
+      math.abs(r.getDouble(0) - 2.0 / 6.0) < 1e-12),
+      "overlap 2 of union 6")
+    both.collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-12,
+        s"row ${r.getLong(0)}: native ${r.getDouble(1)} vs " +
+          s"portable ${r.getDouble(2)}")
+    }
+    // edge shapes: empty vs non-empty, identical, disjoint
+    val edges = Seq(
+      (Array.empty[Long], Array.empty[Long], 0.0),
+      (Array.empty[Long], Array(1L, 2L), 0.0),
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L), 1.0),
+      (Array(1L, 2L), Array(3L, 4L), 0.0),
+      (Array(Long.MinValue, 0L, Long.MaxValue),
+        Array(Long.MinValue, Long.MaxValue), 2.0 / 3.0))
+    edges.zipWithIndex.foreach { case ((a, b, want), i) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(NativeFunctions.sortedJaccardNative(col("a"), col("b")))
+        .collect()(0).getDouble(0)
+      assert(math.abs(got - want) < 1e-12, s"edge $i: $got != $want")
+    }
+  }
 }
