@@ -437,8 +437,16 @@ object Pdf {
     // object number -> byte offset, or -> (objstm number, index)
     private val offsets = mutable.Map[Int, Int]()
     private val inObjStm = mutable.Map[Int, (Int, Int)]()
-    val trailer: PDict = parseXrefChain()
     private val cache = mutable.Map[Int, Obj]()
+    // declared BEFORE trailer: recoverByScan sets it during the
+    // trailer initializer, and Scala re-initializes later-declared
+    // fields after earlier initializers run
+    private var rebuilt = false
+    val trailer: PDict =
+      try parseXrefChain()
+      catch {
+        case scala.util.control.NonFatal(e) => recoverByScan(e)
+      }
 
     def resolve(o: Obj): Obj = o match {
       case PRef(n, _) => resolve(obj(n))
@@ -447,15 +455,37 @@ object Pdf {
     private[sources] def resolveOpt(d: PDict, k: String): Option[Obj] =
       d.get(k).map(resolve)
 
-    def obj(num: Int): Obj = cache.getOrElseUpdate(num, {
-      offsets.get(num) match {
-        case Some(off) => parseIndirectAt(off)._2
-        case None => inObjStm.get(num) match {
-          case Some((stmNum, idx)) => objFromStream(stmNum, idx)
-          case None => PNull // per spec, a missing object is null
+    // explicit get/update rather than getOrElseUpdate: the rebuild
+    // path CLEARS the cache from inside what would be the default
+    // thunk, and mutating a mutable.HashMap during getOrElseUpdate's
+    // default evaluation is undefined behavior
+    def obj(num: Int): Obj = cache.get(num).getOrElse {
+      def lookup(): Option[Obj] = {
+        // VALIDATED offset lookup: a broken xref (zeroed or shifted
+        // offsets — the torn-download shape) parses cleanly but lands
+        // object lookups on the wrong body; requiring the parsed
+        // header number to match the requested one turns that silent
+        // wrong-object read into a recovery trigger
+        val direct = offsets.get(num).flatMap { off =>
+          try {
+            val (n, v) = parseIndirectAt(off)
+            if (n == num) Some(v) else None
+          } catch { case scala.util.control.NonFatal(_) => None }
         }
+        direct.orElse(inObjStm.get(num).flatMap(si =>
+          try Some(objFromStream(si._1, si._2))
+          catch { case scala.util.control.NonFatal(_) => None }))
       }
-    })
+      val v = lookup().getOrElse {
+        if (!rebuilt) {
+          rebuilt = true
+          rebuildByScan()
+          lookup().getOrElse(PNull)
+        } else PNull // per spec, a missing object reads as null
+      }
+      cache.update(num, v)
+      v
+    }
 
     private def lexerAt(off: Int): Lexer =
       new Lexer(buf, off, o => resolve(o) match {
@@ -652,6 +682,90 @@ object Pdf {
         }
       }
       st.dict
+    }
+
+    /**
+     * Xref RECOVERY for crawled/torn documents — the fallback that
+     * makes real-corpus PDF readers useful: a truncated download, a
+     * mis-copied file, or a writer bug breaks the startxref/xref
+     * machinery long before it breaks the object bodies. When the
+     * chain walk fails, rebuild the object map by scanning the raw
+     * bytes for `N G obj` headers (LAST occurrence of each object
+     * number wins — the incremental-update rule), register any
+     * recoverable object streams, and take the last parseable
+     * `trailer` dict carrying /Root (or, for xref-stream-only files,
+     * any recovered dict carrying /Root). Best-effort by design: a
+     * header-shaped byte run inside a string/stream can shadow a real
+     * object, which is the standard trade every recovering reader
+     * makes; an unrecoverable file still fails with a NAMED error
+     * carrying the original cause.
+     */
+    /** Rebuild the object map from a raw byte scan — shared by the
+      * chain-failure recovery and the validated-lookup retry. */
+    private def rebuildByScan(): Unit = {
+      offsets.clear(); inObjStm.clear(); cache.clear()
+      val s = new String(buf, "ISO-8859-1")
+      val objRe =
+        "(?<![0-9])(\\d{1,9})[ \t\r\n]+(\\d{1,9})[ \t\r\n]+obj\\b".r
+      objRe.findAllMatchIn(s).foreach(m =>
+        offsets(m.group(1).toInt) = m.start(1))
+      // register recoverable object streams (direct-valued dicts only
+      // — an indirect /N//First//Length needs the very xref we lost)
+      offsets.toMap.foreach { case (num, off) =>
+        try parseIndirectAt(off)._2 match {
+          case st: PStream
+            if st.dict.get("Type").contains(PName("ObjStm")) =>
+            (st.dict.get("N"), st.dict.get("First")) match {
+              case (Some(PNum(n)), Some(PNum(_))) =>
+                val data = decode(st)
+                val head = new Lexer(data, 0)
+                var i = 0
+                while (i < n.toInt) {
+                  head.skipWs()
+                  val objNum = head.takeKeyword().toInt
+                  head.skipWs(); head.takeKeyword() // offset
+                  if (!offsets.contains(objNum))
+                    inObjStm(objNum) = (num, i)
+                  i += 1
+                }
+              case _ => ()
+            }
+          case _ => ()
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+
+    private def recoverByScan(cause: Throwable): PDict = {
+      rebuilt = true
+      rebuildByScan()
+      val s = new String(buf, "ISO-8859-1")
+      // newest parseable trailer dict with /Root
+      var t: PDict = null
+      var idx = s.lastIndexOf("trailer")
+      while (t == null && idx >= 0) {
+        try {
+          val lx = lexerAt(idx + "trailer".length)
+          lx.parseValue() match {
+            case d: PDict if d.m.contains("Root") => t = d
+            case _ => ()
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+        idx = s.lastIndexOf("trailer", idx - 1)
+      }
+      if (t == null) {
+        // xref-stream layout: the /Root rides the XRef stream's dict
+        offsets.toMap.foreach { case (_, off) =>
+          if (t == null)
+            try parseIndirectAt(off)._2 match {
+              case st: PStream if st.dict.m.contains("Root") => t = st.dict
+              case d: PDict if d.m.contains("Root") => t = d
+              case _ => ()
+            } catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }
+      if (t == null) err("xref recovery found no /Root " +
+        s"(original failure: ${cause.getMessage})")
+      t
     }
   }
 

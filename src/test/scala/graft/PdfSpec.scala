@@ -208,6 +208,36 @@ end""")
     assert(e.getMessage.contains("encrypted"))
   }
 
+  test("xref recovery: broken startxref and corrupted xref tables " +
+      "still extract (the crawled/torn-download shape)") {
+    // classic layout: garbage startxref offset
+    val classic = Pdf.buildPdf("rec title", "rec body", 0)
+    val s0 = new String(classic, "ISO-8859-1")
+    val broken0 = s0.replaceAll("startxref\n\\d+", "startxref\n999999999")
+      .getBytes("ISO-8859-1")
+    assert(Pdf.extractText(broken0) == "rec title\nrec body")
+    // classic layout: xref table body corrupted (offsets zeroed)
+    val broken1 = s0.replaceAll("\\n(\\d{10}) 00000 n ", "\n0000000000 00000 n ")
+      .getBytes("ISO-8859-1")
+    assert(Pdf.extractText(broken1) == "rec title\nrec body")
+    // xref-stream layout (ObjStm objects): garbage startxref —
+    // recovery must find /Root on the XRef stream dict and the
+    // catalog inside the object stream
+    val modern = Pdf.buildPdf("rec title", "rec body", 2)
+    val s2 = new String(modern, "ISO-8859-1")
+    val broken2 = s2.replaceAll("startxref\n\\d+", "startxref\n123")
+      .getBytes("ISO-8859-1")
+    assert(Pdf.extractText(broken2) == "rec title\nrec body")
+    // incremental-update recovery honors last-occurrence-wins
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(broken0, 0, broken0.length)
+    val upd = "4 0 obj\n<< /Length 47 >>\nstream\n" +
+      "BT /F1 12 Tf 72 720 Td (updated by scan) Tj ET" +
+      "\nendstream\nendobj\n"
+    out.write(upd.getBytes("ISO-8859-1"))
+    assert(Pdf.extractText(out.toByteArray) == "updated by scan")
+  }
+
   test("truncation and garbage never hang or silently succeed") {
     val good = Pdf.buildPdf("a title", "a body", 2)
     // (cutting only the %%EOF comment still parses — by design; these
