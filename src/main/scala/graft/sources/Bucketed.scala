@@ -253,22 +253,26 @@ object Bucketed {
     commitPointer(path, newVerName)
     spark.sql(s"DROP TABLE IF EXISTS ${qi(tmpTable)}")
     spark.catalog.refreshTable(table)
-    // grace-deferred GC: versions OLDER than the one just retired
-    // (and, once the first versioned compact has landed, data files
-    // of the pre-pointer root layout). The just-retired version stays
-    // for one full compact cycle — the pinned-reader window.
+    // grace-deferred GC: every version dir that is neither the one
+    // just PUBLISHED nor the one just RETIRED goes — that covers
+    // versions older than the grace copy AND orphan dirs a crashed
+    // half-publish left newer than the pointer (they were never
+    // published, so no reader can hold them). The just-retired
+    // version stays one full compact cycle — the pinned-reader
+    // window. Pre-pointer root data files go once a versioned
+    // retiree exists to serve that window.
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(rm))
       f.delete(); ()
     }
     Option(new java.io.File(path).listFiles).foreach(_.foreach { f =>
       val n = f.getName
-      val oldVersion = f.isDirectory && n.startsWith("v") &&
+      val staleVersion = f.isDirectory && n.startsWith("v") &&
         n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit) &&
-        n.drop(1).toInt < curVer
+        n != newVerName && n != curName
       val legacyRootData = curVer >= 0 && curLoc != path && f.isFile &&
         !n.startsWith("_") && !n.startsWith(".")
-      if (oldVersion || legacyRootData) rm(f)
+      if (staleVersion || legacyRootData) rm(f)
     })
   }
 

@@ -81,8 +81,13 @@ object Docx {
     def newline(): Unit =
       if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
     var inT = false
-    var cellIdx = -1 // position within the current table row
-    var inCell = false
+    var inRun = 0 // w:r nesting depth
+    // per-ROW cell counters as a stack: tables nest inside cells
+    // (w:tbl in w:tc is routine in real documents), and a flat
+    // boolean/counter lets the inner row's end corrupt the outer
+    // row's tab/newline state
+    var rowCells = List.empty[Int]
+    var cellDepth = 0
     try {
       val r = factory.createXMLStreamReader(
         new java.io.ByteArrayInputStream(doc))
@@ -91,24 +96,34 @@ object Docx {
           case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
             r.getLocalName match {
               case "t" => inT = true
-              case "tab" => sb.append('\t')
-              case "br" | "cr" => sb.append('\n')
-              case "tr" => cellIdx = 0
+              case "r" => inRun += 1
+              // ONLY the run-level <w:tab/> is a tab CHARACTER —
+              // <w:pPr><w:tabs><w:tab .../> entries with the same
+              // local name are tab-stop DEFINITIONS, not text
+              case "tab" => if (inRun > 0) sb.append('\t')
+              case "br" | "cr" => if (inRun > 0) sb.append('\n')
+              case "tr" => rowCells = 0 :: rowCells
               case "tc" =>
-                // cells after the first in a row join with a tab
-                if (cellIdx > 0) sb.append('\t')
-                cellIdx += 1
-                inCell = true
+                rowCells match {
+                  case n :: rest =>
+                    if (n > 0) sb.append('\t') // cells join with tabs
+                    rowCells = (n + 1) :: rest
+                  case Nil => () // tc outside tr: malformed, ignore
+                }
+                cellDepth += 1
               case _ => ()
             }
           case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
             r.getLocalName match {
               case "t" => inT = false
+              case "r" => inRun = math.max(0, inRun - 1)
               // paragraph breaks inside a cell would split the row
               // line — cell-internal paragraphs just concatenate
-              case "p" => if (!inCell) newline()
-              case "tc" => inCell = false
-              case "tr" => newline(); cellIdx = -1
+              case "p" => if (cellDepth == 0) newline()
+              case "tc" => cellDepth = math.max(0, cellDepth - 1)
+              case "tr" =>
+                newline()
+                rowCells = rowCells.drop(1)
               case _ => ()
             }
           case javax.xml.stream.XMLStreamConstants.CHARACTERS |

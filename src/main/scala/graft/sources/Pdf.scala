@@ -448,18 +448,42 @@ object Pdf {
         case scala.util.control.NonFatal(e) => recoverByScan(e)
       }
 
-    def resolve(o: Obj): Obj = o match {
-      case PRef(n, _) => resolve(obj(n))
-      case other => other
+    // hop-bounded: a reference cycle ('1 0 obj 2 0 R' / '2 0 obj
+    // 1 0 R' — trivially produced by torn files and by the recovery
+    // scan's heuristic object map) must surface as a NAMED error the
+    // per-row quarantine can catch, never a StackOverflowError
+    // (fatal, not NonFatal, kills the whole task)
+    def resolve(o: Obj): Obj = {
+      var cur = o
+      var hops = 0
+      while (cur.isInstanceOf[PRef]) {
+        hops += 1
+        if (hops > 64) err("reference cycle (or >64-deep chain)")
+        cur = obj(cur.asInstanceOf[PRef].num)
+      }
+      cur
     }
     private[sources] def resolveOpt(d: PDict, k: String): Option[Obj] =
       d.get(k).map(resolve)
+
+    // objects whose parse is in progress: a /Length (or ObjStm field)
+    // that indirectly references its own object would otherwise
+    // recurse obj->resolve->obj unboundedly (StackOverflowError — see
+    // resolve's scaladoc)
+    private val inFlight = mutable.Set[Int]()
 
     // explicit get/update rather than getOrElseUpdate: the rebuild
     // path CLEARS the cache from inside what would be the default
     // thunk, and mutating a mutable.HashMap during getOrElseUpdate's
     // default evaluation is undefined behavior
     def obj(num: Int): Obj = cache.get(num).getOrElse {
+      if (!inFlight.add(num))
+        err(s"object $num participates in a reference cycle")
+      try objUncached(num)
+      finally inFlight.remove(num)
+    }
+
+    private def objUncached(num: Int): Obj = {
       def lookup(): Option[Obj] = {
         // VALIDATED offset lookup: a broken xref (zeroed or shifted
         // offsets — the torn-download shape) parses cleanly but lands
@@ -476,8 +500,14 @@ object Pdf {
           try Some(objFromStream(si._1, si._2))
           catch { case scala.util.control.NonFatal(_) => None }))
       }
+      // rebuild only when the xref CLAIMED this object and lied (the
+      // zeroed/shifted-offset shape): a reference to an object absent
+      // from the xref is spec-DEFINED to read as null (freed objects,
+      // dangling /Annots are routine in valid files) and must not
+      // trade the valid object map for the heuristic byte scan
+      val claimed = offsets.contains(num) || inObjStm.contains(num)
       val v = lookup().getOrElse {
-        if (!rebuilt) {
+        if (claimed && !rebuilt) {
           rebuilt = true
           rebuildByScan()
           lookup().getOrElse(PNull)
@@ -982,7 +1012,11 @@ object Pdf {
     def newline(): Unit =
       if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
 
-    def go(node: PDict, inheritedRes: Option[PDict]): Unit = {
+    def go(node: PDict, inheritedRes: Option[PDict],
+           depth: Int = 0): Unit = {
+      // a /Kids edge back to an ancestor (torn files, recovery-scan
+      // object maps) must be a NAMED error, not a StackOverflowError
+      if (depth > 64) err("page tree deeper than 64 (cycle?)")
       val res = doc.resolveOpt(node, "Resources") match {
         case Some(d: PDict) => Some(d)
         case _ => inheritedRes
@@ -992,7 +1026,7 @@ object Pdf {
           doc.resolveOpt(node, "Kids") match {
             case Some(PArr(kids)) => kids.foreach { k =>
               doc.resolve(k) match {
-                case d: PDict => go(d, res)
+                case d: PDict => go(d, res, depth + 1)
                 case other => err(s"bad page-tree kid $other")
               }
             }

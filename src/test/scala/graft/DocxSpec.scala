@@ -32,6 +32,42 @@ class DocxSpec extends SparkSpec {
       "after & entities <ok>")
   }
 
+  test("tab-stop DEFINITIONS (w:pPr/w:tabs/w:tab) are not tab " +
+      "characters; nested tables keep the outer row's state") {
+    def zipDoc(xml: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(out)
+      z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+      z.write(xml.getBytes("UTF-8")); z.closeEntry(); z.close()
+      out.toByteArray
+    }
+    val ns = "xmlns:w=\"http://schemas.openxmlformats.org/" +
+      "wordprocessingml/2006/main\""
+    // paragraph with two tab-stop definitions, then normal text with
+    // ONE run-level tab — extraction must carry exactly one \t
+    val stops = zipDoc(
+      s"""<w:document $ns><w:body><w:p>
+<w:pPr><w:tabs><w:tab w:val="left" w:pos="720"/>
+<w:tab w:val="right" w:pos="8640"/></w:tabs></w:pPr>
+<w:r><w:t>left</w:t><w:tab/><w:t>right</w:t></w:r>
+</w:p></w:body></w:document>""")
+    assert(Docx.extractText(stops) == "left\tright")
+    // 2x1 outer table whose first cell CONTAINS a 1x2 inner table —
+    // the outer row must still join its cells with a tab
+    val nested = zipDoc(
+      s"""<w:document $ns><w:body><w:tbl><w:tr>
+<w:tc><w:tbl><w:tr>
+<w:tc><w:p><w:r><w:t>i1</w:t></w:r></w:p></w:tc>
+<w:tc><w:p><w:r><w:t>i2</w:t></w:r></w:p></w:tc>
+</w:tr></w:tbl><w:p><w:r><w:t>after inner</w:t></w:r></w:p></w:tc>
+<w:tc><w:p><w:r><w:t>outer c2</w:t></w:r></w:p></w:tc>
+</w:tr></w:tbl></w:body></w:document>""")
+    // the inner row renders as its own line inside the outer cell
+    // (documented); the OUTER cells still join with a tab
+    assert(Docx.extractText(nested) ==
+      "i1\ti2\nafter inner\touter c2")
+  }
+
   test("NAMED errors: OLE compound (legacy/encrypted), non-ZIP, " +
       "missing document.xml, malformed XML") {
     val ole = Array[Byte](0xD0.toByte, 0xCF.toByte, 0x11, 0xE0.toByte,

@@ -238,6 +238,39 @@ end""")
     assert(Pdf.extractText(out.toByteArray) == "updated by scan")
   }
 
+  test("a dangling reference reads as null WITHOUT discarding the " +
+      "valid xref; reference cycles are NAMED errors, not stack death") {
+    // dangling: the page carries /Annots 9 0 R where object 9 does
+    // not exist — spec-defined null, extraction proceeds
+    val content = s2b("BT /F1 12 Tf 72 720 Td (dangle ok) Tj ET")
+    val objs = Seq(
+      s2b("<< /Type /Catalog /Pages 2 0 R >>"),
+      s2b("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      s2b("<< /Type /Page /Parent 2 0 R /Annots 9 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+      s2b(s"<< /Length ${content.length} >>\nstream\n") ++ content ++
+        s2b("\nendstream"),
+      s2b("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"))
+    val (pdf, _) = classic(objs)
+    assert(Pdf.extractText(pdf) == "dangle ok")
+    // cycle: /Contents 6 0 R -> 7 0 R -> 6 0 R must surface as a
+    // named IllegalArgumentException (quarantinable), never a
+    // StackOverflowError
+    val objsCycle = Seq(
+      s2b("<< /Type /Catalog /Pages 2 0 R >>"),
+      s2b("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      s2b("<< /Type /Page /Parent 2 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> /Contents 6 0 R >>"),
+      s2b(s"<< /Length ${content.length} >>\nstream\n") ++ content ++
+        s2b("\nendstream"),
+      s2b("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+      s2b("7 0 R"),
+      s2b("6 0 R"))
+    val (cyc, _) = classic(objsCycle)
+    val e = intercept[IllegalArgumentException](Pdf.extractText(cyc))
+    assert(e.getMessage.contains("cycle"))
+  }
+
   test("truncation and garbage never hang or silently succeed") {
     val good = Pdf.buildPdf("a title", "a body", 2)
     // (cutting only the %%EOF comment still parses — by design; these
