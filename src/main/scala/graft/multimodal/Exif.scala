@@ -54,6 +54,12 @@ private[graft] object Exif {
     while (p + 8 <= b.length) {
       val len = ((b(p) & 0xFF) << 24) | ((b(p + 1) & 0xFF) << 16) |
         ((b(p + 2) & 0xFF) << 8) | (b(p + 3) & 0xFF)
+      // PNG caps chunk length at 2^31-1, so a negative read is a
+      // corrupt chunk — and `p += 12 + len` with len = -12 would
+      // stop advancing (an executor HANG, which no exception guard
+      // catches). len > file size is equally impossible and would
+      // overflow p past Int.MaxValue. Bail to the neutral answer.
+      if (len < 0 || len > b.length) return 1
       val typ = new String(b, p + 4, 4, "US-ASCII")
       if (typ == "eXIf") return fromTiff(b, p + 8,
         math.min(b.length, p + 8 + len))

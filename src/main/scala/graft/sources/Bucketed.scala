@@ -194,6 +194,19 @@ object Bucketed {
     val table = tableName(prefix, path)
     val curLoc = dataLocation(path)
     val curName = new java.io.File(curLoc).getName
+    // The catalog location this session is SERVING right now can
+    // differ from the pointer: a crashed half-publish (ALTER TABLE
+    // SET LOCATION committed, pointer commit did not) leaves the
+    // catalog on an orphan version newer than `_CURRENT`. Readers in
+    // this session planned against it, so it earns the same
+    // one-cycle GC grace as the pointer's retiree — capture it
+    // BEFORE this compact's own ALTER overwrites it.
+    val preCatalogName = scala.util.Try {
+      new java.io.File(spark.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .location).getName
+    }.getOrElse(curName)
     val curVer =
       if (curLoc != path && curName.startsWith("v") &&
         curName.drop(1).nonEmpty && curName.drop(1).forall(_.isDigit))
@@ -253,14 +266,15 @@ object Bucketed {
     commitPointer(path, newVerName)
     spark.sql(s"DROP TABLE IF EXISTS ${qi(tmpTable)}")
     spark.catalog.refreshTable(table)
-    // grace-deferred GC: every version dir that is neither the one
-    // just PUBLISHED nor the one just RETIRED goes — that covers
-    // versions older than the grace copy AND orphan dirs a crashed
-    // half-publish left newer than the pointer (they were never
-    // published, so no reader can hold them). The just-retired
-    // version stays one full compact cycle — the pinned-reader
-    // window. Pre-pointer root data files go once a versioned
-    // retiree exists to serve that window.
+    // grace-deferred GC: every version dir that is not the one just
+    // PUBLISHED, the one just RETIRED, or the one the CATALOG was
+    // serving at compact start goes. The third exemption is the
+    // crashed-half-publish orphan: its ALTER TABLE committed, so
+    // this session's readers may have planned against it even though
+    // the pointer never flipped — it gets the same one-cycle grace
+    // as the retiree. Truly unpublished dirs (no pointer, no catalog
+    // entry ever) go immediately. Pre-pointer root data files go
+    // once a versioned retiree exists to serve the grace window.
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(rm))
       f.delete(); ()
@@ -269,7 +283,7 @@ object Bucketed {
       val n = f.getName
       val staleVersion = f.isDirectory && n.startsWith("v") &&
         n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit) &&
-        n != newVerName && n != curName
+        n != newVerName && n != curName && n != preCatalogName
       val legacyRootData = curVer >= 0 && curLoc != path && f.isFile &&
         !n.startsWith("_") && !n.startsWith(".")
       if (staleVersion || legacyRootData) rm(f)

@@ -47,7 +47,23 @@ object Docx {
     try {
       var e = zin.getNextEntry
       while (e != null) {
-        if (e.getName == name) return zin.readAllBytes()
+        if (e.getName == name) {
+          // bounded read: a ZIP bomb entry (KB of Deflate → multi-GB)
+          // would OOM the executor — an Error the per-row quarantine
+          // cannot catch — so cap like Pdf.inflate and NAME it.
+          val out = new java.io.ByteArrayOutputStream(
+            math.min(math.max(64, e.getSize.toInt), 1 << 20))
+          val chunk = new Array[Byte](8192)
+          var n = zin.read(chunk)
+          while (n >= 0) {
+            if (out.size().toLong + n > Pdf.MaxDecodedBytes)
+              err(s"$name exceeds ${Pdf.MaxDecodedBytes} bytes " +
+                "(decompression bomb?)")
+            out.write(chunk, 0, n)
+            n = zin.read(chunk)
+          }
+          return out.toByteArray
+        }
         e = zin.getNextEntry
       }
       null

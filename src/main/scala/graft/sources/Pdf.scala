@@ -92,6 +92,18 @@ object Pdf {
     @inline private def cur: Int =
       if (pos < buf.length) buf(pos) & 0xFF else -1
 
+    /** Recursion guard for parseArray/parseDict: a crafted file of
+      * 100k '[' bytes would otherwise StackOverflowError — which is
+      * fatal (not NonFatal) and escapes the per-row quarantine,
+      * killing the whole task. Same failure class the resolve()
+      * 64-hop cap and the page-tree depth-64 guard already close;
+      * 256 is far past any real document's nesting. */
+    private var nest = 0
+    @inline private def enterNest(): Unit = {
+      nest += 1
+      if (nest > 256) err("object nesting deeper than 256 (corrupt or crafted file)")
+    }
+
     private[sources] def skipWs(): Unit = {
       var go = true
       while (go) {
@@ -248,19 +260,27 @@ object Pdf {
     }
 
     private[sources] def parseArray(): PArr = {
-      pos += 1 // '['
-      val items = Vector.newBuilder[Obj]
-      skipWs()
-      while (cur != ']') {
-        if (pos >= buf.length) err("unterminated array")
-        items += parseValue()
+      enterNest()
+      try {
+        pos += 1 // '['
+        val items = Vector.newBuilder[Obj]
         skipWs()
-      }
-      pos += 1
-      PArr(items.result())
+        while (cur != ']') {
+          if (pos >= buf.length) err("unterminated array")
+          items += parseValue()
+          skipWs()
+        }
+        pos += 1
+        PArr(items.result())
+      } finally nest -= 1
     }
 
     private[sources] def parseDict(): Obj = {
+      enterNest()
+      try parseDictBody() finally nest -= 1
+    }
+
+    private def parseDictBody(): Obj = {
       pos += 2 // '<<'
       val m = Map.newBuilder[String, Obj]
       skipWs()
@@ -297,6 +317,14 @@ object Pdf {
   // stream filters
   // ---------------------------------------------------------------
 
+  /** Hard ceiling on ONE decoded stream. A decompression bomb (a few
+    * KB of Flate expanding to multi-GB) would otherwise OOM the
+    * executor JVM — an Error the per-row quarantine cannot catch,
+    * unlike every other parse failure here, which is a NAMED
+    * IllegalArgumentException. 256 MiB is orders of magnitude past
+    * any real page content / ObjStm / document.xml payload. */
+  private[sources] val MaxDecodedBytes: Int = 256 << 20
+
   private def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(data)
@@ -308,7 +336,12 @@ object Pdf {
         if (n == 0) {
           if (inf.needsInput() || inf.needsDictionary())
             err("truncated FlateDecode data")
-        } else out.write(chunk, 0, n)
+        } else {
+          if (out.size().toLong + n > MaxDecodedBytes)
+            err(s"FlateDecode output exceeds $MaxDecodedBytes bytes " +
+              "(decompression bomb?)")
+          out.write(chunk, 0, n)
+        }
       }
     } catch {
       case e: java.util.zip.DataFormatException =>

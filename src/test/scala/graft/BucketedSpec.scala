@@ -209,6 +209,52 @@ class BucketedSpec extends SparkSpec {
       "even keys 2..4000 join once (appended keys have no dims)")
   }
 
+  test("a crashed half-publish orphan (catalog flipped, pointer did " +
+      "not) gets the GC grace window — a reader planned against it " +
+      "survives the next compact") {
+    val (fp, _) = fixture()
+    val ddl = "k BIGINT, v INT, grp STRING"
+    Bucketed.compact(spark, "bspec_facts", ddl, "k", 4, "k", fp)
+    val servedLoc = Bucketed.dataLocation(fp) // v1 after first compact
+    val servedName = new java.io.File(servedLoc).getName
+    // simulate the crash: a newer version dir exists and the CATALOG
+    // was flipped to it, but the _CURRENT pointer commit never ran
+    val orphanName = s"v${servedName.drop(1).toInt + 1}"
+    val orphanDir = new java.io.File(fp, orphanName)
+    def cp(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        Option(src.listFiles).foreach(_.foreach(f =>
+          cp(f, new java.io.File(dst, f.getName))))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+    }
+    cp(new java.io.File(servedLoc), orphanDir)
+    val table = Bucketed.tableName("bspec_facts", fp)
+    spark.sql(s"ALTER TABLE `$table` SET LOCATION " +
+      s"'${orphanDir.getPath.replace("'", "\\'")}'")
+    spark.catalog.refreshTable(table)
+    // a reader in this session plans against the orphan location —
+    // force physical planning NOW so the file list resolves before
+    // the compact (queryExecution is lazy; without this the collect
+    // below would re-resolve the post-compact catalog)
+    val pinned = spark.table(table).groupBy()
+      .agg(sum($"v").as("sv"))
+    pinned.queryExecution.executedPlan
+    val expect = spark.read.parquet(orphanDir.getPath).agg(sum($"v"))
+      .collect()(0).getLong(0)
+    Bucketed.compact(spark, "bspec_facts", ddl, "k", 4, "k", fp)
+    assert(orphanDir.isDirectory,
+      "the orphan the catalog was serving must survive one compact")
+    assert(pinned.collect()(0).getLong(0) == expect,
+      "the reader planned against the orphan must still collect")
+    // one compact later the orphan is retired-out like any grace copy
+    Bucketed.compact(spark, "bspec_facts", ddl, "k", 4, "k", fp)
+    assert(!orphanDir.isDirectory,
+      "the orphan is GC'd once its grace window passes")
+    assert(spark.table(table).agg(sum($"v")).collect()(0).getLong(0)
+      == expect, "values survive the whole recovery sequence")
+  }
+
   test("quote-bearing paths survive the DDL round-trip (escaped " +
       "LOCATION literal, not string splicing)") {
     val base = java.nio.file.Files

@@ -112,6 +112,22 @@ class DocxSpec extends SparkSpec {
     assert(e.getMessage.contains("malformed"))
   }
 
+  test("a ZIP-bomb document.xml errs NAMED at the output cap instead " +
+      "of OOMing the executor") {
+    val evil = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(evil)
+    z.setLevel(java.util.zip.Deflater.BEST_COMPRESSION)
+    z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    val zeros = new Array[Byte](1 << 16)
+    var fed = 0L
+    while (fed < (300L << 20)) { z.write(zeros); fed += zeros.length }
+    z.closeEntry(); z.close()
+    assert(evil.size() < (4 << 20), "bomb payload itself must be small")
+    val e = intercept[IllegalArgumentException](
+      Docx.extractText(evil.toByteArray))
+    assert(e.getMessage.contains("bomb"), e.getMessage)
+  }
+
   test("Spark surface quarantines failed payloads per-row") {
     import spark.implicits._
     val rows: Seq[(Long, Array[Byte])] = Seq(

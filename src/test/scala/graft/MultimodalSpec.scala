@@ -674,6 +674,23 @@ class MultimodalSpec extends SparkSpec {
     assert(Exif.orientation(jpeg.take(3).toArray) == 1)
   }
 
+  test("EXIF: a PNG chunk with a negative (high-bit) length must not " +
+      "hang the chunk walk — degrade to orientation 1") {
+    import graft.multimodal.Exif
+    // length 0xFFFFFFF4 = -12 signed: `p += 12 + len` would never
+    // advance, spinning the executor task forever (no exception for
+    // the NonFatal guard to catch). Must terminate and return 1.
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte)
+    val badChunk = Array(0xFF, 0xFF, 0xFF, 0xF4).map(_.toByte) ++
+      "IDAT".getBytes("US-ASCII") ++ Array.fill[Byte](16)(0)
+    assert(Exif.orientation(sig ++ badChunk) == 1)
+    // and a huge positive length (past the file) must not overflow p
+    val hugeChunk = Array(0x7F, 0xFF, 0xFF, 0xF0).map(_.toByte) ++
+      "iTXt".getBytes("US-ASCII") ++ Array.fill[Byte](16)(0)
+    assert(Exif.orientation(sig ++ hugeChunk) == 1)
+  }
+
   test("EXIF normalize/denormalize are exact inverses for all eight " +
       "orientations") {
     import graft.multimodal.Exif

@@ -282,6 +282,51 @@ end""")
     intercept[Exception](Pdf.extractText(Array[Byte]()))
   }
 
+  test("100k nested arrays err as a NAMED nesting error, not a fatal " +
+      "StackOverflowError that escapes the per-row quarantine") {
+    val deep = s2b("<< /Type /Catalog /Pages 2 0 R /Junk ") ++
+      Array.fill(100000)('['.toByte) ++
+      Array.fill(100000)(']'.toByte) ++ s2b(" >>")
+    val (pdf, _) = classic(Seq(
+      deep,
+      s2b("<< /Type /Pages /Kids [] /Count 0 >>")))
+    // the depth guard errs inside the object parse; the xref-recovery
+    // path (correctly) treats that object as unreadable and the file
+    // surfaces as a NAMED bad-catalog error. The real pin is the
+    // exception TYPE: without the guard this dies StackOverflowError,
+    // which is fatal and fails the intercept below.
+    val e = intercept[IllegalArgumentException](Pdf.extractText(pdf))
+    assert(e.getMessage.contains("nesting") ||
+      e.getMessage.contains("bad catalog"), e.getMessage)
+  }
+
+  test("a FlateDecode decompression bomb errs NAMED at the output cap " +
+      "instead of OOMing the executor") {
+    // ~300 MiB of zeros deflates to ~300 KB; inflating it would blow
+    // past any reasonable stream size. The cap must throw the named
+    // IllegalArgumentException (quarantinable), never OutOfMemoryError.
+    val defl = new java.util.zip.Deflater(
+      java.util.zip.Deflater.BEST_COMPRESSION)
+    val bomb = new java.io.ByteArrayOutputStream()
+    val zeros = new Array[Byte](1 << 16)
+    val buf = new Array[Byte](1 << 16)
+    var fed = 0L
+    while (fed < (300L << 20)) {
+      defl.setInput(zeros)
+      while (!defl.needsInput()) bomb.write(buf, 0, defl.deflate(buf))
+      fed += zeros.length
+    }
+    defl.finish()
+    while (!defl.finished()) bomb.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val content = bomb.toByteArray
+    val (pdf, _) = classic(onePageObjs(
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+      content, " /Filter /FlateDecode"))
+    val e = intercept[IllegalArgumentException](Pdf.extractText(pdf))
+    assert(e.getMessage.contains("bomb"), e.getMessage)
+  }
+
   test("Spark surface quarantines failed payloads with the named " +
       "error instead of failing the job") {
     import spark.implicits._
