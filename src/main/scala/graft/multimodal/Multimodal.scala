@@ -325,19 +325,22 @@ final case class MediaFeatures(media_id: Long, kind: String,
  *  - VIDEO: MJPEG (concatenated baseline JPEG frames — a real
  *    interchange format) splits on SOI/EOI markers and decodes every frame
  *    through ImageIO in [[Codec.decodeVideo]] / [[Codec.splitMjpegFrames]].
- * [[syntheticMedia]] generates real PNG / WAV / MJPEG payloads. The
- * remaining documented boundaries each have an SPI escape hatch:
- * inter-frame-compressed video (H.264 P/B prediction, VP9, AV1) needs
- * an ffmpeg/javacv binding through the [[FrameDecoder]] SPI
- * (`graft.video.frameDecoder`), and compressed audio (MP3/AAC/Ogg/
- * FLAC) a binding through the [[AudioDecoder]] SPI
+ * [[syntheticMedia]] generates real PNG / WAV / MJPEG payloads. H.264
+ * decodes natively for I/P/B slices under CAVLC (and I slices under
+ * CABAC), and FLAC decodes natively with CRC-8/CRC-16/MD5
+ * verification — neither needs an SPI. The remaining documented
+ * boundaries each have an SPI escape hatch: CABAC-inter-only H.264
+ * plus other inter-frame codecs (VP9, AV1) need an ffmpeg/javacv
+ * binding through the [[FrameDecoder]] SPI
+ * (`graft.video.frameDecoder`), and LOSSY compressed audio
+ * (MP3/AAC/Ogg) a binding through the [[AudioDecoder]] SPI
  * (`graft.audio.decoder`) — every operator of the respective family
  * (featurize, fingerprint dedup, constellation/sequence matching,
  * persisted indexes, streaming ingest) decodes through its SPI.
- * Unset, the JDK-only paths run (MJPEG + intra H.264; WAV/PCM) and
- * the build stays dependency-free; compressed audio fails with a
- * NAMED error rather than a fake decode. MultimodalSpec proves both
- * plumbings with fake external decoders.
+ * Unset, the JDK-only paths run (MJPEG + native H.264; WAV/PCM +
+ * native FLAC) and the build stays dependency-free; lossy compressed
+ * audio fails with a NAMED error rather than a fake decode.
+ * MultimodalSpec proves both plumbings with fake external decoders.
  *
  * Scale notes: payloads never pass through a shuffle here — featurize is
  * a narrow mapPartitions; downstream joins should carry `media_id` and
