@@ -53,9 +53,10 @@ private[graft] object RegistryRound17 {
 
     // PDF text extraction: each document is rendered into a
     // spec-valid fixture PDF (graft.sources.Pdf.buildPdf — an
-    // independent writer) cycling through the three xref layouts real
-    // corpora carry (classic table / classic + FlateDecode content /
-    // xref stream + ObjStm, chosen by doc_id % 3), then extracted
+    // independent writer) cycling through the layouts and filters
+    // real corpora carry (classic table / classic + FlateDecode /
+    // xref stream + ObjStm / LZWDecode / RunLength→LZW chain, chosen
+    // by doc_id % 5), then extracted
     // back through the full parser (xref chain, filters, page walk,
     // WinAnsi fonts, Tj/TJ with kerning-gap spaces). The oracle is
     // ANALYTIC — the expected text is written directly from the
@@ -69,7 +70,7 @@ private[graft] object RegistryRound17 {
           .select(col("doc_id"), col("source"), col("text"))
           .as[(Long, String, String)]
         docs.map { case (id, src, txt) =>
-          val pdf = graft.sources.Pdf.buildPdf(src, txt, (id % 3).toInt)
+          val pdf = graft.sources.Pdf.buildPdf(src, txt, (id % 5).toInt)
           (id, graft.sources.Pdf.extractText(pdf))
         }.toDF("doc_id", "extracted")
       },

@@ -429,7 +429,7 @@ object ScaleCurve {
           .repartition(par)
           .as[(Long, String, String)]
         d.map { case (id, src, txt) =>
-          val pdf = graft.sources.Pdf.buildPdf(src, txt, (id % 3).toInt)
+          val pdf = graft.sources.Pdf.buildPdf(src, txt, (id % 5).toInt)
           (id, graft.sources.Pdf.extractText(pdf).length)
         }.toDF("doc_id", "n")
       },

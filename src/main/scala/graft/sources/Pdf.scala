@@ -20,9 +20,10 @@ import org.apache.spark.sql.{DataFrame, Dataset}
  *    hybrid /XRefStm), cross-reference STREAMS (/Type /XRef with /W,
  *    /Index, PNG predictors) and object streams (/Type /ObjStm) —
  *    the PDF 1.5+ layout real documents use;
- *  - stream filters: FlateDecode (with /Predictor 2 and the PNG
- *    predictors 10..15), ASCIIHexDecode, ASCII85Decode, filter
- *    chains; other filters are NAMED errors;
+ *  - stream filters: FlateDecode and LZWDecode (both with
+ *    /Predictor 2 and the PNG predictors 10..15, LZW with
+ *    /EarlyChange), RunLengthDecode, ASCIIHexDecode, ASCII85Decode,
+ *    filter chains; other filters are NAMED errors;
  *  - page-tree walk with /Resources inheritance, /Contents arrays;
  *  - text operators BT/ET, Tj, ', ", TJ (kerning gaps < −180/1000 em
  *    become spaces), Td/TD/Tm/T* (line breaks), Tf font tracking,
@@ -34,8 +35,8 @@ import org.apache.spark.sql.{DataFrame, Dataset}
  *    ToUnicode CMap, else a NAMED error.
  *
  * Honest boundaries (all named, never silently wrong): encrypted
- * documents (/Encrypt), LZW/JBIG2/etc. filters on content-path
- * streams, CID fonts without ToUnicode, glyph names outside the
+ * documents (/Encrypt), image-codec filters (DCT/JPX/JBIG2/CCITT) on
+ * content-path streams, CID fonts without ToUnicode, glyph names outside the
  * supported set. The Spark surface quarantines failed payloads with
  * the error message instead of failing the job (the `sources.Csv`
  * accounting pattern).
@@ -459,6 +460,183 @@ object Pdf {
     out.toArray
   }
 
+  /**
+   * LZWDecode (ISO 32000-1 §7.4.4; the TIFF/GIF-family algorithm).
+   * Codes are packed MSB-first at a variable width starting at 9
+   * bits; 256 = ClearTable, 257 = EOD, new entries from 258. The
+   * dictionary builds FROM the stream — there are no constant tables
+   * here to transcribe, which is what admits a native implementation
+   * (the FLAC rule). `earlyChange` (DecodeParms, default 1 per spec)
+   * widens the code length one entry early — the decoder reads with
+   * width w while `size + earlyChange < 2^w` (the libtiff/pdf.js
+   * convention). Output is capped like [[inflate]]: LZW bombs err
+   * NAMED instead of OOMing the executor.
+   */
+  private[graft] def lzwDecode(data: Array[Byte],
+                               earlyChange: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
+    var size = 258
+    var width = 9
+    var prev = -1
+    var acc = 0L; var nbits = 0; var i = 0
+    def firstByte(code: Int): Byte = {
+      var c = code
+      while (c >= 258) c = prefix(c)
+      c.toByte
+    }
+    def emit(code: Int): Unit = {
+      var sp = 0
+      var c = code
+      while (c >= 258) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      if (out.size().toLong + sp + 1 > MaxDecodedBytes)
+        err(s"LZWDecode output exceeds $MaxDecodedBytes bytes " +
+          "(decompression bomb?)")
+      out.write(c)
+      while (sp > 0) { sp -= 1; out.write(stack(sp)) }
+    }
+    while (true) {
+      while (width < 12 && size + earlyChange >= (1 << width)) width += 1
+      while (nbits < width) {
+        if (i >= data.length) err("truncated LZWDecode data (no EOD)")
+        acc = (acc << 8) | (data(i) & 0xFF); nbits += 8; i += 1
+      }
+      val code = ((acc >> (nbits - width)) & ((1L << width) - 1)).toInt
+      nbits -= width
+      if (code == 256) { size = 258; width = 9; prev = -1 }
+      else if (code == 257) return out.toByteArray
+      else if (prev < 0) {
+        if (code >= 256) err(s"LZW: non-literal first code $code")
+        emit(code); prev = code
+      } else {
+        if (code > size) err(s"LZW code $code out of range (size $size)")
+        if (code == size) { // KwKwK: prev's string + its own first byte
+          if (size >= 4096) err("LZW dictionary overflow")
+          prefix(size) = prev; suffix(size) = firstByte(prev); size += 1
+          emit(code)
+        } else {
+          emit(code)
+          // a full table stops growing (an encoder MAY keep emitting
+          // existing codes without a Clear — decode them, add nothing)
+          if (size < 4096) {
+            prefix(size) = prev; suffix(size) = firstByte(code); size += 1
+          }
+        }
+        prev = code
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** LZW encoder, width-synchronized with [[lzwDecode]] by SIMULATING
+    * the decoder's table: the decoder adds an entry while processing
+    * every data code after the first since a Clear, so before it
+    * reads any code its size is `258 + max(0, d-1)` where d = data
+    * codes already consumed since the Clear. Syncing off the
+    * encoder's own dictionary instead is off by one exactly when an
+    * EOD/Clear follows the final flushed code at a width boundary
+    * (entry 511/1023/2047) — a data-dependent corruption a plain
+    * round-trip test misses until an input lands on the boundary.
+    * Used by the fixture writer and specs — real corpora only ever
+    * exercise the decoder. */
+  private[graft] def lzwEncode(data: Array[Byte],
+                               earlyChange: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length / 2))
+    var acc = 0L; var nbits = 0
+    var width = 9
+    var size = 258 // encoder dictionary size (next code to assign)
+    var d = 0 // data codes written since the last Clear
+    def put(code: Int, isData: Boolean): Unit = {
+      val decSize = 258 + math.max(0, d - 1)
+      while (width < 12 && decSize + earlyChange >= (1 << width)) width += 1
+      acc = (acc << width) | code; nbits += width
+      while (nbits >= 8) {
+        out.write(((acc >> (nbits - 8)) & 0xFF).toInt); nbits -= 8
+      }
+      if (isData) d += 1
+    }
+    val dict = new java.util.HashMap[Long, Integer]()
+    put(256, isData = false)
+    var w = -1
+    var i = 0
+    while (i < data.length) {
+      val b = data(i) & 0xFF
+      if (w < 0) w = b
+      else {
+        val key = (w.toLong << 8) | b
+        val hit = dict.get(key)
+        if (hit != null) w = hit.intValue()
+        else {
+          put(w, isData = true)
+          dict.put(key, size); size += 1
+          // clear before the decoder would need a 13-bit code
+          if (size >= 4096 - earlyChange) {
+            put(256, isData = false)
+            dict.clear(); size = 258; width = 9; d = 0
+          }
+          w = b
+        }
+      }
+      i += 1
+    }
+    if (w >= 0) put(w, isData = true)
+    put(257, isData = false)
+    if (nbits > 0) out.write(((acc << (8 - nbits)) & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  /** RunLengthDecode (ISO 32000-1 §7.4.5): length byte 0..127 copies
+    * the next L+1 bytes verbatim; 129..255 repeats the next byte
+    * 257−L times; 128 is EOD. */
+  private[graft] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 2))
+    var i = 0
+    while (i < data.length) {
+      val l = data(i) & 0xFF
+      i += 1
+      if (l == 128) return out.toByteArray
+      else if (l < 128) {
+        if (i + l + 1 > data.length) err("truncated RunLengthDecode literal")
+        if (out.size().toLong + l + 1 > MaxDecodedBytes)
+          err(s"RunLengthDecode output exceeds $MaxDecodedBytes bytes")
+        out.write(data, i, l + 1); i += l + 1
+      } else {
+        if (i >= data.length) err("truncated RunLengthDecode run")
+        if (out.size().toLong + (257 - l) > MaxDecodedBytes)
+          err(s"RunLengthDecode output exceeds $MaxDecodedBytes bytes")
+        var k = 257 - l
+        while (k > 0) { out.write(data(i) & 0xFF); k -= 1 }
+        i += 1
+      }
+    }
+    err("RunLengthDecode data ended without EOD")
+  }
+
+  /** RunLength encoder for the fixture writer: repeats ≥3 become
+    * runs, everything else literal chunks of ≤128. */
+  private[graft] def runLengthEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 8)
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && run < 128 &&
+        data(i + run) == data(i)) run += 1
+      if (run >= 3) {
+        out.write(257 - run); out.write(data(i) & 0xFF); i += run
+      } else {
+        var lit = 1 // scan forward to the next ≥3-repeat (or 128 cap)
+        while (i + lit < data.length && lit < 128 &&
+          !(i + lit + 2 < data.length && data(i + lit) == data(i + lit + 1) &&
+            data(i + lit) == data(i + lit + 2))) lit += 1
+        out.write(lit - 1); out.write(data, i, lit); i += lit
+      }
+    }
+    out.write(128)
+    out.toByteArray
+  }
+
   // ---------------------------------------------------------------
   // document: xref chain + object access
   // ---------------------------------------------------------------
@@ -621,9 +799,19 @@ object Pdf {
           }
         case (PName("ASCIIHexDecode" | "AHx"), _) => data = asciiHexDecode(data)
         case (PName("ASCII85Decode" | "A85"), _) => data = ascii85Decode(data)
+        case (PName("LZWDecode" | "LZW"), pm) =>
+          def iv(k: String, dflt: Int) = pm.flatMap(d =>
+            resolveOpt(d, k)) match {
+            case Some(PNum(v)) => v.toInt; case _ => dflt
+          }
+          data = lzwDecode(data, iv("EarlyChange", 1))
+          data = unpredict(data, iv("Predictor", 1), iv("Columns", 1),
+            iv("Colors", 1), iv("BitsPerComponent", 8))
+        case (PName("RunLengthDecode" | "RL"), _) =>
+          data = runLengthDecode(data)
         case (PName(other), _) =>
           err(s"stream filter /$other unsupported (named boundary: " +
-            "FlateDecode/ASCIIHexDecode/ASCII85Decode decode natively)")
+            "Flate/LZW/RunLength/ASCIIHex/ASCII85 decode natively)")
         case (PNull, _) => ()
         case (other, _) => err(s"bad filter entry $other")
       }
@@ -1233,8 +1421,12 @@ object Pdf {
    *  - variant 1: classic xref table, FlateDecode content, the body
    *    shown as a TJ array with −200 kerning gaps replacing spaces;
    *  - variant 2: cross-reference STREAM + object stream (the PDF
-   *    1.5+ layout) with FlateDecode content.
-   * All three extract to exactly `title + "\n" + body`.
+   *    1.5+ layout) with FlateDecode content;
+   *  - variant 3: classic xref table, LZWDecode content (the filter
+   *    older scanned/scientific corpora carry);
+   *  - variant 4: classic xref table, a [RunLengthDecode LZWDecode]
+   *    filter CHAIN (decode order: RunLength first, then LZW).
+   * All variants extract to exactly `title + "\n" + body`.
    */
   def buildPdf(title: String, body: String, variant: Int): Array[Byte] = {
     val contentStr = variant match {
@@ -1246,9 +1438,14 @@ object Pdf {
         s"BT /F1 12 Tf 72 720 Td (${escapeLit(title)}) Tj 0 -14 Td (${escapeLit(body)}) Tj ET"
     }
     val contentRaw = contentStr.getBytes("ISO-8859-1")
-    val (contentBytes, contentFilter) =
-      if (variant == 0) (contentRaw, "")
-      else (deflate(contentRaw), " /Filter /FlateDecode")
+    val (contentBytes, contentFilter) = variant match {
+      case 0 => (contentRaw, "")
+      case 3 => (lzwEncode(contentRaw), " /Filter /LZWDecode")
+      case 4 => // decode order RunLength→LZW, so encode LZW→RunLength
+        (runLengthEncode(lzwEncode(contentRaw)),
+          " /Filter [ /RunLengthDecode /LZWDecode ]")
+      case _ => (deflate(contentRaw), " /Filter /FlateDecode")
+    }
 
     val font = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
       "/Encoding /WinAnsiEncoding >>"
@@ -1262,7 +1459,7 @@ object Pdf {
     def wb(b: Array[Byte]): Unit = out.write(b, 0, b.length)
     w("%PDF-1.5\n%âãÏÓ\n")
 
-    if (variant <= 1) {
+    if (variant != 2) {
       val offs = mutable.Map[Int, Int]()
       def obj(num: Int)(gen: => Unit): Unit = {
         offs(num) = out.size()

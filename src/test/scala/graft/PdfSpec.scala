@@ -192,10 +192,126 @@ end""")
     val (pdf85, _) = classic(onePageObjs(font, s2b(a85(s2b(plain85))),
       " /Filter /ASCII85Decode"))
     assert(Pdf.extractText(pdf85) == "a85 text")
-    val (pdfLzw, _) = classic(onePageObjs(font, s2b("xx"),
-      " /Filter /LZWDecode"))
-    val e = intercept[IllegalArgumentException](Pdf.extractText(pdfLzw))
-    assert(e.getMessage.contains("LZWDecode"))
+    val plainLzw = "BT /F1 12 Tf 72 720 Td (lzw text) Tj ET"
+    val (pdfLzw, _) = classic(onePageObjs(font,
+      Pdf.lzwEncode(s2b(plainLzw)), " /Filter /LZWDecode"))
+    assert(Pdf.extractText(pdfLzw) == "lzw text")
+    // an image-codec filter stays a NAMED boundary
+    val (pdfDct, _) = classic(onePageObjs(font, s2b("xx"),
+      " /Filter /DCTDecode"))
+    val e = intercept[IllegalArgumentException](Pdf.extractText(pdfDct))
+    assert(e.getMessage.contains("DCTDecode"))
+  }
+
+  test("LZW round-trips across the width-change boundaries, the KwKwK " +
+      "self-reference, a full-table Clear cycle, and EarlyChange=0") {
+    def rt(data: Array[Byte], early: Int): Unit = {
+      val enc = Pdf.lzwEncode(data, early)
+      assert(Pdf.lzwDecode(enc, early).sameElements(data),
+        s"round-trip failed (early=$early, n=${data.length})")
+    }
+    // KwKwK: runs of one byte force code == size at the decoder
+    rt("aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa".getBytes, 1)
+    // pseudo-random bytes long enough to cross the 9→10→11→12 width
+    // boundaries AND overflow the 4096-entry table (forcing a mid-
+    // stream Clear): ~40k entries of churn
+    val rnd = new scala.util.Random(7)
+    val big = Array.fill[Byte](60000)(rnd.nextInt(256).toByte)
+    rt(big, 1)
+    rt(big, 0) // EarlyChange=0 shifts every width boundary by one
+    rt(Array.empty[Byte], 1)
+    rt(Array[Byte](42), 1)
+    // text-like data (low entropy, long dictionary strings)
+    rt(("the quick brown fox " * 3000).getBytes, 1)
+    // truncation never hangs: every prefix errs or decodes cleanly
+    val enc = Pdf.lzwEncode(big.take(2000), 1)
+    (0 until enc.length by 7).foreach { n =>
+      try { Pdf.lzwDecode(enc.take(n), 1); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+    // EOD-on-a-width-boundary: when the LAST data code lands exactly
+    // on entry 511/1023 the decoder is no longer one entry behind the
+    // encoder, so an encoder syncing width off its own table writes
+    // the EOD one bit narrow (the doc-138 corruption this sweep
+    // generalizes). Exhaustive length sweep across both boundaries,
+    // mostly-unique pairs so data codes ≈ bytes.
+    for (early <- 0 to 1; n <- (240 to 280) ++ (750 to 790)) {
+      val data = Array.tabulate[Byte](n)(i => ((i * 37) % 251).toByte)
+      val e2 = Pdf.lzwEncode(data, early)
+      assert(Pdf.lzwDecode(e2, early).sameElements(data),
+        s"boundary sweep failed at n=$n early=$early")
+    }
+  }
+
+  test("EXTERNAL anchor: lzwDecode decodes a JDK-ImageIO-written " +
+      "LZW-compressed TIFF strip bit-exactly (an encoder we did not " +
+      "write, so an encoder/decoder bug pair cannot cancel)") {
+    val wpx = 64; val hpx = 40
+    val img = new java.awt.image.BufferedImage(wpx, hpx,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val rnd = new scala.util.Random(3)
+    for (y <- 0 until hpx; x <- 0 until wpx)
+      img.getRaster.setSample(x, y, 0, rnd.nextInt(200))
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionType("LZW")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close()
+    val b = bos.toByteArray
+    // minimal TIFF IFD walk (big- or little-endian)
+    val little = b(0) == 'I'
+    def u16(o: Int) = if (little) (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+      else ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+    def u32(o: Int) = if (little) u16(o).toLong | (u16(o + 2).toLong << 16)
+      else (u16(o).toLong << 16) | u16(o + 2).toLong
+    val ifd = u32(4).toInt
+    val n = u16(ifd)
+    var comp = -1L; var stripOff = -1L; var stripLen = -1L; var pred = 1L
+    for (i <- 0 until n) {
+      val e = ifd + 2 + 12 * i
+      val (tag, typ, v) = (u16(e), u16(e + 2), u32(e + 8))
+      val sv = if (typ == 3) (if (little) v & 0xFFFF else v >> 16) else v
+      tag match {
+        case 259 => comp = sv
+        case 273 => stripOff = sv
+        case 279 => stripLen = sv
+        case 317 => pred = sv
+        case _ => ()
+      }
+    }
+    assert(comp == 5, s"writer must have used LZW (got $comp)")
+    assert(pred == 1, s"test assumes no predictor (got $pred)")
+    val strip = java.util.Arrays.copyOfRange(b, stripOff.toInt,
+      (stripOff + stripLen).toInt)
+    val decoded = Pdf.lzwDecode(strip, 1) // TIFF LZW is early-change
+    val raster = new Array[Byte](wpx * hpx)
+    img.getRaster.getDataElements(0, 0, wpx, hpx, raster)
+    assert(decoded.sameElements(raster),
+      "decoded strip must equal the raster bit-exactly")
+  }
+
+  test("RunLength round-trips runs/literals/boundaries and the " +
+      "RunLength→LZW filter CHAIN extracts through buildPdf variant 4") {
+    def rt(data: Array[Byte]): Unit = {
+      val enc = Pdf.runLengthEncode(data)
+      assert(Pdf.runLengthDecode(enc).sameElements(data))
+    }
+    rt(Array.empty[Byte])
+    rt("abc".getBytes)
+    rt(Array.fill[Byte](500)(7)) // long run: split at 128
+    rt("aabbbbbbbbccdddddddddddddddddddddddddddddx".getBytes)
+    val rnd = new scala.util.Random(11)
+    rt(Array.fill[Byte](4000)(rnd.nextInt(3).toByte))
+    // the new buildPdf variants extract exactly like the old three
+    (3 to 4).foreach { v =>
+      val pdf = Pdf.buildPdf("lzw title", "lzw body text", v)
+      assert(Pdf.extractText(pdf) == "lzw title\nlzw body text",
+        s"variant $v")
+    }
   }
 
   test("encrypted documents are a NAMED error, checked before any " +
