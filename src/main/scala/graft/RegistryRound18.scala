@@ -37,6 +37,56 @@ private[graft] object RegistryRound18 {
         }.toDF("doc_id", "extracted")
       },
       Some("""SELECT doc_id, source || chr(10) || text AS extracted
+              FROM documents WHERE doc_id < 150""")),
+
+    // Raw-HTML charset sniffing ahead of the extract chain: each
+    // document is wrapped in HTML carrying charset-stress text and
+    // ENCODED to raw bytes in a rotation of real crawl shapes
+    // (UTF-8+BOM / windows-1252 via <meta charset> / shift_jis via
+    // <meta http-equiv> / iso-8859-1 via the Content-Type header
+    // param), then decoded back through the WHATWG-precedence sniff
+    // (graft.sources.Html.decodeHtmlBytes) and the standard
+    // extractHtmlText chain. The oracle is ANALYTIC — expected text
+    // written from the source columns plus the per-variant planted
+    // suffix, so a decode that silently mangles the non-ASCII
+    // characters (what UTF-8-always does to 3 of the 4 variants)
+    // hash-mismatches immediately
+    Q("q_html_extract_charset",
+      (s, d) => {
+        import s.implicits._
+        val docs = s.read.parquet(pq(d, "documents"))
+          .where(col("doc_id") < 150)
+          .select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)]
+        val decoded = docs.map { case (id, src, txt) =>
+          val (metaTag, suffix, charset, ct) = ((id % 4).toInt: @unchecked) match {
+            case 0 => ("", "", "UTF-8", null)
+            case 1 => ("<meta charset=\"windows-1252\">",
+              " café déjà vu", "windows-1252", null)
+            case 2 => ("<meta http-equiv=\"Content-Type\" " +
+              "content=\"text/html; charset=shift_jis\">",
+              " 日本語テキスト",
+              "shift_jis", null)
+            case 3 => ("", " ¡señor!", "ISO-8859-1",
+              "text/html; charset=iso-8859-1")
+          }
+          val html = s"<html><head>$metaTag</head><body><h1>$src</h1>" +
+            s"<p>$txt$suffix</p></body></html>"
+          val enc = html.getBytes(charset)
+          val raw = if (id % 4 == 0)
+            Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ enc
+          else enc
+          (id, graft.sources.Html.decodeHtmlBytes(raw, ct))
+        }.toDF("doc_id", "html")
+        decoded.select(col("doc_id"),
+          graft.functions.TextAnalysis.extractHtmlText(col("html"))
+            .as("extracted"))
+      },
+      Some("""SELECT doc_id, source || chr(10) || text ||
+                CASE doc_id % 4 WHEN 0 THEN ''
+                  WHEN 1 THEN ' café déjà vu'
+                  WHEN 2 THEN ' 日本語テキスト'
+                  ELSE ' ¡señor!' END AS extracted
               FROM documents WHERE doc_id < 150"""))
   )
 }
