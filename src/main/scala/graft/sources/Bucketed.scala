@@ -139,24 +139,26 @@ object Bucketed {
    * several files per bucket the sort-merge join (correctly)
    * re-sorts, still without exchanges. At 100 TB this is the shape
    * that keeps the corpus ⋈ embeddings layout current as shards
-   * arrive, without ever rewriting history. Appends are not
-   * transactional across writers — serialize them per table (the
-   * ChunkIndex discipline) or use a real table format for
-   * concurrent-writer corpora.
+   * arrive, without ever rewriting history. Appends serialize
+   * against each other AND against [[compact]] on the shared
+   * [[PathLock]] (same-JVM monitor + advisory file lock — the
+   * ChunkIndex discipline); object-store deployments still need an
+   * external coordinator or a real table format.
    */
   def appendBucketed(df: DataFrame, prefix: String, path: String,
                      bucketCol: String, buckets: Int,
-                     sortCol: String = null): String = {
-    val spark = df.sparkSession
-    val table = tableName(prefix, path)
-    val sort = if (sortCol == null) bucketCol else sortCol
-    register(spark, table, df.schema.toDDL, bucketCol, buckets, sort,
-      path)
-    df.createOrReplaceTempView(s"${table}_src")
-    spark.sql(s"INSERT INTO ${qi(table)} " +
-      s"SELECT * FROM ${qi(table + "_src")}")
-    table
-  }
+                     sortCol: String = null): String =
+    PathLock.withLock(path, "writer.lock") {
+      val spark = df.sparkSession
+      val table = tableName(prefix, path)
+      val sort = if (sortCol == null) bucketCol else sortCol
+      register(spark, table, df.schema.toDDL, bucketCol, buckets, sort,
+        path)
+      df.createOrReplaceTempView(s"${table}_src")
+      spark.sql(s"INSERT INTO ${qi(table)} " +
+        s"SELECT * FROM ${qi(table + "_src")}")
+      table
+    }
 
   /**
    * Compact a bucketed table's accumulated append files (each
@@ -182,13 +184,27 @@ object Bucketed {
    *    compact LATER (the grace window is a full compact cycle);
    *    BucketedSpec pins a reader planned pre-compact collecting
    *    correctly post-compact.
-   * Appends racing a compact still need external serialization (the
-   * append lands in the version being retired) — same contract as
-   * appendBucketed's writer-side discipline.
+   * Appends and compacts serialize on the shared [[PathLock]] (the
+   * ChunkIndex discipline): same-JVM racers queue on the interned
+   * monitor, same-filesystem processes on the advisory file lock, so
+   * an append either fully precedes the compact (its rows ride the
+   * compacted copy) or fully follows the publish (its rows land in
+   * the NEW version via the flipped catalog location). Object-store
+   * deployments need an external coordinator or a real table format
+   * — the documented boundary.
    */
   def compact(spark: SparkSession, prefix: String, schemaDdl: String,
               bucketCol: String, buckets: Int, sortCol: String,
-              path: String): Unit = {
+              path: String): Unit =
+    PathLock.withLock(path, "writer.lock") {
+      compactLocked(spark, prefix, schemaDdl, bucketCol, buckets,
+        sortCol, path)
+    }
+
+  private def compactLocked(spark: SparkSession, prefix: String,
+                            schemaDdl: String, bucketCol: String,
+                            buckets: Int, sortCol: String,
+                            path: String): Unit = {
     val df = attach(spark, prefix, schemaDdl, bucketCol, buckets,
       sortCol, path)
     val table = tableName(prefix, path)

@@ -118,31 +118,11 @@ object ChunkIndex {
         .parquet(chunksDir(dir))
     }
 
-  /** Per-index append mutex: a same-JVM monitor (interned on the
-    * canonical path) wrapping an advisory cross-process file lock.
-    * The monitor must wrap the file lock — `FileChannel.lock` throws
-    * `OverlappingFileLockException` rather than queueing when the
-    * SAME JVM already holds the region, so same-JVM callers serialize
-    * on the monitor first and only one thread per JVM ever contends
-    * for the OS lock. */
-  private val appendMonitors =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
-  private def withAppendLock[T](dir: String)(body: => T): T = {
-    val canon = new java.io.File(dir).getCanonicalPath
-    val monitor =
-      appendMonitors.computeIfAbsent(canon, _ => new Object)
-    monitor.synchronized {
-      val ch = java.nio.channels.FileChannel.open(
-        new java.io.File(dir, "append.lock").toPath,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val lock = ch.lock() // blocks until the other process commits
-        try body finally lock.release()
-      } finally ch.close()
-    }
-  }
+  /** Per-index append mutex — the shared [[PathLock]] discipline
+    * (same-JVM monitor wrapping an advisory cross-process file
+    * lock). */
+  private def withAppendLock[T](dir: String)(body: => T): T =
+    PathLock.withLock(dir, "append.lock")(body)
 
   /** The indexed hash column `(chunk_hash)` — empty (not a failed
     * schema inference) when nothing has been indexed yet: an index

@@ -209,6 +209,43 @@ class BucketedSpec extends SparkSpec {
       "even keys 2..4000 join once (appended keys have no dims)")
   }
 
+  test("appends racing compacts lose no rows: both serialize on the " +
+      "shared per-path lock (an unserialized append could land its " +
+      "files in the version being retired and vanish at GC)") {
+    val (fp, _) = fixture()
+    val ddl = "k BIGINT, v INT, grp STRING"
+    val baseSum = spark.read.parquet(Bucketed.dataLocation(fp))
+      .agg(sum($"v")).collect()(0).getLong(0)
+    // interleave: 3 appender threads race 2 compacting threads
+    val appendSums = new java.util.concurrent.atomic.AtomicLong(0)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 3).map { t =>
+      new Thread(() => {
+        try {
+          val lo = 10000L * t
+          val batch = (lo to lo + 99L)
+            .map(k => (k, (k % 7).toInt, s"g${k % 3}"))
+            .toDF("k", "v", "grp")
+          appendSums.addAndGet(batch.agg(sum($"v")).collect()(0).getLong(0))
+          Bucketed.appendBucketed(batch, "bspec_facts", fp, "k", 4)
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    } ++ (1 to 2).map { _ =>
+      new Thread(() => {
+        try Bucketed.compact(spark, "bspec_facts", ddl, "k", 4, "k", fp)
+        catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"racers must not fail: ${errors.peek()}")
+    // one more compact to flush any append that followed the last one
+    Bucketed.compact(spark, "bspec_facts", ddl, "k", 4, "k", fp)
+    val finalSum = spark.read.parquet(Bucketed.dataLocation(fp))
+      .agg(sum($"v")).collect()(0).getLong(0)
+    assert(finalSum == baseSum + appendSums.get(),
+      s"rows lost: base $baseSum + appends ${appendSums.get()} != $finalSum")
+  }
+
   test("a crashed half-publish orphan (catalog flipped, pointer did " +
       "not) gets the GC grace window — a reader planned against it " +
       "survives the next compact") {
