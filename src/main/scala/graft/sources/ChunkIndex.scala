@@ -12,11 +12,15 @@ import org.apache.spark.sql.functions._
  * `parquery/README.md:4-8`).
  *
  * Layout under `dir`:
- *  - `chunks/` — parquet of DISTINCT chunk hashes, partitioned by
- *    `bucket = pmod(chunk_hash, buckets)`: at 100 TB the index is
- *    billions of 8-byte hashes; bucket partitioning keeps individual
- *    files bounded, append-batches small (novel hashes land in their
- *    buckets), and lets a bucket-keyed probe plan prune;
+ *  - `chunks/` (or `chunks-vN/` behind the `_CHUNKS` pointer once
+ *    [[compact]] has run) — parquet of DISTINCT chunk hashes,
+ *    partitioned by `bucket = pmod(chunk_hash, buckets)`: at 100 TB
+ *    the index is billions of 8-byte hashes; bucket partitioning
+ *    keeps individual files bounded, append-batches small (novel
+ *    hashes land in their buckets), and lets a bucket-keyed probe
+ *    plan prune; [[compact]] merges the per-append file accumulation
+ *    back to one file per bucket with a reader-atomic versioned
+ *    publish and one-cycle grace GC;
  *  - `sketch` — a Bloom sketch of every indexed hash (atomic-rename
  *    committed), the join-free front: a probe first consults the
  *    sketch and only sketch-POSITIVE chunks pay the exact anti-join,
@@ -35,7 +39,19 @@ import org.apache.spark.sql.functions._
  */
 object ChunkIndex {
 
-  private def chunksDir(dir: String) = s"$dir/chunks"
+  /** Resolve the LIVE chunk-parquet directory: versioned
+    * (`chunks-v1`, `chunks-v2`, …) behind an atomic-rename-committed
+    * `_CHUNKS` pointer once [[compact]] has run; the original flat
+    * `chunks` layout before that. The Bucketed publish discipline —
+    * a compact never touches files a running probe already listed. */
+  private def chunksDir(dir: String): String = {
+    val ptr = new java.io.File(dir, "_CHUNKS")
+    if (ptr.isFile) {
+      val v = new String(java.nio.file.Files.readAllBytes(ptr.toPath),
+        "UTF-8").trim
+      if (v.nonEmpty) new java.io.File(dir, v).getPath else s"$dir/chunks"
+    } else s"$dir/chunks"
+  }
   private def sketchFile(dir: String) = new java.io.File(dir, "sketch")
   private def metaFile(dir: String) = new java.io.File(dir, "meta.json")
 
@@ -123,6 +139,71 @@ object ChunkIndex {
     * lock). */
   private def withAppendLock[T](dir: String)(body: => T): T =
     PathLock.withLock(dir, "append.lock")(body)
+
+  /**
+   * Compact the append-accumulated index state: every [[append]]
+   * batch adds one file set per touched bucket, so a 1000-batch
+   * history pays a 1000-file-per-bucket probe scan forever — this
+   * merges the chunk parquet back to ONE file per bucket and rebuilds
+   * the Bloom sketch from the live hash set (shedding bits a crashed
+   * append left for hashes that never landed — harmless false
+   * positives, but paid on every probe).
+   *
+   * Publish is READER-ATOMIC via the [[Bucketed.compact]] discipline:
+   * the merged copy lands in the NEXT `chunks-vN` directory, the
+   * `_CHUNKS` pointer commits by atomic rename, and the retired
+   * version survives one full compact cycle (a probe that planned
+   * before the flip keeps its file list valid; the version it read is
+   * GC'd one compact LATER). The rebuilt sketch commits BEFORE the
+   * pointer flips — it describes the same hash set as both versions,
+   * so a crash anywhere between the writes leaves a consistent
+   * (old-version) index. Runs under the same per-index lock as
+   * [[append]], so a compact racing an append is impossible in-JVM
+   * and advisory-locked cross-process.
+   */
+  def compact(spark: SparkSession, dir: String): Unit =
+    withAppendLock(dir) {
+      val m = readMeta(dir)
+      val cur = chunksDir(dir)
+      val curName = new java.io.File(cur).getName
+      def verOf(n: String): Int =
+        if (n.startsWith("chunks-v") && n.drop(8).nonEmpty &&
+          n.drop(8).forall(_.isDigit)) n.drop(8).toInt
+        else -1 // the flat pre-pointer `chunks` layout
+      val maxVer = Option(new java.io.File(dir).listFiles)
+        .map(_.toSeq.filter(_.isDirectory).map(f => verOf(f.getName)))
+        .getOrElse(Seq.empty).maxOption.getOrElse(-1)
+      val newName = s"chunks-v${math.max(verOf(curName), maxVer) + 1}"
+      val all = hashes(spark, dir).distinct()
+        .localCheckpoint(true) // pin the set before any state write
+      // sketch first (the commit-order contract): the rebuilt sketch
+      // describes the SAME hash set as old and new chunk versions
+      writeSketch(dir, graft.operators.Dedup.buildSeenSketch(
+        all, "chunk_hash", m.expectedItems, m.numBits))
+      all
+        .withColumn("bucket", pmod(col("chunk_hash"), lit(m.buckets.toLong)))
+        .repartition(col("bucket")) // each bucket whole in one task →
+        .write.mode("overwrite").partitionBy("bucket") // one file/bucket
+        .parquet(new java.io.File(dir, newName).getPath)
+      val tmp = new java.io.File(dir, s"_CHUNKS.tmp${System.nanoTime()}")
+      java.nio.file.Files.write(tmp.toPath, newName.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp.toPath,
+        new java.io.File(dir, "_CHUNKS").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // grace-deferred GC: every chunk version that is neither the one
+      // just PUBLISHED nor the one just RETIRED goes (the retiree
+      // serves pinned readers for one full compact cycle)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      Option(new java.io.File(dir).listFiles).foreach(_.foreach { f =>
+        val n = f.getName
+        val isChunkDir = f.isDirectory && (n == "chunks" || verOf(n) >= 0)
+        if (isChunkDir && n != newName && n != curName) rm(f)
+      })
+    }
 
   /** The indexed hash column `(chunk_hash)` — empty (not a failed
     * schema inference) when nothing has been indexed yet: an index

@@ -227,6 +227,72 @@ class ChunkIndexSpec extends SparkSpec {
     }
   }
 
+  test("compact: probe equivalence before/after, files merge to one " +
+      "per bucket, a pinned reader survives the publish, and the GC " +
+      "bound holds over repeated compacts") {
+    val dir = tmpDir()
+    ChunkIndex.create(Dedup.cdcChunkHashes(mkDocs((1L, lorem)),
+      "doc_id", "text", 16, 32, 256), dir, buckets = 4)
+    // accumulate append file sets
+    (2 to 6).foreach { i =>
+      ChunkIndex.append(Dedup.cdcChunkHashes(
+        mkDocs((i.toLong, s"batch $i material " + lorem.drop(i * 7))),
+        "doc_id", "text", 16, 32, 256), dir)
+    }
+    val probeBatch = mkDocs(
+      (50L, lorem), // fully indexed
+      (51L, "batch 4 material " + lorem.drop(28)), // appended content
+      (52L, "never seen content qq zz " + lorem.reverse))
+    val before = Dedup.cdcNoveltyAgainstIndex(probeBatch, "doc_id",
+      "text", dir, 16, 32, 256).orderBy("doc_id").collect().toSeq
+    val hashesBefore = ChunkIndex.hashes(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // pin a reader BEFORE the compact (force physical planning so the
+    // file list resolves now)
+    val pinned = ChunkIndex.hashes(spark, dir).groupBy()
+      .agg(count(lit(1)).as("n"))
+    pinned.queryExecution.executedPlan
+    def dataFiles(d: java.io.File): Int =
+      if (!d.isDirectory) 0
+      else Option(d.listFiles).map(_.map(f =>
+        if (f.isDirectory) dataFiles(f)
+        else if (f.getName.endsWith(".parquet")) 1 else 0).sum)
+        .getOrElse(0)
+    def chunkDirs() = Option(new java.io.File(dir).listFiles).get
+      .filter(f => f.isDirectory && f.getName.startsWith("chunks"))
+    val filesBefore = chunkDirs().map(dataFiles).sum
+    assert(filesBefore > 4, s"appends must accumulate files ($filesBefore)")
+    ChunkIndex.compact(spark, dir)
+    // the retired layout survives one cycle: the pinned reader works
+    assert(pinned.collect()(0).getLong(0) == hashesBefore.length)
+    // probe equivalence: same rows, same novelty after the compact
+    val after = Dedup.cdcNoveltyAgainstIndex(probeBatch, "doc_id",
+      "text", dir, 16, 32, 256).orderBy("doc_id").collect().toSeq
+    assert(after == before, "novelty probe must be unchanged by compact")
+    assert(ChunkIndex.hashes(spark, dir).collect().map(_.getLong(0))
+      .sorted.toSeq == hashesBefore, "the hash set is invariant")
+    // one file per bucket in the live version
+    val live = chunkDirs().filter(_.getName != "chunks")
+      .maxBy(_.getName.drop(8).toInt)
+    assert(dataFiles(live) <= 4,
+      s"compact must leave ~one file per bucket (${dataFiles(live)})")
+    // GC bound: repeated compacts keep at most current + grace
+    ChunkIndex.compact(spark, dir)
+    ChunkIndex.compact(spark, dir)
+    assert(chunkDirs().length <= 2,
+      s"grace GC must bound versions: ${chunkDirs().map(_.getName).toSeq}")
+    assert(Dedup.cdcNoveltyAgainstIndex(probeBatch, "doc_id", "text",
+      dir, 16, 32, 256).orderBy("doc_id").collect().toSeq == before)
+    // an append AFTER compacts lands in the live version and probes
+    ChunkIndex.append(Dedup.cdcChunkHashes(
+      mkDocs((52L, "never seen content qq zz " + lorem.reverse)),
+      "doc_id", "text", 16, 32, 256), dir)
+    val post = Dedup.cdcNoveltyAgainstIndex(probeBatch, "doc_id",
+      "text", dir, 16, 32, 256).orderBy("doc_id").collect()
+    assert(post.find(_.getLong(0) == 52L).get.getDouble(3) == 0.0,
+      "content appended after a compact must probe as seen")
+  }
+
   test("within-document repeats cut after their first occurrence") {
     val rep = lorem + " " + lorem // doc repeating its own content
     val corpus = mkDocs((1L, rep))

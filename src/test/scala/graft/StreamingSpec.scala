@@ -1186,6 +1186,49 @@ class StreamingSpec extends SparkSpec {
       s"admitted content must score 0 on re-probe, got $re")
   }
 
+  test("cdcNoveltyIngest stays green over a compact mid-stream: the " +
+      "versioned republish is invisible to the ingest gate") {
+    import graft.streaming.IngestPipeline
+    import graft.sources.ChunkIndex
+    val inDir = tmpDir()
+    val ckDir = tmpDir()
+    val base = tmpDir()
+    val corpus = base + "/corpus"
+    val index = base + "/chunkidx"
+    Seq((1L, cdcLorem), (2L, cdcOther))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    IngestPipeline.cdcNoveltyIngest(spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(inDir),
+      "doc_id", "text", corpus, index, ckDir,
+      minNovelty = 0.5, minSize = 16, avgSize = 32, maxSize = 256,
+      buckets = 4).awaitTermination()
+    // steady-state maintenance between micro-batch windows
+    ChunkIndex.compact(spark, index)
+    Seq((10L, cdcLorem), // copy of pre-compact history → reject
+        (12L, (1 to 40).map(i => s"nova$i star$i moon$i").mkString(" ")))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    IngestPipeline.cdcNoveltyIngest(spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(inDir),
+      "doc_id", "text", corpus, index, ckDir,
+      minNovelty = 0.5, minSize = 16, avgSize = 32, maxSize = 256,
+      buckets = 4).awaitTermination()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L, 12L),
+      "the compact must not change any admission decision")
+    // and the post-compact append (batch-2 chunks) is itself probed
+    // correctly after ANOTHER compact
+    ChunkIndex.compact(spark, index)
+    import graft.operators.Dedup
+    val re = Dedup.cdcNoveltyAgainstIndex(
+      Seq((99L, (1 to 40).map(i => s"nova$i star$i moon$i")
+        .mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text", index, 16, 32, 256).collect()(0)
+    assert(re.getDouble(3) == 0.0,
+      "post-compact appended content must survive the next compact")
+  }
+
   test("QuantileMonitor: per-batch KLL sketch log, running quantiles " +
       "over the union, exact N through merges") {
     import graft.streaming.QuantileMonitor
