@@ -444,6 +444,31 @@ object ScaleCurve {
           (id, graft.sources.Docx.extractText(dx).length)
         }.toDF("doc_id", "n")
       },
+      // round-18: legacy .doc (CFB walk + piece table) and raw-HTML
+      // charset sniff+decode — same per-row contract and geometry
+      "doc_extract" -> { k =>
+        import spark.implicits._
+        val d = docs(k).select(col("doc_id"), col("source"), col("text"))
+          .repartition(par)
+          .as[(Long, String, String)]
+        d.map { case (id, src, txt) =>
+          val doc = graft.sources.Doc.buildDoc(src, txt,
+            split16 = id % 2 == 1, withPrc = id % 3 == 0)
+          (id, graft.sources.Doc.extractText(doc).length)
+        }.toDF("doc_id", "n")
+      },
+      "html_charset_decode" -> { k =>
+        import spark.implicits._
+        val d = docs(k).select(col("doc_id"), col("source"), col("text"))
+          .repartition(par)
+          .as[(Long, String, String)]
+        d.map { case (id, src, txt) =>
+          val cs = if (id % 2 == 0) "windows-1252" else "shift_jis"
+          val raw = (s"<html><head><meta charset=\"$cs\"></head>" +
+            s"<body><h1>$src</h1><p>$txt</p></body></html>").getBytes(cs)
+          (id, graft.sources.Html.decodeHtmlBytes(raw).length)
+        }.toDF("doc_id", "n")
+      },
       // FLAC encode + CRC/MD5-verified decode per clip (audio seconds
       // scale with rows; the per-clip tone PCM is doc_id-keyed)
       "flac_decode" -> { k =>
@@ -505,18 +530,50 @@ object ScaleCurve {
           nlist = 16 * k, nprobe = 8)
       })
 
+    // ---- weak-scaling geometry variants ------------------------------
+    // The default sweep holds spark.sql.shuffle.partitions at the
+    // session's 32 while data grows — STRONG scaling on a fixed host,
+    // which conflates algorithmic curvature with per-partition-volume
+    // saturation (the round-17 x100 root-cause: 32→128 partitions cut
+    // minhash wall 29% with zero code change). A real cluster grows
+    // partitions with data, so these variants re-run the two most
+    // shuffle-heavy families with partitions ∝ N (32·k): constant
+    // per-partition shuffle volume. Read the ALGORITHM's exponent off
+    // the weak column; the gap between the columns is the host, not
+    // the code. (AQE's coalescing still merges post-shuffle splits
+    // that come out small, exactly as it would on a cluster.)
+    val weakGeoNames = Set("dedup_minhash", "cdc_chunk_pairs")
+    val weakFamilies: Seq[(String, Int => DataFrame)] =
+      families.filter(f => weakGeoNames.contains(f._1)).map {
+        case (name, f) =>
+          (name + "_weakgeo", (k: Int) => {
+            spark.conf.set("spark.sql.shuffle.partitions",
+              (32 * k).toString)
+            f(k)
+          })
+      }
+    val allFamilies = families ++ weakFamilies
+
     // ---- measurement ------------------------------------------------
     val familyFilter = sys.env.get("SPARK_GRAFT_SCALE_FAMILIES")
       .map(_.split(",").map(_.trim).toSet)
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, Map[Int, Double]]
-    families.filter(f => familyFilter.forall(_.contains(f._1)))
+    // strong-geometry families assume the session's 32 shuffle
+    // partitions; reset before every measurement so a _weakgeo
+    // closure's override can never leak into the next family
+    def resetGeo(): Unit =
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+    allFamilies.filter(f => familyFilter.forall(_.contains(f._1)))
       .foreach { case (name, f) =>
       if (elapsed() < budget) {
+        resetGeo()
         timeOnce(f(factors.head)) // warm-up: codegen + JIT, discarded
         val times = factors.flatMap { k =>
           if (elapsed() < budget) {
+            resetGeo()
             val a = timeOnce(f(k))
+            resetGeo()
             val b = if (elapsed() < budget) a.flatMap(_ => timeOnce(f(k)))
                     else a
             // both runs must SUCCEED for the point to count — an
