@@ -87,6 +87,44 @@ private[graft] object RegistryRound18 {
                   WHEN 1 THEN ' café déjà vu'
                   WHEN 2 THEN ' 日本語テキスト'
                   ELSE ' ¡señor!' END AS extracted
+              FROM documents WHERE doc_id < 150""")),
+
+    // Full-WARC raw-crawl path, end-to-end: each document becomes an
+    // HTTP response inside a spec-valid WARC shard
+    // (graft.sources.Warc.buildWarc — warcinfo + request + response
+    // records, one gzip member per record on odd ids, the standard
+    // .warc.gz layout), walked back through the Content-Length-framed
+    // record reader, HTTP-split (the Content-Type header surfaces the
+    // transport charset), charset-decoded (windows-1252 — bytes a
+    // UTF-8-always decode would mangle), and text-extracted. Same
+    // ANALYTIC oracle family as q_html_extract_charset
+    Q("q_warc_extract_responses",
+      (s, d) => {
+        import s.implicits._
+        val docs = s.read.parquet(pq(d, "documents"))
+          .where(col("doc_id") < 150)
+          .select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)]
+        val decoded = docs.map { case (id, src, txt) =>
+          val html = s"<html><head></head><body><h1>$src</h1>" +
+            s"<p>$txt fiancée nº $id</p></body></html>"
+          val shard = graft.sources.Warc.buildWarc(
+            Seq((s"http://corpus.test/$id",
+              "text/html; charset=windows-1252",
+              html.getBytes("windows-1252"))),
+            gzipped = id % 2 == 1)
+          val r = graft.sources.Warc.records(
+              new java.io.ByteArrayInputStream(shard))
+            .find(_.warcType == "response").get
+          (id, graft.sources.Html.decodeHtmlBytes(r.payload,
+            r.httpContentType))
+        }.toDF("doc_id", "html")
+        decoded.select(col("doc_id"),
+          graft.functions.TextAnalysis.extractHtmlText(col("html"))
+            .as("extracted"))
+      },
+      Some("""SELECT doc_id, source || chr(10) || text ||
+                ' fiancée nº ' || doc_id AS extracted
               FROM documents WHERE doc_id < 150"""))
   )
 }

@@ -167,4 +167,234 @@ object Warc {
       lit("\r\nWARC-Date: "), date,
       lit("\r\nContent-Length: "), octet_length(text),
       lit("\r\n\r\n"), text, lit("\r\n\r\n"))
+
+  // ---------------------------------------------------------------
+  // Full WARC (response records): Content-Length framing, per-record
+  // gzip members, HTTP split — the RAW-crawl layer beside the WET
+  // text-extract layer above. WET rides the splittable delimiter
+  // scan; full WARC cannot (binary payloads may contain any byte
+  // sequence, and .warc.gz members need sequential reads), so its
+  // Spark surface rides binaryFile — one task per shard, the
+  // Manifest geometry; a 100 TB crawl is ~100k ~1 GB shards, one
+  // task each. Per-record bodies cap at Pdf.MaxDecodedBytes (a lying
+  // Content-Length must err NAMED, not OOM). Responses surface the
+  // HTTP Content-Type beside raw payload bytes, feeding
+  // Html.decodeHtmlBytes's transport-precedence charset sniff.
+  // ---------------------------------------------------------------
+
+  private def err(msg: String): Nothing =
+    throw new IllegalArgumentException(s"WARC: $msg")
+
+  /** One parsed record: WARC headers (original case-insensitive names
+    * lower-cased), the raw body, and — for HTTP response records —
+    * the split HTTP Content-Type and payload. */
+  final case class Record(warcType: String, targetUri: String,
+                          contentType: String,
+                          httpContentType: String,
+                          payload: Array[Byte])
+
+  /** Gzip-sniff (1F 8B) and wrap; plain bytes pass through. */
+  private def maybeGunzip(in: java.io.InputStream): java.io.InputStream = {
+    val buf = new java.io.BufferedInputStream(in, 1 << 16)
+    buf.mark(2)
+    val b0 = buf.read(); val b1 = buf.read()
+    buf.reset()
+    if (b0 == 0x1F && b1 == 0x8B)
+      new java.util.zip.GZIPInputStream(buf, 1 << 16)
+    else buf
+  }
+
+  /** Read one CRLF- (or LF-) terminated header line; None at EOF. */
+  private def readLine(in: java.io.InputStream): Option[String] = {
+    val out = new java.io.ByteArrayOutputStream(80)
+    var c = in.read()
+    if (c < 0) return None
+    while (c >= 0 && c != '\n') {
+      if (c != '\r') out.write(c)
+      c = in.read()
+    }
+    Some(new String(out.toByteArray, "ISO-8859-1"))
+  }
+
+  private def readFully(in: java.io.InputStream, n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val k = in.read(out, off, n - off)
+      if (k < 0) err(s"truncated record body (wanted $n, got $off)")
+      off += k
+    }
+    out
+  }
+
+  /** Iterate the records of a WARC payload (gzip auto-sniffed).
+    * Streaming: bounded memory per record, never the whole shard. */
+  def records(rawIn: java.io.InputStream): Iterator[Record] =
+    new Iterator[Record] {
+      private val in = maybeGunzip(rawIn)
+      private var nextRec: Record = _
+      private var done = false
+
+      private def advance(): Unit = {
+        // skip blank separator lines between records
+        var line: Option[String] = readLine(in)
+        while (line.exists(_.isEmpty)) line = readLine(in)
+        line match {
+          case None => done = true
+          case Some(v) if !v.startsWith("WARC/") =>
+            err(s"expected a WARC version line, got '${v.take(40)}'")
+          case Some(_) =>
+            // headers (with RFC-style continuation folding)
+            val hdrs = scala.collection.mutable.Map[String, String]()
+            var last: String = null
+            var h = readLine(in).getOrElse(err("truncated record headers"))
+            while (h.nonEmpty) {
+              if ((h.charAt(0) == ' ' || h.charAt(0) == '\t') && last != null)
+                hdrs(last) = hdrs(last) + " " + h.trim
+              else h.indexOf(':') match {
+                case -1 => err(s"malformed WARC header '${h.take(40)}'")
+                case i =>
+                  last = h.substring(0, i).trim.toLowerCase
+                  hdrs(last) = h.substring(i + 1).trim
+              }
+              h = readLine(in).getOrElse(err("truncated record headers"))
+            }
+            val len = hdrs.getOrElse("content-length",
+              err("record without Content-Length"))
+            val n = try len.toLong catch {
+              case _: NumberFormatException =>
+                err(s"bad Content-Length '$len'")
+            }
+            if (n < 0 || n > Pdf.MaxDecodedBytes)
+              err(s"Content-Length $n out of bounds")
+            val body = readFully(in, n.toInt)
+            val warcType = hdrs.getOrElse("warc-type", "")
+            val ct = hdrs.getOrElse("content-type", "")
+            val (httpCt, payload) =
+              if (warcType == "response" &&
+                  ct.toLowerCase.contains("application/http"))
+                splitHttp(body)
+              else (null: String, body)
+            nextRec = Record(warcType,
+              hdrs.getOrElse("warc-target-uri", null), ct, httpCt, payload)
+        }
+      }
+
+      advance()
+
+      override def hasNext: Boolean = !done
+      override def next(): Record = {
+        if (done) throw new NoSuchElementException
+        val r = nextRec
+        advance()
+        r
+      }
+    }
+
+  /** Split an HTTP message into (Content-Type header value or null,
+    * payload bytes after the blank line). Tolerates LF-only header
+    * termination (crawled servers do ship it). */
+  private[sources] def splitHttp(body: Array[Byte]): (String, Array[Byte]) = {
+    var i = 0
+    var split = -1
+    var sepLen = 0
+    while (i + 1 < body.length && split < 0) {
+      if (body(i) == '\r' && i + 3 < body.length && body(i + 1) == '\n' &&
+          body(i + 2) == '\r' && body(i + 3) == '\n') {
+        split = i; sepLen = 4
+      } else if (body(i) == '\n' && body(i + 1) == '\n') {
+        split = i; sepLen = 2
+      }
+      i += 1
+    }
+    if (split < 0) return (null, body) // header-only or degenerate
+    val head = new String(body, 0, split, "ISO-8859-1")
+    val ct = head.split("\r?\n").iterator.drop(1) // skip the status line
+      .map(_.split(":", 2))
+      .collectFirst {
+        case Array(k, v) if k.trim.equalsIgnoreCase("content-type") =>
+          v.trim
+      }.orNull
+    (ct, java.util.Arrays.copyOfRange(body, split + sepLen, body.length))
+  }
+
+  /**
+   * Spark surface: every response record of every shard under
+   * `pathGlob` as `(path, target_uri, http_content_type, payload,
+   * warc_error)` — one task per shard (`binaryFile`; WARC is not
+   * splittable), corrupt shards quarantined per-FILE with the named
+   * error and a null payload row, never a failed job.
+   */
+  def responses(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        try {
+          records(new java.io.ByteArrayInputStream(bytes))
+            .filter(_.warcType == "response")
+            .map(r => (path, r.targetUri, r.httpContentType, r.payload,
+              null: String))
+            .toSeq
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Seq((path, null: String, null: String, null: Array[Byte],
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+        }
+      }
+      .toDF("path", "target_uri", "http_content_type", "payload",
+        "warc_error")
+  }
+
+  // ---------------------------------------------------------------
+  // fixture writer (independent spec-valid WARC builder)
+  // ---------------------------------------------------------------
+
+  /**
+   * Build a WARC shard carrying one `warcinfo` record plus, per
+   * entry, a `request`/`response` pair — the record mix real crawls
+   * ship, so the reader's type filter is exercised on every build.
+   * `gzipped` emits one gzip member PER RECORD (the standard layout
+   * for `.warc.gz`).
+   */
+  def buildWarc(entries: Seq[(String, String, Array[Byte])],
+                gzipped: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def emit(record: Array[Byte]): Unit =
+      if (gzipped) {
+        val gz = new java.util.zip.GZIPOutputStream(out)
+        gz.write(record); gz.close() // BAOS close is a no-op
+      } else out.write(record, 0, record.length)
+    def rec(typ: String, uri: String, ct: String,
+            body: Array[Byte]): Array[Byte] = {
+      val sb = new StringBuilder
+      sb.append("WARC/1.0\r\n")
+      sb.append(s"WARC-Type: $typ\r\n")
+      if (uri != null) sb.append(s"WARC-Target-URI: $uri\r\n")
+      sb.append(s"WARC-Record-ID: <urn:uuid:${typ.hashCode}-${body.length}>\r\n")
+      sb.append("WARC-Date: 2026-01-01T00:00:00Z\r\n")
+      if (ct != null) sb.append(s"Content-Type: $ct\r\n")
+      sb.append(s"Content-Length: ${body.length}\r\n\r\n")
+      val head = sb.toString.getBytes("ISO-8859-1")
+      val o = new java.io.ByteArrayOutputStream(head.length + body.length + 4)
+      o.write(head, 0, head.length); o.write(body, 0, body.length)
+      o.write('\r'); o.write('\n'); o.write('\r'); o.write('\n')
+      o.toByteArray
+    }
+    emit(rec("warcinfo", null, "application/warc-fields",
+      "software: graft-fixture\r\n".getBytes("ISO-8859-1")))
+    entries.foreach { case (uri, httpCt, payload) =>
+      emit(rec("request", uri, "application/http;msgtype=request",
+        s"GET $uri HTTP/1.1\r\nHost: fixture\r\n\r\n".getBytes("ISO-8859-1")))
+      val http = new java.io.ByteArrayOutputStream()
+      val head = ("HTTP/1.1 200 OK\r\n" +
+        (if (httpCt != null) s"Content-Type: $httpCt\r\n" else "") +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1")
+      http.write(head, 0, head.length)
+      http.write(payload, 0, payload.length)
+      emit(rec("response", uri, "application/http;msgtype=response",
+        http.toByteArray))
+    }
+    out.toByteArray
+  }
 }

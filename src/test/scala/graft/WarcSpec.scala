@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.Warc
+import graft.sources.{Html, Warc}
 
 class WarcSpec extends SparkSpec {
   import spark.implicits._
@@ -137,5 +137,109 @@ class WarcSpec extends SparkSpec {
         .as[Int].collect().sorted
       assert(ids.toSeq == (0 until n))
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  // ---- full WARC (response records) ------------------------------
+
+  private def entries(n: Int) = (1 to n).map { i =>
+    (s"http://fixture.test/p$i", "text/html; charset=windows-1252",
+      s"<html><body><p>page $i café</p></body></html>"
+        .getBytes("windows-1252"))
+  }
+
+  test("plain and gzipped shards parse to the same records; warcinfo " +
+      "and request records are walked over, responses split HTTP") {
+    for (gz <- Seq(false, true)) {
+      val shard = Warc.buildWarc(entries(3), gzipped = gz)
+      val recs = Warc.records(
+        new java.io.ByteArrayInputStream(shard)).toVector
+      assert(recs.length == 7, s"warcinfo + 3 pairs (gz=$gz)")
+      val resp = recs.filter(_.warcType == "response")
+      assert(resp.length == 3)
+      assert(resp.map(_.targetUri) ==
+        (1 to 3).map(i => s"http://fixture.test/p$i"))
+      resp.foreach { r =>
+        assert(r.httpContentType == "text/html; charset=windows-1252")
+        // the payload is the html bytes EXACTLY (no HTTP headers left)
+        assert(new String(r.payload, "windows-1252").startsWith("<html>"))
+      }
+      // end-to-end crawl path: transport charset reaches the decoder
+      val txt = Html.decodeHtmlBytes(resp(0).payload,
+        resp(0).httpContentType)
+      assert(txt.contains("page 1 café"))
+    }
+  }
+
+  test("header folding, LF-only HTTP header termination, and a " +
+      "missing Content-Type all parse (crawled servers ship all three)") {
+    val body = ("HTTP/1.1 200 OK\n" +
+      "Content-Type: text/plain\n\npayload here").getBytes("ISO-8859-1")
+    val rec = ("WARC/1.1\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Target-URI: http://x.test/\r\n" +
+      "Content-Type: application/http;\r\n msgtype=response\r\n" + // folded
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+      body ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    val r = Warc.records(new java.io.ByteArrayInputStream(rec)).toVector
+    assert(r.length == 1)
+    assert(r(0).contentType == "application/http; msgtype=response")
+    assert(r(0).httpContentType == "text/plain")
+    assert(new String(r(0).payload, "ISO-8859-1") == "payload here")
+    // no blank line in the HTTP body → header-only record: the
+    // Content-Type stays null and the body passes through untouched
+    val headerOnly = ("HTTP/1.1 304 Not Modified\r\n")
+      .getBytes("ISO-8859-1")
+    val rec304 = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Type: application/http;msgtype=response\r\n" +
+      s"Content-Length: ${headerOnly.length}\r\n\r\n")
+      .getBytes("ISO-8859-1") ++ headerOnly ++
+      "\r\n\r\n".getBytes("ISO-8859-1")
+    val r304 = Warc.records(
+      new java.io.ByteArrayInputStream(rec304)).toVector
+    assert(r304.length == 1 && r304(0).httpContentType == null)
+  }
+
+  test("truncation, lying Content-Length, and garbage are NAMED " +
+      "errors, never hangs or OOM") {
+    val good = Warc.buildWarc(entries(2), gzipped = false)
+    Seq(10, good.length / 3, good.length / 2, good.length - 30).foreach { n =>
+      intercept[IllegalArgumentException](
+        Warc.records(new java.io.ByteArrayInputStream(good.take(n)))
+          .toVector)
+    }
+    val e = intercept[IllegalArgumentException](Warc.records(
+      new java.io.ByteArrayInputStream("not a warc".getBytes)).toVector)
+    assert(e.getMessage.contains("version line"))
+    // a record claiming a multi-GB body must err on the cap, not
+    // allocate
+    val lying = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 99999999999\r\n\r\n").getBytes("ISO-8859-1")
+    val e2 = intercept[IllegalArgumentException](Warc.records(
+      new java.io.ByteArrayInputStream(lying)).toVector)
+    assert(e2.getMessage.contains("out of bounds"))
+  }
+
+  test("Spark surface: one task per shard, responses exploded, a " +
+      "corrupt shard quarantined per-file") {
+    val dir = tmpDir()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "a.warc"),
+      Warc.buildWarc(entries(2), gzipped = false))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "b.warc.gz"),
+      Warc.buildWarc(entries(1).map { case (u, c, p) =>
+        (u.replace("/p1", "/gz1"), c, p) }, gzipped = true))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "corrupt.warc"),
+      "WARC/1.0\r\nno colon header\r\n\r\n".getBytes("ISO-8859-1"))
+    val out = Warc.responses(spark, dir + "/*").collect()
+    val ok = out.filter(_.getString(4) == null)
+    val bad = out.filter(_.getString(4) != null)
+    assert(ok.length == 3 && bad.length == 1)
+    assert(bad(0).getString(0).endsWith("corrupt.warc"))
+    assert(bad(0).getString(4).contains("malformed"))
+    assert(ok.map(_.getString(1)).toSet ==
+      Set("http://fixture.test/p1", "http://fixture.test/p2",
+        "http://fixture.test/gz1"))
   }
 }
