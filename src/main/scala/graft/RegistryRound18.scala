@@ -4,11 +4,12 @@ import org.apache.spark.sql.functions._
 
 import SparkEntry._
 
-/** Round-18 extensions: legacy `.doc` (Word 97 binary) text
-  * extraction — closing the document-format family over the format
-  * pre-2007 dumps actually carry — and raw-bytes charset sniffing
-  * for crawled HTML. Each gate shares an existing family's analytic
-  * oracle construction. */
+/** Round-18 extensions: legacy `.doc` (Word 97 binary) and RTF text
+  * extraction — closing the document-format family over the formats
+  * pre-2007 dumps actually carry — plus the raw-crawl ingestion path
+  * (full-WARC response records and WHATWG charset sniffing ahead of
+  * the HTML extract chain). Each gate shares an existing family's
+  * analytic oracle construction. */
 private[graft] object RegistryRound18 {
 
   private[graft] val entries: Seq[Q] = Seq(
@@ -125,6 +126,32 @@ private[graft] object RegistryRound18 {
       },
       Some("""SELECT doc_id, source || chr(10) || text ||
                 ' fiancée nº ' || doc_id AS extracted
+              FROM documents WHERE doc_id < 150""")),
+
+    // RTF text extraction: the q_doc_extract construction for the
+    // third legacy format — each document rendered into a spec-valid
+    // RTF (graft.sources.Rtf.buildRtf: font/color/info tables and a
+    // starred unknown destination that must all be skipped, a field
+    // whose instruction drops and result keeps), with non-ASCII
+    // planted so BOTH escape shapes are on the hot path (\'hh
+    // codepage bytes on odd ids, \uN with uc fallback on even — the
+    // appended suffix carries é, cp1252-able, and №, which is not).
+    // Same ANALYTIC oracle family
+    Q("q_rtf_extract",
+      (s, d) => {
+        import s.implicits._
+        val docs = s.read.parquet(pq(d, "documents"))
+          .where(col("doc_id") < 150)
+          .select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)]
+        docs.map { case (id, src, txt) =>
+          val rtf = graft.sources.Rtf.buildRtf(src,
+            txt + " résumé №" + id, hexEscapes = id % 2 == 1)
+          (id, graft.sources.Rtf.extractText(rtf))
+        }.toDF("doc_id", "extracted")
+      },
+      Some("""SELECT doc_id, source || chr(10) || text ||
+                ' résumé №' || doc_id AS extracted
               FROM documents WHERE doc_id < 150"""))
   )
 }

@@ -457,6 +457,17 @@ object ScaleCurve {
           (id, graft.sources.Doc.extractText(doc).length)
         }.toDF("doc_id", "n")
       },
+      "rtf_extract" -> { k =>
+        import spark.implicits._
+        val d = docs(k).select(col("doc_id"), col("source"), col("text"))
+          .repartition(par)
+          .as[(Long, String, String)]
+        d.map { case (id, src, txt) =>
+          val rtf = graft.sources.Rtf.buildRtf(src,
+            txt + " résumé №" + id, hexEscapes = id % 2 == 1)
+          (id, graft.sources.Rtf.extractText(rtf).length)
+        }.toDF("doc_id", "n")
+      },
       "html_charset_decode" -> { k =>
         import spark.implicits._
         val d = docs(k).select(col("doc_id"), col("source"), col("text"))
