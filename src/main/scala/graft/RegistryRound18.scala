@@ -152,6 +152,36 @@ private[graft] object RegistryRound18 {
       },
       Some("""SELECT doc_id, source || chr(10) || text ||
                 ' résumé №' || doc_id AS extracted
+              FROM documents WHERE doc_id < 150""")),
+
+    // Email/mbox extraction: each document becomes one full-shape
+    // message in an mbox archive (graft.sources.Mime.buildMbox —
+    // multipart/mixed over multipart/alternative, quoted-printable
+    // cp1252 text part, base64 UTF-8 html part, an attachment leaf,
+    // RFC 2047 B-encoded subject), split on RFC 4155 envelopes and
+    // parsed back. The planted suffixes force the QP (€ is a cp1252
+    // byte) and encoded-word (№ is not cp1252-able) decode paths —
+    // a parser that skips either mangles the analytic oracle's
+    // expected text
+    Q("q_mbox_extract",
+      (s, d) => {
+        import s.implicits._
+        val docs = s.read.parquet(pq(d, "documents"))
+          .where(col("doc_id") < 150)
+          .select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)]
+        docs.map { case (id, src, txt) =>
+          val mbox = graft.sources.Mime.buildMbox(Seq(
+            (s"$src@corpus.test", s"$src Grüße №$id",
+              txt + " café 3€")))
+          val msg = graft.sources.Mime.parseMessage(
+            graft.sources.Mime.splitMbox(
+              new String(mbox, "ISO-8859-1")).head)
+          (id, msg.subject, msg.text)
+        }.toDF("doc_id", "subject", "extracted")
+      },
+      Some("""SELECT doc_id, source || ' Grüße №' || doc_id AS subject,
+                text || ' café 3€' AS extracted
               FROM documents WHERE doc_id < 150"""))
   )
 }
