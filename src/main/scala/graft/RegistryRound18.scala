@@ -182,6 +182,44 @@ private[graft] object RegistryRound18 {
       },
       Some("""SELECT doc_id, source || ' Grüße №' || doc_id AS subject,
                 text || ' café 3€' AS extracted
+              FROM documents WHERE doc_id < 150""")),
+
+    // Subtitle parsing (SRT/WebVTT): each document's words become
+    // 5-word cues with deterministic timestamps, rendered as SRT on
+    // even ids and WebVTT (with NOTE blocks, cue identifiers,
+    // settings, and inline markup the parser must strip) on odd, then
+    // parsed back and re-aggregated. The oracle recomputes the cue
+    // count / total duration / rejoined text analytically from the
+    // word count, so timestamp math, cue splitting, and markup
+    // stripping are each on the hook
+    Q("q_subtitle_extract",
+      (s, d) => {
+        import s.implicits._
+        val docs = s.read.parquet(pq(d, "documents"))
+          .where(col("doc_id") < 150)
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+        docs.map { case (id, txt) =>
+          val words = txt.split(" ")
+          val cueTexts = words.grouped(5).map(_.mkString(" ")).toSeq
+          val cues = cueTexts.zipWithIndex.map { case (t, i) =>
+            (i * 2000L, i * 2000L + 1500L, t)
+          }
+          val content =
+            if (id % 2 == 0) graft.sources.Subtitles.buildSrt(cues)
+            else graft.sources.Subtitles.buildVtt(cues)
+          val parsed = graft.sources.Subtitles.parse(content)
+          (id, parsed.length.toLong,
+            parsed.map(c => c.endMs - c.startMs).sum,
+            parsed.map(_.text).mkString(" "))
+        }.toDF("doc_id", "n_cues", "total_ms", "joined")
+      },
+      Some("""SELECT doc_id,
+                CAST(ceil(len(string_split(text, ' ')) / 5.0) AS BIGINT)
+                  AS n_cues,
+                CAST(1500 * ceil(len(string_split(text, ' ')) / 5.0)
+                  AS BIGINT) AS total_ms,
+                text AS joined
               FROM documents WHERE doc_id < 150"""))
   )
 }
