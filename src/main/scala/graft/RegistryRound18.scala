@@ -220,6 +220,33 @@ private[graft] object RegistryRound18 {
                 CAST(1500 * ceil(len(string_split(text, ' ')) / 5.0)
                   AS BIGINT) AS total_ms,
                 text AS joined
+              FROM documents WHERE doc_id < 150""")),
+
+    // EPUB extraction: each document becomes a two-chapter book
+    // (graft.sources.Epub.buildEpub — OCF container + OPF whose SPINE
+    // order is deliberately the REVERSE of the ZIP entry order, a css
+    // manifest item outside the spine, an in-body script, and
+    // DTD-less named entities), extracted back through the container
+    // walk + spine-ordered XHTML text. The oracle writes the expected
+    // text analytically INCLUDING the fixture's entity-bearing line
+    // (chr(160)/chr(8212) — a parser that drops or mis-maps entities,
+    // leaks head/css/script content, or reads chapters in ZIP order
+    // hash-mismatches)
+    Q("q_epub_extract",
+      (s, d) => {
+        import s.implicits._
+        val docs = s.read.parquet(pq(d, "documents"))
+          .where(col("doc_id") < 150)
+          .select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)]
+        docs.map { case (id, src, txt) =>
+          val epub = graft.sources.Epub.buildEpub(src, txt)
+          (id, graft.sources.Epub.extractText(epub))
+        }.toDF("doc_id", "extracted")
+      },
+      Some("""SELECT doc_id, source || chr(10) || 'one' || chr(160) ||
+                'space and a dash' || chr(8212) || 'here' || chr(10) ||
+                'Chapter Two' || chr(10) || text AS extracted
               FROM documents WHERE doc_id < 150"""))
   )
 }
