@@ -172,6 +172,11 @@ object Doc {
         while (s != EndOfChain) {
           if (s < 0 || s >= fat.length) err(s"directory sector $s out of range")
           if (hops > fat.length) err("directory chain cycle")
+          // a crafted FAT can REVISIT sectors for fat.length hops
+          // before the cycle guard fires — bound the bytes too, or
+          // the walk allocates hops*sector and OOMs past quarantine
+          if (out.size() + ssz > Pdf.MaxDecodedBytes)
+            err("directory stream exceeds the size cap (crafted FAT?)")
           out.write(b, sectorOff(s), ssz)
           s = fat(s)
           hops += 1

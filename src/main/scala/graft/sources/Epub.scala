@@ -52,6 +52,7 @@ object Epub {
     val zin = new java.util.zip.ZipInputStream(
       new java.io.ByteArrayInputStream(bytes))
     val out = Map.newBuilder[String, Array[Byte]]
+    var total = 0L // per-entry caps alone still allow N*cap in sum
     try {
       var e = zin.getNextEntry
       while (e != null) {
@@ -61,8 +62,11 @@ object Epub {
           val chunk = new Array[Byte](8192)
           var n = zin.read(chunk)
           while (n >= 0) {
-            if (bos.size().toLong + n > Pdf.MaxDecodedBytes)
-              err(s"${e.getName} exceeds ${Pdf.MaxDecodedBytes} bytes " +
+            total += n
+            if (bos.size().toLong + n > Pdf.MaxDecodedBytes ||
+                total > Pdf.MaxDecodedBytes)
+              err(s"${e.getName} pushes the archive past " +
+                s"${Pdf.MaxDecodedBytes} decoded bytes " +
                 "(decompression bomb?)")
             bos.write(chunk, 0, n)
             n = zin.read(chunk)

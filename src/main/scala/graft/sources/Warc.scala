@@ -204,13 +204,21 @@ object Warc {
     else buf
   }
 
-  /** Read one CRLF- (or LF-) terminated header line; None at EOF. */
+  /** Read one CRLF- (or LF-) terminated header line; None at EOF.
+    * Length-capped: a gzip bomb with no newline would otherwise
+    * accumulate its whole decompressed stream into one line and OOM
+    * past the per-shard quarantine (header lines are tiny in any
+    * real archive). */
   private def readLine(in: java.io.InputStream): Option[String] = {
     val out = new java.io.ByteArrayOutputStream(80)
     var c = in.read()
     if (c < 0) return None
     while (c >= 0 && c != '\n') {
-      if (c != '\r') out.write(c)
+      if (c != '\r') {
+        if (out.size() >= (1 << 20))
+          err("header line exceeds 1 MiB (decompression bomb?)")
+        out.write(c)
+      }
       c = in.read()
     }
     Some(new String(out.toByteArray, "ISO-8859-1"))

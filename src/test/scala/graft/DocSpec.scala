@@ -119,6 +119,24 @@ class DocSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("a crafted FAT cycle in the directory chain is a NAMED error, " +
+      "not an unbounded allocation") {
+    val good = Doc.buildDoc("t", "b")
+    // the header's DIFAT[0] (offset 76) names the FAT sector; entry 0
+    // is the directory chain head — point it at itself
+    def u32(b: Array[Byte], o: Int) =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+    val fatSector = u32(good, 76)
+    val fatOff = (fatSector + 1) * 512
+    val bad = good.clone()
+    bad(fatOff) = 0; bad(fatOff + 1) = 0; bad(fatOff + 2) = 0
+    bad(fatOff + 3) = 0
+    val e = intercept[IllegalArgumentException](Doc.extractText(bad))
+    assert(e.getMessage.contains("cycle") || e.getMessage.contains("cap"),
+      e.getMessage)
+  }
+
   test("Spark surface quarantines failed payloads per-row") {
     import spark.implicits._
     val rows: Seq[(Long, Array[Byte])] = Seq(

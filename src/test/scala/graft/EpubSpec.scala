@@ -68,6 +68,25 @@ class EpubSpec extends SparkSpec {
     assert(e.getMessage.contains("container.xml"))
   }
 
+  test("an archive whose entries TOGETHER blow the decode budget errs " +
+      "NAMED (per-entry caps alone allow N times the cap)") {
+    val out = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(out)
+    z.setLevel(9)
+    val zeros = new Array[Byte](1 << 16)
+    (0 until 3).foreach { i =>
+      z.putNextEntry(new java.util.zip.ZipEntry(s"part$i.bin"))
+      var fed = 0L
+      while (fed < (100L << 20)) { z.write(zeros); fed += zeros.length }
+      z.closeEntry()
+    }
+    z.close()
+    assert(out.size() < (2 << 20), "bomb must be small on disk")
+    val e = intercept[IllegalArgumentException](
+      Epub.extractText(out.toByteArray))
+    assert(e.getMessage.contains("bomb"), e.getMessage)
+  }
+
   test("Spark surface quarantines failed payloads per-row") {
     import spark.implicits._
     val rows: Seq[(Long, Array[Byte])] = Seq(

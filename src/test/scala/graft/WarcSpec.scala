@@ -219,6 +219,20 @@ class WarcSpec extends SparkSpec {
     assert(e2.getMessage.contains("out of bounds"))
   }
 
+  test("a gzip bomb with no newline errs NAMED at the line cap " +
+      "instead of accumulating the decompressed stream") {
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    val xs = new Array[Byte](1 << 16)
+    java.util.Arrays.fill(xs, 'x'.toByte)
+    var fed = 0L
+    while (fed < (8L << 20)) { gz.write(xs); fed += xs.length }
+    gz.close()
+    val e = intercept[IllegalArgumentException](Warc.records(
+      new java.io.ByteArrayInputStream(out.toByteArray)).toVector)
+    assert(e.getMessage.contains("bomb"), e.getMessage)
+  }
+
   test("Spark surface: one task per shard, responses exploded, a " +
       "corrupt shard quarantined per-file") {
     val dir = tmpDir()
