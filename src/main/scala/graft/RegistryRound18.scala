@@ -247,6 +247,37 @@ private[graft] object RegistryRound18 {
       Some("""SELECT doc_id, source || chr(10) || 'one' || chr(160) ||
                 'space and a dash' || chr(8212) || 'here' || chr(10) ||
                 'Chapter Two' || chr(10) || text AS extracted
+              FROM documents WHERE doc_id < 150""")),
+
+    // Markdown extraction: each document is rendered into CommonMark-
+    // core markdown (header from source; body words cycled through
+    // bold/italic/inline-code/link wrappers by position) and run
+    // through the codegen'd extractMarkdownText chain. ANALYTIC
+    // oracle: the wrappers must all unwrap back to exactly the
+    // original words — a chain that eats markers, link targets, or
+    // word text hash-mismatches
+    Q("q_markdown_extract",
+      (s, d) => {
+        import s.implicits._
+        val docs = s.read.parquet(pq(d, "documents"))
+          .where(col("doc_id") < 150)
+          .select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)]
+        val md = docs.map { case (id, src, txt) =>
+          val body = txt.split(" ").zipWithIndex.map { case (w, i) =>
+            if (i % 13 == 3) s"[$w](http://x.test/$i)"
+            else if (i % 11 == 2) s"`$w`"
+            else if (i % 7 == 1) s"**$w**"
+            else if (i % 5 == 1) s"*$w*"
+            else w
+          }.mkString(" ")
+          (id, s"# $src\n\n$body")
+        }.toDF("doc_id", "md")
+        md.select(col("doc_id"),
+          graft.functions.TextAnalysis
+            .extractMarkdownText(col("md")).as("extracted"))
+      },
+      Some("""SELECT doc_id, source || chr(10) || text AS extracted
               FROM documents WHERE doc_id < 150"""))
   )
 }

@@ -410,6 +410,55 @@ object TextAnalysis {
         "&nbsp;", " "), "&lt;", "<"), "&gt;", ">"),
         "&quot;", "\""), "&#39;|&apos;", "'"), "&amp;", "&")
 
+  /**
+   * Markdown → display text: the README/docs-corpus sibling of
+   * [[extractHtmlText]] — one codegen'd regexp_replace chain, zero
+   * shuffle, RE2-portable so an oracle can replay it. The supported
+   * subset is the CommonMark core real documentation uses:
+   *
+   *  - fenced code blocks keep their CONTENT (fences + info string
+   *    dropped) — code is display text in a docs corpus;
+   *  - images `![alt](url)` → alt, links `[text](url)` → text
+   *    (images FIRST, or the image bang survives as a stray `!`);
+   *  - ATX headers lose their `#` markers, setext underlines and
+   *    thematic breaks (`---`, `***`) drop as lines;
+   *  - blockquote `>` prefixes and list markers (`-`/`*`/`+`/`1.`)
+   *    strip at line start;
+   *  - emphasis unwraps longest-first (`**` and `__` before `*` and
+   *    `_` — the reverse order corrupts bold to stray singles);
+   *    inline code spans keep their content;
+   *  - blank-line paragraph breaks collapse to one newline,
+   *    intra-paragraph line structure is preserved.
+   *
+   * Boundary (documented, same class as [[extractHtmlText]]'s): this
+   * is a display-text transform, not a parser — pathological nesting
+   * (emphasis spanning code spans) resolves by chain order, exactly
+   * as the oracle replays it.
+   */
+  def extractMarkdownText(md: Column): Column = {
+    var c = md
+    // fences first: their content must not be re-interpreted as
+    // markers is NOT promised (chain semantics) — but the fence
+    // lines themselves always drop
+    c = regexp_replace(c, "(?m)^```[^\\n]*$", "")
+    c = regexp_replace(c, "(?s)!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    c = regexp_replace(c, "(?s)\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    c = regexp_replace(c, "(?m)^#{1,6}[ \\t]+", "")
+    c = regexp_replace(c, "(?m)^(=+|-{3,}|\\*{3,}|_{3,})[ \\t]*$", "")
+    c = regexp_replace(c, "(?m)^[ \\t]*[-*+][ \\t]+", "")
+    c = regexp_replace(c, "(?m)^[ \\t]*\\d+\\.[ \\t]+", "")
+    c = regexp_replace(c, "(?m)^>[ \\t]?", "")
+    c = regexp_replace(c, "\\*\\*([^*]+)\\*\\*", "$1")
+    c = regexp_replace(c, "__([^_]+)__", "$1")
+    c = regexp_replace(c, "\\*([^*\\n]+)\\*", "$1")
+    c = regexp_replace(c, "_([^_\\n]+)_", "$1")
+    c = regexp_replace(c, "`([^`\\n]+)`", "$1")
+    // paragraph breaks → one newline; trim ends (regex, not trim():
+    // the [[extractHtmlText]] portability rule)
+    regexp_replace(regexp_replace(regexp_replace(c,
+      "[ \\t]+\\n", "\n"), "\\n{2,}", "\n"), "^\\s+|\\s+$", "")
+  }
+
   def extractHtmlText(html: Column): Column = {
     val blocks = regexp_replace(stripNonContent(html), blockTagRe, "\n")
     val noTags = regexp_replace(blocks, "(?s)<[^>]*>", " ")
