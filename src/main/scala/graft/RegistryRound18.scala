@@ -278,6 +278,31 @@ private[graft] object RegistryRound18 {
             .extractMarkdownText(col("md")).as("extracted"))
       },
       Some("""SELECT doc_id, source || chr(10) || text AS extracted
+              FROM documents WHERE doc_id < 150""")),
+
+    // ZIP shard ingestion: each document becomes a two-text-member
+    // shard (plus a planted binary member that must be SKIP-COUNTED,
+    // never decoded into the corpus), read back through the member
+    // walk + BOM-aware decode. The oracle pins member count, skip
+    // count, and the joined text analytically
+    Q("q_zip_text_ingest",
+      (s, d) => {
+        import s.implicits._
+        val docs = s.read.parquet(pq(d, "documents"))
+          .where(col("doc_id") < 150)
+          .select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)]
+        docs.map { case (id, src, txt) =>
+          val shard = graft.sources.Zip.buildShard(Seq(
+            ("title.txt", src), ("body.txt", txt)))
+          val (members, skipped) = graft.sources.Zip.textMembers(shard)
+          (id, members.length.toLong, skipped.toLong,
+            members.map(_._2).mkString("\n"))
+        }.toDF("doc_id", "n_members", "n_skipped", "joined")
+      },
+      Some("""SELECT doc_id, CAST(2 AS BIGINT) AS n_members,
+                CAST(1 AS BIGINT) AS n_skipped,
+                source || chr(10) || text AS joined
               FROM documents WHERE doc_id < 150"""))
   )
 }
