@@ -303,6 +303,34 @@ private[graft] object RegistryRound18 {
       Some("""SELECT doc_id, CAST(2 AS BIGINT) AS n_members,
                 CAST(1 AS BIGINT) AS n_skipped,
                 source || chr(10) || text AS joined
+              FROM documents WHERE doc_id < 150""")),
+
+    // TAR shard ingestion: the zip gate's construction for tarballs —
+    // each document becomes a ustar shard whose first member routes
+    // through a GNU long-name pseudo-entry, plus a prefix-split deep
+    // path member and a binary member that must skip-count; gzipped
+    // whole-stream on odd ids. Oracle pins member/skip counts and the
+    // joined text (the fixture's fixed deep-path member included)
+    Q("q_tar_text_ingest",
+      (s, d) => {
+        import s.implicits._
+        val docs = s.read.parquet(pq(d, "documents"))
+          .where(col("doc_id") < 150)
+          .select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)]
+        docs.map { case (id, src, txt) =>
+          val shard = graft.sources.Tar.buildShard(Seq(
+            ("title.txt", src), ("body.txt", txt)),
+            gzipped = id % 2 == 1)
+          val (members, skipped) = graft.sources.Tar.textMembers(shard)
+          (id, members.length.toLong, skipped.toLong,
+            members.map(_._2).mkString("\n"))
+        }.toDF("doc_id", "n_members", "n_skipped", "joined")
+      },
+      Some("""SELECT doc_id, CAST(3 AS BIGINT) AS n_members,
+                CAST(1 AS BIGINT) AS n_skipped,
+                source || chr(10) || text || chr(10) ||
+                'deep path member' AS joined
               FROM documents WHERE doc_id < 150"""))
   )
 }
