@@ -405,4 +405,52 @@ object Warc {
     }
     out.toByteArray
   }
+
+  /**
+   * Streaming twin of [[responses]]: `.warc`/`.warc.gz` shards
+   * landing in `dir` become micro-batches of decoded documents —
+   * the raw-crawl-drop ingestion shape (each new shard file is
+   * picked up once, tracked by the stream's file index; `binaryFile`
+   * is a streaming-capable file source). Each response record's
+   * payload rides the transport-aware charset sniff
+   * ([[Html.decodeHtmlBytes]]) and the HTML extract chain, then the
+   * URL-keyed exact-dedup admission of [[graft.streaming
+   * .IngestPipeline.dedupIngest]] — re-crawled identical pages and
+   * replayed micro-batches both dedup away. Corrupt shards drop with
+   * their named error counted out (`warc_error IS NULL` filter), the
+   * same skim-past-damage posture as the batch surface.
+   */
+  def warcIngest(spark: SparkSession, warcDir: String, corpusDir: String,
+                 checkpointDir: String,
+                 trigger: org.apache.spark.sql.streaming.Trigger =
+                   org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val shards = spark.readStream.format("binaryFile")
+      // streaming sources need the schema stated (binaryFile's is
+      // fixed by the format)
+      .schema("path STRING, modificationTime TIMESTAMP, " +
+        "length LONG, content BINARY")
+      .load(warcDir)
+      .select("path", "content").as[(String, Array[Byte])]
+    val docs = shards.flatMap { case (path, bytes) =>
+      try records(new java.io.ByteArrayInputStream(bytes))
+        .filter(_.warcType == "response")
+        .flatMap { r =>
+          try Some((r.targetUri,
+            Html.decodeHtmlBytes(r.payload, r.httpContentType)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }.toSeq
+      catch {
+        case scala.util.control.NonFatal(_) => Seq.empty
+      }
+    }.toDF("url", "html")
+      .select(col("url"),
+        graft.functions.TextAnalysis.extractHtmlText(col("html"))
+          .as("text"))
+    graft.streaming.IngestPipeline.dedupIngest(
+      docs.where(col("url").isNotNull), "url", "text", corpusDir,
+      checkpointDir, trigger)
+  }
 }

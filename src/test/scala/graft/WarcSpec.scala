@@ -139,6 +139,40 @@ class WarcSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("streaming full-WARC ingestion dedups re-crawls across shard " +
+      "drops and skims past a corrupt shard") {
+    val warcDir = java.nio.file.Files
+      .createTempDirectory("graft-warc-stream").toString
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft-warc-corpus").toString + "/c"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-warc-ckpt").toString
+    def page(u: String, body: String) =
+      (u, "text/html; charset=windows-1252",
+        s"<html><body><p>$body</p></body></html>"
+          .getBytes("windows-1252"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(warcDir, "seg1.warc.gz"),
+      Warc.buildWarc(Seq(page("http://a/1", "alpha café"),
+        page("http://b/2", "beta")), gzipped = true))
+    Warc.warcIngest(spark, warcDir, corpus, ckpt).awaitTermination()
+    // drop 2: one new page, one re-crawl of an ingested URL, plus a
+    // corrupt shard that must be skimmed past
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(warcDir, "seg2.warc"),
+      Warc.buildWarc(Seq(page("http://c/3", "gamma"),
+        page("http://a/1", "alpha café")), gzipped = false))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(warcDir, "junk.warc"),
+      "definitely not a warc".getBytes)
+    Warc.warcIngest(spark, warcDir, corpus, ckpt).awaitTermination()
+    val got = spark.read.parquet(corpus).select("url", "text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("http://a/1", "alpha café"), ("http://b/2", "beta"),
+      ("http://c/3", "gamma")),
+      "windows-1252 decoded, re-crawl deduped, corrupt shard skimmed")
+  }
+
   // ---- full WARC (response records) ------------------------------
 
   private def entries(n: Int) = (1 to n).map { i =>
