@@ -44,6 +44,41 @@ if [ "${COMPARE_RC}" -ne 0 ] || ! tail -1 /tmp/close_round_compare.txt \
   exit 1
 fi
 
+# Bench-certification gate (round 19, verdict "What's wrong" #1): the
+# round's committed bench artifact must be a CERTIFIED capture —
+# r18's driver-visible BENCH json self-reported noise_ok:false (+15%
+# vs the quiet-band capture sitting in bench_evidence/) and anyone
+# reading only it saw an inflated number. A close now requires a
+# bench_out.json that is complete, quiet-band certified (noise_ok),
+# and repeatability-certified (band_ok — two full passes within 5%).
+echo "[close] bench certification gate"
+BENCH_JSON="${BENCH_JSON:-bench_out.json}"
+if [ ! -f "${BENCH_JSON}" ]; then
+  echo "[close] RED GATE — no ${BENCH_JSON}: run graft.Bench on a"
+  echo "        quiet host before closing (SPARK_GRAFT_BENCH_OUT to"
+  echo "        point elsewhere, BENCH_JSON=path to override here)."
+  exit 1
+fi
+BENCH_SUMMARY=$(python3 - "${BENCH_JSON}" <<'PYEOF'
+import json, sys
+d = json.load(open(sys.argv[1]))
+ok = bool(d.get("complete")) and bool(d.get("noise_ok")) \
+    and bool(d.get("band_ok"))
+print("OK" if ok else "RED", d.get("value"),
+      d.get("noise_ok"), d.get("band_ok"),
+      d.get("min_full_pass_steal"), d.get("n_measured"))
+PYEOF
+)
+echo "[close] bench: ${BENCH_SUMMARY}"
+case "${BENCH_SUMMARY}" in
+  OK\ *) : ;;
+  *)
+    echo "[close] RED GATE — ${BENCH_JSON} is not a certified capture"
+    echo "        (need complete:true, noise_ok:true, band_ok:true);"
+    echo "        re-run graft.Bench in a quiet window."
+    exit 1 ;;
+esac
+
 TESTS=$(grep -o "Tests: succeeded [0-9]*" /tmp/close_round_test.txt)
 PASS=$(tail -1 /tmp/close_round_compare.txt)
 ROWS=$(grep -c "^rows" /tmp/close_round_compare.txt || true)
@@ -104,6 +139,7 @@ fi
   echo "- suite: ${TESTS}, 0 failed"
   echo "- oracle compare (${SF}): ${PASS}"
   echo "- rows-only (no-oracle sketch/hash) queries: ${ROWS}"
+  echo "- bench capture (${BENCH_JSON}): ${BENCH_SUMMARY}"
   echo "- verify dump: ${OUT} (not committed)"
 } > "${ART}"
 echo "[close] wrote ${ART}"

@@ -43,7 +43,16 @@ import java.util.concurrent.atomic.AtomicBoolean
  *     full single-run retry passes (reported values are mins, so one
  *     quiet pass bounds every number) until one is quiet or the budget
  *     ends. The committed artifact certifies itself; no side-evidence
- *     appeal (round 14's 106s-vs-89s steal capture) is ever needed.
+ *     appeal (round 14's 106s-vs-89s steal capture) is ever needed;
+ *   - BAND self-certification (round 19): "band_ok" is true iff two
+ *     uniform single-run full passes land within 5% of each other
+ *     ("pass_totals" carries every full pass's total) — steal-matched
+ *     captures still drifted 19% across r18's evidence set from
+ *     co-tenancy the 1s /proc/stat samplers can't see, so
+ *     repeatability is certified directly; "steady" (the corroborated
+ *     main-sweep values) rides beside "queries" (mins over ALL runs),
+ *     so cross-round min-vs-min comparisons read off two committed
+ *     artifacts with no README arithmetic.
  *
  * Measurement discipline on a healthy host is unchanged: warm-up absorbs
  * Janino whole-stage-codegen + JIT (15-30s first-touch vs 0.3-2s steady
@@ -89,6 +98,32 @@ object Bench {
     * DELTAS. */
   private val matchedStealFrac = 0.0008
   @volatile private var stealMatched: Boolean = false
+  // cross-round comparability (round 19): steal_matched bounded the
+  // 1-second /proc/stat samplers' view, yet r18's four steal-matched
+  // captures drifted 19% on the shared set — whatever moved
+  // (page-cache/memory-bandwidth co-tenancy) was invisible to steal.
+  // The fix is to certify REPEATABILITY directly: "band_ok" is true
+  // iff at least two uniform single-run FULL passes land within 5%
+  // of each other, and every full pass's total rides in
+  // "pass_totals" so the drift is in the artifact, not a narrative.
+  // The per-query reported values are mins over ALL runs (main sweep
+  // + every pass), so min-vs-min cross-round comparisons read
+  // straight off two committed artifacts.
+  private val bandTolerance = 1.05
+  private val fullPassTotals =
+    scala.collection.mutable.ArrayBuffer.empty[Double]
+  private def bandOk: Boolean = {
+    val s: Vector[Double] = fullPassTotals.sorted.toVector
+    s.sliding(2).exists {
+      case Vector(a, b) => b <= a * bandTolerance
+      case _ => false
+    }
+  }
+  // corroborated main-sweep steady value per query (min of its
+  // back-to-back runs), frozen before the retry passes start — reads
+  // beside the overall min so a retry-window improvement is visible
+  private val steady =
+    scala.collection.concurrent.TrieMap.empty[String, Double]
 
   /** Quiet-host band: clean captures measure steal ≈ 0.0006; the r14
     * evidence line (total vs steal: 0.0006→91.1s, 0.0069→109.1s,
@@ -202,7 +237,15 @@ object Bench {
       val minFullSteal = passes.collect {
         case (st, _, true, _) if st >= 0 => st
       }.minOption
-      val cert = s""","noise_ok":$quietPassDone,"noise_retries":$quietRetries,"steal_matched":$stealMatched,"min_full_pass_steal":${minFullSteal.map(num).getOrElse("null")},"passes":$passJson"""
+      val passTotals =
+        fullPassTotals.map(num).mkString("[", ",", "]")
+      val steadyJson = names.map { n =>
+        steady.get(n) match {
+          case Some(v) => "\"" + n + "\":" + num(v)
+          case None    => "\"" + n + "\":null"
+        }
+      }.mkString("{", ",", "}")
+      val cert = s""","noise_ok":$quietPassDone,"noise_retries":$quietRetries,"steal_matched":$stealMatched,"band_ok":$bandOk,"pass_totals":$passTotals,"min_full_pass_steal":${minFullSteal.map(num).getOrElse("null")},"passes":$passJson"""
       // key order matters downstream: the driver records a ~2.2KB stdout
       // TAIL, so "queries" (the steady-state dict — the values a reader
       // actually wants) goes LAST; round 7's artifact exposed the
@@ -210,7 +253,7 @@ object Bench {
       // second, compact summary line (no per-query dicts, ~200 bytes)
       // follows so the tail always contains one fully-parseable JSON
       // record even though the full line overflows the capture.
-      val line = s"""{"metric":"total","value":$valueStr,"unit":"sec","sf":"$sfDir","complete":$complete,"partial_total":${num(total)},"n_measured":${measured.size},"n_queries":${names.size},"elapsed_s":${num(elapsed)}$noise$cert,"warmups":$ws,"queries":$qs}"""
+      val line = s"""{"metric":"total","value":$valueStr,"unit":"sec","sf":"$sfDir","complete":$complete,"partial_total":${num(total)},"n_measured":${measured.size},"n_queries":${names.size},"elapsed_s":${num(elapsed)}$noise$cert,"warmups":$ws,"steady":$steadyJson,"queries":$qs}"""
       println(line)
       println(s"""{"metric":"total","value":$valueStr,"unit":"sec","sf":"$sfDir","complete":$complete,"partial_total":${num(total)},"n_measured":${measured.size},"n_queries":${names.size},"elapsed_s":${num(elapsed)}$noise$cert}""")
       // minimal last-line summary (~30 bytes): with run/outputStrategy
@@ -302,6 +345,11 @@ object Bench {
     val mainSweepComplete = queries.forall { case (n, _) =>
       samples.get(n).exists(_.nonEmpty)
     }
+    // freeze the corroborated steady values before any retry pass
+    // can tighten the mins — "steady" vs "queries" in the JSON then
+    // shows exactly what the later windows changed
+    samples.foreach { case (n, t) if t.nonEmpty => steady(n) = t.min
+                      case _ => () }
     if (recordPass(statAtStart, cpuStat(), mainSweepComplete, elapsed))
       quietPassDone = true
     // Retry until a pass certifies the quiet band (noise_ok), then —
@@ -310,22 +358,35 @@ object Bench {
     // like-for-like without a side evidence line. Every retry also
     // tightens the reported mins, so the extra passes are never
     // wasted.
+    // …then — band certification (round 19) — keep taking passes
+    // until two of them agree within 5% (band_ok), up to 4 extra:
+    // steal-matched single captures still drifted 19% across r18's
+    // evidence set, so repeatability is certified DIRECTLY. Every
+    // pass also tightens the reported mins, so none are wasted.
     var stealChase = 0
+    var bandChase = 0
     while (elapsed < deadline &&
-        (!quietPassDone || (!stealMatched && stealChase < 3))) {
-      if (quietPassDone) stealChase += 1
+        (!quietPassDone || (!stealMatched && stealChase < 3) ||
+          (!bandOk && bandChase < 4))) {
+      if (quietPassDone && (stealMatched || stealChase >= 3))
+        bandChase += 1
+      else if (quietPassDone) stealChase += 1
       quietRetries += 1
-      System.err.println(f"[bench] ${if (quietPassDone) "steal-match"
-        else "quiet-band"} retry pass $quietRetries at $elapsed%.1fs")
+      System.err.println(f"[bench] ${if (!quietPassDone) "quiet-band"
+        else if (!stealMatched && stealChase <= 3) "steal-match"
+        else "band"} retry pass $quietRetries at $elapsed%.1fs")
       val passStart = cpuStat()
       val passT0 = elapsed
       var full = true
+      var passTotal = 0.0
       queries.foreach { case (name, fn) =>
         if (elapsed < deadline) {
           val t = once(name, fn)
+          passTotal += t
           samples(name) = samples.getOrElse(name, Vector.empty) :+ t
         } else full = false
       }
+      if (full) fullPassTotals += passTotal
       if (recordPass(passStart, cpuStat(), full, elapsed - passT0))
         quietPassDone = true
     }

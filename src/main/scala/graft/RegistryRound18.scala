@@ -12,6 +12,17 @@ import SparkEntry._
   * analytic oracle construction. */
 private[graft] object RegistryRound18 {
 
+  /** ONE oracle literal for q_tar_text_ingest and (round 19) its
+    * .tar.zst twin — the two gates ingest identical members through
+    * identical walks, differing only in the sniffed decompressor, so
+    * they must share one literal (two copies could silently drift). */
+  private[graft] val tarIngestOracle =
+    """SELECT doc_id, CAST(3 AS BIGINT) AS n_members,
+          CAST(1 AS BIGINT) AS n_skipped,
+          source || chr(10) || text || chr(10) ||
+          'deep path member' AS joined
+        FROM documents WHERE doc_id < 150"""
+
   private[graft] val entries: Seq[Q] = Seq(
 
     // Legacy .doc text extraction: q_pdf_extract's construction for
@@ -327,10 +338,6 @@ private[graft] object RegistryRound18 {
             members.map(_._2).mkString("\n"))
         }.toDF("doc_id", "n_members", "n_skipped", "joined")
       },
-      Some("""SELECT doc_id, CAST(3 AS BIGINT) AS n_members,
-                CAST(1 AS BIGINT) AS n_skipped,
-                source || chr(10) || text || chr(10) ||
-                'deep path member' AS joined
-              FROM documents WHERE doc_id < 150"""))
+      Some(tarIngestOracle))
   )
 }

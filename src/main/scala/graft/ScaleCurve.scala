@@ -570,11 +570,16 @@ object ScaleCurve {
       .map(_.split(",").map(_.trim).toSet)
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, Map[Int, Double]]
-    // strong-geometry families assume the session's 32 shuffle
-    // partitions; reset before every measurement so a _weakgeo
-    // closure's override can never leak into the next family
+    // strong-geometry families assume the session's configured
+    // shuffle partitions; capture that value ONCE and reset to it
+    // before every measurement (and after the sweep) so a _weakgeo
+    // closure's override can never leak into the next family — or
+    // out of the sweep into the caller's session
+    val sessionShufflePartitions =
+      spark.conf.get("spark.sql.shuffle.partitions")
     def resetGeo(): Unit =
-      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        sessionShufflePartitions)
     allFamilies.filter(f => familyFilter.forall(_.contains(f._1)))
       .foreach { case (name, f) =>
       if (elapsed() < budget) {
@@ -605,6 +610,7 @@ object ScaleCurve {
         results(name) = times
       } else System.err.println(s"[scale] budget exhausted before $name")
     }
+    resetGeo() // leave the session as configured, not as last measured
 
     // ---- report -------------------------------------------------------
     def num(x: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(x))

@@ -562,7 +562,8 @@ object SparkEntry {
       RegistryRound6.entries ++ RegistryRound11.entries ++
       RegistryRound13.entries ++ RegistryRound14.entries ++
       RegistryRound15.entries ++ RegistryRound16.entries ++
-      RegistryRound17.entries ++ RegistryRound18.entries
+      RegistryRound17.entries ++ RegistryRound18.entries ++
+      RegistryRound19.entries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -321,7 +321,7 @@ object Doc {
       val count = cpEnd - cpStart
       if (compressed) {
         val off = fc / 2
-        if (off + count > wd.length)
+        if (off.toLong + count > wd.length)
           err(s"8-bit piece $i [$off,+$count) past WordDocument end")
         sb.append(new String(wd, off, count, Cp1252))
       } else {

@@ -199,9 +199,19 @@ object Mime {
       var inPart = false
       var closed = false
       lines.foreach { l =>
-        if (l == delim || l.startsWith(delim + " ")) {
+        // RFC 2046 §5.1.1: delimiter lines may carry trailing LWSP
+        // (and ONLY LWSP) — strip it before the exact match; after
+        // the close delimiter everything is epilogue, so a later
+        // '--boundary' line must NOT re-open a section
+        val t = {
+          var end = l.length
+          while (end > 0 && (l.charAt(end - 1) == ' ' ||
+            l.charAt(end - 1) == '\t')) end -= 1
+          if (end == l.length) l else l.substring(0, end)
+        }
+        if (!closed && t == delim) {
           sections += new StringBuilder; inPart = true
-        } else if (l == delim + "--" || l.startsWith(delim + "-- ")) {
+        } else if (!closed && t == delim + "--") {
           inPart = false; closed = true
         } else if (inPart && !closed) {
           val sb = sections.last

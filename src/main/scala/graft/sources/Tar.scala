@@ -18,15 +18,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *  - GNU long names: a typeflag 'L' pseudo-entry carries the NEXT
  *    entry's real name;
  *  - PAX extended headers (typeflag 'x'): `len key=value\n` records;
- *    `path=` overrides the next entry's name, other keys skip;
- *    global 'g' headers skip whole.
+ *    `path=` overrides the next entry's name and `size=` its size
+ *    (the >8 GiB convention PAX writers use instead of GNU
+ *    base-256), other keys skip; global 'g' headers skip whole.
  *
- * `.tar.gz` is one gzip stream around the whole tar — magic-sniffed
- * (1F 8B), not extension-trusted, like [[Warc]]. Text members (by
+ * `.tar.gz` is one gzip stream around the whole tar, `.tar.zst` one
+ * zstd frame — magic-sniffed (1F 8B / 28 B5 2F FD via
+ * [[Zstd.sniffWrap]]), not extension-trusted, like [[Warc]]. Text
+ * members (by
  * extension, the [[Zip]] set) decode BOM-aware; others skip COUNTED.
  * Per-entry and per-shard decode caps (the [[Epub]] rule); header
- * checksums are VALIDATED (a drifted read errs named instead of
- * walking garbage offsets); corrupt shards quarantine per-FILE.
+ * checksums are VALIDATED, accepting either the unsigned-byte sum
+ * (the standard) or the signed-byte sum some historical writers
+ * computed — the GNU tar compatibility rule (a drifted read errs
+ * named instead of walking garbage offsets); corrupt shards
+ * quarantine per-FILE.
  *
  * Scale shape: `binaryFile`, one task per shard (tar has no central
  * index; gzip makes byte-range splits impossible anyway) — the
@@ -92,20 +98,19 @@ object Tar {
   }
 
   /** Explode one shard's text members: (member, text) + skipped
-    * non-text count. Gzip auto-sniffed. */
+    * non-text count. Gzip and zstd auto-sniffed ([[Zstd.sniffWrap]] —
+    * `.tar.gz` and `.tar.zst` drops both land here). */
   private[graft] def textMembers(bytes: Array[Byte])
       : (Seq[(String, String)], Int) = {
     if (bytes.length < 2) err("truncated payload")
     val in: java.io.InputStream =
-      if ((bytes(0) & 0xFF) == 0x1F && (bytes(1) & 0xFF) == 0x8B)
-        new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(bytes), 1 << 16)
-      else new java.io.ByteArrayInputStream(bytes)
+      Zstd.sniffWrap(new java.io.ByteArrayInputStream(bytes))
     val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var skipped = 0
     var total = 0L
     var sawEntry = false
     var pendingName: String = null
+    var pendingSize = -1L // PAX size= override for the next data entry
     var done = false
     while (!done) {
       val hdr = {
@@ -123,19 +128,28 @@ object Tar {
       if (!done) {
         if (hdr.forall(_ == 0)) done = true // terminator block
         else {
-          // checksum: header bytes with the chksum field as spaces
+          // checksum: header bytes with the chksum field as spaces.
+          // GNU tar compatibility rule: accept EITHER the unsigned-
+          // byte sum (the standard) or the signed-byte sum (some
+          // historical writers; differs exactly when headers carry
+          // high-bit bytes, e.g. base-256 size fields)
           val stored = numeric(hdr, 148, 8)
           var sum = 0L
+          var signedSum = 0L
           var i = 0
           while (i < 512) {
-            sum += (if (i >= 148 && i < 156) 32 else hdr(i) & 0xFF)
+            if (i >= 148 && i < 156) { sum += 32; signedSum += 32 }
+            else { sum += hdr(i) & 0xFF; signedSum += hdr(i) }
             i += 1
           }
-          if (sum != stored)
+          if (sum != stored && signedSum != stored)
             err(f"header checksum mismatch ($sum%d != $stored%d)")
           sawEntry = true
-          val size = numeric(hdr, 124, 12)
-          if (size < 0) err(s"negative entry size $size")
+          val headerSize = numeric(hdr, 124, 12)
+          if (headerSize < 0) err(s"negative entry size $headerSize")
+          // PAX size= overrides the header field (entries >8 GiB from
+          // writers that use PAX instead of GNU base-256)
+          val size = if (pendingSize >= 0) pendingSize else headerSize
           // NOTE: only entries we BUFFER are capped below — skipped
           // members (binaries) may legitimately exceed the decode cap
           def capBuffered(): Unit =
@@ -143,26 +157,38 @@ object Tar {
               err(s"entry size $size exceeds the decode cap")
           val typeflag = (hdr(156) & 0xFF).toChar
           val pad = (512 - (size % 512)) % 512
+          // a PAX header's OWN body is always framed by its header
+          // field — size= applies to the following data entry only
+          val paxPad = (512 - (headerSize % 512)) % 512
           typeflag match {
             case 'L' => // GNU long name: body = next entry's name
-              capBuffered()
-              val nm = readFully(in, size.toInt)
+              // pseudo-entry: framed by its OWN header field, and a
+              // preceding PAX size= survives past it to the data entry
+              if (headerSize > Pdf.MaxDecodedBytes)
+                err(s"entry size $headerSize exceeds the decode cap")
+              val nm = readFully(in, headerSize.toInt)
               pendingName = cstr(nm, 0, nm.length)
-              skipFully(in, pad)
-            case 'x' => // PAX: parse path=, skip the rest
-              capBuffered()
-              val pax = new String(readFully(in, size.toInt), "UTF-8")
+              skipFully(in, paxPad)
+            case 'x' => // PAX: parse path= and size=, skip the rest
+              if (headerSize > Pdf.MaxDecodedBytes)
+                err(s"entry size $headerSize exceeds the decode cap")
+              val pax = new String(readFully(in, headerSize.toInt), "UTF-8")
               pax.split("\n").foreach { rec =>
                 val sp = rec.indexOf(' ')
                 if (sp > 0) {
                   val kv = rec.substring(sp + 1)
                   if (kv.startsWith("path="))
                     pendingName = kv.substring(5)
+                  else if (kv.startsWith("size="))
+                    pendingSize =
+                      try java.lang.Long.parseLong(kv.substring(5))
+                      catch { case _: NumberFormatException =>
+                        err(s"bad PAX size record '$kv'") }
                 }
               }
-              skipFully(in, pad)
+              skipFully(in, paxPad)
             case 'g' => // global PAX header: skip
-              skipFully(in, size + pad)
+              skipFully(in, headerSize + paxPad)
             case '0' | '\u0000' | ' ' => // regular file (NUL pre-POSIX)
               val name =
                 if (pendingName != null) pendingName
@@ -172,6 +198,7 @@ object Tar {
                   if (prefix.nonEmpty) prefix + "/" + base else base
                 }
               pendingName = null
+              pendingSize = -1L
               if (TextExtensions.contains(extOf(name))) {
                 capBuffered()
                 total += size
@@ -187,6 +214,7 @@ object Tar {
               }
             case _ => // dirs, links, devices, sparse, …: skip counted
               pendingName = null
+              pendingSize = -1L
               skipped += 1
               skipFully(in, size + pad)
           }

@@ -193,16 +193,11 @@ object Warc {
                           httpContentType: String,
                           payload: Array[Byte])
 
-  /** Gzip-sniff (1F 8B) and wrap; plain bytes pass through. */
-  private def maybeGunzip(in: java.io.InputStream): java.io.InputStream = {
-    val buf = new java.io.BufferedInputStream(in, 1 << 16)
-    buf.mark(2)
-    val b0 = buf.read(); val b1 = buf.read()
-    buf.reset()
-    if (b0 == 0x1F && b1 == 0x8B)
-      new java.util.zip.GZIPInputStream(buf, 1 << 16)
-    else buf
-  }
+  /** Gzip/zstd magic sniff ([[Zstd.sniffWrap]]): `.warc.gz` members
+    * and whole-stream `.warc.zst` hand-offs both unwrap; plain bytes
+    * pass through. */
+  private def maybeGunzip(in: java.io.InputStream): java.io.InputStream =
+    Zstd.sniffWrap(in)
 
   /** Read one CRLF- (or LF-) terminated header line; None at EOF.
     * Length-capped: a gzip bomb with no newline would otherwise
@@ -416,9 +411,13 @@ object Warc {
    * ([[Html.decodeHtmlBytes]]) and the HTML extract chain, then the
    * URL-keyed exact-dedup admission of [[graft.streaming
    * .IngestPipeline.dedupIngest]] — re-crawled identical pages and
-   * replayed micro-batches both dedup away. Corrupt shards drop with
-   * their named error counted out (`warc_error IS NULL` filter), the
-   * same skim-past-damage posture as the batch surface.
+   * replayed micro-batches both dedup away. Corrupt shards and
+   * undecodable records drop with their named error COUNTED: each
+   * failure becomes a `warc_error` row filtered out before the sink,
+   * and the stream `observe`s `corrupt_rows` so every micro-batch's
+   * `StreamingQueryProgress.observedMetrics("warc_ingest")` carries
+   * the drop count — the batch [[responses]] surface's accounting,
+   * streamed.
    */
   def warcIngest(spark: SparkSession, warcDir: String, corpusDir: String,
                  checkpointDir: String,
@@ -435,17 +434,28 @@ object Warc {
       .load(warcDir)
       .select("path", "content").as[(String, Array[Byte])]
     val docs = shards.flatMap { case (path, bytes) =>
+      def msg(e: Throwable) =
+        Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
       try records(new java.io.ByteArrayInputStream(bytes))
         .filter(_.warcType == "response")
-        .flatMap { r =>
-          try Some((r.targetUri,
-            Html.decodeHtmlBytes(r.payload, r.httpContentType)))
-          catch { case scala.util.control.NonFatal(_) => None }
+        .map { r =>
+          try (r.targetUri,
+            Html.decodeHtmlBytes(r.payload, r.httpContentType),
+            null: String)
+          catch { case scala.util.control.NonFatal(e) =>
+            (r.targetUri, null: String, s"record: ${msg(e)}") }
         }.toSeq
       catch {
-        case scala.util.control.NonFatal(_) => Seq.empty
+        case scala.util.control.NonFatal(e) =>
+          Seq((path, null: String, s"shard: ${msg(e)}"))
       }
-    }.toDF("url", "html")
+    }.toDF("url", "html", "warc_error")
+      // named-error accounting: corrupt rows are counted into every
+      // micro-batch's observed metrics, then filtered before the sink
+      .observe("warc_ingest",
+        org.apache.spark.sql.functions.count(col("warc_error"))
+          .as("corrupt_rows"))
+      .where(col("warc_error").isNull)
       .select(col("url"),
         graft.functions.TextAnalysis.extractHtmlText(col("html"))
           .as("text"))

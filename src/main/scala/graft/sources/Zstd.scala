@@ -37,6 +37,38 @@ object Zstd {
   /** The pure-Java Hadoop codec on the existing classpath. */
   val CodecClass = "io.airlift.compress.zstd.ZstdCodec"
 
+  /**
+   * Magic-sniff a byte stream for gzip (`1F 8B`) or zstd
+   * (`28 B5 2F FD`) framing and wrap the matching pure-Java
+   * decompressor; plain bytes pass through. The binary-shard
+   * families ([[Tar.textShards]], [[Warc.records]]) share this
+   * sniff: extensions lie on renamed hand-offs, and `.tar.zst` /
+   * `.warc.zst` (RedPajama-class corpus drops) are as routine as
+   * their gzip twins.
+   */
+  def sniffWrap(raw: java.io.InputStream): java.io.InputStream = {
+    val buf = new java.io.BufferedInputStream(raw, 1 << 16)
+    buf.mark(4)
+    val b0 = buf.read(); val b1 = buf.read()
+    val b2 = buf.read(); val b3 = buf.read()
+    buf.reset()
+    if (b0 == 0x1F && b1 == 0x8B)
+      new java.util.zip.GZIPInputStream(buf, 1 << 16)
+    else if (b0 == 0x28 && b1 == 0xB5 && b2 == 0x2F && b3 == 0xFD)
+      new io.airlift.compress.zstd.ZstdInputStream(buf)
+    else buf
+  }
+
+  /** One whole-stream zstd frame around `bytes` — the fixture twin
+    * of the shard builders' gzip wrap ([[Tar.buildShard]],
+    * [[Warc.buildWarc]]). */
+  def compress(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val z = new io.airlift.compress.zstd.ZstdOutputStream(out)
+    z.write(bytes); z.close()
+    out.toByteArray
+  }
+
   /** Idempotently register the codec for `.zst` reads in this
     * session's Hadoop configuration. */
   def register(spark: SparkSession): Unit = {

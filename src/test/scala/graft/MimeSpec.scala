@@ -86,6 +86,28 @@ class MimeSpec extends SparkSpec {
     assert(e3.getMessage.contains("nesting"))
   }
 
+  test("RFC 2046 delimiter edges: trailing LWSP tolerated, " +
+      "post-close '--boundary' is epilogue (no section re-open), " +
+      "non-LWSP suffix is part text") {
+    def msg(body: String) =
+      "Content-Type: multipart/mixed; boundary=bb\n\n" + body
+    def part(s: String) =
+      s"Content-Type: text/plain; charset=UTF-8\n\n$s"
+    // trailing tab and spaces on delimiter lines are still delimiters
+    val m1 = Mime.parseMessage(msg(
+      s"--bb\t\n${part("alpha")}\n--bb  \n${part("beta")}\n--bb-- \t\n"))
+    assert(m1.text == "alpha\nbeta")
+    // after --bb--, a later --bb line must NOT open a new section
+    val m2 = Mime.parseMessage(msg(
+      s"--bb\n${part("only")}\n--bb--\n--bb\n${part("ghost")}\n--bb--\n"))
+    assert(m2.text == "only")
+    // '--bb trailing' has a NON-whitespace suffix: not a delimiter,
+    // so it stays inside the open part's text
+    val m3 = Mime.parseMessage(msg(
+      s"--bb\n${part("kept --bb? no:")}\n--bb trailing\n--bb--\n"))
+    assert(m3.text.contains("--bb trailing"))
+  }
+
   test("Spark surface: messages explode with per-archive AND " +
       "per-message quarantine") {
     import spark.implicits._

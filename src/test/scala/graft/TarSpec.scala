@@ -50,6 +50,70 @@ class TarSpec extends SparkSpec {
     assert(paxBody.nonEmpty && base.nonEmpty) // fixture sanity
   }
 
+  // minimal hand-rolled entry builder for header-level cases the
+  // fixture writer doesn't produce (signed checksums, PAX size=)
+  private def rawHeader(name: String, size: Long, typeflag: Char,
+                        signedChecksum: Boolean): Array[Byte] = {
+    val h = new Array[Byte](512)
+    def put(s: String, off: Int): Unit = {
+      val b = s.getBytes("ISO-8859-1")
+      System.arraycopy(b, 0, h, off, b.length)
+    }
+    put(name, 0)
+    put("0000644", 100); put("0000000", 108); put("0000000", 116)
+    put(f"$size%011o", 124); put("00000000000", 136)
+    h(156) = typeflag.toByte
+    put("ustar", 257); h(263) = '0'; h(264) = '0'
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0L
+    h.foreach(b => sum += (if (signedChecksum) b.toLong else b & 0xFF))
+    put(f"$sum%06o", 148); h(154) = 0; h(155) = ' '
+    h
+  }
+
+  private def rawEntry(out: java.io.ByteArrayOutputStream, name: String,
+                       data: Array[Byte], typeflag: Char = '0',
+                       signedChecksum: Boolean = false,
+                       sizeField: Long = -1L): Unit = {
+    val size = if (sizeField >= 0) sizeField else data.length.toLong
+    out.write(rawHeader(name, size, typeflag, signedChecksum))
+    out.write(data)
+    out.write(new Array[Byte]((512 - (data.length % 512)) % 512))
+  }
+
+  test("signed-byte header checksums accepted (historical writers, " +
+      "high-bit name bytes)") {
+    val out = new java.io.ByteArrayOutputStream()
+    // 'ü' = 0xFC in ISO-8859-1: signed sum differs from unsigned by 256
+    rawEntry(out, "günter.txt", "umlaut doc".getBytes("UTF-8"),
+      signedChecksum = true)
+    out.write(new Array[Byte](1024))
+    val (got, _) = Tar.textMembers(out.toByteArray)
+    assert(got == Seq("günter.txt" -> "umlaut doc"))
+    // sanity: the same header with a WRONG sum still errs named
+    val bad = out.toByteArray
+    bad(148) = '7' // drift the stored checksum itself
+    val e = intercept[IllegalArgumentException](Tar.textMembers(bad))
+    assert(e.getMessage.contains("checksum"))
+  }
+
+  test("PAX size= overrides the header size field; the override " +
+      "frames only the next data entry") {
+    val out = new java.io.ByteArrayOutputStream()
+    val body = "pax-sized body".getBytes("UTF-8")
+    val kv = s"size=${body.length}\n"
+    val rec = s"${kv.length + 3} $kv"
+    rawEntry(out, "pax", rec.getBytes("UTF-8"), typeflag = 'x')
+    // file header LIES about the size (0); PAX record has the truth
+    rawEntry(out, "real.txt", body, sizeField = 0L)
+    // a following entry must NOT inherit the consumed override
+    rawEntry(out, "after.txt", "plain".getBytes("UTF-8"))
+    out.write(new Array[Byte](1024))
+    val (got, _) = Tar.textMembers(out.toByteArray)
+    assert(got == Seq("real.txt" -> "pax-sized body",
+      "after.txt" -> "plain"))
+  }
+
   test("Spark surface: one task per shard, members exploded, corrupt " +
       "shards quarantined per-file") {
     val dir = tmpDir()

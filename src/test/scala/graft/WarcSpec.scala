@@ -165,12 +165,20 @@ class WarcSpec extends SparkSpec {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(warcDir, "junk.warc"),
       "definitely not a warc".getBytes)
-    Warc.warcIngest(spark, warcDir, corpus, ckpt).awaitTermination()
+    val q2 = Warc.warcIngest(spark, warcDir, corpus, ckpt)
+    q2.awaitTermination()
     val got = spark.read.parquet(corpus).select("url", "text")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == Set(("http://a/1", "alpha café"), ("http://b/2", "beta"),
       ("http://c/3", "gamma")),
       "windows-1252 decoded, re-crawl deduped, corrupt shard skimmed")
+    // the corrupt shard is ACCOUNTED, not silently swallowed: the
+    // stream's observed metrics count it out per micro-batch
+    val corrupt = q2.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("warc_ingest")))
+      .map(_.getAs[Long]("corrupt_rows")).sum
+    assert(corrupt == 1L, s"junk.warc must count into observed " +
+      s"metrics (got $corrupt)")
   }
 
   // ---- full WARC (response records) ------------------------------
