@@ -79,6 +79,64 @@ private[graft] object RegistryRound19 {
             members.map(_._2).mkString("\n"))
         }.toDF("doc_id", "n_members", "n_skipped", "joined")
       },
-      Some(RegistryRound18.tarIngestOracle))
+      Some(RegistryRound18.tarIngestOracle)),
+
+    // XLSX extraction: each document becomes a two-sheet workbook
+    // (graft.sources.Xlsx.buildXlsx — worksheet PARTS stored in the
+    // ZIP in reverse, so only workbook order yields the right sheet
+    // sequence; body words alternate sharedStrings / inline-string
+    // cells, with rich-run <r> splits on odd shared indexes, plus a
+    // number, a boolean, and a formula-result cell). ANALYTIC
+    // oracle: sheet names, the tab-joined cells, and every cell-type
+    // resolution are all recomputed from the source columns
+    Q("q_xlsx_extract",
+      (s, d) => {
+        import s.implicits._
+        val docs = s.read.parquet(pq(d, "documents"))
+          .where(col("doc_id") < 150)
+          .select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)]
+        docs.map { case (id, src, txt) =>
+          import graft.sources.Xlsx
+          val bodyCells = txt.split(" ").zipWithIndex.map {
+            case (w, i) => Xlsx.Cell(w, if (i % 2 == 0) 's' else 'i')
+          }.toSeq ++ Seq(Xlsx.Cell("42.5", 'n'),
+            Xlsx.Cell("TRUE", 'b'), Xlsx.Cell(s"f$id", 'f'))
+          val wb = Xlsx.buildXlsx(Seq(
+            ("Meta", Seq(Seq(Xlsx.Cell(src, 's'),
+              Xlsx.Cell(id.toString, 'n')))),
+            ("Body", Seq(bodyCells))))
+          (id, Xlsx.extractText(wb))
+        }.toDF("doc_id", "extracted")
+      },
+      Some("""SELECT doc_id, 'Meta' || chr(10) || source || chr(9) ||
+                doc_id || chr(10) || 'Body' || chr(10) ||
+                replace(text, ' ', chr(9)) || chr(9) || '42.5' ||
+                chr(9) || 'TRUE' || chr(9) || 'f' || doc_id
+                AS extracted
+              FROM documents WHERE doc_id < 150""")),
+
+    // PPTX extraction: each document becomes a two-slide deck
+    // (graft.sources.Pptx.buildPptx — slide parts stored in the ZIP
+    // reversed, so only sldIdLst order yields the right deck;
+    // slide 2 carries two paragraphs). ANALYTIC oracle: title slide,
+    // body paragraphs, and deck order recomputed from the source
+    // columns
+    Q("q_pptx_extract",
+      (s, d) => {
+        import s.implicits._
+        val docs = s.read.parquet(pq(d, "documents"))
+          .where(col("doc_id") < 150)
+          .select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)]
+        docs.map { case (id, src, txt) =>
+          val deck = graft.sources.Pptx.buildPptx(Seq(
+            Seq(src), Seq(txt, s"deck $id")))
+          (id, graft.sources.Pptx.extractText(deck))
+        }.toDF("doc_id", "extracted")
+      },
+      Some("""SELECT doc_id, source || chr(10) || text || chr(10) ||
+                'deck ' || doc_id AS extracted
+              FROM documents WHERE doc_id < 150"""))
   )
 }
