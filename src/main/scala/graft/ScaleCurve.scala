@@ -150,6 +150,40 @@ object ScaleCurve {
           .write.mode("overwrite").parquet(s"$dir/chunk_index.parquet")
         idxDone.createNewFile()
       }
+      // shard fixtures for the ingest families (round 19): 64·k
+      // shards of FIXED content size per format, written in parallel
+      // by the executors (the driver never touches shard bytes)
+      val shardsDone = new java.io.File(s"$dir/_shards_ok")
+      if (!shardsDone.exists()) {
+        import spark.implicits._
+        Seq("zip", "tar", "warc").foreach { fmt =>
+          new java.io.File(s"$dir/shards_$fmt").mkdirs()
+        }
+        spark.range(64L * k)
+          .repartition(spark.sparkContext.defaultParallelism).as[Long]
+          .foreachPartition { (it: Iterator[Long]) =>
+            it.foreach { i =>
+              val members = (0 until 40).map(m =>
+                (s"doc$m.txt",
+                  s"shard $i member $m " + ("token " * 300)))
+              def put(rel: String, bytes: Array[Byte]): Unit =
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(s"$dir/$rel"), bytes)
+              put(s"shards_zip/s$i.zip",
+                graft.sources.Zip.buildShard(members))
+              put(s"shards_tar/s$i.tar.gz",
+                graft.sources.Tar.buildShard(members, gzipped = true))
+              put(s"shards_warc/s$i.warc.gz",
+                graft.sources.Warc.buildWarc(members.map { case (n, t) =>
+                  (s"http://fixture.test/$i/$n",
+                    "text/html; charset=utf-8",
+                    s"<html><body><p>$t</p></body></html>"
+                      .getBytes("UTF-8"))
+                }, gzipped = true))
+            }
+          }
+        shardsDone.createNewFile()
+      }
     }
     def docs(k: Int) = spark.read.parquet(s"$workDir/x$k/documents.parquet")
     def embs(k: Int) = spark.read.parquet(s"$workDir/x$k/embeddings.parquet")
@@ -468,6 +502,31 @@ object ScaleCurve {
           (id, graft.sources.Rtf.extractText(rtf).length)
         }.toDF("doc_id", "n")
       },
+      // round-19: LaTeX strip chain and wikitext strip chain — same
+      // per-row contract and geometry as the other extract families
+      "latex_extract" -> { k =>
+        import spark.implicits._
+        val d = docs(k).select(col("doc_id"), col("source"), col("text"))
+          .repartition(par)
+          .as[(Long, String, String)]
+        d.map { case (id, src, txt) =>
+          val tex = graft.sources.Latex.buildLatex(src, txt, id)
+          (id, graft.sources.Latex.extractLatexText(tex).length)
+        }.toDF("doc_id", "n")
+      },
+      "wikitext_extract" -> { k =>
+        import spark.implicits._
+        val d = docs(k).select(col("doc_id"), col("source"), col("text"))
+          .repartition(par)
+          .as[(Long, String, String)]
+        d.map { case (id, src, txt) =>
+          val wt = s"== $src ==\n{{infobox|x=$id}} " +
+            s"'''${txt.take(40)}''' [[Page $id|$txt]]<ref>r$id</ref>\n"
+          val page = graft.sources.Wiki.parsePage(
+            graft.sources.Wiki.buildPage(s"D$id", 0, wt))
+          (id, graft.sources.Wiki.extractWikitext(page.text).length)
+        }.toDF("doc_id", "n")
+      },
       "html_charset_decode" -> { k =>
         import spark.implicits._
         val d = docs(k).select(col("doc_id"), col("source"), col("text"))
@@ -539,6 +598,34 @@ object ScaleCurve {
         TextSearch.hybridSearchRrfIvf(corpus, "doc_id", "text",
           "embedding", q, "query_id", "qtext", "qv", k = 5,
           nlist = 16 * k, nprobe = 8)
+      },
+      // ---- shard-ingest families (round 19): shard COUNT ∝ N at
+      // fixed shard size — the layer's scale claim is one task per
+      // shard with flat per-shard cost and no whole-listing driver
+      // work, so the exponent should read ~1.0 in shard count. The
+      // closure narrows files.maxPartitionBytes so the fixture's
+      // small shards map one-per-task exactly as real ~1 GB crawl
+      // shards do (binaryFile otherwise PACKS small files many-per-
+      // task and the measurement would time the packing, not the
+      // geometry); resetGeo restores the session value after each
+      // measurement.
+      "zip_text_ingest" -> { k =>
+        spark.conf.set("spark.sql.files.maxPartitionBytes",
+          (1 << 20).toString)
+        graft.sources.Zip.textShards(spark,
+          s"$workDir/x$k/shards_zip/*.zip")
+      },
+      "tar_text_ingest" -> { k =>
+        spark.conf.set("spark.sql.files.maxPartitionBytes",
+          (1 << 20).toString)
+        graft.sources.Tar.textShards(spark,
+          s"$workDir/x$k/shards_tar/*.tar.gz")
+      },
+      "warc_responses" -> { k =>
+        spark.conf.set("spark.sql.files.maxPartitionBytes",
+          (1 << 20).toString)
+        graft.sources.Warc.responses(spark,
+          s"$workDir/x$k/shards_warc/*.warc.gz")
       })
 
     // ---- weak-scaling geometry variants ------------------------------
@@ -571,15 +658,21 @@ object ScaleCurve {
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, Map[Int, Double]]
     // strong-geometry families assume the session's configured
-    // shuffle partitions; capture that value ONCE and reset to it
-    // before every measurement (and after the sweep) so a _weakgeo
-    // closure's override can never leak into the next family — or
-    // out of the sweep into the caller's session
+    // shuffle partitions and file-split size; capture those values
+    // ONCE and reset to them before every measurement (and after the
+    // sweep) so a _weakgeo or shard-ingest closure's override can
+    // never leak into the next family — or out of the sweep into the
+    // caller's session
     val sessionShufflePartitions =
       spark.conf.get("spark.sql.shuffle.partitions")
-    def resetGeo(): Unit =
+    val sessionMaxPartitionBytes =
+      spark.conf.get("spark.sql.files.maxPartitionBytes")
+    def resetGeo(): Unit = {
       spark.conf.set("spark.sql.shuffle.partitions",
         sessionShufflePartitions)
+      spark.conf.set("spark.sql.files.maxPartitionBytes",
+        sessionMaxPartitionBytes)
+    }
     allFamilies.filter(f => familyFilter.forall(_.contains(f._1)))
       .foreach { case (name, f) =>
       if (elapsed() < budget) {

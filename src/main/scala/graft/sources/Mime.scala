@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /**
  * Email text extraction — mbox archives and RFC 5322/MIME messages,
@@ -313,6 +313,68 @@ object Mime {
       }
     }.toDF("id", "msg_idx", "from", "subject", "text", "html",
       "attachments", "mime_error")
+  }
+
+  /**
+   * Streaming twin of [[parseMboxes]] — the list-archive sync shape:
+   * mbox drops landing in `mboxDir` become micro-batches of parsed
+   * messages (each archive file is picked up once by the binaryFile
+   * stream's file index), keyed on from+subject and exact-deduped by
+   * text through [[graft.streaming.IngestPipeline.dedupIngest]] — a
+   * re-synced archive carrying already-ingested messages and a
+   * replayed micro-batch both dedup away. Corrupt archives and
+   * unparseable messages drop with their named error COUNTED: each
+   * failure becomes a `mime_error` row filtered out before the sink,
+   * and the stream `observe`s `corrupt_rows` so every micro-batch's
+   * `StreamingQueryProgress.observedMetrics("mbox_ingest")` carries
+   * the drop count — the [[Warc.warcIngest]] accounting, for mail.
+   */
+  def mboxIngest(spark: SparkSession, mboxDir: String, corpusDir: String,
+                 checkpointDir: String,
+                 trigger: org.apache.spark.sql.streaming.Trigger =
+                   org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat_ws, count}
+    val shards = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, " +
+        "length LONG, content BINARY")
+      .load(mboxDir)
+      .select("path", "content").as[(String, Array[Byte])]
+    val msgs = shards.flatMap { case (path, bytes) =>
+      def msg(e: Throwable) =
+        Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+      try {
+        val mbox = new String(bytes,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        splitMbox(mbox).map { raw =>
+          try {
+            val m = parseMessage(raw)
+            (m.from, m.subject, m.text, null: String)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              (null: String, null: String, null: String,
+                s"message: ${msg(e)}")
+          }
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          Seq((null: String, null: String, null: String,
+            s"archive ${path.substring(path.lastIndexOf('/') + 1)}: " +
+              msg(e)))
+      }
+    }.toDF("from", "subject", "text", "mime_error")
+      .observe("mbox_ingest",
+        count(col("mime_error")).as("corrupt_rows"))
+      .where(col("mime_error").isNull)
+      // control-char key separator: a bare concat would collide
+      // ("ab"+"c" vs "a"+"bc"), and U+0001 never survives header
+      // decode into either field
+      .select(concat_ws("\u0001", col("from"), col("subject"))
+        .as("msg_key"), col("text"))
+    graft.streaming.IngestPipeline.dedupIngest(
+      msgs.where(col("msg_key").isNotNull), "msg_key", "text",
+      corpusDir, checkpointDir, trigger)
   }
 
   // ---------------------------------------------------------------

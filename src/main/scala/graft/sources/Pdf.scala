@@ -324,7 +324,7 @@ object Pdf {
     * unlike every other parse failure here, which is a NAMED
     * IllegalArgumentException. 256 MiB is orders of magnitude past
     * any real page content / ObjStm / document.xml payload. */
-  private[sources] val MaxDecodedBytes: Int = 256 << 20
+  private[graft] val MaxDecodedBytes: Int = 256 << 20
 
   private def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new java.util.zip.Inflater()

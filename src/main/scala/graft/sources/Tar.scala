@@ -47,7 +47,7 @@ object Tar {
     throw new IllegalArgumentException(s"TAR: $msg")
 
   private val TextExtensions =
-    Set("txt", "text", "jsonl", "json", "md", "csv", "tsv")
+    Set("txt", "text", "jsonl", "json", "md", "csv", "tsv", "tex")
 
   private def extOf(name: String): String =
     name.lastIndexOf('.') match {

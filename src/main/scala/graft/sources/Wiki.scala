@@ -431,6 +431,57 @@ object Wiki {
       .toDF("title", "text")
   }
 
+  /**
+   * Streaming twin of [[documents]] — the dump-sync arrival shape:
+   * dump files landing in `dumpDir` (a monthly pages-articles
+   * re-sync, an incremental adds-dump) become micro-batches of
+   * extracted articles, exact-deduped by text through
+   * [[graft.streaming.IngestPipeline.dedupIngest]] keyed on title —
+   * a re-synced dump's unchanged articles dedup away, an updated
+   * revision (same title, new text) ingests as a new document, and a
+   * replayed micro-batch is idempotent. Malformed pages drop with
+   * their named error COUNTED: each failure is a `wiki_error` row
+   * filtered before the sink, and the stream `observe`s
+   * `corrupt_rows` so every micro-batch's
+   * `StreamingQueryProgress.observedMetrics("wiki_ingest")` carries
+   * the drop count (the [[Warc.warcIngest]]/[[Mime.mboxIngest]]
+   * accounting). Redirects and non-article namespaces filter as in
+   * [[documents]].
+   */
+  def wikiIngest(spark: SparkSession, dumpDir: String, corpusDir: String,
+                 checkpointDir: String,
+                 trigger: org.apache.spark.sql.streaming.Trigger =
+                   org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.count
+    val frags = spark.readStream
+      .option("lineSep", "</page>").text(dumpDir)
+      .select("value").as[String]
+    val docs = frags.flatMap { chunk =>
+      val st = chunk.indexOf("<page>")
+      if (st < 0) None
+      else {
+        try {
+          val p = parsePage(chunk.substring(st) + "</page>")
+          if (p.ns == 0 && p.redirect.isEmpty)
+            Some((p.title, extractWikitext(p.text), null: String))
+          else None
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Some((null: String, null: String,
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+        }
+      }
+    }.toDF("title", "text", "wiki_error")
+      .observe("wiki_ingest",
+        count(col("wiki_error")).as("corrupt_rows"))
+      .where(col("wiki_error").isNull)
+      .select("title", "text")
+    graft.streaming.IngestPipeline.dedupIngest(
+      docs, "title", "text", corpusDir, checkpointDir, trigger)
+  }
+
   // ---------------------------------------------------------------
   // fixture writer
   // ---------------------------------------------------------------

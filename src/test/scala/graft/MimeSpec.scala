@@ -108,6 +108,43 @@ class MimeSpec extends SparkSpec {
     assert(m3.text.contains("--bb trailing"))
   }
 
+  test("streaming mbox ingestion dedups re-synced messages across " +
+      "archive drops and COUNTS corrupt archives out") {
+    val mboxDir = java.nio.file.Files
+      .createTempDirectory("graft-mbox-stream").toString
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft-mbox-corpus").toString + "/c"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-mbox-ckpt").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(mboxDir, "sync1.mbox"),
+      Mime.buildMbox(Seq(
+        ("a@list.test", "first subject", "body alpha"),
+        ("b@list.test", "second subject", "body beta"))))
+    Mime.mboxIngest(spark, mboxDir, corpus, ckpt).awaitTermination()
+    // drop 2: one new message, one RE-SYNC of an ingested message
+    // (list archives overlap), plus a corrupt archive to skim past
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(mboxDir, "sync2.mbox"),
+      Mime.buildMbox(Seq(
+        ("c@list.test", "third subject", "body gamma"),
+        ("a@list.test", "first subject", "body alpha"))))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(mboxDir, "junk.mbox"),
+      "definitely not an mbox archive".getBytes)
+    val q2 = Mime.mboxIngest(spark, mboxDir, corpus, ckpt)
+    q2.awaitTermination()
+    val got = spark.read.parquet(corpus).select("text")
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("body alpha", "body beta", "body gamma"),
+      "re-sync deduped, corrupt archive skimmed")
+    val corrupt = q2.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("mbox_ingest")))
+      .map(_.getAs[Long]("corrupt_rows")).sum
+    assert(corrupt == 1L,
+      s"junk.mbox must count into observed metrics (got $corrupt)")
+  }
+
   test("Spark surface: messages explode with per-archive AND " +
       "per-message quarantine") {
     import spark.implicits._

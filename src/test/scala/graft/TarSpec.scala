@@ -81,6 +81,16 @@ class TarSpec extends SparkSpec {
     out.write(new Array[Byte]((512 - (data.length % 512)) % 512))
   }
 
+  test(".tar.zst shards round-trip through the zstd magic sniff " +
+      "identically to plain and gzip") {
+    val zst = graft.sources.Zstd.compress(Tar.buildShard(members))
+    assert((zst(0) & 0xFF) == 0x28 && (zst(1) & 0xFF) == 0xB5,
+      "fixture must be a real zstd frame")
+    val (got, skipped) = Tar.textMembers(zst)
+    assert(got == Tar.textMembers(Tar.buildShard(members))._1)
+    assert(skipped == 1)
+  }
+
   test("signed-byte header checksums accepted (historical writers, " +
       "high-bit name bytes)") {
     val out = new java.io.ByteArrayOutputStream()

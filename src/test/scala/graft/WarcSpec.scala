@@ -189,6 +189,17 @@ class WarcSpec extends SparkSpec {
         .getBytes("windows-1252"))
   }
 
+  test(".warc.zst shards round-trip through the zstd magic sniff " +
+      "identically to plain") {
+    val plain = Warc.buildWarc(entries(2), gzipped = false)
+    val zst = graft.sources.Zstd.compress(plain)
+    assert((zst(0) & 0xFF) == 0x28 && (zst(1) & 0xFF) == 0xB5)
+    def uris(b: Array[Byte]) = Warc.records(
+      new java.io.ByteArrayInputStream(b))
+      .filter(_.warcType == "response").map(_.targetUri).toVector
+    assert(uris(zst) == uris(plain))
+  }
+
   test("plain and gzipped shards parse to the same records; warcinfo " +
       "and request records are walked over, responses split HTTP") {
     for (gz <- Seq(false, true)) {
