@@ -415,6 +415,99 @@ private[graft] object RegistryRound19 {
               UNION ALL
               SELECT doc_id, 2 * doc_id + 1, 're: ' || source,
                 'reply ' || doc_id
+              FROM documents WHERE doc_id < 150""")),
+
+    // Index-driven selective fetch, end-to-end: ONE member-per-record
+    // WARC shard holding ALL 150 documents is built and written by an
+    // executor task (Cdx.buildIndexedWarc — offsets deterministic,
+    // gzip MTIME=0) which emits the (uri, offset, length) index; CDX
+    // lines are built for the EVEN doc_ids only; fetchPlan groups the
+    // ranges and fetchRecords positioned-reads exactly those members
+    // back ([[FSDataInputStream.readFully(pos, …)]] — the odd docs'
+    // bytes are never parsed). ANALYTIC oracle: the even docs' url +
+    // html recomputed from source columns — a fetch that reads the
+    // wrong range, loses a member, or leaks unselected records
+    // row-count/hash-mismatches
+    Q("q_cdx_fetch",
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-cdx-fetch").toString
+        val docs = s.read.parquet(pq(d, "documents"))
+          .where(col("doc_id") < 150)
+          .select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)]
+        val idx = docs.repartition(1).mapPartitions { it =>
+          val rows = it.toSeq.sortBy(_._1)
+          val (shard, index) = graft.sources.Cdx.buildIndexedWarc(
+            rows.map { case (id, src, txt) =>
+              (s"http://doc$id.test/",
+                s"<h1>$src</h1><p>$txt</p>")
+            })
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, "w0.warc.gz"), shard)
+          index.iterator.map { case (uri, off, len) =>
+            (uri, off, len)
+          }
+        }.toDF("url", "offset", "length")
+        val cdxLines = idx
+          .where(expr("CAST(regexp_extract(url, 'doc(\\\\d+)', 1) " +
+            "AS BIGINT) % 2 = 0"))
+          .select(concat(lit("t)/"), col("url"), lit(" 20260101000000 "),
+            to_json(struct(col("url"),
+              col("length").cast("string").as("length"),
+              col("offset").cast("string").as("offset"),
+              lit("w0.warc.gz").as("filename")))).as("value"))
+        val fetched = graft.sources.Cdx.fetchRecords(
+          graft.sources.Cdx.fetchPlan(
+            graft.sources.Cdx.parseLines(cdxLines)), dir)
+        fetched
+          .where(col("fetch_error").isNull)
+          .select(col("target_uri").as("url"), col("warc_type"),
+            decode(col("payload"), "UTF-8").as("html"))
+      },
+      Some("""SELECT 'http://doc' || doc_id || '.test/' AS url,
+                'resource' AS warc_type,
+                '<h1>' || source || '</h1><p>' || text || '</p>'
+                AS html
+              FROM documents WHERE doc_id < 150 AND doc_id % 2 = 0""")),
+
+    // ODS extraction: each document becomes an ODF spreadsheet
+    // (graft.sources.Ods.buildOds) whose Meta sheet carries a
+    // two-paragraph title cell + typed float/boolean/date cells and
+    // whose Body sheet spreads the text words over cells cycling
+    // string / repeated / covered kinds — with every row trailing
+    // the LibreOffice 16384-empty-cell run and every sheet the
+    // 1048576-empty-row run, so extraction must TRIM rather than
+    // allocate on every single row. ANALYTIC oracle: sheet names,
+    // typed values, repeat doubling, and covered-cell slots
+    // recomputed from the source columns
+    Q("q_ods_extract",
+      (s, d) => {
+        import s.implicits._
+        val docs = s.read.parquet(pq(d, "documents"))
+          .where(col("doc_id") < 150)
+          .select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)]
+        docs.map { case (id, src, txt) =>
+          import graft.sources.Ods
+          val bodyCells = txt.split(" ").toSeq.map(Ods.Cell(_, 's')) ++
+            Seq(Ods.Cell(s"dup$id", 'r'), Ods.Cell("", 'c'),
+              Ods.Cell(s"tail$id", 's'))
+          val ods = Ods.buildOds(Seq(
+            ("Meta", Seq(Seq(Ods.Cell(s"$src|sub$id", '2'),
+              Ods.Cell("42.5", 'f'), Ods.Cell("TRUE", 'b'),
+              Ods.Cell("2026-01-05", 'd')))),
+            ("Body", Seq(bodyCells))))
+          (id, Ods.extractText(ods))
+        }.toDF("doc_id", "extracted")
+      },
+      Some("""SELECT doc_id, 'Meta' || chr(10) || source || ' sub' ||
+                doc_id || chr(9) || '42.5' || chr(9) || 'TRUE' ||
+                chr(9) || '2026-01-05' || chr(10) || 'Body' ||
+                chr(10) || replace(text, ' ', chr(9)) || chr(9) ||
+                'dup' || doc_id || chr(9) || 'dup' || doc_id ||
+                chr(9) || chr(9) || 'tail' || doc_id AS extracted
               FROM documents WHERE doc_id < 150"""))
   )
 }

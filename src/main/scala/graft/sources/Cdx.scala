@@ -125,9 +125,112 @@ object Cdx {
         sort_array(collect_list(struct(col("offset"), col("length"))))
           .as("ranges"))
 
+  /**
+   * The selective fetch itself: a [[fetchPlan]] frame → the indexed
+   * records, read as POSITIONED RANGE READS (`FSDataInputStream
+   * .readFully(position, …)` — a ranged GET on object-store
+   * filesystems, a pread locally; the surrounding 100 TB of shard
+   * bytes are never touched). One task per shard file, ranges
+   * visited in offset order (the plan pre-sorts); each range is one
+   * WARC record (its own gzip member in the standard layout —
+   * [[Warc.records]] sniffs and inflates per slice). Output:
+   * `(filename, offset, warc_type, target_uri, payload,
+   * fetch_error)` with payload as BINARY (payload bytes are
+   * arbitrary; text decode is caller policy). Quarantine per-RANGE
+   * (a bad offset/length or corrupt member errs NAMED on its row;
+   * the file's other ranges still fetch) and per-FILE (an unopenable
+   * shard yields one named error row).
+   *
+   * Executor-side filesystem access uses a fresh Hadoop
+   * `Configuration()` — scheme routing comes from the path URI;
+   * deployments needing credentialed conf pass it through the
+   * cluster's core-site, the standard posture.
+   */
+  def fetchRecords(plan: DataFrame, base: String): DataFrame = {
+    val spark = plan.sparkSession
+    import spark.implicits._
+    plan.select(col("filename"),
+      col("ranges.offset").as("offs"), col("ranges.length").as("lens"))
+      .as[(String, Seq[Long], Seq[Long])]
+      .flatMap { case (fn, offs, lens) =>
+        val ranges = offs.zip(lens)
+        def named(e: Throwable) =
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+        val path = new org.apache.hadoop.fs.Path(base, fn)
+        try {
+          val fs = path.getFileSystem(
+            new org.apache.hadoop.conf.Configuration())
+          val in = fs.open(path)
+          try {
+            ranges.map { case (off, len) =>
+              try {
+                if (len <= 0 || len > Pdf.MaxDecodedBytes)
+                  throw new IllegalArgumentException(
+                    s"CDX: range length $len out of bounds")
+                val buf = new Array[Byte](len.toInt)
+                in.readFully(off, buf, 0, len.toInt)
+                val rec = Warc.records(
+                  new java.io.ByteArrayInputStream(buf)).next()
+                (fn, off, rec.warcType, rec.targetUri, rec.payload,
+                  null: String)
+              } catch {
+                case scala.util.control.NonFatal(e) =>
+                  (fn, off, null: String, null: String,
+                    null: Array[Byte], named(e))
+              }
+            }
+          } finally in.close()
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Seq((fn, -1L, null: String, null: String,
+              null: Array[Byte], s"shard: ${named(e)}"))
+        }
+      }
+      .toDF("filename", "offset", "warc_type", "target_uri",
+        "payload", "fetch_error")
+  }
+
   // ---------------------------------------------------------------
   // fixture writer
   // ---------------------------------------------------------------
+
+  /**
+   * An INDEXED WARC shard — the CDX-side fixture twin: one gzip
+   * member per record (warcinfo first, then one `resource` record
+   * per page), returning the shard bytes AND the per-record
+   * `(uri, offset, length)` index exactly as a real crawl's CDX
+   * describes it. Java's gzip writes MTIME=0, so offsets are
+   * deterministic.
+   */
+  def buildIndexedWarc(pages: Seq[(String, String)])
+      : (Array[Byte], Seq[(String, Long, Long)]) = {
+    val out = new java.io.ByteArrayOutputStream()
+    val idx = Seq.newBuilder[(String, Long, Long)]
+    def member(record: Array[Byte]): (Long, Long) = {
+      val start = out.size().toLong
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(record); gz.close()
+      (start, out.size().toLong - start)
+    }
+    def rec(typ: String, uri: String, ct: String,
+            body: Array[Byte]): Array[Byte] = {
+      val head = (s"WARC/1.0\r\nWARC-Type: $typ\r\n" +
+        (if (uri != null) s"WARC-Target-URI: $uri\r\n" else "") +
+        s"WARC-Record-ID: <urn:uuid:cdx-${body.length}>\r\n" +
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+        s"Content-Type: $ct\r\nContent-Length: ${body.length}\r\n\r\n")
+        .getBytes("ISO-8859-1")
+      head ++ body ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    member(rec("warcinfo", null, "application/warc-fields",
+      "software: graft-cdx-fixture\r\n".getBytes("ISO-8859-1")))
+    pages.foreach { case (uri, html) =>
+      val (o, l) = member(rec("resource", uri, "text/html",
+        html.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      idx += ((uri, o, l))
+    }
+    (out.toByteArray, idx.result())
+  }
 
   /** CDXJ lines for `(surt, ts14, url, status, digest, length,
     * offset, filename)` captures — JSON escaping via the shared

@@ -70,4 +70,47 @@ class CdxSpec extends SparkSpec {
       ("w1", 2L, 300L, Seq((100L, 200L), (500L, 100L))),
       ("w2", 1L, 300L, Seq((0L, 300L)))))
   }
+
+  test("fetchRecords: positioned range reads pull ONLY the indexed " +
+      "records out of a member-per-record shard; bad ranges and " +
+      "missing shards quarantine NAMED per-range/per-file") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir()
+    val (shard, idx) = Cdx.buildIndexedWarc(Seq(
+      ("http://a.test/", "<p>alpha é</p>"),
+      ("http://b.test/", "<p>beta</p>"),
+      ("http://c.test/", "<p>gamma</p>")))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "w0.warc.gz"), shard)
+    // index selects a and c only (b's bytes must never be parsed),
+    // plus one lying range and one range into a missing shard
+    val sel = idx.filterNot(_._1 == "http://b.test/")
+    val cdx = Cdx.buildCdx(
+      sel.zipWithIndex.map { case ((uri, off, len), i) =>
+        (s"t)/$i", "20260101000000", uri, 200, s"D$i", len, off,
+          "w0.warc.gz")
+      } ++ Seq(
+        ("t)/bad", "20260101000000", "http://bad.test/", 200, "DB",
+          400000000L, 5L, "w0.warc.gz"),
+        ("t)/gone", "20260101000000", "http://gone.test/", 200, "DG",
+          10L, 0L, "missing.warc.gz")))
+    import spark.implicits._
+    val plan = Cdx.fetchPlan(Cdx.parseLines(
+      cdx.split("\n").toSeq.toDF("value")))
+    val rows = Cdx.fetchRecords(plan, dir).collect()
+    val good = rows.filter(_.getAs[String]("fetch_error") == null)
+      .map(r => (r.getAs[String]("target_uri"),
+        r.getAs[String]("warc_type"),
+        new String(r.getAs[Array[Byte]]("payload"), "UTF-8"))).sorted
+    assert(good.toSeq == Seq(
+      ("http://a.test/", "resource", "<p>alpha é</p>"),
+      ("http://c.test/", "resource", "<p>gamma</p>")))
+    val errs = rows.filter(_.getAs[String]("fetch_error") != null)
+    assert(errs.length == 2)
+    assert(errs.exists(r => r.getAs[String]("filename") == "w0.warc.gz"
+      && r.getAs[String]("fetch_error").contains("out of bounds")))
+    assert(errs.exists(r =>
+      r.getAs[String]("filename") == "missing.warc.gz" &&
+        r.getAs[String]("fetch_error").startsWith("shard:")))
+  }
 }

@@ -10,8 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("registry counts match the documented surface") {
-    assert(SparkEntry.queries.size == 256)
-    assert(SparkEntry.oracleSql.size == 256)
+    assert(SparkEntry.queries.size == 258)
+    assert(SparkEntry.oracleSql.size == 258)
   }
 
   test("no oracle carries a lone '|' outside string literals") {
