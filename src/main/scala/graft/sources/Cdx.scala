@@ -169,8 +169,12 @@ object Cdx {
                     s"CDX: range length $len out of bounds")
                 val buf = new Array[Byte](len.toInt)
                 in.readFully(off, buf, 0, len.toInt)
-                val rec = Warc.records(
-                  new java.io.ByteArrayInputStream(buf)).next()
+                val it = Warc.records(
+                  new java.io.ByteArrayInputStream(buf))
+                if (!it.hasNext)
+                  throw new IllegalArgumentException(
+                    "CDX: no WARC record in range")
+                val rec = it.next()
                 (fn, off, rec.warcType, rec.targetUri, rec.payload,
                   null: String)
               } catch {

@@ -28,7 +28,9 @@ package graft.sources
  *
  * Output shape mirrors [[Xlsx.extractText]]: per sheet its NAME
  * line, then rows with cells tab-joined; hardening mirrors [[Odt]]:
- * ZIP caps, XXE-off StAX, `encryption-data` manifest named.
+ * ZIP caps, XXE-off StAX, `encryption-data` manifest named, and
+ * `<office:annotation>` reviewer comments inside cells drop WHOLE
+ * (their `<text:p>` content is not cell text).
  *
  * The reference engine (parquery) has no document surface — this is
  * a training-data-pipeline extension (SURVEY §8).
@@ -72,6 +74,7 @@ object Ods {
     val cellText = new StringBuilder
     var cellParas = 0
     var textDepth = 0
+    var noteDepth = 0 // inside office:annotation — the [[Odt]] drop
 
     def attr(name: String): Option[String] =
       Option(r.getAttributeValue(null, name))
@@ -147,25 +150,28 @@ object Ods {
                       attr("time-value").getOrElse("")
                     case _ => attr("value").getOrElse("")
                   }
-              case "p" if inCell =>
+              case "annotation" => noteDepth += 1
+              case "p" if inCell && noteDepth == 0 =>
                 if (cellParas > 0) cellText.append(' ')
                 cellParas += 1
                 textDepth += 1
-              case "s" if inCell && textDepth > 0 =>
+              case "s" if inCell && textDepth > 0 && noteDepth == 0 =>
                 cellText.append(' ')
-              case "tab" if inCell && textDepth > 0 =>
+              case "tab" if inCell && textDepth > 0 && noteDepth == 0 =>
                 cellText.append('\t')
               case _ => ()
             }
           case javax.xml.stream.XMLStreamConstants.CHARACTERS |
                javax.xml.stream.XMLStreamConstants.CDATA =>
-            if (inCell && textDepth > 0 && typedValue == null) {
+            if (inCell && textDepth > 0 && noteDepth == 0 &&
+                typedValue == null) {
               if (cellText.length + r.getTextLength > Pdf.MaxDecodedBytes)
                 err("cell exceeds the decode cap")
               cellText.append(r.getText)
             }
           case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
             r.getLocalName match {
+              case "annotation" => noteDepth = math.max(0, noteDepth - 1)
               case "table" => inSheet = false
               case "table-row" if inRow =>
                 inRow = false
@@ -173,7 +179,8 @@ object Ods {
               case "table-cell" | "covered-table-cell" if inCell =>
                 inCell = false
                 emitCell()
-              case "p" if inCell && textDepth > 0 => textDepth -= 1
+              case "p" if inCell && textDepth > 0 && noteDepth == 0 =>
+                textDepth -= 1
               case _ => ()
             }
           case _ => ()

@@ -87,9 +87,8 @@ object Wat {
       .toDF("path", "target_uri", "json", "wat_error")
   }
 
-  /** The envelope's links subtree as a column expression (shared by
-    * [[links]] and any caller composing its own projection). */
-  def parsedEnvelope(json: Column): Column =
+  /** The envelope's links subtree as a column expression. */
+  private def parsedEnvelope(json: Column): Column =
     from_json(json, WatSchema)
       .getField("Envelope").getField("Payload-Metadata")
       .getField("HTTP-Response-Metadata").getField("HTML-Metadata")

@@ -78,6 +78,25 @@ class OdsSpec extends SparkSpec {
     }
   }
 
+  test("office:annotation inside a cell drops WHOLE — reviewer " +
+      "comments are not cell text") {
+    val xml =
+      """<?xml version="1.0"?><office:document-content """ +
+        "xmlns:office=\"urn:oasis:names:tc:opendocument:xmlns:office:1.0\" " +
+        "xmlns:table=\"urn:oasis:names:tc:opendocument:xmlns:table:1.0\" " +
+        "xmlns:text=\"urn:oasis:names:tc:opendocument:xmlns:text:1.0\">" +
+        "<office:body><office:spreadsheet>" +
+        """<table:table table:name="S"><table:table-row>""" +
+        "<table:table-cell office:value-type=\"string\">" +
+        "<office:annotation><text:p>dropped comment</text:p>" +
+        "</office:annotation><text:p>kept</text:p></table:table-cell>" +
+        "</table:table-row></table:table>" +
+        "</office:spreadsheet></office:body></office:document-content>"
+    val pkg = graft.sources.Ooxml.buildZip(Seq(
+      ("content.xml", xml.getBytes("UTF-8"))))
+    assert(Ods.extractText(pkg) == "S\nkept")
+  }
+
   test("encrypted package and missing content.xml err NAMED") {
     val enc = graft.sources.Ooxml.buildZip(Seq(
       ("META-INF/manifest.xml",
