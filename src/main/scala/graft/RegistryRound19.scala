@@ -508,6 +508,28 @@ private[graft] object RegistryRound19 {
                 chr(10) || replace(text, ' ', chr(9)) || chr(9) ||
                 'dup' || doc_id || chr(9) || 'dup' || doc_id ||
                 chr(9) || chr(9) || 'tail' || doc_id AS extracted
+              FROM documents WHERE doc_id < 150""")),
+
+    // ODP extraction: each document becomes a two-slide ODF
+    // presentation (graft.sources.Odp.buildOdp — slide 1 carries
+    // speaker notes AND a reviewer annotation that must DROP, slide
+    // order is document order). ANALYTIC oracle: title slide and
+    // body paragraphs recomputed from the source columns
+    Q("q_odp_extract",
+      (s, d) => {
+        import s.implicits._
+        val docs = s.read.parquet(pq(d, "documents"))
+          .where(col("doc_id") < 150)
+          .select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)]
+        docs.map { case (id, src, txt) =>
+          val odp = graft.sources.Odp.buildOdp(Seq(
+            Seq(src), Seq(txt, s"deck $id")))
+          (id, graft.sources.Odp.extractText(odp))
+        }.toDF("doc_id", "extracted")
+      },
+      Some("""SELECT doc_id, source || chr(10) || text || chr(10) ||
+                'deck ' || doc_id AS extracted
               FROM documents WHERE doc_id < 150"""))
   )
 }
