@@ -2073,6 +2073,12 @@ private[graft] object RegistryPipelines {
       (s, d) => {
         val li = s.read.parquet(pq(d, "lineitem"))
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+        // NOT fused into one aggregation (optimization round 19,
+        // measured): computing the HLL estimates inside the same
+        // Aggregate as the three exact count_distincts rides the
+        // distinct-rewrite Expand (4× input replication) and forced a
+        // slower aggregate path — 2.64 s vs 1.32 s for this twin-pass
+        // form, so the two-scan shape stays.
         val exact = graft.operators.Profile.profileNumeric(li, cols)
         val approx = graft.operators.Profile
           .profileNumeric(li, cols, exactDistinct = false)

@@ -47,14 +47,34 @@ private[graft] object RegistryRound13 {
     Q("q_hybrid_search_ivf",
       (s, d) => {
         import graft.functions.TextSearch
-        val (corpus, queries) = hybridFixture(s, d)
-        val exact = TextSearch.hybridSearchRrf(corpus,
-          "doc_id", "text", "embedding",
-          queries, "query_id", "qtext", "qv", k = 5)
-        val ivf = TextSearch.hybridSearchRrfIvf(corpus,
-          "doc_id", "text", "embedding",
-          queries, "query_id", "qtext", "qv", k = 5,
-          nlist = 16, nprobe = 8)
+        import graft.operators.Checkpoints.PinOps
+        val (corpus0, queries0) = hybridFixture(s, d)
+        // Optimization round 19 (guide §2.4/§3.3, §8): the exact and
+        // IVF configurations previously inlined the WHOLE fixture join
+        // and the WHOLE BM25 pipeline twice each (the before-plan
+        // carries 56 parquet scans and zero reused exchanges — Spark
+        // does not share subplans across join branches). The fixture
+        // frames are pinned once (corpus ≈ embeddings-sized, queries =
+        // 3 rows), the BM25 half — identical in both configurations by
+        // construction — is computed once and pinned (≤ 2·candidates
+        // rows per query), and the two fusions consume the same ranks.
+        // Ranks/fusion arithmetic byte-identical; the gate's verdict
+        // semantics (IVF-vs-exact fused recall floor) unchanged.
+        val corpus = corpus0.pinned()
+        val queries = queries0.pinned()
+        val lex = TextSearch.bm25Search(
+          corpus.select(col("doc_id"), col("text")), "doc_id", "text",
+          queries.select(col("query_id"), col("qtext")),
+          "query_id", "qtext", k = 20).pinned()
+        val exact = TextSearch.rrfFuse(lex,
+          TextSearch.exactDenseRanks(corpus, "doc_id", "embedding",
+            queries, "query_id", "qv", candidates = 20),
+          "query_id", k = 5)
+        val ivf = TextSearch.rrfFuse(lex,
+          TextSearch.ivfDenseRanks(corpus, "doc_id", "embedding",
+            queries, "query_id", "qv", candidates = 20,
+            nlist = 16, nprobe = 8),
+          "query_id", k = 5)
         val hits = ivf.select(col("query_id"), col("doc_id"))
           .join(exact.select(col("query_id"), col("doc_id")),
             Seq("query_id", "doc_id"), "left_semi")
@@ -525,13 +545,31 @@ private[graft] object RegistryRound13 {
               .orc(new java.io.File(tmp, t).toString)
           }
         }
+        // set equality via ONE signed-multiset aggregation per table
+        // (optimization round 19, guide §2.3/§2.4): the exceptAll pair
+        // shuffled every wide row twice per direction (4 exchanges per
+        // table) plus a third scan for the row count; tagging back-rows
+        // +1 / source-rows −1 and aggregating the per-row-value net
+        // yields the identical three counts — extra = Σ positive net,
+        // missing = Σ −negative net (exceptAll is multiset difference,
+        // which is exactly the positive part of the signed sum), rows =
+        // the +1 side's count — from one shuffle over the union.
         def diffs(t: String): DataFrame = {
           val back = s.read.orc(new java.io.File(root, t).toString)
           val orig = s.read.parquet(pq(d, t))
-          back.exceptAll(orig).agg(count(lit(1)).as(s"${t}_extra"))
-            .crossJoin(orig.exceptAll(back)
-              .agg(count(lit(1)).as(s"${t}_missing")))
-            .crossJoin(back.agg(count(lit(1)).as(s"${t}_rows")))
+          val cols = orig.columns.toSeq.map(col)
+          back.select(struct(cols: _*).as("__r"), lit(1L).as("__s"))
+            .unionAll(orig.select(struct(cols: _*).as("__r"),
+              lit(-1L).as("__s")))
+            .groupBy(col("__r"))
+            .agg(sum(col("__s")).as("__net"),
+              count(when(col("__s") > 0, 1)).as("__nb"))
+            .agg(
+              coalesce(sum(when(col("__net") > 0, col("__net"))), lit(0L))
+                .as(s"${t}_extra"),
+              coalesce(sum(when(col("__net") < 0, -col("__net"))), lit(0L))
+                .as(s"${t}_missing"),
+              coalesce(sum(col("__nb")), lit(0L)).as(s"${t}_rows"))
         }
         diffs("lineitem").crossJoin(diffs("embeddings"))
       },

@@ -15,21 +15,71 @@ private[graft] object RegistryRound15 {
     * the sketch forms hash with) — shared by q_contamination_theta
     * and the round-16 persisted-log twin so the exact side of both
     * gates is one implementation. */
-  private[graft] def contaminationExactCounts(
+  /** Distinct 5-word-shingle keys of BOTH corpora with side-membership
+    * flags — ONE scan per side and ONE exchange (the groupBy on the
+    * key), shared by the exact-count and fused-estimation forms below.
+    * Optimization round 19 (guide §2.3/§2.4): the previous shape
+    * evaluated each side's shingle subplan twice (a distinct for the
+    * count plus a semi-join for the overlap — Spark does not share
+    * subplans across crossJoin branches), i.e. 4 shingle passes and 3
+    * exchanges; the flagged union computes the same three exact counts
+    * from one pass per side. */
+  private[graft] def contaminationKeyFlags(
       corpus: org.apache.spark.sql.DataFrame,
       bench: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val c = corpus.select(explode(
-        graft.plans.NativeFunctions.shinglesNative(col("text"), 5))
-        .as("sh")).select(xxhash64(col("sh")).as("k")).distinct()
-    val b = bench.select(explode(
-        graft.plans.NativeFunctions.shinglesNative(col("text"), 5))
-        .as("sh")).select(xxhash64(col("sh")).as("k")).distinct()
-    c.agg(count(lit(1)).as("n_corpus"))
-      .crossJoin(broadcast(b.agg(count(lit(1)).as("n_bench"))))
-      .crossJoin(broadcast(
-        c.join(b, Seq("k"), "left_semi")
-          .agg(count(lit(1)).as("n_overlap"))))
+    def keys(df: org.apache.spark.sql.DataFrame, c: Int, b: Int) =
+      df.select(explode(
+          graft.plans.NativeFunctions.shinglesNative(col("text"), 5))
+          .as("sh"))
+        .select(xxhash64(col("sh")).as("k"), lit(c).as("__c"),
+          lit(b).as("__b"))
+    keys(corpus, 1, 0).unionAll(keys(bench, 0, 1))
+      .groupBy(col("k"))
+      .agg(max(col("__c")).as("__c"), max(col("__b")).as("__b"))
+  }
+
+  private[graft] def contaminationExactCounts(
+      corpus: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    contaminationKeyFlags(corpus, bench).agg(
+      count(when(col("__c") === 1, 1)).as("n_corpus"),
+      count(when(col("__b") === 1, 1)).as("n_bench"),
+      count(when(col("__c") === 1 && col("__b") === 1, 1))
+        .as("n_overlap"))
+
+  /** [[contaminationExactCounts]] plus the ESTIMATION leg's overlap
+    * bounds (`el`, `eu`) computed in the SAME single pass: a theta
+    * sketch is a set sketch, so sketching each side's distinct keys
+    * (the flag-filtered key column here) yields the identical sketch —
+    * and hence identical bounds — as re-shingling the side from text
+    * the way `Dedup.contaminationSketch(lgK = lgKEst)` does. Saves the
+    * estimation leg's two extra full shingle passes; the exact-mode
+    * leg (lgK = 20) deliberately stays on the operator under test. */
+  private[graft] def contaminationExactCountsWithEstLeg(
+      corpus: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame, lgKEst: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.plans.NativeFunctions
+    NativeFunctions.register(corpus.sparkSession)
+    contaminationKeyFlags(corpus, bench)
+      .agg(
+        count(when(col("__c") === 1, 1)).as("n_corpus"),
+        count(when(col("__b") === 1, 1)).as("n_bench"),
+        count(when(col("__c") === 1 && col("__b") === 1, 1))
+          .as("n_overlap"),
+        NativeFunctions.thetaAggNative(
+          when(col("__c") === 1, col("k")), lgKEst).as("__tc"),
+        NativeFunctions.thetaAggNative(
+          when(col("__b") === 1, col("k")), lgKEst).as("__tb"))
+      .select(col("n_corpus"), col("n_bench"), col("n_overlap"),
+        NativeFunctions.thetaEstimateNative(
+          NativeFunctions.thetaSetOpNative(col("__tc"), col("__tb"),
+            "intersect")).as("__ov"))
+      .select(col("n_corpus"), col("n_bench"), col("n_overlap"),
+        element_at(col("__ov"), 1).as("el"),
+        element_at(col("__ov"), 3).as("eu"))
   }
 
   /** Shared by q_contamination_theta and the round-16 persisted-log
@@ -187,12 +237,14 @@ private[graft] object RegistryRound15 {
         def leg(lgK: Int) = Dedup.contaminationSketch(
           corpus, bench, "text", shingleWords = 5, lgK = lgK)
         // exact distinct counts, in-plan (same 64-bit shingle keys
-        // contaminationScore/contaminationSketch hash with)
-        val exactCounts = contaminationExactCounts(corpus, bench)
+        // contaminationScore/contaminationSketch hash with), with the
+        // lgK=9 estimation leg fused into the same single pass
+        // (optimization round 19 — theta is a set sketch, so sketching
+        // the distinct keys is bit-equivalent to re-shingling; the
+        // lgK=20 exact-mode leg stays on the operator under test)
+        val exactCounts = contaminationExactCountsWithEstLeg(
+          corpus, bench, lgKEst = 9)
         exactCounts.crossJoin(broadcast(leg(20)))
-          .crossJoin(broadcast(leg(9).select(
-            col("overlap_lower").as("el"),
-            col("overlap_upper").as("eu"))))
           .select(col("n_corpus"), col("n_bench"), col("n_overlap"),
             (col("corpus_est") === col("n_corpus").cast("double"))
               .as("exact_corpus_ok"),

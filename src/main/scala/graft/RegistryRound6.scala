@@ -542,8 +542,16 @@ private[graft] object RegistryRound6 {
     Q("q_knn_label",
       (s, d) => {
         val emb = s.read.parquet(pq(d, "embeddings"))
+        // repartition after the read (optimization round 19, guide
+        // §2.5 input parallelism): the one-file scan pinned the whole
+        // 400 × 1600 cosine cross product to a single task (measured
+        // 1.14 s → 0.41 s at local[32]); per-row cosines and the
+        // per-vec_id windows are partition-order-independent, so
+        // results are unchanged. At scale the scan parallelism is
+        // natural and this shuffle is one narrow vector pass.
         val unl = emb.where(col("vec_id") % 5 === 0)
           .select(col("vec_id"), col("embedding"))
+          .repartition(s.sparkContext.defaultParallelism)
         val lab = emb.where(col("vec_id") % 5 =!= 0)
           .select(col("vec_id").as("nbr_id"),
             col("embedding").as("nv"), col("label"))

@@ -236,13 +236,25 @@ object Dedup {
         graft.plans.NativeFunctions.register(df.sparkSession)
         graft.plans.NativeFunctions.shinglesNative(col(textCol), shingleWords)
       } else Shingles.wordShingles(col(textCol), shingleWords)
-    val sh = df.select(col(idCol), shExpr.as("sh"))
+    // shingled ONCE and pinned (optimization round 19, guide §8 step 1
+    // / §3.3): this frame is consumed four times below — both id sides
+    // of the hashed prefilter join and both id sides of the exact
+    // stage — and Spark does not share subplans across join branches,
+    // so the lazy form re-tokenized and re-shingled the whole corpus
+    // per consumer (4 extra text passes in the before-plan). Pinning
+    // materializes the per-doc shingle/hashed-shingle table once (the
+    // worked-example "emit fingerprints once" shape; ~8 B per shingle
+    // hash + the shingle strings); values per row are identical, so
+    // every downstream pair and jaccard is unchanged.
+    val shAll = df.select(col(idCol), shExpr.as("sh"))
+      .withColumn("shh",
+        array_sort(array_distinct(transform(col("sh"), s => xxhash64(s)))))
+      .pinned()
+    val sh = shAll.select(col(idCol), col("sh"))
     // sorted+distinct once per DOCUMENT; each array is then probed by
     // ~candidates-per-doc pairs through the fused primitive merge
     // (SortedJaccardExpr) — no boxed hash sets in the per-pair loop
-    val shHashed = sh.select(col(idCol),
-      array_sort(array_distinct(transform(col("sh"), s => xxhash64(s))))
-        .as("shh"))
+    val shHashed = shAll.select(col(idCol), col("shh"))
     val jhExpr =
       if (useNative)
         graft.plans.NativeFunctions.sortedJaccardNative(col("ha"), col("hb"))
@@ -937,9 +949,16 @@ object Dedup {
                                      minJaccard: Double = 0.8,
                                      maxBucket: Int = 1000,
                                      useNative: Boolean = true): DataFrame = {
+    // pinned (optimization round 19): the batch's band rows feed THREE
+    // consumers below (the index semi-join probe, the hot-key anti-join
+    // input, and the candidate join) — without the pin each consumer
+    // re-runs the batch's minhash signatures; batch-sized by contract
+    // (docs × bands fixed-width rows), the same class as the pins in
+    // ingestAdmissionAgainstState
     val nb = minhashBands(newDocs, idCol, textCol, numHashes, bands,
       shingleWords, useNative)
       .withColumnRenamed(idCol, "new_id")
+      .pinned()
     // only index rows whose key the batch touches participate — the
     // hot-key count and the candidate join are both per-key, so
     // restricting to the batch's (band, band_hash) keys is
@@ -958,10 +977,15 @@ object Dedup {
       col("__n"), maxBucket, "graft_buckets")
       .where(col("__n") > maxBucket)
       .select(col("band"), col("band_hash"))
+    // pinned (optimization round 19): three consumers (the two
+    // tokenize-only-colliding-docs semi-join probes and the final
+    // verification join) would each re-run the banded candidate join
+    // lineage above; candidates are output-sized (band-colliding pairs)
     val cand = nb.join(hotKeys, Seq("band", "band_hash"), "left_anti")
       .join(sb, Seq("band", "band_hash"))
       .select(col("new_id"), col("seen_id"))
       .distinct()
+      .pinned()
     val shingles = shingleFn(newDocs, shingleWords, useNative)
     // tokenize only colliding docs on each side
     val newSh = newDocs

@@ -353,13 +353,26 @@ object Similarity {
       .orderBy(col("__h")).limit(nlist)
       .select(col(vecCol)).collect().map(_.getSeq[Double](0))
     if (centroids.isEmpty) return centroids
+    val dim = centroids(0).length
     (1 to iters).foreach { _ =>
-      val updated = groupMeans(
-        c.withColumn("__cell", nearest(centroids, col(vecCol))),
-        "__cell", vecCol)
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-      centroids = centroids.indices
-        .map(i => updated.getOrElse(i, centroids(i))).toArray
+      // per-(cell, dim) means collected FLAT and assembled driver-side
+      // (the trainCodebooks shape) — optimization round 19: groupMeans'
+      // second groupBy existed only to regroup dim rows into an array
+      // column, i.e. one extra exchange + stage per Lloyd iteration for
+      // a driver-bound result of nlist × dim rows (KBs, the same
+      // bounded-collect class as the centroids themselves). The
+      // per-(cell, pos) avg — the part whose float accumulation order
+      // determines the centroid values — is unchanged.
+      val means = c.withColumn("__cell", nearest(centroids, col(vecCol)))
+        .select(col("__cell"), posexplode(col(vecCol)))
+        .groupBy(col("__cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      centroids = centroids.indices.map { i =>
+        if (means.contains((i, 0))) Seq.tabulate(dim)(p => means((i, p)))
+        else centroids(i)
+      }.toArray
     }
     centroids
   }

@@ -78,9 +78,13 @@ object GoldenPlans {
   // filled by GoldenPlanDump — (shuffle exchanges, broadcast
   // exchanges, join-strategy multiset) on the sf0.001 static plan
   val table: Map[String, (Int, Int, Map[String, Int])] = Map(
-    "q_ingest_admission" -> (9, 6, Map[String, Int]("bhj" -> 11, "smj" -> 3)),
-    "q_ingest_admission_normalized" -> (9, 6, Map[String, Int]("bhj" -> 11, "smj" -> 3)),
-    "q_ingest_admission_state" -> (9, 6, Map[String, Int]("bhj" -> 11, "smj" -> 3)),
+    // round-19 optimization: the banded-candidate and band-row pins in
+    // incrementalMinhashAgainstIndex truncate the re-executed minhash
+    // lineage each downstream consumer used to carry (9→6 shuffles,
+    // 11→2 bhj — the pinned frames' joins no longer replan per consumer)
+    "q_ingest_admission" -> (6, 2, Map[String, Int]("bhj" -> 2, "smj" -> 3)),
+    "q_ingest_admission_normalized" -> (6, 2, Map[String, Int]("bhj" -> 2, "smj" -> 3)),
+    "q_ingest_admission_state" -> (6, 2, Map[String, Int]("bhj" -> 2, "smj" -> 3)),
     "q_dedup_semantic" -> (3, 0, Map[String, Int]("smj" -> 3)),
     "q_dedup_survivors" -> (3, 0, Map[String, Int]("smj" -> 3)),
     "q_ann_ivfpq" -> (2, 2, Map[String, Int]("bhj" -> 2)),
@@ -95,7 +99,11 @@ object GoldenPlans {
     "q_dedup_minhash" -> (4, 3, Map[String, Int]("bhj" -> 4)),
     "q_ann_recall_gate" -> (7, 3, Map[String, Int]("bhj" -> 2, "bnlj" -> 1, "smj" -> 2)),
     "q_token_budget" -> (4, 1, Map[String, Int]("bhj" -> 1)),
-    "q_hybrid_search_ivf" -> (19, 8, Map[String, Int]("bhj" -> 7, "bnlj" -> 2, "smj" -> 6)),
+    // round-19 optimization: fixture/BM25 halves pinned and shared by
+    // the exact and IVF configurations instead of inlined twice
+    // (19→14 shuffles, one bnlj and 6 bhj gone with the duplicated
+    // retrieval subplans)
+    "q_hybrid_search_ivf" -> (14, 2, Map[String, Int]("bhj" -> 1, "bnlj" -> 1, "smj" -> 5)),
     "q_dedup_semantic_twolevel" -> (3, 0, Map[String, Int]("smj" -> 3)),
     "q_cdc_novelty_state" -> (3, 2, Map[String, Int]("bhj" -> 2)),
     "q_pipeline_e2e" -> (2, 0, Map[String, Int]()),
