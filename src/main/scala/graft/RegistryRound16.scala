@@ -273,8 +273,13 @@ private[graft] object RegistryRound16 {
         val root = contentKeyedFixture(
           new java.io.File(d, "documents.parquet"),
           "graft_bucketed_docs", codeKey = "v1:8buckets") { r =>
-          committedData(new java.io.File(r, "docs")) &&
-            committedData(new java.io.File(r, "emb"))
+          // pointer-resolved like q_bucketed_join: the versioned layout
+          // keeps _SUCCESS inside docs/vN, so the unresolved check
+          // rebuilt the fixture every run
+          committedData(new java.io.File(Bucketed.dataLocation(
+            new java.io.File(r, "docs").toString))) &&
+            committedData(new java.io.File(Bucketed.dataLocation(
+              new java.io.File(r, "emb").toString)))
         } { tmp =>
           Bucketed.writeBucketed(docProj, "graft_bdocs",
             new java.io.File(tmp, "docs").toString, "doc_id", 8)
