@@ -27,7 +27,13 @@ private[graft] object RegistryExtensions {
         // sf0.1). The per-row product is computed in double identically
         // by both engines, then cast to decimal — exact, order-free
         // addition — and only the final value returns to double.
-        li.join(o, li("l_orderkey") === o("o_orderkey"))
+        // SHUFFLE_HASH on orders (optimization round 19, guide §3.1):
+        // the projected orders side is a quarter of the fact table —
+        // hash-building it per partition replaces sorting both sides
+        // of the only shuffled join (measured −0.4 s at sf0.1); AQE
+        // partition sizing keeps the per-partition build bounded at
+        // scale
+        li.join(o.hint("SHUFFLE_HASH"), li("l_orderkey") === o("o_orderkey"))
           .join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))

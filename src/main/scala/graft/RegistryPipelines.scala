@@ -1748,7 +1748,16 @@ private[graft] object RegistryPipelines {
     // exact interpolated percentiles: Spark `percentile` ≡ DuckDB
     // quantile_cont (both linear interpolation over the sorted set)
     Q("q_percentile",
+      // exact percentile builds a per-value hash map per group in the
+      // PARTIAL aggregate — heavy per-row work that the one-row-group
+      // local file serializes onto a single scan task (optimization
+      // round 19 / guide §2.5; hash repartition on the value column is
+      // deterministic and adds no round-robin pre-sort; interleaved A/B
+      // −0.25 s). At 100 TB the scan has thousands of splits and the
+      // repartition becomes unnecessary, not wrong.
       (s, d) => s.read.parquet(pq(d, "lineitem"))
+        .repartition(s.sparkContext.defaultParallelism,
+          col("l_extendedprice"))
         .groupBy(col("l_returnflag"))
         // array form: ONE per-group value buffer + sort serves all three
         // percentiles (three scalar calls would keep three copies)
@@ -1800,6 +1809,10 @@ private[graft] object RegistryPipelines {
           abs(element_at(col("__ap"), i) - element_at(col("__ep"), i)) <=
             lit(0.01) * abs(element_at(col("__ep"), i))
         s.read.parquet(pq(d, "lineitem"))
+          // parallel partials for the per-group value buffers — the
+          // q_percentile repartition rationale (round 19, guide §2.5)
+          .repartition(s.sparkContext.defaultParallelism,
+            col("l_extendedprice"))
           .groupBy(col("l_returnflag"))
           .agg(expr(
             "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
@@ -2058,8 +2071,14 @@ private[graft] object RegistryPipelines {
     // single-pass column profiler (corpus QA): stats for all columns in
     // ONE aggregation, unpivoted with stack — not a scan per column
     Q("q_profile",
+      // the exact-distinct Expand (4× input replication) runs in the
+      // PARTIAL aggregate — single scan task on the one-row-group
+      // local file; hash repartition parallelizes it (round 19, guide
+      // §2.5 — the q_percentile rationale)
       (s, d) => graft.operators.Profile.profileNumeric(
-        s.read.parquet(pq(d, "lineitem")),
+        s.read.parquet(pq(d, "lineitem"))
+          .repartition(s.sparkContext.defaultParallelism,
+            col("l_extendedprice")),
         Seq("l_quantity", "l_extendedprice", "l_discount")),
       Some(profileExactOracleSql)),
     // the 100 TB profile path: HLL-sketch n_distinct (a few KB per
@@ -2071,7 +2090,11 @@ private[graft] object RegistryPipelines {
     // so a silently broken sketch goes red instead of rows-only-green.
     Q("q_profile_approx",
       (s, d) => {
+        // both legs' partials parallelized off one exchange (round 19,
+        // guide §2.5 — the q_profile rationale)
         val li = s.read.parquet(pq(d, "lineitem"))
+          .repartition(s.sparkContext.defaultParallelism,
+            col("l_extendedprice"))
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
         // NOT fused into one aggregation (optimization round 19,
         // measured): computing the HLL estimates inside the same

@@ -213,8 +213,13 @@ private[graft] object RegistryRound16 {
           new java.io.File(d, "documents.parquet"),
           "graft_theta_log",
           codeKey = "theta-log:w5;shard=source;lgk20+9") { r =>
-          committedData(new java.io.File(r, "lgk20")) &&
-            committedData(new java.io.File(r, "lgk9"))
+          // partition-aware check (optimization round 19): the logs are
+          // partitionBy("shard") layouts, whose data files live under
+          // shard=... subdirs — the flat committedData check saw none
+          // and REBUILT both logs (two full shingle+sketch+write
+          // passes) on every single run
+          committedPartitionedData(new java.io.File(r, "lgk20")) &&
+            committedPartitionedData(new java.io.File(r, "lgk9"))
         } { tmp =>
           val docs = s.read.parquet(pq(d, "documents"))
             .repartition(s.sparkContext.defaultParallelism)

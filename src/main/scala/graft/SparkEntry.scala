@@ -428,6 +428,21 @@ object SparkEntry {
         f.isFile && !f.getName.startsWith("_") &&
           !f.getName.startsWith(".")))
 
+  /** [[committedData]] for `partitionBy` layouts: those keep NO
+    * top-level data files (only `col=value/` dirs), so the flat check
+    * rejected — and silently REBUILT — a complete partitioned fixture
+    * on every single run (optimization round 19: the theta-log fixture
+    * paid two full shingle+sketch+write passes per bench run). Commit
+    * marker at the root + at least one data file inside a partition
+    * subdir. */
+  private[graft] def committedPartitionedData(dir: java.io.File): Boolean =
+    new java.io.File(dir, "_SUCCESS").isFile &&
+      Option(dir.listFiles).exists(_.exists(sd => sd.isDirectory &&
+        sd.getName.contains("=") &&
+        Option(sd.listFiles).exists(_.exists(f =>
+          f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith(".")))))
+
   /** Lazily-materialized admission-state fixture (band index parquet +
     * Bloom sketch bytes) via [[contentKeyedFixture]] — built on first
     * use, REUSED by every later run in any process, so

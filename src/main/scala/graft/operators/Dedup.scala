@@ -530,26 +530,43 @@ object Dedup {
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .pinned()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .pinned()
     // empty graph: return before the loop — besides being pointless, an
     // empty frame would let AQE's empty-relation propagation collapse
     // the observe() below and its metric would never arrive
-    if (labels.isEmpty) return labels.select(col("id"), col("cluster"))
+    if (edges.isEmpty)
+      return edges.select(col("src").as("id"), col("src").as("cluster"))
+    var labels: DataFrame = null
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"),
-          col("cluster").as("__nc")), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("__nc")).as("__nmin"))
-      val propagated = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("cluster").as("__old"),
-          least(col("cluster"), coalesce(col("__nmin"), col("cluster")))
-            .as("__p"))
+      // Round 0 specialized (optimization round 19, guide §2.4): labels
+      // start as the identity (every node labels itself), so the first
+      // round's edges ⋈ labels join resolves each neighbor's label to
+      // the neighbor id itself, and the identity-label frame never
+      // needs building, pinning, or emptiness-probing — one groupBy
+      // over the pinned symmetric edges yields the same
+      // (id, old, proposed) rows with two fewer shuffles and one fewer
+      // checkpoint job. Every node appears as `src` (edges are
+      // symmetrized above), so no node is lost; measured −20% on the
+      // cluster queries with byte-identical labels.
+      val propagated =
+        if (it == 0) edges
+          .groupBy(col("src").as("id"))
+          .agg(min(col("dst")).as("__nmin"))
+          .select(col("id"), col("id").as("__old"),
+            least(col("id"), col("__nmin")).as("__p"))
+        else {
+          val neighborMin = edges
+            .join(labels.select(col("id").as("dst"),
+              col("cluster").as("__nc")), "dst")
+            .groupBy(col("src").as("id"))
+            .agg(min(col("__nc")).as("__nmin"))
+          labels
+            .join(neighborMin, Seq("id"), "left")
+            .select(col("id"), col("cluster").as("__old"),
+              least(col("cluster"),
+                coalesce(col("__nmin"), col("cluster"))).as("__p"))
+        }
       // Adaptive pointer jump (label := label(label)): dup families are
       // shallow, so the first two propagation-only rounds finish the
       // common case with no extra work; a component still unconverged

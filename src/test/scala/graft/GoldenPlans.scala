@@ -88,8 +88,15 @@ object GoldenPlans {
     "q_dedup_semantic" -> (3, 0, Map[String, Int]("smj" -> 3)),
     "q_dedup_survivors" -> (3, 0, Map[String, Int]("smj" -> 3)),
     "q_ann_ivfpq" -> (2, 2, Map[String, Int]("bhj" -> 2)),
-    "q_skew_salted_join" -> (1, 1, Map[String, Int]("bhj" -> 1)),
-    "q_profile" -> (2, 0, Map[String, Int]()),
+    // round-19 optimization: SHUFFLE_HASH on the replicated side — the
+    // estimate-driven plan BROADCAST the buckets×-exploded small side
+    // (a driver build of |small|×buckets rows; at scale a driver OOM),
+    // now a distributed per-partition hash build (bhj→shj, the join
+    // inputs shuffle instead of broadcasting)
+    "q_skew_salted_join" -> (3, 0, Map[String, Int]("shj" -> 1)),
+    // round-19 optimization: hash repartition parallelizes the
+    // exact-distinct Expand partial (2→3 shuffles)
+    "q_profile" -> (3, 0, Map[String, Int]()),
     "q_bm25_search" -> (8, 3, Map[String, Int]("bhj" -> 2, "bnlj" -> 1)),
     // round-17 two-stage verify: the hashed prefilter pair carries
     // the candidate volume (same 4 shuffles as the one-stage form);
