@@ -62,19 +62,30 @@ private[graft] object RegistryRound13 {
         // semantics (IVF-vs-exact fused recall floor) unchanged.
         val corpus = corpus0.pinned()
         val queries = queries0.pinned()
-        val lex = TextSearch.bm25Search(
-          corpus.select(col("doc_id"), col("text")), "doc_id", "text",
-          queries.select(col("query_id"), col("qtext")),
-          "query_id", "qtext", k = 20).pinned()
+        // The BM25 pin and the IVF centroid build are INDEPENDENT jobs
+        // over the two pinned frames; submitted sequentially the driver
+        // idles through each in turn. The lex pin runs on a background
+        // thread while ivfDenseRanks' eager Lloyd jobs run on this one
+        // (guide §2.6 "overlap independent jobs" — Spark's scheduler
+        // runs concurrent jobs FIFO, later jobs back-filling the
+        // earlier's idle cores). Interleaved A/B: 2.75 → 2.13 s, gate
+        // output verified identical. Both branches consume the same
+        // pinned inputs, so ranks/fusion arithmetic is unchanged.
+        val lexF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+          TextSearch.bm25Search(
+            corpus.select(col("doc_id"), col("text")), "doc_id", "text",
+            queries.select(col("query_id"), col("qtext")),
+            "query_id", "qtext", k = 20).pinned())
+        // built FIRST so its eager Lloyd jobs overlap the lex pin
+        val ivfRanks = TextSearch.ivfDenseRanks(corpus, "doc_id",
+          "embedding", queries, "query_id", "qv", candidates = 20,
+          nlist = 16, nprobe = 8)
+        val lex = lexF.join()
         val exact = TextSearch.rrfFuse(lex,
           TextSearch.exactDenseRanks(corpus, "doc_id", "embedding",
             queries, "query_id", "qv", candidates = 20),
           "query_id", k = 5)
-        val ivf = TextSearch.rrfFuse(lex,
-          TextSearch.ivfDenseRanks(corpus, "doc_id", "embedding",
-            queries, "query_id", "qv", candidates = 20,
-            nlist = 16, nprobe = 8),
-          "query_id", k = 5)
+        val ivf = TextSearch.rrfFuse(lex, ivfRanks, "query_id", k = 5)
         val hits = ivf.select(col("query_id"), col("doc_id"))
           .join(exact.select(col("query_id"), col("doc_id")),
             Seq("query_id", "doc_id"), "left_semi")
