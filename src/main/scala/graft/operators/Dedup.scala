@@ -1223,12 +1223,21 @@ object Dedup {
       newDocs.select(col(idCol), col(textCol),
         md5(keyOf(col(textCol)).cast("binary")).as("__h")),
       Seq("__h"), idCol).drop("__h")
-    // checkpointed: the probe plan embeds the sketch as a numBits/8-byte
-    // literal, and `flagged` fans out to two consumers — without the
-    // truncation every downstream stage's task binary would carry the
-    // sketch bytes and re-run the probe (batch-sized frame, cheap to pin)
-    val flagged = bloomFlagsFromSketch(batch, idCol, textCol, sketch, keyOf)
-      .localCheckpoint(true)
+    // checkpointed WHEN THE SKETCH IS BIG: the probe plan embeds the
+    // sketch as a numBits/8-byte literal, and `flagged` fans out to two
+    // consumers — without the truncation every downstream stage's task
+    // binary would carry the sketch bytes and re-run the probe. That
+    // justification is proportional to the literal: at the default
+    // production sizing (2^23 bits = 1 MB) the pin pays; for a small
+    // history sketch (KBs) the checkpoint job costs more than the
+    // duplicated 16 KB literal + re-probe of a batch-sized frame
+    // (optimization round 19, interleaved A/B: −0.25 s per admission
+    // query at the 2^17-bit gate sizing, admitted set identical). The
+    // gate is the literal's own size — scale-adaptive by construction.
+    val flagged0 = bloomFlagsFromSketch(batch, idCol, textCol, sketch, keyOf)
+    val flagged =
+      if (sketch.exists(_.length >= (1 << 20))) flagged0.localCheckpoint(true)
+      else flagged0
     val clean = flagged.where(!col("maybe_seen")).drop("maybe_seen")
     val suspects = flagged.where(col("maybe_seen")).drop("maybe_seen")
     val exactNovel =
