@@ -61,4 +61,22 @@ object Checkpoints {
   implicit final class PinOps(private val df: DataFrame) extends AnyVal {
     def pinned(): DataFrame = Checkpoints.pin(df)
   }
+
+  /** [[pin]] submitted from a background thread (guide §2.6 "overlap
+    * independent jobs"): the pin's job back-fills executor cores while
+    * the caller's own eager jobs run, instead of serializing through
+    * the driver. Join the future before first use of the frame. Spark's
+    * scheduler runs concurrent jobs FIFO; actions are thread-safe. */
+  def pinAsync(df: DataFrame)
+      : java.util.concurrent.CompletableFuture[DataFrame] =
+    java.util.concurrent.CompletableFuture.supplyAsync(() => pin(df))
+}
+
+/** TEMPORARY probe switch for interleaved same-session A/B measurement
+  * (optimization round 20): `-Dgraft.ab=old` selects the
+  * pre-optimization code path at DataFrame-construction time so the two
+  * variants can alternate inside one JVM (the r19 measurement
+  * discipline). Stripped once the round's A/Bs are decided. */
+private[graft] object AbFlag {
+  def old: Boolean = sys.props.get("graft.ab").contains("old")
 }

@@ -106,7 +106,8 @@ object Dedup {
     * within a query plan, and one query may bucket twice (e.g. a minhash
     * + embedding union). The metrics themselves are read per-action via
     * `QueryExecution.observedMetrics` / a `QueryExecutionListener`. */
-  private val obsId = new java.util.concurrent.atomic.AtomicLong(0)
+  private[operators] val obsId =
+    new java.util.concurrent.atomic.AtomicLong(0)
 
   /** observe() metrics attached to every bucketed pair expansion:
     * bucket count, over-cap (dropped) bucket count, and the largest
@@ -526,9 +527,19 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
                         idB: String = "id_b",
                         maxIters: Int = 20): DataFrame = {
+    // NO dedup of the symmetrized edge list (optimization round 20):
+    // every consumer is duplicate-insensitive — round 0's groupBy and
+    // each round's neighborMin take min() over edge targets, and the
+    // propagation join feeds that same min — so repeated edges change
+    // no label, only repeat work proportional to their multiplicity.
+    // The callers in this repo pass verified candidate pairs that are
+    // distinct by construction (pairsWithinBuckets ends in distinct),
+    // so the previous .distinct() was a pure full-exchange tax on the
+    // edge pin (guide §2.4 "remove shuffles outright": a distinct on
+    // data that is already unique). A duplicate-HEAVY caller can
+    // pre-distinct its pairs; labels are identical either way.
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
       .pinned()
     // empty graph: return before the loop — besides being pointless, an
     // empty frame would let AQE's empty-relation propagation collapse
@@ -706,14 +717,17 @@ object Dedup {
     val nearest =
       if (twoLevel) Similarity.nearestCellFnTwoLevel(df)
       else Similarity.nearestCellFn(df, useNative, cos)
+    val vecsRaw = df.select(col(idCol),
+      col(vecCol).cast("array<double>").as("v"))
+    // seed collect overlapped with the pin (guide §2.6,
+    // Similarity.seedsAsync — content-deterministic)
+    val seedF = Similarity.seedsAsync(vecsRaw, idCol, "v", nlist)
     // pinned once: the Lloyd loop (iters + 1 jobs), the cell keying and
     // the two pair-verification joins below all read this frame —
     // unpinned, each re-runs the source scan + cast
-    val vecs = df.select(col(idCol),
-        col(vecCol).cast("array<double>").as("v"))
-      .pinned()
+    val vecs = vecsRaw.pinned()
     val centroids = Similarity.buildCentroids(vecs, idCol, "v", nlist,
-      iters, nearest)
+      iters, nearest, Similarity.joinSeeds(seedF))
     if (centroids.isEmpty)
       // empty corpus: empty pair frame with the contract schema
       return vecs.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
@@ -794,13 +808,16 @@ object Dedup {
       : (Array[Seq[Double]], DataFrame) = {
     val cos = Similarity.cosineFn(vecs, useNative)
     val nearest = Similarity.nearestCellFn(vecs, useNative, cos)
-    val v = vecs.select(col(idCol).as("seen_id"),
-        col(vecCol).cast("array<double>").as("seen_vec"))
-      // pinned for the same reason as `semanticDuplicates`: the Lloyd
-      // jobs and the final cell assignment all read it
-      .pinned()
+    val vRaw = vecs.select(col(idCol).as("seen_id"),
+      col(vecCol).cast("array<double>").as("seen_vec"))
+    // seed collect overlapped with the pin (guide §2.6,
+    // Similarity.seedsAsync)
+    val seedF = Similarity.seedsAsync(vRaw, "seen_id", "seen_vec", nlist)
+    // pinned for the same reason as `semanticDuplicates`: the Lloyd
+    // jobs and the final cell assignment all read it
+    val v = vRaw.pinned()
     val centroids = Similarity.buildCentroids(v, "seen_id", "seen_vec",
-      nlist, iters, nearest)
+      nlist, iters, nearest, Similarity.joinSeeds(seedF))
     if (centroids.isEmpty)
       (centroids, v.withColumn("cell", lit(0)).limit(0))
     else (centroids, v.withColumn("cell", nearest(centroids,
@@ -1164,13 +1181,26 @@ object Dedup {
                       shingleWords: Int = 3,
                       minJaccard: Double = 0.8,
                       maxBucket: Int = 1000,
-                      keyOf: Column => Column = identity): DataFrame =
-    ingestAdmissionAgainstState(newDocs, seen,
-      buildSeenSketch(seen, textCol, expectedItems, numBits, keyOf),
+                      keyOf: Column => Column = identity): DataFrame = {
+    // The history band index and the history membership sketch are
+    // INDEPENDENT computations over `seen`; built sequentially, the
+    // band lineage used to evaluate inside the candidate-pin job three
+    // stages later while the driver idled through the sketch collect
+    // and the batch checkpoints first. Pinning the bands from a
+    // background thread overlaps it with those jobs (guide §2.6 — the
+    // q_hybrid_search_ivf BM25-pin pattern). Bands content unchanged;
+    // the persisted-state form (ingestAdmissionAgainstState) is what
+    // production calls with both halves prebuilt.
+    val bandsDf =
       minhashBands(seen, idCol, textCol, numHashes, bands, shingleWords)
-        .withColumnRenamed(idCol, "seen_id"),
+        .withColumnRenamed(idCol, "seen_id")
+    val bandsF = Checkpoints.pinAsync(bandsDf)
+    val sketch = buildSeenSketch(seen, textCol, expectedItems, numBits,
+      keyOf)
+    ingestAdmissionAgainstState(newDocs, seen, sketch, bandsF.join(),
       idCol, textCol, numHashes, bands, shingleWords, minJaccard,
       maxBucket, keyOf)
+  }
 
   /**
    * [[ingestAdmission]] against PERSISTED state — the per-batch form:

@@ -66,31 +66,44 @@ object Graph {
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .pinned()
-    val nodes = e.select(col("src").as("node"))
+    // node count rides the node pin as an observe metric (optimization
+    // round 20, the duplicateClusters convergence pattern): a separate
+    // count() job re-scanned the just-materialized frame once per call
+    val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .pinned()
-    val n = nodes.count()
+    val obsN = new org.apache.spark.sql.Observation(
+      s"graft_pr_n_${graft.operators.Dedup.obsId.incrementAndGet()}")
+    val nodes = nodes0.observe(obsN, count(lit(1)).as("n")).pinned()
+    val n = obsN.get("n").asInstanceOf[Long]
     require(n > 0, "pageRank needs a non-empty edge list")
     val (p, q) = (dampingNum, dampingDen)
     // base share (1-d)/N on the grid, half-away-from-zero
     val base = (2L * Scale * (q - p) + q * n) / (2L * q * n)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
       .pinned()
+    // the uniform start needs no pin of its own: it is one narrow
+    // literal column over the pinned node set (optimization round 20 —
+    // the pin here cost a job per call and saved nothing)
     var ranks = nodes
       .withColumn("r", lit((2L * Scale + n) / (2L * n)))
-      .pinned()
     for (_ <- 1 to iters) {
       // ONE ranks⋈outdeg join per round, pinned so the dangling
       // aggregate and the contribution pass read the same
-      // materialization instead of re-running the join
+      // materialization instead of re-running the join; the dangling
+      // mass (nodes without outlinks redistribute their whole rank)
+      // rides the pin as an observe metric — a separate aggregate job
+      // re-scanned the materialization once per round (optimization
+      // round 20, guide §1.2: fewer sequential driver-blocking jobs)
+      val obs = new org.apache.spark.sql.Observation(
+        s"graft_pr_d_${graft.operators.Dedup.obsId.incrementAndGet()}")
       val withDeg = ranks.join(outdeg,
-        ranks("node") === outdeg("src"), "left")
+          ranks("node") === outdeg("src"), "left")
+        .observe(obs,
+          coalesce(sum(when(col("__deg").isNull, col("r"))), lit(0L))
+            .as("dm"))
         .pinned()
-      // dangling nodes (no outlinks): whole rank redistributes
-      val dangling = withDeg.where(col("__deg").isNull)
-        .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
-        .collect()(0).getLong(0)
+      val dangling = obs.get("dm").asInstanceOf[Long]
       val dshare = (2L * p * dangling + q * n) / (2L * q * n)
       val contribs = withDeg.where(col("__deg").isNotNull)
         .select(col("node"),
@@ -157,22 +170,30 @@ object Graph {
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .pinned()
-    val nodes = e.select(col("src").as("node"))
+    // node count rides the node pin as an observe metric (optimization
+    // round 20 — the pageRank rationale)
+    val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .pinned()
-    val n = nodes.count()
+    val obsN = new org.apache.spark.sql.Observation(
+      s"graft_hits_n_${graft.operators.Dedup.obsId.incrementAndGet()}")
+    val nodes = nodes0.observe(obsN, count(lit(1)).as("n")).pinned()
+    val n = obsN.get("n").asInstanceOf[Long]
     require(n > 0, "hits needs a non-empty edge list")
 
     // SUM-normalize a long score column back onto the Scale grid:
     // decimal(38,0) exact product, half-away-from-zero div. The raw
-    // aggregation is pinned ONCE, so the one-row sum and the
-    // normalize pass read the same materialization (the pageRank
-    // dangling-aggregate discipline).
+    // aggregation is pinned ONCE and its one-row sum rides the pin as
+    // an observe metric (optimization round 20: the separate aggregate
+    // job re-scanned the materialization once per half-round), so the
+    // sum and the normalize pass read the same materialization (the
+    // pageRank dangling-aggregate discipline).
     def normalized(raw: DataFrame, c: String): DataFrame = {
-      val pre = raw.pinned()
-      val s = pre.agg(coalesce(sum(col(c)), lit(0L)).as("__s"))
-        .collect()(0).getLong(0)
+      val obs = new org.apache.spark.sql.Observation(
+        s"graft_hits_s_${graft.operators.Dedup.obsId.incrementAndGet()}")
+      val pre = raw.observe(obs,
+        coalesce(sum(col(c)), lit(0L)).as("s")).pinned()
+      val s = obs.get("s").asInstanceOf[Long]
       require(s > 0, "score mass vanished — empty edge list half")
       val out = pre.select(col("node"),
         expr(s"(2 * cast($Scale as decimal(38,0)) * cast($c as " +
@@ -183,9 +204,10 @@ object Graph {
       out
     }
 
+    // uniform start: one narrow literal column over the pinned node
+    // set — needs no pin of its own (optimization round 20)
     var hubs = nodes
       .withColumn("h", lit((2L * Scale + n) / (2L * n)))
-      .pinned()
     var auths: DataFrame = null
     for (_ <- 1 to iters) {
       // authorities from hubs: a'_j = Σ_{i→j} h_i

@@ -301,11 +301,15 @@ object Similarity {
     // source scan + cast (iters + 2 parquet scans for one build). On a
     // cluster the blocks spill MEMORY_AND_DISK per executor — the same
     // one-materialization-many-iterations shape as `ivfpqIndex`.
-    val c = corpus.select(col(corpusId),
-        col(corpusVec).cast("array<double>").as("cv"))
-      .pinned()
+    val cRaw = corpus.select(col(corpusId),
+      col(corpusVec).cast("array<double>").as("cv"))
+    // seed collect overlapped with the pin (guide §2.6 — both scan the
+    // same frame; the seed is content-deterministic, see seedsAsync)
+    val seedF = seedsAsync(cRaw, corpusId, "cv", nlist)
+    val c = cRaw.pinned()
 
-    val centroids = buildCentroids(c, corpusId, "cv", nlist, iters, nearest)
+    val centroids = buildCentroids(c, corpusId, "cv", nlist, iters,
+      nearest, joinSeeds(seedF))
 
     if (centroids.isEmpty) {
       // empty corpus: nothing to index; empty result, search schema
@@ -346,12 +350,11 @@ object Similarity {
   private[operators] def buildCentroids(
       c: DataFrame, corpusId: String, vecCol: String, nlist: Int,
       iters: Int,
-      nearest: (Array[Seq[Double]], Column) => Column)
+      nearest: (Array[Seq[Double]], Column) => Column,
+      seeds: Option[Array[Seq[Double]]] = None)
       : Array[Seq[Double]] = {
-    var centroids: Array[Seq[Double]] = c
-      .withColumn("__h", xxhash64(col(corpusId)))
-      .orderBy(col("__h")).limit(nlist)
-      .select(col(vecCol)).collect().map(_.getSeq[Double](0))
+    var centroids: Array[Seq[Double]] = seeds.getOrElse(
+      collectSeeds(c, corpusId, vecCol, nlist))
     if (centroids.isEmpty) return centroids
     val dim = centroids(0).length
     (1 to iters).foreach { _ =>
@@ -376,6 +379,33 @@ object Similarity {
     }
     centroids
   }
+
+  /** Deterministic centroid seed: the `k` smallest-`xxhash64(id)` rows'
+    * vectors — a pure function of the frame's CONTENT, so it returns
+    * identical seeds from the pinned frame or its unpinned lineage. */
+  private def collectSeeds(c: DataFrame, idCol: String, vecCol: String,
+                           k: Int): Array[Seq[Double]] = c
+    .withColumn("__h", xxhash64(col(idCol)))
+    .orderBy(col("__h")).limit(k)
+    .select(col(vecCol)).collect().map(_.getSeq[Double](0))
+
+  /** [[collectSeeds]] launched from a background thread over the
+    * UNPINNED lineage, so the seed job overlaps the pin that follows it
+    * (guide §2.6): pin and seed both scan the same small frame, and
+    * submitted sequentially the driver idles through two job latencies
+    * where one suffices. Content-deterministic, so the overlapped seed
+    * is byte-identical to the sequential one. */
+  private[operators] def seedsAsync(raw: DataFrame, idCol: String,
+      vecCol: String, k: Int)
+      : java.util.concurrent.CompletableFuture[Array[Seq[Double]]] =
+    java.util.concurrent.CompletableFuture.supplyAsync(() =>
+      collectSeeds(raw, idCol, vecCol, k))
+
+  /** Unwrap an [[seedsAsync]] future into [[buildCentroids]]' `seeds`
+    * parameter. */
+  private[operators] def joinSeeds(
+      f: java.util.concurrent.CompletableFuture[Array[Seq[Double]]])
+      : Option[Array[Seq[Double]]] = Option(f.join())
 
   /** Per-group mean vector — (keyCol, `__mean` array<double>) — via the
     * per-(group, dim) posexplode shape: a group holds ~corpus/k
@@ -656,11 +686,11 @@ object Similarity {
   private[operators] def trainCodebooks(
       assigned: DataFrame, residCol: String, m: Int, dsub: Int,
       ksub: Int, iters: Int,
-      enc: (Column, Seq[Seq[Seq[Double]]]) => Column)
+      enc: (Column, Seq[Seq[Seq[Double]]]) => Column,
+      seeds0: Option[Array[Seq[Double]]] = None)
       : Array[Array[Seq[Double]]] = {
-    val seeds = assigned.withColumn("__h", xxhash64(col("__id")))
-      .orderBy(col("__h")).limit(ksub)
-      .select(col(residCol)).collect().map(_.getSeq[Double](0))
+    val seeds = seeds0.getOrElse(
+      collectSeeds(assigned, "__id", residCol, ksub))
     var books: Array[Array[Seq[Double]]] = Array.tabulate(m) { mi =>
       seeds.map(v => v.slice(mi * dsub, (mi + 1) * dsub))
     }
@@ -726,16 +756,19 @@ object Similarity {
     // Embeddings.l2Normalize materializes the norm as an attribute
     // before the transform lambda — a lambda capturing the norm
     // EXPRESSION would re-evaluate the O(dim) fold per element
-    val c = Embeddings.l2Normalize(
+    val cRaw = Embeddings.l2Normalize(
         corpus.select(col(corpusId).as("__id"), col(corpusVec).as("__cv")),
         "__cv", "__cvn")
       .select(col("__id"), col("__cvn"))
-      // one materialization for the whole build: the coarse Lloyd loop,
-      // the residual computation and the PQ training each launch jobs
-      // over this frame — unpinned, every one re-scans the source and
-      // re-normalizes (O(iters) redundant passes)
-      .pinned()
-    val coarse = buildCentroids(c, "__id", "__cvn", nlist, iters, nearest)
+    // seed collect overlapped with the pin (guide §2.6, seedsAsync)
+    val seedF = seedsAsync(cRaw, "__id", "__cvn", nlist)
+    // one materialization for the whole build: the coarse Lloyd loop,
+    // the residual computation and the PQ training each launch jobs
+    // over this frame — unpinned, every one re-scans the source and
+    // re-normalizes (O(iters) redundant passes)
+    val c = cRaw.pinned()
+    val coarse = buildCentroids(c, "__id", "__cvn", nlist, iters,
+      nearest, joinSeeds(seedF))
     if (coarse.isEmpty)
       return (coarse, Array.empty,
         c.select(col("__id"), lit(0).as("cell"),
@@ -745,13 +778,17 @@ object Similarity {
       s"embedding dim $dim is not divisible by m=$m subspaces")
     val dsub = dim / m
     val coarseLit = typedlit(coarse.toSeq.map(_.toSeq))
-    val assigned = c.withColumn("cell", nearest(coarse, col("__cvn")))
+    val assignedRaw = c.withColumn("cell", nearest(coarse, col("__cvn")))
       .withColumn("__resid", zip_with(col("__cvn"),
         element_at(coarseLit, col("cell") + 1), (x, y) => x - y))
-      .pinned()
+    // codebook seed collect overlapped with the residual pin — the raw
+    // lineage reads the already-pinned `c`, so the duplicated work is
+    // one narrow assign+residual map (guide §2.6, seedsAsync)
+    val seedF2 = seedsAsync(assignedRaw, "__id", "__resid", ksub)
+    val assigned = assignedRaw.pinned()
     val enc = pqEncodeFn(corpus, useNative)
-    val codebooks =
-      trainCodebooks(assigned, "__resid", m, dsub, ksub, iters, enc)
+    val codebooks = trainCodebooks(assigned, "__resid", m, dsub, ksub,
+      iters, enc, joinSeeds(seedF2))
     val index = assigned.select(col("__id"), col("cell"),
       enc(col("__resid"), codebooks.toSeq.map(_.toSeq.map(_.toSeq)))
         .as("codes"))
