@@ -56,9 +56,21 @@ object ProbeAB {
     val counter = new JobCounter
     spark.sparkContext.addSparkListener(counter)
 
-    def setVariant(v: String): Unit =
+    // optional per-variant session-conf overrides (runtime-settable
+    // SQLConf keys only), e.g. SPARK_GRAFT_PROBE_CONF_NEW=
+    //   "spark.sql.adaptive.coalescePartitions.parallelismFirst=false"
+    def confOf(envKey: String): Seq[(String, String)] =
+      sys.env.getOrElse(envKey, "").split(',').toSeq
+        .map(_.trim).filter(_.nonEmpty)
+        .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    val confNew = confOf("SPARK_GRAFT_PROBE_CONF_NEW")
+    val confOld = confOf("SPARK_GRAFT_PROBE_CONF_OLD")
+    def setVariant(v: String): Unit = {
       if (v == "old") System.setProperty("graft.ab", "old")
       else System.clearProperty("graft.ab")
+      (if (v == "old") confOld else confNew)
+        .foreach { case (k, value) => spark.conf.set(k, value) }
+    }
 
     def run(n: String): (Double, Int) = {
       val j0 = counter.jobs.get()
